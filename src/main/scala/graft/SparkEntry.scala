@@ -1,13 +1,270 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{EventAnalytics, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a §7.5
+  * north-star extension); [[oracleSql]] carries the equivalent DuckDB SQL
+  * over the same parquet tables. Column names and types are aligned pair by
+  * pair (the driver's compare sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole main() shape: window filter -> key dedup
+    * anti-join -> projection/rename (SURVEY.md §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EventAnalytics.refPipeline(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface (SURVEY.md §2, over events per FIXTURES.md §B)
+    "ref_pipeline" -> ((s, d) => EventAnalytics.refPipeline(s, d)),
+    "ref_parse_datetime" -> ((s, d) => EventAnalytics.parseDatetime(s, d)),
+    "ref_sentinel_null" -> ((s, d) => EventAnalytics.sentinelNulls(s, d)),
+    "ref_window_filter" -> ((s, d) => EventAnalytics.windowFilter(s, d)),
+    "ref_key_filter" -> ((s, d) => EventAnalytics.keyFilter(s, d)),
+    "ref_window_count" -> ((s, d) => EventAnalytics.windowCount(s, d)),
+    "ref_anti_join" -> ((s, d) => Relational.antiJoinCustomers(s, d)),
+    // ---- relational gap coverage (§2 "not present" categories)
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
+    "join_outer_customer" -> ((s, d) => Relational.customerOrderStats(s, d)),
+    "join_semi_customer" -> ((s, d) => Relational.semiJoinCustomers(s, d)),
+    "topk_orders" -> ((s, d) => Relational.topOrders(s, d)),
+    "window_rank" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "window_running" -> ((s, d) => Relational.runningQuantity(s, d)),
+    "rollup_revenue" -> ((s, d) => Relational.revenueRollup(s, d)),
+    "distinct_segments" -> ((s, d) => Relational.distinctSegments(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
+    "math_funcs" -> ((s, d) => Relational.mathFuncs(s, d)),
+    "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
+    "price_buckets" -> ((s, d) => Relational.priceBuckets(s, d)),
+    // ---- event analytics (§7.5)
+    "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
+    "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
+    "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
+    "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d))
+  )
+
+  /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
+    * Conventions keeping the hash compare honest (see Relational scaladoc):
+    * decimal-exact sums cast to double, explicit BIGINT casts where DuckDB
+    * and Spark integer widths differ, timestamps formatted as strings,
+    * NULLS FIRST to match Spark's ascending-sort null placement. */
+  def oracleSql: Map[String, String] = Map(
+    "ref_pipeline" ->
+      """SELECT b.event_id AS af_id,
+         strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS install_time,
+         b.user_id AS customer_user_id, b.event_type AS event_name,
+         b.value AS event_value
+         FROM events b
+         WHERE b.ts >= TIMESTAMP '2024-01-15 00:00:00'
+           AND b.ts <= TIMESTAMP '2024-01-15 02:00:00'
+           AND NOT EXISTS (SELECT 1 FROM events e
+             WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+               AND e.ts <= TIMESTAMP '2024-01-15 01:00:00'
+               AND e.event_id = b.event_id)
+         ORDER BY af_id""",
+    "ref_parse_datetime" ->
+      """SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+         END AS parsed_ts
+         FROM events ORDER BY event_id""",
+    "ref_sentinel_null" ->
+      """SELECT CASE WHEN event_type IN ('error','view','click') THEN NULL
+                     ELSE event_type END AS norm,
+                COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY norm NULLS FIRST""",
+    "ref_window_filter" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-10 06:00:00'
+         ORDER BY event_id""",
+    "ref_key_filter" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+         FROM events WHERE value >= 20 GROUP BY 1 ORDER BY key""",
+    "ref_window_count" ->
+      """SELECT COUNT(*) AS n FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-15 02:00:00'""",
+    "ref_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+         ORDER BY c_custkey""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM region, nation, customer, orders, lineitem, supplier
+         WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+           AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "join_outer_customer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 0.0) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2 ORDER BY c_custkey""",
+    "join_semi_customer" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+         FROM lineitem WHERE l_orderkey < 200
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "distinct_segments" ->
+      """SELECT DISTINCT c_mktsegment, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_mktsegment, n_name""",
+    "set_ops" ->
+      """SELECT 'except' AS op, k FROM (
+           SELECT o_custkey AS k FROM orders
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION ALL
+         SELECT 'intersect' AS op, k FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+           INTERSECT
+           SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+         UNION ALL
+         SELECT 'union' AS op, k FROM (
+           SELECT DISTINCT k FROM (
+             SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+             UNION ALL
+             SELECT CAST(s_nationkey AS BIGINT) FROM supplier))
+         ORDER BY op, k""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(*) AS n_rows,
+         ROUND(STDDEV_SAMP(l_quantity), 2) AS sd_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "math_funcs" ->
+      """SELECT p_partkey,
+         ROUND(SQRT(p_retailprice), 4) AS sqrt_price,
+         ROUND(LN(p_retailprice), 4) AS ln_price,
+         ROUND(POW(CAST(p_size AS DOUBLE), 2), 1) AS size_sq,
+         ABS(p_size - 25) AS size_dev,
+         CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+         CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+         p_partkey % 7 AS key_mod
+         FROM part ORDER BY p_partkey""",
+    "string_funcs" ->
+      """SELECT p_partkey,
+         UPPER(p_brand) AS brand_u,
+         LOWER(p_type) AS type_l,
+         CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+         SUBSTRING(p_name, 1, 5) AS name_pfx,
+         CONCAT_WS('|', p_brand, p_type) AS brand_type,
+         REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+         CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS BIGINT) AS has_a
+         FROM part ORDER BY p_partkey""",
+    "price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     ELSE 'large' END AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sliding_two_hour" ->
+      """WITH e AS (SELECT ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+         w AS (SELECT date_trunc('hour', ts) AS ws FROM e
+               UNION ALL
+               SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+                strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+                COUNT(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY 1""",
+    "sessionize" ->
+      """SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM (
+           SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(lag_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM (
+               SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+               FROM events) a) b) c
+         GROUP BY user_id ORDER BY user_id""",
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+         COUNT(CASE WHEN k >= 50 THEN 1 END) AS n_high
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY event_type"""
+  )
 }

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** K1/K2 — the sink half of the reference (main.py:169-192).
+  *
+  * The reference appends one VALUES batch over the ClickHouse native
+  * protocol and skips the INSERT entirely for an empty batch
+  * (main.py:183,189-190). The JDBC writer reproduces the batched append
+  * (per-partition, `batchsize` rows per round-trip — already distributed
+  * where the reference was single-connection); the parquet path is the
+  * offline-harness stand-in used by Verify.
+  */
+object Sink {
+
+  /** K1 (offline form): append as parquet; skip the write when empty,
+    * matching main.py:189-190. `limit(1).isEmpty` costs one cheap job —
+    * acceptable at any scale since it short-circuits at the first row. */
+  def writeParquet(df: DataFrame, path: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("append").parquet(path); true }
+  }
+
+  /** K1 (faithful form): batched JDBC append (ClickHouse or any JDBC URL).
+    * Each executor partition writes its own batched connection — the
+    * distributed generalization of the reference's single INSERT. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties,
+                batchSize: Int = 100000): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode("append")
+        .option("batchsize", batchSize.toString)
+        .jdbc(url, table, props)
+      true
+    }
+  }
+
+  /** K2 — read the dedup probe side with projection+predicate pushed down.
+    * On JDBC this is a pushdown subquery (the reference hand-writes the
+    * same SELECT at main.py:172-174); on parquet Catalyst pushes both
+    * automatically — asserted by PlanAuditSpec. */
+  def readExistingJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+                       table: String, keyCol: String, timeCol: String,
+                       from: String, to: String,
+                       props: java.util.Properties = new java.util.Properties): DataFrame = {
+    val sub =
+      s"(SELECT $keyCol FROM $table WHERE $timeCol >= '$from' AND $timeCol <= '$to') t"
+    spark.read.jdbc(url, sub, props)
+  }
+}

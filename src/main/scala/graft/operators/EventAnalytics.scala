@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.etl.Dedup
+import graft.functions.Normalize
+
+/** Event-stream analytics over the `events` table, plus the reference's
+  * own operator surface (F1/F2/F5/F6/J1/P1/A1 — SURVEY.md §2) re-expressed
+  * over the same table (`event_id` plays `appsflyer_id`, `ts` plays
+  * `install_time`; FIXTURES.md §B mapping).
+  *
+  * Timestamp outputs are formatted as 'yyyy-MM-dd HH:mm:ss' strings so the
+  * DuckDB-oracle hash compare never depends on parquet timestamp physical
+  * encodings.
+  */
+object EventAnalytics {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Flagship reference pipeline over events: window filter (F5) + key
+    * filter (F6) + anti-join against already-seen ids (J1) + projection/
+    * rename (P1). `existing` = events seen in an earlier overlapping
+    * window, exactly the sliding-window idempotence pattern of main().
+    *
+    * Scale: the build side is one pruned int column under a pushed window
+    * predicate -> broadcast anti-join; the probe side never leaves the
+    * executors. */
+  def refPipeline(spark: SparkSession, dir: String,
+                  from: String = "2024-01-15 00:00:00",
+                  to: String = "2024-01-15 02:00:00",
+                  seenUpTo: String = "2024-01-15 01:00:00"): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val batch = ev.filter(Dedup.windowFilter(col("ts"), from, to))
+    val existing = ev.filter(Dedup.windowFilter(col("ts"), from, seenUpTo))
+      .select(col("event_id"))
+    batch.join(existing, Seq("event_id"), "left_anti")
+      .select(
+        col("event_id").as("af_id"),
+        date_format(col("ts"), fmt).as("install_time"),
+        col("user_id").as("customer_user_id"),
+        col("event_type").as("event_name"),
+        col("value").cast("double").as("event_value"))
+      .orderBy(col("af_id"))
+  }
+
+  /** F1 — lenient datetime parse, exercised over a string column derived
+    * from `ts` (with sentinel 'null's injected on error events so both the
+    * parse and the sentinel paths are covered). */
+  def parseDatetime(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        when(col("event_type") === "error", lit("null"))
+          .otherwise(col("ts").cast("string")).as("raw_ts"))
+      .select(col("event_id"),
+        date_format(Normalize.parseAfTimestamp(col("raw_ts")), fmt)
+          .as("parsed_ts"))
+      .orderBy(col("event_id"))
+
+  /** F2 — sentinel-null normalization over a constructed string column. */
+  def sentinelNulls(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        when(col("event_type") === "error", lit("null"))
+          .when(col("event_type") === "view", lit(""))
+          .when(col("event_type") === "click", lit("None"))
+          .otherwise(col("event_type")).as("raw"))
+      .select(Normalize.nullIfSentinels(col("raw")).as("norm"))
+      .groupBy(col("norm")).agg(count(lit(1)).as("n"))
+      .orderBy(col("norm"))
+
+  /** F5 — inclusive time-window filter (predicate pushed to the scan). */
+  def windowFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(Dedup.windowFilter(col("ts"),
+        "2024-01-10 00:00:00", "2024-01-10 06:00:00"))
+      .select(col("event_id"), date_format(col("ts"), fmt).as("ts_s"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** F6 — non-null/non-empty key filter over a key column with injected
+    * NULL/'' holes. */
+  def keyFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        when(col("value") < 10, lit(""))
+          .when(col("value") < 20, lit(null).cast("string"))
+          .otherwise(col("user_id").cast("string")).as("key"))
+      .filter(Dedup.validKey(col("key")))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("key"))
+
+  /** A1 — observability count of the flagship window. */
+  def windowCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(Dedup.windowFilter(col("ts"),
+        "2024-01-15 00:00:00", "2024-01-15 02:00:00"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Tumbling-window aggregation (the batch image of a Structured
+    * Streaming `window()` agg): hourly event counts + value sums. Uses
+    * `window(ts, '1 hour')` — epoch-aligned, so it equals
+    * date_trunc('hour') in the oracle. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), fmt).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sliding-window aggregation: 2-hour window sliding by 1 hour —
+    * each event lands in 2 windows (the batch image of the reference's
+    * overlapping 2-hour pulls, F4). */
+  def slidingTwoHour(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), fmt).as("win_start"),
+        date_format(col("window.end"), fmt).as("win_end"), col("n"))
+      .orderBy(col("win_start"))
+
+  /** Sessionization via lag + cumulative sum of session-break flags
+    * (30-minute inactivity gap), then per-user session stats. The standard
+    * two-window formulation — both windows partition by user, so one
+    * shuffle on user_id serves both. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON extraction from the `props` column + conditional agg. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") >= 50, 1)).as("n_high"))
+      .orderBy(col("event_type"))
+}

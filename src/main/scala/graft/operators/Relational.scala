@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish test corpus — the §2
+  * "gap categories" the reference lacks (GROUP BY aggregation, inner/outer/
+  * semi joins, window functions, sorts/top-k, set ops, rollup), expressed
+  * as single declarative DataFrame programs so Catalyst plans them
+  * (broadcast for dims, partial aggregation, pushdown — see PlanAuditSpec).
+  *
+  * Determinism conventions (DuckDB-oracle hash parity):
+  *  - money aggregates are summed as DECIMAL then cast to double — exact
+  *    arithmetic is associative, so shuffle/AQE ordering can't flip bits;
+  *  - averages are written sum(decimal)/count, not avg(double);
+  *  - every ORDER BY under a LIMIT carries a unique tiebreak key.
+  */
+object Relational {
+
+  /** sum(x) over an exact decimal image of x, returned as double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+  /** avg as double-division of an exact decimal sum — written identically
+    * in the oracle SQL so both engines do the same double / bigint op. */
+  private def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
+
+  /** TPC-H Q1 shape: scan-heavy hash aggregation with map-side partial agg.
+    * At 100 TB this is the canonical "one wide shuffle of tiny partial
+    * buffers" plan — the groupBy key cardinality is 6, so virtually all
+    * reduction happens map-side. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 8).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+    * customer is tiny relative to lineitem -> broadcast; top-k is
+    * `TakeOrderedAndProject` (no global sort of the agg output). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join through region->nation->customer->orders->
+    * lineitem->supplier. All dims broadcast; the only shuffle left is the
+    * final 5-group aggregation. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left outer join + per-group agg: order count / spend per customer,
+    * zero-order customers included (COALESCE'd). */
+  def customerOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one 'F' order. */
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS) — J1's standalone relational form:
+    * customers with no large order (every customer has *some* order in
+    * this corpus, so the build side is filtered to keep the result
+    * non-empty). */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 250000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, not a full sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Ranking window function: top-3 orders per customer by price. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running-frame window function: cumulative quantity per supplier in
+    * ship order (fully tiebroken so the frame is deterministic). Exact
+    * decimal accumulation keeps the running sum order-independent-safe. */
+  def runningQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(28,4)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** ROLLUP grouping sets with GROUPING() disambiguation. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  /** DISTINCT (exact): the deduplicated (segment, nation) domain. */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_name"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("n_name"))
+  }
+
+  /** Set operations: EXCEPT / INTERSECT / UNION over key domains. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val s = Tables(spark, dir, "supplier")
+    val withOrders = o.select(col("o_custkey").as("k"))
+    val fCust = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val exceptKeys = withOrders.except(fCust)
+      .select(lit("except").as("op"), col("k"))
+    val interKeys = c.select(col("c_nationkey").cast("long").as("k")).intersect(
+        s.select(col("s_nationkey").cast("long").as("k")))
+      .select(lit("intersect").as("op"), col("k"))
+    val unionKeys = c.select(col("c_nationkey").cast("long").as("k"))
+      .union(s.select(col("s_nationkey").cast("long").as("k")))
+      .distinct()
+      .select(lit("union").as("op"), col("k"))
+    exceptKeys.unionAll(interKeys).unionAll(unionKeys)
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Numeric aggregate battery: min/max/count(distinct)/stddev. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"),
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar math-function battery (codegen'd built-ins, no UDFs). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+        round(log(col("p_retailprice")), 4).as("ln_price"),
+        round(pow(col("p_size").cast("double"), lit(2)), 1).as("size_sq"),
+        abs(col("p_size") - lit(25)).as("size_dev"),
+        ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+        floor(col("p_retailprice")).cast("long").as("floor_price"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"))
+      .orderBy(col("p_partkey"))
+
+  /** String-function battery over part names. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        when(col("p_name").like("%a%"), 1L).otherwise(0L).as("has_a"))
+      .orderBy(col("p_partkey"))
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def priceBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"))
+      .orderBy(col("bucket"))
+}
