@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventAnalytics, Relational}
+import graft.operators.{DedupOps, EventAnalytics, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,7 +48,17 @@ object SparkEntry {
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
     "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
-    "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d))
+    "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d)),
+    // ---- text analysis (north-star §7.5)
+    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprintClusters(s, d)),
+    // ---- dedup ladder (north-star §7.5)
+    "dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -265,6 +275,111 @@ object SparkEntry {
          FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                FROM events) t
-         GROUP BY 1 ORDER BY event_type"""
+         GROUP BY 1 ORDER BY event_type""",
+    "text_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tok) AS avg_ttr
+         FROM (SELECT lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+               FROM documents) t
+         GROUP BY lang ORDER BY lang""",
+    "text_quality" ->
+      """SELECT doc_id, lang, n_tok,
+         CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+         CAST(n_chars AS DOUBLE) / n_tok AS avg_tok_len,
+         CASE WHEN n_tok < 10 THEN 'too_short'
+              WHEN CAST(n_stop AS DOUBLE) / n_tok > 0.5 THEN 'boilerplate'
+              WHEN CAST(n_uniq AS DOUBLE) / n_tok < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS quality
+         FROM (SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS n_stop,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+               FROM documents) t
+         ORDER BY doc_id""",
+    "text_langid" ->
+      """SELECT lang, pred_lang, COUNT(*) AS n FROM (
+           SELECT lang,
+             CASE WHEN contains(t, ' der ') OR contains(t, ' und ') OR contains(t, ' die ') THEN 'de'
+                  WHEN contains(t, ' le ') OR contains(t, ' la ') OR contains(t, ' et ') THEN 'fr'
+                  WHEN contains(t, ' el ') OR contains(t, ' los ') OR contains(t, ' que ') THEN 'es'
+                  WHEN regexp_matches(t, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                  WHEN contains(t, ' the ') OR contains(t, ' and ') OR contains(t, ' of ') THEN 'en'
+                  ELSE 'unknown' END AS pred_lang
+           FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents) a) b
+         GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "text_fingerprint" ->
+      """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper, MAX(doc_id) AS max_doc
+         FROM (SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents) t
+         GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 3) AS jaccard
+         FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id) v
+         WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5
+         ORDER BY d1, d2""",
+    "dedup_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                   FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                               JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 3) AS jaccard
+         FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id) v
+         WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5
+         ORDER BY d1, d2""",
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                    FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+         bits AS (
+           SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                               substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   // (CASE CAST(j % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+                       WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN range(64) t(j) GROUP BY doc_id, j)
+         SELECT doc_id, simhash, substr(simhash, 1, 16) AS bucket16 FROM (
+           SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+           FROM bits GROUP BY doc_id) z
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.expr
+import graft.expressions.SimHash64
+
+/** Registration + Column accessors for graft's custom Catalyst
+  * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
+  * supported route from a catalyst Expression to a Column is the session
+  * FunctionRegistry (same mechanism `spark.udf` uses, but resolving to a
+  * native Expression — no UDF serialization, full Catalyst visibility). */
+object ExprColumns {
+
+  /** Idempotently register graft's expressions on this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+
+  def simhash64(spark: SparkSession, tokensExpr: String): Column = {
+    register(spark)
+    expr(s"graft_simhash64($tokensExpr)")
+  }
+}

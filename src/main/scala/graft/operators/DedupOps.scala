@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.ExprColumns
+
+/** Document deduplication operators (north-star §7.5): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash — the dedup ladder of a training-data
+  * pipeline, cheapest-first.
+  *
+  * Scale design: nothing here ever compares all pairs. Exact dedup is one
+  * hash-agg on the text (or its md5 at 100 TB — same plan); Jaccard and
+  * MinHash both generate candidates via equi-joins on short keys (shared
+  * shingle / LSH band bucket), so the shuffle is on shingle/bucket strings
+  * and the quadratic blow-up is confined to documents that actually
+  * collide. Hash functions are md5-based so the DuckDB oracle computes
+  * identical values (no engine-private hash anywhere).
+  */
+object DedupOps {
+
+  /** Exact dedup with keep-first semantics: one row per distinct text,
+    * keeper = min doc_id. The 100 TB form groups on md5(text) instead of
+    * the text bytes; both are a single hash-agg. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** (doc_id, shingle) relation — distinct 5-word shingles per document. */
+  private def shingleRel(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Candidates = pairs sharing >=1 shingle (equi-join on the shingle
+    * string), then exact |A∩B| / |A∪B| on the distinct-shingle sets.
+    * No cross join anywhere: the only shuffles are the shingle join and
+    * two small aggregations. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRel(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash signature + banded LSH near-dup pairs, exact-verified.
+    *
+    * 9 min-hashes per doc (hash_i = lexicographic MIN of
+    * md5(i || ':' || shingle) — md5 so the oracle reproduces it), banded
+    * 3x3; candidate pairs share a (band, bucket); candidates are then
+    * exact-verified with the same Jaccard as [[ngramJaccardPairs]].
+    *
+    * At 100 TB this is THE near-dup plan: signature build is one agg over
+    * the shingle relation, bucketing is an equi-join on (band, md5 bucket)
+    * — never an all-pairs comparison. Probability a true pair with
+    * jaccard s becomes a candidate: 1 - (1 - s^3)^3 (≈1 for the planted
+    * ~0.98 near-dups). */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRel(spark, dir).cache()
+    val hashes = (0 until 9).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      expr("stack(3, 0, " +
+        "concat(h0, ',', h1, ',', h2), 1, " +
+        "concat(h3, ',', h4, ',', h5), 2, " +
+        "concat(h6, ',', h7, ',', h8)) as (band, sig)"))
+      .select(col("doc_id"), col("band"), md5(col("sig")).as("bucket"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // exact verification of candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand.join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Per-document 64-bit SimHash (custom Catalyst expression
+    * [[graft.expressions.SimHash64]]) as a bit string, plus its 16-bit
+    * prefix — the bucketing key a Hamming-distance near-dup pass would
+    * join on. One narrow map stage, no shuffle at all. */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        ExprColumns.simhash64(spark,
+          "array_distinct(split(text, ' '))").as("simhash"))
+      .withColumn("bucket16", substring(col("simhash"), 1, 16))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a training-data
+  * pipeline runs before dedup (north-star §7.5).
+  *
+  * All are single-pass, shuffle-light (one hash-agg at most), and fully
+  * expressible in the DuckDB oracle: tokenization is a plain space split
+  * and every ratio is an exact-integer division done in double.
+  */
+object TextAnalysis {
+
+  /** Per-language token statistics: corpus profiling pass. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), tokenCount(col("text")).as("n_tok"),
+        distinctTokenCount(col("text")).as("n_uniq"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(col("n_uniq")).cast("double") / sum(col("n_tok"))).as("avg_ttr"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality scoring: stopword ratio, type-token ratio, mean
+    * token length, and a bucketed quality label — the filter stage of a
+    * pretraining-data pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tok"),
+        stopwordCount(toks).as("n_stop"),
+        distinctTokenCount(col("text")).as("n_uniq"),
+        col("n_chars"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tok"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        (col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+        (col("n_chars").cast("double") / col("n_tok")).as("avg_tok_len"))
+      .withColumn("quality",
+        when(col("n_tok") < 10, "too_short")
+          .when(col("stop_ratio") > 0.5, "boilerplate")
+          .when(col("ttr") < 0.3, "repetitive")
+          .otherwise("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID via marker words, reported as a confusion
+    * matrix against the labeled `lang` column. The markers are shared
+    * verbatim with the oracle SQL — determinism is the contract here, not
+    * accuracy on this synthetic corpus. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), col("text"), lit(" "))
+    val pred =
+      when(t.contains(" der ") || t.contains(" und ") || t.contains(" die "), "de")
+        .when(t.contains(" le ") || t.contains(" la ") || t.contains(" et "), "fr")
+        .when(t.contains(" el ") || t.contains(" los ") || t.contains(" que "), "es")
+        .when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.contains(" the ") || t.contains(" and ") || t.contains(" of "), "en")
+        .otherwise("unknown")
+    Tables(spark, dir, "documents")
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Prefix-fingerprint near-dup clusters: md5 of the first 64 chars
+    * groups documents sharing a long prefix (the corpus's planted
+    * near-duplicates). The cheap first-pass signal before MinHash. */
+  def fingerprintClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+}

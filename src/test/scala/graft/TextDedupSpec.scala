@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ExprColumns, TextFunctions}
+import graft.operators.DedupOps
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 matches independently-computed fixture values") {
+    // expected values computed with python hashlib (md5 digest bytes,
+    // MSB-first bits, +1/-1 vote per distinct token) — independent of the
+    // Scala implementation
+    val df = Seq("hello world", "the quick brown fox jumps").toDF("text")
+      .select(ExprColumns.simhash64(spark, "array_distinct(split(text, ' '))")
+        .as("h"))
+    val got = df.as[String].collect().toSeq
+    assert(got === Seq(
+      "0101110101000001000000000010001010100000010000100000000000000110",
+      "0000111111010100011110000110100001011111100010110110011011001110"))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val Seq(ha, hb) = Seq(a, b).toDF("text")
+      .select(ExprColumns.simhash64(spark, "array_distinct(split(text, ' '))")
+        .as("h")).as[String].collect().toSeq
+    val hamming = ha.zip(hb).count { case (x, y) => x != y }
+    assert(hamming > 0 && hamming <= 24, s"hamming=$hamming")
+  }
+
+  test("shingles: 1-based inclusive 5-gram slices, short docs empty") {
+    val df = Seq("a b c d e f", "a b c").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 5).as("s"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) === Seq("a b c d e", "b c d e f"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("minhash LSH finds the planted near-dups that exact jaccard finds") {
+    val exact = DedupOps.ngramJaccardPairs(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH pairs are exact-verified, so ⊆ exact")
+    // planted near-dups have jaccard ~0.98 -> P(miss) = (1-s^3)^3 ≈ 1e-4
+    assert(lsh.size >= exact.size - 1,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("dedup_exact keeps one keeper per distinct text") {
+    val df = DedupOps.dedupExact(spark, sf0001)
+    val total = Tables(spark, sf0001, "documents").count()
+    assert(df.agg(sum("n_copies")).as[Long].head === total)
+  }
+}
