@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Relational, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,7 +58,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
-    "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d))
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d)),
+    // ---- similarity search (north-star §7.5)
+    "sim_brute_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_label_pairs" -> ((s, d) => Similarity.labelBlockedPairs(s, d)),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annLshTopPairs(s, d)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -380,6 +386,71 @@ object SparkEntry {
            SELECT doc_id,
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
            FROM bits GROUP BY doc_id) z
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+         SELECT v.vec_id, v.label,
+           ROUND(CAST(list_cosine_similarity(v.embedding, q.e) AS DOUBLE), 4) AS sim
+         FROM embeddings v, q WHERE v.vec_id <> 0
+         ORDER BY list_cosine_similarity(v.embedding, q.e) DESC, v.vec_id
+         LIMIT 10""",
+    "sim_label_pairs" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+           ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.30
+         ORDER BY v1, v2""",
+    "sim_ann_lsh" ->
+      """WITH dims AS (SELECT vec_id, unnest(embedding) AS val,
+                        generate_subscripts(embedding, 1) AS d FROM embeddings),
+         plane AS (SELECT j, d,
+             CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)
+               % 2 = 1 THEN 1 ELSE -1 END AS s
+           FROM range(32) a(j), range(1, 65) b(d)),
+         proj AS (SELECT vec_id, j,
+             SUM(CASE WHEN s = 1 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                      ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END) AS p
+           FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+         bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+           FROM proj GROUP BY vec_id, j // 8),
+         cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         SELECT v1, v2,
+           ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+         FROM cand JOIN embeddings a ON v1 = a.vec_id
+                   JOIN embeddings b ON v2 = b.vec_id
+         ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, v1, v2
+         LIMIT 20""",
+    "sim_ivf_topk" ->
+      """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS val,
+                        generate_subscripts(embedding, 1) AS d FROM embeddings),
+         cent AS (SELECT label, d,
+             CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         q AS (SELECT d, val AS qv FROM dims WHERE vec_id = 0),
+         score AS (SELECT cent.label,
+             CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9)) * CAST(c AS DECIMAL(18,9))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(c AS DECIMAL(18,9)) * CAST(c AS DECIMAL(18,9))) AS DOUBLE))) AS s
+           FROM cent JOIN q USING (d) GROUP BY 1),
+         probe AS (SELECT label FROM score ORDER BY s DESC, label LIMIT 2),
+         qe AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+         SELECT v.vec_id, v.label,
+           ROUND(CAST(list_cosine_similarity(v.embedding, qe.e) AS DOUBLE), 4) AS sim
+         FROM embeddings v JOIN probe USING (label), qe
+         WHERE v.vec_id <> 0
+         ORDER BY list_cosine_similarity(v.embedding, qe.e) DESC, v.vec_id
+         LIMIT 10""",
+    "sim_label_centroids" ->
+      """SELECT label, d,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c,
+           COUNT(*) AS n_vecs
+         FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS d FROM embeddings) t
+         WHERE d <= 8 GROUP BY label, d ORDER BY label, d"""
   )
 }

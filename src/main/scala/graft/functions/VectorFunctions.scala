@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.SimHash64
+import graft.expressions.{CosineSimilarityF32, SimHash64}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -17,6 +17,14 @@ object ExprColumns {
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_f32",
+      exprs => CosineSimilarityF32(exprs(0), exprs(1)), "built-in")
+  }
+
+  def cosineF32(spark: SparkSession, a: String, b: String): Column = {
+    register(spark)
+    expr(s"graft_cosine_f32($a, $b)")
   }
 
   def simhash64(spark: SparkSession, tokensExpr: String): Column = {

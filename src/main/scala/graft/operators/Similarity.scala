@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExprColumns
+
+/** Similarity search over the `embeddings` table (north-star §7.5):
+  * brute-force exact top-k as the correctness baseline, then the two scale
+  * paths — label-blocked pair search (IVF-style partition blocking) and
+  * random-hyperplane LSH candidate generation.
+  *
+  * Precision contract: all final similarities use
+  * [[graft.expressions.CosineSimilarityF32]] (strict f32 accumulation,
+  * bit-identical to DuckDB's list_cosine_similarity), and every
+  * intermediate that could be order-dependent (hyperplane projections,
+  * centroid sums) is accumulated in exact DECIMAL — so shuffle order and
+  * AQE re-plans can never flip a sign, a threshold, or a top-k boundary.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** Exact brute-force top-k neighbors of one query vector.
+    * Plan shape: broadcast the 1-row query, one codegen'd map over the
+    * corpus, TakeOrderedAndProject — O(N·d), no shuffle of the corpus.
+    * This is also the verification baseline for the ANN variants. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .withColumn("sim_raw",
+        ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        round(col("sim_raw").cast("double"), 4).as("sim"))
+  }
+
+  /** All similar pairs above a threshold, blocked by label (the corpus's
+    * labels are cluster assignments, so blocking keeps recall while
+    * cutting the pair space ~10x). At 100 TB the same shape holds with
+    * IVF cluster ids in place of labels: an equi-join on the block key,
+    * never an unblocked cross join. */
+  def labelBlockedPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.30): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("emb1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("emb2"))
+    a.join(b, Seq("label"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "emb1", "emb2"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("v1"), col("v2"), col("label"),
+        round(col("sim_raw").cast("double"), 4).as("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** (vec_id[, label], 1-based dim, value) relation. */
+  private def dims(e: DataFrame, withLabel: Boolean): DataFrame = {
+    val base = if (withLabel) e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding"))) else e.select(col("vec_id"),
+      posexplode(col("embedding")))
+    base.withColumn("d", col("pos") + 1).drop("pos")
+      .withColumnRenamed("col", "val")
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH: 32 signed projections
+    * (md5-derived deterministic ±1 planes), banded 4x8; candidates share
+    * an 8-bit band bucket; candidates are exact-verified with f32 cosine
+    * and the global top-20 returned.
+    *
+    * Scale shape: the projection is one broadcast join against a 2048-row
+    * plane table + one agg; bucketing is an equi-join on (band, bucket) —
+    * the pair space never materializes. Projections are summed in exact
+    * DECIMAL so the sign bits are reproducible under any partitioning
+    * (and by the DuckDB oracle). */
+  def annLshTopPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = false)
+    // deterministic +-1 plane from the md5 LSB-nibble of "j:d"
+    val plane = spark.range(32).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("d")))
+      .withColumn("s",
+        // hex value of the first md5 nibble (== oracle's strpos(...)-1)
+        when(conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("d").cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 1,
+          lit(1)).otherwise(lit(-1)))
+    val dec = col("val").cast("double").cast("decimal(38,15)")
+    val proj = dv.join(broadcast(plane), "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(when(col("s") === 1, dec).otherwise(-dec)).as("p"))
+    val bands = proj
+      .groupBy(col("vec_id"), (col("j") / 8).cast("int").as("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"),
+          when(col("p") > 0, "1").otherwise("0").as("bit")))),
+        x => x.getField("bit")), "").as("bucket"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
+    val eb = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    cand.join(ea, "v1").join(eb, "v2")
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "emb1", "emb2"))
+      .orderBy(col("sim_raw").desc, col("v1"), col("v2"))
+      .limit(k)
+      .select(col("v1"), col("v2"),
+        round(col("sim_raw").cast("double"), 4).as("sim"))
+  }
+
+  /** IVF-style ANN: coarse quantization by label centroid (exact-decimal
+    * means), probe the 2 nearest centroids, exact f32 top-10 inside the
+    * probed partitions. The 100 TB shape: centroids are a tiny broadcast
+    * relation; the probe prunes ~80% of the corpus before any exact math. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              queryId: Long = 0L, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val q = dv.filter(col("vec_id") === queryId)
+      .select(col("d"), col("val").as("qv"))
+    val score = cent.join(broadcast(q), "d")
+      .groupBy(col("label"))
+      .agg((sum(d9(col("qv")) * d9(col("c"))).cast("double") /
+        (sqrt(sum(d9(col("qv")) * d9(col("qv"))).cast("double")) *
+         sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double")))).as("s"))
+    val probe = score.orderBy(col("s").desc, col("label"))
+      .limit(nProbe).select(col("label"))
+    val qemb = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.join(broadcast(probe), "label")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(qemb))
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        round(col("sim_raw").cast("double"), 4).as("sim"))
+  }
+
+  /** Per-label centroid profile (first 8 dims) — the embedding-column
+    * aggregation primitive (posexplode -> exact-decimal mean -> double). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val dv = dims(emb(spark, dir), withLabel = true)
+    dv.filter(col("d") <= 8)
+      .groupBy(col("label"), col("d"))
+      .agg((sum(col("val").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("d"))
+  }
+}
