@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, SimHash64}
+import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, SimHash64}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -20,6 +20,15 @@ object ExprColumns {
     reg.createOrReplaceTempFunction(
       "graft_cosine_f32",
       exprs => CosineSimilarityF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane_lsh",
+      exprs => HyperplaneLshBuckets(exprs.head, 32, 8), "built-in")
+  }
+
+  /** 4 banded 8-bit hyperplane-LSH bucket strings for an array<float>. */
+  def hyperplaneLsh(spark: SparkSession, embExpr: String): Column = {
+    register(spark)
+    expr(s"graft_hyperplane_lsh($embExpr)")
   }
 
   def cosineF32(spark: SparkSession, a: String, b: String): Column = {

@@ -75,32 +75,33 @@ object DedupOps {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRel(spark, dir).cache()
+    // ONE agg produces both the 9-hash signature and the set size |A| —
+    // the size rides along through banding and the candidate join, so the
+    // verify stage needs no extra joins back to a sizes relation.
     val hashes = (0 until 9).map { i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
     }
-    val sigs = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
-    val bands = sigs.select(col("doc_id"),
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), hashes: _*)
+    val bands = sigs.select(col("doc_id"), col("n"),
       expr("stack(3, 0, " +
         "concat(h0, ',', h1, ',', h2), 1, " +
         "concat(h3, ',', h4, ',', h5), 2, " +
         "concat(h6, ',', h7, ',', h8)) as (band, sig)"))
-      .select(col("doc_id"), col("band"), md5(col("sig")).as("bucket"))
+      .select(col("doc_id"), col("n"), col("band"), md5(col("sig")).as("bucket"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.n").as("n1"), col("y.n").as("n2"))
       .distinct()
     // exact verification of candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand.join(sh.as("a"), col("d1") === col("a.doc_id"))
+    cand.join(sh.as("a"), col("d1") === col("a.doc_id"))
       .join(sh.as("b"), col("d2") === col("b.doc_id") &&
         col("a.shingle") === col("b.shingle"))
-      .groupBy(col("d1"), col("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)

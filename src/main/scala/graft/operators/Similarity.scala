@@ -72,36 +72,22 @@ object Similarity {
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH: 32 signed projections
-    * (md5-derived deterministic ±1 planes), banded 4x8; candidates share
-    * an 8-bit band bucket; candidates are exact-verified with f32 cosine
-    * and the global top-20 returned.
+    * against deterministic md5-derived ±1 planes, banded 4x8; candidates
+    * share an 8-bit band bucket and are exact-verified with f32 cosine;
+    * the global top-20 is returned.
     *
-    * Scale shape: the projection is one broadcast join against a 2048-row
-    * plane table + one agg; bucketing is an equi-join on (band, bucket) —
-    * the pair space never materializes. Projections are summed in exact
-    * DECIMAL so the sign bits are reproducible under any partitioning
-    * (and by the DuckDB oracle). */
+    * Scale shape: signature build is ONE narrow per-row map (the custom
+    * [[graft.expressions.HyperplaneLshBuckets]] expression — no explode,
+    * no join, no shuffle); the only shuffles are the (band, bucket)
+    * candidate equi-join and the final top-k. The pair space never
+    * materializes. Projection determinism: fixed d-order double
+    * accumulation per row, partitioning-independent (see the expression's
+    * scaladoc for the oracle-equivalence argument). */
   def annLshTopPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = emb(spark, dir)
-    val dv = dims(e, withLabel = false)
-    // deterministic +-1 plane from the md5 LSB-nibble of "j:d"
-    val plane = spark.range(32).select(col("id").cast("int").as("j"))
-      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("d")))
-      .withColumn("s",
-        // hex value of the first md5 nibble (== oracle's strpos(...)-1)
-        when(conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("d").cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 1,
-          lit(1)).otherwise(lit(-1)))
-    val dec = col("val").cast("double").cast("decimal(38,15)")
-    val proj = dv.join(broadcast(plane), "d")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(when(col("s") === 1, dec).otherwise(-dec)).as("p"))
-    val bands = proj
-      .groupBy(col("vec_id"), (col("j") / 8).cast("int").as("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("j"),
-          when(col("p") > 0, "1").otherwise("0").as("bit")))),
-        x => x.getField("bit")), "").as("bucket"))
+    val bands = e.select(col("vec_id"),
+      posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
