@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Relational, Similarity, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Relational, Similarity, StreamingAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,9 @@ object SparkEntry {
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
     "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d)),
+    // ---- structured streaming (real streaming plans, AvailableNow)
+    "stream_tumbling_hourly" -> ((s, d) => StreamingAnalytics.streamTumblingHourly(s, d)),
+    "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
     // ---- text analysis (north-star §7.5)
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -282,6 +285,15 @@ object SparkEntry {
                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                FROM events) t
          GROUP BY 1 ORDER BY event_type""",
+    "stream_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_distinct_pairs" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "text_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,

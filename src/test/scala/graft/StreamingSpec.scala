@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{CompletedSession, SessionEvent, Sessionize, StreamingOps}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarkedDedup drops re-sent ids across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Long, Timestamp)](s)
+    val deduped = StreamingOps.watermarkedDedup(
+      in.toDF().toDF("id", "ts"), "id", "ts", "2 hours")
+    val name = "dedup_sink"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 1,2 (+ an in-batch duplicate of 1)
+      in.addData((1L, ts("2024-01-15 00:10:00")), (2L, ts("2024-01-15 00:20:00")),
+        (1L, ts("2024-01-15 00:30:00")))
+      q.processAllAvailable()
+      // batch 2: id 1 re-sent inside the watermark window + new id 3
+      in.addData((1L, ts("2024-01-15 01:10:00")), (3L, ts("2024-01-15 01:20:00")))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize: intra-batch gap splits, timeout closes the last session") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[SessionEvent](s)
+    val name = "sessions_sink"
+    val q = Sessionize.sessions(in.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart, then a 2-hour gap, then one more
+      in.addData(
+        SessionEvent(7L, ts("2024-01-15 00:00:00"), 1L),
+        SessionEvent(7L, ts("2024-01-15 00:10:00"), 2L),
+        SessionEvent(7L, ts("2024-01-15 02:10:00"), 3L))
+      q.processAllAvailable()
+      // advance the watermark far past session 2's end + gap so the
+      // EventTimeTimeout fires for user 7's open session
+      in.addData(SessionEvent(9L, ts("2024-01-15 06:00:00"), 4L))
+      q.processAllAvailable()
+      in.addData(SessionEvent(9L, ts("2024-01-15 09:00:00"), 5L))
+      q.processAllAvailable()
+      val got = spark.table(name).as[CompletedSession].collect()
+        .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+      assert(got.length == 2)
+      assert(got(0).n_events == 2 &&
+        got(0).session_start == ts("2024-01-15 00:00:00") &&
+        got(0).session_end == ts("2024-01-15 00:10:00"))
+      assert(got(1).n_events == 1 &&
+        got(1).session_start == ts("2024-01-15 02:10:00"))
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with the batch lag/cumsum formulation on sf0.001") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+    val in = MemoryStream[SessionEvent](s)
+    val name = "sessions_batch_eq"
+    val q = Sessionize.sessions(in.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(ev.collect().toSeq)
+      q.processAllAvailable()
+      // close every still-open session by advancing event time far ahead
+      in.addData(SessionEvent(-1L, ts("2099-01-01 00:00:00"), -1L))
+      q.processAllAvailable()
+      val streamed = spark.table(name).as[CompletedSession]
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      val batch = graft.operators.EventAnalytics.sessionize(spark, sf0001)
+      assert(streamed.join(batch.withColumnRenamed("n_sessions", "b_sessions")
+          .withColumnRenamed("n_events", "b_events"), "user_id")
+        .filter(col("n_sessions") =!= col("b_sessions") ||
+          col("n_events") =!= col("b_events")).count() == 0)
+      assert(streamed.count() == batch.count())
+    } finally q.stop()
+  }
+
+  test("incrementalParquetSink appends each micro-batch once") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Long, String)](s)
+    val out = Files.createTempDirectory("graft_sink").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = StreamingOps.incrementalParquetSink(
+      in.toDF().toDF("id", "v"), out, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming tumbling agg equals the batch answer on sf0.001") {
+    val streamed = graft.operators.StreamingAnalytics
+      .streamTumblingHourly(spark, sf0001).collect()
+    val batch = graft.operators.EventAnalytics
+      .tumblingHourly(spark, sf0001).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
