@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Relational, Similarity, StreamingAnalytics, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d)),
+    // ---- multimodal binary columns (north-star §7.5)
+    "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
+    "mm_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
     // ---- similarity search (north-star §7.5)
     "sim_brute_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_label_pairs" -> ((s, d) => Similarity.labelBlockedPairs(s, d)),
@@ -399,6 +402,23 @@ object SparkEntry {
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
            FROM bits GROUP BY doc_id) z
          ORDER BY doc_id""",
+    "mm_payload_stats" ->
+      """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+         COUNT(*) AS n,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+         CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes
+         FROM documents GROUP BY 1 ORDER BY modality""",
+    "mm_feature_extract" ->
+      """SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS f0,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS f1
+         FROM documents ORDER BY doc_id""",
     "sim_brute_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
          SELECT v.vec_id, v.label,

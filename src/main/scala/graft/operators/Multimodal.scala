@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A multimodal record: opaque binary payload + typed metadata. The
+  * payload column is `BinaryType` end-to-end — Spark shuffles/spills it
+  * like any other column, parquet stores it as BYTE_ARRAY, and nothing
+  * driver-side ever touches the bytes. */
+case class MediaRecord(doc_id: Long, modality: String,
+                       payload: Array[Byte], byte_len: Long)
+
+/** Decoded features for one media record: fixed-width feature vector +
+  * frame count (frame = non-overlapping 64-byte window of the payload). */
+case class MediaFeatures(doc_id: Long, modality: String, byte_len: Long,
+                         n_frames: Long, features: Array[Float])
+
+/** Pluggable per-partition media decoder. Implementations run inside
+  * `mapPartitions`, one instance per partition — the place to hold
+  * per-partition native resources (codec contexts, model sessions). */
+trait MediaDecoder extends Serializable {
+  def featureDim: Int
+  def decode(payload: Array[Byte], modality: String): Array[Float]
+}
+
+/** REAL decoder stub: actual image/audio/video decoding needs native
+  * codec libraries not present in this environment. The Spark-side
+  * plumbing (schema, partitioning, batch shape) is identical for any
+  * [[MediaDecoder]]; swap this in when codecs are available. */
+object RealCodecDecoder extends MediaDecoder {
+  def featureDim: Int = 16
+  def decode(payload: Array[Byte], modality: String): Array[Float] =
+    throw new NotImplementedError(
+      "real codec decode requires native image/audio libraries; " +
+        "use DeterministicFakeDecoder in this environment")
+}
+
+/** Deterministic fake decoder: 16 features = the md5 bytes of the payload
+  * scaled to [0, 1]. Reproducible in SQL (md5 hex nibble math), so the
+  * oracle gate can verify the full mapPartitions path value-by-value. */
+object DeterministicFakeDecoder extends MediaDecoder {
+  def featureDim: Int = 16
+  def decode(payload: Array[Byte], modality: String): Array[Float] = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    digest.map(b => (b & 0xff) / 255.0f)
+  }
+}
+
+/** Multimodal-column operators (north-star §7.5): binary payloads with
+  * typed metadata, decode/feature-extract as a per-partition batch op.
+  *
+  * The test corpus has no image files, so payloads are the UTF-8 bytes of
+  * `documents.text` with a pseudo-modality assigned by doc_id — the
+  * COLUMN TYPES, partition/batch shape, and decoder plumbing are exactly
+  * what a real image/audio table uses; only the bytes are borrowed.
+  *
+  * Scale notes: payloads never leave executors; feature extraction is a
+  * narrow mapPartitions (no shuffle); decoders are constructed per
+  * partition, not per row; downstream aggregations group on small derived
+  * columns, never on the binary payload itself.
+  */
+object Multimodal {
+
+  /** documents -> binary media records. Modality cycles image/audio/video
+    * by doc_id so every decoder path gets traffic. */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .as[MediaRecord]
+  }
+
+  /** Per-partition batched decode -> features. One decoder per partition;
+    * rows stream through without materializing the partition. */
+  def extractFeatures(records: Dataset[MediaRecord],
+                      decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.modality, r.byte_len,
+          (r.byte_len + 63) / 64, decoder.decode(r.payload, r.modality))
+      }
+    }
+  }
+
+  /** Payload metadata profile per modality — group keys are derived
+    * scalars; the binary column is reduced, never shuffled whole. */
+  def payloadStats(spark: SparkSession, dir: String): DataFrame =
+    mediaRecords(spark, dir).toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("byte_len")).as("max_bytes"),
+        min(col("byte_len")).as("min_bytes"))
+      .orderBy(col("modality"))
+
+  /** Full decode pipeline through the fake decoder: per-document frame
+    * count + first two feature bytes (as exact ints so the oracle compares
+    * without float tolerance). */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaRecords(spark, dir),
+      DeterministicFakeDecoder)
+    feats.toDF()
+      .select(col("doc_id"), col("modality"), col("byte_len"), col("n_frames"),
+        round(element_at(col("features"), 1) * 255).cast("long").as("f0"),
+        round(element_at(col("features"), 2) * 255).cast("long").as("f1"))
+      .orderBy(col("doc_id"))
+  }
+}
