@@ -22,6 +22,16 @@ import graft.functions.Normalize
   */
 object Ingest {
 
+  /** Faithful S1: the DSv2 "appsflyer" source (HTTP GET or file: URL,
+    * non-2xx/IO failure = empty relation; see
+    * [[graft.sources.AppsflyerDataSource]]). */
+  def readAppsflyer(spark: SparkSession, url: String,
+                    token: Option[String] = None): DataFrame = {
+    val r = spark.read.format("appsflyer").option("url", url)
+    token.foreach(t => r.option("token", t))
+    r.load()
+  }
+
   /** Read a raw AppsFlyer-shaped CSV (header row, all-string cells). */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
