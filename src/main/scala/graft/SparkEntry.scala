@@ -62,6 +62,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => DedupOps.embeddingCosinePairs(s, d)),
+    "text_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(s, d)),
     // ---- multimodal binary columns (north-star §7.5)
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
@@ -385,6 +387,48 @@ object SparkEntry {
                             JOIN sizes s2 ON x.d2 = s2.doc_id) v
          WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5
          ORDER BY d1, d2""",
+    "dedup_embedding_cosine" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+         tf AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1)) % 64 AS bucket,
+                  COUNT(*) AS c
+                FROM tok GROUP BY 1, 2),
+         norms AS (SELECT doc_id, SUM(c * c) AS nsq FROM tf GROUP BY 1),
+         dot AS (SELECT c.d1, c.d2, SUM(a.c * b.c) AS dot
+                 FROM cand c JOIN tf a ON c.d1 = a.doc_id
+                             JOIN tf b ON c.d2 = b.doc_id AND a.bucket = b.bucket
+                 GROUP BY 1, 2)
+         SELECT d1 AS keeper, d2 AS dup,
+           ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))), 4) AS cos
+         FROM dot JOIN norms n1 ON d1 = n1.doc_id JOIN norms n2 ON d2 = n2.doc_id
+         WHERE CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) >= 0.9
+         ORDER BY keeper, dup""",
+    "text_token_bpe" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+         CAST(SUM(n_chars) AS DOUBLE)
+           / SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS chars_per_bpe
+         FROM documents GROUP BY lang ORDER BY lang""",
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
                     FROM documents),

@@ -109,6 +109,63 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Embedding-cosine near-dup: documents are embedded as 64-dim hashed
+    * bag-of-words term-frequency vectors (feature hashing — bucket = first
+    * md5 byte of the word mod 64), MinHash-LSH proposes candidates, and
+    * candidates are verified by cosine over the hashed-TF vectors.
+    *
+    * The arithmetic is integer-exact until the final division (dot product
+    * and squared norms are integer sums), so the DuckDB oracle reproduces
+    * the cosine bit-for-bit. At 100 TB the same plan holds with real model
+    * embeddings: LSH blocks candidates, a narrow join + agg verifies — the
+    * pair space never materializes. */
+  def embeddingCosinePairs(spark: SparkSession, dir: String,
+                           threshold: Double = 0.9): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // hashed-TF relation: (doc_id, bucket, c)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"),
+        (conv(substring(md5(col("word")), 1, 2), 16, 10).cast("int") % 64).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("nsq"))
+    // candidate pairs from the same banded MinHash LSH as minhashLshPairs
+    val sh = shingleRel(spark, dir).cache()
+    val hashes = (0 until 9).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      expr("stack(3, 0, " +
+        "concat(h0, ',', h1, ',', h2), 1, " +
+        "concat(h3, ',', h4, ',', h5), 2, " +
+        "concat(h6, ',', h7, ',', h8)) as (band, sig)"))
+      .select(col("doc_id"), col("band"), md5(col("sig")).as("bucket"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // integer-exact dot product over shared buckets, then one division
+    val dot = cand
+      .join(tf.select(col("doc_id").as("d1"), col("bucket"), col("c").as("c1")),
+        Seq("d1"))
+      .join(tf.select(col("doc_id").as("d2"), col("bucket"), col("c").as("c2")),
+        Seq("d2", "bucket"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), "d2")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("d1").as("keeper"), col("d2").as("dup"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("keeper"), col("dup"))
+  }
+
   /** Per-document 64-bit SimHash (custom Catalyst expression
     * [[graft.expressions.SimHash64]]) as a bit string, plus its 16-bit
     * prefix — the bucketing key a Hamming-distance near-dup pass would

@@ -84,4 +84,26 @@ object TextAnalysis {
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
+
+  /** BPE-ish subword token counting: alongside the whitespace count, a
+    * GPT-2-flavoured pre-tokenizer regex — letter runs, digit runs, and
+    * single non-alphanumeric marks (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`,
+    * ASCII classes so Java regex and DuckDB's RE2 agree; CJK text tokenizes
+    * per character, which is the right BPE-ish behaviour for zh). Totals
+    * are integer-exact; the ratio divides once at the end. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        tokenCount(col("text")).as("n_ws"),
+        size(bpe).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_bpe")))
+          .as("chars_per_bpe"))
+      .orderBy(col("lang"))
+  }
 }

@@ -55,4 +55,31 @@ class TextDedupSpec extends SparkSpec {
     val total = Tables(spark, sf0001, "documents").count()
     assert(df.agg(sum("n_copies")).as[Long].head === total)
   }
+
+  test("embedding-cosine near-dup finds the planted pairs, keeper < dup") {
+    val rows = DedupOps.embeddingCosinePairs(spark, sf0001).collect()
+    assert(rows.nonEmpty, "planted near-dups should survive the 0.9 cosine bar")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r => val c = r.getDouble(2); c >= 0.9 && c <= 1.0001 })
+    // near-dup texts differ by a few words -> hashed-TF cosine close to 1
+    val jaccardPairs = DedupOps.ngramJaccardPairs(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val cosPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((cosPairs intersect jaccardPairs).size >= jaccardPairs.size / 2,
+      "cosine near-dups should broadly agree with exact jaccard")
+  }
+
+  test("BPE-ish token counts: per-lang totals, subword >= whitespace") {
+    val df = graft.operators.TextAnalysis.bpeTokenStats(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("total_ws_tokens")
+      val bpe = r.getAs[Long]("total_bpe_tokens")
+      assert(ws > 0 && bpe > 0)
+      assert(bpe >= ws || r.getAs[String]("lang") == "zh",
+        s"${r.getAs[String]("lang")}: punctuation splits should not shrink counts")
+      assert(r.getAs[Double]("chars_per_bpe") > 0)
+    }
+  }
 }
