@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the 100 TB posture is a property of the PLANS,
+  * not the row counts — filters must reach the parquet scan, projections
+  * must prune the read schema, small dimensions must broadcast, and no
+  * query may degenerate into a cartesian product. These assertions pin
+  * those properties so a refactor that silently breaks one fails CI.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("predicate pushdown: q1's shipdate filter reaches the parquet scan") {
+    val p = plan(graft.operators.Relational.q1PricingSummary(spark, sf0001))
+    assert(p.contains("PushedFilters"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "window predicate should be pushed to the scan")
+  }
+
+  test("column pruning: q1 reads only the 7 needed lineitem columns") {
+    val p = plan(graft.operators.Relational.q1PricingSummary(spark, sf0001))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "unused wide columns must not appear in the read schema")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("broadcast joins: flagship anti-join and q5's dimension joins broadcast") {
+    val anti = plan(graft.operators.EventAnalytics.refPipeline(spark, sf0001))
+    assert(anti.contains("BroadcastHashJoin") && anti.contains("LeftAnti"),
+      "the dedup anti-join should broadcast its single-column build side")
+    val q5 = plan(graft.operators.Relational.q5LocalSupplier(spark, sf0001))
+    assert(q5.contains("BroadcastHashJoin"),
+      "region/nation/supplier dims should broadcast, not shuffle")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    // AQE finalizes codegen at execution, so audit the executed plan
+    val df = graft.operators.Relational.q1PricingSummary(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes = whole-stage-codegen'd stages in compact notation
+    assert(p.contains("*(1)") && p.contains("*(2)"),
+      "scan->partial-agg and final-agg stages should both be codegen'd")
+    assert(p.contains("partial_sum"),
+      "aggregation should be map-side partial before the shuffle")
+  }
+
+  test("no query plan degenerates into a CartesianProduct") {
+    // the 1-row query-vector joins legitimately use BroadcastNestedLoopJoin;
+    // an unbroadcast CartesianProduct anywhere is always a scale bug
+    SparkEntry.queries
+      .filterNot { case (name, _) => name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        val p = plan(fn(spark, sf0001))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+      }
+  }
+
+  test("sessionize shares one shuffle across both window functions") {
+    val p = plan(graft.operators.EventAnalytics.sessionize(spark, sf0001))
+    // one exchange feeds both Windows AND the aggregation; the only other
+    // is the final presentation orderBy ("(n) Exchange" = one per node)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"lag + running-sum + groupBy should reuse the user_id partitioning, got $exchanges exchanges")
+  }
+
+  test("K2 probe read: projection and predicate both pushed on parquet") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01")
+      .select("l_orderkey")
+    val p = plan(ev)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment"))
+  }
+}
