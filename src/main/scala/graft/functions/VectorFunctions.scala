@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, SimHash64}
+import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -23,6 +23,22 @@ object ExprColumns {
     reg.createOrReplaceTempFunction(
       "graft_hyperplane_lsh",
       exprs => HyperplaneLshBuckets(exprs.head, 32, 8), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles k must be an int literal, got $other")
+        }
+        WordShingles(exprs(0), k)
+      }, "built-in")
+  }
+
+  /** Distinct k-word shingles (fast one-pass form of
+    * [[TextFunctions.shingles]]). */
+  def shingles(spark: SparkSession, textExpr: String, k: Int): Column = {
+    register(spark)
+    expr(s"graft_shingles($textExpr, $k)")
   }
 
   /** 4 banded 8-bit hyperplane-LSH bucket strings for an array<float>. */

@@ -29,11 +29,13 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
-  /** (doc_id, shingle) relation — distinct 5-word shingles per document. */
+  /** (doc_id, shingle) relation — distinct 5-word shingles per document
+    * (one-pass [[graft.expressions.WordShingles]]; semantics proven equal
+    * to the Column composition in TextDedupSpec). */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+        explode(ExprColumns.shingles(spark, "text", 5)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs.
     *
@@ -43,7 +45,7 @@ object DedupOps {
     * two small aggregations. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRel(spark, dir).cache()
+    val sh = shingleRel(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -74,7 +76,7 @@ object DedupOps {
     * ~0.98 near-dups). */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRel(spark, dir).cache()
+    val sh = shingleRel(spark, dir)
     // ONE agg produces both the 9-hash signature and the set size |A| —
     // the size rides along through banding and the candidate join, so the
     // verify stage needs no extra joins back to a sizes relation.
@@ -130,7 +132,7 @@ object DedupOps {
       .agg(count(lit(1)).as("c"))
     val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("nsq"))
     // candidate pairs from the same banded MinHash LSH as minhashLshPairs
-    val sh = shingleRel(spark, dir).cache()
+    val sh = shingleRel(spark, dir)
     val hashes = (0 until 9).map { i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
     }

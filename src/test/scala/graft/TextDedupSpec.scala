@@ -56,6 +56,25 @@ class TextDedupSpec extends SparkSpec {
     assert(df.agg(sum("n_copies")).as[Long].head === total)
   }
 
+  test("WordShingles expression equals the Column composition") {
+    import graft.functions.{ExprColumns, TextFunctions}
+    val docs = Tables(spark, sf0001, "documents")
+    val both = docs.select(
+      TextFunctions.shingles(col("text"), 5).as("slow"),
+      ExprColumns.shingles(spark, "text", 5).as("fast"))
+    val mismatch = both.filter(
+      size(array_except(col("slow"), col("fast"))) > 0 ||
+      size(array_except(col("fast"), col("slow"))) > 0 ||
+      size(col("slow")) =!= size(col("fast"))).count()
+    assert(mismatch == 0)
+    // short-doc edge: both yield empty arrays
+    val s = spark
+    import s.implicits._
+    val tiny = Seq("one two three").toDF("text")
+    assert(tiny.select(ExprColumns.shingles(spark, "text", 5)).head()
+      .getSeq[String](0).isEmpty)
+  }
+
   test("embedding-cosine near-dup finds the planted pairs, keeper < dup") {
     val rows = DedupOps.embeddingCosinePairs(spark, sf0001).collect()
     assert(rows.nonEmpty, "planted near-dups should survive the 0.9 cosine bar")
