@@ -49,6 +49,9 @@ object SparkEntry {
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
     "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d)),
+    "join_asof_attribution" -> ((s, d) => EventAnalytics.asofAttribution(s, d)),
+    "join_range_bands" -> ((s, d) => EventAnalytics.rangeJoinBands(s, d)),
+    "skew_salted_agg" -> ((s, d) => EventAnalytics.saltedTypeStats(s, d)),
     // ---- structured streaming (real streaming plans, AvailableNow)
     "stream_tumbling_hourly" -> ((s, d) => StreamingAnalytics.streamTumblingHourly(s, d)),
     "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
@@ -290,6 +293,31 @@ object SparkEntry {
                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                FROM events) t
          GROUP BY 1 ORDER BY event_type""",
+    "join_asof_attribution" ->
+      """SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         strftime(asof_view_ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+         epoch_us(ts) - epoch_us(asof_view_ts) AS gap_us
+         FROM (
+           SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS asof_view_ts
+           FROM events) t
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "join_range_bands" ->
+      """SELECT band, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+         FROM orders JOIN (VALUES
+           ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+           ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1000000000.0))
+           b(band, lo, hi)
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band ORDER BY band""",
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, COUNT(*) AS n,

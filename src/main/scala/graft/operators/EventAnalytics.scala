@@ -146,6 +146,63 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join (attribution): for each purchase, the user's most recent
+    * view at-or-before it. Expressed as a running MAX over the per-user
+    * event timeline — ONE shuffle on user_id, no join at all; the
+    * two-table trade/quote form is the same plan after a union. MAX works
+    * as "latest prior" because the frame is ordered by event time. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("asof_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("purchase_ts"),
+        date_format(col("asof_view_ts"), fmt).as("asof_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_view_ts")))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: orders against a small in-code price-band relation on
+    * `lo <= price < hi`. The bands side is broadcast, so the non-equi
+    * predicate evaluates as a BroadcastNestedLoopJoin — the only sane
+    * 100 TB shape for an interval join against a small dimension. */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("budget", 0d, 50000d), ("mid", 50000d, 150000d),
+      ("premium", 150000d, 300000d), ("luxury", 300000d, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables(spark, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(28,4)")).cast("double")
+          .as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so one
+    * hot key spreads over `salts` reducers, then combine. Result-identical
+    * to the direct groupBy (the oracle IS the direct groupBy); the salt is
+    * derived from event_id, never random. At 100 TB this is the manual
+    * fallback when AQE skew handling can't see the skew (e.g. inside a
+    * single hot aggregation key). */
+  def saltedTypeStats(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(28,4)")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** JSON extraction from the `props` column + conditional agg. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

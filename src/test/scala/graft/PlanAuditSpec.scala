@@ -70,6 +70,18 @@ class PlanAuditSpec extends SparkSpec {
       s"lag + running-sum + groupBy should reuse the user_id partitioning, got $exchanges exchanges")
   }
 
+  test("as-of join plans as one windowed pass, no join operator") {
+    val p = plan(graft.operators.EventAnalytics.asofAttribution(spark, sf0001))
+    assert(!p.contains("Join"), "as-of should be a running-max window, not a join")
+    assert(p.contains("Window"))
+  }
+
+  test("range join broadcasts the band relation") {
+    val p = plan(graft.operators.EventAnalytics.rangeJoinBands(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "non-equi join against a tiny dimension must broadcast")
+  }
+
   test("K2 probe read: projection and predicate both pushed on parquet") {
     import org.apache.spark.sql.functions.col
     val ev = Tables(spark, sf0001, "lineitem")
