@@ -44,6 +44,11 @@ object SparkEntry {
     "math_funcs" -> ((s, d) => Relational.mathFuncs(s, d)),
     "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "price_buckets" -> ((s, d) => Relational.priceBuckets(s, d)),
+    "pivot_status" -> ((s, d) => Relational.pivotStatusCounts(s, d)),
+    "cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
+    "percentile_qty" -> ((s, d) => Relational.percentileQty(s, d)),
+    "corr_price_qty" -> ((s, d) => Relational.corrPriceQty(s, d)),
+    "segment_nations" -> ((s, d) => Relational.segmentNations(s, d)),
     // ---- event analytics (§7.5)
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
@@ -254,6 +259,46 @@ object SparkEntry {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total,
          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
          FROM orders GROUP BY 1 ORDER BY bucket""",
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "percentile_qty" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+         ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "corr_price_qty" ->
+      """SELECT l_returnflag, n,
+         ROUND((n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS corr_price_qty
+         FROM (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1) t
+         ORDER BY l_returnflag""",
+    "segment_nations" ->
+      """SELECT c_mktsegment,
+         string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+         COUNT(DISTINCT n_name) AS n_nations
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, COUNT(*) AS n,

@@ -246,6 +246,78 @@ object Relational {
         when(col("p_name").like("%a%"), 1L).otherwise(0L).as("has_a"))
       .orderBy(col("p_partkey"))
 
+  /** Pivot (crosstab): order counts, priority rows x status columns.
+    * Values are enumerated so the pivot needs NO discovery pass — one agg,
+    * one shuffle, never two jobs. */
+  def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** CUBE over (returnflag, linestatus) — all four grouping combinations
+    * in one pass (partial-agg friendly like any hash agg). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`): a full-sort-per-group aggregate — fine per group,
+    * and the 100 TB form swaps in approx_percentile at the same call
+    * site. */
+  def percentileQty(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pearson correlation computed FROM exact decimal sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) so both engines evaluate the identical double formula
+    * on identical inputs — no fp-accumulation-order drift, unlike a
+    * native corr() whose partial-merge order varies with partitioning. */
+  def corrPriceQty(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(28,6)")
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("l_extendedprice"))).cast("double").as("sx"),
+        sum(d(col("l_quantity"))).cast("double").as("sy"),
+        sum(d(col("l_extendedprice") * col("l_quantity"))).cast("double").as("sxy"),
+        sum(d(col("l_extendedprice") * col("l_extendedprice"))).cast("double").as("sxx"),
+        sum(d(col("l_quantity") * col("l_quantity"))).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_price_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Array aggregation: distinct nations per market segment as a sorted
+    * joined string (string form keeps the oracle compare list-order-proof). */
+  def segmentNations(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def priceBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
