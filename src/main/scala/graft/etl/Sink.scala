@@ -21,6 +21,19 @@ object Sink {
     else { df.write.mode("append").parquet(path); true }
   }
 
+  /** K1 at warehouse scale: date-partitioned parquet append. Downstream
+    * window-filtered reads (the reference's every query — F5) then prune
+    * whole partitions before any IO: the layout IS the index. Asserted in
+    * PlanAuditSpec ("partition pruning"). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode("append").partitionBy(partitionCol).parquet(path)
+      true
+    }
+  }
+
   /** K1 (faithful form): batched JDBC append (ClickHouse or any JDBC URL).
     * Each executor partition writes its own batched connection — the
     * distributed generalization of the reference's single INSERT. */

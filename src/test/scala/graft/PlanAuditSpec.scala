@@ -82,6 +82,20 @@ class PlanAuditSpec extends SparkSpec {
       "non-equi join against a tiny dimension must broadcast")
   }
 
+  test("partition pruning: date-partitioned sink reads only matching partitions") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    val ev = Tables(spark, sf0001, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    assert(graft.etl.Sink.writePartitioned(ev, out, "event_date"))
+    val read = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-15")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters") && p.contains("event_date"),
+      "the date predicate must prune partitions, not filter rows")
+    assert(read.count() > 0)
+  }
+
   test("K2 probe read: projection and predicate both pushed on parquet") {
     import org.apache.spark.sql.functions.col
     val ev = Tables(spark, sf0001, "lineitem")
