@@ -135,8 +135,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
          CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -147,7 +147,7 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND l_orderkey = o_orderkey
@@ -157,7 +157,7 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q5_local_supplier" ->
       """SELECT n_name,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
          FROM region, nation, customer, orders, lineitem, supplier
          WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
            AND n_nationkey = c_nationkey AND c_custkey = o_custkey
@@ -196,7 +196,7 @@ object SparkEntry {
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n,
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
@@ -267,7 +267,7 @@ object SparkEntry {
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "cube_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n,
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls

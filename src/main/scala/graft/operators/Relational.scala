@@ -22,6 +22,20 @@ object Relational {
   /** sum(x) over an exact decimal image of x, returned as double. */
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** The corpus's money columns are 2-decimal values stored as doubles.
+    * Casting each FACTOR to a snug decimal snaps away the binary error,
+    * and decimal multiplication is then exact in Spark and DuckDB alike —
+    * unlike casting a double PRODUCT, where the engines' double->decimal
+    * rounding (shortest-string vs binary-expansion) can drift by one
+    * trailing digit and accumulate over large sums. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)") // decimal(17,4), exact
+  private def charge: Column =
+    discPrice * (lit(1) + col("l_tax")).cast("decimal(4,2)") // decimal(22,6), exact
+  /** sum of an already-exact decimal expression, as double. */
+  private def xsum(c: Column): Column = sum(c).cast("double")
   /** avg as double-division of an exact decimal sum — written identically
     * in the oracle SQL so both engines do the same double / bigint op. */
   private def davg(c: Column, scale: Int = 4): Column =
@@ -38,10 +52,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
-          .as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax")), 8).as("sum_charge"),
+        xsum(discPrice).as("sum_disc_price"),
+        xsum(charge).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount"), 6).as("avg_disc"),
@@ -62,8 +74,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
-        .as("revenue"))
+      .agg(xsum(discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -87,8 +98,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
-        .as("revenue"))
+      .agg(xsum(discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -168,8 +178,7 @@ object Relational {
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
-          .as("revenue"),
+        xsum(discPrice).as("revenue"),
         count(lit(1)).as("n"),
         grouping(col("l_returnflag")).cast("long").as("g_rf"),
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
@@ -265,8 +274,7 @@ object Relational {
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
-        .as("revenue"),
+      .agg(xsum(discPrice).as("revenue"),
         count(lit(1)).as("n"),
         grouping(col("l_returnflag")).cast("long").as("g_rf"),
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
