@@ -49,6 +49,8 @@ object SparkEntry {
     "percentile_qty" -> ((s, d) => Relational.percentileQty(s, d)),
     "corr_price_qty" -> ((s, d) => Relational.corrPriceQty(s, d)),
     "segment_nations" -> ((s, d) => Relational.segmentNations(s, d)),
+    // rows-only check: sketch internals are engine-specific (see scaladoc)
+    "approx_stats_noracle" -> ((s, d) => Relational.approxStats(s, d)),
     // ---- event analytics (§7.5)
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),

@@ -326,6 +326,23 @@ object Relational {
         countDistinct(col("n_name")).as("n_nations"))
       .orderBy(col("c_mktsegment"))
 
+  /** Sketch aggregates next to their exact references: HyperLogLog++
+    * distinct and t-digest-style approximate median. No DuckDB oracle
+    * (sketch internals are engine-specific) — the driver records a
+    * rows-only check, and ApproxSpec bounds the relative error against
+    * the exact columns. At 100 TB the approx forms are the default and
+    * the exact ones the audit. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_median"))
+      .orderBy(col("l_returnflag"))
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def priceBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")

@@ -61,6 +61,31 @@ object StreamingOps {
       .select(Seq(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("hour_start")) ++ dims.map(col) ++ Seq(col("n"), col("sum_value")): _*)
 
+  /** Stream-stream interval join (attribution while both sides are live):
+    * each purchase joins the same user's views from the preceding
+    * `joinWindow`. Both sides are watermarked so the view-side state
+    * buffer is bounded — Spark drops buffered views once the purchase-side
+    * watermark passes `view.ts + joinWindow`. The streaming image of
+    * [[graft.operators.EventAnalytics.asofAttribution]]'s windowed batch
+    * form. */
+  def streamStreamAttribution(views: DataFrame, purchases: DataFrame,
+                              watermarkDelay: String = "1 hour",
+                              joinWindow: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $joinWindow"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** K1 as a streaming sink: per micro-batch parquet append, skipping
     * empty batches (the reference skips the INSERT when 0 new rows,
     * main.py:183,189-190). Batched, idempotent-per-batch via the

@@ -1,0 +1,21 @@
+package graft
+
+/** Error bounds for the sketch aggregates (no DuckDB oracle — sketch
+  * internals are engine-specific, so correctness means bounded relative
+  * error against the exact computation in the same row). */
+class ApproxSpec extends SparkSpec {
+  test("approx distinct and approx median stay within tolerance of exact") {
+    val rows = graft.operators.Relational.approxStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approxParts = r.getAs[Long]("approx_parts").toDouble
+      val exactParts = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approxParts - exactParts) / exactParts < 0.05,
+        s"HLL++ relative error too high: $approxParts vs $exactParts")
+      val am = r.getAs[Double]("approx_median")
+      val em = r.getAs[Double]("exact_median")
+      assert(math.abs(am - em) <= math.max(1.0, em * 0.05),
+        s"approx median too far off: $am vs $em")
+    }
+  }
+}

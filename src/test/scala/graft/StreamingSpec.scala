@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window views") {
+    val s = spark
+    import s.implicits._
+    val views = MemoryStream[(Long, Timestamp)](s)
+    val purchases = MemoryStream[(Long, Timestamp, Long)](s)
+    val joined = StreamingOps.streamStreamAttribution(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "event_id"))
+    val name = "ss_join_sink"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-15 10:00:00")),  // in window for purchase @10:20
+        (1L, ts("2024-01-15 09:40:00")),  // 40 min before -> outside 30-min window
+        (2L, ts("2024-01-15 10:05:00")))  // other user
+      purchases.addData((1L, ts("2024-01-15 10:20:00"), 100L))
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      views.addData((9L, ts("2024-01-15 13:00:00")))
+      purchases.addData((9L, ts("2024-01-15 13:00:00"), 999L))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(col("purchase_id") === 100L)
+        .select("view_ts").as[Timestamp].collect().toSeq
+      assert(got == Seq(ts("2024-01-15 10:00:00")),
+        s"only the in-window same-user view should join, got $got")
+    } finally q.stop()
+  }
+
   test("end-to-end streaming installs pipeline: normalize, dedup, idempotent sink") {
     import graft.etl.{Dedup, Ingest}
     val srcDir = Files.createTempDirectory("af_stream_src").toString
