@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => DedupOps.embeddingCosinePairs(s, d)),
+    "docs_prep_pipeline" -> ((s, d) => DedupOps.prepPipeline(s, d)),
     "text_token_bpe" -> ((s, d) => TextAnalysis.bpeTokenStats(s, d)),
     // ---- multimodal binary columns (north-star §7.5)
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
@@ -504,6 +505,49 @@ object SparkEntry {
          CAST(SUM(n_chars) AS DOUBLE)
            / SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS chars_per_bpe
          FROM documents GROUP BY lang ORDER BY lang""",
+    "docs_prep_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+           FROM documents),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                   FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                               JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT v.d2 AS doc_id
+                    FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+                          FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                                       JOIN sizes s2 ON x.d2 = s2.doc_id) v
+                    WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         FROM scored q
+         WHERE n_tok >= 10
+           AND CAST(n_stop AS DOUBLE) / n_tok <= 0.5
+           AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3
+           AND q.doc_id IN (SELECT doc_id FROM keepers)
+           AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         GROUP BY lang ORDER BY lang""",
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
                     FROM documents),

@@ -168,6 +168,40 @@ object DedupOps {
       .orderBy(col("keeper"), col("dup"))
   }
 
+  /** The whole training-data prep pipeline as ONE declarative program:
+    * quality gate (token/stopword/type-token thresholds) -> exact dedup
+    * (keep min doc_id per distinct text) -> near-dup drop (any doc that is
+    * the greater side of a MinHash-verified pair, so each near-dup cluster
+    * keeps its minimum) -> per-language corpus stats.
+    *
+    * Composition is set-based end to end (semi/anti joins on doc_id), so
+    * stage order can't change the result and Catalyst is free to reorder.
+    * This is the 100 TB shape of "clean my crawl": every stage is a
+    * hash-agg or an equi-join, nothing driver-side, nothing quadratic. */
+  def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.stopwordCount(toks).as("n_stop"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+    val qualityOk = scored.filter(col("n_tok") >= 10 &&
+      col("n_stop").cast("double") / col("n_tok") <= 0.5 &&
+      col("n_uniq").cast("double") / col("n_tok") >= 0.3)
+    val exactKeepers = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = minhashLshPairs(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    qualityOk
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-document 64-bit SimHash (custom Catalyst expression
     * [[graft.expressions.SimHash64]]) as a bit string, plus its 16-bit
     * prefix — the bucketing key a Hamming-distance near-dup pass would
