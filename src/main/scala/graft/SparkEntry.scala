@@ -78,12 +78,14 @@ object SparkEntry {
     // ---- multimodal binary columns (north-star §7.5)
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // ---- similarity search (north-star §7.5)
     "sim_brute_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_label_pairs" -> ((s, d) => Similarity.labelBlockedPairs(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLshTopPairs(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d))
+    "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "sim_batch_topk" -> ((s, d) => Similarity.batchLabelTopK(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -582,6 +584,18 @@ object SparkEntry {
          CAST((strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
             + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS BIGINT) AS f1
          FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """WITH frames AS (
+           SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             octet_length(encode(text)) AS byte_len,
+             unnest(range(0, (octet_length(encode(text)) - 1) // 64 + 1)) AS frame_no
+           FROM documents)
+         SELECT modality, COUNT(*) AS n_frames_sampled,
+           CAST(SUM(least(64, byte_len - frame_no * 64)) AS BIGINT) AS bytes_sampled,
+           COUNT(DISTINCT doc_id) AS n_docs
+         FROM frames WHERE frame_no % 4 = 0
+         GROUP BY modality ORDER BY modality""",
     "sim_brute_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
          SELECT v.vec_id, v.label,
@@ -640,6 +654,17 @@ object SparkEntry {
          WHERE v.vec_id <> 0
          ORDER BY list_cosine_similarity(v.embedding, qe.e) DESC, v.vec_id
          LIMIT 10""",
+    "sim_batch_topk" ->
+      """SELECT q_id, rk, vec_id, label,
+         ROUND(CAST(sim_raw AS DOUBLE), 4) AS sim FROM (
+           SELECT q.vec_id AS q_id, v.vec_id, v.label,
+             list_cosine_similarity(v.embedding, q.embedding) AS sim_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding, q.embedding) DESC,
+                        v.vec_id) AS BIGINT) AS rk
+           FROM embeddings v JOIN embeddings q
+             ON v.label = q.label AND q.vec_id < 5 AND v.vec_id <> q.vec_id) t
+         WHERE rk <= 3 ORDER BY q_id, rk""",
     "sim_label_centroids" ->
       """SELECT label, d,
            CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c,

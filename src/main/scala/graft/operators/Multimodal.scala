@@ -99,6 +99,25 @@ object Multimodal {
         min(col("byte_len")).as("min_bytes"))
       .orderBy(col("modality"))
 
+  /** Frame sampling: explode each payload into its 64-byte frame index
+    * space and keep every `stride`-th frame — the video-keyframe access
+    * pattern. The explode multiplies rows BEFORE the payload column is
+    * dropped, so the projection keeps only (doc_id, frame_no, frame_len):
+    * Spark never shuffles the binary column here (audited: group keys are
+    * scalars). */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    mediaRecords(spark, dir).toDF()
+      .select(col("doc_id"), col("modality"), col("byte_len"),
+        explode(sequence(lit(0L), expr("(byte_len - 1) div 64"))).as("frame_no"))
+      .filter(col("frame_no") % stride === 0)
+      .withColumn("frame_len",
+        least(lit(64L), col("byte_len") - col("frame_no") * 64))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(col("frame_len")).as("bytes_sampled"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("modality"))
+
   /** Full decode pipeline through the fake decoder: per-document frame
     * count + first two feature bytes (as exact ints so the oracle compares
     * without float tolerance). */

@@ -136,6 +136,31 @@ object Similarity {
         round(col("sim_raw").cast("double"), 4).as("sim"))
   }
 
+  /** Batch ANN lookup — the realistic serving shape: MANY query vectors
+    * resolved in one job. Each query (vec_id < nQueries) retrieves its
+    * top-k same-label neighbors: an equi-join on the block key (label
+    * here; IVF cluster id at scale) followed by a per-query ranking
+    * window. One shuffle for the join, one for the window — cost grows
+    * with candidates, never with |queries| x |corpus|. */
+  def batchLabelTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        col("label"), round(col("sim_raw").cast("double"), 4).as("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Per-label centroid profile (first 8 dims) — the embedding-column
     * aggregation primitive (posexplode -> exact-decimal mean -> double). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
