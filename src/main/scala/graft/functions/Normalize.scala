@@ -29,7 +29,17 @@ object Normalize {
   def nullIfSentinels(c: Column): Column =
     when(c.isNull || c.isin("", "null", "None"), lit(null)).otherwise(c)
 
-  /** F1 — lenient datetime parse (`parse_datetime`, main.py:87-105):
+  /** F1 — lenient datetime parse (`parse_datetime`, main.py:87-105), as
+    * the single-pass [[graft.expressions.ParseAfTimestamp]] expression
+    * (three regex passes + a format parse replaced by one character walk;
+    * semantics property-tested equal to [[parseAfTimestampComposed]]). */
+  def parseAfTimestamp(c: Column): Column = {
+    ExprColumns.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_parse_af_ts", c.cast("string"))
+  }
+
+  /** F1 as pure built-ins (the oracle-SQL-expressible rendering kept for
+    * the equivalence property test):
     *  1. strip (Python whitespace set)                       main.py:90
     *  2. case-insensitive '', 'null', 'none', 'n/a' -> NULL  main.py:91
     *  3. truncate at the first '.' (drops fractional seconds
@@ -43,7 +53,7 @@ object Normalize {
     * `2024-1-2 03:04:05` is rejected even though Spark's parser might
     * accept it leniently).
     */
-  def parseAfTimestamp(c: Column): Column = {
+  def parseAfTimestampComposed(c: Column): Column = {
     val stripped = pyStrip(c.cast("string"))
     val truncated = substring_index(stripped, ".", 1)
     val padded = regexp_replace(

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, ParseAfTimestamp, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -23,6 +23,8 @@ object ExprColumns {
     reg.createOrReplaceTempFunction(
       "graft_hyperplane_lsh",
       exprs => HyperplaneLshBuckets(exprs.head, 32, 8), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_parse_af_ts", exprs => ParseAfTimestamp(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
         val k = exprs(1) match {

@@ -5,7 +5,15 @@ package graft
   * error against the exact computation in the same row). */
 class ApproxSpec extends SparkSpec {
   test("approx distinct and approx median stay within tolerance of exact") {
-    val rows = graft.operators.Relational.approxStats(spark, sf0001).collect()
+    import org.apache.spark.sql.functions._
+    val approx = graft.operators.Relational.approxStats(spark, sf0001)
+    // exact references computed separately (mixing them into the sketch
+    // agg would force an Expand — see the operator's scaladoc)
+    val exact = Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_median"))
+    val rows = approx.join(exact, "l_returnflag").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approxParts = r.getAs[Long]("approx_parts").toDouble

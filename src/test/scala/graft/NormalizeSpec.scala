@@ -55,6 +55,27 @@ class NormalizeSpec extends SparkSpec {
     succeed
   }
 
+  test("expression and composed forms agree on generated + crafted inputs (property)") {
+    val crafted = Seq(
+      "2025-09-26 10:15:00", "2025-09-26 10:15:00.5", "2024-01-02 3:04:05",
+      "", "  ", "null", "N/a", "\tnone\r", "2025-13-01 00:00:00",
+      "2025-02-30 10:00:00", "2025-09-26 24:00:00", "2025-09-26 23:59:60",
+      "0001-01-01 00:00:00", "9999-12-31 23:59:59", ".", "a.b",
+      "2025-09-26 10:15:00junk", " 2025-09-26 10:15:00 ")
+    val generated = (0 until 300).flatMap { i =>
+      Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(1000L + i))
+    }
+    val df = (crafted ++ generated).map(Option(_)).toDF("v")
+      .select(col("v"),
+        Normalize.parseAfTimestamp(col("v")).as("fast"),
+        Normalize.parseAfTimestampComposed(col("v")).as("slow"))
+    val diff = df.filter(
+      (col("fast").isNull && col("slow").isNotNull) ||
+      (col("fast").isNotNull && col("slow").isNull) ||
+      (col("fast") =!= col("slow"))).collect()
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+  }
+
   test("sentinel-null normalization is case-SENSITIVE, no trim (main.py:165)") {
     val in = Seq("", "null", "None", "NULL", "none", " null ", "x", null)
     val out = in.map { s =>
