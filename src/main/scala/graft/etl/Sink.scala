@@ -29,7 +29,11 @@ object Sink {
                        partitionCol: String): Boolean = {
     if (df.isEmpty) false
     else {
-      df.write.mode("append").partitionBy(partitionCol).parquet(path)
+      // cluster rows by the partition value first: otherwise every task
+      // writes a file into every partition (tasks x partitions small
+      // files — the classic warehouse-append mistake at scale)
+      df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+        .write.mode("append").partitionBy(partitionCol).parquet(path)
       true
     }
   }
