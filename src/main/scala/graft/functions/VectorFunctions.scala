@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, ParseAfTimestamp, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -26,6 +26,9 @@ object ExprColumns {
     reg.createOrReplaceTempFunction(
       "graft_parse_af_ts", exprs => ParseAfTimestamp(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_minhash_buckets",
+      exprs => MinHashBandBuckets(exprs.head, 9, 3), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -41,6 +44,13 @@ object ExprColumns {
   def shingles(spark: SparkSession, textExpr: String, k: Int): Column = {
     register(spark)
     expr(s"graft_shingles($textExpr, $k)")
+  }
+
+  /** 3 banded MinHash LSH bucket strings for an array<string> of shingles
+    * (NULL for an empty set). */
+  def minhashBuckets(spark: SparkSession, shinglesExpr: String): Column = {
+    register(spark)
+    expr(s"graft_minhash_buckets($shinglesExpr)")
   }
 
   /** 4 banded 8-bit hyperplane-LSH bucket strings for an array<float>. */

@@ -62,6 +62,18 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** (doc_id, n, band, bucket): per-document banded MinHash LSH buckets,
+    * computed entirely map-side by [[graft.expressions.MinHashBandBuckets]]
+    * (the relational explode+9-way-min-agg build would shuffle every
+    * shingle row; here only these 3 narrow rows per doc ever move).
+    * `n` = |distinct shingles| rides along for Jaccard verification. */
+  private def lshBands(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),
+        posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** MinHash signature + banded LSH near-dup pairs, exact-verified.
     *
     * 9 min-hashes per doc (hash_i = lexicographic MIN of
@@ -69,28 +81,15 @@ object DedupOps {
     * 3x3; candidate pairs share a (band, bucket); candidates are then
     * exact-verified with the same Jaccard as [[ngramJaccardPairs]].
     *
-    * At 100 TB this is THE near-dup plan: signature build is one agg over
-    * the shingle relation, bucketing is an equi-join on (band, md5 bucket)
+    * At 100 TB this is THE near-dup plan: signature build is a narrow
+    * map ([[lshBands]]), bucketing is an equi-join on (band, md5 bucket)
     * — never an all-pairs comparison. Probability a true pair with
     * jaccard s becomes a candidate: 1 - (1 - s^3)^3 (≈1 for the planted
     * ~0.98 near-dups). */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRel(spark, dir)
-    // ONE agg produces both the 9-hash signature and the set size |A| —
-    // the size rides along through banding and the candidate join, so the
-    // verify stage needs no extra joins back to a sizes relation.
-    val hashes = (0 until 9).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
-    }
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), hashes: _*)
-    val bands = sigs.select(col("doc_id"), col("n"),
-      expr("stack(3, 0, " +
-        "concat(h0, ',', h1, ',', h2), 1, " +
-        "concat(h3, ',', h4, ',', h5), 2, " +
-        "concat(h6, ',', h7, ',', h8)) as (band, sig)"))
-      .select(col("doc_id"), col("n"), col("band"), md5(col("sig")).as("bucket"))
+    val bands = lshBands(spark, dir)
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -132,17 +131,7 @@ object DedupOps {
       .agg(count(lit(1)).as("c"))
     val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("nsq"))
     // candidate pairs from the same banded MinHash LSH as minhashLshPairs
-    val sh = shingleRel(spark, dir)
-    val hashes = (0 until 9).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
-    }
-    val sigs = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
-    val bands = sigs.select(col("doc_id"),
-      expr("stack(3, 0, " +
-        "concat(h0, ',', h1, ',', h2), 1, " +
-        "concat(h3, ',', h4, ',', h5), 2, " +
-        "concat(h6, ',', h7, ',', h8)) as (band, sig)"))
-      .select(col("doc_id"), col("band"), md5(col("sig")).as("bucket"))
+    val bands = lshBands(spark, dir)
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
