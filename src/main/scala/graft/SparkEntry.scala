@@ -59,6 +59,7 @@ object SparkEntry {
     "join_asof_attribution" -> ((s, d) => EventAnalytics.asofAttribution(s, d)),
     "join_range_bands" -> ((s, d) => EventAnalytics.rangeJoinBands(s, d)),
     "skew_salted_agg" -> ((s, d) => EventAnalytics.saltedTypeStats(s, d)),
+    "skew_salted_join" -> ((s, d) => EventAnalytics.saltedDimJoin(s, d)),
     // ---- structured streaming (real streaming plans, AvailableNow)
     "stream_tumbling_hourly" -> ((s, d) => StreamingAnalytics.streamTumblingHourly(s, d)),
     "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
@@ -368,6 +369,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "skew_salted_join" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(weight AS DECIMAL(3,1))) AS DOUBLE)
+           AS weighted_value
+         FROM events e JOIN (VALUES
+           ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+           ('error', 0.0), ('signup', 2.0)) d(event_type, weight)
+           ON e.event_type = d.event_type
+         GROUP BY 1 ORDER BY e.event_type""",
     "stream_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, COUNT(*) AS n,

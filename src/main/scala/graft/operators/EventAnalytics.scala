@@ -203,6 +203,29 @@ object EventAnalytics {
       .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Skew-safe dimension join: `event_type` has 5 values over millions of
+    * rows, so a plain equi-join sends each type to ONE reducer. Salting
+    * replicates the tiny dim `salts`x and derives a deterministic salt on
+    * the fact side, spreading each hot key over `salts` tasks. Result-
+    * identical to the plain join (the oracle IS the plain join); the
+    * manual form of what AQE skew-join does for shuffle joins it can see. */
+  def saltedDimJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("error", 0.0), ("signup", 2.0)).toDF("event_type", "weight")
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    Tables(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)).cast("int"))
+      .join(broadcast(dimSalted), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)") *
+          col("weight").cast("decimal(3,1)")).cast("double")
+          .as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON extraction from the `props` column + conditional agg. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
