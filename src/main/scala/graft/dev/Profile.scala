@@ -10,15 +10,18 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    time("warmup")(spark.read.parquet(s"$dir/embeddings.parquet").count())
-    time("minhash_1st")(graft.operators.DedupOps.minhashLshPairs(spark, dir).count())
-    time("minhash_2nd")(graft.operators.DedupOps.minhashLshPairs(spark, dir).count())
-    time("emb_cos_1st")(graft.operators.DedupOps.embeddingCosinePairs(spark, dir).count())
-    time("ngram_1st")(graft.operators.DedupOps.ngramJaccardPairs(spark, dir).count())
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("warmup")(noop(spark.read.parquet(s"$dir/part.parquet")))
+    time("string_funcs_1")(noop(graft.operators.Relational.stringFuncs(spark, dir)))
+    time("string_funcs_2")(noop(graft.operators.Relational.stringFuncs(spark, dir)))
+    time("string_funcs_3")(noop(graft.operators.Relational.stringFuncs(spark, dir)))
+    time("emb_cos_1")(noop(graft.operators.DedupOps.embeddingCosinePairs(spark, dir)))
+    time("emb_cos_2")(noop(graft.operators.DedupOps.embeddingCosinePairs(spark, dir)))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
+import graft.expressions.{CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -28,6 +28,8 @@ object ExprColumns {
     reg.createOrReplaceTempFunction(
       "graft_minhash_buckets",
       exprs => MinHashBandBuckets(exprs.head, 9, 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hashed_tf64", exprs => HashedTf64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
         val k = exprs(1) match {

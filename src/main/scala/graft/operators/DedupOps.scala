@@ -66,13 +66,18 @@ object DedupOps {
     * computed entirely map-side by [[graft.expressions.MinHashBandBuckets]]
     * (the relational explode+9-way-min-agg build would shuffle every
     * shingle row; here only these 3 narrow rows per doc ever move).
-    * `n` = |distinct shingles| rides along for Jaccard verification. */
+    * `n` = |distinct shingles| rides along for Jaccard verification.
+    *
+    * Cached: the relation is 3 narrow rows per document, but both sides
+    * of the candidate self-join consume it — uncached, the 9x-md5
+    * signature walk would run twice per query. */
   private def lshBands(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),
         posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .cache()
 
   /** MinHash signature + banded LSH near-dup pairs, exact-verified.
     *
@@ -122,14 +127,13 @@ object DedupOps {
     * pair space never materializes. */
   def embeddingCosinePairs(spark: SparkSession, dir: String,
                            threshold: Double = 0.9): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    // hashed-TF relation: (doc_id, bucket, c)
-    val tf = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy(col("doc_id"),
-        (conv(substring(md5(col("word")), 1, 2), 16, 10).cast("int") % 64).as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("nsq"))
+    ExprColumns.register(spark)
+    // dense 64-bucket TF vector + its squared norm, both map-side
+    // (HashedTf64; the relational build would shuffle every token)
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("graft_hashed_tf64(split(text, ' '))").as("tfvec"))
+      .withColumn("nsq", expr("aggregate(tfvec, 0L, (a, x) -> a + x * x)"))
     // candidate pairs from the same banded MinHash LSH as minhashLshPairs
     val bands = lshBands(spark, dir)
     val cand = bands.as("x")
@@ -138,17 +142,14 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // integer-exact dot product over shared buckets, then one division
-    val dot = cand
-      .join(tf.select(col("doc_id").as("d1"), col("bucket"), col("c").as("c1")),
-        Seq("d1"))
-      .join(tf.select(col("doc_id").as("d2"), col("bucket"), col("c").as("c2")),
-        Seq("d2", "bucket"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(sum(col("c1") * col("c2")).as("dot"))
-    dot
-      .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), "d1")
-      .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), "d2")
+    // per-pair integer-exact dot product on the dense vectors
+    cand
+      .join(tf.select(col("doc_id").as("d1"), col("tfvec").as("t1"),
+        col("nsq").as("n1")), "d1")
+      .join(tf.select(col("doc_id").as("d2"), col("tfvec").as("t2"),
+        col("nsq").as("n2")), "d2")
+      .withColumn("dot",
+        expr("aggregate(zip_with(t1, t2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
       .filter(col("cos") >= threshold)
