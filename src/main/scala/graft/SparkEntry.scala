@@ -55,6 +55,7 @@ object SparkEntry {
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
     "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
+    "session_windows" -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
     "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d)),
     "join_asof_attribution" -> ((s, d) => EventAnalytics.asofAttribution(s, d)),
     "join_range_bands" -> ((s, d) => EventAnalytics.rangeJoinBands(s, d)),
@@ -336,6 +337,26 @@ object SparkEntry {
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
                FROM events) a) b) c
          GROUP BY user_id ORDER BY user_id""",
+    "session_windows" ->
+      """SELECT user_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, ts, value, event_id,
+               CASE WHEN lag_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(lag_ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM (
+               SELECT user_id, ts, value, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+               FROM events) a) b) c
+         GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,

@@ -146,6 +146,22 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Native session windows (`session_window`, gap-merged per user) —
+    * the built-in operator form of [[sessionize]]'s lag/cumsum and
+    * [[graft.streaming.Sessionize]]'s stateful variant; all three agree
+    * (the oracle renders the lag/cumsum form). Works unchanged under
+    * Structured Streaming with a watermark. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmt).as("session_start"),
+        date_format(col("session_window.end"), fmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** As-of join (attribution): for each purchase, the user's most recent
     * view at-or-before it. Expressed as a running MAX over the per-user
     * event timeline — ONE shuffle on user_id, no join at all; the
