@@ -37,6 +37,7 @@ object SparkEntry {
     "topk_orders" -> ((s, d) => Relational.topOrders(s, d)),
     "window_rank" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "window_running" -> ((s, d) => Relational.runningQuantity(s, d)),
+    "window_navigation" -> ((s, d) => Relational.windowNavigation(s, d)),
     "rollup_revenue" -> ((s, d) => Relational.revenueRollup(s, d)),
     "distinct_segments" -> ((s, d) => Relational.distinctSegments(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
@@ -201,6 +202,18 @@ object SparkEntry {
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_orderkey < 200
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         LAG(o_orderkey, 1) OVER w AS prev_order,
+         LEAD(o_orderkey, 1) OVER w AS next_order,
+         FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+         LAST_VALUE(o_orderkey) OVER wf AS last_order
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, orderdate, o_orderkey""",
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

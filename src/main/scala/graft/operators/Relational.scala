@@ -182,6 +182,23 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(discPrice).as("rev"), count(lit(1)).as("cnt"))
 
+  /** Window navigation battery: lead/lag/first/last over each customer's
+    * order timeline — one shuffle on the partition key serves all four. */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(wf).as("first_order"),
+        last(col("o_orderkey")).over(wf).as("last_order"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
   /** ROLLUP grouping sets with GROUPING() disambiguation. */
   def revenueRollup(spark: SparkSession, dir: String): DataFrame =
     revenueBase(spark, dir)
