@@ -325,7 +325,11 @@ object Relational {
     * on identical inputs — no fp-accumulation-order drift, unlike a
     * native corr() whose partial-merge order varies with partitioning. */
   def corrPriceQty(spark: SparkSession, dir: String): DataFrame = {
-    val d = (c: Column) => c.cast("decimal(28,6)")
+    // decimal(18,6) is long-backed (precision <= 18): the largest per-row
+    // value (price^2 ~ 1.1e10) still fits 17 digits at scale 6, and the
+    // cast yields the same VALUE as the oracle's DECIMAL(28,6) — only the
+    // runtime representation is cheaper. Sums still widen to exact 28+.
+    val d = (c: Column) => c.cast("decimal(18,6)")
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
