@@ -38,6 +38,7 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "window_running" -> ((s, d) => Relational.runningQuantity(s, d)),
     "window_navigation" -> ((s, d) => Relational.windowNavigation(s, d)),
+    "window_distribution" -> ((s, d) => Relational.priceDistribution(s, d)),
     "rollup_revenue" -> ((s, d) => Relational.revenueRollup(s, d)),
     "distinct_segments" -> ((s, d) => Relational.distinctSegments(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
@@ -202,6 +203,15 @@ object SparkEntry {
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_orderkey < 200
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "window_distribution" ->
+      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+         CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+         FROM part WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+         ORDER BY p_brand, price, p_partkey""",
     "window_navigation" ->
       """SELECT o_custkey, o_orderkey,
          strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -199,6 +199,22 @@ object Relational {
       .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
   }
 
+  /** Distribution ranking: quartiles, percent_rank, cume_dist and
+    * dense_rank over part prices within each brand. */
+  def priceDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice").cast("double").as("price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy(col("p_brand"), col("price"), col("p_partkey"))
+  }
+
   /** ROLLUP grouping sets with GROUPING() disambiguation. */
   def revenueRollup(spark: SparkSession, dir: String): DataFrame =
     revenueBase(spark, dir)
