@@ -68,6 +68,7 @@ object SparkEntry {
     "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
     // ---- text analysis (north-star §7.5)
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "array_funcs" -> ((s, d) => TextAnalysis.arrayFuncs(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprintClusters(s, d)),
@@ -431,6 +432,19 @@ object SparkEntry {
     "stream_distinct_pairs" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "array_funcs" ->
+      """SELECT doc_id,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         CAST(len(list_intersect(list_distinct(w),
+           ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT)
+           AS n_stop_kinds,
+         CAST(len(list_distinct(list_concat(list_distinct(w),
+           ['the','a','of','and','to','in','is','for','on','with']))) AS BIGINT)
+           AS n_union_stop,
+         array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3_sorted,
+         w[1] AS head_tok, w[-1] AS tail_tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         ORDER BY doc_id""",
     "text_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,

@@ -85,6 +85,27 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
+  /** Array-function battery over token arrays: intersection/union sizes
+    * against the stopword list, distinct/sort, head slice — the array
+    * manipulation surface a document pipeline leans on, all codegen'd
+    * built-ins (no explode, no shuffle before the final sort). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = typedLit(stopwords)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        size(array_intersect(array_distinct(toks), stop)).cast("long")
+          .as("n_stop_kinds"),
+        size(array_union(array_distinct(toks), stop)).cast("long")
+          .as("n_union_stop"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+          .as("first3_sorted"),
+        element_at(toks, 1).as("head_tok"),
+        element_at(toks, -1).as("tail_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE-ish subword token counting: alongside the whitespace count, a
     * GPT-2-flavoured pre-tokenizer regex — letter runs, digit runs, and
     * single non-alphanumeric marks (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`,
