@@ -59,6 +59,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "session_windows" -> ((s, d) => EventAnalytics.sessionWindows(s, d)),
     "json_extract" -> ((s, d) => EventAnalytics.jsonExtract(s, d)),
+    "map_funcs" -> ((s, d) => EventAnalytics.mapFuncs(s, d)),
+    "null_funcs" -> ((s, d) => EventAnalytics.nullFuncs(s, d)),
     "join_asof_attribution" -> ((s, d) => EventAnalytics.asofAttribution(s, d)),
     "join_range_bands" -> ((s, d) => EventAnalytics.rangeJoinBands(s, d)),
     "skew_salted_agg" -> ((s, d) => EventAnalytics.saltedTypeStats(s, d)),
@@ -361,6 +363,30 @@ object SparkEntry {
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
                FROM events) a) b) c
          GROUP BY user_id ORDER BY user_id""",
+    "map_funcs" ->
+      """SELECT event_type, first_key, COUNT(*) AS n,
+         CAST(SUM(k_value) AS BIGINT) AS sum_k,
+         CAST(MAX(n_keys) AS BIGINT) AS max_keys
+         FROM (
+           SELECT event_type,
+             json_keys(props)[1] AS first_key,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+             len(json_keys(props)) AS n_keys
+           FROM events) t
+         GROUP BY 1, 2 ORDER BY event_type, first_key""",
+    "null_funcs" ->
+      """SELECT event_id,
+         COALESCE(t, 'missing') AS t_or_default,
+         NULLIF(t, '') AS t_nullif_empty,
+         CASE WHEN t IS NOT NULL THEN 'present' ELSE 'absent' END AS nvl2_style,
+         CAST(CASE WHEN t IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_null
+         FROM (
+           SELECT event_id,
+             CASE WHEN value < 10 THEN NULL
+                  WHEN value < 20 THEN ''
+                  ELSE event_type END AS t
+           FROM events) x
+         ORDER BY event_id""",
     "session_windows" ->
       """SELECT user_id,
          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -242,6 +242,42 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Map-typed column surface: parse `props` into map<string,int>, then
+    * map_keys/element_at/size — schema-on-read for semi-structured data
+    * without ever exploding. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"), col("event_type"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(col("m"), "k").as("k_value"),
+        size(col("m")).cast("long").as("n_keys"))
+      .groupBy(col("event_type"), col("first_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_value")).as("sum_k"),
+        max(col("n_keys")).as("max_keys"))
+      .orderBy(col("event_type"), col("first_key"))
+
+  /** Null-handling battery: coalesce, nullif, nvl2-style branching over
+    * a column with injected NULL/empty holes. */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        when(col("value") < 10, lit(null).cast("string"))
+          .when(col("value") < 20, lit(""))
+          .otherwise(col("event_type")).as("t"),
+        col("value"))
+      .select(col("event_id"),
+        coalesce(col("t"), lit("missing")).as("t_or_default"),
+        nullif(col("t"), lit("")).as("t_nullif_empty"),
+        when(col("t").isNotNull, lit("present")).otherwise(lit("absent"))
+          .as("nvl2_style"),
+        (col("t").isNull).cast("long").as("is_null"))
+      .orderBy(col("event_id"))
+
   /** JSON extraction from the `props` column + conditional agg. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
