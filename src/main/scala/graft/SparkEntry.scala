@@ -44,6 +44,7 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
     "math_funcs" -> ((s, d) => Relational.mathFuncs(s, d)),
+    "date_funcs" -> ((s, d) => Relational.dateFuncs(s, d)),
     "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "price_buckets" -> ((s, d) => Relational.priceBuckets(s, d)),
     "pivot_status" -> ((s, d) => Relational.pivotStatusCounts(s, d)),
@@ -274,6 +275,21 @@ object SparkEntry {
          CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
          p_partkey % 7 AS key_mod
          FROM part ORDER BY p_partkey""",
+    "date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+         strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+           AS days_to_eoy,
+         CAST(((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS BIGINT)
+           AS weekday_mod
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
     "string_funcs" ->
       """SELECT p_partkey,
          UPPER(p_brand) AS brand_u,

@@ -388,6 +388,31 @@ object Relational {
           .as("approx_median"))
       .orderBy(col("l_returnflag"))
 
+  /** Date/time function battery over order dates: component extraction,
+    * truncation, arithmetic, month boundaries — every piece rendered with
+    * an exact DuckDB counterpart (day-of-week left out deliberately: the
+    * engines disagree on week-start conventions, so portable code derives
+    * it from an epoch-day modulus instead, as shown). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_eoy"),
+        // portable weekday: days since epoch mod 7 (1970-01-01 = Thursday)
+        pmod(unix_date(col("o_orderdate").cast("date")), lit(7)).cast("long")
+          .as("weekday_mod"))
+      .orderBy(col("o_orderkey"))
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def priceBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
