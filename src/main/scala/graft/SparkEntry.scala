@@ -72,6 +72,7 @@ object SparkEntry {
     // ---- text analysis (north-star §7.5)
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "array_funcs" -> ((s, d) => TextAnalysis.arrayFuncs(s, d)),
+    "explode_outer_stats" -> ((s, d) => TextAnalysis.explodeOuterStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprintClusters(s, d)),
@@ -474,6 +475,20 @@ object SparkEntry {
     "stream_distinct_pairs" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "explode_outer_stats" ->
+      """SELECT lang,
+         CAST(SUM(greatest(n_sh, 1)) AS BIGINT) AS n_rows,
+         CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+         COUNT(CASE WHEN n_sh = 0 THEN 1 END) AS n_empty_docs
+         FROM (
+           SELECT lang,
+             CASE WHEN len(string_split(text, ' ')) >= 5
+                  THEN len(list_distinct(
+                    [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                     for i in range(1, len(string_split(text, ' '))-3)]))
+                  ELSE 0 END AS n_sh
+           FROM documents) t
+         GROUP BY lang ORDER BY lang""",
     "array_funcs" ->
       """SELECT doc_id,
          CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,

@@ -106,6 +106,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Outer-generator semantics: `explode_outer` keeps a NULL row for
+    * documents whose shingle set is empty (plain explode silently drops
+    * them — the classic lost-rows bug in fan-out pipelines). The oracle
+    * computes the same totals arithmetically. */
+  def explodeOuterStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExprColumns
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        explode_outer(ExprColumns.shingles(spark, "text", 5)).as("shingle"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("shingle")).as("n_shingles"),
+        count(when(col("shingle").isNull, 1)).as("n_empty_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** BPE-ish subword token counting: alongside the whitespace count, a
     * GPT-2-flavoured pre-tokenizer regex — letter runs, digit runs, and
     * single non-alphanumeric marks (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`,
