@@ -56,6 +56,20 @@ class ExpressionEdgeSpec extends SparkSpec {
     }
   }
 
+  test("HashedTf64: counts sum to token count, empty array -> zero vector") {
+    ExprColumns.register(spark)
+    val df = Seq("a b a c", "").toDF("text")
+      .select(expr("graft_hashed_tf64(split(text, ' '))").as("tf"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 64 && rows(0).sum == 4) // 4 tokens, dups counted
+    // splitting "" yields [""], one bucket gets the empty-string token
+    assert(rows(1).sum == 1)
+    val empty = Seq(Array.empty[String]).toDF("toks")
+      .select(expr("graft_hashed_tf64(toks)").as("tf"))
+      .head().getSeq[Long](0)
+    assert(empty.length == 64 && empty.sum == 0)
+  }
+
   test("ParseAfTimestamp rejects non-string input at analysis time") {
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq(1).toDF("v").select(expr("graft_parse_af_ts(v)")).collect()
