@@ -32,6 +32,7 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
+    "q6_sql_revenue" -> ((s, d) => Relational.sqlRevenueQ6(s, d)),
     "join_outer_customer" -> ((s, d) => Relational.customerOrderStats(s, d)),
     "join_semi_customer" -> ((s, d) => Relational.semiJoinCustomers(s, d)),
     "topk_orders" -> ((s, d) => Relational.topOrders(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     // ---- structured streaming (real streaming plans, AvailableNow)
     "stream_tumbling_hourly" -> ((s, d) => StreamingAnalytics.streamTumblingHourly(s, d)),
     "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
+    "stream_sliding_two_hour" -> ((s, d) => StreamingAnalytics.streamSlidingTwoHour(s, d)),
     // ---- text analysis (north-star §7.5)
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "array_funcs" -> ((s, d) => TextAnalysis.arrayFuncs(s, d)),
@@ -180,6 +182,24 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q6_sql_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "stream_sliding_two_hour" ->
+      """WITH e AS (SELECT ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+         w AS (SELECT date_trunc('hour', ts) AS ws FROM e
+               UNION ALL
+               SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+                strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+                COUNT(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY 1""",
     "join_outer_customer" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
          COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 0.0) AS total_spend

@@ -413,6 +413,24 @@ object Relational {
           .as("weekday_mod"))
       .orderBy(col("o_orderkey"))
 
+  /** The SQL surface: TPC-H Q6 submitted as a literal `spark.sql` string
+    * over a registered view — same Catalyst pipeline as the DataFrame
+    * API, proving both entry points coexist (the reference's only "SQL"
+    * was f-string-interpolated ClickHouse statements, main.py:173,185). */
+  def sqlRevenueQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM graft_lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """)
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def priceBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")

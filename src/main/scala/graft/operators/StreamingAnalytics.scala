@@ -25,6 +25,20 @@ object StreamingAnalytics {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Streaming sliding-window aggregation (2-hour windows, 1-hour slide);
+    * same expression tree and same oracle as the batch
+    * `sliding_two_hour`. */
+  def streamSlidingTwoHour(spark: SparkSession, dir: String): DataFrame = {
+    val in = StreamingOps.eventsStream(spark, dir)
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("n"))
+    StreamingOps.runAvailableNow(in, mode = "complete").orderBy(col("win_start"))
+  }
+
   /** Streaming distinct over (user_id, event_type) — stateful
     * dropDuplicates through a real streaming plan; oracle = batch
     * SELECT DISTINCT. */
