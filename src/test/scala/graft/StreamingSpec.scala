@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode re-emits only changed groups per micro-batch") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(String, Long)](s)
+    val counts = in.toDF().toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    val name = "update_sink"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      val batch1 = spark.table(name).as[(String, Long)].collect().toSet
+      assert(batch1 == Set(("a", 2L), ("b", 1L)))
+      // only 'a' changes; update mode must not re-emit 'b'
+      in.addData(("a", 3L))
+      q.processAllAvailable()
+      val all = spark.table(name).as[(String, Long)].collect().toSeq
+      assert(all.count(_ == ("a", 3L)) == 1, "updated 'a' row emitted")
+      assert(all.count(_._1 == "b") == 1, "'b' unchanged, not re-emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window views") {
     val s = spark
     import s.implicits._
