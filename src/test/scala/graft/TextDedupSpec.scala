@@ -75,6 +75,30 @@ class TextDedupSpec extends SparkSpec {
       .getSeq[String](0).isEmpty)
   }
 
+  test("WordShingles equals the composition on random strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{ExprColumns, TextFunctions}
+    // word-ish strings with repeated tokens, plus raw ascii noise
+    val wordy = (0 until 100).map { i =>
+      val words = (0 until (i % 12)).map(j => s"w${(i * 7 + j * 3) % 9}")
+      words.mkString(" ")
+    }
+    val noise = (0 until 100).flatMap { i =>
+      Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(i + 5000L))
+    }
+    val s = spark
+    import s.implicits._
+    val df = (wordy ++ noise).toDF("text").select(
+      TextFunctions.shingles(col("text"), 5).as("slow"),
+      ExprColumns.shingles(spark, "text", 5).as("fast"))
+    val bad = df.filter(
+      size(array_except(col("slow"), col("fast"))) > 0 ||
+      size(array_except(col("fast"), col("slow"))) > 0 ||
+      size(col("slow")) =!= size(col("fast"))).count()
+    assert(bad == 0)
+  }
+
   test("embedding-cosine near-dup finds the planted pairs, keeper < dup") {
     val rows = DedupOps.embeddingCosinePairs(spark, sf0001).collect()
     assert(rows.nonEmpty, "planted near-dups should survive the 0.9 cosine bar")
