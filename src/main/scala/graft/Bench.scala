@@ -19,16 +19,23 @@ object Bench {
     // sorted for stable cross-round attribution; noop sink forces FULL
     // materialization of every output column (count() would let Catalyst
     // skip the projections of map-only queries entirely)
+    // -1.0 = query failed (kept visible rather than swallowed); timings
+    // rounded to ms so the single JSON line stays well inside the driver's
+    // tail-capture window (round-1 line was too long and failed to parse)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val good = results.values.filter(_ >= 0)
+    val total = math.rint(good.sum * 1000) / 1000
+    val nFail = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

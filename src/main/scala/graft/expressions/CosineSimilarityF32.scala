@@ -30,6 +30,12 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
         s"cosine_f32 needs (array<float>, array<float>), got (${l.sql}, ${r.sql})")
     }
 
+  // null vector elements contribute 0 (skipped); the branch is only
+  // emitted when the schema admits null elements
+  private lazy val anyElemNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -37,7 +43,8 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
     var dot = 0f; var nx = 0f; var ny = 0f
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i); val yv = y.getFloat(i)
+      val xv = if (anyElemNullable && x.isNullAt(i)) 0f else x.getFloat(i)
+      val yv = if (anyElemNullable && y.isNullAt(i)) 0f else y.getFloat(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -53,12 +60,16 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (anyElemNullable) s"($x.isNullAt($i) ? 0f : $x.getFloat($i))"
+                 else s"$x.getFloat($i)"
+      val getY = if (anyElemNullable) s"($y.isNullAt($i) ? 0f : $y.getFloat($i))"
+                 else s"$y.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |float $dot = 0f, $nx = 0f, $ny = 0f;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $xv = $x.getFloat($i);
-         |  float $yv = $y.getFloat($i);
+         |  float $xv = $getX;
+         |  float $yv = $getY;
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / ((float) java.lang.Math.sqrt((double) $nx)

@@ -40,6 +40,11 @@ case class HyperplaneLshBuckets(child: Expression, nPlanes: Int, bandSize: Int)
     }
   }
 
+  // null vector elements contribute 0 to every projection; the branch is
+  // only emitted when the schema admits null elements
+  private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   // plane matrix cache, rebuilt only if the vector dimensionality changes
   @transient private var signCache: Array[Array[Byte]] = _
   @transient private var signDim: Int = -1
@@ -74,7 +79,8 @@ case class HyperplaneLshBuckets(child: Expression, nPlanes: Int, bandSize: Int)
         var p = 0.0
         var d = 0
         while (d < dim) {
-          p += row(d) * arr.getFloat(d).toDouble
+          if (!elemNullable || !arr.isNullAt(d))
+            p += row(d) * arr.getFloat(d).toDouble
           d += 1
         }
         sb.append(if (p > 0) '1' else '0')

@@ -43,9 +43,13 @@ case class ParseAfTimestamp(child: Expression,
   override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
     copy(timeZoneId = Option(timeZoneId))
 
-  // Python str.strip() whitespace: space \t \n \v \f \r
+  // Python str.strip() whitespace = str.isspace() chars: Java's
+  // Character.isWhitespace set (ASCII ws, \x1c-\x1f, breaking Zs) plus
+  // NEL \u0085 and the non-breaking Zs chars Java deliberately excludes
+  // (\u00a0 NBSP, \u2007 figure space, \u202f narrow NBSP)
   private def isPyWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    Character.isWhitespace(c) ||
+      c == '\u0085' || c == '\u00a0' || c == '\u2007' || c == '\u202f'
 
   private def digit(s: String, i: Int): Boolean = {
     val c = s.charAt(i); c >= '0' && c <= '9'

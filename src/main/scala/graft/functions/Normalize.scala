@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  /** Python `str.strip()` whitespace class: space \t \n \r \f \v.
-    * Java regex `\s` is exactly `[ \t\n\x0B\f\r]`, the same set. */
-  private val stripRe = "^\\s+|\\s+$"
+  /** Python `str.strip()` whitespace class = `str.isspace()`: ASCII
+    * `[ \t\n\x0B\f\r]` plus the C1 separators `\x1c-\x1f`, NEL ``,
+    * and the Unicode Zs spaces (incl. non-breaking NBSP/figure/narrow).
+    * Java regex `\s` covers only the ASCII part, so the class is spelled
+    * out explicitly. */
+  private val pyWsClass =
+    "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a" +
+      "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+  private val stripRe = s"^$pyWsClass+|$pyWsClass+$$"
 
   /** F3 — Python-compatible strip (Spark's `trim` only strips ASCII space). */
   def pyStrip(c: Column): Column = regexp_replace(c, stripRe, "")

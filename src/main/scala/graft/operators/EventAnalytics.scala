@@ -148,8 +148,12 @@ object EventAnalytics {
 
   /** Native session windows (`session_window`, gap-merged per user) —
     * the built-in operator form of [[sessionize]]'s lag/cumsum and
-    * [[graft.streaming.Sessionize]]'s stateful variant; all three agree
-    * (the oracle renders the lag/cumsum form). Works unchanged under
+    * [[graft.streaming.Sessionize]]'s stateful variant. Exact-boundary
+    * caveat: `session_window` starts a new session when the gap is
+    * `>=` the 30-min duration, while sessionize/Sessionize split on
+    * gap `>` 30 min — events exactly 30 minutes apart land in one
+    * session there but two here. Each oracle renders its own rule
+    * (`>` vs `>=`), so both stay hash-verified. Works unchanged under
     * Structured Streaming with a watermark. */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

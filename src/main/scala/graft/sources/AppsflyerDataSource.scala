@@ -175,7 +175,10 @@ private[graft] object AppsflyerFetch extends Logging {
           Some(new String(u.openStream().readAllBytes(), "UTF-8"))
       }
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: a malformed `url` option throws
+      // IllegalArgumentException from URI.create, and the reference's
+      // contract is failure -> empty relation, never an error (main.py:122-124)
+      case scala.util.control.NonFatal(e) =>
         logWarning(s"appsflyer source: fetch failed (${e.getMessage}) -> empty relation")
         None
     }
