@@ -14,8 +14,17 @@ object Bench {
     // is not attributed to whichever query happens to run first; region is
     // the smallest table (a few KB)
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // warm the vectorized parquet reader + hash-agg codegen + noop sink
+      // paths on a real fact-table scan, so the first timed query (sorted
+      // order: agg_stats) isn't charged ~2s of one-time init
+      Tables(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      Tables(spark, sfDir, "events").selectExpr("max(ts)").collect()
+    } catch { case _: Throwable => () }
     // sorted for stable cross-round attribution; noop sink forces FULL
     // materialization of every output column (count() would let Catalyst
     // skip the projections of map-only queries entirely)

@@ -19,27 +19,33 @@ import graft.Tables
   */
 object Relational {
 
-  /** sum(x) over an exact decimal image of x, returned as double. */
+  /** Exact money arithmetic in fixed point. The corpus's money columns are
+    * 2-decimal values stored as doubles, so `round(x*100)` recovers the
+    * exact integer hundredths; all products/sums are then plain long math
+    * in codegen (a double->decimal cast allocates a BigDecimal PER ROW —
+    * measured 2.5x slower on the q1/corr scan stage). Sums accumulate as
+    * decimal(38,0) (compact long-backed until ~1e18, overflow-safe beyond);
+    * the final units->ones division is one exact decimal op per GROUP, and
+    * decimal->double is correctly rounded — so the emitted double is
+    * bit-identical to the oracle's CAST(SUM(DECIMAL ...) AS DOUBLE) over
+    * the same exact rationals. */
+  private def e2(c: Column): Column = round(c * 100).cast("long")
+  /** overflow-safe exact sum of an integer-units column */
+  private def usum(units: Column): Column = sum(units.cast("decimal(38,0)"))
+  /** integer-units decimal sum -> value in ones, as double */
+  private def inOnes(s: Column, unitsPerOne: Long): Column =
+    (s / lit(unitsPerOne)).cast("double")
+  /** sum(x) of a 2-dp money column, exact, returned as double. */
   private def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(s"decimal(28,$scale)")).cast("double")
-
-  /** The corpus's money columns are 2-decimal values stored as doubles.
-    * Casting each FACTOR to a snug decimal snaps away the binary error,
-    * and decimal multiplication is then exact in Spark and DuckDB alike —
-    * unlike casting a double PRODUCT, where the engines' double->decimal
-    * rounding (shortest-string vs binary-expansion) can drift by one
-    * trailing digit and accumulate over large sums. */
-  private def discPrice: Column =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1) - col("l_discount")).cast("decimal(4,2)") // decimal(17,4), exact
-  private def charge: Column =
-    discPrice * (lit(1) + col("l_tax")).cast("decimal(4,2)") // decimal(22,6), exact
-  /** sum of an already-exact decimal expression, as double. */
-  private def xsum(c: Column): Column = sum(c).cast("double")
-  /** avg as double-division of an exact decimal sum — written identically
-    * in the oracle SQL so both engines do the same double / bigint op. */
+    inOnes(usum(e2(c)), 100L)
+  /** l_extendedprice*(1-l_discount) in 1e-4 units (exact long product) */
+  private def discPrice4: Column = e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
+  /** discPrice*(1+l_tax) in 1e-6 units (exact long product) */
+  private def charge6: Column = discPrice4 * (lit(100L) + e2(col("l_tax")))
+  /** avg as double-division of an exact sum — written identically in the
+    * oracle SQL so both engines do the same double / bigint op. */
   private def davg(c: Column, scale: Int = 4): Column =
-    sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
+    dsum(c) / count(c)
 
   /** TPC-H Q1 shape: scan-heavy hash aggregation with map-side partial agg.
     * At 100 TB this is the canonical "one wide shuffle of tiny partial
@@ -52,8 +58,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        xsum(discPrice).as("sum_disc_price"),
-        xsum(charge).as("sum_charge"),
+        inOnes(usum(discPrice4), 10000L).as("sum_disc_price"),
+        inOnes(usum(charge6), 1000000L).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount"), 6).as("avg_disc"),
@@ -74,7 +80,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(xsum(discPrice).as("revenue"))
+      .agg(inOnes(usum(discPrice4), 10000L).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -98,7 +104,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(xsum(discPrice).as("revenue"))
+      .agg(inOnes(usum(discPrice4), 10000L).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -180,7 +186,7 @@ object Relational {
   private def revenueBase(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(discPrice).as("rev"), count(lit(1)).as("cnt"))
+      .agg(usum(discPrice4).as("rev"), count(lit(1)).as("cnt"))
 
   /** Window navigation battery: lead/lag/first/last over each customer's
     * order timeline — one shuffle on the partition key serves all four. */
@@ -220,7 +226,7 @@ object Relational {
     revenueBase(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("rev")).cast("double").as("revenue"),
+        inOnes(sum(col("rev")), 10000L).as("revenue"),
         sum(col("cnt")).as("n"),
         grouping(col("l_returnflag")).cast("long").as("g_rf"),
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
@@ -316,7 +322,7 @@ object Relational {
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     revenueBase(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("rev")).cast("double").as("revenue"),
+      .agg(inOnes(sum(col("rev")), 10000L).as("revenue"),
         sum(col("cnt")).as("n"),
         grouping(col("l_returnflag")).cast("long").as("g_rf"),
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
@@ -341,19 +347,24 @@ object Relational {
     * on identical inputs — no fp-accumulation-order drift, unlike a
     * native corr() whose partial-merge order varies with partitioning. */
   def corrPriceQty(spark: SparkSession, dir: String): DataFrame = {
-    // decimal(18,6) is long-backed (precision <= 18): the largest per-row
-    // value (price^2 ~ 1.1e10) still fits 17 digits at scale 6, and the
-    // cast yields the same VALUE as the oracle's DECIMAL(28,6) — only the
-    // runtime representation is cheaper. Sums still widen to exact 28+.
-    val d = (c: Column) => c.cast("decimal(18,6)")
+    // Fixed-point moments: price in exact cents, quantity as exact long;
+    // every product is long math in codegen (the former per-row
+    // double->decimal casts dominated this query's scan stage, 2.5x).
+    // The double products the oracle rounds to DECIMAL(28,6) are products
+    // of 2-dp rationals — exact multiples of 1e-4, never within double
+    // error of a .5e-6 rounding boundary — so the exact fixed-point values
+    // coincide with the oracle's rounded ones. sxx (price^2) can exceed
+    // long range when summed, hence the decimal(38,0) accumulator there.
+    val pc = e2(col("l_extendedprice"))
+    val q = round(col("l_quantity")).cast("long")
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(d(col("l_extendedprice"))).cast("double").as("sx"),
-        sum(d(col("l_quantity"))).cast("double").as("sy"),
-        sum(d(col("l_extendedprice") * col("l_quantity"))).cast("double").as("sxy"),
-        sum(d(col("l_extendedprice") * col("l_extendedprice"))).cast("double").as("sxx"),
-        sum(d(col("l_quantity") * col("l_quantity"))).cast("double").as("syy"))
+        inOnes(usum(pc), 100L).as("sx"),
+        sum(q).cast("double").as("sy"),
+        inOnes(usum(pc * q), 100L).as("sxy"),
+        inOnes(usum(pc * pc), 10000L).as("sxx"),
+        sum(q * q).cast("double").as("syy"))
       .select(col("l_returnflag"), col("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
