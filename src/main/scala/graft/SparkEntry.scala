@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, Subqueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,7 +96,20 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLshTopPairs(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
-    "sim_batch_topk" -> ((s, d) => Similarity.batchLabelTopK(s, d))
+    "sim_batch_topk" -> ((s, d) => Similarity.batchLabelTopK(s, d)),
+    // ---- subquery battery (SQL surface; Catalyst decorrelation)
+    "subq_scalar_corr" -> ((s, d) => Subqueries.scalarCorrelated(s, d)),
+    "subq_exists" -> ((s, d) => Subqueries.existsLateShip(s, d)),
+    "subq_in_notin" -> ((s, d) => Subqueries.inNotIn(s, d)),
+    "subq_having" -> ((s, d) => Subqueries.havingBigSpenders(s, d)),
+    "grouping_sets_mix" -> ((s, d) => Subqueries.groupingSetsMix(s, d)),
+    // ---- training-pipeline ops (north-star §7.5)
+    "split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    // ---- streaming breadth (stream-stream join, stateful sessions)
+    "stream_join_attribution" -> ((s, d) => StreamingAnalytics.streamJoinAttribution(s, d)),
+    "stream_session_windows" -> ((s, d) => StreamingAnalytics.streamSessionWindows(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -816,6 +829,129 @@ object SparkEntry {
            COUNT(*) AS n_vecs
          FROM (SELECT label, unnest(embedding) AS val,
                  generate_subscripts(embedding, 1) AS d FROM embeddings) t
-         WHERE d <= 8 GROUP BY label, d ORDER BY label, d"""
+         WHERE d <= 8 GROUP BY label, d ORDER BY label, d""",
+    "subq_scalar_corr" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+         FROM customer c
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+               (SELECT COUNT(*) FROM customer c2
+                WHERE c2.c_nationkey = c.c_nationkey)
+             > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3
+                WHERE c3.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "subq_exists" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "subq_in_notin" ->
+      """SELECT p_partkey, p_name
+         FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                             WHERE l_extendedprice > 104000)
+           AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                 WHERE l_quantity >= 50)
+         ORDER BY p_partkey""",
+    "subq_having" ->
+      """SELECT c_custkey, c_name, CAST(t.total_dec AS DOUBLE) AS total_spent,
+             t.n_orders
+         FROM customer c JOIN (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey
+           HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 3500000
+         ) t ON c.c_custkey = t.o_custkey
+         ORDER BY c_custkey""",
+    "grouping_sets_mix" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "split_assign" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+           (strpos('0123456789abcdef',
+              substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+              substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+         FROM documents)
+         SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+                     ELSE 'test' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                        FROM documents),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words WHERE doc_id < 50 GROUP BY 1, 2),
+         df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM words GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         scored AS (SELECT t.doc_id, t.word, t.tf, d.df,
+             ROUND(t.tf * ln(CAST(n.n_total AS DOUBLE) / d.df), 6) AS tfidf
+           FROM tf t JOIN df d USING (word) CROSS JOIN n),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, word) AS rk FROM scored)
+         SELECT doc_id, word, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                           JOIN sizes s2 ON x.d2 = s2.doc_id
+         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node)
+         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node ORDER BY node""",
+    "stream_join_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+         FROM events p JOIN events v ON v.user_id = p.user_id
+           AND p.event_type = 'purchase' AND v.event_type = 'view'
+           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+         ORDER BY purchase_id, view_ts""",
+    "stream_session_windows" ->
+      """SELECT user_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, ts, value, event_id,
+               CASE WHEN lag_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(lag_ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM (
+               SELECT user_id, ts, value, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+               FROM events) a) b) c
+         GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 }

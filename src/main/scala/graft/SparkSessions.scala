@@ -37,4 +37,13 @@ object SparkSessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // Completed AvailableNow streaming queries leave one state-store
+    // provider per shuffle partition loaded; the default 60s maintenance
+    // interval then wakes those threads to snapshot/GC checkpoint files
+    // WHILE later batch queries run, degrading them on IO-contended
+    // hosts (round-2 bench: every query after stream_* ran 3-20x slow).
+    // Short-lived sessions never benefit from background snapshotting —
+    // push it past any realistic session lifetime. Long-running streaming
+    // deployments should override this back to the default.
+    .config("spark.sql.streaming.stateStore.maintenanceInterval", "8h")
 }

@@ -203,4 +203,47 @@ object DedupOps {
           "array_distinct(split(text, ' '))").as("simhash"))
       .withColumn("bucket16", substring(col("simhash"), 1, 16))
       .orderBy(col("doc_id"))
+
+  /** Connected components over the near-dup pair graph: every document in
+    * a component gets the component's min doc_id as its cluster id — the
+    * step that turns pairwise near-dup evidence (here
+    * [[ngramJaccardPairs]]) into keep-one-per-cluster decisions.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round
+    * every node takes the min of its own label and its neighbors' labels
+    * (one equi-join + one min-agg per round, all standard shuffled
+    * operators; rounds = graph diameter). Convergence is detected by the
+    * strictly-decreasing label sum, ONE scalar per round rather than a
+    * changed-rows join. At 100 TB this exact loop runs with per-round
+    * checkpointing to cut lineage, or graduates to large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which bounds
+    * rounds by log(diameter); near-dup components are shallow (planted
+    * dup chains, diameter ~2-4), so plain propagation is the right
+    * default. The oracle reproduces the fixpoint declaratively with a
+    * recursive CTE over the same edges. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).cache()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
+      .head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("lbl").as("lbl")).cache()
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl"))
+        .head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == sum
+      sum = nextSum
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -49,4 +49,41 @@ object StreamingAnalytics {
       mode = "append")
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding 30 minutes, both sides watermarked so the
+    * buffered-view state is bounded
+    * ([[StreamingOps.streamStreamAttribution]]). Inner joins emit on
+    * match (the watermark only evicts state), so AvailableNow yields the
+    * complete result; the oracle is the identical batch interval join. */
+  def streamJoinAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val ev = StreamingOps.eventsStream(spark, dir)
+    val joined = StreamingOps.streamStreamAttribution(
+      views = ev.filter(col("event_type") === "view"),
+      purchases = ev.filter(col("event_type") === "purchase"))
+    StreamingOps.runAvailableNow(joined, mode = "append")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("purchase_ts"), fmt).as("purchase_ts"),
+        date_format(col("view_ts"), fmt).as("view_ts"))
+      .orderBy(col("purchase_id"), col("view_ts"))
+  }
+
+  /** Streaming session windows: the same gap-merged `session_window`
+    * operator as the batch `session_windows` query, run through a real
+    * stateful streaming plan; same oracle. */
+  def streamSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val in = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmt).as("session_start"),
+        date_format(col("session_window.end"), fmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+    StreamingOps.runAvailableNow(in, mode = "complete")
+      .orderBy(col("user_id"), col("session_start"))
+  }
 }

@@ -143,4 +143,54 @@ object TextAnalysis {
           .as("chars_per_bpe"))
       .orderBy(col("lang"))
   }
+
+  /** Deterministic train/val/test split assignment — the partitioning
+    * step of every training-data pipeline. The split is a pure function
+    * of the stable document key (`md5("doc:" <> doc_id)`, first byte:
+    * <204 train / <230 val / else test, i.e. ~80/10/10), so it is
+    * reproducible across runs, engines, and cluster sizes, needs no
+    * shuffle or global sort, and new documents never move existing ones
+    * between splits. The salt prefix decouples the split from other
+    * hash uses of the same key. Output is the per-split/lang census. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("doc:"), col("doc_id").cast("string")))
+    val b = conv(substring(h, 1, 2), 16, 10).cast("int")
+    Tables(spark, dir, "documents")
+      .select(
+        when(b < 204, "train").when(b < 230, "val").otherwise("test")
+          .as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** TF-IDF top terms per document: tf from a per-doc hash-agg, df from a
+    * distinct-agg over the posting list, idf joined back by term. The df
+    * side is corpus-wide but collapses to one row per TERM (vocabulary-
+    * sized, not corpus-sized), and the per-doc ranking window partitions
+    * by doc_id, so restricting the reported docs prunes the tf side
+    * without touching any other document's ranks. Ties break on the term
+    * string, making the top-k fully deterministic. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfRel = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nTotal = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfRel, "word")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }
