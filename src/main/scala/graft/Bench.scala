@@ -24,6 +24,14 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"))
         .write.format("noop").mode("overwrite").save()
       Tables(spark, sfDir, "events").selectExpr("max(ts)").collect()
+      // warm the Structured Streaming machinery (microbatch threads,
+      // checkpoint fs, state-store providers) on the smallest table so the
+      // first timed stream_* query isn't charged ~4s of one-time init
+      val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
+      graft.streaming.StreamingOps.runAvailableNow(
+        spark.readStream.schema(regionSchema).option("basePath", sfDir)
+          .parquet(s"$sfDir/region.*").groupBy("r_regionkey").count(),
+        mode = "complete").collect()
     } catch { case _: Throwable => () }
     // sorted for stable cross-round attribution; noop sink forces FULL
     // materialization of every output column (count() would let Catalyst

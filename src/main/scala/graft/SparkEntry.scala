@@ -103,8 +103,12 @@ object SparkEntry {
     "subq_in_notin" -> ((s, d) => Subqueries.inNotIn(s, d)),
     "subq_having" -> ((s, d) => Subqueries.havingBigSpenders(s, d)),
     "grouping_sets_mix" -> ((s, d) => Subqueries.groupingSetsMix(s, d)),
+    // ---- window range frames + reshape
+    "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
+    "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // ---- training-pipeline ops (north-star §7.5)
     "split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
+    "text_levenshtein" -> ((s, d) => DedupOps.levenshteinPairs(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // ---- streaming breadth (stream-stream join, stateful sessions)
@@ -875,6 +879,37 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rev_7d,
+         CAST(COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_7d
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
+    "unpivot_metrics" ->
+      """WITH base AS (SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, value
+         FROM (UNPIVOT base ON sum_qty, sum_price, sum_disc
+               INTO NAME metric VALUE value)
+         ORDER BY l_returnflag, metric""",
+    "text_levenshtein" ->
+      """WITH fp AS (SELECT doc_id, text, md5(substr(text, 1, 64)) AS f
+                     FROM documents)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+                AS BIGINT) AS lev
+         FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+         ORDER BY d1, d2""",
     "split_assign" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
            (strpos('0123456789abcdef',

@@ -221,6 +221,26 @@ object DedupOps {
     * dup chains, diameter ~2-4), so plain propagation is the right
     * default. The oracle reproduces the fixpoint declaratively with a
     * recursive CTE over the same edges. */
+  /** Edit-distance verification of fingerprint-blocked candidates: pairs
+    * sharing a 64-char-prefix md5 fingerprint get an exact Levenshtein
+    * distance on their 200-char prefixes. The blocking join keeps the
+    * O(len^2)-per-pair dynamic program off all non-candidate pairs (the
+    * same candidates-then-verify shape as MinHash -> Jaccard), and the
+    * prefix cap bounds per-pair cost at 100 TB. Distance 0 = exact prefix
+    * dup; small distances = the planted near-dups. */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(substring(col("text"), 1, 64)).as("f"))
+    fp.as("a")
+      .join(fp.as("b"), col("a.f") === col("b.f") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(substring(col("a.text"), 1, 200),
+          substring(col("b.text"), 1, 200)).cast("long").as("lev"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))

@@ -456,4 +456,41 @@ object Relational {
         dsum(col("o_totalprice")).as("total"),
         count(when(col("o_orderstatus") === "F", 1)).as("n_f"))
       .orderBy(col("bucket"))
+
+  /** Time-based RANGE window frames: per customer, the rolling 7-day
+    * order-revenue sum and count — the frame is bounded by the ORDER BY
+    * *value* (an interval on the timestamp), not a row count, so all
+    * orders on tied dates are peers and the result is tie-order
+    * independent. Accumulation is exact DECIMAL inside the frame, cast
+    * to double at the edge. One shuffle on the partition key serves both
+    * frames. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+          AS DOUBLE)""").as("rev_7d"),
+        expr("""COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""")
+          .as("n_7d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  /** Wide-to-long reshape (`Dataset.unpivot`, the relational MELT): the
+    * per-flag aggregate row unpivots into one (metric, value) row per
+    * measure. Unpivot is a zero-shuffle Expand over already-aggregated
+    * rows — the cheap direction of pivot/unpivot round-trips. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
 }

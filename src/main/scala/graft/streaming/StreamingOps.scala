@@ -108,11 +108,24 @@ object StreamingOps {
   def runAvailableNow(stream: DataFrame, mode: String): DataFrame = {
     val spark = stream.sparkSession
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful operators allocate one state-store provider PER shuffle
+    // partition at query start; results are partition-count-independent,
+    // so a harness-scale run shrinks that fixed cost (32 -> 8 stores)
+    // rather than paying cluster-sized parallelism for one file of input.
+    // The conf is restored right after — it binds at query START, and a
+    // restarted production query would pick its own setting from its
+    // checkpoint anyway.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, math.min(8, prev.toInt).toString)
+        stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.table(name)
   }
