@@ -11,34 +11,33 @@ import graft.expressions.{CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets,
   * native Expression — no UDF serialization, full Catalyst visibility). */
 object ExprColumns {
 
+  /** Name -> Expression builder for every graft SQL function — the single
+    * source both registration paths consume ([[register]] for ad-hoc
+    * sessions, [[graft.GraftExtensions]] for `spark.sql.extensions`
+    * deployments). */
+  val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_cosine_f32" -> (exprs => CosineSimilarityF32(exprs(0), exprs(1))),
+    "graft_hyperplane_lsh" -> (exprs => HyperplaneLshBuckets(exprs.head, 32, 8)),
+    "graft_parse_af_ts" -> (exprs => ParseAfTimestamp(exprs.head)),
+    "graft_minhash_buckets" -> (exprs => MinHashBandBuckets(exprs.head, 9, 3)),
+    "graft_hashed_tf64" -> (exprs => HashedTf64(exprs.head)),
+    "graft_shingles" -> (exprs => {
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles k must be an int literal, got $other")
+      }
+      WordShingles(exprs(0), k)
+    }))
+
   /** Idempotently register graft's expressions on this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_cosine_f32",
-      exprs => CosineSimilarityF32(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_hyperplane_lsh",
-      exprs => HyperplaneLshBuckets(exprs.head, 32, 8), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_parse_af_ts", exprs => ParseAfTimestamp(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_buckets",
-      exprs => MinHashBandBuckets(exprs.head, 9, 3), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_hashed_tf64", exprs => HashedTf64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_shingles", exprs => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles k must be an int literal, got $other")
-        }
-        WordShingles(exprs(0), k)
-      }, "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Distinct k-word shingles (fast one-pass form of
