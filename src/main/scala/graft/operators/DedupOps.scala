@@ -245,8 +245,10 @@ object DedupOps {
     val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).cache()
+    // seed = min(self, neighbors): round 1 fused into the init aggregate,
+    // so the loop below only runs for components of diameter > 1
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("lbl")).cache()
     var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
       .head.getLong(0)
     var converged = false
