@@ -67,6 +67,8 @@ object SparkEntry {
     "join_range_bands" -> ((s, d) => EventAnalytics.rangeJoinBands(s, d)),
     "skew_salted_agg" -> ((s, d) => EventAnalytics.saltedTypeStats(s, d)),
     "skew_salted_join" -> ((s, d) => EventAnalytics.saltedDimJoin(s, d)),
+    "events_funnel" -> ((s, d) => EventAnalytics.funnelSteps(s, d)),
+    "events_retention" -> ((s, d) => EventAnalytics.cohortRetention(s, d)),
     // ---- structured streaming (real streaming plans, AvailableNow)
     "stream_tumbling_hourly" -> ((s, d) => StreamingAnalytics.streamTumblingHourly(s, d)),
     "stream_distinct_pairs" -> ((s, d) => StreamingAnalytics.streamDistinctPairs(s, d)),
@@ -879,6 +881,30 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+               JOIN v ON e.user_id = v.user_id
+                 AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 3 DAY
+               WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+               JOIN c ON e.user_id = c.user_id
+                 AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 3 DAY
+               WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase""",
+    "events_retention" ->
+      """WITH first AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+                        FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+                CAST(d - d0 AS BIGINT) AS day_offset,
+                CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+         FROM act JOIN first USING (user_id)
+         WHERE d - d0 BETWEEN 0 AND 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date,

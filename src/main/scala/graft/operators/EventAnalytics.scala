@@ -282,6 +282,51 @@ object EventAnalytics {
         (col("t").isNull).cast("long").as("is_null"))
       .orderBy(col("event_id"))
 
+  /** Conversion funnel (view -> click -> purchase, each step within 3
+    * days of the previous step's FIRST occurrence): the cornerstone
+    * attribution-analytics query. Three per-user min-aggregates chained
+    * by inequality joins — every join and aggregate keys on user_id, so
+    * one hash partitioning serves the whole funnel and each step's
+    * relation only shrinks (users who converted so far). No window
+    * functions, no cross join; the step count is the only sequential
+    * depth, exactly as a 1000-executor run wants it. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val step = "INTERVAL 3 DAYS"
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("vt") && col("ts") <= col("vt") + expr(step))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("ct") && col("ts") <= col("ct") + expr(step))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Cohort retention: users grouped by first-activity date, counted on
+    * each of the following 7 days they return. Two aggregates (first day
+    * per user, distinct active days per user) joined on user_id — the
+    * day-offset matrix never exceeds |cohorts| x 8 rows regardless of
+    * event volume. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    active.join(first, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("d0")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** JSON extraction from the `props` column + conditional agg. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

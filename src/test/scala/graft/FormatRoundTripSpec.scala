@@ -43,4 +43,50 @@ class FormatRoundTripSpec extends SparkSpec {
     sample.write.orc(dir)
     assertSame(sample, spark.read.orc(dir))
   }
+
+  test("malformed csv rows land in _corrupt_record, not exceptions (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    val f = new java.io.PrintWriter(s"$dir/bad.csv")
+    f.println("event_id,value")
+    f.println("1,10.5")
+    f.println("not_a_number,oops,extra_field")
+    f.println("3,7.25")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(dir)
+      .cache() // corrupt-record column requires the raw row to be retained
+    assert(df.count() == 3, "no row may be dropped or throw in PERMISSIVE mode")
+    val bad = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head.getString(2).startsWith("not_a_number"))
+    val good = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+    assert(good.count() == 2)
+    df.unpersist()
+  }
+
+  test("FAILFAST mode surfaces the malformed row as an error") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_failfast").toString
+    val f = new java.io.PrintWriter(s"$dir/bad.csv")
+    f.println("event_id,value")
+    f.println("1,10.5")
+    f.println("zzz,1.0")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", true).option("mode", "FAILFAST")
+        .schema(schema).csv(dir).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
