@@ -105,7 +105,8 @@ object SparkEntry {
     "subq_in_notin" -> ((s, d) => Subqueries.inNotIn(s, d)),
     "subq_having" -> ((s, d) => Subqueries.havingBigSpenders(s, d)),
     "grouping_sets_mix" -> ((s, d) => Subqueries.groupingSetsMix(s, d)),
-    // ---- window range frames + reshape
+    // ---- window range frames + reshape + typed aggregator
+    "topk_aggregator" -> ((s, d) => Relational.topkAggregated(s, d)),
     "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // ---- training-pipeline ops (north-star §7.5)
@@ -905,6 +906,14 @@ object SparkEntry {
          FROM act JOIN first USING (user_id)
          WHERE d - d0 BETWEEN 0 AND 7
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "topk_aggregator" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk,
+                o_totalprice AS price, o_orderkey AS orderkey
+         FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders) t
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -457,6 +457,27 @@ object Relational {
         count(when(col("o_orderstatus") === "F", 1)).as("n_f"))
       .orderBy(col("bucket"))
 
+  /** Typed-Dataset custom aggregation: per-priority top-3 order values
+    * via [[graft.functions.TopKAggregator]] (`Aggregator[IN,BUF,OUT]` +
+    * `groupByKey`). Unlike the window-rank form ([[topOrdersPerCustomer]])
+    * this shuffles only k-row buffers per partition — the map-side
+    * partial-aggregation shape that survives any group cardinality. */
+  def topkAggregated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(3).toColumn
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .toDF("o_orderpriority", "topk")
+      .select(col("o_orderpriority"), posexplode(col("topk")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._1").as("price"), col("col._2").as("orderkey"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   /** Time-based RANGE window frames: per customer, the rolling 7-day
     * order-revenue sum and count — the frame is bounded by the ORDER BY
     * *value* (an interval on the timestamp), not a row count, so all
