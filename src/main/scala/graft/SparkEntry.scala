@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, Subqueries, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -116,7 +116,16 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // ---- streaming breadth (stream-stream join, stateful sessions)
     "stream_join_attribution" -> ((s, d) => StreamingAnalytics.streamJoinAttribution(s, d)),
-    "stream_session_windows" -> ((s, d) => StreamingAnalytics.streamSessionWindows(s, d))
+    "stream_session_windows" -> ((s, d) => StreamingAnalytics.streamSessionWindows(s, d)),
+    // ---- temporal state maintenance (merge/SCD2/gap-fill)
+    "merge_upsert" -> ((s, d) => Temporal.mergeUpsert(s, d)),
+    "scd2_history" -> ((s, d) => Temporal.scd2History(s, d)),
+    "gap_fill_hourly" -> ((s, d) => Temporal.gapFill(s, d)),
+    // ---- collection/argmax aggregates, lateral SQL, chunking, sampling
+    "agg_collect" -> ((s, d) => Relational.aggCollect(s, d)),
+    "lateral_topn" -> ((s, d) => Subqueries.lateralTopn(s, d)),
+    "text_chunks" -> ((s, d) => TextAnalysis.textChunks(s, d)),
+    "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1022,6 +1031,116 @@ object SparkEntry {
                SELECT user_id, ts, value, event_id,
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
                FROM events) a) b) c
-         GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "merge_upsert" ->
+      """WITH target AS (
+           SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+           FROM customer WHERE c_custkey % 3 <> 0),
+         source AS (
+           SELECT o_custkey AS key,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         SELECT COALESCE(t.key, s.key) AS key,
+           CASE WHEN t.bal IS NOT NULL AND s.delta IS NOT NULL THEN 'update'
+                WHEN t.bal IS NULL THEN 'insert' ELSE 'keep' END AS action,
+           CAST(COALESCE(t.bal, 0) + COALESCE(s.delta, 0) AS DOUBLE) AS new_bal
+         FROM target t FULL OUTER JOIN source s ON t.key = s.key
+         ORDER BY key""",
+    "scd2_history" ->
+      """WITH runs AS (
+           SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM (
+             SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+             FROM events) a),
+         agg AS (
+           SELECT user_id, run_id, event_type, MIN(ts) AS vf,
+                  COUNT(*) AS n_events
+           FROM runs GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                             '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           n_events
+         FROM agg ORDER BY user_id, run_id""",
+    "gap_fill_hourly" ->
+      """WITH spine AS (
+           SELECT s.h AS hour_start, t.event_type
+           FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-02 23:00:00',
+                                INTERVAL 1 HOUR) s(h)
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+         observed AS (
+           SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                  COUNT(*) AS n,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS avg_raw
+           FROM events
+           WHERE value > 100 AND ts < TIMESTAMP '2024-01-03 00:00:00'
+           GROUP BY 1, 2)
+         SELECT sp.event_type,
+           strftime(sp.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(o.n, 0) AS n,
+           COALESCE(last_value(o.avg_raw IGNORE NULLS) OVER (
+             PARTITION BY sp.event_type ORDER BY sp.hour_start
+             ROWS UNBOUNDED PRECEDING), -1.0) AS filled_avg
+         FROM spine sp LEFT JOIN observed o
+           ON sp.hour_start = o.hour_start AND sp.event_type = o.event_type
+         ORDER BY sp.event_type, hour_start""",
+    "agg_collect" ->
+      """WITH base AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                    AS statuses
+           FROM orders GROUP BY 1),
+         mx AS (SELECT o_orderpriority, o_orderkey AS top_key FROM (
+           SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey DESC) AS r
+           FROM orders) WHERE r = 1),
+         mn AS (SELECT o_orderpriority, o_orderkey AS bot_key FROM (
+           SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS r
+           FROM orders) WHERE r = 1)
+         SELECT base.o_orderpriority, n, statuses, top_key, bot_key
+         FROM base JOIN mx USING (o_orderpriority) JOIN mn USING (o_orderpriority)
+         ORDER BY base.o_orderpriority""",
+    "lateral_topn" ->
+      """SELECT n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+         FROM nation,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+         ORDER BY n_name, acctbal DESC, c_custkey""",
+    "text_chunks" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l
+                    FROM documents WHERE doc_id < 40),
+         c AS (SELECT doc_id, l,
+                 unnest(generate_series(0, CAST(greatest(0,
+                   ceil((len(l) - 40) / 20.0)) AS BIGINT))) AS chunk_idx
+               FROM s)
+         SELECT doc_id, chunk_idx,
+           md5(array_to_string(l[(chunk_idx*20+1):(chunk_idx*20+40)], ' '))
+             AS chunk_md5,
+           CAST(len(l[(chunk_idx*20+1):(chunk_idx*20+40)]) AS BIGINT)
+             AS n_words
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "sample_stratified" ->
+      """WITH h AS (SELECT lang, source, n_chars,
+           (strpos('0123456789abcdef',
+              substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+              substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+         FROM documents)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM h WHERE b < CASE WHEN lang = 'en' THEN 64 ELSE 128 END
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

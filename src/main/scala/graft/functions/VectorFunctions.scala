@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
+import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -29,6 +29,15 @@ object ExprColumns {
           s"graft_shingles k must be an int literal, got $other")
       }
       WordShingles(exprs(0), k)
+    }),
+    "graft_chunk_words" -> (exprs => {
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_chunk_words size/stride must be int literals, got $other")
+        }
+      ChunkWords(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
     }))
 
   /** Idempotently register graft's expressions on this session. */

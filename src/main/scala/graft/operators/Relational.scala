@@ -478,6 +478,25 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Collection + argmax aggregates in one pass: per priority, the sorted
+    * distinct status set (`collect_set`) and the order ids with the
+    * highest/lowest totalprice (`max_by`/`min_by` over a (price, key)
+    * struct — struct ordering supplies the deterministic tie-break
+    * without a second aggregate or a window). All four are hash-agg
+    * partial-mergeable, so only per-partition partials shuffle; compare
+    * with the window formulation that would shuffle every row. */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_key"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bot_key"))
+      .orderBy(col("o_orderpriority"))
+
   /** Time-based RANGE window frames: per customer, the rolling 7-day
     * order-revenue sum and count — the frame is bounded by the ORDER BY
     * *value* (an interval on the timestamp), not a row count, so all

@@ -126,4 +126,24 @@ object Subqueries {
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """)
   }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-3 customers
+    * by balance per nation. Catalyst decorrelates the limit-per-group
+    * into a partitioned rank filter (`RewriteLateralSubquery`), i.e. the
+    * same physical plan as an explicit window — but expressed in the SQL
+    * form users port from Postgres/DuckDB. Tie-broken on c_custkey so the
+    * result is deterministic. */
+  def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "nation")
+    view(spark, dir, "customer")
+    spark.sql("""
+      SELECT n_name, t.c_custkey,
+             CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      FROM graft_nation,
+      LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+      ORDER BY n_name, acctbal DESC, c_custkey
+    """)
+  }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal/state maintenance operators: the reference's whole job is an
+  * incremental upsert-flavored ingest (window re-scan + anti-join + append,
+  * main.py:168-188); these queries generalize that pattern to the three
+  * shapes a warehouse actually maintains — MERGE upserts, SCD2 history,
+  * and gap-filled time series.
+  *
+  * Scale posture: every operator is a keyed shuffle (join or window) on
+  * the natural partition key (customer / user / event_type), no
+  * driver-side state, AQE-eligible.
+  */
+object Temporal {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** MERGE-style upsert resolved as one FULL OUTER join: target rows
+    * matched by source get updated balances, unmatched source keys become
+    * inserts, unmatched target rows are kept. This is the batch image of
+    * `MERGE INTO target USING source ON key WHEN MATCHED ... WHEN NOT
+    * MATCHED ...` — the reference's anti-join (J1, main.py:168-181) is
+    * exactly the "WHEN NOT MATCHED INSERT" third of this plan. Money
+    * accumulates in DECIMAL (exact, order-independent) and casts to
+    * DOUBLE only at the output edge. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0) // carve out keys so real inserts exist
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val source = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy(col("key"))
+      .agg(sum(col("price")).as("delta"))
+    target.join(source, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("bal").isNotNull && col("delta").isNotNull, "update")
+          .when(col("bal").isNull, "insert")
+          .otherwise("keep").as("action"),
+        (coalesce(col("bal"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("delta"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("new_bal"))
+      .orderBy(col("key"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: collapse each
+    * user's event stream into runs of consecutive equal `event_type`, each
+    * run becoming one versioned row with `[valid_from, valid_to)` and an
+    * open 9999-12-31 end for the current version. Gaps-and-islands via
+    * lag-compare + running sum of change flags; both pre-agg windows share
+    * the user_id partitioning so ONE shuffle feeds them, and the post-agg
+    * lead() window rides the (user_id, run_id, ...) hash partitioning's
+    * superset key — Catalyst inserts the narrower re-shuffle only for the
+    * final window, over run-level (not event-level) rows. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables(spark, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("vt", lead(col("vf"), 1).over(byRun))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        date_format(col("vf"), fmt).as("valid_from"),
+        coalesce(date_format(col("vt"), fmt), lit("9999-12-31 00:00:00"))
+          .as("valid_to"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  /** Gap-filled hourly time series with forward fill: a generated hour ×
+    * event_type spine (no input scan — `sequence` + explode is pure
+    * compute) left-joins the observed hourly aggregate; missing hours
+    * count 0 and carry the last observed hourly average forward
+    * (`last(ignoreNulls)` over an unbounded-preceding frame). The spine
+    * side is tiny (hours × types), so the join broadcasts it; the fact
+    * scan is pruned by the pushed time/value predicate. Leading hours
+    * before a type's first observation report -1 (no history to carry). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hours = spark.range(1).select(explode(sequence(
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-01-02 23:00:00").cast("timestamp"),
+      expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = Tables(spark, dir, "events")
+      .select(col("event_type")).distinct()
+    val spine = hours.crossJoin(types)
+    val observed = Tables(spark, dir, "events")
+      .filter(col("value") > 100 &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).as("sv"))
+      .withColumn("avg_raw", round(col("sv").cast("double") / col("n"), 6))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(observed, Seq("hour_start", "event_type"), "left")
+      .withColumn("filled_avg",
+        coalesce(last(col("avg_raw"), ignoreNulls = true).over(byType),
+          lit(-1.0)))
+      .select(col("event_type"),
+        date_format(col("hour_start"), fmt).as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"), col("filled_avg"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+}

@@ -193,4 +193,35 @@ object TextAnalysis {
         col("tfidf"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Overlapping passage chunking via the [[graft.expressions.ChunkWords]]
+    * table function (40-word windows, stride 20): the pre-embedding step
+    * of a RAG/training corpus build. Chunks stream out of `GenerateExec`
+    * without an intermediate array column; text is reported as md5 so the
+    * verified relation stays narrow. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), expr("graft_chunk_words(text, 40, 20)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_md5"), col("n_words"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep-rates applied
+    * via a salted md5 of the stable document key (en 25%, others 50%).
+    * Like [[splitAssign]] the decision is a pure row-local function — no
+    * shuffle, no global sort, reproducible on any cluster size, and a
+    * grown corpus never resamples existing documents. Output is the
+    * per-(lang, source) census of the kept sample. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("smp:"), col("doc_id").cast("string")))
+    val b = conv(substring(h, 1, 2), 16, 10).cast("int")
+    Tables(spark, dir, "documents")
+      .filter(b < when(col("lang") === "en", 64).otherwise(128))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

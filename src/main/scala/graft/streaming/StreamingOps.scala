@@ -119,7 +119,7 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     val q =
       try {
-        spark.conf.set(key, math.min(8, prev.toInt).toString)
+        spark.conf.set(key, math.min(2, prev.toInt).toString)
         stream.writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
