@@ -32,6 +32,24 @@ object Bench {
         spark.readStream.schema(regionSchema).option("basePath", sfDir)
           .parquet(s"$sfDir/region.*").groupBy("r_regionkey").count(),
         mode = "complete").collect()
+      // ...and the stream-stream join + session-window state machinery
+      // (each allocates its own store kind on first use; without this the
+      // init cost lands on the first stream_join_*/stream_session_* query)
+      import org.apache.spark.sql.functions.{col, current_timestamp, session_window}
+      def tinyStream = spark.readStream.schema(regionSchema)
+        .option("basePath", sfDir).parquet(s"$sfDir/region.*")
+        .withColumn("t", current_timestamp())
+      val l = tinyStream.select(col("r_regionkey").as("k"), col("t").as("lt"))
+        .withWatermark("lt", "1 minute")
+      val r = tinyStream.select(col("r_regionkey").as("k2"), col("t").as("rt"))
+        .withWatermark("rt", "1 minute")
+      graft.streaming.StreamingOps.runAvailableNow(
+        l.join(r, col("k") === col("k2") &&
+          col("rt") >= col("lt") - org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE") &&
+          col("rt") <= col("lt")), mode = "append").collect()
+      graft.streaming.StreamingOps.runAvailableNow(
+        tinyStream.groupBy(session_window(col("t"), "1 minute"), col("r_regionkey"))
+          .count(), mode = "complete").collect()
     } catch { case _: Throwable => () }
     // sorted for stable cross-round attribution; noop sink forces FULL
     // materialization of every output column (count() would let Catalyst

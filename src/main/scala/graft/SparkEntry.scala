@@ -125,7 +125,8 @@ object SparkEntry {
     "agg_collect" -> ((s, d) => Relational.aggCollect(s, d)),
     "lateral_topn" -> ((s, d) => Subqueries.lateralTopn(s, d)),
     "text_chunks" -> ((s, d) => TextAnalysis.textChunks(s, d)),
-    "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d))
+    "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "feature_zscore" -> ((s, d) => EventAnalytics.featureZscore(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1141,6 +1142,21 @@ object SparkEntry {
          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM h WHERE b < CASE WHEN lang = 'en' THEN 64 ELSE 128 END
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "feature_zscore" ->
+      """WITH stats AS (
+           SELECT event_type, COUNT(*) AS n,
+                  SUM(CAST(value AS DECIMAL(28,4))) AS s,
+                  SUM(CAST(CAST(value AS DECIMAL(18,4))
+                       * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS ss
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - CAST(s AS DOUBLE) / n)
+             / sqrt(CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+             AS z
+         FROM events e JOIN stats USING (event_type)
+         WHERE e.event_id < 300
+         ORDER BY e.event_id"""
   )
 }

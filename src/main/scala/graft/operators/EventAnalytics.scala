@@ -338,4 +338,28 @@ object EventAnalytics {
         max(col("k")).as("max_k"),
         count(when(col("k") >= 50, 1)).as("n_high"))
       .orderBy(col("event_type"))
+
+  /** Per-group z-score normalization (feature scaling for model input):
+    * group moments accumulate as exact DECIMAL sums (sum, sum-of-squares,
+    * count — order-independent, so partition layout can't perturb them),
+    * convert to double mean/std once per GROUP, then broadcast-join the
+    * 5-row stats relation back onto the rows. Same double formula on both
+    * engines => bit-identical z. At 100 TB the stats side stays
+    * group-cardinality-sized and the row pass is map-only. */
+  def featureZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,4)")).as("s"),
+      sum((col("value").cast("decimal(18,4)") *
+        col("value").cast("decimal(18,4)")).cast("decimal(38,8)")).as("ss"))
+    ev.filter(col("event_id") < 300)
+      .join(broadcast(stats), "event_type")
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("std",
+        sqrt(col("ss").cast("double") / col("n") - col("mean") * col("mean")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
 }

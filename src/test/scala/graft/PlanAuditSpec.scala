@@ -105,4 +105,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
     assert(!p.contains("l_comment"))
   }
+
+  test("lateral top-n decorrelates to WindowGroupLimit, not a per-row loop") {
+    val p = plan(graft.operators.Subqueries.lateralTopn(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      "the LIMIT-per-group must become a rank filter with map-side partial limit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gap fill: generated spine broadcasts; value filter reaches the scan") {
+    val p = plan(graft.operators.Temporal.gapFill(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the hour x type spine join must broadcast, never shuffle the facts")
+    assert(p.contains("GreaterThan(value,100.0)"),
+      "the thinning predicate must be pushed to the parquet scan")
+  }
+
+  test("chunking generator streams through GenerateExec without an array column") {
+    val p = plan(graft.operators.TextAnalysis.textChunks(spark, sf0001))
+    assert(p.contains("Generate"), "ChunkWords must plan as a Generate node")
+    assert(p.contains("LessThan(doc_id,40)"),
+      "the doc filter must still reach the scan below the generator")
+  }
+
+  test("typed top-k aggregator keeps partial aggregation (only buffers shuffle)") {
+    val df = graft.operators.Relational.topkAggregated(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // two ObjectHashAggregate phases around one exchange = map-side partials
+    assert("ObjectHashAggregate|SortAggregate".r
+      .findAllIn(executed).size >= 2,
+      "Aggregator must run as partial + final, not a single post-shuffle agg")
+  }
 }
