@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Multimodal, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -126,7 +126,9 @@ object SparkEntry {
     "lateral_topn" -> ((s, d) => Subqueries.lateralTopn(s, d)),
     "text_chunks" -> ((s, d) => TextAnalysis.textChunks(s, d)),
     "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
-    "feature_zscore" -> ((s, d) => EventAnalytics.featureZscore(s, d))
+    "feature_zscore" -> ((s, d) => EventAnalytics.featureZscore(s, d)),
+    "dq_profile" -> ((s, d) => Quality.dqProfile(s, d)),
+    "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1157,6 +1159,37 @@ object SparkEntry {
              AS z
          FROM events e JOIN stats USING (event_type)
          WHERE e.event_id < 300
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+    "dq_profile" ->
+      """WITH
+         c1 AS (SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           FROM orders),
+         c2 AS (SELECT 'o_totalprice', COUNT(*),
+           COUNT(*) - COUNT(o_totalprice),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL FROM orders),
+         c3 AS (SELECT 'o_orderdate', COUNT(*),
+           COUNT(*) - COUNT(o_orderdate),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), NULL, NULL,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders),
+         c4 AS (SELECT 'o_orderpriority', COUNT(*),
+           COUNT(*) - COUNT(o_orderpriority),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL,
+           MIN(o_orderpriority), MAX(o_orderpriority) FROM orders),
+         c5 AS (SELECT 'o_orderstatus', COUNT(*),
+           COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL,
+           MIN(o_orderstatus), MAX(o_orderstatus) FROM orders)
+         SELECT * FROM c1 UNION ALL SELECT * FROM c2
+         UNION ALL SELECT * FROM c3
+         UNION ALL SELECT * FROM c4
+         UNION ALL SELECT * FROM c5
+         ORDER BY "column""""
   )
 }

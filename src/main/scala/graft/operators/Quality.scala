@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality / profiling operators — the observability layer around an
+  * ingest pipeline (the reference's only observability is two row-count
+  * prints, main.py:176,181; SURVEY.md §2 A1).
+  */
+object Quality {
+
+  /** Per-column profile of the orders table: row count, null count, exact
+    * distinct count, min/max (typed: numeric columns report DOUBLE
+    * min/max, string/timestamp columns report VARCHAR — never a
+    * double-to-string cast, whose formatting is engine-specific).
+    *
+    * One pruned single-column scan per profiled column, unioned: each agg
+    * is fully partial-aggregatable (no Expand — a multi-column exact
+    * `COUNT(DISTINCT)` agg would replicate every row per distinct column
+    * at 100 TB), the parquet reader touches exactly one column per pass,
+    * and the passes parallelize independently. Profiling N columns this
+    * way costs N pruned column scans, not one N-times-expanded shuffle.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "orders")
+    def num(c: String): DataFrame = t.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_num"),
+      max(col(c)).cast("double").as("max_num"))
+      .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    def str(c: String, v: Column): DataFrame = t.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(v)).as("n_null"),
+      countDistinct(v).as("n_distinct"),
+      min(v).as("min_str"),
+      max(v).as("max_str"))
+      .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col("min_str"), col("max_str"))
+    num("o_custkey")
+      .unionByName(num("o_totalprice"))
+      .unionByName(str("o_orderdate",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
+      .unionByName(str("o_orderpriority", col("o_orderpriority")))
+      .unionByName(str("o_orderstatus", col("o_orderstatus")))
+      .orderBy(col("column"))
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    * into Spark 4): per-priority customer sketches, then a union-merge of
+    * those 5 sketches for the global estimate — the re-aggregation a
+    * 100 TB pipeline relies on (partition sketches roll up without
+    * re-reading rows; exact COUNT(DISTINCT) cannot). No SQL oracle —
+    * estimates are sketch-implementation-specific — so the driver records
+    * a rows-only check; the exact-vs-estimate agreement is asserted in
+    * ApproxSpec instead. */
+  def sketchHllNoracle(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val global = per.agg(
+      lit("ALL").as("o_orderpriority"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
+      sum(col("n_rows")).as("n_rows"))
+    per.select(col("o_orderpriority"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
+      .unionByName(global.select(col("o_orderpriority"),
+        col("est_distinct"), col("n_rows")))
+      .orderBy(col("o_orderpriority"))
+  }
+}

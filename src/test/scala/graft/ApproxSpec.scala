@@ -26,4 +26,25 @@ class ApproxSpec extends SparkSpec {
         s"approx median too far off: $am vs $em")
     }
   }
+
+  test("HLL sketches: per-group estimates track exact; union-merge tracks global") {
+    import org.apache.spark.sql.functions._
+    val sk = graft.operators.Quality.sketchHllNoracle(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val orders = Tables(spark, sf0001, "orders")
+    val exactPer = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exactPer.foreach { case (p, exact) =>
+      assert(math.abs(sk(p) - exact) / exact < 0.05,
+        s"sketch estimate off for $p: ${sk(p)} vs $exact")
+    }
+    val exactAll = orders.select(countDistinct(col("o_custkey")))
+      .head.getLong(0).toDouble
+    assert(math.abs(sk("ALL") - exactAll) / exactAll < 0.05,
+      s"merged sketch off: ${sk("ALL")} vs $exactAll")
+    // merged estimate must NOT be the sum of the parts (it deduplicates
+    // customers appearing under several priorities)
+    assert(sk("ALL") < sk.filterKeys(_ != "ALL").values.sum * 0.95)
+  }
 }
