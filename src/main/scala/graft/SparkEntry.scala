@@ -128,6 +128,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "feature_zscore" -> ((s, d) => EventAnalytics.featureZscore(s, d)),
     "dq_profile" -> ((s, d) => Quality.dqProfile(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
 
@@ -1190,6 +1191,25 @@ object SparkEntry {
          UNION ALL SELECT * FROM c3
          UNION ALL SELECT * FROM c4
          UNION ALL SELECT * FROM c5
-         ORDER BY "column""""
+         ORDER BY "column"""",
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           text, CAST(length(text) AS BIGINT) AS orig_len,
+           CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
+           FROM documents WHERE doc_id < 200),
+         k AS (SELECT *, greatest(1, CAST(ceil(nf / 8.0) AS BIGINT))
+                 AS stride FROM d),
+         fr AS (SELECT doc_id, modality, orig_len, stride, text,
+                  unnest(generate_series(0, nf - 1)) AS f FROM k),
+         kept AS (SELECT doc_id, modality, orig_len,
+             string_agg(substr(text, CAST(f * 64 + 1 AS BIGINT), 64),
+                        '' ORDER BY f) AS resized
+           FROM fr WHERE f % stride = 0 GROUP BY 1, 2, 3)
+         SELECT doc_id, modality, orig_len,
+           CAST(length(resized) AS BIGINT) AS resized_len,
+           md5(resized) AS resized_md5
+         FROM kept ORDER BY doc_id"""
   )
 }

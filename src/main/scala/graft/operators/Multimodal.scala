@@ -118,6 +118,42 @@ object Multimodal {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("modality"))
 
+  /** Payload "resize": downsample each payload to a target frame budget
+    * by keeping every k-th 64-byte frame (k = ceil(n_frames / target)) and
+    * re-concatenating the kept frames into a NEW smaller binary payload —
+    * the thumbnail/preview transform, byte-level. Runs as a narrow
+    * per-partition pass (one `ByteArrayOutputStream` per row, plain
+    * `arraycopy`, no shuffle); the doc filter is pushed below the typed
+    * map into the parquet scan. Output reports the resized payload as
+    * md5 + length so the verified relation never carries binary. */
+  def resizePayloads(spark: SparkSession, dir: String,
+                     targetFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    val resized = mediaRecords(spark, dir)
+      .filter(col("doc_id") < 200)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val nf = ((r.byte_len + 63) / 64).toInt
+          val k = math.max(1, math.ceil(nf.toDouble / targetFrames).toInt)
+          val out = new java.io.ByteArrayOutputStream(targetFrames * 64)
+          var f = 0
+          while (f < nf) {
+            if (f % k == 0) {
+              val start = f * 64
+              out.write(r.payload, start,
+                math.min(64, r.payload.length - start))
+            }
+            f += 1
+          }
+          (r.doc_id, r.modality, r.byte_len, out.toByteArray)
+        }
+      }.toDF("doc_id", "modality", "orig_len", "resized")
+    resized.select(col("doc_id"), col("modality"), col("orig_len"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Full decode pipeline through the fake decoder: per-document frame
     * count + first two feature bytes (as exact ints so the oracle compares
     * without float tolerance). */

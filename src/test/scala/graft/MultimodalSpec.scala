@@ -56,4 +56,32 @@ class MultimodalSpec extends SparkSpec {
       assert(math.round(f * 255) == (b & 0xff))
     }
   }
+
+  test("resize keeps at most target frames and is identity for small payloads") {
+    import org.apache.spark.sql.functions.col
+    val target = 8
+    val rows = Multimodal.resizePayloads(spark, sf0001, target).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getAs[Long]("orig_len")
+      val resized = r.getAs[Long]("resized_len")
+      assert(resized <= target.toLong * 64, s"over budget: $r")
+      assert(resized <= orig)
+      // payloads already within budget pass through whole
+      if (orig <= target * 64) assert(resized == orig, s"should be identity: $r")
+    }
+    // identity case really verified byte-for-byte: md5 equals payload md5
+    val small = Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.encode(col("text"), "UTF-8")).as("m"),
+        org.apache.spark.sql.functions.length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    rows.foreach { r =>
+      val (m, len) = small(r.getAs[Long]("doc_id"))
+      if (len <= target * 64)
+        assert(r.getAs[String]("resized_md5") == m)
+    }
+  }
 }
