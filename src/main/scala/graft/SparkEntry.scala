@@ -129,6 +129,8 @@ object SparkEntry {
     "feature_zscore" -> ((s, d) => EventAnalytics.featureZscore(s, d)),
     "dq_profile" -> ((s, d) => Quality.dqProfile(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
+    "window_firstlast" -> ((s, d) => Relational.windowFirstLast(s, d)),
+    "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
 
@@ -1210,6 +1212,27 @@ object SparkEntry {
          SELECT doc_id, modality, orig_len,
            CAST(length(resized) AS BIGINT) AS resized_len,
            md5(resized) AS resized_md5
-         FROM kept ORDER BY doc_id"""
+         FROM kept ORDER BY doc_id""",
+    "window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM orders WHERE o_custkey < 300
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "join_nullsafe" ->
+      """WITH ev AS (SELECT CASE WHEN CAST(json_extract_string(props, '$.k')
+             AS INTEGER) < 10 THEN NULL
+             ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 5
+           END AS k10 FROM events),
+         dim AS (SELECT DISTINCT k10 AS dk,
+             COALESCE('b' || CAST(k10 AS VARCHAR), 'b_null') AS bucket_label
+           FROM ev)
+         SELECT bucket_label, COUNT(*) AS n
+         FROM ev JOIN dim ON ev.k10 IS NOT DISTINCT FROM dim.dk
+         GROUP BY 1 ORDER BY 1"""
   )
 }

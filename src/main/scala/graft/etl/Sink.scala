@@ -53,6 +53,29 @@ object Sink {
     }
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes`. Incremental appends (the reference runs
+    * every 2 hours — F4) accrete one small file per task per run; at
+    * warehouse scale the resulting file count, not data size, dominates
+    * scan planning and NameNode/listing cost. File count is derived from
+    * the actual on-disk bytes, and rows are round-robin repartitioned for
+    * even output sizes. Writes to a NEW directory (an in-place rewrite
+    * that fails mid-job would destroy data); the caller swaps paths.
+    * Returns the number of files written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(destPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(destPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** K2 — read the dedup probe side with projection+predicate pushed down.
     * On JDBC this is a pushdown subquery (the reference hand-writes the
     * same SELECT at main.py:172-174); on parquet Catalyst pushes both

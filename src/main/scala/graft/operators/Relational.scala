@@ -497,6 +497,44 @@ object Relational {
           struct(col("o_totalprice"), col("o_orderkey"))).as("bot_key"))
       .orderBy(col("o_orderpriority"))
 
+  /** first_value / last_value / nth_value over a full-partition frame:
+    * each order row sees its customer's first, last, and second order key
+    * in date order (deterministic tie-break on the key). The explicit
+    * UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING frame is the point — the
+    * default frame for ordered windows stops at CURRENT ROW, where
+    * last_value degenerates to the row itself. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the derived
+    * bucket key is NULL for low values, and the join must still match
+    * those rows to the dimension's NULL bucket — a plain `=` would
+    * silently drop them. Spark plans `<=>` as a hash join (EqualNullSafe
+    * is a valid equi-join key), not a nested loop. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val ev = Tables(spark, dir, "events")
+      .withColumn("k10", when(k < 10, lit(null).cast("int")).otherwise(k % 5))
+    val dim = ev.select(col("k10")).distinct()
+      .withColumn("bucket_label",
+        coalesce(concat(lit("b"), col("k10").cast("string")), lit("b_null")))
+      .withColumnRenamed("k10", "dk")
+    ev.join(dim, ev("k10") <=> dim("dk"), "inner")
+      .groupBy(col("bucket_label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket_label"))
+  }
+
   /** Time-based RANGE window frames: per customer, the rolling 7-day
     * order-revenue sum and count — the frame is bounded by the ORDER BY
     * *value* (an interval on the timestamp), not a row count, so all

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.etl.{Dedup, Ingest, Pipeline}
+import graft.etl.{Dedup, Ingest, Pipeline, Sink}
 import graft.schema.AppsflyerSchema
 
 /** Golden-fixture ingest + idempotence tests (SURVEY.md §5.3/§5.4):
@@ -91,5 +91,26 @@ class PipelineSpec extends SparkSpec {
     val out = Dedup.newRows(batch, existing, "k")
       .orderBy("v").as[(String, Int)].collect()
     assert(out.toSeq === Seq(("a", 1), ("a", 2)))
+  }
+
+  test("compact rewrites many small files into the byte-budgeted count") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_compact_src").toString
+    val dest = src + "_out"
+    // 40 tiny files
+    spark.range(40000).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(40).write.mode("overwrite").parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(before == 40)
+    // generous per-file budget -> everything fits in one file
+    val after = Sink.compact(spark, src, dest, targetFileBytes = 1L << 30)
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    // content preserved exactly
+    val a = spark.read.parquet(src).orderBy("id").as[(Long, Long)].collect()
+    val b = spark.read.parquet(dest).orderBy("id").as[(Long, Long)].collect()
+    assert(a.toSeq == b.toSeq)
   }
 }
