@@ -130,6 +130,7 @@ object SparkEntry {
     "dq_profile" -> ((s, d) => Quality.dqProfile(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
     "window_firstlast" -> ((s, d) => Relational.windowFirstLast(s, d)),
+    "dedup_keep_best" -> ((s, d) => DedupOps.dedupKeepBest(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
@@ -1233,6 +1234,38 @@ object SparkEntry {
            FROM ev)
          SELECT bucket_label, COUNT(*) AS n
          FROM ev JOIN dim ON ev.k10 IS NOT DISTINCT FROM dim.dk
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "dedup_keep_best" ->
+      """WITH RECURSIVE pairs AS (
+         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                           JOIN sizes s2 ON x.d2 = s2.doc_id
+         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+         cl AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+                FROM walk GROUP BY node),
+         j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY d.n_chars DESC, cl.doc_id) AS r
+               FROM cl JOIN documents d USING (doc_id))
+         SELECT j.cluster_id, j.doc_id AS keep_doc_id,
+           CAST(j.n_chars AS BIGINT) AS keep_n_chars, m.n_members
+         FROM j JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                      FROM j GROUP BY 1) m USING (cluster_id)
+         WHERE j.r = 1 ORDER BY j.cluster_id"""
   )
 }

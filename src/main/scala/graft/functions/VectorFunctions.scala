@@ -78,4 +78,12 @@ object ExprColumns {
     register(spark)
     expr(s"graft_simhash64($tokensExpr)")
   }
+
+  /** Overlapping word-window chunks (a generator — produces rows
+    * `(chunk_idx, chunk_text, n_words)` per input row). */
+  def chunkWords(spark: SparkSession, textExpr: String,
+                 size: Int, stride: Int): Column = {
+    register(spark)
+    expr(s"graft_chunk_words($textExpr, $size, $stride)")
+  }
 }

@@ -279,4 +279,24 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** The dedup DECISION on top of [[dedupClusters]]: per near-dup cluster
+    * keep the best member (longest text, ties to the smallest doc_id via
+    * a (n_chars, -doc_id) struct-ordered max_by) and report how many
+    * members it displaces. This is the step that turns a cluster map into
+    * a keep/drop list; the documents join is key-pruned to the clustered
+    * docs and the per-cluster argmax is partial-aggregatable. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), negate(col("doc_id"))))
+          .as("keep_doc_id"),
+        max(col("n_chars")).as("keep_n_chars"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -37,6 +37,25 @@ class ChunkWordsSpec extends SparkSpec {
     assert(got.last._2.endsWith("w11"))
   }
 
+  test("coverage + reconstruction on random word counts (property)") {
+    // every word lands in >= 1 chunk; non-overlapping config (stride ==
+    // size) reconstructs the text exactly when chunks are re-joined
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(200)
+      val words = (0 until n).map(i => s"t${seed}w$i")
+      val text = words.mkString(" ")
+      val (size, stride) = (1 + rnd.nextInt(30), 1 + rnd.nextInt(30))
+      val (s2, st2) = (math.max(size, stride), math.min(size, stride))
+      val got = chunksOf(text, s2, st2)
+      val covered = got.flatMap(_._2.split(" ")).toSet
+      assert(covered == words.toSet, s"seed=$seed size=$s2 stride=$st2")
+      val exact = chunksOf(text, s2, s2)
+      assert(exact.map(_._2).mkString(" ") == text,
+        s"non-overlapping chunks must reconstruct: seed=$seed")
+    }
+  }
+
   test("null text yields no rows; empty string yields one empty chunk") {
     ExprColumns.register(spark)
     import spark.implicits._
