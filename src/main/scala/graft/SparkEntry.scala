@@ -131,6 +131,10 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
     "window_firstlast" -> ((s, d) => Relational.windowFirstLast(s, d)),
     "dedup_keep_best" -> ((s, d) => DedupOps.dedupKeepBest(s, d)),
+    "set_ops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
+    "page_orders" -> ((s, d) => Relational.pageOrders(s, d)),
+    "regr_price_qty" -> ((s, d) => Relational.regrPriceQty(s, d)),
+    "stream_static_join" -> ((s, d) => StreamingAnalytics.streamStaticJoin(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
@@ -1266,6 +1270,58 @@ object SparkEntry {
            CAST(j.n_chars AS BIGINT) AS keep_n_chars, m.n_members
          FROM j JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
                       FROM j GROUP BY 1) m USING (cluster_id)
-         WHERE j.r = 1 ORDER BY j.cluster_id"""
+         WHERE j.r = 1 ORDER BY j.cluster_id""",
+    "set_ops_all" ->
+      """WITH f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+         ea AS (SELECT 'except_all' AS op, o_orderpriority FROM
+           (SELECT o_orderpriority FROM f EXCEPT ALL
+            SELECT o_orderpriority FROM o)),
+         ia AS (SELECT 'intersect_all' AS op, o_orderpriority FROM
+           (SELECT o_orderpriority FROM f INTERSECT ALL
+            SELECT o_orderpriority FROM o))
+         SELECT op, o_orderpriority, COUNT(*) AS n
+         FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "page_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20 OFFSET 40""",
+    "regr_price_qty" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(19,4))
+                * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+           SUM(CAST(l_quantity AS DECIMAL(19,4))
+                * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+    "stream_static_join" ->
+      """SELECT 'T_' || upper(event_type) AS type_label, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -497,6 +497,68 @@ object Relational {
           struct(col("o_totalprice"), col("o_orderkey"))).as("bot_key"))
       .orderBy(col("o_orderpriority"))
 
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicates
+    * count, unlike the set-semantics forms in [[setOps]] — EXCEPT ALL of
+    * a priority appearing 12x in F-orders and 9x in O-orders keeps 3
+    * copies. Spark plans both as aggregate-count + generate (no sort),
+    * the multiplicities re-aggregate partially, and the output is
+    * re-grouped so only (op, priority, n) rows leave the final stage. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"))
+    val o = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"))
+    f.exceptAll(o).withColumn("op", lit("except_all"))
+      .unionByName(f.intersectAll(o).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("o_orderpriority"))
+  }
+
+  /** Deterministic pagination: global sort + OFFSET + LIMIT (page 3 of
+    * 20). Spark's physical Offset/Limit run on the single post-sort
+    * partition, so only the first offset+limit rows are ever collected —
+    * the TopK optimization generalized to pages. Full tie-break ordering
+    * keeps every page stable across runs and partitionings. */
+  def pageOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+
+  /** Simple linear regression (price ~ quantity) per return flag, from
+    * exact DECIMAL moments: sums of x, y, xx, yy, xy accumulate exactly
+    * (order-independent under any partitioning), and slope/intercept/r2
+    * apply the identical closed-form double formula on both engines —
+    * the same moments trick as [[corrPriceQty]], generalized. The
+    * built-in `regr_*` aggregates accumulate in doubles, whose result
+    * depends on partition order; these moments cannot. */
+  def regrPriceQty(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    val m = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,8)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"),
+        sum((x * y).cast("decimal(38,8)")).as("sxy"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"),
+        col("sxy").cast("double"))
+    val cov = nd * sxy - sx * sy
+    val varX = nd * sxx - sx * sx
+    val varY = nd * syy - sy * sy
+    m.select(col("l_returnflag"), col("n"),
+        round(cov / varX, 6).as("slope"),
+        round((sy - (cov / varX) * sx) / nd, 6).as("intercept"),
+        round((cov * cov) / (varX * varY), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** first_value / last_value / nth_value over a full-partition frame:
     * each order row sees its customer's first, last, and second order key
     * in date order (deterministic tie-break on the key). The explicit

@@ -69,6 +69,26 @@ object StreamingAnalytics {
       .orderBy(col("purchase_id"), col("view_ts"))
   }
 
+  /** Stream-static join: the live event stream enriched against a batch
+    * dimension (the lookup-table pattern — dims stay queryable tables,
+    * the stream side never blocks). The static side re-plans per
+    * micro-batch, so a dim update is picked up on the next trigger;
+    * state-free, unlike a stream-stream join. Oracle = identical batch
+    * join + aggregation. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("type_label", concat(lit("T_"), upper(col("event_type"))))
+    val in = StreamingOps.eventsStream(spark, dir)
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .join(dim, "event_type")
+      .groupBy(col("type_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+    StreamingOps.runAvailableNow(in, mode = "complete")
+      .orderBy(col("type_label"))
+  }
+
   /** Streaming session windows: the same gap-merged `session_window`
     * operator as the batch `session_windows` query, run through a real
     * stateful streaming plan; same oracle. */
