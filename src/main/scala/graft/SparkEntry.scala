@@ -135,6 +135,8 @@ object SparkEntry {
     "page_orders" -> ((s, d) => Relational.pageOrders(s, d)),
     "regr_price_qty" -> ((s, d) => Relational.regrPriceQty(s, d)),
     "stream_static_join" -> ((s, d) => StreamingAnalytics.streamStaticJoin(s, d)),
+    "user_journey" -> ((s, d) => EventAnalytics.userJourney(s, d)),
+    "array_hof" -> ((s, d) => TextAnalysis.arrayHof(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
   )
@@ -1322,6 +1324,36 @@ object SparkEntry {
       """SELECT 'T_' || upper(event_type) AS type_label, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "user_journey" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+                    FROM events),
+         f AS (SELECT user_id, event_type AS first_type FROM (
+           SELECT user_id, event_type, ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY tsu, event_id) AS r FROM e)
+           WHERE r = 1),
+         l AS (SELECT user_id, event_type AS last_type FROM (
+           SELECT user_id, event_type, ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS r FROM e)
+           WHERE r = 1),
+         s AS (SELECT user_id, COUNT(*) AS n_events,
+                 (MAX(tsu) - MIN(tsu)) // 1000000 AS span_seconds
+               FROM e GROUP BY 1)
+         SELECT s.user_id, s.n_events, f.first_type, l.last_type,
+                s.span_seconds
+         FROM s JOIN f USING (user_id) JOIN l USING (user_id)
+         ORDER BY s.user_id""",
+    "array_hof" ->
+      """SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+             AS BIGINT) AS total_chars,
+           CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
+           len(list_filter(w, x -> length(x) > 9)) > 0 AS has_very_long,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(w, x -> length(x) > 6)))[1:3], ','), '') AS top_long
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id < 50)
+         ORDER BY doc_id"""
   )
 }

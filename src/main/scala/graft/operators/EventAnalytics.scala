@@ -339,6 +339,32 @@ object EventAnalytics {
         count(when(col("k") >= 50, 1)).as("n_high"))
       .orderBy(col("event_type"))
 
+  /** Typed per-group transformation via `groupByKey.mapGroups` — the
+    * escape hatch for group logic SQL can't express (here: a journey
+    * summary needing the group's rows in event order). The whole group
+    * shuffles as rows and the function sorts it in memory, so this API
+    * is for group-local logic with BOUNDED group size; the window-based
+    * forms ([[sessionize]], [[asofAttribution]]) are the scale path when
+    * the computation IS expressible relationally. Deterministic: sort key
+    * includes event_id, output is a pure function of the sorted group. */
+  def userJourney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        val first = rows.head
+        val last = rows.last
+        (uid, rows.length.toLong, first._4, last._4,
+          (last._3 - first._3) / 1000000L)
+      }
+      .toDF("user_id", "n_events", "first_type", "last_type", "span_seconds")
+      .orderBy(col("user_id"))
+  }
+
   /** Per-group z-score normalization (feature scaling for model input):
     * group moments accumulate as exact DECIMAL sums (sum, sum-of-squares,
     * count — order-independent, so partition layout can't perturb them),

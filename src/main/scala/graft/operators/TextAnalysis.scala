@@ -209,6 +209,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Lambda higher-order functions over token arrays: `transform` /
+    * `filter` / `aggregate` / `exists` composed per row — the declarative
+    * array surface (interpreted per element: fine for occasional
+    * analytics; hot-path per-token work belongs in a codegen'd custom
+    * Expression, see [[graft.expressions.WordShingles]]'s scaladoc). */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_chars"),
+        size(filter(col("w"), x => length(x) > 5)).cast("long").as("n_long"),
+        exists(col("w"), x => length(x) > 9).as("has_very_long"),
+        array_join(slice(array_sort(array_distinct(
+          filter(col("w"), x => length(x) > 6))), 1, 3), ",").as("top_long"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic stratified sampling: per-language keep-rates applied
     * via a salted md5 of the stable document key (en 25%, others 50%).
     * Like [[splitAssign]] the decision is a pure row-local function — no
