@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint resume: a restarted query processes only new files, exactly once") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_resume_src").toString
+    val outDir = Files.createTempDirectory("graft_resume_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft_resume_ckpt").toString
+    def writeBatch(ids: Range, tag: String): Unit =
+      ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val in = s.readStream
+        .schema("id LONG, tag STRING")
+        .parquet(srcDir)
+      val q = StreamingOps.incrementalParquetSink(in, outDir, ckpt)
+      try {
+        // AvailableNow semantics via the sink helper: drain what exists
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    writeBatch(0 until 5, "first")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5)
+    writeBatch(5 until 8, "second")
+    runOnce() // NEW query instance, same checkpoint: resumes from offsets
+    val out = spark.read.parquet(outDir).as[(Long, String)].collect().sorted
+    // exactly once: the first file was not reprocessed on restart
+    assert(out.length == 8, s"expected 8 rows, got ${out.length}")
+    assert(out.map(_._1).toSeq == (0L until 8L))
+  }
+
   test("update output mode re-emits only changed groups per micro-batch") {
     val s = spark
     import s.implicits._
