@@ -25,6 +25,17 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"))
         .write.format("noop").mode("overwrite").save()
       Tables(spark, sfDir, "events").selectExpr("max(ts)").collect()
+      // class-load + interpreter-init for the custom expressions on one
+      // row (NOT a query pre-run: plans still pay their own codegen)
+      graft.functions.ExprColumns.register(spark)
+      spark.sql("""SELECT graft_simhash64(array('a','b')),
+        graft_minhash_buckets(array('a','b')),
+        graft_hashed_tf64(array('a','b')),
+        graft_shingles('a b c d e f', 5),
+        graft_chunk_words('a b c', 2, 1),
+        graft_cosine_f32(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))),
+        graft_hyperplane_lsh(array(CAST(1.0 AS FLOAT))),
+        graft_parse_af_ts('2024-01-01 00:00:00')""").collect()
       // warm the Structured Streaming machinery (microbatch threads,
       // checkpoint fs, state-store providers) on the smallest table so the
       // first timed stream_* query isn't charged ~4s of one-time init
