@@ -241,16 +241,19 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** `graphPartitions` sizes the iteration's shuffle width: the candidate
+    * graph is orders of magnitude smaller than the corpus (only blocked
+    * near-dup pairs survive), so the default suits harness scale; deploy
+    * at roughly |edges| / a-few-million per partition. */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    graphPartitions: Int = 4): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
-    // The candidate graph is orders of magnitude smaller than the corpus
-    // (only blocked near-dup pairs survive), so the iteration runs on a
-    // handful of partitions: hash-partitioning edges by src once means
-    // every round's join and the seed aggregate reuse that layout instead
-    // of spraying a ~100-row relation over the session's full shuffle
-    // width each round (measured 3x faster at sf0.1 / 32 partitions).
+    // Hash-partitioning edges by src once means every round's join and
+    // the seed aggregate reuse that layout instead of spraying a tiny
+    // relation over the session's full shuffle width each round
+    // (measured ~2.5x faster at sf0.1 / 32 partitions).
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").repartition(4, col("src")).cache()
+      .toDF("src", "dst").repartition(graphPartitions, col("src")).cache()
     // seed = min(self, neighbors): round 1 fused into the init aggregate,
     // so the loop below only runs for components of diameter > 1
     var labels = edges.groupBy(col("src").as("node"))

@@ -125,7 +125,12 @@ object Multimodal {
     * per-partition pass (one `ByteArrayOutputStream` per row, plain
     * `arraycopy`, no shuffle); the doc filter is pushed below the typed
     * map into the parquet scan. Output reports the resized payload as
-    * md5 + length so the verified relation never carries binary. */
+    * md5 + length so the verified relation never carries binary.
+    *
+    * Oracle caveat: the DuckDB mirror reconstructs frames with substr
+    * over CHARACTERS while this operator slices BYTES — equivalent only
+    * because the test corpus is pure ASCII (byte_len == n_chars),
+    * asserted in MultimodalSpec so a corpus change fails loudly. */
   def resizePayloads(spark: SparkSession, dir: String,
                      targetFrames: Int = 8): DataFrame = {
     import spark.implicits._

@@ -64,9 +64,11 @@ object Temporal {
       .orderBy(col("ts"), col("event_id"))
     val runs = Tables(spark, dir, "events")
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      // null-safe comparison (matches the oracle's IS DISTINCT FROM): a
+      // NULL event_type must open its own run, and the first row's NULL
+      // prev_type must too — plain =!= would fold both into "no change"
       .withColumn("chg",
-        when(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        when(!(col("prev_type") <=> col("event_type")), 1L).otherwise(0L))
       .withColumn("run_id", sum(col("chg")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("run_id"), col("event_type"))

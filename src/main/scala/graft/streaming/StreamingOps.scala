@@ -109,9 +109,10 @@ object StreamingOps {
     val spark = stream.sparkSession
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // Stateful operators allocate one state-store provider PER shuffle
-    // partition at query start; results are partition-count-independent,
-    // so a harness-scale run shrinks that fixed cost (32 -> 8 stores)
-    // rather than paying cluster-sized parallelism for one file of input.
+    // partition at query start (stream-stream joins allocate FOUR per
+    // partition); results are partition-count-independent, so a
+    // harness-scale run shrinks that fixed cost (32 -> 2 stores) rather
+    // than paying cluster-sized parallelism for one file of input.
     // The conf is restored right after — it binds at query START, and a
     // restarted production query would pick its own setting from its
     // checkpoint anyway.

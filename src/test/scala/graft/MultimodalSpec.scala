@@ -57,6 +57,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize oracle precondition: documents text is pure ASCII (bytes == chars)") {
+    import org.apache.spark.sql.functions.{col, encode, length}
+    val nonAscii = Tables(spark, sf0001, "documents")
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      "mm_resize's byte-sliced frames only match the char-sliced DuckDB " +
+        "oracle for ASCII text; corpus changed — revisit the oracle")
+  }
+
   test("resize keeps at most target frames and is identity for small payloads") {
     import org.apache.spark.sql.functions.col
     val target = 8
