@@ -136,6 +136,7 @@ object SparkEntry {
     "regr_price_qty" -> ((s, d) => Relational.regrPriceQty(s, d)),
     "stream_static_join" -> ((s, d) => StreamingAnalytics.streamStaticJoin(s, d)),
     "user_journey" -> ((s, d) => EventAnalytics.userJourney(s, d)),
+    "agg_bool_listagg" -> ((s, d) => Subqueries.aggBoolListagg(s, d)),
     "array_hof" -> ((s, d) => TextAnalysis.arrayHof(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
@@ -1354,6 +1355,14 @@ object SparkEntry {
              list_filter(w, x -> length(x) > 6)))[1:3], ','), '') AS top_long
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                WHERE doc_id < 50)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "agg_bool_listagg" ->
+      """SELECT o_orderpriority,
+           bool_and(o_orderstatus = 'F') AS all_f,
+           bool_or(o_orderstatus = 'P') AS any_p,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+           string_agg(DISTINCT o_orderstatus, ','
+             ORDER BY o_orderstatus) AS statuses
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

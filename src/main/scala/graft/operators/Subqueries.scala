@@ -127,6 +127,24 @@ object Subqueries {
     """)
   }
 
+  /** Boolean aggregates + ordered LISTAGG (SQL:2023 surface, added in
+    * Spark 4): bool_and / bool_or / count_if and a deterministic
+    * within-group-ordered distinct string aggregation. All partial-merge
+    * cleanly (bool aggs are AND/OR monoids; listagg merges sorted runs),
+    * so map-side combine applies as usual. */
+  def aggBoolListagg(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderpriority,
+        bool_and(o_orderstatus = 'F') AS all_f,
+        bool_or(o_orderstatus = 'P') AS any_p,
+        count_if(o_orderstatus = 'O') AS n_open,
+        listagg(DISTINCT o_orderstatus, ',')
+          WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+      FROM graft_orders GROUP BY 1 ORDER BY 1
+    """)
+  }
+
   /** LATERAL correlated subquery with ORDER BY + LIMIT: top-3 customers
     * by balance per nation. Catalyst decorrelates the limit-per-group
     * into a partitioned rank filter (`RewriteLateralSubquery`), i.e. the
