@@ -11,6 +11,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // rows-only checks are allowed but should be the documented exceptions
     assert(missing.forall(_.endsWith("_noracle")), s"missing oracles: $missing")
   }
+  test("no orphan oracles (an oracle without a query fails the driver compare)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = SparkEntry.queries(name)(spark, sf0001)
