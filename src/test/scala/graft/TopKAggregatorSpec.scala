@@ -21,6 +21,22 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(a.finish(a.merge(left, right)) == Seq((5.0, 3L), (3.0, 1L)))
   }
 
+  test("random data: equals sort-take under any partition split (property)") {
+    val a = new TopKAggregator(5)
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(60)
+      // duplicate values on purpose: tie-break must stay deterministic
+      val rows = (0 until n).map(i => (rnd.nextInt(8).toDouble, i.toLong))
+      val expect = rows.sortBy { case (v, id) => (-v, id) }.take(5)
+      // fold under a random 3-way split with merges in shuffled order
+      val parts = rows.groupBy(_ => rnd.nextInt(3)).values.toSeq
+      val bufs = rnd.shuffle(parts.map(_.foldLeft(a.zero)(a.reduce)))
+      val merged = bufs.foldLeft(a.zero)(a.merge)
+      assert(a.finish(merged) == expect, s"seed=$seed")
+    }
+  }
+
   test("query matches the window-rank formulation on real data") {
     val viaAgg = graft.operators.Relational.topkAggregated(spark, sf0001)
     val orders = Tables(spark, sf0001, "orders")
