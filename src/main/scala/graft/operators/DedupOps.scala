@@ -267,10 +267,17 @@ object DedupOps {
       // union+min re-aggregation shuffles (at graph width, not session
       // width). No broadcast: the label relation scales with the node
       // count and at 100 TB does not fit an executor.
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("lbl").as("lbl")).cache()
+      // TWO propagation hops are fused per convergence check: each round
+      // costs one blocking action (the sum collect) regardless of hop
+      // count, and the driver round-trip dominates hop compute on the
+      // tiny candidate graph — so doubling hops halves rounds (and
+      // actions) for components deeper than one hop. Extra hops past the
+      // fixpoint are idempotent (min of already-minimal labels).
+      def hop(l: DataFrame): DataFrame =
+        l.union(edges.join(l, edges("src") === l("node"))
+            .select(col("dst").as("node"), col("lbl")))
+          .groupBy("node").agg(min("lbl").as("lbl"))
+      val next = hop(hop(labels)).cache()
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl"))
         .head.getLong(0)
       labels.unpersist()

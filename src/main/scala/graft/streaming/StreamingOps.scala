@@ -120,7 +120,9 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     val q =
       try {
-        spark.conf.set(key, math.min(2, prev.toInt).toString)
+        spark.conf.set(key, math.min(
+          sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "2").toInt,
+          prev.toInt).toString)
         stream.writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
