@@ -139,7 +139,12 @@ object SparkEntry {
     "agg_bool_listagg" -> ((s, d) => Subqueries.aggBoolListagg(s, d)),
     "array_hof" -> ((s, d) => TextAnalysis.arrayHof(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
-    "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d))
+    "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d)),
+    // ---- round 4: classic big-join reports, robust aggregates, DQ gates
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "agg_mode_median" -> ((s, d) => Relational.aggModeMedian(s, d)),
+    "dq_checks" -> ((s, d) => Quality.dqChecks(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1363,6 +1368,68 @@ object SparkEntry {
            CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
            string_agg(DISTINCT o_orderstatus, ','
              ORDER BY o_orderstatus) AS statuses
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) > 250)
+         SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice, sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty DESC, o_orderkey LIMIT 100""",
+    "agg_mode_median" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+                    FROM orders GROUP BY 1, 2),
+         m AS (SELECT o_orderpriority, o_orderstatus AS mode_status,
+                 CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS n_orders,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY n DESC, o_orderstatus DESC) AS rn
+               FROM c),
+         md AS (SELECT o_orderpriority,
+                  ROUND(MEDIAN(o_totalprice), 4) AS median_price
+                FROM orders GROUP BY 1)
+         SELECT m.o_orderpriority, m.mode_status, m.n_orders, md.median_price
+         FROM m JOIN md USING (o_orderpriority)
+         WHERE rn = 1 ORDER BY m.o_orderpriority""",
+    "dq_checks" ->
+      """SELECT 'orders_pk_unique' AS check,
+           CAST(SUM(n - 1) AS BIGINT) AS n_violations,
+           COUNT(*) AS n_checked
+         FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+         UNION ALL
+         SELECT 'lineitem_fk_orders',
+           COUNT(*) FILTER (o.o_orderkey IS NULL), COUNT(*)
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'customer_fk_nation',
+           COUNT(*) FILTER (n.n_nationkey IS NULL), COUNT(*)
+         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         UNION ALL
+         SELECT 'orders_status_domain',
+           COUNT(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')), COUNT(*)
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem_qty_range',
+           COUNT(*) FILTER (l_quantity IS NULL
+             OR l_quantity < 1 OR l_quantity > 50), COUNT(*)
+         FROM lineitem
+         ORDER BY 1"""
   )
 }

@@ -78,4 +78,49 @@ object Quality {
         col("est_distinct"), col("n_rows")))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Declarative constraint battery (the "expectations" layer of a data
+    * pipeline): primary-key uniqueness, referential integrity, domain
+    * membership, and range checks, each reported as (check, n_violations,
+    * n_checked). Every check is a scan+aggregate or an outer join + count
+    * — no driver-side row handling, so each scales like the query it
+    * wraps: PK uniqueness is one map-side-combined groupBy on the key;
+    * the FK checks are left joins that count unmatched probes (the
+    * nation side broadcasts; the orders side shuffles on the key at
+    * scale); domain/range checks fold into one scan apiece. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("n_violations"), col("n_checked"))
+    // surplus rows under duplicated keys; n_checked = distinct keys
+    val pkUnique = row("orders_pk_unique",
+      o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") - 1).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+    val fkOrders = row("lineitem_fk_orders",
+      l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(when(col("o_orderkey").isNull, 1)).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+    val fkNation = row("customer_fk_nation",
+      c.join(broadcast(n.select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .agg(count(when(col("n_nationkey").isNull, 1)).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+    val statusDomain = row("orders_status_domain",
+      o.agg(count(when(!col("o_orderstatus").isin("F", "O", "P"), 1))
+          .as("n_violations"),
+        count(lit(1)).as("n_checked")))
+    val qtyRange = row("lineitem_qty_range",
+      l.agg(count(when(col("l_quantity").isNull ||
+            col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("n_violations"),
+        count(lit(1)).as("n_checked")))
+    pkUnique.unionByName(fkOrders).unionByName(fkNation)
+      .unionByName(statusDomain).unionByName(qtyRange)
+      .orderBy(col("check"))
+  }
 }

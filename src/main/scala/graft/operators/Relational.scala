@@ -633,4 +633,72 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
+
+  /** TPC-H Q10 shape (returned-item reporting): selective fact filter
+    * (returnflag + one order quarter) -> join customers+nations -> revenue
+    * per customer -> top 20. The quarter filter shrinks orders ~25x before
+    * its join, so AQE converts the fact join to broadcast at harness scale;
+    * only the dims carry explicit hints (at 100 TB the l⋈o side becomes a
+    * shuffled hash join on l_orderkey and the plan is otherwise unchanged). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(inOnes(usum(discPrice4), 10000L).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING on a fact aggregate,
+    * then the surviving keys re-join orders+customer. The aggregate runs
+    * FIRST — one map-side-combined shuffle on l_orderkey — and the >250
+    * filter leaves a tiny key set, so the enrich joins move almost nothing.
+    * sum_qty is exact (integer-hundredths decimal sum), so the HAVING
+    * boundary and the top-100 cut are oracle-stable. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Deterministic MODE + exact MEDIAN per group. Spark's native `mode()`
+    * leaves ties implementation-defined, so the mode here is the two-level
+    * deterministic form — count per (group, value), then a (count, value)
+    * struct argmax (ties resolve to the lexicographically-largest value,
+    * identically in the oracle's ROW_NUMBER rendering). `median` is the
+    * exact interpolated median (== DuckDB MEDIAN on doubles); both levels
+    * partial-aggregate, and the mode never holds more state per group than
+    * the distinct-value count. */
+  def aggModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val mode = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderstatus"),
+          struct(col("n"), col("o_orderstatus"))).as("mode_status"),
+        sum(col("n")).as("n_orders"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(round(median(col("o_totalprice")), 4).as("median_price"))
+    mode.join(med, "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+  }
 }
