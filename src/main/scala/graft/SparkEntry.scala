@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Graph, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,7 +144,9 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "agg_mode_median" -> ((s, d) => Relational.aggModeMedian(s, d)),
-    "dq_checks" -> ((s, d) => Quality.dqChecks(s, d))
+    "dq_checks" -> ((s, d) => Quality.dqChecks(s, d)),
+    "graph_pagerank" -> ((s, d) => Graph.pagerankNations(s, d)),
+    "sim_kmeans_iter" -> ((s, d) => Similarity.kmeansAssignIter(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1430,6 +1432,54 @@ object SparkEntry {
            COUNT(*) FILTER (l_quantity IS NULL
              OR l_quantity < 1 OR l_quantity > 50), COUNT(*)
          FROM lineitem
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "graph_pagerank" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         ew AS (SELECT src, dst, CAST(w AS DOUBLE) /
+                  CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS ratio
+                FROM edges),
+         nodes AS (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+         pr0 AS (SELECT node, 1.0 / nn AS pr FROM nodes CROSS JOIN params),
+         c1 AS (SELECT dst, CAST(SUM(CAST(pr * ratio AS DECIMAL(28,12)))
+                  AS DOUBLE) AS contrib
+                FROM ew JOIN pr0 ON ew.src = pr0.node GROUP BY dst),
+         pr1 AS (SELECT node, 0.15 / nn + 0.85 * COALESCE(contrib, 0.0) AS pr
+                 FROM nodes CROSS JOIN params
+                 LEFT JOIN c1 ON c1.dst = nodes.node),
+         c2 AS (SELECT dst, CAST(SUM(CAST(pr * ratio AS DECIMAL(28,12)))
+                  AS DOUBLE) AS contrib
+                FROM ew JOIN pr1 ON ew.src = pr1.node GROUP BY dst),
+         pr2 AS (SELECT node, 0.15 / nn + 0.85 * COALESCE(contrib, 0.0) AS pr
+                 FROM nodes CROSS JOIN params
+                 LEFT JOIN c2 ON c2.dst = nodes.node)
+         SELECT n_name, ROUND(pr, 8) AS pagerank
+         FROM pr2 JOIN nation ON node = n_nationkey
+         ORDER BY pagerank DESC, n_name""",
+    "sim_kmeans_iter" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed_id, embedding AS seed_emb
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         sims AS (
+           SELECT e.vec_id, s.seed_id,
+             list_cosine_similarity(e.embedding, s.seed_emb) AS sim
+           FROM embeddings e CROSS JOIN seeds s),
+         best AS (
+           SELECT vec_id, seed_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, seed_id) AS rn
+           FROM sims)
+         SELECT seed_id, COUNT(*) AS n_assigned,
+           ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_cos
+         FROM best WHERE rn = 1
+         GROUP BY seed_id ORDER BY seed_id"""
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics expressed as relational dataflow — the
+  * "graphs are joins" half of a training-data platform (the other half,
+  * connected components, lives in [[DedupOps.dedupClusters]]).
+  *
+  * Scale design mirrors the clusters loop: the edge relation is built
+  * once (a fact-table join), cached, and every iteration is one
+  * co-partitioned equi-join + one aggregation — no driver-side adjacency,
+  * no quadratic step. Iteration count is FIXED and unrolled (two damped
+  * steps), so the whole program is a single declarative plan and the
+  * DuckDB oracle can mirror it CTE-for-CTE.
+  */
+object Graph {
+
+  /** Weighted PageRank over the nation→nation trade graph.
+    *
+    * Edges: supplier nation → customer nation, weighted by the exact
+    * lineitem revenue (integer hundredths) flowing between them; the
+    * weight build is the only fact-scale work. Two damped (0.85)
+    * iterations from the uniform vector; nations with no outgoing trade
+    * are dangling (their mass is not redistributed — documented, and
+    * identical in the oracle).
+    *
+    * Determinism: edge weights and out-weights are exact decimals; each
+    * contribution `pr·w/outw` is a per-edge double (deterministic), and
+    * the per-node contribution SUM — the only order-sensitive reduction —
+    * accumulates as DECIMAL(28,12), so shuffle order can't flip a bit.
+    * At 100 TB the same loop runs with per-iteration checkpoints and the
+    * node vector stays partitioned by node key — nothing here collects
+    * beyond two scalar actions (node count, convergence not needed for
+    * fixed iterations). */
+  def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("dst"))
+    val s = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("src"))
+    val edges = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .as("w"))
+      .cache()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw").cast("double")).as("ratio"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    val nn = nodes.count().toDouble
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = ew.join(pr, ew("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("pr") * col("ratio")).cast("decimal(28,12)"))
+          .cast("double").as("contrib"))
+      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(0.15 / nn) + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+            .as("pr"))
+    }
+    val pr0 = nodes.select(col("node"), lit(1.0 / nn).as("pr"))
+    step(step(pr0))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), round(col("pr"), 8).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("n_name"))
+  }
+}

@@ -172,4 +172,39 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("d"))
   }
+
+  /** One Lloyd iteration of k-means: the k=8 lowest-vec_id vectors seed
+    * the centroids, every corpus vector is assigned to its most-similar
+    * seed (cosine, f32-exact — ties to the smallest seed id), and the
+    * output is the per-seed assignment census (size + mean similarity,
+    * decimal-exact mean).
+    *
+    * Plan shape — the 100 TB k-means step: the seed set collapses to ONE
+    * broadcast row carrying an array of (seed_id, vector); assignment is
+    * a narrow map (a `transform` HOF computes all k similarities per row
+    * and `array_max` takes the argmax — no k-way row expand, no window
+    * sort, nothing shuffles except the final k-row aggregate, which
+    * partial-aggregates map-side). A full Lloyd loop repeats this step
+    * with re-derived centroids; each step stays one broadcast + one
+    * narrow map + one tiny agg. */
+  def kmeansAssignIter(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val seedArr = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
+      .agg(array_sort(collect_list(struct(col("seed_id"), col("seed_emb"))))
+        .as("seeds"))
+    e.join(broadcast(seedArr))
+      .withColumn("best", expr(
+        """array_max(transform(seeds, s ->
+             struct(graft_cosine_f32(embedding, s.seed_emb) AS sim,
+                    -s.seed_id AS nsid)))"""))
+      .select(col("vec_id"), (-col("best.nsid")).as("seed_id"),
+        col("best.sim").as("sim"))
+      .groupBy(col("seed_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("avg_cos"))
+      .orderBy(col("seed_id"))
+  }
 }
