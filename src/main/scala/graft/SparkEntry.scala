@@ -146,7 +146,10 @@ object SparkEntry {
     "agg_mode_median" -> ((s, d) => Relational.aggModeMedian(s, d)),
     "dq_checks" -> ((s, d) => Quality.dqChecks(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerankNations(s, d)),
-    "sim_kmeans_iter" -> ((s, d) => Similarity.kmeansAssignIter(s, d))
+    "sim_kmeans_iter" -> ((s, d) => Similarity.kmeansAssignIter(s, d)),
+    "text_pmi" -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.unicodeNormalize(s, d)),
+    "mm_phash_hamming" -> ((s, d) => Multimodal.phashHamming(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1480,6 +1483,76 @@ object SparkEntry {
            ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
              AS DOUBLE) / COUNT(*), 6) AS avg_cos
          FROM best WHERE rn = 1
-         GROUP BY seed_id ORDER BY seed_id"""
+         GROUP BY seed_id ORDER BY seed_id""",
+    "text_pmi" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS word,
+                   generate_subscripts(w, 1) AS pos FROM words),
+         bi AS (SELECT a.word AS w1, b.word AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+                FROM bi GROUP BY 1, 2),
+         uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cu
+                FROM tok GROUP BY 1),
+         tots AS (SELECT CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS n_uni,
+                         CAST((SELECT COUNT(*) FROM bi) AS DOUBLE) AS n_bi)
+         SELECT w1, w2, n_pair,
+           ROUND((CAST(n_pair AS DOUBLE) / n_bi) /
+             ((CAST(u1.cu AS DOUBLE) / n_uni)
+              * (CAST(u2.cu AS DOUBLE) / n_uni)), 4) AS lift,
+           ROUND(ln((CAST(n_pair AS DOUBLE) / n_bi) /
+             ((CAST(u1.cu AS DOUBLE) / n_uni)
+              * (CAST(u2.cu AS DOUBLE) / n_uni))), 6) AS pmi
+         FROM bc JOIN uc u1 ON bc.w1 = u1.word
+                 JOIN uc u2 ON bc.w2 = u2.word
+                 CROSS JOIN tots
+         WHERE n_pair >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    "text_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+           'Cafe' || chr(769) || ' nai' || chr(776) || 've '
+             || substr(text, 1, 40) AS raw
+           FROM documents WHERE doc_id < 10),
+         n AS (SELECT doc_id, length(raw) AS len_raw,
+                 nfc_normalize(raw) AS nfc FROM raw)
+         SELECT doc_id, len_raw, length(nfc) AS len_nfc,
+           md5(nfc) AS nfc_md5,
+           substr(lower(strip_accents(nfc)), 1, 24) AS folded
+         FROM n ORDER BY doc_id""",
+    "mm_phash_hamming" ->
+      """WITH fr AS (SELECT doc_id, unnest(list_distinct(
+             [substr(text, i*64 + 1, 64)
+              for i in range(0, (length(text) + 63) // 64)])) AS frame
+           FROM documents),
+         h AS (SELECT doc_id, substr(md5(frame), 1, 16) AS hx FROM fr),
+         bits AS (
+           SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                               substr(hx, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   // (CASE CAST(j % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+                       WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN range(64) t(j) GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY j) AS sig
+           FROM bits GROUP BY doc_id),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             x.sig AS s1, y.sig AS s2
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+             AND EXISTS (SELECT 1 FROM range(4) b(b)
+               WHERE substr(x.sig, CAST(b * 16 + 1 AS INT), 16)
+                   = substr(y.sig, CAST(b * 16 + 1 AS INT), 16)))
+         SELECT d1, d2,
+           CAST(len(list_filter(range(1, 65),
+             i -> substr(s1, CAST(i AS INT), 1)
+               <> substr(s2, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+         FROM cand
+         WHERE len(list_filter(range(1, 65),
+             i -> substr(s1, CAST(i AS INT), 1)
+               <> substr(s2, CAST(i AS INT), 1))) <= 8
+         ORDER BY d1, d2"""
   )
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, ParseAfTimestamp, SimHash64, WordShingles}
+import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, SimHash64, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -29,6 +29,15 @@ object ExprColumns {
           s"graft_shingles k must be an int literal, got $other")
       }
       WordShingles(exprs(0), k)
+    }),
+    "graft_normalize_text" -> (exprs => {
+      val mode = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize_text mode must be a string literal, got $other")
+      }
+      NormalizeText(exprs(0), mode)
     }),
     "graft_chunk_words" -> (exprs => {
       def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -77,6 +86,13 @@ object ExprColumns {
   def simhash64(spark: SparkSession, tokensExpr: String): Column = {
     register(spark)
     expr(s"graft_simhash64($tokensExpr)")
+  }
+
+  /** Unicode normalization ([[graft.expressions.NormalizeText]]):
+    * mode in nfc | nfkc | strip_accents | casefold. */
+  def normalizeText(spark: SparkSession, textExpr: String, mode: String): Column = {
+    register(spark)
+    expr(s"graft_normalize_text($textExpr, '$mode')")
   }
 
   /** Overlapping word-window chunks (a generator — produces rows

@@ -159,6 +159,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash-style near-dup detection over binary payloads: each
+    * payload is fingerprinted as the 64-bit SimHash of its distinct
+    * 64-byte frames (the frame-set signature of a media file — shared
+    * frames vote the same bits, so payloads differing in a few frames
+    * land within small Hamming distance); banded blocking (4 x 16 bits —
+    * any pair within Hamming<=3 of each other shares at least one exact
+    * band by pigeonhole) proposes candidates, and the full 64-bit Hamming
+    * distance verifies them.
+    *
+    * The signature is one narrow map per payload (no shuffle); the
+    * candidate join is an equi-join on 16-bit band values — at 100 TB the
+    * pair space never materializes, exactly like the MinHash and
+    * hyperplane-LSH ladders. Byte frames are decoded as strings for the
+    * fingerprint (ASCII corpus: byte==char, asserted in MultimodalSpec). */
+  def phashHamming(spark: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val sigs = mediaRecords(spark, dir).toDF()
+      .select(col("doc_id"), expr(
+        """graft_simhash64(array_distinct(transform(
+             sequence(0, CAST((byte_len - 1) div 64 AS INT)),
+             f -> substring(CAST(payload AS STRING), f * 64 + 1, 64))))""")
+        .as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(sig, b * 16 + 1, 16))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+    bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.bits") === col("y.bits") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sig").as("s1"), col("y.sig").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """aggregate(transform(sequence(1, 64),
+             i -> IF(substring(s1, i, 1) = substring(s2, i, 1), 0, 1)),
+           0, (a, x) -> a + x)""").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Full decode pipeline through the fake decoder: per-document frame
     * count + first two feature bytes (as exact ints so the oracle compares
     * without float tolerance). */

@@ -243,4 +243,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** Bigram collocations by pointwise mutual information: the corpus's
+    * strongest adjacent word pairs (lift = P(w1w2)/(P(w1)P(w2)),
+    * pmi = ln lift), min pair count 5, top 25.
+    *
+    * Bigrams derive MAP-SIDE from each document's token array (a
+    * `transform` HOF over positions — no positional self-join, no window
+    * sort); corpus totals come from two one-row aggregates that broadcast
+    * into the scoring join. The only shuffles are the three word-keyed
+    * hash aggregations — at 100 TB each is map-side-combined on a
+    * Zipf-concentrated vocabulary, the classic word-count shape. The
+    * doubles are safe for hash compare: every count is exact, and both
+    * engines evaluate the identical division/log expression on identical
+    * inputs (precedent: text_tfidf's ln). */
+  def bigramPmi(spark: SparkSession, dir: String,
+                minCount: Long = 5, topK: Int = 25): DataFrame = {
+    val withT = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bi = withT.select(explode(expr(
+      """filter(transform(sequence(1, size(t)),
+           i -> struct(element_at(t, i) AS w1, try_element_at(t, i + 1) AS w2)),
+         p -> p.w2 IS NOT NULL)""")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = withT.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nUni = withT.agg(sum(size(col("t"))).cast("double").as("n_uni"))
+    val nBi = withT.agg(sum(greatest(size(col("t")) - 1, lit(0)))
+      .cast("double").as("n_bi"))
+    val liftRaw = (col("n_pair").cast("double") / col("n_bi")) /
+      ((col("c1").cast("double") / col("n_uni")) *
+        (col("c2").cast("double") / col("n_uni")))
+    bc.join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(liftRaw, 4).as("lift"),
+        round(log(liftRaw), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Unicode normalization pipeline ([[graft.expressions.NormalizeText]])
+    * over deterministically-decorated text: the ASCII corpus is prefixed
+    * with decomposed accents (e + U+0301, i + U+0308) so NFC composition,
+    * accent stripping, and case folding all do real work the oracle
+    * (DuckDB nfc_normalize / strip_accents / lower) verifies char-exact.
+    * Narrow map, no shuffle — the normalize-before-tokenize stage of a
+    * crawl pipeline. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    // combining acute / diaeresis as Scala literals: Spark's SQL char() is
+    // ASCII-mod-256, NOT a codepoint constructor like DuckDB's chr()
+    val raw = concat(lit("Cafe\u0301 nai\u0308ve "),
+      substring(col("text"), 1, 40))
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        expr("graft_normalize_text(raw, 'nfc')").as("nfc"))
+      .select(col("doc_id"), col("len_raw"),
+        length(col("nfc")).as("len_nfc"),
+        md5(col("nfc")).as("nfc_md5"),
+        expr("graft_normalize_text(graft_normalize_text(nfc, 'strip_accents'), 'casefold')")
+          .as("folded"))
+      .withColumn("folded", substring(col("folded"), 1, 24))
+      .orderBy(col("doc_id"))
+  }
 }
