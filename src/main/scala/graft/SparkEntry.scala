@@ -149,7 +149,11 @@ object SparkEntry {
     "sim_kmeans_iter" -> ((s, d) => Similarity.kmeansAssignIter(s, d)),
     "text_pmi" -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.unicodeNormalize(s, d)),
-    "mm_phash_hamming" -> ((s, d) => Multimodal.phashHamming(s, d))
+    "mm_phash_hamming" -> ((s, d) => Multimodal.phashHamming(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "window_mom_change" -> ((s, d) => Relational.monthOverMonth(s, d)),
+    "events_transitions" -> ((s, d) => EventAnalytics.eventTransitions(s, d)),
+    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1553,6 +1557,64 @@ object SparkEntry {
          WHERE len(list_filter(range(1, 65),
              i -> substr(s1, CAST(i AS INT), 1)
                <> substr(s2, CAST(i AS INT), 1))) <= 8
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+    "q14_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1-l_discount AS DECIMAL(4,2))
+             ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_rev,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_rev,
+         ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "window_mom_change" ->
+      """WITH m AS (
+           SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, month, rev,
+           LAG(rev) OVER (PARTITION BY l_returnflag ORDER BY month) AS prev_rev,
+           ROUND(100.0 * (rev - LAG(rev) OVER (PARTITION BY l_returnflag
+             ORDER BY month)) / LAG(rev) OVER (PARTITION BY l_returnflag
+             ORDER BY month), 6) AS mom_pct
+         FROM m ORDER BY l_returnflag, month""",
+    "events_transitions" ->
+      """WITH nx AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n
+               FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         FROM c ORDER BY from_type, to_type""",
+    "sim_quantize_int8" ->
+      """WITH v AS (
+           SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+           FROM embeddings),
+         s AS (SELECT label, embedding,
+             127.0 / CAST(maxabs AS DOUBLE) AS scale
+           FROM v WHERE maxabs > 0),
+         q AS (SELECT label, embedding, scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS q
+           FROM s),
+         e AS (SELECT label, scale, q,
+             list_max([abs(CAST(embedding[i] AS DOUBLE)
+                 - CAST(q[i] AS DOUBLE) / scale)
+               for i in range(1, len(embedding) + 1)]) AS err
+           FROM q)
+         SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(list_sum(q) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_sat,
+           ROUND(MAX(err), 6) AS max_err
+         FROM e GROUP BY label ORDER BY label"""
   )
 }

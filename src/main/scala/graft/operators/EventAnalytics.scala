@@ -388,4 +388,22 @@ object EventAnalytics {
         round((col("value") - col("mean")) / col("std"), 6).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Event-type transition matrix (first-order Markov): for every user's
+    * time-ordered event sequence, count `from -> to` adjacencies and
+    * normalize per source type. One shuffle on user_id for the lead
+    * window, then a tiny (types x types) aggregate; the probability
+    * divides two exact counts, so the matrix is hash-stable. The
+    * behavioral-model / next-event-prediction feature builder. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -680,6 +680,44 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation ratio
+    * over a fact⋈dim join — promo revenue as a share of all revenue, by
+    * ship month. Both sums are exact integer-hundredths decimals from
+    * the same pass (a CASE inside the aggregate, not two scans); the part
+    * dim broadcasts. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        inOnes(usum(when(col("p_type") === "PROMO", discPrice4)
+          .otherwise(lit(0L))), 10000L).as("promo_rev"),
+        inOnes(usum(discPrice4), 10000L).as("total_rev"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+      .orderBy(col("month"))
+
+  /** Period-over-period reporting: monthly revenue per return flag with
+    * the previous month's value (`lag`) and percent change — the
+    * dashboard staple. The lag window rides the tiny aggregated relation
+    * (months x flags), never the fact table; first months report NULL
+    * change, matching SQL semantics exactly. */
+  def monthOverMonth(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(dsum(col("l_extendedprice")).as("rev"))
+    m.withColumn("prev_rev", lag(col("rev"), 1).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("month"))))
+      .withColumn("mom_pct", round(
+        lit(100.0) * (col("rev") - col("prev_rev")) / col("prev_rev"), 6))
+      .orderBy(col("l_returnflag"), col("month"))
+  }
+
   /** Deterministic MODE + exact MEDIAN per group. Spark's native `mode()`
     * leaves ties implementation-defined, so the mode here is the two-level
     * deterministic form — count per (group, value), then a (count, value)

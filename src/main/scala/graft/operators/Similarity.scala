@@ -187,6 +187,33 @@ object Similarity {
     * partial-aggregates map-side). A full Lloyd loop repeats this step
     * with re-derived centroids; each step stays one broadcast + one
     * narrow map + one tiny agg. */
+  /** Symmetric int8 quantization of the embedding corpus (the 4x vector
+    * compression step before an ANN index build): per vector,
+    * scale = 127/max|v|, q_i = round(v_i * scale), plus the per-label
+    * census a pipeline monitors — vector count, exact quantized mass,
+    * saturated-lane count, and the worst absolute reconstruction error.
+    *
+    * Entirely map-side per vector (HOFs over the array; no explode),
+    * then one tiny per-label aggregate. Every reported number is either
+    * exact integer math or a deterministic double (identical expression
+    * shape in the oracle), so the gate hash-compares bit-for-bit. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs").cast("double"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"))
+      .withColumn("err", expr(
+        """array_max(zip_with(embedding, q,
+             (x, v) -> abs(CAST(x AS DOUBLE) - CAST(v AS DOUBLE) / scale)))"""))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("aggregate(q, 0L, (a, x) -> a + CAST(x AS LONG))")).as("sum_q"),
+        sum(expr("size(filter(q, v -> abs(v) = 127))").cast("long")).as("n_sat"),
+        round(max(col("err")), 6).as("max_err"))
+      .orderBy(col("label"))
+
   def kmeansAssignIter(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     ExprColumns.register(spark)
     val e = emb(spark, dir)

@@ -101,6 +101,37 @@ class Round4OpsSpec extends SparkSpec {
     assert(ham < 20, s"one differing frame moved $ham of 64 bits")
   }
 
+  test("transitions: per-source probabilities sum to 1") {
+    val rows = operators.EventAnalytics.eventTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$from sums to $tot")
+    }
+  }
+
+  test("q14: promo share within [0,100] and promo_rev <= total_rev") {
+    val rows = Relational.q14PromoRevenue(spark, sf0001).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-9)
+      val pct = r.getDouble(3)
+      assert(pct >= 0 && pct <= 100)
+    }
+  }
+
+  test("int8 quantization: saturated lanes exist, reconstruction error bounded by half-step") {
+    val rows = Similarity.quantizeInt8(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every vector's max-abs lane quantizes to exactly +/-127, so each
+    // label group saturates at least one lane
+    assert(rows.forall(_.getLong(3) >= 1))
+    // |x - q/scale| <= 0.5/scale = 0.5*maxabs/127; maxabs is bounded by
+    // the corpus (embeddings are unit-ish), so err < 0.05 is a safe bound
+    assert(rows.forall(_.getDouble(4) < 0.05),
+      rows.map(_.getDouble(4)).max.toString)
+  }
+
   test("mode/median: mode is the true per-group argmax of value counts") {
     val o = Tables(spark, sf0001, "orders")
     val expect = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
