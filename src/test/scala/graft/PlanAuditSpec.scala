@@ -137,4 +137,56 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(executed).size >= 2,
       "Aggregator must run as partial + final, not a single post-shuffle agg")
   }
+
+  test("q10: selective filters reach the scans, dims broadcast") {
+    val p = plan(graft.operators.Relational.q10ReturnedItems(spark, sf0001))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must be pushed to the lineitem scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-quarter filter must be pushed to the orders scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "customer x nation should broadcast into the fact join")
+  }
+
+  test("q14: part dimension broadcasts; ship-month filter pushed") {
+    val p = plan(graft.operators.Relational.q14PromoRevenue(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate window must reach the lineitem scan")
+    assert(!p.contains("p_name") && !p.contains("p_brand"),
+      "unused part columns must be pruned from the read schema")
+  }
+
+  test("kmeans assignment: one broadcast seed row, no per-seed row expand") {
+    val p = plan(graft.operators.Similarity.kmeansAssignIter(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the seed array must broadcast as a single row")
+    assert(!p.contains("Window"),
+      "argmax must be the HOF array_max, not a window sort")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the assignment path may shuffle-join the corpus")
+  }
+
+  test("bigram PMI: bigrams derive map-side (no window), totals broadcast") {
+    val p = plan(graft.operators.TextAnalysis.bigramPmi(spark, sf0001))
+    assert(!p.contains("Window"),
+      "adjacency must come from the HOF transform, not lead() over a window")
+    assert(p.contains("BroadcastExchange"),
+      "the one-row corpus totals must broadcast into the scoring join")
+  }
+
+  test("phash hamming: candidate generation is an equi-join on band bits") {
+    val p = plan(graft.operators.Multimodal.phashHamming(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded blocking must plan as an equi-join, never a pair scan")
+  }
+
+  test("pagerank: dims broadcast into the edge build; iteration reuses the cache") {
+    val df = graft.operators.Graph.pagerankNations(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "customer/supplier nation lookups must broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "the iteration must read the cached edge relation, not rebuild it")
+  }
 }
