@@ -153,7 +153,8 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "window_mom_change" -> ((s, d) => Relational.monthOverMonth(s, d)),
     "events_transitions" -> ((s, d) => EventAnalytics.eventTransitions(s, d)),
-    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
+    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "dedup_clusters_star" -> ((s, d) => DedupOps.dedupClustersStar(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -161,7 +162,8 @@ object SparkEntry {
     * decimal-exact sums cast to double, explicit BIGINT casts where DuckDB
     * and Spark integer widths differ, timestamps formatted as strings,
     * NULLS FIRST to match Spark's ascending-sort null placement. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = Map(
     "ref_pipeline" ->
       """SELECT b.event_id AS af_id,
          strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS install_time,
@@ -1616,5 +1618,9 @@ object SparkEntry {
            CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_sat,
            ROUND(MAX(err), 6) AS max_err
          FROM e GROUP BY label ORDER BY label"""
-  )
+    )
+    // the star-contraction variant computes the identical relation, so it
+    // shares dedup_clusters' recursive-CTE oracle verbatim
+    m + ("dedup_clusters_star" -> m("dedup_clusters"))
+  }
 }

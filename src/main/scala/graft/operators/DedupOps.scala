@@ -290,6 +290,88 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log diameter)-round algorithm [[dedupClusters]]'
+    * scaladoc points to for deep graphs at 100 TB. Each round is two
+    * rewrites of the undirected edge list, each one groupBy(min) + join —
+    * the same shuffled primitives as plain propagation, but components
+    * contract toward their minimum geometrically instead of one hop per
+    * round.
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum.
+    *
+    * At the fixpoint the edge set is a union of stars rooted at component
+    * minima, read off as (member -> root) plus (root -> root). Convergence
+    * is detected by the (edge count, endpoint sum) pair going stable — the
+    * endpoint sum strictly decreases while any contraction remains.
+    *
+    * Each round ends in `localCheckpoint` (NOT `cache`): the loop rebinds
+    * `edges` to a plan built from the previous `edges`, so without
+    * truncation the logical plan nests one full round per iteration and
+    * Catalyst analysis goes superlinear, then overflows the stack.
+    * Checkpointing pins each round to its materialized RDD — constant-size
+    * plans, constant per-round analysis cost. This is the same per-round
+    * lineage cut the 100 TB deployment needs (there via reliable
+    * `checkpoint` to survive executor loss on long chains).
+    *
+    * Output is identical to [[dedupClusters]] (same oracle; equality
+    * property-tested in Round4OpsSpec on random graphs). */
+  private[graft] def starComponents(pairs: DataFrame,
+                                    graphPartitions: Int = 4): DataFrame = {
+    val both = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2"), col("d1")))
+    var edges = both.repartition(graphPartitions, col("u")).localCheckpoint()
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("u") + col("v"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val withM = e.join(m, "u")
+      val emitted =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else withM.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m")))
+      // normalize to undirected-both-directions, drop self loops; the
+      // single distinct AFTER mirroring dedups both orientations at once
+      val und = emitted.filter(col("u") =!= col("v"))
+      und.union(und.select(col("v"), col("u"))).distinct()
+        .repartition(graphPartitions, col("u"))
+    }
+    var s = sig(edges)
+    var converged = false
+    while (!converged) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      val ns = sig(next)
+      edges = next
+      converged = ns == s
+      s = ns
+    }
+    // stars: every edge (u,v) with v < u maps member u to root v; roots
+    // (and isolated nodes of the original pair list) label themselves
+    val members = edges.filter(col("v") < col("u"))
+      .groupBy(col("u").as("node")).agg(min(col("v")).as("lbl"))
+    val allNodes = both.select(col("u").as("node")).distinct()
+    val roots = allNodes.join(members.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+    members.union(roots)
+  }
+
+  /** [[dedupClusters]] semantics via [[starComponents]] — same evidence
+    * pairs, same output, log-round contraction. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    starComponents(ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** The dedup DECISION on top of [[dedupClusters]]: per near-dup cluster
     * keep the best member (longest text, ties to the smallest doc_id via
     * a (n_chars, -doc_id) struct-ordered max_by) and report how many

@@ -132,6 +132,42 @@ class Round4OpsSpec extends SparkSpec {
       rows.map(_.getDouble(4)).max.toString)
   }
 
+  test("star contraction equals plain propagation on the corpus graph") {
+    val a = operators.DedupOps.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = operators.DedupOps.dedupClustersStar(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("star contraction: correct components on random graphs (vs union-find)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("d1", "d2")
+      val got = operators.DedupOps.starComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map { v =>
+        v -> nodes.filter(u => find(u) == find(v)).min
+      }.toMap
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
   test("mode/median: mode is the true per-group argmax of value counts") {
     val o = Tables(spark, sf0001, "orders")
     val expect = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
