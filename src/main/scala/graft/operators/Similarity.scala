@@ -173,20 +173,6 @@ object Similarity {
       .orderBy(col("label"), col("d"))
   }
 
-  /** One Lloyd iteration of k-means: the k=8 lowest-vec_id vectors seed
-    * the centroids, every corpus vector is assigned to its most-similar
-    * seed (cosine, f32-exact — ties to the smallest seed id), and the
-    * output is the per-seed assignment census (size + mean similarity,
-    * decimal-exact mean).
-    *
-    * Plan shape — the 100 TB k-means step: the seed set collapses to ONE
-    * broadcast row carrying an array of (seed_id, vector); assignment is
-    * a narrow map (a `transform` HOF computes all k similarities per row
-    * and `array_max` takes the argmax — no k-way row expand, no window
-    * sort, nothing shuffles except the final k-row aggregate, which
-    * partial-aggregates map-side). A full Lloyd loop repeats this step
-    * with re-derived centroids; each step stays one broadcast + one
-    * narrow map + one tiny agg. */
   /** Symmetric int8 quantization of the embedding corpus (the 4x vector
     * compression step before an ANN index build): per vector,
     * scale = 127/max|v|, q_i = round(v_i * scale), plus the per-label
@@ -214,6 +200,20 @@ object Similarity {
         round(max(col("err")), 6).as("max_err"))
       .orderBy(col("label"))
 
+  /** One Lloyd iteration of k-means: the k=8 lowest-vec_id vectors seed
+    * the centroids, every corpus vector is assigned to its most-similar
+    * seed (cosine, f32-exact — ties to the smallest seed id), and the
+    * output is the per-seed assignment census (size + mean similarity,
+    * decimal-exact mean).
+    *
+    * Plan shape — the 100 TB k-means step: the seed set collapses to ONE
+    * broadcast row carrying an array of (seed_id, vector); assignment is
+    * a narrow map (a `transform` HOF computes all k similarities per row
+    * and `array_max` takes the argmax — no k-way row expand, no window
+    * sort, nothing shuffles except the final k-row aggregate, which
+    * partial-aggregates map-side). A full Lloyd loop repeats this step
+    * with re-derived centroids; each step stays one broadcast + one
+    * narrow map + one tiny agg. */
   def kmeansAssignIter(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     ExprColumns.register(spark)
     val e = emb(spark, dir)
