@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Graph, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Graph, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis, TpchReports}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -154,7 +154,23 @@ object SparkEntry {
     "window_mom_change" -> ((s, d) => Relational.monthOverMonth(s, d)),
     "events_transitions" -> ((s, d) => EventAnalytics.eventTransitions(s, d)),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
-    "dedup_clusters_star" -> ((s, d) => DedupOps.dedupClustersStar(s, d))
+    "dedup_clusters_star" -> ((s, d) => DedupOps.dedupClustersStar(s, d)),
+    // ---- round 5: remaining TPC-H report shapes (adapted; TpchReports)
+    "q2_min_acctbal_supplier" -> ((s, d) => TpchReports.q2MinAcctbalSupplier(s, d)),
+    "q7_volume_shipping" -> ((s, d) => TpchReports.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => TpchReports.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => TpchReports.q9ProductProfit(s, d)),
+    "q13_order_distribution" -> ((s, d) => TpchReports.q13OrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => TpchReports.q15TopSupplier(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => TpchReports.q17SmallQtyRevenue(s, d)),
+    "q19_disjunctive_revenue" -> ((s, d) => TpchReports.q19DisjunctiveRevenue(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => TpchReports.q21WaitingSupplier(s, d)),
+    "q22_idle_balances" -> ((s, d) => TpchReports.q22IdleBalances(s, d)),
+    // ---- round 5: pipeline-evaluation ops
+    "sim_recall_eval" -> ((s, d) => Similarity.recallAt10(s, d)),
+    "split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
+    "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "events_anomaly" -> ((s, d) => EventAnalytics.dailyAnomaly(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1617,7 +1633,218 @@ object SparkEntry {
            CAST(SUM(CAST(list_sum(q) AS BIGINT)) AS BIGINT) AS sum_q,
            CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_sat,
            ROUND(MAX(err), 6) AS max_err
-         FROM e GROUP BY label ORDER BY label"""
+         FROM e GROUP BY label ORDER BY label""",
+    "q2_min_acctbal_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         esupp AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+         SELECT p_partkey, s_name, s_acctbal
+         FROM part
+         JOIN ps ON p_partkey = l_partkey
+         JOIN esupp ON l_suppkey = s_suppkey
+         WHERE p_type = 'STANDARD' AND p_size <= 10
+           AND s_acctbal = (SELECT MIN(s2.s_acctbal) FROM ps ps2
+                            JOIN esupp s2 ON ps2.l_suppkey = s2.s_suppkey
+                            WHERE ps2.l_partkey = p_partkey)
+         ORDER BY s_acctbal, p_partkey LIMIT 100""",
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2)) AS volume
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+             ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS nation_rev,
+           CAST(SUM(volume) AS DOUBLE) AS total_rev,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+               ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+         FROM (SELECT n1.n_name AS supp_nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2)) AS volume
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               JOIN region ON n2.n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA')
+         GROUP BY yr ORDER BY yr""",
+    "q9_product_profit" ->
+      """SELECT nation, yr, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+         FROM (SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2))
+                 - CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(0.1 AS DECIMAL(3,1)) AS profit
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE p_type = 'PROMO')
+         GROUP BY 1, 2 ORDER BY nation, yr""",
+    "q13_order_distribution" ->
+      """SELECT n_orders, COUNT(*) AS n_customers
+         FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1-l_discount AS DECIMAL(4,2))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+         FROM supplier JOIN rev ON s_suppkey = suppkey
+         WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_qty_revenue" ->
+      """WITH pq AS (SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN pq ON l_partkey = pk
+         WHERE p_brand = 'Brand#3'
+           AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
+    "q21_waiting_supplier" ->
+      """WITH ol AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
+             MAX(l_shipdate) AS ship
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+         SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM ol a JOIN supplier ON a.skey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM ol b
+                 WHERE b.okey = a.okey AND b.skey <> a.skey)
+           AND NOT EXISTS (SELECT 1 FROM ol c
+                 WHERE c.okey = a.okey AND c.skey <> a.skey
+                   AND c.ship >= a.ship)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q22_idle_balances" ->
+      """WITH lapsed AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')),
+         pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS n
+           FROM customer WHERE c_acctbal > 0)
+         SELECT substring(c_name, 18, 1) AS code,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM lapsed, pos
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+         GROUP BY 1 ORDER BY 1""",
+    "sim_recall_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+             embedding AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+         brute AS (SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(embedding, q_emb) DESC,
+                 vec_id) AS rn
+           FROM embeddings, q WHERE vec_id <> q_id),
+         blocked AS (SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(embedding, q_emb) DESC,
+                 vec_id) AS rn
+           FROM embeddings e JOIN q ON e.label = q.q_label
+           WHERE vec_id <> q_id),
+         hits AS (SELECT b.q_id, COUNT(*) AS n_hits
+           FROM brute b JOIN blocked bl
+             ON b.q_id = bl.q_id AND b.vec_id = bl.vec_id AND bl.rn <= 10
+           WHERE b.rn <= 10 GROUP BY b.q_id)
+         SELECT q.q_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 10, 6)
+             AS recall_at_10
+         FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+         ORDER BY q.q_id""",
+    "split_contamination" ->
+      """WITH s AS (SELECT doc_id, md5(substring(text, 1, 64)) AS fp,
+           CASE WHEN (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                < 204 THEN 'train'
+                WHEN (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                < 230 THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents)
+         SELECT a.split AS split_a, b.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_leaked_texts
+         FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           AND a.split <> b.split
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_vocab_coverage" ->
+      """WITH cnt AS (SELECT lang, w, COUNT(*) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY 1, 2),
+         rk AS (SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY c DESC, w) AS rn FROM cnt)
+         SELECT lang,
+           CAST(SUM(CASE WHEN rn <= 20 THEN c ELSE 0 END) AS BIGINT)
+             AS top20_occurrences,
+           CAST(SUM(c) AS BIGINT) AS total_occurrences,
+           ROUND(CAST(SUM(CASE WHEN rn <= 20 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+         FROM rk GROUP BY lang ORDER BY lang""",
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, SUM(cnt) AS s, SUM(cnt*cnt) AS ss,
+             COUNT(*) AS n
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.cnt AS BIGINT) AS cnt,
+           ROUND((CAST(d.cnt AS DOUBLE) - CAST(st.s AS DOUBLE)/st.n)
+             / sqrt(CAST(st.ss AS DOUBLE)/st.n
+                 - (CAST(st.s AS DOUBLE)/st.n)*(CAST(st.s AS DOUBLE)/st.n)),
+             4) AS z
+         FROM daily d JOIN st ON d.event_type = st.event_type
+         WHERE (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
+             >= 4 * (st.n * st.ss - st.s * st.s)
+         ORDER BY d.event_type, day"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim

@@ -406,4 +406,36 @@ object EventAnalytics {
         sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Daily-volume anomaly detection per event type: days whose count
+    * sits >= 2 standard deviations from that type's mean daily count —
+    * the monitoring query every ingestion pipeline runs.
+    *
+    * The anomaly PREDICATE is evaluated in exact integer arithmetic,
+    * cross-multiplied to avoid any float boundary: |z| >= 2 is
+    * (cnt*n - s)^2 >= 4*(n*ss - s^2) where (s, ss, n) are the per-type
+    * sum / sum-of-squares / day count. Counts are exact longs; at
+    * planet scale the same predicate runs in DECIMAL (cnt*n overflows
+    * long only past ~10^9 events/day x 10^9 days). The reported z uses
+    * the identical double formula on both engines, so the gate
+    * hash-compares exactly. Stats relation is type-cardinality-sized and
+    * broadcasts; the daily relation is one hash-agg of the fact table. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("s"), sum(col("cnt") * col("cnt")).as("ss"),
+        count(lit(1)).as("n"))
+    val dev = col("cnt") * col("n") - col("s")
+    daily.join(broadcast(st), "event_type")
+      .filter(dev * dev >= lit(4) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"),
+        round((col("cnt").cast("double") - col("s").cast("double") / col("n")) /
+          sqrt(col("ss").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))), 4).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -161,6 +161,48 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ANN quality evaluation — recall@10 of the label-blocked (IVF-style)
+    * search against the exact brute-force ground truth, per query vector.
+    * THE metric that decides whether a blocking strategy is shippable:
+    * both rankings are computed in one job (brute = corpus x broadcast
+    * queries + per-query rank window; blocked = the candidate equi-join
+    * [[batchLabelTopK]] uses), hits = a semi-join of the two top-k sets on
+    * (query, neighbor), and queries whose blocked set misses everything
+    * still report 0/10 via the left join back to the query list.
+    *
+    * Scale: cost is |queries| x |corpus| only on the brute side — at
+    * 100 TB the ground truth is computed for a SAMPLE of queries (this
+    * plan, smaller q set) while the blocked side stays cheap, which is
+    * exactly how production recall dashboards are built. */
+  def recallAt10(spark: SparkSession, dir: String,
+                 nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    def topk(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      cand.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim_raw",
+          ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val brute = topk(e.join(broadcast(q)))
+    val blocked = topk(e.join(broadcast(q), col("label") === col("q_label")))
+    val hits = brute.join(blocked, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-label centroid profile (first 8 dims) — the embedding-column
     * aggregation primitive (posexplode -> exact-decimal mean -> double). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

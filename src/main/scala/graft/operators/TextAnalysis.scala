@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -152,17 +152,66 @@ object TextAnalysis {
     * shuffle or global sort, and new documents never move existing ones
     * between splits. The salt prefix decouples the split from other
     * hash uses of the same key. Output is the per-split/lang census. */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** The [[splitAssign]] decision as a reusable column: train/val/test
+    * from the first byte of md5("doc:" <> doc_id). */
+  private[operators] def splitCol: Column = {
     val h = md5(concat(lit("doc:"), col("doc_id").cast("string")))
     val b = conv(substring(h, 1, 2), 16, 10).cast("int")
+    when(b < 204, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(
-        when(b < 204, "train").when(b < 230, "val").otherwise("test")
-          .as("split"),
-        col("lang"), col("n_chars"))
+      .select(splitCol.as("split"), col("lang"), col("n_chars"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
+
+  /** Train/test contamination check — the leakage audit every eval
+    * pipeline needs: near-dup documents (same 64-char-prefix md5
+    * fingerprint, the [[DedupOps.levenshteinPairs]] blocking key) that
+    * landed in DIFFERENT splits of [[splitAssign]]. Output is the leaked
+    * pair/text census per (split, split) direction; a clean corpus
+    * returns zero rows.
+    *
+    * Plan: one narrow scan derives (fingerprint, split), the self-join is
+    * an equi-join on the fingerprint (never a cross join), and both the
+    * pair count and the distinct-text count come from one aggregate. At
+    * 100 TB the fingerprint can be any blocking key already computed for
+    * dedup (minhash band, simhash prefix) — the shape is identical. */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("fp"),
+        splitCol.as("split"))
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_leaked_pairs"),
+        countDistinct(col("a.fp")).as("n_leaked_texts"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Vocabulary coverage per language — the tokenizer-budget question:
+    * what fraction of all token occurrences do the 20 most frequent
+    * words cover? Word counts are one hash-agg (map-side combined on the
+    * Zipf head); the per-language top-20 selection is a rank window over
+    * the VOCABULARY relation (small), not the corpus; coverage divides
+    * two exact integer sums once at the end. */
+  def vocabCoverage(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val rk = cnt.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))))
+    rk.groupBy(col("lang"))
+      .agg(sum(when(col("rn") <= topN, col("c")).otherwise(0L))
+          .as("top20_occurrences"),
+        sum(col("c")).as("total_occurrences"))
+      .withColumn("coverage", round(col("top20_occurrences").cast("double") /
+        col("total_occurrences").cast("double"), 6))
+      .orderBy(col("lang"))
   }
 
   /** TF-IDF top terms per document: tf from a per-doc hash-agg, df from a

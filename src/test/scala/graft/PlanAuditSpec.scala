@@ -189,4 +189,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "the iteration must read the cached edge relation, not rebuild it")
   }
+
+  test("q19: each side's disjunction projection is pushed to its parquet scan") {
+    val p = plan(graft.operators.TpchReports.q19DisjunctiveRevenue(spark, sf0001))
+    // Catalyst extracts per-side OR-of-ANDs: quantity bounds reach the
+    // lineitem scan, brand/size blocks reach the part scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      "quantity disjunction should push to the lineitem scan")
+    assert(p.contains("EqualTo(p_brand"),
+      "brand/size disjunction should push to the part scan")
+    assert(p.contains("BroadcastHashJoin"), "part side should broadcast")
+  }
+
+  test("q2/q21: groupwise-extreme via window — derived relation shuffles ONCE") {
+    // the aggregate-join form evaluates the derived relation twice and
+    // sort-merges the copies; the window form must not
+    val q2 = plan(graft.operators.TpchReports.q2MinAcctbalSupplier(spark, sf0001))
+    assert(!q2.contains("SortMergeJoin"),
+      "q2 must compute the per-part min as a window, not a self-join")
+    val q21 = plan(graft.operators.TpchReports.q21WaitingSupplier(spark, sf0001))
+    assert(!q21.contains("SortMergeJoin"),
+      "q21 must compute per-order stats as windows, not a self-join")
+    assert(q21.contains("Window"))
+  }
+
+  test("q7/q8 trade spine: all four dimensions broadcast, facts sort-merge") {
+    val p = plan(graft.operators.TpchReports.q7VolumeShipping(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4,
+      s"supplier/customer/nation x2 should broadcast (got $nBroadcast)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("recall eval: both rankings broadcast the query set; no cartesian") {
+    val p = plan(graft.operators.Similarity.recallAt10(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the brute side must be a broadcast nested-loop on the tiny query " +
+        "set, never a shuffled cartesian")
+    assert(p.contains("LeftSemi"), "hits must be a semi-join of the top-k sets")
+  }
 }
