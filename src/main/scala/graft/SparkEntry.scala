@@ -1561,12 +1561,9 @@ object SparkEntry {
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                ORDER BY j) AS sig
            FROM bits GROUP BY doc_id),
-         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         cand AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
              x.sig AS s1, y.sig AS s2
-           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-             AND EXISTS (SELECT 1 FROM range(8) b(b)
-               WHERE substr(x.sig, CAST(b * 8 + 1 AS INT), 8)
-                   = substr(y.sig, CAST(b * 8 + 1 AS INT), 8)))
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
          SELECT d1, d2,
            CAST(len(list_filter(range(1, 65),
              i -> substr(s1, CAST(i AS INT), 1)

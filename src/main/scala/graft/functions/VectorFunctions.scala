@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, SimHash64, WordShingles}
+import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, SimHash64, SimHash64Long, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -17,6 +17,7 @@ object ExprColumns {
     * deployments). */
   val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_simhash64_long" -> (exprs => SimHash64Long(exprs.head)),
     "graft_cosine_f32" -> (exprs => CosineSimilarityF32(exprs(0), exprs(1))),
     "graft_hyperplane_lsh" -> (exprs => HyperplaneLshBuckets(exprs.head, 32, 8)),
     "graft_parse_af_ts" -> (exprs => ParseAfTimestamp(exprs.head)),

@@ -164,51 +164,65 @@ object Multimodal {
   }
 
   /** Perceptual-hash-style near-dup detection over binary payloads: each
-    * payload is fingerprinted as the 64-bit SimHash of its distinct
-    * 64-byte frames (the frame-set signature of a media file — shared
-    * frames vote the same bits, so payloads differing in a few frames
-    * land within small Hamming distance); banded blocking (8 x 8 bits —
-    * by pigeonhole, any pair within Hamming <= 7 shares at least one exact
-    * band, so blocking recall is 100% for every distance the verify step
-    * accepts) proposes candidates, and the full 64-bit Hamming distance
-    * verifies them. `maxHamming` must stay <= bands-1 (= 7) for that
-    * exactness guarantee; raising it past the band bound would silently
-    * drop far pairs that share no band.
+    * payload is fingerprinted as the 64-bit SimHash (LONG form) of its
+    * distinct 64-byte frames (the frame-set signature of a media file —
+    * shared frames vote the same bits, so payloads differing in a few
+    * frames land within small Hamming distance). Blocking is 4 x 16-bit
+    * bands with 1-bit multiprobe: probes(x) = each band value plus its 16
+    * one-bit flips, joined against exact band values of y. Exactness: a
+    * pair within Hamming <= 7 has (pigeonhole over 4 disjoint bands) some
+    * band differing in <= floor(7/4) = 1 bit, and a 1-bit-different band
+    * value is always in the other side's probe set — so blocking recall
+    * is 100% for every distance the verify step accepts. `maxHamming`
+    * must stay <= 7; raising it past the probe bound would silently drop
+    * far pairs.
     *
-    * The signature is one narrow map per payload (no shuffle); the
-    * candidate join is an equi-join on 8-bit band values — at 100 TB the
-    * pair space never materializes, exactly like the MinHash and
-    * hyperplane-LSH ladders. Byte frames are decoded as strings for the
-    * fingerprint (ASCII corpus: byte==char, asserted in MultimodalSpec).
-    * Empty payloads are excluded up front: they have no frames, hence no
-    * frame-set signature (the oracle's frame unnest drops them the same
-    * way). */
+    * Why multiprobe over plain 8 x 8-bit banding (which has the same
+    * <= 7 guarantee): band keys live in a 65536-value space instead of
+    * 256, so random candidate collisions scale as n^2/2^16 per band, not
+    * n^2/2^8 — 256x fewer false candidates, the difference between a
+    * blocked join and a near-cross-join as n grows. The 17x probe
+    * expansion is linear in n and tiny (two ints a row). Verification is
+    * `bit_count(s1 ^ s2)` on longs — native codegen, no per-pair string
+    * loop. Signature is one narrow map per payload (no shuffle); empty
+    * payloads are excluded up front (no frames, hence no signature — the
+    * oracle's frame unnest drops them the same way). */
   def phashHamming(spark: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
-      s"maxHamming=$maxHamming exceeds the 8-band pigeonhole guarantee (7)")
+      s"maxHamming=$maxHamming exceeds the 1-bit multiprobe guarantee (7)")
     graft.functions.ExprColumns.register(spark)
     val sigs = mediaRecords(spark, dir).toDF()
       .filter(col("byte_len") > 0)
       .select(col("doc_id"), expr(
-        """graft_simhash64(array_distinct(transform(
+        """graft_simhash64_long(array_distinct(transform(
              sequence(0, CAST((byte_len - 1) div 64 AS INT)),
              f -> substring(CAST(payload AS STRING), f * 64 + 1, 64))))""")
         .as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val exact = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
-        "transform(sequence(0, 7), b -> substring(sig, b * 8 + 1, 8))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
-    bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        """transform(sequence(0, 3),
+             b -> CAST(shiftright(sig, b * 16) & 65535 AS INT))""")))
+      .toDF("doc_id", "sig", "band", "bits")
+    val probes = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """flatten(transform(sequence(0, 3), b ->
+             transform(sequence(0, 16), p -> struct(
+               CAST(b AS INT) AS band,
+               CAST((shiftright(sig, b * 16) & 65535)
+                 ^ (CASE WHEN p = 0 THEN 0L
+                    ELSE shiftleft(1L, CAST(p - 1 AS INT)) END)
+                 AS INT) AS bits))))""")).as("pb"))
+      .select(col("doc_id"), col("sig"),
+        col("pb.band").as("band"), col("pb.bits").as("bits"))
+    probes.as("x")
+      .join(exact.as("y"), col("x.band") === col("y.band") &&
         col("x.bits") === col("y.bits") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sig").as("s1"), col("y.sig").as("s2"))
       .distinct()
-      .withColumn("hamming", expr(
-        """aggregate(transform(sequence(1, 64),
-             i -> IF(substring(s1, i, 1) = substring(s2, i, 1), 0, 1)),
-           0, (a, x) -> a + x)""").cast("long"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))

@@ -152,4 +152,41 @@ class Round5OpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - z) < 1e-3)
     }
   }
+
+  test("simhash long form: bit 63-j of the long equals char j of the string form") {
+    graft.functions.ExprColumns.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_simhash64(toks) AS s, graft_simhash64_long(toks) AS l
+         FROM VALUES (array('a','b','c')), (array('frame one', 'frame two')),
+                     (array('x')), (array('p','q','r','s','t','u','v','w'))
+           AS t(toks)""").collect()
+    rows.foreach { r =>
+      val s = r.getString(0); val l = r.getLong(1)
+      (0 until 64).foreach { j =>
+        val bit = (l >>> (63 - j)) & 1L
+        assert(bit == (if (s.charAt(j) == '1') 1L else 0L),
+          s"bit $j: string $s vs long $l")
+      }
+    }
+  }
+
+  test("phash multiprobe blocking is exact: matches the all-pairs hamming filter") {
+    import graft.operators.Multimodal
+    graft.functions.ExprColumns.register(spark)
+    val blocked = Multimodal.phashHamming(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Multimodal.mediaRecords(spark, sf0001).toDF()
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"), expr(
+        """graft_simhash64_long(array_distinct(transform(
+             sequence(0, CAST((byte_len - 1) div 64 AS INT)),
+             f -> substring(CAST(payload AS STRING), f * 64 + 1, 64))))""")
+        .as("sig")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 7
+    } yield (d1, d2, h.toLong)).toSet
+    assert(blocked == allPairs,
+      s"blocked ${blocked.size} pairs vs all-pairs ${allPairs.size}")
+  }
 }
