@@ -1645,23 +1645,36 @@ object SparkEntry {
            AND s_acctbal = (SELECT MIN(s2.s_acctbal) FROM ps ps2
                             JOIN esupp s2 ON ps2.l_suppkey = s2.s_suppkey
                             WHERE ps2.l_partkey = p_partkey)
-         ORDER BY s_acctbal, p_partkey LIMIT 100""",
+         ORDER BY s_acctbal, p_partkey, s_name LIMIT 100""",
     "q7_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, yr,
-           CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n
-         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                 CAST(year(l_shipdate) AS BIGINT) AS yr,
-                 CAST(l_extendedprice AS DECIMAL(12,2))
-                   * CAST(1-l_discount AS DECIMAL(4,2)) AS volume
-               FROM lineitem
-               JOIN supplier ON l_suppkey = s_suppkey
-               JOIN orders ON l_orderkey = o_orderkey
-               JOIN customer ON o_custkey = c_custkey
-               JOIN nation n1 ON s_nationkey = n1.n_nationkey
-               JOIN nation n2 ON c_nationkey = n2.n_nationkey
-               WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      """WITH agg AS (
+           SELECT supp_nation, cust_nation, yr,
+             SUM(volume) AS rev_dec, COUNT(*) AS n
+           FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS yr,
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1-l_discount AS DECIMAL(4,2)) AS volume
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                 WHERE n1.n_name <> n2.n_name)
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, SUM(n) OVER (PARTITION BY
+               least(supp_nation, cust_nation),
+               greatest(supp_nation, cust_nation)) AS pair_total
+           FROM agg),
+         top AS (
+           SELECT *, DENSE_RANK() OVER (ORDER BY pair_total DESC,
+               least(supp_nation, cust_nation),
+               greatest(supp_nation, cust_nation)) AS rk
+           FROM ranked)
+         SELECT supp_nation, cust_nation, yr,
+           CAST(rev_dec AS DOUBLE) AS revenue, n
+         FROM top WHERE rk = 1 ORDER BY 1, 2, 3""",
     "q8_market_share" ->
       """SELECT yr,
            CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
@@ -1717,17 +1730,18 @@ object SparkEntry {
          WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
          ORDER BY s_suppkey""",
     "q17_small_qty_revenue" ->
-      """WITH pq AS (SELECT l_partkey AS pk,
+      """WITH b3 AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+         pq AS (SELECT l_partkey AS pk,
              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
              COUNT(*) AS cnt
-           FROM lineitem GROUP BY l_partkey)
+           FROM lineitem JOIN b3 ON l_partkey = p_partkey
+           GROUP BY l_partkey)
          SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
              / 7.0, 6) AS avg_yearly
-         FROM lineitem JOIN part ON l_partkey = p_partkey
+         FROM lineitem JOIN b3 ON l_partkey = p_partkey
          JOIN pq ON l_partkey = pk
-         WHERE p_brand = 'Brand#3'
-           AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+         WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
     "q19_disjunctive_revenue" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1839,7 +1853,8 @@ object SparkEntry {
                  - (CAST(st.s AS DOUBLE)/st.n)*(CAST(st.s AS DOUBLE)/st.n)),
              4) AS z
          FROM daily d JOIN st ON d.event_type = st.event_type
-         WHERE (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
+         WHERE st.n > 1 AND (st.n * st.ss - st.s * st.s) > 0
+           AND (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
              >= 4 * (st.n * st.ss - st.s * st.s)
          ORDER BY d.event_type, day"""
     )

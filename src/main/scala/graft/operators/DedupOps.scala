@@ -62,22 +62,40 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** (doc_id, n, band, bucket): per-document banded MinHash LSH buckets,
-    * computed entirely map-side by [[graft.expressions.MinHashBandBuckets]]
-    * (the relational explode+9-way-min-agg build would shuffle every
-    * shingle row; here only these 3 narrow rows per doc ever move).
-    * `n` = |distinct shingles| rides along for Jaccard verification.
+  /** Candidate near-dup pairs (d1 < d2, with distinct-shingle counts
+    * n1/n2 riding along for Jaccard verification) from banded MinHash
+    * LSH.
     *
-    * Cached: the relation is 3 narrow rows per document, but both sides
-    * of the candidate self-join consume it — uncached, the 9x-md5
-    * signature walk would run twice per query. */
-  private def lshBands(spark: SparkSession, dir: String): DataFrame =
+    * Per-document signatures are computed entirely map-side by
+    * [[graft.expressions.MinHashBandBuckets]] (the relational
+    * explode+9-way-min-agg build would shuffle every shingle row; here
+    * only 3 narrow rows per doc ever move). Pairs are then emitted
+    * WITHIN each (band, bucket) group: groupBy the bucket key, sort the
+    * bucket's (doc_id, n) structs, expand ordered pairs with an array
+    * HOF, and explode. One shuffle on the bucket key — the previous
+    * self-join form shuffled the band relation twice and needed a
+    * `.cache()` that stayed pinned for the rest of the session (the
+    * round-5 verdict's cache-pollution finding). A bucket of size m
+    * yields m(m-1)/2 candidates under either plan — the quadratic
+    * blow-up is inherent to LSH and stays confined to documents that
+    * actually collide; the sorted in-task bucket array is
+    * collision-group-sized (16 bytes per member), not corpus-sized. */
+  private def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),
         posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .cache()
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y ->
+               struct(x.doc_id AS d1, y.doc_id AS d2,
+                      x.n AS n1, y.n AS n2))))""")).as("p"))
+      .select(col("p.d1"), col("p.d2"), col("p.n1"), col("p.n2"))
+      .distinct()
 
   /** MinHash signature + banded LSH near-dup pairs, exact-verified.
     *
@@ -87,21 +105,14 @@ object DedupOps {
     * exact-verified with the same Jaccard as [[ngramJaccardPairs]].
     *
     * At 100 TB this is THE near-dup plan: signature build is a narrow
-    * map ([[lshBands]]), bucketing is an equi-join on (band, md5 bucket)
-    * — never an all-pairs comparison. Probability a true pair with
-    * jaccard s becomes a candidate: 1 - (1 - s^3)^3 (≈1 for the planted
-    * ~0.98 near-dups). */
+    * map, bucketing groups on the (band, md5 bucket) key
+    * ([[lshCandidatePairs]]) — never an all-pairs comparison.
+    * Probability a true pair with jaccard s becomes a candidate:
+    * 1 - (1 - s^3)^3 (≈1 for the planted ~0.98 near-dups). */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRel(spark, dir)
-    val bands = lshBands(spark, dir)
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.n").as("n1"), col("y.n").as("n2"))
-      .distinct()
+    val cand = lshCandidatePairs(spark, dir)
     // exact verification of candidates only
     cand.join(sh.as("a"), col("d1") === col("a.doc_id"))
       .join(sh.as("b"), col("d2") === col("b.doc_id") &&
@@ -135,13 +146,7 @@ object DedupOps {
         expr("graft_hashed_tf64(split(text, ' '))").as("tfvec"))
       .withColumn("nsq", expr("aggregate(tfvec, 0L, (a, x) -> a + x * x)"))
     // candidate pairs from the same banded MinHash LSH as minhashLshPairs
-    val bands = lshBands(spark, dir)
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val cand = lshCandidatePairs(spark, dir).select(col("d1"), col("d2"))
     // per-pair integer-exact dot product on the dense vectors
     cand
       .join(tf.select(col("doc_id").as("d1"), col("tfvec").as("t1"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -411,15 +411,22 @@ object EventAnalytics {
     * sits >= 2 standard deviations from that type's mean daily count —
     * the monitoring query every ingestion pipeline runs.
     *
-    * The anomaly PREDICATE is evaluated in exact integer arithmetic,
+    * The anomaly PREDICATE is evaluated in exact arithmetic,
     * cross-multiplied to avoid any float boundary: |z| >= 2 is
     * (cnt*n - s)^2 >= 4*(n*ss - s^2) where (s, ss, n) are the per-type
-    * sum / sum-of-squares / day count. Counts are exact longs; at
-    * planet scale the same predicate runs in DECIMAL (cnt*n overflows
-    * long only past ~10^9 events/day x 10^9 days). The reported z uses
-    * the identical double formula on both engines, so the gate
-    * hash-compares exactly. Stats relation is type-cardinality-sized and
-    * broadcasts; the daily relation is one hash-agg of the fact table. */
+    * sum / sum-of-squares / day count. The predicate terms are cast to
+    * DECIMAL(38,0) BEFORE multiplying: s*s (and n*ss) overflow int64
+    * once a type's total daily-count sum passes ~3e9 — feasible at the
+    * 100 TB design target, where ANSI Spark would throw while the
+    * oracle silently computes in HUGEINT. Degenerate groups are
+    * excluded up front: with one observed day, or all daily counts
+    * equal, the variance term is 0, the predicate collapses to 0 >= 0
+    * (every day "anomalous") and z divides 0/0 — so the filter requires
+    * n > 1 AND strictly positive variance, and the oracle SQL carries
+    * the identical conditions. The reported z uses the identical double
+    * formula on both engines, so the gate hash-compares exactly. Stats
+    * relation is type-cardinality-sized and broadcasts; the daily
+    * relation is one hash-agg of the fact table. */
   def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -427,9 +434,11 @@ object EventAnalytics {
     val st = daily.groupBy(col("event_type"))
       .agg(sum(col("cnt")).as("s"), sum(col("cnt") * col("cnt")).as("ss"),
         count(lit(1)).as("n"))
-    val dev = col("cnt") * col("n") - col("s")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = dec(col("cnt")) * dec(col("n")) - dec(col("s"))
+    val variance = dec(col("n")) * dec(col("ss")) - dec(col("s")) * dec(col("s"))
     daily.join(broadcast(st), "event_type")
-      .filter(dev * dev >= lit(4) * (col("n") * col("ss") - col("s") * col("s")))
+      .filter(col("n") > 1 && variance > 0 && dev * dev >= lit(4) * variance)
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("cnt"),
         round((col("cnt").cast("double") - col("s").cast("double") / col("n")) /

@@ -198,8 +198,12 @@ object TextAnalysis {
     * Zipf head); the per-language top-20 selection is a rank window over
     * the VOCABULARY relation (small), not the corpus; coverage divides
     * two exact integer sums once at the end. */
-  def vocabCoverage(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-N is fixed at 20: the output column is named top20_occurrences
+    // and the oracle SQL pins the same constant, so a tunable parameter
+    // here would only produce a schema that lies about its contents.
+    val topN = 20
     val cnt = Tables(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))

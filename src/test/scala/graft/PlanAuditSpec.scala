@@ -221,6 +221,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q17: the per-part pre-aggregate is pruned by a Brand#3 semi-join") {
+    val p = plan(graft.operators.TpchReports.q17SmallQtyRevenue(spark, sf0001))
+    assert(p.contains("LeftSemi"),
+      "lineitem must be semi-joined to the Brand#3 keys BEFORE the per-part " +
+        "aggregate — a full-fact pre-aggregate discards ~96% of its groups")
+    assert(p.contains("EqualTo(p_brand,Brand#3)"),
+      "the brand filter must be pushed to the part scan")
+    assert(!p.contains("SortMergeJoin"),
+      "both the semi-join and the pruned pq probe must broadcast; nothing " +
+        "in this query should shuffle-join the fact table")
+  }
+
   test("recall eval: both rankings broadcast the query set; no cartesian") {
     val p = plan(graft.operators.Similarity.recallAt10(spark, sf0001))
     assert(!p.contains("CartesianProduct"),

@@ -27,13 +27,32 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
-  test("q7: only the two requested nation pairs appear, never a self-pair") {
-    // sf0.001 has no trades between the two nations; sf0.01 does — the
-    // pair filter itself is the property under test
-    val rows = TpchReports.q7VolumeShipping(spark, "/root/testdata/sf0.01").collect()
+  test("q7: exactly one unordered nation pair appears — the busiest, recomputed") {
+    val rows = TpchReports.q7VolumeShipping(spark, sf0001).collect()
     assert(rows.nonEmpty)
     val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
-    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(!pairs.exists { case (x, y) => x == y }, "self-pairs must be excluded")
+    val unordered = pairs.map { case (x, y) => if (x < y) (x, y) else (y, x) }
+    assert(unordered.size == 1, s"expected one trading pair, got $unordered")
+    // recompute the busiest cross-nation pair independently
+    val nat = Tables(spark, sf0001, "nation")
+    val counts = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sf0001, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sf0001, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(nat.select(col("n_nationkey").as("k1"), col("n_name").as("sn")),
+        col("s_nationkey") === col("k1"))
+      .join(nat.select(col("n_nationkey").as("k2"), col("n_name").as("cn")),
+        col("c_nationkey") === col("k2"))
+      .filter(col("sn") =!= col("cn"))
+      .groupBy(least(col("sn"), col("cn")).as("a"),
+        greatest(col("sn"), col("cn")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val best = counts.sortBy { case ((a, b), n) => (-n, a, b) }.head
+    assert(unordered.head == best._1, s"picked ${unordered.head}, busiest is $best")
+    assert(rows.map(_.getLong(4)).sum == best._2,
+      "reported line counts must sum to the pair's recomputed total")
   }
 
   test("q8: market share is nation_rev/total_rev and within [0,1]") {
