@@ -54,7 +54,7 @@ object SparkEntry {
     "corr_price_qty" -> ((s, d) => Relational.corrPriceQty(s, d)),
     "segment_nations" -> ((s, d) => Relational.segmentNations(s, d)),
     // rows-only check: sketch internals are engine-specific (see scaladoc)
-    "approx_stats_noracle" -> ((s, d) => Relational.approxStats(s, d)),
+    "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     // ---- event analytics (§7.5)
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
     "sliding_two_hour" -> ((s, d) => EventAnalytics.slidingTwoHour(s, d)),
@@ -139,7 +139,7 @@ object SparkEntry {
     "agg_bool_listagg" -> ((s, d) => Subqueries.aggBoolListagg(s, d)),
     "array_hof" -> ((s, d) => TextAnalysis.arrayHof(s, d)),
     "join_nullsafe" -> ((s, d) => Relational.nullSafeJoin(s, d)),
-    "sketch_hll_noracle" -> ((s, d) => Quality.sketchHllNoracle(s, d)),
+    "sketch_hll" -> ((s, d) => Quality.sketchHll(s, d)),
     // ---- round 4: classic big-join reports, robust aggregates, DQ gates
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
@@ -1646,6 +1646,29 @@ object SparkEntry {
                             JOIN esupp s2 ON ps2.l_suppkey = s2.s_suppkey
                             WHERE ps2.l_partkey = p_partkey)
          ORDER BY s_acctbal, p_partkey, s_name LIMIT 100""",
+    // approx gates: the oracle cannot reproduce engine-specific sketch
+    // estimates, so both sides emit the EXACT values plus within-bound
+    // booleans (oracle: literal TRUE). Estimate drift flips the Spark
+    // boolean -> hash mismatch -> red row. See Relational.approxStats.
+    "approx_stats" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS parts_within_bound,
+           ROUND(quantile_cont(l_quantity, 0.5), 2) AS exact_median,
+           TRUE AS median_within_bound
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "sketch_hll" ->
+      """WITH per AS (SELECT o_orderpriority, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_custkey) AS exact_distinct
+           FROM orders GROUP BY 1),
+         tot AS (SELECT 'ALL' AS o_orderpriority, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_custkey) AS exact_distinct
+           FROM orders)
+         SELECT o_orderpriority, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_bound
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+         ORDER BY o_orderpriority""",
     "q7_volume_shipping" ->
       """WITH agg AS (
            SELECT supp_nation, cust_nation, yr,

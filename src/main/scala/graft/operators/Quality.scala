@@ -59,23 +59,37 @@ object Quality {
     * into Spark 4): per-priority customer sketches, then a union-merge of
     * those 5 sketches for the global estimate — the re-aggregation a
     * 100 TB pipeline relies on (partition sketches roll up without
-    * re-reading rows; exact COUNT(DISTINCT) cannot). No SQL oracle —
-    * estimates are sketch-implementation-specific — so the driver records
-    * a rows-only check; the exact-vs-estimate agreement is asserted in
-    * ApproxSpec instead. */
-  def sketchHllNoracle(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables(spark, dir, "orders")
-      .groupBy(col("o_orderpriority"))
+    * re-reading rows; exact COUNT(DISTINCT) cannot). ORACLE-GATED the
+    * same way as [[Relational.approxStats]]: sketch estimates are
+    * engine-specific, so both engines emit the exact distinct counts
+    * plus a boolean asserting each estimate (including the union-merged
+    * global) landed within 5% of exact (measured <=1.1% across
+    * sf0.001-0.1); the oracle emits literal TRUE, so estimate drift
+    * fails the hash compare. Exact references are separate aggregations
+    * (a mixed distinct-agg would plan an Expand over the sketch path). */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val per = o.groupBy(col("o_orderpriority"))
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
         count(lit(1)).as("n_rows"))
-    val global = per.agg(
-      lit("ALL").as("o_orderpriority"),
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
-      sum(col("n_rows")).as("n_rows"))
-    per.select(col("o_orderpriority"),
-        hll_sketch_estimate(col("sk")).as("est_distinct"), col("n_rows"))
-      .unionByName(global.select(col("o_orderpriority"),
-        col("est_distinct"), col("n_rows")))
+    val perExact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    val globalExact = o.agg(
+      countDistinct(col("o_custkey")).as("exact_distinct"),
+      count(lit(1)).as("n_rows"))
+    val perOut = per.join(perExact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_rows"), col("exact_distinct"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    val globalOut = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(globalExact) // 1 row x 1 row
+      .select(lit("ALL").as("o_orderpriority"), col("n_rows"),
+        col("exact_distinct"), col("est"))
+    perOut.unionByName(globalOut)
+      .select(col("o_orderpriority"), col("n_rows"), col("exact_distinct"),
+        (abs(col("est").cast("double") - col("exact_distinct").cast("double"))
+          <= col("exact_distinct").cast("double") * 0.05)
+          .as("est_within_bound"))
       .orderBy(col("o_orderpriority"))
   }
 

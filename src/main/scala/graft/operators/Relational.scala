@@ -383,21 +383,40 @@ object Relational {
         countDistinct(col("n_name")).as("n_nations"))
       .orderBy(col("c_mktsegment"))
 
-  /** Sketch aggregates: HyperLogLog++ distinct and approximate median.
-    * Sketch-only on purpose — mixing countDistinct/exact-percentile into
-    * the same agg forces an Expand + full value buffering, defeating the
-    * point of sketching (measured 6x slower). No DuckDB oracle (sketch
-    * internals are engine-specific) — the driver records a rows-only
-    * check; ApproxSpec bounds relative error against separately computed
-    * exact references. */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** Sketch aggregates: HyperLogLog++ distinct and approximate median,
+    * ORACLE-GATED. Sketch internals are engine-specific, so the DuckDB
+    * oracle cannot reproduce the estimates — instead both engines emit
+    * the EXACT values plus booleans asserting the sketch landed within
+    * bound (oracle side: literal TRUE). A drifting sketch flips the
+    * boolean and fails the hash compare, which converts the old
+    * rows-only check into a full hash gate. Bounds: HLL++ at default
+    * rsd 0.05 measured <=2.7% relative error across sf0.001-0.1, gated
+    * at 10%; percentile_approx at accuracy 1e4 is exact on the integer
+    * quantity domain, gated at +-1.0.
+    *
+    * The sketch agg and the exact reference run as SEPARATE aggregations
+    * joined on the 3-row group key: mixing countDistinct/exact-percentile
+    * into the sketch agg forces an Expand + full value buffering
+    * (measured 6x slower), which would defeat the point of sketching. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sketch = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-          .as("approx_median"))
+          .as("apx_median"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_median"))
+    sketch.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("apx_parts").cast("double") - col("exact_parts").cast("double"))
+          <= col("exact_parts").cast("double") * 0.10).as("parts_within_bound"),
+        round(col("exact_median"), 2).as("exact_median"),
+        (abs(col("apx_median").cast("double") - col("exact_median")) <= 1.0)
+          .as("median_within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Date/time function battery over order dates: component extraction,
     * truncation, arithmetic, month boundaries — every piece rendered with

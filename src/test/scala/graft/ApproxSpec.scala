@@ -1,50 +1,52 @@
 package graft
 
-/** Error bounds for the sketch aggregates (no DuckDB oracle — sketch
-  * internals are engine-specific, so correctness means bounded relative
-  * error against the exact computation in the same row). */
+/** Error bounds for the sketch aggregates. The oracle gate now checks the
+  * within-bound booleans row-by-row (both engines emit exact values +
+  * booleans); these tests additionally recompute the exact references
+  * independently and check the sketch-algebra properties the booleans
+  * alone can't express (union-merge deduplicates). */
 class ApproxSpec extends SparkSpec {
-  test("approx distinct and approx median stay within tolerance of exact") {
+  test("approx distinct and approx median stay within the gated bounds") {
     import org.apache.spark.sql.functions._
-    val approx = graft.operators.Relational.approxStats(spark, sf0001)
-    // exact references computed separately (mixing them into the sketch
-    // agg would force an Expand — see the operator's scaladoc)
-    val exact = Tables(spark, sf0001, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile(col("l_quantity"), lit(0.5)).as("exact_median"))
-    val rows = approx.join(exact, "l_returnflag").collect()
+    val rows = graft.operators.Relational.approxStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approxParts = r.getAs[Long]("approx_parts").toDouble
-      val exactParts = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approxParts - exactParts) / exactParts < 0.05,
-        s"HLL++ relative error too high: $approxParts vs $exactParts")
-      val am = r.getAs[Double]("approx_median")
-      val em = r.getAs[Double]("exact_median")
-      assert(math.abs(am - em) <= math.max(1.0, em * 0.05),
-        s"approx median too far off: $am vs $em")
+      assert(r.getAs[Boolean]("parts_within_bound"),
+        s"${r.getString(0)}: HLL++ estimate out of bound")
+      assert(r.getAs[Boolean]("median_within_bound"),
+        s"${r.getString(0)}: approx median out of bound")
+    }
+    // exact columns really are exact (recomputed independently)
+    val exact = Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      assert(exact(r.getString(0)) ==
+        ((r.getAs[Long]("exact_parts"), r.getAs[Double]("exact_median"))))
     }
   }
 
-  test("HLL sketches: per-group estimates track exact; union-merge tracks global") {
+  test("HLL sketches: per-group and union-merged estimates within bound; merge dedups") {
     import org.apache.spark.sql.functions._
-    val sk = graft.operators.Quality.sketchHllNoracle(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    val orders = Tables(spark, sf0001, "orders")
-    val exactPer = orders.groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("o_custkey")).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    exactPer.foreach { case (p, exact) =>
-      assert(math.abs(sk(p) - exact) / exact < 0.05,
-        s"sketch estimate off for $p: ${sk(p)} vs $exact")
+    val rows = graft.operators.Quality.sketchHll(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_within_bound"),
+        s"${r.getString(0)}: sketch estimate out of bound")
     }
-    val exactAll = orders.select(countDistinct(col("o_custkey")))
-      .head.getLong(0).toDouble
-    assert(math.abs(sk("ALL") - exactAll) / exactAll < 0.05,
-      s"merged sketch off: ${sk("ALL")} vs $exactAll")
-    // merged estimate must NOT be the sum of the parts (it deduplicates
-    // customers appearing under several priorities)
-    assert(sk("ALL") < sk.filterKeys(_ != "ALL").values.sum * 0.95)
+    // union-merge must deduplicate: the global exact distinct is well
+    // below the sum of the per-priority distincts (customers order under
+    // several priorities), and the gated global estimate tracks IT — a
+    // sum-of-parts "merge" would blow the 5% bound by ~5x.
+    val per = rows.filter(_.getString(0) != "ALL")
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(all.getAs[Long]("exact_distinct") <
+      per.map(_.getAs[Long]("exact_distinct")).sum * 0.95)
+    // exact global recomputed independently
+    val exactAll = Tables(spark, sf0001, "orders")
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(all.getAs[Long]("exact_distinct") == exactAll)
   }
 }
