@@ -147,12 +147,53 @@ private[graft] object AppsflyerFetch extends Logging {
       (if (additionalFields.nonEmpty) s"&additional_fields=${enc(additionalFields)}" else "")
   }
 
+  /** One attempt's outcome: success, or failure tagged transient
+    * (worth retrying: rate limit, server error, IO) vs permanent. */
+  private sealed trait FetchResult
+  private case class FetchOk(body: String) extends FetchResult
+  private case class FetchFail(transient: Boolean, msg: String) extends FetchResult
+
+  /** Transient-failure retry policy. The reference performs ONE blocking
+    * GET and treats any failure as an empty run (main.py:122-124); a real
+    * AppsFlyer puller hits rate limits (HTTP 429) and transient 5xx
+    * first, so the fetch retries those — plus IO errors — up to
+    * `max_retries` extra attempts with exponential backoff
+    * (`retry_backoff_ms` * 2^attempt). Non-transient statuses (4xx auth /
+    * parameter errors) fail immediately: retrying a bad token cannot
+    * succeed. Backoff carries no random jitter on purpose: each scan has
+    * exactly ONE input partition (the API returns a single CSV body,
+    * main.py:125), so there is no executor herd to decorrelate, and
+    * determinism keeps the policy unit-testable. After the final attempt
+    * the reference's contract is unchanged: empty relation, never an
+    * error. */
   def fetchCsv(opts: Map[String, String]): Option[String] = {
     val url = opts.getOrElse("url", exportUrl(
       opts.getOrElse("app_id", ""),
       opts.getOrElse("from", ""), opts.getOrElse("to", ""),
       opts.getOrElse("timezone", "Asia/Ho_Chi_Minh"),
       opts.getOrElse("additional_fields", "")))
+    val maxRetries = opts.getOrElse("max_retries", "2").toInt
+    val backoffMs = opts.getOrElse("retry_backoff_ms", "1000").toLong
+    var attempt = 0
+    while (true) {
+      fetchOnce(url, opts) match {
+        case FetchOk(body) => return Some(body)
+        case FetchFail(transient, msg) =>
+          if (transient && attempt < maxRetries) {
+            val sleepMs = backoffMs << attempt
+            logWarning(s"appsflyer source: $msg; retry ${attempt + 1}/$maxRetries in ${sleepMs}ms")
+            Thread.sleep(sleepMs)
+            attempt += 1
+          } else {
+            logWarning(s"appsflyer source: $msg -> empty relation")
+            return None
+          }
+      }
+    }
+    None // unreachable
+  }
+
+  private def fetchOnce(url: String, opts: Map[String, String]): FetchResult =
     try {
       val u = java.net.URI.create(url).toURL
       u.getProtocol match {
@@ -164,23 +205,25 @@ private[graft] object AppsflyerFetch extends Logging {
           conn.setConnectTimeout(opts.getOrElse("connect_timeout_ms", "30000").toInt)
           conn.setReadTimeout(opts.getOrElse("read_timeout_ms", "300000").toInt)
           val code = conn.getResponseCode
-          if (code / 100 == 2) {
-            val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-            Some(body)
-          } else {
-            logWarning(s"appsflyer source: HTTP $code from $url -> empty relation")
-            None
-          }
+          if (code / 100 == 2)
+            FetchOk(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+          else
+            FetchFail(transient = code == 429 || code / 100 == 5,
+              s"HTTP $code from $url")
         case _ =>
-          Some(new String(u.openStream().readAllBytes(), "UTF-8"))
+          FetchOk(new String(u.openStream().readAllBytes(), "UTF-8"))
       }
     } catch {
       // NonFatal, not just IOException: a malformed `url` option throws
       // IllegalArgumentException from URI.create, and the reference's
-      // contract is failure -> empty relation, never an error (main.py:122-124)
+      // contract is failure -> empty relation, never an error
+      // (main.py:122-124). IO errors are transient (connection reset,
+      // timeout); anything else (bad URL) retries cannot fix.
+      case e: java.io.FileNotFoundException => // missing file: URL fixture
+        FetchFail(transient = false, s"fetch failed (${e.getMessage})")
+      case e: java.io.IOException =>
+        FetchFail(transient = true, s"fetch failed (${e.getMessage})")
       case scala.util.control.NonFatal(e) =>
-        logWarning(s"appsflyer source: fetch failed (${e.getMessage}) -> empty relation")
-        None
+        FetchFail(transient = false, s"fetch failed (${e.getMessage})")
     }
-  }
 }

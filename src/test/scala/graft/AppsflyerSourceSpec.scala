@@ -98,6 +98,53 @@ class AppsflyerSourceSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  /** Local HTTP fixture: serves `statuses` in order (body on the last). */
+  private def withServer(statuses: Seq[Int], body: String)
+                        (f: (String, () => Int) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = hits.getAndIncrement()
+      val code = statuses(math.min(n, statuses.size - 1))
+      val bytes = (if (code / 100 == 2) body else "err").getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/csv", () => hits.get())
+    finally server.stop(0)
+  }
+
+  private val tinyCsv = "AppsFlyer ID,Media Source\nid-9,organic\n"
+
+  test("429 then 200: bounded retry recovers the batch") {
+    withServer(Seq(429, 429, 200), tinyCsv) { (url, hits) =>
+      val df = spark.read.format("appsflyer").option("url", url)
+        .option("retry_backoff_ms", "1").load()
+      assert(df.count() == 1)
+      assert(hits() == 3, "two retries then success")
+    }
+  }
+
+  test("5xx exhausts retries -> empty relation after max_retries+1 attempts") {
+    withServer(Seq(503), tinyCsv) { (url, hits) =>
+      val df = spark.read.format("appsflyer").option("url", url)
+        .option("max_retries", "2").option("retry_backoff_ms", "1").load()
+      assert(df.count() == 0)
+      assert(hits() == 3, "initial attempt + 2 retries")
+    }
+  }
+
+  test("4xx is permanent: no retry, immediate empty relation (main.py:123-124)") {
+    withServer(Seq(404), tinyCsv) { (url, hits) =>
+      val df = spark.read.format("appsflyer").option("url", url).load()
+      assert(df.count() == 0)
+      assert(hits() == 1, "a bad request cannot succeed on retry")
+    }
+  }
+
   test("export URL matches the reference's v5 shape") {
     val u = graft.sources.AppsflyerFetch.exportUrl(
       "com.app", "2025-09-26 08:15:00", "2025-09-26 10:15:00",
