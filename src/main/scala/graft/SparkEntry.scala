@@ -170,7 +170,10 @@ object SparkEntry {
     "sim_recall_eval" -> ((s, d) => Similarity.recallAt10(s, d)),
     "split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
-    "events_anomaly" -> ((s, d) => EventAnalytics.dailyAnomaly(s, d))
+    "events_anomaly" -> ((s, d) => EventAnalytics.dailyAnomaly(s, d)),
+    // ---- round 6: the full Lloyd loop + the streaming prep pipeline
+    "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
+    "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1880,9 +1883,47 @@ object SparkEntry {
            AND (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
              >= 4 * (st.n * st.ss - st.s * st.s)
          ORDER BY d.event_type, day"""
+    ,
+    "sim_kmeans_lloyd2" ->
+      """WITH seeds AS (
+           SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+                          s.cid) AS rn
+             FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+         dims AS (
+           SELECT cid, generate_subscripts(embedding, 1) AS d,
+             unnest(embedding) AS val
+           FROM a1),
+         cent2 AS (
+           SELECT cid, list(CAST(c AS FLOAT) ORDER BY d) AS cemb
+           FROM (SELECT cid, d,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                     AS DOUBLE) / COUNT(*) AS c
+                 FROM dims GROUP BY cid, d)
+           GROUP BY cid),
+         a2 AS (
+           SELECT vec_id, cid, sim FROM (
+             SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding, c.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC,
+                          c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1)
+         SELECT cid, COUNT(*) AS n_assigned,
+           ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_cos
+         FROM a2 GROUP BY cid ORDER BY cid"""
     )
     // the star-contraction variant computes the identical relation, so it
-    // shares dedup_clusters' recursive-CTE oracle verbatim
-    m + ("dedup_clusters_star" -> m("dedup_clusters"))
+    // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming
+    // prep pipeline computes the batch pipeline's exact relation through a
+    // twice-run foreachBatch job, so it shares that oracle too
+    m + ("dedup_clusters_star" -> m("dedup_clusters")) +
+      ("stream_docs_prep" -> m("docs_prep_pipeline"))
   }
 }

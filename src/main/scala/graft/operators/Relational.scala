@@ -397,7 +397,13 @@ object Relational {
     * The sketch agg and the exact reference run as SEPARATE aggregations
     * joined on the 3-row group key: mixing countDistinct/exact-percentile
     * into the sketch agg forces an Expand + full value buffering
-    * (measured 6x slower), which would defeat the point of sketching. */
+    * (measured 6x slower), which would defeat the point of sketching.
+    *
+    * Scale note: the exact countDistinct/percentile pass is the GATE's
+    * price, paid at verification scale only — at 100 TB production runs
+    * the sketch-only branch (the plan's left input, unchanged) and this
+    * within-bound comparison runs on a sampled partition, exactly like
+    * [[Similarity.recallAt10]] samples its brute-force ground truth. */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val sketch = li.groupBy(col("l_returnflag"))

@@ -85,14 +85,22 @@ object Similarity {
     * scaladoc for the oracle-equivalence argument). */
   def annLshTopPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = emb(spark, dir)
-    val bands = e.select(col("vec_id"),
-      posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+    // candidates are emitted WITHIN each (band, bucket) group — one
+    // shuffle on the bucket key instead of the two a self-join pays, and
+    // the in-task bucket array is collision-group-sized (8 bytes per
+    // member); same candidate set (see DedupOps.lshCandidatePairs for the
+    // m(m-1)/2 argument)
+    val cand = e.select(col("vec_id"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+             transform(slice(vs, i + 2, size(vs)),
+               y -> struct(x AS v1, y AS v2))))""")).as("p"))
+      .select(col("p.v1"), col("p.v2"))
       .distinct()
     val ea = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
     val eb = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
@@ -275,5 +283,60 @@ object Similarity {
         round(sum(col("sim").cast("double").cast("decimal(18,9)"))
           .cast("double") / count(lit(1)), 6).as("avg_cos"))
       .orderBy(col("seed_id"))
+  }
+
+  /** TWO chained Lloyd iterations with centroid RE-DERIVATION — the full
+    * loop shape [[kmeansAssignIter]]'s scaladoc promises: assign (seeds =
+    * the k lowest-vec_id vectors) -> recompute each cluster's centroid as
+    * the per-dimension mean of its members -> re-assign against the new
+    * centroids -> report the final census.
+    *
+    * Every step keeps the one-iteration plan shape: centroids collapse to
+    * ONE broadcast row carrying an array of (cid, vector); assignment is
+    * a narrow map (transform HOF + array_max argmax, ties to the smallest
+    * cid). The re-derivation is the only extra shuffle per iteration —
+    * posexplode to (cid, dim) then an exact-DECIMAL mean, dimension-
+    * bounded output (k x d rows at ANY corpus size). Determinism across
+    * engines: means accumulate in DECIMAL(18,9) and are cast to FLOAT
+    * lanes on both sides, so the second assignment compares bit-identical
+    * f32 cosines. At 100 TB the loop repeats this step N times; per-round
+    * lineage stays flat because each round's centroid relation is a new
+    * k-row aggregate, not a growing plan. */
+  def kmeansLloydTwo(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    // (cid, cemb) rows -> one broadcast row carrying the centroid array
+    def toArr(cent: DataFrame): DataFrame =
+      cent.agg(array_sort(collect_list(struct(col("cid"), col("cemb"))))
+        .as("cents"))
+    def assign(centArr: DataFrame): DataFrame =
+      e.join(broadcast(centArr))
+        .withColumn("best", expr(
+          """array_max(transform(cents, s ->
+               struct(graft_cosine_f32(embedding, s.cemb) AS sim,
+                      -s.cid AS ncid)))"""))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best.ncid")).as("cid"), col("best.sim").as("sim"))
+    val seeds = toArr(e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    // iteration 1: assign, then re-derive centroids (exact-decimal means,
+    // f32 lanes; k x d output regardless of corpus size)
+    val cent2 = toArr(assign(seeds)
+      .select(col("cid"), posexplode(col("embedding")))
+      .withColumn("d", col("pos") + 1)
+      .groupBy(col("cid"), col("d"))
+      .agg((sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(d, c))), x -> CAST(x.c AS FLOAT))")
+        .as("cemb")))
+    // iteration 2: assign against the re-derived centroids
+    assign(cent2)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("avg_cos"))
+      .orderBy(col("cid"))
   }
 }

@@ -106,4 +106,78 @@ object StreamingAnalytics {
     StreamingOps.runAvailableNow(in, mode = "complete")
       .orderBy(col("user_id"), col("session_start"))
   }
+
+  /** SURVEY §7.5's idiomatic streaming form of the FULL training-data
+    * prep pipeline (the batch `docs_prep_pipeline`, same oracle): a
+    * documents file stream whose foreachBatch applies, per micro-batch,
+    * quality gate -> exact dedup (keep min doc_id per text fingerprint)
+    * -> anti-join against the fingerprints already in the sink (the
+    * reference's J1 idempotence, main.py:168-181, now per micro-batch)
+    * -> anti-join against the corpus's MinHash-verified near-dup losers
+    * (a static relation, re-planned per batch like any stream-static
+    * join) -> parquet append, skipping empty batches (main.py:189-190).
+    *
+    * The streaming query is run to completion TWICE (fresh checkpoint, so
+    * the file re-processes): the second pass must append nothing — the
+    * cross-RUN idempotence guarantee the reference gets from its window
+    * re-scan, demonstrated through a real streaming plan. The returned
+    * per-language census therefore equals the batch pipeline's exactly;
+    * any leak through the fingerprint anti-join would double rows and
+    * fail the hash gate.
+    *
+    * Scale: per-batch work is the same set-based plan the batch pipeline
+    * uses (hash-aggs + anti-joins, nothing driver-side); the sink
+    * fingerprint probe reads one column (projection pushdown, K2's
+    * shape). The dedup state lives in the SINK, not the state store, so
+    * an unbounded corpus needs no watermark horizon. */
+  def streamDocsPrep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val root = java.nio.file.Files.createTempDirectory("graft_sprep").toString
+    val sinkPath = s"$root/kept"
+    // static near-dup loser list (greater side of every verified pair)
+    val losers = graft.operators.DedupOps.minhashLshPairs(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    def runOnce(checkpoint: String): Unit = {
+      val q = StreamingOps.documentsStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val toks = TextFunctions.tokens(col("text"))
+          val scored = batch.select(col("doc_id"), col("lang"),
+            md5(col("text")).as("fp"),
+            TextFunctions.tokenCount(col("text")).as("n_tok"),
+            TextFunctions.stopwordCount(toks).as("n_stop"),
+            TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+          val gated = scored.filter(col("n_tok") >= 10 &&
+            col("n_stop").cast("double") / col("n_tok") <= 0.5 &&
+            col("n_uniq").cast("double") / col("n_tok") >= 0.3)
+          // exact dedup, keep-min: copies share the text, so they share
+          // lang/counters — min() over the group is exact, not arbitrary
+          val kept = gated.groupBy(col("fp"))
+            .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+              min(col("n_tok")).as("n_tok"))
+          val existing =
+            try spark.read.parquet(sinkPath).select(col("fp"))
+            catch { case _: Exception => // first batch: sink not created yet
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                kept.select("fp").schema)
+            }
+          val fresh = kept
+            .join(existing, Seq("fp"), "left_anti")
+            .join(losers, Seq("doc_id"), "left_anti")
+          if (!fresh.isEmpty) fresh.write.mode("append").parquet(sinkPath)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$root/cp1")
+    runOnce(s"$root/cp2") // re-process: every fingerprint already sunk
+    spark.read.parquet(sinkPath)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
 }

@@ -37,6 +37,16 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The `documents` table as a file-streaming source (same glob trick as
+    * [[eventsStream]]: documents.parquet is a single file, and a glob
+    * path suppresses FileStreamSource's basePath injection). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.*")
+  }
+
   /** F4+J1, idiomatic: bounded-state streaming key-dedup. An id is dropped
     * if already seen within the watermark horizon — exactly the reference's
     * "window re-scan + anti-join" idempotence guarantee, without re-reading

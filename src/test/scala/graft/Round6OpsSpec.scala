@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, Similarity, StreamingAnalytics}
+
+/** Semantic invariants of the round-6 operators (the oracle gate checks
+  * value parity; these check the properties that make the values right). */
+class Round6OpsSpec extends SparkSpec {
+
+  test("lloyd-2: every vector assigned exactly once, to a seed-derived centroid") {
+    val rows = Similarity.kmeansLloydTwo(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables(spark, sf0001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "assignment censuses must partition the corpus")
+    val seedIds = Tables(spark, sf0001, "embeddings")
+      .orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(seedIds),
+      "centroid ids are the iteration-1 seed ids")
+    rows.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("lloyd-2 re-derivation tightens (or holds) the mean within-cluster cosine") {
+    // Lloyd's step never decreases the objective on the same metric; with
+    // cosine assignment + mean centroids this holds for the corpus-wide
+    // weighted mean (up to the 1e-6 report rounding).
+    def weighted(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val n = rows.map(_.getLong(1)).sum.toDouble
+      rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    }
+    val one = weighted(Similarity.kmeansAssignIter(spark, sf0001).collect())
+    val two = weighted(Similarity.kmeansLloydTwo(spark, sf0001).collect())
+    assert(two >= one - 1e-5, s"iteration 2 regressed the objective: $two < $one")
+  }
+
+  test("streaming prep pipeline equals the batch pipeline exactly") {
+    val streamed = StreamingAnalytics.streamDocsPrep(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = DedupOps.prepPipeline(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    // the second streaming pass appended nothing — if it had, every lang's
+    // n_docs would double and the equality above could not hold; assert
+    // explicitly anyway via total docs <= corpus size
+    assert(streamed.map(_._2).sum <= Tables(spark, sf0001, "documents").count())
+  }
+}
