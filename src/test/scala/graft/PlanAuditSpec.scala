@@ -233,6 +233,38 @@ class PlanAuditSpec extends SparkSpec {
         "in this query should shuffle-join the fact table")
   }
 
+  test("lloyd-2: broadcast centroid arrays, HOF argmax, corpus never shuffle-joins") {
+    val p = plan(graft.operators.Similarity.kmeansLloydTwo(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "each iteration's centroid array must broadcast as a single row")
+    assert(!p.contains("SortMergeJoin"),
+      "no step of the loop may shuffle-join the corpus")
+    assert(!p.contains("Window"),
+      "argmax must be the HOF array_max, not a window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate generation: one grouped shuffle, no self-join, no cache") {
+    val p = plan(graft.operators.DedupOps.minhashLshPairs(spark, sf0001))
+    assert(p.contains("Generate"),
+      "pair expansion must be an explode over the grouped bucket array")
+    assert(!p.contains("InMemoryTableScan"),
+      "candidate generation must not pin a cached relation (r5 finding)")
+    // documents feeds the query 3x (candidates + both verify sides); the
+    // old self-join form read it 4x and shuffled the band relation twice.
+    // formatted explain prints each scan twice (tree + details section),
+    // so 3 physical scans = 6 matches; the self-join form printed 8.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 6, s"expected <=3 documents scans (6 printed), got $scans")
+  }
+
+  test("mixture weights: dimension-bounded agg, 1-row total broadcasts") {
+    val p = plan(graft.operators.TextAnalysis.mixtureWeights(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the grand-total row must broadcast into the weighting projection")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("recall eval: both rankings broadcast the query set; no cartesian") {
     val p = plan(graft.operators.Similarity.recallAt10(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
