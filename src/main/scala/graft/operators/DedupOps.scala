@@ -361,6 +361,13 @@ object DedupOps {
     var s = sig(edges)
     var converged = false
     while (!converged) {
+      // exactly ONE large/small cycle per checkpoint — do NOT fuse two
+      // cycles the way dedupClusters fuses hops: star() consumes its
+      // input twice (the min-aggregate and the join), so an
+      // unmaterialized inner cycle would be re-executed for each use and
+      // fused cycles recompute exponentially (measured 3-4x slower at
+      // sf0.1). dedupClusters can fuse because each hop's input is the
+      // cached `labels`; here the checkpoint IS the materialization.
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint()
       val ns = sig(next)
