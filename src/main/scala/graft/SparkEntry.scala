@@ -174,7 +174,8 @@ object SparkEntry {
     // ---- round 6: the full Lloyd loop + the streaming prep pipeline
     "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
     "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
-    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d))
+    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1931,7 +1932,19 @@ object SparkEntry {
            ROUND(CAST(CAST(ROUND(50000.0 * sqrt(CAST(n_tokens AS DOUBLE))
                / z, 0) AS BIGINT) AS DOUBLE)
              / CAST(n_tokens AS DOUBLE), 4) AS epochs
-         FROM per, tot ORDER BY lang"""
+         FROM per, tot ORDER BY lang""",
+    "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok),
+         lm AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+           FROM tok GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(CAST(SUM(CAST(ln(CAST(cw AS DOUBLE) / n_total)
+               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+         FROM tok JOIN lm USING (word), tot
+         GROUP BY doc_id
+         ORDER BY mean_logprob, doc_id LIMIT 20"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

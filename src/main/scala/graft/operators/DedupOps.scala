@@ -39,18 +39,30 @@ object DedupOps {
 
   /** Exact n-gram Jaccard near-dup pairs.
     *
-    * Candidates = pairs sharing >=1 shingle (equi-join on the shingle
-    * string), then exact |A∩B| / |A∪B| on the distinct-shingle sets.
-    * No cross join anywhere: the only shuffles are the shingle join and
-    * two small aggregations. */
+    * Candidates = pairs sharing >=1 shingle; |A∩B| is counted by
+    * grouping the posting list PER SHINGLE and expanding ordered doc
+    * pairs in-task (sorted collect_list + pair HOF — each shared
+    * shingle contributes one (d1, d2) occurrence, so the per-pair count
+    * IS the intersection size), then exact Jaccard against the
+    * distinct-shingle sizes. One shuffle on the shingle string + one on
+    * the pair key, where the shingle self-join form shuffled the
+    * posting relation twice; a shingle shared by m docs yields
+    * m(m-1)/2 pair rows under either plan (quadratic only inside a
+    * posting group — stopword-like shingles are the skew risk at
+    * 100 TB, and the mitigation there is dropping top-frequency
+    * shingles, not a different join). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame = {
     val sh = shingleRel(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS d1, y AS d2))))""")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")

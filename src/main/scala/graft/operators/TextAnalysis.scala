@@ -218,6 +218,36 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Unigram log-probability scoring (the CCNet-style statistical
+    * quality signal, next to the heuristic ratios of the quality
+    * scorer): the corpus's own unigram LM scores every document by mean
+    * token log-prob; the lowest-scoring documents — token distributions
+    * far from the corpus — are the junk/outlier review queue this
+    * returns (bottom-k with doc_id tiebreak, a total order).
+    *
+    * Plan: the LM is ONE hash-agg collapsing the token stream to
+    * vocabulary size; scoring joins it back on the word key (vocabulary
+    * scale, not corpus scale — AQE picks broadcast when it fits) and
+    * mean-aggregates per doc. Log-probs are cast to DECIMAL(28,12)
+    * before summing so accumulation order can never wobble the mean
+    * (ln itself is engine-libm; 12 fractional digits absorb the ulp,
+    * same convention as text_pmi). */
+  def unigramLogprob(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tot = tok.agg(count(lit(1)).cast("double").as("n_total"))
+    val lm = tok.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    tok.join(lm, "word")
+      .crossJoin(broadcast(tot)) // 1-row corpus total
+      .withColumn("lp", log(col("cw").cast("double") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_logprob"))
+      .orderBy(col("mean_logprob"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Temperature-based dataset mixture weighting — the sampling-rate
     * computation a multilingual/multi-source training run does before
     * reading a single byte of data (p_l proportional to n_l^alpha with
