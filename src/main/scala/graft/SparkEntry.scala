@@ -175,7 +175,8 @@ object SparkEntry {
     "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
     "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
     "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
-    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d))
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
+    "skew_profile" -> ((s, d) => Quality.skewProfile(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1944,7 +1945,19 @@ object SparkEntry {
                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
          FROM tok JOIN lm USING (word), tot
          GROUP BY doc_id
-         ORDER BY mean_logprob, doc_id LIMIT 20"""
+         ORDER BY mean_logprob, doc_id LIMIT 20""",
+    "skew_profile" ->
+      """WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM orders),
+         top AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY n DESC, o_custkey LIMIT 10)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey)
+             AS BIGINT) AS rk,
+           o_custkey, n,
+           ROUND(n / n_total, 6) AS share,
+           ROUND(SUM(n) OVER (ORDER BY n DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / n_total, 6) AS cum_share
+         FROM top, tot ORDER BY rk"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -102,6 +102,37 @@ object Quality {
     * the FK checks are left joins that count unmatched probes (the
     * nation side broadcasts; the orders side shuffles on the key at
     * scale); domain/range checks fold into one scan apiece. */
+  /** Join-key skew profile — the planning query run BEFORE deciding to
+    * salt a join or aggregate (the `skew_salted_*` operators): the top-k
+    * heaviest keys of the orders fact, each with its row share and the
+    * cumulative share of the head. A cum_share elbow near 1.0 inside a
+    * few keys = salt those keys; a flat profile = leave AQE to it.
+    *
+    * Plan: one map-side-combined hash-agg to key cardinality, a
+    * TakeOrdered top-k (never a global sort), and a 1-row broadcast
+    * total; the two windows run over the k retained rows only. At
+    * 100 TB with a truly huge key space the same query swaps the exact
+    * agg for a count-min/frequent-items sketch — the output contract
+    * (key, share, cum_share) is unchanged. Ties break on the key, so
+    * the cut boundary is deterministic on both engines. */
+  def skewProfile(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+    val tot = o.agg(count(lit(1)).cast("double").as("n_total"))
+    val top = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("o_custkey"))
+    top.crossJoin(broadcast(tot)) // 1-row total into k rows
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("share", round(col("n") / col("n_total"), 6))
+      .withColumn("cum_share", round(sum(col("n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        / col("n_total"), 6))
+      .select(col("rk"), col("o_custkey"), col("n"), col("share"),
+        col("cum_share"))
+      .orderBy(col("rk"))
+  }
+
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val l = Tables(spark, dir, "lineitem")
