@@ -34,6 +34,34 @@ class Round6OpsSpec extends SparkSpec {
     assert(two >= one - 1e-5, s"iteration 2 regressed the objective: $two < $one")
   }
 
+  test("grouped pair expansion == posting self-join, pairs AND counts (seeded random)") {
+    // the rework behind minhash/hyperplane-LSH candidates and Jaccard
+    // intersection counting: emitting ordered pairs from a sorted
+    // per-key collect_list must produce the same multiset of (d1, d2)
+    // rows as the classic key self-join
+    val rnd = new scala.util.Random(42)
+    val postings = Seq.fill(600)((rnd.nextInt(50).toLong, "k" + rnd.nextInt(30)))
+    val s = spark
+    import s.implicits._
+    val df = postings.toDF("doc_id", "key").distinct()
+    val sj = df.as("a").join(df.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ge = df.groupBy(col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS d1, y AS d2))))""")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ge == sj, s"grouped ${ge.size} pairs vs self-join ${sj.size}")
+  }
+
   test("streaming prep pipeline equals the batch pipeline exactly") {
     val streamed = StreamingAnalytics.streamDocsPrep(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
