@@ -176,7 +176,11 @@ object SparkEntry {
     "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
     "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
-    "skew_profile" -> ((s, d) => Quality.skewProfile(s, d))
+    "skew_profile" -> ((s, d) => Quality.skewProfile(s, d)),
+    // ---- round 6 wave 2: repetition filter, sequence packing, overlap
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
+    "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1957,7 +1961,66 @@ object SparkEntry {
            ROUND(SUM(n) OVER (ORDER BY n DESC, o_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              / n_total, 6) AS cum_share
-         FROM top, tot ORDER BY rk"""
+         FROM top, tot ORDER BY rk""",
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         w2 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         mb AS (SELECT doc_id, MAX(c) AS max_bg FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         w3 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         tr AS (SELECT doc_id, SUM(c) AS n_tri,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w3 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         d AS (SELECT base.source, base.n_tok,
+             COALESCE(mb.max_bg, 0) AS max_bg,
+             COALESCE(tr.n_tri, 0) AS n_tri,
+             COALESCE(tr.dup_tri, 0) AS dup_tri
+           FROM base LEFT JOIN mb USING (doc_id) LEFT JOIN tr USING (doc_id))
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN max_bg * 10 > n_tok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flag_top2,
+           CAST(SUM(CASE WHEN dup_tri * 10 > n_tri * 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flag_dup3,
+           ROUND(CAST(SUM(max_bg * 2) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE), 6) AS top2_frac_micro,
+           ROUND(CAST(SUM(dup_tri) AS DOUBLE)
+             / CAST(SUM(n_tri) AS DOUBLE), 6) AS dup3_frac_micro
+         FROM d GROUP BY source ORDER BY source""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         pw AS (SELECT source, (cum - n_tok) // 256 AS win,
+             CAST(COUNT(*) AS BIGINT) AS docs_in_win,
+             SUM(n_tok) AS tok_start
+           FROM c GROUP BY 1, 2)
+         SELECT docs_in_win, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(tok_start) AS BIGINT) AS sum_tokens
+         FROM pw GROUP BY 1 ORDER BY 1""",
+    "text_source_overlap" ->
+      """WITH s AS (SELECT doc_id, source, md5(substr(text, 1, 64)) AS fp
+           FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
+         FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

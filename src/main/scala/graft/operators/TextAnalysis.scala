@@ -432,4 +432,122 @@ object TextAnalysis {
       .withColumn("folded", substring(col("folded"), 1, 24))
       .orderBy(col("doc_id"))
   }
+
+  /** Positional k-gram array — every occurrence kept, unlike
+    * [[graft.functions.TextFunctions.shingles]] whose `array_distinct`
+    * would erase exactly the repetition this family measures. 1-based
+    * inclusive slices mirror the DuckDB comprehension
+    * `[array_to_string(w[i:i+k-1],' ') for i in range(1,len(w)-k+2)]`;
+    * docs shorter than k words yield an empty array (the `when` guard
+    * matters: Spark's `sequence(1, 0)` DESCENDS instead of being empty). */
+  private def grams(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - lit(k - 1)),
+        i => array_join(slice(w, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition filter — the Gopher-style "repetitive document" signals
+    * every pretraining-data pipeline applies before dedup: per document,
+    * the fraction of tokens covered by its single most frequent bigram
+    * (`2·max_bigram_count / n_tok`, flagged above 0.2) and the fraction
+    * of trigram occurrences whose trigram repeats within the document
+    * (flagged above 0.3). Reported per source as flag counts plus the
+    * micro-averaged fractions.
+    *
+    * Determinism contract: every per-document threshold is evaluated
+    * CROSS-MULTIPLIED in exact integers (`10·max_bg > n_tok`,
+    * `10·dup_tri > 3·n_tri`), and the micro fractions divide two exact
+    * BIGINT sums once at the end — no per-doc double ever enters an
+    * aggregate, so shuffle order cannot wiggle the hash compare.
+    *
+    * Scale: the k-gram explode is corpus-token-sized but partitions by
+    * doc_id, the (doc, gram) counts map-side combine, and every later
+    * relation is document- then source-cardinality. No window over the
+    * corpus, no self-join — this survives 100 TB as one wide pass. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tok"))
+    val maxBg = docs
+      .select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
+    val tri = docs
+      .select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    // left joins: a <2-token doc has no bigrams at all (explode drops the
+    // empty array) but must still count toward n_docs.
+    base
+      .join(maxBg, Seq("doc_id"), "left_outer")
+      .join(tri, Seq("doc_id"), "left_outer")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("max_bg"), lit(0L)).as("max_bg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("dup_tri"), lit(0L)).as("dup_tri"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_bg") * 10 > col("n_tok"), 1L).otherwise(0L))
+          .as("n_flag_top2"),
+        sum(when(col("dup_tri") * 10 > col("n_tri") * 3, 1L).otherwise(0L))
+          .as("n_flag_dup3"),
+        round(sum(col("max_bg") * 2).cast("double") /
+          sum(col("n_tok")).cast("double"), 6).as("top2_frac_micro"),
+        round(sum(col("dup_tri")).cast("double") /
+          sum(col("n_tri")).cast("double"), 6).as("dup3_frac_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence packing census — GPT-style sample packing: per source,
+    * documents are concatenated in doc_id order and the token stream is
+    * cut into fixed 256-token context windows; a document belongs to the
+    * window holding its FIRST token. Output is the docs-per-window
+    * histogram (how many windows start 1 doc, 2 docs, …) with the token
+    * mass starting in them — the packing-efficiency question asked when
+    * sizing a pretraining shard layout.
+    *
+    * The assignment is pure integer math both engines share: window =
+    * (cumsum - n_tok) integer-div 256 over a per-source running sum.
+    * Scale: the running sum partitions by source (the physical shard key
+    * at 100 TB — packing never crosses shards, exactly as a real loader
+    * packs within files), so no global single-partition window exists;
+    * the histogram aggregates window- then count-cardinality relations. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("win", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("source"), col("win"))
+      .agg(count(lit(1)).as("docs_in_win"), sum(col("n_tok")).as("tok_start"))
+      .groupBy(col("docs_in_win"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("tok_start")).as("sum_tokens"))
+      .orderBy(col("docs_in_win"))
+  }
+
+  /** Cross-source overlap matrix — the sibling of [[splitContamination]]
+    * at corpus-curation time: for every source pair, how many documents
+    * share a 64-char-prefix fingerprint across the two (syndicated /
+    * mirrored content that inflates a mixture weight if double-counted).
+    * Same posting-list shape as every blocked dedup here: the self-join
+    * is an equi-join on the fingerprint with `source_a < source_b`
+    * canonicalizing the pair — never a cross join, and at 100 TB the
+    * fingerprint posting lists are the only relation that moves. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(substring(col("text"), 1, 64)).as("fp"))
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.fp")).as("n_shared_fps"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

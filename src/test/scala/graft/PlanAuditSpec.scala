@@ -272,4 +272,39 @@ class PlanAuditSpec extends SparkSpec {
         "set, never a shuffled cartesian")
     assert(p.contains("LeftSemi"), "hits must be a semi-join of the top-k sets")
   }
+
+  test("repetition filter: gram counts partial-aggregate map-side, no self-join") {
+    val df = graft.operators.TextAnalysis.repetitionFilter(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (doc, gram) counts must combine before their shuffle")
+    assert(!plan(df).contains("CartesianProduct"),
+      "doc-level relations join on doc_id only")
+    // the two per-doc relations join back to the base on doc_id — three
+    // scans of documents, counted as optimized-plan leaves (print-format
+    // independent, unlike grepping the formatted explain)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans <= 3, s"expected <=3 documents scans, got $scans leaves")
+  }
+
+  test("pack_sequences: the running sum is a PARTITIONED window, never global") {
+    val p = plan(graft.operators.TextAnalysis.packSequences(spark, sf0001))
+    // a global (empty-partition) running sum would print
+    // "Window [...]" with SinglePartition distribution — assert the
+    // exchange feeding the window hashes on source
+    assert(p.contains("hashpartitioning(source"),
+      "cumulative token sum must partition by the shard key:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("SinglePartition"),
+      "no stage of the packing census may collapse to one partition")
+  }
+
+  test("source overlap: fingerprint posting self-join is an equi-join") {
+    val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the pair census must join on the fp hash key")
+    assert(p.contains("fp"), "join key must be the fingerprint")
+  }
 }
