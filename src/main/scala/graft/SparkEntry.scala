@@ -180,7 +180,8 @@ object SparkEntry {
     // ---- round 6 wave 2: repetition filter, sequence packing, overlap
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
-    "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d))
+    "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2020,7 +2021,40 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
          FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_decontaminate" ->
+      """WITH s AS (SELECT doc_id, source,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split,
+             string_split(text, ' ') AS w
+           FROM documents),
+         tg AS (SELECT doc_id, source, unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'train'),
+         bg AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         contam AS (SELECT DISTINCT doc_id, source FROM tg
+           WHERE g IN (SELECT g FROM bg))
+         SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COALESCE(MAX(c.n), 0) AS BIGINT) AS n_contaminated
+         FROM (SELECT doc_id, source FROM s WHERE split = 'train') t
+         LEFT JOIN (SELECT source, COUNT(*) AS n FROM contam GROUP BY 1) c
+           ON t.source = c.source
+         GROUP BY t.source ORDER BY t.source"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -531,6 +531,43 @@ object TextAnalysis {
       .orderBy(col("docs_in_win"))
   }
 
+  /** 13-gram decontamination census — the GPT-3-style eval-leakage
+    * audit: a TRAIN document is contaminated when any of its distinct
+    * 13-token grams also occurs in any TEST document. Where
+    * [[splitContamination]] catches whole near-duplicate documents
+    * (prefix fingerprints), this catches PARTIAL overlap — a benchmark
+    * question quoted inside an otherwise-unique page — which is exactly
+    * what the fingerprint pass misses. Output is the per-source census
+    * (train docs, contaminated count); the removal itself is the same
+    * relation used as an anti-join build side.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (tiny against a
+    * 100 TB corpus), so its distinct gram set BROADCASTS and the train
+    * side never shuffles — one corpus scan, a broadcast semi-join on the
+    * gram string, one distinct per doc, one dimension-bounded agg. The
+    * distinct-before-join (`array_distinct`) keeps the exploded train
+    * relation at most corpus-token-sized. */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 13): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), splitCol.as("split"), col("text"))
+    val train = docs.filter(col("split") === "train")
+    val benchGrams = docs.filter(col("split") === "test")
+      .select(explode(array_distinct(grams(col("text"), k))).as("g"))
+      .distinct()
+    val contaminated = train
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(grams(col("text"), k))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(contaminated.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated")),
+        Seq("source"), "left_outer")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /

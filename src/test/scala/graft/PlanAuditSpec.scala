@@ -300,6 +300,13 @@ class PlanAuditSpec extends SparkSpec {
       "no stage of the packing census may collapse to one partition")
   }
 
+  test("decontamination: the benchmark gram set broadcasts into a semi-join") {
+    val p = plan(graft.operators.TextAnalysis.decontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the eval-set grams are tiny against the corpus — the train-side " +
+        "probe must be a broadcast semi-join, never a shuffled one")
+  }
+
   test("source overlap: fingerprint posting self-join is an equi-join") {
     val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&

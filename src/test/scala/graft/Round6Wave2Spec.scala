@@ -72,6 +72,30 @@ class Round6Wave2Spec extends SparkSpec {
     assert(got.map(r => r._1 * r._2).sum == corpus.length)
   }
 
+  test("text_decontaminate equals a driver-side 13-gram overlap scan") {
+    // independent split re-derivation: same md5-first-byte rule, raw JDK
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"doc:$id".getBytes("UTF-8"))
+      val b = h(0) & 0xff
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val docs = corpus
+    def g13(text: String): Set[String] =
+      grams(text.split(" ", -1), 13).toSet
+    val bench = docs.filter(d => split(d._1) == "test")
+      .flatMap(d => g13(d._3)).toSet
+    val train = docs.filter(d => split(d._1) == "train").toSeq
+    val expect = train
+      .map(d => (d._2, if (g13(d._3).exists(bench.contains)) 1L else 0L))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, xs) => (src, xs.size.toLong, xs.map(_._2).sum) }
+    val got = TextAnalysis.decontaminate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    assert(got.map(_._3).sum > 0, "the corpus plants cross-split near-dups")
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
