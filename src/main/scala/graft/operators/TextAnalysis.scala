@@ -463,9 +463,14 @@ object TextAnalysis {
     * aggregate, so shuffle order cannot wiggle the hash compare.
     *
     * Scale: the k-gram explode is corpus-token-sized but partitions by
-    * doc_id, the (doc, gram) counts map-side combine, and every later
-    * relation is document- then source-cardinality. No window over the
-    * corpus, no self-join — this survives 100 TB as one wide pass. */
+    * doc_id, the (doc, gram) counts are map-side combined in CODEGEN'd
+    * hash aggregation, and every later relation is document- then
+    * source-cardinality. A shuffle-free alternative — per-row sorted-run
+    * `aggregate` HOFs over each doc's gram array — was A/B-measured at
+    * sf0.1 (warm, same JVM, alternating): explode 2.1-2.6s vs HOF
+    * 3.9-4.1s. Spark's HOF lambdas evaluate interpreted per element, so
+    * the "no shuffle" plan loses to codegen by ~1.8x; keeping the
+    * measured winner. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val base = docs.select(col("doc_id"), col("source"),
