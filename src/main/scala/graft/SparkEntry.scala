@@ -181,7 +181,8 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
-    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d))
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2054,7 +2055,91 @@ object SparkEntry {
          FROM (SELECT doc_id, source FROM s WHERE split = 'train') t
          LEFT JOIN (SELECT source, COUNT(*) AS n FROM contam GROUP BY 1) c
            ON t.source = c.source
-         GROUP BY t.source ORDER BY t.source"""
+         GROUP BY t.source ORDER BY t.source""",
+    "docs_curation_pipeline" ->
+      """WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         t AS (SELECT doc_id, source, md5(text) AS fp_exact,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(w, x -> x IN
+               ('the','a','of','and','to','in','is','for','on','with')))
+               AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+           FROM s WHERE split = 'train'),
+         w2 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         mb AS (SELECT doc_id, MAX(c) AS max_bg FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         w3 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         tr AS (SELECT doc_id, SUM(c) AS n_tri,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w3 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         bg AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         cont AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 13
+                     THEN [array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]
+                     ELSE []::VARCHAR[] END)) AS g
+              FROM s WHERE split = 'train')
+           WHERE g IN (SELECT g FROM bg)),
+         f AS (SELECT t.doc_id, t.source, t.fp_exact, t.n_tok,
+             (t.n_tok < 10 OR t.n_stop * 2 > t.n_tok
+               OR t.n_uniq * 10 < t.n_tok * 3) AS q_fail,
+             (COALESCE(mb.max_bg, 0) * 10 > t.n_tok
+               OR COALESCE(tr.dup_tri, 0) * 10 > COALESCE(tr.n_tri, 0) * 3)
+               AS rep_fail,
+             (cont.doc_id IS NOT NULL) AS contam
+           FROM t LEFT JOIN mb USING (doc_id) LEFT JOIN tr USING (doc_id)
+             LEFT JOIN cont ON t.doc_id = cont.doc_id),
+         k AS (SELECT fp_exact, MIN(doc_id) AS keeper_id FROM f
+           WHERE NOT q_fail AND NOT rep_fail GROUP BY 1),
+         st AS (SELECT f.source, f.n_tok,
+             CASE WHEN f.q_fail THEN 'drop_quality'
+                  WHEN f.rep_fail THEN 'drop_repetition'
+                  WHEN f.doc_id <> k.keeper_id THEN 'drop_duplicate'
+                  WHEN f.contam THEN 'drop_contaminated'
+                  ELSE 'kept' END AS stage
+           FROM f LEFT JOIN k USING (fp_exact))
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN stage = 'drop_quality' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_quality,
+           CAST(SUM(CASE WHEN stage = 'drop_repetition' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_repetition,
+           CAST(SUM(CASE WHEN stage = 'drop_duplicate' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_duplicate,
+           CAST(SUM(CASE WHEN stage = 'drop_contaminated' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_contaminated,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN n_tok ELSE 0 END)
+             AS BIGINT) AS kept_tokens,
+           (CAST(SUM(CASE WHEN stage = 'kept' THEN n_tok ELSE 0 END)
+             AS BIGINT) + 255) // 256 AS n_windows
+         FROM st GROUP BY source ORDER BY source"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -573,6 +573,94 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Curation capstone — the full gate sequence a pretraining corpus
+    * runs, with per-stage drop attribution: train-split documents pass
+    * (1) the quality gate (length / stopword ratio / type-token ratio),
+    * (2) the repetition gate ([[repetitionFilter]]'s thresholds),
+    * (3) exact dedup (keep the min doc_id per md5(text), computed over
+    * the GATE-SURVIVING population — a dropped doc can't claim keeper
+    * status), and (4) 13-gram decontamination against the test split
+    * ([[decontaminate]]'s relation). Output per source: the census of
+    * where documents died, surviving token mass, and the 256-token
+    * context windows those survivors fill (next-fit with straddling =
+    * `ceil(tokens/256)` exactly).
+    *
+    * Each document is attributed to its FIRST failing stage (a
+    * when-chain over the flag columns), so stage counts always sum to
+    * n_train. Every gate predicate is integer cross-multiplied
+    * (`2·n_stop > n_tok`, `10·n_uniq < 3·n_tok`, the repetition pair,
+    * window count `(tokens+255) div 256`) — the whole result is exact
+    * BIGINT, immune to shuffle order.
+    *
+    * Scale: reuses only blocked/broadcast shapes proven by the component
+    * operators — gram hash-aggs partition by doc_id, the benchmark gram
+    * set broadcasts, the keeper relation is an equi-join on the exact
+    * hash, and the final census is source-cardinality. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter(splitCol === "train")
+    val toks = tokens(col("text"))
+    val perDoc = train.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp_exact"),
+      tokenCount(col("text")).as("n_tok"),
+      stopwordCount(toks).as("n_stop"),
+      distinctTokenCount(col("text")).as("n_uniq"))
+    val maxBg = train
+      .select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
+    val tri = train
+      .select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    val benchGrams = docs.filter(splitCol === "test")
+      .select(explode(array_distinct(grams(col("text"), 13))).as("g"))
+      .distinct()
+    val contaminated = train
+      .select(col("doc_id"), explode(array_distinct(grams(col("text"), 13))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    val flags = perDoc
+      .join(maxBg, Seq("doc_id"), "left_outer")
+      .join(tri, Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("fp_exact"), col("n_tok"),
+        (col("n_tok") < 10 || col("n_stop") * 2 > col("n_tok") ||
+          col("n_uniq") * 10 < col("n_tok") * 3).as("q_fail"),
+        (coalesce(col("max_bg"), lit(0L)) * 10 > col("n_tok") ||
+          coalesce(col("dup_tri"), lit(0L)) * 10 >
+            coalesce(col("n_tri"), lit(0L)) * 3).as("rep_fail"),
+        coalesce(col("is_contam"), lit(false)).as("contam"))
+    // exact-dup keeper among gate-1/2 survivors only
+    val keeper = flags.filter(!col("q_fail") && !col("rep_fail"))
+      .groupBy(col("fp_exact")).agg(min(col("doc_id")).as("keeper_id"))
+    val staged = flags.join(keeper, Seq("fp_exact"), "left_outer")
+      .withColumn("stage",
+        when(col("q_fail"), "drop_quality")
+          .when(col("rep_fail"), "drop_repetition")
+          .when(col("doc_id") =!= col("keeper_id"), "drop_duplicate")
+          .when(col("contam"), "drop_contaminated")
+          .otherwise("kept"))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("stage") === "drop_quality", 1L).otherwise(0L))
+          .as("n_drop_quality"),
+        sum(when(col("stage") === "drop_repetition", 1L).otherwise(0L))
+          .as("n_drop_repetition"),
+        sum(when(col("stage") === "drop_duplicate", 1L).otherwise(0L))
+          .as("n_drop_duplicate"),
+        sum(when(col("stage") === "drop_contaminated", 1L).otherwise(0L))
+          .as("n_drop_contaminated"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("stage") === "kept", col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("n_windows", expr("(kept_tokens + 255) div 256"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /

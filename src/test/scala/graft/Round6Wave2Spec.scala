@@ -96,6 +96,64 @@ class Round6Wave2Spec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "the corpus plants cross-split near-dups")
   }
 
+  test("docs_curation_pipeline equals a driver-side gate-by-gate replay") {
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"doc:$id".getBytes("UTF-8"))
+      val b = h(0) & 0xff
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val stop = graft.functions.TextFunctions.stopwords.toSet
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = corpus
+    val bench = docs.filter(d => split(d._1) == "test")
+      .flatMap(d => grams(d._3.split(" ", -1), 13)).toSet
+    case class F(id: Long, src: String, fp: String, nTok: Long,
+      qFail: Boolean, repFail: Boolean, contam: Boolean)
+    val flags = docs.filter(d => split(d._1) == "train").map { case (id, src, text) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toLong
+      val nStop = toks.count(stop.contains).toLong
+      val nUniq = toks.distinct.length.toLong
+      val maxBg = grams(toks, 2).groupBy(identity)
+        .map(_._2.size).foldLeft(0)(math.max).toLong
+      val triCnt = grams(toks, 3).groupBy(identity).map(_._2.size).toSeq
+      val nTri = triCnt.sum.toLong
+      val dupTri = triCnt.filter(_ > 1).sum.toLong
+      F(id, src, md5hex(text), nTok,
+        qFail = nTok < 10 || nStop * 2 > nTok || nUniq * 10 < nTok * 3,
+        repFail = maxBg * 10 > nTok || dupTri * 10 > nTri * 3,
+        contam = grams(toks, 13).exists(bench.contains))
+    }
+    val keeper = flags.filter(f => !f.qFail && !f.repFail)
+      .groupBy(_.fp).map { case (fp, fs) => fp -> fs.map(_.id).min }
+    def stage(f: F): String =
+      if (f.qFail) "drop_quality"
+      else if (f.repFail) "drop_repetition"
+      else if (f.id != keeper(f.fp)) "drop_duplicate"
+      else if (f.contam) "drop_contaminated"
+      else "kept"
+    val expect = flags.groupBy(_.src).toSeq.sortBy(_._1).map { case (src, fs) =>
+      val st = fs.map(f => (stage(f), f.nTok))
+      val keptTok = st.filter(_._1 == "kept").map(_._2).sum
+      (src, fs.length.toLong,
+        st.count(_._1 == "drop_quality").toLong,
+        st.count(_._1 == "drop_repetition").toLong,
+        st.count(_._1 == "drop_duplicate").toLong,
+        st.count(_._1 == "drop_contaminated").toLong,
+        st.count(_._1 == "kept").toLong, keptTok, (keptTok + 255) / 256)
+    }
+    val got = TextAnalysis.curationPipeline(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(got == expect, s"got ${got.take(3)}… expected ${expect.take(3)}…")
+    // stage counts must partition n_train
+    got.foreach(r => assert(r._3 + r._4 + r._5 + r._6 + r._7 == r._2))
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
