@@ -1997,8 +1997,8 @@ object SparkEntry {
              AS BIGINT) AS n_flag_dup3,
            ROUND(CAST(SUM(max_bg * 2) AS DOUBLE)
              / CAST(SUM(n_tok) AS DOUBLE), 6) AS top2_frac_micro,
-           ROUND(CAST(SUM(dup_tri) AS DOUBLE)
-             / CAST(SUM(n_tri) AS DOUBLE), 6) AS dup3_frac_micro
+           CASE WHEN SUM(n_tri) > 0 THEN ROUND(CAST(SUM(dup_tri) AS DOUBLE)
+             / CAST(SUM(n_tri) AS DOUBLE), 6) END AS dup3_frac_micro
          FROM d GROUP BY source ORDER BY source""",
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,

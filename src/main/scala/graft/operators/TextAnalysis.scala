@@ -502,8 +502,13 @@ object TextAnalysis {
           .as("n_flag_dup3"),
         round(sum(col("max_bg") * 2).cast("double") /
           sum(col("n_tok")).cast("double"), 6).as("top2_frac_micro"),
-        round(sum(col("dup_tri")).cast("double") /
-          sum(col("n_tri")).cast("double"), 6).as("dup3_frac_micro"))
+        // n_tok >= 1 always (split("") is [""]), but a source whose docs
+        // all have < 3 tokens has zero trigram mass — under ANSI mode the
+        // unguarded 0/0 THROWS (found by TextEdgeCorpusSpec), so emit
+        // NULL, and the oracle SQL carries the same CASE.
+        when(sum(col("n_tri")) > 0,
+          round(sum(col("dup_tri")).cast("double") /
+            sum(col("n_tri")).cast("double"), 6)).as("dup3_frac_micro"))
       .orderBy(col("source"))
   }
 
