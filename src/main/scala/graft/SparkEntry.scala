@@ -182,7 +182,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
-    "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d))
+    "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
+    "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2139,7 +2140,40 @@ object SparkEntry {
              AS BIGINT) AS kept_tokens,
            (CAST(SUM(CASE WHEN stage = 'kept' THEN n_tok ELSE 0 END)
              AS BIGINT) + 255) // 256 AS n_windows
-         FROM st GROUP BY source ORDER BY source"""
+         FROM st GROUP BY source ORDER BY source""",
+    "mix_apply" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         pl AS (SELECT lang, SUM(n_tok) AS n_tokens FROM d GROUP BY 1),
+         pls AS (SELECT lang, n_tokens,
+             CASE WHEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    > n_tokens
+                  THEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1
+                  ELSE CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+             END AS s
+           FROM pl),
+         zt AS (SELECT SUM(s) AS z FROM pls),
+         r AS (SELECT lang, n_tokens,
+             (50000 * s) // z AS target_tokens,
+             ((50000 * s) // z) // n_tokens AS n_full,
+             ((50000 * s) // z) % n_tokens AS rem
+           FROM pls, zt),
+         c AS (SELECT d.lang, d.n_tok, r.n_tokens, r.target_tokens,
+             r.n_full + CASE WHEN
+               CAST(CAST(('0x' || substr(md5('mix:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+                 * CAST(r.n_tokens AS HUGEINT)
+               < CAST(r.rem AS HUGEINT) * 4294967296
+               THEN 1 ELSE 0 END AS copies
+           FROM d JOIN r USING (lang))
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+           CAST(SUM(copies) AS BIGINT) AS n_sampled_rows,
+           CAST(SUM(copies * n_tok) AS BIGINT) AS sampled_tokens
+         FROM c GROUP BY lang ORDER BY lang"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

