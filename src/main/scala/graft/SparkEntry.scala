@@ -53,7 +53,7 @@ object SparkEntry {
     "percentile_qty" -> ((s, d) => Relational.percentileQty(s, d)),
     "corr_price_qty" -> ((s, d) => Relational.corrPriceQty(s, d)),
     "segment_nations" -> ((s, d) => Relational.segmentNations(s, d)),
-    // rows-only check: sketch internals are engine-specific (see scaladoc)
+    // hash-gated via within-bound booleans vs exact values (see scaladoc)
     "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     // ---- event analytics (§7.5)
     "tumbling_hourly" -> ((s, d) => EventAnalytics.tumblingHourly(s, d)),
@@ -1932,15 +1932,23 @@ object SparkEntry {
       """WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            FROM documents GROUP BY lang),
-         tot AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per)
+         pers AS (SELECT lang, n_docs, n_tokens,
+             CASE WHEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    > n_tokens
+                  THEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1
+                  ELSE CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+             END AS s
+           FROM per),
+         tot AS (SELECT SUM(s) AS z FROM pers)
          SELECT lang, n_docs, n_tokens,
-           ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
-           CAST(ROUND(50000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z, 0)
+           ROUND(CAST(s AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+           CAST(ROUND(CAST(s * 50000 AS DOUBLE) / CAST(z AS DOUBLE), 0)
              AS BIGINT) AS target_tokens,
-           ROUND(CAST(CAST(ROUND(50000.0 * sqrt(CAST(n_tokens AS DOUBLE))
-               / z, 0) AS BIGINT) AS DOUBLE)
+           ROUND(CAST(CAST(ROUND(CAST(s * 50000 AS DOUBLE)
+               / CAST(z AS DOUBLE), 0) AS BIGINT) AS DOUBLE)
              / CAST(n_tokens AS DOUBLE), 4) AS epochs
-         FROM per, tot ORDER BY lang""",
+         FROM pers, tot ORDER BY lang""",
     "text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
            FROM documents),

@@ -153,11 +153,15 @@ object StreamingAnalytics {
           val gated = scored.filter(col("n_tok") >= 10 &&
             col("n_stop").cast("double") / col("n_tok") <= 0.5 &&
             col("n_uniq").cast("double") / col("n_tok") >= 0.3)
-          // exact dedup, keep-min: copies share the text, so they share
-          // lang/counters — min() over the group is exact, not arbitrary
+          // exact dedup, keep-min doc_id: the struct min is ordered by its
+          // FIRST field, so every emitted column belongs to the keeper ROW.
+          // (Independent min() per column would fabricate a (doc_id, lang)
+          // pairing when same-text docs carry different lang labels — text
+          // determines the counters but lang is a label, not derived.)
           val kept = gated.groupBy(col("fp"))
-            .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
-              min(col("n_tok")).as("n_tok"))
+            .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("k"))
+            .select(col("fp"), col("k.doc_id").as("doc_id"),
+              col("k.lang").as("lang"), col("k.n_tok").as("n_tok"))
           val existing =
             try spark.read.parquet(sinkPath).select(col("fp"))
             catch { case _: Exception => // first batch: sink not created yet
@@ -168,7 +172,10 @@ object StreamingAnalytics {
           val fresh = kept
             .join(existing, Seq("fp"), "left_anti")
             .join(losers, Seq("doc_id"), "left_anti")
-          if (!fresh.isEmpty) fresh.write.mode("append").parquet(sinkPath)
+            .persist() // isEmpty + write would otherwise each rebuild the
+          try { //        full plan incl. the expensive LSH loser build side
+            if (!fresh.isEmpty) fresh.write.mode("append").parquet(sinkPath)
+          } finally fresh.unpersist()
         }
         .start()
       q.awaitTermination()

@@ -235,8 +235,10 @@ object TextAnalysis {
   def unigramLogprob(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tot = tok.agg(count(lit(1)).cast("double").as("n_total"))
     val lm = tok.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    // corpus token total from the vocabulary-sized lm relation — summing
+    // cw is the identical exact count without a third corpus scan+explode
+    val tot = lm.agg(sum(col("cw")).cast("double").as("n_total"))
     tok.join(lm, "word")
       .crossJoin(broadcast(tot)) // 1-row corpus total
       .withColumn("lp", log(col("cw").cast("double") / col("n_total")))
@@ -259,23 +261,38 @@ object TextAnalysis {
     * One hash-agg over the corpus (per-lang token totals are
     * dimension-bounded), then pure arithmetic against the broadcast
     * 1-row grand total — at 100 TB this runs on table statistics in
-    * seconds and DRIVES the subsequent sampled scan. All double math is
-    * identical expression-for-expression in the oracle (sqrt + divide +
-    * round), so the gate hash-compares exactly. */
+    * seconds and DRIVES the subsequent sampled scan ([[mixtureApply]]).
+    *
+    * The alpha weight uses the integer [[floorSqrt]] and an INTEGER
+    * z-sum, so every reported double is a single division of two exact
+    * integers (deterministic on any engine) — an earlier form summed
+    * doubles (`Σ√n`) whose accumulation order is engine- and
+    * partitioning-dependent; a last-ulp difference there lands exactly
+    * on a `round(...)` boundary often enough to flip the hash gate. */
+  /** Integer floor-sqrt of a BIGINT column: one correctly-rounded double
+    * `sqrt` plus a one-step downward adjustment. (Correctly-rounded sqrt
+    * of an exactly-representable integer can overshoot the true floor by
+    * at most one — it equals k exactly at k² and rounding is monotone —
+    * so a single `s·s > n` check suffices; both engines share it.) */
+  private def floorSqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when(s0 * s0 > n, s0 - 1).otherwise(s0)
+  }
+
   def mixtureWeights(spark: SparkSession, dir: String,
                      budgetTokens: Long = 50000L): DataFrame = {
     val perLang = Tables(spark, dir, "documents")
       .select(col("lang"), tokenCount(col("text")).as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val tot = perLang.agg(
-      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+      .withColumn("s", floorSqrt(col("n_tokens")))
+    val tot = perLang.agg(sum(col("s")).as("z")) // exact integer sum
     perLang.crossJoin(broadcast(tot)) // 1-row grand total
       .withColumn("weight",
-        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6))
+        round(col("s").cast("double") / col("z").cast("double"), 6))
       .withColumn("target_tokens",
-        round(lit(budgetTokens.toDouble) *
-          sqrt(col("n_tokens").cast("double")) / col("z"), 0).cast("long"))
+        round((col("s") * budgetTokens).cast("double") /
+          col("z").cast("double"), 0).cast("long"))
       .withColumn("epochs",
         round(col("target_tokens").cast("double") /
           col("n_tokens").cast("double"), 4))
@@ -463,10 +480,9 @@ object TextAnalysis {
                    budgetTokens: Long = 50000L): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
-    val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
     val perLang = docs.groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("n_tokens"))
-      .withColumn("s", when(s0 * s0 > col("n_tokens"), s0 - 1).otherwise(s0))
+      .withColumn("s", floorSqrt(col("n_tokens")))
     val z = perLang.agg(sum(col("s")).as("z"))
     val rates = perLang.crossJoin(broadcast(z))
       .withColumn("target_tokens", expr(s"($budgetTokens * s) div z"))
@@ -529,25 +545,45 @@ object TextAnalysis {
     * 3.9-4.1s. Spark's HOF lambdas evaluate interpreted per element, so
     * the "no shuffle" plan loses to codegen by ~1.8x; keeping the
     * measured winner. */
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val base = docs.select(col("doc_id"), col("source"),
-      tokenCount(col("text")).as("n_tok"))
-    val maxBg = docs
-      .select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
+  /** Per-doc count of the most frequent bigram — one (doc, gram)
+    * hash-agg; shared by [[repetitionFilter]] and [[curationPipeline]]
+    * so a threshold or gram-shape fix can never diverge between them. */
+  private def maxBigramCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
-    val tri = docs
-      .select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
+
+  /** Per-doc trigram occurrence total and duplicated-occurrence mass. */
+  private def trigramDupStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tri"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+
+  /** Distinct k-gram set of `docs` (the broadcastable benchmark side). */
+  private def distinctGramSet(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(array_distinct(grams(col("text"), k))).as("g"))
+      .distinct()
+
+  /** doc_ids of `docs` sharing any k-gram with the (broadcast) benchmark
+    * gram set — shared by [[decontaminate]] and [[curationPipeline]]. */
+  private def contaminatedDocIds(docs: DataFrame, bench: DataFrame,
+                                 k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(grams(col("text"), k))).as("g"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tok"))
     // left joins: a <2-token doc has no bigrams at all (explode drops the
     // empty array) but must still count toward n_docs.
     base
-      .join(maxBg, Seq("doc_id"), "left_outer")
-      .join(tri, Seq("doc_id"), "left_outer")
+      .join(maxBigramCounts(docs), Seq("doc_id"), "left_outer")
+      .join(trigramDupStats(docs), Seq("doc_id"), "left_outer")
       .select(col("source"), col("n_tok"),
         coalesce(col("max_bg"), lit(0L)).as("max_bg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
@@ -619,14 +655,9 @@ object TextAnalysis {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), splitCol.as("split"), col("text"))
     val train = docs.filter(col("split") === "train")
-    val benchGrams = docs.filter(col("split") === "test")
-      .select(explode(array_distinct(grams(col("text"), k))).as("g"))
-      .distinct()
-    val contaminated = train
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(grams(col("text"), k))).as("g"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .select(col("doc_id"), col("source")).distinct()
+    val contaminated = contaminatedDocIds(train,
+        distinctGramSet(docs.filter(col("split") === "test"), k), k)
+      .join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
     train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
       .join(contaminated.groupBy(col("source"))
           .agg(count(lit(1)).as("n_contaminated")),
@@ -668,27 +699,12 @@ object TextAnalysis {
       tokenCount(col("text")).as("n_tok"),
       stopwordCount(toks).as("n_stop"),
       distinctTokenCount(col("text")).as("n_uniq"))
-    val maxBg = train
-      .select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
-    val tri = train
-      .select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tri"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
-    val benchGrams = docs.filter(splitCol === "test")
-      .select(explode(array_distinct(grams(col("text"), 13))).as("g"))
-      .distinct()
-    val contaminated = train
-      .select(col("doc_id"), explode(array_distinct(grams(col("text"), 13))).as("g"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
+    val contaminated = contaminatedDocIds(train,
+        distinctGramSet(docs.filter(splitCol === "test"), 13), 13)
       .withColumn("is_contam", lit(true))
     val flags = perDoc
-      .join(maxBg, Seq("doc_id"), "left_outer")
-      .join(tri, Seq("doc_id"), "left_outer")
+      .join(maxBigramCounts(train), Seq("doc_id"), "left_outer")
+      .join(trigramDupStats(train), Seq("doc_id"), "left_outer")
       .join(contaminated, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("fp_exact"), col("n_tok"),
         (col("n_tok") < 10 || col("n_stop") * 2 > col("n_tok") ||

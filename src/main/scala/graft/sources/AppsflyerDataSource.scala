@@ -172,8 +172,13 @@ private[graft] object AppsflyerFetch extends Logging {
       opts.getOrElse("from", ""), opts.getOrElse("to", ""),
       opts.getOrElse("timezone", "Asia/Ho_Chi_Minh"),
       opts.getOrElse("additional_fields", "")))
-    val maxRetries = opts.getOrElse("max_retries", "2").toInt
-    val backoffMs = opts.getOrElse("retry_backoff_ms", "1000").toLong
+    // malformed knob values fall back to defaults rather than throwing:
+    // the source's contract is failure -> empty relation, never an error,
+    // and a typo'd option must not be the one thing that can crash a scan
+    val maxRetries = opts.get("max_retries")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2)
+    val backoffMs = opts.get("retry_backoff_ms")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(1000L)
     var attempt = 0
     while (true) {
       fetchOnce(url, opts) match {
