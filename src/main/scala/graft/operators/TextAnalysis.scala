@@ -274,7 +274,7 @@ object TextAnalysis {
     * of an exactly-representable integer can overshoot the true floor by
     * at most one — it equals k exactly at k² and rounding is monotone —
     * so a single `s·s > n` check suffices; both engines share it.) */
-  private def floorSqrt(n: Column): Column = {
+  private[operators] def floorSqrt(n: Column): Column = {
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
     when(s0 * s0 > n, s0 - 1).otherwise(s0)
   }
