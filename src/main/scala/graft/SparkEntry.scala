@@ -183,7 +183,8 @@ object SparkEntry {
     "text_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
-    "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d))
+    "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d)),
+    "dedup_semantic_clusters" -> ((s, d) => DedupOps.semanticClusters(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2181,7 +2182,48 @@ object SparkEntry {
            CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
            CAST(SUM(copies) AS BIGINT) AS n_sampled_rows,
            CAST(SUM(copies * n_tok) AS BIGINT) AS sampled_tokens
-         FROM c GROUP BY lang ORDER BY lang"""
+         FROM c GROUP BY lang ORDER BY lang""",
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE pairs AS (
+         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+         tf AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1)) % 64 AS bucket,
+                  COUNT(*) AS c
+                FROM tok GROUP BY 1, 2),
+         norms AS (SELECT doc_id, SUM(c * c) AS nsq FROM tf GROUP BY 1),
+         dot AS (SELECT c.d1, c.d2, SUM(a.c * b.c) AS dot
+                 FROM cand c JOIN tf a ON c.d1 = a.doc_id
+                             JOIN tf b ON c.d2 = b.doc_id AND a.bucket = b.bucket
+                 GROUP BY 1, 2)
+         SELECT d1, d2
+         FROM dot JOIN norms n1 ON d1 = n1.doc_id JOIN norms n2 ON d2 = n2.doc_id
+         WHERE CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) >= 0.9),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node)
+         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node ORDER BY node"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -263,8 +263,31 @@ object DedupOps {
     * near-dup pairs survive), so the default suits harness scale; deploy
     * at roughly |edges| / a-few-million per partition. */
   def dedupClusters(spark: SparkSession, dir: String,
-                    graphPartitions: Int = 4): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
+                    graphPartitions: Int = 4): DataFrame =
+    propagateLabels(
+      ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")),
+      graphPartitions)
+
+  /** Connected components over the EMBEDDING near-dup graph — the
+    * semantic sibling of [[dedupClusters]]: edges are the LSH-blocked,
+    * integer-dot-verified cosine pairs of [[embeddingCosinePairs]]
+    * instead of n-gram Jaccard pairs, so paraphrase families that share
+    * vocabulary but not shingles still contract into one cluster. Same
+    * propagation machinery, same (doc_id, cluster_id) contract, same
+    * recursive-CTE oracle shape. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       graphPartitions: Int = 4): DataFrame =
+    propagateLabels(
+      embeddingCosinePairs(spark, dir)
+        .select(col("keeper").as("d1"), col("dup").as("d2")),
+      graphPartitions)
+
+  /** Min-label propagation over an undirected (d1, d2) pair list —
+    * the loop body shared by [[dedupClusters]] and [[semanticClusters]]
+    * (extraction keeps the two edge flavors on identical machinery). */
+  private def propagateLabels(pairsIn: DataFrame,
+                              graphPartitions: Int): DataFrame = {
+    val pairs = pairsIn
     // Hash-partitioning edges by src once means every round's join and
     // the seed aggregate reuse that layout instead of spraying a tiny
     // relation over the session's full shuffle width each round

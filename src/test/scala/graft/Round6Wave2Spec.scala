@@ -188,6 +188,25 @@ class Round6Wave2Spec extends SparkSpec {
     got.foreach(r => assert(r._6 > 0 && r._5 > 0))
   }
 
+  test("dedup_semantic_clusters equals a driver-side union-find over the pair list") {
+    val pairs = graft.operators.DedupOps.embeddingCosinePairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.map(n => (n, find(n))).sortBy(_._1)
+    val got = graft.operators.DedupOps.semanticClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
