@@ -184,7 +184,8 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d)),
-    "dedup_semantic_clusters" -> ((s, d) => DedupOps.semanticClusters(s, d))
+    "dedup_semantic_clusters" -> ((s, d) => DedupOps.semanticClusters(s, d)),
+    "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupCensus(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2223,7 +2224,32 @@ object SparkEntry {
            UNION
            SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-         FROM walk GROUP BY node ORDER BY node"""
+         FROM walk GROUP BY node ORDER BY node""",
+    "text_substring_dup" ->
+      """WITH base AS (SELECT doc_id, source FROM documents),
+         win AS (SELECT doc_id, md5(g) AS fp FROM
+           (SELECT doc_id, unnest(
+              CASE WHEN len(w) >= 20
+                   THEN [array_to_string(w[i:i+19], ' ') for i in range(1, len(w)-18)]
+                   ELSE []::VARCHAR[] END) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         spread AS (SELECT fp, COUNT(*) AS nd FROM
+             (SELECT DISTINCT doc_id, fp FROM win) GROUP BY fp),
+         pd AS (SELECT doc_id, COUNT(*) AS n_win,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+           FROM win JOIN spread USING (fp) GROUP BY doc_id),
+         d AS (SELECT base.source,
+             COALESCE(pd.n_win, 0) AS n_win,
+             COALESCE(pd.n_shared, 0) AS n_shared
+           FROM base LEFT JOIN pd USING (doc_id))
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_shared,
+           CAST(SUM(n_win) AS BIGINT) AS window_mass,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_mass,
+           CASE WHEN SUM(n_win) > 0 THEN ROUND(CAST(SUM(n_shared) AS DOUBLE)
+             / CAST(SUM(n_win) AS DOUBLE), 6) END AS shared_frac
+         FROM d GROUP BY source ORDER BY source"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -740,6 +740,50 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Exact-substring duplication census — the verbatim-overlap signal of
+    * suffix-array training-data dedup, re-expressed relationally: a
+    * document's 20-token window is SHARED when the identical window text
+    * occurs in at least one OTHER document. Reported per source: docs
+    * carrying any shared window, and the micro fraction of window mass
+    * that is shared. Near-dup detection (MinHash et al.) misses this —
+    * a long quote inside an otherwise-unique page — which is exactly
+    * what the suffix-array method exists to catch.
+    *
+    * Shape: positional 20-gram explode → md5 posting list → per-gram
+    * DISTINCT-doc count → flag windows whose gram spans >1 doc. All
+    * counts integer; the shared fraction divides two exact BIGINT sums
+    * (guarded: a source whose docs are all shorter than 20 tokens has
+    * zero window mass). At 100 TB the per-gram distinct count is the
+    * standard posting aggregation every inverted index builds — fp
+    * postings shuffle once, everything after is document- then
+    * source-cardinality. */
+  def substringDupCensus(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"))
+    val win = docs.select(col("doc_id"),
+        explode(grams(col("text"), k)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("fp"))
+    val spread = win.distinct().groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd")) // distinct docs per window text
+    val perDoc = win.join(spread, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    base.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("source"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_docs_shared"),
+        sum(col("n_win")).as("window_mass"),
+        sum(col("n_shared")).as("shared_mass"),
+        when(sum(col("n_win")) > 0,
+          round(sum(col("n_shared")).cast("double") /
+            sum(col("n_win")).cast("double"), 6)).as("shared_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /

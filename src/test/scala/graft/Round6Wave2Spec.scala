@@ -207,6 +207,30 @@ class Round6Wave2Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("text_substring_dup equals a driver-side window-overlap scan") {
+    val docs = corpus
+    val windows = docs.map { case (id, src, text) =>
+      (id, src, grams(text.split(" ", -1), 20))
+    }
+    val spread = windows.flatMap { case (id, _, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val expect = windows.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val per = ds.map { case (_, _, ws) =>
+        (ws.size.toLong, ws.count(w => spread(w) > 1).toLong) }
+      val (mass, shared) = (per.map(_._1).sum, per.map(_._2).sum)
+      val frac = if (mass > 0)
+        BigDecimal(shared.toDouble / mass.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else Double.NaN
+      (src, ds.size.toLong, per.count(_._2 > 0).toLong, mass, shared, frac)
+    }
+    val got = TextAnalysis.substringDupCensus(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    assert(got.map(_._5).sum > 0, "the corpus plants verbatim overlaps")
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
