@@ -307,6 +307,15 @@ class PlanAuditSpec extends SparkSpec {
         "probe must be a broadcast semi-join, never a shuffled one")
   }
 
+  test("substring census: posting aggregation partial-combines, no cartesian") {
+    val df = graft.operators.TextAnalysis.substringDupCensus(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "window posting counts must combine map-side")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("source overlap: fingerprint posting self-join is an equi-join") {
     val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&

@@ -86,6 +86,17 @@ class TextEdgeCorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("substring census on boundary docs: zero window mass yields NULL fraction, not 0/0") {
+    // every doc here is shorter than 20 tokens — window mass is zero for
+    // all three sources, so shared_frac must be NULL under ANSI mode
+    val rows = TextAnalysis.substringDupCensus(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.isNullAt(r.fieldIndex("shared_frac")))
+    }
+  }
+
   test("curation pipeline on boundary docs: stages partition n_train, token math holds") {
     val rows = TextAnalysis.curationPipeline(spark, dir).collect()
     assert(rows.nonEmpty)
