@@ -185,7 +185,8 @@ object SparkEntry {
     "docs_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => DedupOps.semanticClusters(s, d)),
-    "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupCensus(s, d))
+    "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupCensus(s, d)),
+    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2249,7 +2250,26 @@ object SparkEntry {
            CAST(SUM(n_shared) AS BIGINT) AS shared_mass,
            CASE WHEN SUM(n_win) > 0 THEN ROUND(CAST(SUM(n_shared) AS DOUBLE)
              / CAST(SUM(n_win) AS DOUBLE), 6) END AS shared_frac
-         FROM d GROUP BY source ORDER BY source"""
+         FROM d GROUP BY source ORDER BY source""",
+    "text_bigram_logprob" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id,
+             string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+           FROM (SELECT doc_id, unnest(
+               CASE WHEN len(w) >= 2
+                    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                    ELSE []::VARCHAR[] END) AS g
+             FROM words)),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         cu AS (SELECT word, COUNT(*) AS cu FROM tok GROUP BY 1),
+         vocab AS (SELECT COUNT(DISTINCT word) AS v FROM tok)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ln(CAST(cb.cb + 1 AS DOUBLE)
+               / CAST(cu.cu + v AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_logprob
+         FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.word, vocab
+         GROUP BY doc_id ORDER BY mean_logprob, doc_id LIMIT 20"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -250,6 +250,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Conditional bigram log-probability scoring — one order up from
+    * [[unigramLogprob]], toward the n-gram LM CCNet actually uses: each
+    * document's mean `ln P(w_i | w_{i-1})` under the corpus's own
+    * add-one-smoothed bigram model, `P = (c(w1,w2)+1) / (c(w1)+V)`.
+    * Repetitive docs score HIGH (their own bigrams dominate the model);
+    * the bottom-k review queue surfaces the incoherent tail word-salad
+    * that unigram frequency alone cannot separate from normal prose.
+    *
+    * Determinism: each log-prob is a single double division + `ln` of
+    * exact-integer operands (bit-identical cross-engine), truncated to
+    * DECIMAL(28,12) BEFORE the sum so accumulation order cannot move
+    * the mean; ties at the LIMIT boundary break on doc_id.
+    *
+    * Scale: two corpus hash-aggs build the model (bigram and unigram
+    * counts — both Zipf-headed, map-side combined), the vocab scalar
+    * broadcasts, and the probe is the same posting equi-join every
+    * operator here uses. */
+  def bigramLogprob(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bg = docs.select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tok = docs.select(explode(split(col("text"), " ")).as("word"))
+    val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("cu"))
+    val vocab = tok.agg(countDistinct(col("word")).as("v"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu, col("w1") === col("word"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("cb") + 1).cast("double") /
+        (col("cu") + col("v")).cast("double")).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
+      .orderBy(col("mean_logprob"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Temperature-based dataset mixture weighting — the sampling-rate
     * computation a multilingual/multi-source training run does before
     * reading a single byte of data (p_l proportional to n_l^alpha with

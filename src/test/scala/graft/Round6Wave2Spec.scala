@@ -231,6 +231,36 @@ class Round6Wave2Spec extends SparkSpec {
     assert(got.map(_._5).sum > 0, "the corpus plants verbatim overlaps")
   }
 
+  test("text_bigram_logprob equals a driver-side smoothed-LM replay") {
+    val docs = corpus
+    val allBg = docs.flatMap(d => grams(d._3.split(" ", -1), 2))
+    val cb = allBg.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val allTok = docs.flatMap(_._3.split(" ", -1))
+    val cu = allTok.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val v = allTok.distinct.length.toLong
+    val expect = docs.toSeq
+      .map { case (id, _, text) =>
+        val bgs = grams(text.split(" ", -1), 2)
+        val lps = bgs.map { g =>
+          val w1 = g.split(" ")(0)
+          val lp = math.log((cb(g) + 1).toDouble / (cu(w1) + v).toDouble)
+          BigDecimal(lp).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        (id, bgs.size.toLong,
+          if (bgs.nonEmpty)
+            // exact decimal sum, then the same cast-to-double division
+            // Spark performs
+            BigDecimal(lps.sum.toDouble / bgs.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else Double.NaN)
+      }
+      .filter(_._2 > 0)
+      .sortBy(r => (r._3, r._1)).take(20)
+    val got = TextAnalysis.bigramLogprob(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"got ${got.take(3)} expected ${expect.take(3)}")
+  }
+
   test("text_source_overlap equals a driver-side pair census") {
     val fps = Tables(spark, sf0001, "documents")
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
