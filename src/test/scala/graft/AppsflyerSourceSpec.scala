@@ -145,6 +145,17 @@ class AppsflyerSourceSpec extends SparkSpec {
     }
   }
 
+  test("malformed retry options fall back to defaults, never break the contract") {
+    // a typo'd knob must not be the one thing that can error a scan —
+    // defaults apply (max_retries=2) and the scan still succeeds/empties
+    withServer(Seq(429, 200), tinyCsv) { (url, hits) =>
+      val df = spark.read.format("appsflyer").option("url", url)
+        .option("max_retries", "two").option("retry_backoff_ms", "fast").load()
+      assert(df.count() == 1)
+      assert(hits() == 2, "default retry budget still applies")
+    }
+  }
+
   test("export URL matches the reference's v5 shape") {
     val u = graft.sources.AppsflyerFetch.exportUrl(
       "com.app", "2025-09-26 08:15:00", "2025-09-26 10:15:00",
