@@ -47,13 +47,16 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
         .as("w"))
-      .cache()
+    // no cache: the edge subtree recurs inside ONE action's plan, where
+    // ReuseExchange dedupes it; a cache here stays pinned for the rest of
+    // the session (the r5 lshBands finding class). The only extra work is
+    // the nation-cardinality nodes.count() scalar below.
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val ew = edges.join(outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("outw").cast("double")).as("ratio"))
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().cache()
+      .union(edges.select(col("dst"))).distinct()
     val nn = nodes.count().toDouble
     def step(pr: DataFrame): DataFrame = {
       val contrib = ew.join(pr, ew("src") === pr("node"))
