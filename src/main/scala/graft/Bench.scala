@@ -75,13 +75,29 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (n.startsWith("stream_"), n)
     }
-    val results = ordered.map { case (name, fn) =>
+    // BENCH_STABILITY.md's protocol: a single run on a shared box can show
+    // 3-20x wobble on individual queries, so one run must never be the
+    // round's artifact. Run the full battery REPEATS times (default 2) and
+    // record the per-query MIN across runs — the min is the least-contended
+    // observation and the number the stability doc's floors are built from.
+    // Both per-run totals are emitted so contention is visible, not hidden.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    def runBattery(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
+    }.toMap
+    val runs = (1 to repeats).map(_ => runBattery())
+    val runTotals = runs.map(r => math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000)
+    // per-query min over SUCCESSFUL runs; -1.0 only if the query failed in
+    // every run (a one-run flake must not masquerade as a timing)
+    val results: Map[String, Double] = ordered.map { case (name, _) =>
+      val ts = runs.map(_(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
     val good = results.values.filter(_ >= 0)
     val total = math.rint(good.sum * 1000) / 1000
@@ -94,11 +110,12 @@ object Bench {
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full = jmap(results.toSeq.sortBy(_._1))
+    val totalsJson = runTotals.mkString("[", ",", "]")
     Files.writeString(Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$repeats","run_totals":$totalsJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"n_queries":${results.size},"queries":${jmap(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$repeats","run_totals":$totalsJson,"failed":$nFail,"n_queries":${results.size},"queries":${jmap(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,13 @@ object Graph {
       .select(col("c_custkey"), col("c_nationkey").as("dst"))
     val s = Tables(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey").as("src"))
+    // The fact-scale work is this one join+agg; its OUTPUT is nation²-
+    // bounded (≤625 rows). localCheckpoint materializes that tiny result
+    // eagerly so the whole query does exactly ONE fact pass: without it,
+    // the nodes.count() scalar action below re-executes the
+    // lineitem⋈orders⋈dims build (exchange reuse does not span actions).
+    // Unlike a .cache() (the r5 pinned-cache finding class), what stays
+    // resident here is ≤625 rows, not a fact-scale intermediate.
     val edges = Tables(spark, dir, "lineitem")
       .join(Tables(spark, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
@@ -47,10 +54,7 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
         .as("w"))
-    // no cache: the edge subtree recurs inside ONE action's plan, where
-    // ReuseExchange dedupes it; a cache here stays pinned for the rest of
-    // the session (the r5 lshBands finding class). The only extra work is
-    // the nation-cardinality nodes.count() scalar below.
+      .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val ew = edges.join(outw, "src")
       .select(col("src"), col("dst"),

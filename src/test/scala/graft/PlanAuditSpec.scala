@@ -181,17 +181,20 @@ class PlanAuditSpec extends SparkSpec {
       "banded blocking must plan as an equi-join, never a pair scan")
   }
 
-  test("pagerank: dims broadcast; the repeated edge subtree dedupes via exchange reuse") {
+  test("pagerank: exactly one fact pass — the checkpointed edge aggregate " +
+    "feeds every downstream relation") {
     val df = graft.operators.Graph.pagerankNations(spark, sf0001)
     val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"),
-      "customer/supplier nation lookups must broadcast")
+    // the fact-scale edge build runs ONCE, eagerly, inside localCheckpoint;
+    // the returned plan must contain ZERO fact-table scans (exchange reuse
+    // does not span actions, so nodes.count() would otherwise re-execute
+    // the lineitem⋈orders⋈dims build — the r6 double-fact-pass finding)
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      "final plan must derive everything from the ≤625-row checkpointed edges")
+    assert(p.contains("ExistingRDD"),
+      "edge aggregate should appear as a checkpointed in-memory relation")
     assert(!p.contains("InMemoryTableScan"),
-      "no cache: a pinned edge relation outlives the query (r5 finding class)")
-    df.collect()
-    val ex = df.queryExecution.executedPlan.toString
-    assert(ex.contains("ReusedExchange") || ex.contains("ReusedQueryStage"),
-      "the fact-scale edge aggregate must be computed once and reused")
+      "no cache: a pinned fact-scale relation outlives the query (r5 class)")
   }
 
   test("q19: each side's disjunction projection is pushed to its parquet scan") {
