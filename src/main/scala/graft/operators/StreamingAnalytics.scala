@@ -129,7 +129,28 @@ object StreamingAnalytics {
     * uses (hash-aggs + anti-joins, nothing driver-side); the sink
     * fingerprint probe reads one column (projection pushdown, K2's
     * shape). The dedup state lives in the SINK, not the state store, so
-    * an unbounded corpus needs no watermark horizon. */
+    * an unbounded corpus needs no watermark horizon. The sink is
+    * PARTITIONED by a 2-hex-char fingerprint prefix (256 buckets) and
+    * each batch probes only the partitions its own prefixes touch, so
+    * probe cost tracks BATCH size, not sink size — without this the
+    * per-batch anti-join rescans the whole corpus's fingerprints and
+    * grows linearly as the sink accretes (r6 verdict item 4). Prefix
+    * width is a deployment knob: 2 chars suits a corpus whose batches
+    * are prefix-sparse; wider prefixes shrink partitions further. */
+  /** Prefix-pruned probe of the kept-sink's fingerprints: reads ONLY the
+    * `fp_pfx` partition directories in `pfxs` (the current batch's prefix
+    * set), projected to the single join column. Exposed package-private
+    * for StreamingSpec's plan audit — the scan must show PartitionFilters,
+    * the property that keeps probe cost proportional to batch size
+    * instead of sink size. */
+  private[graft] def sinkProbe(spark: SparkSession, sinkPath: String,
+      pfxs: Seq[String]): DataFrame =
+    try spark.read.parquet(sinkPath)
+      .where(col("fp_pfx").isin(pfxs: _*)).select(col("fp"))
+    catch { case _: Exception => // first batch: sink not created yet
+      spark.range(0).select(lit("").as("fp"))
+    }
+
   def streamDocsPrep(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val root = java.nio.file.Files.createTempDirectory("graft_sprep").toString
@@ -165,22 +186,27 @@ object StreamingAnalytics {
           // determines the counters but lang is a label, not derived.)
           val kept = gated.groupBy(col("fp"))
             .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("k"))
-            .select(col("fp"), col("k.doc_id").as("doc_id"),
+            .select(col("fp"), substring(col("fp"), 1, 2).as("fp_pfx"),
+              col("k.doc_id").as("doc_id"),
               col("k.lang").as("lang"), col("k.n_tok").as("n_tok"))
-          val existing =
-            try spark.read.parquet(sinkPath).select(col("fp"))
-            catch { case _: Exception => // first batch: sink not created yet
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                kept.select("fp").schema)
-            }
-          val fresh = kept
-            .join(existing, Seq("fp"), "left_anti")
-            .join(losers, Seq("doc_id"), "left_anti")
-            .persist() // isEmpty + write would otherwise each rebuild the
-          try { //        full plan incl. the expensive LSH loser build side
-            if (!fresh.isEmpty) fresh.write.mode("append").parquet(sinkPath)
-          } finally fresh.unpersist()
+            .persist() // referenced twice: prefix collect + anti-join
+          try {
+            // the batch's prefix set (≤256 values — a bounded driver
+            // scalar, same class as the clusters-loop convergence counts)
+            // becomes a PARTITION filter on the sink probe, so the scan
+            // touches only the directories this batch can collide with
+            val pfxs = kept.select(col("fp_pfx")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            val existing = sinkProbe(spark, sinkPath, pfxs)
+            val fresh = kept
+              .join(existing, Seq("fp"), "left_anti")
+              .join(losers, Seq("doc_id"), "left_anti")
+              .persist() // isEmpty + write would otherwise each rebuild the
+            try { //        full plan incl. the expensive LSH loser build side
+              if (!fresh.isEmpty)
+                fresh.write.mode("append").partitionBy("fp_pfx").parquet(sinkPath)
+            } finally fresh.unpersist()
+          } finally kept.unpersist()
         }
         .start()
       q.awaitTermination()
