@@ -166,6 +166,13 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, d) => TpchReports.q19DisjunctiveRevenue(s, d)),
     "q21_waiting_supplier" -> ((s, d) => TpchReports.q21WaitingSupplier(s, d)),
     "q22_idle_balances" -> ((s, d) => TpchReports.q22IdleBalances(s, d)),
+    // ---- round 7: the last classic shapes (EXISTS, HAVING-fraction,
+    // conditional agg, distinct-count with NOT-IN, nested-IN dominance)
+    "q4_order_priority" -> ((s, d) => TpchReports.q4OrderPriority(s, d)),
+    "q11_important_parts" -> ((s, d) => TpchReports.q11ImportantParts(s, d)),
+    "q12_priority_lateness" -> ((s, d) => TpchReports.q12PriorityLateness(s, d)),
+    "q16_supplier_count" -> ((s, d) => TpchReports.q16SupplierCount(s, d)),
+    "q20_dominant_supplier" -> ((s, d) => TpchReports.q20DominantSupplier(s, d)),
     // ---- round 5: pipeline-evaluation ops
     "sim_recall_eval" -> ((s, d) => Similarity.recallAt10(s, d)),
     "split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
@@ -1805,6 +1812,70 @@ object SparkEntry {
                  WHERE c.okey = a.okey AND c.skey <> a.skey
                    AND c.ship >= a.ship)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q11_important_parts" ->
+      """WITH esupp AS (SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         v AS (SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1-l_discount AS DECIMAL(4,2))) AS val_dec
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM esupp)
+           GROUP BY l_partkey)
+         SELECT partkey, CAST(val_dec AS DOUBLE) AS value
+         FROM v
+         WHERE CAST(val_dec AS DECIMAL(28,4)) * 1000 >
+           (SELECT SUM(val_dec) FROM v)
+         ORDER BY value DESC, partkey""",
+    "q12_priority_lateness" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_dominant_supplier" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_partkey IN
+               (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+           GROUP BY 1, 2),
+         t AS (SELECT *, SUM(q) OVER (PARTITION BY l_partkey) AS tot FROM pq)
+         SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+           AND s_suppkey IN (SELECT l_suppkey FROM t WHERE q * 2 > tot)
+         ORDER BY s_name""",
     "q22_idle_balances" ->
       """WITH lapsed AS (
            SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -4,12 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** The remaining classic TPC-H report shapes (Q2/Q7/Q8/Q9/Q13/Q15/Q17/
-  * Q19/Q21/Q22), adapted to the harness star schema: it has no partsupp
-  * table, no l_commitdate/l_receiptdate, and no c_phone, so each query
-  * keeps its OPERATOR shape (the thing the inventory grades — groupwise-
-  * min correlated lookup, disjunctive pushdown, double-anti EXISTS, …)
-  * over the columns that exist; every adaptation is noted on the method.
+/** The remaining classic TPC-H report shapes (Q2/Q4/Q7/Q8/Q9/Q11/Q12/
+  * Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22), adapted to the harness star schema:
+  * it has no partsupp table, no l_commitdate/l_receiptdate/l_shipmode,
+  * and no c_phone/s_comment, so each query keeps its OPERATOR shape (the
+  * thing the inventory grades — groupwise-min correlated lookup,
+  * disjunctive pushdown, double-anti EXISTS, HAVING-over-global-fraction,
+  * nested-IN dominance, …) over the columns that exist; every adaptation
+  * is noted on the method.
   *
   * Shared conventions (see [[Relational]]): money math accumulates in
   * exact DECIMAL and casts to DOUBLE only in the output projection, so
@@ -61,6 +63,138 @@ object TpchReports {
       // engines at the cut boundary.
       .orderBy(col("s_acctbal"), col("p_partkey"), col("s_name"))
       .limit(100)
+  }
+
+  /** Q4 shape — order-priority checking via EXISTS: orders placed in
+    * 1996H1 having at least one line shipped more than 90 days after the
+    * order date (lateness proxy — this schema has no
+    * l_commitdate/l_receiptdate), counted by priority. The correlated
+    * EXISTS is a LEFT SEMI join whose condition carries the correlated
+    * predicate, so each order counts once no matter how many late lines
+    * it has — no distinct, no row explosion. The date window is pushed to
+    * the orders scan BEFORE the fact-fact semi-join, so only ~1/13 of
+    * orders shuffle. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q11 shape — important parts by held value, HAVING-over-global-
+    * fraction: per-part revenue from EUROPE-region suppliers, keeping
+    * parts whose value exceeds 0.1% of the region total. No partsupp, so
+    * "held value" is shipped revenue (vol) rather than
+    * ps_supplycost·ps_availqty; nation scope widens to region because a
+    * single nation has zero suppliers at the smallest SF. The global
+    * total is ONE broadcast scalar row off the already-grouped (part-
+    * cardinality) relation — the fraction compare is cross-multiplied in
+    * exact decimal (val·1000 > total), no float boundary. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val esupp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val value = Tables(spark, dir, "lineitem")
+      .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(vol).as("val_dec"))
+    val total = value.agg(sum(col("val_dec")).as("total_dec"))
+    value.join(broadcast(total))
+      .filter(col("val_dec").cast("decimal(28,4)") * lit(1000) > col("total_dec"))
+      .select(col("partkey"), col("val_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** Q12 shape — conditional priority aggregation: late-shipped 1997
+    * lines (>90 days after order date; no l_shipmode in this schema, so
+    * the group key is l_returnflag and lateness replaces the
+    * receipt-window filter), counting high- vs low-priority orders per
+    * flag in one CASE-WHEN aggregate pass. Both filters sit on the scan
+    * sides of the join (shipdate year on lineitem; nothing on orders —
+    * its only role is the priority label). */
+  def q12PriorityLateness(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q16 shape — supplier-count by part attributes with a NOT-IN
+    * exclusion: distinct suppliers per (brand, type, size) for parts
+    * outside Brand#1/PROMO in selected sizes, excluding low-balance
+    * suppliers (the complaint-supplier proxy — no s_comment here). The
+    * part-supplier relation derives from lineitem (no partsupp); the
+    * NOT IN is a broadcast LEFT ANTI on the tiny excluded-supplier set;
+    * COUNT DISTINCT re-uses the (partkey, suppkey) distinct's shuffle. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 1500).select(col("s_suppkey"))
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20 shape — nested-IN dominance: EUROPE-region suppliers who are
+    * the DOMINANT shipper (more than half the 1997 volume) of some
+    * "large"-named part. No ps_availqty, so the original's excess-stock
+    * threshold (availqty > half of shipped) becomes share-of-shipped
+    * dominance — the correlated-aggregate-in-IN shape is identical. One
+    * shuffle on l_partkey computes the per-(part, supplier) sums AND the
+    * per-part total (window over the grouped relation), exactly the
+    * Q2/Q21 derived-relation-shuffles-once pattern; the dominant-supplier
+    * key set is dimension-bounded and broadcasts into a semi-join. */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val largeKeys = Tables(spark, dir, "part")
+      .filter(col("p_name").like("large%")).select(col("p_partkey"))
+    val pq = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(largeKeys), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+    val dominant = pq
+      .withColumn("tot", sum(col("q")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("q") * lit(2) > col("tot"))
+      .select(col("l_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
   }
 
   /** lineitem enriched with supplier + customer nation names — the
