@@ -56,18 +56,22 @@ object Graph {
         .as("w"))
       .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val ew = edges.join(outw, "src")
+    val ew = edges.join(broadcast(outw), "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("outw").cast("double")).as("ratio"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     val nn = nodes.count().toDouble
+    // every relation below is nation-bounded (≤25 nodes, ≤625 edges) at
+    // ANY fact size, but the checkpointed ExistingRDD carries no size
+    // stats, so without explicit hints Catalyst plans sort-merge joins —
+    // broadcast is categorically right here
     def step(pr: DataFrame): DataFrame = {
-      val contrib = ew.join(pr, ew("src") === pr("node"))
+      val contrib = ew.join(broadcast(pr), ew("src") === pr("node"))
         .groupBy(col("dst"))
         .agg(sum((col("pr") * col("ratio")).cast("decimal(28,12)"))
           .cast("double").as("contrib"))
-      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      nodes.join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(0.15 / nn) + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
             .as("pr"))

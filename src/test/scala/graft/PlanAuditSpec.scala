@@ -330,4 +330,40 @@ class PlanAuditSpec extends SparkSpec {
       "the pair census must join on the fp hash key")
     assert(p.contains("fp"), "join key must be the fingerprint")
   }
+
+  test("plan-shape regression guards: the top-8 bench queries keep their " +
+    "exchange budget, zero sort-merge joins, zero cartesians") {
+    // Ceilings are the measured formatted-plan counts (sf-independent —
+    // the plan SHAPE does not change with data size) plus ~10% headroom.
+    // A refactor that adds a shuffle to a non-iterative query trips its
+    // tight bound directly; one added PER ITERATION of a fixpoint query
+    // multiplies by the round count and blows the bound by far. Every
+    // query below currently plans zero SortMergeJoins — an SMJ appearing
+    // means a broadcast hint or size estimate was lost (how the r7
+    // pagerank checkpoint initially regressed before its hints).
+    // BroadcastNestedLoopJoin is allowed only where a 1-row scalar
+    // relation joins (text_bigram_logprob's global-total join).
+    val budgets = Seq( // (query, maxExchanges incl. broadcasts, maxBNLJ)
+      ("dedup_clusters_star", 50, 0),
+      ("docs_curation_pipeline", 46, 0),
+      ("dedup_clusters", 620, 0),
+      ("text_substring_dup", 16, 0),
+      ("dedup_semantic_clusters", 495, 0),
+      ("text_bigram_logprob", 18, 2),
+      ("graph_pagerank", 34, 0),
+      ("dedup_keep_best", 625, 0))
+    budgets.foreach { case (name, maxEx, maxBnlj) =>
+      val p = plan(SparkEntry.queries(name)(spark, sf0001))
+      val ex = "Exchange".r.findAllIn(p).size
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(ex <= maxEx, s"$name: $ex exchanges > budget $maxEx — an " +
+        "edit added a shuffle (or broadcast) this query didn't have")
+      assert(smj == 0, s"$name: $smj SortMergeJoin(s) — a broadcast side " +
+        "lost its hint or size estimate")
+      assert(bnlj <= maxBnlj, s"$name: $bnlj BroadcastNestedLoopJoin(s) " +
+        s"> $maxBnlj — a join lost its equi-key")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
