@@ -10,6 +10,34 @@ import org.apache.spark.sql.DataFrame
   * (per-partition, `batchsize` rows per round-trip — already distributed
   * where the reference was single-connection); the parquet path is the
   * offline-harness stand-in used by Verify.
+  *
+  * == ClickHouse dialect assumptions (unverifiable offline) ==
+  * The JDBC paths are EXECUTED in CI against embedded Derby
+  * (JdbcSinkSpec); the reference's actual target is ClickHouse via the
+  * native-TCP `clickhouse-driver` (main.py:169-187), which this sandbox
+  * cannot reach. What a ClickHouse deployment must supply/verify:
+  *
+  *  - '''Driver + URL''': `com.clickhouse.jdbc.ClickHouseDriver` with
+  *    `jdbc:clickhouse://host:8123/db` (HTTP) — Spark's JDBC writer
+  *    speaks standard batched `PreparedStatement` INSERTs, which the
+  *    ClickHouse JDBC driver converts to its columnar insert form; the
+  *    `batchsize` knob maps to one ClickHouse insert block per batch.
+  *  - '''Timestamps''': the pipeline emits `TimestampType` in the
+  *    session's UTC zone; ClickHouse `DateTime` columns are zoneless
+  *    wall-clock, matching the reference's naive strings — the server's
+  *    `timezone` setting must be UTC (or the column declared
+  *    `DateTime('UTC')`) or window filters shift by the zone offset.
+  *  - '''Nullability''': Spark nullable columns require `Nullable(T)`
+  *    ClickHouse columns; inserting NULL into a bare `T` column throws
+  *    on ClickHouse where Derby accepted it (the 49-column AppsFlyer
+  *    schema is all-nullable strings — the DDL must mirror that).
+  *  - '''Dedup probe''' (`readExistingJdbc`): the pushdown subquery uses
+  *    ANSI `SELECT ... WHERE ts >= '...' AND ts <= '...'` only —
+  *    ClickHouse parses string literals into `DateTime` in the SERVER
+  *    zone, same caveat as above; no backtick/quote dialect is emitted.
+  *  - '''Types beyond strings/timestamps''': BIGINT→Int64,
+  *    DOUBLE→Float64, DECIMAL(p,s)→Decimal(p,s) are 1:1; nothing in the
+  *    pipeline emits arrays/maps through JDBC.
   */
 object Sink {
 

@@ -263,6 +263,15 @@ object TextAnalysis {
     * DECIMAL(28,12) BEFORE the sum so accumulation order cannot move
     * the mean; ties at the LIMIT boundary break on doc_id.
     *
+    * Residual cross-engine risk (r6 advice): the double→DECIMAL(28,12)
+    * cast itself is the one step outside IEEE754 — Spark rounds the
+    * double's shortest-decimal rendering HALF_UP while DuckDB scales the
+    * binary value, so a last-ulp disagreement at the 12th decimal is
+    * theoretically possible. Not observed at any tested SF (the oracle
+    * gate hash-matches); if it ever flakes at a new scale, gate this
+    * query through a within-bound boolean like `approx_stats` instead
+    * of the exact hash.
+    *
     * Scale: two corpus hash-aggs build the model (bigram and unigram
     * counts — both Zipf-headed, map-side combined), the vocab scalar
     * broadcasts, and the probe is the same posting equi-join every

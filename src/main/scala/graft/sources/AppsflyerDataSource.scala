@@ -175,10 +175,18 @@ private[graft] object AppsflyerFetch extends Logging {
     // malformed knob values fall back to defaults rather than throwing:
     // the source's contract is failure -> empty relation, never an error,
     // and a typo'd option must not be the one thing that can crash a scan
-    val maxRetries = opts.get("max_retries")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2)
-    val backoffMs = opts.get("retry_backoff_ms")
-      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(1000L)
+    // — but the ignored value IS logged, so misconfiguration stays
+    // discoverable (r6 advice)
+    def knob[T](key: String, default: T)(parse: String => T): T =
+      opts.get(key).map { v =>
+        scala.util.Try(parse(v)).getOrElse {
+          logWarning(s"appsflyer source: ignoring malformed $key='$v', " +
+            s"using default $default")
+          default
+        }
+      }.getOrElse(default)
+    val maxRetries = knob("max_retries", 2)(_.toInt)
+    val backoffMs = knob("retry_backoff_ms", 1000L)(_.toLong)
     var attempt = 0
     while (true) {
       fetchOnce(url, opts) match {

@@ -21,20 +21,25 @@ class Round6OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
   }
 
-  test("lloyd-2 re-derivation roughly tightens the mean within-cluster cosine") {
-    // NOT a theorem: with cosine assignment the objective-maximizing
-    // centroid is the normalized-sum direction, while this pipeline uses
-    // the plain per-dimension mean (unequal member norms can then lower
-    // the weighted mean cosine slightly). Assert a loose sanity margin —
-    // a real implementation bug (wrong assignment, swapped centroids)
-    // moves the objective by far more than mean-vs-normalized-sum drift.
+  test("lloyd-2 objective: both iterations' weighted means pinned as goldens") {
+    // Monotonic improvement is NOT a theorem here (cosine assignment +
+    // plain-mean centroids, not normalized-sum), so a relative bound
+    // would either be vacuous or flaky. The pipeline is deterministic
+    // (fixed seeds, sorted output, decimal-summed centroids), so pin
+    // BOTH iterations' objectives exactly — any assignment or centroid
+    // bug moves these by far more than the 1e-9 slack, and unlike the
+    // old 0.05 margin, nothing short of a reproducible numeric change
+    // passes. (Values from the r7 run; they can only change if the
+    // operator or the sf0.001 fixture changes, both of which SHOULD
+    // fail this test for review.)
     def weighted(rows: Array[org.apache.spark.sql.Row]): Double = {
       val n = rows.map(_.getLong(1)).sum.toDouble
       rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
     }
     val one = weighted(Similarity.kmeansAssignIter(spark, sf0001).collect())
     val two = weighted(Similarity.kmeansLloydTwo(spark, sf0001).collect())
-    assert(two >= one - 0.05, s"iteration 2 regressed the objective: $two < $one")
+    assert(math.abs(one - 0.18652111) < 1e-9, s"iteration-1 objective drifted: $one")
+    assert(math.abs(two - 0.242734062) < 1e-9, s"iteration-2 objective drifted: $two")
   }
 
   test("grouped pair expansion == posting self-join, pairs AND counts (seeded random)") {
