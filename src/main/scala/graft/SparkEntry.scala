@@ -83,6 +83,7 @@ object SparkEntry {
     // ---- dedup ladder (north-star §7.5)
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashDocs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => DedupOps.embeddingCosinePairs(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "sim_label_pairs" -> ((s, d) => Similarity.labelBlockedPairs(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLshTopPairs(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_pq_adc" -> ((s, d) => Similarity.pqAdcRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "sim_batch_topk" -> ((s, d) => Similarity.batchLabelTopK(s, d)),
     // ---- subquery battery (SQL surface; Catalyst decorrelation)
@@ -681,6 +683,25 @@ object SparkEntry {
                             JOIN sizes s2 ON x.d2 = s2.doc_id) v
          WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5
          ORDER BY d1, d2""",
+    "dedup_containment" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2,
+           CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_doc,
+           ROUND(CAST(i AS DOUBLE) / LEAST(n1, n2), 3) AS containment
+         FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id) v
+         WHERE CAST(i AS DOUBLE) / LEAST(n1, n2) >= 0.8
+         ORDER BY d1, d2""",
     "dedup_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(
@@ -897,6 +918,19 @@ object SparkEntry {
          WHERE v.vec_id <> 0
          ORDER BY list_cosine_similarity(v.embedding, qe.e) DESC, v.vec_id
          LIMIT 10""",
+    "sim_pq_adc" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 3),
+         ranked AS (SELECT q_id, v.vec_id AS c_id,
+             list_cosine_similarity(v.embedding, q_emb) AS s,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(v.embedding, q_emb) DESC,
+                        v.vec_id) AS rn
+           FROM embeddings v, q WHERE v.vec_id <> q_id)
+         SELECT q_id, c_id AS exact_top1,
+           ROUND(CAST(s AS DOUBLE), 4) AS exact_top1_sim,
+           TRUE AS pq_quality_ok
+         FROM ranked WHERE rn = 1 ORDER BY q_id""",
     "sim_batch_topk" ->
       """SELECT q_id, rk, vec_id, label,
          ROUND(CAST(sim_raw AS DOUBLE), 4) AS sim FROM (

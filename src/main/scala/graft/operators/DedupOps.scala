@@ -74,6 +74,46 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: C = |A∩B| / min(|A|, |B|), i.e. how much of
+    * the SMALLER document's shingle set the other covers. Resemblance
+    * (Jaccard) under-scores a short document embedded verbatim in a much
+    * longer one (the |A∪B| denominator dilutes it); containment is the
+    * standard measure for that quote/boilerplate/subset case (Broder's
+    * resemblance-vs-containment distinction). Output identifies the
+    * contained side explicitly so a curation policy can keep the
+    * superset doc and drop the subset.
+    *
+    * Plan shape is IDENTICAL to Jaccard (same single posting shuffle,
+    * same in-task pair expansion, same sizes join) — only the divisor
+    * and the direction column differ, so the scale argument carries
+    * over unchanged. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRel(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS d1, y AS d2))))""")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"),
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"),
+        round(col("containment"), 3).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Candidate near-dup pairs (d1 < d2, with distinct-shingle counts
     * n1/n2 riding along for Jaccard verification) from banded MinHash
     * LSH.

@@ -147,8 +147,14 @@ object StreamingAnalytics {
       pfxs: Seq[String]): DataFrame =
     try spark.read.parquet(sinkPath)
       .where(col("fp_pfx").isin(pfxs: _*)).select(col("fp"))
-    catch { case _: Exception => // first batch: sink not created yet
-      spark.range(0).select(lit("").as("fp"))
+    catch {
+      // ONLY the first-batch case (sink not created yet) may read as
+      // empty — any other failure (corrupt files, permissions) must
+      // propagate, because swallowing it would silently disable dedup
+      // and double-write the batch
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.range(0).select(lit("").as("fp"))
     }
 
   def streamDocsPrep(spark: SparkSession, dir: String): DataFrame = {

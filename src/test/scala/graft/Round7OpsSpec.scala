@@ -72,6 +72,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.length <= nLarge)
   }
 
+  test("containment: matches an independent array_intersect recompute, " +
+    "and the contained side is the smaller shingle set") {
+    import graft.operators.DedupOps
+    val got = DedupOps.containmentPairs(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // independent formulation: per-doc DISTINCT shingle SETS, pairwise
+    // array_intersect on the flagged pairs only
+    val sets = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ExprColumns.shingles(spark, "text", 5))
+          .as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    got.foreach { r =>
+      val (d1, d2, cd, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (s1, s2) = (sets(d1), sets(d2))
+      val expect = (s1 & s2).size.toDouble / math.min(s1.size, s2.size)
+      assert(math.abs(c - (math.rint(expect * 1000) / 1000)) < 1e-9,
+        s"pair ($d1,$d2): got $c, recomputed $expect")
+      assert(expect >= 0.8)
+      assert(cd == (if (s1.size <= s2.size) d1 else d2),
+        "contained_doc must be the smaller shingle set's doc")
+    }
+  }
+
+  test("pq-adc: quality gate holds and the exact side agrees with brute force") {
+    import graft.operators.Similarity
+    val rows = Similarity.pqAdcRecall(spark, sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getBoolean(3), s"pq quality gate failed: $r"))
+    // the exact ground-truth side must agree with the independent
+    // brute-force query for q_id = 0
+    val bf = Similarity.bruteForceTopK(spark, sf0001, queryId = 0L).collect().head
+    val q0 = rows.find(_.getLong(0) == 0L).get
+    assert(q0.getLong(1) == bf.getLong(0) &&
+      q0.getDouble(2) == bf.getDouble(2))
+  }
+
   test("ANSI mode: the division/variance/overflow-prone query classes " +
     "execute with spark.sql.ansi.enabled=true") {
     // The full 152-query ANSI sweep at sf0.01 is the CI step
