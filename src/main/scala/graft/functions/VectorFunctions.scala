@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, SimHash64, SimHash64Long, WordShingles}
+import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, PqAssign, SimHash64, SimHash64Long, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -23,6 +23,7 @@ object ExprColumns {
     "graft_parse_af_ts" -> (exprs => ParseAfTimestamp(exprs.head)),
     "graft_minhash_buckets" -> (exprs => MinHashBandBuckets(exprs.head, 9, 3)),
     "graft_hashed_tf64" -> (exprs => HashedTf64(exprs.head)),
+    "graft_pq_assign" -> (exprs => PqAssign(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => {
       val k = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -77,6 +78,14 @@ object ExprColumns {
   def hyperplaneLsh(spark: SparkSession, embExpr: String): Column = {
     register(spark)
     expr(s"graft_hyperplane_lsh($embExpr)")
+  }
+
+  /** Per-subspace PQ code positions (array<int>) of an embedding
+    * against a nested codebook column — see
+    * [[graft.expressions.PqAssign]]. */
+  def pqAssign(spark: SparkSession, embExpr: String, cbExpr: String): Column = {
+    register(spark)
+    expr(s"graft_pq_assign($embExpr, $cbExpr)")
   }
 
   def cosineF32(spark: SparkSession, a: String, b: String): Column = {

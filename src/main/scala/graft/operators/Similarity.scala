@@ -374,7 +374,8 @@ object Similarity {
     * mean — 16 x 64 x 4 = 4096 output rows at ANY corpus size; at
     * 100 TB this pass runs on a corpus SAMPLE, exactly how production
     * PQ indexes are trained, and the shape transfers unchanged); encode
-    * + reconstruct is a narrow per-row HOF map — no explode, no
+    * + reconstruct is a narrow per-row map whose argmin kernel is the
+    * custom [[graft.expressions.PqAssign]] expression — no explode, no
     * shuffle; the remaining shuffles are the two per-query ranking
     * windows, and the exact side exists only because this query REPORTS
     * the gate — a pure serving path ranks reconstructions alone. Output
@@ -387,24 +388,21 @@ object Similarity {
     ExprColumns.register(spark)
     val e = emb(spark, dir)
     val M = 16; val SUB = 4; val K = 64
-    // assignment of every (row, subspace) sub-vector to its L2-nearest
-    // codeword of `cbDf` — shared by training and encode; emits
-    // (vec_id, m, cid, sv)
-    def assignExpr: String =
-      s"""transform(sequence(0, ${M - 1}), m ->
-            struct(slice(embedding, m * $SUB + 1, $SUB) AS sv,
-              array_min(transform(element_at(cb, m + 1), (cw, i) ->
-                struct(aggregate(zip_with(slice(embedding, m * $SUB + 1, $SUB), cw,
-                    (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)),
-                  CAST(0 AS DOUBLE), (a, v) -> a + v * v) AS d,
-                  i AS cid))).cid AS cid))"""
-    // one Lloyd pass: re-derive every codeword as the exact-decimal mean
-    // of its assigned members; empty codewords drop out and positions
-    // re-index deterministically (sorted by original cid)
+    // one Lloyd pass: assign every row's sub-vectors to their L2-nearest
+    // codewords ([[graft.expressions.PqAssign]] — tight primitive loops;
+    // the HOF rendering it replaces interpreted M x K x SUB boxed lambda
+    // steps per row and dominated the query's runtime, and PqSpec pins
+    // the two bit-equal), then re-derive every codeword as the
+    // exact-decimal mean of its assigned members; empty codewords drop
+    // out and positions re-index deterministically (sorted by original
+    // cid)
     def refine(cbDf: DataFrame): DataFrame =
       e.join(broadcast(cbDf))
-        .select(posexplode(expr(assignExpr)))
-        .select(col("pos").as("m"), col("col.cid"), posexplode(col("col.sv")))
+        .select(col("embedding"),
+          posexplode(ExprColumns.pqAssign(spark, "embedding", "cb")))
+        .withColumnRenamed("pos", "m").withColumnRenamed("col", "cid")
+        .select(col("m"), col("cid"),
+          posexplode(expr(s"slice(embedding, m * $SUB + 1, $SUB)")))
         .withColumnRenamed("pos", "d").withColumnRenamed("col", "v")
         .groupBy(col("m"), col("cid"), col("d"))
         .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
@@ -433,8 +431,8 @@ object Similarity {
     // leaves the map
     val recon = e.join(broadcast(cb))
       .select(col("vec_id").as("c_id"), expr(
-        s"""flatten(transform($assignExpr, (a, m) ->
-              element_at(element_at(cb, m + 1), a.cid + 1)))""").as("recon"))
+        """flatten(transform(graft_pq_assign(embedding, cb), (c, m) ->
+             element_at(element_at(cb, m + 1), c + 1)))""").as("recon"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // exact similarities of every (query, candidate) pair — ground truth
@@ -454,14 +452,18 @@ object Similarity {
       .select(col("q_id"), col("c_id"))
     val exTop = topk(exScored, col("ex_sim"))
     val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
-    val pqMass = pqTop.join(exScored, Seq("q_id", "c_id"))
+    // every relation below is (nQueries x k)-bounded, but post-window
+    // aggregates carry no size stats, so the joins need explicit
+    // broadcast hints to avoid sort-merge plans
+    val pqMass = exScored.join(broadcast(pqTop), Seq("q_id", "c_id"))
       .groupBy(col("q_id")).agg(sum(d9(col("ex_sim"))).as("pq_mass"))
     val exMass = exTop.groupBy(col("q_id"))
       .agg(sum(d9(col("ex_sim"))).as("ex_mass"))
     exTop.filter(col("rn") === 1)
       .select(col("q_id"), col("c_id").as("exact_top1"),
         round(col("ex_sim").cast("double"), 4).as("exact_top1_sim"))
-      .join(exMass, Seq("q_id")).join(pqMass, Seq("q_id"), "left_outer")
+      .join(broadcast(exMass), Seq("q_id"))
+      .join(broadcast(pqMass), Seq("q_id"), "left_outer")
       // quality gate, cross-multiplied in exact decimal: 10*pq >= 8*ex
       .select(col("q_id"), col("exact_top1"), col("exact_top1_sim"),
         (coalesce(col("pq_mass"), lit(0).cast("decimal(18,9)")) * 10 >=

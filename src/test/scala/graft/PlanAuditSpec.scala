@@ -331,6 +331,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("fp"), "join key must be the fingerprint")
   }
 
+  test("containment: same single-posting-shuffle shape as jaccard — " +
+    "no self-join of the shingle relation") {
+    val p = plan(graft.operators.DedupOps.containmentPairs(spark, sf0001))
+    // documents is scanned once for the pair expansion and twice under
+    // the two sizes-join occurrences (3 total, same as jaccard; exchange
+    // reuse collapses the sizes pair at runtime) — the posting SELF-join
+    // form would add a fourth corpus-sized scan to the pair build itself
+    assert("documents\\.parquet".r.findAllIn(p).size <= 3,
+      "pair expansion must group the posting list, not self-join it")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("pq-adc: codebook and query sides broadcast; no cartesian; " +
+    "BNLJ only for the 1-row codebook/query attachments") {
+    val p = plan(graft.operators.Similarity.pqAdcRecall(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "pq must never plan a cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      "every join side here is broadcast-bounded (codebook, queries, top-k)")
+    // the 1-row codebook and 3-row query relations attach via
+    // BroadcastNestedLoopJoin (no equi-key exists): one per training
+    // pass, the seed build, encode, and the query attachments — 7
+    // nodes in the current plan (formatted mode prints each node twice:
+    // tree + details), every one a bounded broadcast; anything beyond
+    // means a join lost its equi-key
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 14, s"$bnlj BNLJ prints — a corpus-sized join lost its equi-key")
+  }
+
   test("plan-shape regression guards: the top-8 bench queries keep their " +
     "exchange budget, zero sort-merge joins, zero cartesians") {
     // Ceilings are the measured formatted-plan counts (sf-independent —

@@ -236,27 +236,27 @@ class StreamingSpec extends SparkSpec {
     "cost tracks batch size, not sink size") {
     val sink = Files.createTempDirectory("graft_probe").toString + "/kept"
     // a sink shaped exactly like streamDocsPrep's writes: partitioned by
-    // the 2-hex-char fingerprint prefix
+    // the 1-hex-char fingerprint prefix
     spark.range(0, 512)
       .select(md5(col("id").cast("string")).as("fp"), col("id").as("n_tok"))
-      .select(col("fp"), substring(col("fp"), 1, 2).as("fp_pfx"), col("n_tok"))
+      .select(col("fp"), substring(col("fp"), 1, 1).as("fp_pfx"), col("n_tok"))
       .write.partitionBy("fp_pfx").parquet(sink)
     val probe = graft.operators.StreamingAnalytics
-      .sinkProbe(spark, sink, Seq("0a", "ff"))
+      .sinkProbe(spark, sink, Seq("0", "f"))
     val p = probe.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("fp_pfx"),
       s"prefix predicate must prune sink partitions, got:\n$p")
     // pruning must not lose rows: the probe returns exactly the sink rows
     // under the requested prefixes
     val want = spark.read.parquet(sink)
-      .where(substring(col("fp"), 1, 2).isin("0a", "ff")).count()
+      .where(substring(col("fp"), 1, 1).isin("0", "f")).count()
     assert(probe.count() == want && want > 0)
     // only the requested partitions' files are read
     val scanned = probe.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString
-    assert(!scanned.contains("fp_pfx=00") || want == 0)
+    assert(!scanned.contains("fp_pfx=1") || want == 0)
     // missing sink -> empty single-column relation (first-batch contract)
     assert(graft.operators.StreamingAnalytics
-      .sinkProbe(spark, sink + "_nope", Seq("0a")).count() == 0)
+      .sinkProbe(spark, sink + "_nope", Seq("0")).count() == 0)
   }
 }
