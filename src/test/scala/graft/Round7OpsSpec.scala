@@ -97,6 +97,19 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard: every jaccard>=0.8 pair appears in " +
+    "the containment>=0.8 result (C = i/min >= i/union = J always)") {
+    import graft.operators.DedupOps
+    val cPairs = DedupOps.containmentPairs(spark, sf0001)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jHigh = DedupOps.ngramJaccardPairs(spark, sf0001, threshold = 0.8)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(jHigh.forall(cPairs.contains),
+      "containment >= jaccard pointwise, so the high-jaccard set must embed")
+  }
+
   test("pq-adc: quality gate holds and the exact side agrees with brute force") {
     import graft.operators.Similarity
     val rows = Similarity.pqAdcRecall(spark, sf0001).collect()
