@@ -66,6 +66,19 @@ object Sink {
     }
   }
 
+  /** K1 generalized over the warehouse format: same append + empty-skip
+    * contract as [[writeParquet]] for any Spark batch format ("orc",
+    * "json", "csv", "parquet", "avro" where the jar is present). Parquet
+    * stays the default everywhere in this library (best pushdown +
+    * statistics); ORC is its peer for both (SourceFormatsSpec audits the
+    * ORC filter pushdown), JSON/CSV are interchange forms whose reads
+    * must supply an explicit schema — runtime inference at warehouse
+    * scale is both a full extra pass and a correctness hazard. */
+  def writeFormat(df: DataFrame, path: String, format: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("append").format(format).save(path); true }
+  }
+
   /** K1 (faithful form): batched JDBC append (ClickHouse or any JDBC URL).
     * Each executor partition writes its own batched connection — the
     * distributed generalization of the reference's single INSERT. */
