@@ -55,6 +55,9 @@ case class PqAssign(left: Expression, right: Expression)
     while (mi < m) {
       val cws = cb.getArray(mi)
       val k = cws.numElements()
+      if (k == 0) throw new IllegalStateException(
+        s"pq_assign: subspace $mi has an empty codebook — training must " +
+          "leave at least one codeword per subspace")
       var best = 0
       var bestD = Double.MaxValue
       var ki = 0
