@@ -31,11 +31,19 @@ object DedupOps {
 
   /** (doc_id, shingle) relation — distinct 5-word shingles per document
     * (one-pass [[graft.expressions.WordShingles]]; semantics proven equal
-    * to the Column composition in TextDedupSpec). */
+    * to the Column composition in TextDedupSpec). The shingle is carried
+    * as its xxhash64 (8-byte BIGINT): downstream consumers only ever use
+    * it for equality (posting groups, set sizes, intersection counts),
+    * so any injective mapping yields identical results while the posting
+    * shuffle moves ~4x fewer bytes than ~30-char shingle text — the
+    * relation that dominates data movement in every shingle-based dedup
+    * at 100 TB. The DuckDB oracles keep grouping raw shingle text and
+    * agree, which doubles as a standing collision check. */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(ExprColumns.shingles(spark, "text", 5)).as("shingle"))
+        explode(ExprColumns.shingles(spark, "text", 5)).as("sh_txt"))
+      .select(col("doc_id"), xxhash64(col("sh_txt")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs.
     *

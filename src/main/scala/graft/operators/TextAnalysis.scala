@@ -612,15 +612,23 @@ object TextAnalysis {
 
   /** Distinct k-gram set of `docs` (the broadcastable benchmark side). */
   private def distinctGramSet(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(array_distinct(grams(col("text"), k))).as("g"))
+    docs.select(explode(array_distinct(grams(col("text"), k))).as("g_txt"))
+      .select(xxhash64(col("g_txt")).as("g"))
       .distinct()
 
   /** doc_ids of `docs` sharing any k-gram with the (broadcast) benchmark
-    * gram set — shared by [[decontaminate]] and [[curationPipeline]]. */
+    * gram set — shared by [[decontaminate]] and [[curationPipeline]].
+    * Both sides carry grams as xxhash64 BIGINTs: the gram is only ever
+    * compared for equality, and a ~80-char 13-gram string costs ~10x
+    * the broadcast bytes and hash-probe work of an 8-byte key — at
+    * 100 TB the benchmark set's broadcast size is the binding
+    * constraint on this join. The DuckDB oracles join raw gram text and
+    * agree, a standing collision check. */
   private def contaminatedDocIds(docs: DataFrame, bench: DataFrame,
                                  k: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(grams(col("text"), k))).as("g"))
+        explode(array_distinct(grams(col("text"), k))).as("g_txt"))
+      .select(col("doc_id"), xxhash64(col("g_txt")).as("g"))
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
 
@@ -798,9 +806,14 @@ object TextAnalysis {
     * a long quote inside an otherwise-unique page — which is exactly
     * what the suffix-array method exists to catch.
     *
-    * Shape: positional 20-gram explode → md5 posting list → per-gram
-    * DISTINCT-doc count → flag windows whose gram spans >1 doc. All
-    * counts integer; the shared fraction divides two exact BIGINT sums
+    * Shape: positional 20-gram explode → xxhash64 posting list (8-byte
+    * BIGINT keys — the fingerprint never leaves the query, so any
+    * injective hash serves, and hashing to int instead of an md5 hex
+    * string cuts the posting shuffle ~4x; the DuckDB oracle keeps its
+    * own grouping and agrees because both engines only use fp for
+    * equality) → per-gram DISTINCT-doc count → flag windows whose gram
+    * spans >1 doc. All counts integer; the shared fraction divides two
+    * exact BIGINT sums
     * (guarded: a source whose docs are all shorter than 20 tokens has
     * zero window mass). At 100 TB the per-gram distinct count is the
     * standard posting aggregation every inverted index builds — fp
@@ -811,7 +824,7 @@ object TextAnalysis {
     val base = docs.select(col("doc_id"), col("source"))
     val win = docs.select(col("doc_id"),
         explode(grams(col("text"), k)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("fp"))
+      .select(col("doc_id"), xxhash64(col("g")).as("fp"))
     val spread = win.distinct().groupBy(col("fp"))
       .agg(count(lit(1)).as("nd")) // distinct docs per window text
     val perDoc = win.join(spread, Seq("fp"))
