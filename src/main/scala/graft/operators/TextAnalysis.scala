@@ -278,16 +278,21 @@ object TextAnalysis {
     * operator here uses. */
   def bigramLogprob(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // model keys (bigram, unigram) are equality-only: carry them as
+    // xxhash64 BIGINTs so both corpus hash-aggs and both probe joins
+    // work on 8-byte keys instead of strings (same trick as the dedup
+    // posting relations; counts — and therefore every logprob — are
+    // unchanged under an injective key mapping, and the DuckDB oracle
+    // still groups raw text)
     val bg = docs.select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
-      .select(col("doc_id"),
-        substring_index(col("g"), " ", 1).as("w1"),
-        substring_index(col("g"), " ", -1).as("w2"))
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gb"),
+        xxhash64(substring_index(col("g"), " ", 1)).as("hw1"))
+    val cb = bg.groupBy(col("gb")).agg(count(lit(1)).as("cb"))
     val tok = docs.select(explode(split(col("text"), " ")).as("word"))
-    val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("cu"))
+    val cu = tok.groupBy(xxhash64(col("word")).as("hw")).agg(count(lit(1)).as("cu"))
     val vocab = tok.agg(countDistinct(col("word")).as("v"))
-    bg.join(cb, Seq("w1", "w2"))
-      .join(cu, col("w1") === col("word"))
+    bg.join(cb, Seq("gb"))
+      .join(cu, col("hw1") === col("hw"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log((col("cb") + 1).cast("double") /
         (col("cu") + col("v")).cast("double")).cast("decimal(28,12)"))
