@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventAnalytics, Graph, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis, TpchReports}
+import graft.operators.{Curation, DedupOps, EventAnalytics, Graph, Multimodal, Quality, Relational, Similarity, StreamingAnalytics, Subqueries, Temporal, TextAnalysis, TpchReports}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,7 +195,13 @@ object SparkEntry {
     "mix_apply" -> ((s, d) => TextAnalysis.mixtureApply(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => DedupOps.semanticClusters(s, d)),
     "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupCensus(s, d)),
-    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d))
+    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
+    // ---- round 7 wave 2: curation selection/profiling passes
+    "docs_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
+    "dedup_prefix" -> ((s, d) => Curation.dedupPrefix(s, d)),
+    "docs_length_histogram" -> ((s, d) => Curation.lengthHistogram(s, d)),
+    "text_zipf" -> ((s, d) => Curation.zipfFit(s, d)),
+    "docs_quality_quantile" -> ((s, d) => Curation.qualityQuantile(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2374,7 +2380,82 @@ object SparkEntry {
                / CAST(cu.cu + v AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
              / COUNT(*), 6) AS mean_logprob
          FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.word, vocab
-         GROUP BY doc_id ORDER BY mean_logprob, doc_id LIMIT 20"""
+         GROUP BY doc_id ORDER BY mean_logprob, doc_id LIMIT 20""",
+    "docs_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, substr(md5(word), 1, 2) AS b
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)),
+         raw AS (SELECT b, COUNT(*) AS rb FROM tok GROUP BY 1),
+         tgt AS (SELECT b, COUNT(*) AS tb FROM tok WHERE lang = 'en' GROUP BY 1),
+         tots AS (SELECT (SELECT SUM(rb) FROM raw) AS r_total,
+                         (SELECT COALESCE(SUM(tb), 0) FROM tgt) AS t_total),
+         w AS (SELECT raw.b,
+             CAST(ln(CAST(COALESCE(tb, 0) + 1 AS DOUBLE)
+                     / CAST(t_total + 256 AS DOUBLE))
+                - ln(CAST(rb + 1 AS DOUBLE)
+                     / CAST(r_total + 256 AS DOUBLE))
+               AS DECIMAL(28,12)) AS wv
+           FROM raw LEFT JOIN tgt USING (b), tots),
+         per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+           FROM tok JOIN w USING (b) GROUP BY 1)
+         SELECT d.doc_id, d.lang, n_tok, dsir_score
+         FROM per JOIN documents d USING (doc_id)
+         ORDER BY dsir_score DESC, doc_id LIMIT 20""",
+    "dedup_prefix" ->
+      """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+         FROM (SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 16),
+               ' ')) AS fp
+           FROM documents) t
+         GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""",
+    "docs_length_histogram" ->
+      """WITH h AS (SELECT lang,
+             CAST(length(bin(n_chars)) - 1 AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY 1, 2)
+         SELECT lang, bucket, (CAST(1 AS BIGINT) << bucket) AS bucket_lo,
+           n_docs, total_chars,
+           ROUND(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+         FROM h ORDER BY lang, bucket""",
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         top AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1
+           ORDER BY freq DESC, word LIMIT 100),
+         r AS (SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk FROM top),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ln(CAST(rk AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ln(CAST(freq AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+           FROM r)
+         SELECT CAST(n AS BIGINT) AS n_words,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+         FROM s""",
+    "docs_quality_quantile" ->
+      """WITH base AS (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         med AS (SELECT source, quantile_cont(n_tok, 0.5) AS median_tok
+           FROM base GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(ANY_VALUE(median_tok), 1) AS median_tok,
+           CAST(SUM(CASE WHEN n_tok >= median_tok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_tok < median_tok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped
+         FROM base JOIN med USING (source)
+         GROUP BY source ORDER BY source"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators beyond the dedup/quality/mixing families —
+  * the selection and profiling passes a training-data pipeline runs
+  * between raw ingest and tokenization (importance weighting, boilerplate
+  * prefix census, length profiling, Zipf diagnostics, per-source quantile
+  * gates). Reference scope: the AppsFlyer ETL (main.py) has no curation
+  * stage at all; these extend the rebuild the same way the dedup ladder
+  * does (SURVEY.md "beyond the reference" mandate).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed-n-gram feature distribution
+    * is, where the target is the English sub-corpus and the raw
+    * distribution is everything. Features are unigrams hashed into 256
+    * buckets (first md5 hex byte — portable across engines); the
+    * per-bucket weight is the add-one-smoothed log likelihood ratio
+    * `ln((t_b+1)/(T+K)) - ln((r_b+1)/(R+K))`, and a document's score is
+    * the mean bucket weight over its tokens. The top-k most target-like
+    * review queue returns (doc_id, lang, n_tok, dsir_score) — English
+    * docs ranking high is the built-in sanity signal.
+    *
+    * Plan: ONE corpus explode feeds both distribution hash-aggs (raw and
+    * target), each collapsing to at most 256 rows; the weight table and
+    * the two scalar totals broadcast back into the same exploded
+    * relation, so the corpus is tokenized exactly once and never
+    * reshuffled (the probe agg groups on doc_id — co-partitioned with
+    * the explode's natural layout). At 100 TB the model is KB-sized
+    * state on the driver side of a broadcast, the classic DSIR
+    * asymmetry. Per-token weights are cast to DECIMAL(28,12) before the
+    * sum so accumulation order cannot wobble the mean (same convention
+    * as unigramLogprob).
+    */
+  def dsirWeights(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("word")), 1, 2).as("b"))
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("rb"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tb"))
+    val tots = raw.agg(sum(col("rb")).as("r_total"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tb")), lit(0L)).as("t_total")))
+    // <=256-row weight model: smoothed target/raw log likelihood ratio
+    val w = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((coalesce(col("tb"), lit(0L)) + 1).cast("double") /
+            (col("t_total") + 256).cast("double")) -
+          log((col("rb") + 1).cast("double") /
+            (col("r_total") + 256).cast("double")))
+          .cast("decimal(28,12)").as("wv"))
+    val per = tok.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("wv")).cast("double") / count(lit(1)), 6)
+          .as("dsir_score"))
+    per.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Boilerplate-prefix census: documents sharing an identical first-16-
+    * token prefix (the template/mirror signal — pages that differ only
+    * past their boilerplate head, which exact dedup misses and shingle
+    * Jaccard dilutes on long docs). Keep-first semantics like
+    * [[DedupOps.dedupExact]]: one row per colliding prefix with the
+    * minimum doc_id as keeper. One projection (the prefix fp is a
+    * map-side md5 of a bounded 16-token slice — cost independent of
+    * document length) and one hash-agg; at 100 TB this is strictly
+    * cheaper than any shingle pass. */
+  def dedupPrefix(spark: SparkSession, dir: String, nTok: Int = 16): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, nTok), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  /** Power-of-two length histogram per language — the length-filter
+    * design view (what do cutoffs at 2^b chars drop, per language?).
+    * Bucket = floor(log2(n_chars)) computed EXACTLY as the bit length of
+    * the integer (`length(bin(x)) - 1`) — never floating log2, whose
+    * rounding at exact powers of two is engine-specific. One hash-agg on
+    * a (lang x ~30 buckets)-bounded key; `share` is each bucket's doc
+    * fraction within its language (window over the tiny aggregate, not
+    * the corpus). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Window.partitionBy(col("lang"))
+    docs(spark, dir)
+      .groupBy(col("lang"),
+        (length(bin(col("n_chars"))) - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(perLang).cast("double"), 6))
+      .select(col("lang"), col("bucket"), col("bucket_lo"), col("n_docs"),
+        col("total_chars"), col("share"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope and
+    * intercept of ln(freq) against ln(rank) for the top-k words (natural
+    * text sits near slope -1; word-soup and boilerplate corpora flatten
+    * toward 0 — a one-row corpus-health diagnostic).
+    *
+    * Determinism: the five regression sums (n, Sx, Sy, Sxx, Sxy) are
+    * DECIMAL(38,18)-accumulated over per-rank doubles (each a pure
+    * function of exact integers), so accumulation order cannot move
+    * them; the closed-form slope/intercept arithmetic is then a fixed
+    * double expression evaluated identically by both engines. Plan: one
+    * corpus hash-agg to vocabulary scale, top-k, and a single-partition
+    * window over <=k rows for the rank. */
+  def zipfFit(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val top = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(k)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,18)")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("sxy"))
+    s.select(
+      col("n").cast("long").as("n_words"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("n"), 6).as("intercept"))
+  }
+
+  /** Per-source median-length gate — the quantile form of a length
+    * filter (an absolute cutoff is wrong across sources whose length
+    * distributions differ; the per-source median self-calibrates). For
+    * each source: exact interpolated median token count, and how many
+    * docs a keep-if-at-least-median gate retains vs drops. Two
+    * dimension-bounded hash-aggs (the exact `percentile` is a per-source
+    * sort at most — at 100 TB swap for approx_percentile and gate the
+    * comparison on the same output shape); the median table broadcasts
+    * back onto the doc-level relation. */
+  def qualityQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val med = base.groupBy(col("source"))
+      .agg(expr("percentile(n_tok, 0.5)").as("median_tok"))
+    base.join(broadcast(med), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(first(col("median_tok")), 1).as("median_tok"),
+        sum(when(col("n_tok") >= col("median_tok"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_tok") < col("median_tok"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+}
