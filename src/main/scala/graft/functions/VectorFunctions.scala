@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, PqAssign, SimHash64, SimHash64Long, WordShingles}
+import graft.expressions.{BigramHashPairs, ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, PqAssign, SimHash64, SimHash64Long, WordGramHashes, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -32,6 +32,15 @@ object ExprColumns {
       }
       WordShingles(exprs(0), k)
     }),
+    "graft_gram_hashes" -> (exprs => {
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes k must be an int literal, got $other")
+      }
+      WordGramHashes(exprs(0), k)
+    }),
+    "graft_bigram_pairs" -> (exprs => BigramHashPairs(exprs.head)),
     "graft_normalize_text" -> (exprs => {
       val mode = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
@@ -65,6 +74,20 @@ object ExprColumns {
   def shingles(spark: SparkSession, textExpr: String, k: Int): Column = {
     register(spark)
     expr(s"graft_shingles($textExpr, $k)")
+  }
+
+  /** Positional k-gram fingerprints as array<bigint>
+    * ([[graft.expressions.WordGramHashes]]). */
+  def gramHashes(spark: SparkSession, textExpr: String, k: Int): Column = {
+    register(spark)
+    expr(s"graft_gram_hashes($textExpr, $k)")
+  }
+
+  /** Positional bigram (fingerprint, leading-word-hash) struct array
+    * ([[graft.expressions.BigramHashPairs]]). */
+  def bigramPairs(spark: SparkSession, textExpr: String): Column = {
+    register(spark)
+    expr(s"graft_bigram_pairs($textExpr)")
   }
 
   /** 3 banded MinHash LSH bucket strings for an array<string> of shingles

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.ExprColumns
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -278,19 +280,23 @@ object TextAnalysis {
     * operator here uses. */
   def bigramLogprob(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    // model keys (bigram, unigram) are equality-only: carry them as
-    // xxhash64 BIGINTs so both corpus hash-aggs and both probe joins
-    // work on 8-byte keys instead of strings (same trick as the dedup
-    // posting relations; counts — and therefore every logprob — are
-    // unchanged under an injective key mapping, and the DuckDB oracle
-    // still groups raw text)
-    val bg = docs.select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gb"),
-        xxhash64(substring_index(col("g"), " ", 1)).as("hw1"))
+    // model keys (bigram, unigram) are equality-only: one-pass
+    // BigramHashPairs emits (bigram fingerprint, xxhash64(w1)) structs so
+    // both corpus hash-aggs and both probe joins work on 8-byte keys with
+    // no bigram string ever built (same trick as the dedup posting
+    // relations; counts — and therefore every logprob — are unchanged
+    // under an injective key mapping, and the DuckDB oracle still groups
+    // raw text; h1 is bit-identical to the plain xxhash64 the unigram
+    // model groups on)
+    val bg = docs.select(col("doc_id"),
+        explode(ExprColumns.bigramPairs(spark, "text")).as("p"))
+      .select(col("doc_id"), col("p.gb").as("gb"), col("p.h1").as("hw1"))
     val cb = bg.groupBy(col("gb")).agg(count(lit(1)).as("cb"))
     val tok = docs.select(explode(split(col("text"), " ")).as("word"))
     val cu = tok.groupBy(xxhash64(col("word")).as("hw")).agg(count(lit(1)).as("cu"))
-    val vocab = tok.agg(countDistinct(col("word")).as("v"))
+    // exact distinct-word count = the unigram model's row count — a
+    // vocabulary-scale agg over cu, not a second Expand pass over the corpus
+    val vocab = cu.agg(count(lit(1)).as("v"))
     bg.join(cb, Seq("gb"))
       .join(cu, col("hw1") === col("hw"))
       .crossJoin(broadcast(vocab))
@@ -561,21 +567,6 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  /** Positional k-gram array — every occurrence kept, unlike
-    * [[graft.functions.TextFunctions.shingles]] whose `array_distinct`
-    * would erase exactly the repetition this family measures. 1-based
-    * inclusive slices mirror the DuckDB comprehension
-    * `[array_to_string(w[i:i+k-1],' ') for i in range(1,len(w)-k+2)]`;
-    * docs shorter than k words yield an empty array (the `when` guard
-    * matters: Spark's `sequence(1, 0)` DESCENDS instead of being empty). */
-  private def grams(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - lit(k - 1)),
-        i => array_join(slice(w, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Repetition filter — the Gopher-style "repetitive document" signals
     * every pretraining-data pipeline applies before dedup: per document,
     * the fraction of tokens covered by its single most frequent bigram
@@ -599,17 +590,29 @@ object TextAnalysis {
     * 3.9-4.1s. Spark's HOF lambdas evaluate interpreted per element, so
     * the "no shuffle" plan loses to codegen by ~1.8x; keeping the
     * measured winner. */
+  /** Positional k-gram fingerprint column ([[graft.expressions
+    * .WordGramHashes]]) — every gram consumer below is equality-only
+    * (count maps, posting lists, semi-joins), so the one-pass hashed-long
+    * form replaces the gram STRINGS the composed `grams()` built (k-1
+    * appends + an alloc per window through interpreted HOFs); the DuckDB
+    * oracles keep grouping raw gram text and agree, a standing collision
+    * check on every round's gate. */
+  private def gramHashCol(docs: DataFrame, k: Int): Column = {
+    ExprColumns.register(docs.sparkSession)
+    expr(s"graft_gram_hashes(text, $k)")
+  }
+
   /** Per-doc count of the most frequent bigram — one (doc, gram)
     * hash-agg; shared by [[repetitionFilter]] and [[curationPipeline]]
     * so a threshold or gram-shape fix can never diverge between them. */
   private def maxBigramCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(grams(col("text"), 2)).as("g"))
+    docs.select(col("doc_id"), explode(gramHashCol(docs, 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
 
   /** Per-doc trigram occurrence total and duplicated-occurrence mass. */
   private def trigramDupStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(grams(col("text"), 3)).as("g"))
+    docs.select(col("doc_id"), explode(gramHashCol(docs, 3)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tri"),
@@ -617,14 +620,13 @@ object TextAnalysis {
 
   /** Distinct k-gram set of `docs` (the broadcastable benchmark side). */
   private def distinctGramSet(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(array_distinct(grams(col("text"), k))).as("g_txt"))
-      .select(xxhash64(col("g_txt")).as("g"))
+    docs.select(explode(array_distinct(gramHashCol(docs, k))).as("g"))
       .distinct()
 
   /** doc_ids of `docs` sharing any k-gram with the (broadcast) benchmark
     * gram set — shared by [[decontaminate]] and [[curationPipeline]].
-    * Both sides carry grams as xxhash64 BIGINTs: the gram is only ever
-    * compared for equality, and a ~80-char 13-gram string costs ~10x
+    * Both sides carry grams as hashed-long fingerprints: the gram is only
+    * ever compared for equality, and a ~80-char 13-gram string costs ~10x
     * the broadcast bytes and hash-probe work of an 8-byte key — at
     * 100 TB the benchmark set's broadcast size is the binding
     * constraint on this join. The DuckDB oracles join raw gram text and
@@ -632,8 +634,7 @@ object TextAnalysis {
   private def contaminatedDocIds(docs: DataFrame, bench: DataFrame,
                                  k: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(grams(col("text"), k))).as("g_txt"))
-      .select(col("doc_id"), xxhash64(col("g_txt")).as("g"))
+        explode(array_distinct(gramHashCol(docs, k))).as("g"))
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
 
@@ -811,34 +812,45 @@ object TextAnalysis {
     * a long quote inside an otherwise-unique page — which is exactly
     * what the suffix-array method exists to catch.
     *
-    * Shape: positional 20-gram explode → xxhash64 posting list (8-byte
-    * BIGINT keys — the fingerprint never leaves the query, so any
-    * injective hash serves, and hashing to int instead of an md5 hex
-    * string cuts the posting shuffle ~4x; the DuckDB oracle keeps its
-    * own grouping and agrees because both engines only use fp for
-    * equality) → per-gram DISTINCT-doc count → flag windows whose gram
-    * spans >1 doc. All counts integer; the shared fraction divides two
-    * exact BIGINT sums
-    * (guarded: a source whose docs are all shorter than 20 tokens has
-    * zero window mass). At 100 TB the per-gram distinct count is the
-    * standard posting aggregation every inverted index builds — fp
-    * postings shuffle once, everything after is document- then
-    * source-cardinality. */
+    * Shape: one-pass hashed 20-gram explode
+    * ([[graft.expressions.WordGramHashes]]: per-word xxhash64 + a rolling
+    * polynomial — the fingerprint never leaves the query, so any
+    * injective-w.h.p. hash serves, and 8-byte longs with NO window-string
+    * construction replace the per-window array_join alloc of the prior
+    * form; the DuckDB oracle keeps grouping raw gram text and agrees
+    * because both engines only use fp for equality). The corpus is
+    * exploded exactly ONCE: (fp, doc) occurrence counts collapse
+    * map-side, the per-gram doc-spread is a COUNT window over the fp
+    * partition of that deduped relation (an agg + self-join formulation
+    * re-derived the whole explode subtree on the build side — optimizer
+    * null-filters made the two subtrees non-canonical, so
+    * ReuseExchange could never fire), and the per-doc rollup shuffles
+    * only the windows that ARE shared (the `nd > 1` filter runs before
+    * the doc-side exchange; shared windows are the rare case, so that
+    * shuffle is tiny). A document's total window count is
+    * `n_tok - 19` by construction — computed from the token count, never
+    * aggregated. All counts integer; the shared fraction divides two
+    * exact BIGINT sums (guarded: a source whose docs are all shorter
+    * than 20 tokens has zero window mass). At 100 TB the per-gram
+    * doc-spread is the standard posting aggregation every inverted index
+    * builds. */
   def substringDupCensus(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val base = docs.select(col("doc_id"), col("source"))
+    val nTok = size(split(col("text"), " "))
+    val base = docs.select(col("doc_id"), col("source"),
+      when(nTok >= k, (nTok - (k - 1)).cast("long")).otherwise(0L).as("n_win"))
     val win = docs.select(col("doc_id"),
-        explode(grams(col("text"), k)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("fp"))
-    val spread = win.distinct().groupBy(col("fp"))
-      .agg(count(lit(1)).as("nd")) // distinct docs per window text
-    val perDoc = win.join(spread, Seq("fp"))
+      explode(ExprColumns.gramHashes(spark, "text", k)).as("fp"))
+    // (fp, doc) occurrence counts — duplicate windows inside one doc
+    // collapse map-side here, before anything shuffles
+    val wd = win.groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val sharedPerDoc = wd
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("nd") > 1)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_win"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
-    base.join(perDoc, Seq("doc_id"), "left_outer")
-      .select(col("source"),
-        coalesce(col("n_win"), lit(0L)).as("n_win"),
+      .agg(sum(col("c")).as("n_shared"))
+    base.join(sharedPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("source"), col("n_win"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
