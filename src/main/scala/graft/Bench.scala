@@ -72,9 +72,14 @@ object Bench {
     // stream_* queries run LAST: their state-store providers stay loaded
     // after completion and any residual maintenance IO must not land on a
     // later batch query's timing (observed 3-20x inflation in round 2)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (n.startsWith("stream_"), n)
-    }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the battery (dev tooling for
+    // isolating one query's timing from a 159-query run; the driver never
+    // sets it, so round artifacts are always the full battery)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (n.startsWith("stream_"), n) }
     // BENCH_STABILITY.md's protocol: a single run on a shared box can show
     // 3-20x wobble on individual queries, so one run must never be the
     // round's artifact. Run the full battery REPEATS times (default 2) and
@@ -111,7 +116,8 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full = jmap(results.toSeq.sortBy(_._1))
     val totalsJson = runTotals.mkString("[", ",", "]")
-    Files.writeString(Paths.get("BENCH_FULL.json"),
+    // a filtered dev run must never clobber the round's full-battery artifact
+    if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$repeats","run_totals":$totalsJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }

@@ -321,6 +321,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "window posting counts must combine map-side")
     assert(!plan(df).contains("CartesianProduct"))
+    // the r7 rewrite's core claim: the corpus' 20-gram windows are
+    // exploded exactly ONCE (doc-spread comes from a window function over
+    // the posting agg, per-doc window totals from token counts — an
+    // agg + self-join formulation re-derived the whole explode subtree)
+    // count in the string form: AQE's AdaptiveSparkPlanExec hides its
+    // final children from collect(), but toString prints the whole tree.
+    // After execution it prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — count in the final section only
+    val finalSection = p.split("== Initial Plan ==").head
+    val gens = "Generate explode".r.findAllIn(finalSection).size
+    assert(gens == 1,
+      s"expected exactly 1 Generate (explode), got $gens in:\n$finalSection")
   }
 
   test("source overlap: fingerprint posting self-join is an equi-join") {
