@@ -201,7 +201,10 @@ object SparkEntry {
     "dedup_prefix" -> ((s, d) => Curation.dedupPrefix(s, d)),
     "docs_length_histogram" -> ((s, d) => Curation.lengthHistogram(s, d)),
     "text_zipf" -> ((s, d) => Curation.zipfFit(s, d)),
-    "docs_quality_quantile" -> ((s, d) => Curation.qualityQuantile(s, d))
+    "docs_quality_quantile" -> ((s, d) => Curation.qualityQuantile(s, d)),
+    // ---- round 7 wave 3: bloom-prefiltered incremental dedup + quota sample
+    "dedup_bloom_prefilter" -> ((s, d) => DedupOps.bloomPrefilterDedup(s, d)),
+    "docs_quota_sample" -> ((s, d) => Curation.quotaSample(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2455,7 +2458,32 @@ object SparkEntry {
            CAST(SUM(CASE WHEN n_tok < median_tok THEN 1 ELSE 0 END)
              AS BIGINT) AS n_dropped
          FROM base JOIN med USING (source)
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    // dedup_bloom_prefilter: the Bloom stage is a pure prefilter whose
+    // candidates are exactly verified, so the final relation is the plain
+    // exact join below; prefilter_sound pins the Bloom no-false-negative
+    // invariant (Spark computes hits >= dups, the oracle the constant TRUE)
+    "dedup_bloom_prefilter" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 32) AS fp, source,
+             CAST(substr(source, 4, 8) AS INT) AS sn FROM documents),
+         c AS (SELECT DISTINCT fp FROM d WHERE sn < 10),
+         b AS (SELECT source, fp FROM d WHERE sn >= 10)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup,
+           CAST(COUNT(*) - SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           TRUE AS prefilter_sound
+         FROM b LEFT JOIN c ON b.fp = c.fp
+         GROUP BY source ORDER BY source""",
+    "docs_quota_sample" ->
+      """SELECT source, rk, doc_id, n_chars FROM (
+           SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY source, rk"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

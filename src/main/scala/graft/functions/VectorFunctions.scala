@@ -58,7 +58,24 @@ object ExprColumns {
             s"graft_chunk_words size/stride must be int literals, got $other")
         }
       ChunkWords(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
-    }))
+    }),
+    // Spark ships a distributed Bloom filter as internal Catalyst
+    // expressions (they power AQE's runtime row-level filtering) but does
+    // NOT register them in the public FunctionRegistry — these two names
+    // expose them for explicit prefilter plans like
+    // [[graft.operators.DedupOps.bloomPrefilterDedup]].
+    // graft_bloom_agg(xxhash64_key, est_items, num_bits): TypedImperative
+    // aggregate producing the filter's BINARY serialized form, partial-
+    // combinable map-side like any aggregate (per-partition filters OR
+    // together). graft_bloom_might(bf, xxhash64_key): membership probe;
+    // the bf argument must be a constant or scalar subquery, which is
+    // what makes the built filter BROADCAST to the probe side.
+    "graft_bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))),
+    "graft_bloom_might" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
 
   /** Idempotently register graft's expressions on this session. */
   def register(spark: SparkSession): Unit = {

@@ -171,4 +171,32 @@ object Curation {
         sum(when(col("n_tok") < col("median_tok"), 1L).otherwise(0L)).as("n_dropped"))
       .orderBy(col("source"))
   }
+
+  /** Fixed per-source quota sampling by hash priority ("bottom-k"): keep
+    * exactly `quota` docs per source, chosen by the smallest salted-md5
+    * priority — the budgeted complement of [[TextAnalysis
+    * .stratifiedSample]]'s keep-RATE gate. Bottom-k-by-hash IS a uniform
+    * sample without replacement, and because the priority is a pure
+    * function of the stable doc key it is reproducible on any cluster
+    * layout, stable under corpus growth for the docs already sampled
+    * toward the quota, and needs no global sort.
+    *
+    * Plan: `row_number() <= k` over (source, priority) is rewritten by
+    * Spark into a two-phase WindowGroupLimit — every input partition
+    * keeps only its own top-`quota` rows per source BEFORE the exchange
+    * (Partial mode), so the shuffle carries at most quota x partitions
+    * rows per source, not the corpus (the property PlanAuditSpec pins).
+    * At 100 TB the alternative formulations are strictly worse: a global
+    * orderBy sorts everything; a per-source percentile threshold needs a
+    * second pass. */
+  def quotaSample(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    val pri = md5(concat(lit("quota:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(pri, col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
 }

@@ -494,4 +494,77 @@ object DedupOps {
         count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Incremental dedup of a document batch against an already-indexed
+    * corpus, Bloom-prefiltered — the shape every growing training corpus
+    * needs: when the index holds billions of fingerprints and the daily
+    * increment is comparatively small, neither side should shuffle
+    * against the other just to discover that MOST increment docs are new.
+    * The halves here are derived from the source id (sources 0-9 = the
+    * indexed corpus, 10-19 = the incoming batch); the fingerprint is the
+    * document's leading 32 chars (same family as [[Curation.dedupPrefix]]).
+    *
+    * Plan, in three broadcast-sized moves:
+    *  1. the corpus collapses into ONE Bloom filter via Spark's internal
+    *     `BloomFilterAggregate` (exposed as `graft_bloom_agg` — the same
+    *     machinery AQE's runtime row-level filtering builds; a
+    *     TypedImperativeAggregate whose per-partition filters OR together
+    *     map-side, so 100 TB of corpus becomes one MB-scale binary in a
+    *     single pass with no shuffle of the data itself);
+    *  2. the batch probes that filter through a scalar subquery
+    *     (`graft_bloom_might` — the subquery result broadcasts, so the
+    *     probe is a map-side filter), leaving only candidate docs: true
+    *     dups plus the filter's few false positives;
+    *  3. candidates are verified EXACTLY — candidate fingerprints
+    *     (tiny) broadcast into one corpus pass to confirm membership, and
+    *     the confirmed set broadcasts back to mark the candidates — so
+    *     Bloom false positives can NEVER reach the output, which is why
+    *     the DuckDB oracle is a plain exact join. The batch is scanned
+    *     twice (candidate set + stats; both column-pruned map-side
+    *     passes over the SMALL side) in exchange for the corpus never
+    *     shuffling — the right asymmetry, same as the decontamination
+    *     broadcast. `prefilter_sound` asserts the no-false-negative Bloom
+    *     invariant (hits >= exact dups) per source; the oracle pins TRUE.
+    *
+    * Sizing: 100k items / 4M bits (~512 KB, fpp well under 1e-3 at our
+    * corpus sizes) — at a real 100 TB deployment the items estimate
+    * follows the index cardinality and numBits scales to the memory
+    * budget (Spark caps it at spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits, default 64M). */
+  def bloomPrefilterDedup(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+      .withColumn("fp", substring(col("text"), 1, 32))
+    val corpus = docs.filter(col("sn") < 10)
+    val batch = docs.filter(col("sn") >= 10)
+    // the built filter must reach the probe as a constant/scalar subquery
+    // (BloomFilterMightContain's contract) — a temp view keyed by the
+    // data dir keeps concurrent sessions on different SFs independent
+    val bfView = s"graft_bloom_idx_${(dir.hashCode & Int.MaxValue).toString}"
+    corpus
+      .select(expr("graft_bloom_agg(xxhash64(fp), 100000L, 4194304L)").as("bf"))
+      .createOrReplaceTempView(bfView)
+    val probed = batch.select(col("source"), col("fp"))
+    probed.createOrReplaceTempView(s"${bfView}_batch")
+    val cand = spark.sql(
+      s"""SELECT source, fp FROM ${bfView}_batch
+         WHERE graft_bloom_might((SELECT bf FROM $bfView), xxhash64(fp))""")
+    val verifiedFps = corpus.select(col("fp"))
+      .join(broadcast(cand.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    val candStats = cand
+      .join(broadcast(verifiedFps.withColumn("hit", lit(1))), Seq("fp"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bloom_hits"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_dup"))
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(candStats, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_docs") - coalesce(col("n_dup"), lit(0L))).as("n_new"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) >=
+          coalesce(col("n_dup"), lit(0L))).as("prefilter_sound"))
+      .orderBy(col("source"))
+  }
 }

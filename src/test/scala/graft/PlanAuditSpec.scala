@@ -335,6 +335,31 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 1 Generate (explode), got $gens in:\n$finalSection")
   }
 
+  test("bloom prefilter: probe is a scalar-subquery filter, verify joins broadcast") {
+    val df = graft.operators.DedupOps.bloomPrefilterDedup(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("might_contain"),
+      "the batch probe must evaluate the bloom filter, not join the corpus")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      "the built filter must reach the probe as a broadcast scalar subquery")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate verification must broadcast the tiny candidate/verified sets")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the prefilter path may shuffle-sort corpus-scale data")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quota sample: rank limit group-prunes map-side before the shuffle") {
+    val p = plan(graft.operators.Curation.quotaSample(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= k must plan as WindowGroupLimit, not a full window sort:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("Partial"),
+      "the group limit must run in Partial mode before the source exchange " +
+        "so each input partition ships at most k rows per source")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("source overlap: fingerprint posting self-join is an equi-join") {
     val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&
