@@ -204,7 +204,11 @@ object SparkEntry {
     "docs_quality_quantile" -> ((s, d) => Curation.qualityQuantile(s, d)),
     // ---- round 7 wave 3: bloom-prefiltered incremental dedup + quota sample
     "dedup_bloom_prefilter" -> ((s, d) => DedupOps.bloomPrefilterDedup(s, d)),
-    "docs_quota_sample" -> ((s, d) => Curation.quotaSample(s, d))
+    "docs_quota_sample" -> ((s, d) => Curation.quotaSample(s, d)),
+    // ---- round 7 wave 4: LPA communities, blocking-recall eval, robust stats
+    "graph_label_prop" -> ((s, d) => Graph.labelPropNations(s, d)),
+    "dedup_recall_eval" -> ((s, d) => DedupOps.dedupRecallEval(s, d)),
+    "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2483,7 +2487,97 @@ object SparkEntry {
                ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
                AS BIGINT) AS rk
            FROM documents) t
-         WHERE rk <= 10 ORDER BY source, rk"""
+         WHERE rk <= 10 ORDER BY source, rk""",
+    // graph_label_prop: two synchronous LPA rounds mirrored CTE-for-CTE;
+    // the argmax tie-break (max weight, then smallest label) is the
+    // ROW_NUMBER ordering, and label mass is an exact DECIMAL sum so the
+    // ordering can't be perturbed by float accumulation
+    "graph_label_prop" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         sym AS (SELECT node, nbr, SUM(w) AS w FROM (
+             SELECT src AS node, dst AS nbr, w FROM edges
+             UNION ALL SELECT dst, src, w FROM edges) t
+           GROUP BY 1, 2),
+         tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+         nbrs AS (SELECT node, nbr, w FROM sym, tot
+           WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
+             >= CAST(tw AS HUGEINT)),
+         l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+         a1 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l0 l ON n.nbr = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l1 l ON n.nbr = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
+         nodes AS (SELECT DISTINCT node FROM sym)
+         SELECT n.node, COALESCE(l2.lbl, n.node) AS community, n_name
+         FROM nodes n LEFT JOIN l2 ON n.node = l2.node
+         JOIN nation ON n.node = n_nationkey
+         ORDER BY n.node""",
+    // dedup_recall_eval: truth = the ngram-jaccard oracle's pair set,
+    // candidates = the minhash oracle's pre-verification cand CTE
+    "dedup_recall_eval" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         truth AS (SELECT d1, d2
+           FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+                 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                              JOIN sizes s2 ON x.d2 = s2.doc_id) v
+           WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         counts AS (SELECT
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.d1 = t.d1 AND c.d2 = t.d2)) AS n_caught)
+         SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CASE WHEN n_true > 0 THEN
+             ROUND(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+           END AS recall
+         FROM counts""",
+    "feature_robust_outliers" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+         med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+                 FROM ev GROUP BY 1),
+         stats AS (SELECT e.event_type, ANY_VALUE(m.med) AS med,
+             quantile_cont(abs(e.v - m.med), 0.5) AS mad
+           FROM ev e JOIN med m USING (event_type) GROUP BY 1)
+         SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(s.med), 4) AS median_v,
+           ROUND(ANY_VALUE(s.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN abs(e.v - s.med) > 3 * 1.4826 * s.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM ev e JOIN stats s USING (event_type)
+         GROUP BY 1 ORDER BY 1"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -495,6 +495,34 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Candidate-recall evaluation of the MinHash+LSH blocking stage — the
+    * dedup-pipeline analog of [[Similarity.recallEval]]: of the TRUE
+    * near-dup pairs (exact shingle Jaccard >= 0.5, computed by
+    * [[ngramJaccardPairs]]'s posting aggregation — ground truth is
+    * blocked, never all-pairs), what fraction did the 9-hash/3-band LSH
+    * candidate generation surface? The single-row report (true pairs,
+    * candidate pairs, caught, recall) is the number a curation team
+    * watches when tuning bands x rows: the S-curve P(candidate | j) =
+    * 1-(1-j^3)^3 crosses ~50% at j≈0.59, so threshold-0.5 recall
+    * materially below 1.0 is the banding trade-off showing, not a bug.
+    * All three counts are exact integers; recall divides two of them
+    * (zero-guarded). At 100 TB the same query runs on a SAMPLE of the
+    * truth side (the posting agg bounds the cost either way). */
+  def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
+    // the BLOCKING stage's raw candidates (pre-verification) — recall of
+    // the verified output would tautologically re-apply the truth filter
+    val cand = lshCandidatePairs(spark, dir).select(col("d1"), col("d2"))
+    val caught = truth.join(cand, Seq("d1", "d2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        when(col("n_true") > 0,
+          round(col("n_caught").cast("double") /
+            col("n_true").cast("double"), 6)).as("recall"))
+  }
+
   /** Incremental dedup of a document batch against an already-indexed
     * corpus, Bloom-prefiltered — the shape every growing training corpus
     * needs: when the index holds billions of fingerprints and the daily

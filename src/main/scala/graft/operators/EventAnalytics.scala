@@ -389,6 +389,38 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Robust (median/MAD) outlier census per event type — the companion
+    * [[featureZscore]] needs when the data is dirty: mean/std are
+    * themselves dragged by the outliers they're meant to flag, while the
+    * median and the median-absolute-deviation have a 50% breakdown
+    * point. Flags |v - median| > 3 * 1.4826 * MAD (1.4826 scales MAD to
+    * σ under normality — Hampel's rule). Three group-bounded passes
+    * (median, MAD of residuals, flag count), each a broadcast of the
+    * type-cardinality stats relation back onto the rows; the exact
+    * `percentile` is a per-group sort at most — at 100 TB swap in
+    * approx_percentile and keep the output shape (the
+    * [[Curation.qualityQuantile]] convention). Both engines evaluate
+    * the identical double predicate on identical inputs, so the counts
+    * hash-match. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val stats = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(v - med), 0.5)").as("mad"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("median_v"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(3 * 1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Event-type transition matrix (first-order Markov): for every user's
     * time-ordered event sequence, count `from -> to` adjacencies and
     * normalize per source type. One shuffle on user_id for the lead

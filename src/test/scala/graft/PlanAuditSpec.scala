@@ -197,6 +197,19 @@ class PlanAuditSpec extends SparkSpec {
       "no cache: a pinned fact-scale relation outlives the query (r5 class)")
   }
 
+  test("label propagation: one fact pass, broadcast-only iteration joins") {
+    val p = plan(graft.operators.Graph.labelPropNations(spark, sf0001))
+    // same discipline as pagerank: the fact-scale edge build lives inside
+    // the shared localCheckpoint, so the returned plan derives everything
+    // from the ≤625-row checkpointed relation
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      "LPA must reuse the checkpointed trade edges, not rebuild them")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("SortMergeJoin"),
+      "nation-bounded relations must broadcast in every round")
+    assert(!p.contains("InMemoryTableScan"), "no pinned caches")
+  }
+
   test("q19: each side's disjunction projection is pushed to its parquet scan") {
     val p = plan(graft.operators.TpchReports.q19DisjunctiveRevenue(spark, sf0001))
     // Catalyst extracts per-side OR-of-ANDs: quantity bounds reach the

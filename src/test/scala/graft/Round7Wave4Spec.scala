@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, EventAnalytics, Graph}
+
+/** Round 7 wave 4: LPA communities, dedup blocking-recall evaluation,
+  * robust (median/MAD) outlier census. Values are the oracle gate's job;
+  * these pin cross-operator consistency and the structural invariants.
+  */
+class Round7Wave4Spec extends SparkSpec {
+
+  test("label propagation: total node coverage, self-labeled communities exist") {
+    val got = Graph.labelPropNations(spark, sf0001).collect()
+    val nNations = Tables(spark, sf0001, "nation").count()
+    assert(got.length == nNations,
+      "every nation must land in exactly one community")
+    assert(got.map(_.getInt(0)).distinct.length == got.length)
+    // labels are node ids by construction
+    val nodes = got.map(_.getInt(0)).toSet
+    assert(got.forall(r => nodes.contains(r.getInt(1))))
+    // the strong-edge gate must leave real structure: more than one
+    // community, fewer than one-per-node (pure singletons would mean the
+    // gate dropped every edge)
+    val nComm = got.map(_.getInt(1)).distinct.length
+    assert(nComm > 1 && nComm < got.length,
+      s"expected non-trivial bloc structure, got $nComm communities")
+  }
+
+  test("label propagation is deterministic across runs") {
+    val a = Graph.labelPropNations(spark, sf0001).collect().map(_.toSeq)
+    val b = Graph.labelPropNations(spark, sf0001).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("recall eval agrees with the verified LSH pair set") {
+    val r = DedupOps.dedupRecallEval(spark, sf0001).collect()(0)
+    val (nTrue, nCand, nCaught) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nCaught <= nTrue && nCaught <= nCand)
+    // caught = truth ∩ candidates; the verified LSH output applies the
+    // SAME jaccard >= 0.5 filter to the SAME candidate set, so the two
+    // must be the same set of pairs
+    val verified = DedupOps.minhashLshPairs(spark, sf0001).count()
+    assert(nCaught == verified,
+      s"caught $nCaught != verified LSH pairs $verified")
+    if (nTrue > 0) {
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - nCaught.toDouble / nTrue) < 1e-9)
+    }
+  }
+
+  test("robust outliers: totals partition events; brute-force check of one group") {
+    val got = EventAnalytics.robustOutliers(spark, sf0001).collect()
+    val evTotal = Tables(spark, sf0001, "events").count()
+    assert(got.map(_.getLong(1)).sum == evTotal)
+    got.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "MAD is nonnegative")
+      assert(r.getLong(4) < r.getLong(1),
+        "a >50% outlier rate contradicts the MAD breakdown point")
+    }
+    // brute-force one group with the same interpolated percentile
+    val vs = Tables(spark, sf0001, "events")
+      .filter(col("event_type") === "click")
+      .select(col("value").cast("double")).collect().map(_.getDouble(0)).sorted
+    def pct50(xs: Array[Double]): Double = {
+      val pos = 0.5 * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) xs(lo) else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val med = pct50(vs)
+    val mad = pct50(vs.map(v => math.abs(v - med)).sorted)
+    val nOut = vs.count(v => math.abs(v - med) > 3 * 1.4826 * mad)
+    val row = got.find(_.getString(0) == "click").get
+    assert(math.abs(row.getDouble(2) - math.rint(med * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(row.getDouble(3) - math.rint(mad * 1e4) / 1e4) < 1e-9)
+    assert(row.getLong(4) == nOut.toLong)
+  }
+}
