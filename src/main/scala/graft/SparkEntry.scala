@@ -208,7 +208,8 @@ object SparkEntry {
     // ---- round 7 wave 4: LPA communities, blocking-recall eval, robust stats
     "graph_label_prop" -> ((s, d) => Graph.labelPropNations(s, d)),
     "dedup_recall_eval" -> ((s, d) => DedupOps.dedupRecallEval(s, d)),
-    "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d))
+    "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d)),
+    "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2577,7 +2578,43 @@ object SparkEntry {
            CAST(SUM(CASE WHEN abs(e.v - s.med) > 3 * 1.4826 * s.mad
              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM ev e JOIN stats s USING (event_type)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // dedup_incremental_minhash: the minhash oracle's machinery with the
+    // candidate join restricted to batch x corpus (source-id halves) and
+    // a per-batch-doc best-match argmax (jaccard DESC, corpus doc ASC)
+    "dedup_incremental_minhash" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         src AS (SELECT doc_id, CAST(substr(source, 4, 8) AS INT) AS sn
+                 FROM documents),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS bd, y.doc_id AS cd
+                  FROM bands x JOIN src sx ON x.doc_id = sx.doc_id
+                       JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                       JOIN src sy ON y.doc_id = sy.doc_id
+                  WHERE sx.sn >= 10 AND sy.sn < 10),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.bd, c.cd, COUNT(*) AS i
+                   FROM cand c JOIN sh a ON c.bd = a.doc_id
+                               JOIN sh b ON c.cd = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2),
+         j AS (SELECT x.bd, x.cd,
+                 CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) AS jac
+               FROM inter x JOIN sizes s1 ON x.bd = s1.doc_id
+                            JOIN sizes s2 ON x.cd = s2.doc_id
+               WHERE CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) >= 0.5)
+         SELECT bd AS doc_id, cd AS match_doc, ROUND(jac, 3) AS jaccard
+         FROM (SELECT bd, cd, jac, ROW_NUMBER() OVER (PARTITION BY bd
+                 ORDER BY jac DESC, cd) AS rn FROM j) t
+         WHERE rn = 1 ORDER BY doc_id"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

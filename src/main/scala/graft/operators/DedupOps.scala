@@ -523,6 +523,50 @@ object DedupOps {
             col("n_true").cast("double"), 6)).as("recall"))
   }
 
+  /** NEAR-dup complement of [[bloomPrefilterDedup]]'s exact incremental
+    * check: match each incoming batch document against the indexed
+    * corpus (same source-id halves) through shared MinHash LSH buckets,
+    * exact-verify the candidates' Jaccard, and report each batch doc's
+    * BEST corpus match (highest Jaccard, ties to the smallest corpus
+    * doc) at threshold 0.5. This is the lookup a growing corpus runs on
+    * every increment — "is this new page a near-copy of something we
+    * already hold?" — and at 100 TB the corpus side of the bucket join
+    * is the precomputed signature INDEX (3 narrow rows per doc, built
+    * once, reused every increment), so per-batch cost is driven by the
+    * increment size and bucket collision rate, never by corpus size.
+    * Candidate generation, verification, and the argmax are the same
+    * machinery as [[minhashLshPairs]] / [[dedupKeepBest]]. */
+  def minhashIncrementalDedup(spark: SparkSession, dir: String,
+                              threshold: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    def buckets(half: DataFrame, idCol: String, nCol: String) = half
+      .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .select(col("doc_id").as(idCol), size(col("sh_arr")).cast("long").as(nCol),
+        posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val corpusB = buckets(docs.filter(col("sn") < 10), "cd", "nc")
+    val batchB = buckets(docs.filter(col("sn") >= 10), "bd", "nb")
+    val cand = batchB.join(corpusB, Seq("band", "bucket"))
+      .select(col("bd"), col("cd"), col("nb"), col("nc")).distinct()
+    val sh = shingleRel(spark, dir)
+    cand
+      .join(sh.as("a"), col("bd") === col("a.doc_id"))
+      .join(sh.as("b"), col("cd") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("bd"), col("cd"), col("nb"), col("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("bd"))
+      .agg(max_by(struct(col("cd"), col("jaccard")),
+        struct(col("jaccard"), negate(col("cd")))).as("best"))
+      .select(col("bd").as("doc_id"), col("best.cd").as("match_doc"),
+        round(col("best.jaccard"), 3).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup of a document batch against an already-indexed
     * corpus, Bloom-prefiltered — the shape every growing training corpus
     * needs: when the index holds billions of fingerprints and the daily

@@ -49,6 +49,33 @@ class Round7Wave4Spec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: best matches are a per-doc argmax over the " +
+    "verified cross-half LSH pairs") {
+    val got = DedupOps.minhashIncrementalDedup(spark, sf0001).collect()
+    val sn = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        substring(col("source"), 4, 8).cast("int").as("sn")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // output directionality: doc_id is always a batch doc, match_doc corpus
+    got.foreach { r =>
+      assert(sn(r.getLong(0)) >= 10 && sn(r.getLong(1)) < 10)
+      assert(r.getDouble(2) >= 0.5)
+    }
+    assert(got.map(_.getLong(0)).distinct.length == got.length,
+      "one best match per batch doc")
+    // the full within-corpus LSH pair set restricted to cross-half pairs
+    // must contain every reported match, and the reported batch docs must
+    // be exactly the batch side of that restriction
+    val all = DedupOps.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = all.filter { case (a, b) => (sn(a) >= 10) != (sn(b) >= 10) }
+      .map { case (a, b) => if (sn(a) >= 10) (a, b) else (b, a) }
+    assert(got.nonEmpty, "fixture lost its cross-half near-dups")
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(cross.toSet))
+    assert(got.map(_.getLong(0)).toSet == cross.map(_._1).toSet)
+  }
+
   test("robust outliers: totals partition events; brute-force check of one group") {
     val got = EventAnalytics.robustOutliers(spark, sf0001).collect()
     val evTotal = Tables(spark, sf0001, "events").count()
