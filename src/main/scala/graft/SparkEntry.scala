@@ -209,7 +209,8 @@ object SparkEntry {
     "graph_label_prop" -> ((s, d) => Graph.labelPropNations(s, d)),
     "dedup_recall_eval" -> ((s, d) => DedupOps.dedupRecallEval(s, d)),
     "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d)),
-    "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d))
+    "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d)),
+    "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2614,7 +2615,14 @@ object SparkEntry {
          SELECT bd AS doc_id, cd AS match_doc, ROUND(jac, 3) AS jaccard
          FROM (SELECT bd, cd, jac, ROW_NUMBER() OVER (PARTITION BY bd
                  ORDER BY jac DESC, cd) AS rn FROM j) t
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+    // sketch_freq_topk: the exact top-10 token census is the truth side;
+    // within_bounds pins the Misra-Gries lb <= true <= ub contract,
+    // which holds under any merge order, so the oracle asserts TRUE
+    "sketch_freq_topk" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bounds
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY n DESC, token LIMIT 10"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

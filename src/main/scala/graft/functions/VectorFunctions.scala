@@ -75,7 +75,18 @@ object ExprColumns {
         exprs(0), exprs(1), exprs(2))),
     "graft_bloom_might" -> (exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1))))
+        exprs(0), exprs(1))),
+    // heavy-hitters sketch aggregate (DataSketches Misra-Gries) — map of
+    // frequent item -> (est, lb, ub); maxMapSize must be an int literal
+    // power of 2
+    "graft_freq_agg" -> (exprs => {
+      val m = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_freq_agg maxMapSize must be an int literal, got $other")
+      }
+      graft.expressions.FreqSketchAgg(exprs(0), m)
+    }))
 
   /** Idempotently register graft's expressions on this session. */
   def register(spark: SparkSession): Unit = {

@@ -93,6 +93,40 @@ object Quality {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Heavy-hitter corpus tokens via the Misra-Gries frequent-items
+    * sketch ([[graft.expressions.FreqSketchAgg]]), gated against exact
+    * counts — the second re-aggregatable sketch alongside
+    * [[sketchHll]]. The exact top-k needs a full token-keyed shuffle
+    * (fine at sf, the TRUTH side of the gate); the sketch pass ships a
+    * bounded 128-entry map per partition regardless of corpus size —
+    * the 100 TB vocabulary-head / boilerplate-token detector shape.
+    * `within_bounds` pins the sketch's deterministic contract
+    * lb <= true <= ub for every exact top-k item (merge ORDER may move
+    * estimates; the bounds hold under any order, so the oracle can
+    * assert TRUE); a top-k item missing from the NO_FALSE_NEGATIVES
+    * item set reads false and fails the gate. On this corpus the
+    * vocabulary fits the 128-entry map, so the sketch tracks exactly;
+    * the EVICTION path (flat high-cardinality stream, loose-but-valid
+    * bounds, and the converse no-heavy-hitter case where top items
+    * legitimately vanish) is exercised in FreqSketchSpec — a 5-gram
+    * variant of this query showed top count 3 vs error threshold ~1.5k,
+    * i.e. "no frequent items" is itself a meaningful sketch answer. */
+  def sketchFreqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val tok = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+    val sk = tok.agg(expr("graft_freq_agg(token, 128)").as("m"))
+    exact.crossJoin(sk) // 1-row sketch side
+      .select(col("token"), col("n"),
+        coalesce(
+          element_at(col("m"), col("token")).getField("lb") <= col("n") &&
+            element_at(col("m"), col("token")).getField("ub") >= col("n"),
+          lit(false)).as("within_bounds"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Declarative constraint battery (the "expectations" layer of a data
     * pipeline): primary-key uniqueness, referential integrity, domain
     * membership, and range checks, each reported as (check, n_violations,

@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpec {
       "no cache: a pinned fact-scale relation outlives the query (r5 class)")
   }
 
+  test("freq sketch: the heavy-hitter aggregate partial-combines map-side") {
+    val p = plan(graft.operators.Quality.sketchFreqTopk(spark, sf0001))
+    assert(p.contains("partial_graft_freq_agg"),
+      "per-partition sketches must build before any exchange — the whole " +
+        "point is shipping a bounded map instead of the token stream")
+    assert(p.contains("ObjectHashAggregate"),
+      "a TypedImperativeAggregate plans as ObjectHashAggregate")
+  }
+
   test("label propagation: one fact pass, broadcast-only iteration joins") {
     val p = plan(graft.operators.Graph.labelPropNations(spark, sf0001))
     // same discipline as pagerank: the fact-scale edge build lives inside
