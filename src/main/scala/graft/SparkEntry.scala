@@ -2467,8 +2467,10 @@ object SparkEntry {
          GROUP BY source ORDER BY source""",
     // dedup_bloom_prefilter: the Bloom stage is a pure prefilter whose
     // candidates are exactly verified, so the final relation is the plain
-    // exact join below; prefilter_sound pins the Bloom no-false-negative
-    // invariant (Spark computes hits >= dups, the oracle the constant TRUE)
+    // bloom-free exact join below — and that IS the no-false-negative
+    // gate: Spark counts n_dup through the Bloom candidates, this oracle
+    // counts it without any Bloom, so a filter that drops a true
+    // duplicate hash-mismatches
     "dedup_bloom_prefilter" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 32) AS fp, source,
              CAST(substr(source, 4, 8) AS INT) AS sn FROM documents),
@@ -2478,8 +2480,7 @@ object SparkEntry {
            CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_dup,
            CAST(COUNT(*) - SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_new,
-           TRUE AS prefilter_sound
+             AS BIGINT) AS n_new
          FROM b LEFT JOIN c ON b.fp = c.fp
          GROUP BY source ORDER BY source""",
     "docs_quota_sample" ->

@@ -54,9 +54,11 @@ case class FreqSketchAgg(
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs a string column, got ${child.dataType.catalogString}")
-    else if (maxMapSize < 2 || (maxMapSize & (maxMapSize - 1)) != 0)
+    else if (maxMapSize < 8 || (maxMapSize & (maxMapSize - 1)) != 0)
+      // >= 8, not 2: ItemsSketch silently clamps lgMaxMapSize to 3, so
+      // accepting smaller sizes would misstate the 3.5/maxMapSize bound
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName maxMapSize must be a power of 2 >= 2, got $maxMapSize")
+        s"$prettyName maxMapSize must be a power of 2 >= 8, got $maxMapSize")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): ItemsSketch[String] =

@@ -178,8 +178,12 @@ object Curation {
     * .stratifiedSample]]'s keep-RATE gate. Bottom-k-by-hash IS a uniform
     * sample without replacement, and because the priority is a pure
     * function of the stable doc key it is reproducible on any cluster
-    * layout, stable under corpus growth for the docs already sampled
-    * toward the quota, and needs no global sort.
+    * layout and needs no global sort. Under corpus GROWTH the sample
+    * never reshuffles — an existing doc's priority can't change, so
+    * the only churn is boundary displacement when a new arrival hashes
+    * below the current rank-k pick (inherent to any fixed-budget
+    * bottom-k; a doc kept against more competitors was necessarily kept
+    * against fewer, the invariant BloomQuotaSpec pins).
     *
     * Plan: `row_number() <= k` over (source, priority) is rewritten by
     * Spark into a two-phase WindowGroupLimit — every input partition
@@ -189,10 +193,15 @@ object Curation {
     * At 100 TB the alternative formulations are strictly worse: a global
     * orderBy sorts everything; a per-source percentile threshold needs a
     * second pass. */
-  def quotaSample(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+  def quotaSample(spark: SparkSession, dir: String, quota: Int = 10): DataFrame =
+    quotaSampleOf(docs(spark, dir), quota)
+
+  /** [[quotaSample]] over an arbitrary documents-shaped relation (the
+    * corpus-growth test samples a filtered corpus through this). */
+  def quotaSampleOf(documents: DataFrame, quota: Int): DataFrame = {
     val pri = md5(concat(lit("quota:"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("source")).orderBy(pri, col("doc_id"))
-    docs(spark, dir)
+    documents
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)

@@ -140,12 +140,21 @@ object DedupOps {
     * blow-up is inherent to LSH and stays confined to documents that
     * actually collide; the sorted in-task bucket array is
     * collision-group-sized (16 bytes per member), not corpus-sized. */
-  private def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** Per-document banded MinHash signature relation
+    * (doc_id, n = distinct-shingle count, band, bucket) — THE single
+    * definition of the LSH signature every candidate generator keys on
+    * (within-corpus pair expansion and the incremental batch→corpus
+    * lookup must never diverge on shingle size / band count / bucket
+    * hash). */
+  private def lshBucketRel(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),
         posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  private def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    lshBucketRel(spark, Tables(spark, dir, "documents"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -540,11 +549,9 @@ object DedupOps {
                               threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
-    def buckets(half: DataFrame, idCol: String, nCol: String) = half
-      .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
-      .select(col("doc_id").as(idCol), size(col("sh_arr")).cast("long").as(nCol),
-        posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    def buckets(half: DataFrame, idCol: String, nCol: String) =
+      lshBucketRel(spark, half)
+        .withColumnRenamed("doc_id", idCol).withColumnRenamed("n", nCol)
     val corpusB = buckets(docs.filter(col("sn") < 10), "cd", "nc")
     val batchB = buckets(docs.filter(col("sn") >= 10), "bd", "nb")
     val cand = batchB.join(corpusB, Seq("band", "bucket"))
@@ -595,8 +602,11 @@ object DedupOps {
     *     twice (candidate set + stats; both column-pruned map-side
     *     passes over the SMALL side) in exchange for the corpus never
     *     shuffling — the right asymmetry, same as the decontamination
-    *     broadcast. `prefilter_sound` asserts the no-false-negative Bloom
-    *     invariant (hits >= exact dups) per source; the oracle pins TRUE.
+    *     broadcast. The no-false-negative Bloom invariant is enforced by
+    *     the gate itself: `n_dup` here is counted THROUGH the Bloom
+    *     candidates, the oracle counts it with a bloom-free exact join,
+    *     so a filter that drops a true duplicate shows up as a hash
+    *     mismatch (and BloomQuotaSpec recomputes the same independently).
     *
     * Sizing: 100k items / 4M bits (~512 KB, fpp well under 1e-3 at our
     * corpus sizes) — at a real 100 TB deployment the items estimate
@@ -626,17 +636,14 @@ object DedupOps {
       .join(broadcast(cand.select(col("fp")).distinct()), Seq("fp"), "left_semi")
       .distinct()
     val candStats = cand
-      .join(broadcast(verifiedFps.withColumn("hit", lit(1))), Seq("fp"), "left_outer")
+      .join(broadcast(verifiedFps), Seq("fp"), "left_semi")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bloom_hits"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_dup"))
+      .agg(count(lit(1)).cast("long").as("n_dup"))
     batch.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .join(candStats, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (col("n_docs") - coalesce(col("n_dup"), lit(0L))).as("n_new"),
-        (coalesce(col("n_bloom_hits"), lit(0L)) >=
-          coalesce(col("n_dup"), lit(0L))).as("prefilter_sound"))
+        (col("n_docs") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
       .orderBy(col("source"))
   }
 }

@@ -120,9 +120,12 @@ object Quality {
     val sk = tok.agg(expr("graft_freq_agg(token, 128)").as("m"))
     exact.crossJoin(sk) // 1-row sketch side
       .select(col("token"), col("n"),
+        // try_element_at, NOT element_at: under ANSI (the project
+        // default) element_at THROWS on a missing map key, which would
+        // turn the documented absent-item-reads-false path into a crash
         coalesce(
-          element_at(col("m"), col("token")).getField("lb") <= col("n") &&
-            element_at(col("m"), col("token")).getField("ub") >= col("n"),
+          try_element_at(col("m"), col("token")).getField("lb") <= col("n") &&
+            try_element_at(col("m"), col("token")).getField("ub") >= col("n"),
           lit(false)).as("within_bounds"))
       .orderBy(col("n").desc, col("token"))
   }
