@@ -438,7 +438,13 @@ class PlanAuditSpec extends SparkSpec {
       ("dedup_semantic_clusters", 495, 0),
       ("text_bigram_logprob", 18, 2),
       ("graph_pagerank", 34, 0),
-      ("dedup_keep_best", 625, 0))
+      ("dedup_keep_best", 625, 0),
+      // label-prop's BNLJs are the 1-row mean-weight scalar broadcast,
+      // re-derived per unrolled round over the nation-bounded (≤625-row)
+      // checkpointed relation — bounded by the round count, not the data
+      ("graph_label_prop", 50, 6),
+      ("dedup_incremental_minhash", 16, 0),
+      ("dedup_bloom_prefilter", 24, 0))
     budgets.foreach { case (name, maxEx, maxBnlj) =>
       val p = plan(SparkEntry.queries(name)(spark, sf0001))
       val ex = "Exchange".r.findAllIn(p).size
