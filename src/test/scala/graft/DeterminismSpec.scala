@@ -21,7 +21,14 @@ class DeterminismSpec extends SparkSpec {
     "dedup_clusters_star",   // checkpointed fixpoint, convergence checksum
     "agg_stats",             // variance/stddev accumulation
     "sketch_hll",            // HLL merge order
-    "mix_apply")             // deterministic integer resampling
+    "mix_apply",             // deterministic integer resampling
+    "sketch_freq_topk",      // Misra-Gries eviction depends on merge order;
+                             //   the within-bound booleans must not
+    "graph_label_prop",      // decimal label mass + smallest-label argmax
+    "dedup_incremental_minhash", // bucket grouping + best-match argmax
+    "dedup_bloom_prefilter", // bloom partial merge order; exact verify
+    "docs_quota_sample",     // WindowGroupLimit partial pruning per layout
+    "feature_robust_outliers") // interpolated percentile + MAD threshold
 
   test("risky queries are bit-identical at shuffle.partitions=7 vs 32, " +
     "and with AQE disabled") {
