@@ -62,6 +62,26 @@ class BloomQuotaSpec extends SparkSpec {
     assert(fps < 100L, s"bloom false-positive rate implausibly high: $fps/10000")
   }
 
+  test("empty inputs: zero-item bloom rejects everything; empty freq sketch " +
+    "is an empty map") {
+    graft.functions.ExprColumns.register(spark)
+    spark.range(10).filter(col("id") < 0).createOrReplaceTempView("bloom_empty_in")
+    spark.sql(
+      """SELECT graft_bloom_agg(xxhash64(id), 1000L, 65536L) AS bf
+         FROM bloom_empty_in""").createOrReplaceTempView("bloom_empty_bf")
+    // an aggregate over zero rows still yields one row; a zero-item
+    // filter must probe false for every key (not throw, not all-true)
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM range(100) r
+         WHERE graft_bloom_might((SELECT bf FROM bloom_empty_bf),
+           xxhash64(r.id))""").collect()(0).getLong(0)
+    assert(hits == 0L, s"empty bloom claimed $hits members")
+    val m = spark.sql(
+      """SELECT graft_freq_agg(CAST(id AS STRING), 64) AS m
+         FROM bloom_empty_in""").collect()(0).getMap[String, Any](0)
+    assert(m.isEmpty, "empty stream must yield an empty frequent-item map")
+  }
+
   test("quota sample: exactly k per source, dense ranks, hash-minimal picks") {
     val k = 5
     val got = Curation.quotaSample(spark, sf0001, quota = k).collect()
