@@ -210,7 +210,8 @@ object SparkEntry {
     "dedup_recall_eval" -> ((s, d) => DedupOps.dedupRecallEval(s, d)),
     "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d)),
-    "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d))
+    "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d)),
+    "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2623,7 +2624,32 @@ object SparkEntry {
     "sketch_freq_topk" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bounds
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
-         GROUP BY token ORDER BY n DESC, token LIMIT 10"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 10""",
+    // docs_semantic_quality: anchor means mirror sim_label_centroids'
+    // decimal-sum-then-one-double-division convention; dot products and
+    // norms accumulate as DECIMAL(38,15) in both engines so no float sum
+    // depends on evaluation order; dim index bases differ (0 vs 1) but
+    // each engine joins its own dims to its own anchor consistently
+    "docs_semantic_quality" ->
+      """WITH dims AS (SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+           FROM embeddings),
+         anchor AS (SELECT d,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS c
+           FROM dims WHERE label = 0 GROUP BY d),
+         sc AS (SELECT vec_id,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) * c AS DECIMAL(38,15)))
+               AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+               AS DECIMAL(38,15))) AS DOUBLE) AS na2
+           FROM dims JOIN anchor USING (d) GROUP BY vec_id),
+         cn AS (SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,15))) AS DOUBLE)
+             AS nc2 FROM anchor)
+         SELECT vec_id AS doc_id, lang, source,
+           ROUND(dot / (sqrt(na2) * sqrt(nc2)), 4) AS score
+         FROM sc, cn JOIN documents ON vec_id = doc_id
+         ORDER BY dot / (sqrt(na2) * sqrt(nc2)) DESC, doc_id LIMIT 20"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

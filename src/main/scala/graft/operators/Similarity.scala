@@ -71,6 +71,52 @@ object Similarity {
       .withColumnRenamed("col", "val")
   }
 
+  /** Semantic quality gate (the FineWeb-Edu / classifier-filter shape,
+    * with a nearest-centroid scorer standing in for the model): anchor =
+    * the exact per-dim mean of the label-0 embeddings, every document is
+    * scored by cosine(embedding, anchor), and the top-k review queue
+    * (doc_id, lang, source, score) comes back — the query a curation
+    * team runs to calibrate a "keep the most reference-like fraction"
+    * gate before committing it to the pipeline.
+    *
+    * Determinism across engines: the anchor means follow
+    * [[labelCentroids]]'s convention (order-independent DECIMAL sums,
+    * ONE double division after), and both dot products and squared
+    * norms accumulate as DECIMAL(38,15) so no float sum depends on
+    * partition order; the final cosine divides identical doubles.
+    * Plan: the 64-row anchor broadcasts into the dims relation, one
+    * doc-keyed hash-agg scores everything, TakeOrderedAndProject keeps
+    * k — at 100 TB this is one map + one partial-combined agg over the
+    * corpus, the same cost as any per-doc feature. (A learned linear
+    * probe scores identically in shape: weights broadcast, map,
+    * aggregate.) */
+  def semanticQuality(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val dv = dims(emb(spark, dir), withLabel = true)
+    val anchor = dv.filter(col("label") === 0)
+      .groupBy(col("d"))
+      .agg((sum(col("val").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+    val scored = dv.join(broadcast(anchor), "d")
+      .groupBy(col("vec_id"))
+      .agg(
+        sum((col("val").cast("double") * col("c")).cast("decimal(38,15)"))
+          .cast("double").as("dot"),
+        sum((col("val").cast("double") * col("val").cast("double"))
+          .cast("decimal(38,15)")).cast("double").as("na2"))
+    val anchorNorm = anchor
+      .agg(sum((col("c") * col("c")).cast("decimal(38,15)"))
+        .cast("double").as("nc2"))
+    scored.crossJoin(anchorNorm) // 1-row scalar
+      .select(col("vec_id").as("doc_id"),
+        (col("dot") / (sqrt(col("na2")) * sqrt(col("nc2")))).as("score"))
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH: 32 signed projections
     * against deterministic md5-derived ±1 planes, banded 4x8; candidates
     * share an 8-bit band bucket and are exact-verified with f32 cosine;

@@ -76,6 +76,24 @@ class Round7Wave4Spec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSet == cross.map(_._1).toSet)
   }
 
+  test("semantic quality: scores are valid cosines and anchor-label docs " +
+    "score higher on average") {
+    val all = graft.operators.Similarity
+      .semanticQuality(spark, sf0001, k = 100000).collect()
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    assert(all.length == nDocs, "with k >= corpus the queue ranks every doc")
+    all.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val labels = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (anchor, rest) = all.partition(r => labels(r.getLong(0)) == 0)
+    assert(anchor.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(mean(anchor) > mean(rest),
+      "docs sharing the anchor label must look more anchor-like on average")
+  }
+
   test("robust outliers: totals partition events; brute-force check of one group") {
     val got = EventAnalytics.robustOutliers(spark, sf0001).collect()
     val evTotal = Tables(spark, sf0001, "events").count()
