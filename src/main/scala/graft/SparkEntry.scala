@@ -211,7 +211,8 @@ object SparkEntry {
     "feature_robust_outliers" -> ((s, d) => EventAnalytics.robustOutliers(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d)),
     "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d)),
-    "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d))
+    "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d)),
+    "text_substring_removal" -> ((s, d) => TextAnalysis.substringRemoval(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2649,7 +2650,50 @@ object SparkEntry {
          SELECT vec_id AS doc_id, lang, source,
            ROUND(dot / (sqrt(na2) * sqrt(nc2)), 4) AS score
          FROM sc, cn JOIN documents ON vec_id = doc_id
-         ORDER BY dot / (sqrt(na2) * sqrt(nc2)) DESC, doc_id LIMIT 20"""
+         ORDER BY dot / (sqrt(na2) * sqrt(nc2)) DESC, doc_id LIMIT 20""",
+    // text_substring_removal: same 20-gram relation as the census oracle
+    // but with POSITIONS (generate_subscripts - 1 matches posexplode's
+    // 0-base); interval union via gaps-and-islands, all integer
+    "text_substring_removal" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+         base AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok
+           FROM words),
+         lst AS (SELECT doc_id,
+             CASE WHEN len(w) >= 20
+                  THEN [array_to_string(w[i:i+19], ' ') for i in range(1, len(w)-18)]
+                  ELSE []::VARCHAR[] END AS gs
+           FROM words),
+         win AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+             unnest(gs) AS g FROM lst),
+         shared AS (SELECT g FROM
+             (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY g) t
+           WHERE nd > 1),
+         ss AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM win
+           WHERE g IN (SELECT g FROM shared)),
+         isl AS (SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > MAX(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+           FROM ss),
+         isl2 AS (SELECT doc_id, pos, SUM(new_island) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         iv AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 20) AS e
+           FROM isl2 GROUP BY 1, 2),
+         cov AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS covered
+           FROM iv GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS removed_tokens,
+           CAST(SUM(n_tok) - SUM(COALESCE(covered, 0)) AS BIGINT)
+             AS kept_tokens,
+           CASE WHEN SUM(n_tok) > 0 THEN
+             ROUND(CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
+               / CAST(SUM(n_tok) AS DOUBLE), 6) END AS removed_frac
+         FROM base LEFT JOIN cov USING (doc_id)
+         GROUP BY source ORDER BY source"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

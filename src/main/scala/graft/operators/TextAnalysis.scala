@@ -863,6 +863,68 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The REMOVAL half of exact-substring dedup ([[substringDupCensus]]
+    * is the census half): per source, how much token mass the
+    * deduplicate-text-datasets policy (Lee et al. 2022 — cut every
+    * verbatim >= k-token span that also appears in another document)
+    * would actually delete. A document's covered mass is the length of
+    * the UNION of its shared windows' [pos, pos+k) intervals —
+    * overlapping windows must not double-count, so the per-doc interval
+    * merge is the classic gaps-and-islands: an island starts where a
+    * window's start clears the running max end of everything before it
+    * (same pattern as [[graft.operators.Temporal]]'s SCD2 run
+    * collapse, here over positions instead of dates).
+    *
+    * Plan: ONE hashed-k-gram explode with positions (the same
+    * [[graft.expressions.WordGramHashes]] relation the census uses, via
+    * posexplode), one posting agg to find cross-document fingerprints,
+    * a semi-join to keep only shared window starts (rare — the same
+    * `nd > 1` asymmetry the census exploits, so the per-doc windowing
+    * that follows runs on the SMALL marked relation, never the corpus),
+    * and integer interval arithmetic throughout: window starts satisfy
+    * pos + k <= n_tok by construction, so covered sums need no
+    * clamping and every output is an exact BIGINT (the fraction divides
+    * two exact sums). At 100 TB: explode and posting agg are the
+    * inverted-index build; the islands pass shuffles only docs that
+    * contain at least one shared window. */
+  def substringRemoval(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val base = docs.select(col("doc_id"), col("source"), nTok.as("n_tok"))
+    val win = docs.select(col("doc_id"),
+      posexplode(ExprColumns.gramHashes(spark, "text", k)).as(Seq("pos", "fp")))
+    // fingerprints seen in more than one document (count over the
+    // (fp, doc) dedup, as in the census)
+    val sharedFp = win.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("fp"))
+    val starts = win.join(sharedFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = starts
+      .withColumn("prev_end", max(col("pos") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + k).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("covered"))
+    base.join(covered, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("removed_tokens"),
+        (sum(col("n_tok")) - sum(coalesce(col("covered"), lit(0L))))
+          .as("kept_tokens"),
+        when(sum(col("n_tok")) > 0,
+          round(sum(coalesce(col("covered"), lit(0L))).cast("double") /
+            sum(col("n_tok")).cast("double"), 6)).as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /

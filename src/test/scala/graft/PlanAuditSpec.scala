@@ -382,6 +382,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("substring removal: islands run on the semi-join-marked minority only") {
+    val p = plan(graft.operators.TextAnalysis.substringRemoval(spark, sf0001))
+    assert(p.contains("LeftSemi"),
+      "shared-window starts must be kept by a semi-join against the " +
+        "cross-doc fingerprint set, not a wide join")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "the interval-union window partitions by doc_id")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("source overlap: fingerprint posting self-join is an equi-join") {
     val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&

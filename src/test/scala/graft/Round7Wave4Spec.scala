@@ -76,6 +76,54 @@ class Round7Wave4Spec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSet == cross.map(_._1).toSet)
   }
 
+  test("substring removal: islands match a naive interval union; census sandwich") {
+    val k = 20
+    val got = graft.operators.TextAnalysis.substringRemoval(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got.values.foreach { case (_, total, removed, kept) =>
+      assert(removed + kept == total && removed >= 0)
+    }
+    // sandwich vs the census: every shared window occurrence covers at
+    // least 1 and at most k tokens of the union
+    val census = graft.operators.TextAnalysis.substringDupCensus(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap // shared_mass
+    got.foreach { case (src, (_, _, removed, _)) =>
+      val mass = census(src) // = #distinct shared start positions
+      // sorted starts strictly increase, so each extends the union by at
+      // least 1 token and at most k — mass <= union <= k * mass
+      assert(removed >= mass,
+        s"$src union $removed below the one-token-per-start floor $mass")
+      assert(removed <= k * mass,
+        s"$src union $removed exceeds k x occurrences ${k * mass}")
+    }
+    // independent recompute: collect the shared window starts and union
+    // the [pos, pos+k) intervals naively per doc
+    import graft.functions.ExprColumns
+    val win = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(ExprColumns.gramHashes(spark, "text", k)).as(Seq("pos", "fp")))
+    val shared = win.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+      .select(col("fp"))
+    val starts = win.join(shared, Seq("fp"), "left_semi")
+      .select(col("source"), col("doc_id"), col("pos")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val naive = starts.groupBy(t => (t._1, t._2)).toSeq.map { case ((src, _), rs) =>
+      val ps = rs.map(_._3).sorted
+      var covered = 0L; var end = -1
+      ps.foreach { p =>
+        covered += (if (p >= end) k else (p + k) - end); end = p + k
+      }
+      src -> covered
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    got.foreach { case (src, (_, _, removed, _)) =>
+      assert(naive.getOrElse(src, 0L) == removed,
+        s"$src: naive union ${naive.getOrElse(src, 0L)} != operator $removed")
+    }
+    assert(got.values.map(_._3).sum > 0, "fixture lost its shared windows")
+  }
+
   test("semantic quality: scores are valid cosines and anchor-label docs " +
     "score higher on average") {
     val all = graft.operators.Similarity
