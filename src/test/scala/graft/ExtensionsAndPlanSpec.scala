@@ -88,6 +88,24 @@ class ExtensionsAndPlanSpec extends SparkSpec {
         .head.getString(0)
       assert(viaExt == viaReg && viaExt.nonEmpty,
         "extension-injected and session-registered functions must agree")
+      // AGGREGATE functions resolve through a different analyzer path
+      // (UnresolvedFunction -> AggregateFunction.toAggregateExpression)
+      // than scalars — prove both imperative aggregates work via the
+      // extensions route too, not just createOrReplaceTempFunction
+      val freq = s2.sql(
+        """SELECT explode(graft_freq_agg(CAST(id % 3 AS STRING), 8))
+           AS (item, v) FROM range(30)""")
+        .selectExpr("item", "v.est").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(freq == Map("0" -> 10L, "1" -> 10L, "2" -> 10L),
+        s"freq sketch via extensions returned $freq")
+      s2.sql("SELECT graft_bloom_agg(xxhash64(id), 100L, 8192L) AS bf FROM range(50)")
+        .createOrReplaceTempView("ext_bloom_bf")
+      val misses = s2.sql(
+        """SELECT count(*) FROM range(50) r WHERE NOT
+           graft_bloom_might((SELECT bf FROM ext_bloom_bf), xxhash64(r.id))""")
+        .head.getLong(0)
+      assert(misses == 0L, "bloom agg via extensions lost members")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
