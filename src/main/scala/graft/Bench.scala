@@ -94,8 +94,19 @@ object Bench {
     // record the per-query MIN across runs — the min is the least-contended
     // observation and the number the stability doc's floors are built from.
     // Both per-run totals are emitted so contention is visible, not hidden.
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    // a typo'd/zero REPEATS must fail loudly (same contract as BENCH_ONLY):
+    // silently falling back to 2 would record an artifact under different
+    // conditions than the operator asked for
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS") match {
+      case None => 2
+      case Some(s) =>
+        val n = scala.util.Try(s.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_REPEATS must be a positive int, got '$s'"))
+        require(n >= 1,
+          s"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got $n")
+        n
+    }
     def runBattery(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -104,8 +115,28 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
     }.toMap
-    val runs = (1 to repeats).map(_ => runBattery())
-    val runTotals = runs.map(r => math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000)
+    // Idle-box gate (r7 verdict: both BENCH_r07 run totals landed 35-50%
+    // above the repo's documented clean floor — min-of-2 damped it but the
+    // artifact was still recorded under contention). The floor is PER-QUERY
+    // (clean r7: 126.55s / 168 queries ≈ 0.75 s/q, BENCH_STABILITY.md) so
+    // it survives battery growth; a run whose total exceeds
+    // n*floor*margin is contended. If EVERY initial run is contended, one
+    // extra battery runs to try for a quieter window; if the best total
+    // still exceeds the gate the artifact self-labels with
+    // "contended":true instead of masquerading as a clean number.
+    val floorPerQ = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY")
+      .map(_.trim.toDouble).getOrElse(0.75)
+    val contendedMargin = 1.30
+    def runTotal(r: Map[String, Double]): Double =
+      math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000
+    val initialRuns = (1 to repeats).map(_ => runBattery())
+    val gate = ordered.size * floorPerQ * contendedMargin
+    val runs =
+      if (only.isEmpty && initialRuns.forall(runTotal(_) > gate))
+        initialRuns :+ runBattery()
+      else initialRuns
+    val runTotals = runs.map(runTotal)
+    val contended = runTotals.min > gate
     // per-query min over SUCCESSFUL runs; -1.0 only if the query failed in
     // every run (a one-run flake must not masquerade as a timing)
     val results: Map[String, Double] = ordered.map { case (name, _) =>
@@ -125,11 +156,13 @@ object Bench {
     val full = jmap(results.toSeq.sortBy(_._1))
     val totalsJson = runTotals.mkString("[", ",", "]")
     // a filtered dev run must never clobber the round's full-battery artifact
+    val gateJson =
+      s""""contended":$contended,"floor_total":${math.rint(gate * 100) / 100}"""
     if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$repeats","run_totals":$totalsJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$repeats","run_totals":$totalsJson,"failed":$nFail,"n_queries":${results.size},"queries":${jmap(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,"failed":$nFail,"n_queries":${results.size},"queries":${jmap(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,8 @@ object AnsiSweep {
         val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
           .toSeq.last
         println(s"[ansi-fail] $name: ${root.getClass.getSimpleName}: " +
-          root.getMessage.linesIterator.take(2).mkString(" | ").take(200))
+          String.valueOf(root.getMessage) // null for NPEs and some Spark
+            .linesIterator.take(2).mkString(" | ").take(200))
       }
     }
     println(s"[ansi-sweep] ok=$nOk fail=$nFail")

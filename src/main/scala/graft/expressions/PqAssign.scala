@@ -49,24 +49,42 @@ case class PqAssign(left: Expression, right: Expression)
     val emb = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
     val m = cb.numElements()
+    // UnsafeArrayData.getFloat past the end is NOT bounds-checked, so a
+    // dim mismatch would read silently-garbage bytes instead of failing.
+    // Validate the shape up front: every codeword in a subspace must be
+    // codeword-0's width, and the widths must tile the embedding exactly.
+    var expected = 0
+    var vi = 0
+    while (vi < m) {
+      val cws = cb.getArray(vi)
+      if (cws.numElements() == 0) throw new IllegalStateException(
+        s"pq_assign: subspace $vi has an empty codebook — training must " +
+          "leave at least one codeword per subspace")
+      expected += cws.getArray(0).numElements()
+      vi += 1
+    }
+    if (emb.numElements() != expected) throw new IllegalArgumentException(
+      s"pq_assign: embedding has ${emb.numElements()} dims but the " +
+        s"codebook's $m subspaces cover $expected")
     val codes = new Array[Int](m)
     var mi = 0
     var off = 0 // running start of subspace mi within the embedding
     while (mi < m) {
       val cws = cb.getArray(mi)
       val k = cws.numElements()
-      if (k == 0) throw new IllegalStateException(
-        s"pq_assign: subspace $mi has an empty codebook — training must " +
-          "leave at least one codeword per subspace")
+      val width = cws.getArray(0).numElements()
       var best = 0
       var bestD = Double.MaxValue
       var ki = 0
       while (ki < k) {
         val cw = cws.getArray(ki)
-        val sub = cw.numElements()
+        if (cw.numElements() != width) throw new IllegalArgumentException(
+          s"pq_assign: subspace $mi codeword $ki has ${cw.numElements()} " +
+            s"dims, expected $width — ragged codebooks would misalign " +
+            "every later subspace")
         var d = 0.0
         var si = 0
-        while (si < sub) {
+        while (si < width) {
           val v = emb.getFloat(off + si).toDouble - cw.getFloat(si).toDouble
           d += v * v
           si += 1
@@ -75,7 +93,7 @@ case class PqAssign(left: Expression, right: Expression)
         ki += 1                                 // the smallest position
       }
       codes(mi) = best
-      off += cws.getArray(0).numElements()
+      off += width
       mi += 1
     }
     new GenericArrayData(codes)

@@ -621,17 +621,25 @@ object DedupOps {
     val corpus = docs.filter(col("sn") < 10)
     val batch = docs.filter(col("sn") >= 10)
     // the built filter must reach the probe as a constant/scalar subquery
-    // (BloomFilterMightContain's contract) — a temp view keyed by the
-    // data dir keeps concurrent sessions on different SFs independent
-    val bfView = s"graft_bloom_idx_${(dir.hashCode & Int.MaxValue).toString}"
+    // (BloomFilterMightContain's contract) — a temp view with a per-call
+    // unique suffix keeps concurrent builds (even on distinct dirs whose
+    // hash could collide) independent, and both views are dropped below
+    // once spark.sql's EAGER analysis has resolved them into the plan, so
+    // repeated invocations leave nothing behind in the catalog
+    val bfView = s"graft_bloom_idx_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     corpus
       .select(expr("graft_bloom_agg(xxhash64(fp), 100000L, 4194304L)").as("bf"))
       .createOrReplaceTempView(bfView)
     val probed = batch.select(col("source"), col("fp"))
     probed.createOrReplaceTempView(s"${bfView}_batch")
-    val cand = spark.sql(
-      s"""SELECT source, fp FROM ${bfView}_batch
-         WHERE graft_bloom_might((SELECT bf FROM $bfView), xxhash64(fp))""")
+    val cand =
+      try spark.sql(
+        s"""SELECT source, fp FROM ${bfView}_batch
+           WHERE graft_bloom_might((SELECT bf FROM $bfView), xxhash64(fp))""")
+      finally {
+        spark.catalog.dropTempView(bfView)
+        spark.catalog.dropTempView(s"${bfView}_batch")
+      }
     val verifiedFps = corpus.select(col("fp"))
       .join(broadcast(cand.select(col("fp")).distinct()), Seq("fp"), "left_semi")
       .distinct()

@@ -43,7 +43,14 @@ object Graph {
     * a derived relation re-executes the lineitem⋈orders⋈dims build
     * (exchange reuse does not span actions). Unlike a .cache() (the r5
     * pinned-cache finding class), what stays resident is ≤625 rows, not
-    * a fact-scale intermediate. */
+    * a fact-scale intermediate — but note the residency is
+    * SESSION-LIFETIME: checkpoint blocks stay pinned until the backing
+    * RDD is GC'd, so a long-lived shared session running graph queries
+    * in a loop accumulates ≤625-row blocks (tiny each, unbounded in
+    * count), and localCheckpoint lineage is unrecoverable on executor
+    * loss. A resident service would hold ONE checkpointed edge relation
+    * per dataset (or use reliable checkpointing) rather than re-deriving
+    * per query as this oracle-gated battery does. */
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("dst"))

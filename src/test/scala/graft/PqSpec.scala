@@ -49,4 +49,29 @@ class PqSpec extends SparkSpec {
              ARRAY<ARRAY<ARRAY<FLOAT>>>)) AS codes""")
     assert(df.collect().head.getSeq[Int](0) == Seq(0, 0))
   }
+
+  test("pq_assign rejects mismatched embedding dims and ragged codebooks") {
+    ExprColumns.register(spark)
+    // 3-dim embedding vs a codebook covering 2 dims: must throw, not read
+    // out-of-bounds unsafe bytes
+    val short = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_assign(
+             CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+             CAST(array(array(array(5.0)), array(array(1.0))) AS
+               ARRAY<ARRAY<ARRAY<FLOAT>>>)) AS codes""").collect()
+    }
+    assert(short.getMessage.contains("dims") ||
+      String.valueOf(short.getCause).contains("dims"))
+    // ragged codebook: codeword 1 of subspace 0 is wider than codeword 0
+    val ragged = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_assign(
+             CAST(array(1.0) AS ARRAY<FLOAT>),
+             CAST(array(array(array(5.0), array(5.0, 6.0))) AS
+               ARRAY<ARRAY<ARRAY<FLOAT>>>)) AS codes""").collect()
+    }
+    assert(ragged.getMessage.contains("ragged") ||
+      String.valueOf(ragged.getCause).contains("ragged"))
+  }
 }
