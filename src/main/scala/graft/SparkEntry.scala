@@ -212,7 +212,8 @@ object SparkEntry {
     "dedup_incremental_minhash" -> ((s, d) => DedupOps.minhashIncrementalDedup(s, d)),
     "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d)),
     "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d)),
-    "text_substring_removal" -> ((s, d) => TextAnalysis.substringRemoval(s, d))
+    "text_substring_removal" -> ((s, d) => TextAnalysis.substringRemoval(s, d)),
+    "text_paragraph_dedup" -> ((s, d) => TextAnalysis.paragraphDedup(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2157,6 +2158,31 @@ object SparkEntry {
            CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
          FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // text_paragraph_dedup: non-overlapping 15-word chunks from the same
+    // string_split relation; first-occurrence keep is a row_number over
+    // the raw paragraph TEXT (the Spark side ranks xxhash64 fingerprints
+    // — grouping text here doubles as the standing collision check)
+    "text_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, source, unnest(ws) AS w,
+             generate_subscripts(ws, 1) AS i FROM d),
+         para AS (SELECT doc_id, source, (i - 1) // 15 AS pidx,
+             string_agg(w, ' ' ORDER BY i) AS ptxt,
+             CAST(COUNT(*) AS BIGINT) AS ptok
+           FROM tok GROUP BY 1, 2, 3),
+         ranked AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY ptxt ORDER BY doc_id, pidx) AS rn FROM para)
+         SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_paras,
+           CAST(SUM(ptok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN ptok ELSE 0 END)
+               AS DOUBLE) / CAST(SUM(ptok) AS DOUBLE), 6) AS removed_frac
+         FROM ranked GROUP BY source ORDER BY source""",
     "text_decontaminate" ->
       """WITH s AS (SELECT doc_id, source,
              CASE WHEN (strpos('0123456789abcdef',

@@ -925,23 +925,88 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Paragraph-level exact dedup — the CCNet / Lee-et-al granularity
+    * between whole-document `dedup_exact` and the fixed-k sliding
+    * windows of [[substringRemoval]]: split each document into
+    * paragraphs, fingerprint each, keep only the globally FIRST
+    * occurrence of every distinct paragraph (ordered by
+    * `(doc_id, paragraph index)` — deterministic under any
+    * partitioning), and report per-source kept mass. On a real corpus
+    * the paragraph boundary is `\n`/`\n\n`; the synthetic corpus is a
+    * single-line token stream, so the boundary is the deterministic
+    * `p`-word chunking (`graft_chunk_words(text, p, p)` — stride =
+    * size means NON-overlapping segments, last one short), which the
+    * DuckDB oracle reproduces from `string_split` + `(i-1)//p`
+    * grouping over the raw paragraph TEXT (hash-free — a standing
+    * xxhash64 collision check, like the shingle oracles).
+    *
+    * Scale shape: paragraphs stream out of the `ChunkWords` generator
+    * (never an array column), and first-occurrence ranking is ONE
+    * shuffle — a `row_number` window partitioned by the paragraph
+    * fingerprint, so each posting group ranks locally; the per-source
+    * rollup that follows moves only the pre-aggregated source rows.
+    * A pathologically hot paragraph (boilerplate) concentrates one
+    * posting group on one task — the mitigation at 100 TB is the same
+    * stop-gram head-drop as every posting shuffle here, and the skew
+    * probe in Round8ScaleSpec measures the actual head mass. */
+  def paragraphDedup(spark: SparkSession, dir: String,
+                     p: Int = 15): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val paras = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"graft_chunk_words(text, $p, $p)"))
+      .withColumn("fp", xxhash64(col("chunk_text")))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_paras"),
+        sum(col("n_words")).as("total_tokens"),
+        sum(when(col("rn") === 1, col("n_words")).otherwise(0L))
+          .as("kept_tokens"),
+        round(lit(1.0) -
+          sum(when(col("rn") === 1, col("n_words")).otherwise(0L))
+            .cast("double") / sum(col("n_words")).cast("double"), 6)
+          .as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /
     * mirrored content that inflates a mixture weight if double-counted).
-    * Same posting-list shape as every blocked dedup here: the self-join
-    * is an equi-join on the fingerprint with `source_a < source_b`
-    * canonicalizing the pair — never a cross join, and at 100 TB the
-    * fingerprint posting lists are the only relation that moves. */
+    *
+    * Same grouped-posting shape as [[DedupOps.ngramJaccardPairs]] —
+    * ONE shuffle on the fingerprint builds the posting list, and the
+    * cross-source doc pairs are expanded IN-TASK from the sorted list
+    * (struct sort puts same-source entries adjacent; `i < j` plus the
+    * `source_a < source_b` guard reproduces exactly the rows the
+    * fp-equi self-join with `a.source < b.source` used to emit, at one
+    * exchange fewer: the self-join form shuffled the posting relation
+    * twice before the pair groupBy). Pair-space blow-up is bounded per
+    * posting group, the same m(m-1)/2 envelope as every blocked dedup
+    * here; at 100 TB the mitigation for a degenerate shared prefix
+    * (boilerplate headers) is dropping top-frequency fingerprints, not
+    * a different join. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         md5(substring(col("text"), 1, 64)).as("fp"))
-    s.as("a").join(s.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    s.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("source"), col("doc_id"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("fp"), explode(expr(
+        """filter(
+             flatten(transform(ds, (x, i) ->
+               transform(slice(ds, i + 2, size(ds)),
+                 y -> struct(x.source AS sa, y.source AS sb)))),
+             p -> p.sa < p.sb)""")).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("a.fp")).as("n_shared_fps"))
+        countDistinct(col("fp")).as("n_shared_fps"))
       .orderBy(col("source_a"), col("source_b"))
   }
 }

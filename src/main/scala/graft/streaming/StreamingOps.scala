@@ -34,7 +34,7 @@ object StreamingOps {
     val reader = spark.readStream.schema(schema).option("basePath", dir)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.normalizeTs(schema))
   }
 
   /** The `documents` table as a file-streaming source (same glob trick as

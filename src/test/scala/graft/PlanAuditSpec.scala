@@ -392,12 +392,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("source overlap: fingerprint posting self-join is an equi-join") {
+  test("source overlap: grouped-posting pair expansion, no self-join — " +
+    "documents scanned once, fp shuffled once") {
     val p = plan(graft.operators.TextAnalysis.sourceOverlap(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "the pair census must join on the fp hash key")
-    assert(p.contains("fp"), "join key must be the fingerprint")
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pairs must come from the in-task posting-list expansion, not a " +
+        "fingerprint self-join (r7 VERDICT: the join form paid an extra " +
+        "corpus-sized exchange)")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "one corpus scan feeds the posting aggregation")
+    assert("hashpartitioning\\(fp".r.findAllIn(p).size == 1,
+      "exactly one exchange carries the fingerprint posting build")
   }
 
   test("containment: same single-posting-shuffle shape as jaccard — " +
