@@ -183,6 +183,7 @@ object SparkEntry {
     // ---- round 6: the full Lloyd loop + the streaming prep pipeline
     "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
     "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
+    "stream_sig_index" -> ((s, d) => StreamingAnalytics.streamSignatureIndex(s, d)),
     "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "skew_profile" -> ((s, d) => Quality.skewProfile(s, d)),
@@ -2726,6 +2727,9 @@ object SparkEntry {
     // prep pipeline computes the batch pipeline's exact relation through a
     // twice-run foreachBatch job, so it shares that oracle too
     m + ("dedup_clusters_star" -> m("dedup_clusters")) +
-      ("stream_docs_prep" -> m("docs_prep_pipeline"))
+      ("stream_docs_prep" -> m("docs_prep_pipeline")) +
+      // the streaming index-maintenance loop emits, per its scaladoc, the
+      // one-increment batch relation — so it shares that exact oracle
+      ("stream_sig_index" -> m("dedup_incremental_minhash"))
   }
 }

@@ -40,7 +40,15 @@ object DedupOps {
     * at 100 TB. The DuckDB oracles keep grouping raw shingle text and
     * agree, which doubles as a standing collision check. */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    shingleRelOf(spark, Tables(spark, dir, "documents"))
+
+  /** [[shingleRel]] over an arbitrary (doc_id, text) relation — exposed
+    * package-private so the streaming index maintenance job computes its
+    * per-batch shingles with the SAME definition the batch dedups use
+    * (divergence here would silently change every downstream Jaccard). */
+  private[operators] def shingleRelOf(spark: SparkSession,
+                                      docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(ExprColumns.shingles(spark, "text", 5)).as("sh_txt"))
       .select(col("doc_id"), xxhash64(col("sh_txt")).as("shingle"))
@@ -146,7 +154,8 @@ object DedupOps {
     * (within-corpus pair expansion and the incremental batch→corpus
     * lookup must never diverge on shingle size / band count / bucket
     * hash). */
-  private def lshBucketRel(spark: SparkSession, docs: DataFrame): DataFrame =
+  private[operators] def lshBucketRel(spark: SparkSession,
+                                      docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),

@@ -259,4 +259,19 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.StreamingAnalytics
       .sinkProbe(spark, sink + "_nope", Seq("0")).count() == 0)
   }
+
+  test("signature-index maintenance: twice-run stream equals the batch " +
+    "increment query — replay appends nothing and re-matches nothing") {
+    // streamSignatureIndex internally runs the stream TWICE with fresh
+    // checkpoints; equality with the one-increment batch answer therefore
+    // proves both the match path and the replay skip (a second run that
+    // re-appended signatures would self-match every batch doc at
+    // jaccard 1.0 and double the emitted rows)
+    val streamed = graft.operators.StreamingAnalytics
+      .streamSignatureIndex(spark, sf0001).collect()
+    val batch = graft.operators.DedupOps
+      .minhashIncrementalDedup(spark, sf0001).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty, "the corpus plants cross-half near-dups")
+  }
 }
