@@ -1,5 +1,7 @@
 package graft.dev
 
+import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{SparkEntry, SparkSessions, Tables}
@@ -98,9 +100,12 @@ object ScaleTrend {
              reps: Int = repeats): Double = {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        // NonFatal only: a fatal JVM error (OOM, stack overflow) must
+        // propagate and kill the run, not be converted into a -1 "flag"
+        // that reads as a clean scale-bug detection on a dead JVM
         val ok = try {
           fn(spark, dir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
+        } catch { case NonFatal(_) => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       if (runs.exists(_ < 0)) -1.0
@@ -112,7 +117,7 @@ object ScaleTrend {
     // right — a heavy query mis-ranked 31st is caught next round when
     // it climbs)
     val chosen: Seq[(String, (SparkSession, String) => DataFrame)] =
-      if (sel.forall(_.isDigit)) {
+      if (sel.nonEmpty && sel.forall(_.isDigit)) {
         val n = sel.toInt
         // single-run ranking pass: only rough ORDER matters here, and it
         // doubles as session warmup before the measured runs below
@@ -125,6 +130,8 @@ object ScaleTrend {
           .distinct.map { case (name, fn, _) => (name, fn) }
       } else {
         val names = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(names.nonEmpty,
+          s"third argument must be a top-N count or a non-empty query list, got '$sel'")
         val unknown = names -- battery.map(_._1).toSet
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         battery.filter { case (n, _) => names.contains(n) }
@@ -143,6 +150,23 @@ object ScaleTrend {
     println(s"[scale-trend] checked=${trends.size} flagged=${flagged.size} " +
       s"(floor=${floorSec}s maxRatio=$maxRatio repeats=$repeats " +
       s"small=$smallDir large=$largeDir)")
+    // Per-round artifact (round-8 verdict ask 1): growth regressions should
+    // be diffable DATA across rounds, not prose in BENCH_STABILITY.md. Same
+    // contract as BENCH_FULL.json — the tool always writes the full result,
+    // the round checklist copies it to SCALE_r{N}.json. A ratio of -1 marks
+    // a query that failed on a side (also flagged); infinity can't appear
+    // in JSON so the failure encoding is explicit.
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_TREND.json")
+    val rows = trends.map { t =>
+      val ratio = if (t.ratio.isInfinity) -1.0 else t.ratio
+      s""""${t.name}":{"t_small":${t.tSmall},"t_large":${t.tLarge},"ratio":$ratio,"flagged":${t.flagged}}"""
+    }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map("\"" + _.name + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(out),
+      s"""{"metric":"scale_trend","checked":${trends.size},"flagged":$flaggedJson,""" +
+        s""""floor_sec":$floorSec,"max_ratio":$maxRatio,"repeats":$repeats,""" +
+        s""""small":"$smallDir","large":"$largeDir","queries":$rows}""")
+    println(s"[scale-trend] artifact written to $out")
     spark.stop()
     if (flagged.nonEmpty) sys.exit(1)
   }

@@ -14,6 +14,23 @@ import graft.streaming.StreamingOps
   */
 object StreamingAnalytics {
 
+  /** Recursive delete of a per-invocation temp root (index/sink parquet +
+    * checkpoint dirs). Every query here that materializes through a temp
+    * sink `localCheckpoint()`s its final result FIRST, so the returned
+    * DataFrame no longer depends on the files — without this, every
+    * battery sweep (Bench x2, Verify, AnsiSweep, ScaleTrend's ranking +
+    * measured runs) leaked one tree per streaming query per pass. */
+  private def deleteTree(root: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.util.control.NonFatal
+    try {
+      val p = Path.of(root)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    } catch { case NonFatal(_) => () } // best-effort: a leak beats a crash
+  }
+
   /** Streaming tumbling-window aggregation; same expression tree and same
     * oracle as the batch `tumbling_hourly`. */
   def streamTumblingHourly(spark: SparkSession, dir: String): DataFrame = {
@@ -224,10 +241,13 @@ object StreamingAnalytics {
       runOnce(s"$root/cp1")
       runOnce(s"$root/cp2") // re-process: every fingerprint already sunk
     } finally losers.unpersist()
-    spark.read.parquet(sinkPath)
+    // materialize the census off the temp sink, then reclaim the tree
+    val census = spark.read.parquet(sinkPath)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-      .orderBy(col("lang"))
+      .localCheckpoint()
+    deleteTree(root)
+    census.orderBy(col("lang"))
   }
 
   /** The full growing-corpus near-dup loop that
@@ -249,6 +269,23 @@ object StreamingAnalytics {
     * signatures at jaccard 1.0. The emitted relation therefore equals
     * the one-increment batch query exactly, and SHARES its DuckDB
     * oracle (`dedup_incremental_minhash`).
+    *
+    * Two mechanism caveats, made explicit (r8 advice):
+    *  - The shared oracle is only valid if the ENTIRE increment (sources
+    *    >= 10) arrives in micro-batch 0 — a multi-file documents layout
+    *    split across triggers would make later batches match against
+    *    earlier batches' appended signatures, a correct incremental
+    *    answer but a different relation than the one-increment batch
+    *    query. The foreachBatch GUARDS this: fresh rows in any batchId
+    *    > 0 fail fast with a message naming the assumption, instead of
+    *    surfacing as an opaque oracle hash mismatch.
+    *  - The matches append and the index append are two non-atomic
+    *    writes; a crash between them would replay the batch (its docs
+    *    are not yet indexed) and re-emit its match rows. Replay skip
+    *    engages only after the index append completes, so the sink is
+    *    at-least-once across crashes — the final read `.distinct()`s,
+    *    which restores exactly-once output for this harness (per-batch
+    *    emission is one deterministic best-match row per doc).
     *
     * Per-batch cost at 100 TB: signature build is map-side
     * ([[graft.expressions.MinHashBandBuckets]]), the bucket join moves
@@ -278,7 +315,7 @@ object StreamingAnalytics {
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val sigs = DedupOps.lshBucketRel(spark, batch).persist()
           try {
             val indexedIds = spark.read.parquet(idxPath)
@@ -287,7 +324,18 @@ object StreamingAnalytics {
             val fresh = sigs.join(indexedIds, Seq("doc_id"), "left_anti")
               .persist()
             try {
-              if (!fresh.isEmpty) {
+              val hasFresh = !fresh.isEmpty
+              // single-batch assumption guard (see scaladoc): the shared
+              // one-increment oracle breaks if the increment spans
+              // triggers — fail with the assumption named, not an opaque
+              // oracle mismatch downstream
+              if (hasFresh && batchId > 0)
+                throw new IllegalStateException(
+                  s"stream_sig_index: fresh rows in micro-batch $batchId — " +
+                    "the shared dedup_incremental_minhash oracle assumes the " +
+                    "whole increment arrives in batch 0; a multi-file " +
+                    "documents layout needs its own multi-increment oracle")
+              if (hasFresh) {
                 val idx = spark.read.parquet(idxPath)
                 val cand = fresh
                   .withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb")
@@ -324,8 +372,13 @@ object StreamingAnalytics {
     }
     runOnce(s"$root/cp1")
     runOnce(s"$root/cp2") // replay: every doc already indexed -> no-op
-    spark.read.parquet(outPath)
+    // distinct: collapses the at-least-once crash window (scaladoc) — a
+    // no-op on a clean run; then materialize and reclaim the temp tree
+    val matches = spark.read.parquet(outPath)
       .select(col("doc_id"), col("match_doc"), col("jaccard"))
-      .orderBy(col("doc_id"))
+      .distinct()
+      .localCheckpoint()
+    deleteTree(root)
+    matches.orderBy(col("doc_id"))
   }
 }
