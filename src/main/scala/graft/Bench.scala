@@ -127,16 +127,29 @@ object Bench {
     val floorPerQ = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY")
       .map(_.trim.toDouble).getOrElse(0.75)
     val contendedMargin = 1.30
+    // Gray-zone gate (r8 verdict nit 1): the contended gate passes any run
+    // under n*floor*1.30, so a round whose every run lands 15-30% above
+    // the BEST total this code family has ever recorded clean would still
+    // read as clean. Track that best as a PER-QUERY value (it must survive
+    // battery growth; r8 clean: 130.4 s / 170 q = 0.767 s/q,
+    // BENCH_STABILITY.md) and flag "gray_zone" when the committed min run
+    // exceeds best*1.15 — auto-repeating once first to try for a quieter
+    // window. Update the env default when a new clean floor is recorded.
+    val bestPerQ = sys.env.get("SPARK_GRAFT_BENCH_BEST_PER_QUERY")
+      .map(_.trim.toDouble).getOrElse(0.767)
+    val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =
       math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000
     val initialRuns = (1 to repeats).map(_ => runBattery())
     val gate = ordered.size * floorPerQ * contendedMargin
+    val grayGate = ordered.size * bestPerQ * grayMargin
     val runs =
-      if (only.isEmpty && initialRuns.forall(runTotal(_) > gate))
+      if (only.isEmpty && initialRuns.forall(runTotal(_) > math.min(gate, grayGate)))
         initialRuns :+ runBattery()
       else initialRuns
     val runTotals = runs.map(runTotal)
     val contended = runTotals.min > gate
+    val grayZone = runTotals.min > grayGate
     // per-query min over SUCCESSFUL runs; -1.0 only if the query failed in
     // every run (a one-run flake must not masquerade as a timing)
     val results: Map[String, Double] = ordered.map { case (name, _) =>
@@ -157,7 +170,8 @@ object Bench {
     val totalsJson = runTotals.mkString("[", ",", "]")
     // a filtered dev run must never clobber the round's full-battery artifact
     val gateJson =
-      s""""contended":$contended,"floor_total":${math.rint(gate * 100) / 100}"""
+      s""""contended":$contended,"floor_total":${math.rint(gate * 100) / 100},""" +
+        s""""gray_zone":$grayZone,"gray_total":${math.rint(grayGate * 100) / 100}"""
     if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(15)

@@ -214,7 +214,14 @@ object SparkEntry {
     "sketch_freq_topk" -> ((s, d) => Quality.sketchFreqTopk(s, d)),
     "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d)),
     "text_substring_removal" -> ((s, d) => TextAnalysis.substringRemoval(s, d)),
-    "text_paragraph_dedup" -> ((s, d) => TextAnalysis.paragraphDedup(s, d))
+    "text_paragraph_dedup" -> ((s, d) => TextAnalysis.paragraphDedup(s, d)),
+    // ---- round 9: BPE merge learning (the trainer loop) + the trained
+    // quality probe (one exact logistic gradient step)
+    "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeLearn(s, d)),
+    "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
+    "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
+    "stream_sig_index_multi" ->
+      ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2614,38 +2621,7 @@ object SparkEntry {
     // candidate join restricted to batch x corpus (source-id halves) and
     // a per-batch-doc best-match argmax (jaccard DESC, corpus doc ASC)
     "dedup_incremental_minhash" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  CASE WHEN len(w) >= 5
-                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
-                       ELSE []::VARCHAR[] END)) AS shingle
-                FROM words),
-         src AS (SELECT doc_id, CAST(substr(source, 4, 8) AS INT) AS sn
-                 FROM documents),
-         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
-         bands AS (SELECT doc_id, i // 3 AS band,
-                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
-                   FROM mh GROUP BY doc_id, i // 3),
-         cand AS (SELECT DISTINCT x.doc_id AS bd, y.doc_id AS cd
-                  FROM bands x JOIN src sx ON x.doc_id = sx.doc_id
-                       JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
-                       JOIN src sy ON y.doc_id = sy.doc_id
-                  WHERE sx.sn >= 10 AND sy.sn < 10),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT c.bd, c.cd, COUNT(*) AS i
-                   FROM cand c JOIN sh a ON c.bd = a.doc_id
-                               JOIN sh b ON c.cd = b.doc_id AND a.shingle = b.shingle
-                   GROUP BY 1, 2),
-         j AS (SELECT x.bd, x.cd,
-                 CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) AS jac
-               FROM inter x JOIN sizes s1 ON x.bd = s1.doc_id
-                            JOIN sizes s2 ON x.cd = s2.doc_id
-               WHERE CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) >= 0.5)
-         SELECT bd AS doc_id, cd AS match_doc, ROUND(jac, 3) AS jaccard
-         FROM (SELECT bd, cd, jac, ROW_NUMBER() OVER (PARTITION BY bd
-                 ORDER BY jac DESC, cd) AS rn FROM j) t
-         WHERE rn = 1 ORDER BY doc_id""",
+      incrementalMinhashOracleSql(Seq("sx.sn >= 10 AND sy.sn < 10")),
     // sketch_freq_topk: the exact top-10 token census is the truth side;
     // within_bounds pins the Misra-Gries lb <= true <= ub contract,
     // which holds under any merge order, so the oracle asserts TRUE
@@ -2730,6 +2706,174 @@ object SparkEntry {
       ("stream_docs_prep" -> m("docs_prep_pipeline")) +
       // the streaming index-maintenance loop emits, per its scaladoc, the
       // one-increment batch relation — so it shares that exact oracle
-      ("stream_sig_index" -> m("dedup_incremental_minhash"))
+      ("stream_sig_index" -> m("dedup_incremental_minhash")) +
+      // the BPE trainer's bounded loop unrolls to chained CTE blocks
+      ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
+      // one logistic gradient step at w=0: doubled gradient and margin
+      // are pure BIGINT sums (see Curation.qualityProbe), one final
+      // double division — the TF bucket expression is the same
+      // relational md5 rendering dedup_embedding_cosine uses
+      ("docs_quality_probe" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+           tf AS (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                 % 64 AS j,
+               CAST(COUNT(*) AS BIGINT) AS x
+             FROM tok GROUP BY 1, 2),
+           lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+             WHERE label IN (0, 1)),
+           g AS (SELECT j, CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+             FROM tf JOIN lab USING (doc_id) GROUP BY j),
+           s AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+             FROM tf LEFT JOIN g USING (j) GROUP BY 1)
+           SELECT d.doc_id, d.lang, d.source,
+             ROUND(CAST(m2000 AS DOUBLE) / 2000.0, 6) AS margin
+           FROM s JOIN documents d USING (doc_id)
+           ORDER BY margin DESC, doc_id LIMIT 20""") +
+      // watermark late-data policy (see StreamingAnalytics.streamLateData
+      // for the 3-file arrival schedule): deep-late rows (ts < Jan 2,
+      // arriving after the watermark passed) are ABSENT, within-watermark
+      // late rows (Jan 7 morning) are PRESENT, and windows past the final
+      // watermark (max event time - 1 hour) are withheld
+      ("stream_late_data" ->
+        """WITH e AS (SELECT ts FROM events
+             WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+           kept AS (SELECT ts FROM e
+             WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'),
+           wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+           win AS (SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM kept GROUP BY 1)
+           SELECT strftime(win.h, '%Y-%m-%d %H:%M:%S') AS hour_start, n
+           FROM win, wmf WHERE win.h + INTERVAL 1 HOUR <= wmf.w
+           ORDER BY hour_start""") +
+      // the growing-corpus loop, two real increments: increment 1 dedups
+      // against the corpus, increment 2 against corpus + increment 1's
+      // appended signatures — the same candidate/verify/argmax program
+      // per step with the index side widened
+      ("stream_sig_index_multi" -> incrementalMinhashOracleSql(Seq(
+        "sx.sn >= 10 AND sx.sn < 15 AND sy.sn < 10",
+        "sx.sn >= 15 AND sy.sn < 15")))
+  }
+
+  /** DuckDB replay of the incremental MinHash dedup, parameterized by
+    * increment: each `steps` entry is a predicate over `sx.sn` (the
+    * incoming batch's source number) and `sy.sn` (the index side as it
+    * stands when that increment arrives). One entry renders the classic
+    * single-increment query; several entries render the GROWING-corpus
+    * loop (`stream_sig_index_multi`): increment k dedups against corpus
+    * plus every earlier increment, exactly what the streaming job's
+    * per-batch index append produces. Shared relations (shingles, bands,
+    * sizes) are MATERIALIZED once; per-step blocks only differ in the
+    * candidate predicate. */
+  private[graft] def incrementalMinhashOracleSql(steps: Seq[String]): String = {
+    val base =
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         src AS MATERIALIZED (SELECT doc_id, CAST(substr(source, 4, 8) AS INT) AS sn
+                 FROM documents),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS MATERIALIZED (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+    val blocks = steps.zipWithIndex.map { case (pred, ix) =>
+      val k = ix + 1
+      s""",
+         cand_$k AS (SELECT DISTINCT x.doc_id AS bd, y.doc_id AS cd
+                  FROM bands x JOIN src sx ON x.doc_id = sx.doc_id
+                       JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                       JOIN src sy ON y.doc_id = sy.doc_id
+                  WHERE $pred),
+         inter_$k AS (SELECT c.bd, c.cd, COUNT(*) AS i
+                   FROM cand_$k c JOIN sh a ON c.bd = a.doc_id
+                               JOIN sh b ON c.cd = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2),
+         j_$k AS (SELECT x.bd, x.cd,
+                 CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) AS jac
+               FROM inter_$k x JOIN sizes s1 ON x.bd = s1.doc_id
+                            JOIN sizes s2 ON x.cd = s2.doc_id
+               WHERE CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) >= 0.5),
+         sel_$k AS (SELECT bd AS doc_id, cd AS match_doc, ROUND(jac, 3) AS jaccard
+           FROM (SELECT bd, cd, jac, ROW_NUMBER() OVER (PARTITION BY bd
+                   ORDER BY jac DESC, cd) AS rn FROM j_$k) t_$k
+           WHERE rn = 1)"""
+    }.mkString
+    val union = steps.indices.map(ix => s"SELECT * FROM sel_${ix + 1}")
+      .mkString("\n UNION ALL\n")
+    s"$base$blocks\n SELECT * FROM (\n$union\n ) u ORDER BY doc_id"
+  }
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeMergeLearn]]:
+    * SQL cannot loop, but the trainer's round count is bounded, so the
+    * iterative program unrolls into `rounds` chained CTE blocks — each
+    * block is the SAME relational round the Spark side runs (lead-window
+    * pair census -> 1-row winner with count-then-lexicographic tie-break
+    * -> gaps-and-islands greedy non-overlapping apply). Generated, not
+    * hand-written, so round count stays a single knob. */
+  private[graft] def bpeMergeOracleSql(rounds: Int): String = {
+    val base =
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         words AS MATERIALIZED (SELECT lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM toks WHERE regexp_matches(lower(tok), '^[a-z]+$')
+           GROUP BY 1),
+         sy0 AS (SELECT w, freq,
+             unnest(generate_series(1, CAST(len(w) AS INT))) AS pos
+           FROM words),
+         syms_0 AS MATERIALIZED (
+           SELECT w, freq, pos, substr(w, pos, 1) AS sym FROM sy0
+           UNION ALL
+           SELECT w, freq, len(w) + 1 AS pos, '</w>' AS sym FROM words)"""
+    val blocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         m_$r AS MATERIALIZED (
+           SELECT w, freq, pos, sym,
+                  LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                  LEAD(pos) OVER (PARTITION BY w ORDER BY pos) AS npos,
+                  ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn
+           FROM syms_$p),
+         best_$r AS MATERIALIZED (
+           SELECT a, b, a || b AS ab, cnt FROM (
+             SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM m_$r WHERE nxt IS NOT NULL GROUP BY 1, 2) pc_$r
+           ORDER BY cnt DESC, a, b LIMIT 1),
+         ap_$r AS MATERIALIZED (
+           SELECT w, pos, npos FROM (
+             SELECT w, pos, npos,
+                    ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS k
+             FROM (SELECT m.w, m.pos, m.npos,
+                          m.rn - ROW_NUMBER() OVER
+                            (PARTITION BY m.w ORDER BY m.pos) AS grp
+                   FROM m_$r m, best_$r b
+                   WHERE m.sym = b.a AND m.nxt = b.b) mt_$r) rk_$r
+           WHERE k % 2 = 1),
+         syms_$r AS MATERIALIZED (
+           SELECT s.w, s.freq, s.pos,
+                  CASE WHEN a1.pos IS NOT NULL THEN (SELECT ab FROM best_$r)
+                       ELSE s.sym END AS sym
+           FROM syms_$p s
+           LEFT JOIN ap_$r a1 ON s.w = a1.w AND s.pos = a1.pos
+           LEFT JOIN ap_$r a2 ON s.w = a2.w AND s.pos = a2.npos
+           WHERE a2.w IS NULL)"""
+    }.mkString
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS merge_round, b.a AS lhs, b.b AS rhs,
+          b.cnt AS pair_count,
+          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM syms_$r)
+            AS vocab_size,
+          (SELECT CAST(SUM(freq) AS BIGINT) FROM syms_$r) AS total_symbols
+          FROM best_$r b"""
+    }.mkString("\n UNION ALL\n")
+    s"$base$blocks\n SELECT * FROM (\n$rows\n ) mr ORDER BY merge_round"
   }
 }

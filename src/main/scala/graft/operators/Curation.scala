@@ -208,4 +208,60 @@ object Curation {
       .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Quality-classifier TRAINING step (the "train the filter" half of the
+    * FineWeb-Edu recipe that [[Similarity.semanticQuality]]'s fixed-anchor
+    * scorer stops short of): one logistic-regression gradient step over
+    * 64-bucket hashed-TF features ([[graft.expressions.HashedTf64]])
+    * against the label-0/label-1 split of the `embeddings` table, then
+    * every document scored by the learned linear probe and the top-k
+    * review queue emitted — exactly what a curation team reads before
+    * committing the trained gate to the pipeline.
+    *
+    * Exactness: at w=0 the logistic gradient is Σᵢ (yᵢ − ½)·xᵢ, so the
+    * DOUBLED gradient g2ⱼ = Σᵢ (2yᵢ−1)·xᵢⱼ is a pure BIGINT sum (labels
+    * are 0/1, features are token counts), and with learning rate 1/1000
+    * the scored margin w·x = (Σⱼ g2ⱼ·xⱼ)/2000 stays integer until ONE
+    * final double division — no float accumulation anywhere, so shuffle
+    * order cannot perturb a score and DuckDB reproduces every margin
+    * bit-for-bit (sigmoid is monotone, so ranking by margin IS ranking
+    * by predicted probability; the oracle never needs exp()).
+    *
+    * Scale shape: the gradient runs over the LABELED subset only (at
+    * 100 TB that's the curated seed sample, exactly how FineWeb-Edu
+    * trains on ~500k annotated pages); its 64-row result folds into one
+    * broadcast weight array, and scoring the full corpus is a map-side
+    * zip_with dot per document plus TakeOrderedAndProject — one corpus
+    * pass, no shuffle. Further gradient steps repeat the same two-agg
+    * round shape with w≠0 (the sigmoid then needs float math; this
+    * operator deliberately emits the exact first step a reviewer can
+    * audit). */
+  def qualityProbe(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("graft_hashed_tf64(split(text, ' '))").as("x"))
+    val labels = Tables(spark, dir, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id").as("doc_id"), col("label"))
+    // doubled gradient per bucket, BIGINT-exact; buckets no labeled doc
+    // touches default to 0 via the map fill below (w=0 there)
+    val g2 = tf.join(labels, "doc_id")
+      .select(col("label"), posexplode(col("x")).as(Seq("j", "xv")))
+      .groupBy(col("j"))
+      .agg(sum((col("label") * 2 - 1) * col("xv")).as("g2"))
+    // 1-row dense weight vector (collect_list order is irrelevant: the
+    // map lookup re-indexes by bucket)
+    val w2 = g2
+      .agg(expr("map_from_entries(collect_list(struct(j, g2)))").as("m"))
+      .select(expr(
+        "transform(sequence(0, 63), j -> coalesce(m[int(j)], 0L))").as("w2"))
+    tf.crossJoin(broadcast(w2)) // 1-row scalar
+      .withColumn("m2000", expr(
+        "aggregate(zip_with(x, w2, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("m2000").cast("double") / 2000.0, 6).as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .limit(k)
+  }
 }

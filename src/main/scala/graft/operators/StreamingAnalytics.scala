@@ -250,6 +250,92 @@ object StreamingAnalytics {
     census.orderBy(col("lang"))
   }
 
+  /** Watermark late-data POLICY, demonstrated end to end (r8 verdict ask
+    * 6): every other streaming row here proves "streaming equals batch";
+    * this one pins the case where they legitimately differ — rows that
+    * arrive AFTER the watermark has passed their window are dropped, rows
+    * that arrive late but within the watermark are kept and merged.
+    *
+    * Controlled arrival order via a staged source processed one file per
+    * trigger (mtime-ordered, asserted):
+    *   file 1 (on-time bulk):  2024-01-02 <= ts < 2024-01-07
+    *   file 2 (EMPTY spacer):  stateful operators filter late events
+    *     with the PREVIOUS batch's watermark and evict with the current
+    *     one (Spark's two-value watermark propagation; verified
+    *     empirically — without the spacer the deep-late batch is
+    *     filtered against the initial 1970 watermark and nothing drops).
+    *     The spacer batch advances the late-event watermark to file 1's
+    *     high-water mark before the late data arrives, which is exactly
+    *     the steady-state shape of a long-running job: the watermark a
+    *     row is judged against is always from a batch that already
+    *     committed.
+    *   file 3 (the late batch): ts < 2024-01-02  — DEEP late: the
+    *     late-event watermark now stands ~Jan 6 2*:xx, every Jan-1
+    *     window is long expired -> dropped (numRowsDroppedByWatermark);
+    *     PLUS 2024-01-07 00:00-12:00 — late but within watermark: their
+    *     windows are still open -> kept
+    *   file 4 (tail):          ts >= 2024-01-07 12:00 — advances the
+    *     watermark so file 3's kept windows finalize and emit
+    *
+    * Append mode emits a window only once the watermark passes its end,
+    * so the result is: hourly counts over (on-time ∪ kept-late ∪ tail)
+    * restricted to windows with end <= final watermark (max event time
+    * seen minus the 1-hour delay — Spark runs a closing no-data batch
+    * under AvailableNow to flush exactly these). The DuckDB oracle
+    * encodes the full policy declaratively: the Jan-1 rows are ABSENT
+    * (the drop), the Jan-7-morning rows are PRESENT (the keep), and the
+    * final partial hours are withheld — all three clauses would fail the
+    * hash gate if the engine's semantics drifted.
+    *
+    * At-least-once edge (SURVEY §2 Streaming note): the drop policy is
+    * exactly-once per window in append mode; what stays at-least-once is
+    * the SINK side on crash replay, which stream_sig_index/
+    * stream_docs_prep pin. Scale: state is one count per open window —
+    * the watermark bounds it to (delay / window width) + in-flight
+    * windows per key group, independent of corpus size. */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .select(col("ts"))
+    val cutLate = lit("2024-01-02 00:00:00").cast("timestamp")
+    val cutKept = lit("2024-01-07 00:00:00").cast("timestamp")
+    val cutTail = lit("2024-01-07 12:00:00").cast("timestamp")
+    val stages = Seq(
+      "a" -> ev.filter(col("ts") >= cutLate && col("ts") < cutKept),
+      "b_spacer" -> ev.filter(lit(false)), // advances the late-event wm
+      "c" -> ev.filter(col("ts") < cutLate ||
+        (col("ts") >= cutKept && col("ts") < cutTail)),
+      "d" -> ev.filter(col("ts") >= cutTail))
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
+    stages.zipWithIndex.foreach { case ((name, df), i) =>
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      // arrival order IS the experiment: FileStreamSource picks files in
+      // mtime order, so the mtimes must be strictly increasing
+      require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"cannot set mtime on $dest")
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("n"))
+    val out = StreamingOps.runAvailableNow(stream, mode = "append")
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("hour_start"))
+  }
+
   /** The full growing-corpus near-dup loop that
     * [[DedupOps.minhashIncrementalDedup]] models one increment of: a
     * foreachBatch job that (1) dedups each arriving batch against the
@@ -374,6 +460,109 @@ object StreamingAnalytics {
     runOnce(s"$root/cp2") // replay: every doc already indexed -> no-op
     // distinct: collapses the at-least-once crash window (scaladoc) — a
     // no-op on a clean run; then materialize and reclaim the temp tree
+    val matches = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("match_doc"), col("jaccard"))
+      .distinct()
+      .localCheckpoint()
+    deleteTree(root)
+    matches.orderBy(col("doc_id"))
+  }
+
+  /** The MULTI-increment form of [[streamSignatureIndex]] — the loop
+    * actually growing: the batch half arrives as TWO staged files
+    * (sources 10-14, then 15-19) processed one per trigger, so
+    * increment 2 dedups against corpus PLUS increment 1's appended
+    * signatures — the property the single-batch query can only assert
+    * about (its guard fails fast on a multi-batch layout; this query has
+    * the multi-increment ORACLE instead: the same candidate/verify/argmax
+    * program replayed per increment in DuckDB with the index side
+    * widened by each step, generated by
+    * [[graft.SparkEntry.incrementalMinhashOracleSql]]).
+    *
+    * The exact-verify side reads shingles of exactly the docs indexed so
+    * far (a semi-join of the documents table against the band-0 index
+    * ids — at 100 TB the deployment keeps that relation AS the index's
+    * sibling asset, appended in the same transaction). Everything else —
+    * signature build, bucket join, exact verify, per-doc argmax, band
+    * partitioning, append ordering — is [[streamSignatureIndex]]'s
+    * machinery verbatim; runs once (replay-skip idempotence is that
+    * query's proof and carries over unchanged). */
+  def streamSignatureIndexMulti(spark: SparkSession, dir: String,
+                                threshold: Double = 0.5): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sigmulti").toString
+    val idxPath = s"$root/index"
+    val outPath = s"$root/matches"
+    val inDir = s"$root/in"
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    DedupOps.lshBucketRel(spark, docs.filter(col("sn") < 10))
+      .write.mode("overwrite").partitionBy("band").parquet(idxPath)
+    // stage the two increments as separate mtime-ordered files
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
+    Seq("inc1" -> (col("sn") >= 10 && col("sn") < 15),
+        "inc2" -> (col("sn") >= 15)).zipWithIndex.foreach {
+      case ((name, pred), i) =>
+        val tmp = s"$root/stage_$name"
+        docs.filter(pred).drop("sn").coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"cannot set mtime on $dest")
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sigs = DedupOps.lshBucketRel(spark, batch).persist()
+        try {
+          val indexedIds = spark.read.parquet(idxPath)
+            .where(col("band") === 0).select(col("doc_id")).distinct()
+          val fresh = sigs.join(indexedIds, Seq("doc_id"), "left_anti")
+            .persist()
+          try {
+            if (!fresh.isEmpty) {
+              val idx = spark.read.parquet(idxPath)
+              val cand = fresh
+                .withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb")
+                .join(idx.withColumnRenamed("doc_id", "cd")
+                  .withColumnRenamed("n", "nc"), Seq("band", "bucket"))
+                .select(col("bd"), col("cd"), col("nb"), col("nc")).distinct()
+              // the verify side = shingles of everything indexed SO FAR
+              val idxSh = DedupOps.shingleRelOf(spark,
+                docs.select(col("doc_id"), col("text"))
+                  .join(indexedIds, Seq("doc_id"), "left_semi"))
+              val batchSh = DedupOps.shingleRelOf(spark,
+                batch.select(col("doc_id"), col("text")))
+              val verified = cand
+                .join(batchSh.as("a"), col("bd") === col("a.doc_id"))
+                .join(idxSh.as("b"), col("cd") === col("b.doc_id") &&
+                  col("a.shingle") === col("b.shingle"))
+                .groupBy(col("bd"), col("cd"), col("nb"), col("nc"))
+                .agg(count(lit(1)).as("inter"))
+                .withColumn("jaccard", col("inter").cast("double") /
+                  (col("nb") + col("nc") - col("inter")))
+                .filter(col("jaccard") >= threshold)
+                .groupBy(col("bd"))
+                .agg(max_by(struct(col("cd"), col("jaccard")),
+                  struct(col("jaccard"), negate(col("cd")))).as("best"))
+                .select(col("bd").as("doc_id"),
+                  col("best.cd").as("match_doc"),
+                  round(col("best.jaccard"), 3).as("jaccard"))
+              verified.write.mode("append").parquet(outPath)
+              fresh.write.mode("append").partitionBy("band").parquet(idxPath)
+            }
+          } finally fresh.unpersist()
+        } finally sigs.unpersist()
+      }
+      .start()
+    q.awaitTermination()
     val matches = spark.read.parquet(outPath)
       .select(col("doc_id"), col("match_doc"), col("jaccard"))
       .distinct()

@@ -1009,4 +1009,105 @@ object TextAnalysis {
         countDistinct(col("fp")).as("n_shared_fps"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** BPE merge LEARNING (Sennrich et al. 2016's trainer, relationally) —
+    * the step [[bpeTokenStats]] stops short of: `rounds` iterations of
+    * count-adjacent-pairs -> pick the most frequent (exact tie-break:
+    * count DESC, then lexicographic) -> apply the merge left-to-right
+    * non-overlapping, over the corpus's frequency-weighted vocabulary.
+    * Emits the canonical trainer artifact: the merge table, one row per
+    * round with the learned pair, its pre-apply frequency, and the
+    * post-apply census (distinct-symbol vocabulary size, total weighted
+    * symbol count — each applied merge removes one occurrence).
+    *
+    * Representation: one ROW per (word, position, symbol) with the
+    * word's corpus frequency carried alongside — words (not documents)
+    * are the unit, exactly how reference BPE trainers scale (the symbol
+    * relation is vocabulary-sized, orders of magnitude under corpus
+    * size; at 100 TB the word-frequency build is the only corpus pass).
+    * Per round: adjacent pairs come from ONE window pass (lead over
+    * (word, pos)), the winning pair broadcasts (1 row), and the apply is
+    * the same window pass plus a gaps-and-islands ranking that realizes
+    * greedy left-to-right NON-OVERLAPPING semantics declaratively — in a
+    * run of k consecutive matching positions ("aaaa" under merge (a,a))
+    * only the odd-indexed ones apply. Loop discipline matches the
+    * Lloyd/star iterations: bounded rounds, `localCheckpoint` per round
+    * so lineage stays flat, no driver-side data (the 1-row winner moves
+    * via broadcast crossJoin, never `collect`).
+    *
+    * The DuckDB oracle replays the identical relational program as
+    * `rounds` chained CTE blocks (generated by [[graft.SparkEntry
+    * .bpeMergeOracleSql]]) — both engines run the same windows, same
+    * tie-breaks, same integer arithmetic, so the merge tables must agree
+    * exactly. */
+  def bpeMergeLearn(spark: SparkSession, dir: String,
+                    rounds: Int = 6): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // initial symbols: characters + an explicit end-of-word marker (the
+    // trainer learns suffix merges like "e</w>" — dropping the marker
+    // changes which pairs win)
+    var syms = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("freq"), col("pos"),
+        expr("substring(w, pos, 1)").as("sym"))
+      .unionAll(words.select(col("w"), col("freq"),
+        (length(col("w")) + 1).as("pos"), lit("</w>").as("sym")))
+      .localCheckpoint()
+    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var mergeRows: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      val withNext = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(wnd))
+        .withColumn("npos", lead(col("pos"), 1).over(wnd))
+        .withColumn("rn", row_number().over(wnd))
+      // frequency-weighted adjacent-pair counts (overlap included — the
+      // census convention reference trainers use)
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .withColumn("ab", concat(col("a"), col("b")))
+        .localCheckpoint() // 1 row; forces this round's winner now
+      // positions where the winning pair matches, then greedy
+      // left-to-right: islands of consecutive matches (by rn) keep only
+      // their odd-indexed members
+      val matches = withNext
+        .join(broadcast(best.select(col("a"), col("b"))),
+          col("sym") === col("a") && col("nxt") === col("b"))
+        .select(col("w"), col("pos"), col("npos"), col("rn"))
+      val applied = matches
+        .withColumn("grp", col("rn") - row_number().over(wnd))
+        .withColumn("k",
+          row_number().over(Window.partitionBy(col("w"), col("grp"))
+            .orderBy(col("pos"))))
+        .filter(col("k") % 2 === 1)
+        .select(col("w"), col("pos"), col("npos"))
+      syms = syms
+        .join(applied.select(col("w"), col("pos"), lit(1).as("is_first")),
+          Seq("w", "pos"), "left")
+        .join(applied.select(col("w"), col("npos").as("pos"),
+          lit(1).as("is_second")), Seq("w", "pos"), "left")
+        .filter(col("is_second").isNull) // the absorbed right element
+        .crossJoin(broadcast(best.select(col("ab")))) // 1-row scalar
+        .select(col("w"), col("freq"), col("pos"),
+          when(col("is_first") === 1, col("ab")).otherwise(col("sym"))
+            .as("sym"))
+        .localCheckpoint()
+      val stats = syms.agg(
+        countDistinct(col("sym")).as("vocab_size"),
+        sum(col("freq")).as("total_symbols"))
+      val row = best
+        .select(lit(r).as("merge_round"), col("a").as("lhs"),
+          col("b").as("rhs"), col("cnt").as("pair_count"))
+        .crossJoin(stats)
+      mergeRows = Some(mergeRows.fold(row)(_.unionAll(row)))
+    }
+    mergeRows.get.orderBy(col("merge_round"))
+  }
 }

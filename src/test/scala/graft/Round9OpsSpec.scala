@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-9 operators: the BPE merge-learning loop, recomputed against an
+  * INDEPENDENT in-memory reference trainer (classic mutable-sequence BPE
+  * over the collected word-frequency table — a different algorithmic
+  * shape from the relational windows/gaps-islands program, so agreement
+  * pins the semantics, not the implementation). */
+class Round9OpsSpec extends SparkSpec {
+
+  /** Reference BPE: words as mutable symbol vectors, greedy left-to-right
+    * non-overlapping apply, overlap-counting pair census, (count DESC,
+    * lexicographic) tie-break — Sennrich et al.'s algorithm 1. */
+  private def referenceBpe(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long, Long, Long)] = {
+    var voc: Seq[(Vector[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      voc.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      voc = voc.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      val vocabSize = voc.iterator.flatMap(_._1).toSet.size.toLong
+      val totalSyms = voc.iterator.map { case (s, f) => s.length * f }.sum
+      (r, a, b, cnt, vocabSize, totalSyms)
+    }
+  }
+
+  test("text_bpe_merges equals an independent in-memory BPE trainer on " +
+    "the sf0.001 corpus") {
+    val words = Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = referenceBpe(words, rounds = 6)
+    val got = TextAnalysis.bpeMergeLearn(spark, sf0001, rounds = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("greedy non-overlapping apply: 'aaaa' under merge (a,a) yields " +
+    "two 'aa' symbols, 'aaa' yields aa+a") {
+    // pin the islands logic the relational apply implements, on the
+    // reference trainer the operator is gated against
+    val out = referenceBpe(Seq(("aaaa", 1L), ("aaa", 1L)), rounds = 1)
+    val (_, a, b, cnt, vocab, total) = out.head
+    assert((a, b) === ("a", "a"))
+    // overlap counting: aaaa has 3 adjacent (a,a) pairs, aaa has 2
+    assert(cnt === 5L)
+    // aaaa -> [aa, aa, </w>] (3 syms), aaa -> [aa, a, </w>] (3 syms)
+    assert(total === 6L)
+    assert(vocab === 3L) // aa, a, </w>
+  }
+
+  test("merge table is deterministic across repeated runs") {
+    val r1 = TextAnalysis.bpeMergeLearn(spark, sf0001, rounds = 3).collect().toSeq
+    val r2 = TextAnalysis.bpeMergeLearn(spark, sf0001, rounds = 3).collect().toSeq
+    assert(r1 === r2)
+  }
+
+  test("docs_quality_probe margins equal an independent relational " +
+    "recomputation and are integer-exact") {
+    import graft.operators.Curation
+    graft.functions.ExprColumns.register(spark)
+    // independent path: explode the TF vectors to (doc, bucket, count)
+    // rows and recompute the doubled gradient and margin as joins/aggs —
+    // no zip_with, no broadcast weight array
+    val tf = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("graft_hashed_tf64(split(text, ' '))"))
+          .as(Seq("j", "xv")))
+      .filter(col("xv") > 0)
+    val lab = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val g2 = tf.join(lab, "doc_id")
+      .groupBy(col("j"))
+      .agg(sum((col("label") * 2 - 1) * col("xv")).as("g2"))
+    val margins = tf.join(g2, Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("g2"), lit(0L)) * col("xv")).as("m2000"))
+      .select(col("doc_id"),
+        round(col("m2000").cast("double") / 2000.0, 6).as("margin"))
+    val expected = margins
+      .join(Tables(spark, sf0001, "documents")
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(col("margin").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("lang"), col("source"), col("margin"))
+      .collect().toSeq
+    val got = Curation.qualityProbe(spark, sf0001).collect().toSeq
+    assert(got === expected)
+    // determinism: a second run is bit-identical (everything up to the
+    // single final division is BIGINT arithmetic)
+    assert(Curation.qualityProbe(spark, sf0001).collect().toSeq === got)
+  }
+}

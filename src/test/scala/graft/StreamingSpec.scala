@@ -274,4 +274,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.nonEmpty, "the corpus plants cross-half near-dups")
   }
+
+  test("multi-increment signature index: increment 2 dedups against " +
+    "increment 1's appended signatures, not just the corpus") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val multi = graft.operators.StreamingAnalytics
+      .streamSignatureIndexMulti(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = graft.operators.DedupOps
+      .minhashIncrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sn = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        substring(col("source"), 4, 8).cast("int").as("sn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the growing index must surface at least one CROSS-INCREMENT match:
+    // a doc from increment 2 (sn >= 15) whose best match is an increment-1
+    // doc (10 <= sn < 15) — impossible in the single-increment query,
+    // where the index side is only ever the corpus (sn < 10)
+    val crossIncrement = multi.filter { case (bd, cd) =>
+      sn(bd) >= 15 && sn(cd) >= 10 && sn(cd) < 15 }
+    assert(crossIncrement.nonEmpty,
+      "corpus plants no cross-increment near-dups? multi degenerates to single")
+    assert(single.forall { case (_, cd) => sn(cd) < 10 })
+    // increment-1 docs see exactly the corpus index, so their rows agree
+    // with the single-increment query's
+    val multiInc1 = multi.filter { case (bd, _) => sn(bd) < 15 }
+    val singleInc1 = single.filter { case (bd, _) => sn(bd) < 15 }
+    assert(multiInc1.toSet == singleInc1.toSet)
+  }
+
+  test("watermark late-data policy: deep-late dropped, within-watermark " +
+    "late kept, expiry judged by the PREVIOUS batch's watermark") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[Timestamp](s)
+    val agg = in.toDF().toDF("ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("h"), col("n"))
+    val name = "late_sink"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch: on-time rows; high-water mark 10:30 -> watermark 09:30
+      in.addData(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // the two-value watermark: late events are filtered against the
+      // PREVIOUS batch's watermark, eviction uses the current one — the
+      // processAllAvailable above already ran the no-data batch that
+      // promoted 09:30 into the late-event filter (the staged file
+      // source in streamLateData needs an explicit empty spacer file
+      // for the same promotion)
+      // late batch: 00:30 is deep late (window end 01:00 <= wm 09:30 ->
+      // DROPPED); 09:45 is late but its window [09:00,10:00) ends past
+      // the watermark -> KEPT
+      in.addData(ts("2024-01-01 00:30:00"), ts("2024-01-01 09:45:00"))
+      q.processAllAvailable()
+      // push the watermark to 12:00 so the 09:00 and 10:00 windows
+      // finalize; 13:00's own window stays open and must NOT emit
+      in.addData(ts("2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(String, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(("09:00", 1L), ("10:00", 2L)))
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, "exactly the deep-late row is dropped")
+    } finally q.stop()
+  }
 }
