@@ -218,6 +218,7 @@ object SparkEntry {
     // ---- round 9: BPE merge learning (the trainer loop) + the trained
     // quality probe (one exact logistic gradient step)
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeLearn(s, d)),
+    "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
     "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
     "stream_sig_index_multi" ->
@@ -2709,6 +2710,7 @@ object SparkEntry {
       ("stream_sig_index" -> m("dedup_incremental_minhash")) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
+      ("text_bpe_encode" -> bpeEncodeOracleSql(6)) +
       // one logistic gradient step at w=0: doubled gradient and margin
       // are pure BIGINT sums (see Curation.qualityProbe), one final
       // double division — the TF bucket expression is the same
@@ -2875,5 +2877,26 @@ object SparkEntry {
           FROM best_$r b"""
     }.mkString("\n UNION ALL\n")
     s"$base$blocks\n SELECT * FROM (\n$rows\n ) mr ORDER BY merge_round"
+  }
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeEncode]]: the
+    * same unrolled trainer CTEs, then the final vocabulary's per-word
+    * subword counts joined back onto one corpus token pass. */
+  private[graft] def bpeEncodeOracleSql(rounds: Int): String = {
+    val trained = bpeMergeOracleSql(rounds)
+    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
+    s"""$ctes,
+       wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+         FROM syms_$rounds GROUP BY w),
+       dw AS (SELECT lang, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS occ
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents) dt
+         WHERE regexp_matches(lower(tok), '^[a-z]+$$') GROUP BY 1, 2)
+       SELECT lang, CAST(SUM(occ) AS BIGINT) AS total_words,
+         CAST(SUM(occ * (len(w) + 1)) AS BIGINT) AS total_chars,
+         CAST(SUM(occ * n_sub) AS BIGINT) AS total_bpe_tokens,
+         ROUND(CAST(SUM(occ * (len(w) + 1)) AS DOUBLE)
+           / SUM(occ * n_sub), 6) AS chars_per_token
+       FROM dw JOIN wt USING (w) GROUP BY lang ORDER BY lang"""
   }
 }

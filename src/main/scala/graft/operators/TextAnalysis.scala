@@ -1041,7 +1041,52 @@ object TextAnalysis {
     * tie-breaks, same integer arithmetic, so the merge tables must agree
     * exactly. */
   def bpeMergeLearn(spark: SparkSession, dir: String,
-                    rounds: Int = 6): DataFrame = {
+                    rounds: Int = 6): DataFrame =
+    bpeTrain(spark, dir, rounds)._1.orderBy(col("merge_round"))
+
+  /** BPE merge APPLICATION (the encode half of [[bpeMergeLearn]]): the
+    * learned merge table is applied to the corpus vocabulary (the
+    * trainer's final symbol relation IS the merged vocabulary — each
+    * distinct word's subword count after all `rounds` merges), then one
+    * corpus token pass joins every word occurrence to its subword count
+    * and rolls up the per-language tokenization census: total words,
+    * character-level token count (chars + the end-of-word marker — what
+    * the encoder would emit with NO merges), BPE token count, and the
+    * chars-per-token compression the merges bought. All sums are BIGINT;
+    * one final division + round, so both engines agree exactly.
+    *
+    * Scale shape: merge learning runs on the frequency-weighted
+    * vocabulary (see [[bpeMergeLearn]]); applying to the corpus is ONE
+    * token-explode pass aggregated per (lang, word) — the word-keyed
+    * posting shuffle every token statistic here already pays — plus a
+    * vocabulary-sized join. No per-document symbol relation ever
+    * materializes: documents meet the trained tokenizer only through
+    * the word join, exactly how a production encoder ships (merge
+    * table broadcast, corpus mapped once). */
+  def bpeEncode(spark: SparkSession, dir: String,
+                rounds: Int = 6): DataFrame = {
+    val (_, syms, _) = bpeTrain(spark, dir, rounds)
+    val wordTok = syms.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_sub"))
+    val docWords = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("lang"), lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+    docWords.join(wordTok, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("occ")).as("total_words"),
+        sum(col("occ") * (length(col("w")) + 1)).as("total_chars"),
+        sum(col("occ") * col("n_sub")).as("total_bpe_tokens"),
+        round(sum(col("occ") * (length(col("w")) + 1)).cast("double") /
+          sum(col("occ") * col("n_sub")), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  /** Shared trainer loop: returns (merge table, final symbol relation,
+    * word-frequency relation). See [[bpeMergeLearn]] for semantics. */
+  private def bpeTrain(spark: SparkSession, dir: String,
+                       rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val words = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(lower(col("tok")).as("w"))
@@ -1108,6 +1153,6 @@ object TextAnalysis {
         .crossJoin(stats)
       mergeRows = Some(mergeRows.fold(row)(_.unionAll(row)))
     }
-    mergeRows.get.orderBy(col("merge_round"))
+    (mergeRows.get, syms, words)
   }
 }

