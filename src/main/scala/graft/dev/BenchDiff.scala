@@ -25,9 +25,14 @@ import java.nio.file.{Files, Paths}
   */
 object BenchDiff {
 
-  /** Extracts the flat `"queries":{...}` map from one artifact. */
-  def parseQueries(json: String): Map[String, Double] = {
+  /** Extracts the flat `"queries":{...}` map from one artifact. The
+    * driver's `BENCH_r{N}.json` wraps the bench line as an ESCAPED string
+    * inside a `"tail"` field — when the literal key is absent, unescape
+    * once and retry (the driver artifact's own keys carry no `queries`
+    * object, so the unescaped match is unambiguous). */
+  def parseQueries(raw: String): Map[String, Double] = {
     val key = "\"queries\":{"
+    val json = if (raw.contains(key)) raw else raw.replace("\\\"", "\"")
     val start = json.indexOf(key)
     require(start >= 0, s"no \"queries\" object found")
     val body = json.substring(start + key.length, json.indexOf('}', start))
