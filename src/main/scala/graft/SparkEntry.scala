@@ -222,7 +222,9 @@ object SparkEntry {
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
     "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
     "stream_sig_index_multi" ->
-      ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d))
+      ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d)),
+    "stream_update_counts" ->
+      ((s, d) => StreamingAnalytics.streamUpdateCounts(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2758,7 +2760,13 @@ object SparkEntry {
       // per step with the index side widened
       ("stream_sig_index_multi" -> incrementalMinhashOracleSql(Seq(
         "sx.sn >= 10 AND sx.sn < 15 AND sy.sn < 10",
-        "sx.sn >= 15 AND sy.sn < 15")))
+        "sx.sn >= 15 AND sy.sn < 15"))) +
+      // update-mode changelog folded to final state == the batch answer
+      ("stream_update_counts" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS hour_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+           GROUP BY 1, 2 ORDER BY hour_start, event_type""")
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

@@ -14,7 +14,8 @@ object ExchangeCounts {
     val targets = Seq("dedup_clusters_star", "docs_curation_pipeline",
       "dedup_clusters", "text_substring_dup", "dedup_semantic_clusters",
       "text_bigram_logprob", "graph_pagerank", "dedup_keep_best",
-      "graph_label_prop", "dedup_incremental_minhash", "dedup_bloom_prefilter")
+      "graph_label_prop", "dedup_incremental_minhash", "dedup_bloom_prefilter",
+      "docs_quality_probe", "text_bpe_merges", "text_bpe_encode")
     targets.foreach { name =>
       val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -336,6 +336,64 @@ object StreamingAnalytics {
     out.orderBy(col("hour_start"))
   }
 
+  /** UPDATE output mode through the oracle gate (complete and append are
+    * covered by the other stream_* rows; update was spec-only): hourly
+    * per-type counts over events arriving as TWO staged batches (split
+    * by event-id parity, one file per trigger), written in update mode —
+    * every batch re-emits exactly the groups it changed, so the sink
+    * holds a CHANGELOG (most windows appear twice with increasing
+    * counts). The query then folds the changelog to final state with a
+    * monotone max per group — the standard consumer-side pattern for an
+    * update-mode sink feeding an idempotent store — and that final state
+    * must equal the batch answer exactly (the oracle). Counts are
+    * monotone under accumulation, which is what makes max() the correct
+    * fold; a non-monotone measure would need the changelog's last-write
+    * ordering instead (documented, not needed here).
+    *
+    * The parity split puts half of every window's rows in each batch, so
+    * the re-emission path genuinely executes — a single-batch source
+    * would make update mode indistinguishable from append. State is one
+    * row per (window, type): watermark-free update mode is safe here
+    * because AvailableNow drains a finite source; an unbounded stream
+    * would add the same watermark the other rows carry. */
+  def streamUpdateCounts(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .select(col("ts"), col("event_type"), col("event_id"))
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
+    Seq("a" -> (pmod(col("event_id"), lit(2)) === 0),
+        "b" -> (pmod(col("event_id"), lit(2)) === 1)).zipWithIndex.foreach {
+      case ((name, pred), i) =>
+        val tmp = s"$root/stage_$name"
+        ev.filter(pred).coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"cannot set mtime on $dest")
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"))
+    val changelog = StreamingOps.runAvailableNow(stream, mode = "update")
+    // fold the changelog to final state (monotone counts -> max), then
+    // free the temp tree
+    val folded = changelog
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .localCheckpoint()
+    deleteTree(root)
+    folded.orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** The full growing-corpus near-dup loop that
     * [[DedupOps.minhashIncrementalDedup]] models one increment of: a
     * foreachBatch job that (1) dedups each arriving batch against the

@@ -461,7 +461,14 @@ class PlanAuditSpec extends SparkSpec {
       // checkpointed relation — bounded by the round count, not the data
       ("graph_label_prop", 50, 6),
       ("dedup_incremental_minhash", 16, 0),
-      ("dedup_bloom_prefilter", 24, 0))
+      ("dedup_bloom_prefilter", 24, 0),
+      // round-9: the probe's BNLJs are the 1-row broadcast weight vector
+      // crossing into the corpus pass; the BPE trainer's are its
+      // per-round 1-row winner/stats scalars (2 per unrolled round) —
+      // both bounded by construction, not by data
+      ("docs_quality_probe", 9, 2),
+      ("text_bpe_merges", 42, 12),
+      ("text_bpe_encode", 11, 0))
     budgets.foreach { case (name, maxEx, maxBnlj) =>
       val p = plan(SparkEntry.queries(name)(spark, sf0001))
       val ex = "Exchange".r.findAllIn(p).size
