@@ -1106,10 +1106,13 @@ object TextAnalysis {
     val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
     var mergeRows: Option[DataFrame] = None
     (1 to rounds).foreach { r =>
+      // consumed twice per round (winner census + apply) — pin it so the
+      // window pass runs once
       val withNext = syms
         .withColumn("nxt", lead(col("sym"), 1).over(wnd))
         .withColumn("npos", lead(col("pos"), 1).over(wnd))
         .withColumn("rn", row_number().over(wnd))
+        .persist()
       // frequency-weighted adjacent-pair counts (overlap included — the
       // census convention reference trainers use)
       val best = withNext.filter(col("nxt").isNotNull)
@@ -1144,6 +1147,7 @@ object TextAnalysis {
           when(col("is_first") === 1, col("ab")).otherwise(col("sym"))
             .as("sym"))
         .localCheckpoint()
+      withNext.unpersist()
       val stats = syms.agg(
         countDistinct(col("sym")).as("vocab_size"),
         sum(col("freq")).as("total_symbols"))
