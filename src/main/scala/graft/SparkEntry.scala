@@ -220,6 +220,7 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeLearn(s, d)),
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
+    "docs_quality_probe2" -> ((s, d) => Curation.qualityProbe2(s, d)),
     "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
     "stream_sig_index_multi" ->
       ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d)),
@@ -2736,6 +2737,45 @@ object SparkEntry {
            SELECT d.doc_id, d.lang, d.source,
              ROUND(CAST(m2000 AS DOUBLE) / 2000.0, 6) AS margin
            FROM s JOIN documents d USING (doc_id)
+           ORDER BY margin DESC, doc_id LIMIT 20""") +
+      // two hard-sigmoid gradient steps, integral under common
+      // denominators (see Curation.qualityProbe2's ladder): step-1
+      // doubled gradient g2, labeled margins ×2000, clamped sigmoid
+      // ×16000, residual gradient g2p ×16000, folded weights ×16e6 —
+      // ONE final double division
+      ("docs_quality_probe2" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+           tf AS MATERIALIZED (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                 % 64 AS j,
+               CAST(COUNT(*) AS BIGINT) AS x
+             FROM tok GROUP BY 1, 2),
+           lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+             WHERE label IN (0, 1)),
+           g AS MATERIALIZED (SELECT j,
+               CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+             FROM tf JOIN lab USING (doc_id) GROUP BY j),
+           m AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN g USING (j)
+             GROUP BY 1),
+           sg AS (SELECT doc_id,
+               LEAST(GREATEST(8000 + 2 * m2000, 0), 16000) AS sgm FROM m),
+           gp AS (SELECT tf.j,
+               CAST(SUM((16000 * lab.label - sg.sgm) * tf.x) AS BIGINT) AS g2p
+             FROM tf JOIN lab USING (doc_id) JOIN sg USING (doc_id)
+             GROUP BY 1),
+           w AS (SELECT COALESCE(g.j, gp.j) AS j,
+               8000 * COALESCE(g.g2, 0) + COALESCE(gp.g2p, 0) AS wj
+             FROM g FULL JOIN gp ON g.j = gp.j),
+           sc AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(w.wj, 0) * tf.x) AS BIGINT) AS m16
+             FROM tf LEFT JOIN w USING (j) GROUP BY 1)
+           SELECT d.doc_id, d.lang, d.source,
+             ROUND(CAST(m16 AS DOUBLE) / 16000000.0, 6) AS margin
+           FROM sc JOIN documents d USING (doc_id)
            ORDER BY margin DESC, doc_id LIMIT 20""") +
       // watermark late-data policy (see StreamingAnalytics.streamLateData
       // for the 3-file arrival schedule): deep-late rows (ts < Jan 2,

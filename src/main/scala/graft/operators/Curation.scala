@@ -264,4 +264,77 @@ object Curation {
       .orderBy(col("margin").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** TWO exact logistic gradient steps (the iterative half
+    * [[qualityProbe]] stops short of — the same relationship
+    * `sim_kmeans_lloyd2` has to `sim_kmeans_iter`): step 2 needs
+    * σ(w·x) at nonzero w, which would put a transcendental exp() into
+    * the gradient and break cross-engine exactness — so the trainer
+    * uses the HARD sigmoid σ̂(m) = clamp(½ + m/4, 0, 1) (the standard
+    * piecewise-linear logistic surrogate), whose step-1 special case
+    * σ̂(0) = ½ is exactly [[qualityProbe]]'s gradient. Every quantity
+    * then stays integral under common denominators:
+    *
+    *   g2ⱼ   = Σ (2yᵢ−1)·xᵢⱼ                       (×2;      step 1)
+    *   m2000ᵢ = Σⱼ g2ⱼ·xᵢⱼ                          (×2000:   w₁·xᵢ)
+    *   sᵢ    = clamp(8000 + 2·m2000ᵢ, 0, 16000)     (×16000:  σ̂(w₁·xᵢ))
+    *   g2'ⱼ  = Σ (16000·yᵢ − sᵢ)·xᵢⱼ                (×16000;  step 2)
+    *   Wⱼ    = 8000·g2ⱼ + g2'ⱼ                      (×16⋅10⁶: w₂)
+    *   margin₂ᵢ = (Σⱼ Wⱼ·xᵢⱼ) / 16 000 000          (ONE division)
+    *
+    * (learning rate 1/1000 per step, as in [[qualityProbe]].) All sums
+    * are BIGINT — bounded by 16000 × labeled-corpus token mass, far
+    * inside Long — so DuckDB replays the full two-step trainer
+    * bit-for-bit. Scale shape is unchanged from step 1: both gradient
+    * passes and the labeled-margin pass run over the LABELED seed only,
+    * weights fold to one broadcast array, corpus scoring stays one
+    * map pass + top-k. Further steps repeat the same two aggregations
+    * per step with the denominator growing 8000× each time — Long
+    * affords 3-4 steps before the arithmetic needs DECIMAL(38),
+    * which is the honest place to switch. */
+  def qualityProbe2(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("graft_hashed_tf64(split(text, ' '))").as("x"))
+    val labels = Tables(spark, dir, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val labeled = tf.join(labels, "doc_id")
+    def weightArray(g: DataFrame, valCol: String): DataFrame = g
+      .agg(expr(s"map_from_entries(collect_list(struct(j, $valCol)))").as("m"))
+      .select(expr(
+        "transform(sequence(0, 63), j -> coalesce(m[int(j)], 0L))").as("w"))
+    // step 1: doubled gradient at w=0
+    val g2 = labeled
+      .select(col("label"), posexplode(col("x")).as(Seq("j", "xv")))
+      .groupBy(col("j"))
+      .agg(sum((col("label") * 2 - 1) * col("xv")).as("g2"))
+    val w1 = weightArray(g2, "g2")
+    // labeled margins under w1 (×2000), then ×16000 hard-sigmoid
+    val sig = labeled.crossJoin(broadcast(w1))
+      .withColumn("m2000", expr(
+        "aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("label"), col("x"),
+        least(greatest(lit(8000L) + lit(2L) * col("m2000"), lit(0L)),
+          lit(16000L)).as("sgm"))
+    // step 2: residual gradient against the hard-sigmoid predictions
+    val g2p = sig
+      .select(col("label"), col("sgm"), posexplode(col("x")).as(Seq("j", "xv")))
+      .groupBy(col("j"))
+      .agg(sum((lit(16000L) * col("label") - col("sgm")) * col("xv")).as("g2p"))
+    // fold both steps into one weight vector (×16e6)
+    val wBoth = g2.join(g2p, Seq("j"), "full")
+      .select(col("j"),
+        (lit(8000L) * coalesce(col("g2"), lit(0L)) +
+          coalesce(col("g2p"), lit(0L))).as("wj"))
+    val w2 = weightArray(wBoth, "wj")
+    tf.crossJoin(broadcast(w2))
+      .withColumn("m16", expr(
+        "aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("m16").cast("double") / 16000000.0, 6).as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -98,6 +98,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(enc.map(_.getString(0)).toSeq === enc.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("docs_quality_probe2: two hard-sigmoid steps recompute exactly " +
+    "through an independent explode path, and the clamp engages") {
+    import graft.operators.Curation
+    graft.functions.ExprColumns.register(spark)
+    val tf = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("graft_hashed_tf64(split(text, ' '))"))
+          .as(Seq("j", "xv")))
+      .filter(col("xv") > 0)
+    val lab = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val g2 = tf.join(lab, "doc_id").groupBy(col("j"))
+      .agg(sum((col("label") * 2 - 1) * col("xv")).as("g2"))
+    val m = tf.join(lab, "doc_id").join(g2, Seq("j"), "left")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(coalesce(col("g2"), lit(0L)) * col("xv")).as("m2000"))
+    val sg = m.select(col("doc_id"), col("label"),
+      least(greatest(lit(8000L) + lit(2L) * col("m2000"), lit(0L)),
+        lit(16000L)).as("sgm"))
+    // the piecewise-linear region must actually clip somewhere, or the
+    // second step is indistinguishable from a linear re-scale
+    assert(sg.filter(col("sgm") === 0L || col("sgm") === 16000L).count() > 0)
+    val g2p = tf.join(sg, "doc_id").groupBy(col("j"))
+      .agg(sum((lit(16000L) * col("label") - col("sgm")) * col("xv")).as("g2p"))
+    val w = g2.join(g2p, Seq("j"), "full")
+      .select(col("j"), (lit(8000L) * coalesce(col("g2"), lit(0L)) +
+        coalesce(col("g2p"), lit(0L))).as("wj"))
+    val margins = tf.join(w, Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("wj"), lit(0L)) * col("xv")).as("m16"))
+      .select(col("doc_id"),
+        round(col("m16").cast("double") / 16000000.0, 6).as("margin"))
+    val expected = margins
+      .join(Tables(spark, sf0001, "documents")
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(col("margin").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("lang"), col("source"), col("margin"))
+      .collect().toSeq
+    val got = Curation.qualityProbe2(spark, sf0001).collect().toSeq
+    assert(got === expected)
+    assert(Curation.qualityProbe2(spark, sf0001).collect().toSeq === got)
+  }
+
   test("docs_quality_probe margins equal an independent relational " +
     "recomputation and are integer-exact") {
     import graft.operators.Curation
