@@ -221,6 +221,7 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
     "docs_quality_probe2" -> ((s, d) => Curation.qualityProbe2(s, d)),
+    "docs_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
     "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
     "stream_sig_index_multi" ->
       ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d)),
@@ -2777,6 +2778,33 @@ object SparkEntry {
              ROUND(CAST(m16 AS DOUBLE) / 16000000.0, 6) AS margin
            FROM sc JOIN documents d USING (doc_id)
            ORDER BY margin DESC, doc_id LIMIT 20""") +
+      // budget-constrained greedy selection: quality-ranked prefix whose
+      // running token sum fits half the corpus's token mass; ties
+      // (score DESC, doc_id); floor(total/2) == truncation on positives
+      ("docs_budget_select" ->
+        """WITH scored AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+           FROM documents),
+           sc2 AS (SELECT *,
+             CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score
+           FROM scored),
+           b AS (SELECT CAST(FLOOR(SUM(n_tok) / 2) AS BIGINT) AS budget
+             FROM scored),
+           ranked AS (SELECT lang, n_tok,
+             SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM sc2),
+           lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens
+             FROM scored GROUP BY lang),
+           kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+             FROM ranked, b WHERE cum <= b.budget GROUP BY lang)
+           SELECT k.lang, k.n_docs_kept, k.tokens_kept,
+             ROUND(CAST(k.tokens_kept AS DOUBLE)
+               / CAST(lt.lang_tokens AS DOUBLE), 6) AS lang_share_kept
+           FROM kept k JOIN lt USING (lang) ORDER BY lang""") +
       // watermark late-data policy (see StreamingAnalytics.streamLateData
       // for the 3-file arrival schedule): deep-late rows (ts < Jan 2,
       // arriving after the watermark passed) are ABSENT, within-watermark

@@ -265,6 +265,57 @@ object Curation {
       .limit(k)
   }
 
+  /** Token-budget-constrained corpus selection — the decision step after
+    * scoring: rank every document by quality (distinct-token ratio, the
+    * same integer-derived signal the prep pipeline gates on; ONE double
+    * division per doc, identical in both engines) and keep the
+    * best-scoring PREFIX whose cumulative whitespace-token count fits
+    * the budget. The budget is half the corpus's total tokens, derived
+    * from the data itself so the cut genuinely lands mid-corpus at
+    * every scale factor. Emits the per-language census of the kept set
+    * (docs, tokens, share of that language's token mass kept — greedy
+    * selection under a global budget is deliberately NOT
+    * language-balanced; quota/mixture reweighting is [[quotaSample]] /
+    * `mix_weights`' job downstream).
+    *
+    * Plan shape: one corpus pass computes (score, n_tok); the ranking
+    * is a GLOBAL running sum — a range-partitioned sort at scale, the
+    * one shuffle this selection fundamentally needs (AT 100 TB: Spark
+    * plans exactly that via the single-partition window only below a
+    * size threshold; above it the same semantics come from sampling the
+    * score distribution to a threshold score, the standard
+    * approximation — documented, not needed at harness scale). The
+    * 1-row budget scalar broadcasts. Ties: (score DESC, doc_id). */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+    // floor(total/2): positive floor == truncation in BOTH engines (the
+    // totals stay far under 2^53, so the double midstep is exact)
+    val budget = scored.agg(
+      floor(sum(col("n_tok")) / 2).cast("long").as("budget"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val langTotals = scored.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("lang_tokens"))
+    scored
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .crossJoin(broadcast(budget)) // 1-row scalar
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_kept"))
+      .join(langTotals, "lang")
+      .select(col("lang"), col("n_docs_kept"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") /
+          col("lang_tokens").cast("double"), 6).as("lang_share_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** TWO exact logistic gradient steps (the iterative half
     * [[qualityProbe]] stops short of — the same relationship
     * `sim_kmeans_lloyd2` has to `sim_kmeans_iter`): step 2 needs

@@ -25,10 +25,39 @@ object StreamingAnalytics {
     import scala.util.control.NonFatal
     try {
       val p = Path.of(root)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      if (Files.exists(p)) {
+        // Files.walk streams must be CLOSED — each holds open directory
+        // handles, and this runs at every streaming-query teardown
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
     } catch { case NonFatal(_) => () } // best-effort: a leak beats a crash
+  }
+
+  /** Stages each (name, relation) as ONE parquet file in `inDir` with
+    * strictly increasing mtimes — the arrival-order contract all the
+    * staged-source experiments here share (FileStreamSource picks files
+    * in mtime order; with maxFilesPerTrigger=1 each file becomes its own
+    * micro-batch, so stage order IS batch order). */
+  private def stageOrderedFiles(root: String, inDir: String,
+      stages: Seq[(String, DataFrame)]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
+    stages.zipWithIndex.foreach { case ((name, df), i) =>
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val listing = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
+      val part =
+        try listing
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally listing.close()
+      val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"cannot set mtime on $dest")
+    }
   }
 
   /** Streaming tumbling-window aggregation; same expression tree and same
@@ -302,26 +331,12 @@ object StreamingAnalytics {
     val cutLate = lit("2024-01-02 00:00:00").cast("timestamp")
     val cutKept = lit("2024-01-07 00:00:00").cast("timestamp")
     val cutTail = lit("2024-01-07 12:00:00").cast("timestamp")
-    val stages = Seq(
+    stageOrderedFiles(root, inDir, Seq(
       "a" -> ev.filter(col("ts") >= cutLate && col("ts") < cutKept),
       "b_spacer" -> ev.filter(lit(false)), // advances the late-event wm
       "c" -> ev.filter(col("ts") < cutLate ||
         (col("ts") >= cutKept && col("ts") < cutTail)),
-      "d" -> ev.filter(col("ts") >= cutTail))
-    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
-    stages.zipWithIndex.foreach { case ((name, df), i) =>
-      val tmp = s"$root/stage_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
-      val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      // arrival order IS the experiment: FileStreamSource picks files in
-      // mtime order, so the mtimes must be strictly increasing
-      require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
-        s"cannot set mtime on $dest")
-    }
+      "d" -> ev.filter(col("ts") >= cutTail)))
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -362,20 +377,9 @@ object StreamingAnalytics {
     val ev = graft.Tables(spark, dir, "events")
       .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
       .select(col("ts"), col("event_type"), col("event_id"))
-    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
-    Seq("a" -> (pmod(col("event_id"), lit(2)) === 0),
-        "b" -> (pmod(col("event_id"), lit(2)) === 1)).zipWithIndex.foreach {
-      case ((name, pred), i) =>
-        val tmp = s"$root/stage_$name"
-        ev.filter(pred).coalesce(1).write.parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
-        java.nio.file.Files.move(part, dest)
-        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
-          s"cannot set mtime on $dest")
-    }
+    stageOrderedFiles(root, inDir, Seq(
+      "a" -> ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      "b" -> ev.filter(pmod(col("event_id"), lit(2)) === 1)))
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -438,6 +442,88 @@ object StreamingAnalytics {
     * whole), and exact verification touches only candidate docs'
     * shingles. Corpus growth cost per increment is one append of
     * 3 rows/doc. */
+  /** Shared per-batch core of BOTH signature-index loops (single- and
+    * multi-increment share their oracle family, so the candidate join /
+    * exact verify / argmax / append logic must be ONE body — a tie-break
+    * or threshold fix that reached only one would silently diverge
+    * hash-gated twins): replay-skip against the band-0 probe, bucket
+    * join against the index as it stands, exact-Jaccard verification
+    * against `verifyShingles(indexedIds)` (the single-increment loop
+    * passes the static corpus relation; the multi-increment loop derives
+    * shingles of everything indexed so far), per-doc best-match argmax,
+    * matches-then-index append ordering. `requireSingleBatch` arms the
+    * shared-oracle guard (see [[streamSignatureIndex]]'s scaladoc). */
+  private def sigIndexProcessBatch(spark: SparkSession, idxPath: String,
+      outPath: String, threshold: Double,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, verifyShingles: DataFrame => DataFrame,
+      requireSingleBatch: Boolean): Unit = {
+    val sigs = DedupOps.lshBucketRel(spark, batch).persist()
+    try {
+      val indexedIds = spark.read.parquet(idxPath)
+        .where(col("band") === 0).select(col("doc_id")).distinct()
+      // replay skip: only docs the index has never seen proceed
+      val fresh = sigs.join(indexedIds, Seq("doc_id"), "left_anti").persist()
+      try {
+        val hasFresh = !fresh.isEmpty
+        // single-batch assumption guard: the shared one-increment oracle
+        // breaks if the increment spans triggers — fail with the
+        // assumption named, not an opaque oracle mismatch downstream
+        if (hasFresh && requireSingleBatch && batchId > 0)
+          throw new IllegalStateException(
+            s"stream_sig_index: fresh rows in micro-batch $batchId — " +
+              "the shared dedup_incremental_minhash oracle assumes the " +
+              "whole increment arrives in batch 0; a multi-file " +
+              "documents layout needs the multi-increment query " +
+              "(stream_sig_index_multi) and its per-increment oracle")
+        if (hasFresh) {
+          val idx = spark.read.parquet(idxPath)
+          val cand = fresh
+            .withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb")
+            .join(idx.withColumnRenamed("doc_id", "cd")
+              .withColumnRenamed("n", "nc"), Seq("band", "bucket"))
+            .select(col("bd"), col("cd"), col("nb"), col("nc")).distinct()
+          val idxSh = verifyShingles(indexedIds)
+          val batchSh = DedupOps.shingleRelOf(spark,
+            batch.select(col("doc_id"), col("text")))
+          val verified = cand
+            .join(batchSh.as("a"), col("bd") === col("a.doc_id"))
+            .join(idxSh.as("b"), col("cd") === col("b.doc_id") &&
+              col("a.shingle") === col("b.shingle"))
+            .groupBy(col("bd"), col("cd"), col("nb"), col("nc"))
+            .agg(count(lit(1)).as("inter"))
+            .withColumn("jaccard", col("inter").cast("double") /
+              (col("nb") + col("nc") - col("inter")))
+            .filter(col("jaccard") >= threshold)
+            .groupBy(col("bd"))
+            .agg(max_by(struct(col("cd"), col("jaccard")),
+              struct(col("jaccard"), negate(col("cd")))).as("best"))
+            .select(col("bd").as("doc_id"),
+              col("best.cd").as("match_doc"),
+              round(col("best.jaccard"), 3).as("jaccard"))
+          // matches first, THEN the index append: the candidate plan
+          // reads the index as it stood when this batch arrived
+          verified.write.mode("append").parquet(outPath)
+          fresh.write.mode("append").partitionBy("band").parquet(idxPath)
+        }
+      } finally fresh.unpersist()
+    } finally sigs.unpersist()
+  }
+
+  /** Reads the accumulated matches, collapses the at-least-once crash
+    * window with distinct() (a no-op on a clean run — see
+    * [[streamSignatureIndex]]'s scaladoc), materializes, reclaims the
+    * temp tree, and returns the ordered relation. */
+  private def sigIndexCollect(spark: SparkSession, root: String,
+      outPath: String): DataFrame = {
+    val matches = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("match_doc"), col("jaccard"))
+      .distinct()
+      .localCheckpoint()
+    deleteTree(root)
+    matches.orderBy(col("doc_id"))
+  }
+
   def streamSignatureIndex(spark: SparkSession, dir: String,
                            threshold: Double = 0.5): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
@@ -460,70 +546,16 @@ object StreamingAnalytics {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val sigs = DedupOps.lshBucketRel(spark, batch).persist()
-          try {
-            val indexedIds = spark.read.parquet(idxPath)
-              .where(col("band") === 0).select(col("doc_id")).distinct()
-            // replay skip: only docs the index has never seen proceed
-            val fresh = sigs.join(indexedIds, Seq("doc_id"), "left_anti")
-              .persist()
-            try {
-              val hasFresh = !fresh.isEmpty
-              // single-batch assumption guard (see scaladoc): the shared
-              // one-increment oracle breaks if the increment spans
-              // triggers — fail with the assumption named, not an opaque
-              // oracle mismatch downstream
-              if (hasFresh && batchId > 0)
-                throw new IllegalStateException(
-                  s"stream_sig_index: fresh rows in micro-batch $batchId — " +
-                    "the shared dedup_incremental_minhash oracle assumes the " +
-                    "whole increment arrives in batch 0; a multi-file " +
-                    "documents layout needs its own multi-increment oracle")
-              if (hasFresh) {
-                val idx = spark.read.parquet(idxPath)
-                val cand = fresh
-                  .withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb")
-                  .join(idx.withColumnRenamed("doc_id", "cd")
-                    .withColumnRenamed("n", "nc"), Seq("band", "bucket"))
-                  .select(col("bd"), col("cd"), col("nb"), col("nc")).distinct()
-                val batchSh = DedupOps.shingleRelOf(spark,
-                  batch.select(col("doc_id"), col("text")))
-                val verified = cand
-                  .join(batchSh.as("a"), col("bd") === col("a.doc_id"))
-                  .join(corpusSh.as("b"), col("cd") === col("b.doc_id") &&
-                    col("a.shingle") === col("b.shingle"))
-                  .groupBy(col("bd"), col("cd"), col("nb"), col("nc"))
-                  .agg(count(lit(1)).as("inter"))
-                  .withColumn("jaccard", col("inter").cast("double") /
-                    (col("nb") + col("nc") - col("inter")))
-                  .filter(col("jaccard") >= threshold)
-                  .groupBy(col("bd"))
-                  .agg(max_by(struct(col("cd"), col("jaccard")),
-                    struct(col("jaccard"), negate(col("cd")))).as("best"))
-                  .select(col("bd").as("doc_id"),
-                    col("best.cd").as("match_doc"),
-                    round(col("best.jaccard"), 3).as("jaccard"))
-                // matches first, THEN the index append: the candidate plan
-                // reads the index as it stood when this batch arrived
-                verified.write.mode("append").parquet(outPath)
-                fresh.write.mode("append").partitionBy("band").parquet(idxPath)
-              }
-            } finally fresh.unpersist()
-          } finally sigs.unpersist()
+          sigIndexProcessBatch(spark, idxPath, outPath, threshold,
+            batch, batchId, verifyShingles = _ => corpusSh,
+            requireSingleBatch = true)
         }
         .start()
       q.awaitTermination()
     }
     runOnce(s"$root/cp1")
     runOnce(s"$root/cp2") // replay: every doc already indexed -> no-op
-    // distinct: collapses the at-least-once crash window (scaladoc) — a
-    // no-op on a clean run; then materialize and reclaim the temp tree
-    val matches = spark.read.parquet(outPath)
-      .select(col("doc_id"), col("match_doc"), col("jaccard"))
-      .distinct()
-      .localCheckpoint()
-    deleteTree(root)
-    matches.orderBy(col("doc_id"))
+    sigIndexCollect(spark, root, outPath)
   }
 
   /** The MULTI-increment form of [[streamSignatureIndex]] — the loop
@@ -556,20 +588,9 @@ object StreamingAnalytics {
     DedupOps.lshBucketRel(spark, docs.filter(col("sn") < 10))
       .write.mode("overwrite").partitionBy("band").parquet(idxPath)
     // stage the two increments as separate mtime-ordered files
-    java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
-    Seq("inc1" -> (col("sn") >= 10 && col("sn") < 15),
-        "inc2" -> (col("sn") >= 15)).zipWithIndex.foreach {
-      case ((name, pred), i) =>
-        val tmp = s"$root/stage_$name"
-        docs.filter(pred).drop("sn").coalesce(1).write.parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
-        java.nio.file.Files.move(part, dest)
-        require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
-          s"cannot set mtime on $dest")
-    }
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("sn") >= 10 && col("sn") < 15).drop("sn"),
+      "inc2" -> docs.filter(col("sn") >= 15).drop("sn")))
     val schema = spark.read.parquet(inDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -577,55 +598,17 @@ object StreamingAnalytics {
       .option("checkpointLocation", s"$root/cp")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sigs = DedupOps.lshBucketRel(spark, batch).persist()
-        try {
-          val indexedIds = spark.read.parquet(idxPath)
-            .where(col("band") === 0).select(col("doc_id")).distinct()
-          val fresh = sigs.join(indexedIds, Seq("doc_id"), "left_anti")
-            .persist()
-          try {
-            if (!fresh.isEmpty) {
-              val idx = spark.read.parquet(idxPath)
-              val cand = fresh
-                .withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb")
-                .join(idx.withColumnRenamed("doc_id", "cd")
-                  .withColumnRenamed("n", "nc"), Seq("band", "bucket"))
-                .select(col("bd"), col("cd"), col("nb"), col("nc")).distinct()
-              // the verify side = shingles of everything indexed SO FAR
-              val idxSh = DedupOps.shingleRelOf(spark,
-                docs.select(col("doc_id"), col("text"))
-                  .join(indexedIds, Seq("doc_id"), "left_semi"))
-              val batchSh = DedupOps.shingleRelOf(spark,
-                batch.select(col("doc_id"), col("text")))
-              val verified = cand
-                .join(batchSh.as("a"), col("bd") === col("a.doc_id"))
-                .join(idxSh.as("b"), col("cd") === col("b.doc_id") &&
-                  col("a.shingle") === col("b.shingle"))
-                .groupBy(col("bd"), col("cd"), col("nb"), col("nc"))
-                .agg(count(lit(1)).as("inter"))
-                .withColumn("jaccard", col("inter").cast("double") /
-                  (col("nb") + col("nc") - col("inter")))
-                .filter(col("jaccard") >= threshold)
-                .groupBy(col("bd"))
-                .agg(max_by(struct(col("cd"), col("jaccard")),
-                  struct(col("jaccard"), negate(col("cd")))).as("best"))
-                .select(col("bd").as("doc_id"),
-                  col("best.cd").as("match_doc"),
-                  round(col("best.jaccard"), 3).as("jaccard"))
-              verified.write.mode("append").parquet(outPath)
-              fresh.write.mode("append").partitionBy("band").parquet(idxPath)
-            }
-          } finally fresh.unpersist()
-        } finally sigs.unpersist()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the verify side = shingles of everything indexed SO FAR
+        sigIndexProcessBatch(spark, idxPath, outPath, threshold,
+          batch, batchId,
+          verifyShingles = indexedIds => DedupOps.shingleRelOf(spark,
+            docs.select(col("doc_id"), col("text"))
+              .join(indexedIds, Seq("doc_id"), "left_semi")),
+          requireSingleBatch = false)
       }
       .start()
     q.awaitTermination()
-    val matches = spark.read.parquet(outPath)
-      .select(col("doc_id"), col("match_doc"), col("jaccard"))
-      .distinct()
-      .localCheckpoint()
-    deleteTree(root)
-    matches.orderBy(col("doc_id"))
+    sigIndexCollect(spark, root, outPath)
   }
 }

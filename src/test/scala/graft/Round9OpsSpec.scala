@@ -98,6 +98,43 @@ class Round9OpsSpec extends SparkSpec {
     assert(enc.map(_.getString(0)).toSeq === enc.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("docs_budget_select: kept token mass fits the half-corpus budget " +
+    "and adding the next-ranked doc would exceed it") {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    val scored = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+    val total = scored.map(_._3).sum
+    val budget = total / 2
+    // independent greedy selection in plain Scala
+    val ranked = scored.sortBy { case (id, _, _, s) => (-s, id) }
+    var cum = 0L
+    val kept = ranked.takeWhile { case (_, _, t, _) => cum += t; cum <= budget }
+    val expected = kept.groupBy(_._2).map { case (lang, docs) =>
+      val share = docs.map(_._3).sum.toDouble /
+        scored.filter(_._2 == lang).map(_._3).sum
+      (lang, docs.length.toLong, docs.map(_._3).sum,
+        BigDecimal(share) // Spark's round() is HALF_UP, not rint's HALF_EVEN
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.budgetSelect(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+    // the budget genuinely binds: selection stops strictly mid-corpus
+    val keptTokens = kept.map(_._3).sum
+    assert(keptTokens <= budget && kept.length < scored.length)
+    val nextTok = ranked(kept.length)._3
+    assert(keptTokens + nextTok > budget,
+      "greedy prefix must be maximal under the budget")
+  }
+
   test("docs_quality_probe2: two hard-sigmoid steps recompute exactly " +
     "through an independent explode path, and the clamp engages") {
     import graft.operators.Curation
