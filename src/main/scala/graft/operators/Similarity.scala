@@ -45,7 +45,18 @@ object Similarity {
     * labels are cluster assignments, so blocking keeps recall while
     * cutting the pair space ~10x). At 100 TB the same shape holds with
     * IVF cluster ids in place of labels: an equi-join on the block key,
-    * never an unblocked cross join. */
+    * never an unblocked cross join.
+    *
+    * Block-size INVARIANT (this query is all-pairs WITHIN a block, so
+    * the envelope is Σ m_b(m_b-1)/2 over block sizes m_b): the block
+    * count must grow with the corpus so that max m_b stays bounded —
+    * with k blocks of roughly n/k members, cost is n²/2k, i.e. linear
+    * in n only if k ∝ n (exactly how IVF picks nlist ≈ √n-to-n/1k).
+    * A fixed 8-label blocking like this one is the harness-scale
+    * stand-in; at scale the label column IS the trained IVF assignment
+    * (`sim_ivf_topk`'s centroids), which satisfies the invariant by
+    * construction. The LSH/IVF/PQ ladder is the scale path when even
+    * blocked all-pairs is too much. */
   def labelBlockedPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.30): DataFrame = {
     val e = emb(spark, dir)
