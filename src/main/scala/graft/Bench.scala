@@ -144,11 +144,16 @@ object Bench {
     val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =
       math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000
-    // min-of-queries total across a set of runs — the artifact's "value"
+    // min-of-queries total across a set of runs — the artifact's "value".
+    // An all-runs-failed query must NOT shrink this total (a round with
+    // several hard failures could otherwise slip under the gray gate while
+    // looking faster than the clean floor): charge it the historical best
+    // per-query cost instead of 0. Failures are still reported separately
+    // via nFail / the -1.0 sentinel in the per-query map.
     def minOfTotal(rs: Seq[Map[String, Double]]): Double =
       math.rint(ordered.map { case (n, _) =>
         val ts = rs.map(_(n)).filter(_ >= 0)
-        if (ts.nonEmpty) ts.min else 0.0
+        if (ts.nonEmpty) ts.min else bestPerQ
       }.sum * 1000) / 1000
     val initialRuns = (1 to repeats).map(_ => runBattery())
     val gate = ordered.size * floorPerQ * contendedMargin

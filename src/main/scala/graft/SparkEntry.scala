@@ -2782,11 +2782,11 @@ object SparkEntry {
       // running token sum fits half the corpus's token mass; ties
       // (score DESC, doc_id); floor(total/2) == truncation on positives
       ("docs_budget_select" ->
-        """WITH scored AS (SELECT doc_id, lang,
+        """WITH scored AS (SELECT * FROM (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS n_uniq
-           FROM documents),
+           FROM documents) WHERE n_tok > 0),
            sc2 AS (SELECT *,
              CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score
            FROM scored),

@@ -278,32 +278,68 @@ object Curation {
     * language-balanced; quota/mixture reweighting is [[quotaSample]] /
     * `mix_weights`' job downstream).
     *
-    * Plan shape: one corpus pass computes (score, n_tok); the ranking
-    * is a GLOBAL running sum — a range-partitioned sort at scale, the
-    * one shuffle this selection fundamentally needs (AT 100 TB: Spark
-    * plans exactly that via the single-partition window only below a
-    * size threshold; above it the same semantics come from sampling the
-    * score distribution to a threshold score, the standard
-    * approximation — documented, not needed at harness scale). The
-    * 1-row budget scalar broadcasts. Ties: (score DESC, doc_id). */
+    * Plan shape: the DISTRIBUTED two-pass prefix sum (the classic
+    * parallel exclusive-scan). A corpus-sized single-partition running
+    * sum would funnel every document through ONE task at scale, so the
+    * global cum is decomposed: (1) `approx_percentile` samples the
+    * score distribution into B-1 bucket boundaries (GK sketch —
+    * deterministic, so the two consumers of the bucketed relation
+    * always agree on boundaries even if recomputed); (2) each document
+    * maps to a bucket by counting boundaries above its score — bucket
+    * assignment is monotone in score, so bucket-ascending refines the
+    * global (score DESC, doc_id) order; (3) the per-bucket running sum
+    * is a window PARTITIONED by bucket (B-way parallel, one corpus
+    * shuffle); (4) bucket totals aggregate to B rows and a tiny global
+    * window over THOSE yields each bucket's exact starting offset (the
+    * serial scan-of-block-sums step — B rows regardless of corpus
+    * size); (5) cum = offset + local prefix, exact, and the boundary
+    * bucket's straddling document is fixed up by the same `cum <=
+    * budget` predicate as everywhere else. Skew bound: a bucket can
+    * exceed corpus/B only by score-tie mass, the same bound any range
+    * partitioning has. The 1-row budget scalar broadcasts. Ties:
+    * (score DESC, doc_id). Documents with no tokens (null/empty text)
+    * are excluded up front so the ranking domain is well-defined in
+    * both engines (no null/NaN scores reaching the sort). */
   def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables(spark, dir, "documents")
     val scored = docs.select(col("doc_id"), col("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tok"),
       TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
       .withColumn("score",
         col("n_uniq").cast("double") / col("n_tok").cast("double"))
     // floor(total/2): positive floor == truncation in BOTH engines (the
     // totals stay far under 2^53, so the double midstep is exact)
     val budget = scored.agg(
       floor(sum(col("n_tok")) / 2).cast("long").as("budget"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // sampled score thresholds -> B order-respecting buckets
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nBuckets).map(i =>
+      (i.toDouble / nBuckets).toString).mkString(", ")
+    val bnds = scored.agg(
+      expr(s"approx_percentile(score, array($pcts))").as("bnds"))
+    val bucketed = scored.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("bucket",
+        size(filter(col("bnds"), b => b > col("score"))))
+      .drop("bnds")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = bucketed
+      .withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    // exact per-bucket offsets: B rows, serial scan is O(B) not O(corpus)
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
     val langTotals = scored.groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("lang_tokens"))
-    scored
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    localCum
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + col("local_cum"))
       .crossJoin(broadcast(budget)) // 1-row scalar
       .filter(col("cum") <= col("budget"))
       .groupBy(col("lang"))

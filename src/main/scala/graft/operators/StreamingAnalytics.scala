@@ -48,11 +48,19 @@ object StreamingAnalytics {
       val tmp = s"$root/stage_$name"
       df.coalesce(1).write.parquet(tmp)
       val listing = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
-      val part =
+      val partOpt =
         try listing
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
+          .findFirst()
         finally listing.close()
+      // an EMPTY relation's write may legally emit zero part files (the
+      // optimizer can plan it as zero tasks) — name the stage instead of
+      // surfacing a bare NoSuchElementException
+      require(partOpt.isPresent,
+        s"stageOrderedFiles: stage '$name' produced no parquet part file " +
+          s"in $tmp — empty relations must be staged via a 1-partition " +
+          "write that emits a schema-only file")
+      val part = partOpt.get()
       val dest = java.nio.file.Path.of(inDir, s"$name.parquet")
       java.nio.file.Files.move(part, dest)
       require(dest.toFile.setLastModified(1700000000000L + i * 60000L),

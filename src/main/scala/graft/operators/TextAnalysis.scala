@@ -1122,6 +1122,12 @@ object TextAnalysis {
         .limit(1)
         .withColumn("ab", concat(col("a"), col("b")))
         .localCheckpoint() // 1 row; forces this round's winner now
+      // a 0-row winner (the corpus exhausted its learnable merges before
+      // `rounds`) would silently wipe the symbol relation through the
+      // crossJoin below — fail fast instead, naming the condition
+      require(best.count() == 1,
+        s"bpeTrain: no adjacent pairs left at round $r — the corpus " +
+          s"supports only ${r - 1} merges; lower `rounds`")
       // positions where the winning pair matches, then greedy
       // left-to-right: islands of consecutive matches (by rn) keep only
       // their odd-indexed members

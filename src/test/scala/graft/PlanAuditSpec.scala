@@ -329,6 +329,25 @@ class PlanAuditSpec extends SparkSpec {
       "no stage of the packing census may collapse to one partition")
   }
 
+  test("docs_budget_select: no corpus-sized single-partition window " +
+    "(global prefix sum decomposes into bucketed scans)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.operators.Curation.budgetSelect(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // every empty-partition (single-task) window must sit strictly above
+    // an aggregate — i.e. over the B bucket totals, never the corpus
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        "a global window over un-aggregated (corpus-sized) data would " +
+          "funnel every document through one task:\n" + w)
+    }
+    // and the corpus-sized running sum must be the bucket-partitioned one
+    assert(wins.exists(w => w.partitionSpec.exists(
+      _.references.exists(_.name == "bucket"))),
+      "the per-document prefix sum must partition by the sampled bucket")
+  }
+
   test("decontamination: the benchmark gram set broadcasts into a semi-join") {
     val p = plan(graft.operators.TextAnalysis.decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

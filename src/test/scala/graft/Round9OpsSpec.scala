@@ -106,6 +106,7 @@ class Round9OpsSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).as("n_tok"),
         TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
       .withColumn("score",
         col("n_uniq").cast("double") / col("n_tok").cast("double"))
       .collect()
