@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLshTopPairs(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.pqAdcRecall(s, d)),
+    "sim_ivf_pq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "sim_batch_topk" -> ((s, d) => Similarity.batchLabelTopK(s, d)),
     // ---- subquery battery (SQL surface; Catalyst decorrelation)
@@ -219,6 +220,7 @@ object SparkEntry {
     // quality probe (one exact logistic gradient step)
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeLearn(s, d)),
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "text_bpe_pack" -> ((s, d) => TextAnalysis.bpePackSequences(s, d)),
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
     "docs_quality_probe2" -> ((s, d) => Curation.qualityProbe2(s, d)),
     "docs_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
@@ -961,6 +963,41 @@ object SparkEntry {
          SELECT q_id, c_id AS exact_top1,
            ROUND(CAST(s AS DOUBLE), 4) AS exact_top1_sim,
            TRUE AS pq_quality_ok
+         FROM ranked WHERE rn = 1 ORDER BY q_id""",
+    // composed IVF -> PQ/ADC -> exact-refine serving pipeline: the oracle
+    // replays the deterministic exact side (per-query coarse probe +
+    // exact top-1 within the probed cells); the PQ quality boolean is the
+    // Spark side's to prove (>= 0.8x exact mass, measured ~1.0 since the
+    // exact re-rank recovers ADC ordering noise)
+    "sim_ivf_pq_topk" ->
+      """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+         cent AS (SELECT label, d,
+             CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         qd AS (SELECT vec_id AS q_id, d, val AS qv FROM dims WHERE vec_id < 3),
+         score AS (SELECT q_id, cent.label,
+             CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9)) * CAST(c AS DECIMAL(18,9))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(c AS DECIMAL(18,9)) * CAST(c AS DECIMAL(18,9))) AS DOUBLE))) AS s
+           FROM cent JOIN qd USING (d) GROUP BY 1, 2),
+         probe AS (SELECT q_id, label FROM (
+             SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, label) AS rn
+             FROM score) pr WHERE rn <= 2),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 3),
+         ranked AS (SELECT p.q_id, v.vec_id AS c_id,
+             list_cosine_similarity(v.embedding, q.q_emb) AS s,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY list_cosine_similarity(v.embedding, q.q_emb) DESC,
+                        v.vec_id) AS rn
+           FROM embeddings v JOIN probe p USING (label)
+           JOIN q ON q.q_id = p.q_id
+           WHERE v.vec_id <> p.q_id)
+         SELECT q_id, c_id AS ivf_top1,
+           ROUND(CAST(s AS DOUBLE), 4) AS ivf_top1_sim,
+           TRUE AS pipeline_quality_ok
          FROM ranked WHERE rn = 1 ORDER BY q_id""",
     "sim_batch_topk" ->
       """SELECT q_id, rk, vec_id, label,
@@ -2715,6 +2752,10 @@ object SparkEntry {
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
       ("text_bpe_encode" -> bpeEncodeOracleSql(6)) +
+      // tokenizer -> packer: per-doc BPE lengths (vocabulary join, OOV
+      // tokens count 1) feed the same fixed-256 packing census as
+      // pack_sequences
+      ("text_bpe_pack" -> bpePackOracleSql(6)) +
       // one logistic gradient step at w=0: doubled gradient and margin
       // are pure BIGINT sums (see Curation.qualityProbe), one final
       // double division — the TF bucket expression is the same
@@ -2974,5 +3015,35 @@ object SparkEntry {
          ROUND(CAST(SUM(occ * (len(w) + 1)) AS DOUBLE)
            / SUM(occ * n_sub), 6) AS chars_per_token
        FROM dw JOIN wt USING (w) GROUP BY lang ORDER BY lang"""
+  }
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpePackSequences]]:
+    * the unrolled trainer CTEs, per-document BPE lengths (vocabulary
+    * LEFT join; out-of-vocabulary tokens count 1), then the identical
+    * fixed-256 packing census `pack_sequences` runs on whitespace
+    * lengths. */
+  private[graft] def bpePackOracleSql(rounds: Int): String = {
+    val trained = bpeMergeOracleSql(rounds)
+    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
+    s"""$ctes,
+       wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+         FROM syms_$rounds GROUP BY w),
+       dt AS (SELECT source, doc_id, lower(tok) AS w
+         FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents) dx),
+       dl AS (SELECT source, doc_id,
+           CAST(SUM(COALESCE(wt.n_sub, 1)) AS BIGINT) AS n_tok
+         FROM dt LEFT JOIN wt USING (w) GROUP BY 1, 2),
+       cm AS (SELECT source, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM dl),
+       pw AS (SELECT source, (cum - n_tok) // 256 AS win,
+           CAST(COUNT(*) AS BIGINT) AS docs_in_win,
+           SUM(n_tok) AS tok_start
+         FROM cm GROUP BY 1, 2)
+       SELECT docs_in_win, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(tok_start) AS BIGINT) AS sum_tokens
+       FROM pw GROUP BY 1 ORDER BY 1"""
   }
 }

@@ -439,27 +439,28 @@ object Similarity {
     * is oracle-hash-gated on the exact side (top-1 neighbor + its f32
     * cosine, bit-identical cross-engine) plus the within-bound quality
     * boolean for the PQ side. */
-  def pqAdcRecall(spark: SparkSession, dir: String,
-                  nQueries: Int = 3, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private val PqM = 16; private val PqSub = 4; private val PqK = 64
+
+  /** PQ codebook training, refactored out of [[pqAdcRecall]] so the
+    * composed serving pipeline ([[ivfPqTopK]]) trains the identical
+    * index. One Lloyd pass: assign every row's sub-vectors to their
+    * L2-nearest codewords ([[graft.expressions.PqAssign]] — tight
+    * primitive loops; the HOF rendering it replaces interpreted
+    * M x K x SUB boxed lambda steps per row and dominated the query's
+    * runtime, and PqSpec pins the two bit-equal), then re-derive every
+    * codeword as the exact-decimal mean of its assigned members; empty
+    * codewords drop out and positions re-index deterministically
+    * (sorted by original cid). Seeds = the K lowest-vec_id vectors;
+    * TWO refinement passes, as measured in [[pqAdcRecall]]'s scaladoc. */
+  private def pqCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
     ExprColumns.register(spark)
-    val e = emb(spark, dir)
-    val M = 16; val SUB = 4; val K = 64
-    // one Lloyd pass: assign every row's sub-vectors to their L2-nearest
-    // codewords ([[graft.expressions.PqAssign]] — tight primitive loops;
-    // the HOF rendering it replaces interpreted M x K x SUB boxed lambda
-    // steps per row and dominated the query's runtime, and PqSpec pins
-    // the two bit-equal), then re-derive every codeword as the
-    // exact-decimal mean of its assigned members; empty codewords drop
-    // out and positions re-index deterministically (sorted by original
-    // cid)
     def refine(cbDf: DataFrame): DataFrame =
       e.join(broadcast(cbDf))
         .select(col("embedding"),
           posexplode(ExprColumns.pqAssign(spark, "embedding", "cb")))
         .withColumnRenamed("pos", "m").withColumnRenamed("col", "cid")
         .select(col("m"), col("cid"),
-          posexplode(expr(s"slice(embedding, m * $SUB + 1, $SUB)")))
+          posexplode(expr(s"slice(embedding, m * $PqSub + 1, $PqSub)")))
         .withColumnRenamed("pos", "d").withColumnRenamed("col", "v")
         .groupBy(col("m"), col("cid"), col("d"))
         .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
@@ -475,21 +476,32 @@ object Similarity {
           .as("cb"))
     // seed codebook, ONE broadcast row: cb[m][cid] = sub-vector m of
     // seed cid (cid = rank among the K lowest vec_ids)
-    val cb0 = e.orderBy(col("vec_id")).limit(K)
+    val cb0 = e.orderBy(col("vec_id")).limit(PqK)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("seeds"))
       .select(expr(
-        s"""transform(sequence(0, ${M - 1}), m ->
-              transform(seeds, s -> slice(s.embedding, m * $SUB + 1, $SUB)))""")
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+              transform(seeds, s -> slice(s.embedding, m * $PqSub + 1, $PqSub)))""")
         .as("cb"))
-    val cb = refine(refine(cb0))
-    // encode + reconstruct, map-side: concatenate each row's chosen
-    // codewords back to a 64-dim f32 vector; only (vec_id, recon) ever
-    // leaves the map
-    val recon = e.join(broadcast(cb))
+    refine(refine(cb0))
+  }
+
+  /** Encode + reconstruct, map-side: concatenate each row's chosen
+    * codewords back to a 64-dim f32 vector; only (c_id, recon) ever
+    * leaves the map. */
+  private def pqRecon(e: DataFrame, cb: DataFrame): DataFrame =
+    e.join(broadcast(cb))
       .select(col("vec_id").as("c_id"), expr(
         """flatten(transform(graft_pq_assign(embedding, cb), (c, m) ->
              element_at(element_at(cb, m + 1), c + 1)))""").as("recon"))
+
+  def pqAdcRecall(spark: SparkSession, dir: String,
+                  nQueries: Int = 3, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val cb = pqCodebook(spark, e)
+    val recon = pqRecon(e, cb)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // exact similarities of every (query, candidate) pair — ground truth
@@ -525,6 +537,118 @@ object Similarity {
       .select(col("q_id"), col("exact_top1"), col("exact_top1_sim"),
         (coalesce(col("pq_mass"), lit(0).cast("decimal(18,9)")) * 10 >=
           col("ex_mass") * 8).as("pq_quality_ok"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The composed ANN SERVING query — the three index rungs that exist
+    * here as separate rows ([[ivfTopK]] coarse probe, [[pqAdcRecall]]'s
+    * PQ/ADC ranking, exact refinement) chained the way a production
+    * vector store executes a lookup:
+    *
+    *   1. IVF coarse probe: score the query against the per-cell
+    *      centroids (exact-decimal means), keep the nProbe best cells —
+    *      prunes ~(1 − nProbe/nlist) of the corpus before any per-vector
+    *      math;
+    *   2. ADC shortlist: within the probed cells, rank candidates by
+    *      cosine(query, PQ reconstruction) — the memory-resident scan
+    *      (16x compressed codes) — and keep a `shortlist`-sized pool;
+    *   3. exact re-rank: fetch full vectors ONLY for the shortlist and
+    *      rank the final top-k by exact f32 cosine.
+    *
+    * Returns (finalTopK, ivfExactTopK): the pipeline's re-ranked top-k
+    * and the exact top-k within the same probed cells (the quality
+    * reference that isolates what the PQ shortlist loses). Both carry
+    * (q_id, rk, c_id, ex_sim) with exact f32 similarities.
+    *
+    * Scale shape: centroids, probe table (nQueries x nProbe rows), and
+    * query vectors broadcast; the candidate relation is the corpus
+    * pruned by the probe equi-join on the cell key; the ADC scan
+    * touches only codes (recon is a map-side rebuild, no shuffle); the
+    * exact fetch is shortlist-sized. Per-query rank windows partition
+    * by q_id — no global window anywhere. At 100 TB with trained nlist
+    * (≥ √n cells, see [[labelBlockedPairs]]'s invariant) this is the
+    * FAISS IVF-PQ + refine layout expressed relationally. */
+  private[graft] def ivfPqPipeline(spark: SparkSession, dir: String,
+      nQueries: Int, nProbe: Int, shortlist: Int, k: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val qd = dv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("d"), col("val").as("qv"))
+    val cellScore = cent.join(broadcast(qd), "d")
+      .groupBy(col("q_id"), col("label"))
+      .agg((sum(d9(col("qv")) * d9(col("c"))).cast("double") /
+        (sqrt(sum(d9(col("qv")) * d9(col("qv"))).cast("double")) *
+         sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double")))).as("s"))
+    val probes = cellScore
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("label"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("label"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("embedding"))
+    def rank(scored: DataFrame, simCol: String, limit: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col(simCol).desc, col("c_id"))))
+        .filter(col("rk") <= limit)
+    val cb = pqCodebook(spark, e)
+    val short = rank(cand.select(col("q_id"), col("c_id"))
+      .join(pqRecon(e, cb), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("adc_sim", ExprColumns.cosineF32(spark, "recon", "q_emb")),
+      "adc_sim", shortlist)
+      .select(col("q_id"), col("c_id"))
+    val finalTopK = rank(short
+      .join(e.select(col("vec_id").as("c_id"), col("embedding")), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("ex_sim", ExprColumns.cosineF32(spark, "embedding", "q_emb")),
+      "ex_sim", k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("ex_sim"))
+    val ivfExact = rank(cand
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("ex_sim", ExprColumns.cosineF32(spark, "embedding", "q_emb")),
+      "ex_sim", k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("ex_sim"))
+    (finalTopK, ivfExact)
+  }
+
+  /** End-to-end IVF → PQ/ADC → exact-refine serving query (see
+    * [[ivfPqPipeline]]). The oracle-gated output follows
+    * [[pqAdcRecall]]'s contract: the DETERMINISTIC exact side (each
+    * query's exact top-1 within its probed cells — DuckDB replays the
+    * whole coarse probe + exact ranking) plus the quality boolean the
+    * Spark side must prove: the exact-cosine MASS of the pipeline's
+    * final top-k is ≥ 0.8x the mass of the exact top-k over the same
+    * probed cells (cross-multiplied in exact DECIMAL; set identity
+    * would be flaky on this near-orthogonal corpus — see
+    * [[pqAdcRecall]]'s scaladoc — but re-ranking recovers ADC's
+    * ordering noise, so the measured ratio sits near 1). */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 3,
+                nProbe: Int = 2, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val (finalTopK, ivfExact) =
+      ivfPqPipeline(spark, dir, nQueries, nProbe, shortlist, k)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val pqMass = finalTopK.groupBy(col("q_id"))
+      .agg(sum(d9(col("ex_sim"))).as("pq_mass"))
+    val exMass = ivfExact.groupBy(col("q_id"))
+      .agg(sum(d9(col("ex_sim"))).as("ex_mass"))
+    ivfExact.filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id").as("ivf_top1"),
+        round(col("ex_sim").cast("double"), 4).as("ivf_top1_sim"))
+      .join(broadcast(exMass), Seq("q_id"))
+      .join(broadcast(pqMass), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("ivf_top1"), col("ivf_top1_sim"),
+        (coalesce(col("pq_mass"), lit(0).cast("decimal(18,9)")) * 10 >=
+          col("ex_mass") * 8).as("pipeline_quality_ok"))
       .orderBy(col("q_id"))
   }
 }

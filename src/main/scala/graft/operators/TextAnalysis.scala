@@ -683,12 +683,20 @@ object TextAnalysis {
     * at 100 TB — packing never crosses shards, exactly as a real loader
     * packs within files), so no global single-partition window exists;
     * the histogram aggregates window- then count-cardinality relations. */
-  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame =
+    packCensus(Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).as("n_tok")), budget)
+
+  /** Shared packing census over per-document token LENGTHS (`source`,
+    * `doc_id`, `n_tok`): lengths fully determine the fixed-window cut —
+    * the window of a document's first token is (cumsum − n_tok) div
+    * budget, so the census never materializes the token stream itself. */
+  private def packCensus(docLens: DataFrame, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
-      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tok"))
+    docLens
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("win", expr(s"(cum - n_tok) div $budget"))
       .groupBy(col("source"), col("win"))
@@ -696,6 +704,41 @@ object TextAnalysis {
       .groupBy(col("docs_in_win"))
       .agg(count(lit(1)).as("n_windows"), sum(col("tok_start")).as("sum_tokens"))
       .orderBy(col("docs_in_win"))
+  }
+
+  /** BPE tokenizer → packer integration (the real pretraining shard
+    * shape: documents are SEGMENTED with the learned merge table first,
+    * and the packing windows cut the resulting subword stream, not the
+    * whitespace stream [[packSequences]] cuts). Per document, each token
+    * occurrence joins the trained vocabulary for its post-merge subword
+    * count; tokens outside the trained vocabulary (punctuation, digits —
+    * the trainer's `^[a-z]+$` domain) pass through as ONE atomic token,
+    * the untrained-fallback every production encoder has. The summed
+    * per-document BPE length then feeds the identical fixed-256 census
+    * as [[packSequences]] — so the two rows differ exactly by what the
+    * tokenizer bought.
+    *
+    * Scale shape: merge learning stays on the frequency-weighted
+    * vocabulary ([[bpeMergeLearn]]); segmentation is one corpus
+    * token-explode pass joined to the vocabulary-sized merge table
+    * (Catalyst/AQE picks broadcast vs shuffle by stats — subword counts
+    * per distinct word, never per-occurrence state), and the census'
+    * running sum partitions by `source` (the physical shard key), never
+    * a global window. Token ORDER within a document never needs to
+    * materialize: window assignment depends only on each document's
+    * length and its predecessors' cumulative length. */
+  def bpePackSequences(spark: SparkSession, dir: String,
+                       rounds: Int = 6, budget: Int = 256): DataFrame = {
+    val (_, syms, _) = bpeTrain(spark, dir, rounds)
+    val wordTok = syms.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val docLens = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), col("doc_id"), lower(col("tok")).as("w"))
+      .join(wordTok, Seq("w"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(coalesce(col("n_sub"), lit(1L))).as("n_tok"))
+    packCensus(docLens, budget)
   }
 
   /** 13-gram decontamination census — the GPT-3-style eval-leakage

@@ -10,37 +10,6 @@ import graft.operators.TextAnalysis
   * pins the semantics, not the implementation). */
 class Round9OpsSpec extends SparkSpec {
 
-  /** Reference BPE: words as mutable symbol vectors, greedy left-to-right
-    * non-overlapping apply, overlap-counting pair census, (count DESC,
-    * lexicographic) tie-break — Sennrich et al.'s algorithm 1. */
-  private def referenceBpe(words: Seq[(String, Long)], rounds: Int)
-      : Seq[(Int, String, String, Long, Long, Long)] = {
-    var voc: Seq[(Vector[String], Long)] =
-      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
-    (1 to rounds).map { r =>
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      voc.foreach { case (syms, f) =>
-        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
-          counts(p) = counts.getOrElse(p, 0L) + f
-        }
-      }
-      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-      voc = voc.map { case (syms, f) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result(), f)
-      }
-      val vocabSize = voc.iterator.flatMap(_._1).toSet.size.toLong
-      val totalSyms = voc.iterator.map { case (s, f) => s.length * f }.sum
-      (r, a, b, cnt, vocabSize, totalSyms)
-    }
-  }
-
   test("text_bpe_merges equals an independent in-memory BPE trainer on " +
     "the sf0.001 corpus") {
     val words = Tables(spark, sf0001, "documents")
@@ -49,7 +18,7 @@ class Round9OpsSpec extends SparkSpec {
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val expected = referenceBpe(words, rounds = 6)
+    val expected = BpeReference.train(words, rounds = 6)
     val got = TextAnalysis.bpeMergeLearn(spark, sf0001, rounds = 6)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
@@ -61,7 +30,7 @@ class Round9OpsSpec extends SparkSpec {
     "two 'aa' symbols, 'aaa' yields aa+a") {
     // pin the islands logic the relational apply implements, on the
     // reference trainer the operator is gated against
-    val out = referenceBpe(Seq(("aaaa", 1L), ("aaa", 1L)), rounds = 1)
+    val out = BpeReference.train(Seq(("aaaa", 1L), ("aaa", 1L)), rounds = 1)
     val (_, a, b, cnt, vocab, total) = out.head
     assert((a, b) === ("a", "a"))
     // overlap counting: aaaa has 3 adjacent (a,a) pairs, aaa has 2
