@@ -223,12 +223,18 @@ object SparkEntry {
     "text_bpe_pack" -> ((s, d) => TextAnalysis.bpePackSequences(s, d)),
     "docs_quality_probe" -> ((s, d) => Curation.qualityProbe(s, d)),
     "docs_quality_probe2" -> ((s, d) => Curation.qualityProbe2(s, d)),
+    "docs_probe_auc" -> ((s, d) => Curation.probeAuc(s, d)),
     "docs_budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
     "stream_late_data" -> ((s, d) => StreamingAnalytics.streamLateData(s, d)),
     "stream_sig_index_multi" ->
       ((s, d) => StreamingAnalytics.streamSignatureIndexMulti(s, d)),
     "stream_update_counts" ->
-      ((s, d) => StreamingAnalytics.streamUpdateCounts(s, d))
+      ((s, d) => StreamingAnalytics.streamUpdateCounts(s, d)),
+    // ---- round 10: probe evaluation + stateful outer join + drift
+    "stream_join_outer" ->
+      ((s, d) => StreamingAnalytics.streamJoinOuter(s, d)),
+    "docs_probe_calibration" -> ((s, d) => Curation.probeCalibration(s, d)),
+    "events_drift" -> ((s, d) => EventAnalytics.eventsDrift(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2819,6 +2825,108 @@ object SparkEntry {
              ROUND(CAST(m16 AS DOUBLE) / 16000000.0, 6) AS margin
            FROM sc JOIN documents d USING (doc_id)
            ORDER BY margin DESC, doc_id LIMIT 20""") +
+      // tie-aware Mann-Whitney AUC of both probe steps over the labeled
+      // seed: margins stay in their integer numerators (rank-based, the
+      // denominator cancels), doubled pair-count u2 counts concordant
+      // pairs twice / tied pairs once, ONE final double division
+      ("docs_probe_auc" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+           tf AS MATERIALIZED (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                 % 64 AS j,
+               CAST(COUNT(*) AS BIGINT) AS x
+             FROM tok GROUP BY 1, 2),
+           lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+             WHERE label IN (0, 1)),
+           g AS MATERIALIZED (SELECT j,
+               CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+             FROM tf JOIN lab USING (doc_id) GROUP BY j),
+           m AS MATERIALIZED (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN g USING (j)
+             GROUP BY 1),
+           sg AS (SELECT doc_id,
+               LEAST(GREATEST(8000 + 2 * m2000, 0), 16000) AS sgm FROM m),
+           gp AS (SELECT tf.j,
+               CAST(SUM((16000 * lab.label - sg.sgm) * tf.x) AS BIGINT) AS g2p
+             FROM tf JOIN lab USING (doc_id) JOIN sg USING (doc_id)
+             GROUP BY 1),
+           w AS (SELECT COALESCE(g.j, gp.j) AS j,
+               8000 * COALESCE(g.g2, 0) + COALESCE(gp.g2p, 0) AS wj
+             FROM g FULL JOIN gp ON g.j = gp.j),
+           sc AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(w.wj, 0) * tf.x) AS BIGINT) AS m16
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN w USING (j)
+             GROUP BY 1),
+           lm AS (SELECT lab.label, 'step1' AS step, m.m2000 AS margin
+               FROM m JOIN lab USING (doc_id)
+             UNION ALL
+             SELECT lab.label, 'step2', sc.m16
+               FROM sc JOIN lab USING (doc_id)),
+           bv AS (SELECT step, margin,
+               CAST(SUM(label) AS BIGINT) AS np_v,
+               CAST(SUM(1 - label) AS BIGINT) AS nn_v
+             FROM lm GROUP BY 1, 2),
+           cum AS (SELECT *, COALESCE(SUM(nn_v) OVER (PARTITION BY step
+               ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_lt
+             FROM bv)
+           SELECT step, CAST(SUM(np_v) AS BIGINT) AS n_pos,
+             CAST(SUM(nn_v) AS BIGINT) AS n_neg,
+             CAST(SUM(np_v * (2 * nn_lt + nn_v)) AS BIGINT) AS u2,
+             ROUND(CAST(SUM(np_v * (2 * nn_lt + nn_v)) AS DOUBLE)
+               / (2.0 * SUM(np_v) * SUM(nn_v)), 6) AS auc
+           FROM cum GROUP BY step ORDER BY step""") +
+      // reliability diagram of the step-1 hard-sigmoid predictions: 8
+      // equal probability bins, observed positive rate vs mean predicted
+      ("docs_probe_calibration" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+           tf AS MATERIALIZED (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                 % 64 AS j,
+               CAST(COUNT(*) AS BIGINT) AS x
+             FROM tok GROUP BY 1, 2),
+           lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+             WHERE label IN (0, 1)),
+           g AS (SELECT j, CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+             FROM tf JOIN lab USING (doc_id) GROUP BY j),
+           m AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN g USING (j)
+             GROUP BY 1),
+           sg AS (SELECT doc_id,
+               LEAST(GREATEST(8000 + 2 * m2000, 0), 16000) AS sgm FROM m),
+           bins AS (SELECT
+               LEAST(CAST(FLOOR(sgm / 2000.0) AS BIGINT), 7) AS bin,
+               lab.label, sgm
+             FROM sg JOIN lab USING (doc_id))
+           SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             ROUND(CAST(SUM(sgm) AS DOUBLE) / (COUNT(*) * 16000.0), 6)
+               AS mean_pred,
+             ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+           FROM bins GROUP BY bin ORDER BY bin""") +
+      // per-type chi-square decomposition of second-half drift against
+      // the first half's distribution as the null
+      ("events_drift" ->
+        """WITH h AS (SELECT event_type,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_first,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+           FROM events GROUP BY 1),
+           t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+             CAST(SUM(n_second) AS BIGINT) AS t2 FROM h)
+           SELECT event_type, n_first, n_second,
+             ROUND(CAST(n_first AS DOUBLE) / t1, 6) AS share_first,
+             ROUND(CAST(n_second AS DOUBLE) / t2, 6) AS share_second,
+             ROUND(POWER(n_second - CAST(t2 AS DOUBLE) * n_first / t1, 2)
+               / (CAST(t2 AS DOUBLE) * n_first / t1), 6) AS chi2_term
+           FROM h, t ORDER BY event_type""") +
       // budget-constrained greedy selection: quality-ranked prefix whose
       // running token sum fits half the corpus's token mass; ties
       // (score DESC, doc_id); floor(total/2) == truncation on positives
@@ -2870,6 +2978,19 @@ object SparkEntry {
       ("stream_sig_index_multi" -> incrementalMinhashOracleSql(Seq(
         "sx.sn >= 10 AND sx.sn < 15 AND sy.sn < 10",
         "sx.sn >= 15 AND sy.sn < 15"))) +
+      // stream-stream LEFT OUTER interval join: the flush sentinel
+      // advances both watermarks past every real purchase, so eviction
+      // emits every unmatched row and the streamed result equals the
+      // batch outer join; null view side rendered '-' (null-free rows)
+      ("stream_join_outer" ->
+        """SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           COALESCE(strftime(v.ts, '%Y-%m-%d %H:%M:%S'), '-') AS view_ts
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+           ORDER BY purchase_id, view_ts""") +
       // update-mode changelog folded to final state == the batch answer
       ("stream_update_counts" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

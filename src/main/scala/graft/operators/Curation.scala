@@ -380,6 +380,25 @@ object Curation {
     * affords 3-4 steps before the arithmetic needs DECIMAL(38),
     * which is the honest place to switch. */
   def qualityProbe2(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val m = trainProbe(spark, dir)
+    m.tf.crossJoin(broadcast(m.w2))
+      .withColumn("m16", expr(
+        "aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("m16").cast("double") / 16000000.0, 6).as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The two-step hard-sigmoid probe trainer shared by [[qualityProbe2]]
+    * and [[probeAuc]]: `tf` is the corpus feature relation, `labeled` the
+    * labeled seed join, `w1`/`w2` the 1-row dense 64-weight arrays after
+    * step 1 (×2000 denominator) and the folded two-step vector (×16e6).
+    * See [[qualityProbe2]]'s scaladoc for the integer-exactness ladder. */
+  private case class ProbeModel(tf: DataFrame, labeled: DataFrame,
+      w1: DataFrame, w2: DataFrame)
+
+  private def trainProbe(spark: SparkSession, dir: String): ProbeModel = {
     graft.functions.ExprColumns.register(spark)
     val tf = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -415,13 +434,90 @@ object Curation {
       .select(col("j"),
         (lit(8000L) * coalesce(col("g2"), lit(0L)) +
           coalesce(col("g2p"), lit(0L))).as("wj"))
-    val w2 = weightArray(wBoth, "wj")
-    tf.crossJoin(broadcast(w2))
-      .withColumn("m16", expr(
-        "aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        round(col("m16").cast("double") / 16000000.0, 6).as("margin"))
-      .orderBy(col("margin").desc, col("doc_id"))
-      .limit(k)
+    ProbeModel(tf, labeled, w1, weightArray(wBoth, "wj"))
+  }
+
+  /** Ranking-quality evaluation of the trained probes — "train the
+    * filter" ([[qualityProbe]]/[[qualityProbe2]]) closes with "measure
+    * the filter": tie-aware AUC of each step's margin over the labeled
+    * seed, via the Mann-Whitney rank-sum identity. All arithmetic is
+    * BIGINT until the single final division: the margins stay in their
+    * integer numerators (×2000 for step 1, ×16e6 for step 2 — AUC is
+    * rank-based, so the common denominator cancels), and the doubled
+    * pair-count
+    *
+    *   u2 = Σ_v np_v · (2·nn_<v + nn_v)
+    *
+    * (np_v / nn_v = positives/negatives AT margin value v, nn_<v =
+    * negatives strictly below) counts each concordant positive-negative
+    * pair twice and each tied pair once, so auc = u2 / (2·n_pos·n_neg)
+    * — exactly Σ [m⁺>m⁻] + ½[m⁺=m⁻] over all pairs, reproducible
+    * bit-for-bit in DuckDB.
+    *
+    * Scale shape: every pass runs over the LABELED seed only (the same
+    * bounded-sample argument as the trainers — at 100 TB that's the
+    * ~500k-page annotated set, not the corpus). The rank-sum is computed
+    * on the per-margin-VALUE aggregate — at most |seed| rows and
+    * typically far fewer — so the one ordered window scans an
+    * aggregated, seed-bounded relation (the scan-of-block-sums shape),
+    * never corpus-sized data; no all-pairs join anywhere. */
+  def probeAuc(spark: SparkSession, dir: String): DataFrame = {
+    val m = trainProbe(spark, dir)
+    def margins(w: DataFrame, step: String): DataFrame = m.labeled
+      .crossJoin(broadcast(w)) // 1-row weight scalar
+      .select(lit(step).as("step"), col("label").cast("long").as("label"),
+        expr("aggregate(zip_with(x, w, (a, b) -> a * b), " +
+          "0L, (acc, v) -> acc + v)").as("margin"))
+    val byVal = margins(m.w1, "step1")
+      .unionAll(margins(m.w2, "step2"))
+      .groupBy(col("step"), col("margin"))
+      .agg(sum(col("label")).as("np_v"),
+        sum(lit(1L) - col("label")).as("nn_v"))
+    val wLt = Window.partitionBy(col("step")).orderBy(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("nn_lt", coalesce(sum(col("nn_v")).over(wLt), lit(0L)))
+      .groupBy(col("step"))
+      .agg(sum(col("np_v")).as("n_pos"), sum(col("nn_v")).as("n_neg"),
+        sum(col("np_v") * (lit(2L) * col("nn_lt") + col("nn_v"))).as("u2"))
+      .select(col("step"), col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      .orderBy(col("step"))
+  }
+
+  /** Calibration census of the trained probe — the reliability-diagram
+    * companion to [[probeAuc]] (AUC measures ranking; calibration
+    * measures whether the probability the filter ACTS on is honest):
+    * the step-1 hard-sigmoid predictions σ̂(w₁·x) — exactly the ×16000
+    * integer `sgm` the step-2 trainer consumes, no new arithmetic — are
+    * bucketed into 8 equal-width probability bins, and each bin reports
+    * observed positive rate next to mean predicted probability. A
+    * calibrated probe has frac_pos ≈ mean_pred per bin; a filter
+    * thresholding raw margins needs exactly this census to pick the
+    * operating point. All aggregation is BIGINT (count, Σlabel, Σsgm);
+    * the two divisions happen once per of-8-bins output row.
+    *
+    * Scale shape: one pass over the LABELED seed (bounded sample, as
+    * [[probeAuc]]), one 8-group hash aggregation — no window, no join
+    * beyond the 1-row broadcast weight scalar. */
+  def probeCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val m = trainProbe(spark, dir)
+    m.labeled.crossJoin(broadcast(m.w1)) // 1-row weight scalar
+      .select(col("label").cast("long").as("label"),
+        least(greatest(lit(8000L) + lit(2L) * expr(
+          "aggregate(zip_with(x, w, (a, b) -> a * b), " +
+            "0L, (acc, v) -> acc + v)"), lit(0L)), lit(16000L)).as("sgm"))
+      // sgm = 16000 lands in the top bin (least(..., 7))
+      .withColumn("bin",
+        least(floor(col("sgm").cast("double") / 2000.0).cast("long"), lit(7L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        sum(col("sgm")).as("sum_sgm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_sgm").cast("double") /
+          (col("n") * lit(16000.0)), 6).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+      .orderBy(col("bin"))
   }
 }

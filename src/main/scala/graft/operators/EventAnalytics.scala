@@ -479,4 +479,37 @@ object EventAnalytics {
               (col("s").cast("double") / col("n"))), 4).as("z"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Distribution-shift monitor between two time slices of the stream —
+    * the data-quality gate a training pipeline runs between crawls ("did
+    * the mix change under us?"): the event-type distribution of the
+    * SECOND half of the month is tested against the FIRST half's as the
+    * null hypothesis. Per type: raw counts in each half, each half's
+    * share, and the Pearson chi-square contribution
+    * (n₂ − e)² / e with e = t₂·n₁/t₁ — the per-cell decomposition, so a
+    * drifted category is directly attributable rather than hidden in
+    * one scalar. Counts are exact BIGINT; the double formula is applied
+    * in the identical operation order in both engines.
+    *
+    * Scale shape: one hash-aggregation of the fact table (map-side
+    * partials, type-cardinality result), the 1-row totals broadcast
+    * back — no window, no second fact pass. At 100 TB the census stays
+    * |event_type| rows regardless of volume. */
+  def eventsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val halves = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        (col("ts") >= cut).cast("long").as("h"))
+      .groupBy(col("event_type"))
+      .agg(sum(lit(1L) - col("h")).as("n_first"), sum(col("h")).as("n_second"))
+    val totals = halves.agg(sum(col("n_first")).as("t1"),
+      sum(col("n_second")).as("t2"))
+    val e = col("t2").cast("double") * col("n_first") / col("t1")
+    halves.crossJoin(broadcast(totals)) // 1-row totals scalar
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        round(col("n_first").cast("double") / col("t1"), 6).as("share_first"),
+        round(col("n_second").cast("double") / col("t2"), 6).as("share_second"),
+        round(pow(col("n_second") - e, lit(2.0)) / e, 6).as("chi2_term"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -41,7 +41,7 @@ object StreamingAnalytics {
     * staged-source experiments here share (FileStreamSource picks files
     * in mtime order; with maxFilesPerTrigger=1 each file becomes its own
     * micro-batch, so stage order IS batch order). */
-  private def stageOrderedFiles(root: String, inDir: String,
+  private[graft] def stageOrderedFiles(root: String, inDir: String,
       stages: Seq[(String, DataFrame)]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Path.of(inDir))
     stages.zipWithIndex.foreach { case ((name, df), i) =>
@@ -121,6 +121,87 @@ object StreamingAnalytics {
         date_format(col("purchase_ts"), fmt).as("purchase_ts"),
         date_format(col("view_ts"), fmt).as("view_ts"))
       .orderBy(col("purchase_id"), col("view_ts"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join with watermark-driven state
+    * eviction — the remaining stateful-join semantics after
+    * [[streamJoinAttribution]]'s inner form: every purchase emits, the
+    * unmatched ones with a null view side, but an outer row can only be
+    * declared unmatched once NO future view could still join it — i.e.
+    * when the join watermark passes the purchase's event time. Matched
+    * rows still emit on match; unmatched rows are held in the state store
+    * and emitted by eviction.
+    *
+    * That makes the tail the interesting part: in a run whose watermark
+    * ends at (max event time − delay), every unmatched purchase in the
+    * final hour is withheld — correct streaming behavior, but
+    * nondeterministic against a batch oracle. So the source is STAGED
+    * (same mtime-ordered one-file-per-trigger contract as
+    * [[streamLateData]]): file 1 carries the real events, file 2 a
+    * far-future FLUSH sentinel on both sides (view + purchase, negative
+    * ids so it can never join real traffic and is filtered from the
+    * output). The sentinel advances both event-time watermarks past
+    * every real purchase; AvailableNow's closing no-data batch then
+    * evicts and emits every remaining unmatched row, so the streamed
+    * result equals the batch LEFT OUTER interval join exactly — the
+    * oracle. A StreamingSpec case pins the eviction timing by running
+    * the same stages WITHOUT the sentinel and asserting the final-hour
+    * unmatched purchases are withheld there.
+    *
+    * Scale: view-side state is bounded by watermark delay + join window
+    * (Spark drops buffered views once the purchase watermark passes
+    * `view_ts + 30 min`); purchase-side unmatched state by the delay.
+    * The null view side is rendered as '-' so the row domain is
+    * null-free (engine null-ordering never enters the hash compare). */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val root = java.nio.file.Files.createTempDirectory("graft_outer").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+    val sentinel = spark.range(1).select(
+        lit("2024-06-01 00:00:00").cast("timestamp").as("ts"),
+        lit("view").as("event_type"),
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"))
+      .unionAll(spark.range(1).select(
+        lit("2024-06-01 00:00:00").cast("timestamp").as("ts"),
+        lit("purchase").as("event_type"),
+        lit(-2L).as("user_id"), lit(-2L).as("event_id")))
+    stageOrderedFiles(root, inDir, Seq("a" -> ev, "b_flush" -> sentinel))
+    val out = outerJoinOverStaged(spark, inDir)
+      .filter(col("purchase_id") >= 0) // drop the flush sentinel
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("purchase_ts"), fmt).as("purchase_ts"),
+        coalesce(date_format(col("view_ts"), fmt), lit("-")).as("view_ts"))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("purchase_id"), col("view_ts"))
+  }
+
+  /** The outer-join streaming plan over a staged source directory,
+    * package-private so StreamingSpec can run the identical plan with and
+    * without the flush sentinel (the eviction-timing pin). */
+  private[graft] def outerJoinOverStaged(spark: SparkSession,
+      inDir: String): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val v = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+    StreamingOps.runAvailableNow(joined, mode = "append")
   }
 
   /** Stream-static join: the live event stream enriched against a batch

@@ -95,4 +95,123 @@ class Round10OpsSpec extends SparkSpec {
     // covers the cells' true top-10 (the expected regime at this SF)
     assert(composed === ivfOnly)
   }
+
+  /** Plain-Scala replay of the two-step hard-sigmoid probe trainer on
+    * sf0.001 (same ladder as Curation.qualityProbe2): returns, per
+    * labeled doc id, (label, step-1 margin ×2000, step-1 sigmoid ×16000,
+    * step-2 margin ×16e6). Independent of the Spark implementation:
+    * features via MessageDigest (HashedTf64's first-md5-byte % 64
+    * scheme), arithmetic in driver loops. */
+  private def replayTrainer(): Seq[(Long, Int, Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def tf64(text: String): Array[Long] = {
+      val counts = new Array[Long](64)
+      text.split(" ", -1).foreach { w =>
+        md.reset()
+        counts((md.digest(w.getBytes("UTF-8"))(0) & 0xff) % 64) += 1L
+      }
+      counts
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> tf64(r.getString(1))).toMap
+    val labels = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .filter { case (id, _) => docs.contains(id) }
+    val g2 = new Array[Long](64)
+    for ((id, y) <- labels; j <- 0 until 64)
+      g2(j) += (2L * y - 1L) * docs(id)(j)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val sgm = labels.map { case (id, _) =>
+      id -> math.min(math.max(8000L + 2L * dot(g2, docs(id)), 0L), 16000L)
+    }.toMap
+    val g2p = new Array[Long](64)
+    for ((id, y) <- labels; j <- 0 until 64)
+      g2p(j) += (16000L * y - sgm(id)) * docs(id)(j)
+    val wBoth = Array.tabulate(64)(j => 8000L * g2(j) + g2p(j))
+    labels.map { case (id, y) =>
+      (id, y, dot(g2, docs(id)), sgm(id), dot(wBoth, docs(id)))
+    }.toSeq
+  }
+
+  test("docs_probe_auc equals a driver-side replay: plain-Scala two-step " +
+    "trainer + brute-force all-pairs tie-aware AUC") {
+    import graft.operators.Curation
+    val replay = replayTrainer()
+    val m2000 = replay.map { case (_, y, m1, _, _) => (y, m1) }.toArray
+    val m16 = replay.map { case (_, y, _, _, m2) => (y, m2) }.toArray
+    // brute-force all-pairs tie-aware doubled rank-sum
+    def auc(ms: Array[(Int, Long)]): (Long, Long, Long, Double) = {
+      val pos = ms.filter(_._1 == 1).map(_._2)
+      val neg = ms.filter(_._1 == 0).map(_._2)
+      val u2 = pos.iterator.map(p =>
+        neg.iterator.map(n =>
+          if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+      (pos.length.toLong, neg.length.toLong, u2,
+        BigDecimal(u2.toDouble / (2.0 * pos.length * neg.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = Seq("step1" -> auc(m2000), "step2" -> auc(m16))
+      .map { case (s, (np, nn, u2, a)) => (s, np, nn, u2, a) }
+    val got = Curation.probeAuc(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the filter story closes: the second gradient step must not rank
+    // worse than chance, and both AUCs are well-defined probabilities
+    got.foreach { case (_, _, _, _, a) => assert(a >= 0.0 && a <= 1.0) }
+  }
+
+  test("docs_probe_calibration equals a driver-side replay of the step-1 " +
+    "predictions bucketed into 8 reliability bins") {
+    import graft.operators.Curation
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = replayTrainer()
+      .map { case (_, y, _, sgm, _) =>
+        (math.min(sgm / 2000L, 7L), y.toLong, sgm)
+      }
+      .groupBy(_._1).toSeq.map { case (bin, xs) =>
+        val n = xs.length.toLong
+        val nPos = xs.map(_._2).sum
+        val sumSgm = xs.map(_._3).sum
+        (bin, n, nPos, r6(sumSgm.toDouble / (n * 16000.0)),
+          r6(nPos.toDouble / n))
+      }.sortBy(_._1)
+    val got = Curation.probeCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // every labeled doc lands in exactly one bin
+    assert(got.map(_._2).sum === replayTrainer().size.toLong)
+  }
+
+  test("events_drift equals a driver-side chi-square recomputation over " +
+    "collected per-type half-month counts") {
+    import graft.operators.EventAnalytics
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val byType = ev.groupBy(_._1).toSeq.map { case (t, xs) =>
+      val first = xs.count(_._2.before(cut)).toLong
+      (t, first, xs.length.toLong - first)
+    }.sortBy(_._1)
+    val t1 = byType.map(_._2).sum
+    val t2 = byType.map(_._3).sum
+    val expected = byType.map { case (t, n1, n2) =>
+      val e = t2.toDouble * n1 / t1
+      (t, n1, n2, r6(n1.toDouble / t1), r6(n2.toDouble / t2),
+        r6(math.pow(n2 - e, 2.0) / e))
+    }
+    val got = EventAnalytics.eventsDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+  }
 }

@@ -343,4 +343,42 @@ class StreamingSpec extends SparkSpec {
       assert(dropped == 1L, "exactly the deep-late row is dropped")
     } finally q.stop()
   }
+
+  test("outer interval join eviction timing: an unmatched purchase emits " +
+    "only after the watermark passes its event time (flush vs no-flush)") {
+    import graft.operators.StreamingAnalytics
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:00:00", "view", 1L, 100L),
+      ("2024-01-01 10:15:00", "purchase", 1L, 101L), // matched -> on match
+      ("2024-01-01 10:20:00", "purchase", 2L, 102L)) // unmatched -> eviction
+      .toDF("ts_s", "event_type", "user_id", "event_id")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"), col("event_id"))
+    val flush = Seq(("2024-01-01 12:00:00", "view", -1L, -1L),
+      ("2024-01-01 12:00:00", "purchase", -2L, -2L))
+      .toDF("ts_s", "event_type", "user_id", "event_id")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"), col("event_id"))
+    def run(stages: Seq[(String, org.apache.spark.sql.DataFrame)])
+        : Map[Long, Option[java.sql.Timestamp]] = {
+      val root = Files.createTempDirectory("graft_outer_spec").toString
+      StreamingAnalytics.stageOrderedFiles(root, s"$root/in", stages)
+      StreamingAnalytics.outerJoinOverStaged(spark, s"$root/in")
+        .filter(col("purchase_id") >= 0)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    }
+    // no flush: final watermark = 10:20 - 1h = 09:20 < p2's event time,
+    // so the unmatched purchase is WITHHELD (only the matched row emits)
+    val without = run(Seq("a" -> ev))
+    assert(without.keySet === Set(101L),
+      s"unmatched purchase must be withheld before eviction: $without")
+    // with the flush sentinel the watermark passes 10:20 and eviction
+    // emits the unmatched purchase with a null view side
+    val withFlush = run(Seq("a" -> ev, "b_flush" -> flush))
+    assert(withFlush.keySet === Set(101L, 102L))
+    assert(withFlush(101L).nonEmpty && withFlush(102L).isEmpty)
+  }
 }
