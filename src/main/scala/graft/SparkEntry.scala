@@ -234,7 +234,9 @@ object SparkEntry {
     "stream_join_outer" ->
       ((s, d) => StreamingAnalytics.streamJoinOuter(s, d)),
     "docs_probe_calibration" -> ((s, d) => Curation.probeCalibration(s, d)),
-    "events_drift" -> ((s, d) => EventAnalytics.eventsDrift(s, d))
+    "events_drift" -> ((s, d) => EventAnalytics.eventsDrift(s, d)),
+    "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+    "docs_curriculum" -> ((s, d) => Curation.curriculum(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2910,6 +2912,61 @@ object SparkEntry {
                AS mean_pred,
              ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos
            FROM bins GROUP BY bin ORDER BY bin""") +
+      // IVF serving-tuning curve: each query's cell ranking (exact-
+      // decimal centroid cosine) computed once, probe widths {1,2,4}
+      // joined on cell_rank <= nprobe, top-10 per (nprobe, query) scored
+      // against the brute-force ground truth
+      ("sim_nprobe_sweep" ->
+        """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+           cent AS (SELECT label, d,
+               CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                 AS DOUBLE) / COUNT(*) AS c
+             FROM dims GROUP BY 1, 2),
+           qd AS (SELECT vec_id AS q_id, d, val AS qv FROM dims
+             WHERE vec_id < 5),
+           score AS (SELECT qd.q_id, cent.label,
+               CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9))
+                   * CAST(c AS DECIMAL(18,9))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9))
+                     * CAST(CAST(qv AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(c AS DECIMAL(18,9))
+                     * CAST(c AS DECIMAL(18,9))) AS DOUBLE))) AS s
+             FROM cent JOIN qd USING (d) GROUP BY 1, 2),
+           rk AS (SELECT q_id, label,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, label) AS BIGINT) AS cell_rk
+             FROM score QUALIFY cell_rk <= 4),
+           np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+           qe AS (SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 5),
+           cand AS (SELECT np.nprobe, rk.q_id, v.vec_id,
+               v.embedding, qe.q_emb
+             FROM rk JOIN np ON rk.cell_rk <= np.nprobe
+             JOIN embeddings v ON v.label = rk.label
+             JOIN qe ON qe.q_id = rk.q_id
+             WHERE v.vec_id <> rk.q_id),
+           swtop AS (SELECT nprobe, q_id, vec_id FROM (SELECT nprobe,
+               q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                 ORDER BY list_cosine_similarity(embedding, q_emb) DESC,
+                   vec_id) AS rn
+             FROM cand) WHERE rn <= 10),
+           brute AS (SELECT q_id, vec_id FROM (SELECT qe.q_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qe.q_id
+                 ORDER BY list_cosine_similarity(v.embedding, qe.q_emb)
+                   DESC, v.vec_id) AS rn
+             FROM embeddings v, qe WHERE v.vec_id <> qe.q_id)
+             WHERE rn <= 10),
+           hits AS (SELECT nprobe, COUNT(*) AS n_hits
+             FROM swtop JOIN brute USING (q_id, vec_id) GROUP BY 1),
+           nc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
+             FROM cand GROUP BY 1)
+           SELECT nc.nprobe, nc.n_cand,
+             CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+             ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 50.0, 6)
+               AS recall
+           FROM nc LEFT JOIN hits USING (nprobe) ORDER BY nprobe""") +
       // per-type chi-square decomposition of second-half drift against
       // the first half's distribution as the null
       ("events_drift" ->
@@ -2927,6 +2984,31 @@ object SparkEntry {
              ROUND(POWER(n_second - CAST(t2 AS DOUBLE) * n_first / t1, 2)
                / (CAST(t2 AS DOUBLE) * n_first / t1), 6) AS chi2_term
            FROM h, t ORDER BY event_type""") +
+      // curriculum phases: exact global quality rank (score DESC,
+      // doc_id) cut into 4 equal integer-arithmetic phases; DECIMAL-
+      // summed per-phase mean score (the oracle may use a plain global
+      // window — the Spark plan decomposes the same rank distributedly)
+      ("docs_curriculum" ->
+        """WITH scored AS (SELECT * FROM (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+           FROM documents) WHERE n_tok > 0),
+           sc2 AS (SELECT *,
+             CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score
+           FROM scored),
+           nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc2),
+           rk AS (SELECT lang, n_tok, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS r
+           FROM sc2),
+           ph AS (SELECT lang, n_tok, score,
+             1 + ((r - 1) * 4 // nn.n) AS phase FROM rk, nn)
+           SELECT phase, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens,
+             ROUND(CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_score
+           FROM ph GROUP BY 1, 2 ORDER BY phase, lang""") +
       // budget-constrained greedy selection: quality-ranked prefix whose
       // running token sum fits half the corpus's token mass; ties
       // (score DESC, doc_id); floor(total/2) == truncation on positives

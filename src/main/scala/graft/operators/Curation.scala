@@ -352,6 +352,69 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Curriculum phase assignment — the data-ORDERING decision after
+    * selection: every document gets an exact global quality rank
+    * (distinct-token ratio DESC, doc_id — the same signal the budget
+    * selector ranks on) and the ranking is cut into 4 equal phases,
+    * highest-quality first: phase = 1 + (rank−1)·4 div N (pure integer
+    * arithmetic, so both engines cut identically; a curriculum scheduler
+    * then feeds phase 1 before phase 2, the anneal-from-clean-data
+    * shape). Emits the per-(phase, lang) census: docs, tokens, and the
+    * phase's mean score (DECIMAL-summed, ONE double division — no
+    * order-dependent float accumulation), which is also the monotone
+    * sanity signal: mean score strictly falls phase over phase.
+    *
+    * Plan shape: the exact GLOBAL RANK is the same distributed two-pass
+    * scan as [[budgetSelect]] — sampled percentile boundaries bucket the
+    * corpus order-compatibly, row_number runs per bucket (B-way
+    * parallel), per-bucket COUNTS aggregate to B rows whose tiny window
+    * yields exact starting offsets, global rank = offset + local rank.
+    * NTILE over a corpus-sized ORDER BY would be one task at scale;
+    * this is the decomposition that survives 100x. The N scalar and the
+    * boundary array broadcast. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+    val nTotal = scored.agg(count(lit(1)).as("n"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nBuckets).map(i =>
+      (i.toDouble / nBuckets).toString).mkString(", ")
+    val bnds = scored.agg(
+      expr(s"approx_percentile(score, array($pcts))").as("bnds"))
+    val bucketed = scored.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("bucket",
+        size(filter(col("bnds"), b => b > col("score"))))
+      .drop("bnds")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val localRk = bucketed
+      .withColumn("local_rk", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
+    localRk
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rank", col("off") + col("local_rk"))
+      .crossJoin(broadcast(nTotal)) // 1-row N scalar
+      .withColumn("phase", expr("1L + ((rank - 1L) * 4L) div n"))
+      .groupBy(col("phase"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        sum(col("score").cast("decimal(18,9)")).as("score_sum"))
+      .select(col("phase"), col("lang"), col("n_docs"), col("tokens"),
+        round(col("score_sum").cast("double") / col("n_docs"), 6)
+          .as("mean_score"))
+      .orderBy(col("phase"), col("lang"))
+  }
+
   /** TWO exact logistic gradient steps (the iterative half
     * [[qualityProbe]] stops short of — the same relationship
     * `sim_kmeans_lloyd2` has to `sim_kmeans_iter`): step 2 needs

@@ -201,6 +201,83 @@ object Similarity {
         round(col("sim_raw").cast("double"), 4).as("sim"))
   }
 
+  /** The IVF serving-tuning curve — recall vs cost as a function of
+    * `nprobe`, the number every deployment actually turns: for each probe
+    * width in {1, 2, 4}, every query's top-10 from the probed cells is
+    * scored against the exact brute-force ground truth, and the row
+    * reports the candidate count (the cost the setting buys) next to the
+    * recall it delivers. The capacity-planning companion to
+    * [[recallAt10]]'s single-setting eval: the three rows ARE the knee
+    * curve an ANN rollout reads before fixing nprobe.
+    *
+    * One job, no per-setting re-execution: cell ranking per query is
+    * computed ONCE (centroid cosine, [[ivfTopK]]'s exact-decimal means),
+    * each candidate carries its cell's rank, and the 3-row probe-width
+    * dimension joins on `cell_rank <= nprobe` — so widening the sweep
+    * grid re-ranks the SAME candidate relation instead of re-probing the
+    * corpus. Per-(nprobe, query) ranking is a row_number window (Spark
+    * rewrites rank<=k to map-side WindowGroupLimit); ground truth is the
+    * corpus x broadcast-queries pass [[recallAt10]] uses — at 100 TB
+    * that side runs on a query SAMPLE, exactly how tuning dashboards are
+    * built. Centroids, query vectors, and the probed-cell relation all
+    * broadcast (cells x queries rows). */
+  def nprobeSweep(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val qd = dv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("d"), col("val").as("qv"))
+    // per-(query, cell) centroid cosine -> each query's cell ranking
+    val score = cent.join(broadcast(qd), "d")
+      .groupBy(col("q_id"), col("label"))
+      .agg((sum(d9(col("qv")) * d9(col("c"))).cast("double") /
+        (sqrt(sum(d9(col("qv")) * d9(col("qv"))).cast("double")) *
+         sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double")))).as("s"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("s").desc, col("label"))
+    val probed = score
+      .withColumn("cell_rk", row_number().over(wCell).cast("long"))
+      .filter(col("cell_rk") <= 4)
+      .select(col("q_id"), col("label"), col("cell_rk"))
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val np = spark.range(1)
+      .select(explode(array(lit(1L), lit(2L), lit(4L))).as("nprobe"))
+    // candidates scanned once, widened per probe setting by the rank join
+    val cand = e.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .join(broadcast(np), col("cell_rk") <= col("nprobe"))
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    val swTop = cand
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val wBrute = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    val brute = e.join(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rn", row_number().over(wBrute))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = swTop.join(brute, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+      .join(hits, Seq("nprobe"), "left_outer")
+      .select(col("nprobe"), col("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          (nQueries * k).toDouble, 6).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Batch ANN lookup — the realistic serving shape: MANY query vectors
     * resolved in one job. Each query (vec_id < nQueries) retrieves its
     * top-k same-label neighbors: an equi-join on the block key (label

@@ -348,6 +348,22 @@ class PlanAuditSpec extends SparkSpec {
       "the per-document prefix sum must partition by the sampled bucket")
   }
 
+  test("docs_curriculum: the exact global rank decomposes like " +
+    "docs_budget_select (bucketed row_number, no corpus-sized NTILE)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.operators.Curation.curriculum(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        "a global window over un-aggregated (corpus-sized) data would " +
+          "funnel every document through one task:\n" + w)
+    }
+    assert(wins.exists(w => w.partitionSpec.exists(
+      _.references.exists(_.name == "bucket"))),
+      "the per-document row_number must partition by the sampled bucket")
+  }
+
   test("decontamination: the benchmark gram set broadcasts into a semi-join") {
     val p = plan(graft.operators.TextAnalysis.decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

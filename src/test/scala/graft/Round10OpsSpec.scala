@@ -189,6 +189,108 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.map(_._2).sum === replayTrainer().size.toLong)
   }
 
+  test("sim_nprobe_sweep equals a driver-side replay: exact-decimal cell " +
+    "ranking, candidate widening by rank, f32 top-10 vs brute ground truth") {
+    import graft.operators.Similarity
+    def d9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosF32(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0f; var nx = 0f; var ny = 0f; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(nx.toDouble).toFloat * math.sqrt(ny.toDouble).toFloat)
+    }
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val nQ = 5; val k = 10
+    val queries = vecs.filter(_._1 < nQ)
+    // exact-decimal per-(label, dim) centroid means, then per-query cosine
+    val byLabel = vecs.groupBy(_._2)
+    val cent: Map[Int, Array[Double]] = byLabel.map { case (lab, xs) =>
+      lab -> Array.tabulate(xs.head._3.length) { d =>
+        (xs.map(x => d9(x._3(d).toDouble)).sum.toDouble / xs.length)
+      }
+    }
+    def cellRank(q: Array[Float]): Seq[Int] = cent.toSeq.map { case (lab, c) =>
+      val dq = q.indices.map(d => d9(q(d).toDouble) * d9(c(d))).sum.toDouble
+      val qq = q.indices.map(d => d9(q(d).toDouble) * d9(q(d).toDouble))
+        .sum.toDouble
+      val cc = q.indices.map(d => d9(c(d)) * d9(c(d))).sum.toDouble
+      (lab, dq / (math.sqrt(qq) * math.sqrt(cc)))
+    }.sortBy { case (lab, s) => (-s, lab) }.map(_._1).take(4)
+    val ranked: Map[Long, Seq[Int]] =
+      queries.map(q => q._1 -> cellRank(q._3)).toMap
+    val brute: Map[Long, Set[Long]] = queries.map { q =>
+      q._1 -> vecs.filter(_._1 != q._1)
+        .map(v => (v._1, cosF32(v._3, q._3)))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val expected = Seq(1, 2, 4).map { p =>
+      val cand = for {
+        q <- queries.toSeq
+        cells = ranked(q._1).take(p).toSet
+        v <- vecs if v._1 != q._1 && cells.contains(v._2)
+      } yield (q._1, v._1, cosF32(v._3, q._3))
+      val hits = cand.groupBy(_._1).map { case (qid, xs) =>
+        xs.sortBy { case (_, id, s) => (-s, id) }.take(k)
+          .count { case (_, id, _) => brute(qid).contains(id) }
+      }.sum.toLong
+      (p.toLong, cand.length.toLong, hits, r6(hits.toDouble / (nQ * k)))
+    }
+    val got = Similarity.nprobeSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+    // the tuning-curve invariants the sweep exists to expose
+    assert(got.map(_._2) === got.map(_._2).sorted, "candidates monotone")
+    assert(got.map(_._3) === got.map(_._3).sorted, "hits monotone")
+  }
+
+  test("docs_curriculum equals a driver-side replay: exact global rank, " +
+    "integer phase cut, decimal-summed means; means fall phase over phase") {
+    import graft.operators.Curation
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          toks.distinct.length.toLong)
+      }
+      .filter(_._3 > 0)
+      .map { case (id, lang, nTok, nUniq) =>
+        (id, lang, nTok, nUniq.toDouble / nTok.toDouble)
+      }
+    val n = docs.length.toLong
+    val ranked = docs.sortBy { case (id, _, _, s) => (-s, id) }.zipWithIndex
+      .map { case ((_, lang, nTok, s), i) =>
+        (1L + (i.toLong * 4L) / n, lang, nTok, s)
+      }
+    val expected = ranked.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((phase, lang), xs) =>
+        (phase, lang, xs.length.toLong, xs.map(_._3).sum,
+          r6(xs.map(x => d9(x._4)).sum.toDouble / xs.length))
+      }.sortBy(x => (x._1, x._2))
+    val got = Curation.curriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the curriculum invariant: overall phase quality strictly falls
+    val phaseMeans = got.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, xs) =>
+        xs.map(x => x._5 * x._3).sum / xs.map(_._3).sum
+      }
+    assert(phaseMeans === phaseMeans.sorted.reverse,
+      s"mean quality must fall phase over phase: $phaseMeans")
+  }
+
   test("events_drift equals a driver-side chi-square recomputation over " +
     "collected per-type half-month counts") {
     import graft.operators.EventAnalytics
