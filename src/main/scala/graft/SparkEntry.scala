@@ -236,7 +236,10 @@ object SparkEntry {
     "docs_probe_calibration" -> ((s, d) => Curation.probeCalibration(s, d)),
     "events_drift" -> ((s, d) => EventAnalytics.eventsDrift(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
-    "docs_curriculum" -> ((s, d) => Curation.curriculum(s, d))
+    "docs_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
+    "stream_join_full_outer" ->
+      ((s, d) => StreamingAnalytics.streamJoinFullOuter(s, d)),
+    "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2912,6 +2915,59 @@ object SparkEntry {
                AS mean_pred,
              ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos
            FROM bins GROUP BY bin ORDER BY bin""") +
+      // LSH banding sweep: one 9-hash signature re-banded at 9x1 / 3x3 /
+      // 1x9, candidates per setting scored against the exact
+      // Jaccard>=0.5 posting-list truth set
+      ("dedup_lsh_tune" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+           sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 5
+                    THEN [array_to_string(w[i:i+4], ' ')
+                          for i in range(1, len(w)-3)]
+                    ELSE []::VARCHAR[] END)) AS shingle
+             FROM words),
+           mh AS MATERIALIZED (SELECT doc_id, i,
+               MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+             FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+           settings AS (SELECT CAST(unnest([1, 3, 9]) AS BIGINT)
+             AS rows_per_band),
+           bands AS (SELECT s.rows_per_band, doc_id,
+               i // s.rows_per_band AS band,
+               md5(string_agg(h, ',' ORDER BY i)) AS bucket
+             FROM mh CROSS JOIN settings s
+             GROUP BY s.rows_per_band, doc_id, i // s.rows_per_band),
+           cand AS (SELECT DISTINCT x.rows_per_band,
+               x.doc_id AS d1, y.doc_id AS d2
+             FROM bands x JOIN bands y
+               ON x.rows_per_band = y.rows_per_band AND x.band = y.band
+                  AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           truth AS (SELECT d1, d2 FROM (SELECT x.d1, x.d2, x.i,
+               s1.n AS n1, s2.n AS n2
+             FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                          JOIN sizes s2 ON x.d2 = s2.doc_id) v
+             WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5),
+           tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs
+             FROM truth),
+           hits AS (SELECT c.rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+             GROUP BY 1),
+           nc AS (SELECT rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_cand_pairs
+             FROM cand GROUP BY 1)
+           SELECT 9 // nc.rows_per_band AS n_bands, nc.rows_per_band,
+             nc.n_cand_pairs, tc.n_true_pairs,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / tc.n_true_pairs, 6) AS recall
+           FROM nc LEFT JOIN hits h USING (rows_per_band), tc
+           ORDER BY rows_per_band""") +
       // IVF serving-tuning curve: each query's cell ranking (exact-
       // decimal centroid cosine) computed once, probe widths {1,2,4}
       // joined on cell_rank <= nprobe, top-10 per (nprobe, query) scored
@@ -3073,6 +3129,20 @@ object SparkEntry {
              ON v.user_id = p.user_id
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
            ORDER BY purchase_id, view_ts""") +
+      // FULL OUTER completion: view-side unmatched rows emit on
+      // eviction too; both null sides rendered -1 / '-'
+      ("stream_join_full_outer" ->
+        """SELECT CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,
+           COALESCE(p.user_id, v.user_id) AS user_id,
+           CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id,
+           COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '-')
+             AS purchase_ts,
+           COALESCE(strftime(v.ts, '%Y-%m-%d %H:%M:%S'), '-') AS view_ts
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+           ORDER BY purchase_id, view_id""") +
       // update-mode changelog folded to final state == the batch answer
       ("stream_update_counts" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.expr
-import graft.expressions.{BigramHashPairs, ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, NormalizeText, ParseAfTimestamp, PqAssign, SimHash64, SimHash64Long, WordGramHashes, WordShingles}
+import graft.expressions.{BigramHashPairs, ChunkWords, CosineSimilarityF32, HashedTf64, HyperplaneLshBuckets, MinHashBandBuckets, MinHashValues, NormalizeText, ParseAfTimestamp, PqAssign, SimHash64, SimHash64Long, WordGramHashes, WordShingles}
 
 /** Registration + Column accessors for graft's custom Catalyst
   * expressions. Spark 4 made Column a backend-agnostic wrapper, so the
@@ -22,6 +22,7 @@ object ExprColumns {
     "graft_hyperplane_lsh" -> (exprs => HyperplaneLshBuckets(exprs.head, 32, 8)),
     "graft_parse_af_ts" -> (exprs => ParseAfTimestamp(exprs.head)),
     "graft_minhash_buckets" -> (exprs => MinHashBandBuckets(exprs.head, 9, 3)),
+    "graft_minhash_values" -> (exprs => MinHashValues(exprs.head, 9)),
     "graft_hashed_tf64" -> (exprs => HashedTf64(exprs.head)),
     "graft_pq_assign" -> (exprs => PqAssign(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => {

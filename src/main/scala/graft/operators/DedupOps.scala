@@ -204,6 +204,67 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The LSH TUNING sweep — the dedup analog of `sim_nprobe_sweep`'s
+    * serving curve: the same 9-hash MinHash signature re-banded at every
+    * (bands × rows) factorization — 9×1 (loosest, candidate probability
+    * 1−(1−s)⁹), 3×3 (the production setting), 1×9 (strictest, s⁹) — and
+    * each setting's candidate pairs scored against the EXACT
+    * Jaccard-≥-0.5 truth set ([[ngramJaccardPairs]]' posting-list
+    * ground truth). Per setting: candidate-pair count (the verification
+    * cost that setting buys) next to the recall it delivers — the
+    * S-curve a dedup rollout reads before fixing (b, r).
+    *
+    * One corpus pass, not one per setting: [[graft.expressions.MinHashValues]]
+    * computes the RAW 9-value signature map-side once; each banding is
+    * then a relational fold over the 9-element array (md5 of the
+    * comma-joined band slice — the identical bucket definition
+    * [[graft.expressions.MinHashBandBuckets]] fuses), so widening the
+    * sweep grid adds array transforms, never md5-over-shingles work.
+    * Candidates expand inside (setting, band, bucket) groups — the same
+    * bounded in-task expansion every LSH rung here uses; the truth side
+    * is the one posting shuffle [[ngramJaccardPairs]] already pays.
+    * The 1-row truth count broadcasts. */
+  def lshBandingSweep(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    ExprColumns.register(spark)
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .select(col("doc_id"), expr("graft_minhash_values(sh_arr)").as("mins"))
+      .filter(col("mins").isNotNull)
+    def banded(r: Int): DataFrame = sig.select(
+        lit(r.toLong).as("rows_per_band"), col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${9 / r - 1}),
+                b -> md5(array_join(slice(mins, b * $r + 1, $r), ',')))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded(1).unionAll(banded(3)).unionAll(banded(9))
+      .groupBy(col("rows_per_band"), col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("rows_per_band"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS d1, y AS d2))))""")).as("p"))
+      .select(col("rows_per_band"), col("p.d1"), col("p.d2"))
+      .distinct()
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("d1"), col("d2"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .groupBy(col("rows_per_band")).agg(count(lit(1)).as("n_hits"))
+    cand.groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand_pairs"))
+      .join(hits, Seq("rows_per_band"), "left_outer")
+      .crossJoin(broadcast(nTrue)) // 1-row truth-count scalar
+      .select(expr("9L div rows_per_band").as("n_bands"),
+        col("rows_per_band"), col("n_cand_pairs"), col("n_true_pairs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_true_pairs"), 6).as("recall"))
+      .orderBy(col("rows_per_band"))
+  }
+
   /** Embedding-cosine near-dup: documents are embedded as 64-dim hashed
     * bag-of-words term-frequency vectors (feature hashing — bucket = first
     * md5 byte of the word mod 64), MinHash-LSH proposes candidates, and

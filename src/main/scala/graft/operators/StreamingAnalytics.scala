@@ -155,6 +155,47 @@ object StreamingAnalytics {
     * null-free (engine null-ordering never enters the hash compare). */
   def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
     val fmt = "yyyy-MM-dd HH:mm:ss"
+    val (root, inDir) = stageOuterInput(spark, dir)
+    val out = outerJoinOverStaged(spark, inDir)
+      .filter(col("purchase_id") >= 0) // drop the flush sentinel
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("purchase_ts"), fmt).as("purchase_ts"),
+        coalesce(date_format(col("view_ts"), fmt), lit("-")).as("view_ts"))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("purchase_id"), col("view_ts"))
+  }
+
+  /** FULL OUTER completion of [[streamJoinOuter]] — the last stateful
+    * stream-stream join semantics: ALSO emits views no purchase followed
+    * within the window (view-side state evicts once the purchase
+    * watermark passes `view_ts + 30 min`, at which point no future
+    * purchase can match). Same staged flush-sentinel protocol, so the
+    * streamed result equals the batch FULL OUTER interval join; both
+    * null sides are rendered with -1 / '-' sentinels so the row domain
+    * stays null-free for the hash gate. */
+  def streamJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val (root, inDir) = stageOuterInput(spark, dir)
+    val out = outerJoinOverStaged(spark, inDir, "fullOuter")
+      .filter(col("user_id") >= 0) // drop both flush sentinels
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(date_format(col("purchase_ts"), fmt), lit("-"))
+          .as("purchase_ts"),
+        coalesce(date_format(col("view_ts"), fmt), lit("-")).as("view_ts"))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  /** Stages the outer-join input: file 1 = the real view/purchase
+    * traffic, file 2 = the far-future flush sentinel on BOTH sides
+    * (negative user/event ids — can never join real rows, filtered from
+    * every output). Returns (tempRoot, stagedDir). */
+  private def stageOuterInput(spark: SparkSession,
+      dir: String): (String, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft_outer").toString
     val inDir = s"$root/in"
     val ev = graft.Tables(spark, dir, "events")
@@ -169,26 +210,22 @@ object StreamingAnalytics {
         lit("purchase").as("event_type"),
         lit(-2L).as("user_id"), lit(-2L).as("event_id")))
     stageOrderedFiles(root, inDir, Seq("a" -> ev, "b_flush" -> sentinel))
-    val out = outerJoinOverStaged(spark, inDir)
-      .filter(col("purchase_id") >= 0) // drop the flush sentinel
-      .select(col("purchase_id"), col("user_id"),
-        date_format(col("purchase_ts"), fmt).as("purchase_ts"),
-        coalesce(date_format(col("view_ts"), fmt), lit("-")).as("view_ts"))
-      .localCheckpoint()
-    deleteTree(root)
-    out.orderBy(col("purchase_id"), col("view_ts"))
+    (root, inDir)
   }
 
   /** The outer-join streaming plan over a staged source directory,
     * package-private so StreamingSpec can run the identical plan with and
-    * without the flush sentinel (the eviction-timing pin). */
+    * without the flush sentinel (the eviction-timing pin). `joinType` is
+    * leftOuter or fullOuter; the output carries both sides' identities
+    * (view_id is null on purchase-only rows and vice versa). */
   private[graft] def outerJoinOverStaged(spark: SparkSession,
-      inDir: String): DataFrame = {
+      inDir: String, joinType: String = "leftOuter"): DataFrame = {
     val schema = spark.read.parquet(inDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val v = src.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
       .withWatermark("view_ts", "1 hour")
     val p = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
@@ -198,9 +235,10 @@ object StreamingAnalytics {
       col("p_user") === col("v_user") &&
         col("view_ts") <= col("purchase_ts") &&
         col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes"),
-      "leftOuter")
-      .select(col("purchase_id"), col("p_user").as("user_id"),
-        col("purchase_ts"), col("view_ts"))
+      joinType)
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_ts"), col("view_ts"), col("view_id"))
     StreamingOps.runAvailableNow(joined, mode = "append")
   }
 

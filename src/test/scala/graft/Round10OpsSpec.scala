@@ -291,6 +291,43 @@ class Round10OpsSpec extends SparkSpec {
       s"mean quality must fall phase over phase: $phaseMeans")
   }
 
+  test("dedup_lsh_tune: relational re-banding reproduces the fused " +
+    "expression's buckets; candidate/hit sets nest as bands tighten") {
+    import graft.functions.ExprColumns
+    import graft.operators.DedupOps
+    ExprColumns.register(spark)
+    val e = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+    // the 3x3 banding derived from the raw signature must equal the
+    // fused MinHashBandBuckets buckets bit-for-bit
+    val fused = e.select(col("doc_id"),
+        posexplode(ExprColumns.minhashBuckets(spark, "sh_arr")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val rel = e.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 2), b -> md5(array_join(
+             slice(graft_minhash_values(sh_arr), b * 3 + 1, 3), ',')))""")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rel === fused)
+    // sweep invariants: a pair colliding at rows-per-band r collides at
+    // every divisor of its band, so candidates and hits NEST downward
+    val rows = DedupOps.lshBandingSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._2).toSeq === Seq(1L, 3L, 9L))
+    assert(rows.map(_._1).toSeq === Seq(9L, 3L, 1L))
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted.reverse,
+      "candidate count must fall as bands tighten")
+    assert(rows.map(_._5).toSeq === rows.map(_._5).toSeq.sorted.reverse,
+      "hit count must fall as bands tighten")
+    assert(rows.map(_._4).distinct.length === 1,
+      "the exact truth-set size is setting-independent")
+    rows.foreach { case (_, _, _, nTrue, nHits, recall) =>
+      assert(recall === BigDecimal(nHits.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("events_drift equals a driver-side chi-square recomputation over " +
     "collected per-type half-month counts") {
     import graft.operators.EventAnalytics

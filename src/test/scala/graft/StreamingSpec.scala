@@ -381,4 +381,34 @@ class StreamingSpec extends SparkSpec {
     assert(withFlush.keySet === Set(101L, 102L))
     assert(withFlush(101L).nonEmpty && withFlush(102L).isEmpty)
   }
+
+  test("full outer interval join: view-side unmatched rows emit on " +
+    "eviction too (matched pair + orphan purchase + orphan view)") {
+    import graft.operators.StreamingAnalytics
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:00:00", "view", 1L, 100L), // matched below
+      ("2024-01-01 10:05:00", "view", 3L, 103L), // no purchase follows
+      ("2024-01-01 10:15:00", "purchase", 1L, 101L),
+      ("2024-01-01 10:20:00", "purchase", 2L, 102L)) // no view precedes
+      .toDF("ts_s", "event_type", "user_id", "event_id")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"), col("event_id"))
+    val flush = Seq(("2024-01-01 12:00:00", "view", -1L, -1L),
+      ("2024-01-01 12:00:00", "purchase", -2L, -2L))
+      .toDF("ts_s", "event_type", "user_id", "event_id")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"), col("event_id"))
+    val root = Files.createTempDirectory("graft_fouter_spec").toString
+    StreamingAnalytics.stageOrderedFiles(root, s"$root/in",
+      Seq("a" -> ev, "b_flush" -> flush))
+    val got = StreamingAnalytics
+      .outerJoinOverStaged(spark, s"$root/in", "fullOuter")
+      .filter(col("user_id") >= 0)
+      .select(coalesce(col("purchase_id"), lit(-1L)),
+        coalesce(col("view_id"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((101L, 100L), (102L, -1L), (-1L, 103L)))
+  }
 }
