@@ -239,7 +239,8 @@ object SparkEntry {
     "docs_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
     "stream_join_full_outer" ->
       ((s, d) => StreamingAnalytics.streamJoinFullOuter(s, d)),
-    "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d))
+    "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d)),
+    "docs_probe_threshold" -> ((s, d) => Curation.probeThreshold(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2884,6 +2885,58 @@ object SparkEntry {
              ROUND(CAST(SUM(np_v * (2 * nn_lt + nn_v)) AS DOUBLE)
                / (2.0 * SUM(np_v) * SUM(nn_v)), 6) AS auc
            FROM cum GROUP BY step ORDER BY step""") +
+      // F1-argmax operating point over the step-2 margin cuts: cumulative
+      // precision/recall from the per-margin-value aggregate, ties to
+      // the stricter (higher-margin) cut
+      ("docs_probe_threshold" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+           tf AS MATERIALIZED (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+                 % 64 AS j,
+               CAST(COUNT(*) AS BIGINT) AS x
+             FROM tok GROUP BY 1, 2),
+           lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+             WHERE label IN (0, 1)),
+           g AS MATERIALIZED (SELECT j,
+               CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+             FROM tf JOIN lab USING (doc_id) GROUP BY j),
+           m AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN g USING (j)
+             GROUP BY 1),
+           sg AS (SELECT doc_id,
+               LEAST(GREATEST(8000 + 2 * m2000, 0), 16000) AS sgm FROM m),
+           gp AS (SELECT tf.j,
+               CAST(SUM((16000 * lab.label - sg.sgm) * tf.x) AS BIGINT) AS g2p
+             FROM tf JOIN lab USING (doc_id) JOIN sg USING (doc_id)
+             GROUP BY 1),
+           w AS (SELECT COALESCE(g.j, gp.j) AS j,
+               8000 * COALESCE(g.g2, 0) + COALESCE(gp.g2p, 0) AS wj
+             FROM g FULL JOIN gp ON g.j = gp.j),
+           sc AS (SELECT tf.doc_id,
+               CAST(SUM(COALESCE(w.wj, 0) * tf.x) AS BIGINT) AS m16
+             FROM tf JOIN lab USING (doc_id) LEFT JOIN w USING (j)
+             GROUP BY 1),
+           bv AS (SELECT sc.m16 AS margin,
+               CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(lab.label) AS BIGINT) AS np_v
+             FROM sc JOIN lab USING (doc_id) GROUP BY 1),
+           tot AS (SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos_total FROM bv),
+           cum AS (SELECT margin,
+               SUM(n_v) OVER (ORDER BY margin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+               SUM(np_v) OVER (ORDER BY margin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+             FROM bv)
+           SELECT margin, CAST(n_pred AS BIGINT) AS n_pred,
+             CAST(tp AS BIGINT) AS tp,
+             ROUND(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+             ROUND(CAST(tp AS DOUBLE) / n_pos_total, 6) AS recall,
+             ROUND(2.0 * tp / (n_pred + n_pos_total), 6) AS f1
+           FROM cum, tot
+           ORDER BY f1 DESC, margin DESC LIMIT 1""") +
       // reliability diagram of the step-1 hard-sigmoid predictions: 8
       // equal probability bins, observed positive rate vs mean predicted
       ("docs_probe_calibration" ->

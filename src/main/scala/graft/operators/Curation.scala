@@ -549,6 +549,46 @@ object Curation {
       .orderBy(col("step"))
   }
 
+  /** Operating-point selection for the trained probe — the decision
+    * [[probeAuc]] (ranking) and [[probeCalibration]] (honesty) inform
+    * but don't make: sweep every distinct step-2 margin as a candidate
+    * cut ("keep documents scoring ≥ v"), compute precision / recall /
+    * F1 at each from cumulative counts, and return the F1-argmax row —
+    * the threshold a curation pipeline would actually deploy, with the
+    * counts (predicted-positive set size, true positives) that justify
+    * it. F1 = 2·tp / (n_pred + n_pos_total) — ONE division per
+    * candidate cut; ties broken toward the HIGHER margin (the stricter
+    * filter at equal F1).
+    *
+    * Scale shape: margins are the labeled SEED's (same bounded-sample
+    * argument as [[probeAuc]]); the cumulative sweep is one ordered
+    * window over the per-margin-VALUE aggregate (seed-bounded,
+    * aggregated — never corpus rows), and the argmax is a
+    * TakeOrderedAndProject(1). The positives total broadcasts. */
+  def probeThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val m = trainProbe(spark, dir)
+    val lm = m.labeled.crossJoin(broadcast(m.w2)) // 1-row weight scalar
+      .select(col("label").cast("long").as("label"),
+        expr("aggregate(zip_with(x, w, (a, b) -> a * b), " +
+          "0L, (acc, v) -> acc + v)").as("margin"))
+    val byVal = lm.groupBy(col("margin"))
+      .agg(count(lit(1)).as("n_v"), sum(col("label")).as("np_v"))
+    val totals = byVal.agg(sum(col("np_v")).as("n_pos_total"))
+    val wCum = Window.orderBy(col("margin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("n_pred", sum(col("n_v")).over(wCum))
+      .withColumn("tp", sum(col("np_v")).over(wCum))
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("margin"), col("n_pred"), col("tp"),
+        round(col("tp").cast("double") / col("n_pred"), 6).as("precision"),
+        round(col("tp").cast("double") / col("n_pos_total"), 6).as("recall"),
+        round(lit(2.0) * col("tp") /
+          (col("n_pred") + col("n_pos_total")), 6).as("f1"))
+      .orderBy(col("f1").desc, col("margin").desc)
+      .limit(1)
+  }
+
   /** Calibration census of the trained probe — the reliability-diagram
     * companion to [[probeAuc]] (AUC measures ranking; calibration
     * measures whether the probability the filter ACTS on is honest):

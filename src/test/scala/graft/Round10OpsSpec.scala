@@ -291,6 +291,32 @@ class Round10OpsSpec extends SparkSpec {
       s"mean quality must fall phase over phase: $phaseMeans")
   }
 
+  test("docs_probe_threshold equals a driver-side sweep of every margin " +
+    "cut (argmax F1, ties to the stricter cut)") {
+    import graft.operators.Curation
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lm = replayTrainer().map { case (_, y, _, _, m2) => (y, m2) }
+    val nPos = lm.count(_._1 == 1).toLong
+    val cuts = lm.map(_._2).distinct.map { v =>
+      val kept = lm.filter(_._2 >= v)
+      val tp = kept.count(_._1 == 1).toLong
+      (v, kept.length.toLong, tp,
+        2.0 * tp / (kept.length + nPos))
+    }
+    val best = cuts.sortBy { case (v, _, _, f1) => (-f1, -v) }.head
+    val expected = (best._1, best._2, best._3,
+      r6(best._3.toDouble / best._2), r6(best._3.toDouble / nPos),
+      r6(best._4))
+    val got = Curation.probeThreshold(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length === 1)
+    assert(got.head === expected)
+    // sanity: the chosen point dominates the trivial keep-everything cut
+    assert(expected._6 >= 2.0 * nPos / (lm.length + nPos) - 1e-9)
+  }
+
   test("dedup_lsh_tune: relational re-banding reproduces the fused " +
     "expression's buckets; candidate/hit sets nest as bands tighten") {
     import graft.functions.ExprColumns
