@@ -240,7 +240,8 @@ object SparkEntry {
     "stream_join_full_outer" ->
       ((s, d) => StreamingAnalytics.streamJoinFullOuter(s, d)),
     "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d)),
-    "docs_probe_threshold" -> ((s, d) => Curation.probeThreshold(s, d))
+    "docs_probe_threshold" -> ((s, d) => Curation.probeThreshold(s, d)),
+    "dedup_cluster_census" -> ((s, d) => DedupOps.clusterCensus(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1187,6 +1188,44 @@ object SparkEntry {
            SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
          FROM walk GROUP BY node ORDER BY node""",
+    "dedup_cluster_census" ->
+      """WITH RECURSIVE pairs AS (
+         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                           JOIN sizes s2 ON x.d2 = s2.doc_id
+         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+         cl AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+         csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+           FROM cl GROUP BY 1),
+         hist AS (SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           FROM csizes GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         cls AS (SELECT CAST(COALESCE(SUM(csize), 0) AS BIGINT)
+           AS n_clustered FROM csizes),
+         uni AS (SELECT csize, n_clusters FROM hist
+           UNION ALL SELECT CAST(1 AS BIGINT), n_total - n_clustered
+           FROM tot, cls)
+         SELECT csize AS cluster_size, n_clusters,
+           CAST(csize * n_clusters AS BIGINT) AS n_docs,
+           CAST((csize - 1) * n_clusters AS BIGINT) AS n_dup_docs,
+           ROUND(CAST(csize * n_clusters AS DOUBLE) / n_total, 6)
+             AS doc_share
+         FROM uni, tot ORDER BY cluster_size""",
     "stream_join_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
          strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

@@ -395,6 +395,41 @@ object DedupOps {
       ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")),
       graphPartitions)
 
+  /** Cluster-size census over [[dedupClusters]] — the corpus-health
+    * readout a dedup rollout reports before acting: per cluster size,
+    * how many clusters, how many documents they hold, how many are
+    * REDUNDANT (size−1 per cluster — the mass a keep-one policy
+    * reclaims), and each size's share of the corpus. Documents in no
+    * near-dup cluster appear as the size-1 row (corpus total minus
+    * clustered mass), so the shares sum to 1 and "how duplicated is
+    * this corpus" is answered in one relation.
+    *
+    * Scale shape: the component map is [[dedupClusters]]' existing
+    * propagation (blocked-pair graph, never corpus-quadratic); the
+    * census on top is two hash-aggregations over cluster-count-sized
+    * relations plus 1-row broadcast totals. */
+  def clusterCensus(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = dedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val hist = sizes.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val totals = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_total"))
+    val clustered = sizes.agg(
+      coalesce(sum(col("csize")), lit(0L)).as("n_clustered"))
+    val singles = totals.crossJoin(clustered) // 1-row x 1-row
+      .select(lit(1L).as("csize"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+    hist.unionAll(singles)
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1) * col("n_clusters")).as("n_dup_docs"),
+        round((col("csize") * col("n_clusters")).cast("double") /
+          col("n_total"), 6).as("doc_share"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Connected components over the EMBEDDING near-dup graph — the
     * semantic sibling of [[dedupClusters]]: edges are the LSH-blocked,
     * integer-dot-verified cosine pairs of [[embeddingCosinePairs]]

@@ -317,6 +317,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(expected._6 >= 2.0 * nPos / (lm.length + nPos) - 1e-9)
   }
 
+  test("dedup_cluster_census equals a driver-side histogram of the " +
+    "cluster map; shares sum to 1; dup mass = clustered docs - clusters") {
+    import graft.operators.DedupOps
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val clusters = DedupOps.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nTotal = Tables(spark, sf0001, "documents").count()
+    val bySize = clusters.groupBy(_._2).values.map(_.length.toLong).toSeq
+      .groupBy(identity).map { case (sz, xs) => (sz, xs.length.toLong) }
+    val withSingles = bySize + (1L -> (nTotal - clusters.length))
+    val expected = withSingles.toSeq.sortBy(_._1).map { case (sz, nc) =>
+      (sz, nc, sz * nc, (sz - 1) * nc, r6(sz * nc.toDouble / nTotal))
+    }
+    val got = DedupOps.clusterCensus(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
+    assert(got.map(_._4).sum === clusters.length - bySize.values.sum)
+  }
+
   test("dedup_lsh_tune: relational re-banding reproduces the fused " +
     "expression's buckets; candidate/hit sets nest as bands tighten") {
     import graft.functions.ExprColumns
