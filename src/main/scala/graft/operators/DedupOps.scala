@@ -251,16 +251,20 @@ object DedupOps {
     val truth = ngramJaccardPairs(spark, dir, threshold)
       .select(col("d1"), col("d2"))
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
-    val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
-      .groupBy(col("rows_per_band")).agg(count(lit(1)).as("n_hits"))
-    cand.groupBy(col("rows_per_band"))
-      .agg(count(lit(1)).as("n_cand_pairs"))
-      .join(hits, Seq("rows_per_band"), "left_outer")
+    // candidate count and hit count fold into ONE consumption of the
+    // candidate relation (a truth-flag left join + single agg) — a
+    // count branch + semi-join branch would run the md5-signature
+    // corpus pass twice
+    cand.join(truth.withColumn("hit", lit(1L)), Seq("d1", "d2"),
+        "left_outer")
+      .groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .crossJoin(broadcast(nTrue)) // 1-row truth-count scalar
       .select(expr("9L div rows_per_band").as("n_bands"),
         col("rows_per_band"), col("n_cand_pairs"), col("n_true_pairs"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+        col("n_hits"),
+        round(col("n_hits").cast("double") /
           col("n_true_pairs"), 6).as("recall"))
       .orderBy(col("rows_per_band"))
   }

@@ -215,12 +215,13 @@ object Similarity {
     * each candidate carries its cell's rank, and the 3-row probe-width
     * dimension joins on `cell_rank <= nprobe` — so widening the sweep
     * grid re-ranks the SAME candidate relation instead of re-probing the
-    * corpus. Per-(nprobe, query) ranking is a row_number window (Spark
-    * rewrites rank<=k to map-side WindowGroupLimit); ground truth is the
-    * corpus x broadcast-queries pass [[recallAt10]] uses — at 100 TB
-    * that side runs on a query SAMPLE, exactly how tuning dashboards are
-    * built. Centroids, query vectors, and the probed-cell relation all
-    * broadcast (cells x queries rows). */
+    * corpus; that relation is then consumed exactly once (rank window +
+    * broadcast truth-flag join + one agg yields candidate counts AND
+    * hits together). Ground truth is the corpus x broadcast-queries
+    * pass [[recallAt10]] uses — at 100 TB that side runs on a query
+    * SAMPLE, exactly how tuning dashboards are built — folded to
+    * (queries x k) rows and broadcast. Centroids, query vectors, and
+    * the probed-cell relation all broadcast (cells x queries rows). */
   def nprobeSweep(spark: SparkSession, dir: String,
                   nQueries: Int = 5, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -252,13 +253,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qe), Seq("q_id"))
       .join(broadcast(np), col("cell_rk") <= col("nprobe"))
-    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
-      .orderBy(col("sim_raw").desc, col("vec_id"))
-    val swTop = cand
-      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
-      .select(col("nprobe"), col("q_id"), col("vec_id"))
     val wBrute = Window.partitionBy(col("q_id"))
       .orderBy(col("sim_raw").desc, col("vec_id"))
     val brute = e.join(broadcast(qe))
@@ -266,14 +260,24 @@ object Similarity {
       .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
       .withColumn("rn", row_number().over(wBrute))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"))
-    val hits = swTop.join(brute, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-    cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
-      .join(hits, Seq("nprobe"), "left_outer")
-      .select(col("nprobe"), col("n_cand"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    // candidate count + hit count in ONE consumption of the candidate
+    // relation: the (queries x k)-row ground truth broadcasts as a hit
+    // flag, and the agg counts ALL candidate rows while summing hits
+    // only where the rank filter passes — a separate count branch would
+    // re-run the corpus candidate join
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    cand
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rn", row_number().over(wTop))
+      .join(broadcast(brute), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("rn") <= k, coalesce(col("hit"), lit(0L)))
+          .otherwise(lit(0L))).as("n_hits"))
+      .select(col("nprobe"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") /
           (nQueries * k).toDouble, 6).as("recall"))
       .orderBy(col("nprobe"))
   }
