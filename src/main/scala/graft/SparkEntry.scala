@@ -241,7 +241,8 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamJoinFullOuter(s, d)),
     "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d)),
     "docs_probe_threshold" -> ((s, d) => Curation.probeThreshold(s, d)),
-    "dedup_cluster_census" -> ((s, d) => DedupOps.clusterCensus(s, d))
+    "dedup_cluster_census" -> ((s, d) => DedupOps.clusterCensus(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1188,6 +1189,46 @@ object SparkEntry {
            SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
          FROM walk GROUP BY node ORDER BY node""",
+    "graph_triangles" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT x.d1, x.d2 FROM inter x
+           JOIN sizes s1 ON x.d1 = s1.doc_id
+           JOIN sizes s2 ON x.d2 = s2.doc_id
+           WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS g FROM (
+             SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs)
+           GROUP BY v),
+         oriented AS (SELECT
+             CASE WHEN (g1, d1) < (g2, d2) THEN d1 ELSE d2 END AS src,
+             CASE WHEN (g1, d1) < (g2, d2) THEN d2 ELSE d1 END AS dst,
+             CASE WHEN (g1, d1) < (g2, d2) THEN g2 ELSE g1 END AS gd
+           FROM (SELECT p.d1, p.d2, x1.g AS g1, x2.g AS g2
+             FROM pairs p JOIN deg x1 ON p.d1 = x1.v
+                          JOIN deg x2 ON p.d2 = x2.v)),
+         wedge AS (SELECT o1.dst AS wa, o2.dst AS wb
+           FROM oriented o1 JOIN oriented o2
+             ON o1.src = o2.src AND (o1.gd, o1.dst) < (o2.gd, o2.dst)),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM wedge w WHERE EXISTS (SELECT 1 FROM oriented o
+             WHERE o.src = w.wa AND o.dst = w.wb)),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(g * (g - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+         ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+         SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
+           CASE WHEN st.n_wedges > 0
+                THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
+                ELSE 0.0 END AS transitivity
+         FROM st, ec, tri""",
     "dedup_cluster_census" ->
       """WITH RECURSIVE pairs AS (
          WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -317,6 +317,30 @@ class Round10OpsSpec extends SparkSpec {
     assert(expected._6 >= 2.0 * nPos / (lm.length + nPos) - 1e-9)
   }
 
+  test("graph_triangles equals a brute-force driver-side count over the " +
+    "near-dup pair graph (every unordered triple checked)") {
+    import graft.operators.{DedupOps, Graph}
+    val pairs = DedupOps.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edge = pairs.flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct
+    val deg = nodes.map(v => v -> edge.count(_._1 == v)).toMap
+    val triples = nodes.combinations(3).count { t =>
+      edge((t(0), t(1))) && edge((t(1), t(2))) && edge((t(0), t(2)))
+    }
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val got = Graph.triangleCount(spark, sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((nodes.length.toLong, pairs.size.toLong, wedges, triples.toLong)))
+    val expTrans = if (wedges > 0)
+      BigDecimal(3.0 * triples / wedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else 0.0
+    assert(r.getDouble(4) === expTrans)
+  }
+
   test("dedup_cluster_census equals a driver-side histogram of the " +
     "cluster map; shares sum to 1; dup mass = clustered docs - clusters") {
     import graft.operators.DedupOps
