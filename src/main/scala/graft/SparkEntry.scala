@@ -242,7 +242,12 @@ object SparkEntry {
     "dedup_lsh_tune" -> ((s, d) => DedupOps.lshBandingSweep(s, d)),
     "docs_probe_threshold" -> ((s, d) => Curation.probeThreshold(s, d)),
     "dedup_cluster_census" -> ((s, d) => DedupOps.clusterCensus(s, d)),
-    "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d))
+    "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d)),
+    "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "text_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    "join_asof_nearest" -> ((s, d) => EventAnalytics.asofNearest(s, d)),
+    "stream_cdc_upsert" ->
+      ((s, d) => StreamingAnalytics.streamCdcUpsert(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1229,6 +1234,73 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "text_ngram_novelty" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+                    FROM sh GROUP BY shingle),
+         per_doc AS (SELECT s.doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM sh s JOIN firsts f ON s.shingle = f.shingle
+           GROUP BY s.doc_id),
+         tot AS (SELECT COUNT(*) AS n_total FROM documents)
+         SELECT CAST(FLOOR(doc_id * 10 / n_total) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE), 4)
+             AS novelty_rate
+         FROM per_doc, tot
+         GROUP BY 1 ORDER BY decile""",
+    "text_token_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY doc_id, tok)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(log2(CAST(n_tok AS DOUBLE)) -
+             CAST(clogc AS DOUBLE) / CAST(n_tok AS DOUBLE), 3) AS entropy
+         FROM (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_types,
+             SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS clogc
+           FROM tf GROUP BY doc_id) g
+         ORDER BY doc_id""",
+    "join_asof_nearest" ->
+      """WITH w AS (
+           SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_ts
+           FROM events),
+         g AS (SELECT *,
+             epoch_us(ts) - epoch_us(prev_view_ts) AS gap_back,
+             epoch_us(next_view_ts) - epoch_us(ts) AS gap_fwd
+           FROM w WHERE event_type = 'purchase'),
+         d AS (SELECT *,
+             CASE WHEN gap_back IS NOT NULL AND
+                       (gap_fwd IS NULL OR gap_back <= gap_fwd)
+                  THEN 'before'
+                  WHEN gap_fwd IS NOT NULL THEN 'after'
+                  ELSE 'none' END AS direction
+           FROM g)
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(CASE WHEN direction = 'before' THEN prev_view_ts
+                         WHEN direction = 'after' THEN next_view_ts END,
+                    '%Y-%m-%d %H:%M:%S') AS nearest_view_ts,
+           direction,
+           CASE WHEN direction = 'before' THEN gap_back
+                WHEN direction = 'after' THEN gap_fwd END AS gap_us
+         FROM d ORDER BY event_id""",
     "dedup_cluster_census" ->
       """WITH RECURSIVE pairs AS (
          WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3281,7 +3353,21 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
              AS hour_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
            FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
-           GROUP BY 1, 2 ORDER BY hour_start, event_type""")
+           GROUP BY 1, 2 ORDER BY hour_start, event_type""") +
+      // CDC upsert: count folds by addition, latest-event folds by
+      // argmax on (ts, event_id) — both associative, so the merged
+      // state equals the one-pass batch answer however arrivals split
+      ("stream_cdc_upsert" ->
+        """SELECT user_id, n_events,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             event_type AS last_type, value AS last_value
+           FROM (
+             SELECT user_id, ts, event_type, value,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) t
+           WHERE rn = 1 ORDER BY user_id""")
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

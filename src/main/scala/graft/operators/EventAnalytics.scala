@@ -187,6 +187,48 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-neighbor as-of join: for each purchase, the same user's
+    * CLOSEST view in time — before or after, whichever is nearer, ties
+    * to the earlier side. The bidirectional variant of
+    * [[asofAttribution]] (sensor alignment / "which impression does this
+    * conversion belong to" when attribution may precede or follow).
+    * Same ONE-shuffle shape: both directions are window frames over the
+    * identical (user_id; ts, event_id) sort, so Spark evaluates them in
+    * a single WindowExec pass — no join, no second exchange. Tie-break
+    * chain: a view at the purchase's own timestamp lands before/after by
+    * event_id order; equal gaps resolve to 'before'. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val back = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+    val viewTs = when(col("event_type") === "view", col("ts"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_view_ts", max(viewTs).over(back))
+      .withColumn("next_view_ts", min(viewTs).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_back",
+        unix_micros(col("ts")) - unix_micros(col("prev_view_ts")))
+      .withColumn("gap_fwd",
+        unix_micros(col("next_view_ts")) - unix_micros(col("ts")))
+      .withColumn("direction",
+        when(col("gap_back").isNotNull &&
+          (col("gap_fwd").isNull || col("gap_back") <= col("gap_fwd")),
+          lit("before"))
+          .when(col("gap_fwd").isNotNull, lit("after"))
+          .otherwise(lit("none")))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("purchase_ts"),
+        date_format(
+          when(col("direction") === "before", col("prev_view_ts"))
+            .when(col("direction") === "after", col("next_view_ts")),
+          fmt).as("nearest_view_ts"),
+        col("direction"),
+        when(col("direction") === "before", col("gap_back"))
+          .when(col("direction") === "after", col("gap_fwd")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: orders against a small in-code price-band relation on
     * `lo <= price < hi`. The bands side is broadcast, so the non-equi
     * predicate evaluates as a BroadcastNestedLoopJoin — the only sane

@@ -738,4 +738,99 @@ object StreamingAnalytics {
     q.awaitTermination()
     sigIndexCollect(spark, root, outPath)
   }
+
+  /** CDC upsert loop: a foreachBatch MERGE maintaining a keyed
+    * latest-state table (running event count + most recent event per
+    * user) across micro-batches — the streaming form of
+    * [[graft.operators.Temporal.mergeUpsert]] and the standard
+    * "materialized user profile" sink shape. Two mtime-ordered
+    * increments split on event time; each batch folds into the state
+    * via a full-outer merge (existing keys update, new keys insert).
+    *
+    * State versioning: each batch WRITES state_v{n+1} after READING
+    * state_v{n} — never overwriting a directory a lazy plan still
+    * scans (the self-overwrite read-your-own-input trap); the final
+    * read picks the highest committed version, so an empty trailing
+    * batch that rewrites state unchanged is harmless. The merge keys
+    * every join and agg on user_id, so one hash partitioning serves
+    * the whole loop; per-batch cost tracks batch size + |state|, and
+    * at 100 TB the state table would be a bucketed/sorted asset merged
+    * by key locality exactly like the signature index above. Both the
+    * count fold (addition) and the latest-event fold (argmax by
+    * (ts, event_id)) are associative, so the final state equals the
+    * batch argmax over the full table regardless of how arrivals split
+    * into micro-batches — which is the oracle. */
+  def streamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+    stageOrderedFiles(root, inDir, Seq(
+      "w1" -> ev.filter(col("ts") < cut),
+      "w2" -> ev.filter(col("ts") >= cut)))
+    val schema = spark.read.parquet(inDir).schema
+    def statePath(v: Long): String = s"$root/state_v$v"
+    // per-batch upsert delta: one row per user seen in the batch
+    def delta(batch: DataFrame): DataFrame =
+      batch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(struct(col("ts").as("last_ts"),
+            col("event_id").as("last_eid"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("n_events"), col("last.*"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val d = delta(batch.toDF())
+        val merged =
+          if (batchId == 0) d
+          else {
+            val s = spark.read.parquet(statePath(batchId))
+            s.as("s").join(d.as("d"), Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("s.n_events"), lit(0L)) +
+                  coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+                when(col("d.last_eid").isNull ||
+                  (col("s.last_eid").isNotNull &&
+                    struct(col("s.last_ts"), col("s.last_eid")) >
+                      struct(col("d.last_ts"), col("d.last_eid"))),
+                  struct(col("s.last_ts").as("last_ts"),
+                    col("s.last_eid").as("last_eid"),
+                    col("s.last_type").as("last_type"),
+                    col("s.last_value").as("last_value")))
+                  .otherwise(struct(col("d.last_ts").as("last_ts"),
+                    col("d.last_eid").as("last_eid"),
+                    col("d.last_type").as("last_type"),
+                    col("d.last_value").as("last_value"))).as("last"))
+              .select(col("user_id"), col("n_events"), col("last.*"))
+          }
+        merged.write.mode("overwrite").parquet(statePath(batchId + 1))
+      }
+      .start()
+    q.awaitTermination()
+    // final state = highest committed version
+    val listing = java.nio.file.Files.list(java.nio.file.Path.of(root))
+    val vmax =
+      try listing.map[String](_.getFileName.toString)
+        .filter(_.startsWith("state_v"))
+        .mapToLong(n => java.lang.Long.parseLong(n.stripPrefix("state_v")))
+        .max().orElseThrow(() => new IllegalStateException(
+          s"stream_cdc_upsert: no state version committed under $root"))
+      finally listing.close()
+    val out = spark.read.parquet(statePath(vmax))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("last_type"), col("last_value"))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("user_id"))
+  }
 }

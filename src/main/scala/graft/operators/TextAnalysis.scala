@@ -1208,4 +1208,77 @@ object TextAnalysis {
     }
     (mergeRows.get, syms, words)
   }
+
+  /** N-gram novelty curve: for each ingestion-order decile, the fraction
+    * of its documents' distinct 5-gram shingles that were never seen in
+    * any EARLIER document (first occurrence = this doc). The canonical
+    * "is the crawl still contributing new content?" diagnostic a data
+    * team plots before committing another ingestion batch — a decaying
+    * curve means the source is exhausting itself, a flat one means keep
+    * crawling.
+    *
+    * Plan: one shingle explode, one hash-agg keyed on shingle for the
+    * global first-occurrence relation (posting-list shape, same envelope
+    * as [[tfidf]]), one join back on shingle that REUSES the aggregate's
+    * hash partitioning, then a doc-level agg and a 10-row decile rollup.
+    * Per-decile rates are ratios of exact integer sums (never a float
+    * aggregation), so partial-agg order cannot perturb the hash. The
+    * doc-count scalar broadcasts. Docs shorter than 5 words have no
+    * shingles and drop from the curve (both engines agree — inner join
+    * on an empty explode). At 100 TB: ingestion order is a monotone
+    * doc_id in this corpus; a real deployment keys the decile off the
+    * ingest timestamp the same way. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("shingle"))
+    val firsts = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firsts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val total = docs.agg(count(lit(1)).as("n_total")) // 1-row scalar
+    perDoc.crossJoin(broadcast(total))
+      .withColumn("decile",
+        floor(col("doc_id") * 10 / col("n_total")).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"),
+        round(sum(col("n_novel")).cast("double") /
+          sum(col("n_sh")).cast("double"), 4).as("novelty_rate"))
+      .orderBy(col("decile"))
+  }
+
+  /** Per-document token-level Shannon entropy (bits): the
+    * information-theoretic repetitiveness gate — low entropy flags
+    * keyword-stuffed / template / looping text that survives simple
+    * length and stopword-ratio checks. entropy = log2(n) - (Σ c·log2 c)/n
+    * over the doc's term frequencies.
+    *
+    * Cross-engine float discipline: log2 may differ between engines by
+    * ~1 ulp, so each per-term c·log2(c) is quantized to DECIMAL(28,8)
+    * BEFORE the sum (exact, order-independent); quantum 1e-8 is ~1e6x
+    * the worst-case ulp divergence while final rounding is only 1e-3,
+    * so neither the quantization nor the engine's log can flip the
+    * rounded digit. Plan: explode -> (doc, term) hash-agg -> doc
+    * hash-agg; two shuffles both keyed on doc-sized relations, the
+    * standard TF shape. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * log2(col("c").cast("double")))
+          .cast("decimal(28,8)")).as("clogc"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(log2(col("n_tok").cast("double")) -
+          col("clogc").cast("double") / col("n_tok").cast("double"), 3)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -425,4 +425,141 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(4), r.getDouble(5))).toSeq
     assert(got === expected)
   }
+
+  test("ngramNovelty equals an independent driver-side first-occurrence " +
+    "recomputation (deciles, integer masses, exact rates)") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val nTotal = docs.length
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val docSh = docs.map { case (id, t) => (id, shingles(t)) }
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    docSh.foreach { case (id, sh) =>
+      sh.foreach(s => if (!first.contains(s)) first(s) = id)
+    }
+    val perDoc = docSh.filter(_._2.nonEmpty).map { case (id, sh) =>
+      (id, sh.size.toLong, sh.count(s => first(s) == id).toLong)
+    }
+    val expected = perDoc.groupBy { case (id, _, _) =>
+      (id * 10 / nTotal).toInt
+    }.map { case (dec, xs) =>
+      val nSh = xs.map(_._2).sum
+      val nNov = xs.map(_._3).sum
+      (dec, xs.length.toLong, nSh, nNov,
+        BigDecimal(nNov.toDouble / nSh)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.ngramNovelty(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the curve must carry signal: later deciles cannot all be fully novel
+    assert(got.last._5 < 1.0)
+  }
+
+  test("tokenEntropy matches a driver-side Shannon entropy within the " +
+    "rounding quantum, and pins the repetitiveness ordering") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val counts = t.split(" ", -1).groupBy(identity).map(_._2.length)
+      val n = counts.sum.toDouble
+      val ent = (math.log(n) / math.log(2)) -
+        counts.map(c => c * math.log(c) / math.log(2)).sum / n
+      (id, counts.sum.toLong, counts.size.toLong, ent)
+    }.sortBy(_._1)
+    val got = TextAnalysis.tokenEntropy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((gi, gn, gt, ge), (ei, en, et, ee)) =>
+      assert(gi === ei && gn === en && gt === et)
+      // quantized-sum + round(3) vs unquantized reference: off by at
+      // most the rounding quantum
+      assert(math.abs(ge - ee) <= 0.0011, s"doc $gi: $ge vs $ee")
+    }
+    // a maximally repetitive doc would score 0; all-distinct scores log2(n)
+    got.foreach { case (id, n, types, e) =>
+      assert(e >= -0.001 && e <= math.log(n.toDouble) / math.log(2) + 0.001,
+        s"doc $id entropy $e outside [0, log2($n)]")
+      if (types == 1) assert(e === 0.0)
+    }
+  }
+
+  test("asofNearest equals a per-user driver-side nearest-view scan " +
+    "(direction ties to 'before', event_id breaks timestamp ties)") {
+    import graft.operators.EventAnalytics
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.filter(_._4 == "purchase").map {
+      case (eid, uid, ts, _) =>
+        // ordering key (ts, event_id): strictly-before rows in the
+        // backward frame, strictly-after rows in the forward frame
+        val views = byUser(uid).filter(_._4 == "view")
+        val before = views
+          .filter(v => v._3 < ts || (v._3 == ts && v._1 < eid))
+          .map(_._3).maxOption
+        val after = views
+          .filter(v => v._3 > ts || (v._3 == ts && v._1 > eid))
+          .map(_._3).minOption
+        val gapB = before.map(ts - _)
+        val gapF = after.map(_ - ts)
+        val dir = (gapB, gapF) match {
+          case (Some(b), Some(f)) =>
+            if (b <= f) "before" else "after"
+          case (Some(_), None) => "before"
+          case (None, Some(_)) => "after"
+          case _ => "none"
+        }
+        val gap = dir match {
+          case "before" => gapB
+          case "after" => gapF
+          case _ => None
+        }
+        (eid, uid, dir, gap.getOrElse(-1L))
+    }.sortBy(_._1).toSeq
+    val got = EventAnalytics.asofNearest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._3 == "before") &&
+      expected.exists(_._3 == "after"))
+  }
+
+  test("streamCdcUpsert: two staged increments merge to the batch argmax " +
+    "state (update + insert paths both exercised)") {
+    import graft.operators.StreamingAnalytics
+    val ev = Tables(spark, sf0001, "events")
+    val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+    val w1Users = ev.filter(col("ts") < cut)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val w2Users = ev.filter(col("ts") >= cut)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    // the merge must hit both branches: users updated across batches and
+    // users only inserted by batch 2
+    assert((w1Users & w2Users).nonEmpty)
+    val batch = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(struct(col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("l.event_type").as("last_type"),
+        col("l.value").as("last_value"))
+      .orderBy(col("user_id")).collect().toSeq
+    val got = StreamingAnalytics.streamCdcUpsert(spark, sf0001)
+      .collect().toSeq
+    assert(got === batch)
+  }
 }
