@@ -193,8 +193,10 @@ object EventAnalytics {
     * [[asofAttribution]] (sensor alignment / "which impression does this
     * conversion belong to" when attribution may precede or follow).
     * Same ONE-shuffle shape: both directions are window frames over the
-    * identical (user_id; ts, event_id) sort, so Spark evaluates them in
-    * a single WindowExec pass — no join, no second exchange. Tie-break
+    * identical (user_id; ts, event_id) sort, so Spark plans them as two
+    * back-to-back WindowExecs sharing one exchange and one sort (frames
+    * of differing direction split nodes, not stages) — no join, no
+    * second exchange, verified by plan audit. Tie-break
     * chain: a view at the purchase's own timestamp lands before/after by
     * event_id order; equal gaps resolve to 'before'. */
   def asofNearest(spark: SparkSession, dir: String): DataFrame = {

@@ -811,9 +811,10 @@ object Relational {
     * base is 2, so every weight 2^rn, every product n·2^rn, and every
     * frame sum is EXACT in binary doubles (integers scaled by powers of
     * two) — the one float-determinism-safe EWMA: no accumulation-order
-    * sensitivity, one division per row at the end. Two window passes
-    * over the same (event_type; day) sort = one shuffle, one sort, one
-    * WindowExec. */
+    * sensitivity, one division per row at the end. Plan: one exchange
+    * for the daily rollup, one for the per-type window; row_number and
+    * the frame sums evaluate as adjacent WindowExecs over the SAME sort
+    * with no exchange between them (verified by plan audit). */
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))

@@ -76,6 +76,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("asofNearest: both direction frames share one exchange and sort") {
+    val p = plan(graft.operators.EventAnalytics.asofNearest(spark, sf0001))
+    assert(!p.contains("Join"),
+      "nearest as-of should be two window frames, not a join")
+    // exactly: the user_id hash partition feeding both WindowExecs + the
+    // final presentation orderBy — a third exchange means the frames
+    // stopped sharing their sort
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"backward+forward frames should reuse one partitioning, got $exchanges")
+  }
+
+  test("ewmaDaily: daily rollup + one window partitioning, frames share " +
+    "the sort") {
+    val p = plan(graft.operators.Relational.ewmaDaily(spark, sf0001))
+    // agg exchange on (event_type, day), window exchange on event_type,
+    // final orderBy — row_number and both frame sums add none
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"EWMA should cost rollup+window+order exchanges only, got $exchanges")
+  }
+
+  test("basketPairs: the pair generator is an equi-join on the order key") {
+    val p = plan(graft.operators.Relational.basketPairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "pair generator went cartesian")
+    // exactly one BNLJ: the 1-row n_orders scalar broadcast (formatted
+    // plans print each node twice — tree line + detail block)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "pair space must come from the per-order equi-join, not a cross")
+    assert(p.contains("l_orderkey"),
+      "the self-join must keep its order-key equi condition")
+  }
+
   test("range join broadcasts the band relation") {
     val p = plan(graft.operators.EventAnalytics.rangeJoinBands(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin"),
