@@ -251,7 +251,10 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
     "window_ewma" -> ((s, d) => Relational.ewmaDaily(s, d)),
     "stream_dedup_watermark" ->
-      ((s, d) => StreamingAnalytics.streamDedupWatermark(s, d))
+      ((s, d) => StreamingAnalytics.streamDedupWatermark(s, d)),
+    "ts_decompose" -> ((s, d) => EventAnalytics.tsDecompose(s, d)),
+    "sim_pca_power" -> ((s, d) => Similarity.pcaPowerIteration(s, d)),
+    "docs_pii_scrub" -> ((s, d) => Curation.piiScrub(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1273,6 +1276,62 @@ object SparkEntry {
              SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS clogc
            FROM tf GROUP BY doc_id) g
          ORDER BY doc_id""",
+    "ts_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT *,
+             CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+             dayofweek(d) AS dow
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dt AS (SELECT *, CAST(n - trend AS DECIMAL(28,8)) AS detr FROM tr),
+         se AS (SELECT event_type, dow,
+             CAST(SUM(detr) AS DOUBLE) / COUNT(*) AS seasonal
+           FROM dt GROUP BY 1, 2)
+         SELECT t.event_type, strftime(t.d, '%Y-%m-%d') AS day, t.n,
+           ROUND(t.trend, 4) AS trend,
+           ROUND(s.seasonal, 4) AS seasonal,
+           ROUND(CAST(t.detr AS DOUBLE) - s.seasonal, 4) AS residual
+         FROM dt t JOIN se s
+           ON t.event_type = s.event_type AND t.dow = s.dow
+         ORDER BY t.event_type, day""",
+    "sim_pca_power" ->
+      """WITH xq AS (SELECT vec_id, j - 1 AS j,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS j
+                 FROM embeddings) t),
+         s AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS s
+               FROM xq GROUP BY 1),
+         w AS (SELECT j, CAST(SUM(xq.xq * s.s) AS BIGINT) AS w
+               FROM xq JOIN s USING (vec_id) GROUP BY 1),
+         nm AS (SELECT SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                  AS DECIMAL(38,6))) AS nsq FROM w)
+         SELECT j, w,
+           ROUND(CAST(w AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)), 6)
+             AS component
+         FROM w, nm ORDER BY j""",
+    "docs_pii_scrub" ->
+      """WITH inj AS (SELECT lang, text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                       '@mail.test please' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' card 4111111111111111 on file' ELSE '' END AS t0
+           FROM documents),
+         sc AS (SELECT lang, t0, regexp_replace(regexp_replace(t0,
+             '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{13,19}', '<NUM>', 'g') AS t2
+           FROM inj)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(t2, '<EMAIL>')) - 1) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(string_split(t2, '<NUM>')) - 1) AS BIGINT)
+             AS n_nums,
+           CAST(SUM(length(t0) - length(t2)) AS BIGINT) AS chars_redacted
+         FROM sc GROUP BY 1 ORDER BY lang""",
     "basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_orders

@@ -623,4 +623,49 @@ object Curation {
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
       .orderBy(col("bin"))
   }
+
+  /** PII redaction census — the compliance pass every training-data
+    * pipeline runs before release: emails and long card-like digit runs
+    * replaced by typed markers, with per-language counts of what was
+    * redacted. The synthetic corpus carries no natural PII, so the
+    * query INJECTS it deterministically first (doc_id-derived emails on
+    * every 5th doc, a card number on every 7th) — the same
+    * prove-the-mechanism-by-injection pattern as
+    * [[StreamingAnalytics.streamDedupWatermark]]'s retry replay: the
+    * census counts would be zero if the scrub missed, and chars_redacted
+    * would go negative if it over-matched.
+    *
+    * Both regexes are plain character-class patterns with identical
+    * semantics in Java regex (Spark codegen) and RE2 (DuckDB); counting
+    * is marker-split based (split on a literal), not engine regex-count
+    * APIs. Map-side only until the final small rollup — one narrow
+    * projection pass over the corpus, no shuffle before the per-lang
+    * agg. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val injected = docs.withColumn("t0",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.test please"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" card 4111111111111111 on file")).otherwise(lit(""))))
+    val scrubbed = injected
+      .withColumn("t1", regexp_replace(col("t0"),
+        "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"),
+        "[0-9]{13,19}", "<NUM>"))
+    scrubbed
+      .select(col("lang"),
+        (size(split(col("t2"), "<EMAIL>", -1)) - 1).cast("long")
+          .as("n_email"),
+        (size(split(col("t2"), "<NUM>", -1)) - 1).cast("long").as("n_num"),
+        (length(col("t0")) - length(col("t2"))).cast("long").as("removed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_num")).as("n_nums"),
+        sum(col("removed")).as("chars_redacted"))
+      .orderBy(col("lang"))
+  }
 }

@@ -231,6 +231,46 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Additive time-series decomposition of the daily event-type series:
+    * trend (centered 7-day moving average), day-of-week seasonal
+    * (mean detrended value per weekday), residual — the STL-lite pass
+    * behind capacity planning and anomaly baselines.
+    *
+    * Determinism: the trend is a ratio of exact integer frame sums; the
+    * detrended value is one deterministic double per row, quantized to
+    * DECIMAL(28,8) BEFORE the seasonal mean so partial-agg order can't
+    * move the hash; seasonal and residual divide once at the end.
+    * Plan: daily rollup (one exchange), one windowed pass per type, a
+    * 35-row (type x weekday) seasonal aggregate broadcast back. Edge
+    * days keep their truncated centered window (frame shrinks at series
+    * boundaries — both engines agree on ROWS frames). */
+  def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val frame = byType.rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        sum(col("n")).over(frame).cast("double") /
+          count(lit(1)).over(frame))
+      .withColumn("detr",
+        (col("n").cast("double") - col("trend")).cast("decimal(28,8)"))
+      .withColumn("dow", dayofweek(col("d")))
+    val seasonal = trended.groupBy(col("event_type"), col("dow"))
+      .agg((sum(col("detr")).cast("double") / count(lit(1)))
+        .as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("detr").cast("double") - col("seasonal"), 4)
+          .as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Range join: orders against a small in-code price-band relation on
     * `lo <= price < hi`. The bands side is broadcast, so the non-equi
     * predicate evaluates as a BroadcastNestedLoopJoin — the only sane

@@ -732,4 +732,43 @@ object Similarity {
           col("ex_mass") * 8).as("pipeline_quality_ok"))
       .orderBy(col("q_id"))
   }
+
+  /** One power-iteration step toward the corpus's top principal
+    * direction: w = Xᵀ(X·v₀) with the all-ones seed v₀ — the PCA/
+    * spectral-analysis primitive (dominant eigenvector of the Gram
+    * matrix up to normalization), and the building block for PCA
+    * whitening or spectral dedup over an embedding corpus.
+    *
+    * Exactness contract: every coordinate is quantized ONCE to integer
+    * micro-units (round(x·10⁶) as BIGINT — deterministic in both
+    * engines), after which the entire iteration is EXACT long
+    * arithmetic: row dots s_i = Σ_j xq_ij (≤64·3·10⁵), products
+    * xq_ij·s_i ≤ ~10¹³, dimension sums over the corpus ≤ ~10¹⁶ — far
+    * under 2⁶³, no float accumulation anywhere. Only the final
+    * normalization divides in double, per dimension, once; the squared
+    * norm is summed as exact DECIMAL of deterministic per-term doubles.
+    *
+    * Plan: one posexplode, one hash-agg on vec_id (the row dots), one
+    * co-partitioned join back on vec_id (reuses the agg's hash
+    * partitioning), one 64-key dimension agg (partial map-side, final
+    * trivially small). At 100 TB every stage is linear in the corpus
+    * with dimension-bounded output; nothing driver-side. */
+  def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val xq = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("j"),
+        round(col("col").cast("double") * 1e6, 0).cast("long").as("xq"))
+    val rowDots = xq.groupBy(col("vec_id")).agg(sum(col("xq")).as("s"))
+    val w = xq.join(rowDots, "vec_id")
+      .groupBy(col("j"))
+      .agg(sum(col("xq") * col("s")).as("w"))
+    val norm = w.agg(
+      sum((col("w").cast("double") * col("w").cast("double"))
+        .cast("decimal(38,6)")).as("nsq"))
+    w.crossJoin(broadcast(norm)) // 1-row scalar
+      .select(col("j"), col("w"),
+        round(col("w").cast("double") / sqrt(col("nsq").cast("double")), 6)
+          .as("component"))
+      .orderBy(col("j"))
+  }
 }

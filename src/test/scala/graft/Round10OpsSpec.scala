@@ -642,4 +642,91 @@ class Round10OpsSpec extends SparkSpec {
       .collect().toSeq
     assert(got === batch)
   }
+
+  test("tsDecompose: additive identity holds per row and the seasonal " +
+    "means recompute driver-side") {
+    import graft.operators.EventAnalytics
+    val rows = EventAnalytics.tsDecompose(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // n = trend + seasonal + residual exactly before rounding; after
+    // three independent round(4)s the identity holds to 2e-4
+    rows.foreach { case (t, day, n, tr, se, re) =>
+      assert(math.abs(n.toDouble - (tr + se + re)) <= 2e-4,
+        s"$t $day: $n != $tr + $se + $re")
+    }
+    // driver-side recompute of the full decomposition
+    val daily = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    daily.foreach { case (t, xs) =>
+      val ns = xs.map(_._3.toDouble)
+      xs.indices.foreach { i =>
+        val lo = math.max(0, i - 3); val hi = math.min(xs.length - 1, i + 3)
+        val trend = (lo to hi).map(ns).sum / (hi - lo + 1)
+        assert(math.abs(trend - xs(i)._4) <= 1e-4,
+          s"$t ${xs(i)._2}: trend ${xs(i)._4} != $trend")
+      }
+      // seasonal constant within a weekday, for each type
+      val byDow = xs.groupBy(x => java.time.LocalDate.parse(x._2).getDayOfWeek)
+      byDow.values.foreach { g =>
+        assert(g.map(_._5).distinct.size == 1,
+          s"$t: seasonal differs within one weekday")
+      }
+    }
+  }
+
+  test("pcaPowerIteration equals an exact driver-side integer power step " +
+    "and yields a unit direction") {
+    import graft.operators.Similarity
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._2.length
+    val xq = vecs.map { case (_, v) =>
+      v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val s = xq.map(_.sum)
+    val w = Array.tabulate(dim)(j =>
+      xq.indices.map(i => xq(i)(j) * s(i)).sum)
+    val norm = math.sqrt(w.map(x => x.toDouble * x.toDouble).sum)
+    val expected = w.zipWithIndex.map { case (wj, j) =>
+      (j, wj, BigDecimal(wj.toDouble / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val got = Similarity.pcaPowerIteration(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(x => (x._1, x._2)) === expected.map(x => (x._1, x._2)))
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) <= 1e-6) // norm sums in different orders
+    }
+    val n2 = got.map(x => x._3 * x._3).sum
+    assert(math.abs(n2 - 1.0) <= 1e-4, s"component norm^2 = $n2")
+  }
+
+  test("piiScrub redacts exactly the injected set (counts and character " +
+    "mass recompute from the injection rule)") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.map { case (lang, xs) =>
+      val emails = xs.filter(_._1 % 5 == 0)
+      val nums = xs.count(_._1 % 7 == 0).toLong
+      // redacted chars: |"userN@mail.test"| - |"<EMAIL>"| per email,
+      // |16-digit card| - |"<NUM>"| per number
+      val emailChars = emails.map { case (id, _) =>
+        s"user$id@mail.test".length - "<EMAIL>".length
+      }.sum.toLong
+      val numChars = nums * ("4111111111111111".length - "<NUM>".length)
+      (lang, xs.length.toLong, emails.length.toLong, nums,
+        emailChars + numChars)
+    }.sortBy(_._1)
+    assert(expected.map(_._3).sum > 0 && expected.map(_._4).sum > 0,
+      "injection sets must be non-empty")
+    val got = Curation.piiScrub(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
 }
