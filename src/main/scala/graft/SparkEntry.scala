@@ -1350,19 +1350,24 @@ object SparkEntry {
          FROM p JOIN ic c1 ON p.p1 = c1.l_partkey
                 JOIN ic c2 ON p.p2 = c2.l_partkey, no
          ORDER BY n_co DESC, p1, p2""",
-    "window_ewma" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+    "window_ewma" -> {
+      val num = (0 to 7).map(k =>
+        s"COALESCE(l$k * ${math.pow(2.0, -k)}, 0.0)").mkString(" + ")
+      val den = (0 to 7).map(k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(2.0, -k)} ELSE 0.0 END")
+        .mkString(" + ")
+      val lags = (0 to 7).map(k => s"lag(n, $k) OVER w AS l$k")
+        .mkString(", ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2),
-         r AS (SELECT *, ROW_NUMBER() OVER (
-             PARTITION BY event_type ORDER BY d) AS rn FROM daily)
+         l AS (SELECT event_type, d, n, $lags
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d))
          SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
-           ROUND(SUM(n * power(2.0, rn)) OVER w /
-                 SUM(power(2.0, rn)) OVER w, 4) AS ewma
-         FROM r
-         WINDOW w AS (PARTITION BY event_type ORDER BY d
-           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
-         ORDER BY event_type, day""",
+           ROUND(($num) / ($den), 4) AS ewma
+         FROM l ORDER BY event_type, day"""
+    },
     "join_asof_nearest" ->
       """WITH w AS (
            SELECT event_id, user_id, ts, event_type,

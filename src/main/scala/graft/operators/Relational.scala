@@ -808,30 +808,41 @@ object Relational {
   /** Exponentially-weighted moving average over the daily event-type
     * series (8-observation window, weight halving per step back): the
     * smoothing pass behind every ops dashboard's trend line. The decay
-    * base is 2, so every weight 2^rn, every product n·2^rn, and every
-    * frame sum is EXACT in binary doubles (integers scaled by powers of
-    * two) — the one float-determinism-safe EWMA: no accumulation-order
-    * sensitivity, one division per row at the end. Plan: one exchange
-    * for the daily rollup, one for the per-type window; row_number and
-    * the frame sums evaluate as adjacent WindowExecs over the SAME sort
-    * with no exchange between them (verified by plan audit). */
+    * base is 2, so every weight 2^-k, every product n·2^-k, and the
+    * fixed-order 8-term sum are EXACT in binary doubles — the one
+    * float-determinism-safe EWMA: no accumulation-order sensitivity,
+    * one division per row at the end.
+    *
+    * Formulated over LAG columns with RELATIVE offsets (k = rows back,
+    * 0..7) rather than a 2^row_number weight against a frame sum — the
+    * absolute-exponent form overflows 2^rn to Infinity once a series
+    * outlives ~1023 observations, a real horizon for a years-long
+    * daily feed; relative offsets are scale-proof by construction.
+    * Truncated series starts drop the null lags from numerator AND
+    * denominator, matching the shrinking-frame semantics. All eight
+    * lags share one (event_type; day) sort in a single WindowExec. */
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
-    val frame = byType.rowsBetween(-7, 0)
-    daily
-      .withColumn("rn", row_number().over(byType))
-      // 2^rn and n*2^rn are exact: rn <= 31 days, n < 2^20 at any SF
-      // slice, so sums stay far under 2^53
-      .withColumn("wn", col("n") * pow(lit(2.0), col("rn")))
-      .withColumn("w", pow(lit(2.0), col("rn")))
-      .withColumn("ewma",
-        round(sum(col("wn")).over(frame) / sum(col("w")).over(frame), 4))
+    val lags = (0 to 7).map(k => lag(col("n"), k).over(byType).as(s"l$k"))
+    val withLags = daily.select(
+      (Seq(col("event_type"), col("d"), col("n")) ++ lags): _*)
+    // fixed left-to-right 8-term sums: expression-tree order, not
+    // aggregation order — deterministic in every engine
+    val num = (0 to 7).map(k =>
+      when(col(s"l$k").isNotNull,
+        col(s"l$k") * lit(math.pow(2.0, -k))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val den = (0 to 7).map(k =>
+      when(col(s"l$k").isNotNull, lit(math.pow(2.0, -k)))
+        .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    withLags
       .select(col("event_type"),
         date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("n"), col("ewma"))
+        col("n"), round(num / den, 4).as("ewma"))
       .orderBy(col("event_type"), col("day"))
   }
 }

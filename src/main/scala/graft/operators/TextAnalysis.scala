@@ -1217,28 +1217,33 @@ object TextAnalysis {
     * curve means the source is exhausting itself, a flat one means keep
     * crawling.
     *
-    * Plan: one shingle explode, one hash-agg keyed on shingle for the
-    * global first-occurrence relation (posting-list shape, same envelope
-    * as [[tfidf]]), one join back on shingle that REUSES the aggregate's
-    * hash partitioning, then a doc-level agg and a 10-row decile rollup.
-    * Per-decile rates are ratios of exact integer sums (never a float
-    * aggregation), so partial-agg order cannot perturb the hash. The
-    * doc-count scalar broadcasts. Docs shorter than 5 words have no
-    * shingles and drop from the curve (both engines agree — inner join
-    * on an empty explode). At 100 TB: ingestion order is a monotone
+    * Plan: one shingle explode feeding TWO aggregates — per-doc shingle
+    * counts (map-side partial, doc-keyed) and the global
+    * first-occurrence relation (shingle-keyed posting agg, same envelope
+    * as [[tfidf]]) re-aggregated by its min doc to per-doc NOVEL counts
+    * — then a doc-sized left join (a doc's novel count is derivable
+    * from the firsts relation alone, so the corpus-sized posting
+    * relation is never joined back; the join touches |docs| rows, not
+    * |postings|). Per-decile rates are ratios of exact integer sums
+    * (never a float aggregation), so partial-agg order cannot perturb
+    * the hash. The doc-count scalar broadcasts. Docs shorter than
+    * 5 words have no shingles and drop from the curve (both engines
+    * agree — empty explode). At 100 TB: ingestion order is a monotone
     * doc_id in this corpus; a real deployment keys the decile off the
     * ingest timestamp the same way. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val sh = docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("shingle"))
-    val firsts = sh.groupBy(col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // novel count per doc == how many shingles it is the FIRST holder of
+    val novel = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = sh.join(firsts, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val perDoc = sizes.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
     val total = docs.agg(count(lit(1)).as("n_total")) // 1-row scalar
     perDoc.crossJoin(broadcast(total))
       .withColumn("decile",
