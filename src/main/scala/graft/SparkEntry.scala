@@ -254,7 +254,9 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamDedupWatermark(s, d)),
     "ts_decompose" -> ((s, d) => EventAnalytics.tsDecompose(s, d)),
     "sim_pca_power" -> ((s, d) => Similarity.pcaPowerIteration(s, d)),
-    "docs_pii_scrub" -> ((s, d) => Curation.piiScrub(s, d))
+    "docs_pii_scrub" -> ((s, d) => Curation.piiScrub(s, d)),
+    "events_anomaly_stl" -> ((s, d) => EventAnalytics.anomalyStl(s, d)),
+    "sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -262,6 +264,49 @@ object SparkEntry {
     * decimal-exact sums cast to double, explicit BIGINT casts where DuckDB
     * and Spark integer widths differ, timestamps formatted as strings,
     * NULLS FIRST to match Spark's ascending-sort null placement. */
+  /** Shared CTE bodies: rows that COMPOSE another row's semantics
+    * (anomaly gate over the decomposition, projection over the learned
+    * component) embed the SAME oracle text, so a fix to the base
+    * relation can never silently diverge from its consumers. */
+  private val tsDecomposeOracle: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT *,
+             CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+             dayofweek(d) AS dow
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dt AS (SELECT *, CAST(n - trend AS DECIMAL(28,8)) AS detr FROM tr),
+         se AS (SELECT event_type, dow,
+             CAST(SUM(detr) AS DOUBLE) / COUNT(*) AS seasonal
+           FROM dt GROUP BY 1, 2)
+         SELECT t.event_type, strftime(t.d, '%Y-%m-%d') AS day, t.n,
+           ROUND(t.trend, 4) AS trend,
+           ROUND(s.seasonal, 4) AS seasonal,
+           ROUND(CAST(t.detr AS DOUBLE) - s.seasonal, 4) AS residual
+         FROM dt t JOIN se s
+           ON t.event_type = s.event_type AND t.dow = s.dow
+         ORDER BY t.event_type, day"""
+
+  private val pcaPowerOracle: String =
+    """WITH xq AS (SELECT vec_id, j - 1 AS j,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS j
+                 FROM embeddings) t),
+         s AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS s
+               FROM xq GROUP BY 1),
+         w AS (SELECT j, CAST(SUM(xq.xq * s.s) AS BIGINT) AS w
+               FROM xq JOIN s USING (vec_id) GROUP BY 1),
+         nm AS (SELECT SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                  AS DECIMAL(38,6))) AS nsq FROM w)
+         SELECT j, w,
+           ROUND(CAST(w AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)), 6)
+             AS component
+         FROM w, nm ORDER BY j"""
+
   def oracleSql: Map[String, String] = {
     val m = Map(
     "ref_pipeline" ->
@@ -1276,43 +1321,39 @@ object SparkEntry {
              SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS clogc
            FROM tf GROUP BY doc_id) g
          ORDER BY doc_id""",
-    "ts_decompose" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(COUNT(*) AS BIGINT) AS n
-           FROM events GROUP BY 1, 2),
-         tr AS (SELECT *,
-             CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
-             dayofweek(d) AS dow
-           FROM daily
-           WINDOW w AS (PARTITION BY event_type ORDER BY d
-             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         dt AS (SELECT *, CAST(n - trend AS DECIMAL(28,8)) AS detr FROM tr),
-         se AS (SELECT event_type, dow,
-             CAST(SUM(detr) AS DOUBLE) / COUNT(*) AS seasonal
-           FROM dt GROUP BY 1, 2)
-         SELECT t.event_type, strftime(t.d, '%Y-%m-%d') AS day, t.n,
-           ROUND(t.trend, 4) AS trend,
-           ROUND(s.seasonal, 4) AS seasonal,
-           ROUND(CAST(t.detr AS DOUBLE) - s.seasonal, 4) AS residual
-         FROM dt t JOIN se s
-           ON t.event_type = s.event_type AND t.dow = s.dow
-         ORDER BY t.event_type, day""",
-    "sim_pca_power" ->
-      """WITH xq AS (SELECT vec_id, j - 1 AS j,
+    "ts_decompose" -> tsDecomposeOracle,
+    "events_anomaly_stl" ->
+      s"""WITH dec AS (SELECT * FROM ($tsDecomposeOracle) q),
+         med AS (SELECT event_type, median(residual) AS med
+                 FROM dec GROUP BY 1),
+         mad AS (SELECT d.event_type, m.med,
+             median(abs(d.residual - m.med)) AS mad
+           FROM dec d JOIN med m ON d.event_type = m.event_type
+           GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.n, d.residual,
+           ROUND(a.med, 4) AS resid_median,
+           ROUND(a.mad * 2.0, 4) AS gate
+         FROM dec d JOIN mad a ON d.event_type = a.event_type
+         WHERE abs(d.residual - a.med) > a.mad * 2.0
+         ORDER BY d.event_type, d.day""",
+    "sim_pca_power" -> pcaPowerOracle,
+    "sim_pca_project" ->
+      s"""WITH cq AS (SELECT j,
+             CAST(ROUND(component * 1e6) AS BIGINT) AS cq
+           FROM ($pcaPowerOracle) pw),
+         xq AS (SELECT vec_id, j - 1 AS j,
              CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
            FROM (SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS j
                  FROM embeddings) t),
-         s AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS s
-               FROM xq GROUP BY 1),
-         w AS (SELECT j, CAST(SUM(xq.xq * s.s) AS BIGINT) AS w
-               FROM xq JOIN s USING (vec_id) GROUP BY 1),
-         nm AS (SELECT SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
-                  AS DECIMAL(38,6))) AS nsq FROM w)
-         SELECT j, w,
-           ROUND(CAST(w AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)), 6)
-             AS component
-         FROM w, nm ORDER BY j""",
+         proj AS (SELECT vec_id, CAST(SUM(xq.xq * cq.cq) AS BIGINT) AS p
+           FROM xq JOIN cq USING (j) GROUP BY 1),
+         b AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM proj)
+         SELECT CAST(FLOOR((p - lo) * 8 / (hi - lo + 1)) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND((CAST(SUM(p) AS DOUBLE) / COUNT(*)) / 1e12, 6)
+             AS mean_proj
+         FROM proj, b GROUP BY 1 ORDER BY bin""",
     "docs_pii_scrub" ->
       """WITH inj AS (SELECT lang, text ||
              CASE WHEN doc_id % 5 = 0

@@ -271,6 +271,32 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Robust anomaly scan over [[tsDecompose]]'s residuals: a day is
+    * anomalous when its residual sits more than k robust deviations
+    * (MAD) from the per-type residual median — the standard
+    * trend/seasonality-aware alerting rule (a raw-count threshold would
+    * fire every weekend; the decomposition already removed what is
+    * explainable). Composes the decomposition row end to end: decompose
+    * -> per-type median -> per-type MAD -> gate. The medians run over
+    * the DAY-level relation (series-length-sized, not event-sized) and
+    * broadcast back; residuals are already on an exact 1e-4 grid, so
+    * both engines compare identical doubles. */
+  def anomalyStl(spark: SparkSession, dir: String, k: Double = 2.0)
+      : DataFrame = {
+    val dec = tsDecompose(spark, dir)
+    val med = dec.groupBy(col("event_type"))
+      .agg(median(col("residual")).as("med"))
+    val mad = dec.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(median(abs(col("residual") - col("med"))).as("mad"))
+    dec.join(broadcast(mad), "event_type")
+      .filter(abs(col("residual") - col("med")) > col("mad") * k)
+      .select(col("event_type"), col("day"), col("n"), col("residual"),
+        round(col("med"), 4).as("resid_median"),
+        round(col("mad") * k, 4).as("gate"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Range join: orders against a small in-code price-band relation on
     * `lo <= price < hi`. The bands side is broadcast, so the non-equi
     * predicate evaluates as a BroadcastNestedLoopJoin — the only sane

@@ -753,11 +753,17 @@ object Similarity {
     * partitioning), one 64-key dimension agg (partial map-side, final
     * trivially small). At 100 TB every stage is linear in the corpus
     * with dimension-bounded output; nothing driver-side. */
-  def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-    val xq = e.select(col("vec_id"), posexplode(col("embedding")))
+  /** Micro-unit-quantized coordinates: (vec_id, j, xq) with
+    * xq = round(x·10⁶) as BIGINT — the shared exact-integer domain of
+    * the PCA pair below. */
+  private def microCoords(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("j"),
         round(col("col").cast("double") * 1e6, 0).cast("long").as("xq"))
+
+  def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val xq = microCoords(spark, dir)
     val rowDots = xq.groupBy(col("vec_id")).agg(sum(col("xq")).as("s"))
     val w = xq.join(rowDots, "vec_id")
       .groupBy(col("j"))
@@ -770,5 +776,39 @@ object Similarity {
         round(col("w").cast("double") / sqrt(col("nsq").cast("double")), 6)
           .as("component"))
       .orderBy(col("j"))
+  }
+
+  /** Projection of the whole corpus onto [[pcaPowerIteration]]'s learned
+    * direction, histogrammed — the "use the component" step (PCA
+    * whitening previews, spectral outlier scans, 1-D index sketches all
+    * start here). The unit component re-quantizes to integer micro-units
+    * (exact: it is already rounded to 6 decimals), so every projection
+    * p_i = Σ_j xq_ij·cq_j is EXACT long arithmetic (≤ ~2·10¹³), the
+    * global [min, max] is an exact 1-row scalar, and the 8 equal-width
+    * bin ids are integer divisions — no float comparison anywhere until
+    * the final per-bin mean, divided once and rounded.
+    *
+    * Plan: the dimension-sized component broadcasts into the coordinate
+    * explode (map-side join), one vec-keyed agg for projections, a
+    * broadcast min/max scalar, an 8-key rollup. Linear in the corpus,
+    * constant-width output. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val cq = pcaPowerIteration(spark, dir)
+      .select(col("j"),
+        round(col("component") * 1e6, 0).cast("long").as("cq"))
+    val proj = microCoords(spark, dir)
+      .join(broadcast(cq), "j")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xq") * col("cq")).as("p"))
+    val bounds = proj.agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+    proj.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        floor((col("p") - col("lo")) * 8 / (col("hi") - col("lo") + 1))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(col("p")).cast("double") / count(lit(1))) / 1e12, 6)
+          .as("mean_proj"))
+      .orderBy(col("bin"))
   }
 }

@@ -729,4 +729,56 @@ class Round10OpsSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(got === expected)
   }
+
+  test("anomalyStl flags exactly the residuals past the per-type MAD " +
+    "gate, recomputed driver-side with interpolated medians") {
+    import graft.operators.EventAnalytics
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val dec = EventAnalytics.tsDecompose(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(5)))
+    val expected = dec.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      val m = med(xs.map(_._4))
+      val mad = med(xs.map(x => math.abs(x._4 - m)))
+      xs.filter(x => math.abs(x._4 - m) > mad * 2.0)
+        .map(x => (t, x._2, x._3, x._4))
+    }.sortBy(x => (x._1, x._2))
+    val got = EventAnalytics.anomalyStl(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the gate should fire somewhere at sf0.001")
+  }
+
+  test("pcaProject equals an exact driver-side integer projection and " +
+    "histogram, and covers the whole corpus") {
+    import graft.operators.Similarity
+    val comp = Similarity.pcaPowerIteration(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).sortBy(_._1)
+    val cq = comp.map(c => BigDecimal(c._2 * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val proj = vecs.map { case (_, v) =>
+      v.zipWithIndex.map { case (x, j) =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong * cq(j)
+      }.sum
+    }
+    val lo = proj.min; val hi = proj.max
+    val expected = proj.groupBy(p => ((p - lo) * 8.0 / (hi - lo + 1)).toInt)
+      .map { case (bin, ps) =>
+        (bin, ps.length.toLong,
+          BigDecimal(ps.map(BigDecimal(_)).sum.toDouble / ps.length / 1e12)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(_._1)
+    val got = Similarity.pcaProject(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === vecs.length.toLong)
+  }
 }
