@@ -256,7 +256,9 @@ object SparkEntry {
     "sim_pca_power" -> ((s, d) => Similarity.pcaPowerIteration(s, d)),
     "docs_pii_scrub" -> ((s, d) => Curation.piiScrub(s, d)),
     "events_anomaly_stl" -> ((s, d) => EventAnalytics.anomalyStl(s, d)),
-    "sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d))
+    "sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
+    "dedup_minhash_calibration" ->
+      ((s, d) => DedupOps.minhashCalibration(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -806,6 +808,44 @@ object SparkEntry {
                             JOIN sizes s2 ON x.d2 = s2.doc_id) v
          WHERE CAST(i AS DOUBLE) / LEAST(n1, n2) >= 0.8
          ORDER BY d1, d2""",
+    "dedup_minhash_calibration" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         slots AS (SELECT c.d1, c.d2,
+             CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS slots_eq
+           FROM cand c JOIN mh a ON c.d1 = a.doc_id
+                       JOIN mh b ON c.d2 = b.doc_id AND a.i = b.i
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                   FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                               JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2)
+         SELECT v.d1, v.d2, sl.slots_eq,
+           ROUND(CAST(sl.slots_eq AS DOUBLE) / 9, 3) AS est_jaccard,
+           ROUND(CAST(v.i AS DOUBLE) / (v.n1 + v.n2 - v.i), 3)
+             AS exact_jaccard,
+           ROUND(abs(CAST(sl.slots_eq AS DOUBLE) / 9 -
+             CAST(v.i AS DOUBLE) / (v.n1 + v.n2 - v.i)), 3) AS abs_err
+         FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id) v
+         JOIN slots sl ON v.d1 = sl.d1 AND v.d2 = sl.d2
+         ORDER BY v.d1, v.d2""",
     "dedup_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

@@ -763,4 +763,53 @@ object DedupOps {
         (col("n_docs") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
       .orderBy(col("source"))
   }
+
+  /** MinHash ESTIMATOR calibration — the measurement the whole LSH rung
+    * implicitly trusts: for every LSH candidate pair, the sketch's
+    * Jaccard estimate (agreeing signature slots / 9) laid beside the
+    * exact posting-list Jaccard, with the per-pair absolute error. A
+    * dedup rollout reads this before believing a banding threshold:
+    * E[slots/9] = true Jaccard, but at 9 hashes the estimator is
+    * quantized to ninths — this row shows exactly how coarse that is on
+    * THIS corpus's near-dup population (the eval sibling of
+    * [[blockingRecallEval]], which scores the CANDIDATE GENERATOR while
+    * this scores the ESTIMATOR).
+    *
+    * All per-pair arithmetic is scalar and exact-input (slot counts and
+    * intersection counts are integers; three divisions per row, each
+    * rounded) — no float aggregation. The signature relation is one
+    * map-side [[graft.expressions.MinHashValues]] pass; candidates and
+    * exact verification reuse the ladder's machinery verbatim, so the
+    * estimator being measured is bit-identical to the one in
+    * production rows. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"), ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+      .select(col("doc_id"), expr("graft_minhash_values(sh_arr)").as("sig"))
+    val withSlots = lshCandidatePairs(spark, dir)
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        aggregate(
+          zip_with(col("sig1"), col("sig2"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("slots_eq"))
+    val sh = shingleRel(spark, dir)
+    withSlots
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"), col("slots_eq"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"), col("slots_eq"),
+        round(col("slots_eq").cast("double") / 9, 3).as("est_jaccard"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 3).as("exact_jaccard"),
+        round(abs(col("slots_eq").cast("double") / 9 -
+          col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter"))), 3).as("abs_err"))
+      .orderBy(col("d1"), col("d2"))
+  }
 }

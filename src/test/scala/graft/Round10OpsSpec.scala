@@ -781,4 +781,51 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._2).sum === vecs.length.toLong)
   }
+
+  test("minhashCalibration: slot agreement and exact Jaccard recompute " +
+    "from first principles (independent md5 MinHash replay)") {
+    import graft.operators.DedupOps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val shMap = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val sig = shMap.collect { case (id, sh) if sh.nonEmpty =>
+      id -> (0 until 9).map(i => sh.map(s => md5hex(s"$i:$s")).min)
+    }
+    // candidates: same (band of 3 slots) collision rule as the ladder
+    def bands(s: Seq[String]): Seq[String] =
+      s.grouped(3).map(g => md5hex(g.mkString(","))).toSeq
+    val ids = sig.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bands(sig(a)).zip(bands(sig(b))).exists { case (x, y) => x == y }
+    } yield {
+      val slots = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      val inter = (shMap(a) & shMap(b)).size
+      val uni = shMap(a).size + shMap(b).size - inter
+      (a, b, slots,
+        BigDecimal(slots / 9.0).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(inter.toDouble / uni).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).filter(x => (shMap(x._1) & shMap(x._2)).nonEmpty).sortBy(x => (x._1, x._2))
+    val got = DedupOps.minhashCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // an unbiased estimator should be close on the near-dup population
+    val worst = got.map(x => math.abs(x._4 - x._5)).max
+    assert(worst <= 4.0 / 9 + 1e-9, s"calibration error $worst implausible")
+  }
 }
