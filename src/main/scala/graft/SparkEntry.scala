@@ -258,7 +258,8 @@ object SparkEntry {
     "events_anomaly_stl" -> ((s, d) => EventAnalytics.anomalyStl(s, d)),
     "sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "dedup_minhash_calibration" ->
-      ((s, d) => DedupOps.minhashCalibration(s, d))
+      ((s, d) => DedupOps.minhashCalibration(s, d)),
+    "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1326,6 +1327,27 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "text_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, w, pos,
+             CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents) u),
+         c AS (SELECT *, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS cid FROM w),
+         chunks AS (SELECT doc_id, cid,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+           FROM c GROUP BY doc_id, cid),
+         occ AS (SELECT fp, COUNT(*) AS n_occ FROM chunks GROUP BY fp)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN n_words ELSE 0 END)
+             AS DOUBLE) / SUM(n_words), 4) AS dup_word_mass
+         FROM chunks JOIN occ USING (fp)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_ngram_novelty" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

@@ -1257,6 +1257,51 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Content-defined chunking dedup census — the storage-dedup /
+    * long-document technique the fixed-window substring census
+    * ([[substringDupCensus]]) cannot replicate: chunk boundaries are cut
+    * where a per-WORD fingerprint hits a 1-in-16 pattern
+    * (md5 first hex nibble = 0), so inserting or deleting a sentence
+    * shifts only the chunks it touches — every other boundary, being a
+    * function of local content alone, stays put, and unchanged chunks
+    * keep their fingerprints (fixed windows re-align everything after
+    * an edit and lose all downstream matches). Per doc: chunk count,
+    * chunks whose content recurs anywhere in the corpus, and the word
+    * mass inside those duplicated chunks.
+    *
+    * The boundary predicate is md5-based so the oracle reproduces the
+    * exact boundaries (the xxhash gram machinery is equality-only and
+    * cannot anchor VALUE predicates cross-engine). Plan: one word
+    * explode, one per-doc window cumsum for chunk ids (doc-partitioned
+    * — no global window), one (doc, chunk) agg building the chunk
+    * fingerprint from sorted positions, one posting-style fp count, a
+    * doc-sized join back. Expected chunk length is geometric with mean
+    * 16 words — bounded groups everywhere. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("b",
+        when(substring(md5(col("w")), 1, 1) === "0", 1L).otherwise(0L))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = w.withColumn("cid", sum(col("b")).over(byDoc))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("fp"))
+    val occ = chunks.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_words")).as("n_words"),
+        round(sum(when(col("n_occ") > 1, col("n_words")).otherwise(0L))
+          .cast("double") / sum(col("n_words")), 4).as("dup_word_mass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document token-level Shannon entropy (bits): the
     * information-theoretic repetitiveness gate — low entropy flags
     * keyword-stuffed / template / looping text that survives simple

@@ -828,4 +828,62 @@ class Round10OpsSpec extends SparkSpec {
     val worst = got.map(x => math.abs(x._4 - x._5)).max
     assert(worst <= 4.0 / 9 + 1e-9, s"calibration error $worst implausible")
   }
+
+  test("cdcChunks recomputes driver-side, and boundaries are genuinely " +
+    "content-defined: an insertion only disturbs its own chunk") {
+    import graft.operators.TextAnalysis
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val words = text.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      words.foreach { w =>
+        if (md5hex(w).startsWith("0")) { // boundary STARTS a new chunk
+          if (cur.nonEmpty || out.nonEmpty) out += cur.reverse
+          cur = List(w)
+        } else cur = w :: cur
+      }
+      out += cur.reverse
+      out.filter(_.nonEmpty).map(_.mkString(" ")).toSeq
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = docs.map { case (id, t) => id -> chunksOf(t) }
+    val occ = all.flatMap(_._2).groupBy(md5hex).view.mapValues(_.length).toMap
+    val expected = all.map { case (id, cs) =>
+      val dup = cs.filter(c => occ(md5hex(c)) > 1)
+      val nw = cs.map(_.split(" ", -1).length.toLong).sum
+      val dw = dup.map(_.split(" ", -1).length.toLong).sum
+      (id, cs.length.toLong, dup.length.toLong, nw,
+        BigDecimal(dw.toDouble / nw)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.cdcChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // content-defined property: insert a word mid-document — chunks
+    // BEFORE the edit keep their fingerprints (a fixed-window scheme
+    // would re-align everything after position 0)
+    val (_, text) = docs.maxBy(_._2.length)
+    val w = text.split(" ", -1)
+    val edited = (w.take(w.length / 2) ++ Array("INSERTED") ++
+      w.drop(w.length / 2)).mkString(" ")
+    val before = chunksOf(text)
+    val after = chunksOf(edited)
+    val commonPrefix = before.zip(after).takeWhile { case (a, b) => a == b }
+    assert(commonPrefix.nonEmpty && commonPrefix.length >= before.length / 4,
+      s"expected a stable chunk prefix, got ${commonPrefix.length} of " +
+        s"${before.length}")
+    // and the suffix realigns too (geometric boundaries re-synchronize)
+    val commonSuffix = before.reverse.zip(after.reverse)
+      .takeWhile { case (a, b) => a == b }
+    assert(commonSuffix.nonEmpty,
+      "chunking never re-synchronized after the edit")
+  }
 }
