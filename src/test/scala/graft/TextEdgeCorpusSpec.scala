@@ -109,4 +109,53 @@ class TextEdgeCorpusSpec extends SparkSpec {
         "window count is exact ceil division")
     }
   }
+
+  test("token entropy on boundary docs: degenerate and uniform cases " +
+    "land on their closed-form values") {
+    val rows = TextAnalysis.tokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(0L) === ((1L, 1L, 0.0)))   // "" -> one empty token
+    assert(rows(1L) === ((1L, 1L, 0.0)))   // single token
+    assert(rows(6L) === ((8L, 2L, 1.0)))   // x/y uniform -> exactly 1 bit
+    // 13 distinct tokens -> log2(13)
+    val (n4, t4, e4) = rows(4L)
+    assert(n4 == 13L && t4 == 13L &&
+      math.abs(e4 - math.log(13.0) / math.log(2.0)) <= 0.001)
+  }
+
+  test("ngram novelty on boundary docs: the shared-prefix twin shows " +
+    "partial novelty and the exact twin shows none") {
+    // docs with >= 5 words: 3 (8 shingles), 4 (9: the first 8 IDENTICAL
+    // to doc 3's windows, one new), 5 (doc 4's text verbatim -> 0 novel),
+    // 6 (2 distinct repeating windows). n_total=7 -> decile floor(id*10/7)
+    val rows = TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows === Seq(
+      (4, 1L, 8L, 8L, 1.0),    // doc 3: all novel
+      (5, 1L, 9L, 1L, 0.1111), // doc 4: only the w9..w13 window is new
+      (7, 1L, 9L, 0L, 0.0),    // doc 5: exact twin, nothing new
+      (8, 1L, 2L, 2L, 1.0)))   // doc 6: both repeating windows first here
+  }
+
+  test("cdc chunks on boundary docs: exact twins share every chunk, " +
+    "token mass is conserved") {
+    val rows = TextAnalysis.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // docs 4 and 5 are the same text: every chunk recurs -> dup mass 1.0
+    assert(byId(4L)._5 === 1.0 && byId(5L)._5 === 1.0)
+    assert(byId(4L)._2 === byId(5L)._2) // identical chunking
+    // token conservation: n_words == whitespace token count per doc
+    val toks = Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 12L, 4L -> 13L,
+      5L -> 13L, 6L -> 8L)
+    rows.foreach { case (id, _, _, nw, mass) =>
+      assert(nw === toks(id), s"doc $id token mass")
+      assert(mass >= 0.0 && mass <= 1.0)
+    }
+    // unique single-chunk docs can't be duplicated
+    assert(byId(1L)._3 === 0L)
+  }
 }
