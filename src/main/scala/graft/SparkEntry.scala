@@ -259,7 +259,9 @@ object SparkEntry {
     "sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "dedup_minhash_calibration" ->
       ((s, d) => DedupOps.minhashCalibration(s, d)),
-    "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d))
+    "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
+    "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
+    "events_ab_test" -> ((s, d) => EventAnalytics.abTest(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1327,6 +1329,69 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "text_js_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         stf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+                 FROM tok GROUP BY 1, 2),
+         ctf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cc
+                 FROM tok GROUP BY 1),
+         st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns,
+                  CAST(COUNT(*) AS BIGINT) AS n_types
+                FROM stf GROUP BY 1),
+         ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM ctf),
+         pt AS (SELECT s.source,
+             CAST(((p * log2(p / m) + q * log2(q / m)) / 2)
+               AS DECIMAL(28,10)) AS term_js,
+             CAST(q / 2 AS DECIMAL(28,10)) AS q_present_half
+           FROM (SELECT s.source,
+                   CAST(s.cs AS DOUBLE) / t.ns AS p,
+                   CAST(c.cc AS DOUBLE) / x.nc AS q,
+                   (CAST(s.cs AS DOUBLE) / t.ns +
+                    CAST(c.cc AS DOUBLE) / x.nc) / 2 AS m
+                 FROM stf s JOIN ctf c ON s.tok = c.tok
+                      JOIN st t ON s.source = t.source
+                      CROSS JOIN ct x) s)
+         SELECT g.source, t.ns AS n_tok, t.n_types,
+           ROUND(CAST(g.jsp AS DOUBLE) +
+             (0.5 - CAST(g.qp AS DOUBLE)), 4) AS jsd
+         FROM (SELECT source, SUM(term_js) AS jsp,
+                 SUM(q_present_half) AS qp
+               FROM pt GROUP BY 1) g
+         JOIN st t ON g.source = t.source
+         ORDER BY g.source""",
+    "events_ab_test" ->
+      """WITH v AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         conv AS (SELECT DISTINCT v.user_id FROM v JOIN p
+               ON v.user_id = p.user_id
+              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+         pu AS (SELECT u.user_id,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+               AS converted
+           FROM (SELECT DISTINCT user_id FROM v) u
+           LEFT JOIN conv c ON u.user_id = c.user_id),
+         arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+               AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+           FROM pu GROUP BY 1),
+         a AS (SELECT n_users AS n_a, n_conv AS c_a FROM arms
+               WHERE arm = 'A'),
+         b AS (SELECT n_users AS n_b, n_conv AS c_b FROM arms
+               WHERE arm = 'B')
+         SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 4) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 4) AS rate_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             ROUND((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) /
+               sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 / n_a + 1.0 / n_b)), 4)
+           END AS z
+         FROM a, b""",
     "text_cdc_chunks" ->
       """WITH w AS (SELECT doc_id, w, pos,
              CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b

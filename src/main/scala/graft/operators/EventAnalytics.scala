@@ -271,6 +271,57 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Two-proportion z-test over a deterministic A/B split (user_id
+    * parity): did variant B's 30-minute view→purchase conversion differ
+    * from A's? The experimentation primitive next to [[eventsDrift]]'s
+    * chi-square — same discipline: every input to the test statistic is
+    * an exact integer aggregate (per-arm exposed-user and converter
+    * counts), the pooled-variance z formula evaluates ONCE per output
+    * row in double, rounded. Conversion is TIME-BOUNDED (a purchase
+    * within 30 minutes after a view — the [[asofAttribution]] window),
+    * because lifetime any-purchase saturates to 100% on an active
+    * population and the test degenerates. A degenerate pool (0% or
+    * 100%) yields NULL z rather than an ANSI divide-by-zero throw.
+    * Every join and agg keys on user_id — one partitioning end to end;
+    * the per-user view×purchase interval join is bounded by per-user
+    * event counts. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val converted = views.join(purchases, "user_id")
+      .filter(col("pts") > col("ts") &&
+        col("pts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    val perUser = views.select(col("user_id")).distinct()
+      .join(converted, Seq("user_id"), "left")
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n_a"), col("n_conv").as("c_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n_b"), col("n_conv").as("c_b"))
+    val pA = col("c_a").cast("double") / col("n_a")
+    val pB = col("c_b").cast("double") / col("n_b")
+    val pPool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    a.crossJoin(b) // 1-row x 1-row
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(pA, 4).as("rate_a"), round(pB, 4).as("rate_b"),
+        when(col("c_a") + col("c_b") > 0 &&
+          col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+          round((pB - pA) /
+            sqrt(pPool * (lit(1.0) - pPool) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+          .as("z"))
+  }
+
   /** Robust anomaly scan over [[tsDecompose]]'s residuals: a day is
     * anomalous when its residual sits more than k robust deviations
     * (MAD) from the per-type residual median — the standard

@@ -1302,6 +1302,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source Jensen-Shannon divergence from the corpus unigram
+    * distribution — the text-side distribution-shift monitor (the
+    * sibling of [[EventAnalytics.eventsDrift]]'s chi-square): a source
+    * whose token distribution diverges from the corpus is a candidate
+    * outlier (boilerplate farm, wrong language, spam) before any
+    * per-document gate fires. JSD(p‖q) with p = source unigrams,
+    * q = corpus unigrams, m = (p+q)/2; symmetric, bounded in [0,1] bit.
+    *
+    * The q-side sum over terms ABSENT from the source needs no join:
+    * for p_i = 0 the contribution is q_i·log2(q_i/(q_i/2)) = q_i, so
+    * Σ_absent = 1 − Σ_present q_i — one scalar correction. Only
+    * (source, term) pairs that EXIST get per-term math: the relation is
+    * source-vocabulary-sized, never |sources|×|vocab|. Per-term
+    * contributions quantize to DECIMAL(28,10) before summing (the
+    * [[tokenEntropy]] discipline), corpus totals broadcast. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val srcTf = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val corpusTf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val srcTotals = srcTf.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ns"), count(lit(1)).as("n_types"))
+    val corpusTotal = corpusTf.agg(sum(col("cc")).as("nc")) // 1-row
+    val p = col("cs").cast("double") / col("ns")
+    val q = col("cc").cast("double") / col("nc")
+    val m = (p + q) / 2
+    val perTerm = srcTf
+      .join(corpusTf, "tok")
+      .join(srcTotals.select(col("source"), col("ns")), "source")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"),
+        ((p * log2(p / m) + q * log2(q / m)) / 2)
+          .cast("decimal(28,10)").as("term_js"),
+        (q / 2).cast("decimal(28,10)").as("q_present_half"))
+    perTerm.groupBy(col("source"))
+      .agg(sum(col("term_js")).as("js_present"),
+        sum(col("q_present_half")).as("qp"))
+      .join(srcTotals, "source")
+      .select(col("source"), col("ns").as("n_tok"), col("n_types"),
+        // absent-term mass: (1 - sum of present q) / 2, exactly
+        round(col("js_present").cast("double") +
+          (lit(0.5) - col("qp").cast("double")), 4).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document token-level Shannon entropy (bits): the
     * information-theoretic repetitiveness gate — low entropy flags
     * keyword-stuffed / template / looping text that survives simple

@@ -886,4 +886,85 @@ class Round10OpsSpec extends SparkSpec {
     assert(commonSuffix.nonEmpty,
       "chunking never re-synchronized after the edit")
   }
+
+  test("jsDivergence recomputes driver-side (present-term sum + " +
+    "absent-mass correction) and stays within JSD bounds") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nc = toks.length.toDouble
+    def q10(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val expected = toks.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val tf = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ns = xs.length.toDouble
+      def lg(x: Double) = math.log(x) / math.log(2)
+      val parts = tf.toSeq.map { case (w, cs) =>
+        val p = cs / ns; val q = corpus(w) / nc; val m = (p + q) / 2
+        (q10((p * lg(p / m) + q * lg(q / m)) / 2), q10(q / 2))
+      }
+      val jsp = parts.map(_._1).sum.toDouble
+      val qp = parts.map(_._2).sum.toDouble
+      (src, xs.length.toLong, tf.size.toLong,
+        BigDecimal(jsp + (0.5 - qp))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = TextAnalysis.jsDivergence(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) ===
+      expected.map(x => (x._1, x._2, x._3)))
+    got.zip(expected).foreach { case ((s, _, _, g), (_, _, _, e)) =>
+      assert(math.abs(g - e) <= 2e-4, s"$s: $g vs $e")
+      assert(g >= -1e-9 && g <= 1.0 + 1e-9, s"$s: jsd $g out of [0,1]")
+    }
+  }
+
+  test("abTest recomputes driver-side and NULLs z on a degenerate pool " +
+    "instead of throwing under ANSI") {
+    import graft.operators.EventAnalytics
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getString(2)))
+    val views = ev.filter(_._3 == "view")
+    val purch = ev.filter(_._3 == "purchase").groupBy(_._1)
+    val exposed = views.map(_._1).distinct
+    val conv = exposed.filter { u =>
+      val ps = purch.getOrElse(u, Array.empty).map(_._2)
+      views.filter(_._1 == u).exists(v =>
+        ps.exists(p => p > v._2 && p <= v._2 + 30L * 60 * 1000000))
+    }.toSet
+    def arm(sel: Long => Boolean) = {
+      val us = exposed.filter(sel)
+      (us.length.toLong, us.count(conv).toLong)
+    }
+    val (na, ca) = arm(_ % 2 == 0); val (nb, cb) = arm(_ % 2 != 0)
+    val row = EventAnalytics.abTest(spark, sf0001).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) === ((na, ca, nb, cb)))
+    val pool = (ca + cb).toDouble / (na + nb)
+    if (ca + cb > 0 && ca + cb < na + nb) {
+      val z = (cb.toDouble / nb - ca.toDouble / na) /
+        math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(row.getDouble(6) - z) <= 1e-4)
+    } else assert(row.isNullAt(6))
+    // degenerate corpus: every view converts -> z must be NULL, no throw
+    val d = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2L, "purchase", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val deg = EventAnalytics.abTest(spark, d).collect().head
+    assert(deg.isNullAt(6), "100% pooled conversion must yield NULL z")
+  }
 }
