@@ -261,7 +261,8 @@ object SparkEntry {
       ((s, d) => DedupOps.minhashCalibration(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
-    "events_ab_test" -> ((s, d) => EventAnalytics.abTest(s, d))
+    "events_ab_test" -> ((s, d) => EventAnalytics.abTest(s, d)),
+    "events_concurrency" -> ((s, d) => EventAnalytics.concurrency(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1329,6 +1330,35 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "events_concurrency" ->
+      """WITH lagd AS (SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS lag_ts
+           FROM events),
+         flags AS (SELECT user_id, ts,
+             CASE WHEN lag_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(lag_ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session, event_id
+           FROM lagd),
+         sids AS (SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags),
+         sess AS (SELECT user_id, sid, MIN(ts) AS s,
+             MAX(ts) + INTERVAL 30 MINUTE AS e
+           FROM sids GROUP BY 1, 2),
+         deltas AS (SELECT s AS t, 1 AS d FROM sess
+                    UNION ALL SELECT e, -1 FROM sess),
+         run AS (SELECT t, d, date_trunc('hour', t) AS h,
+             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run
+           FROM deltas)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(MAX(run) AS BIGINT) AS max_concurrency,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starts,
+           CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ends
+         FROM run GROUP BY h ORDER BY hour_start""",
     "text_js_divergence" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
            FROM documents),

@@ -322,6 +322,51 @@ object EventAnalytics {
           .as("z"))
   }
 
+  /** Hourly session-concurrency census: max simultaneous open sessions
+    * per hour via the classic +1/−1 interval sweep over
+    * [[sessionWindows]]'s intervals — the capacity-planning number
+    * behind connection pools and autoscaling floors. A GLOBAL running
+    * sum is inherently sequential, so it runs as the same two-pass
+    * decomposition [[graft.operators.Curation.budgetSelect]] uses:
+    * per-hour local running sums (hour-partitioned window, parallel)
+    * plus exact offsets from an HOUR-LEVEL rollup whose own window
+    * touches only |hours| rows — no corpus-sized single-partition
+    * window anywhere. Tie order (t, d) applies session ENDS before
+    * starts at the same instant, so back-to-back sessions never
+    * double-count; within a tie group the per-hour MAX is
+    * order-invariant (monotone within each sign). Hours with no
+    * boundary events carry no row (concurrency unchanged). */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"))
+    val deltas = sess.select(explode(array(
+      struct(col("s").as("t"), lit(1L).as("d")),
+      struct(col("e").as("t"), lit(-1L).as("d")))).as("ev"))
+      .select(col("ev.t").as("t"), col("ev.d").as("d"))
+      .withColumn("h", date_trunc("hour", col("t")))
+    val wLocal = Window.partitionBy(col("h"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("run_local", sum(col("d")).over(wLocal))
+    // hour-level offsets: |hours| rows, the small serial step
+    val wOff = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy(col("h")).agg(sum(col("d")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("h"), col("off"))
+    local.join(broadcast(offsets), "h")
+      .groupBy(col("h"))
+      .agg(max(col("off") + col("run_local")).as("max_concurrency"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .select(date_format(col("h"), fmt).as("hour_start"),
+        col("max_concurrency"), col("n_starts"), col("n_ends"))
+      .orderBy(col("hour_start"))
+  }
+
   /** Robust anomaly scan over [[tsDecompose]]'s residuals: a day is
     * anomalous when its residual sits more than k robust deviations
     * (MAD) from the per-type residual median — the standard

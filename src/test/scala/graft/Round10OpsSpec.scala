@@ -967,4 +967,38 @@ class Round10OpsSpec extends SparkSpec {
     val deg = EventAnalytics.abTest(spark, d).collect().head
     assert(deg.isNullAt(6), "100% pooled conversion must yield NULL z")
   }
+
+  test("concurrency equals a driver-side +1/-1 sweep over the session " +
+    "intervals (ends before starts at equal instants)") {
+    import graft.operators.EventAnalytics
+    val sess = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .select(col("session_window.start"), col("session_window.end"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    val deltas = sess.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy(identity) // (t, d): d=-1 sorts before d=+1 at equal t
+    var run = 0L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val byHour = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    deltas.foreach { case (t, d) =>
+      run += d
+      val h = fmt.format(new java.util.Date(t - t % 3600000L))
+      val (mx, st, en) = byHour.getOrElse(h, (Long.MinValue, 0L, 0L))
+      byHour(h) = (math.max(mx, run),
+        st + (if (d == 1) 1L else 0L), en + (if (d == -1) 1L else 0L))
+    }
+    val expected = byHour.toSeq
+      .map { case (h, (m, s, e)) => (h, m, s, e) }.sortBy(_._1)
+    val got = EventAnalytics.concurrency(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // conservation: every started session ends
+    assert(got.map(_._3).sum === got.map(_._4).sum)
+    assert(got.map(_._2).max > 1, "test is vacuous without overlap")
+  }
 }
