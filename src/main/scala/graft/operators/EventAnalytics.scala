@@ -311,7 +311,7 @@ object EventAnalytics {
     val pB = col("c_b").cast("double") / col("n_b")
     val pPool = (col("c_a") + col("c_b")).cast("double") /
       (col("n_a") + col("n_b"))
-    a.crossJoin(b) // 1-row x 1-row
+    a.crossJoin(broadcast(b)) // 1-row x 1-row scalar
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
         round(pA, 4).as("rate_a"), round(pB, 4).as("rate_b"),
         when(col("c_a") + col("c_b") > 0 &&
