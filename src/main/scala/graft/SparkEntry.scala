@@ -262,7 +262,8 @@ object SparkEntry {
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "events_ab_test" -> ((s, d) => EventAnalytics.abTest(s, d)),
-    "events_concurrency" -> ((s, d) => EventAnalytics.concurrency(s, d))
+    "events_concurrency" -> ((s, d) => EventAnalytics.concurrency(s, d)),
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1820,6 +1821,28 @@ object SparkEntry {
          UNION ALL SELECT * FROM c4
          UNION ALL SELECT * FROM c5
          ORDER BY "column"""",
+    "mm_audio_energy" ->
+      """WITH audio AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 3 = 1 AND length(text) > 0),
+         b AS (SELECT doc_id, (pos - 1) // 256 AS w,
+             CAST(ascii(substr(text, CAST(pos AS INT), 1)) - 128
+               AS BIGINT) AS v
+           FROM (SELECT doc_id, text,
+                   unnest([p for p in range(1, length(text) + 1)]) AS pos
+                 FROM audio) u),
+         wins AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS energy
+                  FROM b GROUP BY 1, 2),
+         z AS (SELECT doc_id, energy,
+             MAX(energy) OVER (PARTITION BY doc_id) AS peak FROM wins)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS peak_energy,
+           CAST(SUM(CASE WHEN energy * 10 >= peak * 9 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_near_peak,
+           ROUND(CAST(SUM(CASE WHEN energy * 10 >= peak * 9
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS near_peak_ratio
+         FROM z GROUP BY doc_id ORDER BY doc_id""",
     "mm_resize" ->
       """WITH d AS (SELECT doc_id,
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -238,6 +239,51 @@ object Multimodal {
       .select(col("doc_id"), col("modality"), col("byte_len"), col("n_frames"),
         round(element_at(col("features"), 1) * 255).cast("long").as("f0"),
         round(element_at(col("features"), 2) * 255).cast("long").as("f1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Windowed audio-energy census — the PCM/VAD access pattern over the
+    * audio modality: each payload slices into fixed 256-byte windows
+    * INSIDE a per-partition pass (one flatMap, no shuffle of the binary
+    * column — the same narrow-DSP shape as [[extractFeatures]]), each
+    * window reduced to Σ(byte−128)² on the spot, and only the tiny
+    * (doc, window, energy) relation reaches the relational layer for
+    * the census: window count, total and peak energy, and how many
+    * windows sit within 10% of the doc's peak (the "sustained loudness"
+    * readout — peak-relative, so it is corpus-independent where a fixed
+    * threshold would be arbitrary). Energies are exact integers; the
+    * only division is one rounded ratio. A real deployment swaps the
+    * byte slicer for a codec frame iterator behind the same
+    * [[MediaDecoder]] seam. */
+  def audioEnergy(spark: SparkSession, dir: String,
+                  win: Int = 256): DataFrame = {
+    import spark.implicits._
+    val wins = mediaRecords(spark, dir)
+      .filter(col("modality") === "audio").as[MediaRecord]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          r.payload.grouped(win).zipWithIndex.map { case (chunk, i) =>
+            var e = 0L
+            var k = 0
+            while (k < chunk.length) {
+              val v = (chunk(k) & 0xff) - 128
+              e += v.toLong * v
+              k += 1
+            }
+            (r.doc_id, i.toLong, e)
+          }
+        }
+      }.toDF("doc_id", "win_no", "energy")
+    val peaked = wins.withColumn("peak",
+      max(col("energy")).over(Window.partitionBy(col("doc_id"))))
+    peaked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"),
+        max(col("energy")).as("peak_energy"),
+        sum(when(col("energy") * 10 >= col("peak") * 9, 1L).otherwise(0L))
+          .as("n_near_peak"))
+      .withColumn("near_peak_ratio",
+        round(col("n_near_peak").cast("double") / col("n_windows"), 4))
       .orderBy(col("doc_id"))
   }
 }

@@ -1001,4 +1001,31 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.map(_._3).sum === got.map(_._4).sum)
     assert(got.map(_._2).max > 1, "test is vacuous without overlap")
   }
+
+  test("audioEnergy equals a driver-side byte-window recompute over the " +
+    "audio modality payloads") {
+    import graft.operators.Multimodal
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 1 && t.nonEmpty }
+    val expected = docs.map { case (id, t) =>
+      val energies = t.getBytes("UTF-8").grouped(256).map { c =>
+        c.foldLeft(0L) { (a, b) =>
+          val v = (b & 0xff) - 128; a + v.toLong * v
+        }
+      }.toSeq
+      val peak = energies.max
+      val near = energies.count(e => e * 10 >= peak * 9).toLong
+      (id, energies.length.toLong, energies.sum, peak, near,
+        BigDecimal(near.toDouble / energies.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.audioEnergy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.exists(_._2 > 1),
+      "needs at least one multi-window payload")
+  }
 }
