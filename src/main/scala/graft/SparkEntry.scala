@@ -263,7 +263,11 @@ object SparkEntry {
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "events_ab_test" -> ((s, d) => EventAnalytics.abTest(s, d)),
     "events_concurrency" -> ((s, d) => EventAnalytics.concurrency(s, d)),
-    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
+    "events_forecast_naive" ->
+      ((s, d) => EventAnalytics.forecastNaive(s, d)),
+    "window_rolling_median" ->
+      ((s, d) => Relational.rollingMedianDaily(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1331,6 +1335,30 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "events_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         f AS (SELECT *, LAG(n, 7) OVER (PARTITION BY event_type
+             ORDER BY d) AS fc FROM daily),
+         s AS (SELECT event_type, n, fc,
+             CAST(CAST(abs(n - fc) AS DOUBLE) / n AS DECIMAL(28,8))
+               AS ape,
+             CAST(n - fc AS BIGINT) AS err
+           FROM f WHERE fc IS NOT NULL)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 4) AS mape,
+           CAST(SUM(err) AS BIGINT) AS total_bias,
+           CAST(MAX(abs(err)) AS BIGINT) AS worst_abs_err
+         FROM s GROUP BY 1 ORDER BY event_type""",
+    "window_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           ROUND(median(n) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 1) AS med7
+         FROM daily ORDER BY event_type, day""",
     "events_concurrency" ->
       """WITH lagd AS (SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

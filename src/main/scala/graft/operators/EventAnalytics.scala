@@ -322,6 +322,38 @@ object EventAnalytics {
           .as("z"))
   }
 
+  /** Seasonal-naive forecast BACKTEST over the daily series: predict
+    * each day with the same weekday a week earlier (the baseline every
+    * real forecasting system must beat) and score it with MAPE and
+    * bias — the "is our fancy model better than lag-7" harness row,
+    * closing the time-series family the same way the probe-AUC row
+    * closes the classifier family (train/predict is nothing without
+    * evaluate). Per-row percentage errors are deterministic scalars
+    * quantized to DECIMAL(28,8) before averaging; the first seven days
+    * have no forecast and drop (both engines agree on lag semantics).
+    * Plan: daily rollup, one lag window per type, a type-sized final
+    * agg. */
+  def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("fc", lag(col("n"), 7).over(byType))
+      .filter(col("fc").isNotNull)
+      .withColumn("ape",
+        (abs(col("n") - col("fc")).cast("double") / col("n"))
+          .cast("decimal(28,8)"))
+      .withColumn("err", (col("n") - col("fc")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("ape")).cast("double") / count(lit(1)), 4)
+          .as("mape"),
+        sum(col("err")).as("total_bias"),
+        max(abs(col("err"))).as("worst_abs_err"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hourly session-concurrency census: max simultaneous open sessions
     * per hour via the classic +1/−1 interval sweep over
     * [[sessionWindows]]'s intervals — the capacity-planning number

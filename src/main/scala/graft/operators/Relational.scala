@@ -765,6 +765,39 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Rolling 7-observation MEDIAN of the daily event-type series — the
+    * robust companion to [[ewmaDaily]]: one outage spike moves an EWMA
+    * for a week but leaves the rolling median untouched, which is why
+    * alerting baselines prefer it. Inputs are exact integer counts, so
+    * the median (or midpoint of the two middle values) is deterministic
+    * in both engines; frames shrink at the series start (ROWS frame
+    * semantics, both engines agree). Spark disallows median() over a
+    * frame, so the frame materializes as a ≤7-element collect_list and
+    * the median is picked from the sorted array — constant work per
+    * row, and the array never outlives the projection. One rollup
+    * exchange, one window exchange — same plan envelope as the EWMA. */
+  def rollingMedianDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, 0)
+    val sorted = array_sort(col("win"))
+    val sz = size(col("win"))
+    daily
+      .withColumn("win", collect_list(col("n")).over(frame))
+      .withColumn("med7",
+        when(sz % 2 === 1,
+          element_at(sorted, ((sz + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(sorted, (sz / 2).cast("int")) +
+            element_at(sorted, (sz / 2).cast("int") + 1))
+            .cast("double") / 2))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("med7"), 1).as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Market-basket co-occurrence mining: part pairs bought together in
     * the same order, with support and lift — the classic association-
     * rule building block (and the co-occurrence primitive behind

@@ -1028,4 +1028,51 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._2 > 1),
       "needs at least one multi-window payload")
   }
+
+  private def dailyCounts(): Map[String, Seq[(String, Long)]] =
+    Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+
+  test("forecastNaive: MAPE/bias equal a driver-side lag-7 backtest") {
+    import graft.operators.EventAnalytics
+    val expected = dailyCounts().toSeq.map { case (t, xs) =>
+      val scored = xs.indices.drop(7).map { i =>
+        val n = xs(i)._2; val fc = xs(i - 7)._2
+        (BigDecimal(math.abs(n - fc).toDouble / n)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP), n - fc)
+      }
+      (t, scored.length.toLong,
+        BigDecimal(scored.map(_._1).sum.toDouble / scored.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        scored.map(_._2).sum, scored.map(x => math.abs(x._2)).max)
+    }.sortBy(_._1)
+    val got = EventAnalytics.forecastNaive(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("rollingMedianDaily equals a driver-side 7-window median " +
+    "(odd picks middle, even averages the two middles)") {
+    import graft.operators.Relational
+    val expected = dailyCounts().toSeq.flatMap { case (t, xs) =>
+      xs.indices.map { i =>
+        val win = xs.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+        val m =
+          if (win.length % 2 == 1) win(win.length / 2).toDouble
+          else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+        (t, xs(i)._1, xs(i)._2,
+          BigDecimal(m).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = Relational.rollingMedianDaily(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
 }
