@@ -267,7 +267,10 @@ object SparkEntry {
     "events_forecast_naive" ->
       ((s, d) => EventAnalytics.forecastNaive(s, d)),
     "window_rolling_median" ->
-      ((s, d) => Relational.rollingMedianDaily(s, d))
+      ((s, d) => Relational.rollingMedianDaily(s, d)),
+    "dedup_cosine_sweep" ->
+      ((s, d) => DedupOps.cosineThresholdSweep(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -917,6 +920,68 @@ object SparkEntry {
          WHERE CAST(dot AS DOUBLE)
              / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) >= 0.9
          ORDER BY keeper, dup""",
+    "dedup_cosine_sweep" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+         tf AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1)) % 64 AS bucket,
+                  COUNT(*) AS c
+                FROM tok GROUP BY 1, 2),
+         norms AS (SELECT doc_id, SUM(c * c) AS nsq FROM tf GROUP BY 1),
+         dot AS (SELECT c.d1, c.d2, SUM(a.c * b.c) AS dot
+                 FROM cand c JOIN tf a ON c.d1 = a.doc_id
+                             JOIN tf b ON c.d2 = b.doc_id AND a.bucket = b.bucket
+                 GROUP BY 1, 2),
+         scored AS (SELECT d1, d2,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))
+               AS cos
+           FROM dot JOIN norms n1 ON d1 = n1.doc_id
+                    JOIN norms n2 ON d2 = n2.doc_id),
+         sw AS (SELECT s.*, t.threshold
+                FROM scored s, unnest([0.80, 0.90, 0.95, 0.99]) t(threshold)
+                WHERE s.cos >= t.threshold)
+         SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d2) AS BIGINT) AS n_dup_docs,
+           ROUND(MIN(cos), 4) AS min_cos,
+           ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_cos
+         FROM sw GROUP BY 1 ORDER BY threshold""",
+    "sim_knn_graph" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2, sim FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         rec AS (SELECT x.label, CAST(COUNT(*) AS BIGINT) AS n_recip
+                 FROM knn x JOIN knn y ON x.v1 = y.v2 AND x.v2 = y.v1
+                 GROUP BY 1)
+         SELECT k.label, CAST(COUNT(DISTINCT k.v1) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COALESCE(MAX(r.n_recip), 0) AS BIGINT) AS n_reciprocal,
+           ROUND(CAST(SUM(CAST(CAST(k.sim AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 4) AS avg_sim
+         FROM knn k LEFT JOIN rec r ON k.label = r.label
+         GROUP BY k.label ORDER BY k.label""",
     "text_token_bpe" ->
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,

@@ -279,8 +279,13 @@ object DedupOps {
     * the cosine bit-for-bit. At 100 TB the same plan holds with real model
     * embeddings: LSH blocks candidates, a narrow join + agg verifies — the
     * pair space never materializes. */
-  def embeddingCosinePairs(spark: SparkSession, dir: String,
-                           threshold: Double = 0.9): DataFrame = {
+  /** LSH candidates scored with the integer-exact hashed-TF cosine —
+    * the SHARED relation behind [[embeddingCosinePairs]] (the
+    * production threshold) and [[cosineThresholdSweep]] (the tuning
+    * curve); one definition so the two can never diverge on the vector
+    * build, the candidate generator, or the dot-product kernel. */
+  private def tfCosineScoredCandidates(spark: SparkSession,
+                                       dir: String): DataFrame = {
     ExprColumns.register(spark)
     // dense 64-bucket TF vector + its squared norm, both map-side
     // (HashedTf64; the relational build would shuffle every token)
@@ -289,9 +294,7 @@ object DedupOps {
         expr("graft_hashed_tf64(split(text, ' '))").as("tfvec"))
       .withColumn("nsq", expr("aggregate(tfvec, 0L, (a, x) -> a + x * x)"))
     // candidate pairs from the same banded MinHash LSH as minhashLshPairs
-    val cand = lshCandidatePairs(spark, dir).select(col("d1"), col("d2"))
-    // per-pair integer-exact dot product on the dense vectors
-    cand
+    lshCandidatePairs(spark, dir).select(col("d1"), col("d2"))
       .join(tf.select(col("doc_id").as("d1"), col("tfvec").as("t1"),
         col("nsq").as("n1")), "d1")
       .join(tf.select(col("doc_id").as("d2"), col("tfvec").as("t2"),
@@ -300,10 +303,37 @@ object DedupOps {
         expr("aggregate(zip_with(t1, t2, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+  }
+
+  def embeddingCosinePairs(spark: SparkSession, dir: String,
+                           threshold: Double = 0.9): DataFrame =
+    tfCosineScoredCandidates(spark, dir)
       .filter(col("cos") >= threshold)
       .select(col("d1").as("keeper"), col("d2").as("dup"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("keeper"), col("dup"))
+
+  /** The cosine-threshold TUNING curve for the embedding near-dup rung —
+    * the dedup analog of [[lshBandingSweep]] one knob over: the SAME
+    * scored candidate relation evaluated at every operating threshold
+    * in one pass (a 4-element threshold explode, never a re-score), so
+    * a rollout can read pairs-flagged / docs-dropped / score-mass per
+    * setting before committing the production threshold. Counts are
+    * exact integers; the mean quantizes per-pair to DECIMAL(18,9)
+    * before summing. */
+  def cosineThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.80, 0.90, 0.95, 0.99)
+    tfCosineScoredCandidates(spark, dir)
+      .select(col("d1"), col("d2"), col("cos"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d2")).as("n_dup_docs"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(sum(col("cos").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 4).as("avg_cos"))
+      .orderBy(col("threshold"))
   }
 
   /** The whole training-data prep pipeline as ONE declarative program:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ExprColumns
@@ -753,6 +754,49 @@ object Similarity {
     * partitioning), one 64-key dimension agg (partial map-side, final
     * trivially small). At 100 TB every stage is linear in the corpus
     * with dimension-bounded output; nothing driver-side. */
+  /** k-NN GRAPH construction census (k=3, within label blocks): every
+    * vector's top-k cosine neighbors as DIRECTED edges, with the
+    * per-label readout a graph-ANN build (HNSW/NSG init) or
+    * graph-based dedup reads first — node/edge counts, RECIPROCITY
+    * (how many edges run both ways; low reciprocity predicts poor
+    * graph-search recall), and mean edge similarity. Blocking bounds
+    * the pair space exactly as [[labelBlockedPairs]]; ranking is a
+    * per-source-vector rank≤k window (WindowGroupLimit pushes the
+    * limit map-side); the reciprocity probe is a self-semi-join of the
+    * k·|V|-sized EDGE relation, never the pair space. Edge
+    * similarities quantize to DECIMAL(18,9) before the mean (the f32
+    * kernel is bit-identical cross-engine, so the quantized values
+    * agree exactly). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("emb1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("emb2"))
+    val w = Window.partitionBy(col("v1"))
+      .orderBy(col("sim").desc, col("v2"))
+    val knn = a.join(b, Seq("label")).filter(col("v1") =!= col("v2"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "emb1", "emb2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("v1"), col("v2"), col("sim"))
+    val recip = knn.as("x").join(knn.as("y"),
+      col("x.v1") === col("y.v2") && col("x.v2") === col("y.v1"),
+      "left_semi")
+    val base = knn.groupBy(col("label"))
+      .agg(countDistinct(col("v1")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 4).as("avg_sim"))
+    val rec = recip.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    base.join(rec, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("n_edges"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+        col("avg_sim"))
+      .orderBy(col("label"))
+  }
+
   /** Micro-unit-quantized coordinates: (vec_id, j, xq) with
     * xq = round(x·10⁶) as BIGINT — the shared exact-integer domain of
     * the PCA pair below. */

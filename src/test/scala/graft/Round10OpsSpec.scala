@@ -1075,4 +1075,62 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got === expected)
   }
+
+  test("cosineThresholdSweep nests correctly and its 0.90 point matches " +
+    "the production embedding-cosine row exactly") {
+    import graft.operators.DedupOps
+    val sweep = DedupOps.cosineThresholdSweep(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(sweep.map(_._1) === Seq(0.80, 0.90, 0.95, 0.99))
+    // candidate sets nest: tighter threshold, never more pairs/docs
+    sweep.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"$lo !>= $hi")
+    }
+    // min kept similarity respects the threshold
+    sweep.foreach { case (t, n, _, minCos) =>
+      if (n > 0) assert(minCos >= t - 5e-5) // round(4) boundary slack
+    }
+    val prod = DedupOps.embeddingCosinePairs(spark, sf0001).collect()
+    assert(sweep.find(_._1 == 0.90).get._2 === prod.length.toLong)
+  }
+
+  test("knnGraph equals a driver-side f32 top-k neighbor recomputation " +
+    "(reciprocity counted on the edge set)") {
+    import graft.operators.Similarity
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cosF32(x: Array[Float], y: Array[Float]): Float = {
+      var dot = 0f; var nx = 0f; var ny = 0f; var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      dot / (math.sqrt(nx.toDouble).toFloat * math.sqrt(ny.toDouble).toFloat)
+    }
+    val byLabel = vecs.toSeq.groupBy(_._2)
+    val edges = byLabel.toSeq.flatMap { case (lbl, vs) =>
+      vs.flatMap { case (v1, _, e1) =>
+        vs.filter(_._1 != v1)
+          .map { case (v2, _, e2) => (v2, cosF32(e1, e2)) }
+          .sortBy { case (v2, s) => (-s.toDouble, v2) }
+          .take(3).map { case (v2, s) => (lbl, v1, v2, s) }
+      }
+    }
+    val edgeSet = edges.map(e => (e._2, e._3)).toSet
+    val expected = edges.groupBy(_._1).toSeq.map { case (lbl, es) =>
+      val recip = es.count(e => edgeSet.contains((e._3, e._2))).toLong
+      val avg = es.map(e => BigDecimal(e._4.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        es.length
+      (lbl, es.map(_._2).distinct.length.toLong, es.length.toLong, recip,
+        BigDecimal(avg).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.sortBy(_._1)
+    val got = Similarity.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.map(_._4).sum > 0, "some reciprocity expected in blocks")
+  }
 }
