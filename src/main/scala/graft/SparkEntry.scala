@@ -270,7 +270,9 @@ object SparkEntry {
       ((s, d) => Relational.rollingMedianDaily(s, d)),
     "dedup_cosine_sweep" ->
       ((s, d) => DedupOps.cosineThresholdSweep(s, d)),
-    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d))
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "orders_cohort_revenue" ->
+      ((s, d) => Relational.cohortRevenue(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1400,6 +1402,21 @@ object SparkEntry {
                 THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
                 ELSE 0.0 END AS transitivity
          FROM st, ec, tri""",
+    "orders_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS m0
+           FROM o GROUP BY 1)
+         SELECT strftime(f.m0, '%Y-%m') AS cohort,
+           CAST(datediff('month', f.m0,
+             date_trunc('month', o.o_orderdate)) AS BIGINT) AS m_offset,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
+         FROM o JOIN f ON o.o_custkey = f.o_custkey
+         GROUP BY 1, 2 ORDER BY cohort, m_offset""",
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n

@@ -765,6 +765,33 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Revenue cohort triangle: customers grouped by FIRST-order month,
+    * revenue accumulated by months-since-first-order — the
+    * lifetime-value matrix next to [[EventAnalytics.cohortRetention]]'s
+    * activity counts (retention says who came back; this says what
+    * they were worth when they did). Money stays exact integer cents
+    * ([[e2]]) until one final double division; the month offset is
+    * calendar arithmetic both engines define identically. Two aggs
+    * keyed on o_custkey then (cohort, offset) — the matrix is
+    * |cohorts|² / 2 rows regardless of order volume. */
+  def cohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        e2(col("o_totalprice")).as("cents"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(trunc(col("o_orderdate"), "month")).as("m0"))
+    o.join(first, "o_custkey")
+      .withColumn("m_offset",
+        (months_between(trunc(col("o_orderdate"), "month"), col("m0")))
+          .cast("long"))
+      .groupBy(date_format(col("m0"), "yyyy-MM").as("cohort"),
+        col("m_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double") / 100).as("revenue"))
+      .orderBy(col("cohort"), col("m_offset"))
+  }
+
   /** Rolling 7-observation MEDIAN of the daily event-type series — the
     * robust companion to [[ewmaDaily]]: one outage spike moves an EWMA
     * for a week but leaves the rolling median untouched, which is why

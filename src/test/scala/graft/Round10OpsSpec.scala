@@ -1133,4 +1133,35 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._4).sum > 0, "some reciprocity expected in blocks")
   }
+
+  test("cohortRevenue equals a driver-side first-month triangle with " +
+    "exact cents") {
+    import graft.operators.Relational
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate.withDayOfMonth(1),
+        math.round(r.getDouble(2) * 100)))
+    val firstM = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def months(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      (b.getYear - a.getYear) * 12L + (b.getMonthValue - a.getMonthValue)
+    val expected = orders.groupBy { case (c, m, _) =>
+      (firstM(c).toString.substring(0, 7), months(firstM(c), m))
+    }.map { case ((coh, off), xs) =>
+      (coh, off, xs.map(_._1).distinct.length.toLong, xs.length.toLong,
+        xs.map(_._3).sum.toDouble / 100)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = Relational.cohortRevenue(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // offset 0 cell of each cohort contains every cohort member
+    val byCohort = got.groupBy(_._1)
+    byCohort.values.foreach { xs =>
+      val m0 = xs.find(_._2 == 0L).get
+      assert(xs.forall(_._3 <= m0._3),
+        "a later offset cannot exceed the cohort's size")
+    }
+  }
 }
