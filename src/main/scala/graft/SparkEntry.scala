@@ -272,7 +272,11 @@ object SparkEntry {
       ((s, d) => DedupOps.cosineThresholdSweep(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "orders_cohort_revenue" ->
-      ((s, d) => Relational.cohortRevenue(s, d))
+      ((s, d) => Relational.cohortRevenue(s, d)),
+    "orders_rfm" -> ((s, d) => Relational.ordersRfm(s, d)),
+    "agg_weighted_median" ->
+      ((s, d) => Relational.weightedMedianPrice(s, d)),
+    "text_hapax" -> ((s, d) => TextAnalysis.hapaxStats(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1417,6 +1421,87 @@ object SparkEntry {
            CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
          FROM o JOIN f ON o.o_custkey = f.o_custkey
          GROUP BY 1, 2 ORDER BY cohort, m_offset""",
+    "orders_rfm" ->
+      """WITH cust AS (SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+               (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+           FROM orders GROUP BY 1),
+         c2 AS (SELECT *, monetary_c // 100000 AS m_band FROM cust),
+         n AS (SELECT COUNT(*) AS n FROM c2),
+         rc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM
+           (SELECT recency AS v, COUNT(*) AS cnt FROM c2 GROUP BY 1)),
+         rt AS (SELECT
+             MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t25,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS t50,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t75
+           FROM rc, n),
+         fc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM
+           (SELECT frequency AS v, COUNT(*) AS cnt FROM c2 GROUP BY 1)),
+         ft AS (SELECT
+             MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t25,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS t50,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t75
+           FROM fc, n),
+         mc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM
+           (SELECT m_band AS v, COUNT(*) AS cnt FROM c2 GROUP BY 1)),
+         mt AS (SELECT
+             MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t25,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS t50,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t75
+           FROM mc, n),
+         scored AS (SELECT c2.monetary_c,
+             5 - (1 + CAST(c2.recency > rt.t25 AS BIGINT)
+                    + CAST(c2.recency > rt.t50 AS BIGINT)
+                    + CAST(c2.recency > rt.t75 AS BIGINT)) AS r_score,
+             1 + CAST(c2.frequency > ft.t25 AS BIGINT)
+               + CAST(c2.frequency > ft.t50 AS BIGINT)
+               + CAST(c2.frequency > ft.t75 AS BIGINT) AS f_score,
+             1 + CAST(c2.m_band > mt.t25 AS BIGINT)
+               + CAST(c2.m_band > mt.t50 AS BIGINT)
+               + CAST(c2.m_band > mt.t75 AS BIGINT) AS m_score
+           FROM c2, rt, ft, mt)
+         SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(monetary_c) AS DOUBLE) / (COUNT(*) * 100), 2)
+             AS avg_monetary
+         FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "agg_weighted_median" ->
+      """WITH hist AS (SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT flag, price_c, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price_c) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+           FROM hist)
+         SELECT flag,
+           ROUND(CAST(MIN(CASE WHEN cum >= (tot + 3) // 4
+             THEN price_c END) AS DOUBLE) / 100.0, 2) AS w_p25,
+           ROUND(CAST(MIN(CASE WHEN cum >= (tot + 1) // 2
+             THEN price_c END) AS DOUBLE) / 100.0, 2) AS w_median,
+           ROUND(CAST(MIN(CASE WHEN cum >= (3 * tot + 3) // 4
+             THEN price_c END) AS DOUBLE) / 100.0, 2) AS w_p75,
+           CAST(MAX(tot) AS DOUBLE) / 100.0 AS total_qty
+         FROM c GROUP BY flag ORDER BY flag""",
+    "text_hapax" ->
+      """WITH tf AS (SELECT lang, token, COUNT(*) AS cnt FROM
+           (SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+           WHERE token <> '' GROUP BY 1, 2)
+         SELECT lang, COUNT(*) AS vocab_size,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+             AS type_token_ratio
+         FROM tf GROUP BY lang ORDER BY lang""",
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n

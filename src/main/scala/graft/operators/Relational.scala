@@ -910,4 +910,130 @@ object Relational {
         col("n"), round(num / den, 4).as("ewma"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Discrete-CDF quartile thresholds of an integer-valued column, the
+    * HISTOGRAM-QUANTILE decomposition: group to (value, count), one
+    * cumulative window over the HISTOGRAM (value-domain-sized — days,
+    * order counts, $1k spend bands — NOT row-count-sized), and the
+    * threshold is the smallest value whose cumulative count reaches
+    * ceil(p·N), computed in pure integer arithmetic ((n+3) div 4 etc.)
+    * so both engines cut identically at every tie. This is how an exact
+    * quantile survives 100 TB: the corpus-sized relation sees one
+    * hash-agg with map-side partials; only the bounded histogram is
+    * ever sorted. Returns a 1-row (t25, t50, t75) relation for
+    * broadcast. */
+  private def quartileThresholds(df: DataFrame, c: String): DataFrame = {
+    val hist = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = df.agg(count(lit(1)).as("n"))
+    hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(n)) // 1-row scalar
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col(c))).as("t25"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col(c))).as("t50"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col(c))).as("t75"))
+  }
+
+  /** RFM segmentation — the customer-value grid every growth team cuts
+    * first: recency (days since last order, vs the corpus max date),
+    * frequency (order count) and monetary (lifetime spend, exact integer
+    * cents) per customer, each banded into quartiles, then the per-cell
+    * census (customers, mean spend). R is inverted so 4 = best (most
+    * recent) in every dimension.
+    *
+    * Scale shape: one orders-sized hash-agg to the customer grain
+    * (map-side partial on o_custkey), then three [[quartileThresholds]]
+    * histogram-CDF cuts — recency's domain is the corpus span in DAYS,
+    * frequency's the max orders-per-customer, and monetary is banded to
+    * $1k first precisely so its histogram is spend-domain/1000-sized
+    * rather than customer-sized (the quartile is DEFINED at $1k
+    * granularity, identically in the oracle). All three threshold rows
+    * broadcast; no corpus-sized sort or global window anywhere. The
+    * output is ≤64 cells. */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val maxDate = o.agg(max(col("o_orderdate")).as("max_date"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        usum(e2(col("o_totalprice"))).as("monetary_c"))
+      .crossJoin(broadcast(maxDate)) // 1-row scalar
+      .select(col("o_custkey"),
+        datediff(col("max_date"), col("last_order")).cast("long")
+          .as("recency"),
+        col("frequency"),
+        col("monetary_c").cast("decimal(38,0)").cast("long").as("monetary_c"))
+      .withColumn("m_band", expr("monetary_c div 100000"))
+    val rThr = quartileThresholds(cust, "recency")
+      .select(col("t25").as("r25"), col("t50").as("r50"),
+        col("t75").as("r75"))
+    val fThr = quartileThresholds(cust, "frequency")
+      .select(col("t25").as("f25"), col("t50").as("f50"),
+        col("t75").as("f75"))
+    val mThr = quartileThresholds(cust, "m_band")
+      .select(col("t25").as("m25"), col("t50").as("m50"),
+        col("t75").as("m75"))
+    def band(v: Column, t25: Column, t50: Column, t75: Column): Column =
+      lit(1L) + (v > t25).cast("long") + (v > t50).cast("long") +
+        (v > t75).cast("long")
+    cust
+      .crossJoin(broadcast(rThr)) // 1-row thresholds
+      .crossJoin(broadcast(fThr))
+      .crossJoin(broadcast(mThr))
+      .select(col("o_custkey"), col("monetary_c"),
+        (lit(5L) - band(col("recency"), col("r25"), col("r50"), col("r75")))
+          .as("r_score"),
+        band(col("frequency"), col("f25"), col("f50"), col("f75"))
+          .as("f_score"),
+        band(col("m_band"), col("m25"), col("m50"), col("m75"))
+          .as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(usum(col("monetary_c")).cast("double") /
+          (count(lit(1)) * 100L), 2).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Quantity-WEIGHTED price percentiles (p25 / median / p75 of
+    * l_extendedprice, each unit of quantity counting once) per return
+    * flag — the "what price does the median shipped unit carry"
+    * question a revenue-mix analysis asks, which the unweighted median
+    * gets wrong whenever cheap items ship in bulk.
+    *
+    * Scale shape: the same histogram-CDF decomposition as
+    * [[quartileThresholds]] but weighted — lineitem collapses to a
+    * (flag, price_cents) → Σquantity histogram in ONE hash-agg with
+    * map-side partials, and the cumulative-weight window runs over that
+    * histogram, partitioned by flag. The histogram is price-DOMAIN-
+    * bounded (distinct extendedprice cents — saturates as data grows,
+    * unlike row count), so the 3 per-flag window tasks each scan a
+    * bounded relation at any corpus size. Percentile ranks are exact
+    * integer arithmetic on quantity units (ceil(p·W) via div — no
+    * float near ties); quantities stay in integer hundredths
+    * throughout. */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val hist = li.select(col("l_returnflag").as("flag"),
+        e2(col("l_extendedprice")).as("price_c"),
+        e2(col("l_quantity")).as("qty_c"))
+      .groupBy(col("flag"), col("price_c"))
+      .agg(sum(col("qty_c")).as("w"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("flag"))
+    hist
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .groupBy(col("flag"))
+      .agg(
+        round(min(when(col("cum") >= expr("(tot + 3) div 4"),
+          col("price_c"))).cast("double") / 100.0, 2).as("w_p25"),
+        round(min(when(col("cum") >= expr("(tot + 1) div 2"),
+          col("price_c"))).cast("double") / 100.0, 2).as("w_median"),
+        round(min(when(col("cum") >= expr("(3 * tot + 3) div 4"),
+          col("price_c"))).cast("double") / 100.0, 2).as("w_p75"),
+        (max(col("tot")).cast("double") / 100.0).as("total_qty"))
+      .orderBy(col("flag"))
+  }
 }

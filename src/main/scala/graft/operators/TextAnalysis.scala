@@ -1377,4 +1377,34 @@ object TextAnalysis {
           .as("entropy"))
       .orderBy(col("doc_id"))
   }
+
+  /** Hapax-legomenon census per language — the vocabulary-health signal
+    * a tokenizer-training or dedup run reads first: a high hapax share
+    * means the corpus is still vocabulary-open (more data keeps adding
+    * words, BPE merges are under-trained); a low one means it is
+    * saturating (near-dup mass or a closed domain). Emits per language:
+    * vocabulary size, hapax count (frequency-1 types), total tokens,
+    * hapax ratio (share of TYPES seen once) and type-token ratio.
+    *
+    * Plan: one explode → (lang, token) hash-agg with map-side partials
+    * (the only corpus-sized shuffle), then a vocabulary-sized re-agg to
+    * |langs| rows. No windows, no sorts beyond the 4-row output. Ratios
+    * are exact-integer divisions done once in double. */
+  def hapaxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("cnt")).as("total_tokens"))
+      .select(col("lang"), col("vocab_size"), col("n_hapax"),
+        col("total_tokens"),
+        round(col("n_hapax").cast("double") /
+          col("vocab_size").cast("double"), 6).as("hapax_ratio"),
+        round(col("vocab_size").cast("double") /
+          col("total_tokens").cast("double"), 6).as("type_token_ratio"))
+      .orderBy(col("lang"))
 }

@@ -1164,4 +1164,82 @@ class Round10OpsSpec extends SparkSpec {
         "a later offset cannot exceed the cohort's size")
     }
   }
+
+  test("text_hapax equals a driver-side token-frequency recomputation") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val freq = xs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val vocab = freq.size.toLong
+      val hapax = freq.values.count(_ == 1L).toLong
+      val total = freq.values.sum
+      (lang, vocab, hapax, total,
+        BigDecimal(hapax.toDouble / vocab)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(vocab.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.hapaxStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("agg_weighted_median matches a driver-side weighted-percentile " +
+    "scan and brackets correctly (p25 <= median <= p75)") {
+    import graft.operators.Relational
+    val rows = Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100)))
+    val expected = rows.groupBy(_._1).map { case (flag, xs) =>
+      val hist = xs.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      def thr(num: Long, den: Long): Double = {
+        val k = (num * tot + den - 1) / den // ceil(num*tot/den)
+        var cum = 0L
+        hist.find { case (_, w) => cum += w; cum >= k }.get._1 / 100.0
+      }
+      (flag, thr(1, 4), thr(1, 2), thr(3, 4), tot.toDouble / 100.0)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.weightedMedianPrice(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, p25, med, p75, _) =>
+      assert(p25 <= med && med <= p75)
+    }
+  }
+
+  test("orders_rfm: quartile cells partition all ordering customers; " +
+    "scores stay in 1..4; spend rises with m_score") {
+    import graft.operators.Relational
+    val got = Relational.ordersRfm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val nCust = Tables(spark, sf0001, "orders")
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(got.map(_._4).sum === nCust,
+      "every customer with an order lands in exactly one RFM cell")
+    got.foreach { case (r, f, m, _, _) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+    }
+    // monetary quartiles order mean spend: cell means averaged per
+    // m_score (weighted by cell size) must be non-decreasing in m_score
+    val byM = got.groupBy(_._3).view.mapValues { xs =>
+      xs.map(x => x._5 * x._4).sum / xs.map(_._4).sum
+    }.toSeq.sortBy(_._1)
+    assert(byM.map(_._2) === byM.map(_._2).sorted,
+      "mean spend must be monotone in the monetary quartile")
+    // each quartile holds between 1/8 and 1/2 of customers (banded $1k
+    // monetary ties can unbalance, but not pathologically at sf0.001)
+    val byMn = got.groupBy(_._3).view.mapValues(_.map(_._4).sum).toSeq
+    byMn.foreach { case (_, n) =>
+      assert(n >= nCust / 8 && n <= nCust / 2 + 1) }
+  }
 }
