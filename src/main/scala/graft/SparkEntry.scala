@@ -276,7 +276,10 @@ object SparkEntry {
     "orders_rfm" -> ((s, d) => Relational.ordersRfm(s, d)),
     "agg_weighted_median" ->
       ((s, d) => Relational.weightedMedianPrice(s, d)),
-    "text_hapax" -> ((s, d) => TextAnalysis.hapaxStats(s, d))
+    "text_hapax" -> ((s, d) => TextAnalysis.hapaxStats(s, d)),
+    "graph_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
+    "events_cusum" -> ((s, d) => EventAnalytics.cusumChangepoint(s, d)),
+    "events_paths" -> ((s, d) => EventAnalytics.topPaths(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1502,6 +1505,76 @@ object SparkEntry {
            ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
              AS type_token_ratio
          FROM tf GROUP BY lang ORDER BY lang""",
+    "graph_link_predict" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         und AS (SELECT DISTINCT label, v1 AS u, v2 AS v FROM knn
+           UNION SELECT label, v2, v1 FROM knn),
+         cand AS (SELECT x.label, x.v AS a, y.v AS b,
+             COUNT(*) AS common
+           FROM und x JOIN und y
+             ON x.label = y.label AND x.u = y.u AND x.v < y.v
+           GROUP BY 1, 2, 3),
+         nonadj AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+           (SELECT 1 FROM und e WHERE e.label = c.label
+              AND e.u = c.a AND e.v = c.b)),
+         deg AS (SELECT label, u, COUNT(*) AS deg FROM und GROUP BY 1, 2),
+         scored AS (SELECT n.label, n.common,
+             ROUND(CAST(n.common AS DOUBLE)
+               / (da.deg + db.deg - n.common), 6) AS jaccard
+           FROM nonadj n
+           JOIN deg da ON n.label = da.label AND n.a = da.u
+           JOIN deg db ON n.label = db.label AND n.b = db.u)
+         SELECT label, COUNT(*) AS n_candidates,
+           CAST(MAX(common) AS BIGINT) AS max_common,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_jaccard
+         FROM scored GROUP BY label ORDER BY label""",
+    "events_cusum" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, h, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS t_hours,
+             SUM(n) OVER (PARTITION BY event_type) AS s_tot,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY h) AS cum_n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS idx
+           FROM hourly),
+         sc AS (SELECT *,
+             t_hours * cum_n - idx * s_tot AS cusum_sc FROM c),
+         mx AS (SELECT *,
+             MAX(abs(cusum_sc)) OVER (PARTITION BY event_type) AS maxabs
+           FROM sc)
+         SELECT event_type, CAST(MAX(t_hours) AS BIGINT) AS n_hours,
+           CAST(MAX(s_tot) AS BIGINT) AS total_events,
+           strftime(MIN(h), '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+           ROUND(CAST(MAX(maxabs) AS DOUBLE) / MAX(t_hours), 4)
+             AS max_abs_cusum
+         FROM mx WHERE abs(cusum_sc) = maxabs
+         GROUP BY event_type ORDER BY event_type""",
+    "events_paths" ->
+      """WITH s AS (SELECT event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e3
+           FROM events),
+         counts AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             COUNT(*) AS n
+           FROM s WHERE e3 IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts),
+         rk AS (SELECT path, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+           FROM counts)
+         SELECT path, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT tot FROM tot), 6) AS share
+         FROM rk WHERE rk <= 15 ORDER BY n DESC, path""",
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n

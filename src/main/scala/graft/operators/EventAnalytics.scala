@@ -750,4 +750,86 @@ object EventAnalytics {
         round(pow(col("n_second") - e, lit(2.0)) / e, 6).as("chi2_term"))
       .orderBy(col("event_type"))
   }
+
+  /** CUSUM changepoint scan per event type — the level-shift detector a
+    * volume monitor runs after [[dailyAnomaly]]'s point outliers: the
+    * cumulative sum of deviations from the series mean peaks exactly
+    * where the mean SHIFTS, so argmax|CUSUM| estimates the change
+    * point. Emits per type: series length, total events, the estimated
+    * changepoint hour and the peak |CUSUM| magnitude.
+    *
+    * Exactness: the mean is never materialized as a float — the
+    * deviation sum is cross-multiplied into integers, cusum_t scaled
+    * by T: T·Σn_i − t·S (all longs), so the argmax and every
+    * comparison are EXACT; one double division (by T) scales the
+    * reported peak back at the end. Ties on |CUSUM| break to the
+    * earliest hour in both engines.
+    *
+    * Scale shape: events collapse to an (type, hour) histogram in one
+    * map-side-partial hash-agg; every window after that is partitioned
+    * by event_type over the TIME-bounded hourly relation (hours per
+    * type, not events per type), the same envelope as ts_decompose. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val scanned = hourly
+      .withColumn("t_hours", count(lit(1)).over(byType))
+      .withColumn("s_tot", sum(col("n")).over(byType))
+      .withColumn("cum_n", sum(col("n")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("idx", row_number().over(ordered).cast("long"))
+      .withColumn("cusum_sc",
+        col("t_hours") * col("cum_n") - col("idx") * col("s_tot"))
+    scanned
+      .withColumn("maxabs", max(abs(col("cusum_sc"))).over(byType))
+      .filter(abs(col("cusum_sc")) === col("maxabs"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t_hours")).as("n_hours"),
+        max(col("s_tot")).as("total_events"),
+        min(col("h")).as("cp_h"),
+        max(col("maxabs")).as("maxabs"))
+      .select(col("event_type"), col("n_hours"), col("total_events"),
+        date_format(col("cp_h"), fmt).as("changepoint_hour"),
+        round(col("maxabs").cast("double") /
+          col("n_hours").cast("double"), 4).as("max_abs_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Top event-type TRIGRAM paths — the journey-mining readout next to
+    * [[eventTransitions]]'s first-order matrix: the 15 most common
+    * 3-step sequences across all users' time-ordered streams, with each
+    * path's share of all trigrams. Second-order structure is where
+    * funnels and habit loops become visible that a bigram matrix
+    * averages away.
+    *
+    * Scale shape: two LEADs share ONE (user_id; ts, event_id) window
+    * sort — per-user partitions, bounded by a user's event count; the
+    * trigram relation then collapses by path string (map-side partials;
+    * the path domain is |event_types|³-bounded, NOT corpus-sized), so
+    * the global rank≤15 window runs over a vocabulary-sized relation
+    * and Spark's WindowGroupLimit prunes it map-side. The 1-row total
+    * broadcasts. */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables(spark, dir, "events")
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts.crossJoin(broadcast(tot)) // 1-row scalar
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))))
+      .filter(col("rk") <= k)
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("path"))
+  }
 }

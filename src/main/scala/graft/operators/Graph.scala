@@ -208,4 +208,54 @@ object Graph {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("transitivity"))
   }
+
+  /** Common-neighbor link prediction over the k-NN similarity graph —
+    * the candidate generator a graph-ANN refiner or a
+    * "related documents" recommender runs on the neighbor structure
+    * [[Similarity.knnEdges]] already built: for every NON-adjacent
+    * vertex pair sharing at least one neighbor, the common-neighbor
+    * count and the neighborhood Jaccard (|Γa∩Γb| / |Γa∪Γb|), reported
+    * as a per-label census (candidate pairs, strongest overlap, mean
+    * Jaccard).
+    *
+    * Scale shape: the k-NN edge set is degree-BOUNDED by construction
+    * (≤k out-edges per vertex, ≤2k after symmetrization), so the wedge
+    * join through the shared-neighbor center emits at most C(2k,2)
+    * pairs per vertex — linear in the corpus, never the all-pairs
+    * space. Adjacency check is a left-anti join of the wedge relation
+    * against the (equally bounded) edge relation; degrees come from
+    * one vertex-grain agg joined back on the candidate endpoints.
+    * Per-pair Jaccard quantizes to DECIMAL(18,9) before the mean so
+    * the sum is order-independent. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2"))
+    val und = edges.select(col("label"), col("v1").as("u"), col("v2").as("v"))
+      .union(edges.select(col("label"), col("v2").as("u"), col("v1").as("v")))
+      .distinct()
+    val cand = und.select(col("label"), col("u").as("c"), col("v").as("a"))
+      .join(und.select(col("label"), col("u").as("c"), col("v").as("b")),
+        Seq("label", "c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("label"), col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val nonadj = cand.join(
+      und.select(col("label"), col("u").as("a"), col("v").as("b")),
+      Seq("label", "a", "b"), "left_anti")
+    val deg = und.groupBy(col("label"), col("u"))
+      .agg(count(lit(1)).as("deg"))
+    nonadj
+      .join(deg.select(col("label"), col("u").as("a"),
+        col("deg").as("dega")), Seq("label", "a"))
+      .join(deg.select(col("label"), col("u").as("b"),
+        col("deg").as("degb")), Seq("label", "b"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("dega") + col("degb") - col("common")).cast("double"), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(col("common")).as("max_common"),
+        round(sum(col("jaccard").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_jaccard"))
+      .orderBy(col("label"))
+  }
 }

@@ -767,7 +767,14 @@ object Similarity {
     * similarities quantize to DECIMAL(18,9) before the mean (the f32
     * kernel is bit-identical cross-engine, so the quantized values
     * agree exactly). */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Directed top-k cosine edge set within label blocks: (label, v1,
+    * v2, sim) — the shared kernel of [[knnGraph]] and
+    * [[Graph.linkPredict]], so the census and the predictor can never
+    * disagree on what the graph IS. Blocking bounds the pair space;
+    * the rank≤k window is per-source (WindowGroupLimit pushes the
+    * limit map-side). */
+  private[graft] def knnEdges(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     val e = emb(spark, dir)
     val a = e.select(col("label"), col("vec_id").as("v1"),
       col("embedding").as("emb1"))
@@ -775,11 +782,15 @@ object Similarity {
       col("embedding").as("emb2"))
     val w = Window.partitionBy(col("v1"))
       .orderBy(col("sim").desc, col("v2"))
-    val knn = a.join(b, Seq("label")).filter(col("v1") =!= col("v2"))
+    a.join(b, Seq("label")).filter(col("v1") =!= col("v2"))
       .withColumn("sim", ExprColumns.cosineF32(spark, "emb1", "emb2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("label"), col("v1"), col("v2"), col("sim"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val knn = knnEdges(spark, dir, k)
     val recip = knn.as("x").join(knn.as("y"),
       col("x.v1") === col("y.v2") && col("x.v2") === col("y.v1"),
       "left_semi")

@@ -1242,4 +1242,98 @@ class Round10OpsSpec extends SparkSpec {
     byMn.foreach { case (_, n) =>
       assert(n >= nCust / 8 && n <= nCust / 2 + 1) }
   }
+
+  test("graph_link_predict equals a driver-side recomputation from the " +
+    "same knn edge set (symmetrize, wedge, anti-adjacency, Jaccard)") {
+    import graft.operators.{Graph, Similarity}
+    val edges = Similarity.knnEdges(spark, sf0001, 3)
+      .select(col("label"), col("v1"), col("v2")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val und = edges.flatMap { case (l, a, b) => Seq((l, a, b), (l, b, a)) }
+      .distinct
+    val adj = und.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val expected = und.map(_._1).distinct.sorted.flatMap { l =>
+      val verts = adj.keys.filter(_._1 == l).map(_._2)
+      val cand = (for {
+        c <- verts.toSeq
+        ns = adj((l, c)).toSeq.sorted
+        a <- ns; b <- ns if a < b
+      } yield (a, b)).groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case ((a, b), _) => !adj((l, a)).contains(b) }.toSeq
+      if (cand.isEmpty) None else {
+        val jac = cand.map { case ((a, b), common) =>
+          BigDecimal(common.toDouble /
+            (adj((l, a)).size + adj((l, b)).size - common))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+        Some((l, cand.size.toLong, cand.map(_._2).max,
+          BigDecimal(jac.sum.toDouble / jac.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    val got = Graph.linkPredict(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("events_cusum equals a driver-side integer CUSUM scan") {
+    import graft.operators.EventAnalytics
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp](1).toInstant
+          .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+          .withMinute(0).withSecond(0).withNano(0)))
+    val expected = ev.groupBy(_._1).map { case (t, xs) =>
+      val hourly = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+      val tH = hourly.length.toLong
+      val sTot = hourly.map(_._2).sum
+      var cum = 0L
+      val scans = hourly.zipWithIndex.map { case ((h, n), i) =>
+        cum += n; (h, tH * cum - (i + 1) * sTot)
+      }
+      val maxabs = scans.map(s => math.abs(s._2)).max
+      val cpH = scans.filter(s => math.abs(s._2) == maxabs).map(_._1)
+        .min(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      (t, tH, sTot,
+        cpH.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")),
+        BigDecimal(maxabs.toDouble / tH)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.cusumChangepoint(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("events_paths equals a driver-side trigram count and tops out " +
+    "at 15 rows") {
+    import graft.operators.EventAnalytics
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).toInstant
+          .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime,
+        r.getLong(2), r.getString(3)))
+    val tsOrd = Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3))(Ordering.Tuple2(tsOrd,
+        implicitly[Ordering[Long]])).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(_.mkString(">")).toSeq
+    }
+    val counts = tris.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val tot = counts.map(_._2).sum
+    val expected = counts.sortBy { case (p, n) => (-n, p) }.take(15)
+      .map { case (p, n) => (p, n,
+        BigDecimal(n.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val got = EventAnalytics.topPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
 }
