@@ -279,7 +279,10 @@ object SparkEntry {
     "text_hapax" -> ((s, d) => TextAnalysis.hapaxStats(s, d)),
     "graph_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
     "events_cusum" -> ((s, d) => EventAnalytics.cusumChangepoint(s, d)),
-    "events_paths" -> ((s, d) => EventAnalytics.topPaths(s, d))
+    "events_paths" -> ((s, d) => EventAnalytics.topPaths(s, d)),
+    "events_power_pareto" -> ((s, d) => EventAnalytics.powerPareto(s, d)),
+    "dedup_source_matrix" -> ((s, d) => DedupOps.sourceDupMatrix(s, d)),
+    "text_coverage_curve" -> ((s, d) => TextAnalysis.coverageCurve(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1575,6 +1578,59 @@ object SparkEntry {
          SELECT path, CAST(n AS BIGINT) AS n,
            ROUND(CAST(n AS DOUBLE) / (SELECT tot FROM tot), 6) AS share
          FROM rk WHERE rk <= 15 ORDER BY n DESC, path""",
+    "events_power_pareto" ->
+      """WITH per_user AS (SELECT user_id, COUNT(*) AS v
+           FROM events GROUP BY 1),
+         hist AS (SELECT v, COUNT(*) AS n_users, v * COUNT(*) AS ev
+           FROM per_user GROUP BY 1),
+         cum AS (SELECT *,
+             SUM(n_users) OVER (ORDER BY v DESC) AS cum_u,
+             SUM(ev) OVER (ORDER BY v DESC) AS cum_e
+           FROM hist),
+         tt AS (SELECT COUNT(*) AS u_tot, CAST(SUM(v) AS BIGINT) AS e_tot
+           FROM per_user),
+         p AS (SELECT unnest([CAST(1 AS BIGINT), 5, 10, 25]) AS pct),
+         j AS (SELECT cum.*, tt.e_tot, p.pct,
+             (p.pct * tt.u_tot + 99) // 100 AS k
+           FROM cum, tt, p)
+         SELECT pct, CAST(k AS BIGINT) AS n_top_users,
+           CAST(cum_e - ev + (k - (cum_u - n_users)) * v AS BIGINT)
+             AS n_events,
+           ROUND(CAST(cum_e - ev + (k - (cum_u - n_users)) * v AS DOUBLE)
+             / e_tot, 6) AS share
+         FROM j WHERE cum_u - n_users < k AND cum_u >= k
+         ORDER BY pct""",
+    "dedup_source_matrix" ->
+      """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
+             source
+           FROM documents),
+         keepers AS (SELECT fp, MIN(doc_id) AS keeper_id
+           FROM docs GROUP BY 1)
+         SELECT kd.source AS keeper_source, d.source AS dup_source,
+           COUNT(*) AS n_dup_copies,
+           CAST(COUNT(DISTINCT d.fp) AS BIGINT) AS n_texts
+         FROM docs d
+         JOIN keepers k ON d.fp = k.fp AND d.doc_id <> k.keeper_id
+         JOIN docs kd ON kd.doc_id = k.keeper_id
+         GROUP BY 1, 2 ORDER BY keeper_source, dup_source""",
+    "text_coverage_curve" ->
+      """WITH vocab AS (SELECT token, COUNT(*) AS cnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents)
+           WHERE token <> '' GROUP BY 1),
+         ranked AS (SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+           FROM vocab),
+         tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+             COUNT(*) AS vocab_size FROM vocab)
+         SELECT k, COUNT(*) AS n_types,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / MAX(tot), 6) AS mass_share,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(vocab_size), 6)
+             AS vocab_share
+         FROM ranked, tt,
+           (SELECT unnest([CAST(10 AS BIGINT), 100, 1000]) AS k) ks
+         WHERE rk <= k
+         GROUP BY k ORDER BY k""",
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n

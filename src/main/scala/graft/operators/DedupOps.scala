@@ -842,4 +842,36 @@ object DedupOps {
             (col("n1") + col("n2") - col("inter"))), 3).as("abs_err"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Cross-SOURCE duplicate-provenance matrix — the question a curation
+    * team asks once a dedup pass says copies exist: WHERE do they come
+    * from? Documents sharing a fingerprint (the 64-char-prefix
+    * convention of [[TextAnalysis.sourceOverlap]] — syndicated/mirrored
+    * content keeps its lede; swap in md5(text) for the strict-exact
+    * form) collapse to a keeper = min doc_id; every other copy charges
+    * one count to the (keeper_source → dup_source) cell. The diagonal
+    * is within-source redundancy; a hot off-diagonal cell means one
+    * source mirrors another — and its token mass is being
+    * double-counted by the mixture weights.
+    *
+    * Scale shape: one hash-agg on the fingerprint to find keepers, one
+    * co-partitioned join back on the same fingerprint (reuses the
+    * agg's hash partitioning), one doc_id-keyed join for the keeper's
+    * source, then a |sources|²-bounded census agg. Keep-first is
+    * deterministic, so the matrix is hash-stable. */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(md5(substring(col("text"), 1, 64)).as("fp"),
+        col("doc_id"), col("source"))
+    val keepers = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    docs.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .join(docs.select(col("doc_id").as("keeper_id"),
+        col("source").as("keeper_source")), "keeper_id")
+      .groupBy(col("keeper_source"), col("source").as("dup_source"))
+      .agg(count(lit(1)).as("n_dup_copies"),
+        countDistinct(col("fp")).as("n_texts"))
+      .orderBy(col("keeper_source"), col("dup_source"))
+  }
 }

@@ -832,4 +832,48 @@ object EventAnalytics {
           .as("share"))
       .orderBy(col("n").desc, col("path"))
   }
+
+  /** Activity concentration (power-user Pareto): what share of ALL
+    * events do the top 1% / 5% / 10% / 25% most active users generate —
+    * the skew census that sizes rate limits, sampling caps, and the
+    * salting plan for every user-keyed shuffle downstream.
+    *
+    * Scale shape: ranking USERS would be a corpus-sized sort, so the
+    * census runs on the activity HISTOGRAM instead — users collapse to
+    * (events-per-user → user count) in two hash-aggs, and the
+    * descending cumulative window runs over that count-DOMAIN-bounded
+    * relation (max events per user, not user count). The top-k cut is
+    * exact even when a count-value tie straddles it: ties are
+    * interchangeable, so the straddling bucket contributes
+    * (k − users_above) · v events — pure integer arithmetic, identical
+    * in the oracle. The 4-row percent relation and the 1-row totals
+    * broadcast. */
+  def powerPareto(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+    val hist = perUser.groupBy(col("v")).agg(count(lit(1)).as("n_users"))
+      .withColumn("ev", col("v") * col("n_users"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_u", sum(col("n_users")).over(w))
+      .withColumn("cum_e", sum(col("ev")).over(w))
+    val totals = perUser.agg(count(lit(1)).as("u_tot"),
+      sum(col("v")).as("e_tot"))
+    import spark.implicits._
+    val pcts = Seq(1L, 5L, 10L, 25L).toDF("pct")
+    cum.crossJoin(broadcast(totals)) // 1-row totals
+      .crossJoin(broadcast(pcts)) // 4-row percent axis
+      .withColumn("k", expr("(pct * u_tot + 99) div 100"))
+      .filter(col("cum_u") - col("n_users") < col("k") &&
+        col("cum_u") >= col("k"))
+      .select(col("pct"), col("k").as("n_top_users"),
+        (col("cum_e") - col("ev") +
+          (col("k") - (col("cum_u") - col("n_users"))) * col("v"))
+          .as("n_events"),
+        round((col("cum_e") - col("ev") +
+          (col("k") - (col("cum_u") - col("n_users"))) * col("v"))
+          .cast("double") / col("e_tot").cast("double"), 6).as("share"))
+      .orderBy(col("pct"))
+  }
 }

@@ -1407,4 +1407,45 @@ object TextAnalysis {
         round(col("vocab_size").cast("double") /
           col("total_tokens").cast("double"), 6).as("type_token_ratio"))
       .orderBy(col("lang"))
+
+  /** Vocabulary coverage curve: what share of the corpus's TOKEN MASS
+    * do the top-10 / top-100 / top-1000 most frequent types cover — the
+    * truncation-loss preview for a fixed-size vocabulary (the question
+    * "how big must the tokenizer's word list be" in three numbers),
+    * complementing [[hapaxStats]]'s openness signal at the other end of
+    * the frequency spectrum.
+    *
+    * Scale shape: one corpus-sized (token) hash-agg with map-side
+    * partials; the frequency ranking is a window over the VOCABULARY
+    * relation with an immediate rank ≤ maxK literal filter (Spark plans
+    * it as WindowGroupLimit, pruning map-side before the single-partition
+    * step sees more than maxK rows per partition). The 3-row k axis and
+    * the 1-row total broadcast. Ties rank by (count DESC, token) in both
+    * engines. */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val maxK = 1000
+    val ranked = vocab
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk") <= maxK)
+    val tot = vocab.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("vocab_size"))
+    val ks = Seq(10L, 100L, 1000L).toDF("k")
+    ranked.crossJoin(broadcast(ks)) // 3-row k axis
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("k"), col("n_types"),
+        round(col("mass").cast("double") / col("tot").cast("double"), 6)
+          .as("mass_share"),
+        round(col("n_types").cast("double") /
+          col("vocab_size").cast("double"), 6).as("vocab_share"))
+      .orderBy(col("k"))
+  }
 }

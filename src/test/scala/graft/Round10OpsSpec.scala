@@ -1336,4 +1336,75 @@ class Round10OpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === expected)
   }
+
+  test("events_power_pareto equals an explicit per-user ranking cut " +
+    "(ties split exactly) and shares are monotone in pct") {
+    import graft.operators.EventAnalytics
+    val perUser = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      .collect().map(_.getLong(1)).sorted(Ordering.Long.reverse)
+    val eTot = perUser.sum
+    val expected = Seq(1L, 5L, 10L, 25L).map { pct =>
+      val k = ((pct * perUser.length + 99) / 100).toInt
+      val ev = perUser.take(k).sum
+      (pct, k.toLong, ev,
+        BigDecimal(ev.toDouble / eTot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventAnalytics.powerPareto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._4) === got.map(_._4).sorted,
+      "share must grow with the pct cut")
+  }
+
+  test("dedup_source_matrix accounts for exactly the non-keeper copies") {
+    import graft.operators.DedupOps
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("text"), col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(0).take(64), r.getLong(1), r.getString(2)))
+    val byText = docs.groupBy(_._1)
+    val expTotal = byText.values.map(_.length - 1).sum.toLong
+    val got = DedupOps.sourceDupMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._3).sum === expTotal,
+      "matrix cells must sum to total non-keeper copies")
+    // recompute one cell independently
+    val cells = byText.values.filter(_.length > 1).toSeq.flatMap { xs =>
+      val keeper = xs.minBy(_._2)
+      xs.filter(_._2 != keeper._2).map(d => (keeper._3, d._3))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (ks, ds, n, _) =>
+      assert(cells((ks, ds)) === n)
+    }
+    assert(cells.size === got.length)
+  }
+
+  test("text_coverage_curve is consistent with text_hapax totals and " +
+    "monotone in k") {
+    import graft.operators.TextAnalysis
+    val freq = Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").groupBy(col("t"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = freq.map(_._2).sum
+    val vocab = freq.length.toLong
+    val ranked = freq.sortBy { case (t, c) => (-c, t) }
+    val got = TextAnalysis.coverageCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    got.foreach { case (k, nTypes, massShare, vocabShare) =>
+      val kk = math.min(k, vocab).toInt
+      assert(nTypes === kk.toLong)
+      val mass = ranked.take(kk).map(_._2).sum
+      assert(massShare === BigDecimal(mass.toDouble / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(vocabShare === BigDecimal(nTypes.toDouble / vocab)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.map(_._3) === got.map(_._3).sorted)
+  }
 }
