@@ -282,7 +282,10 @@ object SparkEntry {
     "events_paths" -> ((s, d) => EventAnalytics.topPaths(s, d)),
     "events_power_pareto" -> ((s, d) => EventAnalytics.powerPareto(s, d)),
     "dedup_source_matrix" -> ((s, d) => DedupOps.sourceDupMatrix(s, d)),
-    "text_coverage_curve" -> ((s, d) => TextAnalysis.coverageCurve(s, d))
+    "text_coverage_curve" -> ((s, d) => TextAnalysis.coverageCurve(s, d)),
+    "events_streaks" -> ((s, d) => EventAnalytics.activityStreaks(s, d)),
+    "dedup_dup_quality" -> ((s, d) => DedupOps.dupQualityCensus(s, d)),
+    "sim_kmeans_inertia" -> ((s, d) => Similarity.kmeansInertia(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1631,6 +1634,77 @@ object SparkEntry {
            (SELECT unnest([CAST(10 AS BIGINT), 100, 1000]) AS k) ks
          WHERE rk <= k
          GROUP BY k ORDER BY k""",
+    "events_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         isl AS (SELECT user_id,
+             date_diff('day', DATE '1970-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+           FROM days),
+         runs AS (SELECT user_id, grp, COUNT(*) AS len
+           FROM isl GROUP BY 1, 2),
+         mx AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+           FROM runs GROUP BY 1)
+         SELECT max_streak, COUNT(*) AS n_users
+         FROM mx GROUP BY 1 ORDER BY max_streak""",
+    "dedup_dup_quality" ->
+      """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+           FROM documents),
+         s AS (SELECT fp,
+             CAST(n_uniq AS DOUBLE) / n_tok AS score
+           FROM docs WHERE n_tok > 0),
+         copies AS (SELECT fp, COUNT(*) AS n_copies FROM s GROUP BY 1)
+         SELECT CAST(n_copies > 1 AS BIGINT) AS dup_flag,
+           1 + CAST(score >= 0.5 AS BIGINT)
+             + CAST(score >= 0.75 AS BIGINT)
+             + CAST(score >= 0.9 AS BIGINT) AS band,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_score
+         FROM s JOIN copies USING (fp)
+         GROUP BY 1, 2 ORDER BY dup_flag, band""",
+    "sim_kmeans_inertia" ->
+      """WITH seeds AS (
+           SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, embedding, cid, sim FROM (
+             SELECT e.vec_id, e.embedding, s.cid,
+               list_cosine_similarity(e.embedding, s.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+                          s.cid) AS rn
+             FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+         dims AS (
+           SELECT cid, generate_subscripts(embedding, 1) AS d,
+             unnest(embedding) AS val
+           FROM a1),
+         cent2 AS (
+           SELECT cid, list(CAST(c AS FLOAT) ORDER BY d) AS cemb
+           FROM (SELECT cid, d,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                     AS DOUBLE) / COUNT(*) AS c
+                 FROM dims GROUP BY cid, d)
+           GROUP BY cid),
+         a2 AS (
+           SELECT vec_id, cid, sim FROM (
+             SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding, c.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC,
+                          c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1),
+         u AS (SELECT CAST(1 AS BIGINT) AS iter, sim FROM a1
+           UNION ALL SELECT CAST(2 AS BIGINT), sim FROM a2)
+         SELECT iter, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+           ROUND(MIN(CAST(sim AS DOUBLE)), 6) AS min_cos
+         FROM u GROUP BY iter ORDER BY iter""",
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n

@@ -874,4 +874,42 @@ object DedupOps {
         countDistinct(col("fp")).as("n_texts"))
       .orderBy(col("keeper_source"), col("dup_source"))
   }
+
+  /** Duplication × quality interaction census — the cross-signal check
+    * a curation run does before trusting either filter alone: do
+    * duplicated documents score WORSE on the quality probe's signal
+    * (boilerplate, spam) or BETTER (popular, syndicated good content)?
+    * Each answer changes whether dedup should run before or after the
+    * quality gate. Documents are flagged dup (share a 64-char-prefix
+    * fingerprint with any other doc — [[sourceDupMatrix]]'s convention)
+    * and banded by distinct-token ratio at fixed 0.5/0.75/0.9
+    * thresholds (the ratio is an exact integer division, so the band
+    * comparisons are engine-identical); the census reports docs and
+    * mean score per (dup_flag, band) cell.
+    *
+    * Scale shape: one fingerprint hash-agg for copy counts, one
+    * co-partitioned join back, one ≤8-cell census agg; scores quantize
+    * to DECIMAL(18,9) before the mean. */
+  def dupQualityCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+      .select(md5(substring(col("text"), 1, 64)).as("fp"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+    val copies = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "fp")
+      .select((col("n_copies") > 1).cast("long").as("dup_flag"),
+        (lit(1L) + (col("score") >= 0.5).cast("long") +
+          (col("score") >= 0.75).cast("long") +
+          (col("score") >= 0.9).cast("long")).as("band"),
+        col("score"))
+      .groupBy(col("dup_flag"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_score"))
+      .orderBy(col("dup_flag"), col("band"))
+  }
 }

@@ -876,4 +876,34 @@ object EventAnalytics {
           .cast("double") / col("e_tot").cast("double"), 6).as("share"))
       .orderBy(col("pct"))
   }
+
+  /** Consecutive-day activity STREAKS (gaps-and-islands): each user's
+    * longest run of consecutive active days, histogrammed — the
+    * engagement-depth census behind habit metrics, and the canonical
+    * islands idiom at day granularity (the second-granularity cousin
+    * is [[sessionize]]'s gap split). Island key = day-number −
+    * row_number: constant exactly while days are consecutive, pure
+    * integer arithmetic in both engines.
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) in one
+    * hash-agg (the only corpus-sized pass); the row_number window is
+    * per-user over active DAYS (calendar-bounded per user), then two
+    * group-bounded aggs funnel to the streak-length histogram (output
+    * ≤ the longest streak). */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long") -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_streak"))
+  }
 }

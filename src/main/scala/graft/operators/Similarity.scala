@@ -441,26 +441,30 @@ object Similarity {
     * f32 cosines. At 100 TB the loop repeats this step N times; per-round
     * lineage stays flat because each round's centroid relation is a new
     * k-row aggregate, not a growing plan. */
-  def kmeansLloydTwo(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    ExprColumns.register(spark)
-    val e = emb(spark, dir)
-    // (cid, cemb) rows -> one broadcast row carrying the centroid array
-    def toArr(cent: DataFrame): DataFrame =
-      cent.agg(array_sort(collect_list(struct(col("cid"), col("cemb"))))
-        .as("cents"))
-    def assign(centArr: DataFrame): DataFrame =
-      e.join(broadcast(centArr))
-        .withColumn("best", expr(
-          """array_max(transform(cents, s ->
-               struct(graft_cosine_f32(embedding, s.cemb) AS sim,
-                      -s.cid AS ncid)))"""))
-        .select(col("vec_id"), col("embedding"),
-          (-col("best.ncid")).as("cid"), col("best.sim").as("sim"))
-    val seeds = toArr(e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
-    // iteration 1: assign, then re-derive centroids (exact-decimal means,
-    // f32 lanes; k x d output regardless of corpus size)
-    val cent2 = toArr(assign(seeds)
+  /** (cid, cemb) centroid rows -> ONE broadcast row carrying the sorted
+    * centroid array — the Lloyd-loop kernel shared by [[kmeansLloydTwo]]
+    * and [[kmeansInertia]]. */
+  private def kmCentArr(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(collect_list(struct(col("cid"), col("cemb"))))
+      .as("cents"))
+
+  /** Narrow-map assignment of every vector to its most-cosine-similar
+    * centroid (ties to the smallest cid): transform HOF + array_max
+    * argmax, no row expand, no window sort. */
+  private def kmAssign(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.join(broadcast(centArr))
+      .withColumn("best", expr(
+        """array_max(transform(cents, s ->
+             struct(graft_cosine_f32(embedding, s.cemb) AS sim,
+                    -s.cid AS ncid)))"""))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.ncid")).as("cid"), col("best.sim").as("sim"))
+
+  /** Centroid re-derivation from an assignment: per-dimension
+    * exact-DECIMAL means, cast to f32 lanes — k x d output at ANY
+    * corpus size. */
+  private def kmRederive(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cid"), posexplode(col("embedding")))
       .withColumn("d", col("pos") + 1)
       .groupBy(col("cid"), col("d"))
@@ -469,14 +473,55 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(d, c))), x -> CAST(x.c AS FLOAT))")
-        .as("cemb")))
+        .as("cemb"))
+
+  def kmeansLloydTwo(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val seeds = kmCentArr(e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    // iteration 1: assign, then re-derive centroids (exact-decimal means,
+    // f32 lanes; k x d output regardless of corpus size)
+    val cent2 = kmCentArr(kmRederive(kmAssign(e, seeds)))
     // iteration 2: assign against the re-derived centroids
-    assign(cent2)
+    kmAssign(e, cent2)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_assigned"),
         round(sum(col("sim").cast("double").cast("decimal(18,9)"))
           .cast("double") / count(lit(1)), 6).as("avg_cos"))
       .orderBy(col("cid"))
+  }
+
+  /** Lloyd-loop CONVERGENCE measurement — the "did the step help"
+    * number a clustering job logs each round, closing the train→measure
+    * loop the way [[graft.operators.Curation]]'s probe-AUC row does for
+    * the quality classifier: the assignment-quality census (vector
+    * count, mean and worst assigned cosine) after iteration 1 (seed
+    * centroids) and after iteration 2 (re-derived centroids),
+    * side-by-side. avg_cos must rise and min_cos must not fall for the
+    * step to have helped; in k-means terms 1−avg_cos is the (cosine)
+    * inertia per vector.
+    *
+    * Plan shape: exactly two [[kmAssign]] narrow maps (each one
+    * broadcast join + map, nothing corpus-sized shuffles) sharing one
+    * [[kmRederive]] dimension-bounded aggregate; the two assignment
+    * relations union BEFORE the 2-row census agg, so both rounds flow
+    * through a single partial-aggregated pass. */
+  def kmeansInertia(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val seeds = kmCentArr(e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val a1 = kmAssign(e, seeds)
+    val a2 = kmAssign(e, kmCentArr(kmRederive(a1)))
+    a1.select(lit(1L).as("iter"), col("sim"))
+      .union(a2.select(lit(2L).as("iter"), col("sim")))
+      .groupBy(col("iter"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("avg_cos"),
+        round(min(col("sim").cast("double")), 6).as("min_cos"))
+      .orderBy(col("iter"))
   }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —

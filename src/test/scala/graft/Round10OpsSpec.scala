@@ -1407,4 +1407,68 @@ class Round10OpsSpec extends SparkSpec {
     }
     assert(got.map(_._3) === got.map(_._3).sorted)
   }
+
+  test("events_streaks equals a driver-side gaps-and-islands scan") {
+    import graft.operators.EventAnalytics
+    val ud = Tables(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val expected = ud.groupBy(_._1).map { case (_, xs) =>
+      val days = xs.map(_._2.toEpochDay).sorted.toSeq
+      var best = 1L; var cur = 1L
+      days.zip(days.drop(1)).foreach { case (a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      }
+      best
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = EventAnalytics.activityStreaks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("dedup_dup_quality equals a driver-side interaction census") {
+    import graft.operators.DedupOps
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val scored = docs.map { t =>
+      val toks = t.split(" ", -1)
+      (t.take(64), toks.length.toLong, toks.distinct.length.toLong)
+    }.filter(_._2 > 0)
+      .map { case (fp, n, u) => (fp, u.toDouble / n) }
+    val copies = scored.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = scored.groupBy { case (fp, s) =>
+      (if (copies(fp) > 1) 1L else 0L,
+        1L + (if (s >= 0.5) 1L else 0L) + (if (s >= 0.75) 1L else 0L) +
+          (if (s >= 0.9) 1L else 0L))
+    }.map { case ((dup, band), xs) =>
+      val sum = xs.map(x => BigDecimal(x._2)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (dup, band, xs.length.toLong,
+        BigDecimal(sum.toDouble / xs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = DedupOps.dupQualityCensus(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("sim_kmeans_inertia: both rounds cover the corpus and the Lloyd " +
+    "step does not degrade mean assignment quality") {
+    import graft.operators.Similarity
+    val n = Tables(spark, sf0001, "embeddings").count()
+    val got = Similarity.kmeansInertia(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    got.foreach { case (_, nv, avg, mn) =>
+      assert(nv === n)
+      assert(mn <= avg && avg <= 1.0 && mn >= -1.0)
+    }
+    assert(got(1)._3 >= got(0)._3 - 1e-9,
+      "re-derived centroids must not lower mean assigned cosine")
+  }
 }
