@@ -503,6 +503,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 14, s"$bnlj BNLJ prints — a corpus-sized join lost its equi-key")
   }
 
+  test("histogram-CDF quantile family: every single-partition window " +
+    "sits above an aggregate (value-domain histogram), never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val family = Seq[(String, DataFrame)](
+      ("orders_rfm", graft.operators.Relational.ordersRfm(spark, sf0001)),
+      ("events_power_pareto",
+        graft.operators.EventAnalytics.powerPareto(spark, sf0001)),
+      ("text_coverage_curve",
+        graft.operators.TextAnalysis.coverageCurve(spark, sf0001)),
+      ("events_cusum",
+        graft.operators.EventAnalytics.cusumChangepoint(spark, sf0001)))
+    family.foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, name)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$name: a global window over un-aggregated (corpus-sized) " +
+            s"data would funnel every row through one task:\n$w")
+      }
+    }
+    // the weighted median's cumulative windows must partition by flag
+    val wm = graft.operators.Relational.weightedMedianPrice(spark, sf0001)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wm.nonEmpty && wm.forall(_.partitionSpec.nonEmpty),
+      "weighted-median CDF windows must be per-flag, never global")
+  }
+
+  test("sim_kmeans_inertia: both assignment passes are 1-row centroid " +
+    "broadcasts (2 BNLJ), nothing corpus-sized shuffles twice") {
+    val p = plan(graft.operators.Similarity.kmeansInertia(spark, sf0001))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    // the iter-1 assignment subtree is deliberately RECOMPUTED in both
+    // consumers (census union + centroid re-derivation) rather than
+    // materialized — at 100 TB re-running a narrow broadcast-map is
+    // cheaper than persisting a corpus-sized relation. That duplication
+    // makes 3 assignment passes; each plans its centroid-array join as
+    // 2 BNLJ nodes in the formatted tree. Budget: 6, all 1-row builds.
+    assert(bnlj <= 6, s"centroid-broadcast budget exceeded: $bnlj > 6")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("plan-shape regression guards: the top-8 bench queries keep their " +
     "exchange budget, zero sort-merge joins, zero cartesians") {
     // Ceilings are the measured formatted-plan counts (sf-independent —
