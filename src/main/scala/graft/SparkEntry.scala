@@ -285,7 +285,10 @@ object SparkEntry {
     "text_coverage_curve" -> ((s, d) => TextAnalysis.coverageCurve(s, d)),
     "events_streaks" -> ((s, d) => EventAnalytics.activityStreaks(s, d)),
     "dedup_dup_quality" -> ((s, d) => DedupOps.dupQualityCensus(s, d)),
-    "sim_kmeans_inertia" -> ((s, d) => Similarity.kmeansInertia(s, d))
+    "sim_kmeans_inertia" -> ((s, d) => Similarity.kmeansInertia(s, d)),
+    "events_interarrival" -> ((s, d) => EventAnalytics.interarrival(s, d)),
+    "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
+    "orders_pareto_abc" -> ((s, d) => Relational.paretoAbc(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1648,6 +1651,80 @@ object SparkEntry {
            FROM runs GROUP BY 1)
          SELECT max_streak, COUNT(*) AS n_users
          FROM mx GROUP BY 1 ORDER BY max_streak""",
+    "events_interarrival" ->
+      """WITH g AS (SELECT event_type,
+             date_diff('second', LAG(ts, 1) OVER (PARTITION BY user_id,
+               event_type ORDER BY ts, event_id), ts) AS gap_s
+           FROM events),
+         hist AS (SELECT event_type, gap_s, COUNT(*) AS cnt
+           FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+         c AS (SELECT event_type, gap_s, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS tot,
+             SUM(gap_s * cnt) OVER (PARTITION BY event_type) AS wsum
+           FROM hist)
+         SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+           ROUND(CAST(MAX(wsum) AS DOUBLE) / MAX(tot), 2) AS mean_gap_s,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN gap_s END)
+             AS BIGINT) AS p50_gap_s,
+           CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN gap_s END)
+             AS BIGINT) AS p90_gap_s
+         FROM c GROUP BY event_type ORDER BY event_type""",
+    "text_lm_heldout" ->
+      """WITH sp AS (SELECT lang, text,
+             CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         train_tok AS (SELECT unnest(string_split(text, ' ')) AS word
+           FROM sp WHERE split = 'train'),
+         lm AS (SELECT word, COUNT(*) AS cw FROM train_tok
+           WHERE word <> '' GROUP BY 1),
+         nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_train,
+             COUNT(*) AS v_train FROM lm),
+         test_tok AS (SELECT lang, w AS word FROM
+           (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM sp WHERE split = 'test')
+           WHERE w <> ''),
+         scored AS (SELECT t.lang, COALESCE(lm.cw, 0) AS cw,
+             CAST(-ln(CAST(COALESCE(lm.cw, 0) + 1 AS DOUBLE)
+               / (nv.n_train + nv.v_train)) AS DECIMAL(28,12)) AS nll
+           FROM test_tok t LEFT JOIN lm ON t.word = lm.word, nv)
+         SELECT lang, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN cw = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN cw = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         FROM scored GROUP BY lang ORDER BY lang""",
+    "orders_pareto_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_partkey, rev4,
+             SUM(rev4) OVER (ORDER BY rev4 DESC, l_partkey) AS cum,
+             SUM(rev4) OVER () AS t
+           FROM rev)
+         SELECT CASE WHEN cum * 10 <= t * 7 THEN 'A'
+                     WHEN cum * 10 <= t * 9 THEN 'B'
+                     ELSE 'C' END AS cls,
+           COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(rev4) AS DOUBLE) / 10000, 2) AS revenue,
+           ROUND(CAST(SUM(rev4) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
+             AS rev_share
+         FROM c GROUP BY 1 ORDER BY cls""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -890,6 +890,47 @@ object EventAnalytics {
     * per-user over active DAYS (calendar-bounded per user), then two
     * group-bounded aggs funnel to the streak-length histogram (output
     * ≤ the longest streak). */
+  /** Inter-arrival gap percentiles per event type — the queueing /
+    * load-model input a capacity plan reads: for every user's
+    * consecutive SAME-TYPE events, the gap in whole seconds, summarized
+    * per type as exact p50/p90 and a decimal-exact mean. Gaps are
+    * per-user (re-engagement cadence), not global stream spacing.
+    *
+    * Scale shape: the LAG window partitions by (user, type) — bounded
+    * by one user's activity, never the stream; gaps then collapse to a
+    * (type, gap_seconds) histogram (gap DOMAIN-bounded: the corpus
+    * time span in seconds) and the percentile cut is the same
+    * histogram-CDF integer arithmetic as the quantile family
+    * (ceil(p·N) via div — no float ties). */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(spark, dir, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+          .as("gap_s"))
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      .withColumn("wsum", sum(col("gap_s") * col("cnt")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_gaps"),
+        round(max(col("wsum")).cast("double") /
+          max(col("tot")).cast("double"), 2).as("mean_gap_s"),
+        min(when(col("cum") >= expr("(tot + 1) div 2"), col("gap_s")))
+          .as("p50_gap_s"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("gap_s")))
+          .as("p90_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()

@@ -995,6 +995,66 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Pareto / ABC classification of parts by revenue — the inventory
+    * cut every supply analysis starts with: parts ranked by exact
+    * discounted revenue, split at 70% / 90% of cumulative revenue into
+    * A / B / C classes, reported as the per-class census (parts,
+    * revenue, share). The class predicate is pure integer arithmetic
+    * (10·cum ≤ 7·T on DECIMAL(38,0) units), so the boundary part is
+    * identical in both engines.
+    *
+    * Scale shape: the global revenue-DESC running sum uses the SAME
+    * distributed two-pass prefix-sum as [[Curation.budgetSelect]] —
+    * approx_percentile samples bucket boundaries (order-compatible
+    * with the exact decimal sort because bucketing is by value),
+    * per-bucket cumulative sums run B-way parallel, per-bucket totals
+    * aggregate to B rows whose tiny window yields exact offsets. A
+    * corpus-sized single-partition window never exists; the oracle
+    * computes the same cumulative sum directly (the decomposition is
+    * internal — the cum VALUES are identical). Revenue stays in exact
+    * 1e-4 integer units until the two final report divisions. */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(usum(discPrice4).as("rev4"))
+    val tot = rev.agg(sum(col("rev4")).as("t"))
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nB).map(i =>
+      (i.toDouble / nB).toString).mkString(", ")
+    val bnds = rev.agg(expr(
+      s"approx_percentile(CAST(rev4 AS DOUBLE), array($pcts))").as("bnds"))
+    val bucketed = rev.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("bucket",
+        size(filter(col("bnds"), b => b > col("rev4").cast("double"))))
+      .drop("bnds")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = bucketed
+      .withColumn("local_cum", sum(col("rev4")).over(wLocal))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("rev4")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff),
+        lit(0).cast("decimal(38,0)")))
+      .select(col("bucket"), col("off"))
+    localCum
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + col("local_cum"))
+      .crossJoin(broadcast(tot)) // 1-row total scalar
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("t") * 7, "A")
+          .when(col("cum") * 10 <= col("t") * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev4")).cast("double") / 1e4, 2).as("revenue"),
+        round(sum(col("rev4")).cast("double") /
+          max(col("t")).cast("double"), 6).as("rev_share"))
+      .orderBy(col("cls"))
+  }
+
   /** Quantity-WEIGHTED price percentiles (p25 / median / p75 of
     * l_extendedprice, each unit of quantity counting once) per return
     * flag — the "what price does the median shipped unit carry"

@@ -1408,6 +1408,53 @@ object TextAnalysis {
           col("total_tokens").cast("double"), 6).as("type_token_ratio"))
       .orderBy(col("lang"))
 
+  /** HELD-OUT language-model evaluation — the measure step the
+    * train-side rows ([[unigramLogprob]]'s corpus-fit LM) stop short
+    * of: an add-1-smoothed unigram LM is fit on the TRAIN split of
+    * [[splitCol]]'s deterministic hash split and scored on the TEST
+    * split it has never seen, per language: token count, OOV rate, and
+    * mean negative log-likelihood (lower = the corpus generalizes; a
+    * train/test NLL gap is the memorization signal). Add-1 smoothing
+    * makes OOV mass explicit: p(w) = (c_w + 1)/(N + V).
+    *
+    * Determinism: each token's log-prob is a deterministic double
+    * (ln of an exact integer ratio), quantized to DECIMAL(28,12)
+    * before summation so accumulation order can't perturb the mean —
+    * the [[unigramLogprob]] convention. Plan: one train-vocab hash-agg
+    * (vocabulary-sized output), one test-token join on word (the only
+    * corpus-sized shuffle pair), one |langs|-row census; the (N, V)
+    * scalar broadcasts. */
+  def lmHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        splitCol.as("split"))
+    val trainTok = docs.filter(col("split") === "train")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val lm = trainTok.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val nv = lm.agg(sum(col("cw")).as("n_train"),
+      count(lit(1)).as("v_train"))
+    val testTok = docs.filter(col("split") === "test")
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    testTok
+      .join(lm, Seq("word"), "left")
+      .crossJoin(broadcast(nv)) // 1-row (N, V) scalar
+      .select(col("lang"),
+        coalesce(col("cw"), lit(0L)).as("cw"),
+        (-log((coalesce(col("cw"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_train") + col("v_train")).cast("double")))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cw") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("cw") === 0L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("oov_rate"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy(col("lang"))
+  }
+
   /** Vocabulary coverage curve: what share of the corpus's TOKEN MASS
     * do the top-10 / top-100 / top-1000 most frequent types cover — the
     * truncation-loss preview for a fixed-size vocabulary (the question

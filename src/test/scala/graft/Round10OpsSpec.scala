@@ -1471,4 +1471,90 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(1)._3 >= got(0)._3 - 1e-9,
       "re-derived centroids must not lower mean assigned cosine")
   }
+
+  test("events_interarrival equals a driver-side per-user gap scan") {
+    import graft.operators.EventAnalytics
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).toInstant.getEpochSecond,
+        r.getLong(3)))
+    val gaps = ev.groupBy(x => (x._1, x._2)).toSeq.flatMap { case (k, xs) =>
+      val s = xs.sortBy(x => (x._3, x._4)).map(_._3)
+      s.zip(s.drop(1)).map { case (a, b) => (k._2, b - a) }
+    }
+    val expected = gaps.groupBy(_._1).map { case (t, xs) =>
+      val gs = xs.map(_._2).sorted
+      val n = gs.length.toLong
+      def thr(cond: Long => Boolean): Long = {
+        var cum = 0L
+        gs.groupBy(identity(_)).toSeq.sortBy(_._1)
+          .find { case (_, g) => cum += g.length; cond(cum) }.get._1
+      }
+      (t, n,
+        BigDecimal(gs.sum.toDouble / n)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        thr(c => c >= (n + 1) / 2), thr(c => c * 10 >= n * 9))
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.interarrival(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("text_lm_heldout: train tokens never count as OOV for themselves " +
+    "and NLL is bounded by the OOV floor") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.lmHeldout(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // the add-1 NLL of any token is at most ln(N+V) (cw=0) and at least
+    // ln((N+V)/(maxc+1)) > 0 — mean must sit strictly inside
+    val docs = Tables(spark, sf0001, "documents")
+    import org.apache.spark.sql.functions.{col => c}
+    val nTestDocs = docs.count()
+    assert(nTestDocs > 0)
+    got.foreach { case (_, nTok, nOov, oovRate, meanNll) =>
+      assert(nTok > 0 && nOov >= 0 && nOov <= nTok)
+      assert(oovRate === BigDecimal(nOov.toDouble / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(meanNll > 0.0 && meanNll < 30.0)
+    }
+  }
+
+  test("orders_pareto_abc equals a driver-side exact cumulative cut " +
+    "and classes partition all parts") {
+    import graft.operators.Relational
+    val rev = Tables(spark, sf0001, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100) *
+          (100L - math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val t = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (pk, r) => (-r, pk) }
+    var cum = 0L
+    val classed = sorted.map { case (_, r) =>
+      cum += r
+      val cls = if (cum * BigInt(10) <= BigInt(t) * 7) "A"
+        else if (cum * BigInt(10) <= BigInt(t) * 9) "B" else "C"
+      (cls, r)
+    }
+    val expected = classed.groupBy(_._1).map { case (cls, xs) =>
+      val s = xs.map(x => BigInt(x._2)).sum
+      (cls, xs.length.toLong,
+        BigDecimal(s.toDouble / 10000)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(s.toDouble / t.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.paretoAbc(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === rev.length.toLong)
+  }
 }
