@@ -288,7 +288,11 @@ object SparkEntry {
     "sim_kmeans_inertia" -> ((s, d) => Similarity.kmeansInertia(s, d)),
     "events_interarrival" -> ((s, d) => EventAnalytics.interarrival(s, d)),
     "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
-    "orders_pareto_abc" -> ((s, d) => Relational.paretoAbc(s, d))
+    "orders_pareto_abc" -> ((s, d) => Relational.paretoAbc(s, d)),
+    "graph_kcore" -> ((s, d) => Graph.kcoreTrace(s, d)),
+    "events_forecast_compare" ->
+      ((s, d) => EventAnalytics.forecastCompare(s, d)),
+    "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1725,6 +1729,90 @@ object SparkEntry {
            ROUND(CAST(SUM(rev4) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
              AS rev_share
          FROM c GROUP BY 1 ORDER BY cls""",
+    "graph_kcore" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         u0 AS (SELECT DISTINCT label, v1 AS u, v2 AS v FROM knn
+           UNION SELECT label, v2, v1 FROM knn),
+         c0 AS (SELECT CAST(0 AS BIGINT) AS round, label,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_vertices,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+           FROM u0 GROUP BY label),
+         k1 AS (SELECT label, u FROM u0 GROUP BY label, u
+           HAVING COUNT(*) >= 3),
+         u1 AS (SELECT e.* FROM u0 e
+           JOIN k1 a ON e.label = a.label AND e.u = a.u
+           JOIN k1 b ON e.label = b.label AND e.v = b.u),
+         c1 AS (SELECT CAST(1 AS BIGINT) AS round, label,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_vertices,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+           FROM u1 GROUP BY label),
+         k2 AS (SELECT label, u FROM u1 GROUP BY label, u
+           HAVING COUNT(*) >= 3),
+         u2 AS (SELECT e.* FROM u1 e
+           JOIN k2 a ON e.label = a.label AND e.u = a.u
+           JOIN k2 b ON e.label = b.label AND e.v = b.u),
+         c2 AS (SELECT CAST(2 AS BIGINT) AS round, label,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_vertices,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+           FROM u2 GROUP BY label),
+         k3 AS (SELECT label, u FROM u2 GROUP BY label, u
+           HAVING COUNT(*) >= 3),
+         u3 AS (SELECT e.* FROM u2 e
+           JOIN k3 a ON e.label = a.label AND e.u = a.u
+           JOIN k3 b ON e.label = b.label AND e.v = b.u),
+         c3 AS (SELECT CAST(3 AS BIGINT) AS round, label,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_vertices,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+           FROM u3 GROUP BY label)
+         SELECT * FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+           UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+         ORDER BY round, label""",
+    "events_forecast_compare" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         f AS (SELECT event_type, n,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS p1,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS p7
+           FROM daily),
+         s AS (SELECT event_type, n, p1, p7 FROM f
+           WHERE p1 IS NOT NULL AND p7 IS NOT NULL)
+         SELECT event_type, COUNT(*) AS n_days,
+           ROUND(CAST(SUM(abs(n - p1)) AS DOUBLE) / COUNT(*), 4)
+             AS mae_naive,
+           ROUND(CAST(SUM(abs(n - p7)) AS DOUBLE) / COUNT(*), 4)
+             AS mae_seasonal,
+           CASE WHEN SUM(abs(n - p7)) < SUM(abs(n - p1)) THEN 'seasonal'
+                WHEN SUM(abs(n - p1)) < SUM(abs(n - p7)) THEN 'naive'
+                ELSE 'tie' END AS winner
+         FROM s GROUP BY event_type ORDER BY event_type""",
+    "text_burstiness" ->
+      """WITH tf AS (SELECT doc_id, token, COUNT(*) AS c FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         st AS (SELECT token, CAST(SUM(c) AS BIGINT) AS total,
+             COUNT(*) AS df, CAST(SUM(c * c) AS BIGINT) AS sq
+           FROM tf GROUP BY 1),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         rnk AS (SELECT *, ROW_NUMBER()
+             OVER (ORDER BY total DESC, token) AS rk
+           FROM st)
+         SELECT token, total, df,
+           ROUND(CAST(total AS DOUBLE) / n_docs, 6) AS mean_c,
+           ROUND((CAST(sq AS DOUBLE) / n_docs
+               - (CAST(total AS DOUBLE) / n_docs)
+                 * (CAST(total AS DOUBLE) / n_docs))
+             / (CAST(total AS DOUBLE) / n_docs), 4) AS vmr
+         FROM rnk, nd WHERE rk <= 20
+         ORDER BY total DESC, token""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

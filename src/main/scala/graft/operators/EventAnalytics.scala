@@ -890,6 +890,43 @@ object EventAnalytics {
     * per-user over active DAYS (calendar-bounded per user), then two
     * group-bounded aggs funnel to the streak-length histogram (output
     * ≤ the longest streak). */
+  /** Forecast MODEL SELECTION — the comparison [[forecastNaive]] (one
+    * model, its error) stops short of: last-value (lag-1) vs
+    * seasonal-naive (lag-7) predictors scored side by side on the
+    * daily series, per event type, over exactly the days where BOTH
+    * have a prediction, with the winner named. The first question any
+    * forecasting effort answers — "does seasonality beat persistence
+    * here?" — as a query.
+    *
+    * Exactness: both MAEs are sums of integer |errors| divided once at
+    * the end; the winner predicate compares the two integer sums
+    * directly (no float boundary). Both LAGs share one (event_type;
+    * day) window sort. Scale: the window runs over the DAY-bounded
+    * daily relation, the same envelope as every series op here. */
+  def forecastCompare(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("p1", lag(col("n"), 1).over(w))
+      .withColumn("p7", lag(col("n"), 7).over(w))
+      .filter(col("p1").isNotNull && col("p7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("p1"))).as("ae1"),
+        sum(abs(col("n") - col("p7"))).as("ae7"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ae1").cast("double") / col("n_days"), 4)
+          .as("mae_naive"),
+        round(col("ae7").cast("double") / col("n_days"), 4)
+          .as("mae_seasonal"),
+        when(col("ae7") < col("ae1"), "seasonal")
+          .when(col("ae1") < col("ae7"), "naive")
+          .otherwise("tie").as("winner"))
+      .orderBy(col("event_type"))
+  }
+
   /** Inter-arrival gap percentiles per event type — the queueing /
     * load-model input a capacity plan reads: for every user's
     * consecutive SAME-TYPE events, the gap in whole seconds, summarized

@@ -227,6 +227,52 @@ object Graph {
     * one vertex-grain agg joined back on the candidate endpoints.
     * Per-pair Jaccard quantizes to DECIMAL(18,9) before the mean so
     * the sum is order-independent. */
+  /** k-core PEEL TRACE over the k-NN similarity graph — the
+    * graph-density diagnostic an HNSW/NSG builder or a community miner
+    * reads before trusting the structure: iteratively delete vertices
+    * with (undirected) degree < k and report, per label block and peel
+    * round, how many vertices and edges survive. A graph whose core
+    * collapses by round 2 has hub-and-spoke structure (poor ANN
+    * navigability); a stable core is clusterable. Three unrolled
+    * rounds, k = 3; the trace (not the fixpoint) is the product, so
+    * the round count is FIXED and the whole program is one declarative
+    * plan the oracle mirrors CTE-for-CTE — the [[pagerankNations]]
+    * convention for iterative dataflow.
+    *
+    * Scale shape: the edge relation is degree-bounded (≤2k per vertex
+    * after symmetrizing top-k edges), each round is one vertex-grain
+    * degree agg plus two semi-joins of the edge relation against the
+    * surviving-vertex relation — all equi-joins on vertex id, linear
+    * per round at any corpus size. */
+  def kcoreTrace(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2"))
+    val und0 = edges.select(col("label"), col("v1").as("u"), col("v2").as("v"))
+      .union(edges.select(col("label"), col("v2").as("u"), col("v1").as("v")))
+      .distinct()
+    def census(und: DataFrame, round: Int): DataFrame =
+      und.groupBy(col("label"))
+        .agg(countDistinct(col("u")).as("n_vertices"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(round.toLong).as("round"), col("label"),
+          col("n_vertices"), col("n_edges"))
+    var und = und0
+    var out = census(und, 0)
+    for (r <- 1 to rounds) {
+      val keep = und.groupBy(col("label"), col("u"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("label"), col("u"))
+      und = und
+        .join(keep, Seq("label", "u"), "left_semi")
+        .join(keep.select(col("label"), col("u").as("v")),
+          Seq("label", "v"), "left_semi")
+      out = out.union(census(und, r))
+    }
+    out.orderBy(col("round"), col("label"))
+  }
+
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
     val edges = Similarity.knnEdges(spark, dir, 3)
       .select(col("label"), col("v1"), col("v2"))

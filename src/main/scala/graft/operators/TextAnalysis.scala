@@ -1408,6 +1408,45 @@ object TextAnalysis {
           col("total_tokens").cast("double"), 6).as("type_token_ratio"))
       .orderBy(col("lang"))
 
+  /** Term BURSTINESS census — the dispersion statistic that separates
+    * function words from topical words better than raw frequency: for
+    * each of the 20 most frequent types, the variance-to-mean ratio
+    * (VMR) of its per-document count over ALL documents. A uniformly
+    * sprinkled word (stopword-like) has VMR ≈ 1 (Poisson); a topical
+    * word concentrates in few documents (VMR ≫ 1) — the signal behind
+    * burst-aware TF weighting and keyword extraction.
+    *
+    * Exactness: mean and E[x²] come from exact integer sums (Σx, Σx²
+    * over per-doc counts; absent docs contribute zero to both, so only
+    * the containing-doc relation is ever touched) divided once in
+    * double; the 1-row corpus-size scalar broadcasts. Plan: one
+    * (doc, token) hash-agg, one vocabulary-sized re-agg, a rank ≤ 20
+    * literal filter (WindowGroupLimit prunes map-side). */
+  def burstiness(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("token"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("sq"))
+    stats
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("total").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size
+      .select(col("token"), col("total"), col("df"),
+        round(col("total").cast("double") / col("n_docs"), 6).as("mean_c"),
+        round((col("sq").cast("double") / col("n_docs") -
+          (col("total").cast("double") / col("n_docs")) *
+          (col("total").cast("double") / col("n_docs"))) /
+          (col("total").cast("double") / col("n_docs")), 4).as("vmr"))
+      .orderBy(col("total").desc, col("token"))
+  }
+
   /** HELD-OUT language-model evaluation — the measure step the
     * train-side rows ([[unigramLogprob]]'s corpus-fit LM) stop short
     * of: an add-1-smoothed unigram LM is fit on the TRAIN split of

@@ -1557,4 +1557,96 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._2).sum === rev.length.toLong)
   }
+
+  test("graph_kcore equals a driver-side peel from the same edge set " +
+    "and the trace is monotone non-increasing") {
+    import graft.operators.{Graph, Similarity}
+    val edges = Similarity.knnEdges(spark, sf0001, 3)
+      .select(col("label"), col("v1"), col("v2")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    var und: Set[(Int, Long, Long)] =
+      edges.flatMap { case (l, a, b) => Seq((l, a, b), (l, b, a)) }.toSet
+    def census(round: Long): Seq[(Long, Int, Long, Long)] =
+      und.groupBy(_._1).toSeq.map { case (l, es) =>
+        (round, l, es.map(_._2).toSet.size.toLong, es.size.toLong / 2)
+      }
+    var expected = census(0L)
+    for (r <- 1 to 3) {
+      val keep = und.groupBy(x => (x._1, x._2)).view
+        .mapValues(_.size).filter(_._2 >= 3).keySet
+      und = und.filter(e =>
+        keep((e._1, e._2)) && keep((e._1, e._3)))
+      expected = expected ++ census(r.toLong)
+    }
+    val exp = expected.sortBy(x => (x._1, x._2))
+    val got = Graph.kcoreTrace(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === exp)
+    // per label, vertices and edges never grow round-over-round
+    got.groupBy(_._2).values.foreach { xs =>
+      val s = xs.sortBy(_._1)
+      s.zip(s.drop(1)).foreach { case (a, b) =>
+        assert(b._3 <= a._3 && b._4 <= a._4)
+      }
+    }
+  }
+
+  test("events_forecast_compare equals a driver-side two-model score") {
+    import graft.operators.EventAnalytics
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, xs) =>
+      val s = xs.sortBy(_._2.toEpochDay).map(_._3)
+      val scored = (7 until s.length).map(i =>
+        (math.abs(s(i) - s(i - 1)), math.abs(s(i) - s(i - 7))))
+      val (a1, a7) = (scored.map(_._1).sum, scored.map(_._2).sum)
+      (t, scored.length.toLong,
+        BigDecimal(a1.toDouble / scored.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(a7.toDouble / scored.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (a7 < a1) "seasonal" else if (a1 < a7) "naive" else "tie")
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.forecastCompare(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("text_burstiness: stopword-like high-frequency terms and exact " +
+    "moment recomputation") {
+    import graft.operators.TextAnalysis
+    val counts = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).split(" ", -1).filter(_.nonEmpty)
+          .groupBy(identity(_)).map { case (t, xs) =>
+            (t, xs.length.toLong) }
+      }
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    val byTok = counts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = TextAnalysis.burstiness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length === 20)
+    got.foreach { case (tok, total, df, meanC, vmr) =>
+      val cs = byTok(tok)
+      assert(total === cs.sum && df === cs.length.toLong)
+      val mean = cs.sum.toDouble / nDocs
+      val sq = cs.map(c => c * c).sum.toDouble / nDocs
+      assert(meanC === BigDecimal(mean)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(vmr === BigDecimal((sq - mean * mean) / mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(vmr > 0)
+    }
+    // ranked by frequency: the listed totals are the global top-20
+    val top = counts.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq === top)
+  }
 }
