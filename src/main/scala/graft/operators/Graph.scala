@@ -248,9 +248,15 @@ object Graph {
       rounds: Int = 3): DataFrame = {
     val edges = Similarity.knnEdges(spark, dir, 3)
       .select(col("label"), col("v1"), col("v2"))
+    // localCheckpoint: the union-of-censuses consumes each round's edge
+    // relation in every LATER round's lineage too — without a cut the
+    // expensive k-NN pair scan would replay once per round. The edge
+    // relation is k·|V|-bounded (tiny next to the pair scan), the same
+    // materialize-the-small-relation call dedup_clusters_star makes.
     val und0 = edges.select(col("label"), col("v1").as("u"), col("v2").as("v"))
       .union(edges.select(col("label"), col("v2").as("u"), col("v1").as("v")))
       .distinct()
+      .localCheckpoint()
     def census(und: DataFrame, round: Int): DataFrame =
       und.groupBy(col("label"))
         .agg(countDistinct(col("u")).as("n_vertices"),

@@ -1061,30 +1061,58 @@ object Relational {
     * question a revenue-mix analysis asks, which the unweighted median
     * gets wrong whenever cheap items ship in bulk.
     *
-    * Scale shape: the same histogram-CDF decomposition as
-    * [[quartileThresholds]] but weighted — lineitem collapses to a
+    * Scale shape: the weighted histogram-CDF, bucket-decomposed like
+    * [[Curation.budgetSelect]] — lineitem collapses to a
     * (flag, price_cents) → Σquantity histogram in ONE hash-agg with
-    * map-side partials, and the cumulative-weight window runs over that
-    * histogram, partitioned by flag. The histogram is price-DOMAIN-
-    * bounded (distinct extendedprice cents — saturates as data grows,
-    * unlike row count), so the 3 per-flag window tasks each scan a
-    * bounded relation at any corpus size. Percentile ranks are exact
+    * map-side partials. The histogram is price-DOMAIN-bounded (distinct
+    * extendedprice cents — saturates as data grows, unlike row count)
+    * but that domain is still millions of values, so the per-flag
+    * cumulative sum does NOT run as one window per flag: sampled
+    * price boundaries bucket the histogram order-compatibly, the
+    * running sum is a (flag, bucket)-PARTITIONED window (B-way parallel
+    * per flag), per-bucket totals aggregate to B rows per flag whose
+    * tiny per-flag window yields exact starting offsets, and
+    * cum = offset + local prefix — exact. Percentile ranks are exact
     * integer arithmetic on quantity units (ceil(p·W) via div — no
     * float near ties); quantities stay in integer hundredths
-    * throughout. */
+    * throughout. The per-flag totals and the boundary array broadcast. */
   def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
+    // (measured: materializing the histogram via localCheckpoint is
+    // SLOWER here — ReuseExchange already dedupes the scan+agg across
+    // the four consumers; see BENCH_STABILITY notes)
     val hist = li.select(col("l_returnflag").as("flag"),
         e2(col("l_extendedprice")).as("price_c"),
         e2(col("l_quantity")).as("qty_c"))
       .groupBy(col("flag"), col("price_c"))
       .agg(sum(col("qty_c")).as("w"))
-    val wCum = Window.partitionBy(col("flag")).orderBy(col("price_c"))
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nB).map(i =>
+      (i.toDouble / nB).toString).mkString(", ")
+    val bnds = hist.agg(expr(
+      s"approx_percentile(CAST(price_c AS DOUBLE), array($pcts))")
+      .as("bnds"))
+    val bucketed = hist.crossJoin(broadcast(bnds)) // 1-row boundary array
+      // bucket index must ASCEND with price (the CDF direction):
+      // count of boundaries BELOW the price
+      .withColumn("bucket",
+        size(filter(col("bnds"), b => b < col("price_c").cast("double"))))
+      .drop("bnds")
+    val wLocal = Window.partitionBy(col("flag"), col("bucket"))
+      .orderBy(col("price_c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(col("flag"))
-    hist
-      .withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wTot))
+    val wOff = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("flag"), col("bucket"))
+      .agg(sum(col("w")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("flag"), col("bucket"), col("off"))
+    val totals = hist.groupBy(col("flag")).agg(sum(col("w")).as("tot"))
+    bucketed
+      .withColumn("local_cum", sum(col("w")).over(wLocal))
+      .join(broadcast(offsets), Seq("flag", "bucket"))
+      .withColumn("cum", col("off") + col("local_cum"))
+      .join(broadcast(totals), "flag")
       .groupBy(col("flag"))
       .agg(
         round(min(when(col("cum") >= expr("(tot + 3) div 4"),
