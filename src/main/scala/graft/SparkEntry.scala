@@ -292,7 +292,12 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => Graph.kcoreTrace(s, d)),
     "events_forecast_compare" ->
       ((s, d) => EventAnalytics.forecastCompare(s, d)),
-    "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d))
+    "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "events_uplift_did" -> ((s, d) => EventAnalytics.upliftDid(s, d)),
+    "events_transition_entropy" ->
+      ((s, d) => EventAnalytics.transitionEntropy(s, d)),
+    "text_langid_trigram" ->
+      ((s, d) => TextAnalysis.langidTrigram(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1813,6 +1818,69 @@ object SparkEntry {
              / (CAST(total AS DOUBLE) / n_docs), 4) AS vmr
          FROM rnk, nd WHERE rk <= 20
          ORDER BY total DESC, token""",
+    "events_uplift_did" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, value
+           FROM events),
+         mid AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM ev),
+         t AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'treat'
+                  ELSE 'control' END AS grp,
+             CAST(tsu > mid AS BIGINT) AS post, value
+           FROM ev, mid)
+         SELECT grp,
+           CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre,
+           CAST(SUM(post) AS BIGINT) AS n_post,
+           ROUND(CAST(SUM(CASE WHEN post = 0
+               THEN CAST(value AS DECIMAL(28,4)) ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END), 6) AS mean_pre,
+           ROUND(CAST(SUM(CASE WHEN post = 1
+               THEN CAST(value AS DECIMAL(28,4)) ELSE 0 END) AS DOUBLE)
+             / SUM(post), 6) AS mean_post,
+           ROUND(CAST(SUM(CASE WHEN post = 1
+               THEN CAST(value AS DECIMAL(28,4)) ELSE 0 END) AS DOUBLE)
+               / SUM(post)
+             - CAST(SUM(CASE WHEN post = 0
+               THEN CAST(value AS DECIMAL(28,4)) ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END), 6) AS diff
+         FROM t GROUP BY grp ORDER BY grp""",
+    "events_transition_entropy" ->
+      """WITH s AS (SELECT event_type AS from_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM tr)
+         SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total,
+           COUNT(*) AS n_successors,
+           ROUND(ln(CAST(SUM(n) AS DOUBLE))
+             - CAST(SUM(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 AS DECIMAL(28,12))) AS DOUBLE) / SUM(n), 6) AS entropy,
+           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(t), 6) AS share
+         FROM tr, tot GROUP BY from_type ORDER BY from_type""",
+    "text_langid_trigram" ->
+      """WITH tri AS (SELECT doc_id, lang,
+             unnest([substr(text, i, 3)
+               for i in range(1, greatest(len(text) - 2, 0) + 1)]) AS g
+           FROM documents),
+         prof AS (SELECT lang AS profile_lang, g FROM (
+             SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, g) AS rk
+             FROM tri GROUP BY lang, g) WHERE rk <= 20),
+         dt AS (SELECT DISTINCT doc_id, lang, g FROM tri),
+         ov AS (SELECT d.doc_id, d.lang, p.profile_lang,
+             COUNT(*) AS ov
+           FROM dt d JOIN prof p ON d.g = p.g GROUP BY 1, 2, 3),
+         pred AS (SELECT * FROM (SELECT *, ROW_NUMBER()
+             OVER (PARTITION BY doc_id ORDER BY ov DESC, profile_lang)
+               AS rk FROM ov) WHERE rk = 1),
+         tt AS (SELECT lang, COUNT(*) AS lang_total FROM pred GROUP BY 1)
+         SELECT p.lang AS true_lang, p.profile_lang AS pred_lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.lang_total), 6)
+             AS share
+         FROM pred p JOIN tt t ON p.lang = t.lang
+         GROUP BY 1, 2 ORDER BY true_lang, pred_lang""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -890,6 +890,83 @@ object EventAnalytics {
     * per-user over active DAYS (calendar-bounded per user), then two
     * group-bounded aggs funnel to the streak-length histogram (output
     * ≤ the longest streak). */
+  /** Difference-in-differences uplift readout — the causal-measurement
+    * census [[abTest]]'s cross-sectional chi-square stops short of:
+    * users hash-split into treat/control (deterministic parity), time
+    * split at the exact corpus midpoint, and each arm's mean event
+    * value reported pre vs post with its within-arm difference. The
+    * treat-minus-control gap of the `diff` column IS the DiD estimate,
+    * the first number an uplift analysis quotes (parallel-trends
+    * caveats and all).
+    *
+    * Exactness: the midpoint is integer micros arithmetic ((min+max)
+    * div 2 on a 1-row broadcast scalar); means are exact DECIMAL sums
+    * divided once; the whole query is one corpus pass into a 2×2
+    * census. */
+  def upliftDid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("value"))
+    val mid = ev.agg(expr("(min(tsu) + max(tsu)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid)) // 1-row midpoint scalar
+      .select(
+        when(pmod(col("user_id"), lit(2)) === 1, "treat")
+          .otherwise("control").as("grp"),
+        (col("tsu") > col("mid")).cast("long").as("post"),
+        col("value"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("post") === 0L, 1L).otherwise(0L)).as("n_pre"),
+        sum(col("post")).as("n_post"),
+        (sum(when(col("post") === 0L, col("value").cast("decimal(28,4)"))
+          .otherwise(lit(0).cast("decimal(28,4)"))).cast("double") /
+          sum(when(col("post") === 0L, 1L).otherwise(0L))).as("mpre"),
+        (sum(when(col("post") === 1L, col("value").cast("decimal(28,4)"))
+          .otherwise(lit(0).cast("decimal(28,4)"))).cast("double") /
+          sum(col("post"))).as("mpost"))
+      .select(col("grp"), col("n_pre"), col("n_post"),
+        round(col("mpre"), 6).as("mean_pre"),
+        round(col("mpost"), 6).as("mean_post"),
+        round(col("mpost") - col("mpre"), 6).as("diff"))
+      .orderBy(col("grp"))
+  }
+
+  /** Entropy of the first-order event-type Markov chain — the
+    * predictability census on top of [[eventTransitions]]'s matrix: per
+    * source type, the Shannon entropy of its next-event distribution
+    * (0 = deterministic follow-up, ln|types| = uniform), plus each
+    * row's share of all transitions — together the weighted entropy
+    * rate of user behavior, the information-theoretic ceiling for any
+    * next-event predictor.
+    *
+    * Exactness: H = ln R − (Σ n·ln n)/R over exact integer counts;
+    * each n·ln n term is a deterministic double quantized to
+    * DECIMAL(28,12) before summing (the [[TextAnalysis.lmHeldout]]
+    * convention). Same one-shuffle plan as the transition matrix. */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables(spark, dir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.agg(sum(col("n")).as("t"))
+    trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"),
+        count(lit(1)).as("n_successors"),
+        sum((col("n").cast("double") * log(col("n").cast("double")))
+          .cast("decimal(28,12)")).as("nlogn"))
+      .crossJoin(broadcast(tot)) // 1-row total scalar
+      .select(col("from_type"), col("row_total"), col("n_successors"),
+        round(log(col("row_total").cast("double")) -
+          col("nlogn").cast("double") / col("row_total").cast("double"), 6)
+          .as("entropy"),
+        round(col("row_total").cast("double") / col("t").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("from_type"))
+  }
+
   /** Forecast MODEL SELECTION — the comparison [[forecastNaive]] (one
     * model, its error) stops short of: last-value (lag-1) vs
     * seasonal-naive (lag-7) predictors scored side by side on the

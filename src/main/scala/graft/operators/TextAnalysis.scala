@@ -1408,6 +1408,58 @@ object TextAnalysis {
           col("total_tokens").cast("double"), 6).as("type_token_ratio"))
       .orderBy(col("lang"))
 
+  /** Statistical language ID by character-trigram profiles, with its
+    * confusion matrix — the trainable upgrade of [[langIdConfusion]]'s
+    * fixed-stopword heuristic (Cavnar–Trenkle n-gram profiling, the
+    * classic): each language's 20 most frequent char trigrams form its
+    * profile; a document is assigned the language whose profile its
+    * DISTINCT trigrams overlap most (ties to the alphabetically first
+    * language), and the census reports (true_lang → pred_lang) doc
+    * counts with per-cell share of the true language. Only documents
+    * matching ≥1 profile trigram are classified (zero-overlap docs
+    * carry no signal; their count is the complement of the row sums).
+    *
+    * Scale shape: the trigram explode is the one corpus-sized pass
+    * (n_chars rows); profiles come from a (lang, trigram) hash-agg
+    * plus a rank≤20 window over the VOCABULARY relation
+    * (WindowGroupLimit); the |langs|·20-row profile broadcasts into
+    * the per-doc overlap count, the argmax is a per-doc ≤|langs|-row
+    * window, and the census is |langs|²-bounded. */
+  def langidTrigram(spark: SparkSession, dir: String, top: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tri = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(length(text) - 2, 0)),
+               i -> substring(text, i, 3))""")).as("g"))
+    val profiles = tri
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rk") <= top)
+      .select(col("lang").as("profile_lang"), col("g"))
+    val overlap = tri.select(col("doc_id"), col("lang"), col("g")).distinct()
+      .join(broadcast(profiles), "g")
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("ov"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ov").desc, col("profile_lang"))
+    val pred = overlap
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") === 1)
+    val trueTotals = pred.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_total"))
+    pred.groupBy(col("lang").as("true_lang"),
+        col("profile_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(trueTotals.select(col("lang").as("true_lang"),
+        col("lang_total"))), "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("lang_total").cast("double"), 6).as("share"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   /** Term BURSTINESS census — the dispersion statistic that separates
     * function words from topical words better than raw frequency: for
     * each of the 20 most frequent types, the variance-to-mean ratio

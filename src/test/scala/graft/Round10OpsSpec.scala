@@ -1649,4 +1649,93 @@ class Round10OpsSpec extends SparkSpec {
       .toSeq.sortBy { case (t, n) => (-n, t) }.take(20).map(_._1)
     assert(got.map(_._1).toSeq === top)
   }
+
+  test("events_uplift_did equals a driver-side 2x2 recomputation") {
+    import graft.operators.EventAnalytics
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val expected = ev.groupBy(x =>
+      if (x._1 % 2 == 1) "treat" else "control").map { case (g, xs) =>
+      val (pre, post) = xs.partition(_._2 <= mid)
+      def m(s: Seq[(Long, Long, Double)]): Double = {
+        val dec = s.map(x => BigDecimal(x._3)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+        dec.toDouble / s.length
+      }
+      val (mp, mq) = (m(pre.toSeq), m(post.toSeq))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g, pre.length.toLong, post.length.toLong, r6(mp), r6(mq),
+        r6(mq - mp))
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.upliftDid(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("events_transition_entropy: entropy bounded by ln(successors), " +
+    "shares sum to 1, row_totals match the transition matrix") {
+    import graft.operators.EventAnalytics
+    val got = EventAnalytics.transitionEntropy(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, rt, ns, h, _) =>
+      assert(rt > 0 && ns > 0)
+      assert(h >= -1e-9 && h <= math.log(ns.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($ns)]")
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4)
+    // cross-check row totals against the already-verified matrix
+    val matrix = EventAnalytics.eventTransitions(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    got.foreach { case (t, rt, _, _, _) => assert(matrix(t) === rt) }
+  }
+
+  test("text_langid_trigram equals a driver-side Cavnar-Trenkle " +
+    "recomputation and row shares sum to 1") {
+    // NOTE: the synthetic corpus shares one vocabulary across langs, so
+    // ACCURACY is near-chance by design — the spec pins the mechanics
+    // (profiles, overlap argmax, tie-break), not linguistic skill.
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      (0 to math.max(t.length - 3, -1)).map(i =>
+        t.substring(i, math.min(i + 3, t.length)))
+        .filter(_.length == 3)
+    val prof: Map[String, Set[String]] = docs.groupBy(_._2).map {
+      case (l, xs) =>
+        val cnt = xs.flatMap(x => tris(x._3))
+          .groupBy(identity(_)).view.mapValues(_.size).toSeq
+        l -> cnt.sortBy { case (g, c) => (-c, g) }.take(20).map(_._1).toSet
+    }
+    val langs = prof.keys.toSeq.sorted
+    val preds = docs.flatMap { case (_, trueLang, text) =>
+      val dt = tris(text).toSet
+      val ovs = langs.map(l => (l, (dt & prof(l)).size)).filter(_._2 > 0)
+      if (ovs.isEmpty) None
+      else Some((trueLang, ovs.sortBy { case (l, o) => (-o, l) }.head._1))
+    }
+    val totals = preds.groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = preds.groupBy(identity(_)).map { case ((t, p), xs) =>
+      (t, p, xs.length.toLong,
+        BigDecimal(xs.length.toDouble / totals(t))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = TextAnalysis.langidTrigram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    got.groupBy(_._1).foreach { case (lang, xs) =>
+      assert(math.abs(xs.map(_._4).sum - 1.0) < 1e-4,
+        s"$lang shares must sum to 1")
+    }
+  }
 }
