@@ -297,7 +297,11 @@ object SparkEntry {
     "events_transition_entropy" ->
       ((s, d) => EventAnalytics.transitionEntropy(s, d)),
     "text_langid_trigram" ->
-      ((s, d) => TextAnalysis.langidTrigram(s, d))
+      ((s, d) => TextAnalysis.langidTrigram(s, d)),
+    "events_funnel_latency" ->
+      ((s, d) => EventAnalytics.funnelLatency(s, d)),
+    "events_gini" -> ((s, d) => EventAnalytics.activityGini(s, d)),
+    "docs_spearman" -> ((s, d) => Curation.spearmanLengthQuality(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1881,6 +1885,76 @@ object SparkEntry {
              AS share
          FROM pred p JOIN tt t ON p.lang = t.lang
          GROUP BY 1, 2 ORDER BY true_lang, pred_lang""",
+    "events_funnel_latency" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.vt
+             AND e.ts <= v.vt + INTERVAL 3 DAY
+           GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.ct
+             AND e.ts <= c.ct + INTERVAL 3 DAY
+           GROUP BY 1),
+         hops AS (
+           SELECT '1_view_click' AS hop,
+             date_diff('second', v.vt, c.ct) AS gap_s
+           FROM c JOIN v ON c.user_id = v.user_id
+           UNION ALL
+           SELECT '2_click_purchase',
+             date_diff('second', c.ct, p.pt)
+           FROM p JOIN c ON p.user_id = c.user_id),
+         hist AS (SELECT hop, gap_s, COUNT(*) AS cnt
+           FROM hops GROUP BY 1, 2),
+         cd AS (SELECT hop, gap_s, cnt,
+             SUM(cnt) OVER (PARTITION BY hop ORDER BY gap_s) AS cum,
+             SUM(cnt) OVER (PARTITION BY hop) AS tot,
+             SUM(gap_s * cnt) OVER (PARTITION BY hop) AS wsum
+           FROM hist)
+         SELECT hop, CAST(MAX(tot) AS BIGINT) AS n_conversions,
+           ROUND(CAST(MAX(wsum) AS DOUBLE) / MAX(tot), 2) AS mean_gap_s,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN gap_s END)
+             AS BIGINT) AS p50_gap_s,
+           CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN gap_s END)
+             AS BIGINT) AS p90_gap_s
+         FROM cd GROUP BY hop ORDER BY hop""",
+    "events_gini" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS v FROM events
+           GROUP BY 1),
+         hist AS (SELECT v, COUNT(*) AS c FROM pu GROUP BY 1),
+         r AS (SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS r0
+           FROM hist)
+         SELECT CAST(SUM(c) AS BIGINT) AS n_users,
+           CAST(SUM(v * c) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(v * (2 * c * r0 + c * (c + 1))) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(v * c) AS DOUBLE))
+             - CAST(SUM(c) + 1 AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS gini
+         FROM r""",
+    "docs_spearman" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+           FROM documents),
+         sc AS (SELECT doc_id, n_tok,
+             CAST(n_uniq AS DOUBLE) / n_tok AS score
+           FROM s WHERE n_tok > 0),
+         r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS r1,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r2
+           FROM sc)
+         SELECT COUNT(*) AS n_docs,
+           CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           ROUND(1.0 - 6.0 * CAST(SUM((r1 - r2) * (r1 - r2)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+               * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 - 1.0)), 6) AS spearman
+         FROM r""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -668,4 +668,71 @@ object Curation {
         sum(col("removed")).as("chars_redacted"))
       .orderBy(col("lang"))
   }
+
+  /** Exact global rank of `valueCol` (ascending, doc_id tiebreak) via
+    * the bucketed two-pass scan — the [[curriculum]] decomposition
+    * packaged as a helper so rank-based statistics never plan a
+    * corpus-sized single-partition window. Returns (doc_id, <out>). */
+  private def exactRank(spark: SparkSession, df: DataFrame,
+      valueCol: String, out: String): DataFrame = {
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nB).map(i =>
+      (i.toDouble / nB).toString).mkString(", ")
+    val bnds = df.agg(expr(
+      s"approx_percentile(CAST($valueCol AS DOUBLE), array($pcts))")
+      .as("bnds"))
+    val b = df.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("bucket",
+        size(filter(col("bnds"), x => x < col(valueCol).cast("double"))))
+      .drop("bnds")
+    val wL = Window.partitionBy(col("bucket"))
+      .orderBy(col(valueCol), col("doc_id"))
+    val local = b.withColumn("lr", row_number().over(wL).cast("long"))
+    val wO = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wO), lit(0L)))
+      .select(col("bucket"), col("off"))
+    local.join(broadcast(offs), Seq("bucket"))
+      .select(col("doc_id"), (col("off") + col("lr")).as(out))
+  }
+
+  /** Spearman rank correlation between document LENGTH and the
+    * distinct-token-ratio QUALITY signal — the monotone-association
+    * audit a filter designer runs before trusting either as a proxy
+    * for the other (Pearson, the corr rows, sees only linear
+    * association; rank correlation survives any monotone transform).
+    * Ranks are DISTINCT ranks with doc_id tiebreak (no tie-averaging —
+    * the same convention in both engines), so Σd² is an exact integer
+    * and ρ = 1 − 6·Σd²/(n·(n²−1)) has exactly one float step.
+    *
+    * Scale shape: each rank is an [[exactRank]] bucketed two-pass scan
+    * (B-way parallel, never a corpus-sized global window — this is
+    * what replaces the textbook ROW_NUMBER() OVER (ORDER BY x) at
+    * 100 TB); the two rank relations join back on doc_id and collapse
+    * to ONE row. d² squares in DECIMAL (d can reach n, and n²
+    * overflows int64 at ~3e9 documents). */
+  def spearmanLengthQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+    val r1 = exactRank(spark, scored.select(col("doc_id"), col("n_tok")),
+      "n_tok", "r1")
+    val r2 = exactRank(spark, scored.select(col("doc_id"), col("score")),
+      "score", "r2")
+    r1.join(r2, "doc_id")
+      .select((col("r1") - col("r2")).cast("decimal(38,0)").as("d"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n_docs"), col("sum_d2").cast("long").as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n_docs").cast("double") *
+            (col("n_docs").cast("double") * col("n_docs").cast("double")
+              - lit(1.0))), 6).as("spearman"))
+  }
 }

@@ -528,8 +528,11 @@ object EventAnalytics {
     * relation only shrinks (users who converted so far). No window
     * functions, no cross join; the step count is the only sequential
     * depth, exactly as a 1000-executor run wants it. */
-  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  /** First-touch funnel stage times (vt, ct, pt per converting user) —
+    * the shared kernel of [[funnelSteps]] and [[funnelLatency]]. Each
+    * stage = one filtered agg joined forward within the 3-day window. */
+  private def funnelStages(ev: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val step = "INTERVAL 3 DAYS"
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
@@ -541,9 +544,87 @@ object EventAnalytics {
       .join(c, "user_id")
       .filter(col("ts") > col("ct") && col("ts") <= col("ct") + expr(step))
       .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    (v, c, p)
+  }
+
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelStages(Tables(spark, dir, "events"))
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Funnel conversion LATENCY — the "how long does the funnel take"
+    * census [[funnelSteps]]'s counts stop short of: for each hop
+    * (view→click, click→purchase, first-touch semantics identical to
+    * the counts row — the two can never disagree on who converted),
+    * the gap-seconds distribution as n, decimal-exact mean, and exact
+    * p50/p90 cut on the gap histogram with the quantile family's
+    * integer arithmetic.
+    *
+    * Scale shape: the stage relations are user-grain aggregates; the
+    * hop gaps collapse to a (hop, gap_seconds) histogram whose CDF
+    * window is gap-DOMAIN-bounded (≤ the 3-day window in seconds, by
+    * construction of the funnel). */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelStages(Tables(spark, dir, "events"))
+    val hop1 = c.join(v, "user_id")
+      .select(lit("1_view_click").as("hop"),
+        (unix_timestamp(col("ct")) - unix_timestamp(col("vt")))
+          .as("gap_s"))
+    val hop2 = p.join(c, "user_id")
+      .select(lit("2_click_purchase").as("hop"),
+        (unix_timestamp(col("pt")) - unix_timestamp(col("ct")))
+          .as("gap_s"))
+    val hist = hop1.union(hop2)
+      .groupBy(col("hop"), col("gap_s")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("hop")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("hop"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      .withColumn("wsum", sum(col("gap_s") * col("cnt")).over(wTot))
+      .groupBy(col("hop"))
+      .agg(max(col("tot")).as("n_conversions"),
+        round(max(col("wsum")).cast("double") /
+          max(col("tot")).cast("double"), 2).as("mean_gap_s"),
+        min(when(col("cum") >= expr("(tot + 1) div 2"), col("gap_s")))
+          .as("p50_gap_s"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("gap_s")))
+          .as("p90_gap_s"))
+      .orderBy(col("hop"))
+  }
+
+  /** Gini coefficient of user activity — the one-number concentration
+    * summary next to [[powerPareto]]'s curve: 0 = everyone equally
+    * active, →1 = all events from a handful of users. Computed on the
+    * events-per-user COUNT HISTOGRAM with the grouped-rank identity
+    * 2·Σ i·x_(i) = Σ_v v·(2·c_v·r0_v + c_v·(c_v+1)) — every term an
+    * exact integer (r0 = users ranked below the tie group), so the
+    * only float is the final G = 2S/(N·T) − (N+1)/N.
+    *
+    * Scale shape: identical envelope to [[powerPareto]] — two
+    * hash-aggs to the count-domain histogram, one cumulative window
+    * over it, a 1-row census. */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("r0", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("c")).as("n_users"),
+        sum(col("v") * col("c")).as("total_events"),
+        sum(col("v") * (lit(2L) * col("c") * col("r0") +
+          col("c") * (col("c") + 1L))).as("s2"))
+      .select(col("n_users"), col("total_events"),
+        round(col("s2").cast("double") /
+          (col("n_users").cast("double") *
+            col("total_events").cast("double")) -
+          (col("n_users") + 1L).cast("double") /
+            col("n_users").cast("double"), 6).as("gini"))
   }
 
   /** Cohort retention: users grouped by first-activity date, counted on

@@ -1738,4 +1738,69 @@ class Round10OpsSpec extends SparkSpec {
         s"$lang shares must sum to 1")
     }
   }
+
+  test("events_funnel_latency: converting populations match funnelSteps " +
+    "exactly; gaps bounded by the 3-day window; p50 <= p90") {
+    import graft.operators.EventAnalytics
+    val counts = EventAnalytics.funnelSteps(spark, sf0001).collect()(0)
+    val got = EventAnalytics.funnelLatency(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq ===
+      Seq("1_view_click", "2_click_purchase"))
+    assert(got(0)._2 === counts.getLong(1),
+      "hop-1 conversions must equal the funnel's view->click count")
+    assert(got(1)._2 === counts.getLong(2),
+      "hop-2 conversions must equal the funnel's full-path count")
+    got.foreach { case (_, n, mean, p50, p90) =>
+      assert(n > 0 && p50 <= p90 && p90 <= 3L * 86400)
+      assert(mean > 0 && mean <= 3.0 * 86400)
+    }
+  }
+
+  test("events_gini equals a driver-side sorted-scan Gini and agrees " +
+    "with the Pareto concentration direction") {
+    import graft.operators.EventAnalytics
+    val perUser = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      .collect().map(_.getLong(1)).sorted
+    val n = perUser.length.toLong
+    val t = perUser.sum
+    val s = perUser.zipWithIndex.map { case (x, i) =>
+      (i + 1L) * x }.sum
+    val gini = BigDecimal(2.0 * s / (n.toDouble * t.toDouble) -
+      (n + 1).toDouble / n).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = EventAnalytics.activityGini(spark, sf0001).collect()(0)
+    assert(got.getLong(0) === n && got.getLong(1) === t)
+    assert(math.abs(got.getDouble(2) - gini) < 2e-6,
+      s"gini ${got.getDouble(2)} vs driver $gini")
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) < 1.0)
+  }
+
+  test("docs_spearman equals a driver-side rank recomputation") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        (id, toks.length.toLong, toks.distinct.length.toLong)
+      }.filter(_._2 > 0)
+      .map { case (id, n, u) => (id, n, u.toDouble / n) }
+    val r1 = docs.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val r2 = docs.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val n = docs.length.toLong
+    val sumD2 = docs.map { x =>
+      val d = r1(x._1) - r2(x._1); d * d }.sum
+    val rho = BigDecimal(1.0 - 6.0 * sumD2.toDouble /
+      (n.toDouble * (n.toDouble * n.toDouble - 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.spearmanLengthQuality(spark, sf0001).collect()(0)
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === sumD2)
+    assert(got.getDouble(2) === rho)
+  }
 }
