@@ -301,7 +301,11 @@ object SparkEntry {
     "events_funnel_latency" ->
       ((s, d) => EventAnalytics.funnelLatency(s, d)),
     "events_gini" -> ((s, d) => EventAnalytics.activityGini(s, d)),
-    "docs_spearman" -> ((s, d) => Curation.spearmanLengthQuality(s, d))
+    "docs_spearman" -> ((s, d) => Curation.spearmanLengthQuality(s, d)),
+    "events_bot_detection" ->
+      ((s, d) => EventAnalytics.botDetection(s, d)),
+    "text_dedup_lm_effect" -> ((s, d) => TextAnalysis.dedupLmEffect(s, d)),
+    "orders_shipping_aging" -> ((s, d) => Relational.shippingAging(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -1955,6 +1959,91 @@ object SparkEntry {
                * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
                  - 1.0)), 6) AS spearman
          FROM r""",
+    "events_bot_detection" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_err,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pu),
+         f AS (SELECT CAST(n > days * 3 AS BIGINT) AS high_rate,
+             CAST(n_err * 3 >= n AS BIGINT) AS error_heavy,
+             CAST(n >= 80 AS BIGINT) AS high_volume, n
+           FROM pu)
+         SELECT high_rate, error_heavy, high_volume,
+           COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(t), 6) AS event_share
+         FROM f, tot GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "text_dedup_lm_effect" ->
+      """WITH sp AS (SELECT doc_id, lang, text,
+             md5(substr(text, 1, 64)) AS fp,
+             CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         train AS (SELECT * FROM sp WHERE split = 'train'),
+         keep AS (SELECT MIN(doc_id) AS doc_id FROM train GROUP BY fp),
+         ttok AS (SELECT doc_id, w AS word FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM train) WHERE w <> ''),
+         dtok AS (SELECT t.* FROM ttok t
+           JOIN keep k ON t.doc_id = k.doc_id),
+         lmF AS (SELECT word, COUNT(*) AS cwf FROM ttok GROUP BY 1),
+         lmD AS (SELECT word, COUNT(*) AS cwd FROM dtok GROUP BY 1),
+         nv AS (SELECT
+             (SELECT CAST(SUM(cwf) AS BIGINT) FROM lmF) AS nf,
+             (SELECT COUNT(*) FROM lmF) AS vf,
+             (SELECT CAST(SUM(cwd) AS BIGINT) FROM lmD) AS nd,
+             (SELECT COUNT(*) FROM lmD) AS vd),
+         testtok AS (SELECT lang, w AS word FROM
+           (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM sp WHERE split = 'test') WHERE w <> ''),
+         sc AS (SELECT t.lang,
+             CAST(-ln(CAST(COALESCE(f.cwf, 0) + 1 AS DOUBLE)
+               / (nv.nf + nv.vf)) AS DECIMAL(28,12)) AS nllf,
+             CAST(-ln(CAST(COALESCE(d.cwd, 0) + 1 AS DOUBLE)
+               / (nv.nd + nv.vd)) AS DECIMAL(28,12)) AS nlld
+           FROM testtok t
+           LEFT JOIN lmF f ON t.word = f.word
+           LEFT JOIN lmD d ON t.word = d.word, nv)
+         SELECT lang, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nllf) AS DOUBLE) / COUNT(*), 6)
+             AS mean_nll_full,
+           ROUND(CAST(SUM(nlld) AS DOUBLE) / COUNT(*), 6)
+             AS mean_nll_dedup,
+           ROUND(ROUND(CAST(SUM(nlld) AS DOUBLE) / COUNT(*), 6)
+             - ROUND(CAST(SUM(nllf) AS DOUBLE) / COUNT(*), 6), 6)
+             AS delta_nll
+         FROM sc GROUP BY lang ORDER BY lang""",
+    "orders_shipping_aging" ->
+      """WITH j AS (SELECT o_orderpriority AS priority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) AS age_d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         hist AS (SELECT priority, age_d, COUNT(*) AS cnt
+           FROM j GROUP BY 1, 2),
+         cd AS (SELECT *,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY age_d) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS tot,
+             SUM(age_d * cnt) OVER (PARTITION BY priority) AS wsum
+           FROM hist)
+         SELECT priority, CAST(MAX(tot) AS BIGINT) AS n_lines,
+           ROUND(CAST(MAX(wsum) AS DOUBLE) / MAX(tot), 2) AS mean_age_d,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN age_d END)
+             AS BIGINT) AS p50_age_d,
+           CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN age_d END)
+             AS BIGINT) AS p90_age_d
+         FROM cd GROUP BY priority ORDER BY priority""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -596,6 +596,43 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** Rule-based BOT detection census — the traffic-hygiene pass a
+    * training-data pipeline runs before any behavioral signal is
+    * trusted (bot sessions poison retention, funnel, and attribution
+    * rows alike): three deterministic rules on per-user aggregates —
+    * sustained rate (events > 3× active days), error-dominated
+    * (errors ≥ a third of events), and absolute volume (≥ 80 events) —
+    * reported as a census per rule-combination with the share of ALL
+    * events each combination contributes (the contamination mass, the
+    * number that decides whether filtering matters).
+    *
+    * Every rule is an integer cross-multiplication (no float
+    * thresholds); the census is ≤8 cells; one corpus pass to the
+    * user grain. */
+  def botDetection(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"),
+        countDistinct(to_date(col("ts"))).as("days"))
+    val tot = perUser.agg(sum(col("n")).as("t"))
+    perUser
+      .select(
+        (col("n") > col("days") * 3L).cast("long").as("high_rate"),
+        (col("n_err") * 3L >= col("n")).cast("long").as("error_heavy"),
+        (col("n") >= 80L).cast("long").as("high_volume"),
+        col("n"))
+      .groupBy(col("high_rate"), col("error_heavy"), col("high_volume"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .crossJoin(broadcast(tot)) // 1-row total scalar
+      .select(col("high_rate"), col("error_heavy"), col("high_volume"),
+        col("n_users"), col("n_events"),
+        round(col("n_events").cast("double") / col("t").cast("double"), 6)
+          .as("event_share"))
+      .orderBy(col("high_rate"), col("error_heavy"), col("high_volume"))
+  }
+
   /** Gini coefficient of user activity — the one-number concentration
     * summary next to [[powerPareto]]'s curve: 0 = everyone equally
     * active, →1 = all events from a handful of users. Computed on the

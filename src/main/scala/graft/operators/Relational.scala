@@ -995,6 +995,45 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Order-to-ship AGING percentiles per order priority — the
+    * fulfillment-SLA census next to q12's lateness counts: the
+    * distribution of days between order placement and line shipment,
+    * cut exactly at p50/p90 per priority with a decimal-exact mean.
+    *
+    * Scale shape: one co-partitioned fact-fact join on o_orderkey
+    * (both sides shuffle once on the key), then the (priority,
+    * age_days) histogram — day-DOMAIN-bounded, so the per-priority CDF
+    * windows scan a bounded relation at any corpus size; percentile
+    * ranks are the quantile family's integer ceil-division. */
+  def shippingAging(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hist = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("age_d"))
+      .groupBy(col("priority"), col("age_d"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("age_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("priority"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      .withColumn("wsum", sum(col("age_d") * col("cnt")).over(wTot))
+      .groupBy(col("priority"))
+      .agg(max(col("tot")).as("n_lines"),
+        round(max(col("wsum")).cast("double") /
+          max(col("tot")).cast("double"), 2).as("mean_age_d"),
+        min(when(col("cum") >= expr("(tot + 1) div 2"), col("age_d")))
+          .as("p50_age_d"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("age_d")))
+          .as("p90_age_d"))
+      .orderBy(col("priority"))
+  }
+
   /** Pareto / ABC classification of parts by revenue — the inventory
     * cut every supply analysis starts with: parts ranked by exact
     * discounted revenue, split at 70% / 90% of cumulative revenue into

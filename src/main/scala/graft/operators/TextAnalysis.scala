@@ -1408,6 +1408,64 @@ object TextAnalysis {
           col("total_tokens").cast("double"), 6).as("type_token_ratio"))
       .orderBy(col("lang"))
 
+  /** DEDUP'S EFFECT ON THE LM — the before/after measurement that
+    * closes the dedup story the way [[lmHeldout]] closes training: an
+    * add-1 unigram LM fit on the FULL train split vs one fit on the
+    * DEDUPED train split (prefix-fingerprint keep-first, the
+    * [[DedupOps.sourceDupMatrix]] convention), both scored on the SAME
+    * held-out test tokens, per language. A positive delta means the
+    * removed copies were skewing the token distribution toward
+    * duplicated content — the quantitative justification for running
+    * dedup before tokenizer/LM training.
+    *
+    * Plan: both vocabularies come from the same train-token relation
+    * (one pass, the dedup side a semi-join-filtered subset); the test
+    * side joins each LM by word and aggregates per language; both
+    * (N, V) scalars ride one broadcast row. */
+  def dedupLmEffect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        splitCol.as("split"),
+        md5(substring(col("text"), 1, 64)).as("fp"))
+    val train = docs.filter(col("split") === "train")
+    val keepers = train.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val trainTok = train
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val dedupTok = trainTok.join(keepers, Seq("doc_id"), "left_semi")
+    val lmF = trainTok.groupBy(col("word")).agg(count(lit(1)).as("cwf"))
+    val lmD = dedupTok.groupBy(col("word")).agg(count(lit(1)).as("cwd"))
+    val nv = lmF.agg(sum(col("cwf")).as("nf"), count(lit(1)).as("vf"))
+      .crossJoin(lmD.agg(sum(col("cwd")).as("nd"), count(lit(1)).as("vd")))
+    val testTok = docs.filter(col("split") === "test")
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    testTok
+      .join(lmF, Seq("word"), "left")
+      .join(lmD, Seq("word"), "left")
+      .crossJoin(broadcast(nv)) // 1-row (N, V) x 2 scalars
+      .select(col("lang"),
+        (-log((coalesce(col("cwf"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nf") + col("vf")).cast("double")))
+          .cast("decimal(28,12)").as("nllf"),
+        (-log((coalesce(col("cwd"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nd") + col("vd")).cast("double")))
+          .cast("decimal(28,12)").as("nlld"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nllf")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll_full"),
+        round(sum(col("nlld")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll_dedup"))
+      .select(col("lang"), col("n_tokens"), col("mean_nll_full"),
+        col("mean_nll_dedup"),
+        round(col("mean_nll_dedup") - col("mean_nll_full"), 6)
+          .as("delta_nll"))
+      .orderBy(col("lang"))
+  }
+
   /** Statistical language ID by character-trigram profiles, with its
     * confusion matrix — the trainable upgrade of [[langIdConfusion]]'s
     * fixed-stopword heuristic (Cavnar–Trenkle n-gram profiling, the

@@ -1803,4 +1803,72 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.getLong(1) === sumD2)
     assert(got.getDouble(2) === rho)
   }
+
+  test("events_bot_detection: cells partition users, shares sum to 1, " +
+    "rules recompute driver-side") {
+    import graft.operators.EventAnalytics
+    val pu = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("ne"),
+        countDistinct(to_date(col("ts"))).as("d"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = pu.groupBy { case (n, ne, d) =>
+      (if (n > d * 3) 1L else 0L, if (ne * 3 >= n) 1L else 0L,
+        if (n >= 80) 1L else 0L)
+    }.map { case (k, xs) => (k._1, k._2, k._3, xs.length.toLong,
+      xs.map(_._1).sum) }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    val got = EventAnalytics.botDetection(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq === expected)
+    assert(got.map(_._4).sum === pu.length.toLong)
+    assert(math.abs(got.map(_._6).sum - 1.0) < 1e-4)
+    assert(got.length > 1, "rules must be discriminative on the corpus")
+  }
+
+  test("text_dedup_lm_effect: full-LM column equals text_lm_heldout's " +
+    "NLL exactly; dedup shifts it only where duplicates exist") {
+    import graft.operators.TextAnalysis
+    val heldout = TextAnalysis.lmHeldout(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val got = TextAnalysis.dedupLmEffect(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    got.foreach { case (lang, nTok, full, dedup, delta) =>
+      val (hn, hnll) = heldout(lang)
+      assert(nTok === hn, "same eval tokens as the held-out row")
+      assert(full === hnll,
+        "the full-train LM must equal the held-out row's LM exactly")
+      assert(delta === BigDecimal(dedup - full)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("orders_shipping_aging equals a driver-side aging scan") {
+    import graft.operators.Relational
+    val rows = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (p, xs) =>
+      val gs = xs.map(_._2).sorted
+      val n = gs.length.toLong
+      def thr(cond: Long => Boolean): Long = {
+        var cum = 0L
+        gs.groupBy(identity(_)).toSeq.sortBy(_._1)
+          .find { case (_, g) => cum += g.length; cond(cum) }.get._1
+      }
+      (p, n, BigDecimal(gs.sum.toDouble / n)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        thr(c => c >= (n + 1) / 2), thr(c => c * 10 >= n * 9))
+    }.toSeq.sortBy(_._1)
+    val got = Relational.shippingAging(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
 }
