@@ -305,7 +305,10 @@ object SparkEntry {
     "events_bot_detection" ->
       ((s, d) => EventAnalytics.botDetection(s, d)),
     "text_dedup_lm_effect" -> ((s, d) => TextAnalysis.dedupLmEffect(s, d)),
-    "orders_shipping_aging" -> ((s, d) => Relational.shippingAging(s, d))
+    "orders_shipping_aging" -> ((s, d) => Relational.shippingAging(s, d)),
+    "text_bigram_llr" -> ((s, d) => TextAnalysis.bigramLlr(s, d)),
+    "dedup_asymmetry" -> ((s, d) => DedupOps.asymmetryCensus(s, d)),
+    "events_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2044,6 +2047,86 @@ object SparkEntry {
            CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN age_d END)
              AS BIGINT) AS p90_age_d
          FROM cd GROUP BY priority ORDER BY priority""",
+    "text_bigram_llr" ->
+      """WITH words AS (SELECT string_split(text, ' ') AS t
+           FROM documents),
+         bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM words, unnest(range(1, greatest(len(t), 1))) u(i)),
+         bc AS (SELECT w1, w2, COUNT(*) AS a FROM bi GROUP BY 1, 2),
+         fr AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS r1
+           FROM bi GROUP BY 1),
+         sc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM bi GROUP BY 1),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi),
+         j AS (SELECT bc.w1, bc.w2, bc.a, fr.r1, sc.c1, nb.nn,
+             fr.r1 - bc.a AS k12, sc.c1 - bc.a AS k21,
+             nb.nn - fr.r1 - sc.c1 + bc.a AS k22
+           FROM bc JOIN fr ON bc.w1 = fr.w1
+                   JOIN sc ON bc.w2 = sc.w2, nb
+           WHERE bc.a >= 5)
+         SELECT w1, w2, CAST(a AS BIGINT) AS n_pair,
+           ROUND(2.0 * (
+             (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                * ln((CAST(a AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))
+                ELSE 0.0 END)
+           + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+                * ln((CAST(k12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE)))
+                ELSE 0.0 END)
+           + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+                * ln((CAST(k21 AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))
+                ELSE 0.0 END)
+           + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+                * ln((CAST(k22 AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE)))
+                ELSE 0.0 END)), 4) AS llr
+         FROM j ORDER BY llr DESC, w1, w2 LIMIT 25""",
+    "dedup_asymmetry" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ')
+                             for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         v AS (SELECT x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id),
+         b AS (SELECT CAST(i * 2 >= n1 + n2 - i AS BIGINT) AS jac_high,
+             CAST(i * 5 >= LEAST(n1, n2) * 4 AS BIGINT) AS cont_high,
+             CAST(CAST(LEAST(n1, n2) AS DOUBLE)
+               / GREATEST(n1, n2) AS DECIMAL(18,9)) AS size_ratio
+           FROM v)
+         SELECT jac_high, cont_high, COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(size_ratio) AS DOUBLE) / COUNT(*), 4)
+             AS avg_size_ratio
+         FROM b GROUP BY 1, 2 ORDER BY jac_high, cont_high""",
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         daily AS (SELECT date_trunc('week', d) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau FROM
+           (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1)
+           GROUP BY 1),
+         weekly AS (SELECT week, COUNT(*) AS wau FROM
+           (SELECT DISTINCT date_trunc('week', d) AS week, user_id
+            FROM ud) GROUP BY 1)
+         SELECT strftime(daily.week, '%Y-%m-%d') AS week,
+           n_days, wau,
+           ROUND(CAST(sum_dau AS DOUBLE) / n_days, 2) AS avg_dau,
+           ROUND(CAST(sum_dau AS DOUBLE) / (n_days * wau), 6)
+             AS stickiness
+         FROM daily JOIN weekly ON daily.week = weekly.week
+         ORDER BY week""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

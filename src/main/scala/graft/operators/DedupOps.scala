@@ -67,11 +67,15 @@ object DedupOps {
     * posting group — stopword-like shingles are the skew risk at
     * 100 TB, and the mitigation there is dropping top-frequency
     * shingles, not a different join). */
-  def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        threshold: Double = 0.5): DataFrame = {
+  /** Candidate pair statistics (d1 < d2, shared-shingle intersection
+    * size, both distinct-shingle counts) — the single-posting-shuffle
+    * kernel [[ngramJaccardPairs]], [[containmentPairs]], and
+    * [[asymmetryCensus]] all read, so the three rows can never disagree
+    * on what a candidate pair IS. */
+  private def shinglePairStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRel(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.groupBy(col("shingle"))
+    sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
@@ -80,15 +84,20 @@ object DedupOps {
                y -> struct(x AS d1, y AS d2))))""")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2"), "d2")
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame =
+    shinglePairStats(spark, dir)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
-  }
 
   /** N-gram CONTAINMENT near-dup pairs — the asymmetric companion to
     * [[ngramJaccardPairs]]: C = |A∩B| / min(|A|, |B|), i.e. how much of
@@ -106,20 +115,7 @@ object DedupOps {
     * over unchanged. */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8): DataFrame = {
-    val sh = shingleRel(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)),
-               y -> struct(x AS d1, y AS d2))))""")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+    shinglePairStats(spark, dir)
       .withColumn("containment",
         col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)
@@ -890,6 +886,32 @@ object DedupOps {
     * Scale shape: one fingerprint hash-agg for copy counts, one
     * co-partitioned join back, one ≤8-cell census agg; scores quantize
     * to DECIMAL(18,9) before the mean. */
+  /** Resemblance-vs-containment ASYMMETRY census — the 2×2 banding of
+    * every candidate pair by (Jaccard ≥ 0.5) × (containment ≥ 0.8) that
+    * makes Broder's distinction actionable: the high-containment /
+    * low-Jaccard cell IS the nested-document population (quotes,
+    * boilerplate, a short doc embedded in a long one) that a
+    * Jaccard-only dedup silently keeps, and its mean small/large size
+    * ratio says how asymmetric those pairs are. Both band predicates
+    * are integer cross-multiplications (2·I ≥ n1+n2−I; 5·I ≥
+    * 4·min(n1,n2)) — no float boundary can disagree between engines.
+    * Same one-posting-shuffle kernel as the pair rows themselves. */
+  def asymmetryCensus(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStats(spark, dir)
+      .select(
+        (col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+          .cast("long").as("jac_high"),
+        (col("inter") * 5 >= least(col("n1"), col("n2")) * 4)
+          .cast("long").as("cont_high"),
+        (least(col("n1"), col("n2")).cast("double") /
+          greatest(col("n1"), col("n2")).cast("double"))
+          .cast("decimal(18,9)").as("size_ratio"))
+      .groupBy(col("jac_high"), col("cont_high"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("size_ratio")).cast("double") / count(lit(1)), 4)
+          .as("avg_size_ratio"))
+      .orderBy(col("jac_high"), col("cont_high"))
+
   def dupQualityCensus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables(spark, dir, "documents")

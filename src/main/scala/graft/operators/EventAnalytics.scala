@@ -596,6 +596,37 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** DAU/WAU stickiness — the product-engagement ratio every growth
+    * dashboard leads with: per ISO week, the distinct weekly actives,
+    * the mean daily actives across the week's observed days, and
+    * stickiness = avg-DAU / WAU (1.0 = everyone active every day). The
+    * final ratio is ONE double division of exact integers
+    * (Σdau / (days·wau)), written identically in the oracle.
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) once (the
+    * only corpus-sized pass — both the daily and weekly rollups hang
+    * off it), then calendar-bounded aggs. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val daily = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      .withColumn("week", date_trunc("week", col("d")))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val weekly = ud
+      .select(date_trunc("week", col("d")).as("week"), col("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    daily.join(weekly, "week")
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_days"), col("wau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 2)
+          .as("avg_dau"),
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("wau")).cast("double"), 6).as("stickiness"))
+      .orderBy(col("week"))
+  }
+
   /** Rule-based BOT detection census — the traffic-hygiene pass a
     * training-data pipeline runs before any behavioral signal is
     * trusted (bot sessions poison retention, funnel, and attribution

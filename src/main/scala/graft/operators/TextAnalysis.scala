@@ -482,6 +482,54 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Dunning log-likelihood-ratio collocations — the robust upgrade of
+    * [[bigramPmi]] (PMI over-scores rare pairs; LLR's 2×2 contingency
+    * test is the standard collocation-mining statistic precisely
+    * because it stays calibrated at low counts): for each bigram, the
+    * G² statistic over (pair, w1-without-w2, w2-without-w1, neither)
+    * with marginals taken from the bigram relation itself. Top 25 by
+    * G², min pair count 5, ties broken lexically.
+    *
+    * Every cell count is an exact integer; each k·ln(k·N/(R·C)) term is
+    * one deterministic double expression per ROW (never a float
+    * accumulation), written identically in the oracle. One bigram
+    * explode, three vocabulary-sized aggs, two joins on the word key. */
+  def bigramLlr(spark: SparkSession, dir: String,
+                minCount: Long = 5, topK: Int = 25): DataFrame = {
+    val withT = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bi = withT.select(explode(expr(
+      """filter(transform(sequence(1, size(t)),
+           i -> struct(element_at(t, i) AS w1, try_element_at(t, i + 1) AS w2)),
+         p -> p.w2 IS NOT NULL)""")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("a"))
+    val firsts = bi.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
+    val seconds = bi.groupBy(col("w2")).agg(count(lit(1)).as("c1"))
+    val nBi = withT.agg(sum(greatest(size(col("t")) - 1, lit(0)))
+      .cast("long").as("nn"))
+    def term(k: Column, row: Column, colm: Column): Column =
+      when(k > 0, k.cast("double") *
+        log((k.cast("double") * col("nn").cast("double")) /
+          (row.cast("double") * colm.cast("double"))))
+        .otherwise(lit(0.0))
+    bc.join(firsts, "w1").join(seconds, "w2")
+      .crossJoin(broadcast(nBi)) // 1-row bigram total
+      .filter(col("a") >= minCount)
+      .withColumn("k12", col("r1") - col("a"))
+      .withColumn("k21", col("c1") - col("a"))
+      .withColumn("k22", col("nn") - col("r1") - col("c1") + col("a"))
+      .select(col("w1"), col("w2"), col("a").as("n_pair"),
+        round(lit(2.0) * (
+          term(col("a"), col("r1"), col("c1")) +
+          term(col("k12"), col("r1"), col("nn") - col("c1")) +
+          term(col("k21"), col("nn") - col("r1"), col("c1")) +
+          term(col("k22"), col("nn") - col("r1"), col("nn") - col("c1"))),
+          4).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Unicode normalization pipeline ([[graft.expressions.NormalizeText]])
     * over deterministically-decorated text: the ASCII corpus is prefixed
     * with decomposed accents (e + U+0301, i + U+0308) so NFC composition,

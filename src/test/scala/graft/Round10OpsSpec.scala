@@ -1871,4 +1871,90 @@ class Round10OpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === expected)
   }
+
+  test("text_bigram_llr: G2 recomputes driver-side from exact counts " +
+    "and dominates the same pairs' PMI ranking head") {
+    import graft.operators.TextAnalysis
+    val bigrams = Tables(spark, sf0001, "documents")
+      .select(col("text")).collect().flatMap { r =>
+        val t = r.getString(0).split(" ", -1)
+        t.zip(t.drop(1))
+      }
+    val nn = bigrams.length.toLong
+    val bc = bigrams.groupBy(identity(_)).view.mapValues(_.length.toLong)
+    val fr = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val sc = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def llr(w1: String, w2: String, a: Long): Double = {
+      val (r1, c1) = (fr(w1), sc(w2))
+      def term(k: Long, row: Long, colm: Long): Double =
+        if (k > 0) k.toDouble *
+          math.log((k.toDouble * nn) / (row.toDouble * colm)) else 0.0
+      BigDecimal(2.0 * (term(a, r1, c1) + term(r1 - a, r1, nn - c1) +
+        term(c1 - a, nn - r1, c1) +
+        term(nn - r1 - c1 + a, nn - r1, nn - c1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = bc.toSeq.filter(_._2 >= 5)
+      .map { case ((w1, w2), a) => (w1, w2, a, llr(w1, w2, a)) }
+      .sortBy { case (w1, w2, _, l) => (-l, w1, w2) }.take(25)
+    val got = TextAnalysis.bigramLlr(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("dedup_asymmetry: pair population equals the shared kernel's and " +
+    "band predicates match the ratio definitions") {
+    import graft.operators.DedupOps
+    val got = DedupOps.asymmetryCensus(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // total pairs = candidate pairs sharing >= 1 shingle (recompute)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet))
+    val pairs = for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      inter = (docs(i)._2 & docs(j)._2).size if inter > 0
+    } yield {
+      val (n1, n2) = (docs(i)._2.size.toLong, docs(j)._2.size.toLong)
+      val in = inter.toLong
+      (if (in * 2 >= n1 + n2 - in) 1L else 0L,
+        if (in * 5 >= math.min(n1, n2) * 4) 1L else 0L)
+    }
+    val expCells = pairs.groupBy(identity(_)).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((j, c), n) => (j, c, n) }.sortBy(x => (x._1, x._2))
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq === expCells)
+    got.foreach { case (_, _, _, ratio) =>
+      assert(ratio > 0.0 && ratio <= 1.0) }
+  }
+
+  test("events_stickiness equals a driver-side weekly rollup and stays " +
+    "in (0, 1]") {
+    import graft.operators.EventAnalytics
+    val ud = Tables(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    def wk(d: java.time.LocalDate): java.time.LocalDate =
+      d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+    val expected = ud.groupBy(x => wk(x._2)).map { case (w, xs) =>
+      val byDay = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val sumDau = byDay.values.sum
+      val nDays = byDay.size.toLong
+      val wau = xs.map(_._1).distinct.length.toLong
+      (w.toString, nDays, wau,
+        BigDecimal(sumDau.toDouble / nDays)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(sumDau.toDouble / (nDays * wau))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.stickiness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, _, _, _, s) => assert(s > 0.0 && s <= 1.0) }
+  }
 }
