@@ -308,7 +308,12 @@ object SparkEntry {
     "orders_shipping_aging" -> ((s, d) => Relational.shippingAging(s, d)),
     "text_bigram_llr" -> ((s, d) => TextAnalysis.bigramLlr(s, d)),
     "dedup_asymmetry" -> ((s, d) => DedupOps.asymmetryCensus(s, d)),
-    "events_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d))
+    "events_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d)),
+    "sim_contrastive_pairs" ->
+      ((s, d) => Similarity.contrastivePairs(s, d)),
+    "sim_mips_augment" -> ((s, d) => Similarity.mipsAugment(s, d)),
+    "text_stopword_discovery" ->
+      ((s, d) => TextAnalysis.stopwordDiscovery(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2127,6 +2132,85 @@ object SparkEntry {
              AS stickiness
          FROM daily JOIN weekly ON daily.week = weekly.week
          ORDER BY week""",
+    "sim_contrastive_pairs" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         pos AS (SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_pos,
+             ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 4) AS avg_pos
+           FROM (SELECT label, sim, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 1 GROUP BY label),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         neg AS (SELECT a.label,
+             CAST(COUNT(*) AS BIGINT) AS n_neg,
+             ROUND(CAST(SUM(CAST(CAST(
+               list_cosine_similarity(a.embedding, b.embedding)
+               AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_neg
+           FROM embeddings a CROSS JOIN nn
+           JOIN embeddings b ON b.vec_id = (a.vec_id * 7 + 13) % nn.n
+           WHERE a.label <> b.label
+           GROUP BY a.label)
+         SELECT p.label, p.n_pos, p.avg_pos, g.n_neg, g.avg_neg,
+           ROUND(p.avg_pos - g.avg_neg, 4) AS gap
+         FROM pos p JOIN neg g ON p.label = g.label
+         ORDER BY p.label""",
+    "sim_mips_augment" ->
+      """WITH xq AS (SELECT vec_id, j,
+             CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+                   unnest(embedding) AS x
+                 FROM embeddings)),
+         q AS (SELECT vec_id AS qid FROM embeddings
+           ORDER BY vec_id LIMIT 3),
+         qc AS (SELECT q.qid, x.j, x.xq AS qx
+           FROM xq x JOIN q ON x.vec_id = q.qid),
+         dots AS (SELECT c.qid, x.vec_id, SUM(c.qx * x.xq) AS dot
+           FROM xq x JOIN qc c ON x.j = c.j
+           WHERE x.vec_id <> c.qid GROUP BY 1, 2),
+         norms AS (SELECT vec_id, SUM(xq * xq) AS nsq
+           FROM xq GROUP BY 1),
+         m AS (SELECT MAX(nsq) AS m2 FROM norms),
+         ra AS (SELECT qid, vec_id, dot, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rk
+           FROM dots),
+         rb AS (SELECT d.qid, d.vec_id, ROW_NUMBER() OVER
+             (PARTITION BY d.qid ORDER BY
+               CAST(d.dot AS DOUBLE) / (sqrt(CAST(m.m2 AS DOUBLE))
+                 * sqrt(CAST(n2.nsq AS DOUBLE))) DESC, d.vec_id) AS rk
+           FROM dots d
+           JOIN norms n2 ON d.qid = n2.vec_id, m),
+         agree AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_agree
+           FROM ra a JOIN rb b
+             ON a.qid = b.qid AND a.vec_id = b.vec_id AND b.rk <= 10
+           WHERE a.rk <= 10 GROUP BY 1),
+         t1 AS (SELECT qid, vec_id AS top1_vec,
+             ROUND(CAST(dot AS DOUBLE) / 1e12, 6) AS top1_ip
+           FROM ra WHERE rk = 1)
+         SELECT g.qid, g.n_agree, t1.top1_vec, t1.top1_ip
+         FROM agree g JOIN t1 ON g.qid = t1.qid ORDER BY g.qid""",
+    "text_stopword_discovery" ->
+      """WITH tf AS (SELECT doc_id, token, COUNT(*) AS c FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         st AS (SELECT token, CAST(SUM(c) AS BIGINT) AS total,
+             COUNT(*) AS df, CAST(SUM(c * c) AS BIGINT) AS sq
+           FROM tf GROUP BY 1),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT token, df,
+           ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS df_share,
+           ROUND(CAST(total AS DOUBLE) / n_docs, 6) AS mean_c,
+           ROUND((CAST(sq AS DOUBLE) / n_docs
+               - (CAST(total AS DOUBLE) / n_docs)
+                 * (CAST(total AS DOUBLE) / n_docs))
+             / (CAST(total AS DOUBLE) / n_docs), 4) AS vmr
+         FROM st, nd WHERE df * 2 >= n_docs
+         ORDER BY df DESC, token""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -853,6 +853,102 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Contrastive training-pair MINING census — the data-side step of
+    * contrastive-embedding training: positives = each anchor's top-1
+    * same-label cosine neighbor ([[knnEdges]], k=1 — the same kernel
+    * every graph row reads), negatives = a deterministic hash pairing
+    * ((7·id+13) mod N) kept only when it crosses labels. The per-label
+    * census reports both pair counts and the mean positive/negative
+    * similarity GAP — the separability signal that predicts whether a
+    * contrastive loss has anything to learn from these pairs.
+    *
+    * Scale: positives ride the blocked k-NN bound; the negative side is
+    * ONE equi-join on the computed partner id (no pair space at all);
+    * similarities quantize to DECIMAL(18,9) before the means. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pos = knnEdges(spark, dir, 1)
+      .select(col("label"),
+        col("sim").cast("double").cast("decimal(18,9)").as("psim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pos"),
+        round(sum(col("psim")).cast("double") / count(lit(1)), 4)
+          .as("avg_pos"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val neg = e.select(col("vec_id").as("v1"), col("label").as("l1"),
+        col("embedding").as("emb1"))
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("v2", expr("(v1 * 7 + 13) % n"))
+      .join(e.select(col("vec_id").as("v2"), col("label").as("l2"),
+        col("embedding").as("emb2")), "v2")
+      .filter(col("l1") =!= col("l2"))
+      .select(col("l1").as("label"),
+        ExprColumns.cosineF32(spark, "emb1", "emb2")
+          .cast("double").cast("decimal(18,9)").as("nsim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_neg"),
+        round(sum(col("nsim")).cast("double") / count(lit(1)), 4)
+          .as("avg_neg"))
+    pos.join(neg, "label")
+      .select(col("label"), col("n_pos"), col("avg_pos"),
+        col("n_neg"), col("avg_neg"),
+        round(col("avg_pos") - col("avg_neg"), 4).as("gap"))
+      .orderBy(col("label"))
+  }
+
+  /** MIPS-to-cosine reduction, VERIFIED — the augmented-vector trick
+    * (append √(M²−‖x‖²) to every document vector, 0 to the query; the
+    * augmented corpus has constant norm M, so cosine order equals
+    * inner-product order) that lets a cosine-only ANN index serve
+    * maximum-inner-product queries. The row runs BOTH rankings — exact
+    * integer-dot MIPS and the augmented-cosine ordering — for the 3
+    * lowest-id queries and reports their top-10 agreement (10 = the
+    * reduction holds on this corpus; a tie collapsing under the double
+    * division is the only way to drop below).
+    *
+    * Exactness: dots are micro-unit LONG arithmetic ([[microCoords]] —
+    * no float accumulation); the cosine side divides each dot by its
+    * query's constant M·‖q‖ once in double. Plan: one dimension join
+    * against the 3-query broadcast, two rank≤10 windows over the same
+    * dot relation, a semi-join agreement count. */
+  def mipsAugment(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val xq = microCoords(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("qid"))
+    val qc = xq.join(broadcast(q), col("vec_id") === col("qid"))
+      .select(col("qid"), col("j"), col("xq").as("qx"))
+    val dots = xq.join(broadcast(qc), "j")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qx") * col("xq")).as("dot"))
+    val norms = xq.groupBy(col("vec_id")).agg(sum(col("xq") * col("xq"))
+      .as("nsq"))
+    val m2 = norms.agg(max(col("nsq")).as("m2"))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val ra = dots.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= k)
+    val rb = dots
+      .join(broadcast(norms.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("nsq", "qsq")), "qid")
+      .crossJoin(broadcast(m2)) // 1-row max-norm scalar
+      .withColumn("cosb", col("dot").cast("double") /
+        (sqrt(col("m2").cast("double")) * sqrt(col("qsq").cast("double"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosb").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"))
+    val agree = ra.join(rb, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_agree"))
+    val top1 = ra.filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("top1_vec"),
+        round(col("dot").cast("double") / 1e12, 6).as("top1_ip"))
+    agree.join(top1, "qid")
+      .select(col("qid"), col("n_agree"), col("top1_vec"), col("top1_ip"))
+      .orderBy(col("qid"))
+  }
+
   /** Micro-unit-quantized coordinates: (vec_id, j, xq) with
     * xq = round(x·10⁶) as BIGINT — the shared exact-integer domain of
     * the PCA pair below. */

@@ -482,6 +482,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Data-driven STOPWORD discovery — replaces the fixed 10-word list
+    * ([[graft.functions.TextFunctions.stopwords]]) with the corpus's
+    * own evidence: a term is stopword-like when it appears in at least
+    * half of all documents (df·2 ≥ N, integer predicate) AND is
+    * dispersed rather than bursty. Emits the candidate list with
+    * document-frequency share, mean per-doc count, and the
+    * [[burstiness]] VMR so the consumer can threshold on dispersion.
+    *
+    * Same (doc, token) hash-agg + vocabulary re-agg envelope as
+    * burstiness; the census is bounded by the (tiny) set of terms that
+    * clear the df gate. */
+  def stopwordDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("token"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("sq"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size
+      .filter(col("df") * 2 >= col("n_docs"))
+      .select(col("token"), col("df"),
+        round(col("df").cast("double") / col("n_docs"), 4).as("df_share"),
+        round(col("total").cast("double") / col("n_docs"), 6).as("mean_c"),
+        round((col("sq").cast("double") / col("n_docs") -
+          (col("total").cast("double") / col("n_docs")) *
+          (col("total").cast("double") / col("n_docs"))) /
+          (col("total").cast("double") / col("n_docs")), 4).as("vmr"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
   /** Dunning log-likelihood-ratio collocations — the robust upgrade of
     * [[bigramPmi]] (PMI over-scores rare pairs; LLR's 2×2 contingency
     * test is the standard collocation-mining statistic precisely

@@ -1957,4 +1957,59 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === expected)
     got.foreach { case (_, _, _, _, s) => assert(s > 0.0 && s <= 1.0) }
   }
+
+  test("sim_contrastive_pairs: positives beat negatives in every label " +
+    "block (positive gap) and counts are bounded by block sizes") {
+    import graft.operators.Similarity
+    val labelSizes = Tables(spark, sf0001, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Similarity.contrastivePairs(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (l, nPos, avgPos, nNeg, avgNeg, gap) =>
+      assert(nPos === labelSizes(l),
+        "every vector in a block >= 2 has exactly one top-1 positive")
+      assert(nNeg <= labelSizes(l))
+      assert(gap === BigDecimal(avgPos - avgNeg)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(gap > 0,
+        s"label $l: same-label top-1 must out-similar the hash negative")
+    }
+  }
+
+  test("sim_mips_augment: the augmented-cosine ranking reproduces the " +
+    "exact inner-product top-10 (the reduction holds)") {
+    import graft.operators.Similarity
+    val got = Similarity.mipsAugment(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length === 3)
+    got.foreach { case (_, nAgree, _, ip) =>
+      assert(nAgree === 10L, "top-10 sets must agree under the reduction")
+      assert(ip > 0.0)
+    }
+  }
+
+  test("text_stopword_discovery: every fixed-list stopword that clears " +
+    "the df gate appears; rows recompute from burstiness moments") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.stopwordDiscovery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    got.foreach { case (_, df, share, _, vmr) =>
+      assert(df * 2 >= nDocs)
+      assert(share === BigDecimal(df.toDouble / nDocs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(vmr > 0)
+    }
+    // cross-signal sanity: corpus glue from the fixed list must surface
+    val discovered = got.map(_._1).toSet
+    assert(discovered.exists(t =>
+      graft.functions.TextFunctions.stopwords.contains(t)),
+      s"no fixed-list stopword discovered; got ${discovered.take(5)}")
+  }
 }
