@@ -313,7 +313,10 @@ object SparkEntry {
       ((s, d) => Similarity.contrastivePairs(s, d)),
     "sim_mips_augment" -> ((s, d) => Similarity.mipsAugment(s, d)),
     "text_stopword_discovery" ->
-      ((s, d) => TextAnalysis.stopwordDiscovery(s, d))
+      ((s, d) => TextAnalysis.stopwordDiscovery(s, d)),
+    "events_reach_curve" -> ((s, d) => EventAnalytics.reachCurve(s, d)),
+    "graph_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "orders_repeat_latency" -> ((s, d) => Relational.repeatLatency(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2211,6 +2214,77 @@ object SparkEntry {
              / (CAST(total AS DOUBLE) / n_docs), 4) AS vmr
          FROM st, nd WHERE df * 2 >= n_docs
          ORDER BY df DESC, token""",
+    "events_reach_curve" ->
+      """WITH fd AS (SELECT user_id, event_type, MIN(CAST(ts AS DATE))
+             AS d
+           FROM events GROUP BY 1, 2),
+         daily AS (SELECT event_type, d, COUNT(*) AS n_new
+           FROM fd GROUP BY 1, 2),
+         tot AS (SELECT event_type, COUNT(*) AS t FROM fd GROUP BY 1)
+         SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY daily.event_type
+             ORDER BY d) AS BIGINT) AS cum_users,
+           ROUND(CAST(SUM(n_new) OVER (PARTITION BY daily.event_type
+             ORDER BY d) AS DOUBLE) / tot.t, 6) AS reach_share
+         FROM daily JOIN tot ON daily.event_type = tot.event_type
+         ORDER BY daily.event_type, day""",
+    "graph_assortativity" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         und AS (SELECT DISTINCT label, v1 AS u, v2 AS v FROM knn
+           UNION SELECT label, v2, v1 FROM knn),
+         deg AS (SELECT label, u, COUNT(*) AS deg FROM und GROUP BY 1, 2),
+         s AS (SELECT e.label, COUNT(*) AS n,
+             CAST(SUM(a.deg) AS BIGINT) AS sx,
+             CAST(SUM(b.deg) AS BIGINT) AS sy,
+             CAST(SUM(a.deg * b.deg) AS BIGINT) AS sxy,
+             CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx,
+             CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
+           FROM und e
+           JOIN deg a ON e.label = a.label AND e.u = a.u
+           JOIN deg b ON e.label = b.label AND e.v = b.u
+           GROUP BY 1)
+         SELECT label, n AS n_edges,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                  - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+         FROM s ORDER BY label""",
+    "orders_repeat_latency" ->
+      """WITH ranked AS (SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rk
+           FROM orders),
+         pc AS (SELECT o_custkey, COUNT(*) AS n2,
+             date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+               CAST(MAX(o_orderdate) AS DATE)) AS gap_d
+           FROM ranked WHERE rk <= 2 GROUP BY 1),
+         tt AS (SELECT COUNT(*) AS n_customers,
+             CAST(SUM(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat
+           FROM pc),
+         hist AS (SELECT gap_d, COUNT(*) AS cnt FROM pc
+           WHERE n2 = 2 GROUP BY 1),
+         cd AS (SELECT gap_d, cnt,
+             SUM(cnt) OVER (ORDER BY gap_d) AS cum FROM hist)
+         SELECT MAX(tt.n_customers) AS n_customers,
+           MAX(tt.n_repeat) AS n_repeat,
+           ROUND(CAST(MAX(tt.n_repeat) AS DOUBLE)
+             / MAX(tt.n_customers), 6) AS repeat_rate,
+           ROUND(CAST(SUM(gap_d * cnt) AS DOUBLE) / MAX(tt.n_repeat), 2)
+             AS mean_days,
+           CAST(MIN(CASE WHEN cum >= (tt.n_repeat + 1) // 2
+             THEN gap_d END) AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum * 10 >= tt.n_repeat * 9
+             THEN gap_d END) AS BIGINT) AS p90_days
+         FROM cd, tt""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -596,6 +596,40 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** Feature-ADOPTION curves — per event type, the cumulative count of
+    * users who have used it at least once, by day: running
+    * distinct-count made scale-safe by the FIRST-APPEARANCE
+    * decomposition (a user contributes to exactly one (type, day) —
+    * their first use — so cumulative adoption is a plain running SUM
+    * over the calendar-bounded histogram, never a running COUNT
+    * DISTINCT over the corpus). Emits per (type, day): new adopters,
+    * cumulative adopters, and the share of the type's final adopter
+    * population.
+    *
+    * One (user, type)-grain agg (the corpus pass), a (type,
+    * day)-domain histogram, per-type cumulative windows, a
+    * |types|-row totals broadcast. */
+  def reachCurve(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val daily = firstDay.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_new"))
+    val tot = firstDay.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .join(broadcast(tot), "event_type") // |types|-row totals
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_users"),
+        round(col("cum_users").cast("double") / col("t").cast("double"), 6)
+          .as("reach_share"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** DAU/WAU stickiness — the product-engagement ratio every growth
     * dashboard leads with: per ISO week, the distinct weekly actives,
     * the mean daily actives across the week's observed days, and

@@ -209,6 +209,48 @@ object Graph {
           .otherwise(lit(0.0)).as("transitivity"))
   }
 
+  /** Degree ASSORTATIVITY of the k-NN similarity graph — do
+    * high-degree vertices link to other hubs (r > 0, resilient
+    * core-periphery) or to low-degree spokes (r < 0, hub-and-spoke,
+    * the shape that makes graph-ANN search brittle)? Pearson
+    * correlation of endpoint degrees over the DIRECTED edge list,
+    * computed entirely from exact integer sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy² — degrees are k-bounded, products tiny) with ONE double
+    * expression at the end, per label block.
+    *
+    * Same degree-bounded envelope as [[linkPredict]]: two joins of the
+    * edge relation against the vertex-grain degree agg, then a
+    * |labels|-row census. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2"))
+    val und = edges.select(col("label"), col("v1").as("u"), col("v2").as("v"))
+      .union(edges.select(col("label"), col("v2").as("u"), col("v1").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("label"), col("u"))
+      .agg(count(lit(1)).as("deg"))
+    val sums = und
+      .join(deg.select(col("label"), col("u"), col("deg").as("dx")),
+        Seq("label", "u"))
+      .join(deg.select(col("label"), col("u").as("v"),
+        col("deg").as("dy")), Seq("label", "v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    sums.select(col("label"), col("n").as("n_edges"),
+      round((col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")) /
+        (sqrt(col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")) *
+         sqrt(col("n").cast("double") * col("syy") -
+           col("sy").cast("double") * col("sy"))), 6)
+        .as("assortativity"))
+      .orderBy(col("label"))
+  }
+
   /** Common-neighbor link prediction over the k-NN similarity graph —
     * the candidate generator a graph-ANN refiner or a
     * "related documents" recommender runs on the neighbor structure

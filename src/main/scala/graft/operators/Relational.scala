@@ -995,6 +995,47 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Repeat-purchase rate and FIRST-to-SECOND order latency — the two
+    * numbers a retention program is judged on: what share of customers
+    * ever order again, and how long the second order takes (p50/p90
+    * via the integer histogram-CDF, decimal-exact mean). The rank≤2
+    * window is per-customer (bounded); the gap histogram is
+    * day-domain-bounded; totals ride one broadcast row.
+    *
+    * (The global CDF window runs over the aggregated gap histogram —
+    * the value-domain relation, never customers.) */
+  def repeatLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val perCust = o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n2"),
+        datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("gap_d"))
+    val totals = perCust.agg(count(lit(1)).as("n_customers"),
+      sum(when(col("n2") === 2, 1L).otherwise(0L)).as("n_repeat"))
+    val hist = perCust.filter(col("n2") === 2)
+      .groupBy(col("gap_d")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("gap_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(totals)) // 1-row totals
+      .agg(max(col("n_customers")).as("n_customers"),
+        max(col("n_repeat")).as("n_repeat"),
+        round(max(col("n_repeat")).cast("double") /
+          max(col("n_customers")).cast("double"), 6).as("repeat_rate"),
+        round(sum(col("gap_d") * col("cnt")).cast("double") /
+          max(col("n_repeat")).cast("double"), 2).as("mean_days"),
+        min(when(col("cum") >= expr("(n_repeat + 1) div 2"),
+          col("gap_d"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n_repeat") * 9,
+          col("gap_d"))).as("p90_days"))
+  }
+
   /** Order-to-ship AGING percentiles per order priority — the
     * fulfillment-SLA census next to q12's lateness counts: the
     * distribution of days between order placement and line shipment,

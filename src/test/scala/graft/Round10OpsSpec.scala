@@ -2012,4 +2012,87 @@ class Round10OpsSpec extends SparkSpec {
       graft.functions.TextFunctions.stopwords.contains(t)),
       s"no fixed-list stopword discovered; got ${discovered.take(5)}")
   }
+
+  test("events_reach_curve: per-type curves are monotone, end at " +
+    "reach_share 1.0, and the final cum equals the type's adopters") {
+    import graft.operators.EventAnalytics
+    val adopters = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = EventAnalytics.reachCurve(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    got.groupBy(_._1).foreach { case (t, xs) =>
+      val s = xs.sortBy(_._2)
+      assert(s.map(_._4).toSeq === s.map(_._4).sorted,
+        "cumulative adopters must be monotone")
+      assert(s.map(_._3).sum === s.last._4,
+        "new-adopter increments must telescope to the final cum")
+      assert(s.last._4 === adopters(t))
+      assert(math.abs(s.last._5 - 1.0) < 1e-9)
+    }
+  }
+
+  test("graph_assortativity equals a driver-side Pearson over the " +
+    "shared edge set") {
+    import graft.operators.{Graph, Similarity}
+    val edges = Similarity.knnEdges(spark, sf0001, 3)
+      .select(col("label"), col("v1"), col("v2")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val und = edges.flatMap { case (l, a, b) => Seq((l, a, b), (l, b, a)) }
+      .distinct
+    val deg = und.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.length.toLong).toMap
+    val expected = und.groupBy(_._1).map { case (l, es) =>
+      val pairs = es.map(e => (deg((l, e._2)), deg((l, e._3))))
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum,
+        pairs.map(p => p._2 * p._2).sum)
+      val r = (n.toDouble * sxy - sx.toDouble * sy) /
+        (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+          math.sqrt(n.toDouble * syy - sy.toDouble * sy))
+      (l, n, BigDecimal(r).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Graph.assortativity(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, _, a) => assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9) }
+  }
+
+  test("orders_repeat_latency equals a driver-side recomputation") {
+    import graft.operators.Relational
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getLong(2)))
+    val dOrd = Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)
+    val perCust = orders.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val two = xs.sortBy(x => (x._2, x._3))(Ordering.Tuple2(dOrd,
+        implicitly[Ordering[Long]])).take(2)
+      (two.length,
+        two.last._2.toEpochDay - two.head._2.toEpochDay)
+    }
+    val nCust = perCust.length.toLong
+    val repeats = perCust.filter(_._1 == 2).map(_._2)
+    val nRep = repeats.length.toLong
+    val gs = repeats.sorted
+    def thr(cond: Long => Boolean): Long = {
+      var cum = 0L
+      gs.groupBy(identity(_)).toSeq.sortBy(_._1)
+        .find { case (_, g) => cum += g.length; cond(cum) }.get._1
+    }
+    val got = Relational.repeatLatency(spark, sf0001).collect()(0)
+    assert(got.getLong(0) === nCust && got.getLong(1) === nRep)
+    assert(got.getDouble(2) === BigDecimal(nRep.toDouble / nCust)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(3) === BigDecimal(gs.sum.toDouble / nRep)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getLong(4) === thr(c => c >= (nRep + 1) / 2))
+    assert(got.getLong(5) === thr(c => c * 10 >= nRep * 9))
+  }
 }
