@@ -316,7 +316,10 @@ object SparkEntry {
       ((s, d) => TextAnalysis.stopwordDiscovery(s, d)),
     "events_reach_curve" -> ((s, d) => EventAnalytics.reachCurve(s, d)),
     "graph_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
-    "orders_repeat_latency" -> ((s, d) => Relational.repeatLatency(s, d))
+    "orders_repeat_latency" -> ((s, d) => Relational.repeatLatency(s, d)),
+    "sim_hnsw_levels" -> ((s, d) => Similarity.hnswLevels(s, d)),
+    "dedup_shingle_sweep" -> ((s, d) => DedupOps.shingleSweep(s, d)),
+    "events_type_overlap" -> ((s, d) => EventAnalytics.typeOverlap(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2285,6 +2288,102 @@ object SparkEntry {
            CAST(MIN(CASE WHEN cum * 10 >= tt.n_repeat * 9
              THEN gap_d END) AS BIGINT) AS p90_days
          FROM cd, tt""",
+    "sim_hnsw_levels" ->
+      """WITH lv AS (SELECT CASE WHEN b = 0 THEN 8
+             WHEN b % 2 = 1 THEN 0 WHEN b % 4 = 2 THEN 1
+             WHEN b % 8 = 4 THEN 2 WHEN b % 16 = 8 THEN 3
+             WHEN b % 32 = 16 THEN 4 WHEN b % 64 = 32 THEN 5
+             WHEN b % 128 = 64 THEN 6 ELSE 7 END AS level
+           FROM (SELECT (strpos('0123456789abcdef',
+                    substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 2, 1))
+                    - 1) AS b
+                 FROM embeddings)),
+         hist AS (SELECT CAST(level AS BIGINT) AS level,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lv GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS t FROM hist)
+         SELECT level, n_nodes,
+           ROUND(CAST(n_nodes AS DOUBLE) / (SELECT t FROM tot), 4)
+             AS share,
+           ROUND(CASE WHEN level = 8 THEN 0.00390625
+             ELSE 1.0 / pow(2.0, level + 1) END, 4) AS expected_share,
+           CAST(SUM(n_nodes) OVER (ORDER BY level DESC) AS BIGINT)
+             AS layer_size
+         FROM hist ORDER BY level""",
+    "dedup_shingle_sweep" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh3 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         sz3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY 1),
+         p3 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
+             CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
+               AS DECIMAL(18,9)) AS jac
+           FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                 FROM sh3 a JOIN sh3 b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2) x
+           JOIN sz3 s1 ON x.d1 = s1.doc_id
+           JOIN sz3 s2 ON x.d2 = s2.doc_id),
+         sh5 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 5
+                  THEN [array_to_string(w[i:i+4], ' ')
+                        for i in range(1, len(w)-3)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         sz5 AS (SELECT doc_id, COUNT(*) AS n FROM sh5 GROUP BY 1),
+         p5 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
+             CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
+               AS DECIMAL(18,9)) AS jac
+           FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                 FROM sh5 a JOIN sh5 b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2) x
+           JOIN sz5 s1 ON x.d1 = s1.doc_id
+           JOIN sz5 s2 ON x.d2 = s2.doc_id),
+         sh7 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 7
+                  THEN [array_to_string(w[i:i+6], ' ')
+                        for i in range(1, len(w)-5)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         sz7 AS (SELECT doc_id, COUNT(*) AS n FROM sh7 GROUP BY 1),
+         p7 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
+             CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
+               AS DECIMAL(18,9)) AS jac
+           FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                 FROM sh7 a JOIN sh7 b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2) x
+           JOIN sz7 s1 ON x.d1 = s1.doc_id
+           JOIN sz7 s2 ON x.d2 = s2.doc_id),
+         u AS (SELECT CAST(3 AS BIGINT) AS k, d1, d2, jac FROM p3
+           UNION ALL SELECT 5, d1, d2, jac FROM p5
+           UNION ALL SELECT 7, d1, d2, jac FROM p7),
+         e AS (SELECT k, d1 AS doc, jac FROM u
+           UNION ALL SELECT k, d2, jac FROM u)
+         SELECT k, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_flagged,
+           ROUND(CAST(SUM(jac) AS DOUBLE) / COUNT(*), 4) AS avg_jaccard
+         FROM e GROUP BY k ORDER BY k""",
+    "events_type_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+             AS jaccard
+         FROM pairs
+         JOIN sizes sa ON type_a = sa.event_type
+         JOIN sizes sb ON type_b = sb.event_type
+         ORDER BY type_a, type_b""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

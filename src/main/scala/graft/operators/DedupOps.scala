@@ -871,6 +871,56 @@ object DedupOps {
       .orderBy(col("keeper_source"), col("dup_source"))
   }
 
+  /** Shingle-SIZE tuning sweep — the k every shingle-based dedup fixes
+    * first, measured instead of guessed: for k ∈ {3, 5, 7}, the
+    * candidate-pair count, docs-with-any-candidate count, and mean
+    * pairwise Jaccard of the k-shingle pair relation. Small k =
+    * recall-heavy (more, weaker candidates); large k = precision-heavy.
+    * The production rows run k=5; this row shows what moving k buys —
+    * the [[lshBandTuning]] companion one level down the stack.
+    *
+    * Three independent posting shuffles (one per k, each the
+    * [[shinglePairStats]] envelope on word-gram hashes) union into one
+    * 3-row census; quadratic pair expansion stays confined to posting
+    * groups exactly as in the production rows. */
+  def shingleSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    def statsFor(k: Int): DataFrame = {
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), k))
+          .as("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      sh.groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+               transform(slice(ds, i + 2, size(ds)),
+                 y -> struct(x AS d1, y AS d2))))""")).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2"), "d2")
+        .select(lit(k.toLong).as("k"), col("d1"), col("d2"),
+          (col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")))
+            .cast("decimal(18,9)").as("jac"))
+    }
+    statsFor(3).union(statsFor(5)).union(statsFor(7))
+      // explode both endpoints so flagged-doc counting is exact; each
+      // pair contributes two rows, so count/2 and the mean is unchanged
+      .select(col("k"), explode(array(col("d1"), col("d2"))).as("doc"),
+        col("jac"))
+      .groupBy(col("k"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs_flagged"),
+        round(sum(col("jac")).cast("double") / count(lit(1)), 4)
+          .as("avg_jaccard"))
+      .orderBy(col("k"))
+  }
+
   /** Duplication × quality interaction census — the cross-signal check
     * a curation run does before trusting either filter alone: do
     * duplicated documents score WORSE on the quality probe's signal

@@ -596,6 +596,41 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** Event-type CO-OCCURRENCE matrix — which features share users:
+    * for every type pair, the count of users who used both and the
+    * Jaccard overlap of their user sets. High overlap = bundled
+    * behavior (funnel candidates); low = segmented audiences. The
+    * per-user type set is |types|-bounded, so pairs expand IN-TASK
+    * from one sorted collect per user (the grouped-posting idiom every
+    * dedup row uses) — one shuffle on user, one |types|²-bounded
+    * census, never a user-set self-join.
+    *
+    * Jaccard divides exact integers once; the |types|-row size
+    * relation broadcasts twice. */
+  def typeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("ts"))
+      .filter(size(col("ts")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             transform(slice(ts, i + 2, size(ts)),
+               y -> struct(x AS ta, y AS tb))))""")).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("na"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("na") + col("nb") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Feature-ADOPTION curves — per event type, the cumulative count of
     * users who have used it at least once, by day: running
     * distinct-count made scale-safe by the FIRST-APPEARANCE

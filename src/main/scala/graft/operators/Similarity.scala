@@ -949,6 +949,52 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** HNSW LEVEL-ASSIGNMENT census — the skip-list geometry an HNSW
+    * build fixes before inserting a single vector: each vector's max
+    * layer is geometric(1/2), drawn here as the TRAILING-ZERO count of
+    * a deterministic hash byte (the md5-nibble convention the split
+    * rows use; ntz is the classic integer-exact skip-list draw — no
+    * float ln, no cross-engine RNG). Emits per level: node count,
+    * observed share, the expected 2^-(l+1) share, and the cumulative
+    * navigation-layer size (nodes at level ≥ l — what each search
+    * layer actually holds).
+    *
+    * One narrow map + a ≤9-row census; the level histogram's window
+    * runs over those 9 rows. */
+  def hnswLevels(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val h = md5(concat(lit("hnsw:"), col("vec_id").cast("string")))
+    val b = (conv(substring(h, 1, 2), 16, 10).cast("int"))
+    // trailing zeros of an 8-bit value via integer arithmetic (b = 0
+    // -> all 8 bits zero -> top level 8)
+    val lvl = when(b === 0, 8)
+      .otherwise(
+        when(b % 2 === 1, 0).otherwise(
+          when(b % 4 === 2, 1).otherwise(
+            when(b % 8 === 4, 2).otherwise(
+              when(b % 16 === 8, 3).otherwise(
+                when(b % 32 === 16, 4).otherwise(
+                  when(b % 64 === 32, 5).otherwise(
+                    when(b % 128 === 64, 6).otherwise(7))))))))
+    val hist = e.select(lvl.cast("long").as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("t"))
+    val wGe = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("layer_size", sum(col("n_nodes")).over(wGe))
+      .crossJoin(broadcast(tot)) // 1-row total
+      .select(col("level"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("t").cast("double"), 4)
+          .as("share"),
+        round(when(col("level") === 8, lit(0.00390625))
+          .otherwise(lit(1.0) /
+            pow(lit(2.0), (col("level") + 1).cast("double"))), 4)
+          .as("expected_share"),
+        col("layer_size"))
+      .orderBy(col("level"))
+  }
+
   /** Micro-unit-quantized coordinates: (vec_id, j, xq) with
     * xq = round(x·10⁶) as BIGINT — the shared exact-integer domain of
     * the PCA pair below. */

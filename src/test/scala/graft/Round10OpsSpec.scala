@@ -2095,4 +2095,65 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.getLong(4) === thr(c => c >= (nRep + 1) / 2))
     assert(got.getLong(5) === thr(c => c * 10 >= nRep * 9))
   }
+
+  test("sim_hnsw_levels: geometric level draw recomputes driver-side; " +
+    "layer sizes telescope") {
+    import graft.operators.Similarity
+    val ids = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    def lvl(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hnsw:$id".getBytes("UTF-8"))
+      val b = md(0) & 0xff
+      if (b == 0) 8L else java.lang.Integer.numberOfTrailingZeros(b).toLong
+    }
+    val expected = ids.map(lvl).groupBy(identity(_)).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val got = Similarity.hnswLevels(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.map(x => (x._1, x._2)).toSeq === expected)
+    // layer_size at level l = sum of node counts at levels >= l
+    got.foreach { case (l, _, _, _, ls) =>
+      assert(ls === got.filter(_._1 >= l).map(_._2).sum)
+    }
+    assert(got.map(_._2).sum === ids.length.toLong)
+  }
+
+  test("dedup_shingle_sweep: k=5 row agrees with the production pair " +
+    "kernel; candidates shrink as k grows") {
+    import graft.operators.DedupOps
+    val got = DedupOps.shingleSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(3L, 5L, 7L))
+    val byK = got.map(x => x._1 -> x).toMap
+    assert(byK(3L)._2 >= byK(5L)._2 && byK(5L)._2 >= byK(7L)._2,
+      "longer shingles can only reduce the candidate-pair count")
+    // k=5 pair population must equal the production jaccard kernel's
+    // threshold-0 pair count (recomputed via the kernel with tiny cut)
+    val prod = DedupOps.ngramJaccardPairs(spark, sf0001, threshold = 0.0)
+      .count()
+    assert(byK(5L)._2 === prod)
+  }
+
+  test("events_type_overlap equals a driver-side set-overlap scan") {
+    import graft.operators.EventAnalytics
+    val ut = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      inter = (byType(types(i)) & byType(types(j))).size if inter > 0
+    } yield (types(i), types(j), inter.toLong,
+      BigDecimal(inter.toDouble /
+        (byType(types(i)).size + byType(types(j)).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    val got = EventAnalytics.typeOverlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
 }
