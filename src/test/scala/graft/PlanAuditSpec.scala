@@ -513,7 +513,25 @@ class PlanAuditSpec extends SparkSpec {
       ("text_coverage_curve",
         graft.operators.TextAnalysis.coverageCurve(spark, sf0001)),
       ("events_cusum",
-        graft.operators.EventAnalytics.cusumChangepoint(spark, sf0001)))
+        graft.operators.EventAnalytics.cusumChangepoint(spark, sf0001)),
+      ("events_interarrival",
+        graft.operators.EventAnalytics.interarrival(spark, sf0001)),
+      ("events_funnel_latency",
+        graft.operators.EventAnalytics.funnelLatency(spark, sf0001)),
+      ("orders_shipping_aging",
+        graft.operators.Relational.shippingAging(spark, sf0001)),
+      ("orders_repeat_latency",
+        graft.operators.Relational.repeatLatency(spark, sf0001)),
+      ("events_reach_curve",
+        graft.operators.EventAnalytics.reachCurve(spark, sf0001)),
+      ("events_gini",
+        graft.operators.EventAnalytics.activityGini(spark, sf0001)),
+      ("sim_hnsw_levels",
+        graft.operators.Similarity.hnswLevels(spark, sf0001)),
+      ("orders_pareto_abc",
+        graft.operators.Relational.paretoAbc(spark, sf0001)),
+      ("docs_spearman",
+        graft.operators.Curation.spearmanLengthQuality(spark, sf0001)))
     family.foreach { case (name, df) =>
       val wins = df.queryExecution.optimizedPlan
         .collect { case w: LWindow => w }
