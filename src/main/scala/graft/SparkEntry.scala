@@ -319,7 +319,11 @@ object SparkEntry {
     "orders_repeat_latency" -> ((s, d) => Relational.repeatLatency(s, d)),
     "sim_hnsw_levels" -> ((s, d) => Similarity.hnswLevels(s, d)),
     "dedup_shingle_sweep" -> ((s, d) => DedupOps.shingleSweep(s, d)),
-    "events_type_overlap" -> ((s, d) => EventAnalytics.typeOverlap(s, d))
+    "events_type_overlap" -> ((s, d) => EventAnalytics.typeOverlap(s, d)),
+    "sim_jl_projection" -> ((s, d) => Similarity.jlProjection(s, d)),
+    "events_heatmap" -> ((s, d) => EventAnalytics.heatmap(s, d)),
+    "text_extractive_pick" ->
+      ((s, d) => TextAnalysis.extractivePick(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2384,6 +2388,79 @@ object SparkEntry {
          JOIN sizes sa ON type_a = sa.event_type
          JOIN sizes sb ON type_b = sb.event_type
          ORDER BY type_a, type_b""",
+    "sim_jl_projection" ->
+      """WITH xq AS (SELECT vec_id, j,
+             CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM (SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS j,
+                   unnest(embedding) AS x
+                 FROM embeddings)),
+         dims AS (SELECT DISTINCT j FROM xq),
+         rmat AS (SELECT r.r, d.j,
+             CASE WHEN (strpos('0123456789abcdef', substr(
+                 md5('jl:' || CAST(r.r AS VARCHAR) || ':'
+                   || CAST(d.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+               THEN 1 ELSE -1 END AS s
+           FROM (SELECT unnest(range(0, 16)) AS r) r, dims d),
+         proj AS (SELECT x.vec_id, m.r, SUM(m.s * x.xq) AS p
+           FROM xq x JOIN rmat m ON x.j = m.j GROUP BY 1, 2),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         pairs AS (SELECT e.vec_id AS v1,
+             (e.vec_id * 7 + 13) % nn.n AS v2
+           FROM embeddings e CROSS JOIN nn
+           WHERE e.vec_id <> (e.vec_id * 7 + 13) % nn.n),
+         od AS (SELECT p.v1,
+             SUM((a.xq - b.xq) * (a.xq - b.xq)) AS od2
+           FROM pairs p
+           JOIN xq a ON a.vec_id = p.v1
+           JOIN xq b ON b.vec_id = p.v2 AND b.j = a.j
+           GROUP BY 1),
+         pd AS (SELECT p.v1,
+             SUM((a.p - b.p) * (a.p - b.p)) AS pd2
+           FROM pairs p
+           JOIN proj a ON a.vec_id = p.v1
+           JOIN proj b ON b.vec_id = p.v2 AND b.r = a.r
+           GROUP BY 1),
+         ratios AS (SELECT CAST(pd.pd2 AS DOUBLE)
+             / (CAST(od.od2 AS DOUBLE) * 16) AS ratio
+           FROM od JOIN pd ON od.v1 = pd.v1)
+         SELECT COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_ratio,
+           ROUND(MIN(ratio), 4) AS min_ratio,
+           ROUND(MAX(ratio), 4) AS max_ratio,
+           ROUND(CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.2 THEN 1
+             ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS share_within_20pct
+         FROM ratios""",
+    "events_heatmap" ->
+      """WITH cells AS (SELECT isodow(ts) AS isodow,
+             CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells)
+         SELECT CAST(isodow AS BIGINT) AS isodow, hr,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS share
+         FROM cells ORDER BY isodow, hr""",
+    "text_extractive_pick" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) AS i FROM d),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY 1),
+         sc AS (SELECT t.doc_id, (t.i - 1) // 15 AS pidx,
+             CAST(ln(CAST(nd.n AS DOUBLE) / df.df) AS DECIMAL(28,12))
+               AS idf
+           FROM tok t JOIN df ON t.w = df.w, nd WHERE t.doc_id < 20),
+         ch AS (SELECT doc_id, pidx, COUNT(*) AS n_words,
+             CAST(SUM(idf) AS DOUBLE) / COUNT(*) AS raw
+           FROM sc GROUP BY 1, 2),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY raw DESC, pidx) AS rk FROM ch)
+         SELECT doc_id, CAST(pidx AS BIGINT) AS chunk_idx,
+           CAST(n_words AS BIGINT) AS n_words, ROUND(raw, 6) AS score
+         FROM rk WHERE rk = 1 ORDER BY doc_id""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

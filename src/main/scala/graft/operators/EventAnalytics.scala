@@ -596,6 +596,24 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** Day-of-week × hour load HEATMAP — the capacity-planning census
+    * behind every on-call rota: event volume per (ISO weekday, hour)
+    * cell with each cell's share of total traffic. ISO weekday
+    * (1 = Monday) is computed as weekday(ts)+1 so both engines agree
+    * on week numbering. One hash-agg to ≤168 cells. */
+  def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy((expr("weekday(ts)") + 1).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("t"))
+    cells.crossJoin(broadcast(tot)) // 1-row total
+      .select(col("isodow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("isodow"), col("hr"))
+  }
+
   /** Event-type CO-OCCURRENCE matrix — which features share users:
     * for every type pair, the count of users who used both and the
     * Jaccard overlap of their user sets. High overlap = bundled

@@ -949,6 +949,68 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Johnson–Lindenstrauss random-projection DISTORTION census — the
+    * measured answer to "can this corpus live in 16 dims": vectors
+    * project through a deterministic ±1 matrix (md5-parity entries —
+    * both engines derive the same sign for every (row, dim)), and for
+    * a deterministic pairing of the corpus the squared-distance ratio
+    * ‖Rx−Ry‖² / (k·‖x−y‖²) is summarized (mean, min/max, share within
+    * ±20%). For ±1 rows E[‖Rv‖²] = k‖v‖², so ratios near 1 mean the
+    * projection preserves geometry and a 4× cheaper ANN index is safe.
+    *
+    * Exactness: coordinates are micro-unit LONGS ([[microCoords]]);
+    * the projection, both squared distances, and every sum are exact
+    * integer arithmetic — the ratio is the single double op per pair.
+    * Plan: one broadcast of the k×d sign matrix, two dimension-keyed
+    * aggs, pair joins on the computed partner id only. */
+  def jlProjection(spark: SparkSession, dir: String, kDim: Int = 16): DataFrame = {
+    val xq = microCoords(spark, dir)
+    val e = emb(spark, dir)
+    val dimsJ = xq.select(col("j")).distinct()
+    val rmat = spark.range(kDim).select(col("id").as("r"))
+      .crossJoin(dimsJ)
+      .withColumn("s", when(
+        conv(substring(md5(concat(lit("jl:"), col("r"), lit(":"),
+          col("j"))), 1, 1), 16, 10).cast("int") % 2 === 0, 1L)
+        .otherwise(-1L))
+    val proj = xq.join(broadcast(rmat), "j")
+      .groupBy(col("vec_id"), col("r"))
+      .agg(sum(col("s") * col("xq")).as("p"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val pairs = e.select(col("vec_id").as("v1"))
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("v2", expr("(v1 * 7 + 13) % n"))
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"), col("v2"))
+    val od = pairs
+      .join(xq.select(col("vec_id").as("v1"), col("j"),
+        col("xq").as("x1")), "v1")
+      .join(xq.select(col("vec_id").as("v2"), col("j"),
+        col("xq").as("x2")), Seq("v2", "j"))
+      .groupBy(col("v1"))
+      .agg(sum((col("x1") - col("x2")) * (col("x1") - col("x2")))
+        .as("od2"))
+    val pd = pairs
+      .join(proj.select(col("vec_id").as("v1"), col("r"),
+        col("p").as("p1")), "v1")
+      .join(proj.select(col("vec_id").as("v2"), col("r"),
+        col("p").as("p2")), Seq("v2", "r"))
+      .groupBy(col("v1"))
+      .agg(sum((col("p1") - col("p2")) * (col("p1") - col("p2")))
+        .as("pd2"))
+    od.join(pd, "v1")
+      .select((col("pd2").cast("double") /
+        (col("od2").cast("double") * kDim)).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("ratio").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 4).as("mean_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"),
+        round(sum(when(abs(col("ratio") - 1.0) <= 0.2, 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 4)
+          .as("share_within_20pct"))
+  }
+
   /** HNSW LEVEL-ASSIGNMENT census — the skip-list geometry an HNSW
     * build fixes before inserting a single vector: each vector's max
     * layer is geometric(1/2), drawn here as the TRAILING-ZERO count of

@@ -482,6 +482,42 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Extractive SELECTION — pick each document's most informative
+    * 15-word chunk by mean corpus IDF (the TextRank-zero baseline every
+    * extractive summarizer is judged against, and the snippet picker a
+    * search index ships first). IDF is trained corpus-wide
+    * (ln(N/df), deterministic double quantized to DECIMAL before the
+    * per-chunk mean); the demo emits the winning chunk for doc_id < 20
+    * with its token count and score; ties break to the earliest chunk.
+    *
+    * Plan: one (word → df) vocabulary agg joined back onto the
+    * positional token relation (the corpus pass), per-doc rank-1
+    * windows over chunk-count-bounded partitions. */
+  def extractivePick(spark: SparkSession, dir: String, p: Int = 15): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val df = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tok.filter(col("doc_id") < 20)
+      .join(df, "w")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size
+      .select(col("doc_id"), (col("pos") / p).cast("long").as("pidx"),
+        log(col("n").cast("double") / col("df").cast("double"))
+          .cast("decimal(28,12)").as("idf"))
+      .groupBy(col("doc_id"), col("pidx"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("idf")).cast("double") / count(lit(1))).as("raw"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("raw").desc, col("pidx"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("pidx").as("chunk_idx"), col("n_words"),
+        round(col("raw"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Data-driven STOPWORD discovery — replaces the fixed 10-word list
     * ([[graft.functions.TextFunctions.stopwords]]) with the corpus's
     * own evidence: a term is stopword-like when it appears in at least

@@ -2156,4 +2156,62 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got === expected)
   }
+
+  test("sim_jl_projection: pair accounting exact; the projection " +
+    "roughly preserves distances (mean ratio near 1)") {
+    import graft.operators.Similarity
+    val n = Tables(spark, sf0001, "embeddings").count()
+    val expPairs = (0L until n).count(v => (v * 7 + 13) % n != v).toLong
+    val r = Similarity.jlProjection(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === expPairs)
+    val (mean, mn, mx, share) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(mn > 0 && mn <= mean && mean <= mx)
+    assert(mean > 0.5 && mean < 1.6,
+      s"JL mean distortion $mean should concentrate near 1")
+    assert(share > 0.0 && share <= 1.0)
+  }
+
+  test("events_heatmap: cells cover all events, shares sum to 1, " +
+    "coordinates in range") {
+    import graft.operators.EventAnalytics
+    val total = Tables(spark, sf0001, "events").count()
+    val got = EventAnalytics.heatmap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._3).sum === total)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-3)
+    got.foreach { case (dow, hr, n2, _) =>
+      assert(dow >= 1 && dow <= 7 && hr >= 0 && hr <= 23 && n2 > 0)
+    }
+    assert(got.length <= 168)
+  }
+
+  test("text_extractive_pick equals a driver-side idf argmax") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val expected = docs.filter(_._1 < 20).map { case (id, ws) =>
+      val chunks = ws.zipWithIndex.groupBy(_._2 / 15).toSeq
+        .map { case (pidx, xs) =>
+          val idfs = xs.map { case (w, _) =>
+            BigDecimal(math.log(nDocs.toDouble / df(w)))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP) }
+          (pidx.toLong, xs.length.toLong,
+            idfs.sum.toDouble / xs.length)
+        }
+      val best = chunks.sortBy { case (p, _, raw) => (-raw, p) }.head
+      (id, best._1, best._2,
+        BigDecimal(best._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.extractivePick(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
 }
