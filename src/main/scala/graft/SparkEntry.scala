@@ -323,7 +323,11 @@ object SparkEntry {
     "sim_jl_projection" -> ((s, d) => Similarity.jlProjection(s, d)),
     "events_heatmap" -> ((s, d) => EventAnalytics.heatmap(s, d)),
     "text_extractive_pick" ->
-      ((s, d) => TextAnalysis.extractivePick(s, d))
+      ((s, d) => TextAnalysis.extractivePick(s, d)),
+    "docs_gate_overlap" -> ((s, d) => TextAnalysis.gateOverlap(s, d)),
+    "events_new_returning" ->
+      ((s, d) => EventAnalytics.newVsReturning(s, d)),
+    "join_asof_tolerance" -> ((s, d) => EventAnalytics.asofTolerance(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2461,6 +2465,123 @@ object SparkEntry {
          SELECT doc_id, CAST(pidx AS BIGINT) AS chunk_idx,
            CAST(n_words AS BIGINT) AS n_words, ROUND(raw, 6) AS score
          FROM rk WHERE rk = 1 ORDER BY doc_id""",
+    "docs_gate_overlap" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         t AS (SELECT doc_id, md5(text) AS fp_exact,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(w, x -> x IN
+               ('the','a','of','and','to','in','is','for','on','with')))
+               AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+           FROM s WHERE split = 'train'),
+         w2 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, len(w))]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         mb AS (SELECT doc_id, MAX(c) AS max_bg FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         w3 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         tr AS (SELECT doc_id, SUM(c) AS n_tri,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w3 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         bg AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ')
+                        for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         cont AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 13
+                     THEN [array_to_string(w[i:i+12], ' ')
+                           for i in range(1, len(w)-11)]
+                     ELSE []::VARCHAR[] END)) AS g
+              FROM s WHERE split = 'train')
+           WHERE g IN (SELECT g FROM bg)),
+         f AS (SELECT t.doc_id, t.fp_exact, t.n_tok,
+             (t.n_tok < 10 OR t.n_stop * 2 > t.n_tok
+               OR t.n_uniq * 10 < t.n_tok * 3) AS q_fail,
+             (COALESCE(mb.max_bg, 0) * 10 > t.n_tok
+               OR COALESCE(tr.dup_tri, 0) * 10
+                 > COALESCE(tr.n_tri, 0) * 3) AS rep_fail,
+             (cont.doc_id IS NOT NULL) AS contam
+           FROM t LEFT JOIN mb USING (doc_id) LEFT JOIN tr USING (doc_id)
+             LEFT JOIN cont ON t.doc_id = cont.doc_id),
+         k AS (SELECT fp_exact, MIN(doc_id) AS keeper_id FROM f
+           GROUP BY 1)
+         SELECT CAST(f.q_fail AS BIGINT) AS g_qual,
+           CAST(f.rep_fail AS BIGINT) AS g_rep,
+           CAST(f.doc_id <> k.keeper_id AS BIGINT) AS g_dup,
+           CAST(f.contam AS BIGINT) AS g_contam,
+           COUNT(*) AS n_docs, CAST(SUM(f.n_tok) AS BIGINT) AS n_tokens
+         FROM f JOIN k USING (fp_exact)
+         GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    "events_new_returning" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         fd AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN d <> d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           ROUND(CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS new_share
+         FROM ev JOIN fd USING (user_id)
+         GROUP BY d ORDER BY day""",
+    "join_asof_tolerance" ->
+      """WITH w AS (SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_ts
+           FROM events),
+         p AS (SELECT
+             date_diff('second', prev_view_ts, ts) AS gap_back,
+             date_diff('second', ts, next_view_ts) AS gap_fwd
+           FROM w WHERE event_type = 'purchase'),
+         o AS (SELECT
+             CASE WHEN gap_back <= 1800 AND (gap_fwd IS NULL
+                    OR gap_fwd > 1800 OR gap_back <= gap_fwd)
+                  THEN 'before'
+                  WHEN gap_fwd <= 1800 THEN 'after'
+                  ELSE 'none' END AS outcome,
+             CASE WHEN gap_back <= 1800 AND (gap_fwd IS NULL
+                    OR gap_fwd > 1800 OR gap_back <= gap_fwd)
+                  THEN gap_back
+                  WHEN gap_fwd <= 1800 THEN gap_fwd END AS gap_s
+           FROM p)
+         SELECT outcome, COUNT(*) AS n_purchases,
+           CASE WHEN SUM(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END)
+                  > 0
+             THEN ROUND(CAST(SUM(COALESCE(gap_s, 0)) AS DOUBLE)
+               / SUM(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END), 2)
+           END AS mean_gap_s
+         FROM o GROUP BY 1 ORDER BY outcome""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

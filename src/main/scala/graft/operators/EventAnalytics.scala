@@ -596,6 +596,71 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** NEW vs RETURNING daily traffic split — the composition census
+    * behind every growth dashboard's stacked area: per day, events from
+    * users on their FIRST active day vs events from returners, plus
+    * the new-traffic share. The user-grain first-day relation joins
+    * back on user_id (co-partitioned with the fact scan's natural
+    * key); day equality is date-exact in both engines. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    ev.join(firstDay, "user_id")
+      .groupBy(col("d"))
+      .agg(sum(when(col("d") === col("d0"), 1L).otherwise(0L))
+        .as("n_new"),
+        sum(when(col("d") =!= col("d0"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("n_returning"),
+        round(col("n_new").cast("double") /
+          (col("n_new") + col("n_returning")).cast("double"), 6)
+          .as("new_share"))
+      .orderBy(col("day"))
+  }
+
+  /** Tolerance-bounded nearest as-of census — [[asofNearest]] with the
+    * pandas merge_asof `tolerance` semantics a feature-store join
+    * needs: a purchase only matches its nearest view when the gap is
+    * within 30 minutes; beyond that the row is deliberately UNMATCHED
+    * (stale context must not leak into features). Census per outcome
+    * (before / after / none): purchases and the decimal-exact mean
+    * matched gap in seconds. Same shared-sort two-frame window plan as
+    * the unbounded row. */
+  def asofTolerance(spark: SparkSession, dir: String,
+      tolSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val back = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+    val viewTs = when(col("event_type") === "view", col("ts"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_view_ts", max(viewTs).over(back))
+      .withColumn("next_view_ts", min(viewTs).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_back",
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_view_ts")))
+      .withColumn("gap_fwd",
+        unix_timestamp(col("next_view_ts")) - unix_timestamp(col("ts")))
+      .withColumn("gb", when(col("gap_back") <= tolSec, col("gap_back")))
+      .withColumn("gf", when(col("gap_fwd") <= tolSec, col("gap_fwd")))
+      .withColumn("outcome",
+        when(col("gb").isNotNull &&
+          (col("gf").isNull || col("gb") <= col("gf")), lit("before"))
+          .when(col("gf").isNotNull, lit("after"))
+          .otherwise(lit("none")))
+      .withColumn("gap_s", when(col("outcome") === "before", col("gb"))
+        .when(col("outcome") === "after", col("gf")))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_purchases"),
+        when(sum(when(col("gap_s").isNotNull, 1L).otherwise(0L)) > 0,
+          round(sum(coalesce(col("gap_s"), lit(0L))).cast("double") /
+            sum(when(col("gap_s").isNotNull, 1L).otherwise(0L)), 2))
+          .as("mean_gap_s"))
+      .orderBy(col("outcome"))
+  }
+
   /** Day-of-week × hour load HEATMAP — the capacity-planning census
     * behind every on-call rota: event volume per (ISO weekday, hour)
     * cell with each cell's share of total traffic. ISO weekday

@@ -964,6 +964,53 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Curation-gate REDUNDANCY census — which of
+    * [[curationPipeline]]'s four gates are unique catchers and which
+    * overlap: every train document's INDEPENDENT failure flags
+    * (quality, repetition, exact-duplicate against a global keeper,
+    * 13-gram contamination) cross-tabulated into the 16-cell
+    * combination census with document and token mass per cell. The
+    * all-zeros cell is the kept corpus; a gate whose failures all land
+    * in multi-flag cells is redundant and can be dropped from the
+    * hot path — the measured answer to "do we still need gate X".
+    * (The pipeline row attributes each drop to its FIRST gate; this is
+    * the complementary independent view — the keeper here is global,
+    * not survivor-scoped, and the scaladoc of each row says which.)
+    *
+    * Same helper relations as the pipeline (one corpus pass each, all
+    * joined on doc_id), ≤16-row output. */
+  def gateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter(splitCol === "train")
+    val toks = tokens(col("text"))
+    val perDoc = train.select(col("doc_id"),
+      md5(col("text")).as("fp_exact"),
+      tokenCount(col("text")).as("n_tok"),
+      stopwordCount(toks).as("n_stop"),
+      distinctTokenCount(col("text")).as("n_uniq"))
+    val keeper = perDoc.groupBy(col("fp_exact"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val contaminated = contaminatedDocIds(train,
+        distinctGramSet(docs.filter(splitCol === "test"), 13), 13)
+      .withColumn("is_contam", lit(true))
+    perDoc
+      .join(maxBigramCounts(train), Seq("doc_id"), "left_outer")
+      .join(trigramDupStats(train), Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(keeper, Seq("fp_exact"))
+      .select(col("n_tok"),
+        (col("n_tok") < 10 || col("n_stop") * 2 > col("n_tok") ||
+          col("n_uniq") * 10 < col("n_tok") * 3).cast("long").as("g_qual"),
+        (coalesce(col("max_bg"), lit(0L)) * 10 > col("n_tok") ||
+          coalesce(col("dup_tri"), lit(0L)) * 10 >
+            coalesce(col("n_tri"), lit(0L)) * 3).cast("long").as("g_rep"),
+        (col("doc_id") =!= col("keeper_id")).cast("long").as("g_dup"),
+        coalesce(col("is_contam"), lit(false)).cast("long").as("g_contam"))
+      .groupBy(col("g_qual"), col("g_rep"), col("g_dup"), col("g_contam"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("g_qual"), col("g_rep"), col("g_dup"), col("g_contam"))
+  }
+
   /** Exact-substring duplication census — the verbatim-overlap signal of
     * suffix-array training-data dedup, re-expressed relationally: a
     * document's 20-token window is SHARED when the identical window text

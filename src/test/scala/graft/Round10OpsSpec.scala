@@ -2214,4 +2214,68 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got === expected)
   }
+
+  test("docs_gate_overlap is consistent with the curation pipeline: " +
+    "population matches and first-gate attribution is a projection") {
+    import graft.operators.TextAnalysis
+    val overlap = TextAnalysis.gateOverlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val pipe = TextAnalysis.curationPipeline(spark, sf0001).collect()
+    val nTrain = pipe.map(_.getLong(1)).sum
+    assert(overlap.map(_._5).sum === nTrain,
+      "cells must partition the train population")
+    // quality attributions equal quality-flag marginal (quality is the
+    // FIRST gate, so attribution == the independent flag)
+    val qMarginal = overlap.filter(_._1 == 1L).map(_._5).sum
+    assert(qMarginal === pipe.map(_.getLong(2)).sum)
+    // and the pipeline's kept docs can never exceed the all-clear cell
+    val clear = overlap.find(x =>
+      x._1 == 0 && x._2 == 0 && x._3 == 0 && x._4 == 0).map(_._5)
+      .getOrElse(0L)
+    assert(pipe.map(_.getLong(6)).sum <= clear)
+  }
+
+  test("events_new_returning: day-1 is all-new, totals reconcile, and " +
+    "each user contributes new exactly once per day-0") {
+    import graft.operators.EventAnalytics
+    val total = Tables(spark, sf0001, "events").count()
+    val got = EventAnalytics.newVsReturning(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.map(x => x._2 + x._3).sum === total)
+    assert(got.head._3 === 0L, "the first day has no returners")
+    // sum of new events = events that happened on each user's first day
+    val firstDayEvents = {
+      val ev = Tables(spark, sf0001, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val fd = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ev.join(fd, "user_id").filter(col("d") === col("d0")).count()
+    }
+    assert(got.map(_._2).sum === firstDayEvents)
+  }
+
+  test("join_asof_tolerance: outcomes partition purchases and agree " +
+    "with the unbounded as-of within the window") {
+    import graft.operators.EventAnalytics
+    val nPurch = Tables(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    val got = EventAnalytics.asofTolerance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._2).sum === nPurch)
+    got.foreach {
+      case ("none", _, g) => assert(g.isEmpty)
+      case (_, n, g) =>
+        assert(n > 0 && g.exists(v => v >= 0 && v <= 1800.0))
+    }
+    // the unbounded nearest row, restricted to gaps <= tol, must agree
+    // on the matched-purchase count
+    val unbounded = EventAnalytics.asofNearest(spark, sf0001).collect()
+      .count { r =>
+        !r.isNullAt(5) && r.getLong(5) <= 1800L * 1000000L
+      }.toLong
+    assert(got.filter(_._1 != "none").map(_._2).sum === unbounded,
+      "tolerance filter must equal the unbounded row's within-window set")
+  }
 }
