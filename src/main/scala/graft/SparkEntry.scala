@@ -327,7 +327,11 @@ object SparkEntry {
     "docs_gate_overlap" -> ((s, d) => TextAnalysis.gateOverlap(s, d)),
     "events_new_returning" ->
       ((s, d) => EventAnalytics.newVsReturning(s, d)),
-    "join_asof_tolerance" -> ((s, d) => EventAnalytics.asofTolerance(s, d))
+    "join_asof_tolerance" -> ((s, d) => EventAnalytics.asofTolerance(s, d)),
+    "stream_sessionize_stateful" ->
+      ((s, d) => StreamingAnalytics.streamSessionizeStateful(s, d)),
+    "window_ntile" -> ((s, d) => Relational.windowNtile(s, d)),
+    "agg_bitwise" -> ((s, d) => Relational.aggBitwise(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2582,6 +2586,50 @@ object SparkEntry {
                / SUM(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END), 2)
            END AS mean_gap_s
          FROM o GROUP BY 1 ORDER BY outcome""",
+    "stream_sessionize_stateful" ->
+      """WITH sess AS (SELECT user_id, sid, COUNT(*) AS n FROM (
+           SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(lag_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM (
+               SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS lag_ts
+               FROM events) a) b) c
+           GROUP BY user_id, sid)
+         SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+         FROM sess GROUP BY user_id ORDER BY user_id""",
+    "window_ntile" ->
+      """WITH rev AS (SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1)
+         SELECT n_name, ROUND(revenue, 2) AS revenue,
+           CAST(NTILE(4) OVER (ORDER BY revenue DESC, n_name) AS BIGINT)
+             AS quartile
+         FROM rev ORDER BY quartile, revenue DESC, n_name""",
+    "agg_bitwise" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(BIT_AND(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+           AS all_bits,
+         CAST(BIT_OR(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+           AS any_bits,
+         CAST(BIT_XOR(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+           AS parity_bits,
+         CAST(SUM(bit_count(CAST(l_linenumber AS BIGINT))) AS BIGINT)
+           AS total_popcount
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

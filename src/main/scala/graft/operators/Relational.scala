@@ -995,6 +995,47 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** NTILE quartile assignment over the nation revenue league table —
+    * the remaining rank-family window function (row_number / rank /
+    * dense_rank / percent_rank / cume_dist are covered elsewhere):
+    * nations bucketed into revenue quartiles. The global NTILE window
+    * is legitimate HERE because it runs over the nation-BOUNDED
+    * aggregate (≤25 rows at any corpus size — the vocabulary-sized
+    * exception the zipf rows use); a corpus-sized NTILE is exactly
+    * what [[Curation.curriculum]]'s bucketed decomposition replaces. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val n = Tables(spark, dir, "nation")
+    val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+    rev.withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("revenue").desc, col("n_name")))
+          .cast("long"))
+      .select(col("n_name"), round(col("revenue"), 2).as("revenue"),
+        col("quartile"))
+      .orderBy(col("quartile"), col("revenue").desc, col("n_name"))
+  }
+
+  /** Bitwise AGGREGATE surface (bit_and / bit_or / bit_xor + bit_count)
+    * — flag-mask folding, the idiom permission systems and bloom-ish
+    * bitmap rollups use. Grouped per return flag over the line-number
+    * low bits; exact integer semantics identical across engines. */
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linenumber").cast("long").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(v)").as("all_bits"),
+        expr("bit_or(v)").as("any_bits"),
+        expr("bit_xor(v)").as("parity_bits"),
+        sum(bit_count(col("v")).cast("long")).as("total_popcount"))
+      .orderBy(col("l_returnflag"))
+
   /** Repeat-purchase rate and FIRST-to-SECOND order latency — the two
     * numbers a retention program is judged on: what share of customers
     * ever order again, and how long the second order takes (p50/p90

@@ -242,6 +242,46 @@ object StreamingAnalytics {
     StreamingOps.runAvailableNow(joined, mode = "append")
   }
 
+  /** CUSTOM-STATE sessionization through the correctness gate — the
+    * [[graft.streaming.Sessionize]] flatMapGroupsWithState operator
+    * (open-session state per user, intra-batch gap splits emitted
+    * immediately, EventTimeTimeout closing the rest), previously pinned
+    * only by StreamingSpec, now run as a REAL staged-file streaming
+    * query whose per-user census the DuckDB oracle replays with the
+    * batch lag/cumulative-sum sessionization — custom state store
+    * logic proven equal to its relational specification.
+    *
+    * Staging: corpus file then a far-future sentinel file
+    * (maxFilesPerTrigger = 1, so stage order is batch order); the
+    * sentinel advances the watermark past every real session's
+    * end + gap, and Spark's no-data batch fires the remaining
+    * timeouts. Sentinel user filtered from the census. State is
+    * O(active users) — the 100 TB shape for this operator. */
+  def streamSessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      lit("2099-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("event_id"))
+    stageOrderedFiles(root, inDir, Seq("a" -> ev, "b_flush" -> sentinel))
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .as[graft.streaming.SessionEvent]
+    val sessions = graft.streaming.Sessionize
+      .sessions(src, watermarkDelay = "0 seconds").toDF()
+    StreamingOps.runAvailableNow(sessions, mode = "append")
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events").cast("long")).as("n_events"),
+        max(col("n_events")).cast("long").as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-static join: the live event stream enriched against a batch
     * dimension (the lookup-table pattern — dims stay queryable tables,
     * the stream side never blocks). The static side re-plans per

@@ -2278,4 +2278,54 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.filter(_._1 != "none").map(_._2).sum === unbounded,
       "tolerance filter must equal the unbounded row's within-window set")
   }
+
+  test("stream_sessionize_stateful equals the batch sessionize census " +
+    "and adds a consistent per-user max") {
+    import graft.operators.{EventAnalytics, StreamingAnalytics}
+    val streamed = StreamingAnalytics
+      .streamSessionizeStateful(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = EventAnalytics.sessionize(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.length === b.size)
+    streamed.foreach { case (u, ns, ne, mx) =>
+      val (bs, be) = b(u)
+      assert(ns === bs && ne === be,
+        s"user $u: stateful stream must equal the batch formulation")
+      assert(mx >= (ne + ns - 1) / ns && mx <= ne,
+        "max session length bounded by mean-ceiling and total")
+    }
+  }
+
+  test("window_ntile: quartiles balance over the 25-nation league " +
+    "table and order by revenue") {
+    import graft.operators.Relational
+    val got = Relational.windowNtile(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length === 25)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes === Map(1L -> 7, 2L -> 6, 3L -> 6, 4L -> 6))
+    // revenue never increases across quartile boundaries
+    val byQ = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    (1L to 3L).foreach { q =>
+      assert(byQ(q).min >= byQ(q + 1).max - 1e-9)
+    }
+  }
+
+  test("agg_bitwise equals a driver-side fold") {
+    import graft.operators.Relational
+    val rows = Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_linenumber")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    val expected = rows.groupBy(_._1).map { case (f, xs) =>
+      val vs = xs.map(_._2)
+      (f, vs.length.toLong, vs.reduce(_ & _), vs.reduce(_ | _),
+        vs.reduce(_ ^ _),
+        vs.map(v => java.lang.Long.bitCount(v).toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.aggBitwise(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
 }
