@@ -331,7 +331,10 @@ object SparkEntry {
     "stream_sessionize_stateful" ->
       ((s, d) => StreamingAnalytics.streamSessionizeStateful(s, d)),
     "window_ntile" -> ((s, d) => Relational.windowNtile(s, d)),
-    "agg_bitwise" -> ((s, d) => Relational.aggBitwise(s, d))
+    "agg_bitwise" -> ((s, d) => Relational.aggBitwise(s, d)),
+    "dedup_threshold_impact" ->
+      ((s, d) => DedupOps.thresholdImpact(s, d)),
+    "orders_qoq_growth" -> ((s, d) => Relational.qoqGrowth(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2630,6 +2633,56 @@ object SparkEntry {
          CAST(SUM(bit_count(CAST(l_linenumber AS BIGINT))) AS BIGINT)
            AS total_popcount
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "dedup_threshold_impact" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ')
+                             for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         v AS (SELECT x.d2, x.i, s1.n AS n1, s2.n AS n2
+               FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                            JOIN sizes s2 ON x.d2 = s2.doc_id),
+         ts AS (SELECT unnest([CAST(3 AS BIGINT), 5, 7]) AS t10),
+         dropped AS (SELECT DISTINCT ts.t10, v.d2 AS doc_id
+           FROM v CROSS JOIN ts
+           WHERE v.i * 10 >= ts.t10 * (v.n1 + v.n2 - v.i)),
+         toks AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         tot AS (SELECT COUNT(*) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt
+           FROM toks)
+         SELECT ROUND(CAST(t10 AS DOUBLE) / 10, 1) AS threshold,
+           COUNT(*) AS n_dropped_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS dropped_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / (SELECT nt FROM tot), 6) AS token_share_dropped
+         FROM dropped JOIN toks USING (doc_id)
+         GROUP BY t10 ORDER BY threshold""",
+    "orders_qoq_growth" ->
+      """WITH q AS (SELECT c_mktsegment,
+             date_trunc('quarter', o_orderdate) AS qtr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         g AS (SELECT c_mktsegment, qtr, rev_c,
+             LAG(rev_c, 1) OVER (PARTITION BY c_mktsegment
+               ORDER BY qtr) AS prev_c
+           FROM q)
+         SELECT c_mktsegment, strftime(qtr, '%Y-%m-%d') AS quarter,
+           ROUND(CAST(rev_c AS DOUBLE) / 100, 2) AS revenue,
+           CASE WHEN prev_c IS NOT NULL THEN
+             ROUND((CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
+               / CAST(prev_c AS DOUBLE), 6) END AS qoq_growth
+         FROM g ORDER BY c_mktsegment, quarter""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -921,6 +921,43 @@ object DedupOps {
       .orderBy(col("k"))
   }
 
+  /** Dedup threshold IMPACT sweep — what a Jaccard threshold actually
+    * costs in data: for t ∈ {0.3, 0.5, 0.7}, the documents a keep-first
+    * policy would DROP (any doc with a lower-id near-dup at ≥ t) and
+    * the token mass they carry, as a share of the corpus. The
+    * curation-facing companion to [[shingleSweep]] (which tunes the
+    * candidate generator) and the number that turns "pick a threshold"
+    * into a budget decision. Threshold tests are integer
+    * cross-multiplications (10·I ≥ t·10·(n1+n2−I)).
+    *
+    * One pair-kernel pass ([[shinglePairStats]]) crossed with the
+    * 3-row threshold axis, a distinct on (t, dropped doc), one join to
+    * per-doc token counts, a 3-row census against the 1-row corpus
+    * totals. */
+  def thresholdImpact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val tot = toks.agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+    val ts = Seq(3L, 5L, 7L).toDF("t10") // thresholds x10
+    val dropped = shinglePairStats(spark, dir)
+      .crossJoin(broadcast(ts)) // 3-row threshold axis
+      .filter(col("inter") * 10 >=
+        col("t10") * (col("n1") + col("n2") - col("inter")))
+      .select(col("t10"), col("d2").as("doc_id")).distinct()
+    dropped.join(toks, "doc_id")
+      .groupBy(col("t10"))
+      .agg(count(lit(1)).as("n_dropped_docs"),
+        sum(col("n_tok")).as("dropped_tokens"))
+      .crossJoin(broadcast(tot)) // 1-row corpus totals
+      .select(round(col("t10").cast("double") / 10, 1).as("threshold"),
+        col("n_dropped_docs"), col("dropped_tokens"),
+        round(col("dropped_tokens").cast("double") /
+          col("nt").cast("double"), 6).as("token_share_dropped"))
+      .orderBy(col("threshold"))
+  }
+
   /** Duplication × quality interaction census — the cross-signal check
     * a curation run does before trusting either filter alone: do
     * duplicated documents score WORSE on the quality probe's signal

@@ -995,6 +995,30 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Quarter-over-quarter revenue growth per market segment — the board
+    * table: exact-decimal quarterly revenue, previous quarter via LAG
+    * over the calendar-bounded series, growth as one double division
+    * (NULL for each segment's first quarter). Quarter keys are
+    * date_trunc-exact in both engines. */
+  def qoqGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val q = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr"))
+      .agg(usum(e2(col("o_totalprice"))).as("rev_c"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("qtr"))
+    q.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("c_mktsegment"),
+        date_format(col("qtr"), "yyyy-MM-dd").as("quarter"),
+        round(col("rev_c").cast("double") / 100, 2).as("revenue"),
+        when(col("prev_c").isNotNull,
+          round((col("rev_c").cast("double") -
+            col("prev_c").cast("double")) /
+            col("prev_c").cast("double"), 6)).as("qoq_growth"))
+      .orderBy(col("c_mktsegment"), col("quarter"))
+  }
+
   /** NTILE quartile assignment over the nation revenue league table —
     * the remaining rank-family window function (row_number / rank /
     * dense_rank / percent_rank / cume_dist are covered elsewhere):

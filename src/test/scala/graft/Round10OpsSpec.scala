@@ -2328,4 +2328,51 @@ class Round10OpsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
   }
+
+  test("dedup_threshold_impact: monotone in threshold and consistent " +
+    "with the production jaccard pairs at 0.5") {
+    import graft.operators.DedupOps
+    val got = DedupOps.thresholdImpact(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(0.3, 0.5, 0.7))
+    // higher threshold can only drop fewer docs / less mass
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse)
+    // 0.5 row equals the production pair relation's distinct d2 count
+    val prod = DedupOps.ngramJaccardPairs(spark, sf0001, threshold = 0.5)
+      .select(col("d2")).distinct().count()
+    assert(got.find(_._1 == 0.5).get._2 === prod)
+  }
+
+  test("orders_qoq_growth equals a driver-side quarterly scan") {
+    import graft.operators.Relational
+    val rows = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderdate"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate,
+        math.round(r.getDouble(2) * 100)))
+    def qtr(d: java.time.LocalDate): java.time.LocalDate =
+      java.time.LocalDate.of(d.getYear, ((d.getMonthValue - 1) / 3) * 3 + 1, 1)
+    val expected = rows.groupBy(x => (x._1, qtr(x._2))).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case ((seg, q), _) => (seg, q.toString) }
+      .groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+        xs.zip(None +: xs.map(x => Some(x._2)).dropRight(1)).map {
+          case (((seg, q), rev), prev) =>
+            (seg, q.toString,
+              BigDecimal(rev.toDouble / 100).setScale(2,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              prev.map(p => BigDecimal((rev.toDouble - p.toDouble) / p)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.sortBy(x => (x._1, x._2))
+    val got = Relational.qoqGrowth(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got === expected)
+  }
 }
