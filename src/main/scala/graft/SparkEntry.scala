@@ -334,7 +334,12 @@ object SparkEntry {
     "agg_bitwise" -> ((s, d) => Relational.aggBitwise(s, d)),
     "dedup_threshold_impact" ->
       ((s, d) => DedupOps.thresholdImpact(s, d)),
-    "orders_qoq_growth" -> ((s, d) => Relational.qoqGrowth(s, d))
+    "orders_qoq_growth" -> ((s, d) => Relational.qoqGrowth(s, d)),
+    "sim_cluster_validity" ->
+      ((s, d) => Similarity.clusterValidity(s, d)),
+    "events_session_value" ->
+      ((s, d) => EventAnalytics.sessionValue(s, d)),
+    "events_value_dist" -> ((s, d) => EventAnalytics.valueDist(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2683,6 +2688,88 @@ object SparkEntry {
              ROUND((CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
                / CAST(prev_c AS DOUBLE), 6) END AS qoq_growth
          FROM g ORDER BY c_mktsegment, quarter""",
+    "sim_cluster_validity" ->
+      """WITH dims AS (SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             unnest(embedding) AS val
+           FROM embeddings),
+         cent AS (SELECT cid, list(CAST(c AS FLOAT) ORDER BY d) AS cemb
+           FROM (SELECT label AS cid, d,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                     AS DOUBLE) / COUNT(*) AS c
+                 FROM dims GROUP BY label, d)
+           GROUP BY cid),
+         sc AS (SELECT e.vec_id, e.label,
+             MAX(CASE WHEN c.cid = e.label THEN
+               list_cosine_similarity(e.embedding, c.cemb) END) AS own,
+             MAX(CASE WHEN c.cid <> e.label THEN
+               list_cosine_similarity(e.embedding, c.cemb) END)
+               AS best_other
+           FROM embeddings e CROSS JOIN cent c GROUP BY 1, 2)
+         SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(CAST(own AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 4) AS avg_own,
+           ROUND(CAST(SUM(CAST(CAST(best_other AS DOUBLE)
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS avg_other,
+           ROUND(ROUND(CAST(SUM(CAST(CAST(own AS DOUBLE)
+               AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4)
+             - ROUND(CAST(SUM(CAST(CAST(best_other AS DOUBLE)
+               AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4), 4)
+             AS margin,
+           ROUND(CAST(SUM(CASE WHEN best_other > own THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 4) AS share_confused
+         FROM sc GROUP BY label ORDER BY label""",
+    "events_session_value" ->
+      """WITH s AS (SELECT user_id, ts, event_id, value,
+             CASE WHEN lag_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(lag_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts, event_id, value,
+                   LAG(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS lag_ts
+                 FROM events) a),
+         sess AS (SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid,
+             value
+           FROM s),
+         sv AS (SELECT user_id, sid,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_c
+           FROM sess GROUP BY 1, 2),
+         tt AS (SELECT COUNT(*) AS ns, CAST(SUM(value_c) AS BIGINT)
+             AS vc FROM sv),
+         hist AS (SELECT value_c // 100 AS value_d, COUNT(*) AS cnt
+           FROM sv GROUP BY 1),
+         cd AS (SELECT value_d, cnt,
+             SUM(cnt) OVER (ORDER BY value_d) AS cum FROM hist)
+         SELECT MAX(tt.ns) AS n_sessions,
+           ROUND(CAST(MAX(tt.vc) AS DOUBLE) / (MAX(tt.ns) * 100), 2)
+             AS mean_value,
+           CAST(MIN(CASE WHEN cum >= (tt.ns + 1) // 2 THEN value_d END)
+             AS BIGINT) AS p50_value_d,
+           CAST(MIN(CASE WHEN cum * 10 >= tt.ns * 9 THEN value_d END)
+             AS BIGINT) AS p90_value_d
+         FROM cd, tt""",
+    "events_value_dist" ->
+      """WITH hist AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         cd AS (SELECT event_type, v_c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS tot,
+             SUM(v_c * cnt) OVER (PARTITION BY event_type) AS wsum
+           FROM hist)
+         SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_events,
+           ROUND(CAST(MAX(wsum) AS DOUBLE) / (MAX(tot) * 100), 4)
+             AS mean_value,
+           ROUND(CAST(MIN(CASE WHEN cum >= (tot + 1) // 2
+             THEN v_c END) AS DOUBLE) / 100, 2) AS p50_value,
+           ROUND(CAST(MIN(CASE WHEN cum * 10 >= tot * 9
+             THEN v_c END) AS DOUBLE) / 100, 2) AS p90_value,
+           ROUND(CAST(MIN(CASE WHEN cum * 100 >= tot * 99
+             THEN v_c END) AS DOUBLE) / 100, 2) AS p99_value
+         FROM cd GROUP BY event_type ORDER BY event_type""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -596,6 +596,79 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** SESSION-VALUE distribution — what a session is worth: gap-split
+    * sessions ([[sessionize]]'s lag/cumsum kernel, 30-min gap) carry
+    * their summed event value in exact integer cents; the census is
+    * session count, decimal-exact mean, and p50/p90 cut at DOLLAR
+    * granularity (the RFM banding trick: the dollar histogram is
+    * value-DOMAIN-bounded where raw cents would be session-count-
+    * sized, so the CDF window never scales with sessions).
+    *
+    * One per-user window pass, one session-grain agg, one dollar
+    * histogram + tiny CDF, a 1-row census. */
+  def sessionValue(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(spark, dir, "events")
+      .withColumn("lag_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("lag_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("lag_ts")) >
+            1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("value_c"))
+    val totals = sessions.agg(count(lit(1)).as("ns"),
+      sum(col("value_c")).as("vc"))
+    val hist = sessions
+      .select(expr("value_c div 100").as("value_d"))
+      .groupBy(col("value_d")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("value_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(totals)) // 1-row totals
+      .agg(max(col("ns")).as("n_sessions"),
+        round(max(col("vc")).cast("double") /
+          (max(col("ns")) * 100L).cast("double"), 2).as("mean_value"),
+        min(when(col("cum") >= expr("(ns + 1) div 2"), col("value_d")))
+          .as("p50_value_d"),
+        min(when(col("cum") * 10 >= col("ns") * 9, col("value_d")))
+          .as("p90_value_d"))
+  }
+
+  /** Event-VALUE distribution per type — exact percentiles over the
+    * bounded value domain (cents histogram: the `value` column lives
+    * in [0, 100], so the per-type CDF window scans ≤10⁴ rows at any
+    * corpus size — the cleanest instance of the histogram-quantile
+    * family). Mean is decimal-exact. */
+  def valueDist(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      .withColumn("wsum", sum(col("v_c") * col("cnt")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_events"),
+        round(max(col("wsum")).cast("double") /
+          (max(col("tot")) * 100L).cast("double"), 4).as("mean_value"),
+        round(min(when(col("cum") >= expr("(tot + 1) div 2"),
+          col("v_c"))).cast("double") / 100, 2).as("p50_value"),
+        round(min(when(col("cum") * 10 >= col("tot") * 9,
+          col("v_c"))).cast("double") / 100, 2).as("p90_value"),
+        round(min(when(col("cum") * 100 >= col("tot") * 99,
+          col("v_c"))).cast("double") / 100, 2).as("p99_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** NEW vs RETURNING daily traffic split — the composition census
     * behind every growth dashboard's stacked area: per day, events from
     * users on their FIRST active day vs events from returners, plus

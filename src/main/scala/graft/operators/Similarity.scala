@@ -949,6 +949,46 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Cluster VALIDITY census (Davies–Bouldin-lite) — is the label
+    * structure actually separable in embedding space? Per label:
+    * cohesion (mean cosine of members to their OWN centroid),
+    * confusion (mean cosine to the best OTHER centroid), the margin
+    * between them, and the share of members that sit closer to a
+    * foreign centroid — the number that predicts both clustering
+    * quality and the label-blocked dedup/ANN rows' blocking validity.
+    *
+    * Centroids are the [[kmRederive]] exact-decimal means (f32 lanes,
+    * engine-identical); the |labels|-row centroid array broadcasts and
+    * every vector scores all centroids in one narrow map (transform
+    * HOF — no row expand). One corpus pass, |labels|-row census. */
+  def clusterValidity(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val cents = kmCentArr(kmRederive(
+      e.select(col("vec_id"), col("embedding"), col("label").as("cid"))))
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    e.join(broadcast(cents)) // 1-row centroid array
+      .withColumn("own", expr(
+        """array_max(transform(filter(cents, s -> s.cid = label),
+             s -> graft_cosine_f32(embedding, s.cemb)))"""))
+      .withColumn("best_other", expr(
+        """array_max(transform(filter(cents, s -> s.cid != label),
+             s -> graft_cosine_f32(embedding, s.cemb)))"""))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(d9(col("own"))).cast("double") / count(lit(1)), 4)
+          .as("avg_own"),
+        round(sum(d9(col("best_other"))).cast("double") / count(lit(1)), 4)
+          .as("avg_other"),
+        round(sum(when(col("best_other") > col("own"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("share_confused"))
+      .select(col("label"), col("n_vecs"), col("avg_own"),
+        col("avg_other"),
+        round(col("avg_own") - col("avg_other"), 4).as("margin"),
+        col("share_confused"))
+      .orderBy(col("label"))
+  }
+
   /** Johnson–Lindenstrauss random-projection DISTORTION census — the
     * measured answer to "can this corpus live in 16 dims": vectors
     * project through a deterministic ±1 matrix (md5-parity entries —

@@ -2375,4 +2375,69 @@ class Round10OpsSpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
     assert(got === expected)
   }
+
+  test("sim_cluster_validity: margin identity holds and cohesion beats " +
+    "confusion on the labeled corpus") {
+    import graft.operators.Similarity
+    val sizes = Tables(spark, sf0001, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Similarity.clusterValidity(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length === sizes.size)
+    got.foreach { case (l, n, own, other, margin, confused) =>
+      assert(n === sizes(l))
+      assert(margin === BigDecimal(own - other)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // NOTE: no own > other assertion — best_other is a MAX over 9
+      // foreign centroids, and on this weakly-clustered corpus it can
+      // exceed the single own-centroid cosine. That near-zero (or
+      // negative) margin IS the measurement the row exists to surface.
+      assert(own >= -1.0 && own <= 1.0 && other >= -1.0 && other <= 1.0)
+      assert(confused >= 0.0 && confused <= 1.0)
+    }
+  }
+
+  test("events_session_value: session population equals sessionize and " +
+    "total cents reconcile with the corpus") {
+    import graft.operators.EventAnalytics
+    val sessTotal = EventAnalytics.sessionize(spark, sf0001).collect()
+      .map(_.getLong(1)).sum
+    val r = EventAnalytics.sessionValue(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === sessTotal)
+    val totalCents = Tables(spark, sf0001, "events")
+      .select(sum(round(col("value") * 100).cast("long"))).collect()(0)
+      .getLong(0)
+    assert(r.getDouble(1) === BigDecimal(
+      totalCents.toDouble / (sessTotal * 100))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(2) <= r.getLong(3))
+  }
+
+  test("events_value_dist equals a driver-side cents-histogram cut") {
+    import graft.operators.EventAnalytics
+    val rows = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val expected = rows.groupBy(_._1).map { case (t, xs) =>
+      val gs = xs.map(_._2).sorted
+      val n = gs.length.toLong
+      def thr(cond: Long => Boolean): Long = {
+        var cum = 0L
+        gs.groupBy(identity(_)).toSeq.sortBy(_._1)
+          .find { case (_, g) => cum += g.length; cond(cum) }.get._1
+      }
+      def d2(c: Long) = BigDecimal(c.toDouble / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, n, BigDecimal(gs.sum.toDouble / (n * 100))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        d2(thr(c => c >= (n + 1) / 2)), d2(thr(c => c * 10 >= n * 9)),
+        d2(thr(c => c * 100 >= n * 99)))
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.valueDist(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+  }
 }
