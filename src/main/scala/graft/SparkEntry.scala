@@ -339,7 +339,11 @@ object SparkEntry {
       ((s, d) => Similarity.clusterValidity(s, d)),
     "events_session_value" ->
       ((s, d) => EventAnalytics.sessionValue(s, d)),
-    "events_value_dist" -> ((s, d) => EventAnalytics.valueDist(s, d))
+    "events_value_dist" -> ((s, d) => EventAnalytics.valueDist(s, d)),
+    "dq_freshness" -> ((s, d) => Quality.dqFreshness(s, d)),
+    "events_conversion_by_activity" ->
+      ((s, d) => EventAnalytics.conversionByActivity(s, d)),
+    "orders_basket_profile" -> ((s, d) => Relational.basketProfile(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2770,6 +2774,40 @@ object SparkEntry {
            ROUND(CAST(MIN(CASE WHEN cum * 100 >= tot * 99
              THEN v_c END) AS DOUBLE) / 100, 2) AS p99_value
          FROM cd GROUP BY event_type ORDER BY event_type""",
+    "dq_freshness" ->
+      """WITH u AS (SELECT 'events' AS table_name, MAX(ts) AS mx
+             FROM events
+           UNION ALL SELECT 'orders', MAX(o_orderdate) FROM orders),
+         nw AS (SELECT MAX(mx) AS newest FROM u)
+         SELECT table_name,
+           strftime(mx, '%Y-%m-%d %H:%M:%S') AS watermark,
+           CAST((epoch_us(newest) // 1000000
+             - epoch_us(mx) // 1000000) // 3600 AS BIGINT) AS lag_hours
+         FROM u, nw ORDER BY table_name""",
+    "events_conversion_by_activity" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+           FROM events GROUP BY 1)
+         SELECT CASE WHEN n < 8 THEN 'a_lt8' WHEN n < 16 THEN 'b_8_15'
+             WHEN n < 32 THEN 'c_16_31' WHEN n < 64 THEN 'd_32_63'
+             ELSE 'e_64plus' END AS band,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+         FROM pu GROUP BY 1 ORDER BY band""",
+    "orders_basket_profile" ->
+      """WITH po AS (SELECT o_orderkey, COUNT(*) AS n_lines,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1)
+         SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           price_c // 5000000 AS value_band,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / (COUNT(*) * 100), 2)
+             AS avg_value
+         FROM po GROUP BY 1, 2 ORDER BY n_lines, value_band""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

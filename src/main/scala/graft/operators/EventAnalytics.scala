@@ -596,6 +596,34 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** Conversion rate BY ACTIVITY BAND — does more engagement convert?
+    * Users banded by total event count (fixed integer band edges
+    * 8/16/32/64 — a CASE ladder, no float log2 boundary to disagree
+    * on), each band reporting its user count, purchasers, and
+    * conversion rate. The anti-causal reading (purchases inflate the
+    * count) is the analyst's problem; the query's job is the exact
+    * census. Two user-grain aggs, a ≤5-row output. */
+  def conversionByActivity(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    perUser
+      .select(
+        when(col("n") < 8, "a_lt8").when(col("n") < 16, "b_8_15")
+          .when(col("n") < 32, "c_16_31").when(col("n") < 64, "d_32_63")
+          .otherwise("e_64plus").as("band"),
+        col("converted"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("band"), col("n_users"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 6).as("conversion_rate"))
+      .orderBy(col("band"))
+  }
+
   /** SESSION-VALUE distribution — what a session is worth: gap-split
     * sessions ([[sessionize]]'s lag/cumsum kernel, 30-min gap) carry
     * their summed event value in exact integer cents; the census is

@@ -170,6 +170,29 @@ object Quality {
       .orderBy(col("rk"))
   }
 
+  /** Data-FRESHNESS census — the first page of every pipeline runbook:
+    * each time-bearing table's watermark (max event/order time) and
+    * its lag in whole hours behind the freshest table. Two scans
+    * pruned to one timestamp column each; integer hour arithmetic on
+    * epoch seconds. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, dir, "events")
+      .agg(max(col("ts")).as("mx")).select(lit("events").as("table_name"),
+        col("mx"))
+    val od = Tables(spark, dir, "orders")
+      .agg(max(col("o_orderdate")).as("mx"))
+      .select(lit("orders").as("table_name"), col("mx"))
+    val u = ev.unionAll(od)
+    val newest = u.agg(max(col("mx")).as("newest"))
+    u.crossJoin(broadcast(newest)) // 1-row freshest watermark
+      .select(col("table_name"),
+        date_format(col("mx"), "yyyy-MM-dd HH:mm:ss").as("watermark"),
+        ((unix_timestamp(col("newest")) - unix_timestamp(col("mx")))
+          / 3600L).cast("long").as("lag_hours"))
+      .orderBy(col("table_name"))
+  }
+
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val l = Tables(spark, dir, "lineitem")

@@ -995,6 +995,29 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Basket PROFILE — the joint (lines-per-order × value-band) census:
+    * do bigger baskets mean bigger orders, cell by cell? Lines counted
+    * from the fact join; order value banded at exact $50k integer-cent
+    * boundaries (value div 5_000_000 cents). Cells carry order count
+    * and exact-decimal mean value. One co-partitioned fact join, one
+    * order-grain agg, a band-bounded census. */
+  def basketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), e2(col("o_totalprice")).as("price_c"))
+    val perOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), max(col("price_c")).as("price_c"))
+    perOrder
+      .select(col("n_lines"),
+        expr("price_c div 5000000").as("value_band"), col("price_c"))
+      .groupBy(col("n_lines"), col("value_band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(usum(col("price_c")).cast("double") /
+          (count(lit(1)) * 100L), 2).as("avg_value"))
+      .orderBy(col("n_lines"), col("value_band"))
+  }
+
   /** Quarter-over-quarter revenue growth per market segment — the board
     * table: exact-decimal quarterly revenue, previous quarter via LAG
     * over the calendar-bounded series, growth as one double division

@@ -2440,4 +2440,63 @@ class Round10OpsSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
     assert(got === expected)
   }
+
+  test("dq_freshness: the freshest table lags zero hours and lags are " +
+    "exact truncated-hour arithmetic") {
+    import graft.operators.Quality
+    val got = Quality.dqFreshness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq("events", "orders"))
+    assert(got.exists(_._3 == 0L), "one table is the freshest")
+    got.foreach { case (_, _, lag) => assert(lag >= 0L) }
+  }
+
+  test("events_conversion_by_activity: bands partition users and rates " +
+    "recompute exactly") {
+    import graft.operators.EventAnalytics
+    val pu = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    def band(n: Long): String =
+      if (n < 8) "a_lt8" else if (n < 16) "b_8_15"
+      else if (n < 32) "c_16_31" else if (n < 64) "d_32_63"
+      else "e_64plus"
+    val expected = pu.groupBy(x => band(x._1)).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).sum,
+        BigDecimal(xs.map(_._2).sum.toDouble / xs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = EventAnalytics.conversionByActivity(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === pu.length.toLong)
+  }
+
+  test("orders_basket_profile: cells partition the joined orders and " +
+    "means recompute") {
+    import graft.operators.Relational
+    val po = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("nl"),
+        max(round(col("o_totalprice") * 100).cast("long")).as("pc"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val expected = po.groupBy(x => (x._1, x._2 / 5000000)).map {
+      case ((nl, vb), xs) =>
+        (nl, vb, xs.length.toLong,
+          BigDecimal(xs.map(x => BigInt(x._2)).sum.toDouble /
+            (xs.length * 100))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = Relational.basketProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum === po.length.toLong)
+  }
 }
