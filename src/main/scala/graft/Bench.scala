@@ -140,7 +140,8 @@ object Bench {
     // against a min-of-derived floor would flag clean rounds. Update the
     // env default when a new clean floor is recorded.
     val bestPerQ = sys.env.get("SPARK_GRAFT_BENCH_BEST_PER_QUERY")
-      .map(_.trim.toDouble).getOrElse(0.80)
+      .map(_.trim.toDouble).getOrElse(0.77) // round-10 clean floor 0.764
+
     val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =
       math.rint(r.values.filter(_ >= 0).sum * 1000) / 1000
