@@ -343,7 +343,11 @@ object SparkEntry {
     "dq_freshness" -> ((s, d) => Quality.dqFreshness(s, d)),
     "events_conversion_by_activity" ->
       ((s, d) => EventAnalytics.conversionByActivity(s, d)),
-    "orders_basket_profile" -> ((s, d) => Relational.basketProfile(s, d))
+    "orders_basket_profile" -> ((s, d) => Relational.basketProfile(s, d)),
+    "events_attribution_touch" ->
+      ((s, d) => EventAnalytics.attributionTouch(s, d)),
+    "events_wow_growth" -> ((s, d) => EventAnalytics.wowGrowth(s, d)),
+    "text_ttr_curve" -> ((s, d) => TextAnalysis.ttrCurve(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2808,6 +2812,59 @@ object SparkEntry {
            ROUND(CAST(SUM(price_c) AS DOUBLE) / (COUNT(*) * 100), 2)
              AS avg_value
          FROM po GROUP BY 1, 2 ORDER BY n_lines, value_band""",
+    "events_attribution_touch" ->
+      """WITH t AS (SELECT event_type,
+             COALESCE(first_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'none') AS ft,
+             COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'none') AS lt
+           FROM events),
+         p AS (SELECT ft, lt FROM t WHERE event_type = 'purchase'),
+         f AS (SELECT ft AS channel, COUNT(*) AS fc FROM p GROUP BY 1),
+         l AS (SELECT lt AS channel, COUNT(*) AS lc FROM p GROUP BY 1)
+         SELECT COALESCE(f.channel, l.channel) AS channel,
+           CAST(COALESCE(f.fc, 0) AS BIGINT) AS first_touch_credits,
+           CAST(COALESCE(l.lc, 0) AS BIGINT) AS last_touch_credits
+         FROM f FULL OUTER JOIN l ON f.channel = l.channel
+         ORDER BY channel""",
+    "events_wow_growth" ->
+      """WITH weekly AS (SELECT event_type,
+             date_trunc('week', ts) AS wk, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, wk, n,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY wk)
+               AS prev
+           FROM weekly)
+         SELECT event_type, strftime(wk, '%Y-%m-%d') AS week,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN prev IS NOT NULL THEN
+             ROUND(CAST(n - prev AS DOUBLE) / prev, 6) END AS wow_growth
+         FROM g ORDER BY event_type, week""",
+    "text_ttr_curve" ->
+      """WITH d AS (SELECT
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+           FROM documents),
+         b AS (SELECT CASE WHEN n_tok < 32 THEN 'a_lt32'
+               WHEN n_tok < 64 THEN 'b_32_63'
+               WHEN n_tok < 128 THEN 'c_64_127'
+               WHEN n_tok < 256 THEN 'd_128_255'
+               ELSE 'e_256plus' END AS band,
+             n_tok,
+             CAST(CAST(n_uniq AS DOUBLE) / n_tok AS DECIMAL(18,9))
+               AS ttr
+           FROM d WHERE n_tok > 0)
+         SELECT band, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 2) AS mean_len,
+           ROUND(CAST(SUM(ttr) AS DOUBLE) / COUNT(*), 6) AS mean_ttr
+         FROM b GROUP BY 1 ORDER BY band""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -596,6 +596,62 @@ object EventAnalytics {
       .orderBy(col("hop"))
   }
 
+  /** First-touch vs LAST-touch attribution census — the two naive
+    * models every marketing mix starts from, side by side: for each
+    * purchase, the user's earliest and latest preceding non-purchase
+    * event type (within the whole history — the as-of rows handle
+    * windows) each earn one credit; the census shows how differently
+    * the two models pay out per channel, which is the argument for the
+    * multi-touch models. Both touches come from ONE per-user window
+    * sort (first_value/last_value with a conditional column, shared
+    * frame); purchases with no preceding touch are counted under
+    * 'none'. Exact counts only.
+    */
+  def attributionTouch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val p = Tables(spark, dir, "events")
+      .withColumn("first_touch",
+        first(touch, ignoreNulls = true).over(byUser))
+      .withColumn("last_touch",
+        last(touch, ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("first_touch"), lit("none")).as("ft"),
+        coalesce(col("last_touch"), lit("none")).as("lt"))
+    val f = p.groupBy(col("ft").as("channel"))
+      .agg(count(lit(1)).as("first_touch_credits"))
+    val l = p.groupBy(col("lt").as("channel"))
+      .agg(count(lit(1)).as("last_touch_credits"))
+    f.join(l, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch_credits"), lit(0L))
+          .as("first_touch_credits"),
+        coalesce(col("last_touch_credits"), lit(0L))
+          .as("last_touch_credits"))
+      .orderBy(col("channel"))
+  }
+
+  /** Week-over-week volume growth per event type — the ops trend table
+    * ([[graft.operators.Relational.qoqGrowth]]'s sibling at stream
+    * grain): ISO-week rollup, LAG for the prior week, growth as one
+    * double division, NULL on each type's first week. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly.withColumn("prev", lag(col("n"), 1).over(w))
+      .select(col("event_type"),
+        date_format(col("wk"), "yyyy-MM-dd").as("week"), col("n"),
+        when(col("prev").isNotNull,
+          round((col("n") - col("prev")).cast("double") /
+            col("prev").cast("double"), 6)).as("wow_growth"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** Conversion rate BY ACTIVITY BAND — does more engagement convert?
     * Users banded by total event count (fixed integer band edges
     * 8/16/32/64 — a CASE ladder, no float log2 boundary to disagree

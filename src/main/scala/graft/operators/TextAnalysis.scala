@@ -964,6 +964,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** TTR-vs-length CONTROL curve — type-token ratio naturally falls
+    * with document length (more tokens, proportionally fewer new
+    * types), so comparing raw TTR across sources of different length
+    * mixes is a classic analysis error; this row measures the control
+    * curve itself: documents banded by integer token-count edges
+    * (32/64/128/256), each band's decimal-exact mean TTR and mean
+    * length. Downstream quality thresholds should be read against this
+    * curve, not a global cut. One doc-grain pass, ≤5-row census. */
+  def ttrCurve(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(tokenCount(col("text")).as("n_tok"),
+        distinctTokenCount(col("text")).as("n_uniq"))
+      .filter(col("n_tok") > 0)
+      .select(
+        when(col("n_tok") < 32, "a_lt32")
+          .when(col("n_tok") < 64, "b_32_63")
+          .when(col("n_tok") < 128, "c_64_127")
+          .when(col("n_tok") < 256, "d_128_255")
+          .otherwise("e_256plus").as("band"),
+        col("n_tok"),
+        (col("n_uniq").cast("double") / col("n_tok").cast("double"))
+          .cast("decimal(18,9)").as("ttr"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 2)
+          .as("mean_len"),
+        round(sum(col("ttr")).cast("double") / count(lit(1)), 6)
+          .as("mean_ttr"))
+      .orderBy(col("band"))
+
   /** Curation-gate REDUNDANCY census — which of
     * [[curationPipeline]]'s four gates are unique catchers and which
     * overlap: every train document's INDEPENDENT failure flags

@@ -2499,4 +2499,68 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._3).sum === po.length.toLong)
   }
+
+  test("events_attribution_touch: both models distribute exactly one " +
+    "credit per purchase and recompute driver-side") {
+    import graft.operators.EventAnalytics
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).getTime, r.getLong(2),
+        r.getString(3)))
+    val tsOrd = implicitly[Ordering[(Long, Long)]]
+    val credits = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3))(tsOrd)
+      s.zipWithIndex.filter(_._1._4 == "purchase").map { case (_, i) =>
+        val before = s.take(i).map(_._4).filter(_ != "purchase")
+        (before.headOption.getOrElse("none"),
+          before.lastOption.getOrElse("none"))
+      }
+    }
+    val nPurch = credits.length.toLong
+    val expF = credits.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expL = credits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.attributionTouch(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum === nPurch)
+    assert(got.map(_._3).sum === nPurch)
+    got.foreach { case (ch, fc, lc) =>
+      assert(fc === expF.getOrElse(ch, 0L), s"first-touch $ch")
+      assert(lc === expL.getOrElse(ch, 0L), s"last-touch $ch")
+    }
+  }
+
+  test("events_wow_growth: first week per type has null growth; " +
+    "growth recomputes from counts") {
+    import graft.operators.EventAnalytics
+    val got = EventAnalytics.wowGrowth(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    got.groupBy(_._1).values.foreach { xs =>
+      val s = xs.sortBy(_._2)
+      assert(s.head._4.isEmpty)
+      s.zip(s.drop(1)).foreach { case (a, b) =>
+        assert(b._4.contains(BigDecimal(
+          (b._3 - a._3).toDouble / a._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+  }
+
+  test("text_ttr_curve: bands partition docs and TTR falls with length") {
+    import graft.operators.TextAnalysis
+    val nDocs = Tables(spark, sf0001, "documents")
+      .filter(size(split(col("text"), " ")) > 0).count()
+    val got = TextAnalysis.ttrCurve(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._2).sum === nDocs)
+    // the control curve: mean TTR is non-increasing as bands lengthen
+    val s = got.sortBy(_._1)
+    s.zip(s.drop(1)).foreach { case (a, b) =>
+      assert(b._4 <= a._4 + 1e-9,
+        s"TTR must fall with length: ${a._1} ${a._4} -> ${b._1} ${b._4}")
+    }
+  }
 }
