@@ -347,7 +347,8 @@ object SparkEntry {
     "events_attribution_touch" ->
       ((s, d) => EventAnalytics.attributionTouch(s, d)),
     "events_wow_growth" -> ((s, d) => EventAnalytics.wowGrowth(s, d)),
-    "text_ttr_curve" -> ((s, d) => TextAnalysis.ttrCurve(s, d))
+    "text_ttr_curve" -> ((s, d) => TextAnalysis.ttrCurve(s, d)),
+    "dedup_hot_shingles" -> ((s, d) => DedupOps.hotShingleCensus(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -869,8 +870,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2)
          SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 3) AS jaccard
          FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
@@ -886,8 +889,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2)
          SELECT d1, d2,
            CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_doc,
@@ -1423,8 +1428,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2)
          SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
                            JOIN sizes s2 ON x.d2 = s2.doc_id
@@ -1446,8 +1453,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2),
          pairs AS (SELECT x.d1, x.d2 FROM inter x
            JOIN sizes s1 ON x.d1 = s1.doc_id
@@ -2132,9 +2141,11 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b
                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2),
          v AS (SELECT x.i, s1.n AS n1, s2.n AS n2
                FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
@@ -2349,12 +2360,14 @@ object SparkEntry {
                         for i in range(1, len(w)-1)]
                   ELSE []::VARCHAR[] END)) AS s FROM words),
          sz3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY 1),
+         ok3 AS (SELECT s FROM sh3 GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 64),
          p3 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
              CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
                AS DECIMAL(18,9)) AS jac
            FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                  FROM sh3 a JOIN sh3 b
                    ON a.s = b.s AND a.doc_id < b.doc_id
+                 JOIN ok3 f ON f.s = a.s
                  GROUP BY 1, 2) x
            JOIN sz3 s1 ON x.d1 = s1.doc_id
            JOIN sz3 s2 ON x.d2 = s2.doc_id),
@@ -2364,12 +2377,14 @@ object SparkEntry {
                         for i in range(1, len(w)-3)]
                   ELSE []::VARCHAR[] END)) AS s FROM words),
          sz5 AS (SELECT doc_id, COUNT(*) AS n FROM sh5 GROUP BY 1),
+         ok5 AS (SELECT s FROM sh5 GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 64),
          p5 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
              CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
                AS DECIMAL(18,9)) AS jac
            FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                  FROM sh5 a JOIN sh5 b
                    ON a.s = b.s AND a.doc_id < b.doc_id
+                 JOIN ok5 f ON f.s = a.s
                  GROUP BY 1, 2) x
            JOIN sz5 s1 ON x.d1 = s1.doc_id
            JOIN sz5 s2 ON x.d2 = s2.doc_id),
@@ -2379,12 +2394,14 @@ object SparkEntry {
                         for i in range(1, len(w)-5)]
                   ELSE []::VARCHAR[] END)) AS s FROM words),
          sz7 AS (SELECT doc_id, COUNT(*) AS n FROM sh7 GROUP BY 1),
+         ok7 AS (SELECT s FROM sh7 GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 64),
          p7 AS (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2,
              CAST(CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i)
                AS DECIMAL(18,9)) AS jac
            FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                  FROM sh7 a JOIN sh7 b
                    ON a.s = b.s AND a.doc_id < b.doc_id
+                 JOIN ok7 f ON f.s = a.s
                  GROUP BY 1, 2) x
            JOIN sz7 s1 ON x.d1 = s1.doc_id
            JOIN sz7 s2 ON x.d2 = s2.doc_id),
@@ -2656,9 +2673,11 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b
                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2),
          v AS (SELECT x.d2, x.i, s1.n AS n1, s2.n AS n2
                FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
@@ -2865,6 +2884,41 @@ object SparkEntry {
            ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 2) AS mean_len,
            ROUND(CAST(SUM(ttr) AS DOUBLE) / COUNT(*), 6) AS mean_ttr
          FROM b GROUP BY 1 ORDER BY band""",
+    "dedup_hot_shingles" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh3 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         sh5 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 5
+                  THEN [array_to_string(w[i:i+4], ' ')
+                        for i in range(1, len(w)-3)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         sh7 AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) >= 7
+                  THEN [array_to_string(w[i:i+6], ' ')
+                        for i in range(1, len(w)-5)]
+                  ELSE []::VARCHAR[] END)) AS s FROM words),
+         df3 AS (SELECT COUNT(*) AS df FROM sh3 GROUP BY s HAVING COUNT(*) > 1),
+         df5 AS (SELECT COUNT(*) AS df FROM sh5 GROUP BY s HAVING COUNT(*) > 1),
+         df7 AS (SELECT COUNT(*) AS df FROM sh7 GROUP BY s HAVING COUNT(*) > 1),
+         u AS (
+           SELECT CAST(3 AS BIGINT) AS k, df FROM df3
+           UNION ALL SELECT 5, df FROM df5
+           UNION ALL SELECT 7, df FROM df7)
+         SELECT k, COUNT(*) AS n_shared_shingles,
+           COALESCE(MAX(df), 0) AS max_df,
+           CAST(COALESCE(SUM(CAST(df > 64 AS BIGINT)), 0) AS BIGINT)
+             AS n_hot_shingles,
+           CAST(COALESCE(SUM(CASE WHEN df > 64 THEN df ELSE 0 END), 0)
+             AS BIGINT) AS postings_dropped,
+           CAST(COALESCE(SUM(CASE WHEN df > 64
+             THEN (df * (df - 1)) // 2 ELSE 0 END), 0) AS BIGINT)
+             AS pairs_avoided
+         FROM u GROUP BY k ORDER BY k""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -3223,8 +3277,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2)
          SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
                            JOIN sizes s2 ON x.d2 = s2.doc_id
@@ -3507,8 +3563,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2)
          SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
                            JOIN sizes s2 ON x.d2 = s2.doc_id
@@ -4714,8 +4772,10 @@ object SparkEntry {
                        ELSE []::VARCHAR[] END)) AS shingle
                 FROM words),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
                    GROUP BY 1, 2),
          truth AS (SELECT d1, d2
            FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
@@ -5083,9 +5143,11 @@ object SparkEntry {
                ON x.rows_per_band = y.rows_per_band AND x.band = y.band
                   AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
              FROM sh a JOIN sh b
                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             JOIN okdf k ON k.shingle = a.shingle
              GROUP BY 1, 2),
            truth AS (SELECT d1, d2 FROM (SELECT x.d1, x.d2, x.i,
                s1.n AS n1, s2.n AS n2

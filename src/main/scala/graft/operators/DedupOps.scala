@@ -65,19 +65,39 @@ object DedupOps {
     * posting relation twice; a shingle shared by m docs yields
     * m(m-1)/2 pair rows under either plan (quadratic only inside a
     * posting group — stopword-like shingles are the skew risk at
-    * 100 TB, and the mitigation there is dropping top-frequency
-    * shingles, not a different join). */
+    * 100 TB, and the mitigation is dropping top-frequency shingles:
+    * posting lists longer than [[MaxShingleDf]] are excluded from pair
+    * expansion, bounding any one task's pair fan-out at
+    * maxDf·(maxDf−1)/2 regardless of corpus skew). */
+  /** Document-frequency cap for the EXACT pair kernel's posting lists.
+    * A shingle shared by more than this many documents (a license
+    * header, template chrome, a stopword run) carries ~zero Jaccard
+    * signal but m(m−1)/2 pair rows in ONE task — standard df-capped
+    * dedup drops it from intersection counting. 64 caps a posting
+    * group at 2 016 pair rows; the synthetic corpus' max df is 25
+    * (sf0.1, k=3), so the cap changes nothing at test scale while
+    * bounding the 100 TB worst case. NOT silent: [[hotShingleCensus]]
+    * reports exactly what the cap dropped, and every affected DuckDB
+    * oracle mirrors the cap (`HAVING COUNT(*) BETWEEN 2 AND 64`).
+    * Doc sizes n1/n2 stay full-relation counts, so a capped pair's
+    * Jaccard/containment is a lower bound — the conservative
+    * direction for a dedup verdict. */
+  private[operators] val MaxShingleDf: Int = 64
+
   /** Candidate pair statistics (d1 < d2, shared-shingle intersection
-    * size, both distinct-shingle counts) — the single-posting-shuffle
-    * kernel [[ngramJaccardPairs]], [[containmentPairs]], and
-    * [[asymmetryCensus]] all read, so the three rows can never disagree
-    * on what a candidate pair IS. */
-  private def shinglePairStats(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRel(spark, dir)
+    * size, both distinct-shingle counts) over an arbitrary
+    * (doc_id, shingle) relation — the single-posting-shuffle kernel
+    * [[ngramJaccardPairs]], [[containmentPairs]], [[asymmetryCensus]],
+    * [[thresholdImpact]] and [[shingleSweep]]'s three k-points ALL
+    * read, so no two rows can disagree on what a candidate pair IS.
+    * Posting lists above `maxDf` are dropped before expansion (see
+    * [[MaxShingleDf]]); sizes are computed on the FULL relation. */
+  private[operators] def shinglePairStatsOf(sh: DataFrame,
+                                            maxDf: Int = MaxShingleDf): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
              transform(slice(ds, i + 2, size(ds)),
@@ -88,6 +108,61 @@ object DedupOps {
         .withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2")
         .withColumnRenamed("n", "n2"), "d2")
+  }
+
+  private def shinglePairStats(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStatsOf(shingleRel(spark, dir))
+
+  /** (doc_id, raw k-word shingle) relation — the [[shingleSweep]] /
+    * [[hotShingleCensus]] input. Raw text (not hashed) so the census
+    * is directly comparable to the DuckDB oracle's raw-text grouping;
+    * per-shingle df is identical either way (the standing
+    * hash-collision check the k=5 production rows already rely on). */
+  private def sweepShingleRel(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), k))
+        .as("shingle"))
+
+  /** What the [[MaxShingleDf]] posting cap actually DROPS — the
+    * no-silent-caps readout for the exact pair kernel: per shingle
+    * size k ∈ {3, 5, 7}, the shared-shingle count (df ≥ 2), the max
+    * observed df, and the hot-shingle census (shingles above the cap,
+    * posting rows excluded, pair expansions avoided). On a clean
+    * corpus the hot columns are zero and max_df documents the
+    * headroom; on a boilerplate-skewed corpus this row is the first
+    * thing an operator reads before trusting the capped Jaccard rows
+    * (a capped pair's score is a lower bound — see [[MaxShingleDf]]).
+    *
+    * Scale shape: one shingle hash-agg per k (the df relation is
+    * shingle-domain-sized, never pair-expanded — counting the hot
+    * groups costs ONE aggregate where expanding them would cost
+    * df²/2 rows each), a ≤3-row union. */
+  def hotShingleCensus(spark: SparkSession, dir: String): DataFrame =
+    hotShingleCensusOf(Tables(spark, dir, "documents"))
+
+  /** [[hotShingleCensus]] over an arbitrary (doc_id, text) relation —
+    * package-private so the planted-hot-shingle skew spec can aim the
+    * census at a corpus that actually trips the cap. */
+  private[operators] def hotShingleCensusOf(docs: DataFrame): DataFrame = {
+    Seq(3, 5, 7).map { k =>
+      sweepShingleRel(docs, k)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1)
+        .agg(
+          count(lit(1)).as("n_shared_shingles"),
+          max(col("df")).as("max_df"),
+          coalesce(sum((col("df") > MaxShingleDf).cast("long")), lit(0L))
+            .as("n_hot_shingles"),
+          coalesce(sum(when(col("df") > MaxShingleDf, col("df"))
+            .otherwise(lit(0L))), lit(0L)).as("postings_dropped"),
+          coalesce(sum(when(col("df") > MaxShingleDf,
+            expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L))), lit(0L))
+            .as("pairs_avoided"))
+        .select(lit(k.toLong).as("k"), col("n_shared_shingles"),
+          coalesce(col("max_df"), lit(0L)).as("max_df"),
+          col("n_hot_shingles"), col("postings_dropped"),
+          col("pairs_avoided"))
+    }.reduce(_.union(_)).orderBy(col("k"))
   }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String,
@@ -518,6 +593,13 @@ object DedupOps {
       sum = nextSum
     }
     edges.unpersist()
+    // The FINAL labels relation stays cached deliberately (every prior
+    // round and the edge relation are released above): the convergence
+    // loop just paid for its materialization, and the caller's single
+    // materialization (sort + collect/write) would otherwise replay the
+    // whole candidate-pair lineage. The pin is bounded — one row per
+    // node that HAS a near-dup edge (candidate-graph-sized, two longs
+    // wide), not corpus-sized — and is evicted LRU or at session close.
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -879,35 +961,21 @@ object DedupOps {
     * The production rows run k=5; this row shows what moving k buys —
     * the [[lshBandTuning]] companion one level down the stack.
     *
-    * Three independent posting shuffles (one per k, each the
-    * [[shinglePairStats]] envelope on word-gram hashes) union into one
-    * 3-row census; quadratic pair expansion stays confined to posting
+    * Three independent posting shuffles (one per k, each a
+    * [[shinglePairStatsOf]] call on that k's shingle relation — ONE
+    * kernel, not three inlined copies, so the sweep can never drift
+    * from the production rows' semantics and inherits the
+    * [[MaxShingleDf]] posting cap) union into one 3-row census;
+    * quadratic pair expansion stays confined to df-capped posting
     * groups exactly as in the production rows. */
   def shingleSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    def statsFor(k: Int): DataFrame = {
-      val sh = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.shingles(col("text"), k))
-          .as("shingle"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      sh.groupBy(col("shingle"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-               transform(slice(ds, i + 2, size(ds)),
-                 y -> struct(x AS d1, y AS d2))))""")).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2")
-          .withColumnRenamed("n", "n2"), "d2")
+    def statsFor(k: Int): DataFrame =
+      shinglePairStatsOf(sweepShingleRel(docs, k))
         .select(lit(k.toLong).as("k"), col("d1"), col("d2"),
           (col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")))
             .cast("decimal(18,9)").as("jac"))
-    }
     statsFor(3).union(statsFor(5)).union(statsFor(7))
       // explode both endpoints so flagged-doc counting is exact; each
       // pair contributes two rows, so count/2 and the mean is unchanged
@@ -958,21 +1026,6 @@ object DedupOps {
       .orderBy(col("threshold"))
   }
 
-  /** Duplication × quality interaction census — the cross-signal check
-    * a curation run does before trusting either filter alone: do
-    * duplicated documents score WORSE on the quality probe's signal
-    * (boilerplate, spam) or BETTER (popular, syndicated good content)?
-    * Each answer changes whether dedup should run before or after the
-    * quality gate. Documents are flagged dup (share a 64-char-prefix
-    * fingerprint with any other doc — [[sourceDupMatrix]]'s convention)
-    * and banded by distinct-token ratio at fixed 0.5/0.75/0.9
-    * thresholds (the ratio is an exact integer division, so the band
-    * comparisons are engine-identical); the census reports docs and
-    * mean score per (dup_flag, band) cell.
-    *
-    * Scale shape: one fingerprint hash-agg for copy counts, one
-    * co-partitioned join back, one ≤8-cell census agg; scores quantize
-    * to DECIMAL(18,9) before the mean. */
   /** Resemblance-vs-containment ASYMMETRY census — the 2×2 banding of
     * every candidate pair by (Jaccard ≥ 0.5) × (containment ≥ 0.8) that
     * makes Broder's distinction actionable: the high-containment /
@@ -999,6 +1052,21 @@ object DedupOps {
           .as("avg_size_ratio"))
       .orderBy(col("jac_high"), col("cont_high"))
 
+  /** Duplication × quality interaction census — the cross-signal check
+    * a curation run does before trusting either filter alone: do
+    * duplicated documents score WORSE on the quality probe's signal
+    * (boilerplate, spam) or BETTER (popular, syndicated good content)?
+    * Each answer changes whether dedup should run before or after the
+    * quality gate. Documents are flagged dup (share a 64-char-prefix
+    * fingerprint with any other doc — [[sourceDupMatrix]]'s convention)
+    * and banded by distinct-token ratio at fixed 0.5/0.75/0.9
+    * thresholds (the ratio is an exact integer division, so the band
+    * comparisons are engine-identical); the census reports docs and
+    * mean score per (dup_flag, band) cell.
+    *
+    * Scale shape: one fingerprint hash-agg for copy counts, one
+    * co-partitioned join back, one ≤8-cell census agg; scores quantize
+    * to DECIMAL(18,9) before the mean. */
   def dupQualityCensus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables(spark, dir, "documents")

@@ -1335,19 +1335,6 @@ object EventAnalytics {
       .orderBy(col("pct"))
   }
 
-  /** Consecutive-day activity STREAKS (gaps-and-islands): each user's
-    * longest run of consecutive active days, histogrammed — the
-    * engagement-depth census behind habit metrics, and the canonical
-    * islands idiom at day granularity (the second-granularity cousin
-    * is [[sessionize]]'s gap split). Island key = day-number −
-    * row_number: constant exactly while days are consecutive, pure
-    * integer arithmetic in both engines.
-    *
-    * Scale shape: events collapse to DISTINCT (user, day) in one
-    * hash-agg (the only corpus-sized pass); the row_number window is
-    * per-user over active DAYS (calendar-bounded per user), then two
-    * group-bounded aggs funnel to the streak-length histogram (output
-    * ≤ the longest streak). */
   /** Difference-in-differences uplift readout — the causal-measurement
     * census [[abTest]]'s cross-sectional chi-square stops short of:
     * users hash-split into treat/control (deterministic parity), time
@@ -1503,6 +1490,19 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Consecutive-day activity STREAKS (gaps-and-islands): each user's
+    * longest run of consecutive active days, histogrammed — the
+    * engagement-depth census behind habit metrics, and the canonical
+    * islands idiom at day granularity (the second-granularity cousin
+    * is [[sessionize]]'s gap split). Island key = day-number −
+    * row_number: constant exactly while days are consecutive, pure
+    * integer arithmetic in both engines.
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) in one
+    * hash-agg (the only corpus-sized pass); the row_number window is
+    * per-user over active DAYS (calendar-bounded per user), then two
+    * group-bounded aggs funnel to the streak-length histogram (output
+    * ≤ the longest streak). */
   def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()

@@ -251,24 +251,6 @@ object Graph {
       .orderBy(col("label"))
   }
 
-  /** Common-neighbor link prediction over the k-NN similarity graph —
-    * the candidate generator a graph-ANN refiner or a
-    * "related documents" recommender runs on the neighbor structure
-    * [[Similarity.knnEdges]] already built: for every NON-adjacent
-    * vertex pair sharing at least one neighbor, the common-neighbor
-    * count and the neighborhood Jaccard (|Γa∩Γb| / |Γa∪Γb|), reported
-    * as a per-label census (candidate pairs, strongest overlap, mean
-    * Jaccard).
-    *
-    * Scale shape: the k-NN edge set is degree-BOUNDED by construction
-    * (≤k out-edges per vertex, ≤2k after symmetrization), so the wedge
-    * join through the shared-neighbor center emits at most C(2k,2)
-    * pairs per vertex — linear in the corpus, never the all-pairs
-    * space. Adjacency check is a left-anti join of the wedge relation
-    * against the (equally bounded) edge relation; degrees come from
-    * one vertex-grain agg joined back on the candidate endpoints.
-    * Per-pair Jaccard quantizes to DECIMAL(18,9) before the mean so
-    * the sum is order-independent. */
   /** k-core PEEL TRACE over the k-NN similarity graph — the
     * graph-density diagnostic an HNSW/NSG builder or a community miner
     * reads before trusting the structure: iteratively delete vertices
@@ -321,6 +303,24 @@ object Graph {
     out.orderBy(col("round"), col("label"))
   }
 
+  /** Common-neighbor link prediction over the k-NN similarity graph —
+    * the candidate generator a graph-ANN refiner or a
+    * "related documents" recommender runs on the neighbor structure
+    * [[Similarity.knnEdges]] already built: for every NON-adjacent
+    * vertex pair sharing at least one neighbor, the common-neighbor
+    * count and the neighborhood Jaccard (|Γa∩Γb| / |Γa∪Γb|), reported
+    * as a per-label census (candidate pairs, strongest overlap, mean
+    * Jaccard).
+    *
+    * Scale shape: the k-NN edge set is degree-BOUNDED by construction
+    * (≤k out-edges per vertex, ≤2k after symmetrization), so the wedge
+    * join through the shared-neighbor center emits at most C(2k,2)
+    * pairs per vertex — linear in the corpus, never the all-pairs
+    * space. Adjacency check is a left-anti join of the wedge relation
+    * against the (equally bounded) edge relation; degrees come from
+    * one vertex-grain agg joined back on the candidate endpoints.
+    * Per-pair Jaccard quantizes to DECIMAL(18,9) before the mean so
+    * the sum is order-independent. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
     val edges = Similarity.knnEdges(spark, dir, 3)
       .select(col("label"), col("v1"), col("v2"))

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Planted-hot-shingle skew guard for the EXACT pair kernel.
+  *
+  * The round-10 verdict's one `weak`: [[DedupOps.shinglePairStatsOf]]
+  * expands ordered doc pairs INSIDE each shingle's posting group, so a
+  * boilerplate shingle shared by m documents (license header, template
+  * chrome) would put m(m−1)/2 pair rows in ONE task at 100 TB. The
+  * [[DedupOps.MaxShingleDf]] cap bounds that; the synthetic corpus has
+  * no hot shingle (max df 25 at sf0.1), so this spec PLANTS one —
+  * 500 otherwise-unique docs sharing a single 5-word shingle — and
+  * asserts:
+  *   1. uncapped, the kernel would emit the full 500·499/2 quadratic
+  *      pair set (the failure mode is real, not hypothetical);
+  *   2. capped at the default, the hot group expands NOTHING — output
+  *      is exactly the one genuine near-dup pair;
+  *   3. the genuine near-dup verdict (inter, n1, n2) is bit-identical
+  *      with and without the cap — dropping a >maxDf shingle never
+  *      changes a pair that doesn't depend on it;
+  *   4. [[DedupOps.hotShingleCensusOf]] reports the drop (1 hot
+  *      shingle, 500 postings, 124 750 pairs avoided) — the cap is
+  *      not silent.
+  */
+class HotShingleCapSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private val hot = "hotword shingleword alphaword betaword gammaword"
+
+  /** 500 docs sharing ONE 5-gram + two genuine near-dups (19 of 20
+    * words shared, no hot shingle). */
+  private lazy val docs = {
+    val hotDocs = (1000 until 1500).map { i =>
+      (i.toLong, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }
+    val base = (1 to 19).map(j => s"common$j").mkString(" ")
+    val nearDups = Seq(
+      (1L, s"$base tail1"),
+      (2L, s"$base tail2"))
+    (hotDocs ++ nearDups).toDF("doc_id", "text")
+  }
+
+  private def pairs(maxDf: Int) =
+    DedupOps.shinglePairStatsOf(DedupOps.shingleRelOf(spark, docs), maxDf)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+
+  test("uncapped kernel explodes the planted hot group quadratically") {
+    val uncapped = pairs(Int.MaxValue)
+    // 500*499/2 hot pairs + 1 genuine near-dup pair
+    assert(uncapped.length === 500 * 499 / 2 + 1)
+  }
+
+  test("default cap drops the hot group, keeps the genuine pair intact") {
+    val capped = pairs(DedupOps.MaxShingleDf)
+    assert(capped.length === 1)
+    val (d1, d2, inter, n1, n2) = capped.head
+    assert((d1, d2) === (1L, 2L))
+    // 20 words, k=5 -> 16 shingles each; only the shingle containing
+    // the changed word 20 differs -> intersection 15
+    assert((inter, n1, n2) === (15L, 16L, 16L))
+    // the same pair under NO cap carries the identical verdict — the
+    // cap only removes pairs, it never changes a surviving one
+    val uncappedPair = pairs(Int.MaxValue).find(p => p._1 == 1L && p._2 == 2L)
+    assert(uncappedPair.contains(capped.head))
+  }
+
+  test("sweep k=5 path is bit-equal to the production kernel (no drift)") {
+    // the sweep routes raw-text shingles through the SAME kernel the
+    // production rows use on hashed shingles; their pair stats must
+    // agree exactly (this doubles as the standing hash-collision check)
+    val real = Tables(spark, sf0001, "documents")
+    def collect(sh: org.apache.spark.sql.DataFrame) =
+      DedupOps.shinglePairStatsOf(sh)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+    val viaHash = collect(DedupOps.shingleRelOf(spark, real))
+    val viaText = collect(real.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 5))
+        .as("shingle")))
+    assert(viaHash.nonEmpty)
+    assert(viaHash === viaText)
+  }
+
+  test("hot-shingle census reports exactly what the cap dropped") {
+    val k5 = DedupOps.hotShingleCensusOf(docs)
+      .filter(col("k") === 5).collect().head
+    assert(k5.getAs[Long]("n_hot_shingles") === 1L)
+    assert(k5.getAs[Long]("max_df") === 500L)
+    assert(k5.getAs[Long]("postings_dropped") === 500L)
+    assert(k5.getAs[Long]("pairs_avoided") === 500L * 499L / 2L)
+    // the near-dup base shingles (df=2) are shared but NOT hot
+    assert(k5.getAs[Long]("n_shared_shingles") > 1L)
+  }
+}
