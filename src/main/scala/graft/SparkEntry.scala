@@ -2225,10 +2225,14 @@ object SparkEntry {
            FROM dots),
          rb AS (SELECT d.qid, d.vec_id, ROW_NUMBER() OVER
              (PARTITION BY d.qid ORDER BY
-               CAST(d.dot AS DOUBLE) / (sqrt(CAST(m.m2 AS DOUBLE))
-                 * sqrt(CAST(n2.nsq AS DOUBLE))) DESC, d.vec_id) AS rk
+               CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(dn.nsq AS DOUBLE)
+                    + sqrt(CAST(m.m2 - dn.nsq AS DOUBLE))
+                      * sqrt(CAST(m.m2 - dn.nsq AS DOUBLE)))
+                  * sqrt(CAST(n2.nsq AS DOUBLE))) DESC, d.vec_id) AS rk
            FROM dots d
-           JOIN norms n2 ON d.qid = n2.vec_id, m),
+           JOIN norms n2 ON d.qid = n2.vec_id
+           JOIN norms dn ON d.vec_id = dn.vec_id, m),
          agree AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_agree
            FROM ra a JOIN rb b
              ON a.qid = b.qid AND a.vec_id = b.vec_id AND b.rk <= 10

@@ -903,14 +903,22 @@ object Similarity {
     * maximum-inner-product queries. The row runs BOTH rankings — exact
     * integer-dot MIPS and the augmented-cosine ordering — for the 3
     * lowest-id queries and reports their top-10 agreement (10 = the
-    * reduction holds on this corpus; a tie collapsing under the double
-    * division is the only way to drop below).
+    * reduction holds on this corpus).
+    *
+    * The cosine side BUILDS the augmented document coordinate
+    * √(M²−‖x‖²) and recombines ‖x'‖ numerically from it (‖x‖² + aug²
+    * in doubles) — NOT the algebraic shortcut ‖x'‖ ≡ M, which would
+    * make the check order-identical to MIPS by construction (the
+    * round-10 advisor's tautology finding). A wrong M, a negative
+    * radicand, or a dropped coordinate now perturbs the augmented
+    * ranking and drops n_agree.
     *
     * Exactness: dots are micro-unit LONG arithmetic ([[microCoords]] —
-    * no float accumulation); the cosine side divides each dot by its
-    * query's constant M·‖q‖ once in double. Plan: one dimension join
-    * against the 3-query broadcast, two rank≤10 windows over the same
-    * dot relation, a semi-join agreement count. */
+    * no float accumulation); the augmented-norm roundtrip is IEEE
+    * double (sqrt/mul/add are correctly rounded, engine-identical).
+    * Plan: one dimension join against the 3-query broadcast, a
+    * co-keyed doc-norm join, two rank≤10 windows over the same dot
+    * relation, a semi-join agreement count. */
   def mipsAugment(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val xq = microCoords(spark, dir)
     val e = emb(spark, dir)
@@ -932,9 +940,20 @@ object Similarity {
     val rb = dots
       .join(broadcast(norms.withColumnRenamed("vec_id", "qid")
         .withColumnRenamed("nsq", "qsq")), "qid")
+      .join(norms, "vec_id") // doc-side norm², co-keyed on vec_id
       .crossJoin(broadcast(m2)) // 1-row max-norm scalar
+      // MATERIALIZE the augmented coordinate √(M²−‖x‖²) and recombine
+      // the augmented norm numerically (nsq + aug²) instead of
+      // substituting the algebraic constant M — so a broken reduction
+      // (wrong M, negative radicand, dropped coordinate) actually
+      // perturbs this ranking rather than cancelling out. Exact
+      // arithmetic would make the division per-query constant BY THE
+      // REDUCTION'S THEOREM; the float roundtrip is what's checked.
+      .withColumn("aug", sqrt((col("m2") - col("nsq")).cast("double")))
+      .withColumn("naug2",
+        col("nsq").cast("double") + col("aug") * col("aug"))
       .withColumn("cosb", col("dot").cast("double") /
-        (sqrt(col("m2").cast("double")) * sqrt(col("qsq").cast("double"))))
+        (sqrt(col("naug2")) * sqrt(col("qsq").cast("double"))))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cosb").desc, col("vec_id"))))
       .filter(col("rk") <= k)

@@ -1680,11 +1680,17 @@ object TextAnalysis {
     * window, and the census is |langs|²-bounded. */
   def langidTrigram(spark: SparkSession, dir: String, top: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // Guard BEFORE sequence(): for docs shorter than 3 chars,
+    // sequence(1, 0) is Spark's DESCENDING [1, 0] — two spurious
+    // truncated 'trigrams' the DuckDB range(1, ...) oracle never emits.
+    // Same empty-array-under-k convention as TextFunctions.shingles.
     val tri = docs
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          """transform(sequence(1, greatest(length(text) - 2, 0)),
-               i -> substring(text, i, 3))""")).as("g"))
+          """CASE WHEN length(text) >= 3
+               THEN transform(sequence(1, length(text) - 2),
+                      i -> substring(text, i, 3))
+               ELSE CAST(array() AS array<string>) END""")).as("g"))
     val profiles = tri
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))

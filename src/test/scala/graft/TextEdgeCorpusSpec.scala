@@ -158,4 +158,29 @@ class TextEdgeCorpusSpec extends SparkSpec {
     // unique single-chunk docs can't be duplicated
     assert(byId(1L)._3 === 0L)
   }
+
+  test("langid trigram on short/empty docs: no spurious truncated trigrams") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0] — unguarded, a
+    // doc under 3 chars would emit two junk 'trigrams' (and DuckDB's
+    // range(1, ...) would emit none, breaking the oracle gate). The
+    // guard must drop sub-trigram docs entirely: they carry no signal,
+    // so only the two >=3-char 'bb' docs are classified.
+    val d = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "", "aa", "srcA"),     // 0 chars: would emit "" twice unguarded
+      (1L, "xy", "aa", "srcA"),   // 2 chars: would emit truncated junk
+      (2L, "abc", "bb", "srcA"),  // exactly one trigram
+      (3L, "abcd", "bb", "srcA")  // two trigrams
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.langidTrigram(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // lang 'aa' has NO trigrams at all -> no profile, no predictions;
+    // docs 2 and 3 overlap only the 'bb' profile -> one census cell
+    assert(rows == Seq(("bb", "bb", 2L, 1.0)))
+  }
 }
