@@ -348,7 +348,10 @@ object SparkEntry {
       ((s, d) => EventAnalytics.attributionTouch(s, d)),
     "events_wow_growth" -> ((s, d) => EventAnalytics.wowGrowth(s, d)),
     "text_ttr_curve" -> ((s, d) => TextAnalysis.ttrCurve(s, d)),
-    "dedup_hot_shingles" -> ((s, d) => DedupOps.hotShingleCensus(s, d))
+    "dedup_hot_shingles" -> ((s, d) => DedupOps.hotShingleCensus(s, d)),
+    "dedup_cc_agreement" -> ((s, d) => DedupOps.ccAgreement(s, d)),
+    "dedup_bloom_fpr" -> ((s, d) => DedupOps.bloomFprCensus(s, d)),
+    "sketch_quantiles" -> ((s, d) => Quality.sketchQuantiles(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2923,6 +2926,67 @@ object SparkEntry {
              THEN (df * (df - 1)) // 2 ELSE 0 END), 0) AS BIGINT)
              AS pairs_avoided
          FROM u GROUP BY k ORDER BY k""",
+    "dedup_cc_agreement" ->
+      """WITH RECURSIVE directed AS (SELECT a.label, a.vec_id AS v1,
+             b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         edges AS (SELECT v1 AS a, v2 AS b FROM knn
+           UNION SELECT v2, v1 FROM knn),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+         cc AS (SELECT node, MIN(lbl) AS lbl FROM walk GROUP BY node),
+         szs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM cc GROUP BY lbl)
+         SELECT sz AS cluster_size,
+           COUNT(*) AS n_clusters_prop,
+           COUNT(*) AS n_clusters_star,
+           CAST(0 AS BIGINT) AS n_label_mismatches
+         FROM szs GROUP BY sz ORDER BY cluster_size""",
+    "dedup_bloom_fpr" ->
+      """WITH d AS (SELECT substr(text, 1, 32) AS fp,
+             CAST(substr(source, 4, 8) AS INT) AS sn FROM documents),
+         c AS (SELECT DISTINCT fp FROM d WHERE sn < 10),
+         b AS (SELECT DISTINCT fp FROM d WHERE sn >= 10),
+         tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_td
+           FROM b JOIN c USING (fp)),
+         np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM b)
+         SELECT np.n_probes, tp.n_td AS n_bloom_pos,
+           tp.n_td AS n_true_dup,
+           CAST(0 AS BIGINT) AS n_false_pos,
+           np.n_probes - tp.n_td AS n_true_neg,
+           CAST(0.0 AS DOUBLE) AS fpr_observed,
+           TRUE AS within_design_fpp
+         FROM np, tp""",
+    "sketch_quantiles" ->
+      """WITH v AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         n AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM v GROUP BY 1),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct),
+         k AS (SELECT o_orderpriority, pct, n_rows,
+             (pct * n_rows + 99) // 100 AS k
+           FROM n CROSS JOIN p),
+         h AS (SELECT o_orderpriority, c, COUNT(*) AS cnt
+           FROM v GROUP BY 1, 2),
+         cdf AS (SELECT o_orderpriority, c,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY c)
+               AS cum
+           FROM h)
+         SELECT k.o_orderpriority, k.pct, k.n_rows,
+           CAST(MIN(cdf.c) AS BIGINT) AS exact_quantile_c,
+           TRUE AS sketch_within_bound
+         FROM k JOIN cdf ON cdf.o_orderpriority = k.o_orderpriority
+           AND cdf.cum >= k.k
+         GROUP BY 1, 2, 3
+         ORDER BY k.o_orderpriority, k.pct""",
     "dedup_dup_quality" ->
       """WITH docs AS (SELECT md5(substr(text, 1, 64)) AS fp, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -701,6 +701,48 @@ object DedupOps {
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** ALGORITHM-AGREEMENT gate for connected components — the standing
+    * cross-check the round-10 verdict asked for: the two CC
+    * implementations ([[propagateLabels]] min-label propagation and
+    * [[starComponents]] large/small-star contraction) run over the
+    * SAME edge relation (the shared k-NN kernel
+    * [[Similarity.knnEdges]], k=3 — a DIFFERENT graph shape than the
+    * near-dup pair graphs the production cluster rows use, so the
+    * agreement evidence is independent of those fixtures) and the row
+    * hash covers BOTH outputs: per component size, the cluster count
+    * under each algorithm, plus the global count of vertices the two
+    * algorithms label differently (must be 0 — both converge to the
+    * component-minimum label). The `text_dedup_lm_effect` discipline
+    * (bit-equal columns inside one oracle-gated row) applied to graph
+    * machinery.
+    *
+    * Scale shape: the k-NN edge relation is degree-bounded (≤2k per
+    * vertex); each algorithm is its documented log/diameter-round
+    * loop; the agreement join is one co-keyed equi-join on vertex id
+    * and the censuses are component-size-bounded. */
+  def ccAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val prop = propagateLabels(edges, 4)
+    val star = starComponents(edges)
+      .select(col("node").as("doc_id"), col("lbl").as("star_id"))
+    val mism = prop.join(star, "doc_id")
+      .agg(coalesce(sum((col("cluster_id") =!= col("star_id"))
+        .cast("long")), lit(0L)).as("n_label_mismatches"))
+    def census(assign: DataFrame, idCol: String, out: String): DataFrame =
+      assign.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as(out))
+    census(prop, "cluster_id", "n_clusters_prop")
+      .join(census(star, "star_id", "n_clusters_star"),
+        Seq("cluster_size"), "full_outer")
+      .select(col("cluster_size"),
+        coalesce(col("n_clusters_prop"), lit(0L)).as("n_clusters_prop"),
+        coalesce(col("n_clusters_star"), lit(0L)).as("n_clusters_star"))
+      .crossJoin(broadcast(mism)) // 1-row global mismatch count
+      .orderBy(col("cluster_size"))
+  }
+
   /** The dedup DECISION on top of [[dedupClusters]]: per near-dup cluster
     * keep the best member (longest text, ties to the smallest doc_id via
     * a (n_chars, -doc_id) struct-ordered max_by) and report how many
@@ -870,6 +912,63 @@ object DedupOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         (col("n_docs") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
       .orderBy(col("source"))
+  }
+
+  /** Bloom-filter FALSE-POSITIVE-RATE census — the
+    * [[minhashCalibration]] discipline applied to the Bloom rung: the
+    * same corpus filter [[bloomPrefilterDedup]] builds is probed with
+    * the increment's DISTINCT fingerprints, and the Bloom verdicts are
+    * laid beside the exact anti-join on the same split. Because a
+    * Bloom filter has NO false negatives, every bloom-positive that
+    * the exact join rejects is a measured false positive; the census
+    * reports the probe/positive/true-dup/false-positive counts, the
+    * observed FPR over the true-negative population, and whether it
+    * sits inside the filter's DESIGN fpp (1e-3 from the 100k/4M-bit
+    * sizing) — checked as the integer cross-multiplication
+    * n_false_pos·1000 ≤ n_true_neg, no float boundary. The DuckDB
+    * oracle prices in the theory (at this corpus size the theoretical
+    * fpp is ~1e-49, so expected false positives are EXACTLY zero): a
+    * single observed false positive — or a dropped true duplicate —
+    * hash-mismatches the gate.
+    *
+    * Plan: one corpus pass into the map-side OR-merged
+    * BloomFilterAggregate (no corpus shuffle), a broadcast scalar
+    * probe over the increment, one exact semi-join for ground truth,
+    * a 1-row census. */
+  def bloomFprCensus(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+      .withColumn("fp", substring(col("text"), 1, 32))
+    val corpus = docs.filter(col("sn") < 10)
+    val batch = docs.filter(col("sn") >= 10).select(col("fp")).distinct()
+    val bfView = s"graft_bloom_fpr_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    corpus
+      .select(expr("graft_bloom_agg(xxhash64(fp), 100000L, 4194304L)").as("bf"))
+      .createOrReplaceTempView(bfView)
+    batch.createOrReplaceTempView(s"${bfView}_batch")
+    val bloomPos =
+      try spark.sql(
+        s"""SELECT fp FROM ${bfView}_batch
+           WHERE graft_bloom_might((SELECT bf FROM $bfView), xxhash64(fp))""")
+      finally {
+        spark.catalog.dropTempView(bfView)
+        spark.catalog.dropTempView(s"${bfView}_batch")
+      }
+    val truePos = batch
+      .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    val counts = batch.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(bloomPos.agg(count(lit(1)).as("n_bloom_pos")))
+      .crossJoin(truePos.agg(count(lit(1)).as("n_true_dup")))
+    counts.select(
+      col("n_probes"), col("n_bloom_pos"), col("n_true_dup"),
+      (col("n_bloom_pos") - col("n_true_dup")).as("n_false_pos"),
+      (col("n_probes") - col("n_true_dup")).as("n_true_neg"),
+      round((col("n_bloom_pos") - col("n_true_dup")).cast("double") /
+        (col("n_probes") - col("n_true_dup")).cast("double"), 6)
+        .as("fpr_observed"),
+      ((col("n_bloom_pos") - col("n_true_dup")) * 1000 <=
+        col("n_probes") - col("n_true_dup")).as("within_design_fpp"))
   }
 
   /** MinHash ESTIMATOR calibration — the measurement the whole LSH rung

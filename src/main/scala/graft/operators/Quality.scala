@@ -228,4 +228,69 @@ object Quality {
       .unionByName(statusDomain).unionByName(qtyRange)
       .orderBy(col("check"))
   }
+
+  /** MERGEABLE quantile-sketch rung beside [[sketchHll]] (distinct
+    * counts) and [[sketchFreqTopk]] (heavy hitters): per order
+    * priority, the p25/p50/p75 of the order value from BOTH the exact
+    * histogram-CDF (the house pattern — ceil-rank over a per-group
+    * value histogram, money as round(x·100) cents longs) and Spark's
+    * `percentile_approx` (a Greenwald–Khanna-style QuantileSummaries:
+    * partial-aggregatable map-side, partials merge associatively — the
+    * shape an unbounded value domain needs at 100 TB, where the exact
+    * CDF's value histogram may not fit). The sketch VALUE itself never
+    * enters the hashed output (merge ORDER can move it within the ε
+    * band, and no other engine reproduces the sketch); instead the
+    * output carries the [[sketchHll]] discipline: the exact quantile
+    * plus a boolean asserting the sketch's returned value has rank
+    * within the documented ε·N guarantee (ε = 1/accuracy = 1/100),
+    * checked with pure integer arithmetic (ceil-division ranks, a
+    * rank-interval overlap) so the oracle can assert TRUE. A sketch
+    * whose error leaves the band under ANY merge order fails the gate.
+    *
+    * Plan: one group agg for counts, one for the sketch (bounded
+    * summary per partition, no row shuffle), a per-group value
+    * histogram + group-domain-bounded CDF window, the 15-row sketch
+    * relation joined back to the histogram for exact ranks. */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val n = v.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_rows"))
+    val sk = v.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("c"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(100)).as("sk"))
+      .select(col("o_orderpriority"), posexplode(col("sk")))
+      .select(col("o_orderpriority"),
+        ((col("pos") + 1) * 25).cast("long").as("pct"), col("col").as("sv"))
+    val hist = v.groupBy(col("o_orderpriority"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cdf = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("o_orderpriority")).orderBy(col("c"))))
+    val pcts = Seq(25L, 50L, 75L).toDF("pct")
+    val k = n.crossJoin(broadcast(pcts)) // 3-row percentile axis
+      .withColumn("k", expr("(pct * n_rows + 99) div 100"))
+      // ε·N ceil + 1: the +1 absorbs the rank-definition off-by-one
+      // between the sketch's interpolation target and the ceil rank
+      .withColumn("e_n", expr("(n_rows + 99) div 100 + 1"))
+    val exact = k.join(cdf, "o_orderpriority")
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("o_orderpriority"), col("pct"), col("n_rows"),
+        col("k"), col("e_n"))
+      .agg(min(col("c")).as("exact_quantile_c"))
+    val skRank = sk.join(hist, "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("pct"))
+      .agg(sum(when(col("c") < col("sv"), col("cnt")).otherwise(lit(0L)))
+        .as("lo"),
+        sum(when(col("c") <= col("sv"), col("cnt")).otherwise(lit(0L)))
+          .as("hi"))
+    exact.join(skRank, Seq("o_orderpriority", "pct"))
+      .select(col("o_orderpriority"), col("pct"), col("n_rows"),
+        col("exact_quantile_c"),
+        (col("hi") >= col("k") - col("e_n") &&
+          col("lo") + 1 <= col("k") + col("e_n"))
+          .as("sketch_within_bound"))
+      .orderBy(col("o_orderpriority"), col("pct"))
+  }
 }
