@@ -351,7 +351,9 @@ object SparkEntry {
     "dedup_hot_shingles" -> ((s, d) => DedupOps.hotShingleCensus(s, d)),
     "dedup_cc_agreement" -> ((s, d) => DedupOps.ccAgreement(s, d)),
     "dedup_bloom_fpr" -> ((s, d) => DedupOps.bloomFprCensus(s, d)),
-    "sketch_quantiles" -> ((s, d) => Quality.sketchQuantiles(s, d))
+    "sketch_quantiles" -> ((s, d) => Quality.sketchQuantiles(s, d)),
+    "stream_bpe_encode" ->
+      ((s, d) => StreamingAnalytics.streamBpeEncode(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4978,6 +4980,7 @@ object SparkEntry {
       ("stream_sig_index" -> m("dedup_incremental_minhash")) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
+      ("stream_bpe_encode" -> streamBpeEncodeOracleSql(6)) +
       ("text_bpe_encode" -> bpeEncodeOracleSql(6)) +
       // tokenizer -> packer: per-doc BPE lengths (vocabulary join, OOV
       // tokens count 1) feed the same fixed-256 packing census as
@@ -5503,10 +5506,12 @@ object SparkEntry {
     * pair census -> 1-row winner with count-then-lexicographic tie-break
     * -> gaps-and-islands greedy non-overlapping apply). Generated, not
     * hand-written, so round count stays a single knob. */
-  private[graft] def bpeMergeOracleSql(rounds: Int): String = {
+  private[graft] def bpeMergeOracleSql(rounds: Int,
+      docWhere: String = ""): String = {
     val base =
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
-           FROM documents),
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents $docWhere),""" +
+      """
          words AS MATERIALIZED (SELECT lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS freq
            FROM toks WHERE regexp_matches(lower(tok), '^[a-z]+$')
            GROUP BY 1),
@@ -5610,5 +5615,89 @@ object SparkEntry {
        SELECT docs_in_win, CAST(COUNT(*) AS BIGINT) AS n_windows,
          CAST(SUM(tok_start) AS BIGINT) AS sum_tokens
        FROM pw GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** DuckDB replay of
+    * [[graft.operators.StreamingAnalytics.streamBpeEncode]]: the trainer
+    * CTEs restricted to the corpus half (sources 0-9), then for EACH
+    * staged increment the frozen merges re-applied round by round to
+    * that increment's own vocabulary (the same window/island/merge
+    * blocks, with `best_r` read from the trainer chain instead of
+    * recomputed), per-(increment, lang) censuses, and the increment-0
+    * fold of their integer sums. */
+  private[graft] def streamBpeEncodeOracleSql(rounds: Int): String = {
+    val trained = bpeMergeOracleSql(rounds,
+      "WHERE CAST(substr(source, 4, 8) AS INT) < 10")
+    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
+    val incRanges = Seq(1 -> "BETWEEN 10 AND 14", 2 -> ">= 15")
+    val incBlocks = incRanges.map { case (i, rng) =>
+      val apply = (1 to rounds).map { r =>
+        val p = r - 1
+        s""",
+           im_${i}_$r AS MATERIALIZED (
+             SELECT w, freq, pos, sym,
+                    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                    LEAD(pos) OVER (PARTITION BY w ORDER BY pos) AS npos,
+                    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn
+             FROM is_${i}_$p),
+           iap_${i}_$r AS MATERIALIZED (
+             SELECT w, pos, npos FROM (
+               SELECT w, pos, npos,
+                      ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos)
+                        AS k
+               FROM (SELECT m.w, m.pos, m.npos,
+                            m.rn - ROW_NUMBER() OVER
+                              (PARTITION BY m.w ORDER BY m.pos) AS grp
+                     FROM im_${i}_$r m, best_$r b
+                     WHERE m.sym = b.a AND m.nxt = b.b) imt_${i}_$r)
+                 irk_${i}_$r
+             WHERE k % 2 = 1),
+           is_${i}_$r AS MATERIALIZED (
+             SELECT s.w, s.freq, s.pos,
+                    CASE WHEN a1.pos IS NOT NULL
+                         THEN (SELECT ab FROM best_$r)
+                         ELSE s.sym END AS sym
+             FROM is_${i}_$p s
+             LEFT JOIN iap_${i}_$r a1 ON s.w = a1.w AND s.pos = a1.pos
+             LEFT JOIN iap_${i}_$r a2 ON s.w = a2.w AND s.pos = a2.npos
+             WHERE a2.w IS NULL)"""
+      }.mkString
+      s""",
+         iw_$i AS MATERIALIZED (
+           SELECT lang, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents
+                 WHERE CAST(substr(source, 4, 8) AS INT) $rng) it_$i
+           WHERE regexp_matches(lower(tok), '^[a-z]+$$') GROUP BY 1, 2),
+         ivw_$i AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS freq
+           FROM iw_$i GROUP BY 1),
+         is_${i}_0 AS MATERIALIZED (
+           SELECT w, freq, pos, substr(w, pos, 1) AS sym FROM (
+             SELECT w, freq,
+                 unnest(generate_series(1, CAST(len(w) AS INT))) AS pos
+             FROM ivw_$i) iz_$i
+           UNION ALL
+           SELECT w, freq, len(w) + 1 AS pos, '</w>' AS sym FROM ivw_$i)
+         $apply,
+         iwt_$i AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+           FROM is_${i}_$rounds GROUP BY w),
+         ic_$i AS (SELECT CAST($i AS BIGINT) AS increment, lang,
+             CAST(SUM(occ) AS BIGINT) AS total_words,
+             CAST(SUM(occ * (len(w) + 1)) AS BIGINT) AS total_chars,
+             CAST(SUM(occ * n_sub) AS BIGINT) AS total_bpe_tokens
+           FROM iw_$i JOIN iwt_$i USING (w) GROUP BY 1, 2)"""
+    }.mkString
+    s"""$ctes$incBlocks,
+       iu AS (SELECT * FROM ic_1 UNION ALL SELECT * FROM ic_2),
+       ifold AS (SELECT CAST(0 AS BIGINT) AS increment, lang,
+           CAST(SUM(total_words) AS BIGINT) AS total_words,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(total_bpe_tokens) AS BIGINT) AS total_bpe_tokens
+         FROM iu GROUP BY 2)
+       SELECT increment, lang, total_words, total_chars, total_bpe_tokens,
+         ROUND(CAST(total_chars AS DOUBLE) / total_bpe_tokens, 6)
+           AS chars_per_token
+       FROM (SELECT * FROM iu UNION ALL SELECT * FROM ifold) iz
+       ORDER BY increment, lang"""
   }
 }

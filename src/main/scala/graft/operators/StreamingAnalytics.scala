@@ -373,6 +373,93 @@ object StreamingAnalytics {
         spark.range(0).select(lit("").as("fp"))
     }
 
+  /** Streaming application of a FROZEN BPE tokenizer — the growing-corpus
+    * half the batch tokenizer family (train → encode → pack) stops short
+    * of: merges are learned ONCE on the pre-existing corpus (sources
+    * 0-9, the same vocabulary filter as the batch trainer), then the
+    * increment half arrives as TWO staged files (sources 10-14, 15-19)
+    * and each micro-batch encodes ONLY ITS OWN words by replaying the
+    * frozen merge list ([[TextAnalysis.applyFrozenMerges]] — no
+    * retraining, no re-encode of earlier increments), appending a
+    * per-(increment, lang) token census. The final read emits those
+    * per-increment censuses PLUS their fold (increment 0 = integer sums
+    * re-divided), so the oracle — which replays the trainer on the
+    * corpus half and the frozen apply on each increment unrolled in
+    * DuckDB — gates both the per-batch encodes and the fold identity.
+    * This is the [[streamSignatureIndex]] append-only pattern applied
+    * to the tokenizer.
+    *
+    * The 6-row merge table is collected to the driver deliberately:
+    * a merge table IS the shipped artifact of a BPE trainer (a file,
+    * kilobytes at any vocabulary size), and the encoder side maps the
+    * corpus with it broadcast — collecting it here is the production
+    * shape, not a driver-side data loop. */
+  def streamBpeEncode(spark: SparkSession, dir: String,
+                      rounds: Int = 6): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sbpe").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    // FREEZE: train on the corpus half only
+    val merges = TextAnalysis
+      .bpeTrainOnWords(spark,
+        TextAnalysis.bpeWords(docs.filter(col("sn") < 10)), rounds)
+      ._1.orderBy(col("merge_round"))
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("sn") >= 10 && col("sn") < 15).drop("sn"),
+      "inc2" -> docs.filter(col("sn") >= 15).drop("sn")))
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val langWords = batch
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("lang"), lower(col("tok")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+          .persist() // consumed twice: vocabulary + census join
+        try {
+          val vocab = langWords.groupBy(col("w"))
+            .agg(sum(col("occ")).as("freq"))
+          val wordTok = TextAnalysis
+            .applyFrozenMerges(spark, vocab, merges)
+            .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+          langWords.join(wordTok, "w")
+            .groupBy(col("lang"))
+            .agg(sum(col("occ")).as("total_words"),
+              sum(col("occ") * (length(col("w")) + 1)).as("total_chars"),
+              sum(col("occ") * col("n_sub")).as("total_bpe_tokens"))
+            .select(lit(batchId + 1).as("increment"), col("lang"),
+              col("total_words"), col("total_chars"),
+              col("total_bpe_tokens"))
+            .write.mode("append").parquet(outPath)
+        } finally langWords.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    val per = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    val folded = per.groupBy(col("lang"))
+      .agg(sum(col("total_words")).as("total_words"),
+        sum(col("total_chars")).as("total_chars"),
+        sum(col("total_bpe_tokens")).as("total_bpe_tokens"))
+      .select(lit(0L).as("increment"), col("lang"), col("total_words"),
+        col("total_chars"), col("total_bpe_tokens"))
+    per.unionByName(folded)
+      .select(col("increment"), col("lang"), col("total_words"),
+        col("total_chars"), col("total_bpe_tokens"),
+        round(col("total_chars").cast("double") /
+          col("total_bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("increment"), col("lang"))
+  }
+
   def streamDocsPrep(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val root = java.nio.file.Files.createTempDirectory("graft_sprep").toString

@@ -1321,26 +1321,97 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  /** Shared trainer loop: returns (merge table, final symbol relation,
-    * word-frequency relation). See [[bpeMergeLearn]] for semantics. */
-  private def bpeTrain(spark: SparkSession, dir: String,
-                       rounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    val words = Tables(spark, dir, "documents")
+  /** The trainer's word-frequency vocabulary for an arbitrary
+    * (text, ...) relation — exposed so the streaming frozen-tokenizer
+    * job freezes merges on EXACTLY the word filter the batch trainer
+    * uses (lowercase, alphabetic-only). */
+  private[operators] def bpeWords(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(lower(col("tok")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // initial symbols: characters + an explicit end-of-word marker (the
-    // trainer learns suffix merges like "e</w>" — dropping the marker
-    // changes which pairs win)
-    var syms = words
+
+  /** Shared trainer loop: returns (merge table, final symbol relation,
+    * word-frequency relation). See [[bpeMergeLearn]] for semantics. */
+  private def bpeTrain(spark: SparkSession, dir: String,
+                       rounds: Int): (DataFrame, DataFrame, DataFrame) =
+    bpeTrainOnWords(spark, bpeWords(Tables(spark, dir, "documents")), rounds)
+
+  /** Character + end-of-word-marker symbol relation for a (w, freq)
+    * vocabulary — the trainer's AND the frozen encoder's shared
+    * starting point (divergence here would change every merge). */
+  private def initialSymbols(words: DataFrame): DataFrame =
+    words
       .select(col("w"), col("freq"),
         explode(sequence(lit(1), length(col("w")))).as("pos"))
       .select(col("w"), col("freq"), col("pos"),
         expr("substring(w, pos, 1)").as("sym"))
       .unionAll(words.select(col("w"), col("freq"),
         (length(col("w")) + 1).as("pos"), lit("</w>").as("sym")))
-      .localCheckpoint()
+
+  /** Applies ONE merge (a, b) -> ab to a symbol relation with greedy
+    * left-to-right non-overlapping semantics — the loop body shared by
+    * the trainer (where (a, b) is the round's learned winner) and
+    * [[applyFrozenMerges]] (where it comes from a frozen merge table).
+    * `withNext` must already carry the lead/row_number columns. */
+  private def applyOneMerge(syms: DataFrame, withNext: DataFrame,
+      a: Column, b: Column, ab: Column): DataFrame = {
+    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val matches = withNext
+      .filter(col("sym") === a && col("nxt") === b)
+      .select(col("w"), col("pos"), col("npos"), col("rn"))
+    val applied = matches
+      .withColumn("grp", col("rn") - row_number().over(wnd))
+      .withColumn("k",
+        row_number().over(Window.partitionBy(col("w"), col("grp"))
+          .orderBy(col("pos"))))
+      .filter(col("k") % 2 === 1)
+      .select(col("w"), col("pos"), col("npos"))
+    syms
+      .join(applied.select(col("w"), col("pos"), lit(1).as("is_first")),
+        Seq("w", "pos"), "left")
+      .join(applied.select(col("w"), col("npos").as("pos"),
+        lit(1).as("is_second")), Seq("w", "pos"), "left")
+      .filter(col("is_second").isNull) // the absorbed right element
+      .select(col("w"), col("freq"), col("pos"),
+        when(col("is_first") === 1, ab).otherwise(col("sym"))
+          .as("sym"))
+  }
+
+  /** ENCODE-ONLY application of a FROZEN ordered merge list to a new
+    * (w, freq) vocabulary — the half of the tokenizer that ships: no
+    * pair counting, no winner selection, just the R merges replayed in
+    * training order over the increment's words. Returns the final
+    * symbol relation (one row per (w, pos, sym)). Loop discipline is
+    * the trainer's: `localCheckpoint` per round keeps lineage flat;
+    * the merge pair is a literal (the merge table IS a driver-side
+    * artifact — production encoders ship it as a file). */
+  private[operators] def applyFrozenMerges(spark: SparkSession,
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var syms = initialSymbols(words).localCheckpoint()
+    merges.foreach { case (a, b) =>
+      val withNext = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(wnd))
+        .withColumn("npos", lead(col("pos"), 1).over(wnd))
+        .withColumn("rn", row_number().over(wnd))
+      syms = applyOneMerge(syms, withNext, lit(a), lit(b), lit(a + b))
+        .localCheckpoint()
+    }
+    syms
+  }
+
+  private[operators] def bpeTrainOnWords(spark: SparkSession,
+      words: DataFrame, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    // initial symbols: characters + an explicit end-of-word marker (the
+    // trainer learns suffix merges like "e</w>" — dropping the marker
+    // changes which pairs win). The apply step below stays INLINED
+    // (not routed through applyOneMerge): the round's winner is a
+    // 1-row relation moved by broadcast, never collected, and
+    // applyOneMerge's literal-column contract would force a collect;
+    // Round11 streaming spec pins the two apply paths bit-equal.
+    var syms = initialSymbols(words).localCheckpoint()
     val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
     var mergeRows: Option[DataFrame] = None
     (1 to rounds).foreach { r =>
