@@ -1391,11 +1391,13 @@ object SparkEntry {
          ORDER BY l_returnflag, metric""",
     "text_levenshtein" ->
       """WITH fp AS (SELECT doc_id, text, md5(substr(text, 1, 64)) AS f
-                     FROM documents)
+                     FROM documents),
+         okf AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 64)
          SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
                 AS BIGINT) AS lev
          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+         JOIN okf k ON k.f = a.f
          ORDER BY d1, d2""",
     "split_assign" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
@@ -2911,11 +2913,15 @@ object SparkEntry {
                   THEN [array_to_string(w[i:i+6], ' ')
                         for i in range(1, len(w)-5)]
                   ELSE []::VARCHAR[] END)) AS s FROM words),
+         df0 AS (SELECT COUNT(*) AS df
+           FROM (SELECT md5(substr(text, 1, 64)) AS s FROM documents) f0
+           GROUP BY s HAVING COUNT(*) > 1),
          df3 AS (SELECT COUNT(*) AS df FROM sh3 GROUP BY s HAVING COUNT(*) > 1),
          df5 AS (SELECT COUNT(*) AS df FROM sh5 GROUP BY s HAVING COUNT(*) > 1),
          df7 AS (SELECT COUNT(*) AS df FROM sh7 GROUP BY s HAVING COUNT(*) > 1),
          u AS (
-           SELECT CAST(3 AS BIGINT) AS k, df FROM df3
+           SELECT CAST(0 AS BIGINT) AS k, df FROM df0
+           UNION ALL SELECT 3, df FROM df3
            UNION ALL SELECT 5, df FROM df5
            UNION ALL SELECT 7, df FROM df7)
          SELECT k, COUNT(*) AS n_shared_shingles,
@@ -4429,11 +4435,13 @@ object SparkEntry {
          FROM pw GROUP BY 1 ORDER BY 1""",
     "text_source_overlap" ->
       """WITH s AS (SELECT doc_id, source, md5(substr(text, 1, 64)) AS fp
-           FROM documents)
+           FROM documents),
+         okf AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
          SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
          FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
+         JOIN okf k ON k.fp = a.fp
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // text_paragraph_dedup: non-overlapping 15-word chunks from the same
     // string_split relation; first-occurrence keep is a row_number over

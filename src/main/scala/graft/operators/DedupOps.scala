@@ -123,20 +123,24 @@ object DedupOps {
       explode(graft.functions.TextFunctions.shingles(col("text"), k))
         .as("shingle"))
 
-  /** What the [[MaxShingleDf]] posting cap actually DROPS — the
-    * no-silent-caps readout for the exact pair kernel: per shingle
-    * size k ∈ {3, 5, 7}, the shared-shingle count (df ≥ 2), the max
-    * observed df, and the hot-shingle census (shingles above the cap,
-    * posting rows excluded, pair expansions avoided). On a clean
-    * corpus the hot columns are zero and max_df documents the
-    * headroom; on a boilerplate-skewed corpus this row is the first
-    * thing an operator reads before trusting the capped Jaccard rows
-    * (a capped pair's score is a lower bound — see [[MaxShingleDf]]).
+  /** What the [[MaxShingleDf]] posting/block cap actually DROPS — the
+    * no-silent-caps readout for every capped exact kernel: per shingle
+    * size k ∈ {3, 5, 7} (the [[shinglePairStatsOf]] pair kernel and
+    * the sweep), plus the k = 0 row for the 64-char-prefix md5
+    * FINGERPRINT relation (the [[levenshteinPairs]] blocking key and
+    * [[graft.operators.TextAnalysis.sourceOverlap]]'s posting key),
+    * the shared-key count (df ≥ 2), the max observed df, and the hot
+    * census (keys above the cap, posting rows excluded, pair
+    * expansions avoided). On a clean corpus the hot columns are zero
+    * and max_df documents the headroom; on a boilerplate-skewed corpus
+    * this row is the first thing an operator reads before trusting the
+    * capped pair rows (a capped pair's score is a lower bound — see
+    * [[MaxShingleDf]]).
     *
-    * Scale shape: one shingle hash-agg per k (the df relation is
-    * shingle-domain-sized, never pair-expanded — counting the hot
-    * groups costs ONE aggregate where expanding them would cost
-    * df²/2 rows each), a ≤3-row union. */
+    * Scale shape: one hash-agg per key flavor (the df relation is
+    * key-domain-sized, never pair-expanded — counting the hot groups
+    * costs ONE aggregate where expanding them would cost df²/2 rows
+    * each), a ≤4-row union. */
   def hotShingleCensus(spark: SparkSession, dir: String): DataFrame =
     hotShingleCensusOf(Tables(spark, dir, "documents"))
 
@@ -144,8 +148,11 @@ object DedupOps {
     * package-private so the planted-hot-shingle skew spec can aim the
     * census at a corpus that actually trips the cap. */
   private[operators] def hotShingleCensusOf(docs: DataFrame): DataFrame = {
-    Seq(3, 5, 7).map { k =>
-      sweepShingleRel(docs, k)
+    val fpRel = docs.select(col("doc_id"),
+      md5(substring(col("text"), 1, 64)).as("shingle"))
+    ((0, fpRel) +: Seq(3, 5, 7).map(k => (k, sweepShingleRel(docs, k))))
+      .map { case (k, rel) =>
+      rel
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 1)
         .agg(
@@ -475,14 +482,22 @@ object DedupOps {
     * distance on their 200-char prefixes. The blocking join keeps the
     * O(len^2)-per-pair dynamic program off all non-candidate pairs (the
     * same candidates-then-verify shape as MinHash -> Jaccard), and the
-    * prefix cap bounds per-pair cost at 100 TB. Distance 0 = exact prefix
-    * dup; small distances = the planted near-dups. */
+    * prefix cap bounds per-pair cost at 100 TB. Blocks larger than
+    * [[MaxShingleDf]] documents are EXCLUDED (the [[shinglePairStatsOf]]
+    * df-cap discipline — a 64-char boilerplate prefix shared by m docs
+    * would otherwise run m(m−1)/2 dynamic programs in one task; the
+    * [[hotShingleCensus]] k=0 row reports exactly what that cap drops,
+    * and the DuckDB oracle mirrors it). Distance 0 = exact prefix dup;
+    * small distances = the planted near-dups. */
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         md5(substring(col("text"), 1, 64)).as("f"))
-    fp.as("a")
-      .join(fp.as("b"), col("a.f") === col("b.f") &&
+    val okFp = fp.groupBy(col("f")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") <= MaxShingleDf).select(col("f"))
+    val fpOk = fp.join(okFp, Seq("f"), "left_semi")
+    fpOk.as("a")
+      .join(fpOk.as("b"), col("a.f") === col("b.f") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         levenshtein(substring(col("a.text"), 1, 200),

@@ -1226,8 +1226,12 @@ object TextAnalysis {
     * twice before the pair groupBy). Pair-space blow-up is bounded per
     * posting group, the same m(m-1)/2 envelope as every blocked dedup
     * here; at 100 TB the mitigation for a degenerate shared prefix
-    * (boilerplate headers) is dropping top-frequency fingerprints, not
-    * a different join. */
+    * (boilerplate headers) is dropping top-frequency fingerprints —
+    * implemented: posting lists above [[DedupOps.MaxShingleDf]] are
+    * excluded from pair expansion (the shingle kernel's df-cap
+    * discipline; the `dedup_hot_shingles` k=0 row reports exactly what
+    * the cap drops on this fingerprint relation, and the DuckDB oracle
+    * mirrors it). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -1235,7 +1239,8 @@ object TextAnalysis {
     s.groupBy(col("fp"))
       .agg(sort_array(collect_list(struct(col("source"), col("doc_id"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 &&
+        size(col("ds")) <= DedupOps.MaxShingleDf)
       .select(col("fp"), explode(expr(
         """filter(
              flatten(transform(ds, (x, i) ->

@@ -88,6 +88,37 @@ class HotShingleCapSpec extends graft.SparkSpec {
     assert(viaHash === viaText)
   }
 
+  test("fingerprint blocking cap: a hot 64-char prefix is excluded from " +
+    "the Levenshtein block join and censused under k=0") {
+    // 70 docs share one 64-char prefix (df 70 > 64) — uncapped, the
+    // block join would run 70·69/2 = 2415 edit-distance programs in one
+    // fingerprint group; capped, only the genuine df=2 block survives
+    val prefix = ("pp " * 32).trim // 95 chars, first 64 identical
+    val hotFpDocs = (2000 until 2070).map { i =>
+      (i.toLong, s"$prefix hotsuffix$i")
+    }
+    val pair = Seq((1L, s"qq rr ss tt uu vv ww xx yy zz aa bb cc dd ee " +
+        "ff gg hh ii jj tail1"),
+      (2L, s"qq rr ss tt uu vv ww xx yy zz aa bb cc dd ee " +
+        "ff gg hh ii jj tail2"))
+    val d = java.nio.file.Files.createTempDirectory("graft_hotfp").toString
+    val s = spark
+    import s.implicits._
+    (hotFpDocs ++ pair).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    val got = DedupOps.levenshteinPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L)))
+    val k0 = DedupOps.hotShingleCensusOf(
+      graft.Tables(spark, d, "documents"))
+      .filter(col("k") === 0).collect().head
+    assert(k0.getAs[Long]("n_hot_shingles") === 1L)
+    assert(k0.getAs[Long]("max_df") === 70L)
+    assert(k0.getAs[Long]("postings_dropped") === 70L)
+    assert(k0.getAs[Long]("pairs_avoided") === 70L * 69L / 2L)
+  }
+
   test("hot-shingle census reports exactly what the cap dropped") {
     val k5 = DedupOps.hotShingleCensusOf(docs)
       .filter(col("k") === 5).collect().head
