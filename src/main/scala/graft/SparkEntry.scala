@@ -353,7 +353,11 @@ object SparkEntry {
     "dedup_bloom_fpr" -> ((s, d) => DedupOps.bloomFprCensus(s, d)),
     "sketch_quantiles" -> ((s, d) => Quality.sketchQuantiles(s, d)),
     "stream_bpe_encode" ->
-      ((s, d) => StreamingAnalytics.streamBpeEncode(s, d))
+      ((s, d) => StreamingAnalytics.streamBpeEncode(s, d)),
+    "sample_reservoir" -> ((s, d) => TextAnalysis.reservoirSample(s, d)),
+    "events_markov_stationary" ->
+      ((s, d) => EventAnalytics.markovStationary(s, d)),
+    "sim_knn_diversify" -> ((s, d) => Similarity.knnDiversify(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2958,6 +2962,90 @@ object SparkEntry {
            COUNT(*) AS n_clusters_star,
            CAST(0 AS BIGINT) AS n_label_mismatches
          FROM szs GROUP BY sz ORDER BY cluster_size""",
+    "sample_reservoir" ->
+      """WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5('rsv:' || CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY pr, doc_id) AS rk FROM d)
+         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tok
+         FROM r WHERE rk <= 20 ORDER BY source, rk""",
+    "events_markov_stationary" ->
+      """WITH nx AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         trs AS (SELECT from_type, to_type, n,
+             SUM(n) OVER (PARTITION BY from_type) AS rs FROM tr),
+         emp AS (SELECT event_type,
+             CAST((COUNT(*) * 1000000)
+               // (SELECT COUNT(*) FROM events) AS BIGINT) AS pi
+           FROM events GROUP BY 1),
+         p1 AS (SELECT t.to_type AS event_type,
+             CAST(SUM((e.pi * t.n) // t.rs) AS BIGINT) AS pi
+           FROM emp e JOIN trs t ON e.event_type = t.from_type GROUP BY 1),
+         p2 AS (SELECT t.to_type AS event_type,
+             CAST(SUM((e.pi * t.n) // t.rs) AS BIGINT) AS pi
+           FROM p1 e JOIN trs t ON e.event_type = t.from_type GROUP BY 1),
+         p3 AS (SELECT t.to_type AS event_type,
+             CAST(SUM((e.pi * t.n) // t.rs) AS BIGINT) AS pi
+           FROM p2 e JOIN trs t ON e.event_type = t.from_type GROUP BY 1),
+         p4 AS (SELECT t.to_type AS event_type,
+             CAST(SUM((e.pi * t.n) // t.rs) AS BIGINT) AS pi
+           FROM p3 e JOIN trs t ON e.event_type = t.from_type GROUP BY 1)
+         SELECT e.event_type, e.pi AS empirical_micro,
+           p4.pi AS stationary_micro,
+           abs(e.pi - p4.pi) AS drift_micro
+         FROM emp e JOIN p4 ON e.event_type = p4.event_type
+         ORDER BY e.event_type""",
+    "sim_knn_diversify" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2, sim, rk FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         piv AS (SELECT label, v1, CAST(COUNT(*) AS BIGINT) AS deg,
+             MAX(CASE WHEN rk = 1 THEN v2 END) AS n1,
+             MAX(CASE WHEN rk = 2 THEN v2 END) AS n2,
+             MAX(CASE WHEN rk = 3 THEN v2 END) AS n3,
+             MAX(CASE WHEN rk = 1 THEN sim END) AS s1,
+             MAX(CASE WHEN rk = 2 THEN sim END) AS s2,
+             MAX(CASE WHEN rk = 3 THEN sim END) AS s3
+           FROM knn GROUP BY 1, 2),
+         sims AS (SELECT p.*,
+             list_cosine_similarity(e1.embedding, e2.embedding) AS s12,
+             list_cosine_similarity(e1.embedding, e3.embedding) AS s13,
+             list_cosine_similarity(e2.embedding, e3.embedding) AS s23
+           FROM piv p
+           LEFT JOIN embeddings e1 ON p.n1 = e1.vec_id
+           LEFT JOIN embeddings e2 ON p.n2 = e2.vec_id
+           LEFT JOIN embeddings e3 ON p.n3 = e3.vec_id),
+         fl AS (SELECT label, deg, s1, s2, s3,
+             (n2 IS NOT NULL AND s2 > s12) AS keep2,
+             (n3 IS NOT NULL AND s3 > s13
+               AND (NOT (n2 IS NOT NULL AND s2 > s12) OR s3 > s23))
+               AS keep3
+           FROM sims)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(deg) AS BIGINT) AS n_edges_before,
+           CAST(SUM(1 + CAST(keep2 AS BIGINT) + CAST(keep3 AS BIGINT))
+             AS BIGINT) AS n_edges_after,
+           CAST(SUM(deg) - SUM(1 + CAST(keep2 AS BIGINT)
+             + CAST(keep3 AS BIGINT)) AS BIGINT) AS n_pruned,
+           ROUND(CAST(SUM(CAST(s1 AS DECIMAL(18,9)))
+               + SUM(CASE WHEN keep2 THEN CAST(s2 AS DECIMAL(18,9))
+                     ELSE 0 END)
+               + SUM(CASE WHEN keep3 THEN CAST(s3 AS DECIMAL(18,9))
+                     ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(1 + CAST(keep2 AS BIGINT)
+                 + CAST(keep3 AS BIGINT)) AS DOUBLE), 4) AS avg_kept_sim
+         FROM fl GROUP BY label ORDER BY label""",
     "dedup_bloom_fpr" ->
       """WITH d AS (SELECT substr(text, 1, 32) AS fp,
              CAST(substr(source, 4, 8) AS INT) AS sn FROM documents),

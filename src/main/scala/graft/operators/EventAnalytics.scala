@@ -1135,6 +1135,61 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Markov STATIONARY distribution of the event-type chain — the
+    * steady state [[eventTransitions]]' matrix implies, laid beside the
+    * empirical type distribution: if the chain has mixed (drift ≈ 0),
+    * the observed traffic composition is self-consistent with the
+    * transition structure; a large drift flags non-stationary behavior
+    * (onboarding flows, seasonality) that a next-event model trained on
+    * the matrix alone would miss. Four power-iteration rounds unrolled,
+    * ALL integer: the distribution lives in 1e6 micro-units seeded from
+    * the exact empirical counts, and each round computes
+    * π'_j = Σ_i (π_i · c_ij) div rs_i — the per-term integer division
+    * is engine-identical (DuckDB `//`), so no float ever accumulates
+    * (the [[graft.operators.Similarity]] PCA micro-unit convention
+    * applied to a chain).
+    *
+    * Scale shape: ONE user-keyed window pass builds the adjacency
+    * counts (the shuffle [[eventTransitions]] already pays); the
+    * matrix is |types|² rows and every iteration round is a join-agg
+    * over that broadcast-sized relation — corpus size never enters the
+    * loop. */
+  def markovStationary(spark: SparkSession, dir: String,
+                       rounds: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables(spark, dir, "events")
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rs", sum(col("n")).over(
+        Window.partitionBy(col("from_type"))))
+      .localCheckpoint() // tiny |types|² relation, reused every round
+    val emp = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(
+        ev.agg(count(lit(1)).as("tot")))) // 1-row total
+      .select(col("event_type"),
+        expr("(cnt * 1000000) div tot").as("pi"))
+    var pi = emp
+    (1 to rounds).foreach { _ =>
+      pi = pi
+        .join(trans, pi("event_type") === trans("from_type"))
+        .select(col("to_type").as("event_type"),
+          expr("(pi * n) div rs").as("term"))
+        .groupBy(col("event_type")).agg(sum(col("term")).as("pi"))
+        .localCheckpoint()
+    }
+    emp.withColumnRenamed("pi", "empirical_micro")
+      .join(pi.withColumnRenamed("pi", "stationary_micro"), "event_type")
+      .select(col("event_type"), col("empirical_micro"),
+        col("stationary_micro"),
+        abs(col("empirical_micro") - col("stationary_micro"))
+          .as("drift_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily-volume anomaly detection per event type: days whose count
     * sits >= 2 standard deviations from that type's mean daily count —
     * the monitoring query every ingestion pipeline runs.

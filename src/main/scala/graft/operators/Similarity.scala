@@ -834,6 +834,80 @@ object Similarity {
       .select(col("label"), col("v1"), col("v2"), col("sim"))
   }
 
+  /** Neighbor DIVERSIFICATION over the k-NN graph — the relative-
+    * neighborhood pruning rule every HNSW/NSG builder applies after
+    * raw k-NN (Malkov & Yashunin's `SELECT-NEIGHBORS-HEURISTIC`):
+    * walking a vertex's neighbors best-first, keep candidate e only if
+    * it is closer to the vertex than to every already-KEPT neighbor
+    * (sim(v,e) > sim(e,m) for all kept m) — redundant near-duplicates
+    * of a kept neighbor are pruned so the surviving edges spread
+    * DIRECTIONALLY, which is what makes greedy graph search converge.
+    * Reported per label: vertices, edges before/after, pruned count,
+    * and the mean kept similarity.
+    *
+    * k = 3 lets the greedy unroll DECLARATIVELY: one rank pivot per
+    * vertex (n1 always kept; n2 kept iff s(v,n2) > s(n1,n2); n3 kept
+    * iff s(v,n3) > s(n1,n3) and, when n2 was kept, > s(n2,n3)) — no
+    * iteration, no UDF. Strict float comparisons are safe because the
+    * f32 cosine kernel is bit-identical cross-engine (the established
+    * [[knnGraph]] convention); kept sims quantize to DECIMAL(18,9)
+    * before the mean.
+    *
+    * Scale shape: the rank pivot is one group agg over the
+    * degree-bounded k-NN edge relation; the three neighbor-pair sims
+    * come from three vec_id equi-joins of the |V|-row pivot against
+    * the embeddings table (never a pair space); the census is
+    * |labels|-row. */
+  def knnDiversify(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val knn = knnEdges(spark, dir, 3)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("v1"))
+        .orderBy(col("sim").desc, col("v2"))))
+    val piv = knn.groupBy(col("label"), col("v1"))
+      .agg(count(lit(1)).as("deg"),
+        max(when(col("rk") === 1, col("v2"))).as("n1"),
+        max(when(col("rk") === 2, col("v2"))).as("n2"),
+        max(when(col("rk") === 3, col("v2"))).as("n3"),
+        max(when(col("rk") === 1, col("sim"))).as("s1"),
+        max(when(col("rk") === 2, col("sim"))).as("s2"),
+        max(when(col("rk") === 3, col("sim"))).as("s3"))
+    def embOf(n: String): DataFrame = e.select(
+      col("vec_id").as(n), col("embedding").as(s"e_$n"))
+    val sims = piv
+      .join(embOf("n1"), Seq("n1"), "left")
+      .join(embOf("n2"), Seq("n2"), "left")
+      .join(embOf("n3"), Seq("n3"), "left")
+      .withColumn("s12", expr("graft_cosine_f32(e_n1, e_n2)"))
+      .withColumn("s13", expr("graft_cosine_f32(e_n1, e_n3)"))
+      .withColumn("s23", expr("graft_cosine_f32(e_n2, e_n3)"))
+    val flagged = sims
+      .withColumn("keep2",
+        col("n2").isNotNull && col("s2") > col("s12"))
+      .withColumn("keep3",
+        col("n3").isNotNull && col("s3") > col("s13") &&
+          (!col("keep2") || col("s3") > col("s23")))
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    flagged.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("deg")).as("n_edges_before"),
+        sum(lit(1L) + col("keep2").cast("long") +
+          col("keep3").cast("long")).as("n_edges_after"),
+        round((sum(d9(col("s1"))) +
+          sum(when(col("keep2"), d9(col("s2"))).otherwise(lit(0))
+            .cast("decimal(18,9)")) +
+          sum(when(col("keep3"), d9(col("s3"))).otherwise(lit(0))
+            .cast("decimal(18,9)"))).cast("double") /
+          sum(lit(1L) + col("keep2").cast("long") +
+            col("keep3").cast("long")).cast("double"), 4)
+          .as("avg_kept_sim"))
+      .select(col("label"), col("n_vertices"), col("n_edges_before"),
+        col("n_edges_after"),
+        (col("n_edges_before") - col("n_edges_after")).as("n_pruned"),
+        col("avg_kept_sim"))
+      .orderBy(col("label"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val knn = knnEdges(spark, dir, k)
     val recip = knn.as("x").join(knn.as("y"),

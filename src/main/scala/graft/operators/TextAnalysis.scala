@@ -440,6 +440,37 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Deterministic RESERVOIR sample — exactly k documents per source,
+    * uniform without replacement, in bounded memory: every document
+    * gets a pseudo-random priority (md5 of a salted stable key — no
+    * rand(), so the sample is reproducible on any cluster and any
+    * partitioning) and the k smallest priorities per source win. This
+    * is Efraimidis–Spirakis A-Res with a hash in place of the RNG: the
+    * per-source rank≤k window compiles to WindowGroupLimit, which
+    * keeps only ~k rows per partition BEFORE the shuffle — each
+    * partition's survivors are a mergeable top-k partial, which is
+    * precisely reservoir-sampling's bounded-memory contract at 100 TB
+    * (the [[stratifiedSample]] rate-based sibling keeps a FRACTION;
+    * this keeps an exact COUNT, the shape an eval-set builder needs).
+    * Emits the sample itself (source, rank, doc_id, token count) so
+    * the oracle gate pins every selected document, not just a census. */
+  def reservoirSample(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = md5(concat(lit("rsv:"), col("doc_id").cast("string")))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"),
+        pr.as("pr"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("pr"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_tok"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Bigram collocations by pointwise mutual information: the corpus's
     * strongest adjacent word pairs (lift = P(w1w2)/(P(w1)P(w2)),
     * pmi = ln lift), min pair count 5, top 25.

@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, Quality, Similarity}
+import graft.operators.{DedupOps, EventAnalytics, Quality, Similarity,
+  TextAnalysis}
 
 /** Round-11 operators: driver-side first-principles recomputations for
-  * the algorithm-agreement CC gate, the Bloom FPR census, and the
-  * mergeable quantile-sketch rung. */
+  * the algorithm-agreement CC gate, the Bloom FPR census, the mergeable
+  * quantile-sketch rung, the deterministic reservoir sample, the Markov
+  * stationary distribution, and the k-NN neighbor diversification. */
 class Round11OpsSpec extends SparkSpec {
 
   test("dedup_cc_agreement equals a first-principles union-find census " +
@@ -62,6 +64,114 @@ class Round11OpsSpec extends SparkSpec {
     val trueNeg = batch.size - (batch & corpus).size
     assert(theory * trueNeg < 0.001)
     assert(row.getAs[Long]("n_false_pos") === 0L)
+  }
+
+  test("sample_reservoir equals a driver-side md5-priority top-k " +
+    "per source") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(r => (md5hex(s"rsv:${r._2}"), r._2, r._3))
+        .sortBy(t => (t._1, t._2)).take(20).zipWithIndex
+        .map { case ((_, id, nt), i) => (src, i + 1L, id, nt) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.reservoirSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("events_markov_stationary equals a driver-side integer " +
+    "power-iteration replay") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).getTime,
+        r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.toSeq.groupBy(identity).map { case ((a, b), g) =>
+      ((a, b), g.length.toLong)
+    }
+    val rs = trans.groupBy(_._1._1).map { case (a, g) =>
+      (a, g.values.sum)
+    }
+    val total = ev.length.toLong
+    var pi: Map[String, Long] = ev.groupBy(_._4).map { case (t, g) =>
+      (t, g.length.toLong * 1000000L / total)
+    }
+    (1 to 4).foreach { _ =>
+      pi = trans.toSeq.flatMap { case ((a, b), n) =>
+        pi.get(a).map(p => (b, p * n / rs(a)))
+      }.groupBy(_._1).map { case (b, g) => (b, g.map(_._2).sum) }
+    }
+    val got = EventAnalytics.markovStationary(spark, sf0001).collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("stationary_micro") === pi(t), s"type $t")
+      assert(r.getAs[Long]("drift_micro") ===
+        math.abs(r.getAs[Long]("empirical_micro") - pi(t)))
+    }
+    assert(got.map(_.getString(0)).toSet === pi.keySet)
+  }
+
+  test("sim_knn_diversify equals a driver-side f32 greedy-pruning " +
+    "replay") {
+    def cosF32(x: Array[Float], y: Array[Float]): Float = {
+      var dot = 0f; var nx = 0f; var ny = 0f; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      dot / (math.sqrt(nx.toDouble).toFloat * math.sqrt(ny.toDouble).toFloat)
+    }
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val byLabel = embs.groupBy(_._2)
+    val census = byLabel.toSeq.map { case (label, vs) =>
+      val vecs = vs.map(v => v._1 -> v._3).toMap
+      var before = 0L; var after = 0L
+      var keptSimSum = BigDecimal(0)
+      vs.foreach { case (v1, _, e1) =>
+        val nn = vs.filter(_._1 != v1)
+          .map { case (v2, _, e2) => (v2, cosF32(e1, e2)) }
+          .sortBy { case (v2, s) => (-s.toDouble, v2) }.take(3)
+        before += nn.length
+        // greedy relative-neighborhood pruning, best-first: the first
+        // neighbor is always kept (forall over empty), later ones only
+        // if closer to the vertex than to every kept neighbor
+        var kept = List.empty[(Long, Float)]
+        nn.foreach { case (v2, s) =>
+          if (kept.forall { case (m, _) => s > cosF32(vecs(v2), vecs(m)) })
+            kept = kept :+ ((v2, s))
+        }
+        after += kept.length
+        kept.foreach { case (_, s) =>
+          keptSimSum += BigDecimal(s.toDouble)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      (label, vs.length.toLong, before, after, before - after,
+        (keptSimSum / after).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy(_._1)
+    val got = Similarity.knnDiversify(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)) ===
+      census.map(c => (c._1, c._2, c._3, c._4, c._5)))
+    got.zip(census).foreach { case (g, c) =>
+      assert(math.abs(g._6 - c._6.toDouble) < 1e-3,
+        s"label ${g._1} avg kept sim")
+    }
   }
 
   test("sketch_quantiles exact side equals a sorted-array ceil-rank " +
