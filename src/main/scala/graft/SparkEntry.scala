@@ -357,7 +357,11 @@ object SparkEntry {
     "sample_reservoir" -> ((s, d) => TextAnalysis.reservoirSample(s, d)),
     "events_markov_stationary" ->
       ((s, d) => EventAnalytics.markovStationary(s, d)),
-    "sim_knn_diversify" -> ((s, d) => Similarity.knnDiversify(s, d))
+    "sim_knn_diversify" -> ((s, d) => Similarity.knnDiversify(s, d)),
+    "text_lm_interp" -> ((s, d) => TextAnalysis.lmInterpSweep(s, d)),
+    "docs_gate_kappa" -> ((s, d) => TextAnalysis.gateKappa(s, d)),
+    "stream_reservoir" ->
+      ((s, d) => StreamingAnalytics.streamReservoir(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -2971,6 +2975,138 @@ object SparkEntry {
              ORDER BY pr, doc_id) AS rk FROM d)
          SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tok
          FROM r WHERE rk <= 20 ORDER BY source, rk""",
+    // stream_reservoir: maintained streaming state must equal the
+    // one-shot batch sample — identical oracle to sample_reservoir
+    "stream_reservoir" ->
+      """WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5('rsv:' || CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY pr, doc_id) AS rk FROM d)
+         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tok
+         FROM r WHERE rk <= 20 ORDER BY source, rk""",
+    "text_lm_interp" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         tbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbi FROM
+             (SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT w, unnest(generate_series(1,
+                  CAST(len(w) - 1 AS INT))) AS i
+                FROM s WHERE split = 'train' AND len(w) >= 2) z)
+           GROUP BY 1, 2),
+         tu AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cu FROM
+             (SELECT unnest(w) AS tok FROM s WHERE split = 'train') q
+           WHERE tok <> '' GROUP BY 1),
+         nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_train,
+             CAST(COUNT(*) AS BIGINT) AS v_train FROM tu),
+         teb AS (SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT w, unnest(generate_series(1,
+               CAST(len(w) - 1 AS INT))) AS i
+             FROM s WHERE split = 'test' AND len(w) >= 2) z2),
+         lam AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT)
+           AS lambda_pct),
+         terms AS (SELECT l.lambda_pct,
+             CAST(-ln(CAST(l.lambda_pct AS DOUBLE) / 100 *
+                 (CASE WHEN COALESCE(u1.cu, 0) > 0
+                       THEN CAST(COALESCE(b.cbi, 0) AS DOUBLE) / u1.cu
+                       ELSE 0 END)
+               + (1 - CAST(l.lambda_pct AS DOUBLE) / 100) *
+                 (CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)
+                   / (nv.n_train + nv.v_train)))
+               AS DECIMAL(28,12)) AS nll
+           FROM teb t
+           LEFT JOIN tbg b ON t.w1 = b.w1 AND t.w2 = b.w2
+           LEFT JOIN tu u1 ON t.w1 = u1.w
+           LEFT JOIN tu u2 ON t.w2 = u2.w
+           CROSS JOIN nv CROSS JOIN lam l)
+         SELECT lambda_pct, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "docs_gate_kappa" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         t AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(w, x -> x IN
+               ('the','a','of','and','to','in','is','for','on','with')))
+               AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+           FROM s WHERE split = 'train'),
+         w2 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, len(w))]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         mb AS (SELECT doc_id, MAX(c) AS max_bg FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         w3 AS (SELECT doc_id, unnest(
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]
+                  ELSE []::VARCHAR[] END) AS g
+           FROM s WHERE split = 'train'),
+         tr AS (SELECT doc_id, SUM(c) AS n_tri,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM
+             (SELECT doc_id, g, COUNT(*) AS c FROM w3 GROUP BY 1, 2)
+           GROUP BY doc_id),
+         f AS (SELECT t.source,
+             CAST((t.n_tok < 10 OR t.n_stop * 2 > t.n_tok
+               OR t.n_uniq * 10 < t.n_tok * 3) AS BIGINT) AS gq,
+             CAST((COALESCE(mb.max_bg, 0) * 10 > t.n_tok
+               OR COALESCE(tr.dup_tri, 0) * 10
+                 > COALESCE(tr.n_tri, 0) * 3) AS BIGINT) AS gr
+           FROM t LEFT JOIN mb USING (doc_id)
+             LEFT JOIN tr USING (doc_id)),
+         cells AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN gq = 0 AND gr = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN gq = 0 AND gr = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN gq = 1 AND gr = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN gq = 1 AND gr = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM f GROUP BY 1),
+         x AS (SELECT *,
+             CAST(a + b AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))
+               + CAST(c + d AS DECIMAL(38,0))
+                 * CAST(b + d AS DECIMAL(38,0)) AS pe_num
+           FROM cells)
+         SELECT source, n_docs, a AS n_pass_both, b AS n_rep_only,
+           c AS n_qual_only, d AS n_flag_both,
+           CASE WHEN CAST(n_docs AS DECIMAL(38,0))
+                  * CAST(n_docs AS DECIMAL(38,0)) <> pe_num
+                THEN ROUND(CAST(CAST(n_docs AS DECIMAL(38,0))
+                    * CAST(a + d AS DECIMAL(38,0)) - pe_num AS DOUBLE)
+                  / CAST(CAST(n_docs AS DECIMAL(38,0))
+                    * CAST(n_docs AS DECIMAL(38,0)) - pe_num AS DOUBLE),
+                  6)
+           END AS kappa
+         FROM x ORDER BY source""",
     "events_markov_stationary" ->
       """WITH nx AS (SELECT event_type AS from_type,
              LEAD(event_type) OVER (PARTITION BY user_id

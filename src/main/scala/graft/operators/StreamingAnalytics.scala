@@ -460,6 +460,75 @@ object StreamingAnalytics {
       .orderBy(col("increment"), col("lang"))
   }
 
+  /** Streaming RESERVOIR maintenance — the proof of
+    * [[TextAnalysis.reservoirSample]]'s mergeability claim: the corpus
+    * arrives as two staged increments and each micro-batch folds its
+    * own hash-priority candidates into the persisted per-source top-k
+    * state (read previous version → union → rank ≤ k → write next
+    * version; the versioned-state-dir discipline of
+    * `stream_cdc_upsert`). Because the md5 priority is a pure function
+    * of the stable key, merging per-batch top-k partials IS the
+    * reservoir update rule, and the final maintained state must equal
+    * the one-shot batch sample over the whole corpus — which is
+    * exactly the oracle (the same SQL as `sample_reservoir`): any
+    * divergence in the maintenance (lost state, wrong merge rank, a
+    * rank recomputed on only the new rows) hash-mismatches the gate.
+    *
+    * State is k·|sources| rows regardless of corpus size — the
+    * bounded-memory contract, now demonstrated under streaming
+    * arrival. */
+  def streamReservoir(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_srsv").toString
+    val inDir = s"$root/in"
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("sn") < 10).drop("sn"),
+      "inc2" -> docs.filter(col("sn") >= 10).drop("sn")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cand = batch.select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .as("n_tok"),
+          md5(concat(lit("rsv:"), col("doc_id").cast("string")))
+            .as("pr"))
+        val merged =
+          if (lastState < 0) cand
+          else cand.unionByName(
+            spark.read.parquet(s"$root/state_v$lastState"))
+        merged
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))
+              .orderBy(col("pr"), col("doc_id"))))
+          .filter(col("rk") <= k).drop("rk")
+          .write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_reservoir: no micro-batch ran")
+    val out = spark.read.parquet(s"$root/state_v$lastState")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("pr"), col("doc_id"))))
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_tok"))
+      .orderBy(col("source"), col("rk"))
+      .localCheckpoint()
+    deleteTree(root)
+    out
+  }
+
   def streamDocsPrep(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val root = java.nio.file.Files.createTempDirectory("graft_sprep").toString

@@ -1072,6 +1072,60 @@ object TextAnalysis {
       .orderBy(col("g_qual"), col("g_rep"), col("g_dup"), col("g_contam"))
   }
 
+  /** Cohen's KAPPA between the quality gate and the repetition gate —
+    * the inter-rater-agreement number [[gateOverlap]]'s 16-cell census
+    * implies but never computes: per source, the 2×2 confusion of the
+    * two cheap heuristic gates and their chance-corrected agreement.
+    * κ ≈ 0 means the gates fire independently (both earn their keep);
+    * κ → 1 means one is redundant — the measured answer a curation
+    * team wants before pruning its gate stack, with per-source rows
+    * exposing sources where the gates collapse into each other.
+    *
+    * Exactness: κ = (n·(a+d) − (ra·ca + rb·cb)) / (n² − (ra·ca + rb·cb))
+    * entirely from exact integer counts, products taken in
+    * DECIMAL(38,0) (the [[EventAnalytics]] anomaly-predicate
+    * convention — n² overflows int64 around 3e9 docs, feasible at
+    * 100 TB), ONE final double division; the degenerate
+    * all-agree-by-marginals source (denominator 0) emits NULL in both
+    * engines. One doc-grain pass over train, ≤|sources|-row census. */
+  def gateKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter(splitCol === "train")
+    val toks = tokens(col("text"))
+    val perDoc = train.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tok"),
+      stopwordCount(toks).as("n_stop"),
+      distinctTokenCount(col("text")).as("n_uniq"))
+    val flags = perDoc
+      .join(maxBigramCounts(train), Seq("doc_id"), "left_outer")
+      .join(trigramDupStats(train), Seq("doc_id"), "left_outer")
+      .select(col("source"),
+        (col("n_tok") < 10 || col("n_stop") * 2 > col("n_tok") ||
+          col("n_uniq") * 10 < col("n_tok") * 3).cast("long").as("gq"),
+        (coalesce(col("max_bg"), lit(0L)) * 10 > col("n_tok") ||
+          coalesce(col("dup_tri"), lit(0L)) * 10 >
+            coalesce(col("n_tri"), lit(0L)) * 3).cast("long").as("gr"))
+    val d38: Column => Column = c => c.cast("decimal(38,0)")
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("gq") === 0) && (col("gr") === 0)).cast("long")).as("a"),
+        sum(((col("gq") === 0) && (col("gr") === 1)).cast("long")).as("b"),
+        sum(((col("gq") === 1) && (col("gr") === 0)).cast("long")).as("c"),
+        sum(((col("gq") === 1) && (col("gr") === 1)).cast("long")).as("d"))
+      .withColumn("pe_num",
+        d38(col("a") + col("b")) * d38(col("a") + col("c")) +
+          d38(col("c") + col("d")) * d38(col("b") + col("d")))
+      .select(col("source"), col("n_docs"),
+        col("a").as("n_pass_both"), col("b").as("n_rep_only"),
+        col("c").as("n_qual_only"), col("d").as("n_flag_both"),
+        when(d38(col("n_docs")) * d38(col("n_docs")) =!= col("pe_num"),
+          round((d38(col("n_docs")) * d38(col("a") + col("d")) -
+            col("pe_num")).cast("double") /
+            (d38(col("n_docs")) * d38(col("n_docs")) - col("pe_num"))
+              .cast("double"), 6)).as("kappa"))
+      .orderBy(col("source"))
+  }
+
   /** Exact-substring duplication census — the verbatim-overlap signal of
     * suffix-array training-data dedup, re-expressed relationally: a
     * document's 20-token window is SHARED when the identical window text
@@ -1910,6 +1964,74 @@ object TextAnalysis {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6)
           .as("mean_nll"))
       .orderBy(col("lang"))
+  }
+
+  /** Interpolation-weight SWEEP for the bigram language model — the
+    * measured knob [[lmHeldout]] stops short of: a production n-gram LM
+    * never uses the raw bigram MLE (zero probability on any unseen
+    * pair); it interpolates λ·P_bi + (1−λ)·P_uni, and λ is TUNED on
+    * held-out data. This row runs the tune: for λ ∈ {0.25, 0.5, 0.75},
+    * the held-out bigram count and mean negative log-likelihood under
+    * the interpolated model (bigram MLE over the train split with the
+    * unigram denominator; unigram add-one exactly as [[lmHeldout]]).
+    * The λ row with the lowest NLL is the one a data team ships — the
+    * [[DedupOps.lshBandingSweep]] / nprobe-sweep discipline applied to
+    * the LM smoothing knob.
+    *
+    * Exactness: counts are exact BIGINTs; both engines evaluate the
+    * identical division/ln expression per bigram and quantize each
+    * term to DECIMAL(28,12) BEFORE summing, so the mean is
+    * order-independent ([[bigramLogprob]]'s precedent). Scale shape:
+    * two train-side hash-aggs (bigram + unigram — the word-count
+    * envelope), one held-out bigram pass joined against both models,
+    * a broadcast 3-row λ axis, a 3-row census. */
+  def lmInterpSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bgArr = expr(
+      """CASE WHEN size(split(text, ' ')) >= 2
+           THEN transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> struct(element_at(split(text, ' '), i) AS w1,
+                         element_at(split(text, ' '), i + 1) AS w2))
+           ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+         END""")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), splitCol.as("split"))
+    val trainBg = docs.filter(col("split") === "train")
+      .select(explode(bgArr).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cbi"))
+    val trainUni = docs.filter(col("split") === "train")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nv = trainUni.agg(sum(col("cu")).as("n_train"),
+      count(lit(1)).as("v_train"))
+    val testBg = docs.filter(col("split") === "test")
+      .select(explode(bgArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lams = Seq(25L, 50L, 75L).toDF("lambda_pct")
+    testBg
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(trainUni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cu", "cu1"), Seq("w1"), "left")
+      .join(trainUni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cu", "cu2"), Seq("w2"), "left")
+      .crossJoin(broadcast(nv)) // 1-row (N, V) scalar
+      .crossJoin(broadcast(lams)) // 3-row lambda axis
+      .select(col("lambda_pct"),
+        (-log(col("lambda_pct").cast("double") / 100.0 *
+          when(coalesce(col("cu1"), lit(0L)) > 0,
+            coalesce(col("cbi"), lit(0L)).cast("double") /
+              col("cu1").cast("double")).otherwise(lit(0.0)) +
+          (lit(1.0) - col("lambda_pct").cast("double") / 100.0) *
+            ((coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_train") + col("v_train")).cast("double"))))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("lambda_pct"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy(col("lambda_pct"))
   }
 
   /** Vocabulary coverage curve: what share of the corpus's TOKEN MASS

@@ -174,6 +174,120 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_reservoir's maintained state equals the one-shot batch " +
+    "sample (the fold identity, in-suite)") {
+    val batch = TextAnalysis.reservoirSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val streamed = graft.operators.StreamingAnalytics
+      .streamReservoir(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("text_lm_interp equals a driver-side interpolated-NLL replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val trainToks = docs.filter(d => split(d._1) == "train")
+      .map(_._2.split(" ", -1))
+    val cbi = trainToks.flatMap(w => w.zip(w.drop(1)))
+      .groupBy(identity).map { case (p, g) => (p, g.length.toLong) }
+    val cu = trainToks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val n = cu.values.sum
+    val v = cu.size.toLong
+    val testBg = docs.filter(d => split(d._1) == "test")
+      .map(_._2.split(" ", -1)).flatMap(w => w.zip(w.drop(1)))
+    val expected = Seq(25L, 50L, 75L).map { lam =>
+      val terms = testBg.map { case (w1, w2) =>
+        val pbi =
+          if (cu.getOrElse(w1, 0L) > 0)
+            cbi.getOrElse((w1, w2), 0L).toDouble / cu(w1)
+          else 0.0
+        val puni = (cu.getOrElse(w2, 0L) + 1).toDouble / (n + v)
+        val l = lam.toDouble / 100.0
+        BigDecimal(-math.log(l * pbi + (1.0 - l) * puni))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (lam, terms.length.toLong,
+        (terms.sum / terms.length).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.lmInterpSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => (g._1, g._2)) === expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6, s"lambda ${g._1} mean NLL")
+    }
+    // the sweep must be non-degenerate: NLL actually varies with lambda
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
+  test("docs_gate_kappa equals a driver-side confusion/kappa replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16) < 204
+    val stop = graft.functions.TextFunctions.stopwords.toSet
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(d => isTrain(d._1))
+    val cells = docs.map { case (_, src, text) =>
+      val w = text.split(" ", -1)
+      val nTok = w.length.toLong
+      val nStop = w.count(stop.contains).toLong
+      val nUniq = w.distinct.length.toLong
+      val gq = nTok < 10 || nStop * 2 > nTok || nUniq * 10 < nTok * 3
+      val maxBg = if (w.length >= 2)
+        w.zip(w.drop(1)).groupBy(identity).values.map(_.length).max.toLong
+      else 0L
+      // mkString: sliding yields Arrays, which would group by REFERENCE
+      val tris = if (w.length >= 3)
+        w.sliding(3).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.length.toLong)
+      else Seq.empty
+      val nTri = tris.sum
+      val dupTri = tris.filter(_ > 1).sum
+      val gr = maxBg * 10 > nTok || dupTri * 10 > nTri * 3
+      (src, gq, gr)
+    }.groupBy(_._1).map { case (src, g) =>
+      val a = g.count(x => !x._2 && !x._3).toLong
+      val b = g.count(x => !x._2 && x._3).toLong
+      val c = g.count(x => x._2 && !x._3).toLong
+      val d = g.count(x => x._2 && x._3).toLong
+      (src, (g.length.toLong, a, b, c, d))
+    }
+    val got = TextAnalysis.gateKappa(spark, sf0001).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nD, a, b, c, d) = cells(src)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === ((nD, a, b, c, d)), s"source $src cells")
+      val peNum = BigDecimal(a + b) * BigDecimal(a + c) +
+        BigDecimal(c + d) * BigDecimal(b + d)
+      val nn = BigDecimal(nD) * BigDecimal(nD)
+      if (nn == peNum) assert(r.isNullAt(6), s"source $src degenerate")
+      else {
+        val kappa = ((BigDecimal(nD) * BigDecimal(a + d) - peNum) /
+          (nn - peNum)).toDouble
+        assert(math.abs(r.getDouble(6) - kappa) < 1e-5, s"source $src kappa")
+      }
+    }
+  }
+
   test("sketch_quantiles exact side equals a sorted-array ceil-rank " +
     "recomputation and every sketch verdict is within bound") {
     val vals = Tables(spark, sf0001, "orders")
