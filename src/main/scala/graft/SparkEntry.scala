@@ -361,7 +361,10 @@ object SparkEntry {
     "text_lm_interp" -> ((s, d) => TextAnalysis.lmInterpSweep(s, d)),
     "docs_gate_kappa" -> ((s, d) => TextAnalysis.gateKappa(s, d)),
     "stream_reservoir" ->
-      ((s, d) => StreamingAnalytics.streamReservoir(s, d))
+      ((s, d) => StreamingAnalytics.streamReservoir(s, d)),
+    "docs_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
+    "mm_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
+    "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3107,6 +3110,122 @@ object SparkEntry {
                   6)
            END AS kappa
          FROM x ORDER BY source""",
+    "docs_ccnet_buckets" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         tu AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cw FROM
+             (SELECT unnest(string_split(text, ' ')) AS tok FROM s
+              WHERE split = 'train') q
+           WHERE tok <> '' GROUP BY 1),
+         nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_train,
+             CAST(COUNT(*) AS BIGINT) AS v_train FROM tu),
+         terms AS (SELECT t.doc_id, t.lang,
+             CAST(-ln(CAST(COALESCE(tu.cw, 0) + 1 AS DOUBLE)
+               / (nv.n_train + nv.v_train)) AS DECIMAL(28,12)) AS nll
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS w FROM s) t
+           LEFT JOIN tu ON t.w = tu.w CROSS JOIN nv
+           WHERE t.w <> ''),
+         pd AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             SUM(nll) AS nll_sum
+           FROM terms GROUP BY 1, 2),
+         pdm AS (SELECT *, CAST(nll_sum AS DOUBLE) / n_tok AS mean_nll
+           FROM pd),
+         rk AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY mean_nll, doc_id) AS BIGINT) AS rk FROM pdm),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pdm)
+         SELECT lang,
+           CASE WHEN rk.rk * 3 <= tot.n THEN 'a_head'
+                WHEN rk.rk * 3 <= tot.n * 2 THEN 'b_middle'
+                ELSE 'c_tail' END AS bucket,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(nll_sum) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE), 6) AS mean_nll
+         FROM pdm JOIN rk USING (doc_id), tot
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm_audio_neardup" ->
+      """WITH audio AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 3 = 1 AND length(text) > 0),
+         b AS (SELECT doc_id, (pos - 1) // 256 AS w,
+             CAST(ascii(substr(text, CAST(pos AS INT), 1)) - 128
+               AS BIGINT) AS v
+           FROM (SELECT doc_id, text,
+                   unnest([p for p in range(1, length(text) + 1)]) AS pos
+                 FROM audio) u),
+         wins AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS energy
+                  FROM b GROUP BY 1, 2),
+         sig AS (SELECT doc_id, w // 4 AS band,
+             md5(string_agg(CAST(energy // 16384 AS VARCHAR), ','
+               ORDER BY w)) AS bucket
+           FROM wins GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             CAST(band AS VARCHAR) || ':' || bucket AS shingle FROM sig),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         inter AS (SELECT a.doc_id AS d1, b2.doc_id AS d2,
+             COUNT(*) AS i
+           FROM sh a JOIN sh b2
+             ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+           JOIN okdf kf ON kf.shingle = a.shingle
+           GROUP BY 1, 2)
+         SELECT d1, d2, CAST(i AS BIGINT) AS n_bands_agree,
+           CAST(s1.n AS BIGINT) AS n_bands_1,
+           CAST(s2.n AS BIGINT) AS n_bands_2,
+           ROUND(CAST(i AS DOUBLE) / GREATEST(s1.n, s2.n), 3)
+             AS band_frac
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                    JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE i * 100 >= GREATEST(s1.n, s2.n) * 50
+         ORDER BY d1, d2""",
+    "text_rake_keywords" ->
+      """WITH toks AS (SELECT doc_id, pos - 1 AS p, tok AS w
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents) z),
+         fl AS (SELECT doc_id, p, w,
+             (w IN ('the','a','of','and','to','in','is','for','on','with')
+               OR w = '') AS is_stop
+           FROM toks),
+         g AS (SELECT doc_id, p, w, is_stop,
+             SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY p) AS grp
+           FROM fl),
+         ph AS (SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY p) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS len
+           FROM g WHERE NOT is_stop GROUP BY 1, 2
+           HAVING COUNT(*) <= 8),
+         ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(len) AS BIGINT) AS deg
+           FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+                 FROM ph) e
+           GROUP BY 1),
+         dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurs,
+             MAX(len) AS len FROM ph GROUP BY 1),
+         sc AS (SELECT d2.phrase, d2.n_occurs, d2.len,
+             SUM(CAST(CAST(ws.deg AS DOUBLE) / ws.freq
+               AS DECIMAL(18,9))) AS score_d
+           FROM (SELECT phrase, n_occurs, len,
+                   unnest(string_split(phrase, ' ')) AS w FROM dp) d2
+           JOIN ws USING (w)
+           GROUP BY 1, 2, 3)
+         SELECT CAST(rk AS BIGINT) AS rk, phrase, len AS n_words,
+           n_occurs, ROUND(CAST(score_d AS DOUBLE), 4) AS score
+         FROM (SELECT *, ROW_NUMBER() OVER
+             (ORDER BY score_d DESC, phrase) AS rk FROM sc) r
+         WHERE rk <= 25 ORDER BY rk""",
     "events_markov_stationary" ->
       """WITH nx AS (SELECT event_type AS from_type,
              LEAD(event_type) OVER (PARTITION BY user_id

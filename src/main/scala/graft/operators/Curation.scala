@@ -735,4 +735,64 @@ object Curation {
             (col("n_docs").cast("double") * col("n_docs").cast("double")
               - lit(1.0))), 6).as("spearman"))
   }
+
+  /** CCNet-style PERPLEXITY bucKETING (Wenzek et al. 2020): every
+    * document scored by its mean token NLL under the train-split
+    * add-one unigram LM (the [[TextAnalysis.lmHeldout]] model applied
+    * corpus-wide), then cut into head / middle / tail THIRDS by exact
+    * global rank — the standard "keep the head, inspect the middle,
+    * drop the tail" curation gate, reported per (lang, bucket) with
+    * doc and token mass and the token-weighted mean NLL. CCNet's
+    * actual LM is a KenLM 5-gram; the bucketing machinery — score,
+    * rank, cut at corpus percentiles, act per bucket — is identical
+    * and is what this row exercises.
+    *
+    * Exactness + scale: per-token NLL terms quantize to
+    * DECIMAL(28,12) before the per-doc sum (order-independent); the
+    * per-doc mean is ONE double division evaluated identically in
+    * both engines; the global rank is the bucketed two-pass
+    * [[exactRank]] (sampled boundaries → local ranks → offsets — B-way
+    * parallel, never a corpus-wide ROW_NUMBER window); the thirds are
+    * integer ceil-division cut points; the census is ≤ 3·|langs|
+    * rows. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.splitCol.as("split"))
+    val lm = d.filter(col("split") === "train")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nv = lm.agg(sum(col("cw")).as("n_train"),
+      count(lit(1)).as("v_train"))
+    val perDoc = d
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(lm, Seq("w"), "left")
+      .crossJoin(broadcast(nv)) // 1-row (N, V) scalar
+      .select(col("doc_id"), col("lang"),
+        (-log((coalesce(col("cw"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_train") + col("v_train")).cast("double")))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("nll_sum"))
+      .withColumn("mean_nll",
+        col("nll_sum").cast("double") / col("n_tok").cast("double"))
+    val ranked = perDoc.join(
+      exactRank(spark, perDoc, "mean_nll", "rk"), "doc_id")
+    val tot = perDoc.agg(count(lit(1)).as("n_scored"))
+    ranked.crossJoin(broadcast(tot)) // 1-row corpus count
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n_scored"), "a_head")
+          .when(col("rk") * 3 <= col("n_scored") * 2, "b_middle")
+          .otherwise("c_tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("nll_sum")).cast("double") /
+          sum(col("n_tok")).cast("double"), 6).as("mean_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
 }

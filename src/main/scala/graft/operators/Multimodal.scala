@@ -255,10 +255,15 @@ object Multimodal {
     * only division is one rounded ratio. A real deployment swaps the
     * byte slicer for a codec frame iterator behind the same
     * [[MediaDecoder]] seam. */
-  def audioEnergy(spark: SparkSession, dir: String,
-                  win: Int = 256): DataFrame = {
+  /** (doc_id, win_no, energy) relation over the audio payloads — the
+    * shared window kernel of [[audioEnergy]] and [[audioNearDup]]
+    * (one definition, so the census and the near-dup signature can
+    * never disagree on what a window IS). Per-partition codec-seam
+    * mapPartitions, exactly as [[extractFeatures]]. */
+  private def energyWindows(spark: SparkSession, dir: String,
+                            win: Int): DataFrame = {
     import spark.implicits._
-    val wins = mediaRecords(spark, dir)
+    mediaRecords(spark, dir)
       .filter(col("modality") === "audio").as[MediaRecord]
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -274,6 +279,11 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "win_no", "energy")
+  }
+
+  def audioEnergy(spark: SparkSession, dir: String,
+                  win: Int = 256): DataFrame = {
+    val wins = energyWindows(spark, dir, win)
     val peaked = wins.withColumn("peak",
       max(col("energy")).over(Window.partitionBy(col("doc_id"))))
     peaked.groupBy(col("doc_id"))
@@ -285,5 +295,45 @@ object Multimodal {
       .withColumn("near_peak_ratio",
         round(col("n_near_peak").cast("double") / col("n_windows"), 4))
       .orderBy(col("doc_id"))
+  }
+
+  /** AUDIO near-duplicate pairs by banded energy fingerprints — the
+    * modality-dedup rung between [[phashHamming]] (image) and the text
+    * ladder: each audio payload's per-window energies quantize to
+    * coarse levels, consecutive windows group into BANDS whose level
+    * sequence is fingerprinted, and two payloads are near-dups when
+    * their band fingerprints mostly agree (the acoustic-fingerprint
+    * shape — Shazam-style constellation hashing reduced to the energy
+    * envelope, which is what the byte-window decoder seam can see
+    * without a real codec).
+    *
+    * The candidate/pair machinery IS [[DedupOps.shinglePairStatsOf]]
+    * with `(band, fingerprint)` as the shingle — one posting shuffle,
+    * the [[DedupOps.MaxShingleDf]] hot-posting cap (a silence band
+    * shared by everything is this modality's stopword), and agreement
+    * = shared bands over the larger band count, all exact integers
+    * until one rounded division. */
+  def audioNearDup(spark: SparkSession, dir: String, win: Int = 256,
+                   bandWins: Int = 4, minPct: Int = 50): DataFrame = {
+    val sigs = energyWindows(spark, dir, win)
+      .withColumn("ql", expr("energy div 16384"))
+      .withColumn("band", expr(s"win_no div $bandWins"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",", expr(
+        """transform(array_sort(collect_list(struct(win_no, ql))),
+             x -> CAST(x.ql AS STRING))"""))).as("bucket"))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("bucket"))
+          .as("shingle"))
+    DedupOps.shinglePairStatsOf(sigs)
+      .filter(col("inter") * 100 >=
+        greatest(col("n1"), col("n2")) * minPct)
+      .select(col("d1"), col("d2"),
+        col("inter").as("n_bands_agree"),
+        col("n1").as("n_bands_1"), col("n2").as("n_bands_2"),
+        round(col("inter").cast("double") /
+          greatest(col("n1"), col("n2")).cast("double"), 3)
+          .as("band_frac"))
+      .orderBy(col("d1"), col("d2"))
   }
 }

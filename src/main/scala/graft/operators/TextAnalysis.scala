@@ -1072,6 +1072,68 @@ object TextAnalysis {
       .orderBy(col("g_qual"), col("g_rep"), col("g_dup"), col("g_contam"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Rapid Automatic
+    * Keyword Extraction") over the corpus — the unsupervised
+    * keyphrase miner between [[bigramPmi]]'s pair collocations and
+    * [[tfidf]]'s single-term weights: candidate phrases are maximal
+    * stopword-delimited token runs (gaps-and-islands over positions,
+    * capped at 8 tokens — a run with no stopword in a synthetic
+    * corpus can be arbitrarily long and carries no keyphrase signal),
+    * each word scores deg/freq (deg = Σ phrase length over its
+    * phrases, freq = occurrences — both exact integers), and a
+    * phrase's score is the sum of its words' scores. Top-25 distinct
+    * phrases by (score DESC, phrase).
+    *
+    * Exactness: the only divisions are per-word deg/freq, quantized
+    * to DECIMAL(18,9) BEFORE the per-phrase sum (≤ 8 terms, exact
+    * decimal addition — order-independent). Scale shape: one
+    * positional explode + per-doc running-stop-count window (the
+    * sessionize idiom over token positions), phrase and word aggs on
+    * content keys (Zipf-headed word counts — the word-count
+    * envelope), scoring on the DISTINCT-phrase relation, and the
+    * final top-k is a rank ≤ 25 WindowGroupLimit. */
+  def rakeKeywords(spark: SparkSession, dir: String,
+                   k: Int = 25): DataFrame = {
+    import graft.functions.TextFunctions
+    val stop = TextFunctions.stopwords
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      .withColumn("is_stop",
+        col("w").isin(stop.map(lit(_)): _*) || col("w") === "")
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val phrases = toks
+      .withColumn("grp", sum(col("is_stop").cast("long")).over(wnd))
+      .filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(expr(
+        """transform(array_sort(collect_list(struct(p, w))),
+             x -> x.w)"""), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= 8)
+    val wordStats = phrases
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurs"), max(col("len")).as("len"))
+    val scored = distinctPhrases
+      .select(col("phrase"), col("n_occurs"), col("len"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, "w")
+      .groupBy(col("phrase"), col("n_occurs"), col("len"))
+      .agg(sum((col("deg").cast("double") / col("freq").cast("double"))
+        .cast("decimal(18,9)")).as("score_d"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_d").desc, col("phrase"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("phrase"),
+        col("len").as("n_words"), col("n_occurs"),
+        round(col("score_d").cast("double"), 4).as("score"))
+      .orderBy(col("rk"))
+  }
+
   /** Cohen's KAPPA between the quality gate and the repetition gate —
     * the inter-rater-agreement number [[gateOverlap]]'s 16-cell census
     * implies but never computes: per source, the 2×2 confusion of the

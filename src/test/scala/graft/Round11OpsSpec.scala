@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, EventAnalytics, Quality, Similarity,
-  TextAnalysis}
+import graft.operators.{DedupOps, EventAnalytics, Multimodal, Quality,
+  Similarity, TextAnalysis}
 
 /** Round-11 operators: driver-side first-principles recomputations for
   * the algorithm-agreement CC gate, the Bloom FPR census, the mergeable
@@ -285,6 +285,130 @@ class Round11OpsSpec extends SparkSpec {
           (nn - peNum)).toDouble
         assert(math.abs(r.getDouble(6) - kappa) < 1e-5, s"source $src kappa")
       }
+    }
+  }
+
+  test("docs_ccnet_buckets equals a driver-side score/rank/thirds " +
+    "replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16) < 204
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cu = docs.filter(d => isTrain(d._1))
+      .flatMap(_._3.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val n = cu.values.sum
+    val v = cu.size.toLong
+    val perDoc = docs.flatMap { case (id, lang, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val nll = ws.map { w =>
+          BigDecimal(-math.log(
+            (cu.getOrElse(w, 0L) + 1).toDouble / (n + v)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some((id, lang, ws.length.toLong, nll))
+      }
+    }
+    val ranked = perDoc
+      .sortBy(d => (d._4.toDouble / d._3, d._1)).zipWithIndex
+      .map { case ((id, lang, nt, nll), i) => (id, lang, nt, nll, i + 1L) }
+    val total = ranked.length.toLong
+    val expected = ranked.groupBy { case (_, lang, _, _, rk) =>
+      val bucket = if (rk * 3 <= total) "a_head"
+        else if (rk * 3 <= total * 2) "b_middle" else "c_tail"
+      (lang, bucket)
+    }.map { case ((lang, bucket), g) =>
+      ((lang, bucket), (g.length.toLong, g.map(_._3).sum,
+        (g.map(_._4).sum / BigDecimal(g.map(_._3).sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = graft.operators.Curation.ccnetBuckets(spark, sf0001)
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (nD, nT, mNll) = expected(key)
+      assert(r.getLong(2) === nD, s"$key n_docs")
+      assert(r.getLong(3) === nT, s"$key n_tokens")
+      assert(math.abs(r.getDouble(4) - mNll) < 1e-6, s"$key mean_nll")
+    }
+  }
+
+  test("mm_audio_neardup equals a driver-side energy-band replay and " +
+    "flags the planted payload duplicates") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 1 && d._2.nonEmpty)
+    def sig(text: String): Map[Long, String] = {
+      val energies = text.getBytes("UTF-8").grouped(256).map { chunk =>
+        chunk.map { b => val x = (b & 0xff) - 128; x.toLong * x }.sum
+      }.toSeq
+      energies.zipWithIndex.groupBy(_._2 / 4).map { case (band, g) =>
+        (band.toLong, g.map(_._1 / 16384).mkString(","))
+      }
+    }
+    val sigs = docs.map { case (id, t) => (id, sig(t)) }
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      // band-level df cap: a band signature shared by > 64 docs drops
+      shared = s1.keySet.intersect(s2.keySet).count { b =>
+        s1(b) == s2(b) &&
+          sigs.count(x => x._2.get(b).contains(s1(b))) <= 64
+      }.toLong
+      if shared * 100 >= math.max(s1.size, s2.size) * 50
+    } yield (d1, d2, shared, s1.size.toLong, s2.size.toLong)).sorted
+    val got = Multimodal.audioNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the planted duplicates must surface")
+  }
+
+  test("text_rake_keywords equals a driver-side RAKE replay") {
+    val stop = graft.functions.TextFunctions.stopwords.toSet + ""
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val phrases = docs.flatMap { t =>
+      val runs = scala.collection.mutable.ListBuffer[List[String]]()
+      var cur = List.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toSeq.filter(_.length <= 8).map(_.mkString(" "))
+    }
+    val wordStats = phrases.flatMap { p =>
+      val ws = p.split(" "); ws.map(w => (w, ws.length.toLong))
+    }.groupBy(_._1).map { case (w, g) =>
+      (w, (g.length.toLong, g.map(_._2).sum))
+    }
+    val scored = phrases.groupBy(identity).map { case (p, g) =>
+      val score = p.split(" ").map { w =>
+        val (freq, deg) = wordStats(w)
+        BigDecimal(deg.toDouble / freq)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (p, g.length.toLong, p.split(" ").length.toLong, score)
+    }.toSeq.sortBy(s => (-s._4, s._1)).take(25).zipWithIndex
+      .map { case ((p, occ, nw, sc), i) =>
+        (i + 1L, p, nw, occ,
+          sc.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextAnalysis.rakeKeywords(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ===
+      scored.map(s => (s._1, s._2, s._3, s._4)))
+    got.zip(scored).foreach { case (g, s) =>
+      assert(math.abs(g._5 - s._5) < 1e-4, s"phrase ${g._2} score")
     }
   }
 
