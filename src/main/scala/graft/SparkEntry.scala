@@ -364,7 +364,11 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamReservoir(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
     "mm_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
-    "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(s, d))
+    "text_rake_keywords" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
+    "text_contamination_sweep" ->
+      ((s, d) => TextAnalysis.contaminationSweep(s, d)),
+    "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
+    "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3154,6 +3158,146 @@ object SparkEntry {
              / CAST(SUM(n_tok) AS DOUBLE), 6) AS mean_nll
          FROM pdm JOIN rk USING (doc_id), tot
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_contamination_sweep" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         tt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok
+           FROM s WHERE split = 'train'),
+         tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS nt FROM tt),
+         b7 AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 7
+                  THEN [array_to_string(w[i:i+6], ' ')
+                        for i in range(1, len(w)-5)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         c7 AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 7
+                     THEN [array_to_string(w[i:i+6], ' ')
+                           for i in range(1, len(w)-5)]
+                     ELSE []::VARCHAR[] END)) AS g
+              FROM s WHERE split = 'train')
+           WHERE g IN (SELECT g FROM b7)),
+         r7 AS (SELECT CAST(7 AS BIGINT) AS n_gram,
+             CAST(COUNT(*) AS BIGINT) AS n_contam_docs,
+             CAST(COALESCE(SUM(tt.n_tok), 0) AS BIGINT) AS contam_tokens
+           FROM c7 JOIN tt USING (doc_id)),
+         b13 AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ')
+                        for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         c13 AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 13
+                     THEN [array_to_string(w[i:i+12], ' ')
+                           for i in range(1, len(w)-11)]
+                     ELSE []::VARCHAR[] END)) AS g
+              FROM s WHERE split = 'train')
+           WHERE g IN (SELECT g FROM b13)),
+         r13 AS (SELECT CAST(13 AS BIGINT) AS n_gram,
+             CAST(COUNT(*) AS BIGINT) AS n_contam_docs,
+             CAST(COALESCE(SUM(tt.n_tok), 0) AS BIGINT) AS contam_tokens
+           FROM c13 JOIN tt USING (doc_id)),
+         b20 AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 20
+                  THEN [array_to_string(w[i:i+19], ' ')
+                        for i in range(1, len(w)-18)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         c20 AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 20
+                     THEN [array_to_string(w[i:i+19], ' ')
+                           for i in range(1, len(w)-18)]
+                     ELSE []::VARCHAR[] END)) AS g
+              FROM s WHERE split = 'train')
+           WHERE g IN (SELECT g FROM b20)),
+         r20 AS (SELECT CAST(20 AS BIGINT) AS n_gram,
+             CAST(COUNT(*) AS BIGINT) AS n_contam_docs,
+             CAST(COALESCE(SUM(tt.n_tok), 0) AS BIGINT) AS contam_tokens
+           FROM c20 JOIN tt USING (doc_id))
+         SELECT n_gram, n_contam_docs, contam_tokens,
+           ROUND(CAST(contam_tokens AS DOUBLE)
+             / (SELECT CAST(nt AS DOUBLE) FROM tot), 6) AS token_share
+         FROM (SELECT * FROM r7 UNION ALL SELECT * FROM r13
+               UNION ALL SELECT * FROM r20) u
+         ORDER BY n_gram""",
+    "dedup_soft_weights" ->
+      """WITH RECURSIVE pairs AS (
+         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
+                   GROUP BY 1, 2)
+         SELECT x.d1, x.d2 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                           JOIN sizes s2 ON x.d2 = s2.doc_id
+         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+         cc AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY node),
+         sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+           FROM cc GROUP BY 1),
+         d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         wd AS (SELECT d.source, d.n_tok,
+             COALESCE(sz.csz, 1) AS szw,
+             CAST(CAST(d.n_tok AS DOUBLE) / COALESCE(sz.csz, 1)
+               AS DECIMAL(28,12)) AS eff
+           FROM d LEFT JOIN cc USING (doc_id)
+             LEFT JOIN sz USING (cluster_id))
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN szw > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           ROUND(CAST(SUM(eff) AS DOUBLE), 4) AS effective_tokens,
+           ROUND(1 - CAST(SUM(eff) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE), 6) AS discount
+         FROM wd GROUP BY 1 ORDER BY source""",
+    "sim_quant_sweep" ->
+      """WITH xq AS (SELECT vec_id,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           FROM (SELECT vec_id, unnest(embedding) AS x
+                 FROM embeddings) t),
+         mx AS (SELECT vec_id, MAX(abs(xq)) AS ma FROM xq GROUP BY 1),
+         bt AS (SELECT CAST(unnest([4, 6, 8]) AS BIGINT) AS bits),
+         e AS (SELECT bits, abs(xq.xq) AS axq, mx.ma,
+             (CAST(1 AS BIGINT) << CAST(bits - 1 AS INT)) - 1 AS levels
+           FROM xq JOIN mx USING (vec_id) CROSS JOIN bt
+           WHERE mx.ma > 0),
+         e2 AS (SELECT bits, axq,
+             axq - (((((axq * levels) // ma) * ma) // levels)) AS err
+           FROM e)
+         SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_lanes,
+           CAST(MAX(err) AS BIGINT) AS max_err_micro,
+           ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 4)
+             AS mean_err_micro
+         FROM e2 GROUP BY 1 ORDER BY bits""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

@@ -758,6 +758,47 @@ object DedupOps {
       .orderBy(col("cluster_size"))
   }
 
+  /** SOFT dedup — down-WEIGHT duplicates instead of dropping them
+    * (each member of a near-dup cluster carries weight 1/cluster_size,
+    * so every distinct content unit contributes exactly one document's
+    * worth of mass): the alternative policy to [[keepBest]]'s hard
+    * keep-one, used when duplicates carry signal (popularity-weighted
+    * sampling would otherwise be destroyed by dedup). Reported per
+    * source: docs, clustered docs, raw vs EFFECTIVE token mass (Σ
+    * n_tok/cluster_size) and the discount the weighting applies — the
+    * budget number that decides between soft and hard dedup for a
+    * given mixture.
+    *
+    * Exactness: per-doc effective mass divides two exact integers and
+    * quantizes to DECIMAL(28,12) before the source sum. Scale shape:
+    * the cluster map is [[dedupClusters]]' loop; sizes are one
+    * cluster-grain agg; everything else is a doc-grain join + census
+    * (unclustered docs weight 1 via the left join). */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val clusters = dedupClusters(spark, dir)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+    val weighted = docs
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("szw", coalesce(col("sz"), lit(1L)))
+      .withColumn("eff",
+        (col("n_tok").cast("double") / col("szw").cast("double"))
+          .cast("decimal(28,12)"))
+    weighted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("szw") > 1).cast("long")).as("n_clustered"),
+        sum(col("n_tok")).as("raw_tokens"),
+        round(sum(col("eff")).cast("double"), 4).as("effective_tokens"),
+        round(lit(1.0) - sum(col("eff")).cast("double") /
+          sum(col("n_tok")).cast("double"), 6).as("discount"))
+      .orderBy(col("source"))
+  }
+
   /** The dedup DECISION on top of [[dedupClusters]]: per near-dup cluster
     * keep the best member (longest text, ties to the smallest doc_id via
     * a (n_chars, -doc_id) struct-ordered max_by) and report how many

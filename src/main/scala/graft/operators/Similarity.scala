@@ -908,6 +908,45 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Scalar-quantization BIT-WIDTH sweep — what int4/int6/int8 storage
+    * actually costs in precision, measured on this corpus (the
+    * [[quantizeInt8]] rung's tuning row, and the memory-vs-recall knob
+    * every vector store exposes): per bit width b, each micro-unit
+    * coordinate magnitude quantizes to (2^(b−1)−1) symmetric levels
+    * against its vector's max-abs scale and dequantizes back; the
+    * census reports lanes, max and mean absolute reconstruction error
+    * in micro-units. ENTIRELY integer: quantize/dequantize are
+    * integral divisions of NON-NEGATIVE operands (magnitudes — Spark
+    * `div` truncates toward zero while DuckDB `//` floors, so signs
+    * are kept out of the division; symmetric quantization loses
+    * nothing by quantizing |x|), so both engines agree bit-for-bit.
+    *
+    * Scale shape: one coordinate explode (the [[microCoords]] relation
+    * every exact-arithmetic row shares), a vector-grain max-abs agg
+    * joined back co-keyed, a broadcast 3-row bit axis, a 3-row
+    * census. */
+  def quantSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xq = microCoords(spark, dir)
+    val mx = xq.groupBy(col("vec_id")).agg(max(abs(col("xq"))).as("ma"))
+    val bits = Seq(4L, 6L, 8L).toDF("bits")
+    xq.join(mx, "vec_id")
+      .filter(col("ma") > 0)
+      .crossJoin(broadcast(bits)) // 3-row bit-width axis
+      .withColumn("levels",
+        expr("shiftleft(1L, CAST(bits - 1 AS INT)) - 1"))
+      .withColumn("axq", abs(col("xq")))
+      .withColumn("q", expr("(axq * levels) div ma"))
+      .withColumn("deq", expr("(q * ma) div levels"))
+      .withColumn("err", col("axq") - col("deq"))
+      .groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_lanes"),
+        max(col("err")).as("max_err_micro"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 4)
+          .as("mean_err_micro"))
+      .orderBy(col("bits"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val knn = knnEdges(spark, dir, k)
     val recip = knn.as("x").join(knn.as("y"),

@@ -906,6 +906,41 @@ object TextAnalysis {
     * gram string, one distinct per doc, one dimension-bounded agg. The
     * distinct-before-join (`array_distinct`) keeps the exploded train
     * relation at most corpus-token-sized. */
+  /** Decontamination n-gram-SIZE sweep — the knob [[decontaminate]]
+    * fixes at 13, measured instead of inherited: for n ∈ {7, 13, 20},
+    * how many train documents share any n-gram with the test split and
+    * what token mass they carry. Small n = aggressive (catches
+    * paraphrase-adjacent overlap, drops more clean data); large n =
+    * conservative (verbatim-only). The 13 in every decontamination
+    * paper is a judgment call — this row shows what it costs on THIS
+    * corpus, the [[DedupOps.shingleSweep]] discipline applied to the
+    * contamination gate.
+    *
+    * Scale shape: per n, one benchmark distinct-gram broadcast build
+    * and one train-side semi-join ([[contaminatedDocIds]]'s hashed-gram
+    * machinery verbatim — the sweep reuses the production kernel, so
+    * it can never drift from the gate it tunes); censuses are ≤1-row
+    * each, unioned into 3 rows. */
+  def contaminationSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter(splitCol === "train")
+    val test = docs.filter(splitCol === "test")
+    val toks = train.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tok"))
+    val tot = toks.agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+    Seq(7, 13, 20).map { n =>
+      contaminatedDocIds(train, distinctGramSet(test, n), n)
+        .join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_contam_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("contam_tokens"))
+        .crossJoin(broadcast(tot)) // 1-row corpus totals
+        .select(lit(n.toLong).as("n_gram"), col("n_contam_docs"),
+          col("contam_tokens"),
+          round(col("contam_tokens").cast("double") /
+            col("nt").cast("double"), 6).as("token_share"))
+    }.reduce(_.union(_)).orderBy(col("n_gram"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, k: Int = 13): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), splitCol.as("split"), col("text"))

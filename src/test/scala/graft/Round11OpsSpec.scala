@@ -412,6 +412,130 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_contamination_sweep equals a driver-side n-gram overlap " +
+    "replay for every n") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String, n: Int): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filter(d => split(d._1) == "train")
+    val test = docs.filter(d => split(d._1) == "test")
+    val totTok = train.map(_._2.split(" ", -1).length.toLong).sum
+    val expected = Seq(7, 13, 20).map { n =>
+      val bench = test.flatMap(d => grams(d._2, n)).toSet
+      val contam = train.filter(d => grams(d._2, n).exists(bench))
+      (n.toLong, contam.length.toLong,
+        contam.map(_._2.split(" ", -1).length.toLong).sum)
+    }
+    val got = TextAnalysis.contaminationSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) === expected)
+    got.foreach { g =>
+      assert(math.abs(g._4 - g._3.toDouble / totTok) < 1e-6)
+    }
+    // monotonicity: a larger n can only catch fewer docs
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("sim_quant_sweep equals a driver-side integer quantization " +
+    "replay and error shrinks with bit width") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val lanes = embs.flatMap { case (_, e) =>
+      val xq = e.map(x => math.round(x.toDouble * 1e6))
+      val ma = xq.map(math.abs).max
+      if (ma > 0) xq.map(v => (math.abs(v), ma)) else Array.empty[(Long, Long)]
+    }
+    val expected = Seq(4L, 6L, 8L).map { bits =>
+      val levels = (1L << (bits - 1).toInt) - 1
+      val errs = lanes.map { case (axq, ma) =>
+        axq - ((axq * levels) / ma) * ma / levels
+      }
+      (bits, errs.length.toLong, errs.max,
+        BigDecimal(errs.sum) / errs.length)
+    }
+    val got = Similarity.quantSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ===
+      expected.map(e => (e._1, e._2, e._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4.toDouble) < 1e-3, s"bits ${g._1}")
+    }
+    // more bits, less error
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("dedup_soft_weights equals a driver-side capped-jaccard " +
+    "union-find weighting replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map(d => (d._1, shingles(d._3))).toMap
+    // df-capped posting expansion: shingles in 2..64 docs
+    val posting = docs.flatMap(d => sh(d._1).map(s => (s, d._1)))
+      .groupBy(_._1).filter { case (_, g) =>
+        g.length >= 2 && g.length <= 64
+      }
+    val inter = posting.values.flatMap { g =>
+      val ds = g.map(_._2).sorted
+      for (i <- ds.indices; j <- (i + 1) until ds.length)
+        yield ((ds(i), ds(j)), 1L)
+    }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+    val edges = inter.collect { case ((d1, d2), i)
+      if i.toDouble / (sh(d1).size + sh(d2).size - i) >= 0.5 => (d1, d2)
+    }.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val csize = parent.keys.toSeq.groupBy(find).flatMap { case (_, ms) =>
+      ms.map(m => (m, ms.length.toLong))
+    }
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val rows = g.map { d =>
+        val nTok = d._3.split(" ", -1).length.toLong
+        val szw = csize.getOrElse(d._1, 1L)
+        (nTok, szw, BigDecimal(nTok.toDouble / szw)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      }
+      (src, (g.length.toLong, rows.count(_._2 > 1).toLong,
+        rows.map(_._1).sum, rows.map(_._3).sum))
+    }
+    val got = DedupOps.softDedupWeights(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nD, nC, raw, eff) = expected(src)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nD, nC, raw)),
+        s"source $src counts")
+      assert(math.abs(r.getDouble(4) - eff.toDouble) < 1e-3,
+        s"source $src effective tokens")
+    }
+  }
+
   test("sketch_quantiles exact side equals a sorted-array ceil-rank " +
     "recomputation and every sketch verdict is within bound") {
     val vals = Tables(spark, sf0001, "orders")
