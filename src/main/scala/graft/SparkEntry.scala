@@ -368,7 +368,10 @@ object SparkEntry {
     "text_contamination_sweep" ->
       ((s, d) => TextAnalysis.contaminationSweep(s, d)),
     "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
-    "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d))
+    "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d)),
+    "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3298,6 +3301,128 @@ object SparkEntry {
            ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 4)
              AS mean_err_micro
          FROM e2 GROUP BY 1 ORDER BY bits""",
+    "dedup_semdedup" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+           FROM embeddings),
+         n AS (SELECT vec_id, qe,
+             CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nsq
+           FROM q),
+         seeds AS (SELECT vec_id AS sid, qe AS se, nsq AS sn
+           FROM n ORDER BY vec_id LIMIT 8),
+         sims AS (SELECT e.vec_id, s.sid,
+             CAST(list_dot_product(e.qe, s.se) AS DOUBLE)
+               / (sqrt(CAST(e.nsq AS DOUBLE)) * sqrt(CAST(s.sn AS DOUBLE)))
+               AS sim
+           FROM n e CROSS JOIN seeds s),
+         asg AS (SELECT vec_id, sid AS cid FROM (
+             SELECT vec_id, sid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, sid) AS rn FROM sims) WHERE rn = 1),
+         members AS (SELECT n.vec_id, a.cid, n.qe, n.nsq
+           FROM n JOIN asg a USING (vec_id)),
+         pairs AS (SELECT x.cid, x.vec_id AS v1, y.vec_id AS v2,
+             CAST(list_dot_product(x.qe, y.qe) AS DOUBLE)
+               / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+               AS c
+           FROM members x JOIN members y
+             ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         fl AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT v2) AS BIGINT) AS n_pruned,
+             ROUND(MAX(c), 6) AS max_cos
+           FROM pairs WHERE c >= 0.35 GROUP BY 1),
+         mem AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM asg GROUP BY 1)
+         SELECT mem.cid, n_members,
+           COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(n_pruned, 0) AS n_pruned,
+           COALESCE(max_cos, 0.0) AS max_cos,
+           ROUND(1 - CAST(COALESCE(n_pruned, 0) AS DOUBLE)
+             / CAST(n_members AS DOUBLE), 6) AS keep_rate
+         FROM mem LEFT JOIN fl USING (cid) ORDER BY cid""",
+    "graph_modularity" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         sym AS (SELECT node, nbr, SUM(w) AS w FROM (
+             SELECT src AS node, dst AS nbr, w FROM edges
+             UNION ALL SELECT dst, src, w FROM edges) t
+           GROUP BY 1, 2),
+         tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+         nbrs AS (SELECT node, nbr, w FROM sym, tot
+           WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
+             >= CAST(tw AS HUGEINT)),
+         l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+         a1 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l0 l ON n.nbr = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l1 l ON n.nbr = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
+         nodes AS (SELECT DISTINCT node FROM sym),
+         comm AS (SELECT n.node, COALESCE(l2.lbl, n.node) AS community
+           FROM nodes n LEFT JOIN l2 ON n.node = l2.node),
+         m2 AS (SELECT SUM(w) AS tw FROM sym),
+         internal AS (SELECT ca.community,
+             SUM(s.w) AS in_w
+           FROM sym s JOIN comm ca ON s.node = ca.node
+             JOIN comm cb ON s.nbr = cb.node
+           WHERE ca.community = cb.community GROUP BY 1),
+         degc AS (SELECT c.community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes, SUM(d.dw) AS deg_w
+           FROM (SELECT node, SUM(w) AS dw FROM sym GROUP BY 1) d
+             JOIN comm c USING (node)
+           GROUP BY 1)
+         SELECT degc.community, n_nodes,
+           CAST(COALESCE(in_w, 0) AS BIGINT) AS in_w,
+           CAST(deg_w AS BIGINT) AS deg_w,
+           ROUND(CAST(COALESCE(in_w, 0) AS DOUBLE) / CAST(tw AS DOUBLE)
+             - (CAST(deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+               * (CAST(deg_w AS DOUBLE) / CAST(tw AS DOUBLE)), 6)
+             AS contribution
+         FROM degc LEFT JOIN internal USING (community) CROSS JOIN m2
+         ORDER BY community""",
+    "events_survival_km" ->
+      """WITH w AS (SELECT MIN(ts) + INTERVAL 7 DAY AS wend FROM events),
+         users AS (SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS f0,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS DATE) AS p0,
+             CAST(MAX(wend) AS DATE) AS wd
+           FROM events, w WHERE ts < wend GROUP BY 1),
+         obs AS (SELECT user_id,
+             CAST(CASE WHEN p0 IS NOT NULL THEN date_diff('day', f0, p0)
+                  ELSE date_diff('day', f0, wd) END AS BIGINT) AS t,
+             (p0 IS NOT NULL) AS ev
+           FROM users),
+         hist AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM obs GROUP BY 1),
+         risk AS (SELECT t, n_obs, d,
+             SUM(n_obs) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+           FROM hist),
+         km AS (SELECT t, n_obs, d, n_at_risk,
+             1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor
+           FROM risk WHERE d > 0)
+         SELECT t AS t_day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           d AS n_deaths, n_obs - d AS n_censored_here,
+           ROUND(factor, 6) AS factor,
+           CASE WHEN MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) = 1 THEN 0.0
+             ELSE ROUND(exp(SUM(ln(factor)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS survival
+         FROM km ORDER BY t_day""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

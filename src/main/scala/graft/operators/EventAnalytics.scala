@@ -1574,4 +1574,63 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("max_streak"))
   }
+
+  /** Kaplan–Meier SURVIVAL curve for time-to-first-purchase — the
+    * censoring-correct answer to "how fast do users convert", run the
+    * way a mid-campaign analysis must: only the first 7 days of the
+    * log are observable, users enter at their first event, die at
+    * their first purchase, and users with no purchase inside the
+    * window are RIGHT-CENSORED at the window end (staggered entry →
+    * per-user censor times — the setting where the naive ECDF is
+    * biased and KM's product-limit estimator is the fix). Per death
+    * day t: at-risk count n(t) = users with observed time ≥ t (the
+    * late-censoring convention: same-day censored users still count),
+    * deaths d(t), hazard d/n, and Ŝ(t) = Π_{t'≤t}(1 − d/n).
+    *
+    * Determinism: times are whole-day integers; n and d are exact
+    * counts via the histogram-CDF-over-the-bounded-day-DOMAIN pattern
+    * (a suffix sum over ≤8 day rows, never a corpus-sized window); the
+    * product is exp∘Σln over exact-ratio doubles (≤8 terms, rounded
+    * once at 6 — a d = n final day short-circuits to exactly 0 rather
+    * than ln(0)).
+    *
+    * Scale shape: one corpus pass folds to per-user (first event,
+    * first purchase) in a single hash-agg; everything after lives on
+    * the ≤window-length day axis. At 100 TB the user-grain agg is the
+    * only shuffle and the curve is output-bounded by the window. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val wend = ev.agg((min(col("ts")) + expr("INTERVAL 7 DAYS")).as("wend"))
+    val users = ev.crossJoin(broadcast(wend)) // 1-row window scalar
+      .filter(col("ts") < col("wend"))
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("f0"),
+        to_date(min(when(col("event_type") === "purchase", col("ts"))))
+          .as("p0"),
+        to_date(max(col("wend"))).as("wd"))
+      .select(col("user_id"),
+        when(col("p0").isNotNull, datediff(col("p0"), col("f0")))
+          .otherwise(datediff(col("wd"), col("f0"))).cast("long").as("t"),
+        col("p0").isNotNull.as("ev"))
+    val hist = users.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("ev").cast("long")).as("d"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val km = hist
+      .withColumn("n_at_risk", sum(col("n_obs")).over(wDesc))
+      .filter(col("d") > 0)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.withColumn("factor", lit(1.0) -
+        col("d").cast("double") / col("n_at_risk").cast("double"))
+      .withColumn("survival",
+        when(max((col("factor") === 0.0).cast("int")).over(wAsc) === 1,
+          lit(0.0))
+          .otherwise(round(exp(sum(log(col("factor"))).over(wAsc)), 6)))
+      .select(col("t").as("t_day"), col("n_at_risk"),
+        col("d").as("n_deaths"),
+        (col("n_obs") - col("d")).as("n_censored_here"),
+        round(col("factor"), 6).as("factor"), col("survival"))
+      .orderBy(col("t_day"))
+  }
 }

@@ -947,6 +947,76 @@ object Similarity {
       .orderBy(col("bits"))
   }
 
+  /** SemDeDup — semantic deduplication by clustering THEN within-cluster
+    * pairwise cosine (Abbas et al. 2023's recipe, the scale answer to
+    * "all-pairs cosine is quadratic"): every vector is assigned to its
+    * most-similar seed centroid (k lowest-vec_id seeds, the
+    * [[kmeansAssignIter]] seeding), and only pairs sharing a cluster are
+    * scored; a member is PRUNED when it is the greater vec_id of any
+    * within-cluster pair at or above the operating cosine. Census per
+    * cluster: members, flagged pairs, pruned members, keep rate. The
+    * threshold 0.35 is data-derived (this corpus's embeddings are
+    * near-orthogonal — max pair cosine 0.51 — so the paper's 0.9+ would
+    * be vacuously empty; the knob, not the kernel, changes per corpus).
+    *
+    * Determinism: coordinates quantize to micro-units (round(x·10⁶)
+    * BIGINT); dots and squared norms are exact integers ≤ d·10¹²
+    * (double-exact below 2⁵³), so cosine = dot/(√n1·√n2) is the same
+    * IEEE double in both engines and the threshold cannot flip
+    * cross-engine. Assignment ties break to the smallest seed id.
+    *
+    * Scale shape: assignment is one broadcast seed array + a narrow
+    * argmax map (no row expand); the pair stage is a self-equi-join ON
+    * cid, so its cost is Σ_c |c|² — at 100 TB k grows with the corpus
+    * (SemDeDup runs ~10⁵ clusters) to hold |c| bounded, keeping the
+    * join sub-quadratic; nothing here depends on k beyond the broadcast
+    * seed array staying executor-memory-sized. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8,
+               threshold: Double = 0.35): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("qe"))
+      .withColumn("nsq", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+    val seeds = q.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("sid"), col("qe").as("se"), col("nsq").as("sn"))
+      .agg(array_sort(collect_list(struct(col("sid"), col("se"), col("sn"))))
+        .as("seeds"))
+    val assigned = q.join(broadcast(seeds))
+      .withColumn("best", expr(
+        """array_max(transform(seeds, s ->
+             struct(CAST(aggregate(zip_with(qe, s.se, (x, y) -> x * y),
+                      0L, (acc, x) -> acc + x) AS DOUBLE)
+                    / (sqrt(CAST(nsq AS DOUBLE)) * sqrt(CAST(s.sn AS DOUBLE)))
+                      AS sim,
+                    -s.sid AS nsid)))"""))
+      .select(col("vec_id"), col("qe"), col("nsq"),
+        (-col("best.nsid")).as("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+      col("qe").as("q1"), col("nsq").as("n1"))
+    val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+      col("qe").as("q2"), col("nsq").as("n2"))
+    val flagged = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q1, q2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("cos") >= threshold)
+    val pairCensus = flagged.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("v2")).as("n_pruned"),
+        round(max(col("cos")), 6).as("max_cos"))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(pairCensus, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        round(lit(1.0) - coalesce(col("n_pruned"), lit(0L)).cast("double") /
+          col("n_members").cast("double"), 6).as("keep_rate"))
+      .orderBy(col("cid"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val knn = knnEdges(spark, dir, k)
     val recip = knn.as("x").join(knn.as("y"),

@@ -560,4 +560,126 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("sketch_within_bound"), s"$key sketch bound")
     }
   }
+
+  test("dedup_semdedup equals a driver-side micro-integer cluster-then-" +
+    "pair replay and never prunes a cluster's lowest vec_id") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1e6))))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val seeds = embs.sortBy(_._1).take(8)
+    val asg = embs.map { case (v, q) =>
+      val best = seeds.map { case (sid, se) => (cos(q, se), sid) }
+        .maxBy { case (s, sid) => (s, -sid) }
+      (v, q, best._2)
+    }
+    val byC = asg.groupBy(_._3)
+    val expected = byC.map { case (cid, ms) =>
+      val flagged = for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+        a = ms(i); b = ms(j)
+        (v1, v2) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+        c = cos(a._2, b._2) if c >= 0.35
+      } yield (v1, v2, c)
+      (cid, (ms.length.toLong, flagged.length.toLong,
+        flagged.map(_._2).distinct.length.toLong,
+        if (flagged.isEmpty) 0.0 else flagged.map(_._3).max,
+        flagged.map(_._2).toSet))
+    }
+    val got = Similarity.semDedup(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val cid = r.getLong(0)
+      val (n, p, pr, mc, prunedSet) = expected(cid)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, p, pr)),
+        s"cluster $cid counts")
+      assert(math.abs(r.getDouble(4) - mc) < 1e-6, s"cluster $cid max_cos")
+      assert(math.abs(r.getDouble(5) - (1.0 - pr.toDouble / n)) < 1e-6)
+      // the pruned side of every pair is the GREATER vec_id, so each
+      // cluster's lowest member always survives
+      assert(!prunedSet.contains(byC(cid).map(_._1).min),
+        s"cluster $cid pruned its lowest member")
+      assert(r.getLong(3) < r.getLong(1), s"cluster $cid pruned everything")
+    }
+  }
+
+  test("graph_modularity contributions equal a first-principles Newman Q " +
+    "over the collected trade graph and sum to a sane Q") {
+    val sym = graft.operators.Graph.symTradeEdges(spark, sf0001)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, BigInt(r.getDecimal(2).toBigInteger)))
+    val comm = graft.operators.Graph.labelPropNations(spark, sf0001)
+      .select(col("node"), col("community")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toMap
+    val tw = sym.map(_._3).sum
+    val inW = sym.filter { case (a, b, _) => comm(a) == comm(b) }
+      .groupBy { case (a, _, _) => comm(a) }
+      .map { case (c, es) => (c, es.map(_._3).sum) }
+    val degW = sym.groupBy { case (a, _, _) => comm(a) }
+      .map { case (c, es) => (c, es.map(_._3).sum) }
+    val nNodes = comm.groupBy(_._2).map { case (c, ms) => (c, ms.size) }
+    val got = graft.operators.Graph.modularity(spark, sf0001).collect()
+    assert(got.map(_.getAs[Number](0).longValue).toSet === nNodes.keySet)
+    var q = 0.0
+    got.foreach { r =>
+      val c = r.getAs[Number](0).longValue
+      assert(r.getLong(1) === nNodes(c).toLong, s"community $c nodes")
+      assert(r.getLong(2) === inW.getOrElse(c, BigInt(0)).toLong)
+      assert(r.getLong(3) === degW(c).toLong)
+      val expect = inW.getOrElse(c, BigInt(0)).toDouble / tw.toDouble -
+        math.pow(degW(c).toDouble / tw.toDouble, 2)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6, s"community $c")
+      q += r.getDouble(4)
+    }
+    // Q is bounded in [-0.5, 1] for any partition
+    assert(q >= -0.5 && q <= 1.0, s"Q=$q out of range")
+  }
+
+  test("events_survival_km equals a first-principles product-limit " +
+    "replay and the curve is monotone non-increasing") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+    val wend = new java.sql.Timestamp(
+      ev.map(_._1.getTime).min + 7L * 86400 * 1000)
+    val in = ev.filter(_._1.before(wend))
+    def day(t: java.sql.Timestamp): Long =
+      t.toLocalDateTime.toLocalDate.toEpochDay
+    val obs = in.groupBy(_._2).toSeq.map { case (_, es) =>
+      val f0 = day(es.map(_._1).minBy(_.getTime))
+      val ps = es.filter(_._3 == "purchase").map(_._1)
+      if (ps.nonEmpty) (day(ps.minBy(_.getTime)) - f0, true)
+      else (day(wend) - f0, false)
+    }
+    val hist = obs.groupBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double)]
+    var surv = 1.0
+    hist.foreach { case (t, nObs, d) =>
+      val atRisk = hist.filter(_._1 >= t).map(_._2).sum
+      if (d > 0) {
+        val factor = 1.0 - d.toDouble / atRisk
+        surv *= factor
+        expected += ((t, atRisk, d, nObs - d, surv))
+      }
+    }
+    val got = EventAnalytics.survivalKm(spark, sf0001).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (t, n, d, c, s)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        === ((t, n, d, c)))
+      assert(math.abs(r.getDouble(5) - s) < 1e-5, s"t=$t survival")
+    }
+    val curve = got.map(_.getDouble(5))
+    assert(curve.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(curve.forall(s => s >= 0.0 && s <= 1.0))
+  }
 }
