@@ -371,7 +371,11 @@ object SparkEntry {
     "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
-    "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d))
+    "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d)),
+    "stream_decontaminate" ->
+      ((s, d) => StreamingAnalytics.streamDecontaminate(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "sim_kcenter_coreset" -> ((s, d) => Similarity.kcenterCoreset(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3423,6 +3427,86 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
            END AS survival
          FROM km ORDER BY t_day""",
+    "stream_decontaminate" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         bg AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 13
+                  THEN [array_to_string(w[i:i+12], ' ')
+                        for i in range(1, len(w)-11)]
+                  ELSE []::VARCHAR[] END)) AS g
+           FROM s WHERE split = 'test'),
+         tr AS (SELECT doc_id, w,
+             CAST(substr(source, 4, 8) AS INT) AS sn,
+             CAST(len(w) AS BIGINT) AS n_tok
+           FROM s WHERE split = 'train'),
+         contam AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 13
+                    THEN [array_to_string(w[i:i+12], ' ')
+                          for i in range(1, len(w)-11)]
+                    ELSE []::VARCHAR[] END)) AS g
+             FROM tr) tz
+           WHERE g IN (SELECT g FROM bg)),
+         flagged AS (SELECT tr.doc_id, tr.sn, tr.n_tok,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM tr LEFT JOIN contam c USING (doc_id)),
+         inc AS (SELECT CASE WHEN sn < 10 THEN 1 ELSE 2 END AS increment,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(hit) AS BIGINT) AS n_contam_docs,
+             CAST(SUM(hit * n_tok) AS BIGINT) AS contam_tokens,
+             CAST(SUM((1 - hit) * n_tok) AS BIGINT) AS clean_tokens
+           FROM flagged GROUP BY 1),
+         fold AS (SELECT CAST(0 AS BIGINT) AS increment,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_contam_docs) AS BIGINT) AS n_contam_docs,
+             CAST(SUM(contam_tokens) AS BIGINT) AS contam_tokens,
+             CAST(SUM(clean_tokens) AS BIGINT) AS clean_tokens
+           FROM inc)
+         SELECT CAST(increment AS BIGINT) AS increment, n_docs,
+           n_contam_docs, contam_tokens, clean_tokens,
+           ROUND(CAST(contam_tokens AS DOUBLE)
+             / CAST(contam_tokens + clean_tokens AS DOUBLE), 6)
+             AS contam_share
+         FROM (SELECT * FROM inc UNION ALL SELECT * FROM fold) u
+         ORDER BY increment""",
+    "text_readability" ->
+      """WITH wd AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         syl AS (SELECT doc_id, source,
+             GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS s
+           FROM wd WHERE length(w) > 0),
+         pd AS (SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(s) AS BIGINT) AS ns,
+             CAST(SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+           FROM syl GROUP BY 1, 2),
+         sc AS (SELECT source, nw, ns, nc,
+             CAST(nw AS DOUBLE) / CAST((nw + 14) // 15 AS DOUBLE) AS wps,
+             CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE) AS spw
+           FROM pd)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           CAST(SUM(ns) AS BIGINT) AS n_syllables,
+           ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6)
+             AS pct_complex,
+           ROUND(CAST(SUM(CAST(0.39 * wps + 11.8 * spw - 15.59
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS mean_fk_grade,
+           ROUND(CAST(SUM(CAST(206.835 - 1.015 * wps - 84.6 * spw
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4)
+             AS mean_flesch_ease
+         FROM sc GROUP BY 1 ORDER BY source""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),
@@ -5598,6 +5682,8 @@ object SparkEntry {
       // the streaming index-maintenance loop emits, per its scaladoc, the
       // one-increment batch relation — so it shares that exact oracle
       ("stream_sig_index" -> m("dedup_incremental_minhash")) +
+      // greedy k-center unrolls to k-1 chained farthest-point CTE blocks
+      ("sim_kcenter_coreset" -> kcenterOracleSql(8)) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
       ("stream_bpe_encode" -> streamBpeEncodeOracleSql(6)) +
@@ -6117,6 +6203,49 @@ object SparkEntry {
     val union = steps.indices.map(ix => s"SELECT * FROM sel_${ix + 1}")
       .mkString("\n UNION ALL\n")
     s"$base$blocks\n SELECT * FROM (\n$union\n ) u ORDER BY doc_id"
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.kcenterCoreset]]:
+    * greedy farthest-point traversal unrolled into k−1 chained CTE
+    * blocks — p_i picks the point with the max running-min squared
+    * distance (ties to the smallest vec_id), d_i folds the new center
+    * into the running min via the exact-BIGINT n1 + n2 − 2·dot
+    * expansion over micro-unit coordinates. Generated so k stays one
+    * knob. */
+  private[graft] def kcenterOracleSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s""",
+         p$i AS (SELECT vec_id, qe, nsq, mind FROM d${i - 1}
+           ORDER BY mind DESC, vec_id LIMIT 1),
+         d$i AS (SELECT d.vec_id, d.qe, d.nsq,
+             LEAST(d.mind, d.nsq + p.nsq
+               - 2 * CAST(list_dot_product(d.qe, p.qe) AS BIGINT)) AS mind
+           FROM d${i - 1} d, p$i p)"""
+    }.mkString
+    val pickRows = (2 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS pick_order, vec_id,
+             CAST(mind AS BIGINT) AS dist_micro2 FROM p$i"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+           FROM embeddings),
+         n AS (SELECT vec_id, qe,
+             CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nsq
+           FROM q),
+         c1 AS (SELECT vec_id, qe, nsq FROM n ORDER BY vec_id LIMIT 1),
+         d1 AS (SELECT d.vec_id, d.qe, d.nsq,
+             d.nsq + c.nsq - 2 * CAST(list_dot_product(d.qe, c.qe) AS BIGINT)
+               AS mind
+           FROM n d, c1 c)$steps,
+         cov AS (SELECT CAST(0 AS BIGINT) AS pick_order, vec_id,
+             CAST(mind AS BIGINT) AS dist_micro2
+           FROM d$k ORDER BY mind DESC, vec_id LIMIT 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS pick_order, vec_id,
+             CAST(0 AS BIGINT) AS dist_micro2 FROM c1
+           UNION ALL $pickRows
+           UNION ALL SELECT * FROM cov) u
+         ORDER BY pick_order"""
   }
 
   /** DuckDB replay of [[graft.operators.TextAnalysis.bpeMergeLearn]]:

@@ -1017,6 +1017,60 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Greedy k-CENTER coreset — farthest-point traversal (Gonzalez's
+    * 2-approximation), the selection rule behind diversity-first data
+    * pruning and coreset distillation: start from the lowest vec_id,
+    * then k−1 times pick the vector FARTHEST from the chosen set
+    * (max-min squared L2, ties to the smallest vec_id). Output: each
+    * pick with its distance-to-set at selection time (a non-increasing
+    * sequence — each pick covers its own farthest gap) plus a
+    * pick_order-0 row reporting the post-selection coverage radius and
+    * its witness vector — the "how well does the coreset cover"
+    * number.
+    *
+    * Determinism: squared distances expand to n1 + n2 − 2·dot over
+    * micro-unit integers — exact BIGINTs end to end, no float
+    * comparison anywhere. Scale shape: each of the k rounds is one
+    * broadcast of the new center into a narrow map (running-min
+    * update) + one global argmax (here an orderBy/limit(1) over the
+    * corpus; on a cluster the same argmax is a max_by partial-agg
+    * reduction — no sort, no row expand). Total cost k linear passes;
+    * k is the coreset budget, a constant knob, and the running-min
+    * column makes each pass O(d) per row regardless of how many
+    * centers were already chosen. */
+  def kcenterCoreset(spark: SparkSession, dir: String,
+                     k: Int = 8): DataFrame = {
+    val n = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("qe"))
+      .withColumn("nsq", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+    val c1 = n.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nsq").as("cn"))
+    def distToCenter = col("nsq") + col("cn") - lit(2L) *
+      expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    var cur = n.crossJoin(broadcast(c1)) // 1-row newest center
+      .select(col("vec_id"), col("qe"), col("nsq"),
+        distToCenter.as("mind"))
+    var picks = c1.select(lit(1L).as("pick_order"),
+      col("cid").as("vec_id"), lit(0L).as("dist_micro2"))
+    for (i <- 2 to k) {
+      val p = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nsq").as("cn"), col("mind").as("pd"))
+      picks = picks.unionByName(p.select(lit(i.toLong).as("pick_order"),
+        col("cid").as("vec_id"), col("pd").as("dist_micro2")))
+      cur = cur.crossJoin(broadcast(p.drop("pd"))) // 1-row newest center
+        .select(col("vec_id"), col("qe"), col("nsq"),
+          least(col("mind"), distToCenter).as("mind"))
+    }
+    val coverage = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+      .select(lit(0L).as("pick_order"), col("vec_id"),
+        col("mind").as("dist_micro2"))
+    picks.unionByName(coverage).orderBy(col("pick_order"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val knn = knnEdges(spark, dir, k)
     val recip = knn.as("x").join(knn.as("y"),

@@ -1071,4 +1071,79 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("user_id"))
   }
+
+  /** Streaming DECONTAMINATION — the benchmark gate applied the way a
+    * continuously-ingesting pipeline must apply it: the test-split
+    * 13-gram set is FROZEN up front (the held-out benchmark never
+    * streams), train documents arrive as two staged increments, and
+    * every micro-batch censuses its own contamination (docs sharing any
+    * 13-gram with the benchmark, and the token mass they carry) with
+    * the SAME hashed-gram semi-join as batch
+    * [[TextAnalysis.decontaminate]]. Per-doc contamination is
+    * independent of every other train doc, so per-increment censuses
+    * fold to the whole-corpus answer by pure summation — the fold row
+    * (increment 0) is emitted and the oracle replays both increments
+    * unrolled, so lost batches, double-counted batches, or a gate
+    * drifting from the batch kernel all hash-mismatch.
+    *
+    * Scale shape: state is ZERO rows (the frozen gram set is a
+    * broadcast, not state); each micro-batch does one gram explode +
+    * semi-join + 1-row census — the cheapest possible shape for a
+    * continuous admission gate. */
+  def streamDecontaminate(spark: SparkSession, dir: String,
+                          k: Int = 13): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdec").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val docs = graft.Tables(spark, dir, "documents")
+    // FREEZE: the benchmark gram set comes from the test split of the
+    // full corpus and never changes while train data streams in
+    val bench = TextAnalysis
+      .distinctGramSet(docs.filter(TextAnalysis.splitCol === "test"), k)
+      .localCheckpoint()
+    val train = docs.filter(TextAnalysis.splitCol === "train")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> train.filter(col("sn") < 10).drop("sn"),
+      "inc2" -> train.filter(col("sn") >= 10).drop("sn")))
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val toks = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        val contam = TextAnalysis.contaminatedDocIds(batch, bench, k)
+        toks.join(contam.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contam_docs"),
+            sum(coalesce(col("hit"), lit(0L)) * col("n_tok"))
+              .as("contam_tokens"),
+            sum((lit(1L) - coalesce(col("hit"), lit(0L))) * col("n_tok"))
+              .as("clean_tokens"))
+          .select(lit(batchId + 1).as("increment"), col("n_docs"),
+            col("n_contam_docs"), col("contam_tokens"), col("clean_tokens"))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+    val per = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    val folded = per.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("n_contam_docs")).as("n_contam_docs"),
+      sum(col("contam_tokens")).as("contam_tokens"),
+      sum(col("clean_tokens")).as("clean_tokens"))
+      .select(lit(0L).as("increment"), col("n_docs"), col("n_contam_docs"),
+        col("contam_tokens"), col("clean_tokens"))
+    per.unionByName(folded)
+      .select(col("increment"), col("n_docs"), col("n_contam_docs"),
+        col("contam_tokens"), col("clean_tokens"),
+        round(col("contam_tokens").cast("double") /
+          (col("contam_tokens") + col("clean_tokens")).cast("double"), 6)
+          .as("contam_share"))
+      .orderBy(col("increment"))
+  }
 }

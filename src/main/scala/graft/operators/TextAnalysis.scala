@@ -768,7 +768,7 @@ object TextAnalysis {
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
 
   /** Distinct k-gram set of `docs` (the broadcastable benchmark side). */
-  private def distinctGramSet(docs: DataFrame, k: Int): DataFrame =
+  private[operators] def distinctGramSet(docs: DataFrame, k: Int): DataFrame =
     docs.select(explode(array_distinct(gramHashCol(docs, k))).as("g"))
       .distinct()
 
@@ -780,8 +780,8 @@ object TextAnalysis {
     * 100 TB the benchmark set's broadcast size is the binding
     * constraint on this join. The DuckDB oracles join raw gram text and
     * agree, a standing collision check. */
-  private def contaminatedDocIds(docs: DataFrame, bench: DataFrame,
-                                 k: Int): DataFrame =
+  private[operators] def contaminatedDocIds(docs: DataFrame,
+      bench: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
         explode(array_distinct(gramHashCol(docs, k))).as("g"))
       .join(broadcast(bench), Seq("g"), "left_semi")
@@ -2170,5 +2170,53 @@ object TextAnalysis {
         round(col("n_types").cast("double") /
           col("vocab_size").cast("double"), 6).as("vocab_share"))
       .orderBy(col("k"))
+  }
+
+  /** READABILITY census per source — Flesch Reading Ease and
+    * Flesch–Kincaid grade over a deterministic syllable heuristic
+    * (vowel-group runs `[aeiouy]+`, floor 1 — the standard
+    * dictionary-free approximation), the curation gate that catches
+    * both keyboard-mash (too many syllables per "word") and
+    * telegraphic fragments. The synthetic corpus carries no sentence
+    * punctuation, so the formulas' words-per-sentence term uses a
+    * NOMINAL 15-word sentence (ceil(words/15), documented convention —
+    * the real machinery is the tokenize + syllable + complex-word
+    * plumbing, which transfers unchanged to punctuated corpora by
+    * swapping the sentence counter).
+    *
+    * Determinism: syllable counts are integer regexp censuses; each
+    * per-doc score is one double expression over exact integers
+    * (identical IEEE in both engines); per-source means quantize each
+    * doc's score to DECIMAL(18,9) before summing. Scale shape: one
+    * token explode (the corpus pass), a doc-grain agg, a source-grain
+    * census — linear, output |sources|-bounded. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .withColumn("syl",
+        greatest(lit(1),
+          size(expr("regexp_extract_all(wd, '[aeiouy]+', 0)"))).cast("long"))
+    val perDoc = words.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nw"), sum(col("syl")).as("ns"),
+        sum((col("syl") >= 3).cast("long")).as("nc"))
+      .withColumn("nsent", expr("(nw + 14) div 15"))
+      .withColumn("wps", col("nw").cast("double") / col("nsent").cast("double"))
+      .withColumn("spw", col("ns").cast("double") / col("nw").cast("double"))
+      .withColumn("fk",
+        lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+      .withColumn("ease",
+        lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_syllables"),
+        round(sum(col("nc")).cast("double") /
+          sum(col("nw")).cast("double"), 6).as("pct_complex"),
+        round(sum(col("fk").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 4).as("mean_fk_grade"),
+        round(sum(col("ease").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 4).as("mean_flesch_ease"))
+      .orderBy(col("source"))
   }
 }

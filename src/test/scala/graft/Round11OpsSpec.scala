@@ -682,4 +682,109 @@ class Round11OpsSpec extends SparkSpec {
     assert(curve.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     assert(curve.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("stream_decontaminate increments fold to a driver-side batch " +
+    "13-gram overlap replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 13) Set.empty
+      else w.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bench = docs.filter(d => split(d._1) == "test")
+      .flatMap(d => grams(d._3)).toSet
+    val train = docs.filter(d => split(d._1) == "train")
+    val perInc = train.groupBy(d => if (d._2.drop(3).toInt < 10) 1L else 2L)
+      .map { case (inc, g) =>
+        val hits = g.filter(d => grams(d._3).exists(bench))
+        def tok(s: String) = s.split(" ", -1).length.toLong
+        (inc, (g.length.toLong, hits.length.toLong,
+          hits.map(d => tok(d._3)).sum,
+          g.filterNot(d => grams(d._3).exists(bench)).map(d => tok(d._3)).sum))
+      }
+    val got = graft.operators.StreamingAnalytics
+      .streamDecontaminate(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    got.filter(_.getLong(0) > 0).foreach { r =>
+      val (nD, nC, ct, cl) = perInc(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === ((nD, nC, ct, cl)), s"increment ${r.getLong(0)}")
+    }
+    val fold = got.find(_.getLong(0) == 0L).get
+    assert(fold.getLong(1) === perInc.values.map(_._1).sum)
+    assert(fold.getLong(3) === perInc.values.map(_._3).sum)
+  }
+
+  test("text_readability equals a driver-side vowel-group syllable " +
+    "replay of the Flesch formulas") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val vg = "[aeiouy]+".r
+    val perDoc = docs.map { case (_, src, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val syls = ws.map(w => math.max(1, vg.findAllIn(w).length.toLong))
+      val nw = ws.length.toLong
+      val ns = syls.sum
+      val nc = syls.count(_ >= 3).toLong
+      val wps = nw.toDouble / ((nw + 14) / 15)
+      val spw = ns.toDouble / nw
+      (src, nw, ns, nc, 0.39 * wps + 11.8 * spw - 15.59,
+        206.835 - 1.015 * wps - 84.6 * spw)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, g) =>
+      (src, (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._4).sum.toDouble / g.map(_._2).sum,
+        g.map(_._5).sum / g.length, g.map(_._6).sum / g.length))
+    }
+    val got = TextAnalysis.readability(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nD, nW, nS, pc, fk, ease) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nD, nW, nS)),
+        s"source ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - pc) < 1e-6)
+      assert(math.abs(r.getDouble(5) - fk) < 1e-3, s"${r.getString(0)} fk")
+      assert(math.abs(r.getDouble(6) - ease) < 1e-3)
+    }
+  }
+
+  test("sim_kcenter_coreset equals a driver-side greedy farthest-point " +
+    "replay with exact integer distances") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1e6))))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val first = embs.head
+    var mind = embs.map { case (v, q) => (v, q, d2(q, first._2)) }
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first._1, 0L))
+    for (i <- 2 to 8) {
+      val p = mind.minBy { case (v, _, m) => (-m, v) }
+      picks += ((i.toLong, p._1, p._3))
+      mind = mind.map { case (v, q, m) => (v, q, math.min(m, d2(q, p._2))) }
+    }
+    val cov = mind.minBy { case (v, _, m) => (-m, v) }
+    val got = Similarity.kcenterCoreset(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq ===
+      ((0L, cov._1, cov._3) +: picks.toSeq).sortBy(_._1))
+    // farthest-point picks are non-increasing in distance-to-set, and
+    // the final coverage radius never exceeds the last pick's distance
+    val seq = picks.drop(1).map(_._3).toSeq
+    assert(seq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(cov._3 <= seq.last)
+  }
 }
