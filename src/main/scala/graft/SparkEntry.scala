@@ -375,7 +375,11 @@ object SparkEntry {
     "stream_decontaminate" ->
       ((s, d) => StreamingAnalytics.streamDecontaminate(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
-    "sim_kcenter_coreset" -> ((s, d) => Similarity.kcenterCoreset(s, d))
+    "sim_kcenter_coreset" -> ((s, d) => Similarity.kcenterCoreset(s, d)),
+    "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
+    "events_segment_migration" ->
+      ((s, d) => EventAnalytics.segmentMigration(s, d)),
+    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3507,6 +3511,105 @@ object SparkEntry {
              AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4)
              AS mean_flesch_ease
          FROM sc GROUP BY 1 ORDER BY source""",
+    "text_kneser_ney" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         ttok AS (SELECT doc_id, unnest(w) AS word,
+             generate_subscripts(w, 1) AS pos FROM s WHERE split = 'train'),
+         tbi AS (SELECT a.word AS w1, b.word AS w2
+           FROM ttok a JOIN ttok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM tbi GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1pf FROM c12 GROUP BY 1),
+         cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pb
+           FROM c12 GROUP BY 1),
+         types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c12),
+         etok AS (SELECT doc_id, unnest(w) AS word,
+             generate_subscripts(w, 1) AS pos FROM s WHERE split = 'test'),
+         ebi AS (SELECT a.word AS w1, b.word AS w2
+           FROM etok a JOIN etok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         ev AS (SELECT e.w1, e.w2, c12.c12, ctx.c1, ctx.n1pf,
+             CAST(COALESCE(cont.n1pb, 0) AS DOUBLE) / CAST(tt AS DOUBLE)
+               AS pcont
+           FROM ebi e LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
+             LEFT JOIN ctx ON e.w1 = ctx.w1
+             LEFT JOIN cont ON e.w2 = cont.w2
+             CROSS JOIN types),
+         scored AS (SELECT
+             CASE WHEN COALESCE(c12, 0) > 0 THEN 'known_pair'
+                  WHEN c1 IS NOT NULL THEN 'known_context'
+                  ELSE 'unknown_context' END AS bucket,
+             CASE WHEN c1 IS NOT NULL THEN
+                 GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0)
+                   / CAST(c1 AS DOUBLE)
+                 + ((0.75 * CAST(n1pf AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                   * pcont
+               ELSE pcont END AS p
+           FROM ev)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_kn_prob,
+           ROUND(MAX(p), 6) AS max_kn_prob
+         FROM scored GROUP BY 1 ORDER BY bucket""",
+    "events_segment_migration" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         w1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM events, t0 WHERE ts < t0 + INTERVAL 7 DAY GROUP BY 1),
+         w2 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM events, t0
+           WHERE ts >= t0 + INTERVAL 7 DAY AND ts < t0 + INTERVAL 14 DAY
+           GROUP BY 1),
+         aligned AS (SELECT
+             CASE WHEN n1 IS NULL THEN 'absent'
+                  WHEN n1 >= 18 THEN 'high'
+                  WHEN n1 >= 14 THEN 'mid' ELSE 'low' END AS seg_w1,
+             CASE WHEN n2 IS NULL THEN 'absent'
+                  WHEN n2 >= 18 THEN 'high'
+                  WHEN n2 >= 14 THEN 'mid' ELSE 'low' END AS seg_w2
+           FROM w1 FULL OUTER JOIN w2 USING (user_id)),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM aligned)
+         SELECT seg_w1, seg_w2, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT CAST(n_total AS DOUBLE) FROM tot), 6) AS share
+         FROM aligned GROUP BY 1, 2 ORDER BY seg_w1, seg_w2""",
+    "mm_scene_cuts" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND length(text) > 0),
+         b AS (SELECT doc_id, (pos - 1) // 64 AS f,
+             CAST(ascii(substr(text, CAST(pos AS INT), 1)) AS BIGINT) AS v
+           FROM (SELECT doc_id, text,
+                   unnest([p for p in range(1, length(text) + 1)]) AS pos
+                 FROM v) u),
+         fr AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS inten
+           FROM b GROUP BY 1, 2),
+         d AS (SELECT doc_id, f, inten,
+             abs(inten - lag(inten) OVER (PARTITION BY doc_id ORDER BY f))
+               AS delta
+           FROM fr),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN delta >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+             CAST(MAX(COALESCE(delta, 0)) AS BIGINT) AS max_delta
+           FROM d GROUP BY 1)
+         SELECT doc_id, n_frames, n_cuts, n_cuts + 1 AS n_scenes,
+           ROUND(CAST(n_frames AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE), 4)
+             AS mean_scene_len,
+           max_delta
+         FROM pd ORDER BY doc_id""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

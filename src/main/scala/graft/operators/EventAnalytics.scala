@@ -1575,6 +1575,46 @@ object EventAnalytics {
       .orderBy(col("max_streak"))
   }
 
+  /** Activity-SEGMENT migration matrix — week-1 vs week-2 engagement
+    * tier per user (low < 14, mid 14–17, high ≥ 18 events; thresholds
+    * bracket the corpus's weekly quartiles, and users missing from a
+    * week are the explicit `absent` tier), cross-tabulated: the
+    * retention-marketing transition matrix behind "who upgraded, who
+    * churned". The diagonal is stability, the lower triangle is decay,
+    * `absent` rows/columns are churn-in/churn-out — all exact integer
+    * censuses.
+    *
+    * Scale shape: one corpus pass per week folds to user-grain counts
+    * (two hash-aggs sharing the events scan), a user-keyed full outer
+    * join aligns the weeks, and the matrix is a ≤16-key agg; share
+    * divides by the broadcast 1-row user total. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val base = ev.crossJoin(broadcast(t0)) // 1-row epoch scalar
+    def seg(n: Column): Column =
+      when(n >= 18, "high").when(n >= 14, "mid").otherwise("low")
+    val w1 = base.filter(col("ts") < col("t0") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n1"))
+    val w2 = base.filter(col("ts") >= col("t0") + expr("INTERVAL 7 DAYS") &&
+        col("ts") < col("t0") + expr("INTERVAL 14 DAYS"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n2"))
+    val aligned = w1.join(w2, Seq("user_id"), "full_outer")
+      .select(
+        when(col("n1").isNull, "absent").otherwise(seg(col("n1")))
+          .as("seg_w1"),
+        when(col("n2").isNull, "absent").otherwise(seg(col("n2")))
+          .as("seg_w2"))
+    val total = aligned.agg(count(lit(1)).as("n_total"))
+    aligned.groupBy(col("seg_w1"), col("seg_w2"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total)) // 1-row user total
+      .select(col("seg_w1"), col("seg_w2"), col("n_users"),
+        round(col("n_users").cast("double") /
+          col("n_total").cast("double"), 6).as("share"))
+      .orderBy(col("seg_w1"), col("seg_w2"))
+  }
+
   /** Kaplan–Meier SURVIVAL curve for time-to-first-purchase — the
     * censoring-correct answer to "how fast do users convert", run the
     * way a mid-campaign analysis must: only the first 7 days of the

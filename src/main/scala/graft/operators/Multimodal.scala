@@ -336,4 +336,52 @@ object Multimodal {
           .as("band_frac"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Scene-CUT segmentation for the video modality — the
+    * intensity-delta detector every video curation pipeline runs
+    * before frame sampling (cut where consecutive frames differ
+    * sharply; scenes = cuts + 1): per 64-byte frame an integer
+    * "intensity" (byte sum — the [[audioEnergy]] discipline one
+    * modality over), a per-document lag delta, and a cut wherever
+    * |Δ| ≥ 300 (the corpus's ~p75 delta; partial tail frames read as
+    * a final cut, documented and mirrored in the oracle). Census per
+    * document: frames, cuts, scenes, mean scene length, max delta —
+    * the shot-boundary profile a frame-sampler stratifies on.
+    *
+    * Scale shape: intensity extraction is the narrow per-partition
+    * byte pass at the codec seam (decoder-adjacent, payloads never
+    * shuffle); the lag window is per-document over its own frames
+    * (payload-bounded, never corpus-wide); the census is one doc-grain
+    * agg. All arithmetic integer-exact. */
+  def sceneCuts(spark: SparkSession, dir: String,
+                threshold: Long = 300): DataFrame = {
+    import spark.implicits._
+    val frames = mediaRecords(spark, dir)
+      .filter(col("modality") === "video" && col("byte_len") > 0)
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          r.payload.grouped(64).zipWithIndex.map { case (chunk, i) =>
+            var s = 0L
+            var k = 0
+            while (k < chunk.length) { s += (chunk(k) & 0xff); k += 1 }
+            (r.doc_id, i.toLong, s)
+          }
+        }
+      }.toDF("doc_id", "f", "inten")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    frames
+      .withColumn("delta", abs(col("inten") - lag(col("inten"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") >= threshold, 1L).otherwise(0L)).as("n_cuts"),
+        max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+      .withColumn("n_scenes", col("n_cuts") + 1)
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        col("n_scenes"),
+        round(col("n_frames").cast("double") /
+          col("n_scenes").cast("double"), 4).as("mean_scene_len"),
+        col("max_delta"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -2172,6 +2172,69 @@ object TextAnalysis {
       .orderBy(col("k"))
   }
 
+  /** Interpolated KNESER–NEY bigram probabilities on held-out data —
+    * the production n-gram smoother ([[lmInterp]] tunes a linear
+    * unigram mix; KN replaces the unigram with the CONTINUATION
+    * distribution, which is what ships in every serious n-gram LM):
+    * with absolute discount D = 3/4,
+    * P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *          + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··)),
+    * and a test bigram whose context was never seen backs off to the
+    * continuation probability alone. Test bigrams are censused in
+    * three buckets — pair seen in train, context seen but pair not,
+    * context unseen — with count and mean KN probability per bucket:
+    * the smoothing-mass picture (how much probability the discount
+    * redistributes, and where) a data team reads before shipping the
+    * tokenizer-adjacent LM.
+    *
+    * Determinism: all counts are exact BIGINTs; D = 3/4 is
+    * binary-exact; each probability is the identical parenthesized
+    * double expression in both engines over exact operands, quantized
+    * to DECIMAL(18,9) before the bucket mean. Scale shape: bigram
+    * censuses are corpus-pass hash-aggs; the evaluation is three
+    * equi-joins on token keys (bigram table, context table,
+    * continuation table) + a broadcast 1-row type count — all
+    * shuffle-partitioned by key, nothing quadratic. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        splitCol.as("split"))
+    def bigrams(df: DataFrame): DataFrame = df.select(explode(expr(
+      """filter(transform(sequence(1, size(t)),
+           i -> struct(element_at(t, i) AS w1, try_element_at(t, i + 1) AS w2)),
+         p -> p.w2 IS NOT NULL)""")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val c12 = bigrams(docs.filter(col("split") === "train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pf"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1pb"))
+    val types = c12.agg(count(lit(1)).as("tt"))
+    bigrams(docs.filter(col("split") === "test"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types)) // 1-row bigram-type count
+      .withColumn("pcont", coalesce(col("n1pb"), lit(0L)).cast("double") /
+        col("tt").cast("double"))
+      .withColumn("p", when(col("c1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.75),
+            lit(0.0)) / col("c1").cast("double") +
+          ((lit(0.75) * col("n1pf").cast("double")) /
+            col("c1").cast("double")) * col("pcont"))
+        .otherwise(col("pcont")))
+      .withColumn("bucket",
+        when(coalesce(col("c12"), lit(0L)) > 0, "known_pair")
+          .when(col("c1").isNotNull, "known_context")
+          .otherwise("unknown_context"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("mean_kn_prob"),
+        round(max(col("p")), 6).as("max_kn_prob"))
+      .orderBy(col("bucket"))
+  }
+
   /** READABILITY census per source — Flesch Reading Ease and
     * Flesch–Kincaid grade over a deterministic syllable heuristic
     * (vowel-group runs `[aeiouy]+`, floor 1 — the standard

@@ -787,4 +787,117 @@ class Round11OpsSpec extends SparkSpec {
     assert(seq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     assert(cov._3 <= seq.last)
   }
+
+  test("text_kneser_ney equals a driver-side interpolated-KN replay " +
+    "and every probability is a valid probability") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"doc:$id").substring(0, 2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val trainBi = docs.filter(d => split(d._1) == "train").flatMap(d => bigrams(d._2))
+    val c12 = trainBi.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, g) => (w1, g.values.sum) }
+    val n1pf = c12.keys.groupBy(_._1).map { case (w1, g) => (w1, g.size.toLong) }
+    val n1pb = c12.keys.groupBy(_._2).map { case (w2, g) => (w2, g.size.toLong) }
+    val tt = c12.size.toLong
+    val testBi = docs.filter(d => split(d._1) == "test").flatMap(d => bigrams(d._2))
+    val scored = testBi.map { case (w1, w2) =>
+      val pcont = n1pb.getOrElse(w2, 0L).toDouble / tt
+      c1.get(w1) match {
+        case Some(cc1) =>
+          val cc12 = c12.getOrElse((w1, w2), 0L)
+          val p = math.max(cc12.toDouble - 0.75, 0.0) / cc1 +
+            ((0.75 * n1pf(w1)) / cc1) * pcont
+          (if (cc12 > 0) "known_pair" else "known_context", p)
+        case None => ("unknown_context", pcont)
+      }
+    }
+    val expected = scored.groupBy(_._1).map { case (b, g) =>
+      (b, (g.length.toLong, g.map(_._2).sum / g.length, g.map(_._2).max))
+    }
+    val got = TextAnalysis.kneserNey(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, mean, mx) = expected(r.getString(0))
+      assert(r.getLong(1) === n, s"bucket ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+      assert(math.abs(r.getDouble(3) - mx) < 1e-6)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // a seen pair always gets at least the continuation mass a merely
+    // seen context gets on average (the discount redistributes, it
+    // never inverts the ordering of the bucket means on this corpus)
+    val m = got.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    if (m.contains("known_pair") && m.contains("known_context"))
+      assert(m("known_pair") > m("known_context"))
+  }
+
+  test("events_segment_migration equals a driver-side weekly cross-tab " +
+    "and shares sum to one") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val t0 = ev.map(_._1.getTime).min
+    val d7 = 7L * 86400 * 1000
+    val w1 = ev.filter(_._1.getTime < t0 + d7).groupBy(_._2)
+      .map { case (u, g) => (u, g.length.toLong) }
+    val w2 = ev.filter(e => e._1.getTime >= t0 + d7 &&
+      e._1.getTime < t0 + 2 * d7).groupBy(_._2)
+      .map { case (u, g) => (u, g.length.toLong) }
+    def seg(n: Option[Long]): String = n match {
+      case None => "absent"
+      case Some(x) if x >= 18 => "high"
+      case Some(x) if x >= 14 => "mid"
+      case _ => "low"
+    }
+    val users = (w1.keySet ++ w2.keySet).toSeq
+    val expected = users.map(u => (seg(w1.get(u)), seg(w2.get(u))))
+      .groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val got = EventAnalytics.segmentMigration(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expected(k), s"cell $k")
+      assert(math.abs(r.getDouble(3) -
+        expected(k).toDouble / users.length) < 1e-6)
+    }
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("mm_scene_cuts equals a driver-side byte-sum delta replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._1 % 3 == 2 && d._2.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val intens = text.getBytes("UTF-8").grouped(64)
+        .map(_.map(b => (b & 0xff).toLong).sum).toArray
+      val deltas =
+        if (intens.length < 2) Array.empty[Long]
+        else intens.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+      val cuts = deltas.count(_ >= 300).toLong
+      (id, (intens.length.toLong, cuts,
+        if (deltas.isEmpty) 0L else deltas.max))
+    }.toMap
+    val got = graft.operators.Multimodal.sceneCuts(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nf, nc, mx) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nf, nc, nc + 1)),
+        s"doc ${r.getLong(0)}")
+      assert(r.getLong(5) === mx)
+      // the operator rounds to 4 decimals, so allow half an ulp of that
+      assert(math.abs(r.getDouble(4) - nf.toDouble / (nc + 1)) < 1e-4)
+    }
+  }
 }
