@@ -379,7 +379,11 @@ object SparkEntry {
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "events_segment_migration" ->
       ((s, d) => EventAnalytics.segmentMigration(s, d)),
-    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d))
+    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "stream_anomaly" -> ((s, d) => StreamingAnalytics.streamAnomaly(s, d)),
+    "text_compression_ratio" ->
+      ((s, d) => TextAnalysis.compressionRatio(s, d)),
+    "sim_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3610,6 +3614,85 @@ object SparkEntry {
              AS mean_scene_len,
            max_delta
          FROM pd ORDER BY doc_id""",
+    "stream_anomaly" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CASE WHEN ts < t0 + INTERVAL 15 DAY THEN 1 ELSE 2 END AS inc,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM events, t0 GROUP BY 1, 2, 3),
+         st1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ssq
+           FROM daily WHERE inc = 1 GROUP BY 1),
+         r1 AS (SELECT CAST(1 AS BIGINT) AS increment, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(0 AS BIGINT) AS n_flagged
+           FROM daily WHERE inc = 1 GROUP BY 2),
+         sc2 AS (SELECT d.event_type, d.x, st1.n, st1.s, st1.ssq
+           FROM daily d LEFT JOIN st1 USING (event_type) WHERE d.inc = 2),
+         r2 AS (SELECT CAST(2 AS BIGINT) AS increment, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN n IS NOT NULL AND
+                 (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+                   > 4 * (CAST(n AS HUGEINT) * ssq
+                     - CAST(s AS HUGEINT) * s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+           FROM sc2 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+         ORDER BY increment, event_type""",
+    "text_compression_ratio" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+         base AS (SELECT doc_id, source,
+             CAST(GREATEST(len(w) - 3, 0) AS BIGINT) AS total
+           FROM d),
+         uq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS uniq FROM (
+             SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 4
+                    THEN [array_to_string(w[i:i+3], ' ')
+                          for i in range(1, len(w)-2)]
+                    ELSE []::VARCHAR[] END)) AS g
+             FROM d) t GROUP BY 1),
+         j AS (SELECT base.source, base.total,
+             COALESCE(uq.uniq, 0) AS uniq
+           FROM base LEFT JOIN uq USING (doc_id))
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN total = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(SUM(total) AS BIGINT) AS total_grams,
+           CAST(SUM(uniq) AS BIGINT) AS uniq_grams,
+           ROUND(CAST(SUM(CASE WHEN total > 0 THEN
+               CAST(CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE)
+                 AS DECIMAL(18,9)) END) AS DOUBLE)
+             / SUM(CASE WHEN total > 0 THEN 1 ELSE 0 END), 6) AS mean_ratio,
+           CAST(SUM(CASE WHEN total > 0 AND uniq * 10 < total * 3
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_compressible
+         FROM j GROUP BY 1 ORDER BY source""",
+    "sim_recall_curve" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+             embedding AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+         brute AS (SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(embedding, q_emb) DESC,
+                 vec_id) AS rb
+           FROM embeddings, q WHERE vec_id <> q_id),
+         blocked AS (SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(embedding, q_emb) DESC,
+                 vec_id) AS rl
+           FROM embeddings e JOIN q ON e.label = q.q_label
+           WHERE vec_id <> q_id),
+         ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+         hits AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM brute b JOIN blocked bl
+             ON b.q_id = bl.q_id AND b.vec_id = bl.vec_id
+           CROSS JOIN ks
+           WHERE b.rb <= k AND bl.rl <= k GROUP BY 1)
+         SELECT ks.k, COALESCE(n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+             / CAST(ks.k * 5 AS DOUBLE), 6) AS recall
+         FROM ks LEFT JOIN hits ON ks.k = hits.k
+         ORDER BY ks.k""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

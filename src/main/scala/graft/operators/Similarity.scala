@@ -947,6 +947,55 @@ object Similarity {
       .orderBy(col("bits"))
   }
 
+  /** Recall-at-k CURVE for the label-blocked ANN — [[recallAt10]]'s
+    * single operating point swept over k ∈ {1, 5, 10} in ONE pass (the
+    * nprobe-sweep discipline applied to the serving-time k knob): both
+    * rankings are computed once to depth max(k), the intersection
+    * carries BOTH ranks, and a broadcast 3-row k axis reads each
+    * operating point off the same relation — never a re-rank per k.
+    * Output per k: total hits across queries and macro recall
+    * (hits / (k · queries)) — the curve that decides how deep the
+    * blocked index must rank before it matches brute force.
+    *
+    * Determinism: ranks tie-break on vec_id after the f32 cosine;
+    * identical window in both engines. Scale shape: the query set
+    * broadcasts (bounded), rank windows are per-query ≤ max(k) via
+    * WindowGroupLimit pruning, the k axis is 3 broadcast rows — no
+    * pair relation beyond queries × corpus. */
+  def recallCurve(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, ks: Seq[Long] = Seq(1L, 5L, 10L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    def ranked(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      cand.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim_raw",
+          ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= ks.max)
+        .select(col("q_id"), col("vec_id"), col("rn"))
+    }
+    val brute = ranked(e.join(broadcast(q)))
+      .withColumnRenamed("rn", "rb")
+    val blocked = ranked(e.join(broadcast(q),
+        col("label") === col("q_label")))
+      .withColumnRenamed("rn", "rl")
+    val hits = brute.join(blocked, Seq("q_id", "vec_id"))
+      .crossJoin(broadcast(ks.toDF("k"))) // 3-row k axis
+      .filter(col("rb") <= col("k") && col("rl") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    ks.toDF("k").join(hits, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          (col("k") * nQueries).cast("double"), 6).as("recall"))
+      .orderBy(col("k"))
+  }
+
   /** SemDeDup — semantic deduplication by clustering THEN within-cluster
     * pairwise cosine (Abbas et al. 2023's recipe, the scale answer to
     * "all-pairs cosine is quadratic"): every vector is assigned to its

@@ -1072,6 +1072,95 @@ object StreamingAnalytics {
     out.orderBy(col("user_id"))
   }
 
+  /** Streaming ANOMALY gate — the batch z-score detector
+    * ([[EventAnalytics.dailyAnomaly]]'s family) run the way a
+    * monitoring pipeline must run it: daily per-type event counts
+    * arrive as two staged increments (first vs second half of the
+    * month), and each micro-batch scores ITS OWN days against the
+    * sufficient statistics (n, Σx, Σx²) maintained from PRIOR
+    * increments only — never against its own days (self-normalization
+    * hides the anomaly), then folds its days into the persisted state
+    * (versioned state dirs, the `stream_cdc_upsert` discipline). The
+    * first increment is the documented cold start: no prior state, so
+    * it emits zero flags and seeds the state.
+    *
+    * Flag rule: |x − μ| > 2σ evaluated WITHOUT division or sqrt via
+    * the exact cross-multiplication (n·x − s)² > 4·(n·ssq − s²) — at
+    * extreme daily volumes the squares leave int64, so both engines
+    * compare in 38-digit integers (DECIMAL(38,0) / HUGEINT).
+    * State is |event_types|·3 numbers regardless of corpus size; each
+    * micro-batch is one day-grain agg + a broadcast-sized state
+    * join. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sanom").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val ev = graft.Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0"),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val daily = batch
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+          .persist() // consumed twice: scoring + state fold
+        try {
+          val scored =
+            if (lastState < 0)
+              daily.groupBy(col("event_type"))
+                .agg(count(lit(1)).as("n_days"))
+                .select(lit(batchId + 1).as("increment"), col("event_type"),
+                  col("n_days"), lit(0L).as("n_flagged"))
+            else {
+              val st = spark.read.parquet(s"$root/state_v$lastState")
+              daily.join(st, Seq("event_type"), "left")
+                .withColumn("flag",
+                  when(col("n").isNull, lit(0L)).otherwise(
+                    when((col("n").cast("decimal(38,0)") * col("x") - col("s"))
+                        * (col("n").cast("decimal(38,0)") * col("x") - col("s"))
+                      > lit(4) * (col("n").cast("decimal(38,0)") * col("ssq")
+                        - col("s").cast("decimal(38,0)") * col("s")),
+                      1L).otherwise(0L)))
+                .groupBy(col("event_type"))
+                .agg(count(lit(1)).as("n_days"), sum(col("flag")).as("n_flagged"))
+                .select(lit(batchId + 1).as("increment"), col("event_type"),
+                  col("n_days"), col("n_flagged"))
+            }
+          scored.write.mode("append").parquet(outPath)
+          val inc = daily.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+              sum(col("x") * col("x")).as("ssq"))
+          val merged =
+            if (lastState < 0) inc
+            else spark.read.parquet(s"$root/state_v$lastState")
+              .unionByName(inc)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+                sum(col("ssq")).as("ssq"))
+          merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+          lastState = batchId
+        } finally daily.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_anomaly: no micro-batch ran")
+    val out = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"), col("event_type"))
+  }
+
   /** Streaming DECONTAMINATION — the benchmark gate applied the way a
     * continuously-ingesting pipeline must apply it: the test-split
     * 13-gram set is FROZEN up front (the held-out benchmark never

@@ -2235,6 +2235,53 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** COMPRESSION-ratio proxy per source — the distinct-4-gram share of
+    * each document (unique 4-grams / total 4-grams), the dictionary-
+    * free stand-in for "would gzip crush this" that large-corpus
+    * quality gates use alongside [[repetitionFilter]]'s top-n-gram
+    * rules: boilerplate and template chrome compress (low ratio),
+    * natural prose doesn't (ratio near 1). Census per source: docs,
+    * gram mass, exact-decimal mean ratio, and the count flagged
+    * highly-compressible (ratio < 0.3, tested as the integer
+    * cross-multiplication distinct·10 < total·3 — no float
+    * threshold). Documents under 4 tokens have no 4-grams and are
+    * censused separately (n_short), never averaged.
+    *
+    * Scale shape: one 4-gram explode bounded by corpus token count
+    * (array_distinct per doc before counting — the explode carries
+    * (doc_id, gram-hash) only), a doc-grain agg, a |sources|-row
+    * census. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables(spark, dir, "documents")
+    val docs = raw
+      .select(col("doc_id"), col("source"),
+        greatest(size(split(col("text"), " ")) - 3, lit(0)).cast("long")
+          .as("total"))
+    // md5-backed 4-gram fingerprints (gramHashCol) — a 32-bit hash's
+    // birthday collisions would silently deflate the distinct count
+    // against the oracle's raw-string distinct
+    val uniq = raw
+      .select(col("doc_id"),
+        explode(array_distinct(gramHashCol(raw, 4))).as("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("uniq"))
+    docs.join(uniq, Seq("doc_id"), "left")
+      .select(col("source"), col("total"),
+        coalesce(col("uniq"), lit(0L)).as("uniq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("total") === 0L).cast("long")).as("n_short"),
+        sum(col("total")).as("total_grams"),
+        sum(col("uniq")).as("uniq_grams"),
+        round(sum(when(col("total") > 0,
+            (col("uniq").cast("double") / col("total").cast("double"))
+              .cast("decimal(18,9)")))
+          .cast("double") / sum((col("total") > 0L).cast("long")), 6)
+          .as("mean_ratio"),
+        sum(when(col("total") > 0 && col("uniq") * 10 < col("total") * 3,
+          1L).otherwise(0L)).as("n_compressible"))
+      .orderBy(col("source"))
+  }
+
   /** READABILITY census per source — Flesch Reading Ease and
     * Flesch–Kincaid grade over a deterministic syllable heuristic
     * (vowel-group runs `[aeiouy]+`, floor 1 — the standard

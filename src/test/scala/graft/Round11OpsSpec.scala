@@ -900,4 +900,93 @@ class Round11OpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - nf.toDouble / (nc + 1)) < 1e-4)
     }
   }
+
+  test("stream_anomaly scores increment 2 against increment-1 state " +
+    "only, with a flagless cold start") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val t0 = ev.map(_._1.getTime).min
+    val cut = t0 + 15L * 86400 * 1000
+    def day(t: java.sql.Timestamp): java.time.LocalDate =
+      t.toLocalDateTime.toLocalDate
+    // the cut sits at a sub-day offset, so a calendar day can straddle
+    // it; the operator (and oracle) census each increment's OWN partial
+    // day — replay with (type, day, side) cells accordingly
+    val byCell = ev.groupBy(e => (e._2, day(e._1), e._1.getTime < cut))
+      .map { case (k, g) => (k, g.length.toLong) }.toSeq
+    val st1 = byCell.filter(_._1._3).groupBy(_._1._1)
+      .map { case (ty, g) =>
+        val xs = g.map(_._2)
+        (ty, (xs.length.toLong, xs.sum, xs.map(x => x * x).sum))
+      }
+    val expected2 = byCell.filterNot(_._1._3).groupBy(_._1._1)
+      .map { case (ty, g) =>
+        val flags = st1.get(ty) match {
+          case None => 0L
+          case Some((n, s, ssq)) =>
+            g.count { case (_, x) =>
+              val lhs = BigInt(n * x - s).pow(2)
+              lhs > 4 * (BigInt(n) * ssq - BigInt(s) * s)
+            }.toLong
+        }
+        (ty, (g.length.toLong, flags))
+      }
+    val got = graft.operators.StreamingAnalytics
+      .streamAnomaly(spark, sf0001).collect()
+    got.filter(_.getLong(0) == 1L).foreach { r =>
+      assert(r.getLong(3) === 0L, s"cold start flagged ${r.getString(1)}")
+    }
+    got.filter(_.getLong(0) == 2L).foreach { r =>
+      val (nd, fl) = expected2(r.getString(1))
+      assert((r.getLong(2), r.getLong(3)) === ((nd, fl)),
+        s"type ${r.getString(1)}")
+    }
+    assert(got.count(_.getLong(0) == 2L) === expected2.size)
+  }
+
+  test("text_compression_ratio equals a driver-side distinct-4-gram " +
+    "replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (_, src, text) =>
+      val w = text.split(" ", -1)
+      val total = math.max(w.length - 3, 0).toLong
+      val uniq =
+        if (total == 0) 0L
+        else w.sliding(4).map(_.mkString(" ")).toSet.size.toLong
+      (src, total, uniq)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, g) =>
+      val scored = g.filter(_._2 > 0)
+      (src, (g.length.toLong, g.count(_._2 == 0).toLong,
+        g.map(_._2).sum, g.map(_._3).sum,
+        scored.map(d => d._3.toDouble / d._2).sum / scored.length,
+        scored.count(d => d._3 * 10 < d._2 * 3).toLong))
+    }
+    val got = TextAnalysis.compressionRatio(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nD, nS, tg, ug, mr, nc) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6)) === ((nD, nS, tg, ug, nc)), s"source ${r.getString(0)}")
+      assert(math.abs(r.getDouble(5) - mr) < 1e-6)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("sim_recall_curve k=10 row equals sim_recall_eval's totals and " +
+    "recall is attainable at every k") {
+    val got = Similarity.recallCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 5L, 10L))
+    val atTen = Similarity.recallAt10(spark, sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(got.find(_._1 == 10L).get._2 === atTen)
+    got.foreach { case (k, h, rec) =>
+      assert(h <= 5 * k, s"k=$k hits exceed the attainable maximum")
+      assert(math.abs(rec - h.toDouble / (5 * k)) < 1e-6)
+    }
+  }
 }
