@@ -383,7 +383,12 @@ object SparkEntry {
     "stream_anomaly" -> ((s, d) => StreamingAnalytics.streamAnomaly(s, d)),
     "text_compression_ratio" ->
       ((s, d) => TextAnalysis.compressionRatio(s, d)),
-    "sim_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d))
+    "sim_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
+    "mix_temperature" -> ((s, d) => TextAnalysis.mixTemperature(s, d)),
+    "docs_uncertainty_sample" ->
+      ((s, d) => Curation.uncertaintySample(s, d)),
+    "stream_freq_topk" ->
+      ((s, d) => StreamingAnalytics.streamFreqTopk(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3693,6 +3698,45 @@ object SparkEntry {
              / CAST(ks.k * 5 AS DOUBLE), 6) AS recall
          FROM ks LEFT JOIN hits ON ks.k = hits.k
          ORDER BY ks.k""",
+    "mix_temperature" ->
+      """WITH pl AS (SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt FROM pl),
+         sh AS (SELECT lang, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+           FROM pl, tot),
+         al AS (SELECT unnest([0.3, 0.5, 0.7, 1.0]) AS alpha),
+         p AS (SELECT alpha, lang, n_tokens, share,
+             pow(share, alpha) AS pa FROM sh CROSS JOIN al),
+         z AS (SELECT alpha,
+             CAST(SUM(CAST(pa AS DECIMAL(28,12))) AS DOUBLE) AS z
+           FROM p GROUP BY 1)
+         SELECT p.alpha, lang, n_tokens, ROUND(share, 6) AS share,
+           ROUND(pa / z, 6) AS temp_weight,
+           ROUND(pa / z / share, 4) AS boost
+         FROM p JOIN z USING (alpha) ORDER BY alpha, lang""",
+    "docs_uncertainty_sample" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+               % 64 AS j,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM tok GROUP BY 1, 2),
+         lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+           WHERE label IN (0, 1)),
+         g AS (SELECT j, CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+           FROM tf JOIN lab USING (doc_id) GROUP BY j),
+         s AS (SELECT tf.doc_id,
+             CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+           FROM tf LEFT JOIN g USING (j) GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.source,
+           abs(m2000) AS abs_m2000,
+           ROUND(CAST(m2000 AS DOUBLE) / 2000.0, 6) AS margin
+         FROM s JOIN documents d USING (doc_id)
+         ORDER BY abs_m2000, d.doc_id LIMIT 20""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),
@@ -5868,6 +5912,10 @@ object SparkEntry {
       // the streaming index-maintenance loop emits, per its scaladoc, the
       // one-increment batch relation — so it shares that exact oracle
       ("stream_sig_index" -> m("dedup_incremental_minhash")) +
+      // the maintained Misra-Gries sketch must bracket the exact corpus
+      // top-k (mergeable-summaries invariant), so the streaming row
+      // shares the batch sketch's exact-truth-side oracle verbatim
+      ("stream_freq_topk" -> m("sketch_freq_topk")) +
       // greedy k-center unrolls to k-1 chained farthest-point CTE blocks
       ("sim_kcenter_coreset" -> kcenterOracleSql(8)) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks

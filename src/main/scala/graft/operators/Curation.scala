@@ -236,7 +236,12 @@ object Curation {
     * round shape with w≠0 (the sigmoid then needs float math; this
     * operator deliberately emits the exact first step a reviewer can
     * audit). */
-  def qualityProbe(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** Integer doubled margins (doc_id, lang, source, m2000) of the
+    * one-step probe — the shared relation behind [[qualityProbe]] (top
+    * margins) and [[uncertaintySample]] (margins nearest zero); one
+    * definition so the two selections can never drift on the gradient
+    * or the TF build. */
+  private def probeMargins(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ExprColumns.register(spark)
     val tf = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -259,11 +264,38 @@ object Curation {
     tf.crossJoin(broadcast(w2)) // 1-row scalar
       .withColumn("m2000", expr(
         "aggregate(zip_with(x, w2, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("lang"), col("source"), col("m2000"))
+  }
+
+  def qualityProbe(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    probeMargins(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         round(col("m2000").cast("double") / 2000.0, 6).as("margin"))
       .orderBy(col("margin").desc, col("doc_id"))
       .limit(k)
-  }
+
+  /** ACTIVE-LEARNING batch selection — uncertainty sampling on the
+    * trained probe: the k documents whose margin sits NEAREST the
+    * decision boundary (smallest |margin|, ties to the smallest
+    * doc_id) are exactly the ones a labeling team should annotate
+    * next; the third leg of the probe loop after train
+    * ([[qualityProbe]]) and evaluate ([[probeAuc]]). Selection ranks
+    * the EXACT integer doubled margin's absolute value — no float
+    * enters until the reported margin — so the picked set is
+    * bit-deterministic in both engines.
+    *
+    * Scale shape: margins are [[probeMargins]]' one broadcast-weight
+    * narrow map; the smallest-k selection is a TakeOrdered reduction
+    * (partial top-k per partition, never a global sort). */
+  def uncertaintySample(spark: SparkSession, dir: String,
+                        k: Int = 20): DataFrame =
+    probeMargins(spark, dir)
+      .withColumn("abs_m2000", abs(col("m2000")))
+      .orderBy(col("abs_m2000"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("abs_m2000"),
+        round(col("m2000").cast("double") / 2000.0, 6).as("margin"))
 
   /** Token-budget-constrained corpus selection — the decision step after
     * scoring: rank every document by quality (distinct-token ratio, the

@@ -1072,6 +1072,88 @@ object StreamingAnalytics {
     out.orderBy(col("user_id"))
   }
 
+  /** Streaming HEAVY-HITTERS — a Misra–Gries summary maintained across
+    * micro-batches by the mergeable-summaries rule (Agarwal et al.):
+    * each batch folds its exact token counts (a valid MG summary with
+    * zero decrement) into the persisted counters, then compresses back
+    * to capacity by subtracting the (cap+1)-th largest merged count
+    * and dropping non-positive counters, accumulating the subtracted
+    * offset into the persisted decrement total D. The MG invariant
+    * c ≤ f ≤ c + D survives every merge, so the final maintained
+    * sketch must bracket the exact corpus counts — the output is the
+    * exact top-k census with a per-token within-bounds verdict (the
+    * [[Quality.sketchFreqTopk]] contract, reproduced by a sketch that
+    * was never allowed to see the corpus in one piece).
+    *
+    * Scale shape: state is ≤ cap counters + one scalar D regardless of
+    * corpus size; per batch, one token hash-agg, a counter union, and
+    * a TakeOrdered top-(cap+1) reduction for the offset (partial top-k
+    * per partition — no global sort, no corpus-wide window). */
+  def streamFreqTopk(spark: SparkSession, dir: String,
+                     cap: Int = 128, k: Int = 10): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sfrq").toString
+    val inDir = s"$root/in"
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("sn") < 10).drop("sn"),
+      "inc2" -> docs.filter(col("sn") >= 10).drop("sn")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bc = batch.select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        val (merged, dPrior) =
+          if (lastState < 0) (bc, spark.range(1).select(lit(0L).as("d")))
+          else (
+            spark.read.parquet(s"$root/state_v$lastState")
+              .unionByName(bc)
+              .groupBy(col("token")).agg(sum(col("c")).as("c")),
+            spark.read.parquet(s"$root/state_d_v$lastState"))
+        val mergedCk = merged.localCheckpoint() // consumed twice below
+        // offset = the (cap+1)-th largest merged count (0 when the
+        // summary already fits): TakeOrdered top-(cap+1), then its min
+        val oRow = mergedCk
+          .orderBy(col("c").desc, col("token")).limit(cap + 1)
+          .agg(when(count(lit(1)) === (cap + 1), min(col("c")))
+            .otherwise(lit(0L)).as("o"))
+        mergedCk.crossJoin(broadcast(oRow)) // 1-row offset scalar
+          .select(col("token"), (col("c") - col("o")).as("c"))
+          .filter(col("c") > 0)
+          .write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        dPrior.crossJoin(broadcast(oRow))
+          .select((col("d") + col("o")).as("d"))
+          .write.mode("overwrite").parquet(s"$root/state_d_v$batchId")
+        lastState = batchId
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_freq_topk: no micro-batch ran")
+    val state = spark.read.parquet(s"$root/state_v$lastState")
+      .localCheckpoint()
+    val dRow = spark.read.parquet(s"$root/state_d_v$lastState")
+      .localCheckpoint()
+    deleteTree(root)
+    val exact = graft.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+    exact
+      .join(state.withColumnRenamed("c", "c_lb"), Seq("token"), "left")
+      .crossJoin(broadcast(dRow)) // 1-row decrement total
+      .select(col("token"), col("n"),
+        (col("n") >= coalesce(col("c_lb"), lit(0L)) &&
+          col("n") <= coalesce(col("c_lb"), lit(0L)) + col("d"))
+          .as("within_bounds"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Streaming ANOMALY gate — the batch z-score detector
     * ([[EventAnalytics.dailyAnomaly]]'s family) run the way a
     * monitoring pipeline must run it: daily per-type event counts

@@ -2235,6 +2235,45 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** TEMPERATURE-scaled sampling weights — the multilingual mixing knob
+    * (sample language ℓ with probability p_ℓ^α / Σ p^α): α = 1 is
+    * proportional (big languages dominate), α → 0 is uniform (small
+    * languages over-sampled), and every multilingual LM picks a point
+    * on this curve. Swept at α ∈ {0.3, 0.5, 0.7, 1.0} over the corpus
+    * token shares, reporting each language's natural share, tempered
+    * weight, and the boost factor (weight/share — how many "epochs" of
+    * its natural rate the language gets); the [[mixtureWeights]]
+    * sqrt-scaling row is the α = 0.5 point of this sweep by
+    * construction.
+    *
+    * Determinism: shares are exact-integer ratios; pow/sums are the
+    * identical double expression in both engines (pow is ≤1-ulp in
+    * both; rounding at 6 sits ~10 orders above that); the denominator
+    * quantizes each pow term to DECIMAL(28,12) before summing so
+    * shuffle order can't move a bit. Scale: one lang-grain agg + a
+    * broadcast 4-row α axis over a |langs|-row relation. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("nt"))
+    val shares = perLang.crossJoin(broadcast(tot)) // 1-row token total
+      .withColumn("share", col("n_tokens").cast("double") /
+        col("nt").cast("double"))
+    val alphas = Seq(0.3, 0.5, 0.7, 1.0).toDF("alpha")
+    val powed = shares.crossJoin(broadcast(alphas)) // 4-row α axis
+      .withColumn("pa", pow(col("share"), col("alpha")))
+    val z = powed.groupBy(col("alpha"))
+      .agg(sum(col("pa").cast("decimal(28,12)")).cast("double").as("z"))
+    powed.join(broadcast(z), Seq("alpha"))
+      .select(col("alpha"), col("lang"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("pa") / col("z"), 6).as("temp_weight"),
+        round(col("pa") / col("z") / col("share"), 4).as("boost"))
+      .orderBy(col("alpha"), col("lang"))
+  }
+
   /** COMPRESSION-ratio proxy per source — the distinct-4-gram share of
     * each document (unique 4-grams / total 4-grams), the dictionary-
     * free stand-in for "would gzip crush this" that large-corpus

@@ -989,4 +989,118 @@ class Round11OpsSpec extends SparkSpec {
       assert(math.abs(rec - h.toDouble / (5 * k)) < 1e-6)
     }
   }
+
+  test("mix_temperature equals a driver-side tempered-share replay; " +
+    "alpha=1 is proportional and lower alpha boosts small languages") {
+    val toks = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (l, g) => (l, g.map(_._2).sum) }
+    val nt = toks.values.sum
+    val got = TextAnalysis.mixTemperature(spark, sf0001).collect()
+      .map(r => ((r.getDouble(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.size === 4 * toks.size)
+    Seq(0.3, 0.5, 0.7, 1.0).foreach { a =>
+      val z = toks.values.map(n => math.pow(n.toDouble / nt, a)).sum
+      toks.foreach { case (l, n) =>
+        val share = n.toDouble / nt
+        val (gn, gs, gw, gb) = got((a, l))
+        assert(gn === n)
+        assert(math.abs(gs - share) < 1e-6)
+        assert(math.abs(gw - math.pow(share, a) / z) < 1e-6, s"($a,$l)")
+        assert(math.abs(gb - math.pow(share, a) / z / share) < 1e-3)
+      }
+    }
+    // alpha=1 reproduces the natural shares; tempering boosts the
+    // smallest language strictly more as alpha falls
+    toks.keys.foreach { l =>
+      assert(math.abs(got((1.0, l))._3 - got((1.0, l))._2) < 2e-6)
+    }
+    val smallest = toks.minBy(_._2)._1
+    val boosts = Seq(0.3, 0.5, 0.7, 1.0).map(a => got((a, smallest))._4)
+    assert(boosts.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+  }
+
+  test("docs_uncertainty_sample picks the 20 smallest |m2000| margins " +
+    "and is disjoint in rank sense from the top-margin picks") {
+    // first-principles margins: hashed-TF x doubled gradient
+    def bucket(w: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val b = (h(0) & 0xff)
+      b % 64
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val labels = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val tf = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).groupBy(bucket)
+        .map { case (j, ws) => (j, ws.length.toLong) })
+    }.toMap
+    val g2 = tf.toSeq.flatMap { case (id, m) =>
+      labels.get(id).toSeq.flatMap { l =>
+        m.map { case (j, x) => (j, (2L * l - 1) * x) } }
+    }.groupBy(_._1).map { case (j, g) => (j, g.map(_._2).sum) }
+    val margins = tf.map { case (id, m) =>
+      (id, m.map { case (j, x) => g2.getOrElse(j, 0L) * x }.sum)
+    }
+    val expected = margins.toSeq
+      .sortBy { case (id, m2) => (math.abs(m2), id) }.take(20)
+    val got = graft.operators.Curation.uncertaintySample(spark, sf0001)
+      .collect()
+    assert(got.length === 20)
+    got.zip(expected).foreach { case (r, (id, m2)) =>
+      assert(r.getLong(0) === id)
+      assert(r.getLong(3) === math.abs(m2))
+      assert(math.abs(r.getDouble(4) - m2 / 2000.0) < 1e-5)
+    }
+    // the uncertainty picks rank from |margin| ~ 0 while qualityProbe
+    // ranks from the top margin — the smallest |m2000| can't exceed
+    // the largest margin's magnitude
+    val topMargin = margins.values.map(math.abs).max
+    assert(got.map(_.getLong(3)).max <= topMargin)
+  }
+
+  test("stream_freq_topk maintained Misra-Gries state brackets every " +
+    "exact count and the output verdicts are all true") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exact = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+    // driver-side replay of the two-increment merge-compress loop
+    val cap = 128
+    var state = Map.empty[String, Long]
+    var d = 0L
+    Seq(docs.filter(_._1.drop(3).toInt < 10),
+        docs.filter(_._1.drop(3).toInt >= 10)).foreach { inc =>
+      val bc = inc.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      val merged = (state.keySet ++ bc.keySet).map(t =>
+        (t, state.getOrElse(t, 0L) + bc.getOrElse(t, 0L))).toMap
+      val o =
+        if (merged.size <= cap) 0L
+        else merged.toSeq.sortBy { case (t, c) => (-c, t) }.apply(cap)._2
+      state = merged.map { case (t, c) => (t, c - o) }.filter(_._2 > 0)
+      d += o
+    }
+    // MG invariant on the replayed state vs exact counts
+    state.foreach { case (t, c) =>
+      assert(c <= exact(t) && exact(t) <= c + d, s"token $t")
+    }
+    exact.filterNot(e => state.contains(e._1)).foreach { case (t, f) =>
+      assert(f <= d, s"absent token $t exceeds the decrement bound")
+    }
+    val got = graft.operators.StreamingAnalytics
+      .streamFreqTopk(spark, sf0001).collect()
+    val expectedTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === expectedTop)
+    assert(got.forall(_.getBoolean(2)), "a sketch bound failed")
+  }
 }
