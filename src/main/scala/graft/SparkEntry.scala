@@ -388,7 +388,10 @@ object SparkEntry {
     "docs_uncertainty_sample" ->
       ((s, d) => Curation.uncertaintySample(s, d)),
     "stream_freq_topk" ->
-      ((s, d) => StreamingAnalytics.streamFreqTopk(s, d))
+      ((s, d) => StreamingAnalytics.streamFreqTopk(s, d)),
+    "basket_rules" -> ((s, d) => Relational.basketRules(s, d)),
+    "events_funnel_sweep" -> ((s, d) => EventAnalytics.funnelSweep(s, d)),
+    "sim_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3737,6 +3740,92 @@ object SparkEntry {
            ROUND(CAST(m2000 AS DOUBLE) / 2000.0, 6) AS margin
          FROM s JOIN documents d USING (doc_id)
          ORDER BY abs_m2000, d.doc_id LIMIT 20""",
+    "basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_orders
+                FROM li GROUP BY 1),
+         no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+                FROM li),
+         p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(COUNT(*) AS BIGINT) AS n_co
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         st AS (SELECT p1, p2, n_co, c1.item_orders AS c1,
+                  c2.item_orders AS c2, n_orders
+                FROM p JOIN ic c1 ON p.p1 = c1.l_partkey
+                       JOIN ic c2 ON p.p2 = c2.l_partkey, no),
+         dr AS (SELECT p1 AS ante, p2 AS cons, n_co, c1 AS c_ante,
+                  c2 AS c_cons, n_orders FROM st
+                UNION ALL
+                SELECT p2, p1, n_co, c2, c1, n_orders FROM st)
+         SELECT ante, cons, n_co AS support,
+           ROUND(CAST(n_co AS DOUBLE) / CAST(c_ante AS DOUBLE), 6)
+             AS confidence,
+           ROUND(CAST(n_co AS DOUBLE) * n_orders / (c_ante * c_cons), 6)
+             AS lift,
+           ROUND(CAST(n_co AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             - (CAST(c_ante AS DOUBLE) / CAST(n_orders AS DOUBLE))
+               * (CAST(c_cons AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6)
+             AS leverage
+         FROM dr ORDER BY confidence DESC, ante, cons LIMIT 20""",
+    "events_funnel_sweep" -> {
+      val blocks = Seq(("06h", "6 HOUR"), ("1d", "1 DAY"), ("3d", "3 DAY"))
+        .map { case (lbl, iv) =>
+          s"""SELECT '$lbl' AS win,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c_$lbl) AS n_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p_$lbl) AS n_purchase"""
+        }.mkString("\n           UNION ALL ")
+      val ctes = Seq(("06h", "6 HOUR"), ("1d", "1 DAY"), ("3d", "3 DAY"))
+        .map { case (lbl, iv) =>
+          s""",
+         c_$lbl AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+               JOIN v ON e.user_id = v.user_id
+                 AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL $iv
+               WHERE e.event_type = 'click' GROUP BY 1),
+         p_$lbl AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+               JOIN c_$lbl c ON e.user_id = c.user_id
+                 AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL $iv
+               WHERE e.event_type = 'purchase' GROUP BY 1)"""
+        }.mkString
+      s"""WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+                    WHERE event_type = 'view' GROUP BY 1)$ctes
+         SELECT win, n_view, n_click, n_purchase,
+           ROUND(CASE WHEN n_view > 0 THEN CAST(n_click AS DOUBLE)
+             / CAST(n_view AS DOUBLE) END, 6) AS click_rate,
+           ROUND(CASE WHEN n_click > 0 THEN CAST(n_purchase AS DOUBLE)
+             / CAST(n_click AS DOUBLE) END, 6) AS purchase_rate
+         FROM ($blocks) u ORDER BY win"""
+    },
+    "sim_ivf_balance" ->
+      """WITH dims AS (SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+           FROM embeddings),
+         cent AS (SELECT label, d,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         pv AS (SELECT vec_id, dims.label,
+             SUM(CAST((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
+               AS DECIMAL(28,12))) AS d2
+           FROM dims JOIN cent ON dims.label = cent.label
+             AND dims.d = cent.d
+           GROUP BY 1, 2),
+         cells AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS dist
+           FROM pv GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS ss
+           FROM cells)
+         SELECT label, n_vecs,
+           ROUND(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+           ROUND(dist, 6) AS mean_sq_dist,
+           ROUND(CAST(nc AS DOUBLE) * CAST(ss AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS imbalance
+         FROM cells, tot ORDER BY label""",
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

@@ -531,9 +531,9 @@ object EventAnalytics {
   /** First-touch funnel stage times (vt, ct, pt per converting user) —
     * the shared kernel of [[funnelSteps]] and [[funnelLatency]]. Each
     * stage = one filtered agg joined forward within the 3-day window. */
-  private def funnelStages(ev: DataFrame):
+  private def funnelStages(ev: DataFrame,
+      step: String = "INTERVAL 3 DAYS"):
       (DataFrame, DataFrame, DataFrame) = {
-    val step = "INTERVAL 3 DAYS"
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
     val c = ev.filter(col("event_type") === "click")
@@ -552,6 +552,37 @@ object EventAnalytics {
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Funnel WINDOW-sensitivity sweep — [[funnelSteps]]' fixed 3-day
+    * hop window measured instead of inherited (the
+    * [[DedupOps.shingleSweep]] discipline applied to the funnel's one
+    * knob): the same first-touch funnel evaluated at hop windows of
+    * 6 hours, 1 day, and 3 days, each row reporting the stage counts
+    * and conversion rates. A conversion rate that keeps climbing with
+    * the window means the window — not the product — is deciding the
+    * metric; the plateau is the honest setting. Each window is an
+    * independent pass (the stage minima genuinely change with the
+    * window, so there is nothing shareable — the ×3 cost is the
+    * honest price of the tuning row, exactly like the shingle
+    * sweep's).
+    *
+    * All counts exact; rates are one guarded division each. */
+  def funnelSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    Seq(("06h", "INTERVAL 6 HOURS"), ("1d", "INTERVAL 1 DAY"),
+        ("3d", "INTERVAL 3 DAYS")).map { case (lbl, step) =>
+      val (v, c, p) = funnelStages(ev, step)
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(lit(lbl).as("win"), col("n_view"), col("n_click"),
+          col("n_purchase"),
+          round(when(col("n_view") > 0, col("n_click").cast("double") /
+            col("n_view").cast("double")), 6).as("click_rate"),
+          round(when(col("n_click") > 0, col("n_purchase").cast("double") /
+            col("n_click").cast("double")), 6).as("purchase_rate"))
+    }.reduce(_.unionByName(_)).orderBy(col("win"))
   }
 
   /** Funnel conversion LATENCY — the "how long does the funnel take"

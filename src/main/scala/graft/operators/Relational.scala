@@ -840,8 +840,13 @@ object Relational {
     * end, so the hash is aggregation-order-proof. At 100 TB the
     * item-support side collapses to catalog size before its
     * (broadcastable) join. */
-  def basketPairs(spark: SparkSession, dir: String,
-                  minSupport: Long = 3): DataFrame = {
+  /** Supported co-occurrence pairs with both item frequencies and the
+    * basket total — the shared relation behind [[basketPairs]] (lift
+    * census) and [[basketRules]] (directional rule metrics); one
+    * definition so the pair generator and support floor can never
+    * drift between them. */
+  private def basketPairStats(spark: SparkSession, dir: String,
+                              minSupport: Long): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
     val itemCnt = li.groupBy(col("l_partkey"))
@@ -864,10 +869,51 @@ object Relational {
       .join(itemCnt.withColumnRenamed("l_partkey", "p2")
         .withColumnRenamed("item_orders", "c2"), "p2")
       .crossJoin(broadcast(nOrders))
+  }
+
+  def basketPairs(spark: SparkSession, dir: String,
+                  minSupport: Long = 3): DataFrame =
+    basketPairStats(spark, dir, minSupport)
       .select(col("p1"), col("p2"), col("n_co"), col("c1"), col("c2"),
         round(col("n_co").cast("double") * col("n_orders") /
           (col("c1") * col("c2")), 6).as("lift"))
       .orderBy(col("n_co").desc, col("p1"), col("p2"))
+
+  /** ASSOCIATION RULES on the supported pairs — the decision layer on
+    * top of [[basketPairs]]' symmetric lift census: each pair yields
+    * both directional rules ante→cons with support, confidence
+    * (n_co/c_ante — the probability the consequent joins given the
+    * antecedent), lift, and leverage (observed minus independent
+    * co-rate); the top-k by confidence are what a recommender or
+    * planogram team actually reads. All metrics are single double
+    * expressions over exact BIGINT counts, parenthesized identically
+    * in the oracle.
+    *
+    * Scale shape: inherits the shared kernel's one basket collect +
+    * pair hash-agg (pair space bounded by within-basket pairs, never
+    * items²); the directional doubling and top-k are a union + a
+    * TakeOrdered reduction. */
+  def basketRules(spark: SparkSession, dir: String,
+                  minSupport: Long = 3, k: Int = 20): DataFrame = {
+    val ps = basketPairStats(spark, dir, minSupport)
+    val fwd = ps.select(col("p1").as("ante"), col("p2").as("cons"),
+      col("n_co"), col("c1").as("c_ante"), col("c2").as("c_cons"),
+      col("n_orders"))
+    val bwd = ps.select(col("p2").as("ante"), col("p1").as("cons"),
+      col("n_co"), col("c2").as("c_ante"), col("c1").as("c_cons"),
+      col("n_orders"))
+    fwd.unionByName(bwd)
+      .select(col("ante"), col("cons"), col("n_co").as("support"),
+        round(col("n_co").cast("double") / col("c_ante").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_co").cast("double") * col("n_orders") /
+          (col("c_ante") * col("c_cons")), 6).as("lift"),
+        round(col("n_co").cast("double") / col("n_orders").cast("double") -
+          (col("c_ante").cast("double") / col("n_orders").cast("double")) *
+          (col("c_cons").cast("double") / col("n_orders").cast("double")), 6)
+          .as("leverage"))
+      .orderBy(col("confidence").desc, col("ante"), col("cons"))
+      .limit(k)
   }
 
   /** Exponentially-weighted moving average over the daily event-type

@@ -947,6 +947,51 @@ object Similarity {
       .orderBy(col("bits"))
   }
 
+  /** IVF index-HEALTH census — the two numbers that decide whether an
+    * inverted-file layout needs retraining: per-cell occupancy (share
+    * of the corpus in each coarse cell) and per-cell quantization
+    * distortion (mean squared distance of members to their own
+    * centroid), plus the global IMBALANCE factor n_cells·Σs²/(Σs)² —
+    * 1.0 for perfectly even lists, and exactly the factor by which
+    * skewed lists inflate expected probe cost. Cells are [[ivfTopK]]'s
+    * label partition with the same exact-decimal centroids, so the
+    * health census can never disagree with the serving path about the
+    * index it describes.
+    *
+    * Determinism: centroids are exact-decimal means; each squared
+    * deviation quantizes to DECIMAL(28,12) before the per-vector and
+    * per-cell sums. Scale shape: one dimension explode, two
+    * co-partitioned aggs (cell×dim, then vector), a cell-grain census
+    * + a broadcast 1-row total — linear, output |cells|-bounded. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val pv = dv.join(cent, Seq("label", "d"))
+      .withColumn("t",
+        ((col("val").cast("double") - col("c")) *
+          (col("val").cast("double") - col("c"))).cast("decimal(28,12)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("t")).as("d2"))
+    val cells = pv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("d2")).cast("double") / count(lit(1))).as("dist"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n"),
+      count(lit(1)).as("nc"),
+      sum(col("n_vecs") * col("n_vecs")).as("ss"))
+    cells.crossJoin(broadcast(tot)) // 1-row corpus totals
+      .select(col("label"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n").cast("double"), 6)
+          .as("share"),
+        round(col("dist"), 6).as("mean_sq_dist"),
+        round(col("nc").cast("double") * col("ss").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("imbalance"))
+      .orderBy(col("label"))
+  }
+
   /** Recall-at-k CURVE for the label-blocked ANN — [[recallAt10]]'s
     * single operating point swept over k ∈ {1, 5, 10} in ONE pass (the
     * nprobe-sweep discipline applied to the serving-time k knob): both

@@ -1103,4 +1103,90 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === expectedTop)
     assert(got.forall(_.getBoolean(2)), "a sketch bound failed")
   }
+
+  test("basket_rules equals a driver-side directional-rule replay over " +
+    "the supported pairs") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).map { case (o, g) =>
+      (o, g.map(_._2).distinct.sorted) }
+    val ic = li.groupBy(_._2).map { case (p, g) =>
+      (p, g.map(_._1).distinct.length.toLong) }
+    val n = li.map(_._1).distinct.length.toLong
+    val co = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+      .filter(_._2 >= 3)
+    val rules = co.toSeq.flatMap { case ((p1, p2), s) =>
+      Seq((p1, p2, s, ic(p1), ic(p2)), (p2, p1, s, ic(p2), ic(p1)))
+    }.map { case (a, c, s, ca, cc) =>
+      (a, c, s, s.toDouble / ca, s.toDouble * n / (ca * cc),
+        s.toDouble / n - (ca.toDouble / n) * (cc.toDouble / n))
+    }.sortBy { case (a, c, _, conf, _, _) => (-conf, a, c) }.take(20)
+    val got = graft.operators.Relational.basketRules(spark, sf0001).collect()
+    assert(got.length === rules.length)
+    got.zip(rules).foreach { case (r, (a, c, s, conf, lift, lev)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((a, c, s)))
+      assert(math.abs(r.getDouble(3) - conf) < 1e-6)
+      assert(math.abs(r.getDouble(4) - lift) < 1e-4)
+      assert(math.abs(r.getDouble(5) - lev) < 1e-6)
+      // a confident rule implies positive association on this corpus
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("events_funnel_sweep is monotone in the window and its 3d row " +
+    "equals events_funnel") {
+    val got = EventAnalytics.funnelSweep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq("06h", "1d", "3d"))
+    // n_view is window-independent; deeper stages can only grow with
+    // the window (a conversion inside a small window is inside every
+    // larger one under first-touch semantics)
+    assert(got.map(_._2).distinct.length === 1)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    val base = EventAnalytics.funnelSteps(spark, sf0001).collect().head
+    val d3 = got.find(_._1 == "3d").get
+    assert((d3._2, d3._3, d3._4) ===
+      ((base.getLong(0), base.getLong(1), base.getLong(2))))
+  }
+
+  test("sim_ivf_balance equals a driver-side centroid-distortion replay " +
+    "and the imbalance factor is at least 1") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](1 + 1).toArray.map(_.toDouble)))
+    val byLabel = embs.groupBy(_._2)
+    val expected = byLabel.map { case (l, g) =>
+      val d = g.head._3.length
+      val cent = (0 until d).map { j =>
+        val s = g.map(v => BigDecimal(v._3(j)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (s.toDouble / g.length)
+      }
+      val dist = g.map { v =>
+        v._3.zip(cent).map { case (x, c) =>
+          BigDecimal((x - c) * (x - c)).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP) }.sum
+      }.sum.toDouble / g.length
+      (l, (g.length.toLong, dist))
+    }
+    val n = embs.length.toLong
+    val ss = byLabel.values.map(g => g.length.toLong * g.length).sum
+    val imbalance = byLabel.size.toDouble * ss / (n.toDouble * n)
+    val got = Similarity.ivfBalance(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nv, dist) = expected(r.getInt(0))
+      assert(r.getLong(1) === nv, s"label ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(2) - nv.toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(3) - dist) < 1e-4, s"label ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(4) - imbalance) < 1e-5)
+      assert(r.getDouble(4) >= 1.0 - 1e-9)
+    }
+  }
 }
