@@ -391,7 +391,11 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamFreqTopk(s, d)),
     "basket_rules" -> ((s, d) => Relational.basketRules(s, d)),
     "events_funnel_sweep" -> ((s, d) => EventAnalytics.funnelSweep(s, d)),
-    "sim_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d))
+    "sim_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "docs_probe_cv" -> ((s, d) => Curation.probeCv(s, d)),
+    "graph_ppr" -> ((s, d) => Graph.pprFromSeed(s, d)),
+    "stream_mix_rebalance" ->
+      ((s, d) => StreamingAnalytics.streamMixRebalance(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3826,6 +3830,106 @@ object SparkEntry {
            ROUND(CAST(nc AS DOUBLE) * CAST(ss AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS imbalance
          FROM cells, tot ORDER BY label""",
+    "docs_probe_cv" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+               % 64 AS j,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM tok GROUP BY 1, 2),
+         lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+           WHERE label IN (0, 1)),
+         dims AS (SELECT tf.doc_id, label, tf.doc_id % 2 AS fold, j, x
+           FROM tf JOIN lab USING (doc_id)),
+         g2f AS (SELECT fold, j,
+             CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2f
+           FROM dims GROUP BY 1, 2),
+         g2a AS (SELECT j, CAST(SUM(g2f) AS BIGINT) AS g2a
+           FROM g2f GROUP BY 1),
+         m AS (SELECT fold, doc_id, label,
+             CAST(SUM(x * (g2a - g2f.g2f)) AS BIGINT) AS margin
+           FROM dims JOIN g2f USING (fold, j) JOIN g2a USING (j)
+           GROUP BY 1, 2, 3),
+         bv AS (SELECT fold, margin,
+             CAST(SUM(label) AS BIGINT) AS np_v,
+             CAST(SUM(1 - label) AS BIGINT) AS nn_v
+           FROM m GROUP BY 1, 2),
+         w AS (SELECT fold, np_v, nn_v,
+             COALESCE(SUM(nn_v) OVER (PARTITION BY fold ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nn_lt
+           FROM bv),
+         agg AS (SELECT fold, CAST(SUM(np_v) AS BIGINT) AS n_pos,
+             CAST(SUM(nn_v) AS BIGINT) AS n_neg,
+             CAST(SUM(np_v * (2 * nn_lt + nn_v)) AS BIGINT) AS u2
+           FROM w GROUP BY 1),
+         ts AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_fold
+           FROM m GROUP BY 1),
+         ta AS (SELECT CAST(SUM(n_fold) AS BIGINT) AS n_all FROM ts)
+         SELECT agg.fold, CAST(n_all - n_fold AS BIGINT) AS n_train,
+           n_pos, n_neg, u2,
+           ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+         FROM agg JOIN ts USING (fold), ta ORDER BY fold""",
+    "graph_ppr" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         ew AS (SELECT src, dst, CAST(w AS DOUBLE) /
+                  CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS ratio
+                FROM edges),
+         nodes AS (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         pr0 AS (SELECT node,
+             CASE WHEN node = 0 THEN 1.0 ELSE 0.0 END AS pr FROM nodes),
+         c1 AS (SELECT dst, CAST(SUM(CAST(pr * ratio AS DECIMAL(28,12)))
+                  AS DOUBLE) AS contrib
+                FROM ew JOIN pr0 ON ew.src = pr0.node GROUP BY dst),
+         pr1 AS (SELECT node,
+             CASE WHEN node = 0 THEN 0.15 ELSE 0.0 END
+               + 0.85 * COALESCE(contrib, 0.0) AS pr
+                 FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
+         c2 AS (SELECT dst, CAST(SUM(CAST(pr * ratio AS DECIMAL(28,12)))
+                  AS DOUBLE) AS contrib
+                FROM ew JOIN pr1 ON ew.src = pr1.node GROUP BY dst),
+         pr2 AS (SELECT node,
+             CASE WHEN node = 0 THEN 0.15 ELSE 0.0 END
+               + 0.85 * COALESCE(contrib, 0.0) AS pr
+                 FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node)
+         SELECT node, n_name, ROUND(pr, 8) AS ppr
+         FROM pr2 JOIN nation ON node = n_nationkey
+         ORDER BY ppr DESC, node""",
+    "stream_mix_rebalance" -> {
+      val inc = Seq((1, "CAST(substr(source, 4, 8) AS INT) < 10"),
+        (2, "TRUE")).map { case (i, cond) =>
+        s""",
+         pl_$i AS (SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents WHERE $cond GROUP BY 1),
+         sc_$i AS (SELECT lang, n_tokens,
+             CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    > n_tokens
+                  THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1
+                  ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+             END AS s
+           FROM pl_$i),
+         z_$i AS (SELECT CAST(SUM(s) AS BIGINT) AS z FROM sc_$i),
+         r_$i AS (SELECT CAST($i AS BIGINT) AS increment, lang, n_tokens,
+             ROUND(CAST(s AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+             CAST(ROUND(CAST(s * 50000 AS DOUBLE) / CAST(z AS DOUBLE), 0)
+               AS BIGINT) AS target_tokens
+           FROM sc_$i, z_$i)"""
+      }.mkString
+      s"""WITH dummy AS (SELECT 1)$inc
+         SELECT * FROM (SELECT * FROM r_1 UNION ALL SELECT * FROM r_2) u
+         ORDER BY increment, lang"""
+    },
     "mm_audio_neardup" ->
       """WITH audio AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 3 = 1 AND length(text) > 0),

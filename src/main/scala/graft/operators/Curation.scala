@@ -581,6 +581,64 @@ object Curation {
       .orderBy(col("step"))
   }
 
+  /** 2-fold CROSS-VALIDATED probe AUC — the generalization check the
+    * in-sample [[probeAuc]] row cannot give (a memorizing probe scores
+    * perfect AUC on its own training labels): labeled docs split by
+    * doc_id parity; each fold's margins are scored under the gradient
+    * trained on the OTHER fold only, and ranked by the same exact
+    * integer rank-sum AUC. The train-on-complement gradient is
+    * computed in one pass as g2_all − g2_own_fold (gradients are
+    * sums, so the complement is a subtraction — no second corpus
+    * pass). Per fold: train size, held-out pos/neg, doubled U
+    * statistic, AUC.
+    *
+    * All-integer to the final division. Scale shape: one explode of
+    * the LABELED set (seed-bounded, same argument as [[probeAuc]]),
+    * two bucket-grain aggs, a margin agg, and a fold-partitioned
+    * rank window over margin VALUES. */
+  def probeCv(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("graft_hashed_tf64(split(text, ' '))").as("x"))
+    val labels = Tables(spark, dir, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val dims = tf.join(labels, "doc_id")
+      .withColumn("fold", col("doc_id") % 2)
+      .select(col("doc_id"), col("label"), col("fold"),
+        posexplode(col("x")).as(Seq("j", "xv")))
+    val g2f = dims.groupBy(col("fold"), col("j"))
+      .agg(sum((col("label") * 2 - 1) * col("xv")).as("g2f"))
+    val g2all = g2f.groupBy(col("j")).agg(sum(col("g2f")).as("g2a"))
+    // margin of a fold-h doc under the complement-trained weights
+    val margins = dims
+      .join(broadcast(g2f), Seq("fold", "j"))
+      .join(broadcast(g2all), Seq("j"))
+      .groupBy(col("fold"), col("doc_id"), col("label"))
+      .agg(sum(col("xv") * (col("g2a") - col("g2f"))).as("margin"))
+    val byVal = margins.groupBy(col("fold"), col("margin"))
+      .agg(sum(col("label").cast("long")).as("np_v"),
+        sum(lit(1L) - col("label")).as("nn_v"))
+    val wLt = Window.partitionBy(col("fold")).orderBy(col("margin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val trainSz = margins.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_fold"))
+    val tot = trainSz.agg(sum(col("n_fold")).as("n_all"))
+    byVal
+      .withColumn("nn_lt", coalesce(sum(col("nn_v")).over(wLt), lit(0L)))
+      .groupBy(col("fold"))
+      .agg(sum(col("np_v")).as("n_pos"), sum(col("nn_v")).as("n_neg"),
+        sum(col("np_v") * (lit(2L) * col("nn_lt") + col("nn_v"))).as("u2"))
+      .join(trainSz, Seq("fold"))
+      .crossJoin(broadcast(tot)) // 1-row labeled total
+      .select(col("fold"), (col("n_all") - col("n_fold")).as("n_train"),
+        col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      .orderBy(col("fold"))
+  }
+
   /** Operating-point selection for the trained probe — the decision
     * [[probeAuc]] (ranking) and [[probeCalibration]] (honesty) inform
     * but don't make: sweep every distinct step-2 margin as a candidate

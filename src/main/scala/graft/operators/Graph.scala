@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -96,6 +96,52 @@ object Graph {
         col("node") === col("n_nationkey"))
       .select(col("n_name"), round(col("pr"), 8).as("pagerank"))
       .orderBy(col("pagerank").desc, col("n_name"))
+  }
+
+  /** PERSONALIZED PageRank from one seed nation — the "importance
+    * relative to me" ranking behind related-item panels and local graph
+    * exploration, versus [[pagerankNations]]' global prestige: the
+    * teleport vector is the seed indicator instead of uniform, so mass
+    * radiates from the seed through trade edges and the scores read as
+    * seed-conditional affinity. Two damped (0.85) synchronous
+    * iterations from the seed indicator; dangling mass is dropped
+    * exactly as in the global variant (documented there, identical in
+    * the oracle).
+    *
+    * Determinism and scale shape inherit the global loop verbatim:
+    * per-edge contributions are doubles over exact ratios, the one
+    * order-sensitive reduction accumulates DECIMAL(28,12), every
+    * relation after the one fact pass is nation-bounded, and at a
+    * billion nodes the same two joins run hash-partitioned with the
+    * seed vector broadcast. */
+  def pprFromSeed(spark: SparkSession, dir: String,
+                  seed: Long = 0L): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = edges.join(broadcast(outw), "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw").cast("double")).as("ratio"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    def tele(node: Column): Column =
+      when(node === seed, lit(0.15)).otherwise(lit(0.0))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = ew.join(broadcast(pr), ew("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("pr") * col("ratio")).cast("decimal(28,12)"))
+          .cast("double").as("contrib"))
+      nodes.join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (tele(col("node")) + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+            .as("pr"))
+    }
+    val pr0 = nodes.select(col("node"),
+      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    step(step(pr0))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), round(col("pr"), 8).as("ppr"))
+      .orderBy(col("ppr").desc, col("node"))
   }
 
   /** Weighted label propagation (community detection) over the same

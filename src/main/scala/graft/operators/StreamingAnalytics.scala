@@ -1072,6 +1072,70 @@ object StreamingAnalytics {
     out.orderBy(col("user_id"))
   }
 
+  /** Streaming MIXTURE REBALANCING — [[TextAnalysis.mixtureWeights]]'
+    * sqrt-scaled sampling weights re-solved after every ingest
+    * increment, the way a continuously-growing corpus forces: state is
+    * the per-language token count (one BIGINT per language), each
+    * micro-batch folds its own counts in and re-emits the full weight
+    * table for the corpus-so-far (floor-sqrt scaling, exact integer
+    * normalizer, identical to the batch row). The LAST increment has
+    * seen the whole corpus, so its weight table must equal the batch
+    * `mix_weights` answer on the same relation — the oracle replays
+    * both increments unrolled, so a lost batch or a weight solved on
+    * only the new rows hash-mismatches.
+    *
+    * State is |languages| rows at any corpus size; each micro-batch is
+    * one lang-grain agg + a |languages|-row re-solve. */
+  def streamMixRebalance(spark: SparkSession, dir: String,
+                         budgetTokens: Long = 50000L): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_smix").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("sn", substring(col("source"), 4, 8).cast("int"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("sn") < 10).drop("sn"),
+      "inc2" -> docs.filter(col("sn") >= 10).drop("sn")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bc = batch.select(col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+          .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+        val merged =
+          if (lastState < 0) bc
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(bc)
+            .groupBy(col("lang")).agg(sum(col("n_tokens")).as("n_tokens"))
+        val mergedCk = merged.localCheckpoint() // state + weight emit
+        mergedCk.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        val scaled = mergedCk
+          .withColumn("s", TextAnalysis.floorSqrt(col("n_tokens")))
+        val z = scaled.agg(sum(col("s")).as("z"))
+        scaled.crossJoin(broadcast(z)) // 1-row normalizer
+          .select(lit(batchId + 1).as("increment"), col("lang"),
+            col("n_tokens"),
+            round(col("s").cast("double") / col("z").cast("double"), 6)
+              .as("weight"),
+            round((col("s") * budgetTokens).cast("double") /
+              col("z").cast("double"), 0).cast("long").as("target_tokens"))
+          .write.mode("append").parquet(outPath)
+        lastState = batchId
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_mix_rebalance: no micro-batch ran")
+    val out = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"), col("lang"))
+  }
+
   /** Streaming HEAVY-HITTERS — a Misra–Gries summary maintained across
     * micro-batches by the mergeable-summaries rule (Agarwal et al.):
     * each batch folds its exact token counts (a valid MG summary with

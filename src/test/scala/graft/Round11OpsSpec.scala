@@ -1189,4 +1189,133 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getDouble(4) >= 1.0 - 1e-9)
     }
   }
+
+  test("docs_probe_cv equals a driver-side fold-complement gradient " +
+    "replay and both held-out AUCs are valid") {
+    def bucket(w: String): Int =
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))(0) & 0xff) % 64
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val labels = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val tf = docs.filter(d => labels.contains(d._1)).map { case (id, t) =>
+      (id, labels(id), id % 2,
+        t.split(" ", -1).groupBy(bucket).map { case (j, ws) =>
+          (j, ws.length.toLong) })
+    }
+    val g2f = tf.flatMap { case (_, l, f, m) =>
+      m.map { case (j, x) => ((f, j), (2L * l - 1) * x) }
+    }.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val g2a = g2f.groupBy(_._1._2).map { case (j, g) => (j, g.map(_._2).sum) }
+    val margins = tf.map { case (id, l, f, m) =>
+      (f, id, l, m.map { case (j, x) =>
+        x * (g2a.getOrElse(j, 0L) - g2f.getOrElse((f, j), 0L)) }.sum)
+    }
+    val expected = margins.groupBy(_._1).map { case (f, g) =>
+      val pos = g.filter(_._3 == 1).map(_._4)
+      val neg = g.filter(_._3 == 0).map(_._4)
+      // doubled rank-sum: 2*[pairs with pos>neg] + [ties]
+      val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+      (f, (pos.length.toLong, neg.length.toLong, u2,
+        u2.toDouble / (2.0 * pos.length * neg.length)))
+    }
+    val nAll = tf.length.toLong
+    val got = graft.operators.Curation.probeCv(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val f = r.getLong(0)
+      val (np, nn, u2, auc) = expected(f)
+      val nFold = margins.count(_._1 == f).toLong
+      assert(r.getLong(1) === nAll - nFold, s"fold $f train size")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((np, nn, u2)))
+      assert(math.abs(r.getDouble(5) - auc) < 1e-6)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("graph_ppr equals a driver-side two-step push replay, " +
+    "concentrates on the seed, and sums to at most one") {
+    val sym = graft.operators.Graph.symTradeEdges(spark, sf0001)
+    // directed edges with out-weight normalization, replayed from the
+    // same trade relation the operator uses
+    val edges = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sf0001, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .as("w"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, BigInt(r.getDecimal(2).toBigInteger)))
+    val outw = edges.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def step(pr: Map[Long, Double]): Map[Long, Double] = {
+      val contrib = edges.groupBy(_._2).map { case (d, g) =>
+        (d, g.map { case (s, _, w) =>
+          BigDecimal(pr.getOrElse(s, 0.0) *
+            (w.toDouble / outw(s).toDouble)).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble)
+      }
+      nodes.map(n => (n, (if (n == 0L) 0.15 else 0.0) +
+        0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    val pr0 = nodes.map(n => (n, if (n == 0L) 1.0 else 0.0)).toMap
+    val expected = step(step(pr0))
+    val got = graft.operators.Graph.pprFromSeed(spark, sf0001).collect()
+    assert(got.length === nodes.length)
+    got.foreach { r =>
+      val n = r.getAs[Number](0).longValue
+      assert(math.abs(r.getDouble(2) - expected(n)) < 1e-6, s"node $n")
+    }
+    // mass radiates from the seed: seed holds the max score, and total
+    // mass <= 1 (dangling mass is dropped, never redistributed)
+    val bySc = got.map(r => (r.getAs[Number](0).longValue, r.getDouble(2)))
+    assert(bySc.maxBy(_._2)._1 === 0L)
+    assert(bySc.map(_._2).sum <= 1.0 + 1e-9)
+    assert(sym.count() > 0)
+  }
+
+  test("stream_mix_rebalance increment 2 equals the batch mix_weights " +
+    "solve and weights sum to one per increment") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    def solve(g: Seq[(String, Long)]): Map[String, (Long, Double, Long)] = {
+      val perLang = g.groupBy(_._1).map { case (l, xs) =>
+        (l, xs.map(_._2).sum) }
+      val s = perLang.map { case (l, n) =>
+        val s0 = math.sqrt(n.toDouble).floor.toLong
+        (l, n, if (s0 * s0 > n) s0 - 1 else s0)
+      }
+      val z = s.map(_._3).sum
+      s.map { case (l, n, sv) =>
+        (l, (n, sv.toDouble / z,
+          math.round(sv.toDouble * 50000 / z)))
+      }.toMap
+    }
+    val inc1 = solve(docs.filter(_._2.drop(3).toInt < 10)
+      .map(d => (d._1, d._3)))
+    val inc2 = solve(docs.map(d => (d._1, d._3)))
+    val got = graft.operators.StreamingAnalytics
+      .streamMixRebalance(spark, sf0001).collect()
+    Seq((1L, inc1), (2L, inc2)).foreach { case (inc, exp) =>
+      val rows = got.filter(_.getLong(0) == inc)
+      assert(rows.length === exp.size, s"increment $inc")
+      rows.foreach { r =>
+        val (n, w, t) = exp(r.getString(1))
+        assert(r.getLong(2) === n, s"inc $inc lang ${r.getString(1)}")
+        assert(math.abs(r.getDouble(3) - w) < 1e-6)
+        assert(math.abs(r.getLong(4) - t) <= 1)
+      }
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
 }
