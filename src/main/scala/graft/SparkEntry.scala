@@ -395,7 +395,10 @@ object SparkEntry {
     "docs_probe_cv" -> ((s, d) => Curation.probeCv(s, d)),
     "graph_ppr" -> ((s, d) => Graph.pprFromSeed(s, d)),
     "stream_mix_rebalance" ->
-      ((s, d) => StreamingAnalytics.streamMixRebalance(s, d))
+      ((s, d) => StreamingAnalytics.streamMixRebalance(s, d)),
+    "docs_gate_ablation" -> ((s, d) => DedupOps.gateAblation(s, d)),
+    "events_markov_eval" -> ((s, d) => EventAnalytics.markovEval(s, d)),
+    "mm_pack_budget" -> ((s, d) => Multimodal.packBudget(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -3904,6 +3907,112 @@ object SparkEntry {
          SELECT node, n_name, ROUND(pr, 8) AS ppr
          FROM pr2 JOIN nation ON node = n_nationkey
          ORDER BY ppr DESC, node""",
+    "docs_gate_ablation" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+           FROM documents),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+                     md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                   FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                   FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                               JOIN sh b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+                   GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT v.d2 AS doc_id
+                    FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+                          FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                                       JOIN sizes s2 ON x.d2 = s2.doc_id) v
+                    WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5),
+         flags AS (SELECT q.doc_id, n_tok,
+             (n_tok >= 10 AND CAST(n_stop AS DOUBLE) / n_tok <= 0.5
+               AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3) AS q_ok,
+             q.doc_id IN (SELECT doc_id FROM keepers) AS e_keep,
+             q.doc_id IN (SELECT doc_id FROM losers) AS n_drop
+           FROM scored q)
+         SELECT * FROM (
+           SELECT '0_none' AS config, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM flags
+           UNION ALL
+           SELECT '1_quality', CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN q_ok THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+           UNION ALL
+           SELECT '2_exact', CAST(SUM(CASE WHEN e_keep THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN e_keep THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+           UNION ALL
+           SELECT '3_neardup', CAST(SUM(CASE WHEN NOT n_drop THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT n_drop THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+           UNION ALL
+           SELECT '4_all', CAST(SUM(CASE WHEN q_ok AND e_keep AND NOT n_drop THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN q_ok AND e_keep AND NOT n_drop THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+         ) u ORDER BY config""",
+    "events_markov_eval" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         tr AS (SELECT user_id, ts, event_id, event_type FROM events, t0
+                WHERE ts < t0 + INTERVAL 15 DAY),
+         te AS (SELECT user_id, ts, event_id, event_type FROM events, t0
+                WHERE ts >= t0 + INTERVAL 15 DAY),
+         trp AS (SELECT from_type, to_type FROM (
+             SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+             FROM tr) z WHERE to_type IS NOT NULL),
+         model AS (SELECT from_type, to_type AS predicted FROM (
+             SELECT from_type, to_type,
+               ROW_NUMBER() OVER (PARTITION BY from_type
+                 ORDER BY COUNT(*) DESC, to_type) AS rn
+             FROM trp GROUP BY 1, 2) z WHERE rn = 1),
+         tep AS (SELECT from_type, to_type FROM (
+             SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+             FROM te) z WHERE to_type IS NOT NULL)
+         SELECT tep.from_type, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+         FROM tep LEFT JOIN model USING (from_type)
+         GROUP BY 1, 2 ORDER BY from_type""",
+    "mm_pack_budget" ->
+      """WITH t AS (SELECT
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS source,
+             doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT)
+               + CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 49 WHEN 1 THEN 25 ELSE 16 END
+                 * ((CAST(length(text) AS BIGINT) + 63) // 64) AS n_tok
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         pw AS (SELECT source, (cum - n_tok) // 1024 AS win,
+             CAST(COUNT(*) AS BIGINT) AS docs_in_win,
+             SUM(n_tok) AS tok_start
+           FROM c GROUP BY 1, 2)
+         SELECT docs_in_win, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(tok_start) AS BIGINT) AS sum_tokens
+         FROM pw GROUP BY 1 ORDER BY 1""",
     "stream_mix_rebalance" -> {
       val inc = Seq((1, "CAST(substr(source, 4, 8) AS INT) < 10"),
         (2, "TRUE")).map { case (i, cond) =>

@@ -448,6 +448,62 @@ object DedupOps {
       .orderBy(col("lang"))
   }
 
+  /** Gate ABLATION census — [[prepPipeline]]'s three admission gates
+    * (quality thresholds, exact-dup keeper, near-dup loser drop)
+    * evaluated one-at-a-time and in combination, the ablation table a
+    * pipeline design review reads before fixing the gate order and
+    * thresholds: per configuration, surviving docs and token mass.
+    * Because the gates are set-based and order-free (the pipeline's
+    * own composition guarantee), every configuration is a conjunction
+    * of three per-doc FLAGS — so the whole table is ONE corpus pass
+    * ending in a 5-row conditional aggregate, never five pipeline
+    * re-runs. The `all` row must equal the lang-summed
+    * `docs_prep_pipeline` census by construction.
+    *
+    * Scale shape: flags come from one doc-grain scan (quality), one
+    * md5 hash-agg semi-join (exact keeper), and the LSH pair pass
+    * (near-dup) — exactly the production pipeline's cost; the ablation
+    * itself adds a single 5×2 aggregate. */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.stopwordCount(toks).as("n_stop"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_uniq"))
+      .withColumn("q_ok", col("n_tok") >= 10 &&
+        col("n_stop").cast("double") / col("n_tok") <= 0.5 &&
+        col("n_uniq").cast("double") / col("n_tok") >= 0.3)
+    val exactKeepers = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("e_keep"))
+    val nearDupLosers = minhashLshPairs(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("n_drop", lit(true))
+    val flags = scored
+      .join(exactKeepers, Seq("doc_id"), "left")
+      .join(nearDupLosers, Seq("doc_id"), "left")
+      .select(col("n_tok"), col("q_ok"),
+        coalesce(col("e_keep"), lit(false)).as("e_keep"),
+        coalesce(col("n_drop"), lit(false)).as("n_drop"))
+    def cell(pred: Column): (Column, Column) =
+      (sum(pred.cast("long")), sum(when(pred, col("n_tok")).otherwise(0L)))
+    val preds = Seq(
+      lit(true), col("q_ok"), col("e_keep"), !col("n_drop"),
+      col("q_ok") && col("e_keep") && !col("n_drop"))
+    val aggCols = preds.zipWithIndex.flatMap { case (p, i) =>
+      val (d, t) = cell(p)
+      Seq(d.as(s"d$i"), t.as(s"t$i"))
+    }
+    val labels = Seq("0_none", "1_quality", "2_exact", "3_neardup", "4_all")
+    val stackArgs = labels.zipWithIndex
+      .map { case (l, i) => s"'$l', d$i, t$i" }.mkString(", ")
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(
+        s"stack(5, $stackArgs) AS (config, n_docs, n_tokens)"))
+      .orderBy(col("config"))
+  }
+
   /** Per-document 64-bit SimHash (custom Catalyst expression
     * [[graft.expressions.SimHash64]]) as a bit string, plus its 16-bit
     * prefix — the bucketing key a Hamming-distance near-dup pass would

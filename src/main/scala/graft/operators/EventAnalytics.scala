@@ -1166,6 +1166,53 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Next-event PREDICTION eval — the train→measure loop closed over
+    * [[eventTransitions]]' matrix: the transition model is fit on the
+    * first 15 days only (per from-type argmax next type, ties to the
+    * lexicographically smallest — a deterministic decision rule), then
+    * scored on the second half's transitions. Per from-type: the
+    * model's pick, test pairs, hits, accuracy — plus how the argmax
+    * baseline compares to the type's marginal share, which is the
+    * number that says whether the chain structure predicts anything a
+    * frequency table wouldn't. Pairs never straddle the cut (each
+    * half's lead window sees only its own events — documented, and
+    * identical in the oracle).
+    *
+    * Scale shape: two lead windows (per-user, time-ordered — the
+    * sessionization partition shape), one ≤|types|²-row model agg +
+    * rank, one test-side join on the tiny broadcast model. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0)) // 1-row epoch scalar
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def pairs(half: DataFrame): DataFrame = half
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val cut = col("t0") + expr("INTERVAL 15 DAYS")
+    val trainPairs = pairs(based.filter(col("ts") < cut))
+    val testPairs = pairs(based.filter(col("ts") >= cut))
+    val wRank = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    val model = trainPairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    testPairs.join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("to_type") === col("predicted")).cast("long"))
+          .as("n_correct"))
+      .select(col("from_type"), col("predicted"), col("n_pairs"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_pairs").cast("double"), 6).as("accuracy"))
+      .orderBy(col("from_type"))
+  }
+
   /** Markov STATIONARY distribution of the event-type chain — the
     * steady state [[eventTransitions]]' matrix implies, laid beside the
     * empirical type distribution: if the chain has mixed (drift ≈ 0),

@@ -337,6 +337,36 @@ object Multimodal {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** MULTIMODAL sequence packing — [[TextAnalysis.packSequences]]'
+    * fixed-window census with modality-correct COSTS, the shard-prep
+    * step for interleaved image/audio/video-text training: a
+    * document's sequence cost is its whitespace token count plus its
+    * patch tokens (49 per image frame — the 224²/32² ViT grid; 25 per
+    * audio frame; 16 per video frame), and the 1024-token windows cut
+    * the per-modality cost stream exactly as the text packer cuts
+    * token streams (same shared census kernel, so the two packers can
+    * never drift on the window rule): windows are cut per modality
+    * STREAM, and the final census histograms windows by
+    * documents-per-window across the three streams.
+    *
+    * All integer; one payload-metadata pass (costs derive from byte
+    * length, the payload never shuffles), then the packer's
+    * per-modality cumsum window. */
+  def packBudget(spark: SparkSession, dir: String,
+                 budget: Int = 1024): DataFrame = {
+    val perFrame = map_from_arrays(
+      typedLit(Seq("image", "audio", "video")),
+      typedLit(Seq(49L, 25L, 16L)))
+    val costs = mediaRecords(spark, dir).toDF()
+      .withColumn("n_frames", expr("(byte_len + 63) div 64"))
+      .select(col("modality").as("source"), col("doc_id"),
+        (graft.functions.TextFunctions.tokenCount(
+          decode(col("payload"), "UTF-8")) +
+          element_at(perFrame, col("modality")) * col("n_frames"))
+          .as("n_tok"))
+    TextAnalysis.packCensus(costs, budget)
+  }
+
   /** Scene-CUT segmentation for the video modality — the
     * intensity-delta detector every video curation pipeline runs
     * before frame sampling (cut where consecutive frames differ

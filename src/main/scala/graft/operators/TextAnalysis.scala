@@ -841,7 +841,7 @@ object TextAnalysis {
     * `doc_id`, `n_tok`): lengths fully determine the fixed-window cut —
     * the window of a document's first token is (cumsum − n_tok) div
     * budget, so the census never materializes the token stream itself. */
-  private def packCensus(docLens: DataFrame, budget: Int): DataFrame = {
+  private[operators] def packCensus(docLens: DataFrame, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

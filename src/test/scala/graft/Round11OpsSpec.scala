@@ -1318,4 +1318,96 @@ class Round11OpsSpec extends SparkSpec {
       assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
     }
   }
+
+  test("docs_gate_ablation flag algebra is consistent and the all row " +
+    "equals the summed prep pipeline census") {
+    val got = graft.operators.DedupOps.gateAblation(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("0_none", "1_quality", "2_exact",
+      "3_neardup", "4_all"))
+    val (nAll, tAll) = got("0_none")
+    // every single gate keeps a subset of the corpus, and the
+    // conjunction keeps a subset of every single gate
+    Seq("1_quality", "2_exact", "3_neardup").foreach { g =>
+      assert(got(g)._1 <= nAll && got(g)._2 <= tAll, g)
+      assert(got("4_all")._1 <= got(g)._1, s"all vs $g")
+    }
+    val prep = graft.operators.DedupOps.prepPipeline(spark, sf0001)
+      .collect()
+    assert(got("4_all")._1 === prep.map(_.getLong(1)).sum)
+    assert(got("4_all")._2 === prep.map(_.getLong(2)).sum)
+    // exact dedup must keep at least one doc per distinct text
+    val nDistinct = Tables(spark, sf0001, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(got("2_exact")._1 === nDistinct)
+  }
+
+  test("events_markov_eval equals a driver-side argmax-baseline replay") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val t0 = ev.map(_._1.getTime).min
+    val cut = t0 + 15L * 86400 * 1000
+    def pairs(es: Seq[(java.sql.Timestamp, Long, Long, String)]) =
+      es.groupBy(_._3).toSeq.flatMap { case (_, g) =>
+        val ordered = g.sortBy(e => (e._1.getTime, e._2))
+        ordered.zip(ordered.drop(1)).map(p => (p._1._4, p._2._4))
+      }
+    val trainP = pairs(ev.filter(_._1.getTime < cut))
+    val testP = pairs(ev.filter(_._1.getTime >= cut))
+    val model = trainP.groupBy(_._1).map { case (f, g) =>
+      (f, g.groupBy(_._2).toSeq
+        .map { case (t, h) => (t, h.length) }
+        .minBy { case (t, n) => (-n, t) }._1)
+    }
+    val expected = testP.groupBy(_._1).map { case (f, g) =>
+      val pred = model.get(f)
+      (f, (pred, g.length.toLong,
+        g.count(p => pred.contains(p._2)).toLong))
+    }
+    val got = EventAnalytics.markovEval(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (pred, n, c) = expected(r.getString(0))
+      assert(Option(r.getString(1)) === pred, s"from ${r.getString(0)}")
+      assert((r.getLong(2), r.getLong(3)) === ((n, c)))
+      assert(math.abs(r.getDouble(4) - c.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("mm_pack_budget equals a driver-side per-modality cost cumsum " +
+    "replay and window mass conserves the corpus cost") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val costs = docs.map { case (id, t) =>
+      val mod = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val perFrame = mod match {
+        case "image" => 49L; case "audio" => 25L; case _ => 16L }
+      val frames = (t.getBytes("UTF-8").length + 63) / 64
+      (mod, id, t.split(" ", -1).length.toLong + perFrame * frames)
+    }
+    val wins = costs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(_._2)
+      var cum = 0L
+      ordered.map { case (m, id, c) =>
+        val start = cum; cum += c; (m, start / 1024, c)
+      }
+    }
+    val expected = wins.groupBy(w => (w._1, w._2)).toSeq
+      .map { case (_, g) => (g.length.toLong, g.map(_._3).sum) }
+      .groupBy(_._1).map { case (d, g) =>
+        (d, (g.length.toLong, g.map(_._2).sum)) }
+    val got = graft.operators.Multimodal.packBudget(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nw, st) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) === ((nw, st)),
+        s"docs_in_win ${r.getLong(0)}")
+    }
+    assert(got.map(_.getLong(2)).sum === costs.map(_._3).sum)
+  }
 }
