@@ -398,7 +398,11 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamMixRebalance(s, d)),
     "docs_gate_ablation" -> ((s, d) => DedupOps.gateAblation(s, d)),
     "events_markov_eval" -> ((s, d) => EventAnalytics.markovEval(s, d)),
-    "mm_pack_budget" -> ((s, d) => Multimodal.packBudget(s, d))
+    "mm_pack_budget" -> ((s, d) => Multimodal.packBudget(s, d)),
+    "text_span_corruption" ->
+      ((s, d) => TextAnalysis.spanCorruption(s, d)),
+    "events_ab_srm" -> ((s, d) => EventAnalytics.abSrm(s, d)),
+    "stream_kmeans" -> ((s, d) => StreamingAnalytics.streamKmeans(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4013,6 +4017,94 @@ object SparkEntry {
          SELECT docs_in_win, CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(SUM(tok_start) AS BIGINT) AS sum_tokens
          FROM pw GROUP BY 1 ORDER BY 1""",
+    "text_span_corruption" ->
+      """WITH t AS (SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         s AS (SELECT doc_id, source, pos,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR)), 2, 1)) - 1)
+               < 38 THEN 1 ELSE 0 END AS strt
+           FROM t),
+         m AS (SELECT doc_id, source, pos, strt,
+             MAX(strt) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk
+           FROM s),
+         sp AS (SELECT doc_id, source, mk,
+             CASE WHEN mk = 1 AND COALESCE(lag(mk) OVER (
+                 PARTITION BY doc_id ORDER BY pos), 0) = 0
+               THEN 1 ELSE 0 END AS span_start
+           FROM m)
+         SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(mk) AS BIGINT) AS n_masked,
+           ROUND(CAST(SUM(mk) AS DOUBLE) / COUNT(*), 6) AS mask_share,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           ROUND(CAST(SUM(mk) AS DOUBLE) / SUM(span_start), 4)
+             AS mean_span_len
+         FROM sp GROUP BY 1 ORDER BY source""",
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+           UNION ALL
+           SELECT DISTINCT '0_all' AS event_type, user_id FROM events),
+         g AS (SELECT event_type,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+           FROM u GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) > 3.841459 AS srm_flag
+         FROM g ORDER BY event_type""",
+    "stream_kmeans" ->
+      """WITH e1 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 0),
+         e2 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 1),
+         seeds AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM e1 ORDER BY vec_id LIMIT 8),
+         a1 AS (SELECT vec_id, embedding, cid, sim FROM (
+             SELECT e.vec_id, e.embedding, s.cid,
+               list_cosine_similarity(e.embedding, s.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+                          s.cid) AS rn
+             FROM e1 e CROSS JOIN seeds s) z WHERE rn = 1),
+         r1 AS (SELECT CAST(1 AS BIGINT) AS increment, cid,
+             CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 6) AS avg_cos
+           FROM a1 GROUP BY 2),
+         dims AS (SELECT cid, generate_subscripts(embedding, 1) AS d,
+             unnest(embedding) AS val
+           FROM a1),
+         cent1 AS (SELECT cid, list(CAST(c AS FLOAT) ORDER BY d) AS cemb
+           FROM (SELECT cid, d,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                     AS DOUBLE) / COUNT(*) AS c
+                 FROM dims GROUP BY cid, d) z
+           GROUP BY cid),
+         a2 AS (SELECT vec_id, cid, sim FROM (
+             SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding, c.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC,
+                          c.cid) AS rn
+             FROM e2 e CROSS JOIN cent1 c) z WHERE rn = 1),
+         r2 AS (SELECT CAST(2 AS BIGINT) AS increment, cid,
+             CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 6) AS avg_cos
+           FROM a2 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+         ORDER BY increment, cid""",
     "stream_mix_rebalance" -> {
       val inc = Seq((1, "CAST(substr(source, 4, 8) AS INT) < 10"),
         (2, "TRUE")).map { case (i, cond) =>

@@ -1653,6 +1653,40 @@ object EventAnalytics {
       .orderBy(col("max_streak"))
   }
 
+  /** Sample-ratio-mismatch GUARDRAIL for the A/B assignment — the
+    * check every experimentation platform runs before reading a
+    * metric: under the 50/50 user_id-parity split ([[abTest]]'s
+    * assignment, shared so the guardrail audits the same experiment),
+    * the per-arm user counts should be binomially even; the 1-df
+    * chi-square statistic (nA−nB)²/(nA+nB) flags a broken bucketing
+    * pipeline at the 5% critical value 3.841. Reported overall and per
+    * event type (a type-conditional imbalance catches logging loss in
+    * one arm that the overall count hides).
+    *
+    * All counts exact; the statistic is one double expression. One
+    * distinct-users pass per grouping, |types|+1 output rows. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def armed(df: DataFrame): DataFrame = df
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val byType = armed(ev.select(col("event_type"), col("user_id"))
+      .distinct())
+    val overall = armed(ev.select(col("user_id")).distinct())
+      .withColumn("event_type", lit("0_all"))
+    byType.unionByName(overall.select(col("event_type"), col("user_id"),
+        col("arm")))
+      .groupBy(col("event_type"))
+      .agg(sum((col("arm") === "A").cast("long")).as("n_a"),
+        sum((col("arm") === "B").cast("long")).as("n_b"))
+      .withColumn("chi2",
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 6))
+      .withColumn("srm_flag", col("chi2") > 3.841459)
+      .orderBy(col("event_type"))
+  }
+
   /** Activity-SEGMENT migration matrix — week-1 vs week-2 engagement
     * tier per user (low < 14, mid 14–17, high ≥ 18 events; thresholds
     * bracket the corpus's weekly quartiles, and users missing from a

@@ -444,14 +444,14 @@ object Similarity {
   /** (cid, cemb) centroid rows -> ONE broadcast row carrying the sorted
     * centroid array — the Lloyd-loop kernel shared by [[kmeansLloydTwo]]
     * and [[kmeansInertia]]. */
-  private def kmCentArr(cent: DataFrame): DataFrame =
+  private[operators] def kmCentArr(cent: DataFrame): DataFrame =
     cent.agg(array_sort(collect_list(struct(col("cid"), col("cemb"))))
       .as("cents"))
 
   /** Narrow-map assignment of every vector to its most-cosine-similar
     * centroid (ties to the smallest cid): transform HOF + array_max
     * argmax, no row expand, no window sort. */
-  private def kmAssign(e: DataFrame, centArr: DataFrame): DataFrame =
+  private[operators] def kmAssign(e: DataFrame, centArr: DataFrame): DataFrame =
     e.join(broadcast(centArr))
       .withColumn("best", expr(
         """array_max(transform(cents, s ->
@@ -463,7 +463,7 @@ object Similarity {
   /** Centroid re-derivation from an assignment: per-dimension
     * exact-DECIMAL means, cast to f32 lanes — k x d output at ANY
     * corpus size. */
-  private def kmRederive(assigned: DataFrame): DataFrame =
+  private[operators] def kmRederive(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("embedding")))
       .withColumn("d", col("pos") + 1)

@@ -1072,6 +1072,88 @@ object StreamingAnalytics {
     out.orderBy(col("user_id"))
   }
 
+  /** Streaming MINI-BATCH k-means — the Lloyd loop run the way a
+    * growing vector corpus forces ([[Similarity.kmeansLloydTwo]]'s
+    * kernel with carried state): embeddings arrive as two staged
+    * increments (vec_id parity); the FIRST batch cold-starts on its
+    * own 8 lowest vec_ids as seeds (documented — a streaming job has
+    * no corpus-wide seed set), every batch assigns its vectors to the
+    * centroids implied by the state BEFORE folding itself in, and
+    * state is the exact per-(cell, dim) DECIMAL coordinate sum +
+    * count, so the mini-batch centroid update is a pure merge (the
+    * mergeable-sufficient-statistics discipline of `stream_anomaly`
+    * applied to the clustering loop). Emits each batch's assignment
+    * census (cell, members, mean cosine) — the oracle replays the
+    * chain unrolled, so stale centroids, a state fold applied before
+    * assignment, or lost counts all hash-mismatch.
+    *
+    * State is k·d decimals + k counts at any corpus size; each batch
+    * is one broadcast-centroid narrow argmax + one (cell, dim) agg. */
+  def streamKmeans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_skm").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val embs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> embs.filter(col("vec_id") % 2 === 0),
+      "inc2" -> embs.filter(col("vec_id") % 2 === 1)))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cent =
+          if (lastState < 0)
+            batch.orderBy(col("vec_id")).limit(8)
+              .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+          else
+            spark.read.parquet(s"$root/state_v$lastState")
+              .groupBy(col("cid"))
+              .agg(expr(
+                """transform(array_sort(collect_list(struct(d,
+                     CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS c))),
+                   x -> CAST(x.c AS FLOAT))""").as("cemb"))
+        val assigned = Similarity
+          .kmAssign(batch.toDF(), Similarity.kmCentArr(cent))
+          .persist() // census + state fold
+        try {
+          assigned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_assigned"),
+              round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+                .cast("double") / count(lit(1)), 6).as("avg_cos"))
+            .select(lit(batchId + 1).as("increment"), col("cid"),
+              col("n_assigned"), col("avg_cos"))
+            .write.mode("append").parquet(outPath)
+          val delta = assigned
+            .select(col("cid"), posexplode(col("embedding")))
+            .withColumn("d", col("pos") + 1)
+            .groupBy(col("cid"), col("d"))
+            .agg(sum(col("col").cast("double").cast("decimal(18,9)"))
+              .as("s"), count(lit(1)).as("n"))
+          val merged =
+            if (lastState < 0) delta
+            else spark.read.parquet(s"$root/state_v$lastState")
+              .unionByName(delta)
+              .groupBy(col("cid"), col("d"))
+              .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+          lastState = batchId
+        } finally assigned.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_kmeans: no micro-batch ran")
+    val out = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"), col("cid"))
+  }
+
   /** Streaming MIXTURE REBALANCING — [[TextAnalysis.mixtureWeights]]'
     * sqrt-scaled sampling weights re-solved after every ingest
     * increment, the way a continuously-growing corpus forces: state is

@@ -2235,6 +2235,50 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** T5-style SPAN CORRUPTION census — the denoising-objective prep
+    * step: each token position starts a 3-token mask span with
+    * probability ~15% (md5 of (doc, position) first byte < 38 — the
+    * deterministic coin every reproducible data pipeline uses instead
+    * of an RNG), overlapping spans merge, and each maximal masked run
+    * is replaced by one sentinel at training time. Census per source:
+    * tokens, masked tokens, mask share (the knob's realized value),
+    * span count, and mean span length (> 3 means spans merged — the
+    * statistic that decides whether the start rate needs lowering).
+    *
+    * All integer + md5; the mask window is per-document over ±2
+    * positions (narrow), spans are the gaps-and-islands lag idiom.
+    * One token explode, two doc-partitioned windows, one
+    * |sources|-row census. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"))
+      .withColumn("start",
+        (conv(substring(md5(concat(lit("span:"),
+          col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 2), 16, 10).cast("long") < 38)
+          .cast("int"))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-2, 0)
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val masked = toks
+      .withColumn("m", max(col("start")).over(wSpan))
+      .withColumn("span_start",
+        (col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(wLag), lit(0)) === 0).cast("long"))
+    masked.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        round(sum(col("m").cast("long")).cast("double") /
+          count(lit(1)), 6).as("mask_share"),
+        sum(col("span_start")).as("n_spans"),
+        round(sum(col("m").cast("long")).cast("double") /
+          sum(col("span_start")), 4).as("mean_span_len"))
+      .orderBy(col("source"))
+  }
+
   /** TEMPERATURE-scaled sampling weights — the multilingual mixing knob
     * (sample language ℓ with probability p_ℓ^α / Σ p^α): α = 1 is
     * proportional (big languages dominate), α → 0 is uniform (small

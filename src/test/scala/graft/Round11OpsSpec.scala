@@ -1410,4 +1410,109 @@ class Round11OpsSpec extends SparkSpec {
     }
     assert(got.map(_.getLong(2)).sum === costs.map(_._3).sum)
   }
+
+  test("text_span_corruption equals a driver-side deterministic-coin " +
+    "replay and realized mask share sits near the design rate") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (id, src, t) =>
+      val n = t.split(" ", -1).length
+      val starts = (1 to n).map(p =>
+        Integer.parseInt(md5hex(s"span:$id:$p").substring(0, 2), 16) < 38)
+      val masked = (1 to n).map(p =>
+        ((math.max(1, p - 2)) to p).exists(q => starts(q - 1)))
+      val spans = masked.zipWithIndex.count { case (m, i) =>
+        m && (i == 0 || !masked(i - 1)) }
+      (src, n.toLong, masked.count(identity).toLong, spans.toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, g) =>
+      (src, (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._4).sum))
+    }
+    val got = TextAnalysis.spanCorruption(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nD, nT, nM, nS) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+        === ((nD, nT, nM, nS)), s"source ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - nM.toDouble / nT) < 1e-6)
+      // ~15% start rate with 3-token spans => roughly 30-45% masked
+      assert(r.getDouble(4) > 0.15 && r.getDouble(4) < 0.60)
+      assert(r.getDouble(6) >= 3.0, "a maximal span is at least 3 long")
+    }
+  }
+
+  test("events_ab_srm equals a driver-side chi-square replay and the " +
+    "parity split on this corpus is not degenerate") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def cell(users: Seq[Long]): (Long, Long) =
+      (users.count(_ % 2 == 0).toLong, users.count(_ % 2 == 1).toLong)
+    val byType = ev.distinct.groupBy(_._1)
+      .map { case (t, g) => (t, cell(g.map(_._2))) }
+    val overall = ("0_all", cell(ev.map(_._2).distinct))
+    val expected = byType + overall
+    val got = EventAnalytics.abSrm(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (na, nb) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) === ((na, nb)),
+        s"type ${r.getString(0)}")
+      val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+      assert(math.abs(r.getDouble(3) - chi2) < 1e-6)
+      assert(r.getBoolean(4) === (chi2 > 3.841459))
+      assert(na > 0 && nb > 0, "a degenerate arm")
+    }
+  }
+
+  test("stream_kmeans increment 2 scores against centroids derived " +
+    "from increment 1 only (driver-side replay)") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val e1 = embs.filter(_._1 % 2 == 0).sortBy(_._1)
+    val e2 = embs.filter(_._1 % 2 == 1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    val seeds = e1.take(8).map { case (id, e) => (id, e) }
+    def assign(vs: Seq[(Long, Array[Float])],
+               cents: Seq[(Long, Array[Float])]) =
+      vs.map { case (id, e) =>
+        val best = cents.map { case (c, ce) => (cos(e, ce), c) }
+          .maxBy { case (s, c) => (s, -c) }
+        (id, e, best._2, best._1)
+      }
+    val a1 = assign(e1, seeds)
+    val cent1 = a1.groupBy(_._3).toSeq.map { case (c, g) =>
+      val d = g.head._2.length
+      (c, (0 until d).map { j =>
+        val s = g.map(v => BigDecimal(v._2(j).toDouble).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (s.toDouble / g.length).toFloat
+      }.toArray)
+    }
+    val a2 = assign(e2, cent1)
+    val got = graft.operators.StreamingAnalytics.streamKmeans(spark, sf0001)
+      .collect()
+    Seq((1L, a1), (2L, a2)).foreach { case (inc, a) =>
+      val exp = a.groupBy(_._3).map { case (c, g) =>
+        (c, (g.size.toLong, g.map(_._4).sum / g.size)) }
+      val rows = got.filter(_.getLong(0) == inc)
+      assert(rows.length === exp.size, s"increment $inc cells")
+      rows.foreach { r =>
+        val (n, avg) = exp(r.getLong(1))
+        assert(r.getLong(2) === n, s"inc $inc cell ${r.getLong(1)}")
+        assert(math.abs(r.getDouble(3) - avg) < 1e-4)
+      }
+    }
+  }
 }
