@@ -402,7 +402,10 @@ object SparkEntry {
     "text_span_corruption" ->
       ((s, d) => TextAnalysis.spanCorruption(s, d)),
     "events_ab_srm" -> ((s, d) => EventAnalytics.abSrm(s, d)),
-    "stream_kmeans" -> ((s, d) => StreamingAnalytics.streamKmeans(s, d))
+    "stream_kmeans" -> ((s, d) => StreamingAnalytics.streamKmeans(s, d)),
+    "sim_seed_sweep" -> ((s, d) => Similarity.seedSweep(s, d)),
+    "text_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
+    "dedup_perm_sweep" -> ((s, d) => DedupOps.permSweep(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4105,6 +4108,121 @@ object SparkEntry {
            FROM a2 GROUP BY 2)
          SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
          ORDER BY increment, cid""",
+    "sim_seed_sweep" ->
+      """WITH f8 AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         h8 AS (SELECT vec_id AS cid, embedding AS cemb
+           FROM embeddings
+           ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 8),
+         a1 AS (SELECT vec_id, sim FROM (
+             SELECT e.vec_id,
+               list_cosine_similarity(e.embedding, s.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+                          s.cid) AS rn
+             FROM embeddings e CROSS JOIN f8 s) z WHERE rn = 1),
+         a2 AS (SELECT vec_id, sim FROM (
+             SELECT e.vec_id,
+               list_cosine_similarity(e.embedding, s.cemb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+                          s.cid) AS rn
+             FROM embeddings e CROSS JOIN h8 s) z WHERE rn = 1)
+         SELECT * FROM (
+           SELECT '0_first8' AS seeding,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+             ROUND(MIN(CAST(sim AS DOUBLE)), 6) AS min_cos
+           FROM a1
+           UNION ALL
+           SELECT '1_hash8',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(CAST(SUM(CAST(CAST(sim AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 6),
+             ROUND(MIN(CAST(sim AS DOUBLE)), 6)
+           FROM a2) u ORDER BY seeding""",
+    "text_heaps_law" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             string_split(text, ' ') AS t
+           FROM documents),
+         rg AS (SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax FROM d),
+         ks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k),
+         cuts AS (SELECT k,
+             CAST(dmin + ((dmax - dmin) * k) // 10 AS BIGINT) AS cut
+           FROM ks, rg),
+         fd AS (SELECT w, MIN(doc_id) AS fd FROM (
+             SELECT doc_id, unnest(list_distinct(t)) AS w FROM d) z
+           GROUP BY 1),
+         va AS (SELECT k, cut, CAST(COUNT(*) AS BIGINT) AS vocab_size
+           FROM fd JOIN cuts ON fd.fd <= cuts.cut GROUP BY 1, 2),
+         ta AS (SELECT k, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           FROM d JOIN cuts ON d.doc_id <= cuts.cut GROUP BY 1),
+         pts AS (SELECT va.k, cut, n_tokens, vocab_size,
+             ln(CAST(n_tokens AS DOUBLE)) AS x,
+             ln(CAST(vocab_size AS DOUBLE)) AS y
+           FROM va JOIN ta USING (k)),
+         fit0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+           FROM pts),
+         fit AS (SELECT
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta0,
+             sx, sy, n
+           FROM fit0)
+         SELECT k, cut, n_tokens, vocab_size,
+           ROUND(beta0, 4) AS beta,
+           ROUND(exp((sy - beta0 * sx) / n), 4) AS k_coef
+         FROM pts, fit ORDER BY k""",
+    "dedup_perm_sweep" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh CROSS JOIN range(18) t(i) GROUP BY doc_id, i),
+         b9 AS (SELECT CAST(9 AS BIGINT) AS n_perms, doc_id, i // 3 AS band,
+                  md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                FROM mh WHERE i < 9 GROUP BY doc_id, i // 3),
+         b18 AS (SELECT CAST(18 AS BIGINT) AS n_perms, doc_id, i // 3 AS band,
+                  md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.n_perms, x.doc_id AS d1, y.doc_id AS d2
+                  FROM (SELECT * FROM b9 UNION ALL SELECT * FROM b18) x
+                  JOIN (SELECT * FROM b9 UNION ALL SELECT * FROM b18) y
+                    ON x.n_perms = y.n_perms AND x.band = y.band
+                       AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) BETWEEN 2 AND 64),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
+                   GROUP BY 1, 2),
+         truth AS (SELECT d1, d2
+           FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+                 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                              JOIN sizes s2 ON x.d2 = s2.doc_id) v
+           WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth)
+         SELECT c.n_perms, c.n_perms // 3 AS n_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+           CAST(MAX(nt.n_true_pairs) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / MAX(nt.n_true_pairs), 6) AS recall
+         FROM cand c LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2,
+           nt
+         GROUP BY c.n_perms ORDER BY c.n_perms""",
     "stream_mix_rebalance" -> {
       val inc = Seq((1, "CAST(substr(source, 4, 8) AS INT) < 10"),
         (2, "TRUE")).map { case (i, cond) =>

@@ -23,6 +23,7 @@ object ExprColumns {
     "graft_parse_af_ts" -> (exprs => ParseAfTimestamp(exprs.head)),
     "graft_minhash_buckets" -> (exprs => MinHashBandBuckets(exprs.head, 9, 3)),
     "graft_minhash_values" -> (exprs => MinHashValues(exprs.head, 9)),
+    "graft_minhash_values18" -> (exprs => MinHashValues(exprs.head, 18)),
     "graft_hashed_tf64" -> (exprs => HashedTf64(exprs.head)),
     "graft_pq_assign" -> (exprs => PqAssign(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => {

@@ -414,6 +414,61 @@ object DedupOps {
       .orderBy(col("threshold"))
   }
 
+  /** MinHash PERMUTATION-count sweep — the estimator-budget knob
+    * [[lshBandingSweep]] holds fixed at 9: at a constant 3-row band
+    * width, 9 permutations buy 3 bands and 18 buy 6, and more bands
+    * mean more candidate recall at more signature cost. Both configs
+    * share ONE 18-permutation signature pass (config 9 reads the
+    * prefix — a real rollout computes the longest signature once and
+    * serves every shorter config from it), candidates form through
+    * the same bucket grouping, and recall is measured against the
+    * df-capped exact-Jaccard truth. The decision row for "how many
+    * hashes does the near-dup tier actually need".
+    *
+    * Scale shape: one signature corpus pass, one bucket-key shuffle
+    * per config (the production kernel ×2), the one-consumption
+    * truth-flag join of the banding sweep. */
+  def permSweep(spark: SparkSession, dir: String,
+                threshold: Double = 0.5): DataFrame = {
+    ExprColumns.register(spark)
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .select(col("doc_id"),
+        expr("graft_minhash_values18(sh_arr)").as("mins"))
+      .filter(col("mins").isNotNull)
+    def banded(p: Int): DataFrame = sig.select(
+        lit(p.toLong).as("n_perms"), col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${p / 3 - 1}),
+                b -> md5(array_join(slice(mins, b * 3 + 1, 3), ',')))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded(9).unionAll(banded(18))
+      .groupBy(col("n_perms"), col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("n_perms"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS d1, y AS d2))))""")).as("p"))
+      .select(col("n_perms"), col("p.d1"), col("p.d2"))
+      .distinct()
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("d1"), col("d2"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    cand.join(truth.withColumn("hit", lit(1L)), Seq("d1", "d2"),
+        "left_outer")
+      .groupBy(col("n_perms"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nTrue)) // 1-row truth-count scalar
+      .select(col("n_perms"), expr("n_perms div 3").as("n_bands"),
+        col("n_cand_pairs"), col("n_true_pairs"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          col("n_true_pairs"), 6).as("recall"))
+      .orderBy(col("n_perms"))
+  }
+
   /** The whole training-data prep pipeline as ONE declarative program:
     * quality gate (token/stopword/type-token thresholds) -> exact dedup
     * (keep min doc_id per distinct text) -> near-dup drop (any doc that is

@@ -524,6 +524,39 @@ object Similarity {
       .orderBy(col("iter"))
   }
 
+  /** k-means SEEDING sweep — the initialization knob every Lloyd run
+    * inherits silently: the house first-k-vec_ids seeding (cheap,
+    * deterministic, but biased toward early rows) against a
+    * deterministic pseudo-random pick (the 8 vec_ids with the
+    * smallest md5("seed:" || vec_id) — the hash-coin discipline of
+    * `text_span_corruption` applied to seed selection), each scored
+    * by one assignment pass (members, mean and worst assigned
+    * cosine). The row that says whether the convenient seeding is
+    * costing assignment quality on this corpus.
+    *
+    * Scale shape: both seed sets are 8-row TakeOrdered reductions;
+    * each scoring pass is the [[kmeansAssignIter]] broadcast-argmax
+    * narrow map + an 8-key agg — the kernel ×2, nothing new. */
+  def seedSweep(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val first8 = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val hash8 = e
+      .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    Seq(("0_first8", first8), ("1_hash8", hash8)).map { case (name, seeds) =>
+      kmAssign(e, kmCentArr(seeds))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sim").cast("double").cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("avg_cos"),
+          round(min(col("sim").cast("double")), 6).as("min_cos"))
+        .select(lit(name).as("seeding"), col("n_vecs"), col("avg_cos"),
+          col("min_cos"))
+    }.reduce(_.unionByName(_)).orderBy(col("seeding"))
+  }
+
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
     * the memory-bound 100 TB serving path the IVF/int8 variants stop
     * short of: the 64-dim corpus compresses to M=16 codes per vector

@@ -2235,6 +2235,65 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** HEAPS'-LAW vocabulary growth — V(N) ≈ K·N^β measured on the
+    * corpus, the number that predicts tokenizer vocabulary pressure at
+    * 100 TB from a sample: ten ingestion checkpoints cut the corpus by
+    * doc_id VALUE deciles (exact integer cutoffs over the id range —
+    * no global rank needed, the scale-free checkpointing), each
+    * reporting cumulative tokens and cumulative distinct vocabulary
+    * (a token counts at the checkpoint iff its FIRST document is
+    * inside it — so the whole curve costs one first-occurrence
+    * hash-agg, never ten distinct-counts); the log–log OLS slope β
+    * and intercept K ride along on every row.
+    *
+    * Determinism: counts exact; ln/OLS are fixed-arity double
+    * expressions over a 10-row relation, each product quantized to
+    * DECIMAL(28,12) before the fit sums. Scale: one token explode,
+    * one vocab-grain min-agg, vocab×10 and docs×10 broadcast-axis
+    * censuses, a 10-row fit. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
+        split(col("text"), " ").as("t"))
+    val range = docs.agg(min(col("doc_id")).as("dmin"),
+      max(col("doc_id")).as("dmax"))
+    val ks = (1L to 10L).toDF("k")
+    val cuts = ks.crossJoin(broadcast(range)) // 1-row id range
+      .select(col("k"),
+        (col("dmin") + expr("(dmax - dmin) * k div 10")).as("cut"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(array_distinct(col("t"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vocabAt = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("fd") <= col("cut"))
+      .groupBy(col("k"), col("cut")).agg(count(lit(1)).as("vocab_size"))
+    val tokAt = docs.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy(col("k")).agg(sum(col("n_tok")).as("n_tokens"))
+    val pts = vocabAt.join(tokAt, Seq("k"))
+      .withColumn("x", log(col("n_tokens").cast("double")))
+      .withColumn("y", log(col("vocab_size").cast("double")))
+    val fit = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+        .as("sxx"))
+      .select(
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("beta"),
+        col("sx"), col("sy"), col("n"))
+      .select(round(col("beta"), 4).as("beta"),
+        round(exp((col("sy") - col("beta") * col("sx")) / col("n")), 4)
+          .as("k_coef"))
+    pts.crossJoin(broadcast(fit)) // 1-row fit scalars
+      .select(col("k"), col("cut"), col("n_tokens"), col("vocab_size"),
+        col("beta"), col("k_coef"))
+      .orderBy(col("k"))
+  }
+
   /** T5-style SPAN CORRUPTION census — the denoising-objective prep
     * step: each token position starts a 3-token mask span with
     * probability ~15% (md5 of (doc, position) first byte < 38 — the

@@ -1515,4 +1515,100 @@ class Round11OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sim_seed_sweep equals a driver-side two-seeding assignment " +
+    "replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val first8 = embs.sortBy(_._1).take(8)
+    val hash8 = embs.sortBy(e => (md5hex(s"seed:${e._1}"), e._1)).take(8)
+    def census(seeds: Seq[(Long, Array[Float])]) = {
+      val sims = embs.map { case (_, e) =>
+        seeds.map { case (c, ce) => (cos(e, ce), c) }
+          .maxBy { case (s, c) => (s, -c) }._1
+      }
+      (embs.length.toLong, sims.sum / sims.length, sims.min)
+    }
+    val expected = Map("0_first8" -> census(first8),
+      "1_hash8" -> census(hash8))
+    val got = Similarity.seedSweep(spark, sf0001).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val (n, avg, mn) = expected(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - avg) < 1e-4, r.getString(0))
+      assert(math.abs(r.getDouble(3) - mn) < 1e-4)
+    }
+  }
+
+  test("text_heaps_law equals a driver-side first-occurrence replay " +
+    "and the fitted exponent is sublinear") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val dmin = docs.map(_._1).min
+    val dmax = docs.map(_._1).max
+    val firstDoc = docs.flatMap { case (id, ws) =>
+      ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).min) }
+    val pts = (1L to 10L).map { k =>
+      val cut = dmin + (dmax - dmin) * k / 10
+      val nTok = docs.filter(_._1 <= cut).map(_._2.length.toLong).sum
+      val vocab = firstDoc.count(_._2 <= cut).toLong
+      (k, cut, nTok, vocab)
+    }
+    val xs = pts.map(p => math.log(p._3.toDouble))
+    val ys = pts.map(p => math.log(p._4.toDouble))
+    val n = pts.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val got = TextAnalysis.heapsLaw(spark, sf0001).collect()
+    assert(got.length === 10)
+    got.zip(pts).foreach { case (r, (k, cut, nT, v)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        === ((k, cut, nT, v)))
+      assert(math.abs(r.getDouble(4) - beta) < 1e-3)
+    }
+    // Heaps' law: vocabulary grows sublinearly in corpus size (the
+    // synthetic corpus shares one tiny vocabulary, so it saturates in
+    // the first decile and beta legitimately rounds to 0 here)
+    assert(got.head.getDouble(4) >= 0.0 && got.head.getDouble(4) < 1.0)
+    // vocabulary is monotone non-decreasing across checkpoints
+    assert(got.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("dedup_perm_sweep recall is monotone in permutations and its " +
+    "9-perm candidates match the production banding") {
+    val got = graft.operators.DedupOps.permSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq === Seq(9L, 18L))
+    val p9 = got.find(_._1 == 9L).get
+    val p18 = got.find(_._1 == 18L).get
+    // more bands can only ADD candidate pairs, hence hits and recall
+    assert(p18._3 >= p9._3, "candidates shrank with more permutations")
+    assert(p18._5 >= p9._5 && p18._6 >= p9._6 - 1e-9)
+    assert(p9._4 === p18._4, "truth side must not depend on the config")
+    got.foreach { g =>
+      assert(g._2 === g._1 / 3)
+      assert(g._6 >= 0.0 && g._6 <= 1.0)
+    }
+    // the 9-perm prefix of the 18-perm signature IS the production
+    // 9-perm signature, so recall must match the banding sweep's r=3 row
+    val banding = graft.operators.DedupOps.lshBandingSweep(spark, sf0001)
+      .collect().find(_.getLong(1) == 3L).get
+    assert(p9._3 === banding.getLong(2), "candidate count vs banding r=3")
+    assert(p9._5 === banding.getLong(4))
+  }
 }
