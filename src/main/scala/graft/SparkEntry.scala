@@ -405,7 +405,11 @@ object SparkEntry {
     "stream_kmeans" -> ((s, d) => StreamingAnalytics.streamKmeans(s, d)),
     "sim_seed_sweep" -> ((s, d) => Similarity.seedSweep(s, d)),
     "text_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
-    "dedup_perm_sweep" -> ((s, d) => DedupOps.permSweep(s, d))
+    "dedup_perm_sweep" -> ((s, d) => DedupOps.permSweep(s, d)),
+    "sim_dim_sweep" -> ((s, d) => Similarity.dimSweep(s, d)),
+    "events_retention_fit" ->
+      ((s, d) => EventAnalytics.retentionFit(s, d)),
+    "events_dispersion" -> ((s, d) => EventAnalytics.dispersion(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4143,6 +4147,78 @@ object SparkEntry {
                AS DOUBLE) / COUNT(*), 6),
              ROUND(MIN(CAST(sim AS DOUBLE)), 6)
            FROM a2) u ORDER BY seeding""",
+    "sim_dim_sweep" -> {
+      // t_64 first: the truth CTE must precede the cases that join it
+      val cases = Seq(64, 16, 32).map { d =>
+        s""",
+         t_$d AS (SELECT q_id, vec_id FROM (
+             SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(e.embedding[1:$d],
+                   q.q_emb[1:$d]) DESC, e.vec_id) AS rn
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id) z WHERE rn <= 10),
+         r_$d AS (SELECT CAST($d AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / 50, 6) AS recall
+           FROM t_$d a JOIN t_64 b
+             ON a.q_id = b.q_id AND a.vec_id = b.vec_id)"""
+      }.mkString
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 5)$cases
+         SELECT * FROM (SELECT * FROM r_16 UNION ALL
+           SELECT * FROM r_32 UNION ALL SELECT * FROM r_64) u
+         ORDER BY dim"""
+    },
+    "events_retention_fit" ->
+      """WITH first AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+           FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         offs AS (SELECT CAST(d - d0 AS BIGINT) AS t
+           FROM act JOIN first USING (user_id)
+           WHERE d - d0 BETWEEN 0 AND 7),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM offs
+           WHERE t = 0),
+         curve AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(*) AS DOUBLE) / CAST(n0 AS DOUBLE) AS r,
+             CAST(t AS DOUBLE) AS x,
+             ln(CAST(COUNT(*) AS DOUBLE) / CAST(n0 AS DOUBLE)) AS y
+           FROM offs, tot WHERE t >= 1 GROUP BY t, n0),
+         fit0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+           FROM curve),
+         fit AS (SELECT
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, sx, sy, n
+           FROM fit0),
+         fit2 AS (SELECT b, (sy - b * sx) / n AS a FROM fit)
+         SELECT t, n_active, ROUND(r, 6) AS retention,
+           ROUND(exp(a + b * x), 6) AS fitted,
+           ROUND(b, 6) AS slope,
+           ROUND(-ln(2.0) / b, 4) AS half_life_days
+         FROM curve, fit2 ORDER BY t""",
+    "events_dispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ssq
+           FROM daily GROUP BY 1),
+         z AS (SELECT event_type, n_days, s,
+             CAST(s AS DOUBLE) / n_days AS mean,
+             CAST(n_days * ssq - s * s AS DOUBLE)
+               / CAST(n_days * (n_days - 1) AS DOUBLE) AS variance
+           FROM g)
+         SELECT event_type, n_days, s AS n_events,
+           ROUND(mean, 4) AS mean_daily,
+           ROUND(variance, 4) AS var_daily,
+           ROUND(variance / mean, 4) AS vmr,
+           variance / mean > 1.5 AS overdispersed
+         FROM z ORDER BY event_type""",
     "text_heaps_law" ->
       """WITH d AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

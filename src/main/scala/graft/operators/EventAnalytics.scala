@@ -1653,6 +1653,84 @@ object EventAnalytics {
       .orderBy(col("max_streak"))
   }
 
+  /** Retention-curve DECAY fit — the `events_retention` triangle
+    * collapsed to the one number a growth team tracks: pooled
+    * retention r(t) = active users at day-offset t over total cohort
+    * mass (offsets 1..7; day 0 is 1 by construction and excluded from
+    * the fit), log-linear OLS ln r = a + b·t, and the implied
+    * HALF-LIFE −ln 2 / b. Per-offset rows carry the observed and
+    * fitted rates so the fit's lack-of-fit is visible, with the slope
+    * and half-life riding along.
+    *
+    * Determinism: counts exact; the fit is the [[TextAnalysis.heapsLaw]]
+    * 7-point OLS discipline (per-term DECIMAL(28,12) quantization).
+    * Scale: one distinct (user, day) pass, a cohort-grain agg, an
+    * 8-row curve, a 7-row fit. */
+  def retentionFit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+    val act = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val offs = act.join(first, "user_id")
+      .withColumn("t", datediff(col("d"), col("d0")).cast("long"))
+      .filter(col("t").between(0, 7))
+    val tot = offs.filter(col("t") === 0).agg(count(lit(1)).as("n0"))
+    val curve = offs.filter(col("t") >= 1)
+      .groupBy(col("t")).agg(count(lit(1)).as("n_active"))
+      .crossJoin(broadcast(tot)) // 1-row cohort mass
+      .withColumn("r", col("n_active").cast("double") /
+        col("n0").cast("double"))
+      .withColumn("x", col("t").cast("double"))
+      .withColumn("y", log(col("r")))
+    val fit = curve.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+        .as("sxx"))
+      .select(
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("b"),
+        col("sx"), col("sy"), col("n"))
+      .select(col("b"),
+        ((col("sy") - col("b") * col("sx")) / col("n")).as("a"))
+    curve.crossJoin(broadcast(fit)) // 1-row fit scalars
+      .select(col("t"), col("n_active"), round(col("r"), 6).as("retention"),
+        round(exp(col("a") + col("b") * col("x")), 6).as("fitted"),
+        round(col("b"), 6).as("slope"),
+        round(-log(lit(2.0)) / col("b"), 4).as("half_life_days"))
+      .orderBy(col("t"))
+  }
+
+  /** DISPERSION census of the daily event-count series — the
+    * variance-to-mean ratio (index of dispersion) per event type: 1
+    * for a Poisson arrival process, materially above 1 for bursty
+    * (overdispersed) traffic — the one-number answer to "can I model
+    * this feed as Poisson", and the events-side sibling of
+    * [[TextAnalysis.burstiness]]. Sample variance from exact integer
+    * sufficient statistics (n, Σx, Σx²); the flag fires at VMR > 1.5.
+    *
+    * One day-grain agg, a |types|-row census; all arithmetic exact to
+    * the final divisions. */
+  def dispersion(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ssq"))
+      .withColumn("mean", col("s").cast("double") / col("n_days"))
+      .withColumn("variance",
+        (col("n_days") * col("ssq") - col("s") * col("s")).cast("double") /
+          (col("n_days") * (col("n_days") - 1)).cast("double"))
+      .select(col("event_type"), col("n_days"), col("s").as("n_events"),
+        round(col("mean"), 4).as("mean_daily"),
+        round(col("variance"), 4).as("var_daily"),
+        round(col("variance") / col("mean"), 4).as("vmr"),
+        (col("variance") / col("mean") > 1.5).as("overdispersed"))
+      .orderBy(col("event_type"))
+
   /** Sample-ratio-mismatch GUARDRAIL for the A/B assignment — the
     * check every experimentation platform runs before reading a
     * metric: under the 50/50 user_id-parity split ([[abTest]]'s

@@ -524,6 +524,48 @@ object Similarity {
       .orderBy(col("iter"))
   }
 
+  /** Embedding DIMENSION-truncation sweep (the Matryoshka / MRL serving
+    * knob): recall@10 of brute-force cosine over the first d ∈
+    * {16, 32, 64} coordinates against the full-dimension ground truth
+    * — what a deployment reads before storing truncated vectors to cut
+    * index memory 4x. Each operating point is an honest re-rank over
+    * the sliced coordinates (truncation changes every score; nothing
+    * shareable but the ground truth, which is computed ONCE as the
+    * d = 64 case).
+    *
+    * Determinism: ranks tie-break on vec_id after the f32 cosine over
+    * sliced arrays, identical window in both engines. Scale shape: the
+    * 5-query set broadcasts; per d, one narrow scoring map + a
+    * per-query ≤10 rank window (WindowGroupLimit-pruned); the k axis
+    * costs |dims| passes over queries × corpus, never corpus². */
+  def dimSweep(spark: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def topk(d: Int): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      e.join(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim_raw", expr(
+          s"graft_cosine_f32(slice(embedding, 1, $d), slice(q_emb, 1, $d))"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val truth = topk(64)
+    Seq(16, 32, 64).map { d =>
+      topk(d).join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"),
+          round(col("n_hits").cast("double") / (nQueries * k), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("dim"))
+  }
+
   /** k-means SEEDING sweep — the initialization knob every Lloyd run
     * inherits silently: the house first-k-vec_ids seeding (cheap,
     * deterministic, but biased toward early rows) against a

@@ -1611,4 +1611,107 @@ class Round11OpsSpec extends SparkSpec {
     assert(p9._3 === banding.getLong(2), "candidate count vs banding r=3")
     assert(p9._5 === banding.getLong(4))
   }
+
+  test("sim_dim_sweep truth case is perfect recall and truncation can " +
+    "only lose recall") {
+    val got = Similarity.dimSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(16L, 32L, 64L))
+    val d64 = got.find(_._1 == 64L).get
+    assert(d64._2 === 50L && math.abs(d64._3 - 1.0) < 1e-9,
+      "the full-dimension case must recall itself exactly")
+    got.foreach { case (d, h, rec) =>
+      assert(h <= 50, s"dim $d")
+      assert(math.abs(rec - h.toDouble / 50) < 1e-6)
+    }
+    // driver-side replay of the d=16 case against the full-dim truth
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      val ad = a.take(d).map(_.toDouble); val bd = b.take(d).map(_.toDouble)
+      ad.zip(bd).map { case (x, y) => x * y }.sum /
+        (math.sqrt(ad.map(x => x * x).sum) *
+          math.sqrt(bd.map(x => x * x).sum))
+    }
+    def topk(qid: Long, d: Int): Set[Long] = {
+      val q = embs.find(_._1 == qid).get._2
+      embs.filter(_._1 != qid)
+        .map { case (v, e) => (v, cos(e, q, d)) }
+        .sortBy { case (v, s) => (-s, v) }.take(10).map(_._1).toSet
+    }
+    val hits16 = (0L until 5L).map { qid =>
+      (topk(qid, 16) intersect topk(qid, 64)).size
+    }.sum
+    assert(got.find(_._1 == 16L).get._2 === hits16.toLong)
+  }
+
+  test("events_retention_fit equals a driver-side pooled-curve OLS " +
+    "replay and the fitted curve decays") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    val first = ev.groupBy(_._1).map { case (u, g) => (u, g.map(_._2).minBy(_.toEpochDay)) }
+    val offs = ev.distinct.map { case (u, d) =>
+      d.toEpochDay - first(u).toEpochDay }
+      .filter(t => t >= 0 && t <= 7)
+    val n0 = offs.count(_ == 0).toLong
+    val curve = (1L to 7L).flatMap { t =>
+      val n = offs.count(_ == t).toLong
+      if (n > 0) Some((t, n, n.toDouble / n0)) else None
+    }
+    val xs = curve.map(_._1.toDouble); val ys = curve.map(c => math.log(c._3))
+    val n = curve.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val b = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val got = EventAnalytics.retentionFit(spark, sf0001).collect()
+    assert(got.length === curve.length)
+    got.zip(curve).foreach { case (r, (t, na, rr)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((t, na)))
+      assert(math.abs(r.getDouble(2) - rr) < 1e-6)
+      assert(math.abs(r.getDouble(4) - b) < 1e-4)
+      assert(math.abs(r.getDouble(5) - (-math.log(2.0) / b)) < 1e-2)
+    }
+    // the synthetic corpus keeps every user active all month, so the
+    // pooled curve is flat (slope ~0, may even tilt positive) — assert
+    // only shape consistency: fitted values are monotone in the slope's
+    // direction and the half-life carries the slope's sign
+    val slope = got.head.getDouble(4)
+    val fitted = got.map(_.getDouble(3))
+    if (slope <= 0)
+      assert(fitted.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    else
+      assert(fitted.sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    assert((got.head.getDouble(5) > 0) === (slope < 0))
+  }
+
+  test("events_dispersion equals a driver-side sufficient-statistics " +
+    "replay") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    val expected = ev.groupBy(identity).toSeq
+      .map { case ((ty, _), g) => (ty, g.length.toLong) }
+      .groupBy(_._1).map { case (ty, g) =>
+        val xs = g.map(_._2)
+        val nd = xs.length.toLong
+        val mean = xs.sum.toDouble / nd
+        val variance = (nd * xs.map(x => x * x).sum - xs.sum * xs.sum)
+          .toDouble / (nd * (nd - 1))
+        (ty, (nd, xs.sum, mean, variance))
+      }
+    val got = EventAnalytics.dispersion(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nd, s, mean, variance) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) === ((nd, s)))
+      assert(math.abs(r.getDouble(3) - mean) < 1e-4)
+      assert(math.abs(r.getDouble(4) - variance) < 1e-4)
+      assert(math.abs(r.getDouble(5) - variance / mean) < 1e-3)
+      assert(r.getBoolean(6) === (variance / mean > 1.5))
+    }
+  }
 }
