@@ -409,7 +409,11 @@ object SparkEntry {
     "sim_dim_sweep" -> ((s, d) => Similarity.dimSweep(s, d)),
     "events_retention_fit" ->
       ((s, d) => EventAnalytics.retentionFit(s, d)),
-    "events_dispersion" -> ((s, d) => EventAnalytics.dispersion(s, d))
+    "events_dispersion" -> ((s, d) => EventAnalytics.dispersion(s, d)),
+    "docs_rank_fusion" -> ((s, d) => Curation.rankFusion(s, d)),
+    "text_entropy_rate" -> ((s, d) => TextAnalysis.entropyRate(s, d)),
+    "events_attribution_markov" ->
+      ((s, d) => EventAnalytics.attributionMarkov(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4219,6 +4223,120 @@ object SparkEntry {
            ROUND(variance / mean, 4) AS vmr,
            variance / mean > 1.5 AS overdispersed
          FROM z ORDER BY event_type""",
+    "docs_rank_fusion" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1))
+               % 64 AS j,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM tok GROUP BY 1, 2),
+         lab AS (SELECT vec_id AS doc_id, label FROM embeddings
+           WHERE label IN (0, 1)),
+         g AS (SELECT j, CAST(SUM((2 * label - 1) * x) AS BIGINT) AS g2
+           FROM tf JOIN lab USING (doc_id) GROUP BY j),
+         s AS (SELECT tf.doc_id,
+             CAST(SUM(COALESCE(g.g2, 0) * tf.x) AS BIGINT) AS m2000
+           FROM tf LEFT JOIN g USING (j) GROUP BY 1),
+         r1 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY m2000 DESC, doc_id) AS BIGINT) AS r_margin FROM s),
+         q AS (SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ratio
+           FROM documents),
+         r2 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY ratio DESC, doc_id) AS BIGINT) AS r_quality FROM q)
+         SELECT r1.doc_id, r_margin, r_quality,
+           ROUND(1.0 / (60.0 + r_margin) + 1.0 / (60.0 + r_quality), 6)
+             AS rrf_score
+         FROM r1 JOIN r2 USING (doc_id)
+         ORDER BY 1.0 / (60.0 + r_margin) + 1.0 / (60.0 + r_quality)
+           DESC, r1.doc_id
+         LIMIT 20""",
+    "text_entropy_rate" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+           FROM documents),
+         uni AS (SELECT lang, unnest(t) AS w FROM d),
+         uc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+           FROM uni GROUP BY 1, 2),
+         ut AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM uc GROUP BY 1),
+         h1 AS (SELECT uc.lang,
+             CAST(SUM(CAST(-(CAST(n AS DOUBLE) / nt)
+               * ln(CAST(n AS DOUBLE) / nt) AS DECIMAL(28,12)))
+               AS DOUBLE) AS h1,
+             MAX(nt) AS n_tokens
+           FROM uc JOIN ut ON uc.lang = ut.lang GROUP BY 1),
+         tokp AS (SELECT doc_id, lang, unnest(t) AS w,
+             generate_subscripts(t, 1) AS pos FROM d),
+         bi AS (SELECT a.lang, a.w AS w1, b.w AS w2
+           FROM tokp a JOIN tokp b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         bc AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bi GROUP BY 1, 2, 3),
+         bt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM bc GROUP BY 1),
+         h2 AS (SELECT bc.lang,
+             CAST(SUM(CAST(-(CAST(n AS DOUBLE) / nt)
+               * ln(CAST(n AS DOUBLE) / nt) AS DECIMAL(28,12)))
+               AS DOUBLE) AS h2
+           FROM bc JOIN bt ON bc.lang = bt.lang GROUP BY 1)
+         SELECT h1.lang, n_tokens, ROUND(h1, 6) AS h_unigram,
+           ROUND(h2 - h1, 6) AS h_rate,
+           ROUND(exp(h2 - h1), 4) AS cond_perplexity
+         FROM h1 JOIN h2 ON h1.lang = h2.lang ORDER BY h1.lang""",
+    "events_attribution_markov" -> {
+      val rounds = (1 to 8).map { i =>
+        s""",
+         v$i AS (SELECT pr.config, pr.t AS state,
+             CAST(SUM(CAST(v${i - 1}.m * pr.p AS DECIMAL(28,12)))
+               AS DOUBLE) AS m
+           FROM v${i - 1} JOIN pr ON v${i - 1}.config = pr.config
+             AND v${i - 1}.state = pr.f
+           GROUP BY 1, 2)"""
+      }.mkString
+      s"""WITH fc AS (SELECT user_id, ts, event_id FROM (
+             SELECT user_id, ts, event_id, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM events WHERE event_type = 'purchase') z WHERE rn = 1),
+         j AS (SELECT e.user_id, e.ts, e.event_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS state
+           FROM events e LEFT JOIN fc ON e.user_id = fc.user_id
+           WHERE fc.user_id IS NULL
+             OR (e.ts, e.event_id) <= (fc.ts, fc.event_id)),
+         st AS (SELECT user_id, state,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             LEAD(state) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM j),
+         tr AS (SELECT 'start' AS f, state AS t FROM st WHERE rn = 1
+           UNION ALL SELECT state, nxt FROM st
+             WHERE nxt IS NOT NULL AND state <> 'conv'
+           UNION ALL SELECT state, 'end' FROM st
+             WHERE nxt IS NULL AND state <> 'conv'),
+         tc AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tr GROUP BY 1, 2),
+         cfg AS (SELECT unnest(
+             ['full', 'view', 'click', 'signup', 'error']) AS config),
+         ct AS (SELECT config, f,
+             CASE WHEN t = config THEN 'end' ELSE t END AS t2,
+             CAST(SUM(n) AS BIGINT) AS n
+           FROM tc CROSS JOIN cfg WHERE f <> config GROUP BY 1, 2, 3),
+         pr AS (SELECT config, f, t2 AS t,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+               PARTITION BY config, f) AS DOUBLE) AS p
+           FROM ct
+           UNION ALL SELECT config, 'conv', 'conv', 1.0 FROM cfg
+           UNION ALL SELECT config, 'end', 'end', 1.0 FROM cfg),
+         v0 AS (SELECT config, 'start' AS state, 1.0 AS m FROM cfg)$rounds,
+         pc AS (SELECT config, m AS p_conv FROM v8 WHERE state = 'conv'),
+         fl AS (SELECT p_conv AS p_full FROM pc WHERE config = 'full')
+         SELECT config AS channel, ROUND(p_full, 6) AS p_full,
+           ROUND(p_conv, 6) AS p_removed,
+           ROUND((p_full - p_conv) / p_full, 6) AS removal_effect
+         FROM pc, fl WHERE config <> 'full' ORDER BY channel"""
+    },
     "text_heaps_law" ->
       """WITH d AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

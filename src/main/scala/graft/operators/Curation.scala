@@ -581,6 +581,45 @@ object Curation {
       .orderBy(col("step"))
   }
 
+  /** Reciprocal-rank FUSION of two quality signals — the standard
+    * score-merge (RRF, Cormack et al.) for combining rankings whose
+    * scales don't compare: each document's fused score is
+    * Σ 1/(60 + rank_i) over its rank under the probe margin and under
+    * the distinct-token ratio, and the top-k fused documents are the
+    * curation pick that neither signal alone would make. Ranks are
+    * EXACT distributed ranks (descending, best = 1, doc_id tiebreak)
+    * via the bucketed two-pass prefix sum — the `docs_budget_select`
+    * machinery, so no corpus-wide sort window anywhere.
+    *
+    * Determinism: both rank inputs are exact (integer margin; an
+    * exact-integer-ratio double), ranks are integers, and the fused
+    * score is the same two-term double expression in both engines.
+    * Scale shape: two [[exactRank]] passes + a doc-keyed join + a
+    * TakeOrdered top-k. */
+  def rankFusion(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"),
+        graft.functions.TextFunctions.distinctTokenCount(col("text"))
+          .as("n_uniq"))
+      .withColumn("ratio",
+        col("n_uniq").cast("double") / col("n_tok").cast("double"))
+    val margins = probeMargins(spark, dir).select(col("doc_id"), col("m2000"))
+    // descending ranks: rank ascending on the negated signal
+    val r1 = exactRank(spark,
+      margins.withColumn("neg_m", -col("m2000")), "neg_m", "r_margin")
+    val r2 = exactRank(spark,
+      docs.withColumn("neg_q", -col("ratio")), "neg_q", "r_quality")
+    r1.join(r2, Seq("doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("r_margin")) +
+          lit(1.0) / (lit(60.0) + col("r_quality")))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("r_margin"), col("r_quality"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** 2-fold CROSS-VALIDATED probe AUC — the generalization check the
     * in-sample [[probeAuc]] row cannot give (a memorizing probe scores
     * perfect AUC on its own training labels): labeled docs split by

@@ -1653,6 +1653,102 @@ object EventAnalytics {
       .orderBy(col("max_streak"))
   }
 
+  /** MARKOV removal-effect attribution — the marketing-science answer
+    * to [[attributionTouch]]'s naive first/last-touch split: user
+    * journeys (events up to and including the first purchase, or to
+    * journey end without one) define a channel transition chain with
+    * absorbing `conv` (purchase) and `end` (drop-off) states; a
+    * channel's credit is its REMOVAL EFFECT — how much the chain's
+    * conversion probability falls when every transition into that
+    * channel is redirected to drop-off (Anderl et al.'s framework).
+    * Conversion probability is the start-state mass absorbed in
+    * `conv` after 8 unrolled chain steps (truncation documented;
+    * mirrored exactly in the oracle), computed for the full chain and
+    * once per removed channel, all FIVE configurations sharing one
+    * transition census through a broadcast config axis.
+    *
+    * Determinism: transition probabilities are exact-count ratios;
+    * each step's mass products quantize to DECIMAL(28,12) before the
+    * per-state sums. Scale shape: the fact-scale work is ONE journey
+    * pass (per-user lead window, the sessionization shape); everything
+    * after lives on a ≤|channels|²·|configs| relation iterated 8
+    * times — constant-size algebra at any corpus size. */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    // journey truncation: keep each user's events up to and including
+    // the FIRST purchase (order by ts, event_id)
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fc"))
+    val journey = ev
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("fc").isNull ||
+        struct(col("ts"), col("event_id")) <= col("fc"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = journey
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("state"), 1).over(w))
+    val trans = steps.filter(col("rn") === 1)
+      .select(lit("start").as("from"), col("state").as("to"))
+      .unionByName(steps.filter(col("nxt").isNotNull)
+        .filter(col("state") =!= "conv")
+        .select(col("state").as("from"), col("nxt").as("to")))
+      .unionByName(steps.filter(col("nxt").isNull &&
+          col("state") =!= "conv")
+        .select(col("state").as("from"), lit("end").as("to")))
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+    val channels = Seq("view", "click", "signup", "error")
+    import ev.sparkSession.implicits._
+    val configs = ("full" +: channels).toDF("config")
+    // removal: transitions INTO the removed channel redirect to `end`;
+    // transitions OUT of it are dropped (the state is unreachable)
+    val confTrans = trans.crossJoin(broadcast(configs))
+      .filter(col("from") =!= col("config"))
+      .withColumn("to2",
+        when(col("to") === col("config"), lit("end")).otherwise(col("to")))
+      .groupBy(col("config"), col("from"), col("to2"))
+      .agg(sum(col("n")).as("n"))
+    val outTot = confTrans.groupBy(col("config"), col("from"))
+      .agg(sum(col("n")).as("tot"))
+    val probs = confTrans.join(outTot, Seq("config", "from"))
+      .select(col("config"), col("from"), col("to2").as("to"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      // absorbing self-loops keep conv/end mass in place
+      .unionByName(configs.select(col("config"), lit("conv").as("from"),
+        lit("conv").as("to"), lit(1.0).as("p")))
+      .unionByName(configs.select(col("config"), lit("end").as("from"),
+        lit("end").as("to"), lit(1.0).as("p")))
+      .localCheckpoint() // ≤ |states|²·|configs| rows, iterated 8 times
+    var v = configs.select(col("config"), lit("start").as("state"),
+      lit(1.0).as("m"))
+    for (_ <- 1 to 8) {
+      val vr = v.select(col("config").as("vc"), col("state").as("vs"),
+        col("m"))
+      v = vr.join(probs, vr("vc") === probs("config") &&
+          vr("vs") === probs("from"))
+        .groupBy(col("config"), col("to"))
+        .agg(sum((col("m") * col("p")).cast("decimal(28,12)"))
+          .cast("double").as("m"))
+        .select(col("config"), col("to").as("state"), col("m"))
+    }
+    val pConv = v.filter(col("state") === "conv")
+      .select(col("config"), col("m").as("p_conv"))
+    val full = pConv.filter(col("config") === "full")
+      .select(col("p_conv").as("p_full"))
+    pConv.filter(col("config") =!= "full")
+      .crossJoin(broadcast(full)) // 1-row full-chain scalar
+      .select(col("config").as("channel"),
+        round(col("p_full"), 6).as("p_full"),
+        round(col("p_conv"), 6).as("p_removed"),
+        round((col("p_full") - col("p_conv")) / col("p_full"), 6)
+          .as("removal_effect"))
+      .orderBy(col("channel"))
+  }
+
   /** Retention-curve DECAY fit — the `events_retention` triangle
     * collapsed to the one number a growth team tracks: pooled
     * retention r(t) = active users at day-offset t over total cohort

@@ -2235,6 +2235,49 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** ENTROPY RATE of the token stream per language — the
+    * information-theoretic compressibility floor [[tokenEntropy]]'s
+    * unigram number overstates: H(W₂|W₁) = H(W₁W₂) − H(W₁) (joint
+    * bigram entropy minus unigram entropy, both in nats over MLE
+    * frequencies), with the conditional perplexity e^H — the number of
+    * "effective next tokens" a bigram model faces, which is what
+    * decides whether context helps on this corpus (rate ≪ unigram
+    * entropy) or the stream is memoryless (rate ≈ unigram entropy).
+    *
+    * Determinism: counts exact; each −p·ln p term quantizes to
+    * DECIMAL(28,12) before its sum. Scale: one token pass and one
+    * bigram pass, both vocabulary-bounded aggs, |langs| output
+    * rows. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("t"))
+    val uni = docs.select(col("lang"), explode(col("t")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val bi = docs.select(col("lang"), explode(expr(
+      """filter(transform(sequence(1, size(t)),
+           i -> struct(element_at(t, i) AS w1, try_element_at(t, i + 1) AS w2)),
+         p -> p.w2 IS NOT NULL)""")).as("p"))
+      .groupBy(col("lang"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"))
+    def entropy(counts: DataFrame): DataFrame = {
+      val tot = counts.groupBy(col("lang")).agg(sum(col("n")).as("nt"))
+      counts.join(tot, Seq("lang"))
+        .withColumn("p", col("n").cast("double") / col("nt").cast("double"))
+        .groupBy(col("lang"))
+        .agg(sum((-col("p") * log(col("p"))).cast("decimal(28,12)"))
+          .cast("double").as("h"), max(col("nt")).as("nt"))
+    }
+    val h1 = entropy(uni).select(col("lang"), col("h").as("h1"),
+      col("nt").as("n_tokens"))
+    val h2 = entropy(bi).select(col("lang"), col("h").as("h2"))
+    h1.join(h2, Seq("lang"))
+      .select(col("lang"), col("n_tokens"),
+        round(col("h1"), 6).as("h_unigram"),
+        round(col("h2") - col("h1"), 6).as("h_rate"),
+        round(exp(col("h2") - col("h1")), 4).as("cond_perplexity"))
+      .orderBy(col("lang"))
+  }
+
   /** HEAPS'-LAW vocabulary growth — V(N) ≈ K·N^β measured on the
     * corpus, the number that predicts tokenizer vocabulary pressure at
     * 100 TB from a sample: ten ingestion checkpoints cut the corpus by

@@ -1714,4 +1714,131 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getBoolean(6) === (variance / mean > 1.5))
     }
   }
+
+  test("docs_rank_fusion equals a driver-side RRF replay over exact " +
+    "descending ranks") {
+    def bucket(w: String): Int =
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))(0) & 0xff) % 64
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val labels = Tables(spark, sf0001, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val tf = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).groupBy(bucket)
+        .map { case (j, ws) => (j, ws.length.toLong) }) }.toMap
+    val g2 = tf.toSeq.flatMap { case (id, m) =>
+      labels.get(id).toSeq.flatMap(l =>
+        m.map { case (j, x) => (j, (2L * l - 1) * x) })
+    }.groupBy(_._1).map { case (j, g) => (j, g.map(_._2).sum) }
+    val m2000 = docs.map { case (id, _) =>
+      (id, tf(id).map { case (j, x) => g2.getOrElse(j, 0L) * x }.sum) }
+    val ratio = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      (id, w.distinct.length.toDouble / w.length) }
+    def ranks[T](xs: Seq[(Long, T)])(implicit o: Ordering[T])
+        : Map[Long, Long] =
+      xs.sortBy { case (id, v) => (v, id) }(Ordering.Tuple2(o.reverse,
+        implicitly[Ordering[Long]]))
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toMap
+    val r1 = ranks(m2000)
+    val r2 = ranks(ratio)
+    val expected = docs.map(_._1).map { id =>
+      (id, r1(id), r2(id),
+        1.0 / (60 + r1(id)) + 1.0 / (60 + r2(id)))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = graft.operators.Curation.rankFusion(spark, sf0001).collect()
+    assert(got.length === 20)
+    got.zip(expected).foreach { case (r, (id, a, b, s)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((id, a, b)))
+      assert(math.abs(r.getDouble(3) - s) < 1e-6)
+    }
+  }
+
+  test("text_entropy_rate equals a driver-side MLE entropy replay and " +
+    "conditioning never increases entropy") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expected = docs.groupBy(_._1).map { case (lang, g) =>
+      val uni = g.flatMap(_._2)
+      val nt = uni.length.toLong
+      def h[K](xs: Seq[K]): Double = {
+        val n = xs.length.toDouble
+        xs.groupBy(identity).values
+          .map { grp => val p = grp.size / n; -p * math.log(p) }.sum
+      }
+      val bi = g.flatMap(d =>
+        if (d._2.length < 2) Seq.empty
+        else d._2.sliding(2).map(p => (p(0), p(1))).toSeq)
+      (lang, (nt, h(uni), h(bi) - h(uni)))
+    }
+    val got = TextAnalysis.entropyRate(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nt, h1, rate) = expected(r.getString(0))
+      assert(r.getLong(1) === nt)
+      assert(math.abs(r.getDouble(2) - h1) < 1e-4, s"${r.getString(0)} h1")
+      assert(math.abs(r.getDouble(3) - rate) < 1e-4)
+      assert(math.abs(r.getDouble(4) - math.exp(rate)) < 1e-2)
+      // H(W2|W1) <= H(W1): conditioning cannot increase entropy (MLE
+      // estimates share the property on the same sample)
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("events_attribution_markov equals a driver-side truncated-chain " +
+    "replay and every removal effect is a valid share") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val journeys = ev.groupBy(_._1).values.map { g =>
+      val ordered = g.toSeq.sortBy(e => (e._2.getTime, e._3))
+      val cut = ordered.indexWhere(_._4 == "purchase")
+      val states = (if (cut >= 0) ordered.take(cut + 1) else ordered)
+        .map(e => if (e._4 == "purchase") "conv" else e._4)
+      states
+    }.toSeq
+    val trans = journeys.flatMap { s =>
+      Seq(("start", s.head)) ++
+        s.zip(s.drop(1)).filter(_._1 != "conv") ++
+        (if (s.last != "conv") Seq((s.last, "end")) else Seq.empty)
+    }.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    def pConv(removed: Option[String]): Double = {
+      val ct = trans.toSeq
+        .filter { case ((f, _), _) => !removed.contains(f) }
+        .map { case ((f, t), n) =>
+          ((f, if (removed.contains(t)) "end" else t), n) }
+        .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+      val outT = ct.groupBy(_._1._1).map { case (f, g) =>
+        (f, g.values.sum) }
+      val p = ct.map { case ((f, t), n) =>
+        ((f, t), n.toDouble / outT(f)) } ++
+        Map(("conv", "conv") -> 1.0, ("end", "end") -> 1.0)
+      var v = Map("start" -> 1.0)
+      for (_ <- 1 to 8)
+        v = p.toSeq.flatMap { case ((f, t), pp) =>
+          v.get(f).map(m => (t, m * pp)) }
+          .groupBy(_._1).map { case (t, g) => (t, g.map(_._2).sum) }
+      v.getOrElse("conv", 0.0)
+    }
+    val pFull = pConv(None)
+    val got = EventAnalytics.attributionMarkov(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSeq ===
+      Seq("click", "error", "signup", "view"))
+    got.foreach { r =>
+      val pr = pConv(Some(r.getString(0)))
+      assert(math.abs(r.getDouble(1) - pFull) < 1e-5)
+      assert(math.abs(r.getDouble(2) - pr) < 1e-5, r.getString(0))
+      assert(math.abs(r.getDouble(3) - (pFull - pr) / pFull) < 1e-4)
+      // removing a channel can only LOWER the conversion probability
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
