@@ -413,7 +413,11 @@ object SparkEntry {
     "docs_rank_fusion" -> ((s, d) => Curation.rankFusion(s, d)),
     "text_entropy_rate" -> ((s, d) => TextAnalysis.entropyRate(s, d)),
     "events_attribution_markov" ->
-      ((s, d) => EventAnalytics.attributionMarkov(s, d))
+      ((s, d) => EventAnalytics.attributionMarkov(s, d)),
+    "sketch_hll_intersect" -> ((s, d) => Quality.hllIntersect(s, d)),
+    "sim_binary_recall" -> ((s, d) => Similarity.binaryRecall(s, d)),
+    "events_user_similarity" ->
+      ((s, d) => EventAnalytics.userSimilarity(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4284,6 +4288,86 @@ object SparkEntry {
            ROUND(h2 - h1, 6) AS h_rate,
            ROUND(exp(h2 - h1), 4) AS cond_perplexity
          FROM h1 JOIN h2 ON h1.lang = h2.lang ORDER BY h1.lang""",
+    // sketch_hll_intersect: exact set sides are the truth; the HLL
+    // inclusion-exclusion verdicts are asserted TRUE (the documented
+    // weaker sketch-gate, as sketch_hll)
+    "sketch_hll_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase')
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM (SELECT user_id FROM a UNION ALL SELECT user_id FROM b) u)
+             AS exact_union,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id))
+             AS exact_inter,
+           TRUE AS inter_within_bound, TRUE AS union_within_bound""",
+    "sim_binary_recall" ->
+      """WITH lanes AS (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS j
+           FROM embeddings),
+         packed AS (SELECT vec_id,
+             CAST(bit_or(CASE WHEN j <= 32 AND x > 0
+               THEN 1::BIGINT << (CAST(j AS INT) - 1) ELSE 0 END)
+               AS BIGINT) AS b_lo,
+             CAST(bit_or(CASE WHEN j > 32 AND x > 0
+               THEN 1::BIGINT << (CAST(j AS INT) - 33) ELSE 0 END)
+               AS BIGINT) AS b_hi
+           FROM lanes GROUP BY 1),
+         q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+             p.b_lo AS q_lo, p.b_hi AS q_hi
+           FROM embeddings e JOIN packed p USING (vec_id)
+           WHERE e.vec_id < 5),
+         bt AS (SELECT q_id, vec_id FROM (
+             SELECT q.q_id, p.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY bit_count(xor(p.b_lo, q.q_lo))
+                   + bit_count(xor(p.b_hi, q.q_hi)), p.vec_id) AS rn
+             FROM packed p CROSS JOIN q WHERE p.vec_id <> q.q_id) z
+           WHERE rn <= 10),
+         tt AS (SELECT q_id, vec_id FROM (
+             SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.q_emb)
+                   DESC, e.vec_id) AS rn
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) z
+           WHERE rn <= 10),
+         hits AS (SELECT bt.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM bt JOIN tt ON bt.q_id = tt.q_id AND bt.vec_id = tt.vec_id
+           GROUP BY 1)
+         SELECT q.q_id, COALESCE(n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10, 6)
+             AS recall_at_10
+         FROM q LEFT JOIN hits ON q.q_id = hits.q_id ORDER BY q.q_id""",
+    "events_user_similarity" ->
+      """WITH c AS (SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         v AS (SELECT user_id, event_type AS dom FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+             FROM c) z WHERE rn = 1),
+         s AS (SELECT user_id, CAST(SUM(n * n) AS BIGINT) AS nsq
+           FROM c GROUP BY 1),
+         w AS (SELECT c.user_id, dom, event_type, n, nsq
+           FROM c JOIN v USING (user_id) JOIN s USING (user_id)),
+         p AS (SELECT a.dom, a.user_id AS u1, b.user_id AS u2,
+             a.nsq AS s1, b.nsq AS s2,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+           FROM w a JOIN w b ON a.dom = b.dom
+             AND a.event_type = b.event_type AND a.user_id < b.user_id
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT u1, u2, dom AS shared_block,
+           ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(s1 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))), 6)
+             AS cos
+         FROM p
+         ORDER BY CAST(dot AS DOUBLE)
+           / (sqrt(CAST(s1 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) DESC,
+           u1, u2
+         LIMIT 20""",
     "events_attribution_markov" -> {
       val rounds = (1 to 8).map { i =>
         s""",

@@ -1799,6 +1799,45 @@ object EventAnalytics {
       .orderBy(col("t"))
   }
 
+  /** Behavioral USER-SIMILARITY pairs — users as 5-dim event-type
+    * count vectors, cosine-matched within dominant-type BLOCKS (each
+    * user's argmax type, ties lexicographic — the blocking key that
+    * keeps the pair space sub-quadratic at 100 TB, where a second key
+    * like activity decile would be added; cross-block pairs are
+    * deliberately out of scope, the standard blocking trade): the
+    * top-20 most-similar user pairs with their shared block — the
+    * lookalike primitive behind audience expansion.
+    *
+    * Determinism: dots and squared norms are exact integer sums;
+    * cosine is one double expression; ranking ties break (u1, u2).
+    * Scale shape: one user-grain count agg, a |types|-bounded argmax,
+    * a blocked self-join, a TakeOrdered top-k. */
+  def userSimilarity(spark: SparkSession, dir: String,
+                     k: Int = 20): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val vecs = counts.groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), struct(-col("n"), col("event_type")))
+          .as("dom"),
+        sum(col("n") * col("n")).as("nsq"))
+    val withDom = counts.join(vecs, "user_id")
+    val a = withDom.select(col("dom"), col("event_type"),
+      col("user_id").as("u1"), col("n").as("n1"), col("nsq").as("s1"))
+    val b = withDom.select(col("dom"), col("event_type"),
+      col("user_id").as("u2"), col("n").as("n2"), col("nsq").as("s2"))
+    a.join(b, Seq("dom", "event_type"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("dom"), col("u1"), col("u2"), col("s1"), col("s2"))
+      .agg(sum(col("n1") * col("n2")).as("dot"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("s1").cast("double")) * sqrt(col("s2").cast("double"))))
+      .orderBy(col("cos").desc, col("u1"), col("u2"))
+      .limit(k)
+      .select(col("u1"), col("u2"), col("dom").as("shared_block"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** DISPERSION census of the daily event-count series — the
     * variance-to-mean ratio (index of dispersion) per event type: 1
     * for a Poisson arrival process, materially above 1 for bursty

@@ -93,6 +93,52 @@ object Quality {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** HLL SET-OPERATION estimate — distinct-set INTERSECTION by
+    * inclusion–exclusion over mergeable sketches (|A∩B| ≈ |A|ₑ + |B|ₑ
+    * − |A∪B|ₑ, the standard trick since HLLs only union): how many
+    * users both browsed and bought, estimated without ever shuffling
+    * the exact sets together, gated against the exact intersection.
+    * The union estimate comes from merging the two per-set sketches —
+    * the re-aggregation property [[sketchHll]] proves, applied to set
+    * algebra. Verdict bound is union-relative (inclusion–exclusion
+    * error scales with the union, not the intersection — the honest
+    * framing of why small intersections of big sets are hard for this
+    * estimator).
+    *
+    * Scale shape: two sketch aggs + one merge (constant-size state);
+    * the exact sides are the truth gate only. */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"))
+    val a = users("view")
+    val b = users("purchase")
+    val skA = a.agg(hll_sketch_agg(col("user_id")).as("ska"),
+      countDistinct(col("user_id")).as("exact_a"))
+    val skB = b.agg(hll_sketch_agg(col("user_id")).as("skb"),
+      countDistinct(col("user_id")).as("exact_b"))
+    val exactInter = a.distinct().join(b.distinct(), "user_id")
+      .agg(count(lit(1)).as("exact_inter"))
+    val exactUnion = a.union(b)
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    skA.crossJoin(skB).crossJoin(broadcast(exactInter))
+      .crossJoin(broadcast(exactUnion)) // all 1-row scalars
+      .withColumn("est_a", hll_sketch_estimate(col("ska")))
+      .withColumn("est_b", hll_sketch_estimate(col("skb")))
+      .withColumn("est_union", hll_sketch_estimate(
+        hll_union(col("ska"), col("skb"))))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"),
+        (abs(col("est_inter") - col("exact_inter").cast("double"))
+          <= col("exact_union").cast("double") * 0.05)
+          .as("inter_within_bound"),
+        (abs(col("est_union") - col("exact_union").cast("double"))
+          <= col("exact_union").cast("double") * 0.05)
+          .as("union_within_bound"))
+  }
+
   /** Heavy-hitter corpus tokens via the Misra-Gries frequent-items
     * sketch ([[graft.expressions.FreqSketchAgg]]), gated against exact
     * counts — the second re-aggregatable sketch alongside

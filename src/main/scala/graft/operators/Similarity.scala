@@ -524,6 +524,61 @@ object Similarity {
       .orderBy(col("iter"))
   }
 
+  /** BINARY-quantization recall — the 1-bit-per-dimension rung below
+    * [[quantSweep]]'s int4 (sign bits pack 64 dims into ONE int64;
+    * 32x smaller than f32, and candidate scoring becomes a single
+    * XOR+popcount): recall@10 of Hamming-distance ranking over the
+    * packed sign bits against the exact f32-cosine ground truth, per
+    * query — the memory-floor operating point every binary-embedding
+    * deployment reads first.
+    *
+    * Determinism: the sign test is a float-zero comparison (exact in
+    * both engines), packing is a bitwise-OR fold, Hamming is
+    * bit_count(xor) — all integers; ranks tie-break on vec_id. Scale
+    * shape: one narrow packing map (corpus → 8 bytes/vector), the
+    * 5-query broadcast, per-query ≤10 rank windows. */
+  def binaryRecall(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    // two 32-bit halves: a 1L << 63 pack would overflow the oracle
+    // engine's checked shift, and 32-bit lanes mirror exactly
+    def half(lo: Int): String =
+      s"""aggregate(zip_with(slice(embedding, $lo, 32), sequence(0, 31),
+           (x, j) -> IF(x > CAST(0.0 AS FLOAT), shiftleft(1L, j), 0L)),
+         0L, (acc, b) -> acc | b)"""
+    val packed = e.select(col("vec_id"), col("embedding"),
+      expr(half(1)).as("b_lo"), expr(half(33)).as("b_hi"))
+    val q = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val binTop = packed.join(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(b_lo ^ q_lo) + bit_count(b_hi ^ q_hi) AS BIGINT)"))
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    val truth = e.join(broadcast(q.select(col("q_id"), col("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim_raw", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = binTop.join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_10"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding DIMENSION-truncation sweep (the Matryoshka / MRL serving
     * knob): recall@10 of brute-force cosine over the first d ∈
     * {16, 32, 64} coordinates against the full-dimension ground truth

@@ -1841,4 +1841,92 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("sketch_hll_intersect exact sides equal a driver-side set replay " +
+    "and the inclusion-exclusion estimate is within its bound") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val a = ev.filter(_._1 == "view").map(_._2).toSet
+    val b = ev.filter(_._1 == "purchase").map(_._2).toSet
+    val got = graft.operators.Quality.hllIntersect(spark, sf0001)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) ===
+      ((a.size.toLong, b.size.toLong)))
+    assert(got.getLong(2) === (a ++ b).size.toLong)
+    assert(got.getLong(3) === (a intersect b).size.toLong)
+    assert(got.getBoolean(4), "intersection estimate out of bound")
+    assert(got.getBoolean(5), "union estimate out of bound")
+  }
+
+  test("sim_binary_recall equals a driver-side sign-bit Hamming replay") {
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bits(e: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 32) if (e(j) > 0) lo |= (1L << j)
+      for (j <- 32 until 64) if (e(j) > 0) hi |= (1L << (j - 32))
+      (lo, hi)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val packed = embs.map { case (v, e) => (v, bits(e)) }.toMap
+    val expected = (0L until 5L).map { qid =>
+      val (qlo, qhi) = packed(qid)
+      val qe = embs.find(_._1 == qid).get._2
+      val binTop = embs.filter(_._1 != qid).map { case (v, _) =>
+        val (lo, hi) = packed(v)
+        (v, java.lang.Long.bitCount(lo ^ qlo) +
+          java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy { case (v, h) => (h, v) }.take(10).map(_._1).toSet
+      val truth = embs.filter(_._1 != qid)
+        .map { case (v, e) => (v, cos(e, qe)) }
+        .sortBy { case (v, s) => (-s, v) }.take(10).map(_._1).toSet
+      (qid, (binTop intersect truth).size.toLong)
+    }
+    val got = Similarity.binaryRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("events_user_similarity equals a driver-side blocked cosine " +
+    "replay") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = ev.groupBy(identity).map { case ((u, t), g) =>
+      ((u, t), g.size.toLong) }
+    val byUser = counts.groupBy(_._1._1).map { case (u, g) =>
+      (u, g.map { case ((_, t), n) => (t, n) }.toMap) }
+    val dom = byUser.map { case (u, m) =>
+      (u, m.toSeq.minBy { case (t, n) => (-n, t) }._1) }
+    val nsq = byUser.map { case (u, m) =>
+      (u, m.values.map(n => n * n).sum) }
+    val users = byUser.keys.toSeq
+    val pairs = for {
+      i <- users.indices; j <- users.indices
+      u1 = users(i); u2 = users(j)
+      if u1 < u2 && dom(u1) == dom(u2)
+    } yield {
+      val m1 = byUser(u1); val m2 = byUser(u2)
+      val dot = m1.keySet.intersect(m2.keySet).toSeq
+        .map(t => m1(t) * m2(t)).sum
+      (u1, u2, dom(u1),
+        dot.toDouble / (math.sqrt(nsq(u1).toDouble) *
+          math.sqrt(nsq(u2).toDouble)))
+    }
+    val expected = pairs.sortBy { case (u1, u2, _, c) => (-c, u1, u2) }
+      .take(20)
+    val got = EventAnalytics.userSimilarity(spark, sf0001).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (u1, u2, d, c)) =>
+      assert((r.getLong(0), r.getLong(1), r.getString(2)) === ((u1, u2, d)))
+      assert(math.abs(r.getDouble(3) - c) < 1e-6)
+      assert(r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
 }
