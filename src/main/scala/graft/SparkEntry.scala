@@ -417,7 +417,11 @@ object SparkEntry {
     "sketch_hll_intersect" -> ((s, d) => Quality.hllIntersect(s, d)),
     "sim_binary_recall" -> ((s, d) => Similarity.binaryRecall(s, d)),
     "events_user_similarity" ->
-      ((s, d) => EventAnalytics.userSimilarity(s, d))
+      ((s, d) => EventAnalytics.userSimilarity(s, d)),
+    "stream_hll_distinct" ->
+      ((s, d) => StreamingAnalytics.streamHllDistinct(s, d)),
+    "graph_conductance" -> ((s, d) => Graph.conductance(s, d)),
+    "events_ab_cuped" -> ((s, d) => EventAnalytics.abCuped(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -4304,6 +4308,116 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id))
              AS exact_inter,
            TRUE AS inter_within_bound, TRUE AS union_within_bound""",
+    // stream_hll_distinct: exact cumulative distincts are the truth;
+    // the maintained-sketch verdict is asserted TRUE (the documented
+    // weaker sketch-gate)
+    "stream_hll_distinct" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events)
+         SELECT CAST(2 AS BIGINT) AS n_increments,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events, t0 WHERE ts < t0 + INTERVAL 15 DAY)
+             AS exact_inc1,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_total,
+           TRUE AS est_within_bound""",
+    "graph_conductance" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         sym AS (SELECT node, nbr, SUM(w) AS w FROM (
+             SELECT src AS node, dst AS nbr, w FROM edges
+             UNION ALL SELECT dst, src, w FROM edges) t
+           GROUP BY 1, 2),
+         tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+         nbrs AS (SELECT node, nbr, w FROM sym, tot
+           WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
+             >= CAST(tw AS HUGEINT)),
+         l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+         a1 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l0 l ON n.nbr = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l1 l ON n.nbr = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
+         nodes AS (SELECT DISTINCT node FROM sym),
+         comm AS (SELECT n.node, COALESCE(l2.lbl, n.node) AS community
+           FROM nodes n LEFT JOIN l2 ON n.node = l2.node),
+         m2 AS (SELECT SUM(w) AS tw FROM sym),
+         fl AS (SELECT s.node, s.nbr, s.w, ca.community, cb.community AS c2
+           FROM sym s JOIN comm ca ON s.node = ca.node
+             JOIN comm cb ON s.nbr = cb.node),
+         cut AS (SELECT community, SUM(w) AS cut_w FROM fl
+           WHERE community <> c2 GROUP BY 1),
+         vol AS (SELECT community, SUM(w) AS vol_w FROM fl GROUP BY 1),
+         np AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM comm GROUP BY 1)
+         SELECT np.community, n_nodes,
+           CAST(COALESCE(cut_w, 0) AS BIGINT) AS cut_w,
+           CAST(COALESCE(vol_w, 0) AS BIGINT) AS vol_w,
+           ROUND(CASE WHEN LEAST(COALESCE(vol_w, 0),
+               tw - COALESCE(vol_w, 0)) > 0
+             THEN CAST(COALESCE(cut_w, 0) AS DOUBLE)
+               / CAST(LEAST(COALESCE(vol_w, 0), tw - COALESCE(vol_w, 0))
+                 AS DOUBLE) END, 6) AS conductance
+         FROM np LEFT JOIN vol USING (community)
+           LEFT JOIN cut USING (community), m2
+         ORDER BY np.community""",
+    "events_ab_cuped" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+           FROM events, t0 WHERE event_type = 'purchase'
+             AND ts < t0 + INTERVAL 7 DAY GROUP BY 1),
+         y AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS y
+           FROM events, t0 WHERE event_type = 'purchase'
+             AND ts >= t0 + INTERVAL 7 DAY
+             AND ts < t0 + INTERVAL 14 DAY GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events),
+         users AS (SELECT u.user_id, COALESCE(x, 0) AS x,
+             COALESCE(y, 0) AS y,
+             CASE WHEN u.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM u LEFT JOIN x USING (user_id) LEFT JOIN y USING (user_id)),
+         fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM users),
+         th AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+           FROM fit),
+         adj AS (SELECT arm, y,
+             CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - mx) AS ya,
+             theta
+           FROM users, th),
+         g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(CAST(ya AS DECIMAL(28,12))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(ya * ya AS DECIMAL(28,12))) AS DOUBLE) AS saa,
+             MAX(theta) AS theta
+           FROM adj GROUP BY 1),
+         z AS (SELECT *,
+             CAST(n * syy - sy * sy AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS var_y,
+             (CAST(n AS DOUBLE) * saa - sa * sa)
+               / CAST(n * (n - 1) AS DOUBLE) AS var_ya
+           FROM g)
+         SELECT arm, n AS n_users,
+           ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+           ROUND(sa / n, 6) AS mean_y_adj,
+           ROUND(var_y, 6) AS var_y,
+           ROUND(var_ya, 6) AS var_y_adj,
+           ROUND(1 - var_ya / var_y, 6) AS var_reduction,
+           ROUND(theta, 6) AS theta
+         FROM z ORDER BY arm""",
     "sim_binary_recall" ->
       """WITH lanes AS (SELECT vec_id, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS j

@@ -1799,6 +1799,71 @@ object EventAnalytics {
       .orderBy(col("t"))
   }
 
+  /** CUPED variance reduction for the A/B readout — the adjustment
+    * every mature experimentation platform applies before the t-test:
+    * the week-2 purchase count (the metric) is debiased by each
+    * user's week-1 purchase count (the pre-period covariate),
+    * Y′ = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) fit on the pooled
+    * sample; the payoff is the variance-reduction column — how much
+    * tighter the same experiment reads after adjustment, for free.
+    * Arms are [[abTest]]'s user-parity split.
+    *
+    * Determinism: θ is an exact-integer ratio ((nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²)); adjusted values are per-user double expressions over
+    * exact ints and θ; variance sums quantize per-user to
+    * DECIMAL(28,12). Scale: two user-grain count aggs, one pooled
+    * 1-row fit, one arm-grain census. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0)) // 1-row epoch scalar
+    def purchases(cond: Column): DataFrame = based.filter(cond)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val wk = (n: Int) => col("t0") + expr(s"INTERVAL $n DAYS")
+    val x = purchases(col("ts") < wk(7)).withColumnRenamed("n", "x")
+    val y = purchases(col("ts") >= wk(7) && col("ts") < wk(14))
+      .withColumnRenamed("n", "y")
+    val users = ev.select(col("user_id")).distinct()
+      .join(x, Seq("user_id"), "left").join(y, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"))
+    val fit = users.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("theta"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mx"))
+    val adj = users.crossJoin(broadcast(fit)) // 1-row θ scalar
+      .withColumn("ya", col("y").cast("double") -
+        col("theta") * (col("x").cast("double") - col("mx")))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("ya").cast("decimal(28,12)")).cast("double").as("sa"),
+        sum((col("ya") * col("ya")).cast("decimal(28,12)")).cast("double")
+          .as("saa"),
+        max(col("theta")).as("theta"))
+      .withColumn("var_y",
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"))
+      .withColumn("var_ya",
+        (col("n").cast("double") * col("saa") - col("sa") * col("sa")) /
+          (col("n") * (col("n") - 1)).cast("double"))
+      .select(col("arm"), col("n").as("n_users"),
+        round(col("sy").cast("double") / col("n"), 6).as("mean_y"),
+        round(col("sa") / col("n"), 6).as("mean_y_adj"),
+        round(col("var_y"), 6).as("var_y"),
+        round(col("var_ya"), 6).as("var_y_adj"),
+        round(lit(1.0) - col("var_ya") / col("var_y"), 6)
+          .as("var_reduction"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy(col("arm"))
+  }
+
   /** Behavioral USER-SIMILARITY pairs — users as 5-dim event-type
     * count vectors, cosine-matched within dominant-type BLOCKS (each
     * user's argmax type, ties lexicographic — the blocking key that

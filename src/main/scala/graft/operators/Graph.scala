@@ -98,6 +98,51 @@ object Graph {
       .orderBy(col("pagerank").desc, col("n_name"))
   }
 
+  /** CONDUCTANCE of [[labelPropNations]]' communities — the cut-based
+    * quality measure beside [[modularity]]'s null-model one (a
+    * partition can score well on one and poorly on the other; reading
+    * both is the standard practice): per community, boundary cut
+    * weight (symmetrized edges leaving the community), internal
+    * volume (sum of member strengths), and φ = cut / min(vol, 2m −
+    * vol) — low φ means a real cluster, φ near 1 means the "community"
+    * is mostly boundary.
+    *
+    * All weights are exact integer hundredths; one double division
+    * per community. Scale shape inherits [[modularity]] verbatim: one
+    * fact pass, then nation-bounded algebra with the community map
+    * broadcast twice. */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val sym = symTradeEdges(spark, dir)
+    val comm = labelPropNations(spark, dir)
+      .select(col("node"), col("community"))
+    val m2 = sym.agg(sum(col("w")).as("tw"))
+    val flagged = sym
+      .join(broadcast(comm), Seq("node"))
+      .join(broadcast(comm.select(col("node").as("nbr"),
+        col("community").as("c2"))), Seq("nbr"))
+    val cut = flagged.filter(col("community") =!= col("c2"))
+      .groupBy(col("community")).agg(sum(col("w")).as("cut_w"))
+    val vol = flagged.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_incidences"), sum(col("w")).as("vol_w"))
+    val nodesPer = comm.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodesPer.join(vol, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(m2)) // 1-row total-volume scalar
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("cut_w"), lit(0L)).cast("long").as("cut_w"),
+        coalesce(col("vol_w"), lit(0L)).cast("long").as("vol_w"),
+        // a whole-graph community has min(vol, 2m - vol) = 0: emit NULL
+        // rather than a cross-engine 0/0
+        round(when(least(coalesce(col("vol_w"), lit(0L)),
+            col("tw") - coalesce(col("vol_w"), lit(0L))) > 0,
+          coalesce(col("cut_w"), lit(0L)).cast("double") /
+            least(coalesce(col("vol_w"), lit(0L)),
+              col("tw") - coalesce(col("vol_w"), lit(0L))).cast("double")),
+          6).as("conductance"))
+      .orderBy(col("community"))
+  }
+
   /** PERSONALIZED PageRank from one seed nation — the "importance
     * relative to me" ranking behind related-item panels and local graph
     * exploration, versus [[pagerankNations]]' global prestige: the

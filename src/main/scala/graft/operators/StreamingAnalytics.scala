@@ -1072,6 +1072,68 @@ object StreamingAnalytics {
     out.orderBy(col("user_id"))
   }
 
+  /** Streaming DISTINCT-count maintenance — an HLL sketch carried
+    * across micro-batches ([[Quality.sketchHll]]'s re-aggregation
+    * property exercised as actual streaming state): each batch
+    * sketches its own distinct users and MERGES into the persisted
+    * sketch binary (union is the only operation a sketch store needs),
+    * and the final maintained estimate is gated against the exact
+    * corpus distinct count — a sketch that drifted, double-merged, or
+    * lost a batch lands outside the 5% rail. State is ONE sketch
+    * binary (~KBs) at any corpus size.
+    *
+    * Output also carries the per-increment exact cumulative distincts
+    * so the oracle pins the growth trajectory, not just the end
+    * state. */
+  def streamHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val ev = graft.Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0"),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inc = batch.agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged =
+          if (lastState < 0) inc
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(inc)
+            .agg(hll_union_agg(col("sk")).as("sk"))
+        merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_hll_distinct: no micro-batch ran")
+    val state = spark.read.parquet(s"$root/state_v$lastState")
+      .localCheckpoint()
+    deleteTree(root)
+    val cut = col("t0") + expr("INTERVAL 15 DAYS")
+    val exact1 = based.filter(col("ts") < cut)
+      .agg(countDistinct(col("user_id")).as("exact_inc1"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+    state.select(hll_sketch_estimate(col("sk")).as("est"))
+      .crossJoin(broadcast(exact1)).crossJoin(broadcast(exactAll))
+      .select(lit(2L).as("n_increments"), col("exact_inc1"),
+        col("exact_total"),
+        (abs(col("est") - col("exact_total").cast("double"))
+          <= col("exact_total").cast("double") * 0.05)
+          .as("est_within_bound"))
+  }
+
   /** Streaming MINI-BATCH k-means — the Lloyd loop run the way a
     * growing vector corpus forces ([[Similarity.kmeansLloydTwo]]'s
     * kernel with carried state): embeddings arrive as two staged

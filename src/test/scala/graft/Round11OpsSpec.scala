@@ -1929,4 +1929,94 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getDouble(3) <= 1.0 + 1e-9)
     }
   }
+
+  test("stream_hll_distinct exact sides equal a driver-side replay and " +
+    "the maintained sketch lands in bound") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val cut = ev.map(_._1.getTime).min + 15L * 86400 * 1000
+    val got = graft.operators.StreamingAnalytics
+      .streamHllDistinct(spark, sf0001).collect().head
+    assert(got.getLong(0) === 2L)
+    assert(got.getLong(1) ===
+      ev.filter(_._1.getTime < cut).map(_._2).distinct.length.toLong)
+    assert(got.getLong(2) === ev.map(_._2).distinct.length.toLong)
+    assert(got.getBoolean(3), "maintained HLL estimate out of bound")
+  }
+
+  test("graph_conductance equals a first-principles cut-volume replay " +
+    "over the symmetrized graph") {
+    val sym = graft.operators.Graph.symTradeEdges(spark, sf0001)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, BigInt(r.getDecimal(2).toBigInteger)))
+    val comm = graft.operators.Graph.labelPropNations(spark, sf0001)
+      .select(col("node"), col("community")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toMap
+    val tw = sym.map(_._3).sum
+    val byComm = comm.values.toSeq.distinct.map { c =>
+      val cut = sym.filter { case (a, b, _) =>
+        comm(a) == c && comm(b) != c }.map(_._3).sum
+      val vol = sym.filter { case (a, _, _) => comm(a) == c }.map(_._3).sum
+      (c, (comm.count(_._2 == c).toLong, cut, vol))
+    }.toMap
+    val got = graft.operators.Graph.conductance(spark, sf0001).collect()
+    assert(got.length === byComm.size)
+    got.foreach { r =>
+      val c = r.getAs[Number](0).longValue
+      val (nn, cut, vol) = byComm(c)
+      assert(r.getLong(1) === nn, s"community $c")
+      assert(r.getLong(2) === cut.toLong)
+      assert(r.getLong(3) === vol.toLong)
+      val denom = vol.min(tw - vol)
+      if (denom > 0) {
+        val phi = cut.toDouble / denom.toDouble
+        assert(math.abs(r.getDouble(4) - phi) < 1e-6)
+        assert(r.getDouble(4) >= 0.0)
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("events_ab_cuped equals a driver-side theta-fit replay and " +
+    "never inflates variance") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2)))
+    val t0 = ev.map(_._1).min
+    val d7 = 7L * 86400 * 1000
+    val users = ev.map(_._2).distinct
+    def cnt(lo: Long, hi: Long): Map[Long, Long] =
+      ev.filter(e => e._3 == "purchase" && e._1 >= lo && e._1 < hi)
+        .groupBy(_._2).map { case (u, g) => (u, g.length.toLong) }
+    val xs = cnt(Long.MinValue, t0 + d7)
+    val ys = cnt(t0 + d7, t0 + 2 * d7)
+    val rows = users.map(u =>
+      (u, xs.getOrElse(u, 0L), ys.getOrElse(u, 0L),
+        if (u % 2 == 0) "A" else "B"))
+    val n = rows.length.toLong
+    val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+    val sxy = rows.map(r => r._2 * r._3).sum
+    val sxx = rows.map(r => r._2 * r._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val mx = sx.toDouble / n
+    val got = EventAnalytics.abCuped(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("A", "B"))
+    got.foreach { r =>
+      val arm = rows.filter(_._4 == r.getString(0))
+      val na = arm.length.toLong
+      val ya = arm.map(a => a._3.toDouble - theta * (a._2 - mx))
+      assert(r.getLong(1) === na)
+      assert(math.abs(r.getDouble(2) - arm.map(_._3).sum.toDouble / na)
+        < 1e-6)
+      assert(math.abs(r.getDouble(3) - ya.sum / na) < 1e-5)
+      val varY = (na * arm.map(a => a._3 * a._3).sum -
+        arm.map(_._3).sum * arm.map(_._3).sum).toDouble / (na * (na - 1))
+      assert(math.abs(r.getDouble(4) - varY) < 1e-4)
+      assert(math.abs(r.getDouble(7) - theta) < 1e-5)
+      // CUPED cannot inflate variance when theta is the pooled OLS
+      // coefficient and the arms are balanced random splits
+      assert(r.getDouble(6) > -0.05, s"arm ${r.getString(0)} inflated")
+    }
+  }
 }
