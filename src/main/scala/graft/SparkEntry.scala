@@ -421,7 +421,11 @@ object SparkEntry {
     "stream_hll_distinct" ->
       ((s, d) => StreamingAnalytics.streamHllDistinct(s, d)),
     "graph_conductance" -> ((s, d) => Graph.conductance(s, d)),
-    "events_ab_cuped" -> ((s, d) => EventAnalytics.abCuped(s, d))
+    "events_ab_cuped" -> ((s, d) => EventAnalytics.abCuped(s, d)),
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    "events_rolling_actives" ->
+      ((s, d) => EventAnalytics.rollingActives(s, d)),
+    "graph_bfs_knn" -> ((s, d) => Graph.bfsKnn(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -6805,7 +6809,109 @@ object SparkEntry {
              ROUND(CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
                / CAST(SUM(n_tok) AS DOUBLE), 6) END AS removed_frac
          FROM base LEFT JOIN cov USING (doc_id)
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "text_winnowing" ->
+      """WITH g AS (SELECT doc_id, source, n_grams,
+             unnest(l) AS h, generate_subscripts(l, 1) AS p
+           FROM (SELECT doc_id, source, length(text) - 7 AS n_grams,
+               CASE WHEN length(text) >= 8
+                 THEN [md5(substr(text, i, 8))
+                       for i in range(1, length(text) - 6)]
+                 ELSE []::VARCHAR[] END AS l
+             FROM documents) t),
+         sel AS (SELECT doc_id, source, n_grams, p,
+             MIN(h || lpad(CAST(1000000 - p AS VARCHAR), 7, '0'))
+               OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id, source, n_grams, wkey
+           FROM sel WHERE p <= n_grams - 3),
+         fph AS (SELECT doc_id, source, n_grams,
+             substr(wkey, 1, 32) AS hash FROM fp),
+         perdoc AS (SELECT doc_id, source,
+             MAX(n_grams - 3) AS n_windows,
+             CAST(COUNT(*) AS BIGINT) AS n_fp
+           FROM fph GROUP BY 1, 2),
+         hd AS (SELECT source, hash,
+             COUNT(DISTINCT doc_id) AS df FROM fph GROUP BY 1, 2),
+         sharing AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_hash_distinct,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hash_shared
+           FROM hd GROUP BY 1)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+           CAST(SUM(n_fp) AS BIGINT) AS n_fp,
+           ROUND(CAST(SUM(n_fp) AS DOUBLE) / SUM(n_windows), 6)
+             AS density,
+           MAX(s.n_hash_distinct) AS n_hash_distinct,
+           MAX(s.n_hash_shared) AS n_hash_shared
+         FROM perdoc p JOIN sharing s USING (source)
+         GROUP BY p.source ORDER BY p.source""",
+    "events_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         days AS (SELECT DISTINCT d FROM ud),
+         ex AS (SELECT user_id, off,
+             d + CAST(off AS INTEGER) AS gd
+           FROM ud CROSS JOIN range(28) t(off)),
+         agg AS (SELECT gd,
+             CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END)
+               AS BIGINT) AS dau,
+             CAST(COUNT(DISTINCT CASE WHEN off <= 6 THEN user_id END)
+               AS BIGINT) AS wau7,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau28
+           FROM ex JOIN days ON ex.gd = days.d GROUP BY 1)
+         SELECT strftime(gd, '%Y-%m-%d') AS day, dau, wau7, mau28,
+           ROUND(CAST(dau AS DOUBLE) / wau7, 6) AS dau_wau
+         FROM agg ORDER BY day""",
+    "graph_bfs_knn" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         sym AS (SELECT DISTINCT label, v1, v2 FROM (
+             SELECT label, v1, v2 FROM knn
+             UNION ALL SELECT label, v2, v1 FROM knn) u),
+         nodes AS (SELECT label, vec_id AS node FROM embeddings),
+         d0 AS (SELECT label, MIN(node) AS node FROM nodes GROUP BY 1),
+         f1 AS (SELECT DISTINCT s.label, s.v2 AS node
+           FROM sym s JOIN d0 ON s.label = d0.label AND s.v1 = d0.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = s.label AND x.node = s.v2)),
+         f2 AS (SELECT DISTINCT s.label, s.v2 AS node
+           FROM sym s JOIN f1 ON s.label = f1.label AND s.v1 = f1.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = s.label AND x.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f1 y
+               WHERE y.label = s.label AND y.node = s.v2)),
+         f3 AS (SELECT DISTINCT s.label, s.v2 AS node
+           FROM sym s JOIN f2 ON s.label = f2.label AND s.v1 = f2.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = s.label AND x.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f1 y
+               WHERE y.label = s.label AND y.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f2 z
+               WHERE z.label = s.label AND z.node = s.v2)),
+         allv AS (SELECT label, node, 0 AS dist FROM d0
+           UNION ALL SELECT label, node, 1 FROM f1
+           UNION ALL SELECT label, node, 2 FROM f2
+           UNION ALL SELECT label, node, 3 FROM f3
+           UNION ALL SELECT n.label, n.node, -1 FROM nodes n
+             WHERE NOT EXISTS (SELECT 1 FROM d0 a
+                 WHERE a.label = n.label AND a.node = n.node)
+               AND NOT EXISTS (SELECT 1 FROM f1 b
+                 WHERE b.label = n.label AND b.node = n.node)
+               AND NOT EXISTS (SELECT 1 FROM f2 c
+                 WHERE c.label = n.label AND c.node = n.node)
+               AND NOT EXISTS (SELECT 1 FROM f3 e
+                 WHERE e.label = n.label AND e.node = n.node))
+         SELECT label, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM allv GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2063,4 +2063,41 @@ object EventAnalytics {
         round(col("factor"), 6).as("factor"), col("survival"))
       .orderBy(col("t_day"))
   }
+
+  /** ROLLING active-user time series — DAU and trailing 7- and 28-day
+    * distinct actives per calendar day, the growth-curve companion to
+    * [[stickiness]]' per-week ratio (this is the row a dashboard plots
+    * daily; dips in wau7 lead churn by a week). Ratio column =
+    * dau / wau7, the daily-grain stickiness.
+    *
+    * A sliding COUNT DISTINCT cannot use the first-appearance
+    * decomposition ([[reachCurve]]) because users re-enter windows, so
+    * the scale-safe plan is the bounded EXPANSION join: the corpus
+    * collapses to DISTINCT (user, day) once, each row then explodes to
+    * the ≤ 28 grid days it contributes to (a pure equi-shuffle on grid
+    * day — no range join, no nested loop), and the per-grid-day
+    * distinct runs hash-partitioned by day. Expansion factor = window
+    * length (a constant), grid days are calendar-bounded, trailing
+    * partial windows past the observed calendar are dropped by the
+    * observed-day semi join. */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d")).distinct()
+    val ex = ud.select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(27))).as("off"))
+      .select(col("user_id"), col("off"),
+        date_add(col("d"), col("off")).as("gd"))
+    ex.join(days.select(col("d").as("gd")), Seq("gd"), "left_semi")
+      .groupBy(col("gd"))
+      .agg(
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("off") <= 6, col("user_id"))).as("wau7"),
+        countDistinct(col("user_id")).as("mau28"))
+      .select(date_format(col("gd"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau7"), col("mau28"),
+        round(col("dau").cast("double") / col("wau7").cast("double"), 6)
+          .as("dau_wau"))
+      .orderBy(col("day"))
+  }
 }

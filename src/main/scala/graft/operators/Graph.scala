@@ -506,4 +506,55 @@ object Graph {
           count(lit(1)), 6).as("avg_jaccard"))
       .orderBy(col("label"))
   }
+
+  /** BFS distance census over the k-NN graph — per label block, how
+    * many vertices sit at hop distance 0/1/2/3 from the block's seed
+    * (its minimum vec_id) on the symmetrized [[Similarity.knnEdges]]
+    * relation, plus the UNREACHED remainder (dist −1). This is the
+    * graph-search reachability probe behind every graph-ANN design
+    * review: a k-NN graph whose BFS ball grows slowly (or strands
+    * vertices) will not converge under greedy search no matter how
+    * good the edges' similarities are — [[Similarity.knnDiversify]]
+    * fixes edge DIRECTION, this row measures edge CONNECTIVITY.
+    *
+    * Three unrolled frontier hops, each one equi-join of the current
+    * frontier against the degree-bounded (≤ 2k·|V| rows) symmetric
+    * edge relation followed by an anti-join against the visited set —
+    * min-hop semantics fall out because a vertex joins the visited set
+    * the first hop it appears. No iteration-to-fixpoint, no driver
+    * loop; every relation is |V|- or edge-bounded, so the plan is
+    * identical at a billion vertices (frontier joins shuffle on
+    * vertex id; the census is |labels|·5 rows). */
+  def bfsKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = e.union(e.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "v1", "v2").distinct().localCheckpoint()
+    val nodes = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id").as("node"))
+    val d0 = nodes.groupBy(col("label")).agg(min(col("node")).as("node"))
+      .withColumn("dist", lit(0))
+    // frontier/visited carry sym-derived attributes: re-alias via toDF
+    // before every join against sym (the attributionMarkov lesson)
+    def hop(visited: DataFrame, frontier: DataFrame, d: Int): DataFrame = {
+      val f = frontier.select(col("label"), col("node")).toDF("fl", "fn")
+      f.join(sym, f("fl") === sym("label") && f("fn") === sym("v1"))
+        .select(col("fl").as("label"), col("v2").as("node")).distinct()
+        .join(visited.select(col("label"), col("node"))
+          .toDF("label", "node"), Seq("label", "node"), "left_anti")
+        .withColumn("dist", lit(d))
+    }
+    val f1 = hop(d0, d0, 1)
+    val v1 = d0.unionByName(f1)
+    val f2 = hop(v1, f1, 2)
+    val v2 = v1.unionByName(f2)
+    val f3 = hop(v2, f2, 3)
+    val v3 = v2.unionByName(f3)
+    val unreached = nodes.join(v3, Seq("label", "node"), "left_anti")
+      .withColumn("dist", lit(-1))
+    v3.unionByName(unreached)
+      .groupBy(col("label"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"), col("dist"))
+  }
 }
