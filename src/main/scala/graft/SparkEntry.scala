@@ -425,7 +425,11 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     "events_rolling_actives" ->
       ((s, d) => EventAnalytics.rollingActives(s, d)),
-    "graph_bfs_knn" -> ((s, d) => Graph.bfsKnn(s, d))
+    "graph_bfs_knn" -> ((s, d) => Graph.bfsKnn(s, d)),
+    "sim_dbscan" -> ((s, d) => Similarity.dbscan(s, d)),
+    "events_changepoint" -> ((s, d) => EventAnalytics.changepoint(s, d)),
+    "stream_quantiles" ->
+      ((s, d) => StreamingAnalytics.streamQuantiles(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -6911,7 +6915,116 @@ object SparkEntry {
                AND NOT EXISTS (SELECT 1 FROM f3 e
                  WHERE e.label = n.label AND e.node = n.node))
          SELECT label, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
-         FROM allv GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM allv GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sim_dbscan" ->
+      """WITH RECURSIVE nbr AS (
+           SELECT a.label, a.vec_id AS v1, b.vec_id AS v2
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.20),
+         deg AS (SELECT label, v1, COUNT(*) AS deg FROM nbr GROUP BY 1, 2),
+         cores AS (SELECT label, v1 AS node FROM deg WHERE deg >= 3),
+         ce AS (SELECT n.v1 AS a, n.v2 AS b FROM nbr n
+           WHERE EXISTS (SELECT 1 FROM cores c WHERE c.node = n.v1)
+             AND EXISTS (SELECT 1 FROM cores c WHERE c.node = n.v2)),
+         walk(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM ce) t
+           UNION
+           SELECT e.b, w.lbl FROM walk w JOIN ce e ON e.a = w.node),
+         cc AS (SELECT node, MIN(lbl) AS cluster_id
+           FROM walk GROUP BY node),
+         corecl AS (SELECT c.label, c.node,
+             COALESCE(cc.cluster_id, c.node) AS cluster_id
+           FROM cores c LEFT JOIN cc ON c.node = cc.node),
+         borders AS (SELECT n.label, n.v1 AS node,
+             MIN(k.cluster_id) AS cluster_id
+           FROM nbr n JOIN corecl k ON n.v2 = k.node
+           WHERE NOT EXISTS (SELECT 1 FROM cores c WHERE c.node = n.v1)
+           GROUP BY 1, 2),
+         members AS (SELECT label, node, cluster_id, 'core' AS role
+             FROM corecl
+           UNION ALL
+           SELECT label, node, cluster_id, 'border' FROM borders),
+         sizes AS (SELECT label, cluster_id, COUNT(*) AS csize
+           FROM members GROUP BY 1, 2),
+         agg AS (SELECT label,
+             CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_core,
+             CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_border
+           FROM members GROUP BY 1),
+         cl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(MAX(csize) AS BIGINT) AS max_cluster
+           FROM sizes GROUP BY 1),
+         alln AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_all
+           FROM embeddings GROUP BY 1)
+         SELECT label, n_core, n_border,
+           n_all - n_core - n_border AS n_noise, n_clusters, max_cluster
+         FROM agg JOIN cl USING (label) JOIN alln USING (label)
+         ORDER BY label""",
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         pre AS (SELECT event_type, d,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS sl,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(n) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+           FROM daily),
+         scored AS (SELECT *,
+             CAST(sl * sl AS DOUBLE) / nl
+               + CAST((s - sl) * (s - sl) AS DOUBLE) / (nd - nl)
+               - CAST(s * s AS DOUBLE) / nd AS gain
+           FROM pre WHERE nl < nd),
+         best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY gain DESC, d) AS rk FROM scored)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS split_day,
+           CAST(nd AS BIGINT) AS n_days, CAST(nl AS BIGINT) AS n_left,
+           ROUND(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
+           ROUND(CAST(s - sl AS DOUBLE) / (nd - nl), 6) AS mean_right,
+           ROUND(gain, 6) AS gain
+         FROM best WHERE rk = 1 ORDER BY event_type""",
+    "stream_quantiles" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         v1 AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cent
+           FROM events, t0 WHERE value IS NOT NULL
+             AND ts < t0 + INTERVAL 15 DAY),
+         v2 AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cent
+           FROM events WHERE value IS NOT NULL),
+         h1 AS (SELECT cent, COUNT(*) AS cnt FROM v1 GROUP BY 1),
+         c1 AS (SELECT cent, SUM(cnt) OVER (ORDER BY cent
+             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot FROM h1),
+         q1 AS (SELECT 1 AS increment,
+             CAST(MAX(tot) AS BIGINT) AS n_rows,
+             MIN(CASE WHEN cum >= (tot + 3) // 4 THEN cent END) AS c25,
+             MIN(CASE WHEN cum >= (tot + 1) // 2 THEN cent END) AS c50,
+             MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN cent END) AS c75,
+             MIN(CASE WHEN cum >= (19 * tot + 19) // 20 THEN cent END)
+               AS c95
+           FROM c1),
+         h2 AS (SELECT cent, COUNT(*) AS cnt FROM v2 GROUP BY 1),
+         c2 AS (SELECT cent, SUM(cnt) OVER (ORDER BY cent
+             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot FROM h2),
+         q2 AS (SELECT 2 AS increment,
+             CAST(MAX(tot) AS BIGINT) AS n_rows,
+             MIN(CASE WHEN cum >= (tot + 3) // 4 THEN cent END) AS c25,
+             MIN(CASE WHEN cum >= (tot + 1) // 2 THEN cent END) AS c50,
+             MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN cent END) AS c75,
+             MIN(CASE WHEN cum >= (19 * tot + 19) // 20 THEN cent END)
+               AS c95
+           FROM c2)
+         SELECT increment, n_rows,
+           ROUND(CAST(c25 AS DOUBLE) / 100, 2) AS p25,
+           ROUND(CAST(c50 AS DOUBLE) / 100, 2) AS p50,
+           ROUND(CAST(c75 AS DOUBLE) / 100, 2) AS p75,
+           ROUND(CAST(c95 AS DOUBLE) / 100, 2) AS p95
+         FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2) u
+         ORDER BY increment"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -678,7 +678,7 @@ object DedupOps {
   /** Min-label propagation over an undirected (d1, d2) pair list —
     * the loop body shared by [[dedupClusters]] and [[semanticClusters]]
     * (extraction keeps the two edge flavors on identical machinery). */
-  private def propagateLabels(pairsIn: DataFrame,
+  private[graft] def propagateLabels(pairsIn: DataFrame,
                               graphPartitions: Int): DataFrame = {
     val pairs = pairsIn
     // Hash-partitioning edges by src once means every round's join and
@@ -688,9 +688,14 @@ object DedupOps {
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").repartition(graphPartitions, col("src")).cache()
     // seed = min(self, neighbors): round 1 fused into the init aggregate,
-    // so the loop below only runs for components of diameter > 1
+    // so the loop below only runs for components of diameter > 1.
+    // Each round localCheckpoints (not cache): the loop materializes
+    // every round anyway for the convergence sum, and checkpointing
+    // TRUNCATES the doubled-per-hop lineage — on deep graphs a cached
+    // plan grows 4x per round and planning itself becomes the
+    // bottleneck (OOM in plan stringification long before data does).
     var labels = edges.groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("src")).as("lbl")).cache()
+      .agg(least(min(col("dst")), col("src")).as("lbl")).localCheckpoint()
     var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
       .head.getLong(0)
     var converged = false
@@ -710,22 +715,20 @@ object DedupOps {
         l.union(edges.join(l, edges("src") === l("node"))
             .select(col("dst").as("node"), col("lbl")))
           .groupBy("node").agg(min("lbl").as("lbl"))
-      val next = hop(hop(labels)).cache()
+      val next = hop(hop(labels)).localCheckpoint()
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl"))
         .head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == sum
       sum = nextSum
     }
     edges.unpersist()
-    // The FINAL labels relation stays cached deliberately (every prior
-    // round and the edge relation are released above): the convergence
-    // loop just paid for its materialization, and the caller's single
-    // materialization (sort + collect/write) would otherwise replay the
-    // whole candidate-pair lineage. The pin is bounded — one row per
-    // node that HAS a near-dup edge (candidate-graph-sized, two longs
-    // wide), not corpus-sized — and is evicted LRU or at session close.
+    // The final labels relation is the last round's localCheckpoint —
+    // already materialized (the convergence sum paid for it), lineage
+    // truncated, and its blocks release on GC rather than pinning the
+    // cache (the round-10 nit). It is candidate-graph-sized — one row
+    // per node that HAS a near-dup edge, two longs wide — never
+    // corpus-sized.
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -2100,4 +2100,52 @@ object EventAnalytics {
           .as("dau_wau"))
       .orderBy(col("day"))
   }
+
+  /** Single CHANGE-POINT detection on each event type's daily-count
+    * series — binary segmentation's first split (the standard level-
+    * shift screen that runs before [[cusum]]'s sequential alarm): the
+    * split day t* maximizes the between-segment sum of squares
+    * S_L²/n_L + S_R²/n_R − S²/n (equivalently minimizes two-segment
+    * SSE), computed from exact integer prefix sums so the only doubles
+    * are three IEEE divisions identical cross-engine; argmax ties
+    * break on the earlier day. Emits per type: the chosen boundary
+    * (last day of the left segment), segment means, and the gain —
+    * gain ≈ 0 reads "no level shift", a large gain dates the shift.
+    *
+    * One corpus pass to the (type, day) histogram; everything after is
+    * calendar-bounded (per-type prefix windows over ≤ |days| rows, a
+    * 1-row-per-type argmax). The identical shape at 100 TB: the
+    * histogram shuffle is the only data-sized stage. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = daily
+      .withColumn("sl", sum(col("n")).over(wCum))
+      .withColumn("nl", count(lit(1)).over(wCum))
+      .withColumn("s", sum(col("n")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .filter(col("nl") < col("nd")) // a split needs a non-empty right
+      .withColumn("gain",
+        (col("sl") * col("sl")).cast("double") / col("nl") +
+          ((col("s") - col("sl")) * (col("s") - col("sl"))).cast("double")
+            / (col("nd") - col("nl")) -
+          (col("s") * col("s")).cast("double") / col("nd"))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("gain").desc, col("d"))
+    scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("split_day"),
+        col("nd").as("n_days"), col("nl").as("n_left"),
+        round(col("sl").cast("double") / col("nl"), 6).as("mean_left"),
+        round((col("s") - col("sl")).cast("double") /
+          (col("nd") - col("nl")), 6).as("mean_right"),
+        round(col("gain"), 6).as("gain"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1635,4 +1635,84 @@ object Similarity {
           .as("mean_proj"))
       .orderBy(col("bin"))
   }
+
+  /** DBSCAN census over the embedding space — the density-based
+    * clustering rung beside [[kmeansLloydTwo]]'s centroid one (DBSCAN
+    * finds arbitrary-shape clusters and, unlike k-means, produces an
+    * explicit NOISE verdict — the outlier census a curation pipeline
+    * reads before trusting cluster-level statistics): a vector is CORE
+    * if ≥ minPts neighbors sit at cosine ≥ eps within its label block,
+    * clusters are connected components of the core-core neighbor
+    * graph (isolated cores form singleton clusters), non-core vectors
+    * with a core neighbor are BORDER (assigned the minimum core
+    * neighbor's cluster — the deterministic tie-break for DBSCAN's
+    * order-dependent border ambiguity), and the rest is noise.
+    * Reported per label: cores, borders, noise, clusters, and the
+    * largest cluster's member count.
+    *
+    * Pair space is label-blocked exactly as [[labelBlockedPairs]] (the
+    * established bound); components reuse
+    * [[DedupOps.propagateLabels]]' fused-hop machinery (candidate-
+    * graph-sized, never corpus-sized); the census is |labels|-row. The
+    * f32 cosine kernel is bit-identical cross-engine, so the eps
+    * comparison agrees exactly. */
+  def dbscan(spark: SparkSession, dir: String,
+             eps: Double = 0.20, minPts: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("emb1"))
+    val b = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("emb2"))
+    val nbr = a.join(b, Seq("label")).filter(col("v1") =!= col("v2"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "emb1", "emb2"))
+      .filter(col("sim") >= eps)
+      .select(col("label"), col("v1"), col("v2"))
+      .localCheckpoint()
+    val deg = nbr.groupBy(col("label"), col("v1"))
+      .agg(count(lit(1)).as("deg"))
+    val cores = deg.filter(col("deg") >= minPts)
+      .select(col("label"), col("v1").as("node")).localCheckpoint()
+    val coreSet = cores.select(col("node")).distinct()
+    // core-core edges: both endpoints core (vec_id is globally unique,
+    // so the component machinery can run label-agnostic)
+    val coreEdges = nbr
+      .join(coreSet.select(col("node").as("v1")), Seq("v1"), "left_semi")
+      .join(coreSet.select(col("node").as("v2")), Seq("v2"), "left_semi")
+      .filter(col("v1") < col("v2"))
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val cc = DedupOps.propagateLabels(coreEdges, 4)
+      .select(col("doc_id").as("node"), col("cluster_id"))
+    val coreClusters = cores
+      .join(cc, Seq("node"), "left")
+      .select(col("label"), col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+      .localCheckpoint()
+    // border: non-core with >= 1 core neighbor, assigned min core
+    // neighbor's cluster
+    val borders = nbr
+      .join(coreSet.select(col("node").as("v1")), Seq("v1"), "left_anti")
+      .join(coreClusters.select(col("node").as("v2"),
+        col("cluster_id")), Seq("v2"))
+      .groupBy(col("label"), col("v1").as("node"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    val members = coreClusters.select(col("label"), col("node"),
+        col("cluster_id"), lit("core").as("role"))
+      .unionByName(borders.select(col("label"), col("node"),
+        col("cluster_id"), lit("border").as("role")))
+    val sizes = members.groupBy(col("label"), col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    val nodes = e.select(col("label"), col("vec_id").as("node"))
+    members.groupBy(col("label"))
+      .agg(sum((col("role") === "core").cast("long")).as("n_core"),
+        sum((col("role") === "border").cast("long")).as("n_border"))
+      .join(sizes.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_clusters"),
+          max(col("csize")).as("max_cluster")), Seq("label"))
+      .join(nodes.groupBy(col("label")).agg(count(lit(1)).as("n_all")),
+        Seq("label"))
+      .select(col("label"), col("n_core"), col("n_border"),
+        (col("n_all") - col("n_core") - col("n_border")).as("n_noise"),
+        col("n_clusters"), col("max_cluster"))
+      .orderBy(col("label"))
+  }
 }

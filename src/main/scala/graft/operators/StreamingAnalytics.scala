@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
 
@@ -1524,5 +1525,94 @@ object StreamingAnalytics {
           (col("contam_tokens") + col("clean_tokens")).cast("double"), 6)
           .as("contam_share"))
       .orderBy(col("increment"))
+  }
+
+  /** Streaming EXACT-quantile maintenance — the mergeable-state rung
+    * under [[graft.operators.Quality]]'s `sketch_quantiles` row: state
+    * is the exact value histogram over integer cents ((cent, count)
+    * rows — the house money quantization), each micro-batch folds its
+    * own histogram in by a pure additive merge, and after EVERY
+    * increment the maintained state answers p25/p50/p75/p95 by
+    * histogram-CDF walk at the integer ceil ranks. Both state
+    * versions persist, so the emitted census pins the full quantile
+    * TRAJECTORY — a lost batch, double fold, or off-by-one rank all
+    * hash-mismatch against the oracle's unrolled prefixes.
+    *
+    * State is value-DOMAIN-bounded (distinct cents), never
+    * corpus-sized; each batch is one hash agg + one state merge; the
+    * CDF walk is a window over the domain-bounded state. This is what
+    * "exact percentiles on an unbounded stream" costs when the value
+    * domain is bounded — the KLL sketch row covers the unbounded
+    * case. */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("cent"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0"),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inc = batch.groupBy(col("cent"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (lastState < 0) inc
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(inc)
+            .groupBy(col("cent")).agg(sum(col("cnt")).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_quantiles: expected 2 micro-batches, got ${versions.distinct.size}")
+    val wCdf = Window.orderBy(col("cent"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per state version: CDF walk over the domain-bounded histogram at
+    // the integer ceil ranks (the house quantile convention)
+    def census(v: Long, idx: Int): DataFrame = {
+      val st = spark.read.parquet(s"$root/state_v$v")
+        .withColumn("cum", sum(col("cnt")).over(wCdf))
+      val tot = st.agg(sum(col("cnt")).as("n_rows"))
+      st.crossJoin(broadcast(tot)) // 1-row total scalar
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          min(when(col("cum") >= expr("(n_rows + 3) div 4"),
+            col("cent"))).as("c25"),
+          min(when(col("cum") >= expr("(n_rows + 1) div 2"),
+            col("cent"))).as("c50"),
+          min(when(col("cum") >= expr("(3 * n_rows + 3) div 4"),
+            col("cent"))).as("c75"),
+          min(when(col("cum") >= expr("(19 * n_rows + 19) div 20"),
+            col("cent"))).as("c95"))
+        .select(lit(idx).as("increment"), col("n_rows"),
+          round(col("c25") / 100.0, 2).as("p25"),
+          round(col("c50") / 100.0, 2).as("p50"),
+          round(col("c75") / 100.0, 2).as("p75"),
+          round(col("c95") / 100.0, 2).as("p95"))
+    }
+    val out = versions.distinct.sorted.zipWithIndex
+      .map { case (v, i) => census(v, i + 1) }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"))
   }
 }

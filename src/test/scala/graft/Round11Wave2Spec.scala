@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventAnalytics, Graph, Similarity, TextAnalysis}
+import graft.operators.{EventAnalytics, Graph, Similarity,
+  StreamingAnalytics, TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
   * recomputations for the winnowing fingerprint census, the rolling
@@ -113,5 +114,123 @@ class Round11Wave2Spec extends SparkSpec {
     val nodesPerLabel = nodes.groupBy(_._1)
       .map { case (l, g) => (l, g.length.toLong) }
     assert(perLabel === nodesPerLabel)
+  }
+
+  test("sim_dbscan census matches a scalar DBSCAN replay on the same " +
+    "neighbor relation") {
+    val eps = 0.20; val minPts = 3
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0f; var na = 0f; var nb = 0f
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // mirror CosineSimilarityF32 exactly: float division by the
+      // product of FLOAT-truncated square roots
+      dot / (math.sqrt(na.toDouble).toFloat *
+        math.sqrt(nb.toDouble).toFloat)
+    }
+    val byLabel = vecs.groupBy(_._1)
+    val expected = byLabel.toSeq.map { case (lbl, vs) =>
+      val nbrs = vs.map { case (_, v1, e1) =>
+        v1 -> vs.filter { case (_, v2, e2) =>
+          v2 != v1 && cos(e1, e2) >= eps
+        }.map(_._2).toSet
+      }.toMap
+      val cores = nbrs.filter(_._2.size >= minPts).keySet
+      // CC over core-core edges via union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for (c <- cores; n <- nbrs(c) if cores(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // cluster id = min member id of the component
+      val comp = cores.groupBy(c => find(c))
+      val clusterOf = comp.flatMap { case (_, ms) =>
+        val cid = ms.min; ms.map(_ -> cid)
+      }
+      val borders = vs.map(_._2).filterNot(cores)
+        .flatMap { v =>
+          val coreNbrs = nbrs.getOrElse(v, Set.empty).filter(cores)
+          if (coreNbrs.isEmpty) None
+          else Some(v -> coreNbrs.map(clusterOf).min)
+        }.toMap
+      val sizes = (clusterOf.toSeq ++ borders.toSeq).groupBy(_._2)
+        .map(_._2.length)
+      (lbl, (cores.size.toLong, borders.size.toLong,
+        (vs.length - cores.size - borders.size).toLong,
+        sizes.size.toLong, sizes.max.toLong))
+    }.toMap
+    val got = Similarity.dbscan(spark, sf0001).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("events_changepoint maximizes between-segment sum of squares " +
+    "over every candidate split") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = EventAnalytics.changepoint(spark, sf0001).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+      val s = series.map(_._3).sum
+      val nd = series.length
+      val cands = (1 until nd).map { nl =>
+        val sl = series.take(nl).map(_._3).sum
+        val gain = sl.toDouble * sl / nl +
+          (s - sl).toDouble * (s - sl) / (nd - nl) - s.toDouble * s / nd
+        (series(nl - 1)._2, nl, sl, gain)
+      }
+      val best = cands.maxBy(c => (c._4, -c._1.toEpochDay))
+      assert(r.getString(1) === best._1.toString, s"split_day $et")
+      assert(r.getLong(2) === nd.toLong && r.getLong(3) === best._2.toLong)
+      assert(math.abs(r.getDouble(6) -
+        BigDecimal(best._4).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"gain $et")
+      // the reported gain must dominate every other candidate's
+      assert(cands.forall(_._4 <= best._4 + 1e-9))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("stream_quantiles trajectory equals scalar quantiles over the " +
+    "unrolled prefixes and is monotone within each row") {
+    val ev = Tables(spark, sf0001, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val t0 = ev.map(_._1.getTime).min
+    val cut = t0 + 15L * 24 * 3600 * 1000
+    def quants(cs: Seq[Long]): (Long, Double, Double, Double, Double) = {
+      val sorted = cs.sorted
+      val n = sorted.length.toLong
+      def at(rank: Long): Double = sorted((rank - 1).toInt) / 100.0
+      (n, at((n + 3) / 4), at((n + 1) / 2), at((3 * n + 3) / 4),
+        at((19 * n + 19) / 20))
+    }
+    val p1 = quants(ev.filter(_._1.getTime < cut).map(_._2).toSeq)
+    val p2 = quants(ev.map(_._2).toSeq)
+    val got = StreamingAnalytics.streamQuantiles(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+    assert(got.length === 2)
+    Seq(p1, p2).zip(got).foreach { case (e, r) =>
+      assert(r.getLong(1) === e._1)
+      assert(r.getDouble(2) === e._2 && r.getDouble(3) === e._3 &&
+        r.getDouble(4) === e._4 && r.getDouble(5) === e._5)
+      assert(r.getDouble(2) <= r.getDouble(3) &&
+        r.getDouble(3) <= r.getDouble(4) &&
+        r.getDouble(4) <= r.getDouble(5))
+    }
   }
 }
