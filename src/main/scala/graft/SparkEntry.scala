@@ -429,7 +429,11 @@ object SparkEntry {
     "sim_dbscan" -> ((s, d) => Similarity.dbscan(s, d)),
     "events_changepoint" -> ((s, d) => EventAnalytics.changepoint(s, d)),
     "stream_quantiles" ->
-      ((s, d) => StreamingAnalytics.streamQuantiles(s, d))
+      ((s, d) => StreamingAnalytics.streamQuantiles(s, d)),
+    "docs_loo_influence" -> ((s, d) => Curation.looInfluence(s, d)),
+    "sim_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
+    "stream_decay_topk" ->
+      ((s, d) => StreamingAnalytics.streamDecayTopk(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7024,7 +7028,162 @@ object SparkEntry {
            ROUND(CAST(c75 AS DOUBLE) / 100, 2) AS p75,
            ROUND(CAST(c95 AS DOUBLE) / 100, 2) AS p95
          FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2) u
-         ORDER BY increment"""
+         ORDER BY increment""",
+    "docs_loo_influence" ->
+      """WITH sp AS (SELECT doc_id, source, text,
+             CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 204 THEN 'train'
+               WHEN (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef',
+                    substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+                    - 1) < 230 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents),
+         trw AS (SELECT source, word FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS word
+             FROM sp WHERE split = 'train') t WHERE word <> ''),
+         csw AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS cs
+           FROM trw GROUP BY 1, 2),
+         cw AS (SELECT word, CAST(SUM(cs) AS BIGINT) AS c
+           FROM csw GROUP BY 1),
+         nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+             CAST(COUNT(*) AS BIGINT) AS v_all FROM cw),
+         ps AS (SELECT s.source, CAST(SUM(s.cs) AS BIGINT) AS n_s,
+             CAST(SUM(CASE WHEN s.cs = c.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_excl
+           FROM csw s JOIN cw c USING (word) GROUP BY 1),
+         ho AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM (
+             SELECT unnest(string_split(text, ' ')) AS word
+             FROM sp WHERE split = 'test') t
+           WHERE word <> '' GROUP BY 1),
+         mt AS (SELECT CAST(SUM(m) AS BIGINT) AS m_tot FROM ho),
+         grid AS (SELECT p.source, h.m,
+             COALESCE(c.c, 0) - COALESCE(s.cs, 0) AS c_loo,
+             nv.n_all - p.n_s AS n_loo, nv.v_all - p.v_excl AS v_loo
+           FROM ho h CROSS JOIN ps p
+           LEFT JOIN cw c ON h.word = c.word
+           LEFT JOIN csw s ON h.word = s.word AND p.source = s.source,
+           nv),
+         lo AS (SELECT source,
+             SUM(m * CAST(-ln(CAST(c_loo + 1 AS DOUBLE)
+               / CAST(n_loo + v_loo AS DOUBLE)) AS DECIMAL(28,12)))
+               AS nll_sum
+           FROM grid GROUP BY 1),
+         base AS (SELECT
+             SUM(m * CAST(-ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+               / CAST(nv.n_all + nv.v_all AS DOUBLE)) AS DECIMAL(28,12)))
+               AS base_sum
+           FROM ho h LEFT JOIN cw c ON h.word = c.word, nv)
+         SELECT l.source, p.n_s AS n_tokens_removed,
+           p.v_excl AS v_exclusive,
+           ROUND(CAST(l.nll_sum AS DOUBLE) / m_tot, 6) AS mean_nll_loo,
+           ROUND(CAST(l.nll_sum - base_sum AS DOUBLE) / m_tot, 6)
+             AS delta_nll
+         FROM lo l JOIN ps p USING (source), mt, base
+         ORDER BY l.source""",
+    "sim_triplet_mining" ->
+      """WITH dims AS (SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+         plane AS (SELECT j, d,
+             CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1)
+               % 2 = 1 THEN 1 ELSE -1 END AS s
+           FROM range(32) a(j), range(1, 65) b(d)),
+         proj AS (SELECT vec_id, j,
+             SUM(CASE WHEN s = 1 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                      ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END) AS p
+           FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+         bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+           FROM proj GROUP BY vec_id, j // 8),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS n
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id <> y.vec_id
+           JOIN lab lx ON x.vec_id = lx.vec_id
+           JOIN lab ly ON y.vec_id = ly.vec_id
+           WHERE lx.label <> ly.label),
+         knn1 AS (SELECT label, v1 AS a, v2 AS p, sim FROM (
+             SELECT a1.label, a1.vec_id AS v1, b1.vec_id AS v2,
+               list_cosine_similarity(a1.embedding, b1.embedding) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+                 ORDER BY list_cosine_similarity(a1.embedding, b1.embedding)
+                   DESC, b1.vec_id) AS rk
+             FROM embeddings a1 JOIN embeddings b1
+               ON a1.label = b1.label AND a1.vec_id <> b1.vec_id) z
+           WHERE rk = 1),
+         cls AS (SELECT k.label,
+             CAST(k.sim AS DOUBLE) AS sim_ap,
+             CAST(list_cosine_similarity(ea.embedding, en.embedding)
+               AS DOUBLE) AS sim_an
+           FROM cand c JOIN knn1 k ON c.a = k.a
+           JOIN embeddings ea ON c.a = ea.vec_id
+           JOIN embeddings en ON c.n = en.vec_id),
+         cls2 AS (SELECT label, sim_ap, sim_an,
+             CASE WHEN sim_an >= sim_ap THEN 'hard'
+                  WHEN sim_an >= sim_ap - CAST(0.05 AS DOUBLE)
+                    THEN 'semihard'
+                  ELSE 'easy' END AS klass FROM cls),
+         agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN klass = 'hard' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hard,
+             CAST(SUM(CASE WHEN klass = 'semihard' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_semihard,
+             ROUND(CAST(SUM(CASE WHEN klass = 'semihard'
+                 THEN CAST(sim_ap - sim_an AS DECIMAL(18,9)) END)
+               AS DOUBLE)
+               / SUM(CASE WHEN klass = 'semihard' THEN 1 ELSE 0 END), 4)
+               AS avg_semihard_gap
+           FROM cls2 GROUP BY 1),
+         anch AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_anchors
+           FROM knn1 GROUP BY 1)
+         SELECT a.label, a.n_anchors,
+           COALESCE(g.n_candidates, 0) AS n_candidates,
+           COALESCE(g.n_hard, 0) AS n_hard,
+           COALESCE(g.n_semihard, 0) AS n_semihard,
+           g.avg_semihard_gap
+         FROM anch a LEFT JOIN agg g USING (label) ORDER BY a.label""",
+    "stream_decay_topk" ->
+      """WITH RECURSIVE pw(k, g) AS (
+           SELECT 0, CAST(1.0 AS DOUBLE)
+           UNION ALL
+           SELECT k + 1, g * CAST(0.9 AS DOUBLE) FROM pw WHERE k < 60),
+         t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         h1 AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events, t0 WHERE ts < t0 + INTERVAL 15 DAY GROUP BY 1, 2),
+         h2 AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         r1 AS (SELECT MAX(d) AS r FROM h1),
+         r2 AS (SELECT MAX(d) AS r FROM h2),
+         m1 AS (SELECT event_type,
+             SUM(CAST(cnt * g AS DECIMAL(28,12))) AS mass
+           FROM h1, r1, pw WHERE pw.k = datediff('day', h1.d, r1.r)
+           GROUP BY 1),
+         m2 AS (SELECT event_type,
+             SUM(CAST(cnt * g AS DECIMAL(28,12))) AS mass
+           FROM h2, r2, pw WHERE pw.k = datediff('day', h2.d, r2.r)
+           GROUP BY 1),
+         t1 AS (SELECT 1 AS increment, CAST(rk AS INT) AS rk, event_type,
+             ROUND(CAST(mass AS DOUBLE), 6) AS mass FROM (
+             SELECT event_type, mass, ROW_NUMBER() OVER (
+               ORDER BY mass DESC, event_type) AS rk FROM m1) z
+           WHERE rk <= 5),
+         t2 AS (SELECT 2 AS increment, CAST(rk AS INT) AS rk, event_type,
+             ROUND(CAST(mass AS DOUBLE), 6) AS mass FROM (
+             SELECT event_type, mass, ROW_NUMBER() OVER (
+               ORDER BY mass DESC, event_type) AS rk FROM m2) z
+           WHERE rk <= 5)
+         SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) u
+         ORDER BY increment, rk"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

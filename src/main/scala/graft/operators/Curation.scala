@@ -924,4 +924,92 @@ object Curation {
           sum(col("n_tok")).cast("double"), 6).as("mean_nll"))
       .orderBy(col("lang"), col("bucket"))
   }
+
+  /** Leave-one-SOURCE-out influence — data attribution at the grain a
+    * curation team actually acts on (drop/keep/reweight whole sources,
+    * not documents): for every source s, the held-out mean NLL of the
+    * add-1 unigram LM trained on the train split WITHOUT s, against
+    * the full-train baseline. delta_nll > 0 reads "removing s hurts —
+    * s carries signal"; delta ≈ 0 reads "redundant"; < 0 reads
+    * "s is noise the model is better off without". This is the
+    * datamodels/influence-function readout computed EXACTLY, which
+    * unigram sufficiency makes affordable: complement-model counts are
+    * pure subtractions (c − c_s, N − N_s, V − |exclusive_s|) off ONE
+    * (word, source) count pass — 20 retrained models for the price of
+    * one corpus scan plus vocabulary-bounded algebra. No gradient
+    * approximation needed when the model family is additive.
+    *
+    * Determinism: [[TextAnalysis.lmHeldout]]'s exact conventions —
+    * integer counts, one ln per (heldout word, source) pair quantized
+    * to DECIMAL(28,12) BEFORE the occurrence-weighted sum. Scale
+    * shape: two corpus passes (train counts by (word, source), heldout
+    * word histogram), then every relation is vocabulary- or
+    * |sources|-bounded; the heldout-vocab × |sources| expansion is the
+    * largest derived relation and is domain-bounded, never
+    * corpus-sized. */
+  def looInfluence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.splitCol.as("split"))
+    val trainTok = docs.filter(col("split") === "train")
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val csw = trainTok.groupBy(col("word"), col("source"))
+      .agg(count(lit(1)).as("cs")).localCheckpoint()
+    val cw = csw.groupBy(col("word")).agg(sum(col("cs")).as("c"))
+    val nv = cw.agg(sum(col("c")).as("n_all"), count(lit(1)).as("v_all"))
+    // per-source removal deltas: token mass and exclusive vocabulary
+    val perSource = csw
+      .join(cw, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_s"),
+        sum((col("cs") === col("c")).cast("long")).as("v_excl"))
+    val heldout = docs.filter(col("split") === "test")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("m"))
+    val mTot = heldout.agg(sum(col("m")).as("m_tot"))
+    // heldout-vocab x |sources| grid; c' = c - c_s for the left-out s
+    val grid = heldout
+      .join(cw, Seq("word"), "left")
+      .crossJoin(broadcast(perSource.select(col("source"))))
+      .join(csw.select(col("word"), col("source"), col("cs")),
+        Seq("word", "source"), "left")
+      .crossJoin(broadcast(nv))
+      .join(broadcast(perSource), Seq("source"))
+      .select(col("source"), col("m"),
+        (coalesce(col("c"), lit(0L)) - coalesce(col("cs"), lit(0L)))
+          .as("c_loo"),
+        (col("n_all") - col("n_s")).as("n_loo"),
+        (col("v_all") - col("v_excl")).as("v_loo"))
+    val nllLoo = grid
+      .select(col("source"), col("m"),
+        (col("m") * (-log((col("c_loo") + lit(1L)).cast("double") /
+          (col("n_loo") + col("v_loo")).cast("double")))
+          .cast("decimal(28,12)")).as("nll"))
+      .groupBy(col("source"))
+      .agg(sum(col("nll")).as("nll_sum"))
+    // full-train baseline: same smoothing, nothing removed
+    val base = heldout
+      .join(cw, Seq("word"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("m"),
+        (col("m") * (-log((coalesce(col("c"), lit(0L)) + lit(1L))
+          .cast("double") /
+          (col("n_all") + col("v_all")).cast("double")))
+          .cast("decimal(28,12)")).as("nll"))
+      .agg(sum(col("nll")).as("base_sum"))
+    nllLoo
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(mTot))    // 1-row heldout mass
+      .crossJoin(broadcast(base))    // 1-row baseline scalar
+      .select(col("source"), col("n_s").as("n_tokens_removed"),
+        col("v_excl").as("v_exclusive"),
+        round(col("nll_sum").cast("double") / col("m_tot"), 6)
+          .as("mean_nll_loo"),
+        round((col("nll_sum") - col("base_sum")).cast("double") /
+          col("m_tot"), 6).as("delta_nll"))
+      .orderBy(col("source"))
+  }
 }

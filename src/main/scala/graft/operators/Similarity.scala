@@ -1715,4 +1715,75 @@ object Similarity {
         col("n_clusters"), col("max_cluster"))
       .orderBy(col("label"))
   }
+
+  /** TRIPLET mining census — the batch-construction pass of metric-
+    * learning / embedding fine-tuning (FaceNet's semi-hard rule):
+    * anchor a's positive p is its nearest same-label neighbor
+    * ([[knnEdges]] at k = 1), negatives n are DIFFERENT-label vectors,
+    * and a negative is HARD when sim(a,n) ≥ sim(a,p), SEMI-HARD when
+    * sim(a,p) − margin ≤ sim(a,n) < sim(a,p) (the band that trains
+    * best), easy otherwise. Reported per anchor label: anchors,
+    * candidate negatives, hard/semi-hard counts, and the mean
+    * semi-hard gap sim(a,p) − sim(a,n).
+    *
+    * The negative pair space is NOT enumerated: candidates come from
+    * shared hyperplane-LSH band buckets (the [[annLshTopPairs]]
+    * kernel — exactly how a production miner sources hard negatives
+    * from the ANN index, because easy negatives found elsewhere are
+    * training-useless anyway). Pair emission happens inside bucket
+    * groups (collision-bounded), pairs carry labels so the
+    * different-label filter is map-side, and the two exact-cosine
+    * joins run on the candidate relation, never the corpus square.
+    * Float sims compare after a cast to double in BOTH engines. */
+  def tripletMining(spark: SparkSession, dir: String,
+                    margin: Double = 0.05): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val pos = knnEdges(spark, dir, 1)
+      .select(col("label"), col("v1").as("a"), col("v2").as("p"),
+        col("sim").cast("double").as("sim_ap"))
+    // ordered different-label pairs out of shared LSH band buckets
+    val cand = e.select(col("vec_id"), col("label"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("label"))))
+        .as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(vs, x ->
+             transform(filter(vs, y -> y.label != x.label),
+               y -> struct(x.vec_id AS a, y.vec_id AS n))))""")).as("p"))
+      .select(col("p.a"), col("p.n"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a"), col("embedding").as("emb1"))
+    val en = e.select(col("vec_id").as("n"), col("embedding").as("emb2"))
+    val scored = cand.join(ea, "a").join(en, "n")
+      .withColumn("sim_an",
+        ExprColumns.cosineF32(spark, "emb1", "emb2").cast("double"))
+      .select(col("a"), col("n"), col("sim_an"))
+      .join(pos, Seq("a"))
+      .withColumn("klass",
+        when(col("sim_an") >= col("sim_ap"), "hard")
+          .when(col("sim_an") >= col("sim_ap") - margin, "semihard")
+          .otherwise("easy"))
+    val anchors = pos.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_anchors"))
+    val agg = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum((col("klass") === "hard").cast("long")).as("n_hard"),
+        sum((col("klass") === "semihard").cast("long")).as("n_semihard"),
+        round(sum(when(col("klass") === "semihard",
+            (col("sim_ap") - col("sim_an")).cast("decimal(18,9)")))
+          .cast("double") /
+          sum((col("klass") === "semihard").cast("long")), 4)
+          .as("avg_semihard_gap"))
+    anchors.join(agg, Seq("label"), "left")
+      .select(col("label"), col("n_anchors"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hard"), lit(0L)).as("n_hard"),
+        coalesce(col("n_semihard"), lit(0L)).as("n_semihard"),
+        col("avg_semihard_gap"))
+      .orderBy(col("label"))
+  }
 }

@@ -1615,4 +1615,86 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("increment"))
   }
+
+  /** Streaming exponentially-DECAYED top-k event types — the trending
+    * readout a monitoring surface keeps warm (yesterday's burst should
+    * outrank last month's): maintained state is the (type, day) count
+    * histogram (calendar-×-|types|-bounded, additive merge per batch —
+    * decay applied at READ time against each increment's own horizon,
+    * the formulation that keeps state exact and mergeable; folding
+    * decayed floats into state would compound rounding and break the
+    * merge law). After each increment: mass(type) = Σ_d cnt_d ·
+    * 0.9^(R − d) with R the increment's max day, top-5 by mass.
+    *
+    * Determinism: 0.9^k is a LEFT-FOLD of k double multiplies
+    * (`aggregate(sequence(...))` here, an explicit iterated CTE in the
+    * oracle — identical operation sequence, so bit-identical IEEE
+    * results; `pow(0.9, k)` is NOT guaranteed correctly rounded and is
+    * avoided), and each cnt·decay term quantizes to DECIMAL(28,12)
+    * before the order-sensitive sum. */
+  def streamDecayTopk(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdk").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"), to_date(col("ts")).as("d"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("event_type"), col("d")),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("event_type"), col("d"))))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inc = batch.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (lastState < 0) inc
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(inc)
+            .groupBy(col("event_type"), col("d"))
+            .agg(sum(col("cnt")).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_decay_topk: expected 2 micro-batches, got ${versions.distinct.size}")
+    def census(v: Long, idx: Int): DataFrame = {
+      val st = spark.read.parquet(s"$root/state_v$v")
+      val horizon = st.agg(max(col("d")).as("r"))
+      val mass = st.crossJoin(broadcast(horizon)) // 1-row horizon scalar
+        .withColumn("k", datediff(col("r"), col("d")))
+        // k = 0 must NOT hit sequence(1, 0) (descending-array trap)
+        .withColumn("decay", expr(
+          """CASE WHEN k = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE aggregate(sequence(1, k), CAST(1.0 AS DOUBLE),
+                 (acc, x) -> acc * CAST(0.9 AS DOUBLE)) END"""))
+        .groupBy(col("event_type"))
+        .agg(sum((col("cnt") * col("decay")).cast("decimal(28,12)"))
+          .as("mass"))
+      mass.withColumn("rk", row_number().over(
+          Window.orderBy(col("mass").desc, col("event_type"))))
+        .filter(col("rk") <= 5)
+        .select(lit(idx).as("increment"), col("rk"), col("event_type"),
+          round(col("mass").cast("double"), 6).as("mass"))
+    }
+    val out = versions.distinct.sorted.zipWithIndex
+      .map { case (v, i) => census(v, i + 1) }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"), col("rk"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventAnalytics, Graph, Similarity,
+import graft.operators.{Curation, EventAnalytics, Graph, Similarity,
   StreamingAnalytics, TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
@@ -232,5 +232,138 @@ class Round11Wave2Spec extends SparkSpec {
         r.getDouble(3) <= r.getDouble(4) &&
         r.getDouble(4) <= r.getDouble(5))
     }
+  }
+
+  private def q12(x: Double): BigDecimal =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  test("docs_loo_influence equals a scalar retrain-by-subtraction " +
+    "replay and the full-corpus baseline sits where it should") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(docId: Long): String = {
+      val h = md.digest(s"doc:$docId".getBytes("UTF-8"))
+      val b = h(0) & 0xff
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] = t.split(" ", -1).filter(_.nonEmpty)
+    val trainTok = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(d => toks(d._3).map(w => (d._2, w)))
+    val heldTok = docs.filter(d => splitOf(d._1) == "test")
+      .flatMap(d => toks(d._3))
+    val csw = trainTok.groupBy(identity).map { case ((s, w), g) =>
+      ((s, w), g.length.toLong)
+    }
+    val cw = trainTok.groupBy(_._2).map { case (w, g) => (w, g.length.toLong) }
+    val nAll = trainTok.length.toLong
+    val vAll = cw.size.toLong
+    val hm = heldTok.groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val mTot = heldTok.length.toLong
+    val sources = trainTok.map(_._1).distinct.sorted
+    def nll(c: Long, n: Long, v: Long): BigDecimal =
+      q12(-math.log((c + 1).toDouble / (n + v).toDouble))
+    val baseSum = hm.map { case (w, m) =>
+      nll(cw.getOrElse(w, 0L), nAll, vAll) * m
+    }.sum
+    val got = Curation.looInfluence(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === sources.toSet)
+    sources.foreach { s =>
+      val nS = trainTok.count(_._1 == s).toLong
+      val vExcl = cw.count { case (w, c) => csw.getOrElse((s, w), 0L) == c }
+      val looSum = hm.map { case (w, m) =>
+        nll(cw.getOrElse(w, 0L) - csw.getOrElse((s, w), 0L),
+          nAll - nS, vAll - vExcl) * m
+      }.sum
+      val r = got(s)
+      assert(r.getLong(1) === nS, s"n_tokens_removed $s")
+      assert(r.getLong(2) === vExcl.toLong, s"v_exclusive $s")
+      def r6(x: BigDecimal): Double =
+        BigDecimal(x.toDouble / mTot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === r6(looSum), s"mean_nll_loo $s")
+      assert(r.getDouble(4) === r6(looSum - baseSum), s"delta_nll $s")
+    }
+  }
+
+  test("sim_triplet_mining counts are internally consistent and the " +
+    "per-label candidate census matches a replay over the expression's " +
+    "own buckets") {
+    import spark.implicits._
+    graft.functions.ExprColumns.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val sig = e.select(col("vec_id"), col("label"),
+        posexplode(graft.functions.ExprColumns
+          .hyperplaneLsh(spark, "embedding")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    val lbl = sig.map(x => (x._1, x._2)).toMap
+    val cand = sig.groupBy(x => (x._3, x._4)).values.toSeq.flatMap { g0 =>
+      val g = g0.toSeq
+      for (x <- g; y <- g if lbl(x._1) != lbl(y._1))
+        yield (x._1, y._1)
+    }.toSet
+    val expPerLabel = cand.toSeq.map { case (a, _) => lbl(a) }
+      .groupBy(identity).map { case (l, g) => (l, g.length.toLong) }
+    val got = Similarity.tripletMining(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val l = r.getInt(0)
+      assert(r.getLong(2) === expPerLabel.getOrElse(l, 0L),
+        s"n_candidates label $l")
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(2),
+        "hard + semihard <= candidates")
+      if (r.getLong(4) > 0) {
+        val gap = r.getDouble(5)
+        assert(gap >= 0.0 && gap <= 0.05 + 1e-9,
+          s"semi-hard gap within margin band, got $gap")
+      }
+    }
+    // anchors = every vector that has a same-label neighbor
+    val perLabelVecs = sig.map(x => (x._2, x._1)).distinct
+      .groupBy(_._1).map { case (l, g) => (l, g.length.toLong) }
+    got.foreach { r =>
+      assert(r.getLong(1) === perLabelVecs(r.getInt(0)), "n_anchors")
+    }
+  }
+
+  test("stream_decay_topk trajectory equals the scalar decayed replay " +
+    "over the unrolled prefixes") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("event_type"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getDate(2).toLocalDate))
+    val t0 = ev.map(_._1).min
+    val cut = t0 + 15L * 24 * 3600 * 1000
+    def decay(k: Int): Double = {
+      var g = 1.0; var i = 0
+      while (i < k) { g *= 0.9; i += 1 }
+      g
+    }
+    def top5(rows: Seq[(String, java.time.LocalDate)])
+        : Seq[(Int, String, Double)] = {
+      val hist = rows.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+      val r = rows.map(_._2).maxBy(_.toEpochDay)
+      val mass = hist.toSeq.groupBy(_._1._1).map { case (et, entries) =>
+        val m = entries.map { case ((_, d), cnt) =>
+          q12(cnt * decay((r.toEpochDay - d.toEpochDay).toInt))
+        }.sum
+        (et, m)
+      }.toSeq.sortBy { case (et, m) => (-m, et) }
+      mass.take(5).zipWithIndex.map { case ((et, m), i) =>
+        (i + 1, et, BigDecimal(m.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val p1 = top5(ev.filter(_._1 < cut).map(e => (e._2, e._3)).toSeq)
+    val p2 = top5(ev.map(e => (e._2, e._3)).toSeq)
+    val got = StreamingAnalytics.streamDecayTopk(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val exp = p1.map(t => (1, t._1, t._2, t._3)) ++
+      p2.map(t => (2, t._1, t._2, t._3))
+    assert(got.toSeq === exp)
   }
 }
