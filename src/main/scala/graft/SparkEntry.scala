@@ -433,7 +433,11 @@ object SparkEntry {
     "docs_loo_influence" -> ((s, d) => Curation.looInfluence(s, d)),
     "sim_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
     "stream_decay_topk" ->
-      ((s, d) => StreamingAnalytics.streamDecayTopk(s, d))
+      ((s, d) => StreamingAnalytics.streamDecayTopk(s, d)),
+    "text_textrank" -> ((s, d) => TextAnalysis.textrank(s, d)),
+    "events_seasonal_strength" ->
+      ((s, d) => EventAnalytics.seasonalStrength(s, d)),
+    "sim_facility_select" -> ((s, d) => Similarity.facilitySelect(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7183,7 +7187,149 @@ object SparkEntry {
                ORDER BY mass DESC, event_type) AS rk FROM m2) z
            WHERE rk <= 5)
          SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) u
-         ORDER BY increment, rk"""
+         ORDER BY increment, rk""",
+    "text_textrank" ->
+      """WITH ws0 AS (SELECT lang,
+             [lower(w) for w in string_split(text, ' ')
+              if regexp_matches(lower(w), '^[a-z]+$')] AS ws
+           FROM documents),
+         pos AS (SELECT lang, ws, unnest(range(1, len(ws))) AS i
+           FROM ws0),
+         bi0 AS (SELECT lang, ws[i] AS w1, ws[i + 1] AS w2 FROM pos
+           WHERE ws[i] <> ws[i + 1]),
+         bic AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bi0 GROUP BY 1, 2, 3),
+         edges AS (SELECT lang, src, dst, CAST(SUM(c) AS BIGINT) AS w
+           FROM (SELECT lang, w1 AS src, w2 AS dst, c FROM bic
+             UNION ALL SELECT lang, w2, w1, c FROM bic) u
+           GROUP BY 1, 2, 3),
+         outw AS (SELECT lang, src, CAST(SUM(w) AS BIGINT) AS ow
+           FROM edges GROUP BY 1, 2),
+         ew AS (SELECT e.lang, e.src, e.dst,
+             CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+           FROM edges e JOIN outw o ON e.lang = o.lang AND e.src = o.src),
+         nodes AS (SELECT DISTINCT lang, src AS node FROM edges),
+         nn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+           FROM nodes GROUP BY 1),
+         pr0 AS (SELECT n.lang, n.node,
+             CAST(1 AS DOUBLE) / CAST(nl AS DOUBLE) AS pr
+           FROM nodes n JOIN nn ON n.lang = nn.lang),
+         c1 AS (SELECT e.lang, e.dst,
+             CAST(SUM(CAST(p.pr * e.ratio AS DECIMAL(28,12))) AS DOUBLE)
+               AS cv
+           FROM ew e JOIN pr0 p ON e.lang = p.lang AND e.src = p.node
+           GROUP BY 1, 2),
+         pr1 AS (SELECT n.lang, n.node,
+             CAST(0.15 AS DOUBLE) / CAST(nn.nl AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(c1.cv, CAST(0 AS DOUBLE)) AS pr
+           FROM nodes n JOIN nn ON n.lang = nn.lang
+           LEFT JOIN c1 ON n.lang = c1.lang AND n.node = c1.dst),
+         c2 AS (SELECT e.lang, e.dst,
+             CAST(SUM(CAST(p.pr * e.ratio AS DECIMAL(28,12))) AS DOUBLE)
+               AS cv
+           FROM ew e JOIN pr1 p ON e.lang = p.lang AND e.src = p.node
+           GROUP BY 1, 2),
+         pr2 AS (SELECT n.lang, n.node,
+             CAST(0.15 AS DOUBLE) / CAST(nn.nl AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(c2.cv, CAST(0 AS DOUBLE)) AS pr
+           FROM nodes n JOIN nn ON n.lang = nn.lang
+           LEFT JOIN c2 ON n.lang = c2.lang AND n.node = c2.dst)
+         SELECT lang, CAST(rk AS INT) AS rk, node AS word,
+           ROUND(pr, 8) AS score
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY pr DESC, node) AS rk FROM pr2) z
+         WHERE rk <= 10 ORDER BY lang, rk""",
+    "sim_facility_select" ->
+      """WITH xq AS (SELECT label, vec_id, j,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS q
+           FROM (SELECT label, vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS j FROM embeddings) t),
+         nsq AS (SELECT label, vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+           FROM xq GROUP BY 1, 2),
+         dots AS (SELECT a.label, a.vec_id AS v, b.vec_id AS c,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+           FROM xq a JOIN xq b ON a.label = b.label AND a.j = b.j
+           GROUP BY 1, 2, 3),
+         pairs AS (SELECT d.label, d.v, d.c,
+             na.n2 + nb.n2 - 2 * d.dot AS d2
+           FROM dots d
+           JOIN nsq na ON d.label = na.label AND d.v = na.vec_id
+           JOIN nsq nb ON d.label = nb.label AND d.c = nb.vec_id),
+         s1 AS (SELECT label, c, CAST(SUM(d2) AS BIGINT) AS obj
+           FROM pairs GROUP BY 1, 2),
+         p1 AS (SELECT label, c AS pc, obj FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY obj, c) AS rk
+           FROM s1) z WHERE rk = 1),
+         b1 AS (SELECT pr.label, pr.v, pr.d2 AS bd FROM pairs pr
+           JOIN p1 ON pr.label = p1.label AND pr.c = p1.pc),
+         s2 AS (SELECT pr.label, pr.c,
+             CAST(SUM(LEAST(b.bd, pr.d2)) AS BIGINT) AS obj
+           FROM pairs pr JOIN b1 b
+             ON pr.label = b.label AND pr.v = b.v
+           GROUP BY 1, 2),
+         p2 AS (SELECT label, c AS pc, obj FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY obj, c) AS rk
+           FROM s2) z WHERE rk = 1),
+         b2 AS (SELECT b.label, b.v, LEAST(b.bd, pr.d2) AS bd
+           FROM b1 b JOIN p2 ON b.label = p2.label
+           JOIN pairs pr ON pr.label = b.label AND pr.v = b.v
+             AND pr.c = p2.pc),
+         s3 AS (SELECT pr.label, pr.c,
+             CAST(SUM(LEAST(b.bd, pr.d2)) AS BIGINT) AS obj
+           FROM pairs pr JOIN b2 b
+             ON pr.label = b.label AND pr.v = b.v
+           GROUP BY 1, 2),
+         p3 AS (SELECT label, c AS pc, obj FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY obj, c) AS rk
+           FROM s3) z WHERE rk = 1),
+         b3 AS (SELECT b.label, b.v, LEAST(b.bd, pr.d2) AS bd
+           FROM b2 b JOIN p3 ON b.label = p3.label
+           JOIN pairs pr ON pr.label = b.label AND pr.v = b.v
+             AND pr.c = p3.pc),
+         s4 AS (SELECT pr.label, pr.c,
+             CAST(SUM(LEAST(b.bd, pr.d2)) AS BIGINT) AS obj
+           FROM pairs pr JOIN b3 b
+             ON pr.label = b.label AND pr.v = b.v
+           GROUP BY 1, 2),
+         p4 AS (SELECT label, c AS pc, obj FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY obj, c) AS rk
+           FROM s4) z WHERE rk = 1),
+         picks AS (SELECT label, 1 AS step, pc AS vec_id, obj FROM p1
+           UNION ALL SELECT label, 2, pc, obj FROM p2
+           UNION ALL SELECT label, 3, pc, obj FROM p3
+           UNION ALL SELECT label, 4, pc, obj FROM p4)
+         SELECT label, step, vec_id, obj AS objective,
+           LAG(obj) OVER (PARTITION BY label ORDER BY step) - obj
+             AS reduction
+         FROM picks ORDER BY label, step""",
+    "events_seasonal_strength" ->
+      s"""WITH dec AS (SELECT * FROM ($tsDecomposeOracle) q),
+         comp AS (SELECT event_type,
+             CAST(residual AS DECIMAL(18,6)) AS r,
+             CAST(seasonal + residual AS DECIMAL(18,6)) AS sr,
+             CAST(n - seasonal AS DECIMAL(18,6)) AS tr
+           FROM dec),
+         v AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(r * r) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(r) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(r) AS DOUBLE) / COUNT(*)) AS var_r,
+             CAST(SUM(sr * sr) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(sr) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(sr) AS DOUBLE) / COUNT(*)) AS var_sr,
+             CAST(SUM(tr * tr) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(tr) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(tr) AS DOUBLE) / COUNT(*)) AS var_tr
+           FROM comp GROUP BY 1)
+         SELECT event_type, n_days, ROUND(var_r, 6) AS var_resid,
+           ROUND(CASE WHEN var_sr > 0 THEN
+             GREATEST(CAST(0 AS DOUBLE), 1 - var_r / var_sr) END, 6)
+             AS f_seasonal,
+           ROUND(CASE WHEN var_tr > 0 THEN
+             GREATEST(CAST(0 AS DOUBLE), 1 - var_r / var_tr) END, 6)
+             AS f_trend
+         FROM v ORDER BY event_type"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2148,4 +2148,47 @@ object EventAnalytics {
         round(col("gain"), 6).as("gain"))
       .orderBy(col("event_type"))
   }
+
+  /** Seasonality / trend STRENGTH (Hyndman's F_S, F_T) over
+    * [[tsDecompose]]'s published relation — the one-number-per-series
+    * summary that decides whether the seasonal adjustment is worth
+    * applying at all: F_S = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_T = max(0, 1 − Var(R)/Var(T+R)). Near 0 reads "no structure";
+    * near 1 reads "the component explains the series". Composes on the
+    * decomposition's OUTPUT (4-dp components — both engines consume
+    * identically rounded values, the `events_anomaly_stl` precedent),
+    * so this row can never disagree with `ts_decompose` about what the
+    * components ARE.
+    *
+    * Variances are computed from exact DECIMAL(18,6) quantizations of
+    * each component value (sum and sum-of-squares are exact decimal
+    * aggregates; the two divisions happen once per output row in
+    * double). Everything after the shared daily rollup is
+    * calendar-bounded. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val dec = tsDecompose(spark, dir)
+    val q6: Column => Column = c => c.cast("decimal(18,6)")
+    val comp = dec.select(col("event_type"),
+      q6(col("residual")).as("r"),
+      q6(col("seasonal") + col("residual")).as("sr"),
+      q6(col("n") - col("seasonal")).as("tr"))
+    def variance(x: String): Column =
+      sum(col(x) * col(x)).cast("double") / count(lit(1)) -
+        (sum(col(x)).cast("double") / count(lit(1))) *
+        (sum(col(x)).cast("double") / count(lit(1)))
+    comp.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        variance("r").as("var_r"),
+        variance("sr").as("var_sr"),
+        variance("tr").as("var_tr"))
+      .select(col("event_type"), col("n_days"),
+        round(col("var_r"), 6).as("var_resid"),
+        // a constant component (zero variance) yields NULL strength
+        // rather than a cross-engine 0-division discrepancy
+        round(when(col("var_sr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("var_r") / col("var_sr"))), 6).as("f_seasonal"),
+        round(when(col("var_tr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("var_r") / col("var_tr"))), 6).as("f_trend"))
+      .orderBy(col("event_type"))
+  }
 }

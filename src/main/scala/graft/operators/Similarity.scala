@@ -1786,4 +1786,75 @@ object Similarity {
         col("avg_semihard_gap"))
       .orderBy(col("label"))
   }
+
+  /** Greedy FACILITY-LOCATION selection (k-medoids greedy) — the
+    * submodular data-subset rule beside [[kcenterCoreset]]'s
+    * worst-case one: each step picks the candidate minimizing
+    * Σ_v min(best_v, d²(v,c)) — total representation cost, so picks
+    * chase DENSE regions first, where k-center chases outliers; the
+    * two coresets bracket a selection budget from both sides. Emits
+    * per label the k-step pick trajectory: vector chosen, objective
+    * after the pick (exact BIGINT), and the marginal reduction — whose
+    * diminishing sequence IS the submodularity certificate (and the
+    * "stop adding data" signal a budgeted pipeline reads).
+    *
+    * Exactness: micro-unit LONG distances end to end ([[pcaPower]]'s
+    * convention), argmin ties to the smaller vec_id. Scale shape: the
+    * pair space is label-blocked (the established bound) and built
+    * ONCE; each of the k steps is one pass over it (join with the
+    * |V|-row running-min state, one hash agg, a per-label argmin) —
+    * k × the blocked-pair kernel, with state localCheckpointed per
+    * step so lineage stays flat. */
+  def facilitySelect(spark: SparkSession, dir: String,
+                     k: Int = 4): DataFrame = {
+    val xq = emb(spark, dir)
+      .select(col("label"), col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("qe"))
+      .withColumn("nsq", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+    val a = xq.select(col("label"), col("vec_id").as("v"),
+      col("qe").as("qv"), col("nsq").as("nv"))
+    val b = xq.select(col("label"), col("vec_id").as("c"),
+      col("qe").as("qc"), col("nsq").as("nc"))
+    val pairs = a.join(b, Seq("label"))
+      .select(col("label"), col("v"), col("c"),
+        (col("nv") + col("nc") - lit(2L) * expr(
+          "aggregate(zip_with(qv, qc, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+          .as("d2"))
+      .localCheckpoint()
+    var best: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to k) {
+      val scored =
+        if (i == 1) pairs.groupBy(col("label"), col("c"))
+          .agg(sum(col("d2")).as("obj"))
+        else pairs.join(best.toDF("label", "v", "bd"), Seq("label", "v"))
+          .groupBy(col("label"), col("c"))
+          .agg(sum(least(col("bd"), col("d2"))).as("obj"))
+      val pick = scored
+        .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+          .orderBy(col("obj"), col("c"))))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("c"), col("obj"))
+        .toDF("pl", "pc", "pobj").localCheckpoint()
+      picks += pick.select(col("pl").as("label"), lit(i).as("step"),
+        col("pc").as("vec_id"), col("pobj").as("objective"))
+      val newd = pairs
+        .join(pick, col("label") === col("pl") && col("c") === col("pc"))
+        .select(col("label"), col("v"), col("d2").as("nd"))
+      best = (
+        if (i == 1) newd.select(col("label"), col("v"),
+          col("nd").as("bd"))
+        else best.toDF("bl", "bv", "bd")
+          .join(newd, col("bl") === col("label") && col("bv") === col("v"))
+          .select(col("label"), col("v"),
+            least(col("bd"), col("nd")).as("bd"))
+        ).localCheckpoint()
+    }
+    val wl = Window.partitionBy(col("label")).orderBy(col("step"))
+    picks.reduce(_ unionByName _)
+      .withColumn("reduction",
+        lag(col("objective"), 1).over(wl) - col("objective"))
+      .orderBy(col("label"), col("step"))
+  }
 }

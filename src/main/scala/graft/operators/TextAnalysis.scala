@@ -2584,4 +2584,79 @@ object TextAnalysis {
       .join(sharing, Seq("source"))
       .orderBy(col("source"))
   }
+
+  /** TextRank keywords (Mihalcea & Tarau) — PageRank over the word
+    * CO-OCCURRENCE graph, the graph-centrality alternative to
+    * [[rakeKeywords]]' frequency heuristics: undirected edges between
+    * ADJACENT lowercase alphabetic tokens weighted by co-occurrence
+    * count, two damped (0.85) synchronous PageRank iterations per
+    * language, top-10 words by score. A word ranks high when its
+    * NEIGHBORS rank high — centrality frequency alone can't see.
+    *
+    * Determinism inherits [[Graph.pagerankNations]] verbatim: exact
+    * integer edge weights, per-edge double ratios, the one
+    * order-sensitive contribution sum accumulated as DECIMAL(28,12),
+    * ties on the word. Scale shape: one corpus bigram pass; every
+    * later relation is vocabulary-bounded (joins hash-partition on
+    * word — the rank vector is NOT broadcast because vocabulary grows
+    * with the corpus); the top-10 is a rank≤k window
+    * (WindowGroupLimit pushes the limit map-side). */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(col("lang"), expr(
+        """filter(transform(split(text, ' '), w -> lower(w)),
+             w -> w rlike '^[a-z]+$')""").as("ws"))
+    val bi = words
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+             THEN transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2))
+             ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+           END""")).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .groupBy(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val edges = bi.select(col("lang"), col("w1").as("src"),
+        col("w2").as("dst"), col("c"))
+      .unionByName(bi.select(col("lang"), col("w2").as("src"),
+        col("w1").as("dst"), col("c")))
+      .groupBy(col("lang"), col("src"), col("dst"))
+      .agg(sum(col("c")).as("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("lang"), col("src"))
+      .agg(sum(col("w")).as("outw"))
+    val ew = edges.join(outw, Seq("lang", "src"))
+      .select(col("lang"), col("src"), col("dst"),
+        (col("w").cast("double") / col("outw").cast("double")).as("ratio"))
+    val nodes = edges.select(col("lang"), col("src").as("node")).distinct()
+    val nn = nodes.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    def step(pr: DataFrame): DataFrame = {
+      // unique column names per hop (the attributionMarkov lesson)
+      val p = pr.toDF("pl", "pnode", "prv")
+      val contrib = ew
+        .join(p, col("src") === col("pnode") && col("lang") === col("pl"))
+        .groupBy(col("lang"), col("dst"))
+        .agg(sum((col("prv") * col("ratio")).cast("decimal(28,12)"))
+          .cast("double").as("cv"))
+        .toDF("cl", "cdst", "cv")
+      nodes.join(nn, Seq("lang"))
+        .join(contrib,
+          col("lang") === col("cl") && col("node") === col("cdst"),
+          "left")
+        .select(col("lang"), col("node"),
+          (lit(0.15) / col("nl") + lit(0.85) *
+            coalesce(col("cv"), lit(0.0))).as("pr"))
+    }
+    val pr0 = nodes.join(nn, Seq("lang"))
+      .select(col("lang"), col("node"), (lit(1.0) / col("nl")).as("pr"))
+    val w10 = Window.partitionBy(col("lang"))
+      .orderBy(col("pr").desc, col("node"))
+    step(step(pr0))
+      .withColumn("rk", row_number().over(w10))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("node").as("word"),
+        round(col("pr"), 8).as("score"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -366,4 +366,125 @@ class Round11Wave2Spec extends SparkSpec {
       p2.map(t => (2, t._1, t._2, t._3))
     assert(got.toSeq === exp)
   }
+
+  test("text_textrank equals a scalar two-iteration PageRank replay " +
+    "over the same co-occurrence graph") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = docs.map(_._1).distinct.sorted
+    val expected = langs.flatMap { lg =>
+      val seqs = docs.filter(_._1 == lg).map(_._2.split(" ", -1).toSeq
+        .map(_.toLowerCase).filter(_.matches("^[a-z]+$")))
+      val biPairs = seqs.flatMap(ws => ws.zip(ws.drop(1)))
+        .filter(p => p._1 != p._2)
+      val bic = biPairs.groupBy(identity)
+        .map { case (p, g) => (p, g.length.toLong) }
+      val edges = (bic.toSeq.map { case ((a, b), c) => ((a, b), c) } ++
+        bic.toSeq.map { case ((a, b), c) => ((b, a), c) })
+        .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+      val outw = edges.toSeq.groupBy(_._1._1)
+        .map { case (s, g) => (s, g.map(_._2).sum) }
+      val nodes = edges.keys.map(_._1).toSeq.distinct.sorted
+      val nl = nodes.length
+      def step(pr: Map[String, Double]): Map[String, Double] = {
+        val contrib = edges.toSeq.map { case ((s, d2), w) =>
+          (d2, q12(pr(s) * (w.toDouble / outw(s))))
+        }.groupBy(_._1).map { case (d2, g) => (d2, g.map(_._2).sum) }
+        nodes.map { n =>
+          (n, 0.15 / nl + 0.85 * contrib.getOrElse(n, BigDecimal(0)).toDouble)
+        }.toMap
+      }
+      val pr2 = step(step(nodes.map(n => (n, 1.0 / nl)).toMap))
+      pr2.toSeq.sortBy { case (w, p) => (-p, w) }.take(10).zipWithIndex
+        .map { case ((w, p), i) =>
+          ((lg, i + 1), (w, BigDecimal(p)
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+    }.toMap
+    val got = TextAnalysis.textrank(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getString(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("events_seasonal_strength recomputes from the published " +
+    "decomposition and stays in [0, 1]") {
+    val dec = graft.operators.EventAnalytics.tsDecompose(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    def q6d(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = EventAnalytics.seasonalStrength(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val rows = dec.filter(_._1 == et)
+      def variance(xs: Seq[BigDecimal]): Double = {
+        val n = xs.length
+        (xs.map(x => x * x).sum.toDouble / n) -
+          (xs.sum.toDouble / n) * (xs.sum.toDouble / n)
+      }
+      val vr = variance(rows.map(x => q6d(x._5)).toSeq)
+      val vsr = variance(rows.map(x => q6d(x._4 + x._5)).toSeq)
+      val vtr = variance(rows.map(x => q6d(x._2 - x._4)).toSeq)
+      assert(r.getLong(1) === rows.length.toLong)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === r6(vr), s"var_resid $et")
+      assert(r.getDouble(3) === r6(math.max(0.0, 1.0 - vr / vsr)),
+        s"f_seasonal $et")
+      assert(r.getDouble(4) === r6(math.max(0.0, 1.0 - vr / vtr)),
+        s"f_trend $et")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
+  test("sim_facility_select equals a scalar greedy facility-location " +
+    "replay and reductions are non-increasing (submodularity)") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).toArray.map(x =>
+          BigDecimal(x.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val expected = vecs.groupBy(_._1).toSeq.flatMap { case (lbl, vs) =>
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var best = Map.empty[Long, Long]
+      var out = Seq.empty[(Int, Long, Long)]
+      for (step <- 1 to 4) {
+        val scored = vs.map { case (_, c, qc) =>
+          val obj = vs.map { case (_, v, qv) =>
+            val d = d2(qv, qc)
+            if (step == 1) d else math.min(best(v), d)
+          }.sum
+          (c, obj)
+        }
+        val (pc, pobj) = scored.minBy { case (c, o) => (o, c) }
+        out = out :+ ((step, pc, pobj))
+        val qcPick = vs.find(_._2 == pc).get._3
+        best = vs.map { case (_, v, qv) =>
+          val d = d2(qv, qcPick)
+          (v, if (step == 1) d else math.min(best(v), d))
+        }.toMap
+      }
+      out.map { case (s, pc, o) => ((lbl, s), (pc, o)) }
+    }.toMap
+    val got = Similarity.facilitySelect(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val k = (r.getInt(0), r.getInt(1))
+      assert((r.getLong(2), r.getLong(3)) === expected(k), s"step $k")
+    }
+    // submodularity: marginal reductions non-increasing per label
+    got.filter(!_.isNullAt(4))
+      .groupBy(_.getInt(0)).values.foreach { rows =>
+        val reds = rows.sortBy(_.getInt(1)).map(_.getLong(4))
+        assert(reds.zip(reds.drop(1)).forall { case (a, b) => b <= a },
+          s"reductions not diminishing: ${reds.toSeq}")
+      }
+  }
 }
