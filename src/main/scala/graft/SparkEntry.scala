@@ -437,7 +437,11 @@ object SparkEntry {
     "text_textrank" -> ((s, d) => TextAnalysis.textrank(s, d)),
     "events_seasonal_strength" ->
       ((s, d) => EventAnalytics.seasonalStrength(s, d)),
-    "sim_facility_select" -> ((s, d) => Similarity.facilitySelect(s, d))
+    "sim_facility_select" -> ((s, d) => Similarity.facilitySelect(s, d)),
+    "dq_reconciliation" -> ((s, d) => Relational.reconciliation(s, d)),
+    "orders_drawdown" -> ((s, d) => Relational.drawdown(s, d)),
+    "stream_cc_incremental" ->
+      ((s, d) => StreamingAnalytics.streamCcIncremental(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7329,7 +7333,98 @@ object SparkEntry {
            ROUND(CASE WHEN var_tr > 0 THEN
              GREATEST(CAST(0 AS DOUBLE), 1 - var_r / var_tr) END, 6)
              AS f_trend
-         FROM v ORDER BY event_type"""
+         FROM v ORDER BY event_type""",
+    "dq_reconciliation" ->
+      """WITH detail AS (SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+               * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS s_c
+           FROM lineitem GROUP BY 1),
+         o AS (SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t_c
+           FROM orders),
+         j AS (SELECT o.o_orderstatus, o.t_c, d.s_c,
+             ABS(o.t_c - COALESCE(d.s_c, 0)) AS diff
+           FROM o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey)
+         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN s_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lines,
+           CAST(SUM(CASE WHEN s_c IS NOT NULL AND diff * 100 <= t_c
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN s_c IS NOT NULL AND diff * 10 <= t_c
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+           CAST(SUM(CASE WHEN s_c IS NOT NULL AND diff * 2 <= t_c
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50pct,
+           ROUND(CAST(SUM(CASE WHEN s_c IS NOT NULL THEN
+               CAST(CAST(diff AS DOUBLE) / CAST(t_c AS DOUBLE)
+                 AS DECIMAL(18,9)) END) AS DOUBLE)
+             / SUM(CASE WHEN s_c IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS mean_rel_diff
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "orders_drawdown" ->
+      """WITH daily AS (SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1, 2),
+         s AS (SELECT *,
+             MAX(rev_c) OVER (PARTITION BY o_orderpriority ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS peak,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_days
+           FROM daily),
+         s2 AS (SELECT *, peak - rev_c AS dd FROM s),
+         b AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority ORDER BY dd DESC, d) AS rk
+           FROM s2)
+         SELECT o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
+           strftime(d, '%Y-%m-%d') AS trough_day,
+           ROUND(CAST(peak AS DOUBLE) / 100, 2) AS peak_rev,
+           ROUND(CAST(rev_c AS DOUBLE) / 100, 2) AS trough_rev,
+           ROUND(CAST(dd AS DOUBLE) / 100, 2) AS max_drawdown,
+           ROUND(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+             AS drawdown_frac
+         FROM b WHERE rk = 1 ORDER BY 1""",
+    "stream_cc_incremental" ->
+      """WITH RECURSIVE directed AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         e1 AS (SELECT v1, v2 FROM knn WHERE v1 % 2 = 0),
+         sym1 AS (SELECT v1 AS a, v2 AS b FROM e1
+           UNION SELECT v2, v1 FROM e1),
+         w1(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM sym1) t
+           UNION
+           SELECT e.b, w.lbl FROM w1 w JOIN sym1 e ON e.a = w.node),
+         l1 AS (SELECT node, MIN(lbl) AS cid FROM w1 GROUP BY 1),
+         c1 AS (SELECT cid, COUNT(*) AS csize FROM l1 GROUP BY 1),
+         a1 AS (SELECT 1 AS increment,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(csize) AS BIGINT) AS n_nodes,
+             CAST(MAX(csize) AS BIGINT) AS max_size,
+             CAST(SUM(CASE WHEN csize = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs
+           FROM c1),
+         sym2 AS (SELECT v1 AS a, v2 AS b FROM knn
+           UNION SELECT v2, v1 FROM knn),
+         w2(node, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM sym2) t
+           UNION
+           SELECT e.b, w.lbl FROM w2 w JOIN sym2 e ON e.a = w.node),
+         l2 AS (SELECT node, MIN(lbl) AS cid FROM w2 GROUP BY 1),
+         c2 AS (SELECT cid, COUNT(*) AS csize FROM l2 GROUP BY 1),
+         a2 AS (SELECT 2 AS increment,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(csize) AS BIGINT) AS n_nodes,
+             CAST(MAX(csize) AS BIGINT) AS max_size,
+             CAST(SUM(CASE WHEN csize = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs
+           FROM c2)
+         SELECT * FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u
+         ORDER BY increment"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

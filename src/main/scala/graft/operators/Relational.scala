@@ -1338,4 +1338,84 @@ object Relational {
         (max(col("tot")).cast("double") / 100.0).as("total_qty"))
       .orderBy(col("flag"))
   }
+
+  /** Fact-table RECONCILIATION audit — the header-vs-detail
+    * consistency check every warehouse DQ suite runs before anyone
+    * trusts a revenue number: per order, the header total
+    * (o_totalprice) against the detail rollup
+    * Σ extendedprice·(1−discount)·(1+tax), bucketed by relative
+    * discrepancy. The tolerance bands compare EXACT integers by
+    * cross-multiplication (|diff|·100 ≤ total ⟺ within 1%) — no
+    * float threshold anywhere; the only doubles are the reported
+    * means. Headerless orders (no detail rows) are their own bucket —
+    * silently treating them as zero-diff is the classic audit bug.
+    *
+    * One detail pass quantized to cents at the line (the money
+    * convention), one header join on the order key — co-partitioned
+    * end to end; the census is |status|-row. */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val detail = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax")) * 100).cast("long")).as("s_c"))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("t_c"))
+    val joined = orders.join(detail,
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff", abs(col("t_c") - coalesce(col("s_c"), lit(0L))))
+    joined.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("s_c").isNull.cast("long")).as("n_no_lines"),
+        sum((col("s_c").isNotNull &&
+          col("diff") * 100 <= col("t_c")).cast("long")).as("n_within_1pct"),
+        sum((col("s_c").isNotNull &&
+          col("diff") * 10 <= col("t_c")).cast("long")).as("n_within_10pct"),
+        sum((col("s_c").isNotNull &&
+          col("diff") * 2 <= col("t_c")).cast("long")).as("n_within_50pct"),
+        round(sum(when(col("s_c").isNotNull,
+            (col("diff").cast("double") / col("t_c").cast("double"))
+              .cast("decimal(18,9)")))
+          .cast("double") / sum(col("s_c").isNotNull.cast("long")), 6)
+          .as("mean_rel_diff"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Maximum DRAWDOWN of each priority class's daily-revenue series —
+    * the worst peak-to-trough fall, the risk-style readout a revenue
+    * dashboard pairs with the growth rows ([[qoqGrowth]] tells you the
+    * slope, this row tells you the worst slide and WHEN): per
+    * priority, running peak over the day series, drawdown = peak −
+    * revenue, the maximum reported with its day and the peak it fell
+    * from. Cents-exact LONGs end to end — running max, subtraction,
+    * and the (drawdown DESC, day) argmax are all integer operations;
+    * doubles appear only in the final /100 display columns.
+    *
+    * One fact pass to the (priority, day) histogram; the running
+    * peak is a per-priority ordered window over the calendar-bounded
+    * series; the argmax is a 1-row-per-priority rank filter. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val wRun = Window.partitionBy(col("o_orderpriority")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val scored = daily
+      .withColumn("peak", max(col("rev_c")).over(wRun))
+      .withColumn("dd", col("peak") - col("rev_c"))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("dd").desc, col("d"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderpriority"), col("n_days"),
+        date_format(col("d"), "yyyy-MM-dd").as("trough_day"),
+        round(col("peak").cast("double") / 100.0, 2).as("peak_rev"),
+        round(col("rev_c").cast("double") / 100.0, 2).as("trough_rev"),
+        round(col("dd").cast("double") / 100.0, 2).as("max_drawdown"),
+        round(col("dd").cast("double") / col("peak").cast("double"), 6)
+          .as("drawdown_frac"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -1697,4 +1697,74 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("increment"), col("rk"))
   }
+
+  /** Streaming CONNECTED-COMPONENT maintenance — the graph analog of
+    * the signature-index rows: k-NN edges arrive as two staged
+    * increments (v1 parity), each micro-batch folds them into the
+    * accumulated edge state and RE-SOLVES components over it with the
+    * production propagation kernel
+    * ([[graft.operators.DedupOps.propagateLabels]] — the
+    * re-solve-per-increment pattern of `stream_mix_rebalance`, honest
+    * about what an exact CC maintenance costs: incremental CC can only
+    * ever MERGE components as edges arrive, and the emitted
+    * trajectory pins exactly that monotone coarsening). Per
+    * increment: labeled nodes, component count, largest component,
+    * and singleton-pair count — a lost edge batch, a stale label
+    * fold, or a split component all hash-mismatch against the
+    * oracle's unrolled prefix CCs.
+    *
+    * State is the accumulated edge relation (k·|V|-bounded, never the
+    * pair space); each batch costs one distinct-union plus the
+    * propagation loop on the candidate graph. */
+  def streamCcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scc").toString
+    val inDir = s"$root/in"
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("v1"), col("v2")).localCheckpoint()
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> edges.filter(col("v1") % 2 === 0),
+      "inc2" -> edges.filter(col("v1") % 2 === 1)))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val acc =
+          if (lastState < 0) batch.toDF()
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(batch.toDF()).distinct()
+        acc.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        val labels = DedupOps.propagateLabels(
+          spark.read.parquet(s"$root/state_v$batchId")
+            .select(col("v1").as("d1"), col("v2").as("d2")), 4)
+        labels.write.mode("overwrite").parquet(s"$root/labels_v$batchId")
+        lastState = batchId
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_cc_incremental: expected 2 micro-batches, got ${versions.distinct.size}")
+    def census(v: Long, idx: Int): DataFrame =
+      spark.read.parquet(s"$root/labels_v$v")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("csize")).as("n_nodes"),
+          max(col("csize")).as("max_size"),
+          sum((col("csize") === 2).cast("long")).as("n_pairs"))
+        .select(lit(idx).as("increment"), col("n_components"),
+          col("n_nodes"), col("max_size"), col("n_pairs"))
+    val out = versions.distinct.sorted.zipWithIndex
+      .map { case (v, i) => census(v, i + 1) }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"))
+  }
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, EventAnalytics, Graph, Similarity,
-  StreamingAnalytics, TextAnalysis}
+import graft.operators.{Curation, EventAnalytics, Graph, Relational,
+  Similarity, StreamingAnalytics, TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
   * recomputations for the winnowing fingerprint census, the rolling
@@ -486,5 +486,111 @@ class Round11Wave2Spec extends SparkSpec {
         assert(reds.zip(reds.drop(1)).forall { case (a, b) => b <= a },
           s"reductions not diminishing: ${reds.toSeq}")
       }
+  }
+
+  private def cents(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("dq_reconciliation matches a scalar cents-exact replay of the " +
+    "header-vs-detail audit") {
+    val details = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")).collect()
+      .map(r => (r.getLong(0),
+        cents(r.getDouble(1) * (1 - r.getDouble(2)) *
+          (1 + r.getDouble(3)) * 100)))
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        cents(r.getDouble(2) * 100)))
+    val got = Relational.reconciliation(spark, sf0001).collect()
+    got.foreach { r =>
+      val st = r.getString(0)
+      val os = orders.filter(_._2 == st)
+      val withLines = os.flatMap { case (k, _, t) =>
+        details.get(k).map(s => (t, (t - s).abs))
+      }
+      assert(r.getLong(1) === os.length.toLong)
+      assert(r.getLong(2) === (os.length - withLines.length).toLong)
+      assert(r.getLong(3) ===
+        withLines.count { case (t, d) => d * 100 <= t }.toLong)
+      assert(r.getLong(4) ===
+        withLines.count { case (t, d) => d * 10 <= t }.toLong)
+      assert(r.getLong(5) ===
+        withLines.count { case (t, d) => d * 2 <= t }.toLong)
+      val mean = withLines.map { case (t, d) =>
+        BigDecimal(d.toDouble / t.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / withLines.length
+      assert(r.getDouble(6) === BigDecimal(mean)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("orders_drawdown matches a scalar running-peak replay") {
+    val daily = Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")),
+        col("o_totalprice")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        cents(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val got = Relational.drawdown(spark, sf0001).collect()
+    got.foreach { r =>
+      val pr = r.getString(0)
+      val series = daily.filter(_._1._1 == pr).toSeq
+        .map { case ((_, d), c) => (d, c) }.sortBy(_._1.toEpochDay)
+      var peak = Long.MinValue
+      val dds = series.map { case (d, c) =>
+        peak = math.max(peak, c); (d, c, peak, peak - c)
+      }
+      val best = dds.maxBy { case (d, _, _, dd) => (dd, -d.toEpochDay) }
+      def r2(c: Long): Double = BigDecimal(c.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) === series.length.toLong)
+      assert(r.getString(2) === best._1.toString)
+      assert(r.getDouble(5) === r2(best._4))
+      assert(r.getDouble(3) === r2(best._3))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("stream_cc_incremental trajectory matches per-prefix union-find " +
+    "and components only ever merge") {
+    val edges = Similarity.knnEdges(spark, sf0001, 3)
+      .select(col("v1"), col("v2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(v => (v, find(v))).toMap
+    }
+    val p1 = components(edges.filter(_._1 % 2 == 0).toSeq)
+    val p2 = components(edges.toSeq)
+    def censusOf(m: Map[Long, Long]): (Long, Long, Long, Long) = {
+      val sizes = m.toSeq.groupBy(_._2).map(_._2.length.toLong).toSeq
+      (sizes.length.toLong, sizes.sum, sizes.max,
+        sizes.count(_ == 2L).toLong)
+    }
+    val got = StreamingAnalytics.streamCcIncremental(spark, sf0001)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) === censusOf(p1))
+    assert(got(1) === censusOf(p2))
+    // merge-only: nodes together in prefix 1 stay together in prefix 2
+    val byComp = p1.toSeq.groupBy(_._2).values
+    byComp.foreach { members =>
+      val roots = members.map(m => p2(m._1)).distinct
+      assert(roots.length === 1, "a component split across increments")
+    }
   }
 }
