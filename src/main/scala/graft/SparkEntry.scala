@@ -441,7 +441,11 @@ object SparkEntry {
     "dq_reconciliation" -> ((s, d) => Relational.reconciliation(s, d)),
     "orders_drawdown" -> ((s, d) => Relational.drawdown(s, d)),
     "stream_cc_incremental" ->
-      ((s, d) => StreamingAnalytics.streamCcIncremental(s, d))
+      ((s, d) => StreamingAnalytics.streamCcIncremental(s, d)),
+    "graph_weak_ties" -> ((s, d) => Graph.weakTies(s, d)),
+    "events_ab_sequential" ->
+      ((s, d) => EventAnalytics.abSequential(s, d)),
+    "mm_patch_grid" -> ((s, d) => Multimodal.patchGrid(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7424,7 +7428,112 @@ object SparkEntry {
                AS n_pairs
            FROM c2)
          SELECT * FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u
-         ORDER BY increment"""
+         ORDER BY increment""",
+    "graph_weak_ties" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         sym AS (SELECT DISTINCT label, a, b FROM (
+             SELECT label, v1 AS a, v2 AS b FROM knn
+             UNION ALL SELECT label, v2, v1 FROM knn) u),
+         und AS (SELECT label, a AS u, b AS v FROM sym WHERE a < b),
+         wed AS (SELECT e.label, e.u, e.v, s.b AS w
+           FROM und e JOIN sym s ON e.label = s.label AND s.a = e.u
+           WHERE s.b <> e.v),
+         closed AS (SELECT w1.label, w1.u, w1.v,
+             CAST(COUNT(*) AS BIGINT) AS support
+           FROM wed w1
+           WHERE EXISTS (SELECT 1 FROM sym s2 WHERE s2.label = w1.label
+             AND s2.a = w1.v AND s2.b = w1.w)
+           GROUP BY 1, 2, 3),
+         cen AS (SELECT e.label, COALESCE(c.support, 0) AS s
+           FROM und e LEFT JOIN closed c
+             ON e.label = c.label AND e.u = c.u AND e.v = c.v)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weak,
+           ROUND(CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS weak_share,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS mean_support
+         FROM cen GROUP BY 1 ORDER BY 1""",
+    "events_ab_sequential" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         e1 AS (SELECT event_type, user_id, ts FROM events, t0
+           WHERE ts < t0 + INTERVAL 15 DAY),
+         v1 AS (SELECT user_id, ts FROM e1 WHERE event_type = 'view'),
+         p1 AS (SELECT user_id, ts FROM e1
+           WHERE event_type = 'purchase'),
+         conv1 AS (SELECT DISTINCT v.user_id FROM v1 v JOIN p1 p
+           ON v.user_id = p.user_id AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+         pu1 AS (SELECT u.user_id,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+           FROM (SELECT DISTINCT user_id FROM v1) u
+           LEFT JOIN conv1 c ON u.user_id = c.user_id),
+         arms1 AS (SELECT user_id % 2 = 0 AS is_a,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cv) AS BIGINT) AS c
+           FROM pu1 GROUP BY 1),
+         l1 AS (SELECT 1 AS look, a.n AS n_a, a.c AS c_a,
+             b.n AS n_b, b.c AS c_b,
+             CAST(a.c + b.c AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+           FROM (SELECT n, c FROM arms1 WHERE is_a) a,
+                (SELECT n, c FROM arms1 WHERE NOT is_a) b),
+         v2 AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'view'),
+         p2 AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         conv2 AS (SELECT DISTINCT v.user_id FROM v2 v JOIN p2 p
+           ON v.user_id = p.user_id AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+         pu2 AS (SELECT u.user_id,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+           FROM (SELECT DISTINCT user_id FROM v2) u
+           LEFT JOIN conv2 c ON u.user_id = c.user_id),
+         arms2 AS (SELECT user_id % 2 = 0 AS is_a,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cv) AS BIGINT) AS c
+           FROM pu2 GROUP BY 1),
+         l2 AS (SELECT 2 AS look, a.n AS n_a, a.c AS c_a,
+             b.n AS n_b, b.c AS c_b,
+             CAST(a.c + b.c AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+           FROM (SELECT n, c FROM arms2 WHERE is_a) a,
+                (SELECT n, c FROM arms2 WHERE NOT is_a) b),
+         looks AS (SELECT *, CASE WHEN look = 1
+             THEN CAST(2.797 AS DOUBLE) ELSE CAST(1.977 AS DOUBLE) END
+             AS boundary,
+             CASE WHEN pp > 0 AND pp < 1 THEN
+               (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+               / sqrt(pp * (1 - pp)
+                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+             END AS z
+           FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2) u)
+         SELECT look, n_a, c_a, n_b, c_b, ROUND(z, 4) AS z, boundary,
+           COALESCE(ABS(z) > boundary, false) AS crossed
+         FROM looks ORDER BY look""",
+    "mm_patch_grid" ->
+      """WITH b AS (SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+               AS modality,
+             unnest(range(1, 17)) AS i, md5(text) AS h
+           FROM documents),
+         vals AS (SELECT modality, CAST((i - 1) // 4 AS INT) AS band,
+             CAST((strpos('0123456789abcdef',
+                 substr(h, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                 substr(h, CAST(2 * i AS INT), 1)) - 1) AS BIGINT)
+               AS byte_val
+           FROM b)
+         SELECT modality, band, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(byte_val) AS BIGINT) AS sum_bytes,
+           ROUND(CAST(SUM(byte_val) AS DOUBLE) / (COUNT(*) * 255), 6)
+             AS mean_intensity,
+           CAST(MIN(byte_val) AS BIGINT) AS min_byte,
+           CAST(MAX(byte_val) AS BIGINT) AS max_byte
+         FROM vals GROUP BY 1, 2 ORDER BY 1, 2"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2191,4 +2191,62 @@ object EventAnalytics {
           lit(1.0) - col("var_r") / col("var_tr"))), 6).as("f_trend"))
       .orderBy(col("event_type"))
   }
+
+  /** SEQUENTIAL A/B monitoring — [[abTest]]'s endpoint evaluated at
+    * two LOOKS (interim at day 15, final) against O'Brien–Fleming
+    * group-sequential boundaries (2.797 / 1.977 for two equally-spaced
+    * looks at two-sided α = .05): the peeking-correct version of the
+    * fixed-horizon test, the row that answers "can we stop early"
+    * without inflating false positives. Each look recomputes the
+    * exact integer conversion counts on its own data prefix (arms by
+    * user parity, conversion = view→purchase within 30 minutes — the
+    * [[abTest]] metric verbatim), so a look is a genuine re-test, not
+    * an extrapolation.
+    *
+    * All test inputs are exact integers; z evaluates once per look in
+    * double; a degenerate pool yields NULL z (never crosses). Two
+    * bounded passes over the event prefix — the [[abTest]] plan ×2. */
+  def abSequential(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    def look(idx: Int, cutoff: Option[Column], bound: Double): DataFrame = {
+      val base0 = ev.crossJoin(broadcast(t0))
+      val base = cutoff.map(c => base0.filter(col("ts") < c))
+        .getOrElse(base0)
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val conv = views.join(purchases, "user_id")
+        .filter(col("pts") > col("ts") &&
+          col("pts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id")).distinct().withColumn("cv", lit(1L))
+      val arms = views.select(col("user_id")).distinct()
+        .join(conv, Seq("user_id"), "left")
+        .groupBy((col("user_id") % 2 === 0).as("is_a"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("cv"), lit(0L))).as("c"))
+      val a = arms.filter(col("is_a")).select(col("n").as("n_a"),
+        col("c").as("c_a"))
+      val b = arms.filter(!col("is_a")).select(col("n").as("n_b"),
+        col("c").as("c_b"))
+      a.crossJoin(b) // 1-row x 1-row
+        .withColumn("p_pool",
+          (col("c_a") + col("c_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("z", when(
+          col("p_pool") > 0 && col("p_pool") < 1,
+          (col("c_b").cast("double") / col("n_b") -
+            col("c_a").cast("double") / col("n_a")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+        .select(lit(idx).as("look"), col("n_a"), col("c_a"),
+          col("n_b"), col("c_b"), round(col("z"), 4).as("z"),
+          lit(bound).as("boundary"),
+          coalesce(abs(col("z")) > bound, lit(false)).as("crossed"))
+    }
+    look(1, Some(col("t0") + expr("INTERVAL 15 DAYS")), 2.797)
+      .unionByName(look(2, None, 1.977))
+      .orderBy(col("look"))
+  }
 }

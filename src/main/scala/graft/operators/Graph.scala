@@ -557,4 +557,45 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("label"), col("dist"))
   }
+
+  /** WEAK-TIE census over the k-NN graph (Granovetter) — edges whose
+    * endpoints share NO common neighbor. In an embedding k-NN graph
+    * weak ties are exactly the long-range links that keep greedy
+    * search out of local minima (HNSW's upper layers exist to add
+    * them), so their share is the connectivity-health number beside
+    * [[bfsKnn]]'s reachability and [[Graph.triangles]]' clustering:
+    * all ties strong reads "clumped, slow search"; mostly weak reads
+    * "no local structure at all". Per label: edges, weak count/share,
+    * and mean common-neighbor support.
+    *
+    * The support count is the degree-bounded WEDGE join (the
+    * [[triangles]] shape — never the pair space): each undirected
+    * edge expands to its ≤ 2k wedges, one adjacency semi-probe marks
+    * closures, missing edges coalesce to support 0. */
+  def weakTies(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = e0.union(e0.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "a", "b").distinct().localCheckpoint()
+    val und = sym.filter(col("a") < col("b"))
+    val wedge = und.toDF("label", "u", "v")
+      .join(sym.toDF("label", "u", "w"), Seq("label", "u"))
+      .filter(col("w") =!= col("v"))
+    val closed = wedge
+      .join(sym.toDF("label", "v", "w"), Seq("label", "v", "w"),
+        "left_semi")
+      .groupBy(col("label"), col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+    und.toDF("label", "u", "v")
+      .join(closed, Seq("label", "u", "v"), "left")
+      .withColumn("s", coalesce(col("support"), lit(0L)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("s") === 0L).cast("long")).as("n_weak"),
+        round(sum((col("s") === 0L).cast("long")).cast("double") /
+          count(lit(1)), 6).as("weak_share"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+          .as("mean_support"))
+      .orderBy(col("label"))
+  }
 }

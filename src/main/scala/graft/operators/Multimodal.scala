@@ -414,4 +414,37 @@ object Multimodal {
         col("max_delta"))
       .orderBy(col("doc_id"))
   }
+
+  /** ViT-style PATCH-GRID census over the decoded feature map — the
+    * preprocessing shape every vision-transformer pipeline runs
+    * (decode → patchify → per-patch statistics): each record's 16
+    * decoded features ([[DeterministicFakeDecoder]] through the real
+    * `mapPartitions` seam — one decoder per partition, payloads never
+    * shuffled) reshape into a 4×4 grid read as 4 row BANDS of 4
+    * patches, and the census reports per (modality, band): value
+    * count, exact integer intensity sum (features reconstruct to
+    * their byte values ×255, the [[featureExtract]] convention), mean
+    * intensity in [0,1], and the min/max byte. A real deployment
+    * swaps the decoder; the grid algebra, schema, and partition shape
+    * are exactly this.
+    *
+    * Narrow decode pass → 16-row explode (constant factor) → a
+    * |modality|×4-row census; no shuffle touches the payload. */
+  def patchGrid(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaRecords(spark, dir),
+      DeterministicFakeDecoder)
+    feats.toDF()
+      .select(col("doc_id"), col("modality"),
+        posexplode(col("features")))
+      .select(col("modality"), (col("pos") / 4).cast("int").as("band"),
+        round(col("col") * 255).cast("long").as("byte_val"))
+      .groupBy(col("modality"), col("band"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("byte_val")).as("sum_bytes"),
+        round(sum(col("byte_val")).cast("double") /
+          (count(lit(1)) * 255).cast("double"), 6).as("mean_intensity"),
+        min(col("byte_val")).as("min_byte"),
+        max(col("byte_val")).as("max_byte"))
+      .orderBy(col("modality"), col("band"))
+  }
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, EventAnalytics, Graph, Relational,
-  Similarity, StreamingAnalytics, TextAnalysis}
+import graft.operators.{Curation, EventAnalytics, Graph, Multimodal,
+  Relational, Similarity, StreamingAnalytics, TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
   * recomputations for the winnowing fingerprint census, the rolling
@@ -592,5 +592,104 @@ class Round11Wave2Spec extends SparkSpec {
       val roots = members.map(m => p2(m._1)).distinct
       assert(roots.length === 1, "a component split across increments")
     }
+  }
+
+  test("graph_weak_ties equals a scalar common-neighbor replay over " +
+    "the same edges") {
+    val edges = Similarity.knnEdges(spark, sf0001, 3)
+      .select(col("label"), col("v1"), col("v2")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expected = edges.groupBy(_._1).map { case (lbl, es) =>
+      val adj = es.flatMap(e => Seq((e._2, e._3), (e._3, e._2)))
+        .groupBy(_._1).map { case (v, g) => (v, g.map(_._2).toSet) }
+      val und = es.flatMap(e => Seq((e._2, e._3), (e._3, e._2)))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val supports = und.map { case (u, v) =>
+        (adj(u) & adj(v)).size.toLong
+      }
+      val nW = supports.count(_ == 0L).toLong
+      (lbl, (und.length.toLong, nW,
+        BigDecimal(nW.toDouble / und.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(supports.sum.toDouble / und.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = Graph.weakTies(spark, sf0001).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+  }
+
+  test("events_ab_sequential recomputes both looks exactly and the " +
+    "interim boundary is the stricter one") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2)))
+    val t0 = ev.map(_._1).min
+    val cut = t0 + 15L * 24 * 3600 * 1000
+    def look(rows: Seq[(Long, Long, String)])
+        : (Long, Long, Long, Long, Option[Double]) = {
+      val views = rows.filter(_._3 == "view")
+      val purch = rows.filter(_._3 == "purchase")
+        .groupBy(_._2).map { case (u, g) => (u, g.map(_._1)) }
+      val users = views.map(_._2).distinct
+      val conv = users.filter { u =>
+        val vts = views.filter(_._2 == u).map(_._1)
+        purch.get(u).exists(pts => vts.exists(v =>
+          pts.exists(p => p > v && p <= v + 30 * 60 * 1000)))
+      }.toSet
+      val (ua, ub) = users.partition(_ % 2 == 0)
+      val (na, nb) = (ua.length.toLong, ub.length.toLong)
+      val (ca, cb) = (ua.count(conv).toLong, ub.count(conv).toLong)
+      val pp = (ca + cb).toDouble / (na + nb)
+      val z = if (pp > 0 && pp < 1)
+        Some((cb.toDouble / nb - ca.toDouble / na) /
+          math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)))
+      else None
+      (na, ca, nb, cb, z)
+    }
+    val l1 = look(ev.filter(_._1 < cut).toSeq)
+    val l2 = look(ev.toSeq)
+    val rows = EventAnalytics.abSequential(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length === 2)
+    Seq((l1, 2.797), (l2, 1.977)).zip(rows).foreach {
+      case (((na, ca, nb, cb, z), bound), r) =>
+        assert(r.getLong(1) === na && r.getLong(2) === ca)
+        assert(r.getLong(3) === nb && r.getLong(4) === cb)
+        z.foreach { zz =>
+          assert(r.getDouble(5) === BigDecimal(zz)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          assert(r.getBoolean(7) === (math.abs(zz) > bound))
+        }
+        assert(r.getDouble(6) === bound)
+    }
+    // look-2 sample can only grow
+    assert(rows(1).getLong(1) >= rows(0).getLong(1))
+    assert(rows(0).getDouble(6) > rows(1).getDouble(6))
+  }
+
+  test("mm_patch_grid equals a scalar md5-byte replay of the 4x4 grid") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val vals = docs.flatMap { case (id, text) =>
+      val mod = Seq("image", "audio", "video")((id % 3).toInt)
+      val bytes = md.digest(text.getBytes("UTF-8")).map(_ & 0xff)
+      bytes.zipWithIndex.map { case (b, i) => (mod, i / 4, b.toLong) }
+    }
+    val expected = vals.groupBy(v => (v._1, v._2)).map { case (k, g) =>
+      val bs = g.map(_._3)
+      (k, (bs.length.toLong, bs.sum,
+        BigDecimal(bs.sum.toDouble / (bs.length * 255))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        bs.min, bs.max))
+    }
+    val got = Multimodal.patchGrid(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got === expected)
   }
 }
