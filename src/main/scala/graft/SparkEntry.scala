@@ -445,7 +445,13 @@ object SparkEntry {
     "graph_weak_ties" -> ((s, d) => Graph.weakTies(s, d)),
     "events_ab_sequential" ->
       ((s, d) => EventAnalytics.abSequential(s, d)),
-    "mm_patch_grid" -> ((s, d) => Multimodal.patchGrid(s, d))
+    "mm_patch_grid" -> ((s, d) => Multimodal.patchGrid(s, d)),
+    "events_holt_forecast" ->
+      ((s, d) => EventAnalytics.holtForecast(s, d)),
+    "sim_metric_agreement" ->
+      ((s, d) => Similarity.metricAgreement(s, d)),
+    "text_prefix_compression" ->
+      ((s, d) => TextAnalysis.prefixCompression(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7533,7 +7539,110 @@ object SparkEntry {
              AS mean_intensity,
            CAST(MIN(byte_val) AS BIGINT) AS min_byte,
            CAST(MAX(byte_val) AS BIGINT) AS max_byte
-         FROM vals GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM vals GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_holt_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         rnd AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         st(event_type, rn, l, t) AS (
+           SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+           FROM rnd WHERE rn = 1
+           UNION ALL
+           SELECT s.event_type, s.rn + 1,
+             CAST(0.5 AS DOUBLE) * r.y
+               + CAST(0.5 AS DOUBLE) * (s.l + s.t),
+             CAST(0.3 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * r.y
+                   + CAST(0.5 AS DOUBLE) * (s.l + s.t)) - s.l)
+               + CAST(0.7 AS DOUBLE) * s.t
+           FROM st s JOIN rnd r
+             ON r.event_type = s.event_type AND r.rn = s.rn + 1),
+         fin AS (SELECT s.event_type, s.l, s.t FROM st s
+           JOIN (SELECT event_type, MAX(rn) AS m FROM st GROUP BY 1) z
+             ON s.event_type = z.event_type AND s.rn = z.m),
+         nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1)
+         SELECT f.event_type, n_days, ROUND(l, 6) AS level,
+           ROUND(t, 6) AS trend, ROUND(l + t, 6) AS f1,
+           ROUND(l + CAST(2 AS DOUBLE) * t, 6) AS f2,
+           ROUND(l + CAST(3 AS DOUBLE) * t, 6) AS f3
+         FROM fin f JOIN nd USING (event_type) ORDER BY event_type""",
+    "sim_metric_agreement" ->
+      """WITH xq AS (SELECT label, vec_id, j,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS q
+           FROM (SELECT label, vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS j FROM embeddings) t),
+         nsq AS (SELECT label, vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+           FROM xq GROUP BY 1, 2),
+         seeds AS (SELECT label, MIN(vec_id) AS qid
+           FROM embeddings GROUP BY 1),
+         dots AS (SELECT a.label, a.vec_id AS cid,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+           FROM xq a JOIN seeds s ON a.label = s.label
+           JOIN xq b ON b.label = a.label AND b.vec_id = s.qid
+             AND b.j = a.j
+           WHERE a.vec_id <> s.qid GROUP BY 1, 2),
+         cosr AS (SELECT e.label, e.vec_id AS cid,
+             list_cosine_similarity(e.embedding, q.embedding) AS cos
+           FROM embeddings e JOIN seeds s ON e.label = s.label
+           JOIN embeddings q ON q.vec_id = s.qid
+           WHERE e.vec_id <> s.qid),
+         m AS (SELECT c.label, c.cid, c.cos, d.dot,
+             na.n2 + nq.n2 - 2 * d.dot AS d2
+           FROM cosr c JOIN dots d
+             ON c.label = d.label AND c.cid = d.cid
+           JOIN nsq na ON na.label = c.label AND na.vec_id = c.cid
+           JOIN seeds s ON s.label = c.label
+           JOIN nsq nq ON nq.label = c.label AND nq.vec_id = s.qid),
+         r AS (SELECT label, cid,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY cos DESC, cid) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY dot DESC, cid) AS rd,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY d2, cid) AS rl
+           FROM m),
+         p AS (SELECT x.label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN (x.rc - y.rc) * (x.rd - y.rd) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_cd,
+             CAST(SUM(CASE WHEN (x.rc - y.rc) * (x.rl - y.rl) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_cl
+           FROM r x JOIN r y ON x.label = y.label AND x.cid < y.cid
+           GROUP BY 1),
+         cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cands
+           FROM r GROUP BY 1)
+         SELECT c.label, s.qid, n_cands, n_pairs,
+           ROUND(CAST(2 * c_cd - n_pairs AS DOUBLE)
+             / CAST(n_pairs AS DOUBLE), 6) AS tau_cos_dot,
+           ROUND(CAST(2 * c_cl - n_pairs AS DOUBLE)
+             / CAST(n_pairs AS DOUBLE), 6) AS tau_cos_l2
+         FROM cnt c JOIN seeds s USING (label) JOIN p USING (label)
+         ORDER BY c.label""",
+    "text_prefix_compression" ->
+      """WITH vocab AS (SELECT DISTINCT lang, w FROM (
+             SELECT lang, unnest([lower(x)
+               for x in string_split(text, ' ')
+               if regexp_matches(lower(x), '^[a-z]+$')]) AS w
+             FROM documents) t),
+         lagd AS (SELECT lang, w,
+             LAG(w) OVER (PARTITION BY lang ORDER BY w) AS p
+           FROM vocab),
+         lcps AS (SELECT lang, w, CASE WHEN p IS NULL THEN 0
+             ELSE len([k for k in
+               range(1, least(length(w), length(p)) + 1)
+               if substr(w, 1, CAST(k AS INT))
+                 = substr(p, 1, CAST(k AS INT))]) END AS lcp
+           FROM lagd)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS total_chars,
+           CAST(SUM(lcp) AS BIGINT) AS saved_chars,
+           CAST(SUM(length(w)) - SUM(lcp) AS BIGINT) AS residual_chars,
+           ROUND(CAST(SUM(lcp) AS DOUBLE)
+             / CAST(SUM(length(w)) AS DOUBLE), 6) AS savings_ratio
+         FROM lcps GROUP BY 1 ORDER BY 1"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2249,4 +2249,46 @@ object EventAnalytics {
       .unionByName(look(2, None, 1.977))
       .orderBy(col("look"))
   }
+
+  /** HOLT double-exponential smoothing (level + trend) per event
+    * type — the trend-aware forecaster between [[forecastNaive]]'s
+    * last-value and a full seasonal model: α = 0.5, β = 0.3, state
+    * initialized (l₁ = y₁, t₁ = 0), folded LEFT-TO-RIGHT over the
+    * observed day sequence, 1/2/3-step-ahead forecasts l + h·t. The
+    * inherently sequential recursion runs as ONE `aggregate` HOF over
+    * each type's collected day series — per-type state is two
+    * doubles, the fold order is explicit, and the oracle replays the
+    * identical operation sequence day-by-day in a recursive CTE, so
+    * IEEE doubles agree bit-for-bit.
+    *
+    * Scale shape: the daily histogram is the only corpus pass; the
+    * collected series is calendar-bounded per type (the documented
+    * bound on every collect_list here), and the fold is O(|days|)
+    * inside one task per type. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("array_sort(collect_list(struct(d, CAST(n AS DOUBLE) AS y)))")
+          .as("series"))
+      .withColumn("state", expr(
+        """aggregate(slice(series, 2, size(series) - 1),
+             named_struct('l', series[0].y, 't', CAST(0.0 AS DOUBLE)),
+             (acc, x) -> named_struct(
+               'l', CAST(0.5 AS DOUBLE) * x.y
+                 + CAST(0.5 AS DOUBLE) * (acc.l + acc.t),
+               't', CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * x.y
+                     + CAST(0.5 AS DOUBLE) * (acc.l + acc.t)) - acc.l)
+                 + CAST(0.7 AS DOUBLE) * acc.t))"""))
+      .select(col("event_type"), col("n_days"),
+        round(col("state.l"), 6).as("level"),
+        round(col("state.t"), 6).as("trend"),
+        round(col("state.l") + col("state.t"), 6).as("f1"),
+        round(col("state.l") + lit(2.0) * col("state.t"), 6).as("f2"),
+        round(col("state.l") + lit(3.0) * col("state.t"), 6).as("f3"))
+      .orderBy(col("event_type"))
+  }
 }

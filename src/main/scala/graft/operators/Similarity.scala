@@ -1857,4 +1857,72 @@ object Similarity {
         lag(col("objective"), 1).over(wl) - col("objective"))
       .orderBy(col("label"), col("step"))
   }
+
+  /** Distance-METRIC agreement — Kendall's τ between the rankings
+    * three metrics induce over the same candidates (cosine vs raw
+    * dot, cosine vs squared L2): the decision row for "which metric
+    * does my ANN index actually need". τ ≈ 1 for cosine-vs-L2 on
+    * normalized vectors; a LOW cosine-vs-dot τ is the norm-variance
+    * warning that MIPS augmentation ([[mipsAugment]]) exists to fix.
+    * Per label: the seed query (min vec_id), candidate count, and
+    * both τ values over all candidate pairs.
+    *
+    * Exactness: dot and squared-L2 rank by micro-unit BIGINTs, cosine
+    * by the bit-identical f32 kernel; row_number makes ranks total, so
+    * τ = (2C − P)/P needs only integer pair counts. Pair space is the
+    * RANKED candidate list squared WITHIN a label block (the
+    * established block bound, one self-equi-join on label). */
+  def metricAgreement(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val base = emb(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+          .as("qe"))
+      .withColumn("nsq", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+    val cand = base.select(col("label"), col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("qe").as("c_qe"),
+      col("nsq").as("c_nsq"))
+    val seeds = base.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+    val qside = base.join(seeds.toDF("label", "qid"), Seq("label"))
+      .filter(col("vec_id") === col("qid"))
+      .select(col("label"), col("qid"), col("embedding"), col("qe"),
+        col("nsq"))
+      .toDF("label", "qid", "q_emb", "q_qe", "q_nsq")
+    val ranked = cand.join(qside, Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(c_qe, q_qe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("d2",
+        col("c_nsq") + col("q_nsq") - lit(2L) * col("dot"))
+      .withColumn("rc", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("cos").desc, col("cid"))))
+      .withColumn("rd", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("dot").desc, col("cid"))))
+      .withColumn("rl", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("d2"), col("cid"))))
+      .select(col("label"), col("qid"), col("cid"), col("rc"), col("rd"),
+        col("rl"))
+      .localCheckpoint()
+    val p1 = ranked.select(col("label"), col("cid"), col("rc"),
+      col("rd"), col("rl")).toDF("label", "a", "rc1", "rd1", "rl1")
+    val p2 = ranked.select(col("label"), col("cid"), col("rc"),
+      col("rd"), col("rl")).toDF("label", "b", "rc2", "rd2", "rl2")
+    val pairs = p1.join(p2, Seq("label")).filter(col("a") < col("b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(((col("rc1") - col("rc2")) * (col("rd1") - col("rd2")) > 0)
+          .cast("long")).as("c_cd"),
+        sum(((col("rc1") - col("rc2")) * (col("rl1") - col("rl2")) > 0)
+          .cast("long")).as("c_cl"))
+    val counts = ranked.groupBy(col("label"))
+      .agg(max(col("qid")).as("qid"), count(lit(1)).as("n_cands"))
+    counts.join(pairs, Seq("label"))
+      .select(col("label"), col("qid"), col("n_cands"), col("n_pairs"),
+        round((lit(2L) * col("c_cd") - col("n_pairs")).cast("double") /
+          col("n_pairs").cast("double"), 6).as("tau_cos_dot"),
+        round((lit(2L) * col("c_cl") - col("n_pairs")).cast("double") /
+          col("n_pairs").cast("double"), 6).as("tau_cos_l2"))
+      .orderBy(col("label"))
+  }
 }

@@ -2659,4 +2659,41 @@ object TextAnalysis {
         round(col("pr"), 8).as("score"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** FRONT-CODING compression estimate of the per-language
+    * vocabulary — the dictionary-sizing number every inverted-index /
+    * tokenizer-artifact design reads before choosing a term-dictionary
+    * layout: sort the vocabulary, store each word as (shared-prefix
+    * length, suffix), and the saved mass is Σ lcp(wᵢ, wᵢ₋₁). Reported
+    * per language: vocabulary size, raw chars, chars saved by prefix
+    * sharing, residual chars, and the savings ratio.
+    *
+    * The lcp is a HOF fold over the bounded prefix positions (prefix
+    * equality is monotone in k, so max-matching-k needs no early
+    * exit); the neighbor pairing is one lag window over the SORTED
+    * per-language vocabulary — vocabulary-bounded relations after the
+    * one corpus token pass, the [[stopwordDiscovery]] shape. */
+  def prefixCompression(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(expr(
+        """filter(transform(split(text, ' '), w -> lower(w)),
+             w -> w rlike '^[a-z]+$')""")).as("w"))
+      .distinct()
+    val wLag = Window.partitionBy(col("lang")).orderBy(col("w"))
+    vocab
+      .withColumn("p", lag(col("w"), 1).over(wLag))
+      .withColumn("lcp", when(col("p").isNull, lit(0)).otherwise(expr(
+        """CASE WHEN least(length(w), length(p)) = 0 THEN 0
+             ELSE aggregate(sequence(1, least(length(w), length(p))), 0,
+               (acc, i) -> IF(substring(w, 1, i) = substring(p, 1, i),
+                 greatest(acc, i), acc)) END""")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("total_chars"),
+        sum(col("lcp")).as("saved_chars"),
+        (sum(length(col("w"))) - sum(col("lcp"))).as("residual_chars"),
+        round(sum(col("lcp")).cast("double") /
+          sum(length(col("w"))).cast("double"), 6).as("savings_ratio"))
+      .orderBy(col("lang"))
+  }
 }

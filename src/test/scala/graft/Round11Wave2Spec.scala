@@ -692,4 +692,118 @@ class Round11Wave2Spec extends SparkSpec {
           r.getLong(6)))).toMap
     assert(got === expected)
   }
+
+  test("events_holt_forecast equals a scalar left-fold replay of the " +
+    "identical recursion") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = EventAnalytics.holtForecast(spark, sf0001).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val ys = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+        .map(_._3.toDouble)
+      var l = ys.head; var t = 0.0
+      ys.drop(1).foreach { y =>
+        val l2 = 0.5 * y + 0.5 * (l + t)
+        val t2 = 0.3 * ((0.5 * y + 0.5 * (l + t)) - l) + 0.7 * t
+        l = l2; t = t2
+      }
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) === ys.length.toLong)
+      assert(r.getDouble(2) === r6(l), s"level $et")
+      assert(r.getDouble(3) === r6(t), s"trend $et")
+      assert(r.getDouble(4) === r6(l + t))
+      assert(r.getDouble(5) === r6(l + 2.0 * t))
+      assert(r.getDouble(6) === r6(l + 3.0 * t))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("sim_metric_agreement equals a scalar Kendall-tau replay over " +
+    "the three metrics' rankings") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def micro(a: Array[Float]): Array[Long] = a.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def cosF32(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0f; var na = 0f; var nb = 0f; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na.toDouble).toFloat *
+        math.sqrt(nb.toDouble).toFloat)
+    }
+    val got = Similarity.metricAgreement(spark, sf0001).collect()
+    got.foreach { r =>
+      val lbl = r.getInt(0)
+      val vs = vecs.filter(_._1 == lbl)
+      val qid = vs.map(_._2).min
+      assert(r.getLong(1) === qid)
+      val qv = vs.find(_._2 == qid).get._3
+      val qq = micro(qv)
+      val cands = vs.filter(_._2 != qid).map { case (_, id, v) =>
+        val mv = micro(v)
+        val dot = mv.zip(qq).map { case (x, y) => x * y }.sum
+        val d2 = mv.zip(qq).map { case (x, y) =>
+          (x - y) * (x - y)
+        }.sum
+        (id, cosF32(v, qv), dot, d2)
+      }
+      def ranks[T](xs: Seq[(Long, T)])(implicit o: Ordering[T])
+          : Map[Long, Int] =
+        xs.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, i + 1) }.toMap
+      val rc = ranks(cands.map(c => (c._1, -c._2)).toSeq)
+      val rd = ranks(cands.map(c => (c._1, -c._3)).toSeq)
+      val rl = ranks(cands.map(c => (c._1, c._4)).toSeq)
+      val ids = cands.map(_._1).toSeq
+      val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+      val cCd = pairs.count { case (a, b) =>
+        (rc(a) - rc(b)).toLong * (rd(a) - rd(b)) > 0 }
+      val cCl = pairs.count { case (a, b) =>
+        (rc(a) - rc(b)).toLong * (rl(a) - rl(b)) > 0 }
+      def tau(c: Int): Double = BigDecimal(
+        (2.0 * c - pairs.length) / pairs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(2) === ids.length.toLong)
+      assert(r.getLong(3) === pairs.length.toLong)
+      assert(r.getDouble(4) === tau(cCd), s"tau_cos_dot label $lbl")
+      assert(r.getDouble(5) === tau(cCl), s"tau_cos_l2 label $lbl")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("text_prefix_compression equals a scalar sorted-vocabulary LCP " +
+    "replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lg, ds) =>
+      val vocab = ds.flatMap(_._2.split(" ", -1))
+        .map(_.toLowerCase).filter(_.matches("^[a-z]+$"))
+        .distinct.sorted
+      val lcps = vocab.zipWithIndex.map { case (w, i) =>
+        if (i == 0) 0
+        else {
+          val p = vocab(i - 1)
+          val n = math.min(w.length, p.length)
+          (1 to n).count(k => w.take(k) == p.take(k))
+        }
+      }
+      val tc = vocab.map(_.length.toLong).sum
+      val sv = lcps.map(_.toLong).sum
+      (lg, (vocab.length.toLong, tc, sv, tc - sv,
+        BigDecimal(sv.toDouble / tc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = TextAnalysis.prefixCompression(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+  }
 }
