@@ -451,7 +451,10 @@ object SparkEntry {
     "sim_metric_agreement" ->
       ((s, d) => Similarity.metricAgreement(s, d)),
     "text_prefix_compression" ->
-      ((s, d) => TextAnalysis.prefixCompression(s, d))
+      ((s, d) => TextAnalysis.prefixCompression(s, d)),
+    "dedup_winnowing_pairs" -> ((s, d) => DedupOps.winnowingPairs(s, d)),
+    "join_pit_dimension" -> ((s, d) => Temporal.pitJoin(s, d)),
+    "stream_holt" -> ((s, d) => StreamingAnalytics.streamHolt(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7642,7 +7645,131 @@ object SparkEntry {
            CAST(SUM(length(w)) - SUM(lcp) AS BIGINT) AS residual_chars,
            ROUND(CAST(SUM(lcp) AS DOUBLE)
              / CAST(SUM(length(w)) AS DOUBLE), 6) AS savings_ratio
-         FROM lcps GROUP BY 1 ORDER BY 1"""
+         FROM lcps GROUP BY 1 ORDER BY 1""",
+    "dedup_winnowing_pairs" ->
+      """WITH g AS (SELECT doc_id, n_grams,
+             unnest(l) AS h, generate_subscripts(l, 1) AS p
+           FROM (SELECT doc_id, length(text) - 7 AS n_grams,
+               CASE WHEN length(text) >= 8
+                 THEN [md5(substr(text, i, 8))
+                       for i in range(1, length(text) - 6)]
+                 ELSE []::VARCHAR[] END AS l
+             FROM documents) t),
+         sel AS (SELECT doc_id, n_grams, p,
+             MIN(h || lpad(CAST(1000000 - p AS VARCHAR), 7, '0'))
+               OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id, wkey
+           FROM sel WHERE p <= n_grams - 3),
+         fpd AS (SELECT DISTINCT doc_id, substr(wkey, 1, 32) AS hash
+           FROM fp),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM fpd GROUP BY 1),
+         okdf AS (SELECT hash FROM fpd GROUP BY hash
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM fpd a JOIN fpd b
+             ON a.hash = b.hash AND a.doc_id < b.doc_id
+           JOIN okdf k ON k.hash = a.hash
+           GROUP BY 1, 2)
+         SELECT d1, d2, n_shared, s1.n AS n1, s2.n AS n2,
+           ROUND(CAST(n_shared AS DOUBLE)
+             / CAST(s1.n + s2.n - n_shared AS DOUBLE), 6) AS est_jaccard
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                    JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE n_shared >= 3
+         ORDER BY n_shared DESC, d1, d2 LIMIT 10""",
+    "join_pit_dimension" ->
+      """WITH runs0 AS (SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_type <> 'purchase'),
+         runs1 AS (SELECT *, CASE WHEN prev IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg FROM runs0),
+         runs2 AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM runs1),
+         dim AS (SELECT user_id AS du, run_id,
+             event_type AS state_type, MIN(ts) AS vf
+           FROM runs2 GROUP BY 1, 2, 3),
+         facts AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (SELECT f.event_id, f.user_id, f.ts, d.state_type,
+             d.run_id, d.vf,
+             ROW_NUMBER() OVER (PARTITION BY f.event_id
+               ORDER BY d.vf DESC, d.run_id DESC) AS rk
+           FROM facts f LEFT JOIN dim d
+             ON f.user_id = d.du AND d.vf <= f.ts)
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           COALESCE(state_type, 'none') AS state_type,
+           CAST(COALESCE(run_id, -1) AS BIGINT) AS state_run_id,
+           COALESCE(strftime(vf, '%Y-%m-%d %H:%M:%S'), '')
+             AS state_since
+         FROM j WHERE rk = 1 ORDER BY event_id""",
+    "stream_holt" ->
+      """WITH RECURSIVE d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0
+           FROM events),
+         dailyA AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events, d0 WHERE CAST(ts AS DATE) < d0 + 15
+           GROUP BY 1, 2),
+         rndA AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM dailyA),
+         stA(event_type, rn, l, t) AS (
+           SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+           FROM rndA WHERE rn = 1
+           UNION ALL
+           SELECT s.event_type, s.rn + 1,
+             CAST(0.5 AS DOUBLE) * r.y
+               + CAST(0.5 AS DOUBLE) * (s.l + s.t),
+             CAST(0.3 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * r.y
+                   + CAST(0.5 AS DOUBLE) * (s.l + s.t)) - s.l)
+               + CAST(0.7 AS DOUBLE) * s.t
+           FROM stA s JOIN rndA r
+             ON r.event_type = s.event_type AND r.rn = s.rn + 1),
+         finA AS (SELECT s.event_type, s.l, s.t FROM stA s
+           JOIN (SELECT event_type, MAX(rn) AS m FROM stA GROUP BY 1) z
+             ON s.event_type = z.event_type AND s.rn = z.m),
+         ndA AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM dailyA GROUP BY 1),
+         dailyB AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         rndB AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM dailyB),
+         stB(event_type, rn, l, t) AS (
+           SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+           FROM rndB WHERE rn = 1
+           UNION ALL
+           SELECT s.event_type, s.rn + 1,
+             CAST(0.5 AS DOUBLE) * r.y
+               + CAST(0.5 AS DOUBLE) * (s.l + s.t),
+             CAST(0.3 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * r.y
+                   + CAST(0.5 AS DOUBLE) * (s.l + s.t)) - s.l)
+               + CAST(0.7 AS DOUBLE) * s.t
+           FROM stB s JOIN rndB r
+             ON r.event_type = s.event_type AND r.rn = s.rn + 1),
+         finB AS (SELECT s.event_type, s.l, s.t FROM stB s
+           JOIN (SELECT event_type, MAX(rn) AS m FROM stB GROUP BY 1) z
+             ON s.event_type = z.event_type AND s.rn = z.m),
+         ndB AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM dailyB GROUP BY 1),
+         u AS (SELECT 1 AS increment, f.event_type, n_days,
+             ROUND(l, 6) AS level, ROUND(t, 6) AS trend,
+             ROUND(l + t, 6) AS f1
+           FROM finA f JOIN ndA USING (event_type)
+           UNION ALL
+           SELECT 2, f.event_type, n_days, ROUND(l, 6), ROUND(t, 6),
+             ROUND(l + t, 6)
+           FROM finB f JOIN ndB USING (event_type))
+         SELECT * FROM u ORDER BY increment, event_type"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -1358,4 +1358,33 @@ object DedupOps {
           count(lit(1)), 6).as("avg_score"))
       .orderBy(col("dup_flag"), col("band"))
   }
+
+  /** WINNOWING candidate dup pairs — the MOSS detection step on top of
+    * [[TextAnalysis.winnowFingerprints]]' selected (hash, pos) set:
+    * documents sharing ≥ minShared fingerprint hashes are candidate
+    * partial-overlap pairs, ranked by shared count with the estimated
+    * fingerprint Jaccard. This is what the n-gram rungs
+    * ([[ngramJaccardPairs]]) look like when the feature set is the
+    * winnowed SAMPLE instead of all shingles — ~2/(w+1) of the
+    * feature mass for the same ≥ k+w−1 shared-substring guarantee,
+    * the trade a 100 TB dedup tier makes first.
+    *
+    * The pair space rides [[shinglePairStatsOf]] VERBATIM (one
+    * posting shuffle, [[MaxShingleDf]]-capped hot hashes, sizes on
+    * the full relation), so the df-cap discipline and its census
+    * cover this kernel too. */
+  def winnowingPairs(spark: SparkSession, dir: String,
+                     minShared: Int = 3): DataFrame = {
+    val fp = TextAnalysis.winnowFingerprints(spark, dir)
+      .select(col("doc_id"), col("hash").as("shingle")).distinct()
+    shinglePairStatsOf(fp)
+      .filter(col("inter") >= minShared)
+      .select(col("d1"), col("d2"), col("inter").as("n_shared"),
+        col("n1"), col("n2"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 6)
+          .as("est_jaccard"))
+      .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+      .limit(10)
+  }
 }

@@ -1767,4 +1767,109 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("increment"))
   }
+
+  /** Streaming HOLT smoothing — [[graft.operators.EventAnalytics
+    * .holtForecast]]'s recursion with CARRIED state: per event type,
+    * (level, trend, days-seen) doubles persist across micro-batches;
+    * each batch folds ITS OWN day series (day-aligned increments, so
+    * no day straddles a batch boundary) starting from the carried
+    * state — which equals the full prefix fold exactly, because the
+    * recursion is a left fold and the increments are time-ordered.
+    * Emitted per increment: each type's level/trend/1-step forecast —
+    * the oracle replays both prefixes with the unrolled recursion, so
+    * a stale state, re-initialized fold, or day-order break all
+    * hash-mismatch.
+    *
+    * State is |types|×3 doubles at any corpus size; each batch is one
+    * day histogram + one |types|-row fold. */
+  def streamHolt(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val t0 = ev.agg(min(col("d")).as("d0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("d") < date_add(col("d0"), 15))
+        .select(col("event_type"), col("d")),
+      "inc2" -> based.filter(col("d") >= date_add(col("d0"), 15))
+        .select(col("event_type"), col("d"))))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val holtStep =
+      """(acc, x) -> named_struct(
+           'l', CAST(0.5 AS DOUBLE) * x.y
+             + CAST(0.5 AS DOUBLE) * (acc.l + acc.t),
+           't', CAST(0.3 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * x.y
+                 + CAST(0.5 AS DOUBLE) * (acc.l + acc.t)) - acc.l)
+             + CAST(0.7 AS DOUBLE) * acc.t)"""
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val series = batch.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(expr(
+            "array_sort(collect_list(struct(d, CAST(n AS DOUBLE) AS y)))")
+            .as("series"))
+        val folded =
+          if (lastState < 0)
+            series.withColumn("st", expr(
+              s"""aggregate(slice(series, 2, size(series) - 1),
+                   named_struct('l', series[0].y, 't', CAST(0.0 AS DOUBLE)),
+                   $holtStep)"""))
+              .select(col("event_type"), col("st.l").as("l"),
+                col("st.t").as("t"),
+                size(col("series")).cast("long").as("n_days"))
+          else {
+            val prior = spark.read.parquet(s"$root/state_v$lastState")
+              .select(col("event_type"), col("l").as("pl"),
+                col("t").as("pt"), col("n_days").as("pn"))
+            series.join(prior, Seq("event_type"), "full_outer")
+              .withColumn("st", expr(
+                s"""CASE
+                     WHEN series IS NULL
+                       THEN named_struct('l', pl, 't', pt)
+                     WHEN pl IS NULL
+                       THEN aggregate(slice(series, 2, size(series) - 1),
+                         named_struct('l', series[0].y,
+                                      't', CAST(0.0 AS DOUBLE)),
+                         $holtStep)
+                     ELSE aggregate(series,
+                       named_struct('l', pl, 't', pt), $holtStep)
+                   END"""))
+              .select(col("event_type"), col("st.l").as("l"),
+                col("st.t").as("t"),
+                (coalesce(col("pn"), lit(0L)) +
+                  coalesce(size(col("series")).cast("long"), lit(0L)))
+                  .as("n_days"))
+          }
+        folded.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_holt: expected 2 micro-batches, got ${versions.distinct.size}")
+    def census(v: Long, idx: Int): DataFrame =
+      spark.read.parquet(s"$root/state_v$v")
+        .select(lit(idx).as("increment"), col("event_type"),
+          col("n_days"), round(col("l"), 6).as("level"),
+          round(col("t"), 6).as("trend"),
+          round(col("l") + col("t"), 6).as("f1"))
+    val out = versions.distinct.sorted.zipWithIndex
+      .map { case (v, i) => census(v, i + 1) }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("increment"), col("event_type"))
+  }
 }

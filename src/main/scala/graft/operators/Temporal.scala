@@ -119,4 +119,49 @@ object Temporal {
         coalesce(col("n"), lit(0L)).as("n"), col("filled_avg"))
       .orderBy(col("event_type"), col("hour_start"))
   }
+
+  /** POINT-IN-TIME dimension join — the feature-store / SCD2-consumer
+    * correctness pattern [[scd2History]] builds toward: each purchase
+    * fact enriches with the user-state version (runs of consecutive
+    * equal NON-purchase event types — the behavioral dimension) that
+    * was valid AT the purchase instant: the latest run with
+    * valid_from ≤ ts, never a later one (the leakage every naive
+    * latest-value join commits). Purchases before any state row
+    * report 'none' — the cold-start case made explicit.
+    *
+    * The as-of resolution is a per-user rank over the fact×run join
+    * keyed on user_id — both sides partition on the same key (ONE
+    * shuffle lineage), per-user fanout is bounded by the user's run
+    * count, never the corpus. Row-level output so the oracle pins
+    * every enrichment, not just a census. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = Tables(spark, dir, "events")
+      .filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(!(col("prev_type") <=> col("event_type")), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("vf"))
+      .select(col("user_id").as("du"), col("run_id"),
+        col("event_type").as("state_type"), col("vf"))
+    val facts = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wPick = Window.partitionBy(col("event_id"))
+      .orderBy(col("vf").desc, col("run_id").desc)
+    facts.join(dim, facts("user_id") === col("du") &&
+        col("vf") <= col("ts"), "left")
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("purchase_ts"),
+        coalesce(col("state_type"), lit("none")).as("state_type"),
+        coalesce(col("run_id"), lit(-1L)).as("state_run_id"),
+        coalesce(date_format(col("vf"), fmt), lit("")).as("state_since"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -2515,6 +2515,37 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The winnowing fingerprint relation shared by [[winnowing]]'s
+    * census and [[DedupOps.winnowingPairs]]' candidate kernel:
+    * (doc_id, source, n_grams, wkey, hash) — one row per selected
+    * (hash, position) fingerprint. See [[winnowing]] for the selection
+    * semantics and scale argument. */
+  private[operators] def winnowFingerprints(spark: SparkSession,
+      dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) - (k - 1)).as("n_grams"),
+        posexplode(when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => md5(col("text").substr(i, lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        (col("pos") + 1).as("p"), // posexplode is 0-based
+        col("col").as("h"))
+    // rightmost-min-of-window in one pass: equal hashes at LARGER p get
+    // a SMALLER suffix, so the window min is the rightmost minimum
+    val key = concat(col("h"),
+      lpad((lit(1000000) - col("p")).cast("string"), 7, "0"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wkey", min(key).over(win))
+      .filter(col("p") <= col("n_grams") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("source"), col("n_grams"), col("wkey"))
+      .distinct()
+      .withColumn("hash", substring(col("wkey"), 1, 32))
+  }
+
   /** WINNOWING fingerprint census (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm) — the position-robust document fingerprinting scheme
     * that guarantees detection of any shared substring of length
@@ -2542,29 +2573,7 @@ object TextAnalysis {
     * window pipeline in one stage; nothing driver-side. */
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        (length(col("text")) - (k - 1)).as("n_grams"),
-        posexplode(when(length(col("text")) >= k,
-          transform(sequence(lit(1), length(col("text")) - (k - 1)),
-            i => md5(col("text").substr(i, lit(k)))))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("source"), col("n_grams"),
-        (col("pos") + 1).as("p"), // posexplode is 0-based
-        col("col").as("h"))
-    // rightmost-min-of-window in one pass: equal hashes at LARGER p get
-    // a SMALLER suffix, so the window min is the rightmost minimum
-    val key = concat(col("h"),
-      lpad((lit(1000000) - col("p")).cast("string"), 7, "0"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val selected = grams
-      .withColumn("wkey", min(key).over(win))
-      .filter(col("p") <= col("n_grams") - (w - 1)) // full windows only
-    val fp = selected
-      .select(col("doc_id"), col("source"), col("n_grams"), col("wkey"))
-      .distinct()
-      .withColumn("hash", substring(col("wkey"), 1, 32))
+    val fp = winnowFingerprints(spark, dir, k, w)
     val perDoc = fp.groupBy(col("doc_id"), col("source"))
       .agg(max(col("n_grams") - (w - 1)).as("n_windows"),
         count(lit(1)).as("n_fp"))

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, EventAnalytics, Graph, Multimodal,
-  Relational, Similarity, StreamingAnalytics, TextAnalysis}
+import graft.operators.{Curation, DedupOps, EventAnalytics, Graph,
+  Multimodal, Relational, Similarity, StreamingAnalytics, TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
   * recomputations for the winnowing fingerprint census, the rolling
@@ -805,5 +805,116 @@ class Round11Wave2Spec extends SparkSpec {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     assert(got === expected)
+  }
+
+  test("dedup_winnowing_pairs equals the scalar winnowing replay's " +
+    "df-capped shared-fingerprint pairs") {
+    val k = 8; val w = 4
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.flatMap { case (id, text) =>
+      val n = text.length - (k - 1)
+      if (n < w) None else {
+        val h = (1 to n).map(i => md5hex(text.substring(i - 1, i - 1 + k)))
+        val sel = (1 to n - w + 1).map { j =>
+          (j to j + w - 1).map(p => (h(p - 1), p))
+            .minBy { case (hh, p) => (hh, -p) }
+        }.toSet
+        Some((id, sel.map(_._1)))
+      }
+    }
+    val posting = fps.flatMap { case (id, hs) => hs.map(h => (h, id)) }
+      .groupBy(_._1)
+    val sizes = fps.map { case (id, hs) => (id, hs.size.toLong) }.toMap
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Long]()
+    posting.values.foreach { entries =>
+      val ds = entries.map(_._2).distinct.sorted
+      if (ds.length >= 2 && ds.length <= 64)
+        for (i <- ds.indices; j <- i + 1 until ds.length)
+          pairCounts((ds(i), ds(j))) =
+            pairCounts.getOrElse((ds(i), ds(j)), 0L) + 1L
+    }
+    val expected = pairCounts.toSeq.filter(_._2 >= 3)
+      .map { case ((d1, d2), c) => (d1, d2, c) }
+      .sortBy { case (d1, d2, c) => (-c, d1, d2) }.take(10)
+    val got = DedupOps.winnowingPairs(spark, sf0001).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (d1, d2, c)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((d1, d2, c)))
+      assert(r.getLong(3) === sizes(d1) && r.getLong(4) === sizes(d2))
+    }
+  }
+
+  test("join_pit_dimension never leaks future state and matches a " +
+    "scalar as-of replay on every purchase") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3)))
+    val got = graft.operators.Temporal.pitJoin(spark, sf0001).collect()
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.length === purchases.length)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    purchases.foreach { case (eid, uid, ts, _) =>
+      // the user's non-purchase runs: (run first ts, type)
+      val stream = ev.filter(e => e._2 == uid && e._4 != "purchase")
+        .sortBy(e => (e._3.getTime, e._1))
+      val runs = stream.foldLeft(Vector.empty[(java.sql.Timestamp, String)]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && acc.last._2 == e._4) acc
+          else acc :+ (e._3, e._4)
+      }
+      val valid = runs.filter(!_._1.after(ts))
+      val r = byId(eid)
+      if (valid.isEmpty) {
+        assert(r.getString(3) === "none")
+        assert(r.getLong(4) === -1L)
+      } else {
+        val (vf, tp) = valid.last
+        assert(r.getString(3) === tp, s"state for purchase $eid")
+        assert(r.getString(5).startsWith(
+          new java.text.SimpleDateFormat("yyyy-MM-dd")
+            .format(vf)), s"state_since for $eid")
+        // no leakage: the chosen state began at or before the purchase
+        assert(!vf.after(ts))
+      }
+    }
+  }
+
+  test("stream_holt increments equal the scalar prefix folds and the " +
+    "carried state continues the recursion exactly") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).minBy(_.toEpochDay)
+    val cut = d0.plusDays(15)
+    def fold(rows: Seq[(String, java.time.LocalDate)])
+        : Map[String, (Long, Double, Double)] =
+      rows.groupBy(_._1).map { case (et, g) =>
+        val ys = g.groupBy(_._2).toSeq.sortBy(_._1.toEpochDay)
+          .map(_._2.length.toDouble)
+        var l = ys.head; var t = 0.0
+        ys.drop(1).foreach { y =>
+          val l2 = 0.5 * y + 0.5 * (l + t)
+          val t2 = 0.3 * ((0.5 * y + 0.5 * (l + t)) - l) + 0.7 * t
+          l = l2; t = t2
+        }
+        (et, (ys.length.toLong, l, t))
+      }
+    val p1 = fold(ev.filter(_._2.isBefore(cut)).toSeq)
+    val p2 = fold(ev.toSeq)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = StreamingAnalytics.streamHolt(spark, sf0001).collect()
+    got.foreach { r =>
+      val exp = (if (r.getInt(0) == 1) p1 else p2)(r.getString(1))
+      assert(r.getLong(2) === exp._1, s"n_days ${r.getString(1)}")
+      assert(r.getDouble(3) === r6(exp._2), s"level ${r.getString(1)}")
+      assert(r.getDouble(4) === r6(exp._3), s"trend ${r.getString(1)}")
+      assert(r.getDouble(5) === r6(exp._2 + exp._3))
+    }
+    assert(got.length === p1.size + p2.size)
   }
 }
