@@ -454,7 +454,11 @@ object SparkEntry {
       ((s, d) => TextAnalysis.prefixCompression(s, d)),
     "dedup_winnowing_pairs" -> ((s, d) => DedupOps.winnowingPairs(s, d)),
     "join_pit_dimension" -> ((s, d) => Temporal.pitJoin(s, d)),
-    "stream_holt" -> ((s, d) => StreamingAnalytics.streamHolt(s, d))
+    "stream_holt" -> ((s, d) => StreamingAnalytics.streamHolt(s, d)),
+    "events_forecast_backtest" ->
+      ((s, d) => EventAnalytics.forecastBacktest(s, d)),
+    "sketch_countmin" -> ((s, d) => Quality.sketchCountMin(s, d)),
+    "sim_prf_expansion" -> ((s, d) => Similarity.prfExpansion(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7769,7 +7773,131 @@ object SparkEntry {
            SELECT 2, f.event_type, n_days, ROUND(l, 6), ROUND(t, 6),
              ROUND(l + t, 6)
            FROM finB f JOIN ndB USING (event_type))
-         SELECT * FROM u ORDER BY increment, event_type"""
+         SELECT * FROM u ORDER BY increment, event_type""",
+    "events_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         mk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY d DESC) AS rdesc FROM daily),
+         train AS (SELECT * FROM mk WHERE rdesc > 5),
+         test AS (SELECT event_type, 6 - rdesc AS h,
+             CAST(n AS DOUBLE) AS y FROM mk WHERE rdesc <= 5),
+         rnd AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM train),
+         st(event_type, rn, l, t) AS (
+           SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+           FROM rnd WHERE rn = 1
+           UNION ALL
+           SELECT s.event_type, s.rn + 1,
+             CAST(0.5 AS DOUBLE) * r.y
+               + CAST(0.5 AS DOUBLE) * (s.l + s.t),
+             CAST(0.3 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * r.y
+                   + CAST(0.5 AS DOUBLE) * (s.l + s.t)) - s.l)
+               + CAST(0.7 AS DOUBLE) * s.t
+           FROM st s JOIN rnd r
+             ON r.event_type = s.event_type AND r.rn = s.rn + 1),
+         fin AS (SELECT s.event_type, s.l, s.t FROM st s
+           JOIN (SELECT event_type, MAX(rn) AS m FROM st GROUP BY 1) z
+             ON s.event_type = z.event_type AND s.rn = z.m),
+         lasty AS (SELECT event_type, CAST(n AS DOUBLE) AS last_y
+           FROM mk WHERE rdesc = 6),
+         nt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train
+           FROM train GROUP BY 1),
+         sc AS (SELECT t.event_type,
+             CAST(ABS(t.y - l2.last_y) AS DECIMAL(18,6)) AS e_naive,
+             CAST(ABS(t.y - (f.l + CAST(t.h AS DOUBLE) * f.t))
+               AS DECIMAL(18,6)) AS e_holt
+           FROM test t JOIN fin f USING (event_type)
+           JOIN lasty l2 USING (event_type)),
+         agg AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             ROUND(CAST(SUM(e_naive) AS DOUBLE) / COUNT(*), 6)
+               AS naive_mae,
+             ROUND(CAST(SUM(e_holt) AS DOUBLE) / COUNT(*), 6)
+               AS holt_mae
+           FROM sc GROUP BY 1)
+         SELECT a.event_type, n_train, n_test, naive_mae, holt_mae,
+           CASE WHEN holt_mae < naive_mae THEN 'holt'
+                WHEN holt_mae > naive_mae THEN 'naive'
+                ELSE 'tie' END AS winner
+         FROM agg a JOIN nt USING (event_type)
+         ORDER BY a.event_type""",
+    "sketch_countmin" ->
+      """WITH ev AS (SELECT user_id FROM events),
+         hs AS (SELECT user_id, j,
+             md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))
+               AS h
+           FROM ev CROSS JOIN range(3) t(j)),
+         hb AS (SELECT user_id, j,
+             CAST(((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64
+               AS INT) AS bucket
+           FROM hs),
+         b AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM hb GROUP BY 1, 2),
+         exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+           FROM ev GROUP BY 1),
+         tracked AS (SELECT user_id, exact, CAST(rk AS INT) AS rk FROM (
+             SELECT *, ROW_NUMBER() OVER (ORDER BY exact DESC, user_id)
+               AS rk FROM exact) z WHERE rk <= 10),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+         pr AS (SELECT t.user_id, t.exact, t.rk,
+             MIN(b.cnt) AS est
+           FROM tracked t
+           JOIN hb ON hb.user_id = t.user_id
+           JOIN b ON b.j = hb.j AND b.bucket = hb.bucket
+           GROUP BY 1, 2, 3)
+         SELECT rk, user_id, exact, CAST(est AS BIGINT) AS est,
+           CAST(est - exact AS BIGINT) AS overestimate,
+           est >= exact AS never_under,
+           est - exact <= (2 * n_total + 63) // 64 AS within_bound
+         FROM pr, n ORDER BY rk""",
+    "sim_prf_expansion" ->
+      """WITH q AS (SELECT label, MIN(vec_id) AS qid
+           FROM embeddings GROUP BY 1),
+         qe AS (SELECT q.label, q.qid, e.embedding AS q_emb
+           FROM q JOIN embeddings e ON e.vec_id = q.qid),
+         s1 AS (SELECT qe.label, qe.qid, c.vec_id AS cid,
+             c.label AS clabel,
+             list_cosine_similarity(c.embedding, qe.q_emb) AS sim
+           FROM qe CROSS JOIN embeddings c WHERE c.vec_id <> qe.qid),
+         r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY sim DESC, cid) AS rk FROM s1),
+         bef AS (SELECT label,
+             CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb
+           FROM r1 WHERE rk <= 10 GROUP BY 1),
+         top5 AS (SELECT label, qid, cid FROM r1 WHERE rk <= 5),
+         fd AS (SELECT t.label, t.qid,
+             generate_subscripts(e.embedding, 1) AS d,
+             unnest(e.embedding) AS v
+           FROM top5 t JOIN embeddings e ON t.cid = e.vec_id),
+         cent AS (SELECT label, qid, d,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*) AS c
+           FROM fd GROUP BY 1, 2, 3),
+         xq AS (SELECT label, qid,
+             list(CAST(c AS FLOAT) ORDER BY d) AS x_emb
+           FROM cent GROUP BY 1, 2),
+         s2 AS (SELECT x.label, x.qid, c.vec_id AS cid,
+             c.label AS clabel,
+             list_cosine_similarity(c.embedding, x.x_emb) AS sim
+           FROM xq x CROSS JOIN embeddings c WHERE c.vec_id <> x.qid),
+         r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY sim DESC, cid) AS rk FROM s2),
+         aft AS (SELECT label,
+             CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+               AS BIGINT) AS na
+           FROM r2 WHERE rk <= 10 GROUP BY 1)
+         SELECT q.label, q.qid,
+           ROUND(CAST(nb AS DOUBLE) / 10, 6) AS recall10_before,
+           ROUND(CAST(na AS DOUBLE) / 10, 6) AS recall10_after,
+           na - nb AS gain
+         FROM q JOIN bef USING (label) JOIN aft USING (label)
+         ORDER BY q.label"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2291,4 +2291,67 @@ object EventAnalytics {
         round(col("state.l") + lit(3.0) * col("state.t"), 6).as("f3"))
       .orderBy(col("event_type"))
   }
+
+  /** Forecast BACKTEST — the eval row the forecaster family
+    * ([[forecastNaive]], [[holtForecast]]) needs before anyone ships
+    * either: hold out each type's LAST 5 observed days, fit both
+    * models on the rest (naive = last train value; Holt = the
+    * [[holtForecast]] fold, α/β unchanged), score h = 1..5 forecasts
+    * against the held-out actuals, and report per-type MAE for both
+    * plus the winner. The one-split design is the honest minimum —
+    * a rolling-origin CV is this row repeated.
+    *
+    * Determinism: the Holt fold is the same left fold; each absolute
+    * error quantizes to DECIMAL(18,6) before the 5-term mean. Scale:
+    * the daily histogram is the corpus pass; train/test splitting is
+    * a per-type reverse row_number; the fold and scoring are
+    * |types|-bounded. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wDesc = Window.partitionBy(col("event_type"))
+      .orderBy(col("d").desc)
+    val marked = daily
+      .withColumn("rdesc", row_number().over(wDesc))
+    val train = marked.filter(col("rdesc") > 5)
+    val test = marked.filter(col("rdesc") <= 5)
+      .select(col("event_type"), (lit(6) - col("rdesc")).as("h"),
+        col("n").cast("double").as("y"))
+    val fitted = train.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("array_sort(collect_list(struct(d, CAST(n AS DOUBLE) AS y)))")
+          .as("series"))
+      .withColumn("state", expr(
+        """aggregate(slice(series, 2, size(series) - 1),
+             named_struct('l', series[0].y, 't', CAST(0.0 AS DOUBLE)),
+             (acc, x) -> named_struct(
+               'l', CAST(0.5 AS DOUBLE) * x.y
+                 + CAST(0.5 AS DOUBLE) * (acc.l + acc.t),
+               't', CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * x.y
+                     + CAST(0.5 AS DOUBLE) * (acc.l + acc.t)) - acc.l)
+                 + CAST(0.7 AS DOUBLE) * acc.t))"""))
+      .select(col("event_type"), col("n_train"),
+        col("state.l").as("l"), col("state.t").as("t"),
+        expr("series[size(series) - 1].y").as("last_y"))
+    test.join(broadcast(fitted), Seq("event_type")) // |types|-row fit
+      .withColumn("e_naive",
+        abs(col("y") - col("last_y")).cast("decimal(18,6)"))
+      .withColumn("e_holt",
+        abs(col("y") - (col("l") + col("h").cast("double") * col("t")))
+          .cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        round(sum(col("e_naive")).cast("double") / count(lit(1)), 6)
+          .as("naive_mae"),
+        round(sum(col("e_holt")).cast("double") / count(lit(1)), 6)
+          .as("holt_mae"))
+      .withColumn("winner",
+        when(col("holt_mae") < col("naive_mae"), "holt")
+          .when(col("holt_mae") > col("naive_mae"), "naive")
+          .otherwise("tie"))
+      .orderBy(col("event_type"))
+  }
 }

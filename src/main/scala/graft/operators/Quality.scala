@@ -339,4 +339,55 @@ object Quality {
           .as("sketch_within_bound"))
       .orderBy(col("o_orderpriority"), col("pct"))
   }
+
+  /** COUNT-MIN sketch rung — the mergeable point-frequency summary
+    * beside the Misra–Gries top-k ([[freqSketchTopk]] family) and the
+    * HLL cardinality rows: d = 3 md5-derived hash rows × w = 64
+    * buckets over per-user event counts, estimate = min over rows,
+    * gated per tracked user (the exact top 10) on the CM guarantees —
+    * NEVER an underestimate, and overestimate ≤ ⌈2N/w⌉ with high
+    * probability (the ε = 2/w form; reported as a boolean beside the
+    * raw overestimate so drift is visible before it breaks the
+    * bound). The sketch relation is (d·w)-bounded state — the
+    * mergeable-summaries shape: additive merge, constant size.
+    *
+    * One corpus pass builds the 192-bucket table (a 3-way constant
+    * explode); the probe joins 10 tracked keys × 3 rows. */
+  def sketchCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"))
+    val buckets = ev
+      .select(col("user_id"), explode(sequence(lit(0), lit(2))).as("j"))
+      .withColumn("bucket",
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % 64).cast("int"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // the (d x w)-bounded sketch state
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    val tracked = exact
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact").desc, col("user_id"))))
+      .filter(col("rk") <= 10)
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    val probes = tracked
+      .select(col("user_id"), col("exact"), col("rk"),
+        explode(sequence(lit(0), lit(2))).as("j"))
+      .withColumn("bucket",
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % 64).cast("int"))
+      .join(buckets, Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("exact"), col("rk"))
+      .agg(min(col("cnt")).as("est"))
+    probes.crossJoin(broadcast(n)) // 1-row total scalar
+      .select(col("rk"), col("user_id"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overestimate"),
+        (col("est") >= col("exact")).as("never_under"),
+        (col("est") - col("exact") <=
+          expr("(2 * n_total + 63) div 64")).as("within_bound"))
+      .orderBy(col("rk"))
+  }
 }

@@ -1925,4 +1925,74 @@ object Similarity {
           col("n_pairs").cast("double"), 6).as("tau_cos_l2"))
       .orderBy(col("label"))
   }
+
+  /** Pseudo-relevance-feedback QUERY EXPANSION (Rocchio's step one) —
+    * the retrieval move that needs no labels at serving time: search
+    * the seed query GLOBALLY, average its top-5 neighbors into an
+    * expanded query, re-search, and measure whether label recall@10
+    * improved. The before/after pair is the go/no-go number for
+    * turning PRF on in a retrieval pipeline — expansion helps when
+    * near neighbors are on-topic (label-pure) and actively hurts
+    * under topic drift, and this row shows WHICH regime each label
+    * block is in.
+    *
+    * Determinism: the centroid is a per-dimension DECIMAL(18,9) mean
+    * cast to FLOAT (the [[kmeansLloydTwo]] centroid convention), so
+    * both engines feed the bit-identical f32 cosine kernel the same
+    * expanded vector; rankings tie-break on vec_id. Scale shape:
+    * queries are |labels|-bounded, so both search passes are
+    * (|labels| × corpus) narrow maps with rank≤k windows — the
+    * [[bruteForceTopK]] plan fanned over a bounded query axis; the
+    * centroid agg touches 5·|labels| rows. */
+  def prfExpansion(spark: SparkSession, dir: String,
+                   feedbackK: Int = 5, k: Int = 10): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val corpus = e.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("embedding").as("c_emb"))
+    val queries = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+      .join(e.select(col("vec_id").as("qid"),
+        col("embedding").as("q_emb")), Seq("qid"))
+    def search(qs: DataFrame, emb1: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("sim").desc, col("cid"))
+      qs.crossJoin(corpus).filter(col("cid") =!= col("qid"))
+        .withColumn("sim", ExprColumns.cosineF32(spark, "c_emb", emb1))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+    }
+    val top5 = search(queries, "q_emb", feedbackK)
+      .select(col("label"), col("qid"), col("cid"))
+    val before = search(queries, "q_emb", k)
+      .groupBy(col("label"))
+      .agg(sum((col("clabel") === col("label")).cast("long"))
+        .as("n_same_before"))
+    // expanded query: exact-decimal per-dim mean of the 5 feedback
+    // vectors, cast to float for the f32 kernel
+    val fbDims = top5
+      .join(corpus.select(col("cid"), col("c_emb")), Seq("cid"))
+      .select(col("label"), col("qid"),
+        posexplode(col("c_emb")).as(Seq("d", "v")))
+    val expanded = fbDims
+      .groupBy(col("label"), col("qid"), col("d"))
+      .agg((sum(col("v").cast("double").cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"), col("qid"))
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(d, c))),
+             x -> CAST(x.c AS FLOAT))""").as("x_emb"))
+    val after = search(expanded, "x_emb", k)
+      .groupBy(col("label"))
+      .agg(sum((col("clabel") === col("label")).cast("long"))
+        .as("n_same_after"))
+    queries.select(col("label"), col("qid"))
+      .join(before, Seq("label")).join(after, Seq("label"))
+      .select(col("label"), col("qid"),
+        round(col("n_same_before").cast("double") / k, 6)
+          .as("recall10_before"),
+        round(col("n_same_after").cast("double") / k, 6)
+          .as("recall10_after"),
+        (col("n_same_after") - col("n_same_before")).as("gain"))
+      .orderBy(col("label"))
+  }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, DedupOps, EventAnalytics, Graph,
-  Multimodal, Relational, Similarity, StreamingAnalytics, TextAnalysis}
+  Multimodal, Quality, Relational, Similarity, StreamingAnalytics,
+  TextAnalysis}
 
 /** Round-11 wave-2 operators: driver-side first-principles
   * recomputations for the winnowing fingerprint census, the rolling
@@ -916,5 +917,113 @@ class Round11Wave2Spec extends SparkSpec {
       assert(r.getDouble(5) === r6(exp._2 + exp._3))
     }
     assert(got.length === p1.size + p2.size)
+  }
+
+  test("events_forecast_backtest equals a scalar holdout replay of " +
+    "both models") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = EventAnalytics.forecastBacktest(spark, sf0001).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+        .map(_._3.toDouble)
+      val train = series.dropRight(5)
+      val test = series.takeRight(5)
+      var l = train.head; var t = 0.0
+      train.drop(1).foreach { y =>
+        val l2 = 0.5 * y + 0.5 * (l + t)
+        val t2 = 0.3 * ((0.5 * y + 0.5 * (l + t)) - l) + 0.7 * t
+        l = l2; t = t2
+      }
+      def q6(x: Double): BigDecimal = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val eN = test.map(y => q6(math.abs(y - train.last))).sum
+      val eH = test.zipWithIndex.map { case (y, i) =>
+        q6(math.abs(y - (l + (i + 1).toDouble * t)))
+      }.sum
+      assert(r.getLong(1) === train.length.toLong)
+      assert(r.getLong(2) === 5L)
+      assert(r.getDouble(3) === r6(eN.toDouble / 5))
+      assert(r.getDouble(4) === r6(eH.toDouble / 5))
+      val (nm, hm) = (r.getDouble(3), r.getDouble(4))
+      assert(r.getString(5) ===
+        (if (hm < nm) "holt" else if (hm > nm) "naive" else "tie"))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("sketch_countmin never underestimates and matches a scalar " +
+    "count-min replay") {
+    val users = Tables(spark, sf0001, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    def bucket(j: Int, u: Long): Int = {
+      val h = md5hex(s"$j:$u")
+      Integer.parseInt(h.substring(0, 4), 16) % 64
+    }
+    val table = scala.collection.mutable.Map[(Int, Int), Long]()
+    users.foreach { u =>
+      (0 to 2).foreach { j =>
+        val b = (j, bucket(j, u))
+        table(b) = table.getOrElse(b, 0L) + 1L
+      }
+    }
+    val exact = users.groupBy(identity)
+      .map { case (u, g) => (u, g.length.toLong) }
+    val tracked = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+    val got = Quality.sketchCountMin(spark, sf0001).collect()
+    assert(got.length === 10)
+    got.zip(tracked).foreach { case (r, (u, c)) =>
+      assert(r.getLong(1) === u && r.getLong(2) === c)
+      val est = (0 to 2).map(j => table((j, bucket(j, u)))).min
+      assert(r.getLong(3) === est, s"est user $u")
+      assert(r.getBoolean(5), "count-min must never underestimate")
+    }
+  }
+
+  test("sim_prf_expansion recall pair matches a scalar Rocchio replay") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def cosF32(a: Array[Float], b: Array[Float]): Float = {
+      var dot = 0f; var na = 0f; var nb = 0f; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na.toDouble).toFloat *
+        math.sqrt(nb.toDouble).toFloat)
+    }
+    def topN(qid: Long, q: Array[Float], n: Int): Seq[(Long, Int)] =
+      vecs.filter(_._2 != qid)
+        .map { case (lb, id, v) => (id, lb, cosF32(v, q)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(n)
+        .map(x => (x._1, x._2)).toSeq
+    val got = Similarity.prfExpansion(spark, sf0001).collect()
+    got.foreach { r =>
+      val lbl = r.getInt(0)
+      val qid = vecs.filter(_._1 == lbl).map(_._2).min
+      assert(r.getLong(1) === qid)
+      val q = vecs.find(_._2 == qid).get._3
+      val before = topN(qid, q, 10).count(_._2 == lbl)
+      val fb = topN(qid, q, 5).map(_._1)
+      val fbVecs = fb.map(id => vecs.find(_._2 == id).get._3)
+      val dim = q.length
+      val cent = (0 until dim).map { d =>
+        val s = fbVecs.map(v => BigDecimal(v(d).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        (s.toDouble / fbVecs.length).toFloat
+      }.toArray
+      val after = topN(qid, cent, 10).count(_._2 == lbl)
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === r6(before / 10.0), s"before label $lbl")
+      assert(r.getDouble(3) === r6(after / 10.0), s"after label $lbl")
+      assert(r.getLong(4) === (after - before).toLong)
+    }
+    assert(got.nonEmpty)
   }
 }
