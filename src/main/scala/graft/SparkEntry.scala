@@ -458,7 +458,11 @@ object SparkEntry {
     "events_forecast_backtest" ->
       ((s, d) => EventAnalytics.forecastBacktest(s, d)),
     "sketch_countmin" -> ((s, d) => Quality.sketchCountMin(s, d)),
-    "sim_prf_expansion" -> ((s, d) => Similarity.prfExpansion(s, d))
+    "sim_prf_expansion" -> ((s, d) => Similarity.prfExpansion(s, d)),
+    "dedup_winnowing_eval" -> ((s, d) => DedupOps.winnowingEval(s, d)),
+    "events_bursts" -> ((s, d) => EventAnalytics.burstCensus(s, d)),
+    "events_poisson_bootstrap" ->
+      ((s, d) => EventAnalytics.poissonBootstrap(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -7897,7 +7901,148 @@ object SparkEntry {
            ROUND(CAST(na AS DOUBLE) / 10, 6) AS recall10_after,
            na - nb AS gain
          FROM q JOIN bef USING (label) JOIN aft USING (label)
-         ORDER BY q.label"""
+         ORDER BY q.label""",
+    "dedup_winnowing_eval" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ')
+                             for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         okdf AS (SELECT shingle FROM sh GROUP BY shingle
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN okdf k ON k.shingle = a.shingle
+                   GROUP BY 1, 2),
+         truth AS (SELECT x.d1, x.d2 FROM inter x
+           JOIN sizes s1 ON x.d1 = s1.doc_id
+           JOIN sizes s2 ON x.d2 = s2.doc_id
+           WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+         g AS (SELECT doc_id, n_grams,
+             unnest(l) AS h, generate_subscripts(l, 1) AS p
+           FROM (SELECT doc_id, length(text) - 7 AS n_grams,
+               CASE WHEN length(text) >= 8
+                 THEN [md5(substr(text, i, 8))
+                       for i in range(1, length(text) - 6)]
+                 ELSE []::VARCHAR[] END AS l
+             FROM documents) t),
+         sel AS (SELECT doc_id, n_grams, p,
+             MIN(h || lpad(CAST(1000000 - p AS VARCHAR), 7, '0'))
+               OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+           FROM g),
+         fpw AS (SELECT DISTINCT doc_id, wkey
+           FROM sel WHERE p <= n_grams - 3),
+         fpd AS (SELECT DISTINCT doc_id, substr(wkey, 1, 32) AS hash
+           FROM fpw),
+         wok AS (SELECT hash FROM fpd GROUP BY hash
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM fpd a JOIN fpd b
+             ON a.hash = b.hash AND a.doc_id < b.doc_id
+           JOIN wok k ON k.hash = a.hash
+           GROUP BY 1, 2),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         fl AS (SELECT c.inter,
+             CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END AS tp,
+             th.threshold
+           FROM cand c
+           LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+           CROSS JOIN (SELECT unnest([3, 5, 10]) AS threshold) th
+           WHERE c.inter >= th.threshold)
+         SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pred, n_truth,
+           CAST(SUM(tp) AS BIGINT) AS n_tp,
+           ROUND(CAST(SUM(tp) AS DOUBLE) / COUNT(*), 6) AS prec,
+           ROUND(CAST(SUM(tp) AS DOUBLE) / n_truth, 6) AS recall
+         FROM fl, nt GROUP BY threshold, n_truth
+         ORDER BY threshold""",
+    "events_bursts" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         fl AS (SELECT *,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k,
+             COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM daily),
+         fb AS (SELECT *, n * k > 2 * s AND k > 0 AS burst FROM fl),
+         runs AS (SELECT *, d - CAST(ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY d) AS INT) AS grp
+           FROM fb WHERE burst),
+         rc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bursts,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run FROM (
+             SELECT event_type, grp, COUNT(*) AS run_len
+             FROM runs GROUP BY 1, 2) z GROUP BY 1),
+         peak AS (SELECT event_type,
+             strftime(d, '%Y-%m-%d') AS peak_day, n AS peak_n FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY n DESC, d) AS rk FROM runs) z WHERE rk = 1),
+         bd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_burst_days
+           FROM fb GROUP BY 1)
+         SELECT bd.event_type, n_days, n_burst_days,
+           COALESCE(n_bursts, 0) AS n_bursts,
+           COALESCE(longest_run, 0) AS longest_run,
+           COALESCE(peak_day, '') AS peak_day,
+           COALESCE(peak_n, 0) AS peak_n
+         FROM bd LEFT JOIN rc USING (event_type)
+         LEFT JOIN peak USING (event_type)
+         ORDER BY bd.event_type""",
+    "events_poisson_bootstrap" ->
+      """WITH ev AS (SELECT event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         wx AS (SELECT event_id, cents, rep,
+             CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
+               + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
+               + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
+               + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+               / 4294967296.0 AS DOUBLE) AS u
+           FROM (SELECT event_id, cents, rep,
+               md5(CAST(rep AS VARCHAR) || ':'
+                 || CAST(event_id AS VARCHAR)) AS h
+             FROM ev CROSS JOIN range(20) t(rep)) z),
+         ww AS (SELECT rep, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+           FROM wx),
+         rm AS (SELECT rep,
+             CAST(CAST(SUM(w * cents) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS DECIMAL(18,9)) AS m
+           FROM ww GROUP BY 1),
+         pt AS (SELECT CAST(SUM(cents) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS sample_mean_c FROM ev),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+             CAST(SUM(m) AS DOUBLE) / COUNT(*) AS boot_mean_c,
+             (CAST(SUM(m * m) AS DOUBLE)
+               - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
+                 / COUNT(*)) / (COUNT(*) - 1) AS var_c,
+             CAST(MIN(m) AS DOUBLE) AS lo_c,
+             CAST(MAX(m) AS DOUBLE) AS hi_c
+           FROM rm)
+         SELECT n_reps, ROUND(sample_mean_c / 100.0, 4) AS sample_mean,
+           ROUND(boot_mean_c / 100.0, 4) AS boot_mean,
+           ROUND(sqrt(var_c) / 100.0, 4) AS boot_se,
+           ROUND(lo_c / 100.0, 4) AS ci_lo,
+           ROUND(hi_c / 100.0, 4) AS ci_hi
+         FROM ag, pt"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -1387,4 +1387,46 @@ object DedupOps {
       .orderBy(col("n_shared").desc, col("d1"), col("d2"))
       .limit(10)
   }
+
+  /** Winnowing-tier PRECISION/RECALL vs the exact truth — the
+    * operating-point sweep for [[winnowingPairs]]' sampled kernel: at
+    * shared-fingerprint thresholds T ∈ {3, 5, 10}, candidate pairs
+    * are scored against the df-capped exact word-5-gram Jaccard ≥ 0.5
+    * truth ([[ngramJaccardPairs]]' criterion — the SAME relation the
+    * MinHash rungs are judged on, so all three dedup tiers share one
+    * truth). The row a rollout reads to place winnowing in the
+    * cascade: high recall at T = 3 means it can prefilter for the
+    * exact kernel; falling precision shows what the ~2/(w+1)
+    * sampling costs.
+    *
+    * Both sides ride existing kernels ([[shinglePairStatsOf]] twice —
+    * one posting shuffle each); the threshold axis is a 3-element
+    * explode over the candidate relation, never a re-score. */
+  def winnowingEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = shinglePairStats(spark, dir)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val fp = TextAnalysis.winnowFingerprints(spark, dir)
+      .select(col("doc_id"), col("hash").as("shingle")).distinct()
+    val cand = shinglePairStatsOf(fp)
+      .select(col("d1"), col("d2"), col("inter"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val flagged = cand
+      .join(truth.withColumn("is_true", lit(1L)), Seq("d1", "d2"), "left")
+      .select(col("inter"), coalesce(col("is_true"), lit(0L)).as("tp"),
+        explode(typedLit(Seq(3, 5, 10))).as("threshold"))
+      .filter(col("inter") >= col("threshold"))
+    flagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("tp")).as("n_tp"))
+      .crossJoin(broadcast(nTruth)) // 1-row truth size
+      .select(col("threshold"), col("n_pred"), col("n_truth"),
+        col("n_tp"),
+        round(col("n_tp").cast("double") / col("n_pred").cast("double"),
+          6).as("prec"),
+        round(col("n_tp").cast("double") / col("n_truth").cast("double"),
+          6).as("recall"))
+      .orderBy(col("threshold"))
+  }
 }

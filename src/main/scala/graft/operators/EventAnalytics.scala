@@ -2354,4 +2354,116 @@ object EventAnalytics {
           .otherwise("tie"))
       .orderBy(col("event_type"))
   }
+
+  /** BURST detection census — days where a type's count exceeds 2× its
+    * trailing-7-day mean, grouped into burst RUNS (gaps-and-islands),
+    * the volume-anomaly screen that catches what [[cusumChangepoint]]'s
+    * slow-drift alarm and [[anomalyStl]]'s seasomal residual both
+    * miss: short sharp spikes. The 2× comparison is an exact integer
+    * cross-multiplication (n·k > 2·S over the trailing window's count
+    * k and sum S — no float threshold), days with no history are
+    * never bursts, and the census reports per type: burst days, runs,
+    * the longest run, and the peak burst day.
+    *
+    * One corpus pass to the daily histogram; trailing sums, the
+    * run-id islands, and the argmax are calendar-bounded windows. */
+  def burstCensus(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wTrail = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    val flagged = daily
+      .withColumn("k", count(lit(1)).over(wTrail))
+      .withColumn("s", coalesce(sum(col("n")).over(wTrail), lit(0L)))
+      .withColumn("burst", col("n") * col("k") > lit(2L) * col("s") &&
+        col("k") > 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val runs = flagged.filter(col("burst"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("grp", expr("date_sub(d, rn)"))
+    val runCensus = runs.groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bursts"), max(col("run_len")).as("longest_run"))
+    val peak = runs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("d"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("peak_day"),
+        col("n").as("peak_n"))
+    val burstDays = flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("burst").cast("long")).as("n_burst_days"))
+    burstDays
+      .join(runCensus, Seq("event_type"), "left")
+      .join(peak, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("n_burst_days"),
+        coalesce(col("n_bursts"), lit(0L)).as("n_bursts"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("peak_day"), lit("")).as("peak_day"),
+        coalesce(col("peak_n"), lit(0L)).as("peak_n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** POISSON bootstrap of the mean purchase value — THE distributed
+    * bootstrap (per-row independent Poisson(1) weights approximate
+    * multinomial resampling, so no replicate ever needs a global
+    * sample): 20 replicates, each row's weight drawn by inverse-CDF
+    * lookup on a deterministic md5 coin, replicate means reduced to
+    * the point estimate, bootstrap SE, and the min/max replicate band
+    * (with 20 replicates the 2.5/97.5 ceil-ranks ARE the extremes —
+    * documented rather than interpolated). This is how a 100 TB
+    * pipeline attaches uncertainty to any aggregate: one pass, 20
+    * weighted sums, no resample shuffle.
+    *
+    * Exactness: values in cents, weights small ints, so each
+    * replicate's numerator/denominator are exact BIGINTs; the means
+    * and SE quantize through DECIMAL(18,9) before the 20-term
+    * reductions. */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+                       reps: Int = 20): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // Poisson(1) inverse CDF on u = md5(rep:event_id) / 2^32
+    val u = conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
+      col("event_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val repMeans = ev
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("cents")).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("rep"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .cast("decimal(18,9)").as("m"))
+    val point = ev.agg((sum(col("cents")).cast("double") /
+      count(lit(1)).cast("double")).as("sample_mean_c"))
+    repMeans.agg(count(lit(1)).as("n_reps"),
+        (sum(col("m")).cast("double") / count(lit(1))).as("boot_mean_c"),
+        ((sum(col("m") * col("m")).cast("double") -
+          sum(col("m")).cast("double") * sum(col("m")).cast("double") /
+            count(lit(1))) / (count(lit(1)) - 1)).as("var_c"),
+        min(col("m")).cast("double").as("lo_c"),
+        max(col("m")).cast("double").as("hi_c"))
+      .crossJoin(broadcast(point)) // 1-row sample scalar
+      .select(col("n_reps"),
+        round(col("sample_mean_c") / 100.0, 4).as("sample_mean"),
+        round(col("boot_mean_c") / 100.0, 4).as("boot_mean"),
+        round(sqrt(col("var_c")) / 100.0, 4).as("boot_se"),
+        round(col("lo_c") / 100.0, 4).as("ci_lo"),
+        round(col("hi_c") / 100.0, 4).as("ci_hi"))
+  }
 }

@@ -1026,4 +1026,143 @@ class Round11Wave2Spec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("dedup_winnowing_eval matches a scalar PR replay against the " +
+    "word-5-gram truth and recall is monotone in the threshold") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // truth: df-capped exact word-5-gram jaccard >= 0.5
+    val shingles = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val sh = if (w.length >= 5)
+        (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+      else Set.empty[String]
+      (id, sh)
+    }
+    val sizes = shingles.map { case (id, s) => (id, s.size) }.toMap
+    val post = shingles.flatMap { case (id, s) => s.map(x => (x, id)) }
+      .groupBy(_._1).filter { case (_, g) =>
+        g.length >= 2 && g.length <= 64 }
+    val interC = scala.collection.mutable.Map[(Long, Long), Int]()
+    post.values.foreach { g =>
+      val ds = g.map(_._2).sorted
+      for (i <- ds.indices; j <- i + 1 until ds.length)
+        interC((ds(i), ds(j))) = interC.getOrElse((ds(i), ds(j)), 0) + 1
+    }
+    // .toSeq first: Map.collect returning tuples rebuilds a Map and
+    // silently collapses by key (the standing Scala trap)
+    val truth = interC.toSeq.collect { case ((a, b), i)
+      if i.toDouble / (sizes(a) + sizes(b) - i) >= 0.5 => (a, b)
+    }.toSet
+    // candidates: winnowing fingerprints, df-capped
+    val k = 8; val w = 4
+    val fps = docs.flatMap { case (id, text) =>
+      val n = text.length - (k - 1)
+      if (n < w) None else {
+        val h = (1 to n).map(i => md5hex(text.substring(i - 1, i - 1 + k)))
+        Some((id, (1 to n - w + 1).map { j =>
+          (j to j + w - 1).map(p => (h(p - 1), p))
+            .minBy { case (hh, p) => (hh, -p) }
+        }.map(_._1).toSet))
+      }
+    }
+    val wpost = fps.flatMap { case (id, hs) => hs.map(x => (x, id)) }
+      .groupBy(_._1).filter { case (_, g) =>
+        g.length >= 2 && g.length <= 64 }
+    val cand = scala.collection.mutable.Map[(Long, Long), Int]()
+    wpost.values.foreach { g =>
+      val ds = g.map(_._2).sorted
+      for (i <- ds.indices; j <- i + 1 until ds.length)
+        cand((ds(i), ds(j))) = cand.getOrElse((ds(i), ds(j)), 0) + 1
+    }
+    val got = DedupOps.winnowingEval(spark, sf0001).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Seq(3, 5, 10).foreach { t =>
+      val pred = cand.filter(_._2 >= t).keySet
+      val tp = pred.count(truth)
+      val (np, nt, ntp) = got(t)
+      assert(np === pred.size.toLong, s"n_pred @$t")
+      assert(nt === truth.size.toLong)
+      assert(ntp === tp.toLong, s"n_tp @$t")
+    }
+    // monotone: higher threshold can only lose predictions
+    assert(got(3)._1 >= got(5)._1 && got(5)._1 >= got(10)._1)
+  }
+
+  test("events_bursts matches a scalar trailing-window replay") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = EventAnalytics.burstCensus(spark, sf0001).collect()
+    got.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+      val bursts = series.zipWithIndex.map { case ((_, d, n), i) =>
+        val wnd = series.slice(math.max(0, i - 7), i)
+        val kk = wnd.length.toLong
+        val ss = wnd.map(_._3).sum
+        (d, n, n * kk > 2 * ss && kk > 0)
+      }
+      val bdays = bursts.filter(_._3)
+      assert(r.getLong(1) === series.length.toLong)
+      assert(r.getLong(2) === bdays.length.toLong, s"burst days $et")
+      // runs: consecutive calendar days among burst days
+      val runs = bdays.map(_._1).foldLeft(Vector.empty[Vector[java.time.LocalDate]]) {
+        case (acc, d) =>
+          if (acc.nonEmpty && acc.last.last.plusDays(1) == d)
+            acc.init :+ (acc.last :+ d)
+          else acc :+ Vector(d)
+      }
+      assert(r.getLong(3) === runs.length.toLong, s"n_bursts $et")
+      if (runs.nonEmpty) {
+        assert(r.getLong(4) === runs.map(_.length).max.toLong)
+        val peak = bdays.maxBy { case (d, n, _) => (n, -d.toEpochDay) }
+        assert(r.getString(5) === peak._1.toString)
+        assert(r.getLong(6) === peak._2)
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("events_poisson_bootstrap matches a scalar replay and the band " +
+    "brackets the point estimate") {
+    val ev = Tables(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def uOf(rep: Int, eid: Long): Double =
+      java.lang.Long.parseLong(md5hex(s"$rep:$eid").substring(0, 8), 16)
+        .toDouble / 4294967296.0
+    def wOf(u: Double): Long =
+      if (u < 0.36787944117144233) 0L
+      else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L
+      else if (u < 0.9810118431238462) 3L
+      else if (u < 0.9963401531726563) 4L else 5L
+    val ms = (0 until 20).map { rep =>
+      val (num, den) = ev.foldLeft((0L, 0L)) { case ((n, d), (eid, c)) =>
+        val w = wOf(uOf(rep, eid)); (n + w * c, d + w)
+      }
+      BigDecimal(num.toDouble / den.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val n = ms.length
+    val bootMean = ms.sum.toDouble / n
+    val varC = (ms.map(m => m * m).sum.toDouble -
+      ms.sum.toDouble * ms.sum.toDouble / n) / (n - 1)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = EventAnalytics.poissonBootstrap(spark, sf0001).collect().head
+    assert(r.getLong(0) === 20L)
+    assert(r.getDouble(2) === r4(bootMean / 100.0))
+    assert(r.getDouble(3) === r4(math.sqrt(varC) / 100.0))
+    assert(r.getDouble(4) === r4(ms.min.toDouble / 100.0))
+    assert(r.getDouble(5) === r4(ms.max.toDouble / 100.0))
+    assert(r.getDouble(4) <= r.getDouble(2) &&
+      r.getDouble(2) <= r.getDouble(5))
+  }
 }
