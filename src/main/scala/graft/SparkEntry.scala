@@ -462,7 +462,11 @@ object SparkEntry {
     "dedup_winnowing_eval" -> ((s, d) => DedupOps.winnowingEval(s, d)),
     "events_bursts" -> ((s, d) => EventAnalytics.burstCensus(s, d)),
     "events_poisson_bootstrap" ->
-      ((s, d) => EventAnalytics.poissonBootstrap(s, d))
+      ((s, d) => EventAnalytics.poissonBootstrap(s, d)),
+    "stream_ab_monitor" ->
+      ((s, d) => StreamingAnalytics.streamAbMonitor(s, d)),
+    "dq_referential" -> ((s, d) => Relational.referentialAudit(s, d)),
+    "sim_residual_quant" -> ((s, d) => Similarity.residualQuant(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8042,7 +8046,135 @@ object SparkEntry {
            ROUND(sqrt(var_c) / 100.0, 4) AS boot_se,
            ROUND(lo_c / 100.0, 4) AS ci_lo,
            ROUND(hi_c / 100.0, 4) AS ci_hi
-         FROM ag, pt"""
+         FROM ag, pt""",
+    "stream_ab_monitor" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         a1 AS (SELECT user_id % 2 = 0 AS is_a,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS c
+           FROM events, t0 WHERE ts < t0 + INTERVAL 15 DAY GROUP BY 1),
+         l1 AS (SELECT 1 AS look, a.n AS n_a, a.c AS c_a,
+             b.n AS n_b, b.c AS c_b,
+             CAST(a.c + b.c AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+           FROM (SELECT n, c FROM a1 WHERE is_a) a,
+                (SELECT n, c FROM a1 WHERE NOT is_a) b),
+         a2 AS (SELECT user_id % 2 = 0 AS is_a,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         l2 AS (SELECT 2 AS look, a.n AS n_a, a.c AS c_a,
+             b.n AS n_b, b.c AS c_b,
+             CAST(a.c + b.c AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+           FROM (SELECT n, c FROM a2 WHERE is_a) a,
+                (SELECT n, c FROM a2 WHERE NOT is_a) b),
+         looks AS (SELECT *, CASE WHEN look = 1
+             THEN CAST(2.797 AS DOUBLE) ELSE CAST(1.977 AS DOUBLE) END
+             AS boundary,
+             CASE WHEN pp > 0 AND pp < 1 THEN
+               (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+               / sqrt(pp * (1 - pp)
+                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+             END AS z
+           FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2) u)
+         SELECT look, n_a, c_a, n_b, c_b, ROUND(z, 4) AS z, boundary,
+           COALESCE(ABS(z) > boundary, false) AS crossed
+         FROM looks ORDER BY look""",
+    "dq_referential" ->
+      """WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) || ':'
+             || CAST(l_linenumber AS VARCHAR) AS lk FROM lineitem),
+         checks AS (
+           SELECT 'pk_orders' AS check_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+               SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1) z) AS n_violations
+           UNION ALL
+           SELECT 'pk_customer',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+               SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey
+               HAVING COUNT(*) > 1) z)
+           UNION ALL
+           SELECT 'pk_part',
+             (SELECT COUNT(*) FROM part),
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+               SELECT COUNT(*) AS c FROM part GROUP BY p_partkey
+               HAVING COUNT(*) > 1) z)
+           UNION ALL
+           SELECT 'pk_lineitem_composite',
+             (SELECT COUNT(*) FROM lk),
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+               SELECT COUNT(*) AS c FROM lk GROUP BY lk
+               HAVING COUNT(*) > 1) z)
+           UNION ALL
+           SELECT 'fk_lineitem_orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'fk_lineitem_part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'fk_lineitem_supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+               SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+           UNION ALL
+           SELECT 'fk_orders_customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'fk_customer_nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (
+               SELECT 1 FROM nation n
+               WHERE n.n_nationkey = c.c_nationkey)))
+         SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS ok
+         FROM checks ORDER BY check_name""",
+    "sim_residual_quant" ->
+      """WITH dv AS (SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             unnest(embedding) AS val
+           FROM embeddings),
+         cent AS (SELECT label, d,
+             CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*) AS c
+           FROM dv GROUP BY 1, 2),
+         resid AS (SELECT dv.label, dv.vec_id, dv.d,
+             CAST(ROUND((CAST(val AS DOUBLE) - c) * 1e6) AS BIGINT)
+               AS rq
+           FROM dv JOIN cent
+             ON dv.label = cent.label AND dv.d = cent.d),
+         cb AS (SELECT vec_id AS cw FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+         cbr AS (SELECT r.vec_id AS cw, r.d, r.rq AS cq
+           FROM resid r JOIN cb ON r.vec_id = cb.cw),
+         d2s AS (SELECT r.label, r.vec_id, c.cw,
+             CAST(SUM((r.rq - c.cq) * (r.rq - c.cq)) AS BIGINT) AS d2
+           FROM resid r JOIN cbr c ON r.d = c.d GROUP BY 1, 2, 3),
+         asg AS (SELECT label, vec_id, d2 FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, cw) AS rk FROM d2s) z WHERE rk = 1),
+         s1 AS (SELECT label, vec_id,
+             CAST(SUM(rq * rq) AS BIGINT) AS e1
+           FROM resid GROUP BY 1, 2),
+         agg AS (SELECT s1.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND((CAST(SUM(e1) AS DOUBLE) / COUNT(*)) / 1e12, 6)
+               AS mse_stage1,
+             ROUND((CAST(SUM(d2) AS DOUBLE) / COUNT(*)) / 1e12, 6)
+               AS mse_stage2
+           FROM s1 JOIN asg USING (vec_id) GROUP BY s1.label)
+         SELECT label, n_vecs, mse_stage1, mse_stage2,
+           ROUND(CASE WHEN mse_stage1 > 0
+             THEN 1 - mse_stage2 / mse_stage1 END, 6) AS reduction
+         FROM agg ORDER BY label"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -1418,4 +1418,64 @@ object Relational {
           .as("drawdown_frac"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** REFERENTIAL-integrity audit — the key-constraint checks a lake
+    * without enforced constraints must run itself ([[reconciliation]]
+    * audits VALUES, this row audits KEYS): primary-key uniqueness on
+    * every table's key, and foreign-key orphan counts for each edge of
+    * the star (lineitem→orders/part/supplier, orders→customer,
+    * customer→nation). One row per check: rows checked, violations,
+    * and the pass verdict — the contract a downstream join silently
+    * assumes and silently breaks on.
+    *
+    * PK checks are one hash-agg per table; FK orphans are left-anti
+    * joins with the dimension side broadcast where it is
+    * dimension-sized — each check co-partitions on the key it
+    * audits, nothing quadratic anywhere. */
+  def referentialAudit(spark: SparkSession, dir: String): DataFrame = {
+    def pkCheck(name: String, df: DataFrame, key: String): DataFrame = {
+      val dups = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+      df.agg(count(lit(1)).as("n_checked")).crossJoin(dups) // 1x1 row
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    }
+    def fkCheck(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.join(broadcast(dim.select(col(pk).as(fk))),
+          Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      fact.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    }
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val customer = Tables(spark, dir, "customer")
+    val part = Tables(spark, dir, "part")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    Seq(
+      pkCheck("pk_orders", orders, "o_orderkey"),
+      pkCheck("pk_customer", customer, "c_custkey"),
+      pkCheck("pk_part", part, "p_partkey"),
+      pkCheck("pk_lineitem_composite",
+        lineitem.select(concat_ws(":", col("l_orderkey"),
+          col("l_linenumber")).as("lk")), "lk"),
+      fkCheck("fk_lineitem_orders", lineitem, "l_orderkey",
+        orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey"),
+      fkCheck("fk_lineitem_part", lineitem, "l_partkey",
+        part.select(col("p_partkey").as("l_partkey")), "l_partkey"),
+      fkCheck("fk_lineitem_supplier", lineitem, "l_suppkey",
+        supplier.select(col("s_suppkey").as("l_suppkey")), "l_suppkey"),
+      fkCheck("fk_orders_customer", orders, "o_custkey",
+        customer.select(col("c_custkey").as("o_custkey")), "o_custkey"),
+      fkCheck("fk_customer_nation", customer, "c_nationkey",
+        nation.select(col("n_nationkey").as("c_nationkey")),
+        "c_nationkey"))
+      .reduce(_ unionByName _)
+      .withColumn("ok", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
 }

@@ -1995,4 +1995,60 @@ object Similarity {
         (col("n_same_after") - col("n_same_before")).as("gain"))
       .orderBy(col("label"))
   }
+
+  /** RESIDUAL quantization ladder — the two-stage coarse+residual
+    * codebook scheme (RQ, the additive cousin of [[pqAdc]]'s
+    * subspace split): stage 1 quantizes each vector to its label
+    * centroid (exact-decimal means); stage 2 quantizes the RESIDUAL
+    * against an 8-word residual codebook (the 8 lowest vec_ids'
+    * residuals — the documented cold-start convention) by nearest
+    * squared-L2. Reported per label: vectors, mean squared distortion
+    * after stage 1 and after stage 2, and the reduction ratio — the
+    * "was the second stage worth its bytes" number an index designer
+    * reads against the PQ row.
+    *
+    * Exactness: residuals quantize to micro-unit LONGs before BOTH
+    * the assignment argmin and the distortion sums (integer algebra
+    * end to end, one /1e12 display division). Scale shape: centroids
+    * and the 8-word codebook are broadcast-bounded; assignment is a
+    * narrow map over vectors × 8 codewords; no pair space. */
+  def residualQuant(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val resid = dv.join(broadcast(cent), Seq("label", "d"))
+      .select(col("label"), col("vec_id"), col("d"),
+        round((col("val").cast("double") - col("c")) * 1e6).cast("long")
+          .as("rq"))
+      .localCheckpoint()
+    val cbIds = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cw"))
+    val codebook = resid.join(broadcast(cbIds),
+        col("vec_id") === col("cw"))
+      .select(col("cw"), col("d"), col("rq").as("cq"))
+    val assigned = resid
+      .join(broadcast(codebook), Seq("d"))
+      .groupBy(col("label"), col("vec_id"), col("cw"))
+      .agg(sum((col("rq") - col("cq")) * (col("rq") - col("cq")))
+        .as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cw"))))
+      .filter(col("rk") === 1)
+    val stage1 = resid.groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("rq") * col("rq")).as("e1"))
+    stage1.join(assigned.select(col("vec_id"), col("d2").as("e2")),
+        Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(col("e1")).cast("double") / count(lit(1))) / 1e12, 6)
+          .as("mse_stage1"),
+        round((sum(col("e2")).cast("double") / count(lit(1))) / 1e12, 6)
+          .as("mse_stage2"))
+      .withColumn("reduction",
+        round(when(col("mse_stage1") > 0,
+          lit(1.0) - col("mse_stage2") / col("mse_stage1")), 6))
+      .orderBy(col("label"))
+  }
 }

@@ -1872,4 +1872,86 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("increment"), col("event_type"))
   }
+
+  /** Streaming A/B MONITOR — the live-dashboard version of
+    * [[graft.operators.EventAnalytics.abSequential]]: per-arm event
+    * and purchase counts are ADDITIVE sufficient statistics (the state
+    * a monitor can actually maintain — distinct-user endpoints are
+    * not mergeable and belong to the batch looks), carried across
+    * micro-batches by a pure sum merge; after each increment the
+    * maintained counts answer the two-proportion z on purchase share
+    * with the O'Brien–Fleming boundary for that look. The oracle
+    * replays both prefixes from scratch, so a dropped batch, double
+    * fold, or stale arm partition all hash-mismatch.
+    *
+    * State is 2 arms × 2 longs at any corpus size; each batch is one
+    * |arms|-row agg + merge. */
+  def streamAbMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sab").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("user_id"), col("event_type")),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("user_id"), col("event_type"))))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inc = batch.groupBy((col("user_id") % 2 === 0).as("is_a"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("event_type") === "purchase").cast("long"))
+              .as("n_purch"))
+        val merged =
+          if (lastState < 0) inc
+          else spark.read.parquet(s"$root/state_v$lastState")
+            .unionByName(inc)
+            .groupBy(col("is_a"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("n_purch")).as("n_purch"))
+        merged.write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_ab_monitor: expected 2 micro-batches, got ${versions.distinct.size}")
+    def census(v: Long, idx: Int, bound: Double): DataFrame = {
+      val st = spark.read.parquet(s"$root/state_v$v")
+      val a = st.filter(col("is_a")).select(col("n_events").as("n_a"),
+        col("n_purch").as("c_a"))
+      val b = st.filter(!col("is_a")).select(col("n_events").as("n_b"),
+        col("n_purch").as("c_b"))
+      a.crossJoin(b) // 1-row x 1-row arms
+        .withColumn("pp", (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("z", when(col("pp") > 0 && col("pp") < 1,
+          (col("c_b").cast("double") / col("n_b") -
+            col("c_a").cast("double") / col("n_a")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+        .select(lit(idx).as("look"), col("n_a"), col("c_a"),
+          col("n_b"), col("c_b"), round(col("z"), 4).as("z"),
+          lit(bound).as("boundary"),
+          coalesce(abs(col("z")) > bound, lit(false)).as("crossed"))
+    }
+    val vs = versions.distinct.sorted
+    val out = census(vs(0), 1, 2.797)
+      .unionByName(census(vs(1), 2, 1.977))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("look"))
+  }
 }

@@ -1165,4 +1165,114 @@ class Round11Wave2Spec extends SparkSpec {
     assert(r.getDouble(4) <= r.getDouble(2) &&
       r.getDouble(2) <= r.getDouble(5))
   }
+
+  test("stream_ab_monitor equals the scalar prefix replay of the " +
+    "additive arm statistics") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("ts"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2)))
+    val t0 = ev.map(_._1).min
+    val cut = t0 + 15L * 24 * 3600 * 1000
+    def arms(rows: Seq[(Long, Long, String)]): (Long, Long, Long, Long) = {
+      val (a, b) = rows.partition(_._2 % 2 == 0)
+      (a.length.toLong, a.count(_._3 == "purchase").toLong,
+        b.length.toLong, b.count(_._3 == "purchase").toLong)
+    }
+    val looks = Seq(arms(ev.filter(_._1 < cut).toSeq), arms(ev.toSeq))
+    val got = StreamingAnalytics.streamAbMonitor(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+    assert(got.length === 2)
+    looks.zip(got).foreach { case ((na, ca, nb, cb), r) =>
+      assert(r.getLong(1) === na && r.getLong(2) === ca)
+      assert(r.getLong(3) === nb && r.getLong(4) === cb)
+      val pp = (ca + cb).toDouble / (na + nb)
+      val z = (cb.toDouble / nb - ca.toDouble / na) /
+        math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      assert(r.getDouble(5) === BigDecimal(z)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getBoolean(7) === (math.abs(z) > r.getDouble(6)))
+    }
+  }
+
+  test("dq_referential verdicts match scalar key audits of the star " +
+    "schema") {
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custkeys = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val partkeys = Tables(spark, sf0001, "part")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val suppkeys = Tables(spark, sf0001, "supplier")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val got = Relational.referentialAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.size === 9)
+    val okeySet = orders.map(_._1).toSet
+    assert(got("pk_orders") ===
+      ((orders.length.toLong,
+        orders.groupBy(_._1).values.filter(_.length > 1)
+          .map(_.length.toLong).sum, true)))
+    assert(got("fk_lineitem_orders")._2 ===
+      li.count(l => !okeySet(l._1)).toLong)
+    assert(got("fk_lineitem_part")._2 ===
+      li.count(l => !partkeys(l._2)).toLong)
+    assert(got("fk_lineitem_supplier")._2 ===
+      li.count(l => !suppkeys(l._3)).toLong)
+    assert(got("fk_orders_customer")._2 ===
+      orders.count(o => !custkeys.toSet(o._2)).toLong)
+    got.values.foreach { case (_, v, ok) => assert(ok === (v == 0L)) }
+  }
+
+  test("sim_residual_quant matches a scalar two-stage replay and the " +
+    "second stage never increases distortion") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val dim = vecs.head._3.length
+    // stage 1: label centroid (decimal(18,9)-quantized sums / n)
+    val cents = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      (lbl, (0 until dim).map { d =>
+        vs.map(v => BigDecimal(v._3(d).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+          vs.length
+      }.toArray)
+    }
+    def micro(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val resid = vecs.map { case (lbl, id, v) =>
+      (lbl, id, (0 until dim).map(d =>
+        micro(v(d).toDouble - cents(lbl)(d))).toArray)
+    }
+    val codebook = resid.sortBy(_._2).take(8).map(r => (r._2, r._3))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = resid.groupBy(_._1).map { case (lbl, rs) =>
+      val e1s = rs.map(r => r._3.map(x => x * x).sum)
+      val e2s = rs.map { r =>
+        codebook.map { case (cw, cq) => (d2(r._3, cq), cw) }.min._1
+      }
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lbl, (rs.length.toLong,
+        r6((e1s.sum.toDouble / rs.length) / 1e12),
+        r6((e2s.sum.toDouble / rs.length) / 1e12)))
+    }
+    val got = Similarity.residualQuant(spark, sf0001).collect()
+    got.foreach { r =>
+      val e = expected(r.getInt(0))
+      assert(r.getLong(1) === e._1)
+      assert(r.getDouble(2) === e._2, s"mse_stage1 label ${r.getInt(0)}")
+      assert(r.getDouble(3) === e._3, s"mse_stage2 label ${r.getInt(0)}")
+      // reduction column is derived from the two rounded mses
+      val expRed = BigDecimal(1.0 - r.getDouble(3) / r.getDouble(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === expRed)
+    }
+    assert(got.nonEmpty)
+  }
 }
