@@ -2230,7 +2230,7 @@ object EventAnalytics {
         col("c").as("c_a"))
       val b = arms.filter(!col("is_a")).select(col("n").as("n_b"),
         col("c").as("c_b"))
-      a.crossJoin(b) // 1-row x 1-row
+      a.crossJoin(broadcast(b)) // 1-row x 1-row
         .withColumn("p_pool",
           (col("c_a") + col("c_b")).cast("double") /
             (col("n_a") + col("n_b")).cast("double"))

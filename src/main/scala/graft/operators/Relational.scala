@@ -1437,7 +1437,8 @@ object Relational {
       val dups = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
         .filter(col("c") > 1)
         .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
-      df.agg(count(lit(1)).as("n_checked")).crossJoin(dups) // 1x1 row
+      df.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(dups)) // 1x1 row
         .select(lit(name).as("check_name"), col("n_checked"),
           col("n_violations"))
     }
@@ -1446,7 +1447,8 @@ object Relational {
       val orphans = fact.join(broadcast(dim.select(col(pk).as(fk))),
           Seq(fk), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-      fact.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+      fact.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(orphans)) // 1x1 row
         .select(lit(name).as("check_name"), col("n_checked"),
           col("n_violations"))
     }

@@ -1956,7 +1956,9 @@ object Similarity {
     def search(qs: DataFrame, emb1: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col("label"))
         .orderBy(col("sim").desc, col("cid"))
-      qs.crossJoin(corpus).filter(col("cid") =!= col("qid"))
+      // |labels|-bounded query axis broadcasts; the corpus streams
+      corpus.crossJoin(broadcast(qs))
+        .filter(col("cid") =!= col("qid"))
         .withColumn("sim", ExprColumns.cosineF32(spark, "c_emb", emb1))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= n)

@@ -1934,7 +1934,7 @@ object StreamingAnalytics {
         col("n_purch").as("c_a"))
       val b = st.filter(!col("is_a")).select(col("n_events").as("n_b"),
         col("n_purch").as("c_b"))
-      a.crossJoin(b) // 1-row x 1-row arms
+      a.crossJoin(broadcast(b)) // 1-row x 1-row arms
         .withColumn("pp", (col("c_a") + col("c_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double"))
         .withColumn("z", when(col("pp") > 0 && col("pp") < 1,
