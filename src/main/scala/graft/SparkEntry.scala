@@ -466,7 +466,10 @@ object SparkEntry {
     "stream_ab_monitor" ->
       ((s, d) => StreamingAnalytics.streamAbMonitor(s, d)),
     "dq_referential" -> ((s, d) => Relational.referentialAudit(s, d)),
-    "sim_residual_quant" -> ((s, d) => Similarity.residualQuant(s, d))
+    "sim_residual_quant" -> ((s, d) => Similarity.residualQuant(s, d)),
+    "sample_balanced" -> ((s, d) => Curation.balancedSample(s, d)),
+    "dq_psi_drift" -> ((s, d) => Relational.psiDrift(s, d)),
+    "window_vwap" -> ((s, d) => Relational.vwap(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8174,7 +8177,81 @@ object SparkEntry {
          SELECT label, n_vecs, mse_stage1, mse_stage2,
            ROUND(CASE WHEN mse_stage1 > 0
              THEN 1 - mse_stage2 / mse_stage1 END, 6) AS reduction
-         FROM agg ORDER BY label"""
+         FROM agg ORDER BY label""",
+    "sample_balanced" ->
+      """WITH k AS (SELECT MIN(n) AS k FROM (
+             SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1) z),
+         r AS (SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5('balance:' || CAST(doc_id AS VARCHAR)),
+                 doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT lang, rk, doc_id FROM r, k WHERE rk <= k
+         ORDER BY lang, rk""",
+    "dq_psi_drift" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         base AS (SELECT CASE WHEN ts < t0 + INTERVAL 15 DAY
+               THEN 1 ELSE 2 END AS half,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events, t0 WHERE value IS NOT NULL),
+         hist AS (SELECT c, COUNT(*) AS n FROM base WHERE half = 1
+           GROUP BY 1),
+         cdf AS (SELECT c, SUM(n) OVER (ORDER BY c
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT COUNT(*) AS n1 FROM base WHERE half = 1),
+         bounds AS (SELECT k, MIN(c) AS b
+           FROM cdf, tot, range(1, 10) t(k)
+           WHERE cum >= CAST(ceil(k * n1 / 10.0) AS BIGINT)
+           GROUP BY 1),
+         hc AS (SELECT half, c, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM base GROUP BY 1, 2),
+         asg AS (SELECT half, cnt,
+             1 + SUM(CASE WHEN c > b THEN 1 ELSE 0 END) AS bucket
+           FROM hc CROSS JOIN bounds GROUP BY half, c, cnt),
+         counts AS (SELECT half, bucket, CAST(SUM(cnt) AS BIGINT) AS n
+           FROM asg GROUP BY 1, 2),
+         ht AS (SELECT half, CAST(COUNT(*) AS BIGINT) AS ht FROM base
+           GROUP BY 1),
+         sh AS (SELECT c2.half, bucket, n, CAST(n AS DOUBLE) / ht AS p
+           FROM counts c2 JOIN ht ON c2.half = ht.half),
+         pr1 AS (SELECT bucket, n AS n_ref, p AS p_ref FROM sh
+           WHERE half = 1),
+         pr2 AS (SELECT bucket, n AS n_cur, p AS p_cur FROM sh
+           WHERE half = 2),
+         spine AS (SELECT CAST(k AS INT) AS bucket FROM range(1, 11) t(k)),
+         pb AS (SELECT s.bucket, n_ref, n_cur, p_ref, p_cur,
+             CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                 AS DECIMAL(28,12)) END AS contrib
+           FROM spine s LEFT JOIN pr1 ON s.bucket = pr1.bucket
+           LEFT JOIN pr2 ON s.bucket = pr2.bucket),
+         psis AS (SELECT SUM(contrib) AS psi_sum FROM pb)
+         SELECT bucket, COALESCE(n_ref, 0) AS n_ref,
+           COALESCE(n_cur, 0) AS n_cur,
+           ROUND(COALESCE(p_ref, 0), 6) AS p_ref,
+           ROUND(COALESCE(p_cur, 0), 6) AS p_cur,
+           ROUND(CAST(contrib AS DOUBLE), 6) AS contrib,
+           ROUND(CAST(psi_sum AS DOUBLE), 6) AS psi_total
+         FROM pb, psis ORDER BY bucket""",
+    "window_vwap" ->
+      """WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS pv,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+               AS BIGINT) AS qv
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT *,
+             SUM(pv) OVER (PARTITION BY l_returnflag ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS cum_pv,
+             SUM(qv) OVER (PARTITION BY l_returnflag ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS cum_qv
+           FROM daily)
+         SELECT l_returnflag, strftime(d, '%Y-%m-%d') AS day,
+           ROUND(CAST(cum_pv AS DOUBLE) / 100, 2) AS cum_revenue,
+           ROUND(CAST(cum_qv AS DOUBLE) / 100, 2) AS cum_qty,
+           ROUND(CAST(cum_pv AS DOUBLE) / CAST(cum_qv AS DOUBLE), 6)
+             AS vwap
+         FROM c ORDER BY l_returnflag, day"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

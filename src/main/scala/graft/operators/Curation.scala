@@ -1012,4 +1012,32 @@ object Curation {
           col("m_tot"), 6).as("delta_nll"))
       .orderBy(col("source"))
   }
+
+  /** Class-BALANCED sampling — [[quotaSample]]'s fixed quota replaced
+    * by the DATA-DEPENDENT one every imbalanced-training recipe needs:
+    * every language is downsampled to the SMALLEST language's document
+    * count, selection by the same md5 hash-priority bottom-k (so the
+    * kept set is reproducible, layout-independent, and stable under
+    * corpus growth except for boundary displacement). Emits the kept
+    * rows (lang, rank, doc_id) — row-level so the oracle pins the
+    * exact selection, not just counts.
+    *
+    * The dynamic k arrives as a 1-row broadcast scalar, which costs
+    * the static-quota WindowGroupLimit pushdown ([[quotaSample]]'s
+    * plan note): the rank filter here evaluates post-window. A
+    * production pipeline that knows its floor class pins k as a
+    * literal and gets the pushdown back — this row keeps k honest to
+    * the data instead. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"))
+    val k = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val pri = md5(concat(lit("balance:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(pri, col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(k)) // 1-row floor-class scalar
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -1480,4 +1480,110 @@ object Relational {
       .withColumn("ok", col("n_violations") === 0L)
       .orderBy(col("check_name"))
   }
+
+  /** Population Stability Index — THE distribution-drift monitor a
+    * production scorer watches ([[referentialAudit]] guards keys,
+    * [[reconciliation]] guards values; this row guards the SHAPE):
+    * decile boundaries learned on the reference half of the event
+    * value stream (first 15 days) via the exact histogram-CDF
+    * ceil-ranks, both halves bucketed against those SAME boundaries,
+    * PSI = Σ (p₂−p₁)·ln(p₂/p₁) with the conventional reading (<0.1
+    * stable, >0.25 act). Per-bucket rows plus the repeated total so
+    * one scan gives both the verdict and WHERE the mass moved; an
+    * empty bucket yields a NULL contribution (flagged by the NULL,
+    * never a ±∞ cross-engine surprise).
+    *
+    * Exactness: values in cents, boundaries exact integers (ceil-rank
+    * CDF walk), bucket assignment by integer comparisons against the
+    * 9-row broadcast boundary axis, one ln per bucket quantized to
+    * DECIMAL(28,12) before the total. Two bounded passes over the
+    * fact — the histogram is value-DOMAIN-bounded. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+      .withColumn("half",
+        when(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"), 1)
+          .otherwise(2))
+      .select(col("half"), col("c"))
+    val ref = based.filter(col("half") === 1)
+    val hist = ref.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ref.agg(count(lit(1)).as("n1"))
+    val bounds = hist.crossJoin(broadcast(tot))
+      .select(col("c"), col("cum"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("cum") >= expr("CAST(ceil(k * n1 / 10.0) AS BIGINT)"))
+      .groupBy(col("k")).agg(min(col("c")).as("b"))
+    // assignment runs on the value-DOMAIN histogram, not per event row:
+    // distinct (half, cent) x 9 boundaries, then weighted by counts
+    val assigned = based.groupBy(col("half"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(bounds)) // 9-row boundary axis
+      .groupBy(col("half"), col("c"), col("cnt"))
+      .agg(sum((col("c") > col("b")).cast("int")).as("nb"))
+      .select(col("half"), col("cnt"), (col("nb") + 1).as("bucket"))
+    val counts = assigned
+      .groupBy(col("half"), col("bucket"))
+      .agg(sum(col("cnt")).as("n"))
+    val totals = based.groupBy(col("half")).agg(count(lit(1)).as("ht"))
+    val shares = counts.join(broadcast(totals), Seq("half"))
+      .select(col("half"), col("bucket"),
+        col("n"), (col("n").cast("double") / col("ht")).as("p"))
+    val p1 = shares.filter(col("half") === 1)
+      .select(col("bucket"), col("n").as("n_ref"), col("p").as("p_ref"))
+    val p2 = shares.filter(col("half") === 2)
+      .select(col("bucket"), col("n").as("n_cur"), col("p").as("p_cur"))
+    val spine = spark.range(1, 11).select(col("id").cast("int").as("bucket"))
+    val perBucket = spine
+      .join(broadcast(p1), Seq("bucket"), "left")
+      .join(broadcast(p2), Seq("bucket"), "left")
+      .withColumn("contrib",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          ((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))).cast("decimal(28,12)")))
+    val psi = perBucket.agg(sum(col("contrib")).as("psi_sum"))
+    perBucket.crossJoin(broadcast(psi)) // 1-row total
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(coalesce(col("p_ref"), lit(0.0)), 6).as("p_ref"),
+        round(coalesce(col("p_cur"), lit(0.0)), 6).as("p_cur"),
+        round(col("contrib").cast("double"), 6).as("contrib"),
+        round(col("psi_sum").cast("double"), 6).as("psi_total"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Running VWAP — the volume-weighted average price curve per return
+    * flag over the ship calendar: cumulative Σ(extended price) /
+    * cumulative Σ(quantity), both exact integer hundredths, one double
+    * division per output row. The anchored-ratio window shape (two
+    * running sums sharing one sort) that every market/price dashboard
+    * and inventory-valuation job uses; [[drawdown]] reads the same
+    * calendar the other way.
+    *
+    * One fact pass to the (flag, day) rollup; the two cumulative
+    * windows share the per-flag sort; output is calendar-bounded. */
+  def vwap(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("pv"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qv"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_pv", sum(col("pv")).over(w))
+      .withColumn("cum_qv", sum(col("qv")).over(w))
+      .select(col("l_returnflag"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(col("cum_pv").cast("double") / 100.0, 2).as("cum_revenue"),
+        round(col("cum_qv").cast("double") / 100.0, 2).as("cum_qty"),
+        round(col("cum_pv").cast("double") / col("cum_qv").cast("double"),
+          6).as("vwap"))
+      .orderBy(col("l_returnflag"), col("day"))
+  }
 }

@@ -1275,4 +1275,93 @@ class Round11Wave2Spec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("sample_balanced keeps exactly the floor-class count per " +
+    "language, selected by hash priority") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = docs.groupBy(_._1).map(_._2.length).min
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lg, ds) =>
+      ds.map(d => (md5hex(s"balance:${d._2}"), d._2))
+        .sortBy(identity).take(k).zipWithIndex
+        .map { case ((_, id), i) => ((lg, (i + 1).toLong), id) }
+    }.toMap
+    val got = Curation.balancedSample(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.keys.groupBy(_._1).forall(_._2.size == k))
+  }
+
+  test("dq_psi_drift matches a scalar decile-PSI replay and the total " +
+    "is the sum of the contributions") {
+    val ev = Tables(spark, sf0001, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val t0 = ev.map(_._1).min
+    val cut = t0 + 15L * 24 * 3600 * 1000
+    val ref = ev.filter(_._1 < cut).map(_._2).sorted
+    val cur = ev.filter(_._1 >= cut).map(_._2)
+    val n1 = ref.length
+    val bounds = (1 to 9).map { kk =>
+      val rank = math.ceil(kk * n1.toLong / 10.0).toLong
+      ref((rank - 1).toInt)
+    }
+    def bucketOf(v: Long): Int = 1 + bounds.count(b => v > b)
+    val c1 = ref.map(bucketOf).groupBy(identity)
+      .map { case (b, g) => (b, g.length.toLong) }
+    val c2 = cur.map(bucketOf).groupBy(identity)
+      .map { case (b, g) => (b, g.length.toLong) }
+    val got = Relational.psiDrift(spark, sf0001).collect()
+    var psiSum = BigDecimal(0)
+    got.foreach { r =>
+      val b = r.getInt(0)
+      assert(r.getLong(1) === c1.getOrElse(b, 0L), s"n_ref bucket $b")
+      assert(r.getLong(2) === c2.getOrElse(b, 0L), s"n_cur bucket $b")
+      if (c1.getOrElse(b, 0L) > 0 && c2.getOrElse(b, 0L) > 0) {
+        val p1 = c1(b).toDouble / ref.length
+        val p2 = c2(b).toDouble / cur.length
+        val contrib = BigDecimal((p2 - p1) * math.log(p2 / p1))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        psiSum += contrib
+        assert(r.getDouble(5) === BigDecimal(contrib.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else assert(r.isNullAt(5))
+    }
+    got.foreach { r =>
+      assert(r.getDouble(6) === BigDecimal(psiSum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.length === 10)
+  }
+
+  test("window_vwap equals a scalar running-ratio replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), to_date(col("l_shipdate")),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        cents(r.getDouble(2) * 100), cents(r.getDouble(3) * 100)))
+    val got = Relational.vwap(spark, sf0001).collect()
+    val byKey = got.map(r => ((r.getString(0), r.getString(1)),
+      (r.getDouble(2), r.getDouble(4)))).toMap
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val daily = rows.groupBy(_._2).toSeq
+        .map { case (d, g) => (d, g.map(_._3).sum, g.map(_._4).sum) }
+        .sortBy(_._1.toEpochDay)
+      var (cpv, cqv) = (0L, 0L)
+      daily.foreach { case (d, pv, qv) =>
+        cpv += pv; cqv += qv
+        val (rev, vw) = byKey((flag, d.toString))
+        def r2(x: Long): Double = BigDecimal(x.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(rev === r2(cpv), s"cum_revenue $flag $d")
+        assert(vw === BigDecimal(cpv.toDouble / cqv.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"vwap $flag $d")
+      }
+    }
+    assert(got.length === li.map(l => (l._1, l._2)).distinct.length)
+  }
 }
+
