@@ -469,7 +469,13 @@ object SparkEntry {
     "sim_residual_quant" -> ((s, d) => Similarity.residualQuant(s, d)),
     "sample_balanced" -> ((s, d) => Curation.balancedSample(s, d)),
     "dq_psi_drift" -> ((s, d) => Relational.psiDrift(s, d)),
-    "window_vwap" -> ((s, d) => Relational.vwap(s, d))
+    "window_vwap" -> ((s, d) => Relational.vwap(s, d)),
+    "dq_benford" -> ((s, d) => Quality.benfordDigits(s, d)),
+    "sketch_ams_f2" -> ((s, d) => Quality.sketchAmsF2(s, d)),
+    "events_autocorr" -> ((s, d) => EventAnalytics.autocorrelation(s, d)),
+    "text_yule_k" -> ((s, d) => TextAnalysis.yuleK(s, d)),
+    "events_powerlaw_fit" -> ((s, d) => EventAnalytics.powerlawFit(s, d)),
+    "sim_cluster_nmi" -> ((s, d) => Similarity.clusterNmi(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8251,7 +8257,169 @@ object SparkEntry {
            ROUND(CAST(cum_qv AS DOUBLE) / 100, 2) AS cum_qty,
            ROUND(CAST(cum_pv AS DOUBLE) / CAST(cum_qv AS DOUBLE), 6)
              AS vwap
-         FROM c ORDER BY l_returnflag, day"""
+         FROM c ORDER BY l_returnflag, day""",
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice
+               * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         hist AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+           GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d),
+         pd AS (SELECT s.digit, COALESCE(n, 0) AS n, n_tot,
+             log10(1 + 1.0 / s.digit) AS p_exp
+           FROM (SELECT CAST(k AS INT) AS digit FROM range(1, 10) t(k)) s
+           LEFT JOIN hist ON s.digit = hist.digit CROSS JOIN tot),
+         pc AS (SELECT *,
+             CAST((n - n_tot * p_exp) * (n - n_tot * p_exp)
+               / (n_tot * p_exp) AS DECIMAL(28,12)) AS contrib
+           FROM pd),
+         c2 AS (SELECT SUM(contrib) AS chi2_sum FROM pc)
+         SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / n_tot, 6) AS p_obs,
+           ROUND(p_exp, 6) AS p_exp,
+           ROUND(CAST(contrib AS DOUBLE), 6) AS chi2_contrib,
+           ROUND(CAST(chi2_sum AS DOUBLE), 6) AS chi2_total
+         FROM pc, c2 ORDER BY digit""",
+    "sketch_ams_f2" ->
+      """WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+           FROM pk),
+         sg AS (SELECT pk.user_id, pk.cnt, CAST(j AS INT) AS j,
+             CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('ams' || CAST(j AS VARCHAR) || ':'
+                   || CAST(user_id AS VARCHAR)), 4, 1)) - 1) % 2 = 0
+               THEN 1 ELSE -1 END AS s
+           FROM pk CROSS JOIN range(9) t(j)),
+         z AS (SELECT j, CAST(SUM(s * cnt) AS BIGINT) AS z,
+             CAST(SUM(s * cnt) * SUM(s * cnt) AS BIGINT) AS est
+           FROM sg GROUP BY 1),
+         med AS (SELECT CAST(MEDIAN(est) AS BIGINT) AS median_est FROM z)
+         SELECT j, z, est, median_est, exact_f2,
+           ROUND(CAST(ABS(median_est - exact_f2) AS DOUBLE) / exact_f2, 6)
+             AS rel_err
+         FROM z, med, exact ORDER BY j""",
+    "events_autocorr" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h FROM events),
+         counts AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM ev
+           GROUP BY 1),
+         span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+         spine AS (SELECT CAST(k AS BIGINT) AS t0
+           FROM range(0, 1000000) r(k), span
+           WHERE k <= date_diff('hour', h0, h1)),
+         idx AS (SELECT CAST(date_diff('hour', span.h0, counts.h)
+               AS BIGINT) AS t0, y
+           FROM counts, span),
+         series AS (SELECT s.t0 + 1 AS t, COALESCE(y, 0) AS y
+           FROM spine s LEFT JOIN idx ON s.t0 = idx.t0),
+         ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s FROM series),
+         dev AS (SELECT t, CAST(y * n - s AS DECIMAL(38,0)) AS d, n
+           FROM series, ns),
+         den AS (SELECT SUM(d * d) AS den, MAX(n) AS n FROM dev),
+         nums AS (SELECT lag, SUM(a.d * b.d) AS num
+           FROM (SELECT CAST(k AS INT) AS lag FROM range(1, 25) t(k)) l
+           JOIN dev a ON TRUE
+           JOIN dev b ON b.t = a.t - lag
+           GROUP BY 1),
+         terms AS (SELECT lag,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r,
+             CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+               * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+               * n * (n + 2) / (n - lag) AS DECIMAL(28,12)) AS lb_term
+           FROM nums, den)
+         SELECT lag, ROUND(r, 6) AS acf,
+           ROUND(CAST(SUM(lb_term) OVER (ORDER BY lag
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS lb_q
+         FROM terms ORDER BY lag""",
+    "text_yule_k" ->
+      """WITH tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token <> '' GROUP BY 1, 2)
+         SELECT lang, COUNT(*) AS vocab,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+           ROUND(10000.0 * CAST(SUM(cnt * cnt) - SUM(cnt) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)), 6)
+             AS yule_k,
+           ROUND(CAST(SUM(cnt * cnt) - SUM(cnt) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) - 1 AS DOUBLE)),
+             6) AS simpson_d
+         FROM tf GROUP BY lang ORDER BY lang""",
+    "events_powerlaw_fit" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_users FROM pu
+           GROUP BY 1),
+         ax AS (SELECT CAST(v AS BIGINT) AS xmin
+           FROM (VALUES (2), (5), (10)) t(v)),
+         tail AS (SELECT xmin, x, n_users,
+             CAST(ln(CAST(x AS DOUBLE) / xmin) AS DECIMAL(25,12))
+               * CAST(n_users AS DECIMAL(12,0)) AS lnterm
+           FROM hist CROSS JOIN ax WHERE x >= xmin),
+         fit AS (SELECT xmin, CAST(SUM(n_users) AS BIGINT) AS n_tail,
+             SUM(lnterm) AS sum_ln,
+             1.0 + CAST(SUM(n_users) AS DOUBLE)
+               / CAST(SUM(lnterm) AS DOUBLE) AS alpha
+           FROM tail GROUP BY 1),
+         sv AS (SELECT t.xmin, t.x,
+             SUM(t.n_users) OVER (PARTITION BY t.xmin ORDER BY t.x DESC
+               ROWS UNBOUNDED PRECEDING) AS ge,
+             f.n_tail, f.alpha
+           FROM tail t JOIN fit f ON t.xmin = f.xmin),
+         ks AS (SELECT xmin, MAX(ABS(CAST(ge AS DOUBLE) / n_tail
+             - pow(CAST(x AS DOUBLE) / xmin, 1.0 - alpha))) AS ks
+           FROM sv GROUP BY 1)
+         SELECT f.xmin, n_tail, ROUND(CAST(sum_ln AS DOUBLE), 6) AS sum_ln,
+           ROUND(alpha, 6) AS alpha, ROUND(ks, 6) AS ks
+         FROM fit f JOIN ks USING (xmin) ORDER BY xmin""",
+    "sim_cluster_nmi" ->
+      """WITH dims AS (SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+         plane AS (SELECT j, d,
+             CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS s
+           FROM range(8) a(j), range(1, 65) b(d)),
+         proj AS (SELECT vec_id, j,
+             SUM(CASE WHEN s = 1
+                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+               AS p
+           FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+         bands AS (SELECT vec_id,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY j) AS bucket
+           FROM proj GROUP BY vec_id),
+         cells AS (SELECT e.label, b.bucket, CAST(COUNT(*) AS BIGINT) AS n
+           FROM embeddings e JOIN bands b ON e.vec_id = b.vec_id
+           GROUP BY 1, 2),
+         ma AS (SELECT label, CAST(SUM(n) AS BIGINT) AS na FROM cells
+           GROUP BY 1),
+         mb AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS nb FROM cells
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+         ha AS (SELECT SUM(CAST(CAST(na AS DOUBLE) / nt
+             * ln(CAST(nt AS DOUBLE) / na) AS DECIMAL(28,12)))
+             AS h_label FROM ma, tot),
+         hb AS (SELECT SUM(CAST(CAST(nb AS DOUBLE) / nt
+             * ln(CAST(nt AS DOUBLE) / nb) AS DECIMAL(28,12)))
+             AS h_bucket FROM mb, tot),
+         mi AS (SELECT c.label, c.bucket, c.n,
+             CAST(CAST(n AS DOUBLE) / nt
+               * ln(CAST(nt AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb))
+               AS DECIMAL(28,12)) AS contrib
+           FROM cells c JOIN ma USING (label) JOIN mb USING (bucket),
+             tot),
+         it AS (SELECT SUM(contrib) AS i_total FROM mi)
+         SELECT label, bucket, n,
+           ROUND(CAST(contrib AS DOUBLE), 6) AS mi_contrib,
+           ROUND(CAST(i_total AS DOUBLE), 6) AS i_total,
+           ROUND(CAST(i_total AS DOUBLE)
+             / sqrt(CAST(h_label AS DOUBLE) * CAST(h_bucket AS DOUBLE)),
+             6) AS nmi
+         FROM mi, it, ha, hb ORDER BY label, bucket"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2466,4 +2466,127 @@ object EventAnalytics {
         round(col("lo_c") / 100.0, 4).as("ci_lo"),
         round(col("hi_c") / 100.0, 4).as("ci_hi"))
   }
+
+  /** Autocorrelation function of the hourly event-count series with the
+    * Ljung–Box portmanteau statistic — the "is there structure left"
+    * readout a forecasting pipeline ([[holtForecast]],
+    * [[seasonalStrength]]) runs on its residual or raw series before
+    * trusting a model: r_k for lags 1..24 over the GAP-FILLED hour spine
+    * (missing hours are true zeros, not absent rows — skipping them
+    * would misalign every lag), plus the cumulative Q(k) =
+    * n(n+2)·Σ_{i≤k} r_i²/(n−i).
+    *
+    * Exactness: with S = Σy and n the spine length, r_k =
+    * Σ(n·y_t−S)(n·y_{t−k}−S) / Σ(n·y_t−S)² — numerator and denominator
+    * are exact DECIMAL(38,0) integer sums (the n² scale factor cancels),
+    * so r_k is one double division; each Ljung–Box term is one double
+    * expression over the same exact operands, quantized to
+    * DECIMAL(28,12) before the cumulative sum so the running Q is
+    * order-independent.
+    *
+    * Scale shape: the corpus collapses to the hour-grain series in one
+    * hash-agg; the spine join, the 24-way lag expansion, and every
+    * window run on the HOUR-grain relation (n rows, not event rows) —
+    * at 100 TB the series for a year is still only ~9k rows, so
+    * everything after the first agg is a single-partition epilogue by
+    * design. */
+  def autocorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 24): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val span = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = span
+      .select(explode(expr(
+        "sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    val series = spine.join(broadcast(counts), Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("h"))))
+      .localCheckpoint() // hour-grain series, consumed by 3 branches
+    val nS = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = series.crossJoin(broadcast(nS)) // 1-row scalars
+      .select(col("t"),
+        (col("y") * col("n") - col("s")).cast("decimal(38,0)").as("d"),
+        col("n"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"),
+      max(col("n")).as("n"))
+    val lags = spark.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val nums = dev.crossJoin(broadcast(lags)) // 24-row lag axis
+      .select(col("lag"), (col("t") - col("lag")).as("tp"), col("d"))
+      .join(dev.select(col("t").as("tp"), col("d").as("dp")), Seq("tp"))
+      .groupBy(col("lag")).agg(sum(col("d") * col("dp")).as("num"))
+    val terms = nums.crossJoin(broadcast(den)) // 1-row denominator
+      .withColumn("r", col("num").cast("double") /
+        col("den").cast("double"))
+      .withColumn("lb_term",
+        ((col("r") * col("r")) * col("n") * (col("n") + 2) /
+          (col("n") - col("lag"))).cast("decimal(28,12)"))
+    terms
+      .withColumn("q", sum(col("lb_term")).over(
+        Window.orderBy(col("lag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("lag"), round(col("r"), 6).as("acf"),
+        round(col("q").cast("double"), 6).as("lb_q"))
+      .orderBy(col("lag"))
+  }
+  /** Discrete power-law tail fit of the events-per-user activity
+    * distribution — the Hill/Clauset readout that turns
+    * [[powerPareto]]'s "top 1% hold 20%" concentration shares into a
+    * fitted exponent: for each candidate cutoff xmin, the Hill MLE
+    * alpha = 1 + n_tail / Σ ln(x/xmin) over users with activity ≥ xmin,
+    * plus the KS distance between the empirical tail survival and the
+    * fitted Pareto survival (x/xmin)^(1−alpha) — the goodness-of-fit
+    * number that says WHICH xmin the power law actually starts at.
+    *
+    * Determinism: the fit runs on the activity HISTOGRAM (value → user
+    * count), so Σ ln is Σ count·q(ln(x/xmin)) with each log quantized
+    * to DECIMAL(28,12) before the exact weighted sum — engine-ulp log
+    * differences cannot reorder the reduction; alpha and each survival
+    * are then single double expressions, and the KS max runs over the
+    * value-domain-bounded relation.
+    *
+    * Scale shape: two corpus-grain hash-aggs (user → count → histogram)
+    * and everything downstream on the count-DOMAIN histogram crossed
+    * with a 3-row xmin axis — the [[powerPareto]] shape with a fit on
+    * top. */
+  def powerlawFit(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_users"))
+    val xmins = spark.range(0, 3)
+      .select(element_at(typedLit(Seq(2L, 5L, 10L)), col("id").cast("int") + 1)
+        .as("xmin"))
+    val tail = hist.crossJoin(broadcast(xmins)) // 3-row cutoff axis
+      .filter(col("x") >= col("xmin"))
+      // 25+12+1 = 38: the product stays inside DecimalType's precision
+      // cap, so Spark does NOT shave the scale to its 6-digit minimum
+      // (a decimal(28,12) * bigint product would — 2e-6 drift measured)
+      .withColumn("lnterm",
+        log(col("x").cast("double") / col("xmin").cast("double"))
+          .cast("decimal(25,12)") * col("n_users").cast("decimal(12,0)"))
+    val fit = tail.groupBy(col("xmin"))
+      .agg(sum(col("n_users")).as("n_tail"),
+        sum(col("lnterm")).as("sum_ln"))
+      .withColumn("alpha",
+        lit(1.0) + col("n_tail").cast("double") /
+          col("sum_ln").cast("double"))
+    val surv = tail
+      .withColumn("ge", sum(col("n_users")).over(
+        Window.partitionBy(col("xmin")).orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(fit.select(col("xmin"), col("n_tail"), col("alpha"))),
+        Seq("xmin"))
+      .withColumn("d",
+        abs(col("ge").cast("double") / col("n_tail").cast("double") -
+          pow(col("x").cast("double") / col("xmin").cast("double"),
+            lit(1.0) - col("alpha"))))
+    val ks = surv.groupBy(col("xmin")).agg(max(col("d")).as("ks"))
+    fit.join(broadcast(ks), Seq("xmin"))
+      .select(col("xmin"), col("n_tail"),
+        round(col("sum_ln").cast("double"), 6).as("sum_ln"),
+        round(col("alpha"), 6).as("alpha"),
+        round(col("ks"), 6).as("ks"))
+      .orderBy(col("xmin"))
+  }
 }

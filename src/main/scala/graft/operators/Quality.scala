@@ -390,4 +390,92 @@ object Quality {
           expr("(2 * n_total + 63) div 64")).as("within_bound"))
       .orderBy(col("rk"))
   }
+
+  /** Benford first-digit conformance test over order totals — the
+    * fabricated-data / instrumentation-drift tripwire a finance-adjacent
+    * DQ suite runs beside the null/range checks: the observed first
+    * significant digit distribution of `o_totalprice` against Benford's
+    * law p(d) = log10(1 + 1/d), with the chi-square statistic that turns
+    * "looks off" into a number. The digit is read from the EXACT integer
+    * hundredths (round(x*100) preserves the leading significant digit),
+    * so no engine-specific double formatting is involved.
+    *
+    * Determinism: digit counts are exact; p_exp and each chi-square
+    * contribution are single double expressions over exact integer
+    * operands, quantized to DECIMAL(28,12) before the total sum so the
+    * 9-term reduction is order-independent.
+    *
+    * Scale shape: one corpus pass into a 9-row digit histogram (fully
+    * partial-aggregatable), then all arithmetic on the 9-row relation
+    * with the 1-row total broadcast. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val hist = cents.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = cents.agg(count(lit(1)).as("n_tot"))
+    val spine = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val perDigit = spine
+      .join(broadcast(hist), Seq("digit"), "left")
+      .crossJoin(broadcast(tot)) // 1-row total scalar
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("p_exp", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("contrib",
+        (((col("n") - col("n_tot") * col("p_exp")) *
+          (col("n") - col("n_tot") * col("p_exp"))) /
+          (col("n_tot") * col("p_exp"))).cast("decimal(28,12)"))
+    val chi2 = perDigit.agg(sum(col("contrib")).as("chi2_sum"))
+    perDigit.crossJoin(broadcast(chi2)) // 1-row statistic
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_tot"), 6).as("p_obs"),
+        round(col("p_exp"), 6).as("p_exp"),
+        round(col("contrib").cast("double"), 6).as("chi2_contrib"),
+        round(col("chi2_sum").cast("double"), 6).as("chi2_total"))
+      .orderBy(col("digit"))
+  }
+
+  /** AMS (Alon–Matthias–Szegedy) F2 sketch beside the exact second
+    * frequency moment — the self-join-size estimator a cost-based
+    * planner or a skew monitor keeps per key column, in the estimator-
+    * calibration discipline of [[sketchCountMin]]: 9 independent ±1-hash
+    * estimators Z_j = Σ_key s_j(key)·cnt(key), each Z_j² an unbiased
+    * estimate of F2 = Σ cnt², reported per estimator with the median
+    * (the classic median-of-estimators boost) and its relative error
+    * against the exact F2 computed on the same pass.
+    *
+    * The sign hash is the [[sketchCountMin]] md5 convention: low bit of
+    * the 4th hex nibble of md5("ams" j ":" key) — reproduced digit-for-
+    * digit in the DuckDB oracle, so Z_j is integer-exact in both
+    * engines; only the final rel_err division is floating point.
+    *
+    * Scale shape: the per-key histogram is one hash-agg; the 9-way sign
+    * expansion runs on the KEY-grain relation (not raw rows) into a
+    * 9-row sketch state. At 100 TB this is the same two-agg shape with
+    * a 9-row result — the whole point of the sketch. */
+  def sketchAmsF2(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val exact = perKey.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+    val z = perKey
+      .select(col("user_id"), col("cnt"),
+        explode(sequence(lit(0), lit(8))).as("j"))
+      .withColumn("s",
+        when((conv(substring(md5(concat(lit("ams"), col("j").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 4, 1), 16, 10)
+          .cast("int") % 2) === 0, 1L).otherwise(-1L))
+      .groupBy(col("j")).agg(sum(col("s") * col("cnt")).as("z"))
+      .withColumn("est", col("z") * col("z"))
+    val med = z.agg(expr("CAST(percentile(est, 0.5) AS BIGINT)")
+      .as("median_est"))
+    z.crossJoin(broadcast(med)) // 1-row median scalar
+      .crossJoin(broadcast(exact)) // 1-row exact scalar
+      .select(col("j").cast("int").as("j"), col("z"), col("est"),
+        col("median_est"), col("exact_f2"),
+        round(abs(col("median_est") - col("exact_f2")).cast("double") /
+          col("exact_f2"), 6).as("rel_err"))
+      .orderBy(col("j"))
+  }
 }

@@ -2053,4 +2053,66 @@ object Similarity {
           lit(1.0) - col("mse_stage2") / col("mse_stage1")), 6))
       .orderBy(col("label"))
   }
+  /** Normalized mutual information between the ground-truth label
+    * blocking and the band-0 hyperplane-LSH bucketing — the
+    * clustering-agreement metric that closes the LSH story the way
+    * [[clusterValidity]] closes k-means: how much of the label
+    * structure does an 8-bit signature actually capture? Reported as
+    * the full contingency census (one row per occupied label×bucket
+    * cell with its MI contribution) plus the NMI = I/√(H_label·H_bucket)
+    * replicated on every row — the one number a blocking-quality gate
+    * thresholds on.
+    *
+    * Determinism: all probabilities are exact-integer cell/margin
+    * counts over one corpus pass; each MI/entropy term is a single
+    * double expression over those integers, quantized to
+    * DECIMAL(28,12) before its sum so the reductions are
+    * order-independent (the [[graft.operators.Quality]] convention).
+    *
+    * Scale shape: signatures are map-side expressions; the contingency
+    * is one (label, bucket) hash-agg, margins are re-aggs of it, and
+    * all joins after the first agg are broadcasts of
+    * cluster-count-bounded relations. */
+  def clusterNmi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = emb(spark, dir)
+      .select(col("label"),
+        element_at(ExprColumns.hyperplaneLsh(spark, "embedding"), 1)
+          .as("bucket"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // cluster-grain contingency, read by 4 branches
+    val ma = cells.groupBy(col("label")).agg(sum(col("n")).as("na"))
+    val mb = cells.groupBy(col("bucket")).agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    val ha = ma.crossJoin(broadcast(tot))
+      .select((col("na").cast("double") / col("nt") *
+        log(col("nt").cast("double") / col("na"))).cast("decimal(28,12)")
+        .as("t"))
+      .agg(sum(col("t")).as("h_label"))
+    val hb = mb.crossJoin(broadcast(tot))
+      .select((col("nb").cast("double") / col("nt") *
+        log(col("nt").cast("double") / col("nb"))).cast("decimal(28,12)")
+        .as("t"))
+      .agg(sum(col("t")).as("h_bucket"))
+    val mi = cells
+      .join(broadcast(ma), Seq("label"))
+      .join(broadcast(mb), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        (col("n").cast("double") / col("nt") *
+          log(col("nt").cast("double") * col("n") /
+            (col("na").cast("double") * col("nb"))))
+          .cast("decimal(28,12)"))
+    val itot = mi.agg(sum(col("contrib")).as("i_total"))
+    mi.crossJoin(broadcast(itot)) // 1-row MI scalar
+      .crossJoin(broadcast(ha)) // 1-row entropy scalar
+      .crossJoin(broadcast(hb)) // 1-row entropy scalar
+      .select(col("label"), col("bucket"), col("n"),
+        round(col("contrib").cast("double"), 6).as("mi_contrib"),
+        round(col("i_total").cast("double"), 6).as("i_total"),
+        round(col("i_total").cast("double") /
+          sqrt(col("h_label").cast("double") *
+            col("h_bucket").cast("double")), 6).as("nmi"))
+      .orderBy(col("label"), col("bucket"))
+  }
 }

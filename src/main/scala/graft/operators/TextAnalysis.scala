@@ -2705,4 +2705,35 @@ object TextAnalysis {
           sum(length(col("w"))).cast("double"), 6).as("savings_ratio"))
       .orderBy(col("lang"))
   }
+  /** Yule's K characteristic and Simpson's D over the per-language token
+    * frequency spectrum — the repetitiveness-of-vocabulary constant a
+    * corpus curator tracks beside [[hapaxStats]]' type ratios: K =
+    * 10⁴·(Σc² − N)/N² where c runs over type frequencies, which is
+    * length-invariant where raw TTR is not (the reason [[ttrCurve]]
+    * needs a size-controlled design and this census doesn't). Simpson's
+    * D = (Σc² − N)/(N(N−1)) is the same second moment as a
+    * repeat-probability.
+    *
+    * Plan: one explode → (lang, token) hash-agg with map-side partials
+    * (the only corpus-sized shuffle), then a vocabulary-grain re-agg to
+    * |langs| rows; Σc² stays exact BIGINT, and each statistic is one
+    * double division at the end. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("lang"), col("vocab"), col("n_tokens"), col("s2"),
+        round(lit(10000.0) * (col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+          6).as("yule_k"),
+        round((col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") *
+            (col("n_tokens") - 1).cast("double")), 6).as("simpson_d"))
+      .orderBy(col("lang"))
 }
