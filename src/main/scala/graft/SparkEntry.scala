@@ -475,7 +475,10 @@ object SparkEntry {
     "events_autocorr" -> ((s, d) => EventAnalytics.autocorrelation(s, d)),
     "text_yule_k" -> ((s, d) => TextAnalysis.yuleK(s, d)),
     "events_powerlaw_fit" -> ((s, d) => EventAnalytics.powerlawFit(s, d)),
-    "sim_cluster_nmi" -> ((s, d) => Similarity.clusterNmi(s, d))
+    "sim_cluster_nmi" -> ((s, d) => Similarity.clusterNmi(s, d)),
+    "dq_candidate_keys" -> ((s, d) => Quality.candidateKeys(s, d)),
+    "sample_neyman_alloc" -> ((s, d) => Curation.neymanAllocation(s, d)),
+    "text_msttr" -> ((s, d) => TextAnalysis.msttr(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8419,7 +8422,87 @@ object SparkEntry {
            ROUND(CAST(i_total AS DOUBLE)
              / sqrt(CAST(h_label AS DOUBLE) * CAST(h_bucket AS DOUBLE)),
              6) AS nmi
-         FROM mi, it, ha, hb ORDER BY label, bucket"""
+         FROM mi, it, ha, hb ORDER BY label, bucket""",
+    "dq_candidate_keys" ->
+      """WITH c1 AS (SELECT 'o_orderkey' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(cnt) AS BIGINT) AS mx
+           FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)),
+         c2 AS (SELECT 'o_custkey', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey)),
+         c3 AS (SELECT 'o_orderdate', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderdate)),
+         c4 AS (SELECT 'o_totalprice', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders
+             GROUP BY o_totalprice)),
+         c5 AS (SELECT 'o_custkey,o_orderdate', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders
+             GROUP BY o_custkey, o_orderdate)),
+         c6 AS (SELECT 'o_custkey,o_totalprice', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders
+             GROUP BY o_custkey, o_totalprice)),
+         c7 AS (SELECT 'o_orderdate,o_totalprice', COUNT(*), MAX(cnt)
+           FROM (SELECT COUNT(*) AS cnt FROM orders
+             GROUP BY o_orderdate, o_totalprice)),
+         u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+           UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+           UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6
+           UNION ALL SELECT * FROM c7),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+         SELECT candidate, n_rows, n AS n_distinct,
+           n_rows - n AS dup_rows, mx AS max_group,
+           ROUND(CAST(n AS DOUBLE) / n_rows, 6) AS uniqueness,
+           n = n_rows AS is_key
+         FROM u, t ORDER BY candidate""",
+    "sample_neyman_alloc" ->
+      """WITH mom AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+           FROM documents GROUP BY 1),
+         m2 AS (SELECT lang, nh,
+             sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+               / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) AS sh
+           FROM mom),
+         m3 AS (SELECT *, CAST(CAST(nh AS DOUBLE) * sh AS DECIMAL(28,12))
+             AS w FROM m2),
+         tot AS (SELECT CAST(SUM(nh) AS BIGINT) AS n_pop, SUM(w) AS wt
+           FROM m3),
+         alloc AS (SELECT lang, nh, sh,
+             100 * CAST(nh AS DOUBLE) / n_pop AS n_prop,
+             100 * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE) AS n_ney,
+             n_pop
+           FROM m3, tot),
+         vt AS (SELECT *,
+             CAST(CAST(nh AS DOUBLE) * nh * sh * sh
+               / (n_prop * CAST(n_pop AS DOUBLE) * n_pop)
+               AS DECIMAL(28,12)) AS vp,
+             CAST(CAST(nh AS DOUBLE) * nh * sh * sh
+               / (n_ney * CAST(n_pop AS DOUBLE) * n_pop)
+               AS DECIMAL(28,12)) AS vn
+           FROM alloc),
+         vs AS (SELECT SUM(vp) AS var_prop, SUM(vn) AS var_ney FROM vt)
+         SELECT lang, nh, ROUND(sh, 6) AS s_h,
+           ROUND(n_prop, 6) AS n_prop, ROUND(n_ney, 6) AS n_neyman,
+           ROUND(CAST(var_prop AS DOUBLE), 6) AS var_prop,
+           ROUND(CAST(var_ney AS DOUBLE), 6) AS var_neyman,
+           ROUND(CAST(var_ney AS DOUBLE) / CAST(var_prop AS DOUBLE), 6)
+             AS efficiency
+         FROM vt, vs ORDER BY lang""",
+    "text_msttr" ->
+      """WITH tok AS (SELECT doc_id, lang,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS token,
+             len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         seg AS (SELECT doc_id, lang, w, pos // w AS seg, token
+           FROM tok, (VALUES (10), (25), (50)) ws(w)
+           WHERE token <> '' AND (pos // w + 1) * w <= n_tok),
+         st AS (SELECT doc_id, lang, w, seg,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS types
+           FROM seg GROUP BY 1, 2, 3, 4)
+         SELECT lang, w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(CAST(SUM(types) AS DOUBLE) / (w * COUNT(*)), 6) AS msttr
+         FROM st GROUP BY 1, 2 ORDER BY lang, w"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -1040,4 +1040,66 @@ object Curation {
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }
+  /** Neyman-optimal vs proportional stratified-sampling allocation over
+    * the language strata — the design readout a corpus sampler computes
+    * before drawing [[balancedSample]]'s rows: for a fixed budget of
+    * B = 100 draws, the per-stratum allocation n_h ∝ N_h (proportional)
+    * against n_h ∝ N_h·S_h (Neyman, variance-optimal), with the
+    * resulting stratified-mean variances Σ N_h²S_h²/(n_h·N²) and the
+    * efficiency ratio that says what the optimal design buys. The
+    * target variable is document length (n_chars).
+    *
+    * Determinism: per-stratum moments are exact integer sums (Σx, Σx²
+    * over BIGINT chars); S_h = √((nΣx²−(Σx)²)/(n(n−1))) is one double
+    * expression per stratum; each N_h·S_h weight is quantized to
+    * DECIMAL(28,12) before the shared denominator sum, so allocations
+    * are order-independent; allocations are REAL-valued by design (the
+    * integer apportionment step is a separate concern this census
+    * deliberately leaves out).
+    *
+    * Scale shape: one corpus pass to |strata| rows of exact moments;
+    * everything after runs on the strata-bounded relation with 1-row
+    * broadcast scalars. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Int = 100): DataFrame = {
+    val mom = docs(spark, dir)
+      .select(col("lang"), col("n_chars").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("sh", sqrt(
+        (col("nh") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nh").cast("double") * (col("nh") - 1).cast("double"))))
+      .withColumn("w", (col("nh").cast("double") * col("sh"))
+        .cast("decimal(28,12)"))
+    val tot = mom.agg(sum(col("nh")).as("n_pop"), sum(col("w")).as("wt"))
+    val alloc = mom.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("n_prop", lit(budget) * col("nh").cast("double") /
+        col("n_pop").cast("double"))
+      .withColumn("n_ney", lit(budget) * col("w").cast("double") /
+        col("wt").cast("double"))
+      .withColumn("vterm_prop",
+        (col("nh").cast("double") * col("nh").cast("double") *
+          col("sh") * col("sh") /
+          (col("n_prop") * col("n_pop").cast("double") *
+            col("n_pop").cast("double"))).cast("decimal(28,12)"))
+      .withColumn("vterm_ney",
+        (col("nh").cast("double") * col("nh").cast("double") *
+          col("sh") * col("sh") /
+          (col("n_ney") * col("n_pop").cast("double") *
+            col("n_pop").cast("double"))).cast("decimal(28,12)"))
+    val vs = alloc.agg(sum(col("vterm_prop")).as("var_prop"),
+      sum(col("vterm_ney")).as("var_ney"))
+    alloc.crossJoin(broadcast(vs)) // 1-row design variances
+      .select(col("lang"), col("nh"),
+        round(col("sh"), 6).as("s_h"),
+        round(col("n_prop"), 6).as("n_prop"),
+        round(col("n_ney"), 6).as("n_neyman"),
+        round(col("var_prop").cast("double"), 6).as("var_prop"),
+        round(col("var_ney").cast("double"), 6).as("var_neyman"),
+        round(col("var_ney").cast("double") /
+          col("var_prop").cast("double"), 6).as("efficiency"))
+      .orderBy(col("lang"))
+  }
 }

@@ -478,4 +478,41 @@ object Quality {
           col("exact_f2"), 6).as("rel_err"))
       .orderBy(col("j"))
   }
+  /** Candidate-key uniqueness profile of the orders table — the key
+    * discovery census a schema-inference or CDC-merge planner runs
+    * before choosing a merge key ([[graft.etl.Sink]]'s upsert path
+    * assumes one): for each candidate column set (four singles, three
+    * pairs), the exact distinct count, duplicate-row count, largest
+    * duplicate group, uniqueness ratio, and the is_key verdict.
+    *
+    * Plan: one pruned scan + two-level hash-agg PER candidate (the
+    * grouped count collapses map-side, the profile re-agg is
+    * group-count-bounded), unioned into a 7-row census — the
+    * [[dqProfile]] shape. No multi-column COUNT(DISTINCT) Expand: each
+    * candidate pays exactly one shuffle at its own key grain, which is
+    * also how the check parallelizes at 100 TB. */
+  def candidateKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "orders")
+    def cand(name: String, cols: Seq[String]): DataFrame =
+      t.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_group"))
+        .select(lit(name).as("candidate"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("dup_rows"),
+          col("max_group"),
+          round(col("n_distinct").cast("double") /
+            col("n_rows").cast("double"), 6).as("uniqueness"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    Seq(
+      cand("o_orderkey", Seq("o_orderkey")),
+      cand("o_custkey", Seq("o_custkey")),
+      cand("o_orderdate", Seq("o_orderdate")),
+      cand("o_totalprice", Seq("o_totalprice")),
+      cand("o_custkey,o_orderdate", Seq("o_custkey", "o_orderdate")),
+      cand("o_custkey,o_totalprice", Seq("o_custkey", "o_totalprice")),
+      cand("o_orderdate,o_totalprice", Seq("o_orderdate", "o_totalprice"))
+    ).reduce(_.unionByName(_)).orderBy(col("candidate"))
+  }
 }

@@ -2736,4 +2736,48 @@ object TextAnalysis {
           (col("n_tokens").cast("double") *
             (col("n_tokens") - 1).cast("double")), 6).as("simpson_d"))
       .orderBy(col("lang"))
+  /** Mean Segmental Type-Token Ratio (MSTTR) per language across a
+    * segment-size axis — the length-controlled lexical-diversity
+    * statistic that fixes raw TTR's document-length confound by
+    * averaging the TTR of consecutive COMPLETE w-token segments
+    * (w ∈ {10, 25, 50}; the trailing partial segment is dropped, so
+    * every averaged segment is the same size and the numbers are
+    * comparable across languages — the controlled-design discipline of
+    * [[ttrCurve]] applied segment-wise).
+    *
+    * Exactness: per-segment type counts are exact integers; the mean
+    * TTR is Σtypes/(w·n_segments) — one double division per output
+    * row, no per-segment double averaging.
+    *
+    * Plan: one positional explode crossed with the 3-row w axis (the
+    * only corpus-scale relations, both linear), a (doc, w, seg, token)
+    * hash-agg for types, a segment-grain re-agg, then a |lang|×3
+    * census. */
+  def msttr(spark: SparkSession, dir: String): DataFrame = {
+    val ws = spark.range(0, 3)
+      .select(element_at(typedLit(Seq(10, 25, 50)),
+        col("id").cast("int") + 1).as("w"))
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")),
+        size(tokens(col("text"))).as("n_tok"))
+      .filter(col("token") =!= "")
+    val segTypes = tok.crossJoin(broadcast(ws)) // 3-row segment-size axis
+      .filter((expr("pos div w") + 1) * col("w") <= col("n_tok"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        expr("pos div w").as("seg"), col("token"))
+      .groupBy(col("doc_id"), col("lang"), col("w"), col("seg"),
+        col("token"))
+      .agg(count(lit(1)).as("reps"))
+      .groupBy(col("doc_id"), col("lang"), col("w"), col("seg"))
+      .agg(count(lit(1)).as("types"))
+    segTypes.groupBy(col("lang"), col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(col("types")).as("sum_types"))
+      .select(col("lang"), col("w"), col("n_docs"), col("n_segments"),
+        round(col("sum_types").cast("double") /
+          (col("w") * col("n_segments")).cast("double"), 6).as("msttr"))
+      .orderBy(col("lang"), col("w"))
+  }
 }
