@@ -478,7 +478,11 @@ object SparkEntry {
     "sim_cluster_nmi" -> ((s, d) => Similarity.clusterNmi(s, d)),
     "dq_candidate_keys" -> ((s, d) => Quality.candidateKeys(s, d)),
     "sample_neyman_alloc" -> ((s, d) => Curation.neymanAllocation(s, d)),
-    "text_msttr" -> ((s, d) => TextAnalysis.msttr(s, d))
+    "text_msttr" -> ((s, d) => TextAnalysis.msttr(s, d)),
+    "events_seq_patterns" -> ((s, d) => EventAnalytics.seqPatterns(s, d)),
+    "sim_multiprobe_lsh" -> ((s, d) => Similarity.multiprobeLsh(s, d)),
+    "stream_psi_monitor" ->
+      ((s, d) => StreamingAnalytics.streamPsiMonitor(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8502,7 +8506,144 @@ object SparkEntry {
          SELECT lang, w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            ROUND(CAST(SUM(types) AS DOUBLE) / (w * COUNT(*)), 6) AS msttr
-         FROM st GROUP BY 1, 2 ORDER BY lang, w"""
+         FROM st GROUP BY 1, 2 ORDER BY lang, w""",
+    "events_seq_patterns" ->
+      """WITH s AS (SELECT user_id, event_type, MIN(ts) AS t_min,
+             MAX(ts) AS t_max
+           FROM events GROUP BY 1, 2),
+         nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events),
+         pat AS (SELECT a.event_type AS a, b.event_type AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_users_pattern
+           FROM s a JOIN s b
+             ON a.user_id = b.user_id AND a.t_min < b.t_max
+           GROUP BY 1, 2),
+         ha AS (SELECT event_type AS a,
+             CAST(COUNT(*) AS BIGINT) AS n_users_a
+           FROM s GROUP BY 1)
+         SELECT pat.a, pat.b, n_users_pattern,
+           ROUND(CAST(n_users_pattern AS DOUBLE) / n_users, 6) AS support,
+           ROUND(CAST(n_users_pattern AS DOUBLE) / n_users_a, 6)
+             AS confidence
+         FROM pat JOIN ha ON pat.a = ha.a, nu
+         ORDER BY pat.a, pat.b""",
+    "sim_multiprobe_lsh" ->
+      """WITH dims AS (SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+         plane AS (SELECT j, d,
+             CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS s
+           FROM range(8) a(j), range(1, 65) b(d)),
+         proj AS (SELECT vec_id, j,
+             SUM(CASE WHEN s = 1
+                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+               AS p
+           FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+         vb AS (SELECT vec_id,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY j) AS bucket
+           FROM proj GROUP BY vec_id),
+         q AS (SELECT label, MIN(vec_id) AS qid FROM embeddings
+           GROUP BY 1),
+         qproj AS (SELECT q.label, pr.j, pr.p FROM q
+           JOIN proj pr ON pr.vec_id = q.qid),
+         qsig AS (SELECT label,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY j) AS bucket
+           FROM qproj GROUP BY label),
+         flips AS (SELECT qp.label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qp.label
+               ORDER BY ABS(qp.p), qp.j) AS INT) AS pr,
+             substr(s.bucket, 1, qp.j)
+               || (CASE WHEN substr(s.bucket, qp.j + 1, 1) = '1'
+                   THEN '0' ELSE '1' END)
+               || substr(s.bucket, qp.j + 2, 8) AS bucket
+           FROM qproj qp JOIN qsig s USING (label)),
+         probes AS (SELECT label, 0 AS pr, bucket FROM qsig
+           UNION ALL SELECT label, pr, bucket FROM flips),
+         cand AS (SELECT DISTINCT p2.label, np.n_probes, v.vec_id
+           FROM probes p2 JOIN vb v USING (bucket)
+           CROSS JOIN (VALUES (1), (5), (9)) np(n_probes)
+           WHERE p2.pr < np.n_probes),
+         cand2 AS (SELECT c.label, c.n_probes, c.vec_id
+           FROM cand c JOIN q USING (label) WHERE c.vec_id <> q.qid),
+         qe AS (SELECT q.label, q.qid, e.embedding AS q_emb FROM q
+           JOIN embeddings e ON e.vec_id = q.qid),
+         brute AS (SELECT label, cid AS vec_id FROM (
+             SELECT qe.label, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY qe.label
+                 ORDER BY list_cosine_similarity(c.embedding, qe.q_emb)
+                   DESC, c.vec_id) AS rk
+             FROM qe CROSS JOIN embeddings c WHERE c.vec_id <> qe.qid) z
+           WHERE rk <= 10),
+         hits AS (SELECT c.label, c.n_probes,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM cand2 c JOIN brute b
+             ON c.label = b.label AND c.vec_id = b.vec_id
+           GROUP BY 1, 2),
+         nc AS (SELECT label, n_probes,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cand2 GROUP BY 1, 2),
+         spine AS (SELECT q.label, np.n_probes FROM q
+           CROSS JOIN (VALUES (1), (5), (9)) np(n_probes))
+         SELECT sp.label, sp.n_probes,
+           COALESCE(n_candidates, 0) AS n_candidates,
+           ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+         FROM spine sp
+         LEFT JOIN nc ON sp.label = nc.label AND sp.n_probes = nc.n_probes
+         LEFT JOIN hits
+           ON sp.label = hits.label AND sp.n_probes = hits.n_probes
+         ORDER BY sp.label, sp.n_probes""",
+    "stream_psi_monitor" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         base AS (SELECT CASE WHEN ts < t0 + INTERVAL 15 DAY
+               THEN 1 ELSE 2 END AS half,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events, t0 WHERE value IS NOT NULL),
+         hist AS (SELECT c, COUNT(*) AS n FROM base WHERE half = 1
+           GROUP BY 1),
+         cdf AS (SELECT c, SUM(n) OVER (ORDER BY c
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM base
+           WHERE half = 1),
+         n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM base
+           WHERE half = 2),
+         bounds AS (SELECT k, MIN(c) AS b
+           FROM cdf, tot, range(1, 10) t(k)
+           WHERE cum >= CAST(ceil(k * n1 / 10.0) AS BIGINT)
+           GROUP BY 1),
+         hc AS (SELECT half, c, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM base GROUP BY 1, 2),
+         asg AS (SELECT half, cnt,
+             1 + SUM(CASE WHEN c > b THEN 1 ELSE 0 END) AS bucket
+           FROM hc CROSS JOIN bounds GROUP BY half, c, cnt),
+         counts AS (SELECT half, bucket, CAST(SUM(cnt) AS BIGINT) AS n
+           FROM asg GROUP BY 1, 2),
+         ht AS (SELECT half, CAST(COUNT(*) AS BIGINT) AS ht FROM base
+           GROUP BY 1),
+         sh AS (SELECT c2.half, bucket, n, CAST(n AS DOUBLE) / ht AS p
+           FROM counts c2 JOIN ht ON c2.half = ht.half),
+         pr1 AS (SELECT bucket, n AS n_ref, p AS p_ref FROM sh
+           WHERE half = 1),
+         pr2 AS (SELECT bucket, n AS n_cur, p AS p_cur FROM sh
+           WHERE half = 2),
+         spine AS (SELECT CAST(k AS INT) AS bucket FROM range(1, 11) t(k)),
+         pb AS (SELECT s.bucket,
+             CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                 AS DECIMAL(28,12)) END AS contrib
+           FROM spine s LEFT JOIN pr1 ON s.bucket = pr1.bucket
+           LEFT JOIN pr2 ON s.bucket = pr2.bucket),
+         psis AS (SELECT SUM(contrib) AS psi_sum FROM pb)
+         SELECT CAST(1 AS INT) AS look, n1 AS n_ref, n1 AS n_cur,
+           0.0 AS psi_total FROM tot
+         UNION ALL
+         SELECT CAST(2 AS INT), n1, n2,
+           ROUND(CAST(psi_sum AS DOUBLE), 6)
+         FROM tot, n2t, psis
+         ORDER BY look"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

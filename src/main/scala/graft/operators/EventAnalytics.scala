@@ -2589,4 +2589,51 @@ object EventAnalytics {
         round(col("ks"), 6).as("ks"))
       .orderBy(col("xmin"))
   }
+  /** Sequential-pattern support census over NON-CONTIGUOUS ordered
+    * event-type pairs — the "a, then later b, with anything in between"
+    * mining [[pathsTopK]]'s contiguous transitions cannot see: for every
+    * ordered type pair (a, b), how many users exhibit a-before-b, the
+    * support over all users, and the confidence P(pattern | user has a).
+    *
+    * The kernel is deliberately NOT a per-user self-join: "some a
+    * strictly before some b" holds iff min_ts(a) < max_ts(b) (for
+    * a = b that reads "two occurrences at distinct times"), so the
+    * corpus collapses
+    * to per-(user, type) min/max timestamps in one hash-agg, and the
+    * pair expansion runs on the type-DOMAIN-bounded summary (|types|²
+    * rows per user, not events²). The same trick at 100 TB: one
+    * corpus-grain agg, then joins on user over a ≤|types|-row-per-user
+    * relation.
+    *
+    * Exactness: everything is integer counts and timestamp compares;
+    * the two ratios are single double divisions. */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val summary = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // (user, type)-grain summary, joined twice
+    val nUsers = summary.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val a = summary.select(col("user_id"), col("event_type").as("a"),
+      col("t_min"))
+    val b = summary.select(col("user_id"), col("event_type").as("b"),
+      col("t_max"))
+    // min(a) < max(b) IS "some a strictly before some b" — uniformly,
+    // including a = b, where it reads "two occurrences at distinct times"
+    val pat = a.join(b, Seq("user_id"))
+      .filter(col("t_min") < col("t_max"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_users_pattern"))
+    val hasA = summary.groupBy(col("event_type").as("a"))
+      .agg(count(lit(1)).as("n_users_a"))
+    pat.join(broadcast(hasA), Seq("a"))
+      .crossJoin(broadcast(nUsers)) // 1-row population scalar
+      .select(col("a"), col("b"), col("n_users_pattern"),
+        round(col("n_users_pattern").cast("double") /
+          col("n_users").cast("double"), 6).as("support"),
+        round(col("n_users_pattern").cast("double") /
+          col("n_users_a").cast("double"), 6).as("confidence"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -2115,4 +2115,95 @@ object Similarity {
             col("h_bucket").cast("double")), 6).as("nmi"))
       .orderBy(col("label"), col("bucket"))
   }
+  /** Query-directed MULTI-PROBE LSH — the recall-vs-work tuning curve a
+    * single-bucket LSH lookup ([[annLshTopPairs]]) leaves on the table:
+    * for each per-label query, probe the exact band-0 bucket plus
+    * perturbed buckets obtained by flipping one signature bit in
+    * ascending |projection-margin| order (the least-confident bit
+    * first — the classic multi-probe ordering), and report, per probe
+    * budget P ∈ {1, 5, 9}, the candidate-set size and its recall
+    * against the exact brute-force top-10.
+    *
+    * The corpus side uses the map-side [[ExprColumns.hyperplaneLsh]]
+    * expression; the QUERY side recomputes the same 8 projections
+    * relationally from the md5 plane matrix (bit-identical by
+    * construction — the two formulations cross-check each other), so
+    * the margin ordering falls out of the projection relation for
+    * free.
+    *
+    * Scale shape: probing is a |queries|·9-row broadcast joined against
+    * the bucket-keyed corpus relation — the corpus is never crossed
+    * with anything; the brute side is the |queries|-bounded eval gate,
+    * not the serving path ([[bruteTopK]] convention). */
+  def multiprobeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val vb = e.select(col("vec_id"),
+      element_at(ExprColumns.hyperplaneLsh(spark, "embedding"), 1)
+        .as("bucket"))
+    val q = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+    val qe = q.join(e.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb")), Seq("qid"))
+    val qd = qe.select(col("label"),
+        posexplode(col("q_emb")).as(Seq("d0", "v")))
+      .select(col("label"), (col("d0") + 1).as("d"),
+        col("v").cast("double").cast("decimal(38,15)").as("v"))
+    val plane = spark.range(0, 8).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("d")))
+      .select(col("j"), col("d"),
+        when((conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("d").cast("string"))), 1, 1), 16, 10).cast("int") % 2) === 1,
+          1).otherwise(-1).as("s"))
+    val qproj = qd.join(broadcast(plane), Seq("d"))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(when(col("s") === 1, col("v")).otherwise(-col("v")))
+        .as("p"))
+    val qsig = qproj.groupBy(col("label"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("j"), when(col("p") > 0, "1").otherwise("0").as("bit")))),
+        x => x("bit")), "").as("bucket"))
+    val flips = qproj
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("label")).orderBy(abs(col("p")), col("j"))))
+      .join(qsig, Seq("label"))
+      .select(col("label"), col("pr"),
+        concat(substring(col("bucket"), lit(1), col("j")),
+          when(substring(col("bucket"), col("j") + 1, lit(1)) === "1", "0")
+            .otherwise("1"),
+          substring(col("bucket"), col("j") + 2, lit(8))).as("bucket"))
+    val probes = qsig.select(col("label"), lit(0).as("pr"), col("bucket"))
+      .unionByName(flips)
+    val ps = spark.range(0, 3)
+      .select(element_at(typedLit(Seq(1, 5, 9)), col("id").cast("int") + 1)
+        .as("n_probes"))
+    val cand = vb.join(broadcast(probes), Seq("bucket"))
+      .crossJoin(broadcast(ps)) // 3-row budget axis
+      .filter(col("pr") < col("n_probes"))
+      .select(col("label"), col("n_probes"), col("vec_id")).distinct()
+      .join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+    val brute = qe.crossJoin(e.select(col("vec_id").as("cid"),
+        col("label").as("clabel"), col("embedding").as("c_emb")))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= 10)
+      .select(col("label"), col("cid").as("vec_id"))
+    val hits = cand.join(brute, Seq("label", "vec_id"))
+      .groupBy(col("label"), col("n_probes"))
+      .agg(count(lit(1)).as("n_hits"))
+    // label × budget spine: an empty candidate set is a 0-row, not an
+    // absent row — a tuning curve with holes misreads as coverage
+    q.select(col("label")).crossJoin(broadcast(ps))
+      .join(cand.groupBy(col("label"), col("n_probes"))
+        .agg(count(lit(1)).as("n_candidates")),
+        Seq("label", "n_probes"), "left")
+      .join(hits, Seq("label", "n_probes"), "left")
+      .select(col("label"), col("n_probes"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+      .orderBy(col("label"), col("n_probes"))
+  }
 }

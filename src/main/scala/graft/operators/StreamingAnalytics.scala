@@ -1954,4 +1954,104 @@ object StreamingAnalytics {
     deleteTree(root)
     out.orderBy(col("look"))
   }
+  /** Streaming population-stability (PSI) drift monitor — the online
+    * form of [[Relational.psiDrift]]: the first micro-batch freezes the
+    * REFERENCE value histogram (and thus the decile boundaries); each
+    * later batch's histogram is scored against it. The persisted state
+    * is the cent-value histogram — the mergeable sketch PSI needs —
+    * so the monitor's look-2 row folds to the batch operator's exact
+    * psi_total (the [[streamSigIndex]] "streaming folds to batch"
+    * discipline, applied to drift detection).
+    *
+    * Scale shape: foreachBatch persists a value-DOMAIN-bounded
+    * histogram (one hash-agg per batch); the PSI census runs entirely
+    * on histogram relations with 9-row boundary and 10-row bucket
+    * axes broadcast. */
+  def streamPsiMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_spsi").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based
+        .filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("c")),
+      "inc2" -> based
+        .filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .select(col("c"))))
+    val schema = spark.read.parquet(inDir).schema
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.groupBy(col("c")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$root/hist_v$batchId")
+        versions.synchronized { versions += batchId }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(versions.distinct.size == 2,
+      s"stream_psi_monitor: expected 2 micro-batches, got ${versions.distinct.size}")
+    val vs = versions.distinct.sorted
+    val ref = spark.read.parquet(s"$root/hist_v${vs(0)}")
+    val cur = spark.read.parquet(s"$root/hist_v${vs(1)}")
+    val out = psiLook(spark, ref, ref, 1)
+      .unionByName(psiLook(spark, ref, cur, 2))
+      .localCheckpoint()
+    deleteTree(root)
+    out.orderBy(col("look"))
+  }
+
+  /** One PSI look over (c, n) histogram relations: decile boundaries
+    * from `ref`'s cumulative counts, both histograms bucketed on the
+    * value DOMAIN, 10-bucket share compare — the
+    * [[Relational.psiDrift]] kernel lifted to histogram inputs. */
+  private def psiLook(spark: SparkSession, ref: DataFrame, cur: DataFrame,
+      look: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = ref.withColumn("cum", sum(col("n")).over(
+      Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ref.agg(sum(col("n")).as("n1"))
+    val bounds = cum.crossJoin(broadcast(tot))
+      .select(col("c"), col("cum"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("cum") >= expr("CAST(ceil(k * n1 / 10.0) AS BIGINT)"))
+      .groupBy(col("k")).agg(min(col("c")).as("b"))
+    def shares(h: DataFrame): DataFrame = {
+      val asg = h.crossJoin(broadcast(bounds)) // 9-row boundary axis
+        .groupBy(col("c"), col("n"))
+        .agg(sum((col("c") > col("b")).cast("int")).as("nb"))
+        .select(col("n"), (col("nb") + 1).as("bucket"))
+        .groupBy(col("bucket")).agg(sum(col("n")).as("cnt"))
+      val ht = h.agg(sum(col("n")).as("ht"))
+      asg.crossJoin(broadcast(ht)) // 1-row total scalar
+        .select(col("bucket"), col("cnt"),
+          (col("cnt").cast("double") / col("ht")).as("p"), col("ht"))
+    }
+    val p1 = shares(ref).select(col("bucket"), col("cnt").as("c_ref"),
+      col("p").as("p_ref"), col("ht").as("n_ref"))
+    val p2 = shares(cur).select(col("bucket"), col("cnt").as("c_cur"),
+      col("p").as("p_cur"), col("ht").as("n_cur"))
+    val spine = spark.range(1, 11).select(col("id").cast("int").as("bucket"))
+    spine
+      .join(broadcast(p1), Seq("bucket"), "left")
+      .join(broadcast(p2), Seq("bucket"), "left")
+      .withColumn("contrib",
+        when(col("c_ref") > 0 && col("c_cur") > 0,
+          ((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))).cast("decimal(28,12)")))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("contrib")).as("psi"))
+      .select(lit(look).as("look"), col("n_ref"), col("n_cur"),
+        round(col("psi").cast("double"), 6).as("psi_total"))
+  }
 }
