@@ -482,7 +482,10 @@ object SparkEntry {
     "events_seq_patterns" -> ((s, d) => EventAnalytics.seqPatterns(s, d)),
     "sim_multiprobe_lsh" -> ((s, d) => Similarity.multiprobeLsh(s, d)),
     "stream_psi_monitor" ->
-      ((s, d) => StreamingAnalytics.streamPsiMonitor(s, d))
+      ((s, d) => StreamingAnalytics.streamPsiMonitor(s, d)),
+    "mm_audio_fingerprint" -> ((s, d) => Multimodal.audioFingerprint(s, d)),
+    "graph_closeness" -> ((s, d) => Graph.closenessCentrality(s, d)),
+    "orders_theil_decomp" -> ((s, d) => Relational.theilDecomp(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8643,7 +8646,142 @@ object SparkEntry {
          SELECT CAST(2 AS INT), n1, n2,
            ROUND(CAST(psi_sum AS DOUBLE), 6)
          FROM tot, n2t, psis
-         ORDER BY look"""
+         ORDER BY look""",
+    "mm_audio_fingerprint" ->
+      """WITH audio AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 3 = 1 AND length(text) > 0),
+         b AS (SELECT doc_id, (pos - 1) // 32 AS w,
+             CAST(ascii(substr(text, CAST(pos AS INT), 1)) - 128
+               AS BIGINT) AS v
+           FROM (SELECT doc_id, text,
+                   unnest([p for p in range(1, length(text) + 1)]) AS pos
+                 FROM audio) u),
+         wins AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS energy
+                  FROM b GROUP BY 1, 2),
+         lags AS (SELECT doc_id, w, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY w) AS pe,
+             LEAD(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+           FROM wins),
+         pk AS (SELECT doc_id, w, energy // 4096 AS q,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS rk
+           FROM lags WHERE energy > COALESCE(pe, -1)
+             AND energy >= COALESCE(ne, -1)),
+         sig AS (SELECT DISTINCT a.doc_id,
+             md5(CAST(a.q AS VARCHAR) || ':' || CAST(bb.q AS VARCHAR)
+               || ':' || CAST(bb.w - a.w AS VARCHAR)) AS h
+           FROM pk a JOIN pk bb ON a.doc_id = bb.doc_id
+             AND bb.rk > a.rk AND bb.rk <= a.rk + 3),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sig
+           GROUP BY 1),
+         keep AS (SELECT h FROM sig GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         pr AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM sig s1 JOIN sig s2
+             ON s1.h = s2.h AND s1.doc_id < s2.doc_id
+           JOIN keep k ON k.h = s1.h
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT d1, d2, inter AS n_shared, z1.n AS n1, z2.n AS n2,
+           ROUND(CAST(inter AS DOUBLE) / least(z1.n, z2.n), 6) AS score
+         FROM pr JOIN sizes z1 ON d1 = z1.doc_id
+         JOIN sizes z2 ON d2 = z2.doc_id
+         ORDER BY n_shared DESC, d1, d2""",
+    "graph_closeness" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         sym AS (SELECT DISTINCT label, v1, v2 FROM (
+             SELECT label, v1, v2 FROM knn
+             UNION ALL SELECT label, v2, v1 FROM knn) u),
+         nodes AS (SELECT label, vec_id AS node FROM embeddings),
+         seeds AS (SELECT label, node AS seed FROM (
+             SELECT label, node, ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY node) AS srk FROM nodes) z WHERE srk <= 3),
+         d0 AS (SELECT label, seed, seed AS node FROM seeds),
+         f1 AS (SELECT DISTINCT d0.label, d0.seed, s.v2 AS node
+           FROM sym s JOIN d0 ON s.label = d0.label AND s.v1 = d0.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = d0.label AND x.seed = d0.seed
+               AND x.node = s.v2)),
+         f2 AS (SELECT DISTINCT f1.label, f1.seed, s.v2 AS node
+           FROM sym s JOIN f1 ON s.label = f1.label AND s.v1 = f1.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = f1.label AND x.seed = f1.seed
+               AND x.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f1 y
+               WHERE y.label = f1.label AND y.seed = f1.seed
+                 AND y.node = s.v2)),
+         f3 AS (SELECT DISTINCT f2.label, f2.seed, s.v2 AS node
+           FROM sym s JOIN f2 ON s.label = f2.label AND s.v1 = f2.node
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x
+             WHERE x.label = f2.label AND x.seed = f2.seed
+               AND x.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f1 y
+               WHERE y.label = f2.label AND y.seed = f2.seed
+                 AND y.node = s.v2)
+             AND NOT EXISTS (SELECT 1 FROM f2 z
+               WHERE z.label = f2.label AND z.seed = f2.seed
+                 AND z.node = s.v2)),
+         reach AS (SELECT label, seed, node, 1 AS dist FROM f1
+           UNION ALL SELECT label, seed, node, 2 FROM f2
+           UNION ALL SELECT label, seed, node, 3 FROM f3),
+         bs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nv FROM nodes
+           GROUP BY 1),
+         agg AS (SELECT r.label, r.seed,
+             CAST(COUNT(*) AS BIGINT) AS n_reached,
+             CAST(SUM(dist) AS BIGINT) AS sum_dist,
+             SUM(CAST(CAST(1.0 AS DOUBLE) / dist AS DECIMAL(18,9)))
+               AS harm
+           FROM reach r GROUP BY 1, 2)
+         SELECT a.label, a.seed, n_reached,
+           nv - 1 - n_reached AS n_unreached, sum_dist,
+           ROUND(CAST(n_reached AS DOUBLE) / sum_dist, 6) AS closeness,
+           ROUND(CAST(harm AS DOUBLE), 6) AS harmonic
+         FROM agg a JOIN bs ON a.label = bs.label
+         ORDER BY a.label, a.seed""",
+    "orders_theil_decomp" ->
+      """WITH cust AS (SELECT n_name,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, o_custkey
+           HAVING SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) > 0),
+         pop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(x) AS BIGINT) AS x_all FROM cust),
+         grp AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS x_g FROM cust GROUP BY 1),
+         terms AS (SELECT c.n_name, g.n_g, g.x_g, p.n_all, p.x_all,
+             CAST(x AS DOUBLE) / (CAST(x_g AS DOUBLE) / n_g) AS rg,
+             CAST(x AS DOUBLE) / (CAST(x_all AS DOUBLE) / n_all) AS ra
+           FROM cust c JOIN grp g ON c.n_name = g.n_name, pop p),
+         q AS (SELECT n_name, n_g, x_g, n_all, x_all,
+             CAST(rg * ln(rg) AS DECIMAL(28,12)) AS tw,
+             CAST(ra * ln(ra) AS DECIMAL(28,12)) AS tt
+           FROM terms),
+         tot AS (SELECT CAST(SUM(tt) AS DOUBLE) / MAX(n_all)
+             AS theil_total FROM q),
+         g2 AS (SELECT n_name, MAX(n_g) AS n_cust, MAX(x_g) AS x_g,
+             MAX(n_all) AS n_all, MAX(x_all) AS x_all,
+             CAST(SUM(tw) AS DOUBLE) / MAX(n_g) AS theil_within
+           FROM q GROUP BY 1)
+         SELECT n_name, n_cust,
+           ROUND(CAST(x_g AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(x_g AS DOUBLE) / x_all, 6) AS share,
+           ROUND(theil_within, 6) AS theil_within,
+           ROUND(CAST(x_g AS DOUBLE) / x_all * theil_within, 6)
+             AS contrib_within,
+           ROUND(CAST(x_g AS DOUBLE) / x_all
+             * ln((CAST(x_g AS DOUBLE) / n_cust)
+               / (CAST(x_all AS DOUBLE) / n_all)), 6) AS contrib_between,
+           ROUND(theil_total, 6) AS theil_total
+         FROM g2, tot ORDER BY n_name"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

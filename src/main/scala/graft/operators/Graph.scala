@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Iterative graph analytics expressed as relational dataflow — the
@@ -597,5 +598,66 @@ object Graph {
         round(sum(col("s")).cast("double") / count(lit(1)), 4)
           .as("mean_support"))
       .orderBy(col("label"))
+  }
+  /** Closeness / harmonic centrality census for the three lowest-id
+    * seeds of each label block over the k-NN graph — the navigability
+    * spread readout beside [[bfsKnn]]'s single-seed reachability: for
+    * each seed, BFS distances to hop 3, classic closeness
+    * n_reached/Σd over the reached set, and harmonic centrality
+    * Σ 1/d (which handles the unreached gracefully — they contribute
+    * 0). Three seeds per block measure the SPREAD: a graph where
+    * closeness varies wildly across seeds routes unevenly under
+    * greedy search.
+    *
+    * Same unrolled-hop machinery as [[bfsKnn]] (three frontier
+    * equi-joins + anti-joins against visited, all keyed on (label,
+    * seed, node)); per-distance 1/d terms quantize to DECIMAL(18,9)
+    * before summation. Multi-source BFS is ONE program: the seed id
+    * rides the frontier key, so 3 seeds cost the same three joins. */
+  def closenessCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = e.union(e.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "v1", "v2").distinct().localCheckpoint()
+    val nodes = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id").as("node"))
+    val seeds = nodes
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("node"))))
+      .filter(col("srk") <= 3)
+      .select(col("label"), col("node").as("seed"))
+    val d0 = seeds.select(col("label"), col("seed"),
+      col("seed").as("node"), lit(0).as("dist"))
+    def hop(visited: DataFrame, frontier: DataFrame, d: Int): DataFrame = {
+      val f = frontier.select(col("label"), col("seed"), col("node"))
+        .toDF("fl", "fs", "fn")
+      f.join(sym, f("fl") === sym("label") && f("fn") === sym("v1"))
+        .select(col("fl").as("label"), col("fs").as("seed"),
+          col("v2").as("node")).distinct()
+        .join(visited.select(col("label"), col("seed"), col("node"))
+          .toDF("label", "seed", "node"),
+          Seq("label", "seed", "node"), "left_anti")
+        .withColumn("dist", lit(d))
+    }
+    val f1 = hop(d0, d0, 1)
+    val v1 = d0.unionByName(f1)
+    val f2 = hop(v1, f1, 2)
+    val v2 = v1.unionByName(f2)
+    val f3 = hop(v2, f2, 3)
+    val v3 = v2.unionByName(f3)
+    val blockSizes = nodes.groupBy(col("label")).agg(count(lit(1)).as("nv"))
+    v3.filter(col("dist") > 0)
+      .groupBy(col("label"), col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum((lit(1.0) / col("dist")).cast("decimal(18,9)")).as("harm"))
+      .join(broadcast(blockSizes), Seq("label"))
+      .select(col("label"), col("seed"), col("n_reached"),
+        (col("nv") - 1 - col("n_reached")).as("n_unreached"),
+        col("sum_dist"),
+        round(col("n_reached").cast("double") /
+          col("sum_dist").cast("double"), 6).as("closeness"),
+        round(col("harm").cast("double"), 6).as("harmonic"))
+      .orderBy(col("label"), col("seed"))
   }
 }

@@ -447,4 +447,52 @@ object Multimodal {
         max(col("byte_val")).as("max_byte"))
       .orderBy(col("modality"), col("band"))
   }
+  /** Constellation-hash AUDIO FINGERPRINT matching (the Shazam shape on
+    * the energy envelope): local peaks of the per-window energy series
+    * become anchor points, each anchor pairs with its next ≤3 peaks,
+    * and the (quantized-energy, quantized-energy, time-delta) triple
+    * hashes into the doc's fingerprint set (32-byte windows — the
+    * envelope resolution the short test payloads support); documents
+    * sharing ≥2
+    * hashes are reported with their match score. Where
+    * [[audioNearDup]] fingerprints CONTIGUOUS band sequences (fragile
+    * to insertion), peak-pair hashes survive local edits — the reason
+    * constellation pairs, not envelopes, are the industry fingerprint.
+    *
+    * The cross-doc matcher IS [[DedupOps.shinglePairStatsOf]] with the
+    * pair hash as the shingle — one posting-keyed shuffle, the
+    * hot-posting df cap, no pair space. Peak finding is two window
+    * functions over the doc-partitioned energy series; the pair
+    * expansion is rank-bounded (≤3 per anchor), so the fingerprint
+    * relation is linear in audio length. */
+  def audioFingerprint(spark: SparkSession, dir: String, win: Int = 32,
+      fanout: Int = 3): DataFrame = {
+    val wins = energyWindows(spark, dir, win)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win_no"))
+    val peaks = wins
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("ne", lead(col("energy"), 1).over(w))
+      .filter(col("energy") > coalesce(col("pe"), lit(-1L)) &&
+        col("energy") >= coalesce(col("ne"), lit(-1L)))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("rk"), col("win_no"),
+        expr("energy div 4096").as("q"))
+      .localCheckpoint() // peak-grain relation, self-joined once
+    val a = peaks.toDF("doc_id", "rk", "w1", "q1")
+    val b = peaks.toDF("doc_id", "rk2", "w2", "q2")
+    val sigs = a.join(b, a("doc_id") === b("doc_id") &&
+        b("rk2") > a("rk") && b("rk2") <= a("rk") + fanout)
+      .select(a("doc_id"),
+        md5(concat(col("q1").cast("string"), lit(":"),
+          col("q2").cast("string"), lit(":"),
+          (col("w2") - col("w1")).cast("string"))).as("shingle"))
+      .distinct()
+    DedupOps.shinglePairStatsOf(sigs)
+      .filter(col("inter") >= 2)
+      .select(col("d1"), col("d2"), col("inter").as("n_shared"),
+        col("n1"), col("n2"),
+        round(col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double"), 6).as("score"))
+      .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+  }
 }

@@ -1586,4 +1586,71 @@ object Relational {
           6).as("vwap"))
       .orderBy(col("l_returnflag"), col("day"))
   }
+  /** Theil-T inequality DECOMPOSITION of customer revenue by nation —
+    * the between/within split [[EventAnalytics.giniCensus]]'s single
+    * Gini number cannot give: per nation, the revenue share s_g, the
+    * within-nation Theil T_g = (1/N_g)Σ(x/x̄_g)ln(x/x̄_g), its
+    * contribution s_g·T_g, and the between-nation term s_g·ln(x̄_g/μ);
+    * the replicated theil_total is the population Theil computed
+    * directly at customer grain, so total ≈ within + between is an
+    * auditable identity (exactly additive in reals; the spec pins it
+    * to 1e-6 under quantization).
+    *
+    * Exactness: customer revenue is exact cents; group and population
+    * moments are exact integer sums divided once; every per-customer
+    * ln term quantizes to DECIMAL(28,12) before its group sum.
+    *
+    * Scale shape: one orders-grain agg to customer grain, one
+    * broadcast join to the nation dimension, group stats re-aggs, one
+    * broadcast join back — no corpus-sized sort or window. */
+  def theilDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .filter(col("x") > 0)
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name"), col("x"))
+      .localCheckpoint() // customer-grain relation, read by 3 branches
+    val pop = cust.agg(count(lit(1)).as("n_all"), sum(col("x")).as("x_all"))
+    val grp = cust.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("x_g"))
+    val withTerms = cust
+      .join(broadcast(grp), Seq("n_name"))
+      .crossJoin(broadcast(pop)) // 1-row population scalars
+      .withColumn("mu_g", col("x_g").cast("double") / col("n_g"))
+      .withColumn("mu", col("x_all").cast("double") / col("n_all"))
+      .withColumn("t_within",
+        ((col("x") / col("mu_g")) * log(col("x") / col("mu_g")))
+          .cast("decimal(28,12)"))
+      .withColumn("t_total",
+        ((col("x") / col("mu")) * log(col("x") / col("mu")))
+          .cast("decimal(28,12)"))
+    val tTot = withTerms
+      .agg((sum(col("t_total")).cast("double") / max(col("n_all")))
+        .as("theil_total"))
+    withTerms
+      .groupBy(col("n_name"))
+      .agg(max(col("n_g")).as("n_cust"), max(col("x_g")).as("x_g"),
+        sum(col("t_within")).as("tw_sum"),
+        max(col("mu_g")).as("mu_g"), max(col("mu")).as("mu"),
+        max(col("x_all")).as("x_all"))
+      .withColumn("share", col("x_g").cast("double") / col("x_all"))
+      .withColumn("theil_within",
+        col("tw_sum").cast("double") / col("n_cust"))
+      .crossJoin(broadcast(tTot)) // 1-row total scalar
+      .select(col("n_name"), col("n_cust"),
+        round(col("x_g").cast("double") / 100.0, 2).as("revenue"),
+        round(col("share"), 6).as("share"),
+        round(col("theil_within"), 6).as("theil_within"),
+        round(col("share") * col("theil_within"), 6).as("contrib_within"),
+        round(col("share") * log(col("mu_g") / col("mu")), 6)
+          .as("contrib_between"),
+        round(col("theil_total"), 6).as("theil_total"))
+      .orderBy(col("n_name"))
+  }
 }
