@@ -485,7 +485,10 @@ object SparkEntry {
       ((s, d) => StreamingAnalytics.streamPsiMonitor(s, d)),
     "mm_audio_fingerprint" -> ((s, d) => Multimodal.audioFingerprint(s, d)),
     "graph_closeness" -> ((s, d) => Graph.closenessCentrality(s, d)),
-    "orders_theil_decomp" -> ((s, d) => Relational.theilDecomp(s, d))
+    "orders_theil_decomp" -> ((s, d) => Relational.theilDecomp(s, d)),
+    "agg_trimmed_mean" -> ((s, d) => Relational.trimmedMeans(s, d)),
+    "window_interpolate" -> ((s, d) => Temporal.interpolateHourly(s, d)),
+    "events_did_pretrends" -> ((s, d) => EventAnalytics.didPretrends(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8781,7 +8784,113 @@ object SparkEntry {
              * ln((CAST(x_g AS DOUBLE) / n_cust)
                / (CAST(x_all AS DOUBLE) / n_all)), 6) AS contrib_between,
            ROUND(theil_total, 6) AS theil_total
-         FROM g2, tot ORDER BY n_name"""
+         FROM g2, tot ORDER BY n_name""",
+    "agg_trimmed_mean" ->
+      """WITH cents AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             AS c FROM orders),
+         hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents
+           GROUP BY 1),
+         ch AS (SELECT c, cnt, SUM(cnt) OVER (ORDER BY c
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc FROM cents),
+         axis AS (SELECT p, n, sc, n * p // 100 AS k
+           FROM (VALUES (1), (5), (10)) t(p), tot),
+         lo AS (SELECT p, MIN(c) AS lo FROM ch, axis
+           WHERE cum >= k + 1 GROUP BY 1),
+         hi AS (SELECT p, MIN(c) AS hi FROM ch, axis
+           WHERE cum >= n - k GROUP BY 1),
+         inr AS (SELECT p,
+             CAST(SUM(take * c) AS BIGINT) AS ts,
+             CAST(SUM(take) AS BIGINT) AS tn
+           FROM (SELECT a.p, ch.c,
+               GREATEST(0, LEAST(cum, n - k) - GREATEST(cum - cnt, k))
+                 AS take
+             FROM ch, axis a) z GROUP BY 1)
+         SELECT a.p, a.k, tn AS n_kept,
+           ROUND(CAST(sc AS DOUBLE) / n / 100.0, 4) AS raw_mean,
+           ROUND(CAST(ts AS DOUBLE) / tn / 100.0, 4) AS trimmed_mean,
+           ROUND(CAST(ts + a.k * (lo.lo + hi.hi) AS DOUBLE) / n / 100.0,
+             4) AS winsor_mean,
+           ROUND(CAST(lo.lo AS DOUBLE) / 100.0, 2) AS lo_clamp,
+           ROUND(CAST(hi.hi AS DOUBLE) / 100.0, 2) AS hi_clamp
+         FROM axis a JOIN inr ON a.p = inr.p
+         JOIN lo ON a.p = lo.p JOIN hi ON a.p = hi.p
+         ORDER BY a.p""",
+    "window_interpolate" ->
+      """WITH ev AS (SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase'
+             AND value IS NOT NULL),
+         obs AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc
+           FROM ev GROUP BY 1),
+         obs2 AS (SELECT h, n,
+             CAST(CAST(sc AS DOUBLE) / n AS DECIMAL(18,9)) AS v
+           FROM obs),
+         span AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1 FROM ev),
+         spine AS (SELECT h0 + to_hours(CAST(k AS BIGINT)) AS h,
+             CAST(k + 1 AS BIGINT) AS t
+           FROM range(0, 1000000) r(k), span
+           WHERE k <= date_diff('hour', h0, h1)),
+         series AS (SELECT s.h, s.t, o.n, o.v
+           FROM spine s LEFT JOIN obs2 o ON s.h = o.h),
+         f AS (SELECT h, t, n, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM series)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(n, 0) AS n_obs,
+           v IS NOT NULL AS observed,
+           ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+               + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                 * (t - pt) / (nt - pt) END, 6) AS value
+         FROM f ORDER BY hour_start""",
+    "events_did_pretrends" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events
+           WHERE value IS NOT NULL),
+         pre AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat'
+               ELSE 'control' END AS arm,
+             date_diff('day', CAST(t0 AS DATE), CAST(ts AS DATE)) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events, t0
+           WHERE value IS NOT NULL AND ts < t0 + INTERVAL 15 DAY),
+         daily AS (SELECT arm, day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc FROM pre GROUP BY 1, 2),
+         d2 AS (SELECT arm, day,
+             CAST(CAST(sc AS DOUBLE) / n AS DECIMAL(18,9)) AS y
+           FROM daily),
+         fit AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(day * day) AS BIGINT) AS sxx,
+             SUM(y) AS sy, SUM(y * day) AS sxy
+           FROM d2 GROUP BY 1),
+         f2 AS (SELECT arm, n_days, sx, sy,
+             (n_days * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+           FROM fit),
+         f3 AS (SELECT arm, n_days, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_days
+               AS intercept
+           FROM f2),
+         gap AS (SELECT MAX(CASE WHEN arm = 'treat' THEN slope END)
+             - MAX(CASE WHEN arm = 'control' THEN slope END)
+             AS slope_gap FROM f3)
+         SELECT arm, n_days, ROUND(slope / 100.0, 6) AS slope,
+           ROUND(intercept / 100.0, 4) AS intercept,
+           ROUND(slope_gap / 100.0, 6) AS slope_gap
+         FROM f3, gap ORDER BY arm"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2636,4 +2636,57 @@ object EventAnalytics {
           col("n_users_a").cast("double"), 6).as("confidence"))
       .orderBy(col("a"), col("b"))
   }
+  /** PARALLEL-TRENDS pre-check for [[upliftDid]] — the validity probe
+    * every difference-in-differences readout should publish next to
+    * its estimate: over the PRE-period only (the first 15 days), each
+    * arm's daily mean event value and the exact least-squares slope of
+    * that daily series; the slope gap is the parallel-trends
+    * violation measure (a DiD whose arms were already diverging is
+    * confounded, full stop).
+    *
+    * Exactness: daily means are exact cent sums divided once and
+    * quantized to DECIMAL(18,9); the regression runs on the ≤15-row
+    * daily relation with exact integer day indices — slope and
+    * intercept are single double expressions over quantized sums.
+    *
+    * Scale shape: one corpus pass to (arm, day) grain; everything
+    * after is day-bounded with 1-row scalars broadcast. */
+  def didPretrends(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val pre = ev.crossJoin(broadcast(t0))
+      .filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+      .withColumn("day", datediff(to_date(col("ts")), to_date(col("t0"))))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "treat")
+        .otherwise("control"))
+    val daily = pre.groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      .withColumn("y", (col("sc").cast("double") / col("n"))
+        .cast("decimal(18,9)"))
+    val fit = daily.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day").cast("long")).as("sx"),
+        sum(col("day").cast("long") * col("day")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("day")).as("sxy"))
+      .withColumn("slope",
+        (col("n_days") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) / col("n_days"))
+    val gap = fit.agg((max(when(col("arm") === "treat", col("slope"))) -
+      max(when(col("arm") === "control", col("slope")))).as("slope_gap"))
+    fit.crossJoin(broadcast(gap)) // 1-row gap scalar
+      .select(col("arm"), col("n_days"),
+        round(col("slope") / 100.0, 6).as("slope"),
+        round(col("intercept") / 100.0, 4).as("intercept"),
+        round(col("slope_gap") / 100.0, 6).as("slope_gap"))
+      .orderBy(col("arm"))
+  }
 }

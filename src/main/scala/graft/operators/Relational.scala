@@ -1653,4 +1653,63 @@ object Relational {
         round(col("theil_total"), 6).as("theil_total"))
       .orderBy(col("n_name"))
   }
+  /** Trimmed and winsorized means of order totals across a 1/5/10%
+    * trim axis — the robust-location census
+    * [[Curation.robustOutliers]]'s IQR fences stop short of: per trim
+    * fraction p, drop (trimmed) or clamp (winsorized) the k = ⌊n·p/100⌋
+    * most extreme values on each side and report the resulting means
+    * beside the raw mean — the "how much do the tails move the number"
+    * readout every revenue KPI owner wants.
+    *
+    * The kernel deliberately computes ORDER STATISTICS ON THE VALUE
+    * HISTOGRAM, not via a corpus-wide row_number: cents collapse to
+    * (value → count) in one hash-agg, the cumulative window runs over
+    * the value-DOMAIN-bounded histogram, and each value's contribution
+    * to the trimmed range [k+1, n−k] is the exact integer overlap of
+    * its rank interval — the [[EventAnalytics.powerPareto]] trick, so
+    * the plan holds at any corpus size. All sums are exact cents;
+    * each mean is one double division.
+    */
+  def trimmedMeans(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+    val hist = cents.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // value-domain histogram, read per trim row
+    val tot = cents.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val ps = spark.range(0, 3)
+      .select(element_at(typedLit(Seq(1, 5, 10)), col("id").cast("int") + 1)
+        .as("p"))
+    val axis = ps.crossJoin(broadcast(tot))
+      .withColumn("k", expr("n * p div 100"))
+    val lo = hist.crossJoin(broadcast(axis))
+      .filter(col("cum") >= col("k") + 1)
+      .groupBy(col("p")).agg(min(col("c")).as("lo"))
+    val hi = hist.crossJoin(broadcast(axis))
+      .filter(col("cum") >= col("n") - col("k"))
+      .groupBy(col("p")).agg(min(col("c")).as("hi"))
+    val inner = hist.crossJoin(broadcast(axis))
+      .withColumn("take",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("cnt"), col("k"))))
+      .groupBy(col("p"))
+      .agg(sum(col("take") * col("c")).as("ts"),
+        sum(col("take")).as("tn"))
+    axis.join(broadcast(inner), Seq("p"))
+      .join(broadcast(lo), Seq("p"))
+      .join(broadcast(hi), Seq("p"))
+      .select(col("p"), col("k"), col("tn").as("n_kept"),
+        round(col("sc").cast("double") / col("n") / 100.0, 4)
+          .as("raw_mean"),
+        round(col("ts").cast("double") / col("tn") / 100.0, 4)
+          .as("trimmed_mean"),
+        round((col("ts") + col("k") * (col("lo") + col("hi")))
+          .cast("double") / col("n") / 100.0, 4).as("winsor_mean"),
+        round(col("lo").cast("double") / 100.0, 2).as("lo_clamp"),
+        round(col("hi").cast("double") / 100.0, 2).as("hi_clamp"))
+      .orderBy(col("p"))
+  }
 }

@@ -164,4 +164,62 @@ object Temporal {
         coalesce(date_format(col("vf"), fmt), lit("")).as("state_since"))
       .orderBy(col("event_id"))
   }
+  /** LINEAR-INTERPOLATION gap fill of the hourly purchase-value series
+    * — the second fill policy beside [[gapFill]]'s last-observation-
+    * carried-forward: missing hours take the straight line between the
+    * nearest observed hours on each side, which is what a metrics
+    * backfill or a feature-store imputation actually wants for slowly
+    * varying signals (LOCF flat-lines them). Hours before the first or
+    * after the last observation stay at the nearest edge value (the
+    * standard clamp).
+    *
+    * The interpolation weight is (h − prev_h)/(next_h − prev_h) on
+    * exact integer hour offsets; observed per-hour means are exact
+    * cent sums divided once, quantized to DECIMAL(18,9) so both
+    * engines interpolate over identical endpoints.
+    *
+    * Plan: one corpus-grain hash-agg to the hour series; the spine,
+    * the two IGNORE-NULLS window scans (one forward, one backward),
+    * and the blend all run on the hour-grain relation — the
+    * [[EventAnalytics.autocorrelation]] epilogue shape. */
+  def interpolateHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+    val obs = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      .withColumn("v", (col("sc").cast("double") / col("n"))
+        .cast("decimal(18,9)"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = span.select(explode(expr(
+      "sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    val series = spine.join(obs, Seq("h"), "left")
+      .withColumn("t", row_number().over(Window.orderBy(col("h"))))
+    val wB = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = series
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(wF))
+      .withColumn("fill",
+        when(col("v").isNotNull, col("v").cast("double"))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv").cast("double") - col("pv").cast("double")) *
+              (col("t") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+    filled.select(
+        date_format(col("h"), fmt).as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_obs"),
+        col("v").isNotNull.as("observed"),
+        round(col("fill"), 6).as("value"))
+      .orderBy(col("hour_start"))
+  }
 }
