@@ -488,7 +488,10 @@ object SparkEntry {
     "orders_theil_decomp" -> ((s, d) => Relational.theilDecomp(s, d)),
     "agg_trimmed_mean" -> ((s, d) => Relational.trimmedMeans(s, d)),
     "window_interpolate" -> ((s, d) => Temporal.interpolateHourly(s, d)),
-    "events_did_pretrends" -> ((s, d) => EventAnalytics.didPretrends(s, d))
+    "events_did_pretrends" -> ((s, d) => EventAnalytics.didPretrends(s, d)),
+    "sim_greedy_search" -> ((s, d) => Similarity.greedySearch(s, d)),
+    "orders_demand_classes" -> ((s, d) => Relational.demandClasses(s, d)),
+    "dq_pchart" -> ((s, d) => Quality.pChart(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8890,7 +8893,123 @@ object SparkEntry {
          SELECT arm, n_days, ROUND(slope / 100.0, 6) AS slope,
            ROUND(intercept / 100.0, 4) AS intercept,
            ROUND(slope_gap / 100.0, 6) AS slope_gap
-         FROM f3, gap ORDER BY arm"""
+         FROM f3, gap ORDER BY arm""",
+    "sim_greedy_search" -> {
+      // six unrolled greedy steps share one shape — generated, not
+      // hand-copied, so the hop bodies cannot drift apart
+      def stepSql(i: Int): String =
+        s"""c$i AS (SELECT s.label, s.qid, s.cur AS cand FROM s${i - 1} s
+           UNION ALL SELECT s.label, s.qid, y.v2 FROM s${i - 1} s
+             JOIN sym y ON y.label = s.label AND y.v1 = s.cur
+             WHERE y.v2 <> s.qid),
+         s$i AS (SELECT label, qid, cand AS cur, sim FROM (
+             SELECT c.label, c.qid, c.cand,
+               list_cosine_similarity(e.embedding, qe.q_emb) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY c.label ORDER BY
+                 list_cosine_similarity(e.embedding, qe.q_emb) DESC,
+                 c.cand) AS rk
+             FROM c$i c JOIN embeddings e ON e.vec_id = c.cand
+             JOIN qe ON qe.label = c.label) z WHERE rk = 1),
+         """
+      val traceSel = (0 to 6).map(h =>
+        s"SELECT label, $h AS hop, cur, sim FROM s$h")
+        .mkString("\n           UNION ALL ")
+      s"""WITH directed AS (SELECT a.label, a.vec_id AS v1,
+             b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         sym AS (SELECT DISTINCT label, v1, v2 FROM (
+             SELECT label, v1, v2 FROM knn
+             UNION ALL SELECT label, v2, v1 FROM knn) u),
+         q AS (SELECT label, MIN(vec_id) AS qid, MAX(vec_id) AS entry
+           FROM embeddings GROUP BY 1),
+         qe AS (SELECT q.label, q.qid, q.entry, e.embedding AS q_emb
+           FROM q JOIN embeddings e ON e.vec_id = q.qid),
+         s0 AS (SELECT q.label, q.qid, q.entry AS cur,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+           FROM q JOIN embeddings e ON e.vec_id = q.entry
+           JOIN qe ON qe.label = q.label),
+         ${(1 to 6).map(stepSql).mkString}brute AS (
+           SELECT label, cid AS nn_id, bsim FROM (
+             SELECT qe.label, c.vec_id AS cid,
+               list_cosine_similarity(c.embedding, qe.q_emb) AS bsim,
+               ROW_NUMBER() OVER (PARTITION BY qe.label ORDER BY
+                 list_cosine_similarity(c.embedding, qe.q_emb) DESC,
+                 c.vec_id) AS rk
+             FROM qe CROSS JOIN embeddings c WHERE c.vec_id <> qe.qid) z
+           WHERE rk = 1),
+         trace AS ($traceSel)
+         SELECT t.label, t.hop, t.cur AS node,
+           ROUND(CAST(t.sim AS DOUBLE), 4) AS sim,
+           b.nn_id, ROUND(CAST(b.bsim AS DOUBLE), 4) AS nn_sim,
+           t.cur = b.nn_id AS reached
+         FROM trace t JOIN brute b ON t.label = b.label
+         ORDER BY t.label, t.hop"""
+    },
+    "orders_demand_classes" ->
+      """WITH monthly AS (SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS mo,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qm
+           FROM lineitem GROUP BY 1, 2),
+         span AS (SELECT CAST(date_diff('month',
+             date_trunc('month', MIN(l_shipdate)),
+             date_trunc('month', MAX(l_shipdate))) + 1 AS BIGINT)
+             AS n_months FROM lineitem),
+         parts AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(qm) AS BIGINT) AS s,
+             CAST(SUM(qm * qm) AS BIGINT) AS qq
+           FROM monthly GROUP BY 1),
+         cls AS (SELECT p.*, n_months,
+             n_months * 100 >= m * 132 AS adi_hi,
+             (m * qq - s * s) * 100 >= s * s * 49 AS cv2_hi,
+             CAST(CAST(n_months AS DOUBLE) / m AS DECIMAL(18,9)) AS adi,
+             CAST(CAST(m * qq - s * s AS DOUBLE)
+               / CAST(s * s AS DOUBLE) AS DECIMAL(18,9)) AS cv2
+           FROM parts p, span),
+         lab AS (SELECT *,
+             CASE WHEN NOT adi_hi AND NOT cv2_hi THEN 'smooth'
+                  WHEN adi_hi AND NOT cv2_hi THEN 'intermittent'
+                  WHEN NOT adi_hi AND cv2_hi THEN 'erratic'
+                  ELSE 'lumpy' END AS quadrant
+           FROM cls),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM parts)
+         SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_parts), 6)
+             AS share,
+           ROUND(CAST(SUM(adi) AS DOUBLE) / COUNT(*), 6) AS avg_adi,
+           ROUND(CAST(SUM(cv2) AS DOUBLE) / COUNT(*), 6) AS avg_cv2
+         FROM lab, tot GROUP BY quadrant ORDER BY quadrant""",
+    "dq_pchart" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null
+           FROM events GROUP BY 1),
+         pooled AS (SELECT CAST(SUM(n_null) AS BIGINT) AS tx,
+             CAST(SUM(n) AS BIGINT) AS tn FROM daily)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n, n_null,
+           ROUND(CAST(n_null AS DOUBLE) / n, 6) AS rate,
+           ROUND(CAST(tx AS DOUBLE) / tn, 6) AS center,
+           ROUND(GREATEST(0.0, CAST(tx AS DOUBLE) / tn
+             - 3.0 * sqrt(CAST(tx AS DOUBLE) / tn
+               * (1.0 - CAST(tx AS DOUBLE) / tn) / n)), 6) AS lcl,
+           ROUND(LEAST(1.0, CAST(tx AS DOUBLE) / tn
+             + 3.0 * sqrt(CAST(tx AS DOUBLE) / tn
+               * (1.0 - CAST(tx AS DOUBLE) / tn) / n)), 6) AS ucl,
+           (CAST(n_null AS DOUBLE) / n > CAST(tx AS DOUBLE) / tn
+              + 3.0 * sqrt(CAST(tx AS DOUBLE) / tn
+                * (1.0 - CAST(tx AS DOUBLE) / tn) / n)
+            OR CAST(n_null AS DOUBLE) / n < CAST(tx AS DOUBLE) / tn
+              - 3.0 * sqrt(CAST(tx AS DOUBLE) / tn
+                * (1.0 - CAST(tx AS DOUBLE) / tn) / n))
+             AS out_of_control
+         FROM daily, pooled ORDER BY day"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

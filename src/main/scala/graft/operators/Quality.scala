@@ -515,4 +515,44 @@ object Quality {
       cand("o_orderdate,o_totalprice", Seq("o_orderdate", "o_totalprice"))
     ).reduce(_.unionByName(_)).orderBy(col("candidate"))
   }
+  /** p-chart (attribute control chart) over the daily null rate of the
+    * events value column — the SPC discipline applied to data quality:
+    * each day's missing-value proportion against the pooled center
+    * line with per-day 3σ binomial control limits (wider on thin
+    * days — the whole point of a p-chart over a fixed threshold), and
+    * the out-of-control verdict per day.
+    *
+    * Counts are exact; the center line, each day's limits, and the
+    * flag are single double expressions over exact integers (the flag
+    * compares the exact daily rate n_null/n against the computed
+    * limit — a boundary flip needs an ulp coincidence the 6-decimal
+    * gate would surface).
+    *
+    * Plan: one corpus pass to day grain; limits and flags are
+    * day-relation arithmetic with the 1-row pooled scalar broadcast. */
+  def pChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").isNull.cast("long")).as("n_null"))
+    val pooled = daily.agg(sum(col("n_null")).as("tx"),
+      sum(col("n")).as("tn"))
+    daily.crossJoin(broadcast(pooled)) // 1-row pooled scalar
+      .withColumn("pbar", col("tx").cast("double") / col("tn"))
+      .withColumn("sigma",
+        sqrt(col("pbar") * (lit(1.0) - col("pbar")) / col("n")))
+      .withColumn("rate", col("n_null").cast("double") / col("n"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("n_null"),
+        round(col("rate"), 6).as("rate"),
+        round(col("pbar"), 6).as("center"),
+        round(greatest(lit(0.0), col("pbar") - lit(3.0) * col("sigma")), 6)
+          .as("lcl"),
+        round(least(lit(1.0), col("pbar") + lit(3.0) * col("sigma")), 6)
+          .as("ucl"),
+        (col("rate") > col("pbar") + lit(3.0) * col("sigma") ||
+          col("rate") < col("pbar") - lit(3.0) * col("sigma"))
+          .as("out_of_control"))
+      .orderBy(col("day"))
+  }
 }

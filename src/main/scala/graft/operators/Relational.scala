@@ -1712,4 +1712,65 @@ object Relational {
         round(col("hi").cast("double") / 100.0, 2).as("hi_clamp"))
       .orderBy(col("p"))
   }
+  /** Syntetos–Boylan demand-pattern classification of parts — the
+    * smooth / intermittent / erratic / lumpy quadrant census a
+    * forecasting or replenishment pipeline runs before choosing a
+    * model per SKU (Croston vs SES vs bootstrap), built on monthly
+    * demand: ADI = span-months / demand-months (how OFTEN a part
+    * sells) against CV² of the nonzero monthly sizes (how VARIABLY it
+    * sells), cut at the standard 1.32 / 0.49 thresholds.
+    *
+    * The classification is EXACT INTEGER arithmetic end to end: with
+    * S = Σq, Q = Σq² (cent-scaled bigints) and m demand months,
+    * CV² ≥ 0.49 iff (m·Q − S²)·100 ≥ S²·49 and ADI ≥ 1.32 iff
+    * N·100 ≥ m·132 — no float boundary can flip a quadrant under
+    * engine ulp differences. Per-part ADI/CV² quantize to
+    * DECIMAL(18,9) only for the census means.
+    *
+    * Plan: one lineitem pass to (part, month) grain, a part-grain
+    * re-agg, a 1-row span broadcast, and a 4-row census. */
+  def demandClasses(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).as("mo"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("mo"))
+      .agg(sum(col("q")).as("qm"))
+    val span = Tables(spark, dir, "lineitem")
+      .agg((months_between(
+        date_trunc("month", max(col("l_shipdate"))),
+        date_trunc("month", min(col("l_shipdate")))).cast("long") + 1)
+        .as("n_months"))
+    val parts = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"), sum(col("qm")).as("s"),
+        sum(col("qm") * col("qm")).as("qq"))
+      .crossJoin(broadcast(span)) // 1-row span scalar
+      .withColumn("adi_hi", col("n_months") * 100 >= col("m") * 132)
+      .withColumn("cv2_hi",
+        (col("m") * col("qq") - col("s") * col("s")) * 100 >=
+          col("s") * col("s") * 49)
+      .withColumn("quadrant",
+        when(!col("adi_hi") && !col("cv2_hi"), "smooth")
+          .when(col("adi_hi") && !col("cv2_hi"), "intermittent")
+          .when(!col("adi_hi") && col("cv2_hi"), "erratic")
+          .otherwise("lumpy"))
+      .withColumn("adi", (col("n_months").cast("double") / col("m"))
+        .cast("decimal(18,9)"))
+      .withColumn("cv2",
+        ((col("m") * col("qq") - col("s") * col("s")).cast("double") /
+          (col("s") * col("s")).cast("double")).cast("decimal(18,9)"))
+    val tot = parts.agg(count(lit(1)).as("n_parts"))
+    parts.groupBy(col("quadrant"))
+      .agg(count(lit(1)).as("n_parts_q"),
+        sum(col("adi")).as("adi_sum"), sum(col("cv2")).as("cv2_sum"))
+      .crossJoin(broadcast(tot)) // 1-row total scalar
+      .select(col("quadrant"), col("n_parts_q").as("n_parts"),
+        round(col("n_parts_q").cast("double") / col("n_parts"), 6)
+          .as("share"),
+        round(col("adi_sum").cast("double") / col("n_parts_q"), 6)
+          .as("avg_adi"),
+        round(col("cv2_sum").cast("double") / col("n_parts_q"), 6)
+          .as("avg_cv2"))
+      .orderBy(col("quadrant"))
+  }
 }

@@ -2206,4 +2206,81 @@ object Similarity {
           .as("recall"))
       .orderBy(col("label"), col("n_probes"))
   }
+  /** GREEDY graph search simulation over the k-NN graph — the
+    * navigability measurement the structural probes ([[Graph.bfsKnn]]
+    * reachability, [[Graph.closenessCentrality]] spread) build toward:
+    * start each per-label query at the block's HIGHEST vec_id (a
+    * deterministic cold entry), walk six best-neighbor steps (move
+    * to the neighbor most similar to the query, staying put when no
+    * neighbor improves), and report the full per-hop CONVERGENCE
+    * TRACE against the true brute-force nearest neighbor — HNSW's
+    * base-layer search, unrolled relationally. The trace is monotone
+    * by construction (the current node always competes), which the
+    * spec pins; where the trace plateaus below nn_sim, the graph is
+    * measurably non-navigable from that entry (the honest readout on
+    * near-random embeddings).
+    *
+    * Each step is one equi-join of the |queries|-bounded cursor
+    * relation against the degree-bounded edge relation plus a top-1
+    * window — no corpus-sized work after the shared k-NN edge kernel;
+    * the brute side is the |queries|-bounded eval gate. */
+  def greedySearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val edges = knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = edges
+      .union(edges.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "v1", "v2").distinct()
+    val q = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"),
+      max(col("vec_id")).as("entry"))
+    val qe = q.join(e.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb")), Seq("qid"))
+    def simTo(cur: DataFrame, node: String): DataFrame =
+      cur.join(e.select(col("vec_id").as(node),
+          col("embedding").as("n_emb")), Seq(node))
+        .withColumn("sim", ExprColumns.cosineF32(spark, "n_emb", "q_emb"))
+        .drop("n_emb")
+    val s0 = simTo(qe.select(col("label"), col("qid"), col("q_emb"),
+      col("entry").as("cur")), "cur")
+      .withColumnRenamed("sim", "cur_sim")
+    def step(cur: DataFrame): DataFrame = {
+      val cand = cur
+        .join(sym.toDF("label", "cur", "nxt"), Seq("label", "cur"), "left")
+        .filter(col("nxt").isNull || col("nxt") =!= col("qid"))
+      val scored = simTo(cand.filter(col("nxt").isNotNull), "nxt")
+        .select(col("label"), col("qid"), col("q_emb"),
+          col("nxt").as("cand"), col("sim"))
+        .unionByName(cur.select(col("label"), col("qid"), col("q_emb"),
+          col("cur").as("cand"), col("cur_sim").as("sim")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("sim").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("qid"), col("q_emb"),
+          col("cand").as("cur"), col("sim").as("cur_sim"))
+    }
+    val steps = (1 to 6).scanLeft(s0)((cur, _) => step(cur))
+    val trace = steps.zipWithIndex.map { case (st, h) =>
+      st.select(col("label"), lit(h).as("hop"), col("cur"),
+        col("cur_sim"))
+    }.reduce(_.unionByName(_))
+    val brute = qe
+      .crossJoin(e.select(col("vec_id").as("cid"),
+        col("embedding").as("c_emb")))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("bsim", ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("bsim").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("cid").as("nn_id"), col("bsim"))
+    trace.join(broadcast(brute), Seq("label"))
+      .select(col("label"), col("hop"), col("cur").as("node"),
+        round(col("cur_sim").cast("double"), 4).as("sim"),
+        col("nn_id"),
+        round(col("bsim").cast("double"), 4).as("nn_sim"),
+        (col("cur") === col("nn_id")).as("reached"))
+      .orderBy(col("label"), col("hop"))
+  }
 }
