@@ -491,7 +491,10 @@ object SparkEntry {
     "events_did_pretrends" -> ((s, d) => EventAnalytics.didPretrends(s, d)),
     "sim_greedy_search" -> ((s, d) => Similarity.greedySearch(s, d)),
     "orders_demand_classes" -> ((s, d) => Relational.demandClasses(s, d)),
-    "dq_pchart" -> ((s, d) => Quality.pChart(s, d))
+    "dq_pchart" -> ((s, d) => Quality.pChart(s, d)),
+    "docs_skyline_pareto" -> ((s, d) => Curation.skylinePareto(s, d)),
+    "orders_croston" -> ((s, d) => Relational.crostonForecast(s, d)),
+    "dq_fd_discovery" -> ((s, d) => Quality.fdDiscovery(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9009,7 +9012,92 @@ object SparkEntry {
               - 3.0 * sqrt(CAST(tx AS DOUBLE) / tn
                 * (1.0 - CAST(tx AS DOUBLE) / tn) / n))
              AS out_of_control
-         FROM daily, pooled ORDER BY day"""
+         FROM daily, pooled ORDER BY day""",
+    "docs_skyline_pareto" ->
+      """WITH tf AS (SELECT doc_id, token, COUNT(*) AS c FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+           WHERE token <> '' GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+         pq AS (SELECT *, CAST(CAST(types AS DOUBLE) / n_tokens
+             AS DECIMAL(18,9)) AS ttr FROM pd),
+         sk AS (SELECT *, MAX(ttr) OVER (ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_prev FROM pq),
+         fr AS (SELECT * FROM sk
+           WHERE best_prev IS NULL OR ttr > best_prev)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+             AS INT) AS rank,
+           doc_id, n_tokens, types,
+           ROUND(CAST(ttr AS DOUBLE), 6) AS ttr
+         FROM fr ORDER BY rank""",
+    "orders_croston" ->
+      """WITH monthly AS (SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS mo,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS z
+           FROM lineitem GROUP BY 1, 2),
+         mi AS (SELECT *, CAST(year(mo) * 12 + month(mo) AS BIGINT)
+             AS midx FROM monthly),
+         top AS (SELECT l_partkey, COUNT(*) AS m FROM monthly
+           GROUP BY 1 ORDER BY m DESC, l_partkey LIMIT 5),
+         sq AS (SELECT mi.l_partkey, z, midx,
+             CAST(ROW_NUMBER() OVER (PARTITION BY mi.l_partkey
+               ORDER BY midx) AS BIGINT) AS t,
+             midx - LAG(midx) OVER (PARTITION BY mi.l_partkey
+               ORDER BY midx) AS gap
+           FROM mi JOIN top USING (l_partkey)),
+         zmx AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sq GROUP BY 1),
+         zses AS (SELECT s.l_partkey,
+             CAST(SUM(CAST((CASE WHEN t = 1 THEN pow(0.8, n - 1)
+               ELSE 0.2 * pow(0.8, n - t) END) * z AS DECIMAL(28,12)))
+               AS DOUBLE) AS z_ses,
+             MAX(n) AS m
+           FROM sq s JOIN zmx USING (l_partkey) GROUP BY 1),
+         gp AS (SELECT l_partkey, t - 1 AS t, gap FROM sq
+           WHERE gap IS NOT NULL),
+         gmx AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM gp GROUP BY 1),
+         pses AS (SELECT g.l_partkey,
+             CAST(SUM(CAST((CASE WHEN t = 1 THEN pow(0.8, n - 1)
+               ELSE 0.2 * pow(0.8, n - t) END) * gap
+               AS DECIMAL(28,12))) AS DOUBLE) AS p_ses
+           FROM gp g JOIN gmx USING (l_partkey) GROUP BY 1)
+         SELECT z.l_partkey, m, ROUND(z_ses / 100.0, 6) AS z_ses,
+           ROUND(p_ses, 6) AS p_ses,
+           ROUND(z_ses / p_ses / 100.0, 6) AS croston,
+           ROUND(z_ses / p_ses / 100.0 * 0.9, 6) AS sba
+         FROM zses z JOIN pses USING (l_partkey) ORDER BY z.l_partkey""",
+    "dq_fd_discovery" -> {
+      // 12 directed column pairs share one census shape — generated from
+      // one template so the pair bodies cannot drift apart
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")
+      def fd(a: String, b: String): String =
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(SUM(sz - best) AS BIGINT) AS g3_rows,
+             ROUND(CAST(SUM(sz - best) AS DOUBLE)
+               / (SELECT COUNT(*) FROM orders), 6) AS g3_rate,
+             SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           FROM (SELECT det, COUNT(*) AS n_dep, SUM(cnt) AS sz,
+               MAX(cnt) AS best
+             FROM (SELECT CAST($a AS VARCHAR) AS det,
+                 CAST($b AS VARCHAR) AS dep, COUNT(*) AS cnt
+               FROM o GROUP BY 1, 2) ab
+             GROUP BY det) g"""
+      val pairs = (for { a <- cols; b <- cols if a != b } yield fd(a, b))
+        .mkString("\n         UNION ALL ")
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+           FROM orders)
+         $pairs
+         ORDER BY determinant, dependent"""
+    }
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

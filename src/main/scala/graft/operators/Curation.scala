@@ -1102,4 +1102,48 @@ object Curation {
           col("var_prop").cast("double"), 6).as("efficiency"))
       .orderBy(col("lang"))
   }
+  /** SKYLINE (Pareto-frontier) selection over documents on the
+    * (length, lexical-diversity) plane — the multi-objective "best
+    * corpus members" operator a curator reaches for when no single
+    * quality score exists: a document is on the frontier iff no other
+    * document is at least as long AND strictly more diverse (type-
+    * token ratio). The classic window formulation: sort by token count
+    * descending, keep rows whose quantized TTR strictly exceeds the
+    * running maximum — one sort, one window, no pair join (the O(n²)
+    * dominance test a naive skyline pays).
+    *
+    * Dominance compares QUANTIZED DECIMAL(18,9) TTRs, so the frontier
+    * membership is bit-stable across engines; the n_tokens ordering
+    * ties break by doc_id (a tie kept order-later sees the same
+    * running max either way, because equal-length rows compete on TTR
+    * alone — the tie-break only fixes the emitted rank).
+    *
+    * Scale note: the global sort is the operator's cost; at 100 TB a
+    * pre-filter on a cheap dominance-proxy (per-partition local
+    * skylines, then a final merge — skylines compose under union)
+    * keeps the sorted relation small; the local-skyline pre-pass is
+    * exactly this plan applied per partition. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .filter(col("token") =!= "")
+    val perDoc = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("n_tokens"))
+      .withColumn("ttr", (col("types").cast("double") /
+        col("n_tokens").cast("double")).cast("decimal(18,9)"))
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("best_prev", max(col("ttr")).over(w))
+      .filter(col("best_prev").isNull || col("ttr") > col("best_prev"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_tokens").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_tokens"), col("types"),
+        round(col("ttr").cast("double"), 6).as("ttr"))
+      .orderBy(col("rank"))
+  }
 }

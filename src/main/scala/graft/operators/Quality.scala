@@ -555,4 +555,43 @@ object Quality {
           .as("out_of_control"))
       .orderBy(col("day"))
   }
+  /** Approximate functional-dependency discovery over four orders
+    * columns — the profiling pass beside [[candidateKeys]] that a
+    * schema-inference or normalization tool runs: for every directed
+    * column pair A→B, the determinant-group count, how many groups
+    * VIOLATE the dependency (>1 distinct B), and the g3 error (the
+    * minimum fraction of rows to delete for the FD to hold — the
+    * standard approximate-FD measure, Σ(group size − best B count)/N).
+    *
+    * Plan: one (A, B) hash-agg + a window max per pair (12 pairs over
+    * pruned 2-column scans), each fully partial-aggregatable; the
+    * census is 12 rows. Exact integers until the one g3 division. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate")
+    val n = t.count()
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield {
+      val ab = t.groupBy(col(a).cast("string").as("det"),
+          col(b).cast("string").as("dep"))
+        .agg(count(lit(1)).as("cnt"))
+      val grp = ab.groupBy(col("det"))
+        .agg(count(lit(1)).as("n_dep"), sum(col("cnt")).as("sz"),
+          max(col("cnt")).as("best"))
+      grp.agg(count(lit(1)).as("n_groups"),
+          sum((col("n_dep") > 1).cast("long")).as("n_violating"),
+          sum(col("sz") - col("best")).as("g3_rows"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"), col("n_violating"), col("g3_rows"),
+          round(col("g3_rows").cast("double") / n, 6).as("g3_rate"),
+          (col("n_violating") === 0L).as("holds"))
+    }
+    pairs.reduce(_.unionByName(_))
+      .orderBy(col("determinant"), col("dependent"))
+  }
 }

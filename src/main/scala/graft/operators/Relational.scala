@@ -1773,4 +1773,71 @@ object Relational {
           .as("avg_cv2"))
       .orderBy(col("quadrant"))
   }
+  /** Croston's method (with the Syntetos–Boylan correction) for the
+    * five most-frequently-demanded parts — the forecasting rung
+    * [[demandClasses]] points intermittent/lumpy SKUs at, where plain
+    * exponential smoothing is biased: SES (α = 0.2) runs SEPARATELY
+    * over the nonzero monthly demand SIZES and the inter-demand
+    * INTERVALS, and the rate forecast is their ratio (SBA multiplies
+    * by 1 − α/2). The recursive SES collapses to its closed weighted
+    * form ŷ = (1−α)^(T−1)·x₁ + α·Σ(1−α)^(T−i)·xᵢ, so both engines
+    * evaluate the same power-weighted sum with each term quantized to
+    * DECIMAL(28,12) — no sequential state, no order-dependent float
+    * reduction.
+    *
+    * Scale shape: the corpus collapses to (part, demand-month) grain
+    * once; sizes and intervals are window/lag work at that grain; the
+    * top-5 cut and the weighted sums run on per-part relations of at
+    * most a few hundred rows. */
+  def crostonForecast(spark: SparkSession, dir: String,
+      alpha: Double = 0.2): DataFrame = {
+    val monthly = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).as("mo"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("mo"))
+      .agg(sum(col("q")).as("z"))
+      .withColumn("mi", (year(col("mo")) * 12 + month(col("mo")))
+        .cast("long"))
+    val top = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"))
+      .orderBy(col("m").desc, col("l_partkey"))
+      .limit(5)
+    val seq0 = monthly.join(broadcast(top), Seq("l_partkey"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("l_partkey")).orderBy(col("mi"))))
+      .withColumn("gap", col("mi") - lag(col("mi"), 1).over(
+        Window.partitionBy(col("l_partkey")).orderBy(col("mi"))))
+      .localCheckpoint() // demand-event grain, read twice
+    def ses(df: DataFrame, valueCol: String, tCol: String): DataFrame = {
+      val mx = df.groupBy(col("l_partkey")).agg(max(col(tCol)).as("tmax"),
+        count(lit(1)).as("n"))
+      df.join(broadcast(mx), Seq("l_partkey"))
+        .withColumn("wgt",
+          when(col(tCol) === 1, pow(lit(1.0 - alpha), col("n") - 1))
+            .otherwise(lit(alpha) *
+              pow(lit(1.0 - alpha), col("n") - col(tCol))))
+        .withColumn("term", (col("wgt") * col(valueCol))
+          .cast("decimal(28,12)"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("term")).cast("double").as("ses"),
+          max(col("n")).as("n"))
+    }
+    val zSes = ses(seq0.select(col("l_partkey"), col("t"), col("z")),
+      "z", "t")
+      .select(col("l_partkey"), col("ses").as("z_ses"), col("n").as("m"))
+    val gaps = seq0.filter(col("gap").isNotNull)
+      .withColumn("ti", col("t") - 1)
+    val pSes = ses(gaps.select(col("l_partkey"), col("ti").as("t"),
+        col("gap")), "gap", "t")
+      .select(col("l_partkey"), col("ses").as("p_ses"))
+    zSes.join(broadcast(pSes), Seq("l_partkey"))
+      .select(col("l_partkey"), col("m"),
+        round(col("z_ses") / 100.0, 6).as("z_ses"),
+        round(col("p_ses"), 6).as("p_ses"),
+        round(col("z_ses") / col("p_ses") / 100.0, 6).as("croston"),
+        round(col("z_ses") / col("p_ses") / 100.0 * (1.0 - alpha / 2),
+          6).as("sba"))
+      .orderBy(col("l_partkey"))
+  }
 }
