@@ -494,7 +494,10 @@ object SparkEntry {
     "dq_pchart" -> ((s, d) => Quality.pChart(s, d)),
     "docs_skyline_pareto" -> ((s, d) => Curation.skylinePareto(s, d)),
     "orders_croston" -> ((s, d) => Relational.crostonForecast(s, d)),
-    "dq_fd_discovery" -> ((s, d) => Quality.fdDiscovery(s, d))
+    "dq_fd_discovery" -> ((s, d) => Quality.fdDiscovery(s, d)),
+    "text_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
+    "events_att_matching" -> ((s, d) => EventAnalytics.attMatching(s, d)),
+    "agg_gh_means" -> ((s, d) => Relational.pythagoreanMeans(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9097,7 +9100,91 @@ object SparkEntry {
            FROM orders)
          $pairs
          ORDER BY determinant, dependent"""
-    }
+    },
+    "text_burrows_delta" ->
+      """WITH tok AS (SELECT source, token FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents) WHERE token <> ''),
+         st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1, 2),
+         totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+           FROM st GROUP BY 1),
+         topw AS (SELECT token FROM (SELECT token, SUM(cnt) AS tc
+             FROM st GROUP BY 1) z
+           ORDER BY tc DESC, token LIMIT 30),
+         f AS (SELECT t.source, w.token,
+             CAST(CAST(COALESCE(cnt, 0) AS DOUBLE) * 1000.0
+               / CAST(tot AS DOUBLE) AS DECIMAL(18,9)) AS fr
+           FROM totals t CROSS JOIN topw w
+           LEFT JOIN st ON st.source = t.source AND st.token = w.token),
+         mo AS (SELECT token, SUM(fr) AS sf, SUM(fr * fr) AS sff,
+             CAST(COUNT(*) AS BIGINT) AS ns
+           FROM f GROUP BY 1),
+         m2 AS (SELECT token, CAST(sf AS DOUBLE) / ns AS mu,
+             sqrt(CAST(ns * sff - sf * sf AS DOUBLE)
+               / (CAST(ns AS DOUBLE) * CAST(ns - 1 AS DOUBLE))) AS sd
+           FROM mo),
+         z AS (SELECT f.source, f.token,
+             (CAST(fr AS DOUBLE) - mu) / sd AS z
+           FROM f JOIN m2 ON f.token = m2.token)
+         SELECT a.source AS s1, b.source AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(28,12)))
+             AS DOUBLE) / COUNT(*), 6) AS delta
+         FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY s1, s2""",
+    "events_att_matching" ->
+      """WITH users AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sc,
+             user_id % 2 = 0 AS treat
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         u2 AS (SELECT *, CAST(CAST(sc AS DOUBLE) / x AS DECIMAL(18,9))
+             AS y FROM users),
+         hist AS (SELECT x, COUNT(*) AS n FROM u2 GROUP BY 1),
+         ch AS (SELECT x, SUM(n) OVER (ORDER BY x
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM u2),
+         bounds AS (SELECT k, MIN(x) AS b
+           FROM ch, tot, range(1, 10) t(k)
+           WHERE cum >= CAST(ceil(k * nu / 10.0) AS BIGINT)
+           GROUP BY 1),
+         bk AS (SELECT treat, y,
+             1 + SUM(CASE WHEN x > b THEN 1 ELSE 0 END) AS bucket
+           FROM u2 CROSS JOIN bounds GROUP BY user_id, treat, y, x),
+         strata AS (SELECT bucket,
+             CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_c,
+             SUM(CASE WHEN treat THEN y END) AS sy_t,
+             SUM(CASE WHEN treat THEN NULL ELSE y END) AS sy_c
+           FROM bk GROUP BY 1),
+         s2 AS (SELECT *,
+             CASE WHEN n_t > 0 AND n_c > 0 THEN
+               CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c
+             END AS diff,
+             LEAST(n_t, n_c) AS w
+           FROM strata),
+         s3 AS (SELECT *, CAST(diff * w AS DECIMAL(28,12)) AS wd
+           FROM s2),
+         att AS (SELECT CAST(SUM(wd) AS DOUBLE) / SUM(w) AS att FROM s3)
+         SELECT bucket, n_t, n_c, ROUND(diff / 100.0, 6) AS diff,
+           w AS weight, ROUND(att / 100.0, 6) AS att
+         FROM s3, att ORDER BY bucket""",
+    "agg_gh_means" ->
+      """WITH c AS (SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_totalprice > 0)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100.0, 4) AS mean,
+           ROUND(exp(CAST(SUM(CAST(ln(CAST(c AS DOUBLE))
+             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) / 100.0, 4)
+             AS gmean,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / c AS DECIMAL(28,12)))
+               AS DOUBLE) / 100.0, 4) AS hmean
+         FROM c GROUP BY 1 ORDER BY o_orderpriority"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2689,4 +2689,65 @@ object EventAnalytics {
         round(col("slope_gap") / 100.0, 6).as("slope_gap"))
       .orderBy(col("arm"))
   }
+  /** Stratified (exact-matching) ATT estimate — the third leg of the
+    * causal family beside [[abTest]] (cross-section) and [[upliftDid]]
+    * (time): users stratify into activity deciles (the confounder),
+    * and within each stratum the treat−control outcome gap is
+    * weighted by min(n_t, n_c) — the matched-pairs weighting that
+    * drops strata where one arm has no counterpart instead of
+    * extrapolating. Outcome is the user's mean event value; treatment
+    * is the deterministic user-parity split.
+    *
+    * Decile boundaries come from the activity HISTOGRAM's cumulative
+    * counts ([[Relational.psiDrift]]'s exact-integer bound logic);
+    * outcome sums are exact cents; each stratum's weighted gap
+    * quantizes to DECIMAL(28,12) before the ATT sum.
+    *
+    * Plan: two user-grain aggs (activity, outcome), domain-bounded
+    * boundary work, a 10-row stratum census with 1-row scalars
+    * broadcast. */
+  def attMatching(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("sc"))
+      .withColumn("y", (col("sc").cast("double") / col("x"))
+        .cast("decimal(18,9)"))
+      .withColumn("treat", col("user_id") % 2 === 0)
+      .localCheckpoint() // user-grain relation, read by 3 branches
+    val hist = users.groupBy(col("x")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = users.agg(count(lit(1)).as("nu"))
+    val bounds = hist.crossJoin(broadcast(tot))
+      .select(col("x"), col("cum"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("cum") >= expr("CAST(ceil(k * nu / 10.0) AS BIGINT)"))
+      .groupBy(col("k")).agg(min(col("x")).as("b"))
+    val bucketed = users.crossJoin(broadcast(bounds)) // 9-row boundaries
+      .groupBy(col("user_id"), col("treat"), col("y"))
+      .agg(sum((col("x") > col("b")).cast("int")).as("nb"))
+      .select(col("treat"), col("y"), (col("nb") + 1).as("bucket"))
+    val strata = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("treat").cast("long")).as("n_t"),
+        sum((!col("treat")).cast("long")).as("n_c"),
+        sum(when(col("treat"), col("y"))).as("sy_t"),
+        sum(when(!col("treat"), col("y"))).as("sy_c"))
+      .withColumn("diff",
+        when(col("n_t") > 0 && col("n_c") > 0,
+          col("sy_t").cast("double") / col("n_t") -
+            col("sy_c").cast("double") / col("n_c")))
+      .withColumn("w", least(col("n_t"), col("n_c")))
+      .withColumn("wd", (col("diff") * col("w")).cast("decimal(28,12)"))
+    val att = strata.agg(
+      (sum(col("wd")).cast("double") / sum(col("w"))).as("att"))
+    strata.crossJoin(broadcast(att)) // 1-row estimate scalar
+      .select(col("bucket"), col("n_t"), col("n_c"),
+        round(col("diff") / 100.0, 6).as("diff"),
+        col("w").as("weight"),
+        round(col("att") / 100.0, 6).as("att"))
+      .orderBy(col("bucket"))
+  }
 }

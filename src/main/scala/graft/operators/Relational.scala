@@ -1840,4 +1840,33 @@ object Relational {
           6).as("sba"))
       .orderBy(col("l_partkey"))
   }
+  /** Arithmetic, geometric, and harmonic means of order totals per
+    * priority — the Pythagorean-means aggregate family (only the
+    * arithmetic mean exists elsewhere in the battery): GM =
+    * exp(Σln x / n) and HM = n / Σ(1/x) with every ln and reciprocal
+    * term quantized to DECIMAL(28,12) before its exact sum, so both
+    * engines reduce identical operands in any order. The AM ≥ GM ≥ HM
+    * ordering is pinned in the spec — a one-line sanity gate the
+    * closed forms make free.
+    *
+    * Plan: one pruned two-column scan into a 5-row census; fully
+    * partial-aggregatable. */
+  def pythagoreanMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(log(col("c").cast("double")).cast("decimal(28,12)"))
+          .as("sln"),
+        sum((lit(1.0) / col("c")).cast("decimal(28,12)")).as("sinv"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("sc").cast("double") / col("n") / 100.0, 4)
+          .as("mean"),
+        round(exp(col("sln").cast("double") / col("n")) / 100.0, 4)
+          .as("gmean"),
+        round(col("n").cast("double") / col("sinv").cast("double")
+          / 100.0, 4).as("hmean"))
+      .orderBy(col("o_orderpriority"))
 }

@@ -2780,4 +2780,61 @@ object TextAnalysis {
           (col("w") * col("n_segments")).cast("double"), 6).as("msttr"))
       .orderBy(col("lang"), col("w"))
   }
+  /** Burrows' Delta authorship-style distance between sources — the
+    * stylometric census a contamination or provenance analysis runs
+    * when [[sourceOverlap]]'s exact-copy evidence is absent: over the
+    * corpus's 30 most frequent words, each source's per-mille word
+    * frequency standardizes to a z-score against the cross-source
+    * mean/σ, and Delta(s₁, s₂) is the mean |z₁ − z₂| — low Delta
+    * reads "same underlying generator", the signal that two scraped
+    * sources are the same site under different names.
+    *
+    * Determinism: per-mille frequencies quantize to DECIMAL(18,9)
+    * (O(1)-scaled so quantization noise stays 1e-9 against σ values
+    * of similar order); word moments are exact decimal sums; each
+    * |z₁ − z₂| quantizes to DECIMAL(28,12) before the pair mean.
+    *
+    * Plan: one (source, token) hash-agg, a 30-row broadcast word
+    * head, source-grain z relations, and a |sources|²-bounded pair
+    * join — nothing after the first agg touches corpus grain. */
+  def burrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val st = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // (source, token) grain, read twice
+    val totals = st.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val topWords = st.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tc"))
+      .orderBy(col("tc").desc, col("token"))
+      .limit(30).select(col("token"))
+    val f = totals.crossJoin(broadcast(topWords)) // source x 30-word grid
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") * 1000.0 /
+          col("tot").cast("double")).cast("decimal(18,9)").as("fr"))
+    val nSources = totals.agg(count(lit(1)).as("ns"))
+    val moments = f.groupBy(col("token"))
+      .agg(sum(col("fr")).as("sf"), sum(col("fr") * col("fr")).as("sff"),
+        count(lit(1)).as("ns"))
+      .withColumn("mu", col("sf").cast("double") / col("ns"))
+      .withColumn("sd", sqrt(
+        (col("ns") * col("sff") - col("sf") * col("sf")).cast("double") /
+          (col("ns").cast("double") * (col("ns") - 1).cast("double"))))
+    val z = f.join(broadcast(moments
+        .select(col("token"), col("mu"), col("sd"))), Seq("token"))
+      .select(col("source"), col("token"),
+        ((col("fr").cast("double") - col("mu")) / col("sd")).as("z"))
+    val pairs = z.toDF("s1", "token", "z1")
+      .join(z.toDF("s2", "token", "z2"), Seq("token"))
+      .filter(col("s1") < col("s2"))
+      .withColumn("dz", abs(col("z1") - col("z2"))
+        .cast("decimal(28,12)"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("dz")).cast("double") / count(lit(1)), 6)
+          .as("delta"))
+    pairs.orderBy(col("s1"), col("s2"))
+  }
 }
