@@ -497,7 +497,10 @@ object SparkEntry {
     "dq_fd_discovery" -> ((s, d) => Quality.fdDiscovery(s, d)),
     "text_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
     "events_att_matching" -> ((s, d) => EventAnalytics.attMatching(s, d)),
-    "agg_gh_means" -> ((s, d) => Relational.pythagoreanMeans(s, d))
+    "agg_gh_means" -> ((s, d) => Relational.pythagoreanMeans(s, d)),
+    "graph_hits" -> ((s, d) => Graph.hitsKnn(s, d)),
+    "dq_rowhash_rollup" -> ((s, d) => Quality.rowhashRollup(s, d)),
+    "orders_price_index" -> ((s, d) => Relational.priceIndexes(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9184,7 +9187,105 @@ object SparkEntry {
            ROUND(CAST(COUNT(*) AS DOUBLE)
              / CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / c AS DECIMAL(28,12)))
                AS DOUBLE) / 100.0, 4) AS hmean
-         FROM c GROUP BY 1 ORDER BY o_orderpriority"""
+         FROM c GROUP BY 1 ORDER BY o_orderpriority""",
+    "graph_hits" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         a1r AS (SELECT label, v2 AS node,
+             CAST(COUNT(*) AS DOUBLE) AS a FROM knn GROUP BY 1, 2),
+         a1t AS (SELECT label, SUM(CAST(a AS DECIMAL(28,12))) AS tot
+           FROM a1r GROUP BY 1),
+         a1 AS (SELECT r.label, node,
+             CAST(a AS DOUBLE) / CAST(tot AS DOUBLE) AS a
+           FROM a1r r JOIN a1t USING (label)),
+         h1r AS (SELECT k.label, k.v1 AS node,
+             CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS h
+           FROM knn k JOIN a1 ON a1.label = k.label AND a1.node = k.v2
+           GROUP BY 1, 2),
+         h1t AS (SELECT label, SUM(CAST(h AS DECIMAL(28,12))) AS tot
+           FROM h1r GROUP BY 1),
+         h1 AS (SELECT r.label, node,
+             CAST(h AS DOUBLE) / CAST(tot AS DOUBLE) AS h
+           FROM h1r r JOIN h1t USING (label)),
+         a2r AS (SELECT k.label, k.v2 AS node,
+             CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS a
+           FROM knn k JOIN h1 ON h1.label = k.label AND h1.node = k.v1
+           GROUP BY 1, 2),
+         a2t AS (SELECT label, SUM(CAST(a AS DECIMAL(28,12))) AS tot
+           FROM a2r GROUP BY 1),
+         a2 AS (SELECT r.label, node,
+             CAST(a AS DOUBLE) / CAST(tot AS DOUBLE) AS a
+           FROM a2r r JOIN a2t USING (label)),
+         ranked AS (SELECT a2.label, a2.node, a2.a, h1.h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a2.label
+               ORDER BY a2.a DESC, a2.node) AS INT) AS rk
+           FROM a2 LEFT JOIN h1
+             ON h1.label = a2.label AND h1.node = a2.node)
+         SELECT label, rk, node, ROUND(a, 6) AS authority,
+           ROUND(COALESCE(h, 0.0), 6) AS hub
+         FROM ranked WHERE rk <= 3 ORDER BY label, rk""",
+    "dq_rowhash_rollup" -> {
+      // 48-bit value of the first 12 md5 hex nibbles, one term per
+      // nibble — generated so the positional weights cannot drift
+      val hexVal = (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+          (1L << (4 * (11 - i)))
+      }.mkString(" + ")
+      s"""WITH rows0 AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             md5(CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+               || '|' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR)
+               || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               || '|' || o_orderpriority) AS h
+           FROM orders),
+         hashed AS (SELECT day, CAST($hexVal AS BIGINT) AS rh
+           FROM rows0),
+         perday AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(rh) AS BIGINT) AS hash_xor
+           FROM hashed GROUP BY 1),
+         allr AS (SELECT 'ALL' AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(rh) AS BIGINT) AS hash_xor FROM hashed)
+         SELECT * FROM perday UNION ALL SELECT * FROM allr
+         ORDER BY day"""
+    },
+    "orders_price_index" ->
+      """WITH li AS (SELECT l_partkey, year(l_shipdate) AS yr,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS e,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS q
+           FROM lineitem),
+         span AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM li),
+         pp AS (SELECT l_partkey,
+             CASE WHEN yr = y0 THEN 0 ELSE 1 END AS period,
+             CAST(SUM(e) AS BIGINT) AS ee, CAST(SUM(q) AS BIGINT) AS qq
+           FROM li, span WHERE yr = y0 OR yr = y1
+           GROUP BY 1, 2),
+         p2 AS (SELECT *, CAST(ee AS DOUBLE) / qq AS p FROM pp),
+         bp AS (SELECT b.l_partkey, b.p AS p0, b.qq AS q0,
+             c.p AS p1, c.qq AS q1
+           FROM p2 b JOIN p2 c ON b.l_partkey = c.l_partkey
+           WHERE b.period = 0 AND c.period = 1),
+         sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(CAST(p1 * q0 AS DECIMAL(28,12))) AS l_num,
+             SUM(CAST(p0 * q0 AS DECIMAL(28,12))) AS l_den,
+             SUM(CAST(p1 * q1 AS DECIMAL(28,12))) AS p_num,
+             SUM(CAST(p0 * q1 AS DECIMAL(28,12))) AS p_den
+           FROM bp),
+         idx AS (SELECT n_parts,
+             CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) AS laspeyres,
+             CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS paasche
+           FROM sums)
+         SELECT y0 AS base_year, y1 AS current_year, n_parts,
+           ROUND(laspeyres, 6) AS laspeyres,
+           ROUND(paasche, 6) AS paasche,
+           ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+         FROM idx, span"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -660,4 +660,54 @@ object Graph {
         round(col("harm").cast("double"), 6).as("harmonic"))
       .orderBy(col("label"), col("seed"))
   }
+  /** HITS hubs-and-authorities over the DIRECTED k-NN graph — the
+    * second eigenvector-flavored centrality beside [[pagerankNations]],
+    * on the asymmetric relation the symmetrized operators throw away:
+    * a vector many others CHOOSE as a near neighbor is an authority
+    * (a natural cluster medoid); a vector whose out-edges point at
+    * authorities is a hub (a good search entry point —
+    * [[graft.operators.Similarity.greedySearch]] would rather start
+    * here than at an arbitrary id). Two unrolled mutual-reinforcement
+    * rounds (a ← Aᵀh, h ← A a), each sum-normalized PER LABEL so
+    * scores stay O(1) without a vector-norm (the rational-arithmetic
+    * variant; contributions quantize to DECIMAL(28,12) before sums).
+    * Reported: each block's top-3 authorities with both scores.
+    *
+    * Scale shape: every step is one equi-join of the degree-bounded
+    * edge relation against a |V|-grain score relation plus a hash-agg
+    * — the [[pagerankNations]] loop shape on a corpus-scale graph,
+    * shuffling on vertex id only. */
+  def hitsKnn(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    def normalize(raw: DataFrame, c: String): DataFrame = {
+      val tot = raw.groupBy(col("label")).agg(
+        sum(col(c).cast("decimal(28,12)")).as("tot"))
+      raw.join(broadcast(tot), Seq("label"))
+        .select(col("label"), col("node"),
+          (col(c).cast("double") / col("tot").cast("double")).as(c))
+    }
+    // a1 <- A' h0 with h0 = 1: in-degree, normalized
+    val a1 = normalize(edges.groupBy(col("label"), col("v2").as("node"))
+      .agg(count(lit(1)).cast("double").as("a")), "a")
+    val h1 = normalize(edges
+      .join(broadcast(a1.toDF("label", "v2", "a")), Seq("label", "v2"))
+      .groupBy(col("label"), col("v1").as("node"))
+      .agg(sum(col("a").cast("decimal(28,12)")).cast("double").as("h")),
+      "h")
+    val a2 = normalize(edges
+      .join(broadcast(h1.toDF("label", "v1", "h")), Seq("label", "v1"))
+      .groupBy(col("label"), col("v2").as("node"))
+      .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a")),
+      "a")
+    a2.join(h1, Seq("label", "node"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("a").desc, col("node"))))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("node"),
+        round(col("a"), 6).as("authority"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("hub"))
+      .orderBy(col("label"), col("rk"))
+  }
 }

@@ -594,4 +594,37 @@ object Quality {
     pairs.reduce(_.unionByName(_))
       .orderBy(col("determinant"), col("dependent"))
   }
+  /** Row-hash XOR rollup of the orders table — the cross-system
+    * reconciliation fingerprint [[Relational.reconciliation]]'s
+    * aggregate compare stops short of: every row canonicalizes to a
+    * 48-bit md5-prefix hash of its pipe-joined fields, each day
+    * publishes n_rows plus the XOR of its row hashes, and the ALL row
+    * folds the partition fingerprints (XOR is associative,
+    * commutative, and self-inverse — partition fingerprints compose
+    * without re-reading rows, and any single-row difference between
+    * two systems flips the scope fingerprint). Field canonicalization
+    * (cents, formatted dates) is digit-for-digit reproducible in the
+    * oracle.
+    *
+    * Plan: one pass, map-side hash, two partial-aggregatable XOR
+    * aggs — the cheapest possible full-content audit at 100 TB. */
+  def rowhashRollup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          col("o_orderpriority"))), 1, 12), 16, 10).cast("long")
+          .as("rh"))
+    val perDay = hashed.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("hash_xor"))
+    val all = hashed.agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("hash_xor"))
+      .select(lit("ALL").as("day"), col("n_rows"), col("hash_xor"))
+    perDay.unionByName(all).orderBy(col("day"))
+  }
 }

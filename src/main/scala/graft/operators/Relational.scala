@@ -1869,4 +1869,50 @@ object Relational {
         round(col("n").cast("double") / col("sinv").cast("double")
           / 100.0, 4).as("hmean"))
       .orderBy(col("o_orderpriority"))
+  /** Laspeyres, Paasche, and Fisher price indexes between the first
+    * and last calendar year of the shipping span — the price-level
+    * econometrics beside [[vwap]]'s within-period average: per part
+    * and period, the unit price is the exact-cents revenue over the
+    * exact-cents quantity; the indexes weight price relatives by base
+    * (Laspeyres) or current (Paasche) quantities over the COMMON part
+    * set, and Fisher is their geometric mean. Each p·q product
+    * quantizes to DECIMAL(28,12) before its sum, so both engines
+    * reduce identical operands.
+    *
+    * Plan: one lineitem pass to (part, period) grain with the 1-row
+    * year-span broadcast, a self-join on part (both sides part-grain),
+    * and a 1-row index census. */
+  def priceIndexes(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * 100).cast("long").as("e"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+    val span = li.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val pp = li.crossJoin(broadcast(span)) // 1-row year span
+      .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+      .withColumn("period", when(col("yr") === col("y0"), 0).otherwise(1))
+      .groupBy(col("l_partkey"), col("period"))
+      .agg(sum(col("e")).as("ee"), sum(col("q")).as("qq"))
+      .withColumn("p", col("ee").cast("double") / col("qq"))
+    val both = pp.filter(col("period") === 0)
+      .select(col("l_partkey"), col("p").as("p0"), col("qq").as("q0"))
+      .join(pp.filter(col("period") === 1)
+        .select(col("l_partkey"), col("p").as("p1"), col("qq").as("q1")),
+        Seq("l_partkey"))
+    val sums = both.agg(count(lit(1)).as("n_parts"),
+      sum((col("p1") * col("q0")).cast("decimal(28,12)")).as("l_num"),
+      sum((col("p0") * col("q0")).cast("decimal(28,12)")).as("l_den"),
+      sum((col("p1") * col("q1")).cast("decimal(28,12)")).as("p_num"),
+      sum((col("p0") * col("q1")).cast("decimal(28,12)")).as("p_den"))
+    sums.crossJoin(broadcast(span)) // 1-row labels
+      .withColumn("laspeyres",
+        col("l_num").cast("double") / col("l_den").cast("double"))
+      .withColumn("paasche",
+        col("p_num").cast("double") / col("p_den").cast("double"))
+      .select(col("y0").as("base_year"), col("y1").as("current_year"),
+        col("n_parts"),
+        round(col("laspeyres"), 6).as("laspeyres"),
+        round(col("paasche"), 6).as("paasche"),
+        round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+  }
 }
