@@ -500,7 +500,10 @@ object SparkEntry {
     "agg_gh_means" -> ((s, d) => Relational.pythagoreanMeans(s, d)),
     "graph_hits" -> ((s, d) => Graph.hitsKnn(s, d)),
     "dq_rowhash_rollup" -> ((s, d) => Quality.rowhashRollup(s, d)),
-    "orders_price_index" -> ((s, d) => Relational.priceIndexes(s, d))
+    "orders_price_index" -> ((s, d) => Relational.priceIndexes(s, d)),
+    "events_periodogram" -> ((s, d) => EventAnalytics.periodogram(s, d)),
+    "orders_hhi" -> ((s, d) => Relational.hhiConcentration(s, d)),
+    "sample_systematic" -> ((s, d) => Curation.systematicSample(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9285,7 +9288,81 @@ object SparkEntry {
            ROUND(laspeyres, 6) AS laspeyres,
            ROUND(paasche, 6) AS paasche,
            ROUND(sqrt(laspeyres * paasche), 6) AS fisher
-         FROM idx, span"""
+         FROM idx, span""",
+    "events_periodogram" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h FROM events),
+         counts AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM ev
+           GROUP BY 1),
+         span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+         spine AS (SELECT CAST(k AS BIGINT) AS t0
+           FROM range(0, 1000000) r(k), span
+           WHERE k <= date_diff('hour', h0, h1)),
+         idx AS (SELECT CAST(date_diff('hour', span.h0, counts.h)
+               AS BIGINT) AS t0, y
+           FROM counts, span),
+         series AS (SELECT s.t0 + 1 AS t, COALESCE(y, 0) AS y
+           FROM spine s LEFT JOIN idx ON s.t0 = idx.t0),
+         ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s FROM series),
+         dev AS (SELECT t, CAST(y * n - s AS DECIMAL(38,0)) AS d
+           FROM series, ns),
+         den AS (SELECT SUM(d * d) AS den FROM dev),
+         terms AS (SELECT period,
+             SUM(CAST(CAST(d AS DOUBLE)
+               * cos(2 * pi() * ((t - 1) % period) / period)
+               AS DECIMAL(28,12))) AS cs,
+             SUM(CAST(CAST(d AS DOUBLE)
+               * sin(2 * pi() * ((t - 1) % period) / period)
+               AS DECIMAL(28,12))) AS ss
+           FROM dev, (VALUES (6), (12), (24), (168)) p(period)
+           GROUP BY 1)
+         SELECT period,
+           ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) * 2.0
+             / (CAST(n AS DOUBLE) * CAST(den AS DOUBLE)), 6)
+             AS power_frac
+         FROM terms, den, ns ORDER BY period""",
+    "orders_hhi" ->
+      """WITH cust AS (SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name, x FROM cust
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(x) AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(x * x) AS DOUBLE)
+             / (CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+             AS hhi,
+           ROUND(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+             / CAST(SUM(x * x) AS DOUBLE), 4) AS effective_n
+         FROM j GROUP BY 1 ORDER BY n_name""",
+    "sample_systematic" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+         pop AS (SELECT 'population' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s FROM d),
+         sysr AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY
+             md5('sys:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM d),
+         syss AS (SELECT 'systematic' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s FROM sysr
+           WHERE rk % 10 = 1),
+         convr AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY doc_id)
+             AS rk FROM d),
+         nt AS (SELECT COUNT(*) AS nt FROM d),
+         conv AS (SELECT 'convenience' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s FROM convr, nt
+           WHERE rk <= (nt + 9) // 10),
+         u AS (SELECT * FROM pop UNION ALL SELECT * FROM syss
+           UNION ALL SELECT * FROM conv),
+         pm AS (SELECT CAST(s AS DOUBLE) / n AS pm FROM pop)
+         SELECT method, n, ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_chars,
+           ROUND(ABS(CAST(s AS DOUBLE) / n - pm), 4) AS abs_error
+         FROM u, pm ORDER BY method"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

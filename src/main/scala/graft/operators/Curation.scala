@@ -1146,4 +1146,48 @@ object Curation {
         round(col("ttr").cast("double"), 6).as("ttr"))
       .orderBy(col("rank"))
   }
+  /** Systematic vs convenience sampling — the estimator-bias lesson
+    * every sampling plan encodes, measured: a SYSTEMATIC sample (every
+    * 10th document in deterministic md5 order — equivalent to simple
+    * random sampling when the order is hash-random) against a
+    * CONVENIENCE sample (the first n/10 doc_ids — what a naive "just
+    * take the head" pipeline does), each estimating mean document
+    * length against the full-population truth. The convenience row's
+    * larger error is the operational argument for [[balancedSample]] /
+    * [[neymanAllocation]]-style designs.
+    *
+    * Determinism: the sampling order is the md5 of the doc id (both
+    * engines sort the same strings); means are exact integer sums
+    * divided once.
+    *
+    * Plan: one window rank over the doc-grain relation per method,
+    * three aggregate rows — nothing above doc grain. */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .localCheckpoint() // doc-grain, read by 3 branches
+    val pop = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .select(lit("population").as("method"), col("n"), col("s"))
+    val sys = d
+      .withColumn("rk", row_number().over(Window.orderBy(
+        md5(concat(lit("sys:"), col("doc_id").cast("string"))),
+        col("doc_id"))))
+      .filter((col("rk") % 10) === 1)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .select(lit("systematic").as("method"), col("n"), col("s"))
+    val conv = d
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("nt"))))
+      .filter(col("rk") <= expr("(nt + 9) div 10"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .select(lit("convenience").as("method"), col("n"), col("s"))
+    val popMean = pop.select(
+      (col("s").cast("double") / col("n")).as("pm"))
+    pop.unionByName(sys).unionByName(conv)
+      .crossJoin(broadcast(popMean)) // 1-row truth scalar
+      .select(col("method"), col("n"),
+        round(col("s").cast("double") / col("n"), 4).as("mean_chars"),
+        round(abs(col("s").cast("double") / col("n") - col("pm")), 4)
+          .as("abs_error"))
+      .orderBy(col("method"))
+  }
 }

@@ -2750,4 +2750,60 @@ object EventAnalytics {
         round(col("att") / 100.0, 6).as("att"))
       .orderBy(col("bucket"))
   }
+  /** Periodogram over the gap-filled hourly event-count series — the
+    * frequency-domain sibling of [[autocorrelation]]: normalized
+    * spectral power at the candidate periods a traffic series actually
+    * exhibits (6 h, 12 h, 24 h, 168 h), P(p) = (Σd·cos)² + (Σd·sin)²
+    * over Σd², where d is the exact n-scaled centered count (the
+    * [[autocorrelation]] integer-centering trick — the n² factor
+    * cancels in the ratio). The period with dominant power is the
+    * seasonality a forecaster should model first;
+    * [[seasonalStrength]] asks the same question in the time domain.
+    *
+    * Angles depend only on (t−1) mod p, so each trig factor is one
+    * double expression over exact integers; every d·cos / d·sin term
+    * quantizes to DECIMAL(28,12) before its sum.
+    *
+    * Scale shape: identical to [[autocorrelation]] — one corpus-grain
+    * hash-agg to the hour series, then everything runs on the
+    * hour-grain relation crossed with a 4-row period axis. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val span = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = span.select(explode(expr(
+      "sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    val series = spine.join(broadcast(counts), Seq("h"), "left")
+      .select(coalesce(col("y"), lit(0L)).as("y"), col("h"))
+      .withColumn("t", row_number().over(Window.orderBy(col("h"))))
+      .localCheckpoint() // hour-grain series, read by 2 branches
+    val nS = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = series.crossJoin(broadcast(nS))
+      .select(col("t"),
+        (col("y") * col("n") - col("s")).cast("decimal(38,0)").as("d"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+      .crossJoin(broadcast(nS.select(col("n"))))
+    val periods = spark.range(0, 4)
+      .select(element_at(typedLit(Seq(6, 12, 24, 168)),
+        col("id").cast("int") + 1).as("period"))
+    val terms = dev.crossJoin(broadcast(periods)) // 4-row period axis
+      .withColumn("ang",
+        lit(2.0 * math.Pi) * ((col("t") - 1) % col("period"))
+          .cast("double") / col("period"))
+      .groupBy(col("period"))
+      .agg(sum((col("d").cast("double") * cos(col("ang")))
+          .cast("decimal(28,12)")).as("cs"),
+        sum((col("d").cast("double") * sin(col("ang")))
+          .cast("decimal(28,12)")).as("ss"))
+    terms.crossJoin(broadcast(den)) // 1-row denominator + n
+      // 2(cs²+ss²)/(n·den): the fraction of series variance carried by
+      // the period's cos/sin pair (Parseval normalization)
+      .withColumn("power",
+        (col("cs").cast("double") * col("cs").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) * 2.0 /
+          (col("n").cast("double") * col("den").cast("double")))
+      .select(col("period"), round(col("power"), 6).as("power_frac"))
+      .orderBy(col("period"))
+  }
 }

@@ -1915,4 +1915,36 @@ object Relational {
         round(col("paasche"), 6).as("paasche"),
         round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
   }
+  /** Herfindahl–Hirschman market-concentration index of customer
+    * revenue within each nation — the antitrust-style census beside
+    * [[theilDecomp]]'s inequality decomposition: HHI = Σ(xᵢ/X)² is an
+    * EXACT RATIONAL Σxᵢ²/X² of cent sums, and its reciprocal is the
+    * effective number of equal-size customers (the concentration
+    * number a market report quotes).
+    *
+    * Plan: orders collapse to customer grain, one broadcast dimension
+    * join, and a nation-grain census — Σx and Σx² are both exact
+    * DECIMAL sums, with one double division per output row. */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n_name"), col("n_cust"),
+        round(col("sx").cast("double") / 100.0, 2).as("revenue"),
+        round(col("sxx").cast("double") /
+          (col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("hhi"),
+        round(col("sx").cast("double") * col("sx").cast("double") /
+          col("sxx").cast("double"), 4).as("effective_n"))
+      .orderBy(col("n_name"))
 }
