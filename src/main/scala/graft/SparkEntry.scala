@@ -503,7 +503,10 @@ object SparkEntry {
     "orders_price_index" -> ((s, d) => Relational.priceIndexes(s, d)),
     "events_periodogram" -> ((s, d) => EventAnalytics.periodogram(s, d)),
     "orders_hhi" -> ((s, d) => Relational.hhiConcentration(s, d)),
-    "sample_systematic" -> ((s, d) => Curation.systematicSample(s, d))
+    "sample_systematic" -> ((s, d) => Curation.systematicSample(s, d)),
+    "window_bollinger" -> ((s, d) => Relational.bollingerBands(s, d)),
+    "orders_safety_stock" -> ((s, d) => Relational.safetyStock(s, d)),
+    "docs_token_infogain" -> ((s, d) => Curation.tokenInfogain(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9362,7 +9365,119 @@ object SparkEntry {
          pm AS (SELECT CAST(s AS DOUBLE) / n AS pm FROM pop)
          SELECT method, n, ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_chars,
            ROUND(ABS(CAST(s AS DOUBLE) / n - pm), 4) AS abs_error
-         FROM u, pm ORDER BY method"""
+         FROM u, pm ORDER BY method""",
+    "window_bollinger" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         w AS (SELECT day, c,
+             CAST(COUNT(*) OVER win AS BIGINT) AS k,
+             CAST(SUM(c) OVER win AS BIGINT) AS sx,
+             CAST(SUM(c * c) OVER win AS BIGINT) AS sxx
+           FROM daily WINDOW win AS (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         f AS (SELECT * FROM w WHERE k = 7),
+         g AS (SELECT day, c, CAST(sx AS DOUBLE) / k AS m,
+             sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+               / (CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE))) AS sd
+           FROM f)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(m / 100.0, 4) AS mean7, ROUND(sd / 100.0, 4) AS sd7,
+           ROUND((m + sd * 2.0) / 100.0, 4) AS upper,
+           ROUND((m - sd * 2.0) / 100.0, 4) AS lower,
+           (c > m + sd * 2.0 OR c < m - sd * 2.0) AS breakout
+         FROM g ORDER BY day""",
+    "orders_safety_stock" ->
+      """WITH monthly AS (SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS mo,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qm
+           FROM lineitem GROUP BY 1, 2),
+         span AS (SELECT CAST(date_diff('month',
+             date_trunc('month', MIN(l_shipdate)),
+             date_trunc('month', MAX(l_shipdate))) + 1 AS BIGINT)
+             AS n_months FROM lineitem),
+         parts AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(qm) AS BIGINT) AS s,
+             CAST(SUM(qm * qm) AS BIGINT) AS qq
+           FROM monthly GROUP BY 1),
+         pq AS (SELECT l_partkey,
+             CASE WHEN NOT (n_months * 100 >= m * 132)
+                   AND NOT ((m * qq - s * s) * 100 >= s * s * 49)
+                 THEN 'smooth'
+               WHEN n_months * 100 >= m * 132
+                   AND NOT ((m * qq - s * s) * 100 >= s * s * 49)
+                 THEN 'intermittent'
+               WHEN NOT (n_months * 100 >= m * 132)
+                 THEN 'erratic'
+               ELSE 'lumpy' END AS quadrant
+           FROM parts, span),
+         wq AS (SELECT quadrant, qm, monthly.l_partkey
+           FROM monthly JOIN pq USING (l_partkey)),
+         hist AS (SELECT quadrant, qm, CAST(COUNT(*) AS BIGINT) AS n
+           FROM wq GROUP BY 1, 2),
+         ch AS (SELECT quadrant, qm, SUM(n) OVER (PARTITION BY quadrant
+             ORDER BY qm ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT quadrant,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(qm) AS BIGINT) AS sq
+           FROM wq GROUP BY 1),
+         q50 AS (SELECT ch.quadrant, MIN(qm) AS q50
+           FROM ch JOIN tot USING (quadrant)
+           WHERE cum * 100 >= n_months * 50 GROUP BY 1),
+         q95 AS (SELECT ch.quadrant, MIN(qm) AS q95
+           FROM ch JOIN tot USING (quadrant)
+           WHERE cum * 100 >= n_months * 95 GROUP BY 1)
+         SELECT t.quadrant, n_parts, n_months,
+           ROUND(CAST(sq AS DOUBLE) / n_months / 100.0, 4) AS mean_qty,
+           ROUND(CAST(q50 AS DOUBLE) / 100.0, 2) AS q50_qty,
+           ROUND(CAST(q95 AS DOUBLE) / 100.0, 2) AS q95_qty,
+           ROUND(CAST(q95 AS DOUBLE) / 100.0
+             - CAST(sq AS DOUBLE) / n_months / 100.0, 4) AS safety_stock
+         FROM tot t JOIN q50 USING (quadrant) JOIN q95 USING (quadrant)
+         ORDER BY t.quadrant""",
+    "docs_token_infogain" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, lang, token FROM
+           (SELECT doc_id, lang, unnest(string_split(text, ' '))
+              AS token FROM documents) WHERE token <> ''),
+         lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+           FROM documents GROUP BY 1),
+         ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         head AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+             AS df FROM dt GROUP BY 1 ORDER BY df DESC, token LIMIT 50),
+         pres AS (SELECT dt.token, lang, CAST(COUNT(*) AS BIGINT) AS np
+           FROM dt JOIN head ON dt.token = head.token GROUP BY 1, 2),
+         cells AS (SELECT h.token, l.lang, COALESCE(np, 0) AS np,
+             nl - COALESCE(np, 0) AS na
+           FROM head h CROSS JOIN lt l
+           LEFT JOIN pres p ON p.token = h.token AND p.lang = l.lang),
+         hl AS (SELECT CAST(SUM(CASE WHEN nl > 0 THEN
+               CAST(CAST(nl AS DOUBLE) / nd * ln(CAST(nd AS DOUBLE) / nl)
+                 AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS h_lang
+           FROM lt, ndt),
+         pt AS (SELECT c.token, h.df, ndt.nd,
+             CAST(SUM(CASE WHEN np > 0 THEN
+               CAST(CAST(np AS DOUBLE) / df * ln(CAST(df AS DOUBLE) / np)
+                 AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS h_pres,
+             CAST(SUM(CASE WHEN na > 0 THEN
+               CAST(CAST(na AS DOUBLE) / (nd - df)
+                 * ln(CAST(nd - df AS DOUBLE) / na) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS h_abs
+           FROM cells c JOIN head h ON c.token = h.token, ndt
+           GROUP BY 1, 2, 3),
+         ig AS (SELECT token, df,
+             h_lang - (CAST(df AS DOUBLE) / nd * h_pres
+               + CAST(nd - df AS DOUBLE) / nd * h_abs) AS ig
+           FROM pt, hl),
+         rk AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ig DESC, token)
+             AS INT) AS rk, token, df, ig FROM ig)
+         SELECT rk, token, df, ROUND(ig, 6) AS info_gain
+         FROM rk WHERE rk <= 10 ORDER BY rk"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

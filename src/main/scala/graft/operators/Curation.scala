@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1189,5 +1189,73 @@ object Curation {
         round(abs(col("s").cast("double") / col("n") - col("pm")), 4)
           .as("abs_error"))
       .orderBy(col("method"))
+  }
+  /** Information-gain feature ranking of tokens against the language
+    * label — the feature-selection pass a quality-probe or router
+    * model runs before training ([[Similarity.clusterNmi]]'s mutual
+    * information, applied at token level): for each of the 50 highest
+    * document-frequency tokens, IG = H(lang) − [p·H(lang|present) +
+    * (1−p)·H(lang|absent)] over document-level presence, reporting
+    * the top 10. A high-IG token is a language shibboleth; an IG≈0
+    * token is corpus boilerplate ([[boilerplatePrefixes]]' cousin,
+    * detected statistically).
+    *
+    * All contingency counts are exact integers (absent counts derived
+    * from language totals); every entropy term quantizes to
+    * DECIMAL(28,12) before its sum.
+    *
+    * Plan: one (doc, token) distinct explode (corpus-scale, the only
+    * big relation), a 50-row broadcast head, token×lang contingency
+    * at vocabulary grain, and a 10-row census. */
+  def tokenInfogain(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("lang"), col("token")).distinct()
+      .localCheckpoint() // (doc, token) presence relation, read twice
+    val langTot = docs(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("nl"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    val head = dt.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(50)
+    val pres = dt.join(broadcast(head.select(col("token"))), Seq("token"))
+      .groupBy(col("token"), col("lang"))
+      .agg(count(lit(1)).as("np"))
+    // FULL token x lang grid: a language with zero presence still
+    // contributes its absent-side entropy term (na = nl)
+    val cells = head.select(col("token"))
+      .crossJoin(broadcast(langTot))
+      .join(pres, Seq("token", "lang"), "left")
+      .select(col("token"), col("lang"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        (col("nl") - coalesce(col("np"), lit(0L))).as("na"))
+    def h(nCol: Column, totCol: Column): Column =
+      when(nCol > 0, (nCol.cast("double") / totCol *
+        log(totCol.cast("double") / nCol)).cast("decimal(28,12)"))
+        .otherwise(lit(0.0).cast("decimal(28,12)"))
+    val hLang = langTot.crossJoin(broadcast(nDocs))
+      .agg(sum(h(col("nl"), col("nd"))).cast("double").as("h_lang"))
+    val perToken = cells
+      .join(broadcast(head), Seq("token"))
+      .crossJoin(broadcast(nDocs)) // 1-row doc total
+      .groupBy(col("token"), col("df"), col("nd"))
+      .agg(sum(h(col("np"), col("df"))).cast("double").as("h_pres"),
+        sum(h(col("na"), col("nd") - col("df"))).cast("double")
+          .as("h_abs"))
+    perToken.crossJoin(broadcast(hLang)) // 1-row entropy scalar
+      .withColumn("ig",
+        col("h_lang") -
+          (col("df").cast("double") / col("nd") * col("h_pres") +
+            (col("nd") - col("df")).cast("double") / col("nd") *
+              col("h_abs")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ig").desc, col("token"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk"), col("token"), col("df"),
+        round(col("ig"), 6).as("info_gain"))
+      .orderBy(col("rk"))
   }
 }

@@ -1729,13 +1729,18 @@ object Relational {
     *
     * Plan: one lineitem pass to (part, month) grain, a part-grain
     * re-agg, a 1-row span broadcast, and a 4-row census. */
-  def demandClasses(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables(spark, dir, "lineitem")
+  /** (part, month) exact-cents demand — the shared grain under
+    * [[demandClasses]] and [[safetyStock]]. */
+  private def monthlyDemand(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
       .select(col("l_partkey"),
         date_trunc("month", col("l_shipdate")).as("mo"),
         round(col("l_quantity") * 100).cast("long").as("q"))
       .groupBy(col("l_partkey"), col("mo"))
       .agg(sum(col("q")).as("qm"))
+
+  def demandClasses(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = monthlyDemand(spark, dir)
     val span = Tables(spark, dir, "lineitem")
       .agg((months_between(
         date_trunc("month", max(col("l_shipdate"))),
@@ -1759,6 +1764,35 @@ object Relational {
       .withColumn("cv2",
         ((col("m") * col("qq") - col("s") * col("s")).cast("double") /
           (col("s") * col("s")).cast("double")).cast("decimal(18,9)"))
+    demandCensus(parts)
+  }
+
+  /** Per-part quadrant relation for reuse by [[safetyStock]]. */
+  private[operators] def partQuadrants(spark: SparkSession,
+      dir: String): DataFrame = {
+    val monthly = monthlyDemand(spark, dir)
+    val span = Tables(spark, dir, "lineitem")
+      .agg((months_between(
+        date_trunc("month", max(col("l_shipdate"))),
+        date_trunc("month", min(col("l_shipdate")))).cast("long") + 1)
+        .as("n_months"))
+    monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"), sum(col("qm")).as("s"),
+        sum(col("qm") * col("qm")).as("qq"))
+      .crossJoin(broadcast(span))
+      .withColumn("adi_hi", col("n_months") * 100 >= col("m") * 132)
+      .withColumn("cv2_hi",
+        (col("m") * col("qq") - col("s") * col("s")) * 100 >=
+          col("s") * col("s") * 49)
+      .withColumn("quadrant",
+        when(!col("adi_hi") && !col("cv2_hi"), "smooth")
+          .when(col("adi_hi") && !col("cv2_hi"), "intermittent")
+          .when(!col("adi_hi") && col("cv2_hi"), "erratic")
+          .otherwise("lumpy"))
+      .select(col("l_partkey"), col("quadrant"))
+  }
+
+  private def demandCensus(parts: DataFrame): DataFrame = {
     val tot = parts.agg(count(lit(1)).as("n_parts"))
     parts.groupBy(col("quadrant"))
       .agg(count(lit(1)).as("n_parts_q"),
@@ -1947,4 +1981,88 @@ object Relational {
         round(col("sx").cast("double") * col("sx").cast("double") /
           col("sxx").cast("double"), 4).as("effective_n"))
       .orderBy(col("n_name"))
+  /** Bollinger bands over daily revenue — the rolling mean ± 2σ
+    * envelope with breakout flags that [[vwap]]'s cumulative ratio and
+    * [[Temporal.interpolateHourly]]'s point fills both stop short of:
+    * a 7-day trailing window's exact Σx/Σx² give the band, and a day
+    * closing outside its own trailing band is the volatility-breakout
+    * signal. Only FULL windows emit (the warm-up week is not a
+    * narrower band, it is no band — the honest convention).
+    *
+    * Exactness: day revenues are exact cents; each window's mean and
+    * sample variance come from integer Σx/Σx² (var =
+    * (nΣx²−(Σx)²)/(n(n−1))); band edges and the flag are single double
+    * expressions per row.
+    *
+    * Plan: one corpus pass to day grain, two running-sum windows over
+    * the day-grain relation — the [[vwap]] epilogue shape. */
+  def bollingerBands(spark: SparkSession, dir: String,
+      win: Int = 7): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(win - 1), 0)
+    daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("c")).over(w))
+      .withColumn("sxx", sum(col("c") * col("c")).over(w))
+      .filter(col("k") === win)
+      .withColumn("m", col("sx").cast("double") / col("k"))
+      .withColumn("sd", sqrt(
+        (col("k") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("k").cast("double") * (col("k") - 1).cast("double"))))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("c").cast("double") / 100.0, 2).as("revenue"),
+        round(col("m") / 100.0, 4).as("mean7"),
+        round(col("sd") / 100.0, 4).as("sd7"),
+        round((col("m") + col("sd") * 2.0) / 100.0, 4).as("upper"),
+        round((col("m") - col("sd") * 2.0) / 100.0, 4).as("lower"),
+        (col("c") > col("m") + col("sd") * 2.0 ||
+          col("c") < col("m") - col("sd") * 2.0).as("breakout"))
+      .orderBy(col("day"))
+  }
+  /** Safety-stock sizing per demand quadrant — the replenishment
+    * number [[demandClasses]]' classification feeds and
+    * [[crostonForecast]]'s rate estimate cannot give alone: pooling
+    * the monthly demand sizes of each quadrant's parts, the exact
+    * histogram-CDF median and 95th percentile (ceil-rank order
+    * statistics on the value DOMAIN — the [[trimmedMeans]] trick), and
+    * safety stock = q95 − mean, the buffer a 95% cycle-service-level
+    * policy holds above average demand.
+    *
+    * Exactness: quantiles are exact order statistics from integer
+    * cumulative counts; the mean is one double division of exact
+    * sums.
+    *
+    * Plan: the (part, month) grain joins the part-grain quadrant
+    * relation, collapses to a per-quadrant value histogram, and all
+    * quantile work runs on the histogram — no sort at data grain. */
+  def safetyStock(spark: SparkSession, dir: String): DataFrame = {
+    val withQ = monthlyDemand(spark, dir)
+      .join(partQuadrants(spark, dir), Seq("l_partkey"))
+    val hist = withQ.groupBy(col("quadrant"), col("qm"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("quadrant")).orderBy(col("qm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = withQ.groupBy(col("quadrant"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_months"), sum(col("qm")).as("sq"))
+    def quantile(p: Int, name: String): DataFrame =
+      hist.join(broadcast(tot.select(col("quadrant"), col("n_months"))),
+          Seq("quadrant"))
+        .filter(col("cum") * 100 >= col("n_months") * p)
+        .groupBy(col("quadrant")).agg(min(col("qm")).as(name))
+    quantile(50, "q50").join(quantile(95, "q95"), Seq("quadrant"))
+      .join(broadcast(tot), Seq("quadrant"))
+      .select(col("quadrant"), col("n_parts"), col("n_months"),
+        round(col("sq").cast("double") / col("n_months") / 100.0, 4)
+          .as("mean_qty"),
+        round(col("q50").cast("double") / 100.0, 2).as("q50_qty"),
+        round(col("q95").cast("double") / 100.0, 2).as("q95_qty"),
+        round(col("q95").cast("double") / 100.0 -
+          col("sq").cast("double") / col("n_months") / 100.0, 4)
+          .as("safety_stock"))
+      .orderBy(col("quadrant"))
+  }
 }
