@@ -506,7 +506,10 @@ object SparkEntry {
     "sample_systematic" -> ((s, d) => Curation.systematicSample(s, d)),
     "window_bollinger" -> ((s, d) => Relational.bollingerBands(s, d)),
     "orders_safety_stock" -> ((s, d) => Relational.safetyStock(s, d)),
-    "docs_token_infogain" -> ((s, d) => Curation.tokenInfogain(s, d))
+    "docs_token_infogain" -> ((s, d) => Curation.tokenInfogain(s, d)),
+    "text_langid_eval" -> ((s, d) => TextAnalysis.langidEval(s, d)),
+    "events_mann_whitney" -> ((s, d) => EventAnalytics.mannWhitney(s, d)),
+    "agg_skew_kurtosis" -> ((s, d) => Relational.skewKurtosis(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9477,7 +9480,114 @@ object SparkEntry {
          rk AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY ig DESC, token)
              AS INT) AS rk, token, df, ig FROM ig)
          SELECT rk, token, df, ROUND(ig, 6) AS info_gain
-         FROM rk WHERE rk <= 10 ORDER BY rk"""
+         FROM rk WHERE rk <= 10 ORDER BY rk""",
+    "text_langid_eval" ->
+      """WITH conf AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT)
+             AS n FROM (
+           SELECT lang,
+             CASE WHEN contains(t, ' der ') OR contains(t, ' und ')
+                    OR contains(t, ' die ') THEN 'de'
+                  WHEN contains(t, ' le ') OR contains(t, ' la ')
+                    OR contains(t, ' et ') THEN 'fr'
+                  WHEN contains(t, ' el ') OR contains(t, ' los ')
+                    OR contains(t, ' que ') THEN 'es'
+                  WHEN regexp_matches(t, '[\x{4e00}-\x{9fff}]')
+                    THEN 'zh'
+                  WHEN contains(t, ' the ') OR contains(t, ' and ')
+                    OR contains(t, ' of ') THEN 'en'
+                  ELSE 'unknown' END AS pred_lang
+           FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents) a)
+           b GROUP BY 1, 2),
+         bt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM conf
+           GROUP BY 1),
+         bpd AS (SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT)
+             AS n_pred FROM conf GROUP BY 1),
+         tp AS (SELECT lang, n AS tp FROM conf
+           WHERE lang = pred_lang),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM conf),
+         acc AS (SELECT CAST(SUM(n) AS BIGINT) AS n_correct FROM conf
+           WHERE lang = pred_lang),
+         pc AS (SELECT bt.lang, COALESCE(tp, 0) AS tp,
+             COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+             n_true - COALESCE(tp, 0) AS fn
+           FROM bt LEFT JOIN tp ON bt.lang = tp.lang
+           LEFT JOIN bpd ON bt.lang = bpd.lang),
+         m1 AS (SELECT *,
+             CASE WHEN tp + fp > 0
+               THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END
+               AS precision,
+             CASE WHEN tp + fn > 0
+               THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END
+               AS recall
+           FROM pc),
+         m2 AS (SELECT *,
+             CASE WHEN precision + recall > 0
+               THEN 2.0 * precision * recall / (precision + recall)
+               ELSE 0.0 END AS f1
+           FROM m1),
+         mac AS (SELECT CAST(SUM(CAST(f1 AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS macro_f1 FROM m2)
+         SELECT m2.lang, tp, fp, fn,
+           ROUND(precision, 6) AS precision, ROUND(recall, 6) AS recall,
+           ROUND(f1, 6) AS f1,
+           ROUND(CAST(n_correct AS DOUBLE) / n_all, 6) AS accuracy,
+           ROUND(macro_f1, 6) AS macro_f1
+         FROM m2, mac, acc, tot ORDER BY m2.lang""",
+    "events_mann_whitney" ->
+      """WITH ev AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+             user_id % 2 = 0 AS treat
+           FROM events WHERE value IS NOT NULL),
+         hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt
+           FROM ev GROUP BY 1),
+         ch AS (SELECT *, SUM(n) OVER (ORDER BY c
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         mr AS (SELECT *, cum * 2 - n + 1 AS mr2 FROM ch),
+         sums AS (SELECT CAST(SUM(nt * mr2) AS BIGINT) AS r2_t,
+             CAST(SUM(nt) AS BIGINT) AS n1,
+             CAST(SUM(n - nt) AS BIGINT) AS n2,
+             CAST(SUM(n * n * n - n) AS DECIMAL(38,0)) AS tie
+           FROM mr),
+         st AS (SELECT *, n1 + n2 AS nn,
+             CAST(r2_t AS DOUBLE) / 2.0
+               - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u
+           FROM sums),
+         v AS (SELECT *,
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+               * (CAST(nn + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+               AS var
+           FROM st)
+         SELECT n1, n2, ROUND(u, 2) AS u,
+           ROUND((u - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(var), 6)
+             AS z,
+           ROUND(CAST(tie AS DOUBLE), 2) AS tie_term
+         FROM v""",
+    "agg_skew_kurtosis" ->
+      """WITH c AS (SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+         mu AS (SELECT o_orderpriority,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu
+           FROM c GROUP BY 1),
+         d AS (SELECT c.o_orderpriority,
+             (CAST(c AS DOUBLE) - mu) / 100.0 AS d
+           FROM c JOIN mu ON c.o_orderpriority = mu.o_orderpriority),
+         s AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(d * d AS DECIMAL(38,6))) AS s2,
+             SUM(CAST(d * d * d AS DECIMAL(38,6))) AS s3,
+             SUM(CAST(d * d * d * d AS DECIMAL(38,6))) AS s4
+           FROM d GROUP BY 1),
+         m AS (SELECT o_orderpriority, n,
+             CAST(s2 AS DOUBLE) / n AS m2, CAST(s3 AS DOUBLE) / n AS m3,
+             CAST(s4 AS DOUBLE) / n AS m4
+           FROM s)
+         SELECT o_orderpriority, n,
+           ROUND(sqrt(m2), 4) AS stddev,
+           ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+         FROM m ORDER BY o_orderpriority"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2806,4 +2806,56 @@ object EventAnalytics {
       .select(col("period"), round(col("power"), 6).as("power_frac"))
       .orderBy(col("period"))
   }
+  /** Mann–Whitney U rank-sum test between the two user-parity arms on
+    * event values — the nonparametric sibling of [[abTest]]'s
+    * proportion z and [[didPretrends]]' OLS: U from EXACT MIDRANKS
+    * computed on the value-domain histogram (the
+    * [[graft.operators.Curation]] exactRank discipline — no
+    * corpus-wide sort), with the tie-corrected normal approximation
+    * z = (U − n₁n₂/2) / √(n₁n₂/12·((N+1) − Στ³−τ / N(N−1))) — the
+    * tie term matters here because cent values repeat heavily.
+    *
+    * Midranks are exact rationals (2·midrank is an integer:
+    * 2·cum − n + 1 per value); every sum is integer or DECIMAL-exact;
+    * z is one double expression at the end.
+    *
+    * Plan: one corpus pass to the (value, arm) histogram; ranks,
+    * tie terms, and the test statistic all run on the value-DOMAIN
+    * relation. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("c"),
+        (col("user_id") % 2 === 0).as("treat"))
+    val hist = ev.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("treat").cast("long")).as("nt"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // 2*midrank = 2*cum - n + 1 (integer): rank sums stay exact
+      .withColumn("mr2", col("cum") * 2 - col("n") + 1)
+    val sums = hist.agg(
+      sum(col("nt") * col("mr2")).as("r2_t"),
+      sum(col("nt")).as("n1"),
+      sum(col("n") - col("nt")).as("n2"),
+      sum(col("n") * col("n") * col("n") - col("n"))
+        .cast("decimal(38,0)").as("tie"))
+    sums
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("u",
+        (col("r2_t").cast("double") / 2.0) -
+          (col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+      .withColumn("var",
+        (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((col("nn") + 1).cast("double") -
+            col("tie").cast("double") /
+              (col("nn").cast("double") * (col("nn") - 1)
+                .cast("double"))))
+      .select(col("n1"), col("n2"), round(col("u"), 2).as("u"),
+        round((col("u") -
+          (col("n1") * col("n2")).cast("double") / 2.0) /
+          sqrt(col("var")), 6).as("z"),
+        round(col("tie").cast("double"), 2).as("tie_term"))
+  }
 }

@@ -2837,4 +2837,66 @@ object TextAnalysis {
           .as("delta"))
     pairs.orderBy(col("s1"), col("s2"))
   }
+  /** Classifier-eval metrics over [[langIdConfusion]]'s matrix — the
+    * precision/recall/F1 readout that turns the raw confusion census
+    * into the numbers a model gate thresholds on: per true language,
+    * tp / fp / fn, precision, recall, F1, plus the replicated
+    * micro-accuracy and macro-F1 (the unweighted class mean — the
+    * fairness-to-small-classes convention). "unknown" predictions
+    * count as false negatives for their true class, never as a class
+    * of their own (no document is truly "unknown").
+    *
+    * All counts are exact; each metric is one double division; the
+    * macro mean sums DECIMAL(18,9)-quantized per-class F1s.
+    *
+    * Plan: the confusion matrix is one corpus pass into a ≤|langs|²
+    * relation; everything downstream is class-grain arithmetic. */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langIdConfusion(spark, dir)
+      .localCheckpoint() // class-grain confusion, read by 4 branches
+    val byTrue = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    val byPred = conf.groupBy(col("pred_lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang"), col("n").as("tp"))
+    val tot = conf.agg(sum(col("n")).as("n_all"))
+    val acc = conf.filter(col("lang") === col("pred_lang"))
+      .agg(sum(col("n")).as("n_correct"))
+    val perClass = byTrue
+      .join(broadcast(tp), Seq("lang"), "left")
+      .join(broadcast(byPred.withColumnRenamed("pred_lang", "lang")),
+        Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) -
+          coalesce(col("tp"), lit(0L))).as("fp"),
+        (col("n_true") - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+    val macroF1 = perClass.agg(
+      (sum(col("f1").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("macro_f1"))
+    perClass
+      .crossJoin(broadcast(macroF1)) // 1-row macro scalar
+      .crossJoin(broadcast(acc)) // 1-row correct count
+      .crossJoin(broadcast(tot)) // 1-row total
+      .select(col("lang"), col("tp"), col("fp"), col("fn"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        round(col("n_correct").cast("double") / col("n_all"), 6)
+          .as("accuracy"),
+        round(col("macro_f1"), 6).as("macro_f1"))
+      .orderBy(col("lang"))
+  }
 }
