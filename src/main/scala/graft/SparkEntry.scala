@@ -509,7 +509,10 @@ object SparkEntry {
     "docs_token_infogain" -> ((s, d) => Curation.tokenInfogain(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langidEval(s, d)),
     "events_mann_whitney" -> ((s, d) => EventAnalytics.mannWhitney(s, d)),
-    "agg_skew_kurtosis" -> ((s, d) => Relational.skewKurtosis(s, d))
+    "agg_skew_kurtosis" -> ((s, d) => Relational.skewKurtosis(s, d)),
+    "dedup_trigram_cosine" -> ((s, d) => DedupOps.trigramCosine(s, d)),
+    "window_rsi" -> ((s, d) => Relational.rsiCutler(s, d)),
+    "sketch_linear_counting" -> ((s, d) => Quality.linearCounting(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9587,7 +9590,99 @@ object SparkEntry {
            ROUND(sqrt(m2), 4) AS stddev,
            ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
            ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
-         FROM m ORDER BY o_orderpriority"""
+         FROM m ORDER BY o_orderpriority""",
+    "dedup_trigram_cosine" ->
+      """WITH tg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id,
+               unnest([substr(text, i, 3)
+                 for i in range(1, length(text) - 1)]) AS g
+             FROM documents WHERE length(text) >= 3) z
+           GROUP BY 1, 2),
+         norms AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nsq
+           FROM tg GROUP BY 1),
+         keep AS (SELECT g FROM tg GROUP BY g
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id
+           JOIN keep k ON k.g = a.g),
+         dot AS (SELECT c.d1, c.d2,
+             CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+           FROM cand c
+           JOIN tg a ON a.doc_id = c.d1
+           JOIN tg b ON b.doc_id = c.d2 AND b.g = a.g
+           GROUP BY 1, 2),
+         cs AS (SELECT d1, d2, dot,
+             ROUND(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(x.nsq AS DOUBLE))
+                 * sqrt(CAST(y.nsq AS DOUBLE))), 6) AS cosine
+           FROM dot JOIN norms x ON d1 = x.doc_id
+           JOIN norms y ON d2 = y.doc_id)
+         SELECT d1, d2, dot, cosine FROM cs WHERE cosine * 100 >= 90
+         ORDER BY cosine DESC, d1, d2""",
+    "window_rsi" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         chg AS (SELECT day, c,
+             LAG(c) OVER (ORDER BY day) AS prev FROM daily),
+         gl AS (SELECT day, c,
+             GREATEST(c - prev, 0) AS gain,
+             GREATEST(prev - c, 0) AS loss
+           FROM chg WHERE prev IS NOT NULL),
+         w AS (SELECT day, c,
+             CAST(COUNT(*) OVER win AS BIGINT) AS k,
+             CAST(SUM(gain) OVER win AS BIGINT) AS sg,
+             CAST(SUM(loss) OVER win AS BIGINT) AS sl
+           FROM gl WINDOW win AS (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(sg AS DOUBLE) / 14 / 100.0, 4) AS avg_gain,
+           ROUND(CAST(sl AS DOUBLE) / 14 / 100.0, 4) AS avg_loss,
+           ROUND(CASE WHEN sg + sl > 0 THEN
+             100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) END,
+             4) AS rsi
+         FROM w WHERE k = 14 ORDER BY day""",
+    "sketch_linear_counting" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events),
+         slots AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+             AS occupied
+           FROM (SELECT DISTINCT event_type,
+               CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                   * 268435456
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                   * 16777216
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                   * 1048576
+                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                   * 65536
+                 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                   * 4096
+                 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                   * 256
+                 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+                 % 4096 AS BIGINT) AS slot
+             FROM (SELECT event_type, md5('lc:'
+                 || CAST(user_id AS VARCHAR)) AS h FROM ev) a) b
+           GROUP BY 1),
+         exact AS (SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM ev GROUP BY 1),
+         j AS (SELECT e.event_type, exact_distinct, occupied,
+             CASE WHEN occupied < 4096 THEN
+               -4096.0 * ln(CAST(4096 - occupied AS DOUBLE) / 4096)
+             END AS est
+           FROM exact e JOIN slots s ON e.event_type = s.event_type)
+         SELECT event_type, exact_distinct, occupied,
+           ROUND(est, 2) AS estimate,
+           ROUND(ABS(est - CAST(exact_distinct AS DOUBLE))
+             / exact_distinct, 6) AS rel_err,
+           ABS(est - CAST(exact_distinct AS DOUBLE))
+             <= CAST(exact_distinct AS DOUBLE) * 0.05 AS within_5pct
+         FROM j ORDER BY event_type"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2105,4 +2105,45 @@ object Relational {
           .as("excess_kurtosis"))
       .orderBy(col("o_orderpriority"))
   }
+  /** 14-day RSI (Cutler's SMA variant) over daily revenue — the
+    * momentum oscillator beside [[bollingerBands]]' volatility
+    * envelope: day-over-day revenue changes split into gains and
+    * losses, each averaged over the trailing 14 full days, and
+    * RSI = 100·avg_gain/(avg_gain+avg_loss). Cutler's simple-average
+    * form is chosen over Wilder's recursive smoothing DELIBERATELY:
+    * it is window-exact (two integer sums), order-independent, and
+    * re-anchorable at any offset — the properties a distributed
+    * backfill needs.
+    *
+    * Exactness: gains/losses are exact cent differences; window sums
+    * are integer; RSI is one double division (the all-flat window
+    * reports NULL, not 0/0).
+    *
+    * Plan: day-grain lag + two rolling sums — the [[bollingerBands]]
+    * epilogue shape. */
+  def rsiCutler(spark: SparkSession, dir: String,
+      win: Int = 14): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val chg = daily
+      .withColumn("prev", lag(col("c"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("prev").isNotNull)
+      .withColumn("gain", greatest(col("c") - col("prev"), lit(0L)))
+      .withColumn("loss", greatest(col("prev") - col("c"), lit(0L)))
+    val w = Window.orderBy(col("day")).rowsBetween(-(win - 1), 0)
+    chg
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sg", sum(col("gain")).over(w))
+      .withColumn("sl", sum(col("loss")).over(w))
+      .filter(col("k") === win)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("c").cast("double") / 100.0, 2).as("revenue"),
+        round(col("sg").cast("double") / win / 100.0, 4).as("avg_gain"),
+        round(col("sl").cast("double") / win / 100.0, 4).as("avg_loss"),
+        round(when(col("sg") + col("sl") > 0,
+          lit(100.0) * col("sg").cast("double") /
+            (col("sg") + col("sl")).cast("double")), 4).as("rsi"))
+      .orderBy(col("day"))
+  }
 }
