@@ -512,7 +512,10 @@ object SparkEntry {
     "agg_skew_kurtosis" -> ((s, d) => Relational.skewKurtosis(s, d)),
     "dedup_trigram_cosine" -> ((s, d) => DedupOps.trigramCosine(s, d)),
     "window_rsi" -> ((s, d) => Relational.rsiCutler(s, d)),
-    "sketch_linear_counting" -> ((s, d) => Quality.linearCounting(s, d))
+    "sketch_linear_counting" -> ((s, d) => Quality.linearCounting(s, d)),
+    "orders_lorenz_curve" -> ((s, d) => Relational.lorenzCurve(s, d)),
+    "events_ab_power" -> ((s, d) => EventAnalytics.abPower(s, d)),
+    "graph_reciprocity" -> ((s, d) => Graph.reciprocity(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9682,7 +9685,79 @@ object SparkEntry {
              / exact_distinct, 6) AS rel_err,
            ABS(est - CAST(exact_distinct AS DOUBLE))
              <= CAST(exact_distinct AS DOUBLE) * 0.05 AS within_5pct
-         FROM j ORDER BY event_type"""
+         FROM j ORDER BY event_type""",
+    "orders_lorenz_curve" ->
+      """WITH cust AS (SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(x * COUNT(*) AS BIGINT) AS ev
+           FROM cust GROUP BY 1),
+         ch AS (SELECT x, n, ev,
+             SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_u,
+             SUM(ev) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_e
+           FROM hist),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_tot,
+             CAST(SUM(x) AS BIGINT) AS e_tot FROM cust),
+         ks AS (SELECT CAST(k AS INT) AS k FROM range(1, 11) t(k)),
+         cut AS (SELECT ch.*, k, (k * u_tot) // 10 AS cut, e_tot
+           FROM ch, tot, ks
+           WHERE cum_u - n < (k * u_tot) // 10
+             AND cum_u >= (k * u_tot) // 10),
+         pts AS (SELECT k, cut AS n_customers,
+             cum_e - ev + (cut - (cum_u - n)) * x AS rev_cents, e_tot
+           FROM cut)
+         SELECT k, n_customers,
+           ROUND(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           ROUND(CAST(rev_cents AS DOUBLE) / e_tot, 6) AS cum_share,
+           ROUND(CAST(k AS DOUBLE) / 10.0
+             - CAST(rev_cents AS DOUBLE) / e_tot, 6) AS equality_gap
+         FROM pts ORDER BY k""",
+    "events_ab_power" ->
+      """WITH arms AS (SELECT user_id % 2 = 0 AS is_a,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS n_conv
+           FROM events GROUP BY 1),
+         a AS (SELECT n_events AS n_a, n_conv AS c_a FROM arms
+           WHERE is_a),
+         b AS (SELECT n_events AS n_b, n_conv AS c_b FROM arms
+           WHERE NOT is_a),
+         j AS (SELECT *,
+             CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               AS p_pool,
+             2.0 * n_a * n_b / CAST(n_a + n_b AS DOUBLE) AS n_harm
+           FROM a, b),
+         m AS (SELECT *,
+             2.801585 * sqrt(2.0 * p_pool * (1.0 - p_pool) / n_harm)
+               AS mde
+           FROM j)
+         SELECT n_a, n_b, c_a, c_b, ROUND(p_pool, 6) AS p_pool,
+           ROUND(n_harm, 2) AS n_harmonic, ROUND(mde, 6) AS mde_abs,
+           ROUND(mde / p_pool, 6) AS mde_rel
+         FROM m""",
+    "graph_reciprocity" ->
+      """WITH directed AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn AS (SELECT label, v1, v2 FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+               ORDER BY sim DESC, v2) AS rk FROM directed) r
+           WHERE rk <= 3),
+         mut AS (SELECT k1.label, CAST(COUNT(*) AS BIGINT) AS n_mutual
+           FROM knn k1 WHERE EXISTS (SELECT 1 FROM knn k2
+             WHERE k2.label = k1.label AND k2.v1 = k1.v2
+               AND k2.v2 = k1.v1)
+           GROUP BY 1),
+         tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_directed
+           FROM knn GROUP BY 1)
+         SELECT t.label, n_directed, COALESCE(n_mutual, 0) AS n_mutual,
+           ROUND(CAST(COALESCE(n_mutual, 0) AS DOUBLE) / n_directed, 6)
+             AS reciprocity
+         FROM tot t LEFT JOIN mut ON t.label = mut.label
+         ORDER BY t.label"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2858,4 +2858,43 @@ object EventAnalytics {
           sqrt(col("var")), 6).as("z"),
         round(col("tie").cast("double"), 2).as("tie_term"))
   }
+  /** A/B power analysis — the DESIGN number that belongs next to
+    * [[abTest]]'s readout and [[streamAbMonitor]]'s boundaries: with
+    * the observed per-arm event counts and the pooled purchase rate (the
+    * [[abTest]] metric — user-grain conversion is degenerate on this
+    * corpus, every active user eventually purchases), the minimum
+    * detectable effect at α = 0.05 two-sided and 80% power, MDE =
+    * (z_{α/2} + z_{β})·√(2p̄(1−p̄)/n̄) with the standard 1.959964 +
+    * 0.841621 constants and n̄ the harmonic mean of the arm sizes
+    * (the unequal-n correction). An experiment whose expected lift is
+    * below this row's mde_rel is not worth launching — the cheapest
+    * statistics in the whole battery, and the most often skipped.
+    *
+    * Exactness: counts are exact; the MDE is one double expression. */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables(spark, dir, "events")
+      .groupBy((col("user_id") % 2 === 0).as("is_a"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long"))
+          .as("n_conv"))
+    val a = arms.filter(col("is_a")).select(col("n_events").as("n_a"),
+      col("n_conv").as("c_a"))
+    val b = arms.filter(!col("is_a")).select(col("n_events").as("n_b"),
+      col("n_conv").as("c_b"))
+    a.crossJoin(broadcast(b)) // 1-row x 1-row arms
+      .withColumn("p_pool", (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("n_harm",
+        lit(2.0) * col("n_a") * col("n_b") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("mde",
+        lit(1.959964 + 0.841621) *
+          sqrt(lit(2.0) * col("p_pool") * (lit(1.0) - col("p_pool")) /
+            col("n_harm")))
+      .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        round(col("p_pool"), 6).as("p_pool"),
+        round(col("n_harm"), 2).as("n_harmonic"),
+        round(col("mde"), 6).as("mde_abs"),
+        round(col("mde") / col("p_pool"), 6).as("mde_rel"))
+  }
 }

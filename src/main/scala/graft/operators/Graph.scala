@@ -710,4 +710,30 @@ object Graph {
         round(coalesce(col("h"), lit(0.0)), 6).as("hub"))
       .orderBy(col("label"), col("rk"))
   }
+  /** Edge reciprocity of the DIRECTED k-NN relation — the asymmetry
+    * census that explains [[hitsKnn]]'s hub/authority split and
+    * [[graft.operators.Similarity.knnDiversify]]'s motivation: per
+    * label block, how many directed nearest-neighbor edges are
+    * MUTUAL (you are my top-3 and I am yours). Low reciprocity marks
+    * hubness — a few vectors absorb everyone's out-edges without
+    * reciprocating, the known failure mode of high-dimensional k-NN
+    * graphs.
+    *
+    * One self-join of the degree-bounded edge relation on the
+    * reversed key, all within-label; the census is |labels| rows. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val mutual = e.join(
+      e.select(col("label"), col("v2").as("v1"), col("v1").as("v2")),
+      Seq("label", "v1", "v2"), "left_semi")
+    e.groupBy(col("label")).agg(count(lit(1)).as("n_directed"))
+      .join(mutual.groupBy(col("label")).agg(count(lit(1)).as("n_mutual")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_directed"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        round(coalesce(col("n_mutual"), lit(0L)).cast("double") /
+          col("n_directed"), 6).as("reciprocity"))
+      .orderBy(col("label"))
+  }
 }

@@ -2146,4 +2146,50 @@ object Relational {
             (col("sg") + col("sl")).cast("double")), 4).as("rsi"))
       .orderBy(col("day"))
   }
+  /** Lorenz-curve decile points of customer revenue — the actual CURVE
+    * under [[EventAnalytics.giniCensus]]'s scalar and [[hhiConcentration]]'s
+    * index: for each population decile k (customers ordered by spend,
+    * poorest first), the exact cumulative revenue share, with the
+    * straddling revenue value split pro-rata in EXACT integer
+    * arithmetic (ties are interchangeable — the [[EventAnalytics.powerPareto]]
+    * boundary trick, applied from the bottom). The 45°-line gap column
+    * is the visual Gini the curve is drawn for.
+    *
+    * Plan: orders collapse to customer grain, customers to the
+    * value-domain histogram; the decile cut runs on the histogram with
+    * 1-row totals broadcast — no corpus-scale sort. */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val hist = cust.groupBy(col("x")).agg(count(lit(1)).as("n"))
+      .withColumn("ev", col("x") * col("n"))
+      .withColumn("cum_u", sum(col("n")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_e", sum(col("ev")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cust.agg(count(lit(1)).as("u_tot"), sum(col("x")).as("e_tot"))
+    val ks = spark.range(1, 11).select(col("id").cast("int").as("k"))
+    hist.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ks)) // 10-row decile axis
+      .withColumn("cut", expr("(k * u_tot) div 10"))
+      .filter(col("cum_u") - col("n") < col("cut") &&
+        col("cum_u") >= col("cut"))
+      .select(col("k"), col("cut").as("n_customers"),
+        (col("cum_e") - col("ev") +
+          (col("cut") - (col("cum_u") - col("n"))) * col("x"))
+          .as("rev_cents"),
+        col("e_tot"))
+      .select(col("k"), col("n_customers"),
+        round(col("rev_cents").cast("double") / 100.0, 2)
+          .as("cum_revenue"),
+        round(col("rev_cents").cast("double") / col("e_tot"), 6)
+          .as("cum_share"),
+        round(col("k").cast("double") / 10.0 -
+          col("rev_cents").cast("double") / col("e_tot"), 6)
+          .as("equality_gap"))
+      .orderBy(col("k"))
+  }
 }
