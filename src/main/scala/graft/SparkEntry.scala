@@ -515,7 +515,10 @@ object SparkEntry {
     "sketch_linear_counting" -> ((s, d) => Quality.linearCounting(s, d)),
     "orders_lorenz_curve" -> ((s, d) => Relational.lorenzCurve(s, d)),
     "events_ab_power" -> ((s, d) => EventAnalytics.abPower(s, d)),
-    "graph_reciprocity" -> ((s, d) => Graph.reciprocity(s, d))
+    "graph_reciprocity" -> ((s, d) => Graph.reciprocity(s, d)),
+    "dedup_cluster_purity" -> ((s, d) => DedupOps.clusterPurity(s, d)),
+    "orders_runs_test" -> ((s, d) => Relational.runsTest(s, d)),
+    "sim_intrinsic_dim" -> ((s, d) => Similarity.intrinsicDim(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9757,13 +9760,87 @@ object SparkEntry {
            ROUND(CAST(COALESCE(n_mutual, 0) AS DOUBLE) / n_directed, 6)
              AS reciprocity
          FROM tot t LEFT JOIN mut ON t.label = mut.label
-         ORDER BY t.label"""
+         ORDER BY t.label""",
+    "orders_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+           GROUP BY 1),
+         ch AS (SELECT c, SUM(n) OVER (ORDER BY c
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+         med AS (SELECT MIN(c) AS median FROM ch, tot
+           WHERE cum * 2 >= nd),
+         signs AS (SELECT day, c > median AS above,
+             LAG(c > median) OVER (ORDER BY day) AS prev
+           FROM daily, med WHERE c <> median),
+         runs AS (SELECT
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> above
+               THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+               AS n2
+           FROM signs),
+         st AS (SELECT *, n1 + n2 AS n,
+             2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+             2.0 * n1 * n2 * CAST(n1 * n2 * 2 - (n1 + n2) AS DOUBLE)
+               / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                 * (n1 + n2 - 1)) AS var
+           FROM runs)
+         SELECT n1, n2, r AS runs, ROUND(mu, 4) AS expected_runs,
+           ROUND((r - mu) / sqrt(var), 6) AS z
+         FROM st""",
+    "sim_intrinsic_dim" ->
+      """WITH directed AS (SELECT a.label, a.vec_id,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim,
+             b.vec_id AS v2
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         r AS (SELECT label, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, v2) AS rk
+           FROM directed),
+         two AS (SELECT label, vec_id,
+             MAX(CASE WHEN rk = 1 THEN 1.0 - sim END) AS d1,
+             MAX(CASE WHEN rk = 2 THEN 1.0 - sim END) AS d2
+           FROM r WHERE rk <= 2 GROUP BY 1, 2),
+         t AS (SELECT label, d1 > 0 AS usable,
+             CASE WHEN d1 > 0 THEN CAST(ln(d2 / d1) AS DECIMAL(28,12))
+             END AS lnmu
+           FROM two)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_used,
+           ROUND(CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 4) AS id_hat
+         FROM t GROUP BY 1 ORDER BY label"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming
     // prep pipeline computes the batch pipeline's exact relation through a
     // twice-run foreachBatch job, so it shares that oracle too
     m + ("dedup_clusters_star" -> m("dedup_clusters")) +
+      // purity wraps the cluster assignment as a subquery, so the
+      // component semantics can never drift from the gated row
+      ("dedup_cluster_purity" -> s"""WITH cl AS (${m("dedup_clusters")}),
+         cs AS (SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM cl JOIN documents USING (doc_id) GROUP BY 1, 2),
+         top AS (SELECT cluster_id, source AS top_source, n AS top_n
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n DESC, source) AS rk FROM cs) z WHERE rk = 1),
+         sizes AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS csize
+           FROM cs GROUP BY 1),
+         per AS (SELECT s.cluster_id, csize, top_source, top_n
+           FROM sizes s JOIN top ON s.cluster_id = top.cluster_id),
+         tot AS (SELECT CAST(SUM(csize) AS BIGINT) AS docs,
+             CAST(SUM(top_n) AS BIGINT) AS pure_docs FROM per)
+         SELECT cluster_id, csize, top_source, top_n,
+           ROUND(CAST(top_n AS DOUBLE) / csize, 6) AS purity,
+           ROUND(CAST(pure_docs AS DOUBLE) / docs, 6) AS weighted_purity
+         FROM per, tot ORDER BY cluster_id""") +
       ("stream_docs_prep" -> m("docs_prep_pipeline")) +
       // the streaming index-maintenance loop emits, per its scaladoc, the
       // one-increment batch relation — so it shares that exact oracle

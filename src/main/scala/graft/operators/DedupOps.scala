@@ -1477,4 +1477,44 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("dot"), col("cosine"))
       .orderBy(col("cosine").desc, col("d1"), col("d2"))
   }
+  /** Source PURITY of the near-dup clusters — the provenance census
+    * that tells a dedup rollout WHERE its duplication comes from: per
+    * [[dedupClusters]] component, the dominant source's share of
+    * members, plus the corpus-weighted mean purity replicated on every
+    * row. Purity ≈ 1 reads "duplication is intra-source re-posting"
+    * (dedup per source shard suffices); low purity reads "cross-source
+    * syndication" (the shuffle-heavy global dedup is actually
+    * needed) — the number that decides the 100 TB partitioning plan.
+    *
+    * Counts are exact; the dominant source ties break
+    * lexicographically; one division per cluster plus the weighted
+    * mean of exact integer numerators. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val top = cl
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("n").desc, col("source"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("source").as("top_source"),
+        col("n").as("top_n"))
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("csize"))
+    val per = sizes.join(top, Seq("cluster_id"))
+    val tot = per.agg(sum(col("csize")).as("docs"),
+      sum(col("top_n")).as("pure_docs"))
+    per.crossJoin(broadcast(tot)) // 1-row weighted total
+      .select(col("cluster_id"), col("csize"), col("top_source"),
+        col("top_n"),
+        round(col("top_n").cast("double") / col("csize"), 6)
+          .as("purity"),
+        round(col("pure_docs").cast("double") / col("docs"), 6)
+          .as("weighted_purity"))
+      .orderBy(col("cluster_id"))
+  }
 }

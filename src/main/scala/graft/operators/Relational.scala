@@ -2192,4 +2192,50 @@ object Relational {
           .as("equality_gap"))
       .orderBy(col("k"))
   }
+  /** Wald–Wolfowitz runs test on daily revenue around its exact
+    * median — the randomness check behind every control chart in the
+    * battery ([[bollingerBands]], [[Quality.pChart]]): too FEW runs of
+    * above/below-median days means trending or regime persistence;
+    * too many means oscillation. Median-equal days drop (the standard
+    * convention); R, its null mean 2n₁n₂/n + 1 and variance
+    * 2n₁n₂(2n₁n₂−n)/(n²(n−1)) are exact integers/rationals, z is one
+    * double expression.
+    *
+    * Plan: day-grain agg, histogram-CDF median (no sort), one lag
+    * window over the day series, a 1-row census. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .localCheckpoint() // day-grain series, read twice
+    val hist = daily.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.agg(count(lit(1)).as("nd"))
+    val med = hist.crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("nd"))
+      .agg(min(col("c")).as("median"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("median"))
+      .withColumn("above", col("c") > col("median"))
+      .withColumn("prev", lag(col("above"), 1).over(
+        Window.orderBy(col("day"))))
+    val runs = signs.agg(
+      (sum((col("prev").isNull ||
+        col("prev") =!= col("above")).cast("long"))).as("r"),
+      sum(col("above").cast("long")).as("n1"),
+      sum((!col("above")).cast("long")).as("n2"))
+    runs
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("mu",
+        lit(2.0) * col("n1") * col("n2") / col("n") + 1.0)
+      .withColumn("var",
+        lit(2.0) * col("n1") * col("n2") *
+          (col("n1") * col("n2") * 2 - col("n")).cast("double") /
+          (col("n").cast("double") * col("n") * (col("n") - 1)))
+      .select(col("n1"), col("n2"), col("r").as("runs"),
+        round(col("mu"), 4).as("expected_runs"),
+        round((col("r") - col("mu")) / sqrt(col("var")), 6).as("z"))
+  }
 }

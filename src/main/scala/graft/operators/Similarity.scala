@@ -2283,4 +2283,46 @@ object Similarity {
         (col("cur") === col("nn_id")).as("reached"))
       .orderBy(col("label"), col("hop"))
   }
+  /** TWO-NN intrinsic-dimension estimate (Facco et al.) per label
+    * block — the data-geometry diagnostic that predicts whether the
+    * ANN rungs ([[ivfTopK]], [[annLshTopPairs]], [[greedySearch]])
+    * can work at all: with d₁ ≤ d₂ the cosine distances (1 − sim) to
+    * each vector's two nearest neighbors, μ = d₂/d₁ and the MLE
+    * d̂ = n_used / Σ ln μ. High intrinsic dimension (≈ the ambient 64
+    * on this synthetic corpus) is exactly the regime where greedy
+    * search plateaus and LSH recall needs many probes — this row
+    * explains those measurements rather than just reporting them.
+    *
+    * Exact-d₁-zero pairs (true duplicates) are excluded and counted;
+    * each ln μ quantizes to DECIMAL(28,12) before the sum.
+    *
+    * Scale shape: the within-label top-2 relation is the [[knnEdges]]
+    * kernel at k = 2; everything after is label-grain. */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val top2 = e.crossJoin(e.select(col("label").as("l2"),
+        col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("label") === col("l2") && col("vec_id") =!= col("v2"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "embedding", "e2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("v2"))))
+      .filter(col("rk") <= 2)
+      .groupBy(col("label"), col("vec_id"))
+      .agg(max(when(col("rk") === 1, lit(1.0) - col("sim"))).as("d1"),
+        max(when(col("rk") === 2, lit(1.0) - col("sim"))).as("d2"))
+    val terms = top2
+      .withColumn("usable", col("d1") > 0)
+      .withColumn("lnmu",
+        when(col("usable"),
+          log(col("d2") / col("d1")).cast("decimal(28,12)")))
+    terms.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("usable").cast("long")).as("n_used"),
+        sum(col("lnmu")).as("sln"))
+      .select(col("label"), col("n_vectors"), col("n_used"),
+        round(col("n_used").cast("double") /
+          col("sln").cast("double"), 4).as("id_hat"))
+      .orderBy(col("label"))
+  }
 }
