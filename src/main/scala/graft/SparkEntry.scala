@@ -518,7 +518,10 @@ object SparkEntry {
     "graph_reciprocity" -> ((s, d) => Graph.reciprocity(s, d)),
     "dedup_cluster_purity" -> ((s, d) => DedupOps.clusterPurity(s, d)),
     "orders_runs_test" -> ((s, d) => Relational.runsTest(s, d)),
-    "sim_intrinsic_dim" -> ((s, d) => Similarity.intrinsicDim(s, d))
+    "sim_intrinsic_dim" -> ((s, d) => Similarity.intrinsicDim(s, d)),
+    "orders_seasonal_index" -> ((s, d) => Relational.seasonalIndex(s, d)),
+    "sim_norm_census" -> ((s, d) => Similarity.normCensus(s, d)),
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9816,7 +9819,60 @@ object SparkEntry {
              AS n_used,
            ROUND(CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 4) AS id_hat
-         FROM t GROUP BY 1 ORDER BY label"""
+         FROM t GROUP BY 1 ORDER BY label""",
+    "orders_seasonal_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         pm AS (SELECT month(day) AS m, CAST(COUNT(*) AS BIGINT)
+             AS n_days, CAST(SUM(c) AS BIGINT) AS rev
+           FROM daily GROUP BY 1),
+         ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_all,
+             CAST(SUM(c) AS BIGINT) AS rev_all FROM daily)
+         SELECT m AS month, n_days,
+           ROUND(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / n_days / 100.0, 4) AS mean_daily,
+           ROUND((CAST(rev AS DOUBLE) / n_days)
+             / (CAST(rev_all AS DOUBLE) / nd_all), 6) AS seasonal_index
+         FROM pm, ov ORDER BY month""",
+    "sim_norm_census" ->
+      """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS val
+           FROM embeddings),
+         norms AS (SELECT label, vec_id,
+             sqrt(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE))
+               AS norm
+           FROM dims GROUP BY 1, 2),
+         agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(norm AS DECIMAL(28,12))) AS sn,
+             SUM(CAST(norm * norm AS DECIMAL(28,12))) AS snn,
+             MIN(norm) AS mn, MAX(norm) AS mx
+           FROM norms GROUP BY 1)
+         SELECT label, n, ROUND(CAST(sn AS DOUBLE) / n, 6) AS mean_norm,
+           ROUND(mn, 6) AS min_norm, ROUND(mx, 6) AS max_norm,
+           ROUND(sqrt(GREATEST(CAST(n * snn - sn * sn AS DOUBLE), 0.0)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             / (CAST(sn AS DOUBLE) / n), 6) AS cv
+         FROM agg ORDER BY label""",
+    "text_char_entropy" ->
+      """WITH chars AS (SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT lang, unnest(string_split_regex(text, '')) AS ch
+             FROM documents) z
+           WHERE ch <> '' GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS vocab FROM chars GROUP BY 1),
+         t AS (SELECT c.lang, nt, vocab,
+             CAST(CAST(n AS DOUBLE) / nt
+               * (ln(CAST(nt AS DOUBLE) / n) / ln(2.0))
+               AS DECIMAL(28,12)) AS term
+           FROM chars c JOIN tot ON c.lang = tot.lang)
+         SELECT lang, MAX(nt) AS n_chars, MAX(vocab) AS vocab,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits,
+           ROUND(1.0 - CAST(SUM(term) AS DOUBLE)
+             / (ln(CAST(MAX(vocab) AS DOUBLE)) / ln(2.0)), 6)
+             AS redundancy
+         FROM t GROUP BY 1 ORDER BY lang"""
     )
     // the star-contraction variant computes the identical relation, so it
     // shares dedup_clusters' recursive-CTE oracle verbatim; the streaming

@@ -2238,4 +2238,35 @@ object Relational {
         round(col("mu"), 4).as("expected_runs"),
         round((col("r") - col("mu")) / sqrt(col("var")), 6).as("z"))
   }
+  /** Classical multiplicative seasonal index by calendar month — the
+    * ratio-to-overall-mean table every demand planner keeps beside
+    * [[demandClasses]] and [[crostonForecast]]: each month's mean
+    * daily revenue over the all-months mean daily revenue (daily
+    * means first, so 28-day Februaries are not penalized), with the
+    * exact day counts carried for audit. Index > 1 reads "seasonal
+    * peak".
+    *
+    * Exactness: revenue and day counts are exact integers; each index
+    * is a ratio of two exact-rational means evaluated in double once.
+    *
+    * Plan: one orders pass to (month-of-year, day) grain, a 12-row
+    * re-agg, a 1-row overall scalar broadcast. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .withColumn("m", month(col("day")))
+    val perMonth = daily.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("rev"))
+    val overall = daily.agg(count(lit(1)).as("nd_all"),
+      sum(col("c")).as("rev_all"))
+    perMonth.crossJoin(broadcast(overall)) // 1-row overall scalar
+      .withColumn("mmean", col("rev").cast("double") / col("n_days"))
+      .withColumn("omean", col("rev_all").cast("double") / col("nd_all"))
+      .select(col("m").as("month"), col("n_days"),
+        round(col("rev").cast("double") / 100.0, 2).as("revenue"),
+        round(col("mmean") / 100.0, 4).as("mean_daily"),
+        round(col("mmean") / col("omean"), 6).as("seasonal_index"))
+      .orderBy(col("month"))
+  }
 }

@@ -2325,4 +2325,40 @@ object Similarity {
           col("sln").cast("double"), 4).as("id_hat"))
       .orderBy(col("label"))
   }
+  /** Embedding L2-norm census per label — the normalization audit
+    * every cosine-based rung implicitly assumes away: per block, the
+    * exact-decimal mean norm, the min/max, and the coefficient of
+    * variation. A block with wide norm spread makes dot-product and
+    * cosine rankings disagree — exactly when [[mipsAugment]]'s
+    * reduction is needed instead of plain cosine; near-constant norms
+    * mean cosine ≈ scaled dot and the cheaper kernel is safe.
+    *
+    * Norm² is an exact sum of DECIMAL(18,9)-quantized squared
+    * components (the [[ivfTopK]] centroid convention); each norm is
+    * one sqrt; means and CV quantize per the house rule.
+    *
+    * Plan: one positional explode into a (vec, dim) hash-agg, then a
+    * |labels|-row census. */
+  def normCensus(spark: SparkSession, dir: String): DataFrame =
+    dims(emb(spark, dir), withLabel = true)
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sqrt(sum(col("val").cast("double").cast("decimal(18,9)") *
+        col("val").cast("double").cast("decimal(18,9)"))
+        .cast("double")).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("norm").cast("decimal(28,12)")).as("sn"),
+        sum((col("norm") * col("norm")).cast("decimal(28,12)"))
+          .as("snn"),
+        min(col("norm")).as("mn"), max(col("norm")).as("mx"))
+      .select(col("label"), col("n"),
+        round(col("sn").cast("double") / col("n"), 6).as("mean_norm"),
+        round(col("mn"), 6).as("min_norm"),
+        round(col("mx"), 6).as("max_norm"),
+        // quantized sums can push a near-zero variance a hair negative
+        round(sqrt(greatest((col("n") * col("snn") -
+          col("sn") * col("sn")).cast("double"), lit(0.0)) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+          (col("sn").cast("double") / col("n")), 6).as("cv"))
+      .orderBy(col("label"))
 }

@@ -2899,4 +2899,37 @@ object TextAnalysis {
         round(col("macro_f1"), 6).as("macro_f1"))
       .orderBy(col("lang"))
   }
+  /** Character-level unigram entropy per language — the
+    * bits-per-character floor under [[tokenEntropy]]'s token-level
+    * number and [[compressionRatio]]'s empirical one: H over the
+    * character distribution (split-to-chars explode, exact counts,
+    * quantized −p·log₂p terms), plus the character vocabulary and the
+    * redundancy 1 − H/log₂|V| that says how far the script sits from
+    * its own uniform bound.
+    *
+    * Plan: one explode → (lang, char) hash-agg (map-side partials),
+    * then vocabulary-grain arithmetic to |langs| rows. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("lang"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    val tot = chars.groupBy(col("lang")).agg(sum(col("n")).as("nt"),
+      count(lit(1)).as("vocab"))
+    chars.join(broadcast(tot), Seq("lang"))
+      .withColumn("term",
+        (col("n").cast("double") / col("nt") *
+          log(2.0, col("nt").cast("double") / col("n")))
+          .cast("decimal(28,12)"))
+      .groupBy(col("lang"))
+      .agg(max(col("nt")).as("n_chars"), max(col("vocab")).as("vocab"),
+        sum(col("term")).as("h"))
+      .select(col("lang"), col("n_chars"), col("vocab"),
+        round(col("h").cast("double"), 6).as("entropy_bits"),
+        round(lit(1.0) - col("h").cast("double") /
+          (log(col("vocab").cast("double")) / math.log(2.0)), 6)
+          .as("redundancy"))
+      .orderBy(col("lang"))
+  }
 }
