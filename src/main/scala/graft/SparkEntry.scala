@@ -9350,11 +9350,12 @@ object SparkEntry {
            JOIN nation ON c_nationkey = n_nationkey)
          SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
            ROUND(CAST(SUM(x) AS DOUBLE) / 100.0, 2) AS revenue,
-           ROUND(CAST(SUM(x * x) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
              / (CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
              AS hhi,
            ROUND(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
-             / CAST(SUM(x * x) AS DOUBLE), 4) AS effective_n
+             / CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE), 4)
+             AS effective_n
          FROM j GROUP BY 1 ORDER BY n_name""",
     "sample_systematic" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),
@@ -9388,13 +9389,13 @@ object SparkEntry {
            FROM orders GROUP BY 1),
          w AS (SELECT day, c,
              CAST(COUNT(*) OVER win AS BIGINT) AS k,
-             CAST(SUM(c) OVER win AS BIGINT) AS sx,
-             CAST(SUM(c * c) OVER win AS BIGINT) AS sxx
+             SUM(CAST(c AS DECIMAL(38,0))) OVER win AS sx,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) OVER win AS sxx
            FROM daily WINDOW win AS (ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
          f AS (SELECT * FROM w WHERE k = 7),
          g AS (SELECT day, c, CAST(sx AS DOUBLE) / k AS m,
-             sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+             sqrt(CAST(sxx * k - sx * sx AS DOUBLE)
                / (CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE))) AS sd
            FROM f)
          SELECT strftime(day, '%Y-%m-%d') AS day,

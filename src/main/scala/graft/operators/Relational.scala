@@ -1972,7 +1972,7 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
       .select(col("n_name"), col("n_cust"),
         round(col("sx").cast("double") / 100.0, 2).as("revenue"),
         round(col("sxx").cast("double") /
@@ -2004,12 +2004,15 @@ object Relational {
     val w = Window.orderBy(col("day")).rowsBetween(-(win - 1), 0)
     daily
       .withColumn("k", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("c")).over(w))
-      .withColumn("sxx", sum(col("c") * col("c")).over(w))
+      .withColumn("sx", sum(col("c").cast("decimal(38,0)")).over(w))
+      // cents² on a spike day exceeds LONG (2.3e9² at sf0.1 — measured
+      // ANSI overflow); products and window sums stay in DECIMAL(38,0)
+      .withColumn("sxx",
+        sum(col("c").cast("decimal(38,0)") * col("c")).over(w))
       .filter(col("k") === win)
       .withColumn("m", col("sx").cast("double") / col("k"))
       .withColumn("sd", sqrt(
-        (col("k") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("sxx") * col("k") - col("sx") * col("sx")).cast("double") /
           (col("k").cast("double") * (col("k") - 1).cast("double"))))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         round(col("c").cast("double") / 100.0, 2).as("revenue"),

@@ -2260,7 +2260,11 @@ object Similarity {
         .select(col("label"), col("qid"), col("q_emb"),
           col("cand").as("cur"), col("sim").as("cur_sim"))
     }
-    val steps = (1 to 6).scanLeft(s0)((cur, _) => step(cur))
+    // checkpoint each cursor: the trace union would otherwise replay
+    // step k's whole join chain once per later hop (measured 27 s at
+    // sf0.1; ~6 s with the |labels|-row cuts)
+    val steps = (1 to 6).scanLeft(s0.localCheckpoint())(
+      (cur, _) => step(cur).localCheckpoint())
     val trace = steps.zipWithIndex.map { case (st, h) =>
       st.select(col("label"), lit(h).as("hop"), col("cur"),
         col("cur_sim"))
