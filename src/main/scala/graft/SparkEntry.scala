@@ -521,7 +521,15 @@ object SparkEntry {
     "sim_intrinsic_dim" -> ((s, d) => Similarity.intrinsicDim(s, d)),
     "orders_seasonal_index" -> ((s, d) => Relational.seasonalIndex(s, d)),
     "sim_norm_census" -> ((s, d) => Similarity.normCensus(s, d)),
-    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d))
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    "events_ks_test" -> ((s, d) => EventAnalytics.ksTest(s, d)),
+    "events_chisq" -> ((s, d) => EventAnalytics.chisqIndependence(s, d)),
+    "events_fdr_bh" -> ((s, d) => EventAnalytics.fdrBh(s, d)),
+    "text_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    "orders_newsvendor" -> ((s, d) => Relational.newsvendor(s, d)),
+    "dq_gap_islands" -> ((s, d) => Quality.gapIslands(s, d)),
+    "mm_vad_segments" -> ((s, d) => Multimodal.vadSegments(s, d)),
+    "sim_maxsim_multivec" -> ((s, d) => Similarity.maxsimMultivec(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -8502,8 +8510,10 @@ object SparkEntry {
              CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
            FROM documents GROUP BY 1),
          m2 AS (SELECT lang, nh,
-             sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
-               / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) AS sh
+             CASE WHEN nh > 1 THEN
+               sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+                 / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)))
+             ELSE 0.0 END AS sh
            FROM mom),
          m3 AS (SELECT *, CAST(CAST(nh AS DOUBLE) * sh AS DECIMAL(28,12))
              AS w FROM m2),
@@ -8518,9 +8528,10 @@ object SparkEntry {
              CAST(CAST(nh AS DOUBLE) * nh * sh * sh
                / (n_prop * CAST(n_pop AS DOUBLE) * n_pop)
                AS DECIMAL(28,12)) AS vp,
-             CAST(CAST(nh AS DOUBLE) * nh * sh * sh
-               / (n_ney * CAST(n_pop AS DOUBLE) * n_pop)
-               AS DECIMAL(28,12)) AS vn
+             CAST(CASE WHEN n_ney > 0 THEN
+                 CAST(nh AS DOUBLE) * nh * sh * sh
+                   / (n_ney * CAST(n_pop AS DOUBLE) * n_pop)
+               ELSE 0.0 END AS DECIMAL(28,12)) AS vn
            FROM alloc),
          vs AS (SELECT SUM(vp) AS var_prop, SUM(vn) AS var_ney FROM vt)
          SELECT lang, nh, ROUND(sh, 6) AS s_h,
@@ -9049,7 +9060,8 @@ object SparkEntry {
              CAST(SUM(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
          pq AS (SELECT *, CAST(CAST(types AS DOUBLE) / n_tokens
              AS DECIMAL(18,9)) AS ttr FROM pd),
-         sk AS (SELECT *, MAX(ttr) OVER (ORDER BY n_tokens DESC, doc_id
+         sk AS (SELECT *, MAX(ttr) OVER (
+             ORDER BY n_tokens DESC, ttr DESC, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS best_prev FROM pq),
          fr AS (SELECT * FROM sk
@@ -9174,7 +9186,8 @@ object SparkEntry {
            WHERE cum >= CAST(ceil(k * nu / 10.0) AS BIGINT)
            GROUP BY 1),
          bk AS (SELECT treat, y,
-             1 + SUM(CASE WHEN x > b THEN 1 ELSE 0 END) AS bucket
+             CAST(1 + SUM(CASE WHEN x > b THEN 1 ELSE 0 END) AS BIGINT)
+               AS bucket
            FROM u2 CROSS JOIN bounds GROUP BY user_id, treat, y, x),
          strata AS (SELECT bucket,
              CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
@@ -9811,8 +9824,10 @@ object SparkEntry {
              MAX(CASE WHEN rk = 1 THEN 1.0 - sim END) AS d1,
              MAX(CASE WHEN rk = 2 THEN 1.0 - sim END) AS d2
            FROM r WHERE rk <= 2 GROUP BY 1, 2),
-         t AS (SELECT label, d1 > 0 AS usable,
-             CASE WHEN d1 > 0 THEN CAST(ln(d2 / d1) AS DECIMAL(28,12))
+         t AS (SELECT label,
+             d1 > 0 AND d2 IS NOT NULL AS usable,
+             CASE WHEN d1 > 0 AND d2 IS NOT NULL
+               THEN CAST(ln(d2 / d1) AS DECIMAL(28,12))
              END AS lnmu
            FROM two)
          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -10373,7 +10388,230 @@ object SparkEntry {
       ("stream_dedup_watermark" ->
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
-           FROM events GROUP BY 1 ORDER BY event_type""")
+           FROM events GROUP BY 1 ORDER BY event_type""") +
+      ("events_ks_test" ->
+        """WITH ev AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+               user_id % 2 = 0 AS treat
+             FROM events WHERE value IS NOT NULL),
+           hist AS (SELECT c,
+               CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+                 AS nb
+             FROM ev GROUP BY 1),
+           cum AS (SELECT c,
+               SUM(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                 AS cuma,
+               SUM(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                 AS cumb
+             FROM hist),
+           tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n1,
+               CAST(SUM(nb) AS BIGINT) AS n2 FROM hist),
+           d AS (SELECT n1, n2,
+               MAX(ABS(CAST(cuma AS DECIMAL(38,0)) * n2
+                 - CAST(cumb AS DECIMAL(38,0)) * n1)) AS dnum
+             FROM cum, tot GROUP BY 1, 2),
+           s AS (SELECT n1, n2, CAST(dnum AS DOUBLE)
+                 / CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)
+                 AS d_stat
+             FROM d),
+           l AS (SELECT *,
+               sqrt(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE)) * d_stat AS lambda
+             FROM s)
+           SELECT n1, n2, ROUND(d_stat, 6) AS d_stat,
+             ROUND(lambda, 6) AS lambda,
+             ROUND(LEAST(1.0, GREATEST(0.0,
+               2.0 * (exp(-2.0 * lambda * lambda)
+                 - exp(-8.0 * lambda * lambda)
+                 + exp(-18.0 * lambda * lambda)))), 6) AS p_approx
+           FROM l""") +
+      ("events_chisq" ->
+        """WITH cells AS (SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS o_t,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS o_c
+             FROM events GROUP BY 1),
+           tot AS (SELECT CAST(SUM(o_t) AS BIGINT) AS m_t,
+               CAST(SUM(o_c) AS BIGINT) AS m_c,
+               CAST(COUNT(*) AS BIGINT) AS r FROM cells),
+           ct AS (SELECT event_type, o_t, o_c, r, m_t + m_c AS n,
+               CAST(CAST(o_t + o_c AS DECIMAL(38,0)) * m_t AS DOUBLE)
+                 / CAST(m_t + m_c AS DOUBLE) AS e_t,
+               CAST(CAST(o_t + o_c AS DECIMAL(38,0)) * m_c AS DOUBLE)
+                 / CAST(m_t + m_c AS DOUBLE) AS e_c
+             FROM cells, tot),
+           cb AS (SELECT *,
+               CAST((o_t - e_t) * (o_t - e_t) / e_t
+                 + (o_c - e_c) * (o_c - e_c) / e_c
+                 AS DECIMAL(28,12)) AS contrib
+             FROM ct),
+           st AS (SELECT SUM(contrib) AS chi2_sum FROM cb)
+           SELECT event_type, o_t, o_c, ROUND(e_t, 4) AS e_t,
+             ROUND(CAST(contrib AS DOUBLE), 6) AS contrib,
+             ROUND(CAST(chi2_sum AS DOUBLE), 6) AS chi2,
+             CAST(r - 1 AS BIGINT) AS df,
+             ROUND(sqrt(CAST(chi2_sum AS DOUBLE) / CAST(n AS DOUBLE)),
+               6) AS cramers_v
+           FROM cb, st ORDER BY event_type""") +
+      ("events_fdr_bh" ->
+        """WITH t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t
+             FROM events GROUP BY 1),
+           z AS (SELECT *, CAST(2.0 * n_t - n AS DOUBLE)
+                 / sqrt(CAST(n AS DOUBLE)) AS z FROM t),
+           a AS (SELECT *, ABS(z) / sqrt(2.0) AS az FROM z),
+           e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * az) AS tt FROM a),
+           p AS (SELECT *, CAST(tt * (0.254829592
+                 + tt * (-0.284496736 + tt * (1.421413741
+                 + tt * (-1.453152027 + tt * 1.061405429))))
+                 * exp(-az * az) AS DECIMAL(28,12)) AS p FROM e),
+           m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+           r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, event_type)
+                 AS rk FROM p, m),
+           q AS (SELECT *, CAST(p AS DOUBLE) * m / rk AS q FROM r),
+           adj AS (SELECT *, LEAST(1.0, MIN(q) OVER (ORDER BY rk DESC
+                 ROWS UNBOUNDED PRECEDING)) AS p_adj FROM q)
+           SELECT event_type, n, n_t, ROUND(z, 6) AS z,
+             ROUND(CAST(p AS DOUBLE), 6) AS p_raw,
+             CAST(rk AS BIGINT) AS rk, ROUND(p_adj, 6) AS p_adj,
+             p_adj < 0.05 AS rejected
+           FROM adj ORDER BY rk""") +
+      ("text_good_turing" ->
+        """WITH tok AS (SELECT lang,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           cofc AS (SELECT lang, cnt AS r, CAST(COUNT(*) AS BIGINT)
+                 AS n_r FROM cnt GROUP BY 1, 2),
+           tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             FROM cnt GROUP BY 1),
+           led AS (SELECT lang, r, n_r,
+               LEAD(n_r) OVER (PARTITION BY lang ORDER BY r) AS n_next,
+               LEAD(r) OVER (PARTITION BY lang ORDER BY r) AS next_r
+             FROM cofc),
+           f AS (SELECT led.lang, r, n_r, n_tokens,
+               CASE WHEN next_r = r + 1 THEN
+                 CAST(r + 1 AS DOUBLE) * n_next / n_r END AS r_star,
+               MAX(CASE WHEN r = 1 THEN n_r END)
+                 OVER (PARTITION BY led.lang) AS p0_num
+             FROM led JOIN tot ON led.lang = tot.lang
+             WHERE r <= 5)
+           SELECT lang, r, n_r, ROUND(r_star, 6) AS r_star,
+             ROUND(r_star / CAST(n_tokens AS DOUBLE), 9) AS p_gt,
+             ROUND(CAST(p0_num AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+               9) AS p0_unseen
+           FROM f ORDER BY lang, r""") +
+      ("orders_newsvendor" ->
+        """WITH monthly AS (SELECT l_partkey,
+               date_trunc('month', l_shipdate) AS mo,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                 AS BIGINT) AS qm
+             FROM lineitem GROUP BY 1, 2),
+           top AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m
+             FROM monthly GROUP BY 1
+             ORDER BY m DESC, l_partkey LIMIT 5),
+           d AS (SELECT monthly.l_partkey, qm, m,
+               COUNT(*) OVER (PARTITION BY monthly.l_partkey
+                 ORDER BY qm, mo ROWS UNBOUNDED PRECEDING) AS cum
+             FROM monthly JOIN top USING (l_partkey)),
+           qs AS (SELECT l_partkey, MIN(qm) AS q_star, MAX(m) AS m
+             FROM d WHERE cum * 10 >= m * 9 GROUP BY 1),
+           c AS (SELECT d.l_partkey, d.qm, qs.q_star, qs.m
+             FROM d JOIN qs ON d.l_partkey = qs.l_partkey)
+           SELECT l_partkey, MAX(m) AS n_months,
+             ROUND(CAST(MAX(q_star) AS DOUBLE) / 100.0, 2) AS q_star,
+             ROUND(CAST(SUM(qm) AS DOUBLE) / MAX(m) / 100.0, 4)
+               AS mean_demand,
+             ROUND(CAST(SUM(CASE WHEN qm < q_star
+                 THEN 1 * (q_star - qm)
+                 ELSE 9 * (qm - q_star) END) AS DOUBLE)
+               / MAX(m) / 100.0, 4) AS exp_cost
+           FROM c GROUP BY 1 ORDER BY l_partkey""") +
+      ("dq_gap_islands" ->
+        """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderstatus = 'F'),
+           g AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp
+             FROM keys),
+           isl AS (SELECT grp, MIN(k) AS lo, MAX(k) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY 1),
+           gp AS (SELECT hi + 1 AS gap_start,
+               LEAD(lo) OVER (ORDER BY lo) - hi - 1 AS gap_len
+             FROM isl),
+           census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(len) AS BIGINT) AS n_keys,
+               CAST(MAX(len) AS BIGINT) AS longest_island,
+               MAX(hi) - MIN(lo) + 1 AS span FROM isl),
+           top AS (SELECT gap_start, gap_len, ROW_NUMBER()
+                 OVER (ORDER BY gap_len DESC, gap_start) AS rk
+             FROM gp WHERE gap_len IS NOT NULL AND gap_len > 0)
+           SELECT CAST(rk AS BIGINT) AS rk, gap_start, gap_len,
+             n_islands, n_keys, longest_island,
+             span - n_keys AS n_missing
+           FROM top, census WHERE rk <= 5 ORDER BY rk""") +
+      ("mm_vad_segments" ->
+        """WITH audio AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 3 = 1 AND length(text) > 0),
+           b AS (SELECT doc_id, (pos - 1) // 32 AS w,
+               CAST(ascii(substr(text, CAST(pos AS INT), 1)) - 128
+                 AS BIGINT) AS v
+             FROM (SELECT doc_id, text,
+                     unnest([p for p in range(1, length(text) + 1)])
+                       AS pos
+                   FROM audio) u),
+           wins AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT)
+                 AS energy FROM b GROUP BY 1, 2),
+           tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                 AS n_windows, MAX(energy) AS peak
+             FROM wins GROUP BY 1),
+           act AS (SELECT wins.doc_id, w FROM wins
+             JOIN tot ON wins.doc_id = tot.doc_id
+             WHERE energy * 10 >= peak * 9),
+           seg0 AS (SELECT doc_id, w,
+               LAG(w) OVER (PARTITION BY doc_id ORDER BY w) AS prev
+             FROM act),
+           seg1 AS (SELECT doc_id, w, CASE WHEN prev IS NULL
+                 OR w - prev > 2 THEN 1 ELSE 0 END AS new_seg
+             FROM seg0),
+           seg2 AS (SELECT doc_id, w, SUM(new_seg)
+                 OVER (PARTITION BY doc_id ORDER BY w
+                   ROWS UNBOUNDED PRECEDING) AS seg_id
+             FROM seg1),
+           segs AS (SELECT doc_id, seg_id, MIN(w) AS s, MAX(w) AS e,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+             FROM seg2 GROUP BY 1, 2),
+           per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                 AS n_segments,
+               CAST(SUM(n_active) AS BIGINT) AS n_active_windows,
+               MAX(e - s + 1) AS longest_segment,
+               MIN(s) AS first_onset
+             FROM segs GROUP BY 1)
+           SELECT per.doc_id, n_segments, n_active_windows,
+             longest_segment, first_onset, n_windows,
+             ROUND(CAST(n_active_windows AS DOUBLE)
+               / CAST(n_windows AS DOUBLE), 4) AS active_ratio
+           FROM per JOIN tot ON per.doc_id = tot.doc_id
+           ORDER BY per.doc_id""") +
+      ("sim_maxsim_multivec" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 3),
+           inter AS (SELECT e.label, q.q_id,
+               MAX(CAST(list_cosine_similarity(e.embedding, q.q_emb)
+                 AS DECIMAL(18,9))) AS tok_max
+             FROM embeddings e, q WHERE e.vec_id <> q.q_id
+             GROUP BY 1, 2),
+           sc AS (SELECT label, CAST(COUNT(*) AS BIGINT)
+                 AS n_tokens_matched,
+               SUM(tok_max) AS score, MIN(tok_max) AS weakest
+             FROM inter GROUP BY 1),
+           r AS (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY score DESC, label) AS rk FROM sc)
+           SELECT CAST(rk AS BIGINT) AS rk, label, n_tokens_matched,
+             ROUND(CAST(score AS DOUBLE), 6) AS maxsim_score,
+             ROUND(CAST(weakest AS DOUBLE), 6) AS weakest_token
+           FROM r ORDER BY rk""")
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

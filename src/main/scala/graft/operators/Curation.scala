@@ -1068,9 +1068,15 @@ object Curation {
       .agg(count(lit(1)).as("nh"),
         sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
-      .withColumn("sh", sqrt(
+      // A singleton stratum (nh = 1) has no sample variance: the n−1
+      // denominator would yield 0.0/0.0 = NaN, and the NaN→DECIMAL
+      // cast below throws under ANSI mode. Define S_h = 0 for
+      // singletons (zero Neyman weight — one observation carries no
+      // dispersion signal), matching survey-sampling convention.
+      .withColumn("sh", when(col("nh") > 1, sqrt(
         (col("nh") * col("sxx") - col("sx") * col("sx")).cast("double") /
           (col("nh").cast("double") * (col("nh") - 1).cast("double"))))
+        .otherwise(lit(0.0)))
       .withColumn("w", (col("nh").cast("double") * col("sh"))
         .cast("decimal(28,12)"))
     val tot = mom.agg(sum(col("nh")).as("n_pop"), sum(col("w")).as("wt"))
@@ -1084,11 +1090,15 @@ object Curation {
           col("sh") * col("sh") /
           (col("n_prop") * col("n_pop").cast("double") *
             col("n_pop").cast("double"))).cast("decimal(28,12)"))
+      // A zero-variance stratum draws n_ney = 0; its variance term is
+      // identically 0 (the numerator carries sh² = 0), not 0/0.
       .withColumn("vterm_ney",
-        (col("nh").cast("double") * col("nh").cast("double") *
-          col("sh") * col("sh") /
-          (col("n_ney") * col("n_pop").cast("double") *
-            col("n_pop").cast("double"))).cast("decimal(28,12)"))
+        when(col("n_ney") > 0,
+          (col("nh").cast("double") * col("nh").cast("double") *
+            col("sh") * col("sh") /
+            (col("n_ney") * col("n_pop").cast("double") *
+              col("n_pop").cast("double"))).cast("decimal(28,12)"))
+          .otherwise(lit(0.0).cast("decimal(28,12)")))
     val vs = alloc.agg(sum(col("vterm_prop")).as("var_prop"),
       sum(col("vterm_ney")).as("var_ney"))
     alloc.crossJoin(broadcast(vs)) // 1-row design variances
@@ -1113,10 +1123,13 @@ object Curation {
     * dominance test a naive skyline pays).
     *
     * Dominance compares QUANTIZED DECIMAL(18,9) TTRs, so the frontier
-    * membership is bit-stable across engines; the n_tokens ordering
-    * ties break by doc_id (a tie kept order-later sees the same
-    * running max either way, because equal-length rows compete on TTR
-    * alone — the tie-break only fixes the emitted rank).
+    * membership is bit-stable across engines. The best_prev window
+    * orders equal-length rows by ttr DESC (then doc_id) so an
+    * equal-length higher-TTR document always PRECEDES the rows it
+    * dominates — under a doc_id-only tie-break a dominated doc with a
+    * smaller doc_id would never see its dominator in the running max
+    * and would wrongly stay on the frontier. doc_id ordering fixes
+    * only the emitted rank.
     *
     * Scale note: the global sort is the operator's cost; at 100 TB a
     * pre-filter on a cheap dominance-proxy (per-partition local
@@ -1135,7 +1148,8 @@ object Curation {
       .agg(count(lit(1)).as("types"), sum(col("c")).as("n_tokens"))
       .withColumn("ttr", (col("types").cast("double") /
         col("n_tokens").cast("double")).cast("decimal(18,9)"))
-    val w = Window.orderBy(col("n_tokens").desc, col("doc_id"))
+    val w = Window
+      .orderBy(col("n_tokens").desc, col("ttr").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perDoc
       .withColumn("best_prev", max(col("ttr")).over(w))

@@ -2835,26 +2835,34 @@ object EventAnalytics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // 2*midrank = 2*cum - n + 1 (integer): rank sums stay exact
       .withColumn("mr2", col("cum") * 2 - col("n") + 1)
+    // Every product that is quadratic-or-cubic in a COUNT is cast to
+    // DECIMAL(38,0) BEFORE multiplying (the bollingerBands convention):
+    // per-value n^3 overflows LONG once one cent value repeats >2^21
+    // times, and nt*mr2 / n1*n2 overflow once N passes ~3e9 — both
+    // reachable at the 100 TB design point, and ANSI mode would fail
+    // the job rather than wrap.
     val sums = hist.agg(
-      sum(col("nt") * col("mr2")).as("r2_t"),
+      sum(col("nt").cast("decimal(38,0)") * col("mr2")).as("r2_t"),
       sum(col("nt")).as("n1"),
       sum(col("n") - col("nt")).as("n2"),
-      sum(col("n") * col("n") * col("n") - col("n"))
-        .cast("decimal(38,0)").as("tie"))
+      sum(col("n").cast("decimal(38,0)") * col("n") * col("n") -
+        col("n")).as("tie"))
     sums
       .withColumn("nn", col("n1") + col("n2"))
       .withColumn("u",
         (col("r2_t").cast("double") / 2.0) -
-          (col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+          (col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+            .cast("double") / 2.0)
       .withColumn("var",
-        (col("n1") * col("n2")).cast("double") / 12.0 *
+        (col("n1").cast("decimal(38,0)") * col("n2")).cast("double") / 12.0 *
           ((col("nn") + 1).cast("double") -
             col("tie").cast("double") /
               (col("nn").cast("double") * (col("nn") - 1)
                 .cast("double"))))
       .select(col("n1"), col("n2"), round(col("u"), 2).as("u"),
         round((col("u") -
-          (col("n1") * col("n2")).cast("double") / 2.0) /
+          (col("n1").cast("decimal(38,0)") * col("n2"))
+            .cast("double") / 2.0) /
           sqrt(col("var")), 6).as("z"),
         round(col("tie").cast("double"), 2).as("tie_term"))
   }
@@ -2896,5 +2904,153 @@ object EventAnalytics {
         round(col("n_harm"), 2).as("n_harmonic"),
         round(col("mde"), 6).as("mde_abs"),
         round(col("mde") / col("p_pool"), 6).as("mde_rel"))
+  }
+  /** Two-sample Kolmogorov–Smirnov test between the parity arms on
+    * event values — the DISTRIBUTION-level sibling of [[mannWhitney]]
+    * (which only sees location): D = max |F̂_A − F̂_B| computed EXACTLY
+    * on the cent-value-domain histogram. The sup statistic is found as
+    * an integer: |cumA·n_B − cumB·n_A| maximized over the (sorted)
+    * value domain, divided by n_A·n_B only at the end, so no float
+    * comparison ever picks the argmax. The asymptotic Kolmogorov
+    * p-value uses the first three terms of 2Σ(−1)^{k−1}e^{−2k²λ²}
+    * (explicit constants — both engines evaluate the same expression).
+    *
+    * Every COUNT product is cast DECIMAL(38,0) before multiplying
+    * ([[mannWhitney]]'s overflow convention — cum·n is quadratic in
+    * the corpus size).
+    *
+    * Plan: one corpus pass to the value-domain histogram, two running
+    * sums on that bounded relation, a 1-row reduce. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("c"),
+        (col("user_id") % 2 === 0).as("treat"))
+    val hist = ev.groupBy(col("c"))
+      .agg(sum(col("treat").cast("long")).as("na"),
+        sum((!col("treat")).cast("long")).as("nb"))
+      .withColumn("cuma", sum(col("na")).over(Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumb", sum(col("nb")).over(Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ev.groupBy(col("treat")).agg(count(lit(1)).as("n"))
+    val n1c = tot.filter(col("treat")).select(col("n").as("n1"))
+    val n2c = tot.filter(!col("treat")).select(col("n").as("n2"))
+    val d = hist.crossJoin(broadcast(n1c)).crossJoin(broadcast(n2c))
+      .select(abs(col("cuma").cast("decimal(38,0)") * col("n2") -
+        col("cumb").cast("decimal(38,0)") * col("n1")).as("num"),
+        col("n1"), col("n2"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("dnum"))
+    d.withColumn("d_stat", col("dnum").cast("double") /
+        (col("n1").cast("decimal(38,0)") * col("n2")).cast("double"))
+      .withColumn("lambda", sqrt(
+        (col("n1").cast("decimal(38,0)") * col("n2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")) * col("d_stat"))
+      .withColumn("p_approx",
+        lit(2.0) * (exp(lit(-2.0) * col("lambda") * col("lambda")) -
+          exp(lit(-8.0) * col("lambda") * col("lambda")) +
+          exp(lit(-18.0) * col("lambda") * col("lambda"))))
+      .select(col("n1"), col("n2"),
+        round(col("d_stat"), 6).as("d_stat"),
+        round(col("lambda"), 6).as("lambda"),
+        round(least(lit(1.0), greatest(lit(0.0), col("p_approx"))), 6)
+          .as("p_approx"))
+  }
+  /** Chi-square test of independence between event type and the
+    * user-parity arm — the CATEGORICAL counterpart of [[abTest]]'s
+    * single-metric z: the full event_type × arm contingency table with
+    * exact integer observed counts, expected counts from the margins,
+    * each cell's (O−E)²/E contribution quantized to DECIMAL(28,12)
+    * before the global sum (order-independent), plus the global χ²,
+    * degrees of freedom, and Cramér's V effect size on every row.
+    *
+    * Plan: one corpus pass to the |types|×2 table; margins and the
+    * global reduce are 1-row broadcasts on the type-bounded relation. */
+  def chisqIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sum((col("user_id") % 2 === 0).cast("long")).as("o_t"),
+        sum((col("user_id") % 2 =!= 0).cast("long")).as("o_c"))
+    val tot = cells.agg(sum(col("o_t")).as("m_t"),
+      sum(col("o_c")).as("m_c"), count(lit(1)).as("r"))
+    val contrib = cells.crossJoin(broadcast(tot)) // 1-row margins
+      .withColumn("n", col("m_t") + col("m_c"))
+      .withColumn("row_tot", col("o_t") + col("o_c"))
+      .withColumn("e_t",
+        (col("row_tot").cast("decimal(38,0)") * col("m_t"))
+          .cast("double") / col("n").cast("double"))
+      .withColumn("e_c",
+        (col("row_tot").cast("decimal(38,0)") * col("m_c"))
+          .cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (((col("o_t") - col("e_t")) * (col("o_t") - col("e_t")) /
+          col("e_t")) +
+          ((col("o_c") - col("e_c")) * (col("o_c") - col("e_c")) /
+            col("e_c"))).cast("decimal(28,12)"))
+    val stat = contrib.agg(sum(col("contrib")).as("chi2_sum"),
+      max(col("r")).as("r2"), max(col("n")).as("n2"))
+    contrib.crossJoin(broadcast(stat)) // 1-row global stat
+      .select(col("event_type"), col("o_t"), col("o_c"),
+        round(col("e_t"), 4).as("e_t"),
+        round(col("contrib").cast("double"), 6).as("contrib"),
+        round(col("chi2_sum").cast("double"), 6).as("chi2"),
+        (col("r2") - 1).as("df"),
+        round(sqrt(col("chi2_sum").cast("double") /
+          col("n2").cast("double")), 6).as("cramers_v"))
+      .orderBy(col("event_type"))
+  }
+  /** Benjamini–Hochberg FDR correction across the per-event-type arm
+    * balance tests — the MULTIPLE-TESTING control layer every
+    * experimentation platform needs above [[abTest]]'s single
+    * readout: for each event type, the exact binomial-approximation
+    * z = (2·n_t − n)/√n for "does this type split evenly across the
+    * parity arms", the two-sided p from the Abramowitz–Stegun 7.1.26
+    * erf polynomial (explicit constants — the same double expression
+    * in both engines), and the BH step-up adjusted p̂ᵢ =
+    * min_{j≥i}(m·p₍ⱼ₎/j) via a running min over the descending-rank
+    * window, with the α = 0.05 rejection flag.
+    *
+    * p quantizes to DECIMAL(28,12) BEFORE ranking so the rank order
+    * (and hence the adjustment) is bit-stable cross-engine.
+    *
+    * Plan: one corpus pass to |types| rows; ranking and the running
+    * min are windows on that bounded relation. */
+  def fdrBh(spark: SparkSession, dir: String,
+            alpha: Double = 0.05): DataFrame = {
+    val t = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("user_id") % 2 === 0).cast("long")).as("n_t"))
+      .withColumn("z",
+        (lit(2.0) * col("n_t") - col("n")).cast("double") /
+          sqrt(col("n").cast("double")))
+      .withColumn("az", abs(col("z")) / lit(math.sqrt(2.0)))
+    // erf(x) ~ 1 - (a1 t + a2 t^2 + ... + a5 t^5) exp(-x^2),
+    // t = 1/(1 + 0.3275911 x)  [Abramowitz–Stegun 7.1.26]
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * col("az"))
+    val poly = tt * (lit(0.254829592) +
+      tt * (lit(-0.284496736) +
+        tt * (lit(1.421413741) +
+          tt * (lit(-1.453152027) + tt * lit(1.061405429)))))
+    val withP = t.withColumn("p",
+      (poly * exp(-col("az") * col("az"))).cast("decimal(28,12)"))
+    val m = withP.agg(count(lit(1)).as("m"))
+    val ranked = withP.crossJoin(broadcast(m)) // 1-row test count
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p"), col("event_type"))))
+      .withColumn("q", col("p").cast("double") *
+        col("m").cast("double") / col("rk").cast("double"))
+    ranked
+      .withColumn("p_adj", least(lit(1.0), min(col("q")).over(
+        Window.orderBy(col("rk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("event_type"), col("n"), col("n_t"),
+        round(col("z"), 6).as("z"),
+        round(col("p").cast("double"), 6).as("p_raw"),
+        col("rk").cast("long").as("rk"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (col("p_adj") < alpha).as("rejected"))
+      .orderBy(col("rk"))
   }
 }

@@ -495,4 +495,50 @@ object Multimodal {
           least(col("n1"), col("n2")).cast("double"), 6).as("score"))
       .orderBy(col("n_shared").desc, col("d1"), col("d2"))
   }
+
+  /** Voice-activity-style SEGMENTATION of each audio track — the step
+    * between [[audioEnergy]]'s per-track census and a real
+    * speech-pipeline's clip extraction: a window is ACTIVE when its
+    * energy reaches 90% of the track peak (energy·10 ≥ peak·9 —
+    * integer compare, no float threshold; 32-sample windows so the
+    * energy profile has real structure), active runs separated by at
+    * most one inactive window are merged (the hangover that keeps
+    * short pauses inside one utterance), and the census reports per
+    * track the segment count, active mass, longest segment and first
+    * onset.
+    *
+    * Plan: the [[audioEnergy]] window relation (per-partition decode,
+    * corpus-linear), per-track lag/run windows at window grain, a
+    * segment-grain reduce, a track-grain census. All integers. */
+  def vadSegments(spark: SparkSession, dir: String,
+      win: Int = 32, hangover: Int = 1): DataFrame = {
+    val wins = energyWindows(spark, dir, win)
+    val tot = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        max(col("energy")).as("peak"))
+    val active = wins.join(tot, Seq("doc_id"))
+      .filter(col("energy") * 10 >= col("peak") * 9)
+    val segs = active
+      .withColumn("prev", lag(col("win_no"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("win_no"))))
+      .withColumn("new_seg",
+        when(col("prev").isNull ||
+          col("win_no") - col("prev") > hangover + 1, 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("new_seg")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("win_no"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("seg_id"))
+      .agg(min(col("win_no")).as("s"), max(col("win_no")).as("e"),
+        count(lit(1)).as("n_active"))
+    segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_active")).as("n_active_windows"),
+        max(col("e") - col("s") + 1).as("longest_segment"),
+        min(col("s")).as("first_onset"))
+      .join(tot.select(col("doc_id"), col("n_windows")), Seq("doc_id"))
+      .withColumn("active_ratio",
+        round(col("n_active_windows").cast("double") /
+          col("n_windows").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

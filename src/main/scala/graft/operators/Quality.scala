@@ -668,4 +668,53 @@ object Quality {
           .as("within_5pct"))
       .orderBy(col("event_type"))
   }
+
+  /** Gaps-and-islands census over the FINISHED-order key sequence —
+    * the classic islands problem a reconciliation pipeline runs to ask
+    * "which contiguous o_orderkey ranges are fully finished, and where
+    * do the unfinished holes sit?": islands of consecutive
+    * status-F keys via the key − ROW_NUMBER() grouping constant,
+    * reporting the five LARGEST gaps (where each hole starts and how
+    * many keys it swallows) with the global island/gap/missing-mass
+    * census on every row.
+    *
+    * All arithmetic is BIGINT on key space; no floats anywhere.
+    *
+    * Plan: one sort of the filtered distinct key column (the
+    * operator's inherent cost — at 100 TB this key is the natural
+    * sort/bucket key so the sort is usually free), island reduction at
+    * island grain, then a 5-row cut. */
+  def gapIslands(spark: SparkSession, dir: String,
+      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("grp", col("k") -
+        row_number().over(Window.orderBy(col("k"))))
+    val islands = keys.groupBy(col("grp"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("len"))
+    val gaps = islands
+      .withColumn("next_lo", lead(col("lo"), 1).over(
+        Window.orderBy(col("lo"))))
+      .withColumn("gap_start", col("hi") + 1)
+      .withColumn("gap_len", col("next_lo") - col("hi") - 1)
+      .filter(col("gap_len").isNotNull && col("gap_len") > 0)
+    val census = islands.agg(
+      count(lit(1)).as("n_islands"),
+      sum(col("len")).as("n_keys"),
+      max(col("len")).as("longest_island"),
+      (max(col("hi")) - min(col("lo")) + 1).as("span"))
+    gaps
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gap_len").desc, col("gap_start"))))
+      .filter(col("rk") <= topN)
+      .crossJoin(broadcast(census)) // 1-row census
+      .select(col("rk").cast("long").as("rk"),
+        col("gap_start"), col("gap_len"),
+        col("n_islands"), col("n_keys"), col("longest_island"),
+        (col("span") - col("n_keys")).as("n_missing"))
+      .orderBy(col("rk"))
+  }
 }

@@ -1739,14 +1739,19 @@ object Relational {
       .groupBy(col("l_partkey"), col("mo"))
       .agg(sum(col("q")).as("qm"))
 
-  def demandClasses(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-part ADI/CV²/quadrant relation — the SINGLE home of the
+    * 1.32/0.49 integer threshold logic, shared by [[demandClasses]]
+    * (census) and [[partQuadrants]]→[[safetyStock]] (per-part lookup)
+    * so the two consumers cannot silently diverge under future edits. */
+  private def partDemandStats(spark: SparkSession,
+      dir: String): DataFrame = {
     val monthly = monthlyDemand(spark, dir)
     val span = Tables(spark, dir, "lineitem")
       .agg((months_between(
         date_trunc("month", max(col("l_shipdate"))),
         date_trunc("month", min(col("l_shipdate")))).cast("long") + 1)
         .as("n_months"))
-    val parts = monthly.groupBy(col("l_partkey"))
+    monthly.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("m"), sum(col("qm")).as("s"),
         sum(col("qm") * col("qm")).as("qq"))
       .crossJoin(broadcast(span)) // 1-row span scalar
@@ -1764,33 +1769,16 @@ object Relational {
       .withColumn("cv2",
         ((col("m") * col("qq") - col("s") * col("s")).cast("double") /
           (col("s") * col("s")).cast("double")).cast("decimal(18,9)"))
-    demandCensus(parts)
   }
+
+  def demandClasses(spark: SparkSession, dir: String): DataFrame =
+    demandCensus(partDemandStats(spark, dir))
 
   /** Per-part quadrant relation for reuse by [[safetyStock]]. */
   private[operators] def partQuadrants(spark: SparkSession,
-      dir: String): DataFrame = {
-    val monthly = monthlyDemand(spark, dir)
-    val span = Tables(spark, dir, "lineitem")
-      .agg((months_between(
-        date_trunc("month", max(col("l_shipdate"))),
-        date_trunc("month", min(col("l_shipdate")))).cast("long") + 1)
-        .as("n_months"))
-    monthly.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("m"), sum(col("qm")).as("s"),
-        sum(col("qm") * col("qm")).as("qq"))
-      .crossJoin(broadcast(span))
-      .withColumn("adi_hi", col("n_months") * 100 >= col("m") * 132)
-      .withColumn("cv2_hi",
-        (col("m") * col("qq") - col("s") * col("s")) * 100 >=
-          col("s") * col("s") * 49)
-      .withColumn("quadrant",
-        when(!col("adi_hi") && !col("cv2_hi"), "smooth")
-          .when(col("adi_hi") && !col("cv2_hi"), "intermittent")
-          .when(!col("adi_hi") && col("cv2_hi"), "erratic")
-          .otherwise("lumpy"))
+      dir: String): DataFrame =
+    partDemandStats(spark, dir)
       .select(col("l_partkey"), col("quadrant"))
-  }
 
   private def demandCensus(parts: DataFrame): DataFrame = {
     val tot = parts.agg(count(lit(1)).as("n_parts"))
@@ -2271,5 +2259,55 @@ object Relational {
         round(col("mmean") / 100.0, 4).as("mean_daily"),
         round(col("mmean") / col("omean"), 6).as("seasonal_index"))
       .orderBy(col("month"))
+  }
+
+  /** Newsvendor critical-fractile stocking for the five
+    * most-frequently-demanded parts — the single-period inventory
+    * decision [[safetyStock]]'s service-level rung approximates with a
+    * normal quantile, done EXACTLY on the empirical monthly-demand
+    * distribution instead: with underage cost c_u = 9 and overage
+    * c_o = 1 (critical fractile c_u/(c_u+c_o) = 0.9), the optimal
+    * stock Q* is the ceil-rank 0.9-quantile of the part's monthly
+    * demand history (the house histogram-CDF convention — no
+    * interpolation, exact in both engines), and the expected per-month
+    * mismatch cost Σ(c_o·(Q*−d)⁺ + c_u·(d−Q*)⁺)/m is an exact integer
+    * sum over that same histogram.
+    *
+    * Plan: the corpus collapses once to (part, month) demand grain;
+    * the top-5 cut is a broadcast; quantile + cost run on per-part
+    * relations of at most a few dozen rows. */
+  def newsvendor(spark: SparkSession, dir: String,
+      cu: Int = 9, co: Int = 1): DataFrame = {
+    val monthly = monthlyDemand(spark, dir)
+    val top = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"))
+      .orderBy(col("m").desc, col("l_partkey"))
+      .limit(5)
+    val d = monthly.join(broadcast(top), Seq("l_partkey"))
+      .withColumn("cum", count(lit(1)).over(
+        Window.partitionBy(col("l_partkey"))
+          .orderBy(col("qm"), col("mo"))))
+    // ceil-rank quantile at the critical fractile: smallest demand
+    // whose cumulative count reaches ceil(cf * m), cf = cu/(cu+co)
+    val qstar = d
+      .filter(col("cum") * (cu + co) >= col("m") * cu)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("qm")).as("q_star"), max(col("m")).as("m"))
+    d.select(col("l_partkey"), col("qm"))
+      .join(broadcast(qstar), Seq("l_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(max(col("m")).as("n_months"),
+        max(col("q_star")).as("qs"),
+        sum(col("qm")).as("sd"),
+        sum(when(col("qm") < col("q_star"),
+          lit(co.toLong) * (col("q_star") - col("qm"))).otherwise(
+          lit(cu.toLong) * (col("qm") - col("q_star")))).as("cost"))
+      .select(col("l_partkey"), col("n_months"),
+        round(col("qs").cast("double") / 100.0, 2).as("q_star"),
+        round(col("sd").cast("double") / col("n_months") / 100.0, 4)
+          .as("mean_demand"),
+        round(col("cost").cast("double") / col("n_months") / 100.0, 4)
+          .as("exp_cost"))
+      .orderBy(col("l_partkey"))
   }
 }

@@ -2315,8 +2315,12 @@ object Similarity {
       .groupBy(col("label"), col("vec_id"))
       .agg(max(when(col("rk") === 1, lit(1.0) - col("sim"))).as("d1"),
         max(when(col("rk") === 2, lit(1.0) - col("sim"))).as("d2"))
+    // `usable` must cover exactly the rows that contribute a lnmu term:
+    // a 2-vector block yields d2 = null (only one neighbor exists), and
+    // counting it in n_used while its null lnmu drops out of sln would
+    // put mismatched populations in the n_used/sln MLE ratio.
     val terms = top2
-      .withColumn("usable", col("d1") > 0)
+      .withColumn("usable", col("d1") > 0 && col("d2").isNotNull)
       .withColumn("lnmu",
         when(col("usable"),
           log(col("d2") / col("d1")).cast("decimal(28,12)")))
@@ -2365,4 +2369,47 @@ object Similarity {
           (col("n").cast("double") * (col("n") - 1).cast("double"))) /
           (col("sn").cast("double") / col("n")), 6).as("cv"))
       .orderBy(col("label"))
+
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim
+    * scoring shape) — the rung above single-vector [[bruteForceTopK]]
+    * when each item is a SET of vectors: the three lowest-vec_id
+    * embeddings form the multi-vector query's "tokens"; each label
+    * block is a candidate multi-vector document; the score is
+    * MaxSim(Q, D) = Σ_{q∈Q} max_{v∈D} cos(q, v) with the query's own
+    * vectors excluded from their home block. Per label the census also
+    * reports the weakest token match (min over q of the max) — the
+    * operand a MaxSim pruner bounds first at serving time.
+    *
+    * Determinism: each per-(label, token) max quantizes to
+    * DECIMAL(18,9) before the 3-term sum; final ranking ties on label.
+    *
+    * Plan: |Q| is a 3-row broadcast, so the interaction is ONE
+    * codegen'd map over the corpus (no corpus shuffle), a
+    * (label × 3)-grain max re-agg, and a label-grain sum — linear at
+    * 100 TB, the same shape FAISS-style MaxSim sharding uses. */
+  def maxsimMultivec(spark: SparkSession, dir: String,
+      nq: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy(col("vec_id")).limit(nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val inter = e.join(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .groupBy(col("label"), col("q_id"))
+      .agg(max(col("sim").cast("double").cast("decimal(18,9)"))
+        .as("tok_max"))
+    inter.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_tokens_matched"),
+        sum(col("tok_max")).as("score"),
+        min(col("tok_max")).as("weakest"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("label"))))
+      .select(col("rk").cast("long").as("rk"),
+        col("label"), col("n_tokens_matched"),
+        round(col("score").cast("double"), 6).as("maxsim_score"),
+        round(col("weakest").cast("double"), 6).as("weakest_token"))
+      .orderBy(col("rk"))
+  }
 }

@@ -2932,4 +2932,54 @@ object TextAnalysis {
           .as("redundancy"))
       .orderBy(col("lang"))
   }
+
+  /** Simple Good–Turing count-of-counts re-estimation per language —
+    * the frequency smoothing that sits between [[hapaxStats]]'s raw
+    * singleton census and [[kneserNey]]'s discounting: for the low
+    * counts r = 1..5 (where the adjustment matters), the
+    * count-of-counts N_r, the Turing-adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, the smoothed probability p_GT = r* / N,
+    * and the per-language unseen mass P₀ = N₁/N that every add-k
+    * comparison understates. A null r* marks an empty next bucket —
+    * reported, not imputed (SGT's log-linear fallback is a modeling
+    * choice this census deliberately leaves to the consumer).
+    *
+    * Exactness: N_r and N are exact BIGINTs; r* and p_GT are single
+    * double ratios rounded at the edge.
+    *
+    * Plan: one token pass to (lang, token) counts, a (lang, r) re-agg
+    * (the count-of-counts relation is tiny — r is bounded by the max
+    * token frequency), a lead window and a 1-row-per-lang total join
+    * on that bounded relation. */
+  def goodTuring(spark: SparkSession, dir: String,
+                 maxR: Int = 5): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val cofc = counts.groupBy(col("lang"), col("cnt").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    cofc
+      .withColumn("n_next", lead(col("n_r"), 1).over(
+        Window.partitionBy(col("lang")).orderBy(col("r"))))
+      .withColumn("next_r", lead(col("r"), 1).over(
+        Window.partitionBy(col("lang")).orderBy(col("r"))))
+      .filter(col("r") <= maxR)
+      .join(tot, Seq("lang"))
+      .withColumn("r_star",
+        when(col("next_r") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("n_next") / col("n_r")))
+      .withColumn("p0_num", max(when(col("r") === 1, col("n_r")))
+        .over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("r"), col("n_r"),
+        round(col("r_star"), 6).as("r_star"),
+        round(col("r_star") / col("n_tokens").cast("double"), 9)
+          .as("p_gt"),
+        round(col("p0_num").cast("double") /
+          col("n_tokens").cast("double"), 9).as("p0_unseen"))
+      .orderBy(col("lang"), col("r"))
+  }
 }

@@ -59,6 +59,14 @@ for name, sql in sorted(oracles.items()):
     mism = []
     for c in so:
         a, b = o2[c], s2[c]
+        # Driver hashes raw values: an int64-vs-float64 column (e.g. a
+        # DuckDB HUGEINT sum pandas widens to float) hashes "1.0" vs "1"
+        # even when numerically equal — flag the dtype-kind split.
+        if {a.dtype.kind, b.dtype.kind} == {'f', 'i'}:
+            mism.append(
+                f"col {c}: dtype kind {s2[c].dtype} vs oracle {o2[c].dtype}"
+                " (int/float split hashes differently)")
+            continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             eq = (a.isna() & b.isna()) | (a == b)
         else:
