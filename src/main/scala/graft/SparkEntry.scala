@@ -529,7 +529,12 @@ object SparkEntry {
     "orders_newsvendor" -> ((s, d) => Relational.newsvendor(s, d)),
     "dq_gap_islands" -> ((s, d) => Quality.gapIslands(s, d)),
     "mm_vad_segments" -> ((s, d) => Multimodal.vadSegments(s, d)),
-    "sim_maxsim_multivec" -> ((s, d) => Similarity.maxsimMultivec(s, d))
+    "sim_maxsim_multivec" -> ((s, d) => Similarity.maxsimMultivec(s, d)),
+    "events_shapley_attribution" ->
+      ((s, d) => EventAnalytics.shapleyAttribution(s, d)),
+    "events_granger" -> ((s, d) => EventAnalytics.grangerLeadLag(s, d)),
+    "events_qini_curve" -> ((s, d) => EventAnalytics.qiniCurve(s, d)),
+    "graph_squares" -> ((s, d) => Graph.squares(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -10611,7 +10616,187 @@ object SparkEntry {
            SELECT CAST(rk AS BIGINT) AS rk, label, n_tokens_matched,
              ROUND(CAST(score AS DOUBLE), 6) AS maxsim_score,
              ROUND(CAST(weakest AS DOUBLE), 6) AS weakest_token
-           FROM r ORDER BY rk""")
+           FROM r ORDER BY rk""") +
+      ("events_shapley_attribution" ->
+        """WITH users AS (SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                   AND value IS NOT NULL
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS rev
+             FROM events GROUP BY 1),
+           touch AS (SELECT e.user_id,
+               array_to_string(list_sort(list(DISTINCT e.event_type)),
+                 ',') AS c_key
+             FROM events e JOIN users u ON e.user_id = u.user_id
+             WHERE e.event_type <> 'purchase'
+               AND (u.fp IS NULL OR e.ts < u.fp)
+             GROUP BY 1),
+           coal AS (SELECT COALESCE(t.c_key, '') AS c_key,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(rev) AS BIGINT) AS rev
+             FROM users u LEFT JOIN touch t ON u.user_id = t.user_id
+             GROUP BY 1),
+           masks AS (SELECT CAST(range AS INT) AS mask FROM range(16)),
+           enum0 AS (SELECT mask,
+               concat_ws(',',
+                 CASE WHEN mask & 1 = 1 THEN 'click' END,
+                 CASE WHEN mask & 2 = 2 THEN 'error' END,
+                 CASE WHEN mask & 4 = 4 THEN 'signup' END,
+                 CASE WHEN mask & 8 = 8 THEN 'view' END) AS c_key,
+               (mask & 1) + ((mask >> 1) & 1) + ((mask >> 2) & 1)
+                 + ((mask >> 3) & 1) AS sz
+             FROM masks),
+           v AS (SELECT mask, sz,
+               COALESCE(CAST(CAST(rev AS DOUBLE) / n_users
+                   AS DECIMAL(28,12)),
+                 CAST(0 AS DECIMAL(28,12))) AS v
+             FROM enum0 LEFT JOIN coal USING (c_key)),
+           ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+               ('signup', 4), ('view', 8)) AS t(channel, bit)),
+           terms AS (SELECT ch.channel,
+               CAST((CASE WHEN v0.sz IN (0, 3) THEN 6 ELSE 2 END)
+                 * (v1.v - v0.v) AS DECIMAL(28,12)) AS term
+             FROM ch JOIN v v0 ON (v0.mask & ch.bit) = 0
+             JOIN v v1 ON v1.mask = v0.mask + ch.bit),
+           phi AS (SELECT channel, SUM(term) AS phi24 FROM terms
+             GROUP BY 1),
+           tot AS (SELECT SUM(phi24) AS phi_sum FROM phi)
+           SELECT channel,
+             ROUND(CAST(phi24 AS DOUBLE) / 24.0 / 100.0, 4)
+               AS phi_revenue,
+             ROUND(CAST(phi24 AS DOUBLE) / CAST(phi_sum AS DOUBLE), 6)
+               AS share
+           FROM phi, tot ORDER BY channel""") +
+      ("events_granger" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN user_id % 2 <> 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+           lagged AS (SELECT y,
+               LAG(y) OVER (ORDER BY d) AS yl,
+               LAG(x) OVER (ORDER BY d) AS xl
+             FROM daily),
+           f AS (SELECT * FROM lagged WHERE yl IS NOT NULL),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(yl) AS BIGINT) AS syl,
+               CAST(SUM(xl) AS BIGINT) AS sxl,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(y AS DECIMAL(38,0)) * yl) AS syyl,
+               SUM(CAST(y AS DECIMAL(38,0)) * xl) AS syxl,
+               SUM(CAST(yl AS DECIMAL(38,0)) * yl) AS syll,
+               SUM(CAST(xl AS DECIMAL(38,0)) * xl) AS sxll,
+               SUM(CAST(yl AS DECIMAL(38,0)) * xl) AS sylxl
+             FROM f),
+           c AS (SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                 / CAST(n AS DOUBLE) AS cyy,
+               CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE) * syl
+                 / CAST(n AS DOUBLE) AS c01,
+               CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE) * sxl
+                 / CAST(n AS DOUBLE) AS c02,
+               CAST(syll AS DOUBLE) - CAST(syl AS DOUBLE) * syl
+                 / CAST(n AS DOUBLE) AS c11,
+               CAST(sxll AS DOUBLE) - CAST(sxl AS DOUBLE) * sxl
+                 / CAST(n AS DOUBLE) AS c22,
+               CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE) * sxl
+                 / CAST(n AS DOUBLE) AS c12
+             FROM s),
+           bb AS (SELECT *,
+               c11 * c22 - c12 * c12 AS det FROM c),
+           b AS (SELECT *,
+               (c01 * c22 - c02 * c12) / det AS b1,
+               (c02 * c11 - c01 * c12) / det AS b2
+             FROM bb),
+           r AS (SELECT *,
+               cyy - b1 * c01 - b2 * c02 AS rss_u,
+               cyy - c01 * c01 / c11 AS rss_r
+             FROM b)
+           SELECT n AS n_days, ROUND(b1, 6) AS beta_self,
+             ROUND(b2, 6) AS beta_cross,
+             ROUND(rss_r / 1e8, 4) AS rss_restricted,
+             ROUND(rss_u / 1e8, 4) AS rss_unrestricted,
+             ROUND((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat
+           FROM r""") +
+      ("events_qini_curve" ->
+        """WITH sp AS (SELECT epoch(MIN(ts))
+               + (epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS mid
+             FROM events),
+           u AS (SELECT user_id,
+               CAST(SUM(CASE WHEN epoch(ts) < mid THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN epoch(ts) >= mid
+                   AND event_type = 'purchase' AND value IS NOT NULL
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS rev,
+               user_id % 2 = 0 AS treat
+             FROM events, sp GROUP BY user_id),
+           nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM u),
+           r AS (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY score DESC, user_id) AS rk
+             FROM u, nn),
+           bkt AS (SELECT *,
+               CAST((rk * 5 + n_all - 1) // n_all AS BIGINT) AS bucket
+             FROM r),
+           g AS (SELECT bucket,
+               CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t,
+               CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_c,
+               CAST(SUM(CASE WHEN treat THEN rev ELSE 0 END)
+                 AS BIGINT) AS r_t,
+               CAST(SUM(CASE WHEN treat THEN 0 ELSE rev END)
+                 AS BIGINT) AS r_c
+             FROM bkt GROUP BY 1),
+           cm AS (SELECT bucket,
+               SUM(n_t) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 AS cn_t,
+               SUM(n_c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 AS cn_c,
+               SUM(r_t) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 AS cr_t,
+               SUM(r_c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 AS cr_c
+             FROM g),
+           qn AS (SELECT *, (CAST(cr_t AS DOUBLE)
+                 - CAST(cr_c AS DOUBLE) * cn_t / cn_c) / 100.0 AS qini
+             FROM cm),
+           ql AS (SELECT *, LAST_VALUE(qini) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS qini_last
+             FROM qn)
+           SELECT bucket, CAST(cn_t AS BIGINT) AS cn_t,
+             CAST(cn_c AS BIGINT) AS cn_c,
+             ROUND(CAST(cr_t AS DOUBLE) / 100.0, 2) AS rev_treat,
+             ROUND(CAST(cr_c AS DOUBLE) / 100.0, 2) AS rev_ctrl,
+             ROUND(qini, 4) AS qini,
+             ROUND(qini_last * bucket / 5, 4) AS qini_random
+           FROM ql ORDER BY bucket""") +
+      ("graph_squares" ->
+        """WITH directed AS (SELECT a.label, a.vec_id AS v1,
+               b.vec_id AS v2,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id),
+           knn AS (SELECT label, v1, v2 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                 ORDER BY sim DESC, v2) AS rk FROM directed) r
+             WHERE rk <= 3),
+           und AS (SELECT DISTINCT label, v1 AS u, v2 AS v FROM knn
+             UNION SELECT label, v2, v1 FROM knn),
+           pairs AS (SELECT x.label, x.v AS a, y.v AS b,
+               CAST(COUNT(*) AS BIGINT) AS m
+             FROM und x JOIN und y
+               ON x.label = y.label AND x.u = y.u AND x.v < y.v
+             GROUP BY 1, 2, 3)
+           SELECT label, CAST(COUNT(*) AS BIGINT) AS n_diag_pairs,
+             CAST(SUM((m * (m - 1)) // 2) // 2 AS BIGINT) AS n_squares
+           FROM pairs GROUP BY label ORDER BY label""")
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

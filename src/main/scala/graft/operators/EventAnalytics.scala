@@ -3053,4 +3053,223 @@ object EventAnalytics {
         (col("p_adj") < alpha).as("rejected"))
       .orderBy(col("rk"))
   }
+  /** EXACT Shapley-value channel attribution over pre-purchase
+    * touchsets — the fair-division answer to "which channel earns the
+    * revenue" that last-touch ([[Temporal]] asof attribution) and
+    * first-touch heuristics both bias: each user's coalition is the
+    * SET of non-purchase channels they touched before their first
+    * purchase; the coalition value v(S) is the mean total purchase
+    * revenue (cents) of users with exactly that touchset (0 for
+    * unobserved coalitions — documented, not imputed); and each
+    * channel's Shapley value φᵢ = Σ_{S∌i} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪i) − v(S)) is computed EXACTLY over all 2⁴ coalitions with
+    * the factorial weights as integer 24ths — no sampling, because
+    * n = 4 channels makes the full enumeration 64 bounded rows.
+    *
+    * Determinism: v(S) quantizes to DECIMAL(28,12); φ sums integer-
+    * weighted decimal terms; the division by 24 happens once at the
+    * edge.
+    *
+    * Plan: two corpus passes (first-purchase timestamps, pre-purchase
+    * touch aggregation — both user-keyed shuffles), then EVERYTHING
+    * runs on the ≤16-row coalition relation and its 64-row channel
+    * cross — the enumeration cost is independent of corpus size. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("ts")))
+        .as("fp"),
+        sum(when(col("event_type") === "purchase" &&
+          col("value").isNotNull,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("rev"))
+    val touches = ev.select(col("user_id"), col("event_type"), col("ts"))
+      .join(users.select(col("user_id"), col("fp")), Seq("user_id"))
+      .filter(col("event_type") =!= "purchase" &&
+        (col("fp").isNull || col("ts") < col("fp")))
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("c_key"))
+    val coal = users.join(touches, Seq("user_id"), "left")
+      .select(coalesce(col("c_key"), lit("")).as("c_key"), col("rev"))
+      .groupBy(col("c_key"))
+      .agg(count(lit(1)).as("n_users"), sum(col("rev")).as("rev"))
+    // all 2^4 coalitions of the non-purchase channels, by bitmask
+    val masks = spark.range(16).select(col("id").cast("int").as("mask"))
+    def member(bit: Int, name: String): Column =
+      when(col("mask").bitwiseAND(lit(bit)) === bit, lit(name))
+    val enum0 = masks
+      .withColumn("c_key", concat_ws(",", member(1, "click"),
+        member(2, "error"), member(4, "signup"), member(8, "view")))
+      .withColumn("sz",
+        col("mask").bitwiseAND(lit(1)) +
+          shiftright(col("mask"), 1).bitwiseAND(lit(1)) +
+          shiftright(col("mask"), 2).bitwiseAND(lit(1)) +
+          shiftright(col("mask"), 3).bitwiseAND(lit(1)))
+    val v = enum0.join(coal, Seq("c_key"), "left")
+      .select(col("mask"), col("sz"),
+        coalesce((col("rev").cast("double") /
+          col("n_users").cast("double")).cast("decimal(28,12)"),
+          lit(0).cast("decimal(28,12)")).as("v"))
+    val channels = spark.range(4).select(
+      when(col("id") === 0, "click").when(col("id") === 1, "error")
+        .when(col("id") === 2, "signup").otherwise("view")
+        .as("channel"),
+      when(col("id") === 0, 1).when(col("id") === 1, 2)
+        .when(col("id") === 2, 4).otherwise(8).as("bit"))
+    val terms = channels
+      .crossJoin(broadcast(v.select(col("mask").as("m0"),
+        col("sz").as("sz0"), col("v").as("v0")))) // 16-row enumeration
+      .filter(col("m0").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v.select(col("mask").as("m1"), col("v").as("v1"))),
+        col("m1") === col("m0") + col("bit"))
+      // |S|!(n-1-|S|)!/n! in 24ths: sizes 0,3 -> 6/24; 1,2 -> 2/24
+      .withColumn("w24",
+        when(col("sz0") === 0 || col("sz0") === 3, 6L).otherwise(2L))
+      .withColumn("term",
+        (col("w24") * (col("v1") - col("v0"))).cast("decimal(28,12)"))
+    val phi = terms.groupBy(col("channel"))
+      .agg(sum(col("term")).as("phi24"))
+    val tot = phi.agg(sum(col("phi24")).as("phi_sum"))
+    phi.crossJoin(broadcast(tot)) // 1-row efficiency total
+      .select(col("channel"),
+        round(col("phi24").cast("double") / 24.0 / 100.0, 4)
+          .as("phi_revenue"),
+        round(col("phi24").cast("double") /
+          col("phi_sum").cast("double"), 6).as("share"))
+      .orderBy(col("channel"))
+  }
+  /** Granger-style lead–lag test between the two parity arms' daily
+    * revenue series — does arm A's yesterday improve the prediction of
+    * arm B's today beyond B's own history? The restricted model
+    * y_t = a + b·y_{t−1} and the unrestricted
+    * y_t = a + b·y_{t−1} + c·x_{t−1} are both solved in CLOSED FORM
+    * from centered second-moment sums (2×2 Cramer's rule — no
+    * iterative fitting), and the readout is the F statistic
+    * (RSS_r − RSS_u)(T − 3)/RSS_u with both regression slopes.
+    *
+    * All second moments accumulate as DECIMAL(38,0) products of cent
+    * values (the [[mannWhitney]] overflow convention); the normal-
+    * equation algebra runs on the 1-row sums in doubles.
+    *
+    * Plan: one corpus pass to day grain, a lag window on the
+    * day-bounded relation, a 1-row moment reduce. */
+  def grangerLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("user_id") % 2 === 0,
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("user_id") % 2 =!= 0,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+    val lagged = daily
+      .withColumn("yl", lag(col("y"), 1).over(Window.orderBy(col("d"))))
+      .withColumn("xl", lag(col("x"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("yl").isNotNull)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val s = lagged.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("yl")).as("syl"),
+      sum(col("xl")).as("sxl"),
+      sum(d38(col("y")) * col("y")).as("syy"),
+      sum(d38(col("y")) * col("yl")).as("syyl"),
+      sum(d38(col("y")) * col("xl")).as("syxl"),
+      sum(d38(col("yl")) * col("yl")).as("syll"),
+      sum(d38(col("xl")) * col("xl")).as("sxll"),
+      sum(d38(col("yl")) * col("xl")).as("sylxl"))
+    s.withColumn("nn", col("n").cast("double"))
+      // centered moments (per-observation scale irrelevant to F)
+      .withColumn("cyy", col("syy").cast("double") -
+        col("sy").cast("double") * col("sy") / col("nn"))
+      .withColumn("c01", col("syyl").cast("double") -
+        col("sy").cast("double") * col("syl") / col("nn"))
+      .withColumn("c02", col("syxl").cast("double") -
+        col("sy").cast("double") * col("sxl") / col("nn"))
+      .withColumn("c11", col("syll").cast("double") -
+        col("syl").cast("double") * col("syl") / col("nn"))
+      .withColumn("c22", col("sxll").cast("double") -
+        col("sxl").cast("double") * col("sxl") / col("nn"))
+      .withColumn("c12", col("sylxl").cast("double") -
+        col("syl").cast("double") * col("sxl") / col("nn"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1", (col("c01") * col("c22") -
+        col("c02") * col("c12")) / col("det"))
+      .withColumn("b2", (col("c02") * col("c11") -
+        col("c01") * col("c12")) / col("det"))
+      .withColumn("rss_u", col("cyy") - col("b1") * col("c01") -
+        col("b2") * col("c02"))
+      .withColumn("rss_r", col("cyy") -
+        col("c01") * col("c01") / col("c11"))
+      .select(col("n").as("n_days"),
+        round(col("b1"), 6).as("beta_self"),
+        round(col("b2"), 6).as("beta_cross"),
+        round(col("rss_r") / 1e8, 4).as("rss_restricted"),
+        round(col("rss_u") / 1e8, 4).as("rss_unrestricted"),
+        round((col("rss_r") - col("rss_u")) * (col("n") - 3) /
+          col("rss_u"), 6).as("f_stat"))
+  }
+  /** Qini curve for a activity-scored revenue-uplift ranking — the
+    * evaluation an uplift-modeling pipeline runs on top of
+    * [[abTest]]/[[upliftDid]]: users are ranked by a deterministic
+    * "model score" (first-half event count, ties by user_id), cut into
+    * five exact ceil-rank quintiles, and per cumulative quintile the
+    * incremental revenue Qini(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k)
+    * (treated second-half revenue minus the control revenue scaled to
+    * the treated exposure) against the random-targeting diagonal.
+    * A positive gap at low k means the score finds users whose
+    * revenue responds.
+    *
+    * Exactness: revenues are exact cent BIGINTs; bucket cuts are
+    * integer ceil-ranks; only the final scaled differences are
+    * doubles.
+    *
+    * Plan: two user-grain passes over the half-windows (one shuffle
+    * each), a rank window, then 5-row cumulative algebra. */
+  def qiniCurve(spark: SparkSession, dir: String,
+      buckets: Int = 5): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val span = ev.agg((unix_timestamp(min(col("ts"))) +
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        / 2).as("mid"))
+    val scored = ev.crossJoin(broadcast(span)) // 1-row midpoint
+      .groupBy(col("user_id"))
+      .agg(sum((unix_timestamp(col("ts")) < col("mid")).cast("long"))
+        .as("score"),
+        sum(when(unix_timestamp(col("ts")) >= col("mid") &&
+          col("event_type") === "purchase" && col("value").isNotNull,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("rev"))
+      .withColumn("treat", col("user_id") % 2 === 0)
+    val n = scored.agg(count(lit(1)).as("n_all"))
+    val ranked = scored.crossJoin(broadcast(n)) // 1-row population
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("user_id"))))
+      // exact ceil-rank quintile: integer DIV, never float division
+      .withColumn("bucket",
+        expr(s"CAST((rk * $buckets + n_all - 1) DIV n_all AS BIGINT)"))
+    val byB = ranked.groupBy(col("bucket"))
+      .agg(sum(col("treat").cast("long")).as("n_t"),
+        sum((!col("treat")).cast("long")).as("n_c"),
+        sum(when(col("treat"), col("rev")).otherwise(0L)).as("r_t"),
+        sum(when(!col("treat"), col("rev")).otherwise(0L)).as("r_c"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byB
+      .withColumn("cn_t", sum(col("n_t")).over(w))
+      .withColumn("cn_c", sum(col("n_c")).over(w))
+      .withColumn("cr_t", sum(col("r_t")).over(w))
+      .withColumn("cr_c", sum(col("r_c")).over(w))
+      .withColumn("qini", (col("cr_t").cast("double") -
+        col("cr_c").cast("double") * col("cn_t") / col("cn_c")) / 100.0)
+      .withColumn("qini_last", last(col("qini")).over(
+        Window.orderBy(col("bucket")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), col("cn_t"), col("cn_c"),
+        round(col("cr_t").cast("double") / 100.0, 2).as("rev_treat"),
+        round(col("cr_c").cast("double") / 100.0, 2).as("rev_ctrl"),
+        round(col("qini"), 4).as("qini"),
+        round(col("qini_last") * col("bucket") / buckets, 4)
+          .as("qini_random"))
+      .orderBy(col("bucket"))
+  }
 }

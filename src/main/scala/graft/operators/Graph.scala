@@ -736,4 +736,42 @@ object Graph {
           col("n_directed"), 6).as("reciprocity"))
       .orderBy(col("label"))
   }
+
+  /** 4-CYCLE (square) census per label over the k-NN similarity graph
+    * — the higher-order motif next to [[triangles]]: squares are the
+    * signature of BIPARTITE-like structure (two hub vectors sharing
+    * two satellites) that triangle counts are blind to. Counted via
+    * the diagonal identity: every unordered vertex pair (a, b) with m
+    * common neighbors closes C(m, 2) squares on its diagonal, and each
+    * square has exactly two diagonals, so #C4 = Σ C(m, 2) / 2 — the
+    * same wedge-through-center join [[linkPredict]] already bounds
+    * (≤ C(2k, 2) pairs per center vertex; never all-pairs).
+    *
+    * All integers end to end; the /2 is exact because the diagonal sum
+    * is even by the identity.
+    *
+    * Plan: the degree-bounded k-NN edge kernel, one wedge self-join at
+    * center grain, a pair-grain count, a label-grain reduce. */
+  def squares(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2"))
+    val und = edges
+      .select(col("label"), col("v1").as("u"), col("v2").as("v"))
+      .union(edges.select(col("label"), col("v2").as("u"),
+        col("v1").as("v")))
+      .distinct()
+    val pairs = und.select(col("label"), col("u").as("c"),
+        col("v").as("a"))
+      .join(und.select(col("label"), col("u").as("c"),
+        col("v").as("b")), Seq("label", "c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("label"), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_diag_pairs"),
+        sum(expr("(m * (m - 1)) DIV 2")).as("c2_sum"))
+      .select(col("label"), col("n_diag_pairs"),
+        expr("CAST(c2_sum DIV 2 AS BIGINT)").as("n_squares"))
+      .orderBy(col("label"))
+  }
 }
