@@ -534,7 +534,13 @@ object SparkEntry {
       ((s, d) => EventAnalytics.shapleyAttribution(s, d)),
     "events_granger" -> ((s, d) => EventAnalytics.grangerLeadLag(s, d)),
     "events_qini_curve" -> ((s, d) => EventAnalytics.qiniCurve(s, d)),
-    "graph_squares" -> ((s, d) => Graph.squares(s, d))
+    "graph_squares" -> ((s, d) => Graph.squares(s, d)),
+    "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "dq_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
+    "dedup_bbit_minhash" -> ((s, d) => DedupOps.bbitMinhash(s, d)),
+    "events_absorption_time" ->
+      ((s, d) => EventAnalytics.absorptionTime(s, d)),
+    "orders_fe_regression" -> ((s, d) => Relational.feRegression(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -10796,7 +10802,194 @@ object SparkEntry {
              GROUP BY 1, 2, 3)
            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_diag_pairs,
              CAST(SUM((m * (m - 1)) // 2) // 2 AS BIGINT) AS n_squares
-           FROM pairs GROUP BY label ORDER BY label""")
+           FROM pairs GROUP BY label ORDER BY label""") +
+      ("text_bm25_topk" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+             FROM tf GROUP BY 1),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+           q AS (SELECT token, df FROM (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY df DESC, token) AS rk FROM df) z
+             WHERE rk BETWEEN 20 AND 22),
+           sc AS (SELECT tf.doc_id,
+               CAST(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * tf * 2.2
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                   + 0.75 * CAST(len AS DOUBLE) * n
+                     / CAST(total_len AS DOUBLE)))
+                 AS DECIMAL(28,12)) AS term_score
+             FROM tf JOIN q USING (token) JOIN lens USING (doc_id), nd),
+           agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                 AS n_terms_hit, SUM(term_score) AS score
+             FROM sc GROUP BY 1),
+           r AS (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY score DESC, doc_id) AS rk FROM agg)
+           SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms_hit,
+             ROUND(CAST(score AS DOUBLE), 6) AS bm25
+           FROM r WHERE rk <= 10 ORDER BY rk""") +
+      ("dq_k_anonymity" ->
+        """WITH classes AS (SELECT lang, source,
+               n_chars - (n_chars % 100) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS sz
+             FROM documents GROUP BY 1, 2, 3),
+           hist AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_classes
+             FROM classes GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n_classes) AS BIGINT) AS all_classes,
+               CAST(SUM(sz * n_classes) AS BIGINT) AS all_rows,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size FROM hist),
+           ks AS (SELECT unnest([2, 5, 10]) AS k),
+           per AS (SELECT k,
+               CAST(SUM(CASE WHEN sz < k THEN n_classes ELSE 0 END)
+                 AS BIGINT) AS classes_below_k,
+               CAST(SUM(CASE WHEN sz < k THEN sz * n_classes
+                 ELSE 0 END) AS BIGINT) AS rows_at_risk
+             FROM ks, hist GROUP BY 1)
+           SELECT CAST(k AS BIGINT) AS k, all_classes AS n_classes,
+             classes_below_k, rows_at_risk,
+             ROUND(CAST(rows_at_risk AS DOUBLE)
+               / CAST(all_rows AS DOUBLE), 6) AS risk_share,
+             min_class_size
+           FROM per, tot ORDER BY k""") +
+      ("dedup_bbit_minhash" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 5
+                         THEN [array_to_string(w[i:i+4], ' ')
+                               for i in range(1, len(w)-3)]
+                         ELSE []::VARCHAR[] END)) AS shingle
+                  FROM words),
+           mh AS (SELECT doc_id, i,
+               MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+             FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+           bands AS (SELECT doc_id, i // 3 AS band,
+                       md5(string_agg(h, ',' ORDER BY i)) AS bucket
+                     FROM mh GROUP BY doc_id, i // 3),
+           cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.bucket = y.bucket
+                         AND x.doc_id < y.doc_id),
+           slots AS (SELECT c.d1, c.d2,
+               CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+                 AS BIGINT) AS slots_eq,
+               CAST(SUM(CASE WHEN
+                   (strpos('0123456789abcdef', substr(a.h, 32, 1)) - 1)
+                     % 2 =
+                   (strpos('0123456789abcdef', substr(b.h, 32, 1)) - 1)
+                     % 2 THEN 1 ELSE 0 END) AS BIGINT) AS bits_eq
+             FROM cand c JOIN mh a ON c.d1 = a.doc_id
+                         JOIN mh b ON c.d2 = b.doc_id AND a.i = b.i
+             GROUP BY 1, 2),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh
+             GROUP BY doc_id),
+           inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                     FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                                 JOIN sh b ON c.d2 = b.doc_id
+                                   AND a.shingle = b.shingle
+                     GROUP BY 1, 2),
+           v AS (SELECT x.d1, x.d2,
+               CAST(x.i AS DOUBLE) / (s1.n + s2.n - x.i) AS exact
+             FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                          JOIN sizes s2 ON x.d2 = s2.doc_id)
+           SELECT v.d1, v.d2, sl.slots_eq, sl.bits_eq,
+             ROUND(CAST(sl.slots_eq AS DOUBLE) / 9, 3) AS est_full,
+             ROUND(2.0 * CAST(sl.bits_eq AS DOUBLE) / 9 - 1.0, 3)
+               AS est_b1,
+             ROUND(v.exact, 3) AS exact_jaccard,
+             ROUND(abs(CAST(sl.slots_eq AS DOUBLE) / 9 - v.exact), 3)
+               AS err_full,
+             ROUND(abs(2.0 * CAST(sl.bits_eq AS DOUBLE) / 9 - 1.0
+               - v.exact), 3) AS err_b1
+           FROM v JOIN slots sl ON v.d1 = sl.d1 AND v.d2 = sl.d2
+           ORDER BY v.d1, v.d2""") +
+      ("events_absorption_time" -> absorptionOracle(12)) +
+      ("orders_fe_regression" ->
+        """WITH li AS (SELECT l_partkey,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+             FROM lineitem),
+           g AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+             FROM li GROUP BY 1),
+           t AS (SELECT n, sx, sy, sxy, sxx,
+               CAST(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                 AS DECIMAL(28,12)) AS cxy,
+               CAST(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+                 AS DECIMAL(28,12)) AS cxx,
+               CAST(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                 AS DECIMAL(28,12)) AS cyy
+             FROM g),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(sx) AS BIGINT) AS tsx,
+               CAST(SUM(sy) AS BIGINT) AS tsy,
+               SUM(cxy) AS wxy, SUM(cxx) AS wxx, SUM(cyy) AS wyy,
+               SUM(sxy) AS sxy_all, SUM(sxx) AS sxx_all FROM t)
+           SELECT n_parts, n_rows,
+             ROUND((CAST(sxy_all AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy
+                 / CAST(n_rows AS DOUBLE))
+               / (CAST(sxx_all AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx
+                 / CAST(n_rows AS DOUBLE)), 6) AS slope_pooled,
+             ROUND(CAST(wxy AS DOUBLE) / CAST(wxx AS DOUBLE), 6)
+               AS slope_fe,
+             ROUND(CAST(wxy AS DOUBLE) * CAST(wxy AS DOUBLE)
+               / (CAST(wxx AS DOUBLE) * CAST(wyy AS DOUBLE)), 6)
+               AS r2_within
+           FROM a""")
+  }
+
+  /** DuckDB replay of [[graft.operators.EventAnalytics.absorptionTime]]
+    * with the SAME fixed Jacobi iteration count unrolled as CTEs h1..hN
+    * — generated so the Spark loop and the oracle can never disagree
+    * on the iteration count silently. */
+  private def absorptionOracle(iters: Int): String = {
+    val hCtes = (1 to iters).map { i =>
+      val prev = s"h${i - 1}"
+      s"""h$i AS (SELECT st.cur,
+            1.0 + COALESCE(SUM(CAST(qn.p * hp.h AS DECIMAL(28,12))), 0)
+              AS h
+          FROM states st
+          LEFT JOIN qn ON qn.cur = st.cur
+          LEFT JOIN $prev hp ON hp.cur = qn.nxt
+          GROUP BY st.cur)"""
+    }.mkString(",\n")
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS nxt
+          FROM events),
+        trans AS (SELECT event_type AS cur, nxt,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+          GROUP BY 1, 2),
+        tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS n_out FROM trans
+          GROUP BY 1),
+        p AS (SELECT trans.cur, nxt,
+            CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE) AS p
+          FROM trans JOIN tot ON trans.cur = tot.cur),
+        qn AS (SELECT * FROM p WHERE nxt <> 'purchase'),
+        states AS (SELECT cur FROM tot),
+        h0 AS (SELECT cur, 0.0 AS h FROM states),
+        $hCtes,
+        pabs AS (SELECT cur, p AS p_purchase FROM p
+          WHERE nxt = 'purchase')
+        SELECT st.cur AS state, tot.n_out,
+          ROUND(COALESCE(pabs.p_purchase, 0.0), 6) AS p_purchase_1step,
+          ROUND(hf.h, 6) AS expected_steps_12
+        FROM states st JOIN tot ON st.cur = tot.cur
+        JOIN h$iters hf ON hf.cur = st.cur
+        LEFT JOIN pabs ON pabs.cur = st.cur
+        ORDER BY state"""
   }
 
   /** DuckDB replay of the incremental MinHash dedup, parameterized by

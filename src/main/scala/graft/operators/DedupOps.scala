@@ -1517,4 +1517,69 @@ object DedupOps {
           .as("weighted_purity"))
       .orderBy(col("cluster_id"))
   }
+
+  /** b-BIT MinHash calibration (b = 1) — the memory floor of the
+    * MinHash ladder, measured with [[minhashCalibration]]'s
+    * discipline: keeping only the LOW BIT of each signature slot
+    * shrinks the sketch 64×, and the estimator becomes
+    * Ĵ_b1 = 2·(matching bits / slots) − 1 (a non-matching pair still
+    * agrees on half its bits by chance — Li & König's correction).
+    * For every LSH candidate pair: the full-width estimate, the 1-bit
+    * estimate, the exact posting Jaccard, and both absolute errors —
+    * the row that says what the 64× compression costs in estimator
+    * variance on THIS corpus's near-dup population.
+    *
+    * All inputs integer (bit matches, slot matches, intersection
+    * counts); per-row divisions rounded at the edge; no float
+    * aggregation.
+    *
+    * Plan: identical shape to [[minhashCalibration]] — one map-side
+    * signature pass, the banded candidate join, the exact-verify
+    * posting join; the bit arithmetic rides the same rows. */
+  def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    ExprColumns.register(spark)
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        ExprColumns.shingles(spark, "text", 5).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+      .select(col("doc_id"), expr("graft_minhash_values(sh_arr)").as("sig"))
+    val withSlots = lshCandidatePairs(spark, dir)
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        aggregate(
+          zip_with(col("sig1"), col("sig2"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("slots_eq"),
+        aggregate(
+          zip_with(col("sig1"), col("sig2"),
+            // signature slots are md5 hex strings; the kept bit is the
+            // parity of the last nibble
+            (x, y) => when(
+              conv(substring(x, 32, 1), 16, 10).cast("int") % 2 ===
+                conv(substring(y, 32, 1), 16, 10).cast("int") % 2,
+              1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("bits_eq"))
+    val sh = shingleRel(spark, dir)
+    withSlots
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"),
+        col("slots_eq"), col("bits_eq"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("exact", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .withColumn("est_full", col("slots_eq").cast("double") / 9)
+      .withColumn("est_b1",
+        lit(2.0) * col("bits_eq").cast("double") / 9 - 1.0)
+      .select(col("d1"), col("d2"), col("slots_eq"), col("bits_eq"),
+        round(col("est_full"), 3).as("est_full"),
+        round(col("est_b1"), 3).as("est_b1"),
+        round(col("exact"), 3).as("exact_jaccard"),
+        round(abs(col("est_full") - col("exact")), 3)
+          .as("err_full"),
+        round(abs(col("est_b1") - col("exact")), 3).as("err_b1"))
+      .orderBy(col("d1"), col("d2"))
+  }
 }

@@ -3272,4 +3272,61 @@ object EventAnalytics {
           .as("qini_random"))
       .orderBy(col("bucket"))
   }
+  /** Expected steps to ABSORPTION (first purchase) per starting event
+    * type — the hitting-time readout over the user-journey Markov
+    * chain [[eventTransitions]] estimates: with purchase absorbing and
+    * P the observed next-event transition probabilities, the expected
+    * step count h solves h = 1 + Q·h; here h is computed by a FIXED
+    * 12 Jacobi iterations unrolled into the plan (both engines run the
+    * same finite recurrence — no convergence test, so the result is
+    * deterministic and the oracle mirrors it term for term). A state's
+    * h₁₂ underestimates the true h by at most P(not absorbed in 12
+    * steps)·tail — reported as the design choice, not hidden.
+    *
+    * Each p·h product quantizes to DECIMAL(28,12) before the per-state
+    * sum, so iteration sums are order-independent.
+    *
+    * Plan: one corpus pass to the (cur, next) transition census via a
+    * per-user lead window; all 12 iterations run on the ≤5-state
+    * relation — iteration cost is independent of corpus size. */
+  def absorptionTime(spark: SparkSession, dir: String,
+      iters: Int = 12): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+    val trans = ev
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull &&
+        col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = trans.groupBy(col("cur")).agg(sum(col("c")).as("n_out"))
+    val p = trans.join(tot, Seq("cur"))
+      .withColumn("p", col("c").cast("double") /
+        col("n_out").cast("double"))
+    val qn = p.filter(col("nxt") =!= "purchase")
+      .select(col("cur"), col("nxt"), col("p"))
+    val states = tot.select(col("cur"))
+    var h = states.withColumn("h", lit(0.0))
+    for (_ <- 1 to iters) {
+      val contrib = qn
+        .join(h.select(col("cur").as("nxt"), col("h")), Seq("nxt"))
+        .withColumn("term", (col("p") * col("h")).cast("decimal(28,12)"))
+        .groupBy(col("cur")).agg(sum(col("term")).as("s"))
+      h = states.join(contrib, Seq("cur"), "left")
+        .select(col("cur"),
+          (lit(1.0) + coalesce(col("s").cast("double"), lit(0.0)))
+            .as("h"))
+    }
+    val pAbs = p.filter(col("nxt") === "purchase")
+      .select(col("cur"), col("p").as("p_purchase"))
+    h.join(tot, Seq("cur")).join(pAbs, Seq("cur"), "left")
+      .select(col("cur").as("state"), col("n_out"),
+        round(coalesce(col("p_purchase"), lit(0.0)), 6)
+          .as("p_purchase_1step"),
+        round(col("h"), 6).as("expected_steps_12"))
+      .orderBy(col("state"))
+  }
 }

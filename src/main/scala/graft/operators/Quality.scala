@@ -717,4 +717,46 @@ object Quality {
         (col("span") - col("n_keys")).as("n_missing"))
       .orderBy(col("rk"))
   }
+
+  /** k-ANONYMITY census over the documents quasi-identifier tuple
+    * (lang, source, length-century) — the re-identification risk
+    * readout a governance review runs before a corpus release: rows
+    * sharing a quasi-identifier equivalence class of size < k are
+    * individually distinguishable by those attributes alone. For each
+    * k ∈ {2, 5, 10}: the equivalence-class count, how many classes
+    * fall below k, the ROWS those classes expose, and the exposed
+    * share — plus the global smallest class size (the corpus's
+    * effective anonymity level).
+    *
+    * All integers; one share division per row.
+    *
+    * Plan: one corpus pass to equivalence-class grain (a hash agg on
+    * the QI tuple — linear, no sort), then a 3-row census over the
+    * class-size histogram (bounded by distinct class sizes). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") - (col("n_chars") % 100)).as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    val hist = classes.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_classes"))
+    val tot = hist.agg(sum(col("n_classes")).as("all_classes"),
+      sum(col("sz") * col("n_classes")).as("all_rows"),
+      min(col("sz")).as("min_class_size"))
+    val ks = hist.sparkSession.range(1)
+      .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+    ks.crossJoin(broadcast(hist)) // class-size histogram is tiny
+      .groupBy(col("k"))
+      .agg(sum(when(col("sz") < col("k"), col("n_classes"))
+        .otherwise(0L)).as("classes_below_k"),
+        sum(when(col("sz") < col("k"), col("sz") * col("n_classes"))
+          .otherwise(0L)).as("rows_at_risk"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("k"), col("all_classes").as("n_classes"),
+        col("classes_below_k"), col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") /
+          col("all_rows").cast("double"), 6).as("risk_share"),
+        col("min_class_size"))
+      .orderBy(col("k"))
+  }
 }

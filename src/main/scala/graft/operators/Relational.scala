@@ -2310,4 +2310,63 @@ object Relational {
           .as("exp_cost"))
       .orderBy(col("l_partkey"))
   }
+
+  /** Fixed-effects (within) regression of line price on quantity with
+    * part fixed effects, against the pooled OLS slope — the
+    * panel-econometrics rung above [[TpchReports]]' global
+    * `regr_price_qty`: the pooled slope conflates "bigger orders cost
+    * more" with "expensive parts sell differently"; the within
+    * estimator demeans inside each part and pools only within-part
+    * covariance, so the FE slope is the price-per-unit relationship
+    * with all part-level heterogeneity absorbed. Reports both slopes,
+    * the within R², and the part count — the pooled-vs-FE gap IS the
+    * omitted-variable readout.
+    *
+    * Exactness: all second moments are DECIMAL(38,0) products of cent
+    * values; each part's centered moment quantizes to DECIMAL(28,12)
+    * before the global sum (order-independent); the slope divisions
+    * happen once at the edge.
+    *
+    * Plan: one lineitem pass to part-grain moment sums, a part-grain
+    * map, a 1-row reduce — the same two-phase moment shape every agg
+    * here uses; nothing scales with rows beyond the first pass. */
+  def feRegression(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val g = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+    val terms = g.select(col("n"), col("sx"), col("sy"),
+      col("sxy"), col("sxx"),
+      (col("sxy").cast("double") - col("sx").cast("double") *
+        col("sy") / col("n")).cast("decimal(28,12)").as("cxy"),
+      (col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx") / col("n")).cast("decimal(28,12)").as("cxx"),
+      (col("syy").cast("double") - col("sy").cast("double") *
+        col("sy") / col("n")).cast("decimal(28,12)").as("cyy"))
+    terms.agg(count(lit(1)).as("n_parts"), sum(col("n")).as("n_rows"),
+      sum(col("sx")).as("tsx"), sum(col("sy")).as("tsy"),
+      sum(col("cxy")).as("wxy"), sum(col("cxx")).as("wxx"),
+      sum(col("cyy")).as("wyy"),
+      sum(col("sxy")).as("sxy_all"), sum(col("sxx")).as("sxx_all"))
+      .withColumn("pxy", col("sxy_all").cast("double") -
+        col("tsx").cast("double") * col("tsy") /
+          col("n_rows").cast("double"))
+      .withColumn("pxx", col("sxx_all").cast("double") -
+        col("tsx").cast("double") * col("tsx") /
+          col("n_rows").cast("double"))
+      .select(col("n_parts"), col("n_rows"),
+        round(col("pxy") / col("pxx"), 6).as("slope_pooled"),
+        round(col("wxy").cast("double") /
+          col("wxx").cast("double"), 6).as("slope_fe"),
+        round(col("wxy").cast("double") * col("wxy").cast("double") /
+          (col("wxx").cast("double") * col("wyy").cast("double")), 6)
+          .as("r2_within"))
+  }
 }

@@ -2982,4 +2982,65 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("p0_unseen"))
       .orderBy(col("lang"), col("r"))
   }
+
+  /** BM25 top-k retrieval — the lexical ranking function production
+    * search stacks still run under every neural re-ranker (and the
+    * natural hybrid partner of [[Curation.rankFusion]]): score(q, d) =
+    * Σ_t idf(t) · tf·(k₁+1)/(tf + k₁·(1−b+b·len/avglen)) with the
+    * BM25+ idf = ln(1 + (N−df+0.5)/(df+0.5)), k₁ = 1.2, b = 0.75. The
+    * query is DATA-DRIVEN for determinism: the three tokens at
+    * document-frequency ranks 20–22 (df desc, token asc) — frequent
+    * enough to touch many documents, rare enough that idf still
+    * discriminates.
+    *
+    * Determinism: df/tf/lengths are exact BIGINTs; each per-term score
+    * quantizes to DECIMAL(28,12) before the per-doc sum; ranking ties
+    * on doc_id.
+    *
+    * Plan: one token pass to (doc, token) tf grain (the posting
+    * shuffle every text statistic pays); df and avg length are
+    * bounded aggregates; the 3-term query BROADCASTS into the posting
+    * join so scoring touches only matching postings — never the full
+    * corpus × query cross. Top-k is one rank window. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val nDocs = lens.agg(count(lit(1)).as("n"),
+      sum(col("len")).as("total_len"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val query = df
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))))
+      .filter(col("rk").between(20, 22))
+      .select(col("token"), col("df"))
+    val scored = tf.join(broadcast(query), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus stats
+      .withColumn("idf", log(lit(1.0) +
+        (col("n").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("norm", lit(k1) * (lit(1.0 - b) + lit(b) *
+        col("len").cast("double") * col("n") /
+        col("total_len").cast("double")))
+      .withColumn("term_score",
+        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + col("norm")))
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("term_score")).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("n_terms_hit"),
+        round(col("score").cast("double"), 6).as("bm25"))
+      .orderBy(col("rk"))
+  }
 }
