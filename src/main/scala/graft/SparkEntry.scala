@@ -540,7 +540,10 @@ object SparkEntry {
     "dedup_bbit_minhash" -> ((s, d) => DedupOps.bbitMinhash(s, d)),
     "events_absorption_time" ->
       ((s, d) => EventAnalytics.absorptionTime(s, d)),
-    "orders_fe_regression" -> ((s, d) => Relational.feRegression(s, d))
+    "orders_fe_regression" -> ((s, d) => Relational.feRegression(s, d)),
+    "sim_hubness" -> ((s, d) => Similarity.hubness(s, d)),
+    "sim_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "docs_rho_select" -> ((s, d) => Curation.rhoSelect(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -10910,6 +10913,95 @@ object SparkEntry {
            FROM v JOIN slots sl ON v.d1 = sl.d1 AND v.d2 = sl.d2
            ORDER BY v.d1, v.d2""") +
       ("events_absorption_time" -> absorptionOracle(12)) +
+      ("sim_hubness" ->
+        """WITH directed AS (SELECT a.label, a.vec_id AS v1,
+               b.vec_id AS v2,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id),
+           knn AS (SELECT label, v1, v2 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                 ORDER BY sim DESC, v2) AS rk FROM directed) r
+             WHERE rk <= 3),
+           ind AS (SELECT label, v2, CAST(COUNT(*) AS BIGINT) AS d
+             FROM knn GROUP BY 1, 2),
+           verts AS (SELECT e.label, e.vec_id,
+               CAST(COALESCE(d, 0) AS BIGINT) AS d
+             FROM embeddings e LEFT JOIN ind
+               ON e.label = ind.label AND e.vec_id = ind.v2),
+           top AS (SELECT label, vec_id AS top_hub, d AS top_k_occ
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY d DESC, vec_id) AS rk FROM verts) z
+             WHERE rk = 1),
+           agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_antihubs
+             FROM verts GROUP BY 1)
+           SELECT a.label, n_vectors, n_antihubs, top_hub,
+             CAST(top_k_occ AS BIGINT) AS top_k_occ,
+             ROUND(CAST(sd AS DOUBLE) / n_vectors, 6) AS mean_k_occ,
+             ROUND(sqrt(CAST(n_vectors * sdd - sd * sd AS DOUBLE))
+               / CAST(n_vectors AS DOUBLE), 6) AS std_k_occ
+           FROM agg a JOIN top t ON a.label = t.label
+           ORDER BY a.label""") +
+      ("sim_filtered_topk" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 5),
+           scored AS (SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.q_emb) AS sim
+             FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+           pre AS (SELECT q_id, vec_id FROM (SELECT *, ROW_NUMBER()
+                 OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                 AS rk
+               FROM scored WHERE vec_id % 2 = 0) z WHERE rk <= 10),
+           post AS (SELECT q_id, vec_id FROM (SELECT *, ROW_NUMBER()
+                 OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                 AS rk
+               FROM scored) z WHERE rk <= 20 AND vec_id % 2 = 0),
+           hit AS (SELECT pre.q_id, CAST(COUNT(*) AS BIGINT)
+                 AS n_truth,
+               CAST(SUM(CASE WHEN post.vec_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_hit
+             FROM pre LEFT JOIN post ON pre.q_id = post.q_id
+               AND pre.vec_id = post.vec_id
+             GROUP BY 1),
+           pk AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_post_kept
+             FROM post GROUP BY 1)
+           SELECT hit.q_id, n_truth, n_post_kept, n_hit,
+             ROUND(CAST(n_hit AS DOUBLE) / n_truth, 4) AS recall_post
+           FROM hit JOIN pk USING (q_id) ORDER BY hit.q_id""") +
+      ("docs_rho_select" ->
+        """WITH toks AS (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tk AS (SELECT * FROM toks WHERE token <> ''),
+           tgt AS (SELECT MIN(source) AS tgt FROM tk),
+           gen AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_gen
+             FROM tk GROUP BY 1),
+           tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_tgt
+             FROM tk, tgt WHERE source = tgt GROUP BY 1),
+           vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c_gen) AS BIGINT) AS n_gen FROM gen),
+           tt AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM tc),
+           ratio AS (SELECT token,
+               ln(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE)
+                   / CAST(n_tgt + v AS DOUBLE))
+                 - ln(CAST(c_gen + 1 AS DOUBLE)
+                   / CAST(n_gen + v AS DOUBLE)) AS lr
+             FROM gen LEFT JOIN tc USING (token), vt, tt),
+           pd AS (SELECT doc_id, source, token,
+               CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2, 3),
+           s AS (SELECT doc_id, source,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(CAST(tf * lr AS DECIMAL(28,12))) AS s
+             FROM pd JOIN ratio USING (token) GROUP BY 1, 2),
+           r AS (SELECT *, CAST(s AS DOUBLE) / n_tokens AS rho FROM s),
+           rr AS (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY rho DESC, doc_id) AS rk FROM r)
+           SELECT CAST(rk AS BIGINT) AS rk, doc_id, source, n_tokens,
+             ROUND(rho, 6) AS rho, source = tgt AS from_target
+           FROM rr, tgt WHERE rk <= 10 ORDER BY rk""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

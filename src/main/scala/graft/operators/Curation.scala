@@ -1272,4 +1272,65 @@ object Curation {
         round(col("ig"), 6).as("info_gain"))
       .orderBy(col("rk"))
   }
+
+  /** ρ-filtering (perplexity-ratio data selection) — the
+    * classifier-free cousin of [[dsirWeights]] used by real pretraining
+    * pipelines: score every document by the mean per-token log-prob
+    * RATIO between a TARGET-domain unigram LM (the lexicographically
+    * first source — deterministic) and the GENERAL corpus LM, both
+    * add-1 smoothed over the SHARED global vocabulary (so an
+    * out-of-target token is penalized, not undefined). High ρ means
+    * "reads like the target domain"; the top-k census shows how many
+    * selected docs actually come from the target — the selection-
+    * -works sanity every ρ rollout checks first.
+    *
+    * Determinism: counts are exact BIGINTs; each token's weighted
+    * log-ratio quantizes to DECIMAL(28,12) before the per-doc sum;
+    * ranking ties on doc_id.
+    *
+    * Plan: one token pass to (doc, token, tf) postings; the per-token
+    * log-ratio relation is vocabulary-grain and joins into the
+    * postings by token (the shuffle every text statistic pays); the
+    * per-doc reduce and the top-k window are the only other steps. */
+  def rhoSelect(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val target = toks.agg(min(col("source")).as("tgt"))
+    val gen = toks.groupBy(col("token")).agg(count(lit(1)).as("c_gen"))
+    val tgtCounts = toks.crossJoin(broadcast(target)) // 1-row target id
+      .filter(col("source") === col("tgt"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tgt"))
+    val vocabTot = gen.agg(count(lit(1)).as("v"),
+      sum(col("c_gen")).as("n_gen"))
+    val tgtTot = tgtCounts.agg(sum(col("c_tgt")).as("n_tgt"))
+    val ratio = gen.join(tgtCounts, Seq("token"), "left")
+      .crossJoin(broadcast(vocabTot)) // 1-row vocab/total
+      .crossJoin(broadcast(tgtTot))   // 1-row target mass
+      .select(col("token"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
+          (col("n_tgt") + col("v")).cast("double")) -
+          log((col("c_gen") + 1).cast("double") /
+            (col("n_gen") + col("v")).cast("double"))).as("lr"))
+    val perDoc = toks.groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(ratio, Seq("token"))
+      .withColumn("term", (col("tf") * col("lr")).cast("decimal(28,12)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("s"))
+      .withColumn("rho", col("s").cast("double") /
+        col("n_tokens").cast("double"))
+    perDoc
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rho").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(target))
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("source"), col("n_tokens"),
+        round(col("rho"), 6).as("rho"),
+        (col("source") === col("tgt")).as("from_target"))
+      .orderBy(col("rk"))
+  }
 }

@@ -2412,4 +2412,105 @@ object Similarity {
         round(col("weakest").cast("double"), 6).as("weakest_token"))
       .orderBy(col("rk"))
   }
+
+  /** HUBNESS census of the k-NN graph — the high-dimensional
+    * pathology diagnostic ([[intrinsicDim]]'s practical consequence):
+    * in high intrinsic dimension a few "hub" vectors appear in
+    * MANY other vectors' k-NN lists while "anti-hubs" appear in none,
+    * which silently skews every k-NN-based rung (graph search quality,
+    * link prediction, kNN classification). Per label: the k-occurrence
+    * (in-degree) mean is k by construction — the signal is the spread:
+    * max k-occurrence, the in-degree standard deviation over ALL
+    * vertices (including zero-in-degree anti-hubs), the anti-hub
+    * count, and the top hub's id.
+    *
+    * Exactness: in-degrees are exact integers; the std is one sqrt of
+    * an exact-integer variance expression.
+    *
+    * Plan: the k-NN edge kernel, an in-degree hash agg, a left join
+    * from the vertex relation (anti-hubs have no in-edges), a
+    * label-grain reduce with an argmax window. */
+  def hubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    val inDeg = knnEdges(spark, dir, k)
+      .groupBy(col("label"), col("v2")).agg(count(lit(1)).as("d"))
+    val verts = e.select(col("label"), col("vec_id"))
+      .join(inDeg.withColumnRenamed("v2", "vec_id"),
+        Seq("label", "vec_id"), "left")
+      .select(col("label"), col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val top = verts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("d").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("vec_id").as("top_hub"),
+        col("d").as("top_k_occ"))
+    verts.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum((col("d") === 0).cast("long")).as("n_antihubs"))
+      .join(top, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("n_antihubs"),
+        col("top_hub"), col("top_k_occ"),
+        round(col("sd").cast("double") / col("n_vectors"), 6)
+          .as("mean_k_occ"),
+        round(sqrt((col("n_vectors") * col("sdd") -
+          col("sd") * col("sd")).cast("double")) /
+          col("n_vectors").cast("double"), 6).as("std_k_occ"))
+      .orderBy(col("label"))
+  }
+
+  /** FILTERED ANN: the pre-filter vs post-filter tradeoff measured —
+    * the question every vector store with metadata predicates answers
+    * badly ("WHERE source = X AND vector near q"): pre-filtering
+    * scans only the predicate-matching subset (exact but loses any
+    * shared index), post-filtering takes an UNFILTERED top-K′ and
+    * filters afterwards (index-friendly but recall drops when the
+    * predicate is selective). For five broadcast queries against the
+    * even-vec_id predicate: recall@10 of post-filter at K′ = 20 vs
+    * the pre-filter ground truth, with the kept-candidate count that
+    * explains each miss.
+    *
+    * Determinism: rankings tie-break on vec_id; recall counts are
+    * exact integers.
+    *
+    * Plan: ONE corpus map per side (queries broadcast), two rank
+    * windows; the post-filter side never touches the predicate until
+    * after the cut — exactly the access pattern being measured. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
+      kPrime: Int = 20, nQueries: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "embedding",
+        "q_emb"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val pre = scored.filter(col("vec_id") % 2 === 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    val post = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= kPrime && col("vec_id") % 2 === 0)
+    pre.select(col("q_id"), col("vec_id"))
+      .join(post.select(col("q_id"), col("vec_id"),
+        lit(1L).as("hit")), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .join(post.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_post_kept")), Seq("q_id"))
+      .select(col("q_id"), col("n_truth"), col("n_post_kept"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") /
+          col("n_truth").cast("double"), 4).as("recall_post"))
+      .orderBy(col("q_id"))
+  }
 }
