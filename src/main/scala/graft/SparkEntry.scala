@@ -543,7 +543,10 @@ object SparkEntry {
     "orders_fe_regression" -> ((s, d) => Relational.feRegression(s, d)),
     "sim_hubness" -> ((s, d) => Similarity.hubness(s, d)),
     "sim_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
-    "docs_rho_select" -> ((s, d) => Curation.rhoSelect(s, d))
+    "docs_rho_select" -> ((s, d) => Curation.rhoSelect(s, d)),
+    "sim_semantic_drift" -> ((s, d) => Similarity.semanticDrift(s, d)),
+    "json_variant_agg" -> ((s, d) => EventAnalytics.variantAgg(s, d)),
+    "orders_theil_sen" -> ((s, d) => Relational.theilSen(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11002,6 +11005,106 @@ object SparkEntry {
            SELECT CAST(rk AS BIGINT) AS rk, doc_id, source, n_tokens,
              ROUND(rho, 6) AS rho, source = tgt AS from_target
            FROM rr, tgt WHERE rk <= 10 ORDER BY rk""") +
+      ("sim_semantic_drift" ->
+        """WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+           asg AS (SELECT e.label, e.vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.s_emb)
+                   DESC, seed_id) AS rk
+             FROM embeddings e, seeds s),
+           a AS (SELECT label, seed_id AS bucket FROM asg WHERE rk = 1),
+           bl AS (SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS c
+             FROM a GROUP BY 1, 2),
+           lt AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_label
+             FROM bl GROUP BY 1),
+           gb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS g
+             FROM bl GROUP BY 1),
+           gt AS (SELECT CAST(SUM(g) AS BIGINT) AS n_all FROM gb),
+           grid AS (SELECT lt.label, gb.bucket, lt.n_label, gb.g,
+               gt.n_all, CAST(COALESCE(bl.c, 0) AS BIGINT) AS c
+             FROM lt CROSS JOIN gb CROSS JOIN gt
+             LEFT JOIN bl ON bl.label = lt.label
+               AND bl.bucket = gb.bucket),
+           t AS (SELECT label, n_label, c, bucket,
+               CAST((CASE WHEN p > 0 THEN p * ln(p / m) / 2.0
+                   ELSE 0.0 END)
+                 + (CASE WHEN q > 0 THEN q * ln(q / m) / 2.0
+                   ELSE 0.0 END) AS DECIMAL(28,12)) AS term
+             FROM (SELECT *, CAST(c AS DOUBLE) / n_label AS p,
+                     CAST(g AS DOUBLE) / n_all AS q,
+                     (CAST(c AS DOUBLE) / n_label
+                       + CAST(g AS DOUBLE) / n_all) / 2.0 AS m
+                   FROM grid) z),
+           top AS (SELECT label, bucket AS top_bucket, c AS top_c
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY c DESC, bucket DESC) AS rk FROM t) y
+             WHERE rk = 1)
+           SELECT t.label, CAST(MAX(n_label) AS BIGINT) AS n_vectors,
+             ROUND(CAST(SUM(term) AS DOUBLE), 6) AS js_to_global,
+             MAX(top_bucket) AS top_bucket,
+             ROUND(CAST(MAX(top_c) AS DOUBLE) / MAX(n_label), 4)
+               AS top_bucket_share
+           FROM t JOIN top ON t.label = top.label
+           GROUP BY t.label ORDER BY t.label""") +
+      ("json_variant_agg" ->
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CAST(json_extract_string(props, '$.k')
+               AS BIGINT)) AS BIGINT) AS n_k_present,
+             CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT)
+               AS n_missing_path,
+             MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS max_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k')
+               AS BIGINT)) AS BIGINT) AS sum_k
+           FROM events GROUP BY 1 ORDER BY event_type""") +
+      ("orders_theil_sen" ->
+        """WITH daily0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+           d0 AS (SELECT MIN(day) AS day0 FROM daily0),
+           daily AS (SELECT CAST(datediff('day', day0, day) AS BIGINT)
+                 AS t, c
+             FROM daily0, d0),
+           pairs AS (SELECT a.t AS t1, b.t AS t2,
+               CAST(b.c - a.c AS DOUBLE) / (b.t - a.t) AS slope
+             FROM daily a JOIN daily b ON a.t < b.t),
+           np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM pairs),
+           ms AS (SELECT n_pairs, MIN(slope) AS sen_slope FROM (
+               SELECT *, ROW_NUMBER() OVER (ORDER BY slope, t1, t2)
+                 AS rk FROM pairs, np) z
+             WHERE rk * 2 = n_pairs OR rk * 2 = n_pairs + 1
+             GROUP BY n_pairs),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days
+             FROM daily),
+           mi AS (SELECT n_days, n_pairs, sen_slope,
+               MIN(b) AS sen_intercept FROM (
+               SELECT *, ROW_NUMBER() OVER (ORDER BY b, t) AS rk
+               FROM (SELECT daily.t,
+                       CAST(c AS DOUBLE) - sen_slope * t AS b,
+                       n_days, n_pairs, sen_slope
+                     FROM daily, ms, nd) y) z
+             WHERE rk * 2 = n_days OR rk * 2 = n_days + 1
+             GROUP BY 1, 2, 3),
+           ols AS (SELECT (CAST(stc AS DOUBLE)
+                 - CAST(st AS DOUBLE) * sc / n)
+               / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+               AS ols_slope
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(t) AS BIGINT) AS st,
+                 CAST(SUM(c) AS BIGINT) AS sc,
+                 SUM(CAST(t AS DECIMAL(38,0)) * c) AS stc,
+                 SUM(CAST(t AS DECIMAL(38,0)) * t) AS stt
+               FROM daily) s)
+           SELECT n_days, n_pairs,
+             ROUND(sen_slope / 100.0, 4) AS sen_slope,
+             ROUND(sen_intercept / 100.0, 2) AS sen_intercept,
+             ROUND(ols_slope / 100.0, 4) AS ols_slope
+           FROM mi, ols""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -3329,4 +3329,30 @@ object EventAnalytics {
         round(col("h"), 6).as("expected_steps_12"))
       .orderBy(col("state"))
   }
+  /** Semi-structured aggregation through Spark 4's VARIANT type — the
+    * shredded-JSON path a 100 TB event pipeline uses instead of
+    * per-row string parsing ([[jsonExtract]] is the string-path
+    * sibling): `parse_json` materializes the open-schema VARIANT once,
+    * `variant_get` extracts a typed field (codegen-friendly, no
+    * re-parse per field), and `try_variant_get` probes an absent path
+    * without throwing. Reported per event type: present/missing field
+    * counts and the exact integer stats of the extracted field.
+    *
+    * All extracted values are integers; no float arithmetic.
+    *
+    * Plan: one corpus pass; VARIANT parse + two typed gets are narrow
+    * map work; the agg is a |types|-row hash agg. */
+  def variantAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+          .as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k_present"),
+        count(col("miss")).as("n_missing_path"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
 }

@@ -2369,4 +2369,69 @@ object Relational {
           (col("wxx").cast("double") * col("wyy").cast("double")), 6)
           .as("r2_within"))
   }
+
+  /** Theil–Sen robust trend of daily order revenue — the
+    * outlier-immune slope a monitoring pipeline trusts when one
+    * flash-sale day would drag OLS: the median of all C(n,2) pairwise
+    * day-to-day slopes (lower median at even counts — the house
+    * ceil-rank convention), the matching median intercept, and the
+    * OLS slope beside it so the robust-vs-least-squares gap is the
+    * readout. Both medians are exact order statistics (ceil-rank on a
+    * deterministic total order), never interpolated.
+    *
+    * Scale note: pairwise slopes are quadratic in the DAY count, not
+    * the row count — the corpus collapses to day grain first, so at
+    * 100 TB this is C(|days|, 2) ≈ 10⁵ pairs for a year, a single-task
+    * relation. The quadratic step never touches row-grain data.
+    *
+    * Exactness: revenues are exact cents; day numbers are exact ints;
+    * each slope is one double division; medians are rank-selected. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val d0 = daily0.agg(min(col("day")).as("day0"))
+    val daily = daily0.crossJoin(broadcast(d0)) // 1-row origin
+      .select(datediff(col("day"), col("day0")).cast("long").as("t"),
+        col("c"))
+    val pairs = daily.select(col("t").as("t1"), col("c").as("c1"))
+      .join(daily.select(col("t").as("t2"), col("c").as("c2")),
+        col("t1") < col("t2"))
+      .select(col("t1"), col("t2"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val medSlope = pairs.crossJoin(broadcast(np))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope"), col("t1"), col("t2"))))
+      .filter(col("rk") * 2 === col("n_pairs") ||
+        col("rk") * 2 === col("n_pairs") + 1)
+      .groupBy(col("n_pairs"))
+      .agg(min(col("slope")).as("sen_slope"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val medIntercept = daily.crossJoin(broadcast(medSlope))
+      .crossJoin(broadcast(nd))
+      .withColumn("b", col("c").cast("double") -
+        col("sen_slope") * col("t"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("b"), col("t"))))
+      .filter(col("rk") * 2 === col("n_days") ||
+        col("rk") * 2 === col("n_days") + 1)
+      .groupBy(col("n_days"), col("n_pairs"), col("sen_slope"))
+      .agg(min(col("b")).as("sen_intercept"))
+    val ols = daily.agg(count(lit(1)).as("n"),
+      sum(col("t")).as("st"), sum(col("c")).as("sc"),
+      sum(col("t").cast("decimal(38,0)") * col("c")).as("stc"),
+      sum(col("t").cast("decimal(38,0)") * col("t")).as("stt"))
+      .select(((col("stc").cast("double") -
+        col("st").cast("double") * col("sc") / col("n")) /
+        (col("stt").cast("double") -
+          col("st").cast("double") * col("st") / col("n")))
+        .as("ols_slope"))
+    medIntercept.crossJoin(broadcast(ols)) // three 1-row relations
+      .select(col("n_days"), col("n_pairs"),
+        round(col("sen_slope") / 100.0, 4).as("sen_slope"),
+        round(col("sen_intercept") / 100.0, 2).as("sen_intercept"),
+        round(col("ols_slope") / 100.0, 4).as("ols_slope"))
+  }
 }

@@ -2513,4 +2513,67 @@ object Similarity {
           col("n_truth").cast("double"), 4).as("recall_post"))
       .orderBy(col("q_id"))
   }
+
+  /** SEMANTIC-DRIFT monitor between label groups — the embedding-space
+    * distribution check a production pipeline runs on every new data
+    * slice (are this source's vectors occupying the same regions as
+    * the corpus?): every vector is assigned to its nearest of the k=8
+    * seed centroids (the [[kmeansAssignIter]] broadcast-argmax kernel),
+    * and each label's bucket distribution is compared to the GLOBAL
+    * bucket distribution by Jensen–Shannon divergence (natural log;
+    * per-bucket terms quantized to DECIMAL(28,12) before the sum).
+    * A label with high JS sits in different semantic regions than the
+    * corpus — the drift alarm.
+    *
+    * Plan: one broadcast-argmax map over the corpus (no k-way
+    * expand), a (label, bucket) hash agg, then all divergence algebra
+    * on the ≤|labels|·k relation. */
+  def semanticDrift(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    ExprColumns.register(spark)
+    val e = emb(spark, dir)
+    val seedArr = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("seed_id"),
+        col("embedding").as("seed_emb"))
+      .agg(array_sort(collect_list(struct(col("seed_id"),
+        col("seed_emb")))).as("seeds"))
+    val assigned = e.join(broadcast(seedArr))
+      .withColumn("best", expr(
+        """array_max(transform(seeds, s ->
+             struct(graft_cosine_f32(embedding, s.seed_emb) AS sim,
+                    -s.seed_id AS nsid)))"""))
+      .select(col("label"), (-col("best.nsid")).as("bucket"))
+    val byLabel = assigned.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val labelTot = byLabel.groupBy(col("label"))
+      .agg(sum(col("c")).as("n_label"))
+    val globalB = byLabel.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("g"))
+    val globalTot = globalB.agg(sum(col("g")).as("n_all"))
+    // dense (label x bucket) grid so zero-mass buckets enter the JS sum
+    val grid = labelTot.crossJoin(
+      globalB.crossJoin(broadcast(globalTot)))
+      .join(byLabel, Seq("label", "bucket"), "left")
+      .withColumn("p", coalesce(col("c"), lit(0L)).cast("double") /
+        col("n_label").cast("double"))
+      .withColumn("q", col("g").cast("double") /
+        col("n_all").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("term", (
+        when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2.0)
+          .otherwise(lit(0.0)) +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2.0)
+            .otherwise(lit(0.0))).cast("decimal(28,12)"))
+    grid.groupBy(col("label"))
+      .agg(max(col("n_label")).as("n_vectors"),
+        sum(col("term")).as("js"),
+        max(struct(coalesce(col("c"), lit(0L)).as("c"),
+          col("bucket"))).as("top"))
+      .select(col("label"), col("n_vectors"),
+        round(col("js").cast("double"), 6).as("js_to_global"),
+        col("top.bucket").as("top_bucket"),
+        round(col("top.c").cast("double") /
+          col("n_vectors").cast("double"), 4).as("top_bucket_share"))
+      .orderBy(col("label"))
+  }
 }
