@@ -546,7 +546,13 @@ object SparkEntry {
     "docs_rho_select" -> ((s, d) => Curation.rhoSelect(s, d)),
     "sim_semantic_drift" -> ((s, d) => Similarity.semanticDrift(s, d)),
     "json_variant_agg" -> ((s, d) => EventAnalytics.variantAgg(s, d)),
-    "orders_theil_sen" -> ((s, d) => Relational.theilSen(s, d))
+    "orders_theil_sen" -> ((s, d) => Relational.theilSen(s, d)),
+    "sample_horvitz_thompson" ->
+      ((s, d) => Curation.horvitzThompson(s, d)),
+    "events_growth_accounting" ->
+      ((s, d) => EventAnalytics.growthAccounting(s, d)),
+    "feature_target_encoding" ->
+      ((s, d) => Relational.targetEncoding(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11105,6 +11111,117 @@ object SparkEntry {
              ROUND(sen_intercept / 100.0, 2) AS sen_intercept,
              ROUND(ols_slope / 100.0, 4) AS ols_slope
            FROM mi, ols""") +
+      ("sample_horvitz_thompson" ->
+        """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+           tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS mass FROM d),
+           wp AS (SELECT lang, doc_id, n_chars,
+               LEAST(1.0, 100.0 * n_chars / CAST(mass AS DOUBLE))
+                 AS pi,
+               CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                   * 268435456
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                   * 16777216
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                   * 1048576
+                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                   * 65536
+                 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                   * 4096
+                 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                   * 256
+                 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+                 AS DOUBLE) / 4294967296.0 AS u
+             FROM (SELECT *, md5('ht:' || CAST(doc_id AS VARCHAR))
+                 AS h FROM d) z, tot),
+           sam AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               SUM(CAST(CAST(n_chars AS DOUBLE) / pi
+                 AS DECIMAL(28,12))) AS ht_est
+             FROM wp WHERE u < pi GROUP BY 1),
+           pl AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT)
+                 AS true_mass,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_lang
+             FROM d GROUP BY 1),
+           ex AS (SELECT lang, SUM(CAST(pi AS DECIMAL(28,12)))
+                 AS exp_n
+             FROM wp GROUP BY 1)
+           SELECT sam.lang, n_docs_lang, n_sampled,
+             ROUND(CAST(exp_n AS DOUBLE), 2) AS expected_n,
+             true_mass,
+             ROUND(CAST(ht_est AS DOUBLE), 2) AS ht_estimate,
+             ROUND(abs(CAST(ht_est AS DOUBLE)
+               - CAST(true_mass AS DOUBLE))
+               / CAST(true_mass AS DOUBLE), 4) AS rel_err
+           FROM sam JOIN pl ON sam.lang = pl.lang
+           JOIN ex ON sam.lang = ex.lang
+           ORDER BY sam.lang""") +
+      ("events_growth_accounting" ->
+        """WITH uw AS (SELECT user_id, date_trunc('week', ts) AS wk,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+             FROM events
+             WHERE event_type = 'purchase' AND value IS NOT NULL
+             GROUP BY 1, 2),
+           f AS (SELECT *,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                 AS prev_wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                 AS nxt_wk
+             FROM uw),
+           fl AS (SELECT wk, rev,
+               prev_wk IS NULL AS is_new,
+               prev_wk = wk - INTERVAL 7 DAY AS is_retained,
+               prev_wk IS NOT NULL
+                 AND prev_wk < wk - INTERVAL 7 DAY AS is_resurrected,
+               nxt_wk IS NULL OR nxt_wk > wk + INTERVAL 7 DAY
+                 AS churns_next
+             FROM f),
+           bw AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(rev) AS BIGINT) AS rev,
+               CAST(SUM(CASE WHEN is_new THEN rev ELSE 0 END)
+                 AS BIGINT) AS new_rev,
+               CAST(SUM(CASE WHEN is_retained THEN rev ELSE 0 END)
+                 AS BIGINT) AS retained_rev,
+               CAST(SUM(CASE WHEN is_resurrected THEN rev ELSE 0 END)
+                 AS BIGINT) AS resurrected_rev,
+               CAST(SUM(CASE WHEN churns_next THEN rev ELSE 0 END)
+                 AS BIGINT) AS churning_rev
+             FROM fl GROUP BY 1),
+           wc AS (SELECT *, COALESCE(LAG(churning_rev)
+                 OVER (ORDER BY wk), 0) AS churned_rev
+             FROM bw)
+           SELECT strftime(wk, '%Y-%m-%d') AS week, n_users,
+             ROUND(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue,
+             ROUND(CAST(new_rev AS DOUBLE) / 100.0, 2) AS new_rev,
+             ROUND(CAST(retained_rev AS DOUBLE) / 100.0, 2)
+               AS retained_rev,
+             ROUND(CAST(resurrected_rev AS DOUBLE) / 100.0, 2)
+               AS resurrected_rev,
+             ROUND(CAST(churned_rev AS DOUBLE) / 100.0, 2)
+               AS churned_prior_rev
+           FROM wc ORDER BY week""") +
+      ("feature_target_encoding" ->
+        """WITH rows_ AS (SELECT o_orderpriority AS cat,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+             FROM orders),
+           g AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS sy
+             FROM rows_ GROUP BY 1),
+           enc AS (SELECT rows_.cat, y, n_g, sy,
+               CAST(sy - y AS DOUBLE) / CAST(n_g - 1 AS DOUBLE) AS loo
+             FROM rows_ JOIN g ON rows_.cat = g.cat)
+           SELECT cat, CAST(MAX(n_g) AS BIGINT) AS n,
+             ROUND(CAST(MAX(sy) AS DOUBLE) / MAX(n_g) / 100.0, 4)
+               AS naive_mean,
+             ROUND(CAST(SUM(CAST(loo AS DECIMAL(28,12))) AS DOUBLE)
+               / MAX(n_g) / 100.0, 4) AS loo_mean,
+             ROUND(MIN(loo) / 100.0, 2) AS loo_min,
+             ROUND(MAX(loo) / 100.0, 2) AS loo_max,
+             SUM(CAST((loo - CAST(sy AS DOUBLE) / n_g)
+               * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n_g)
+               AS DECIMAL(28,12))) < 0 AS loo_anticorrelated
+           FROM enc GROUP BY cat ORDER BY cat""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -1333,4 +1333,58 @@ object Curation {
         (col("source") === col("tgt")).as("from_target"))
       .orderBy(col("rk"))
   }
+
+  /** Horvitz–Thompson estimation under unequal-probability sampling —
+    * the companion to [[neymanAllocation]]'s design arithmetic: each
+    * document is included with probability proportional to its length
+    * (π_i = min(1, c·n_chars), c chosen so the EXPECTED sample is 100
+    * docs), inclusion decided by the deterministic md5 coin every
+    * sampling row here uses, and the total corpus character mass is
+    * estimated by Σ y_i/π_i over the sample — the estimator that stays
+    * unbiased precisely BECAUSE the unequal weights are inverted.
+    * Reported per language: true total, HT estimate, relative error,
+    * and realized vs expected sample size.
+    *
+    * Exactness: π is one double expression from exact sums; the
+    * md5-uniform is the house 8-hex-digit coin; each y/π term
+    * quantizes to DECIMAL(28,12) before the sum.
+    *
+    * Plan: one pass for the π normalizer, one sampling pass, a
+    * per-language reduce. */
+  def horvitzThompson(spark: SparkSession, dir: String,
+      expectedN: Int = 100): DataFrame = {
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"),
+      col("n_chars"))
+    val tot = d.agg(sum(col("n_chars")).as("mass"),
+      count(lit(1)).as("n_docs"))
+    val withPi = d.crossJoin(broadcast(tot)) // 1-row normalizer
+      .withColumn("pi", least(lit(1.0),
+        lit(expectedN.toDouble) * col("n_chars") /
+          col("mass").cast("double")))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("ht:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0))
+    val sampled = withPi.filter(col("u") < col("pi"))
+      .withColumn("term", (col("n_chars").cast("double") / col("pi"))
+        .cast("decimal(28,12)"))
+    val perLang = d.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("true_mass"),
+        count(lit(1)).as("n_docs_lang"))
+    val expSz = withPi.groupBy(col("lang"))
+      .agg(sum(col("pi").cast("decimal(28,12)")).as("exp_n"))
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("term")).as("ht_est"))
+      .join(perLang, Seq("lang"))
+      .join(expSz, Seq("lang"))
+      .select(col("lang"), col("n_docs_lang"), col("n_sampled"),
+        round(col("exp_n").cast("double"), 2).as("expected_n"),
+        col("true_mass"),
+        round(col("ht_est").cast("double"), 2).as("ht_estimate"),
+        round(abs(col("ht_est").cast("double") -
+          col("true_mass").cast("double")) /
+          col("true_mass").cast("double"), 4).as("rel_err"))
+      .orderBy(col("lang"))
+  }
 }

@@ -3355,4 +3355,66 @@ object EventAnalytics {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
+  /** GROWTH ACCOUNTING of weekly purchase revenue — the
+    * new/retained/resurrected/churned decomposition every growth team
+    * reads instead of the bare [[wowGrowth]] total: a user's week-w
+    * revenue is NEW if this is their first active week, RETAINED if
+    * they were active in w−1, RESURRECTED if active before but not in
+    * w−1; CHURNED is the (negative) week-(w−1) revenue of users absent
+    * in w. The identity rev_w − rev_{w−1} = new + resurrected −
+    * churned + (retained_w − retained-users'-prior-revenue) makes the
+    * bare growth number explainable — which component moved.
+    *
+    * Exactness: revenue is exact cents; week indexing is
+    * `date_trunc`; all classification is integer set logic via lag
+    * windows per user.
+    *
+    * Plan: one corpus pass to (user, week) grain, two lag windows at
+    * that grain, a week-grain census. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val flagged = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("nxt_wk", lead(col("wk"), 1).over(w))
+      .withColumn("is_new", col("prev_wk").isNull)
+      .withColumn("is_retained",
+        col("prev_wk") === col("wk") - expr("INTERVAL 7 DAYS"))
+      .withColumn("is_resurrected",
+        col("prev_wk").isNotNull &&
+          col("prev_wk") < col("wk") - expr("INTERVAL 7 DAYS"))
+      // this user's revenue CHURNS out of week wk+1 if they skip it
+      .withColumn("churns_next",
+        col("nxt_wk").isNull ||
+          col("nxt_wk") > col("wk") + expr("INTERVAL 7 DAYS"))
+    val byWeek = flagged.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("rev")).as("rev"),
+        sum(when(col("is_new"), col("rev")).otherwise(0L)).as("new_rev"),
+        sum(when(col("is_retained"), col("rev")).otherwise(0L))
+          .as("retained_rev"),
+        sum(when(col("is_resurrected"), col("rev")).otherwise(0L))
+          .as("resurrected_rev"),
+        sum(when(col("churns_next"), col("rev")).otherwise(0L))
+          .as("churning_rev"))
+    byWeek
+      .withColumn("churned_rev", coalesce(lag(col("churning_rev"), 1)
+        .over(Window.orderBy(col("wk"))), lit(0L)))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_users"),
+        round(col("rev").cast("double") / 100.0, 2).as("revenue"),
+        round(col("new_rev").cast("double") / 100.0, 2).as("new_rev"),
+        round(col("retained_rev").cast("double") / 100.0, 2)
+          .as("retained_rev"),
+        round(col("resurrected_rev").cast("double") / 100.0, 2)
+          .as("resurrected_rev"),
+        round(col("churned_rev").cast("double") / 100.0, 2)
+          .as("churned_prior_rev"))
+      .orderBy(col("week"))
+  }
 }

@@ -2434,4 +2434,50 @@ object Relational {
         round(col("sen_intercept") / 100.0, 2).as("sen_intercept"),
         round(col("ols_slope") / 100.0, 4).as("ols_slope"))
   }
+
+  /** Leakage-safe LEAVE-ONE-OUT target encoding of order priority —
+    * the feature-engineering rung a training pipeline runs before
+    * feeding a categorical into a model: naive mean-encoding leaks the
+    * row's own target; the LOO encode (Σ_g y − y_i)/(n_g − 1) removes
+    * it exactly. Reported per category: the naive mean, the LOO
+    * encode's mean/min/max spread (its mean equals the naive mean by
+    * algebra — asserted by the oracle hash), and the within-category
+    * LOO–target covariance SIGN, which is negative by construction —
+    * the visible fingerprint that the leak is gone (a leaky encode
+    * correlates positively with its own target).
+    *
+    * Exactness: targets are exact cents; each LOO encode is one
+    * double expression from exact group sums; covariance terms
+    * quantize to DECIMAL(28,12).
+    *
+    * Plan: one pass to category sums, a broadcast join back (the
+    * category relation is tiny), a category-grain reduce — the encode
+    * itself never shuffles row-grain data twice. */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("cat"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+    val g = rows.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("sy"))
+    val enc = rows.join(broadcast(g), Seq("cat"))
+      .withColumn("loo", (col("sy") - col("y")).cast("double") /
+        (col("n_g") - 1).cast("double"))
+    enc.groupBy(col("cat"))
+      .agg(max(col("n_g")).as("n"),
+        max(col("sy")).as("sy2"),
+        min(col("loo")).as("mn"), max(col("loo")).as("mx"),
+        sum(col("loo").cast("decimal(28,12)")).as("sl"),
+        sum(((col("loo") - col("sy").cast("double") / col("n_g")) *
+          (col("y").cast("double") - col("sy").cast("double") /
+            col("n_g"))).cast("decimal(28,12)")).as("cov_num"))
+      .select(col("cat"), col("n"),
+        round(col("sy2").cast("double") / col("n") / 100.0, 4)
+          .as("naive_mean"),
+        round(col("sl").cast("double") / col("n") / 100.0, 4)
+          .as("loo_mean"),
+        round(col("mn") / 100.0, 2).as("loo_min"),
+        round(col("mx") / 100.0, 2).as("loo_max"),
+        (col("cov_num") < 0).as("loo_anticorrelated"))
+      .orderBy(col("cat"))
+  }
 }
