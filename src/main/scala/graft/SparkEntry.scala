@@ -552,7 +552,11 @@ object SparkEntry {
     "events_growth_accounting" ->
       ((s, d) => EventAnalytics.growthAccounting(s, d)),
     "feature_target_encoding" ->
-      ((s, d) => Relational.targetEncoding(s, d))
+      ((s, d) => Relational.targetEncoding(s, d)),
+    "orders_tier_migration" -> ((s, d) => Relational.tierMigration(s, d)),
+    "text_source_ce_matrix" ->
+      ((s, d) => TextAnalysis.sourceCeMatrix(s, d)),
+    "orders_anova_weekday" -> ((s, d) => Relational.anovaWeekday(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11222,6 +11226,108 @@ object SparkEntry {
                * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n_g)
                AS DECIMAL(28,12))) < 0 AS loo_anticorrelated
            FROM enc GROUP BY cat ORDER BY cat""") +
+      ("orders_tier_migration" ->
+        """WITH sp AS (SELECT epoch(MIN(o_orderdate))
+               + (epoch(MAX(o_orderdate)) - epoch(MIN(o_orderdate)))
+                 / 2 AS mid
+             FROM orders),
+           h1b AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS m
+             FROM orders, sp WHERE epoch(o_orderdate) < mid
+             GROUP BY 1),
+           n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM h1b),
+           t1 AS (SELECT o_custkey,
+               CAST((rk * 3 + n_cust - 1) // n_cust AS BIGINT)
+                 AS tier_from
+             FROM (SELECT *, ROW_NUMBER()
+                   OVER (ORDER BY m, o_custkey) AS rk
+                 FROM h1b, n1) z),
+           h2b AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS m
+             FROM orders, sp WHERE epoch(o_orderdate) >= mid
+             GROUP BY 1),
+           n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM h2b),
+           t2 AS (SELECT o_custkey,
+               CAST((rk * 3 + n_cust - 1) // n_cust AS BIGINT)
+                 AS tier_to
+             FROM (SELECT *, ROW_NUMBER()
+                   OVER (ORDER BY m, o_custkey) AS rk
+                 FROM h2b, n2) z),
+           j AS (SELECT CAST(COALESCE(tier_from, 0) AS BIGINT)
+                 AS tier_from,
+               CAST(COALESCE(tier_to, 0) AS BIGINT) AS tier_to
+             FROM t1 FULL OUTER JOIN t2 USING (o_custkey)),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM j)
+           SELECT tier_from, tier_to,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / n_all, 6) AS share
+           FROM j, tot GROUP BY 1, 2, n_all
+           ORDER BY tier_from, tier_to""") +
+      ("text_source_ce_matrix" ->
+        """WITH tok AS (SELECT source,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+             FROM cnt GROUP BY 1),
+           vb AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+             FROM cnt),
+           sb AS (SELECT source AS src_b, n_src AS n_b FROM tt),
+           ex AS (SELECT a.source AS src_a, sb.src_b, a.c, tt.n_src,
+               sb.n_b, vb.v, b.c AS c_b
+             FROM cnt a JOIN tt ON a.source = tt.source
+             CROSS JOIN sb CROSS JOIN vb
+             LEFT JOIN cnt b ON b.source = sb.src_b
+               AND b.token = a.token),
+           t AS (SELECT src_a, src_b,
+               CAST(-p * ln(CAST(COALESCE(c_b, 0) + 1 AS DOUBLE)
+                 / CAST(n_b + v AS DOUBLE)) AS DECIMAL(28,12))
+                 AS ce_term,
+               CAST(-p * ln(p) AS DECIMAL(28,12)) AS h_term
+             FROM (SELECT *, CAST(c AS DOUBLE) / n_src AS p FROM ex) z)
+           SELECT src_a, src_b,
+             ROUND(CAST(SUM(ce_term) AS DOUBLE), 6) AS cross_entropy,
+             ROUND(CAST(SUM(ce_term) AS DOUBLE)
+               - CAST(SUM(h_term) AS DOUBLE), 6) AS kl_a_b
+           FROM t GROUP BY 1, 2 ORDER BY src_a, src_b""") +
+      ("orders_anova_weekday" ->
+        """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+           d2 AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS wd, c
+             FROM daily),
+           g AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(c) AS BIGINT) AS sy,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS syy
+             FROM d2 GROUP BY 1),
+           g2 AS (SELECT *,
+               CAST(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_g
+                 AS DECIMAL(38,6)) AS ssw_g,
+               CAST(CAST(sy AS DOUBLE) * sy / n_g AS DECIMAL(38,6))
+                 AS ssb_term
+             FROM g),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS ty,
+               SUM(ssw_g) AS ssw, SUM(ssb_term) AS ssb_raw FROM g2),
+           st AS (SELECT *, CAST(ssb_raw AS DOUBLE)
+                 - CAST(ty AS DOUBLE) * ty / CAST(n AS DOUBLE) AS ssb
+             FROM tot),
+           st2 AS (SELECT *,
+               (ssb / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+                 AS f_stat,
+               ssb / (ssb + CAST(ssw AS DOUBLE)) AS eta_sq
+             FROM st)
+           SELECT wd AS weekday, n_g AS n_days,
+             ROUND(CAST(sy AS DOUBLE) / n_g / 100.0, 2)
+               AS mean_revenue,
+             k, n AS n_total_days, ROUND(f_stat, 6) AS f_stat,
+             ROUND(eta_sq, 6) AS eta_sq
+           FROM g2, st2 ORDER BY weekday""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -2480,4 +2480,103 @@ object Relational {
         (col("cov_num") < 0).as("loo_anticorrelated"))
       .orderBy(col("cat"))
   }
+
+  /** Customer value-tier MIGRATION matrix between the two halves of
+    * the order history — the CRM movement analysis behind every
+    * "customers upgrading/downgrading" dashboard: customers are cut
+    * into exact ceil-rank monetary TERCILES within each half
+    * (tier 0 = absent from that half), and the census counts every
+    * (from-tier → to-tier) cell with its share of the full customer
+    * base. Off-diagonal mass IS the churn/upgrade story the plain
+    * [[ordersRfm]] snapshot can't show.
+    *
+    * Exactness: monetary is exact cents; tier cuts are integer
+    * ceil-ranks; shares are single divisions.
+    *
+    * Plan: one orders pass per half to customer grain, two rank
+    * windows at customer grain, a full-outer join on customer, a
+    * ≤16-row census. */
+  def tierMigration(spark: SparkSession, dir: String,
+      tiers: Int = 3): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val span = o.agg((unix_timestamp(min(col("o_orderdate"))) +
+      (unix_timestamp(max(col("o_orderdate"))) -
+        unix_timestamp(min(col("o_orderdate")))) / 2).as("mid"))
+    def half(first: Boolean): DataFrame = {
+      val base = o.crossJoin(broadcast(span)) // 1-row split point
+        .filter(if (first) unix_timestamp(col("o_orderdate")) < col("mid")
+          else unix_timestamp(col("o_orderdate")) >= col("mid"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      val n = base.agg(count(lit(1)).as("n_cust"))
+      base.crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("m"), col("o_custkey"))))
+        .select(col("o_custkey"),
+          expr(s"CAST((rk * $tiers + n_cust - 1) DIV n_cust AS BIGINT)")
+            .as("tier"))
+    }
+    val h1 = half(first = true).withColumnRenamed("tier", "tier_from")
+    val h2 = half(first = false).withColumnRenamed("tier", "tier_to")
+    val joined = h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("tier_from"), lit(0L)).as("tier_from"),
+        coalesce(col("tier_to"), lit(0L)).as("tier_to"))
+    val tot = joined.agg(count(lit(1)).as("n_all"))
+    joined.groupBy(col("tier_from"), col("tier_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot)) // 1-row base size
+      .select(col("tier_from"), col("tier_to"), col("n_customers"),
+        round(col("n_customers").cast("double") /
+          col("n_all").cast("double"), 6).as("share"))
+      .orderBy(col("tier_from"), col("tier_to"))
+  }
+
+  /** One-way ANOVA of daily revenue by weekday — the F-test missing
+    * from the battery's test family (z, χ², KS, rank-sum, Granger-F):
+    * does the day of week explain revenue variance? SSB/SSW from
+    * EXACT per-group sums (Σy, Σy² as DECIMAL(38,0) cent products;
+    * each group's centered moment quantizes to DECIMAL(28,12) before
+    * the global reduce), F = (SSB/(k−1))/(SSW/(N−k)), with η² beside
+    * it so effect size isn't conflated with significance. Per-weekday
+    * rows carry the group means; the global F repeats on each row.
+    *
+    * Plan: one pass to day grain, a weekday-grain moment agg, a 1-row
+    * reduce broadcast back onto ≤7 rows. */
+  def anovaWeekday(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .select(dayofweek(col("day")).cast("long").as("wd"), col("c"))
+    val g = daily.groupBy(col("wd"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sy"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("syy"))
+      // DECIMAL(38,6): sy^2/n is ~(daily cents x days)^2 — 10^16+ at
+      // sf0.001 already, far past DECIMAL(28,12)'s 10^16 integer cap
+      .withColumn("ssw_g", (col("syy").cast("double") -
+        col("sy").cast("double") * col("sy") / col("n_g"))
+        .cast("decimal(38,6)"))
+      .withColumn("ssb_term", (col("sy").cast("double") *
+        col("sy") / col("n_g")).cast("decimal(38,6)"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("sy")).as("ty"), sum(col("ssw_g")).as("ssw"),
+      sum(col("ssb_term")).as("ssb_raw"))
+      .withColumn("ssb", col("ssb_raw").cast("double") -
+        col("ty").cast("double") * col("ty") /
+          col("n").cast("double"))
+      .withColumn("f_stat",
+        (col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw").cast("double") / (col("n") - col("k"))
+            .cast("double")))
+      .withColumn("eta_sq", col("ssb") /
+        (col("ssb") + col("ssw").cast("double")))
+    g.crossJoin(broadcast(tot.select(col("k"), col("n"),
+      col("f_stat"), col("eta_sq")))) // 1-row test stats
+      .select(col("wd").as("weekday"), col("n_g").as("n_days"),
+        round(col("sy").cast("double") / col("n_g") / 100.0, 2)
+          .as("mean_revenue"),
+        col("k"), col("n").as("n_total_days"),
+        round(col("f_stat"), 6).as("f_stat"),
+        round(col("eta_sq"), 6).as("eta_sq"))
+      .orderBy(col("weekday"))
+  }
 }

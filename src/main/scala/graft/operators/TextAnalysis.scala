@@ -3043,4 +3043,55 @@ object TextAnalysis {
         round(col("score").cast("double"), 6).as("bm25"))
       .orderBy(col("rk"))
   }
+
+  /** Cross-entropy MATRIX between the source unigram distributions —
+    * the pairwise domain-distance table a mixture designer reads
+    * before setting [[Curation.mixtureWeights]]: H(Pₐ, Q_b) =
+    * −Σ_t pₐ(t)·ln q_b(t) with pₐ the source's EXACT empirical
+    * distribution and q_b add-1 smoothed over the shared global
+    * vocabulary (so a token absent from b is priced, not undefined),
+    * plus KL(Pₐ‖Q_b) = H(Pₐ, Q_b) − H(Pₐ) against the unsmoothed
+    * self-entropy. Asymmetric by design — "a reads like b" and
+    * "b reads like a" are different facts.
+    *
+    * Per-token terms quantize to DECIMAL(28,12) before the sum.
+    *
+    * Plan: one token pass to (source, token) counts; the pair matrix
+    * expands each source's vocabulary |sources| times (a bounded
+    * constant), joined by token — the posting shuffle, never
+    * all-pairs over rows. */
+  def sourceCeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_src"))
+    val vocab = counts.agg(countDistinct(col("token")).as("v"))
+    val srcB = totals.select(col("source").as("src_b"),
+      col("n_src").as("n_b"))
+    val expanded = counts
+      .join(totals, Seq("source"))
+      .crossJoin(broadcast(srcB))   // |sources| bounded expansion
+      .join(counts.select(col("source").as("src_b"),
+        col("token"), col("c").as("c_b")), Seq("src_b", "token"), "left")
+      .crossJoin(broadcast(vocab))  // 1-row vocabulary size
+      .withColumn("p", col("c").cast("double") /
+        col("n_src").cast("double"))
+      .withColumn("lnq", log(
+        (coalesce(col("c_b"), lit(0L)) + 1).cast("double") /
+          (col("n_b") + col("v")).cast("double")))
+      .withColumn("ce_term", (-col("p") * col("lnq"))
+        .cast("decimal(28,12)"))
+      .withColumn("h_term",
+        (-col("p") * log(col("p"))).cast("decimal(28,12)"))
+    expanded.groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(sum(col("ce_term")).as("ce"), sum(col("h_term")).as("h"))
+      .select(col("src_a"), col("src_b"),
+        round(col("ce").cast("double"), 6).as("cross_entropy"),
+        round(col("ce").cast("double") - col("h").cast("double"), 6)
+          .as("kl_a_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -18,7 +18,11 @@ class Round11Wave10Spec extends SparkSpec {
         val toks = r.getString(1).split(" ", -1).filter(_.nonEmpty)
         (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong)
       }
-    val sorted = docs.sortBy(d => (-d._2, d._1))
+    // the round-12 dominance ordering: equal-length rows compete on
+    // TTR first (higher TTR precedes), so an equal-length lower-TTR
+    // doc always sees its dominator in the running max
+    val sorted = docs.sortBy { case (id, n, ty) =>
+      (-n, -q9(ty.toDouble / n), id) }
     var best = BigDecimal(-1)
     val frontier = sorted.flatMap { case (id, n, ty) =>
       val ttr = q9(ty.toDouble / n)
