@@ -556,7 +556,10 @@ object SparkEntry {
     "orders_tier_migration" -> ((s, d) => Relational.tierMigration(s, d)),
     "text_source_ce_matrix" ->
       ((s, d) => TextAnalysis.sourceCeMatrix(s, d)),
-    "orders_anova_weekday" -> ((s, d) => Relational.anovaWeekday(s, d))
+    "orders_anova_weekday" -> ((s, d) => Relational.anovaWeekday(s, d)),
+    "sim_ood_mahalanobis" -> ((s, d) => Similarity.oodMahalanobis(s, d)),
+    "graph_local_cc" ->
+      ((s, d) => Graph.localClusteringCoefficient(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11328,6 +11331,82 @@ object SparkEntry {
              k, n AS n_total_days, ROUND(f_stat, 6) AS f_stat,
              ROUND(eta_sq, 6) AS eta_sq
            FROM g2, st2 ORDER BY weekday""") +
+      ("sim_ood_mahalanobis" ->
+        """WITH d AS (SELECT label, vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(unnest(embedding) AS DOUBLE)
+                 AS DECIMAL(18,9)) AS x
+             FROM embeddings),
+           mom AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx,
+               SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+             FROM d GROUP BY 1, 2),
+           m2 AS (SELECT label, dim, CAST(sx AS DOUBLE) / n AS mu,
+               (CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / CAST(n - 1 AS DOUBLE) AS var
+             FROM mom),
+           d2 AS (SELECT d.label, vec_id,
+               SUM(CAST((CAST(x AS DOUBLE) - mu)
+                 * (CAST(x AS DOUBLE) - mu) / var AS DECIMAL(28,12)))
+                 AS d2,
+               CAST(COUNT(*) AS BIGINT) AS ndim
+             FROM d JOIN m2 ON d.label = m2.label AND d.dim = m2.dim
+             GROUP BY 1, 2),
+           worst AS (SELECT label, vec_id AS worst_vec FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY d2 DESC, vec_id DESC) AS rk FROM d2) z
+             WHERE rk = 1)
+           SELECT d2.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(MAX(ndim) AS BIGINT) AS n_dims,
+             CAST(SUM(CASE WHEN CAST(d2 AS DOUBLE) > 2.0 * ndim
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 4) AS mean_d2,
+             ROUND(CAST(MAX(d2) AS DOUBLE), 4) AS max_d2,
+             MAX(worst_vec) AS worst_vec
+           FROM d2 JOIN worst ON d2.label = worst.label
+           GROUP BY d2.label ORDER BY d2.label""") +
+      ("graph_local_cc" ->
+        """WITH directed AS (SELECT a.label, a.vec_id AS v1,
+               b.vec_id AS v2,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id),
+           knn AS (SELECT label, v1, v2 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                 ORDER BY sim DESC, v2) AS rk FROM directed) r
+             WHERE rk <= 3),
+           und AS (SELECT DISTINCT label, v1 AS u, v2 AS v FROM knn
+             UNION SELECT label, v2, v1 FROM knn),
+           deg AS (SELECT label, u, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM und GROUP BY 1, 2),
+           wedge AS (SELECT x.label, x.u AS c, x.v AS a, y.v AS b
+             FROM und x JOIN und y
+               ON x.label = y.label AND x.u = y.u AND x.v < y.v),
+           closedw AS (SELECT w.label, w.c,
+               CAST(COUNT(*) AS BIGINT) AS closed
+             FROM wedge w WHERE EXISTS (SELECT 1 FROM und e
+               WHERE e.label = w.label AND e.u = w.a AND e.v = w.b)
+             GROUP BY 1, 2),
+           perv AS (SELECT deg.label, deg.u, deg.deg,
+               CAST(COALESCE(closed, 0) AS BIGINT) AS closed,
+               (deg * (deg - 1)) // 2 AS wedges
+             FROM deg LEFT JOIN closedw
+               ON deg.label = closedw.label AND deg.u = closedw.c),
+           cc AS (SELECT label,
+               CASE WHEN wedges > 0
+                 THEN CAST(CAST(closed AS DOUBLE) / wedges
+                   AS DECIMAL(18,9))
+                 ELSE CAST(0.0 AS DECIMAL(18,9)) END AS cc
+             FROM perv)
+           SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             ROUND(CAST(SUM(cc) AS DOUBLE) / COUNT(*), 6)
+               AS mean_local_cc,
+             CAST(SUM(CASE WHEN cc >= 1.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fully_clustered,
+             CAST(SUM(CASE WHEN cc = 0.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero_cc
+           FROM cc GROUP BY label ORDER BY label""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

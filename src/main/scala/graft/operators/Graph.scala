@@ -774,4 +774,57 @@ object Graph {
         expr("CAST(c2_sum DIV 2 AS BIGINT)").as("n_squares"))
       .orderBy(col("label"))
   }
+
+  /** LOCAL clustering-coefficient census per label — the per-vertex
+    * refinement of [[triangles]]' global transitivity: for every
+    * vertex, cc(v) = closed wedges at v / C(deg, 2), found by counting
+    * each vertex's adjacent-neighbor pairs through the SAME
+    * degree-bounded wedge join the square census uses (neighbor pairs
+    * (a, b) of center v that are themselves edges). Reported per
+    * label: the mean local cc (quantized per-vertex before the mean —
+    * the Watts–Strogatz statistic, ≠ global transitivity), the share
+    * of fully-clustered vertices (cc = 1), and the zero-cc share.
+    *
+    * Plan: wedge join at center grain (≤ C(2k,2) pairs per vertex),
+    * an edge semi-join to keep closed wedges, two vertex-grain aggs,
+    * a label census. All integer until the final ratios. */
+  def localClusteringCoefficient(spark: SparkSession,
+      dir: String): DataFrame = {
+    val edges = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2"))
+    val und = edges
+      .select(col("label"), col("v1").as("u"), col("v2").as("v"))
+      .union(edges.select(col("label"), col("v2").as("u"),
+        col("v1").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("label"), col("u"))
+      .agg(count(lit(1)).as("deg"))
+    // neighbor pairs of each center that are themselves adjacent
+    val closed = und.select(col("label"), col("u").as("c"),
+        col("v").as("a"))
+      .join(und.select(col("label"), col("u").as("c"),
+        col("v").as("b")), Seq("label", "c"))
+      .filter(col("a") < col("b"))
+      .join(und.select(col("label"), col("u").as("a"),
+        col("v").as("b"), lit(1L).as("hit")),
+        Seq("label", "a", "b"), "left_semi")
+      .groupBy(col("label"), col("c"))
+      .agg(count(lit(1)).as("closed"))
+    val perV = deg
+      .join(closed.withColumnRenamed("c", "u"),
+        Seq("label", "u"), "left")
+      .withColumn("wedges", expr("(deg * (deg - 1)) DIV 2"))
+      .withColumn("cc",
+        when(col("wedges") > 0,
+          (coalesce(col("closed"), lit(0L)).cast("double") /
+            col("wedges").cast("double")).cast("decimal(18,9)"))
+          .otherwise(lit(0.0).cast("decimal(18,9)")))
+    perV.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vertices"),
+        round(sum(col("cc")).cast("double") / count(lit(1)), 6)
+          .as("mean_local_cc"),
+        sum((col("cc") >= 1.0).cast("long")).as("n_fully_clustered"),
+        sum((col("cc") === 0.0).cast("long")).as("n_zero_cc"))
+      .orderBy(col("label"))
+  }
 }

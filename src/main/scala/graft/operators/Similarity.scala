@@ -2576,4 +2576,56 @@ object Similarity {
           col("n_vectors").cast("double"), 4).as("top_bucket_share"))
       .orderBy(col("label"))
   }
+
+  /** Diagonal-Mahalanobis OUT-OF-DISTRIBUTION census per label block —
+    * the embedding-QC gate a pipeline runs before trusting a batch of
+    * vectors: each vector's distance to its OWN label centroid,
+    * normalized per dimension by the label's variance (the diagonal
+    * Mahalanobis d² = Σ_j (x_j − μ_j)²/σ²_j — the full covariance is
+    * a d×d solve nothing at 100 TB wants), flagged when d² exceeds
+    * 2× the dimension count (E[d²] = d for in-distribution Gaussians).
+    * Reported per label: the flag count, mean/max d², and the most
+    * anomalous vector's id.
+    *
+    * Determinism: μ and σ² come from exact DECIMAL(18,9)-quantized
+    * component sums; each per-dimension term quantizes to
+    * DECIMAL(28,12) before the per-vector sum; argmax ties on vec_id.
+    *
+    * Plan: one positional explode to (vec, dim) grain (the kernel
+    * every vector statistic here pays), a (label, dim) moment agg
+    * (bounded: |labels|·d rows), a join back by (label, dim), a
+    * per-vector reduce, a label census. */
+  def oodMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val d = dims(emb(spark, dir), withLabel = true)
+      .select(col("label"), col("vec_id"), col("d").as("dim"),
+        col("val").cast("double").cast("decimal(18,9)").as("x"))
+    val mom = d.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("sxx"))
+      .withColumn("mu", col("sx").cast("double") / col("n"))
+      .withColumn("var",
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n")) / (col("n") - 1).cast("double"))
+    val d2 = d.join(mom.select(col("label"), col("dim"), col("mu"),
+        col("var")), Seq("label", "dim"))
+      .withColumn("term", (((col("x").cast("double") - col("mu")) *
+        (col("x").cast("double") - col("mu"))) / col("var"))
+        .cast("decimal(28,12)"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("term")).as("d2"), count(lit(1)).as("ndim"))
+    d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        max(col("ndim")).as("n_dims"),
+        sum((col("d2").cast("double") >
+          lit(2.0) * col("ndim")).cast("long")).as("n_flagged"),
+        round(sum(col("d2")).cast("double") / count(lit(1)), 4)
+          .as("mean_d2"),
+        round(max(col("d2")).cast("double"), 4).as("max_d2"),
+        max(struct(col("d2").as("d2"), col("vec_id"))).as("worst"))
+      .select(col("label"), col("n_vectors"), col("n_dims"),
+        col("n_flagged"), col("mean_d2"), col("max_d2"),
+        col("worst.vec_id").as("worst_vec"))
+      .orderBy(col("label"))
+  }
 }
