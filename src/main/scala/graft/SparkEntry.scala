@@ -559,7 +559,10 @@ object SparkEntry {
     "orders_anova_weekday" -> ((s, d) => Relational.anovaWeekday(s, d)),
     "sim_ood_mahalanobis" -> ((s, d) => Similarity.oodMahalanobis(s, d)),
     "graph_local_cc" ->
-      ((s, d) => Graph.localClusteringCoefficient(s, d))
+      ((s, d) => Graph.localClusteringCoefficient(s, d)),
+    "sim_matryoshka_recall" ->
+      ((s, d) => Similarity.matryoshkaRecall(s, d)),
+    "text_bpe_oov" -> ((s, d) => TextAnalysis.bpeOov(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11407,6 +11410,67 @@ object SparkEntry {
              CAST(SUM(CASE WHEN cc = 0.0 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_zero_cc
            FROM cc GROUP BY label ORDER BY label""") +
+      ("sim_matryoshka_recall" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings ORDER BY vec_id LIMIT 5),
+           sc AS (SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.q_emb) AS s64,
+               list_cosine_similarity(e.embedding[1:32],
+                 q.q_emb[1:32]) AS s32,
+               list_cosine_similarity(e.embedding[1:16],
+                 q.q_emb[1:16]) AS s16
+             FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+           t64 AS (SELECT q_id, vec_id FROM (SELECT *, ROW_NUMBER()
+                 OVER (PARTITION BY q_id ORDER BY s64 DESC, vec_id)
+                 AS rk FROM sc) z WHERE rk <= 10),
+           t32 AS (SELECT q_id, vec_id FROM (SELECT *, ROW_NUMBER()
+                 OVER (PARTITION BY q_id ORDER BY s32 DESC, vec_id)
+                 AS rk FROM sc) z WHERE rk <= 10),
+           t16 AS (SELECT q_id, vec_id FROM (SELECT *, ROW_NUMBER()
+                 OVER (PARTITION BY q_id ORDER BY s16 DESC, vec_id)
+                 AS rk FROM sc) z WHERE rk <= 10),
+           r AS (SELECT t64.q_id,
+               CAST(SUM(CASE WHEN h32.vec_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS hits_32,
+               CAST(SUM(CASE WHEN h16.vec_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS hits_16
+             FROM t64
+             LEFT JOIN t32 h32 ON t64.q_id = h32.q_id
+               AND t64.vec_id = h32.vec_id
+             LEFT JOIN t16 h16 ON t64.q_id = h16.q_id
+               AND t64.vec_id = h16.vec_id
+             GROUP BY 1)
+           SELECT q_id, CAST(10 AS BIGINT) AS k, hits_32, hits_16,
+             ROUND(CAST(hits_32 AS DOUBLE) / 10, 4) AS recall_d32,
+             ROUND(CAST(hits_16 AS DOUBLE) / 10, 4) AS recall_d16
+           FROM r ORDER BY q_id""") +
+      ("text_bpe_oov" ->
+        """WITH tv AS (SELECT DISTINCT lower(t) AS w
+             FROM (SELECT unnest(string_split(text, ' ')) AS t
+                   FROM documents WHERE doc_id % 2 = 0) z
+             WHERE regexp_matches(lower(t), '^[a-z]+$')),
+           ho AS (SELECT lang, lower(t) AS w,
+               CAST(COUNT(*) AS BIGINT) AS occ
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+                   FROM documents WHERE doc_id % 2 <> 0) z
+             WHERE regexp_matches(lower(t), '^[a-z]+$')
+             GROUP BY 1, 2)
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS oov_types,
+             ROUND(CAST(SUM(CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS oov_type_rate,
+             CAST(SUM(occ) AS BIGINT) AS n_occ,
+             CAST(SUM(CASE WHEN tv.w IS NULL THEN occ ELSE 0 END)
+               AS BIGINT) AS oov_occ,
+             ROUND(CAST(SUM(CASE WHEN tv.w IS NULL THEN occ
+                 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(occ) AS DOUBLE), 6) AS oov_occ_rate,
+             CAST(SUM(CASE WHEN tv.w IS NULL
+               THEN occ * length(ho.w) ELSE 0 END) AS BIGINT)
+               AS oov_chars
+           FROM ho LEFT JOIN tv ON ho.w = tv.w
+           GROUP BY lang ORDER BY lang""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

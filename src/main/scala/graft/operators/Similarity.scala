@@ -2628,4 +2628,54 @@ object Similarity {
         col("worst.vec_id").as("worst_vec"))
       .orderBy(col("label"))
   }
+
+  /** MATRYOSHKA truncation recall — the evaluation behind
+    * MRL-style adaptive retrieval (can the FIRST d/2 or d/4
+    * dimensions stand in for the full vector?): for five broadcast
+    * queries, recall@10 of cosine ranking over the PREFIX-truncated
+    * embeddings (32 and 16 of 64 dims) against the full-width exact
+    * ground truth. High prefix recall licenses the memory/latency
+    * saving; on embeddings NOT trained matryoshka-style (this
+    * corpus), the measured drop IS the finding.
+    *
+    * Determinism: truncation is `slice`; cosine is the same f32-exact
+    * expression on the sliced arrays; rankings tie on vec_id.
+    *
+    * Plan: one corpus map per width (queries broadcast, `slice` is
+    * narrow), three rank windows, an exact set intersection at
+    * (query, k)-bounded size. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def topAt(width: Option[Int]): DataFrame = {
+      val (ec, qc) = width match {
+        case Some(w) => (expr(s"slice(embedding, 1, $w)"),
+          expr(s"slice(q_emb, 1, $w)"))
+        case None => (col("embedding"), col("q_emb"))
+      }
+      e.join(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ve", ec).withColumn("qe", qc)
+        .withColumn("sim", ExprColumns.cosineF32(spark, "ve", "qe"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val truth = topAt(None)
+    def recallOf(w: Int): DataFrame =
+      truth.join(topAt(Some(w))
+          .withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as(s"hits_$w"))
+    recallOf(32).join(recallOf(16), Seq("q_id"))
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        col("hits_32"), col("hits_16"),
+        round(col("hits_32").cast("double") / k, 4).as("recall_d32"),
+        round(col("hits_16").cast("double") / k, 4).as("recall_d16"))
+      .orderBy(col("q_id"))
+  }
 }

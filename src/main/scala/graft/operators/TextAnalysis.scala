@@ -3094,4 +3094,54 @@ object TextAnalysis {
           .as("kl_a_b"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Tokenizer OOV-rate evaluation — the held-out vocabulary-coverage
+    * check [[bpeEncode]]'s in-corpus census can't give (its word join
+    * silently covers every word the vocabulary was trained ON): the
+    * word vocabulary is "trained" on the EVEN doc_ids and applied to
+    * the ODD ones, reporting per language the held-out word-TYPE and
+    * word-OCCURRENCE OOV rates and the character mass that would fall
+    * to byte-fallback. The occurrence rate is the one that prices a
+    * tokenizer (frequent words are covered first); the type rate is
+    * the long tail.
+    *
+    * Exactness: all counts and character masses are BIGINTs; two
+    * ratio divisions per row.
+    *
+    * Plan: two token passes (train vocabulary, held-out words) with
+    * the bpeWords normalization (lowercase, alphabetic), one
+    * vocabulary left-anti-shaped join, a language census. */
+  def bpeOov(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val trainVocab = d.filter(col("doc_id") % 2 === 0)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(col("w")).distinct()
+    val heldOut = d.filter(col("doc_id") % 2 =!= 0)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), lower(col("tok")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+    heldOut
+      .join(trainVocab.withColumn("known", lit(1L)), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("occ")).as("n_occ"),
+        sum(when(col("known").isNull, 1L).otherwise(0L))
+          .as("oov_types"),
+        sum(when(col("known").isNull, col("occ")).otherwise(0L))
+          .as("oov_occ"),
+        sum(when(col("known").isNull, col("occ") * length(col("w")))
+          .otherwise(0L)).as("oov_chars"))
+      .select(col("lang"), col("n_types"), col("oov_types"),
+        round(col("oov_types").cast("double") /
+          col("n_types").cast("double"), 6).as("oov_type_rate"),
+        col("n_occ"), col("oov_occ"),
+        round(col("oov_occ").cast("double") /
+          col("n_occ").cast("double"), 6).as("oov_occ_rate"),
+        col("oov_chars"))
+      .orderBy(col("lang"))
+  }
 }
