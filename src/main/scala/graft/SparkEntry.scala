@@ -562,7 +562,9 @@ object SparkEntry {
       ((s, d) => Graph.localClusteringCoefficient(s, d)),
     "sim_matryoshka_recall" ->
       ((s, d) => Similarity.matryoshkaRecall(s, d)),
-    "text_bpe_oov" -> ((s, d) => TextAnalysis.bpeOov(s, d))
+    "text_bpe_oov" -> ((s, d) => TextAnalysis.bpeOov(s, d)),
+    "text_hybrid_retrieval" ->
+      ((s, d) => TextAnalysis.hybridRetrieval(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11471,6 +11473,58 @@ object SparkEntry {
                AS oov_chars
            FROM ho LEFT JOIN tv ON ho.w = tv.w
            GROUP BY lang ORDER BY lang""") +
+      ("text_hybrid_retrieval" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+             FROM tf GROUP BY 1),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+           q AS (SELECT token, df FROM (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY df DESC, token) AS rk FROM df) z
+             WHERE rk BETWEEN 20 AND 22),
+           sc AS (SELECT tf.doc_id,
+               CAST(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * tf * 2.2
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                   + 0.75 * CAST(len AS DOUBLE) * n
+                     / CAST(total_len AS DOUBLE)))
+                 AS DECIMAL(28,12)) AS term_score
+             FROM tf JOIN q USING (token) JOIN lens USING (doc_id), nd),
+           lex AS (SELECT doc_id, SUM(term_score) AS bm25
+             FROM sc GROUP BY 1),
+           lexr AS (SELECT doc_id, ROW_NUMBER()
+                 OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+             FROM lex),
+           anchor AS (SELECT e.vec_id AS a_id, e.embedding AS a_emb
+             FROM lexr JOIN embeddings e ON lexr.doc_id = e.vec_id
+             WHERE r_lex = 1),
+           semr AS (SELECT vec_id AS doc_id, ROW_NUMBER()
+                 OVER (ORDER BY sim DESC, vec_id) AS r_sem
+             FROM (SELECT e.vec_id,
+                     list_cosine_similarity(e.embedding, a.a_emb)
+                       AS sim
+                   FROM embeddings e, anchor a
+                   WHERE e.vec_id <> a.a_id) z),
+           fused AS (SELECT COALESCE(lexr.doc_id, semr.doc_id)
+                 AS doc_id,
+               r_lex, r_sem,
+               COALESCE(1.0 / (60.0 + r_lex), 0.0)
+                 + COALESCE(1.0 / (60.0 + r_sem), 0.0) AS rrf
+             FROM lexr FULL OUTER JOIN semr
+               ON lexr.doc_id = semr.doc_id),
+           top AS (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+           SELECT CAST(rk AS BIGINT) AS rk, doc_id,
+             CAST(r_lex AS BIGINT) AS r_lex,
+             CAST(r_sem AS BIGINT) AS r_sem,
+             ROUND(rrf, 6) AS rrf_score
+           FROM top WHERE rk <= 10 ORDER BY rk""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -3144,4 +3144,86 @@ object TextAnalysis {
         col("oov_chars"))
       .orderBy(col("lang"))
   }
+
+  /** HYBRID lexical+semantic retrieval via reciprocal-rank fusion —
+    * the modern two-tower search capstone connecting the text and
+    * vector halves of this library: the lexical list is [[bm25TopK]]'s
+    * BM25 ranking on the data-driven 3-term query; the semantic
+    * anchor is the TOP-1 lexical hit's embedding (the
+    * "more-like-this" expansion a hybrid engine runs when the query
+    * has no dense encoding), the semantic list ranks every other
+    * document by f32-exact cosine to that anchor; and the fused score
+    * is RRF = Σ 1/(60 + rankᵢ) over the lists a document appears in
+    * (Cormack's constant). Documents are vectors here by the shared
+    * doc_id = vec_id key. The readout shows both source ranks per
+    * fused hit — which list carried it.
+    *
+    * Determinism: both ranks tie on doc_id; RRF is the same 2-term
+    * double expression cross-engine; fused order ties on doc_id.
+    *
+    * Plan: the BM25 posting join (query broadcast) + one
+    * anchor-broadcast cosine map + two rank windows + a doc-keyed
+    * full outer join — no operator touches more than the posting
+    * shuffle the lexical side already pays. */
+  def hybridRetrieval(spark: SparkSession, dir: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.ExprColumns
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val nDocs = lens.agg(count(lit(1)).as("n"),
+      sum(col("len")).as("total_len"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val query = df
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))))
+      .filter(col("rk").between(20, 22))
+      .select(col("token"), col("df"))
+    val lexScored = tf.join(broadcast(query), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus stats
+      .withColumn("idf", log(lit(1.0) +
+        (col("n").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("norm", lit(k1) * (lit(1.0 - b) + lit(b) *
+        col("len").cast("double") * col("n") /
+        col("total_len").cast("double")))
+      .withColumn("term_score",
+        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + col("norm")))
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("bm25"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val anchor = lexScored.filter(col("r_lex") === 1)
+      .join(emb, Seq("doc_id"))
+      .select(col("doc_id").as("a_id"),
+        col("embedding").as("a_emb"))
+    val semScored = emb.join(broadcast(anchor)) // 1-row anchor
+      .filter(col("doc_id") =!= col("a_id"))
+      .withColumn("sim",
+        ExprColumns.cosineF32(spark, "embedding", "a_emb"))
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_sem"))
+    lexScored.select(col("doc_id"), col("r_lex"))
+      .join(semScored, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("r_lex").cast("long").as("r_lex"),
+        col("r_sem").cast("long").as("r_sem"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy(col("rk"))
+  }
 }
