@@ -10740,12 +10740,15 @@ object SparkEntry {
            bb AS (SELECT *,
                c11 * c22 - c12 * c12 AS det FROM c),
            b AS (SELECT *,
-               (c01 * c22 - c02 * c12) / det AS b1,
-               (c02 * c11 - c01 * c12) / det AS b2
+               CASE WHEN det > 0
+                 THEN (c01 * c22 - c02 * c12) / det END AS b1,
+               CASE WHEN det > 0
+                 THEN (c02 * c11 - c01 * c12) / det END AS b2
              FROM bb),
            r AS (SELECT *,
                cyy - b1 * c01 - b2 * c02 AS rss_u,
-               cyy - c01 * c01 / c11 AS rss_r
+               CASE WHEN c11 > 0
+                 THEN cyy - c01 * c01 / c11 END AS rss_r
              FROM b)
            SELECT n AS n_days, ROUND(b1, 6) AS beta_self,
              ROUND(b2, 6) AS beta_cross,
@@ -11200,9 +11203,10 @@ object SparkEntry {
                CAST(SUM(CASE WHEN churns_next THEN rev ELSE 0 END)
                  AS BIGINT) AS churning_rev
              FROM fl GROUP BY 1),
-           wc AS (SELECT *, COALESCE(LAG(churning_rev)
-                 OVER (ORDER BY wk), 0) AS churned_rev
-             FROM bw)
+           wc AS (SELECT bw.*, COALESCE(pr.churning_rev, 0)
+                 AS churned_rev
+             FROM bw LEFT JOIN bw pr
+               ON pr.wk = bw.wk - INTERVAL 7 DAY)
            SELECT strftime(wk, '%Y-%m-%d') AS week, n_users,
              ROUND(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue,
              ROUND(CAST(new_rev AS DOUBLE) / 100.0, 2) AS new_rev,
@@ -11221,7 +11225,8 @@ object SparkEntry {
                CAST(SUM(y) AS BIGINT) AS sy
              FROM rows_ GROUP BY 1),
            enc AS (SELECT rows_.cat, y, n_g, sy,
-               CAST(sy - y AS DOUBLE) / CAST(n_g - 1 AS DOUBLE) AS loo
+               CASE WHEN n_g > 1 THEN CAST(sy - y AS DOUBLE)
+                 / CAST(n_g - 1 AS DOUBLE) END AS loo
              FROM rows_ JOIN g ON rows_.cat = g.cat)
            SELECT cat, CAST(MAX(n_g) AS BIGINT) AS n,
              ROUND(CAST(MAX(sy) AS DOUBLE) / MAX(n_g) / 100.0, 4)
@@ -11347,13 +11352,14 @@ object SparkEntry {
                SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
              FROM d GROUP BY 1, 2),
            m2 AS (SELECT label, dim, CAST(sx AS DOUBLE) / n AS mu,
-               (CAST(sxx AS DOUBLE)
+               CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                 / CAST(n - 1 AS DOUBLE) AS var
+                 / CAST(n - 1 AS DOUBLE) END AS var
              FROM mom),
            d2 AS (SELECT d.label, vec_id,
-               SUM(CAST((CAST(x AS DOUBLE) - mu)
-                 * (CAST(x AS DOUBLE) - mu) / var AS DECIMAL(28,12)))
+               SUM(CAST(CASE WHEN var > 0 THEN (CAST(x AS DOUBLE) - mu)
+                 * (CAST(x AS DOUBLE) - mu) / var
+                 ELSE 0.0 END AS DECIMAL(28,12)))
                  AS d2,
                CAST(COUNT(*) AS BIGINT) AS ndim
              FROM d JOIN m2 ON d.label = m2.label AND d.dim = m2.dim
@@ -11498,19 +11504,22 @@ object SparkEntry {
              FROM tf JOIN q USING (token) JOIN lens USING (doc_id), nd),
            lex AS (SELECT doc_id, SUM(term_score) AS bm25
              FROM sc GROUP BY 1),
-           lexr AS (SELECT doc_id, ROW_NUMBER()
+           lexr AS (SELECT doc_id, r_lex FROM (
+               SELECT doc_id, ROW_NUMBER()
                  OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-             FROM lex),
+               FROM lex) zl WHERE r_lex <= 100),
            anchor AS (SELECT e.vec_id AS a_id, e.embedding AS a_emb
              FROM lexr JOIN embeddings e ON lexr.doc_id = e.vec_id
              WHERE r_lex = 1),
-           semr AS (SELECT vec_id AS doc_id, ROW_NUMBER()
+           semr AS (SELECT doc_id, r_sem FROM (
+               SELECT vec_id AS doc_id, ROW_NUMBER()
                  OVER (ORDER BY sim DESC, vec_id) AS r_sem
-             FROM (SELECT e.vec_id,
-                     list_cosine_similarity(e.embedding, a.a_emb)
-                       AS sim
-                   FROM embeddings e, anchor a
-                   WHERE e.vec_id <> a.a_id) z),
+               FROM (SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding, a.a_emb)
+                         AS sim
+                     FROM embeddings e, anchor a
+                     WHERE e.vec_id <> a.a_id) z) zs
+             WHERE r_sem <= 100),
            fused AS (SELECT COALESCE(lexr.doc_id, semr.doc_id)
                  AS doc_id,
                r_lex, r_sem,

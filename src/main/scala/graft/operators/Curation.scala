@@ -799,32 +799,13 @@ object Curation {
   }
 
   /** Exact global rank of `valueCol` (ascending, doc_id tiebreak) via
-    * the bucketed two-pass scan — the [[curriculum]] decomposition
-    * packaged as a helper so rank-based statistics never plan a
+    * the bucketed two-pass scan — the [[curriculum]] decomposition,
+    * now housed in [[Ranks.exactRank]] so every operator family shares
+    * one implementation and rank-based statistics never plan a
     * corpus-sized single-partition window. Returns (doc_id, <out>). */
   private def exactRank(spark: SparkSession, df: DataFrame,
-      valueCol: String, out: String): DataFrame = {
-    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pcts = (1 until nB).map(i =>
-      (i.toDouble / nB).toString).mkString(", ")
-    val bnds = df.agg(expr(
-      s"approx_percentile(CAST($valueCol AS DOUBLE), array($pcts))")
-      .as("bnds"))
-    val b = df.crossJoin(broadcast(bnds)) // 1-row boundary array
-      .withColumn("bucket",
-        size(filter(col("bnds"), x => x < col(valueCol).cast("double"))))
-      .drop("bnds")
-    val wL = Window.partitionBy(col("bucket"))
-      .orderBy(col(valueCol), col("doc_id"))
-    val local = b.withColumn("lr", row_number().over(wL).cast("long"))
-    val wO = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = b.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
-      .withColumn("off", coalesce(sum(col("bc")).over(wO), lit(0L)))
-      .select(col("bucket"), col("off"))
-    local.join(broadcast(offs), Seq("bucket"))
-      .select(col("doc_id"), (col("off") + col("lr")).as(out))
-  }
+      valueCol: String, out: String): DataFrame =
+    Ranks.exactRank(spark, df, valueCol, "doc_id", out)
 
   /** Spearman rank correlation between document LENGTH and the
     * distinct-token-ratio QUALITY signal — the monotone-association
@@ -1131,11 +1112,17 @@ object Curation {
     * and would wrongly stay on the frontier. doc_id ordering fixes
     * only the emitted rank.
     *
-    * Scale note: the global sort is the operator's cost; at 100 TB a
-    * pre-filter on a cheap dominance-proxy (per-partition local
-    * skylines, then a final merge — skylines compose under union)
-    * keeps the sorted relation small; the local-skyline pre-pass is
-    * exactly this plan applied per partition. */
+    * Scale note: the running max DECOMPOSES exactly like
+    * [[Ranks.exactRank]] (round-13 re-plan — the textbook global
+    * window is ONE task holding every document): sample B−1 length
+    * boundaries, compute the running max INSIDE each bucket (a
+    * partitioned window), and fold in the prefix of whole-bucket
+    * maxima (a ≤B-row bounded window) — every row's best_prev is
+    * greatest(local running max, previous buckets' max), exactly the
+    * single-sort value, B-way parallel. Ties in n_tokens share a
+    * bucket by construction, so the ttr-DESC tie handling above stays
+    * inside one partitioned window. The emitted frontier rank is an
+    * exactRank over the (small, but not provably bounded) frontier. */
   def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"),
@@ -1148,15 +1135,36 @@ object Curation {
       .agg(count(lit(1)).as("types"), sum(col("c")).as("n_tokens"))
       .withColumn("ttr", (col("types").cast("double") /
         col("n_tokens").cast("double")).cast("decimal(18,9)"))
-    val w = Window
+      .withColumn("s", (-col("n_tokens")).cast("double"))
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nB).map(i =>
+      (i.toDouble / nB).toString).mkString(", ")
+    val bnds = perDoc.agg(expr(
+      s"approx_percentile(s, array($pcts))").as("bnds"))
+    val b = perDoc.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("bucket",
+        size(filter(col("bnds"), x => x < col("s"))))
+      .drop("bnds", "s")
+    val wLoc = Window.partitionBy(col("bucket"))
       .orderBy(col("n_tokens").desc, col("ttr").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    perDoc
-      .withColumn("best_prev", max(col("ttr")).over(w))
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefMax = b.groupBy(col("bucket"))
+      .agg(max(col("ttr")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wPrefix))
+      .select(col("bucket"), col("pmax"))
+    val frontier = b.join(broadcast(prefMax), Seq("bucket"))
+      // greatest() skips NULLs: first bucket + first row == no prev
+      .withColumn("best_prev",
+        greatest(max(col("ttr")).over(wLoc), col("pmax")))
       .filter(col("best_prev").isNull || col("ttr") > col("best_prev"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_tokens").desc, col("doc_id"))))
-      .select(col("rank"), col("doc_id"), col("n_tokens"), col("types"),
+      .withColumn("neg_tokens", (-col("n_tokens")).cast("double"))
+    frontier.join(Ranks.exactRank(spark,
+        frontier.select(col("doc_id"), col("neg_tokens")),
+        "neg_tokens", "doc_id", "rank0"), Seq("doc_id"))
+      .select(col("rank0").cast("int").as("rank"), col("doc_id"),
+        col("n_tokens"), col("types"),
         round(col("ttr").cast("double"), 6).as("ttr"))
       .orderBy(col("rank"))
   }
@@ -1174,22 +1182,31 @@ object Curation {
     * engines sort the same strings); means are exact integer sums
     * divided once.
     *
-    * Plan: one window rank over the doc-grain relation per method,
-    * three aggregate rows — nothing above doc grain. */
+    * Plan: each method's doc-grain rank is a [[Ranks.exactRank]]
+    * bucketed two-pass scan (round-13 re-plan — the naive global
+    * ROW_NUMBER funneled the corpus through ONE task): the md5-order
+    * rank buckets on the hash's first-8-nibble NUMERIC prefix (a
+    * monotone coarsening of the full-string order, so local rank +
+    * bucket offset is exact), the doc_id rank buckets on the id
+    * itself. Three aggregate rows come out. */
   def systematicSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
       .localCheckpoint() // doc-grain, read by 3 branches
     val pop = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
       .select(lit("population").as("method"), col("n"), col("s"))
-    val sys = d
-      .withColumn("rk", row_number().over(Window.orderBy(
-        md5(concat(lit("sys:"), col("doc_id").cast("string"))),
-        col("doc_id"))))
+    val sysRk = Ranks.exactRankOrdered(spark,
+      d.select(col("doc_id"),
+        md5(concat(lit("sys:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("hb",
+          expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)")),
+      "hb", Seq(col("h")), "doc_id", "rk")
+    val sys = d.join(sysRk, Seq("doc_id"))
       .filter((col("rk") % 10) === 1)
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
       .select(lit("systematic").as("method"), col("n"), col("s"))
     val conv = d
-      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+      .join(Ranks.exactRank(spark, d.select(col("doc_id")),
+        "doc_id", "doc_id", "rk"), Seq("doc_id"))
       .crossJoin(broadcast(d.agg(count(lit(1)).as("nt"))))
       .filter(col("rk") <= expr("(nt + 9) div 10"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))

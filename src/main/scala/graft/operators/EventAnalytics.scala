@@ -3062,20 +3062,38 @@ object EventAnalytics {
     * revenue (cents) of users with exactly that touchset (0 for
     * unobserved coalitions — documented, not imputed); and each
     * channel's Shapley value φᵢ = Σ_{S∌i} |S|!(n−1−|S|)!/n! ·
-    * (v(S∪i) − v(S)) is computed EXACTLY over all 2⁴ coalitions with
-    * the factorial weights as integer 24ths — no sampling, because
-    * n = 4 channels makes the full enumeration 64 bounded rows.
+    * (v(S∪i) − v(S)) is computed EXACTLY over all 2ⁿ coalitions with
+    * the factorial weights as integer n!-ths — no sampling. The
+    * channel set is DERIVED from the data (sorted distinct
+    * non-purchase event types), never hardcoded: a coalition key
+    * containing an unenumerated type would silently drop its cohort's
+    * revenue from v(S) and break the efficiency property
+    * Σφ = attributable revenue. Exact enumeration is 2ⁿ, so the
+    * operator fails LOUDLY past 4 channels rather than go quietly
+    * partial.
     *
     * Determinism: v(S) quantizes to DECIMAL(28,12); φ sums integer-
-    * weighted decimal terms; the division by 24 happens once at the
+    * weighted decimal terms; the division by n! happens once at the
     * edge.
     *
-    * Plan: two corpus passes (first-purchase timestamps, pre-purchase
-    * touch aggregation — both user-keyed shuffles), then EVERYTHING
-    * runs on the ≤16-row coalition relation and its 64-row channel
-    * cross — the enumeration cost is independent of corpus size. */
+    * Plan: a bounded channel-census pass (distinct event types — a
+    * driver-side merge of ≤|types| values, the same bounded-collect
+    * class as the streaming merge tables), two corpus passes
+    * (first-purchase timestamps, pre-purchase touch aggregation —
+    * both user-keyed shuffles), then EVERYTHING runs on the ≤2ⁿ-row
+    * coalition relation and its n·2ⁿ-row channel cross — the
+    * enumeration cost is independent of corpus size. */
   def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
+    val chNames = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type")).distinct()
+      .orderBy(col("event_type"))
+      .collect().map(_.getString(0)).toSeq
+    require(chNames.nonEmpty && chNames.length <= 4,
+      s"exact Shapley enumeration is 2^n coalitions — supports 1..4 " +
+        s"channels, got ${chNames.length}: ${chNames.mkString(",")}")
+    val nCh = chNames.length
+    val fact = Array(1L, 1L, 2L, 6L, 24L)
     val users = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "purchase", col("ts")))
         .as("fp"),
@@ -3094,48 +3112,50 @@ object EventAnalytics {
       .select(coalesce(col("c_key"), lit("")).as("c_key"), col("rev"))
       .groupBy(col("c_key"))
       .agg(count(lit(1)).as("n_users"), sum(col("rev")).as("rev"))
-    // all 2^4 coalitions of the non-purchase channels, by bitmask
-    val masks = spark.range(16).select(col("id").cast("int").as("mask"))
+    // all 2^n coalitions of the derived channels, by bitmask; bit i is
+    // the i-th channel in sort order, so concat_ws reproduces the
+    // array_sort'd c_key exactly
+    val masks = spark.range(1L << nCh)
+      .select(col("id").cast("int").as("mask"))
     def member(bit: Int, name: String): Column =
       when(col("mask").bitwiseAND(lit(bit)) === bit, lit(name))
     val enum0 = masks
-      .withColumn("c_key", concat_ws(",", member(1, "click"),
-        member(2, "error"), member(4, "signup"), member(8, "view")))
-      .withColumn("sz",
-        col("mask").bitwiseAND(lit(1)) +
-          shiftright(col("mask"), 1).bitwiseAND(lit(1)) +
-          shiftright(col("mask"), 2).bitwiseAND(lit(1)) +
-          shiftright(col("mask"), 3).bitwiseAND(lit(1)))
+      .withColumn("c_key", concat_ws(",", chNames.zipWithIndex.map {
+        case (nm, i) => member(1 << i, nm) }: _*))
+      .withColumn("sz", chNames.indices.map(i =>
+        shiftright(col("mask"), i).bitwiseAND(lit(1))).reduce(_ + _))
     val v = enum0.join(coal, Seq("c_key"), "left")
       .select(col("mask"), col("sz"),
         coalesce((col("rev").cast("double") /
           col("n_users").cast("double")).cast("decimal(28,12)"),
           lit(0).cast("decimal(28,12)")).as("v"))
-    val channels = spark.range(4).select(
-      when(col("id") === 0, "click").when(col("id") === 1, "error")
-        .when(col("id") === 2, "signup").otherwise("view")
-        .as("channel"),
-      when(col("id") === 0, 1).when(col("id") === 1, 2)
-        .when(col("id") === 2, 4).otherwise(8).as("bit"))
+    val channels = chNames.zipWithIndex
+      .map { case (nm, i) => (nm, 1 << i) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (nm, bit)) =>
+        val row = spark.range(1)
+          .select(lit(nm).as("channel"), lit(bit).as("bit"))
+        Some(acc.fold(row)(_.unionByName(row)))
+      }.get
     val terms = channels
       .crossJoin(broadcast(v.select(col("mask").as("m0"),
-        col("sz").as("sz0"), col("v").as("v0")))) // 16-row enumeration
+        col("sz").as("sz0"), col("v").as("v0")))) // 2^n-row enumeration
       .filter(col("m0").bitwiseAND(col("bit")) === 0)
       .join(broadcast(v.select(col("mask").as("m1"), col("v").as("v1"))),
         col("m1") === col("m0") + col("bit"))
-      // |S|!(n-1-|S|)!/n! in 24ths: sizes 0,3 -> 6/24; 1,2 -> 2/24
-      .withColumn("w24",
-        when(col("sz0") === 0 || col("sz0") === 3, 6L).otherwise(2L))
+      // |S|!(n-1-|S|)!/n! in n!-ths, from the exact factorial table
+      .withColumn("wn", chNames.indices.map(s =>
+        when(col("sz0") === s, lit(fact(s) * fact(nCh - 1 - s))))
+        .reduce((a, b) => coalesce(a, b)))
       .withColumn("term",
-        (col("w24") * (col("v1") - col("v0"))).cast("decimal(28,12)"))
+        (col("wn") * (col("v1") - col("v0"))).cast("decimal(28,12)"))
     val phi = terms.groupBy(col("channel"))
-      .agg(sum(col("term")).as("phi24"))
-    val tot = phi.agg(sum(col("phi24")).as("phi_sum"))
+      .agg(sum(col("term")).as("phin"))
+    val tot = phi.agg(sum(col("phin")).as("phi_sum"))
     phi.crossJoin(broadcast(tot)) // 1-row efficiency total
       .select(col("channel"),
-        round(col("phi24").cast("double") / 24.0 / 100.0, 4)
+        round(col("phin").cast("double") / fact(nCh).toDouble / 100.0, 4)
           .as("phi_revenue"),
-        round(col("phi24").cast("double") /
+        round(col("phin").cast("double") /
           col("phi_sum").cast("double"), 6).as("share"))
       .orderBy(col("channel"))
   }
@@ -3192,14 +3212,16 @@ object EventAnalytics {
       .withColumn("c12", col("sylxl").cast("double") -
         col("syl").cast("double") * col("sxl") / col("nn"))
       .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
-      .withColumn("b1", (col("c01") * col("c22") -
-        col("c02") * col("c12")) / col("det"))
-      .withColumn("b2", (col("c02") * col("c11") -
-        col("c01") * col("c12")) / col("det"))
+      // a degenerate Gram determinant (constant/collinear lag series)
+      // makes Cramer's rule 0/0 = NaN — leave the slopes NULL instead
+      .withColumn("b1", when(col("det") > 0, (col("c01") * col("c22") -
+        col("c02") * col("c12")) / col("det")))
+      .withColumn("b2", when(col("det") > 0, (col("c02") * col("c11") -
+        col("c01") * col("c12")) / col("det")))
       .withColumn("rss_u", col("cyy") - col("b1") * col("c01") -
         col("b2") * col("c02"))
-      .withColumn("rss_r", col("cyy") -
-        col("c01") * col("c01") / col("c11"))
+      .withColumn("rss_r", when(col("c11") > 0, col("cyy") -
+        col("c01") * col("c01") / col("c11")))
       .select(col("n").as("n_days"),
         round(col("b1"), 6).as("beta_self"),
         round(col("b2"), 6).as("beta_cross"),
@@ -3223,8 +3245,12 @@ object EventAnalytics {
     * integer ceil-ranks; only the final scaled differences are
     * doubles.
     *
-    * Plan: two user-grain passes over the half-windows (one shuffle
-    * each), a rank window, then 5-row cumulative algebra. */
+    * Plan: one corpus pass to user grain, then the user-grain rank by
+    * (score desc, user_id) runs as a [[Ranks.exactRank]] bucketed
+    * two-pass scan on the NEGATED score (B-way parallel — never the
+    * user-sized single-partition ROW_NUMBER the naive formulation
+    * plans, the round-12 scale defect), a join back on user, then
+    * 5-row cumulative algebra. */
   def qiniCurve(spark: SparkSession, dir: String,
       buckets: Int = 5): DataFrame = {
     val ev = Tables(spark, dir, "events")
@@ -3241,9 +3267,12 @@ object EventAnalytics {
           .as("rev"))
       .withColumn("treat", col("user_id") % 2 === 0)
     val n = scored.agg(count(lit(1)).as("n_all"))
-    val ranked = scored.crossJoin(broadcast(n)) // 1-row population
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("user_id"))))
+    // rank by (score desc, user_id asc) == ascending (−score, user_id)
+    val rk = Ranks.exactRank(spark,
+      scored.select(col("user_id"), (-col("score")).as("neg_score")),
+      "neg_score", "user_id", "rk")
+    val ranked = scored.join(rk, Seq("user_id"))
+      .crossJoin(broadcast(n)) // 1-row population
       // exact ceil-rank quintile: integer DIV, never float division
       .withColumn("bucket",
         expr(s"CAST((rk * $buckets + n_all - 1) DIV n_all AS BIGINT)"))
@@ -3344,9 +3373,13 @@ object EventAnalytics {
     * map work; the agg is a |types|-row hash agg. */
   def variantAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
+      // bind the VARIANT once; CollapseProject keeps a multi-referenced
+      // non-cheap alias in its own projection, so the JSON parses once
+      // per row no matter how many fields are extracted below
+      .select(col("event_type"), expr("parse_json(props)").as("vj"))
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
-        expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+        expr("variant_get(vj, '$.k', 'long')").as("k"),
+        expr("try_variant_get(vj, '$.missing', 'long')")
           .as("miss"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -3360,10 +3393,13 @@ object EventAnalytics {
     * reads instead of the bare [[wowGrowth]] total: a user's week-w
     * revenue is NEW if this is their first active week, RETAINED if
     * they were active in w−1, RESURRECTED if active before but not in
-    * w−1; CHURNED is the (negative) week-(w−1) revenue of users absent
-    * in w. The identity rev_w − rev_{w−1} = new + resurrected −
-    * churned + (retained_w − retained-users'-prior-revenue) makes the
-    * bare growth number explainable — which component moved.
+    * w−1; CHURNED is the (negative) CALENDAR-week-(w−7d) revenue of
+    * users absent in w — attributed by a join on wk − 7 days, never a
+    * lag over observed weeks (a globally-silent gap week must not
+    * shift churn onto the wrong successor). The identity
+    * rev_w − rev_{w−1} = new + resurrected − churned + (retained_w −
+    * retained-users'-prior-revenue) makes the bare growth number
+    * explainable — which component moved.
     *
     * Exactness: revenue is exact cents; week indexing is
     * `date_trunc`; all classification is integer set logic via lag
@@ -3402,9 +3438,17 @@ object EventAnalytics {
           .as("resurrected_rev"),
         sum(when(col("churns_next"), col("rev")).otherwise(0L))
           .as("churning_rev"))
-    byWeek
-      .withColumn("churned_rev", coalesce(lag(col("churning_rev"), 1)
-        .over(Window.orderBy(col("wk"))), lit(0L)))
+    // churn joins on the CALENDAR week (wk − 7 days), not lag over
+    // observed weeks — a globally-silent gap week must not shift the
+    // churn mass onto the wrong successor. Mass churning into a week
+    // with zero global purchases (or past the horizon) is dropped,
+    // the honest right-censoring, and the week-grain self-join reuses
+    // the byWeek exchange.
+    val prior = byWeek.select(
+      (col("wk") + expr("INTERVAL 7 DAYS")).as("wk"),
+      col("churning_rev").as("churned_raw"))
+    byWeek.join(prior, Seq("wk"), "left")
+      .withColumn("churned_rev", coalesce(col("churned_raw"), lit(0L)))
       .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
         col("n_users"),
         round(col("rev").cast("double") / 100.0, 2).as("revenue"),

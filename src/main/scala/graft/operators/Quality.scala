@@ -680,27 +680,33 @@ object Quality {
     *
     * All arithmetic is BIGINT on key space; no floats anywhere.
     *
-    * Plan: one sort of the filtered distinct key column (the
-    * operator's inherent cost — at 100 TB this key is the natural
-    * sort/bucket key so the sort is usually free), island reduction at
-    * island grain, then a 5-row cut. */
+    * Plan: the global key rank runs as a [[Ranks.exactRank]] bucketed
+    * two-pass scan (B-way parallel — an unpartitioned ROW_NUMBER
+    * window requires AllTuples, ONE task holding every distinct key
+    * regardless of upstream layout, the round-12 scale defect); the
+    * islands grouping constant is k − that rank; and the gaps come
+    * from an EQUI-JOIN of consecutive ranks (rank r against rank
+    * r + 1), never a global `lead` sort at island grain. Island
+    * reduction is a hash agg; the readout is a 5-row rank-limited
+    * cut. */
   def gapIslands(spark: SparkSession, dir: String,
       topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keys = Tables(spark, dir, "orders")
+    val base = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("k")).distinct()
-      .withColumn("grp", col("k") -
-        row_number().over(Window.orderBy(col("k"))))
-    val islands = keys.groupBy(col("grp"))
+    val keys = Ranks.exactRank(spark, base, "k", "k", "rk")
+    val islands = keys
+      .withColumn("grp", col("k") - col("rk"))
+      .groupBy(col("grp"))
       .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
         count(lit(1)).as("len"))
-    val gaps = islands
-      .withColumn("next_lo", lead(col("lo"), 1).over(
-        Window.orderBy(col("lo"))))
-      .withColumn("gap_start", col("hi") + 1)
-      .withColumn("gap_len", col("next_lo") - col("hi") - 1)
-      .filter(col("gap_len").isNotNull && col("gap_len") > 0)
+    val nxt = keys.select((col("rk") - 1).as("rk"),
+      col("k").as("k_next"))
+    val gaps = keys.join(nxt, Seq("rk"))
+      .filter(col("k_next") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"),
+        (col("k_next") - col("k") - 1).as("gap_len"))
     val census = islands.agg(
       count(lit(1)).as("n_islands"),
       sum(col("len")).as("n_keys"),

@@ -2382,17 +2382,28 @@ object Relational {
     * Scale note: pairwise slopes are quadratic in the DAY count, not
     * the row count — the corpus collapses to day grain first, so at
     * 100 TB this is C(|days|, 2) ≈ 10⁵ pairs for a year, a single-task
-    * relation. The quadratic step never touches row-grain data.
+    * relation. The quadratic step never touches row-grain data, and
+    * the bound is EXECUTABLE, not just documented: a day domain past
+    * `maxDays` raises at runtime (plan-side `raise_error`, so the
+    * guard needs no extra driver action) instead of silently planning
+    * a quadratic blow-up.
     *
     * Exactness: revenues are exact cents; day numbers are exact ints;
     * each slope is one double division; medians are rank-selected. */
-  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+  def theilSen(spark: SparkSession, dir: String,
+      maxDays: Int = 4000): DataFrame = {
     val daily0 = Tables(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
-    val d0 = daily0.agg(min(col("day")).as("day0"))
+    val d0 = daily0.agg(min(col("day")).as("day0"),
+      count(lit(1)).as("n_days_chk"))
     val daily = daily0.crossJoin(broadcast(d0)) // 1-row origin
-      .select(datediff(col("day"), col("day0")).cast("long").as("t"),
+      .select(when(col("n_days_chk") > maxDays, raise_error(
+          format_string("theilSen: %s days exceed the documented " +
+            s"C(n,2) pair bound of $maxDays days",
+            col("n_days_chk"))))
+        .otherwise(datediff(col("day"), col("day0")).cast("long"))
+        .as("t"),
         col("c"))
     val pairs = daily.select(col("t").as("t1"), col("c").as("c1"))
       .join(daily.select(col("t").as("t2"), col("c").as("c2")),
@@ -2459,9 +2470,13 @@ object Relational {
         round(col("o_totalprice") * 100).cast("long").as("y"))
     val g = rows.groupBy(col("cat"))
       .agg(count(lit(1)).as("n_g"), sum(col("y")).as("sy"))
+    // singleton categories have no leave-one-out complement: (sy−y)/0
+    // is 0/0 = NaN, which would poison min/max and throw at the
+    // DECIMAL cast under ANSI — leave the encode NULL instead
     val enc = rows.join(broadcast(g), Seq("cat"))
-      .withColumn("loo", (col("sy") - col("y")).cast("double") /
-        (col("n_g") - 1).cast("double"))
+      .withColumn("loo",
+        when(col("n_g") > 1, (col("sy") - col("y")).cast("double") /
+          (col("n_g") - 1).cast("double")))
     enc.groupBy(col("cat"))
       .agg(max(col("n_g")).as("n"),
         max(col("sy")).as("sy2"),
@@ -2493,9 +2508,11 @@ object Relational {
     * Exactness: monetary is exact cents; tier cuts are integer
     * ceil-ranks; shares are single divisions.
     *
-    * Plan: one orders pass per half to customer grain, two rank
-    * windows at customer grain, a full-outer join on customer, a
-    * ≤16-row census. */
+    * Plan: one orders pass per half to customer grain, two
+    * [[Ranks.exactRank]] bucketed two-pass scans (B-way parallel —
+    * never the customer-sized single-partition ROW_NUMBER the naive
+    * formulation plans, the round-12 scale defect), a full-outer join
+    * on customer, a ≤16-row census. */
   def tierMigration(spark: SparkSession, dir: String,
       tiers: Int = 3): DataFrame = {
     val o = Tables(spark, dir, "orders")
@@ -2509,9 +2526,8 @@ object Relational {
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
       val n = base.agg(count(lit(1)).as("n_cust"))
-      base.crossJoin(broadcast(n))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("m"), col("o_custkey"))))
+      Ranks.exactRank(spark, base, "m", "o_custkey", "rk")
+        .crossJoin(broadcast(n))
         .select(col("o_custkey"),
           expr(s"CAST((rk * $tiers + n_cust - 1) DIV n_cust AS BIGINT)")
             .as("tier"))

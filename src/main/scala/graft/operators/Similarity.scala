@@ -2590,6 +2590,11 @@ object Similarity {
     * Determinism: μ and σ² come from exact DECIMAL(18,9)-quantized
     * component sums; each per-dimension term quantizes to
     * DECIMAL(28,12) before the per-vector sum; argmax ties on vec_id.
+    * Degenerate cells are guarded, not poisoned: a singleton label
+    * (n = 1 → σ² is 0/0) leaves var NULL and a zero-variance
+    * dimension (constant/padded component — a realistic input)
+    * contributes 0 to d², because NaN/Infinity would throw at the
+    * DECIMAL cast under ANSI mode.
     *
     * Plan: one positional explode to (vec, dim) grain (the kernel
     * every vector statistic here pays), a (label, dim) moment agg
@@ -2604,14 +2609,18 @@ object Similarity {
         sum((col("x") * col("x")).cast("decimal(28,12)")).as("sxx"))
       .withColumn("mu", col("sx").cast("double") / col("n"))
       .withColumn("var",
-        (col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double") /
-            col("n")) / (col("n") - 1).cast("double"))
+        when(col("n") > 1,
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n")) / (col("n") - 1).cast("double")))
     val d2 = d.join(mom.select(col("label"), col("dim"), col("mu"),
         col("var")), Seq("label", "dim"))
-      .withColumn("term", (((col("x").cast("double") - col("mu")) *
-        (col("x").cast("double") - col("mu"))) / col("var"))
-        .cast("decimal(28,12)"))
+      .withColumn("term",
+        when(col("var") > 0,
+          ((col("x").cast("double") - col("mu")) *
+            (col("x").cast("double") - col("mu"))) / col("var"))
+          .otherwise(lit(0.0))
+          .cast("decimal(28,12)"))
       .groupBy(col("label"), col("vec_id"))
       .agg(sum(col("term")).as("d2"), count(lit(1)).as("ndim"))
     d2.groupBy(col("label"))

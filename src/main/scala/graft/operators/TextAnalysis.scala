@@ -3003,7 +3003,27 @@ object TextAnalysis {
     * join so scoring touches only matching postings — never the full
     * corpus × query cross. Top-k is one rank window. */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(spark, dir, k1, b)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("n_terms_hit"),
+        round(col("score").cast("double"), 6).as("bm25"))
+      .orderBy(col("rk"))
+
+  /** The lexical scoring kernel [[bm25TopK]] and [[hybridRetrieval]]
+    * SHARE (single home — a constant or query-window change edits one
+    * place, so the hybrid ranking can never silently de-sync from the
+    * lexical operator): BM25+ per-doc scores on the data-driven
+    * df-rank-20–22 query. Returns (doc_id, n_terms_hit, score) at
+    * matching-doc grain; `score` is the DECIMAL(28,12) sum of
+    * quantized per-term scores. Plan shape as documented on
+    * [[bm25TopK]]: one posting shuffle, broadcast query + corpus
+    * stats. */
+  private def bm25Scored(spark: SparkSession, dir: String,
+      k1: Double, b: Double): DataFrame = {
     val tf = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -3018,7 +3038,7 @@ object TextAnalysis {
         Window.orderBy(col("df").desc, col("token"))))
       .filter(col("rk").between(20, 22))
       .select(col("token"), col("df"))
-    val scored = tf.join(broadcast(query), Seq("token"))
+    tf.join(broadcast(query), Seq("token"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(nDocs)) // 1-row corpus stats
       .withColumn("idf", log(lit(1.0) +
@@ -3034,14 +3054,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("term_score")).as("score"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
-      .select(col("rk").cast("long").as("rk"), col("doc_id"),
-        col("n_terms_hit"),
-        round(col("score").cast("double"), 6).as("bm25"))
-      .orderBy(col("rk"))
   }
 
   /** Cross-entropy MATRIX between the source unigram distributions —
@@ -3155,50 +3167,33 @@ object TextAnalysis {
     * document by f32-exact cosine to that anchor; and the fused score
     * is RRF = Σ 1/(60 + rankᵢ) over the lists a document appears in
     * (Cormack's constant). Documents are vectors here by the shared
-    * doc_id = vec_id key. The readout shows both source ranks per
-    * fused hit — which list carried it.
+    * doc_id = vec_id key. Standard RRF fuses TRUNCATED lists: each
+    * list is cut to its top `listN` (default 100) — absence from a
+    * list is rank-∞, contributing 0 exactly as the coalesce does —
+    * so both rank windows carry an immediate rank-limit filter and
+    * plan as map-side partial top-k (WindowGroupLimit), never a
+    * corpus-sized single-partition sort. The readout shows both
+    * source ranks per fused hit — which list carried it (NULL = the
+    * document was outside that list's top-`listN`).
     *
     * Determinism: both ranks tie on doc_id; RRF is the same 2-term
     * double expression cross-engine; fused order ties on doc_id.
     *
-    * Plan: the BM25 posting join (query broadcast) + one
-    * anchor-broadcast cosine map + two rank windows + a doc-keyed
-    * full outer join — no operator touches more than the posting
-    * shuffle the lexical side already pays. */
+    * Plan: the shared [[bm25Scored]] kernel (single home with
+    * [[bm25TopK]] — the posting join, query broadcast) + one
+    * anchor-broadcast cosine map + two RANK-LIMITED windows
+    * (WindowGroupLimit prunes each input partition to listN rows
+    * before the exchange) + a full outer join of two ≤listN-row
+    * lists. */
   def hybridRetrieval(spark: SparkSession, dir: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      listN: Int = 100): DataFrame = {
     import graft.functions.ExprColumns
-    val tf = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    val nDocs = lens.agg(count(lit(1)).as("n"),
-      sum(col("len")).as("total_len"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val query = df
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("df").desc, col("token"))))
-      .filter(col("rk").between(20, 22))
-      .select(col("token"), col("df"))
-    val lexScored = tf.join(broadcast(query), Seq("token"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(nDocs)) // 1-row corpus stats
-      .withColumn("idf", log(lit(1.0) +
-        (col("n").cast("double") - col("df") + 0.5) /
-          (col("df").cast("double") + 0.5)))
-      .withColumn("norm", lit(k1) * (lit(1.0 - b) + lit(b) *
-        col("len").cast("double") * col("n") /
-        col("total_len").cast("double")))
-      .withColumn("term_score",
-        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
-          (col("tf").cast("double") + col("norm")))
-          .cast("decimal(28,12)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("term_score")).as("bm25"))
+    val lexScored = bm25Scored(spark, dir, k1, b)
+      .select(col("doc_id"), col("score").as("bm25"))
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("r_lex") <= listN) // truncated list -> group limit
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val anchor = lexScored.filter(col("r_lex") === 1)
@@ -3211,6 +3206,7 @@ object TextAnalysis {
         ExprColumns.cosineF32(spark, "embedding", "a_emb"))
       .withColumn("r_sem", row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("r_sem") <= listN) // truncated list -> group limit
       .select(col("doc_id"), col("r_sem"))
     lexScored.select(col("doc_id"), col("r_lex"))
       .join(semScored, Seq("doc_id"), "full_outer")
