@@ -185,6 +185,7 @@ object SparkEntry {
     "sim_kmeans_lloyd2" -> ((s, d) => Similarity.kmeansLloydTwo(s, d)),
     "stream_docs_prep" -> ((s, d) => StreamingAnalytics.streamDocsPrep(s, d)),
     "stream_sig_index" -> ((s, d) => StreamingAnalytics.streamSignatureIndex(s, d)),
+    "stream_ivf_append" -> ((s, d) => StreamingAnalytics.streamIvfAppend(s, d)),
     "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "skew_profile" -> ((s, d) => Quality.skewProfile(s, d)),
@@ -564,7 +565,11 @@ object SparkEntry {
       ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "text_bpe_oov" -> ((s, d) => TextAnalysis.bpeOov(s, d)),
     "text_hybrid_retrieval" ->
-      ((s, d) => TextAnalysis.hybridRetrieval(s, d))
+      ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
+    "text_retrieval_ndcg" ->
+      ((s, d) => TextAnalysis.retrievalNdcg(s, d)),
+    "text_unigram_tokenizer" ->
+      ((s, d) => TextAnalysis.unigramTokenizer(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -9952,6 +9957,54 @@ object SparkEntry {
       // the streaming index-maintenance loop emits, per its scaladoc, the
       // one-increment batch relation — so it shares that exact oracle
       ("stream_sig_index" -> m("dedup_incremental_minhash")) +
+      // the frozen quantizer makes the unrolled-increment replay
+      // arrival-order independent: one assignment pass over base +
+      // both increments IS the two-batch append, which is the property
+      // the streaming query pins (replay-skip proves idempotence)
+      ("stream_ivf_append" ->
+        """WITH base AS (SELECT vec_id, label, embedding
+               FROM embeddings WHERE vec_id % 4 <> 3),
+           bd AS (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d FROM base),
+           cent AS (SELECT label AS cell, d,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+                 AS DOUBLE) / COUNT(*) AS c
+             FROM bd GROUP BY 1, 2),
+           cn AS (SELECT cell, sqrt(CAST(SUM(CAST(c AS DECIMAL(18,9))
+                 * CAST(c AS DECIMAL(18,9))) AS DOUBLE)) AS cnorm
+             FROM cent GROUP BY 1),
+           ad AS (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d FROM embeddings),
+           per AS (SELECT vec_id, cell,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))
+                 * CAST(c AS DECIMAL(18,9))) AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))
+                 * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+                 AS DOUBLE)) AS vnorm
+             FROM ad JOIN cent USING (d) GROUP BY 1, 2),
+           scored AS (SELECT vec_id, cell, dot / (vnorm * cnorm) AS s
+             FROM per JOIN cn USING (cell)),
+           asn AS (SELECT vec_id, cell, CAST(s AS DECIMAL(18,9)) AS sim,
+               CASE WHEN vec_id % 4 <> 3 THEN 0
+                 WHEN vec_id % 8 = 3 THEN 1 ELSE 2 END AS inc
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cell) AS rn FROM scored) z
+             WHERE rn = 1)
+           SELECT cell,
+             CAST(SUM(CASE WHEN inc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seed,
+             CAST(SUM(CASE WHEN inc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inc1,
+             CAST(SUM(CASE WHEN inc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inc2,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             ROUND(CAST(SUM(CASE WHEN inc = 1 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN inc = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS appended_share,
+             ROUND(CAST(SUM(CASE WHEN inc > 0 THEN sim END) AS DOUBLE)
+               / SUM(CASE WHEN inc > 0 THEN 1 END), 6)
+               AS mean_sim_appended
+           FROM asn GROUP BY cell ORDER BY cell""") +
       // the maintained Misra-Gries sketch must bracket the exact corpus
       // top-k (mergeable-summaries invariant), so the streaming row
       // shares the batch sketch's exact-truth-side oracle verbatim
@@ -11534,6 +11587,122 @@ object SparkEntry {
              CAST(r_sem AS BIGINT) AS r_sem,
              ROUND(rrf, 6) AS rrf_score
            FROM top WHERE rk <= 10 ORDER BY rk""") +
+      ("text_retrieval_ndcg" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+             FROM tf GROUP BY 1),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+           q AS (SELECT token, df FROM (SELECT *, ROW_NUMBER()
+                 OVER (ORDER BY df DESC, token) AS rk FROM df) z
+             WHERE rk BETWEEN 20 AND 22),
+           sc AS (SELECT tf.doc_id,
+               CAST(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * tf * 2.2
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                   + 0.75 * CAST(len AS DOUBLE) * n
+                     / CAST(total_len AS DOUBLE)))
+                 AS DECIMAL(28,12)) AS term_score
+             FROM tf JOIN q USING (token) JOIN lens USING (doc_id), nd),
+           lex AS (SELECT doc_id, SUM(term_score) AS bm25
+             FROM sc GROUP BY 1),
+           lexr AS (SELECT doc_id, r_lex FROM (
+               SELECT doc_id, ROW_NUMBER()
+                 OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+               FROM lex) zl WHERE r_lex <= 100),
+           anchor AS (SELECT e.vec_id AS a_id, e.embedding AS a_emb
+             FROM lexr JOIN embeddings e ON lexr.doc_id = e.vec_id
+             WHERE r_lex = 1),
+           sims AS (SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, a.a_emb) AS sim
+             FROM embeddings e, anchor a WHERE e.vec_id <> a.a_id),
+           lexev AS (SELECT doc_id, CAST(r_lex - 1 AS BIGINT) AS r
+             FROM lexr WHERE r_lex >= 2),
+           dims AS (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS d FROM embeddings),
+           plane AS (SELECT j, d,
+               CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS s
+             FROM range(32) a(j), range(1, 65) b(d)),
+           proj AS (SELECT vec_id, j,
+               SUM(CASE WHEN s = 1
+                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+                 AS p
+             FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+           bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+                 ORDER BY j) AS bucket
+             FROM proj GROUP BY vec_id, j // 8),
+           abands AS (SELECT band, bucket FROM bands
+             JOIN anchor ON vec_id = a_id),
+           cand AS (SELECT DISTINCT b.vec_id AS doc_id
+             FROM bands b JOIN abands USING (band, bucket)),
+           semev AS (SELECT doc_id, r FROM (
+               SELECT s.doc_id, ROW_NUMBER()
+                 OVER (ORDER BY sim DESC, s.doc_id) AS r
+               FROM cand c JOIN sims s ON c.doc_id = s.doc_id) z
+             WHERE r <= 100),
+           fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + l.r), 0.0)
+                 + COALESCE(1.0 / (60.0 + s.r), 0.0) AS rrf
+             FROM lexev l FULL OUTER JOIN semev s
+               ON l.doc_id = s.doc_id),
+           hybev AS (SELECT doc_id, CAST(r0 AS BIGINT) AS pos FROM (
+               SELECT doc_id, ROW_NUMBER()
+                 OVER (ORDER BY rrf DESC, doc_id) AS r0 FROM fused) z
+             WHERE r0 <= 10),
+           lists AS (
+             SELECT 'a_lexical' AS arm, doc_id, r AS pos
+               FROM lexev WHERE r <= 10
+             UNION ALL SELECT 'b_semantic_lsh', doc_id, r
+               FROM semev WHERE r <= 10
+             UNION ALL SELECT 'c_hybrid_rrf', doc_id, pos FROM hybev),
+           cdocs AS (SELECT s.doc_id AS cd, s.sim AS cs
+             FROM (SELECT DISTINCT doc_id FROM lists) ld
+             JOIN sims s USING (doc_id)),
+           gains0 AS (SELECT cd,
+               CAST(SUM(CASE WHEN sim > cs THEN 1 ELSE 0 END)
+                 AS BIGINT) + 1 AS lo,
+               CAST(COUNT(*) AS BIGINT) AS hi
+             FROM sims JOIN cdocs ON sim >= cs GROUP BY cd),
+           gains AS (SELECT cd AS doc_id,
+               CASE WHEN lo > 10 THEN 0.0
+                 ELSE CAST((LEAST(hi, 10) - lo + 1)
+                     * (22 - lo - LEAST(hi, 10)) AS DOUBLE)
+                   / CAST(2 * (hi - lo + 1) AS DOUBLE) END AS gain
+             FROM gains0),
+           truth AS (SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM (
+               SELECT doc_id, ROW_NUMBER()
+                 OVER (ORDER BY sim DESC, doc_id) AS rn FROM sims) z
+             WHERE rn <= 10),
+           idcg AS (SELECT SUM(CAST(CAST(11 - r AS DOUBLE)
+               / log2(CAST(r + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+               AS idcg
+             FROM range(1, 11) t(r)),
+           per AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(COALESCE(rel, 0)) AS BIGINT) AS n_relevant,
+               MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel,
+               SUM(CAST(COALESCE(gain, 0.0)
+                 / log2(CAST(pos + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+                 AS dcg
+             FROM lists LEFT JOIN gains USING (doc_id)
+             LEFT JOIN truth USING (doc_id) GROUP BY 1)
+           SELECT arm, n_listed, n_relevant,
+             ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+             ROUND(CAST(dcg AS DOUBLE), 6) AS dcg10,
+             ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+               AS ndcg10
+           FROM per, idcg ORDER BY arm""") +
+      ("text_unigram_tokenizer" -> unigramOracleSql()) +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
@@ -11626,6 +11795,136 @@ object SparkEntry {
     * per-batch index append produces. Shared relations (shingles, bands,
     * sizes) are MATERIALIZED once; per-step blocks only differ in the
     * candidate predicate. */
+  /** Generated oracle for `text_unigram_tokenizer`: the hard-EM
+    * Viterbi DP unrolls to `maxLen` levels per round and the
+    * backpointer walk to `maxLen` steps — mechanical CTE chains, so
+    * the SQL is BUILT here (the [[incrementalMinhashOracleSql]]
+    * discipline) instead of hand-maintained. Every level CTE is
+    * MATERIALIZED: DuckDB inlines re-referenced CTEs, and dp level i
+    * references levels i−4..i−1 — un-materialized, the chain
+    * re-evaluates combinatorially (the same reason the Spark side
+    * localCheckpoints each level). */
+  private[graft] def unigramOracleSql(maxLen: Int = 10,
+      maxPiece: Int = 4, v0: Int = 300, vKeep: Int = 200): String = {
+    def dpChain(r: Int, vsName: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"dp${r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+        "CAST(0 AS DECIMAL(28,12)) AS dp, -1 AS bp FROM words),\n"
+      for (i <- 1 to maxLen) {
+        val lo = math.max(0, i - maxPiece)
+        val prevUnion = (lo until i)
+          .map(j => s"SELECT * FROM dp${r}_$j").mkString(" UNION ALL ")
+        sb ++= s"""dp${r}_$i AS MATERIALIZED (SELECT w, $i AS pos,
+            CAST(dpn AS DECIMAL(28,12)) AS dp, bp FROM (
+            SELECT vs.w, d.dp + vs.cost AS dpn, vs.j AS bp,
+              ROW_NUMBER() OVER (PARTITION BY vs.w
+                ORDER BY d.dp + vs.cost ASC, vs.j ASC) AS rn
+            FROM $vsName vs JOIN ($prevUnion) d
+              ON vs.w = d.w AND vs.j = d.pos
+            WHERE vs.i = $i) z WHERE rn = 1),\n"""
+      }
+      sb ++= s"dpall$r AS MATERIALIZED (" + (0 to maxLen)
+        .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ") +
+        "),\n"
+      sb ++= s"""fin$r AS MATERIALIZED (SELECT d.w, words.f, words.len,
+          d.dp FROM dpall$r d
+          JOIN words ON d.w = words.w AND d.pos = words.len),\n"""
+      sb ++= s"wk${r}_0 AS MATERIALIZED (SELECT w, f, len AS pos " +
+        s"FROM fin$r),\n"
+      for (t <- 1 to maxLen) {
+        val prev = if (t == 1) s"wk${r}_0"
+          else s"(SELECT w, f, bp AS pos FROM wk${r}_${t - 1})"
+        sb ++= s"""wk${r}_$t AS MATERIALIZED (SELECT k.w, k.f, d.bp,
+            d.pos FROM $prev k
+            JOIN dpall$r d ON k.w = d.w AND k.pos = d.pos
+            WHERE k.pos > 0),\n"""
+      }
+      sb ++= s"pieces$r AS MATERIALIZED (" + (1 to maxLen)
+        .map(t => s"SELECT w, f, bp AS j, pos AS i FROM wk${r}_$t")
+        .mkString(" UNION ALL ") + "),\n"
+      sb ++= s"""usage$r AS MATERIALIZED (SELECT
+          substr(w, j + 1, i - j) AS piece,
+          CAST(SUM(f) AS BIGINT) AS u FROM pieces$r GROUP BY 1),\n"""
+      sb ++= s"""stats$r AS (SELECT CAST(COUNT(*) AS BIGINT)
+          AS n_word_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
+          SUM(CAST(dp * f AS DECIMAL(38,12))) AS nll_sum
+          FROM fin$r),\n"""
+      sb ++= s"pc$r AS (SELECT CAST(SUM(f) AS BIGINT) AS n_pieces " +
+        s"FROM pieces$r),\n"
+      sb ++= s"""top$r AS (SELECT piece AS top_piece,
+          u AS top_piece_count FROM (SELECT *, ROW_NUMBER()
+            OVER (ORDER BY u DESC, piece) AS rk
+          FROM usage$r WHERE length(piece) > 1) z WHERE rk = 1),\n"""
+      sb.toString
+    }
+    s"""WITH words AS MATERIALIZED (SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS f, length(w) AS len FROM (
+           SELECT lower(t) AS w FROM (
+             SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents WHERE doc_id % 2 = 0) z
+           WHERE regexp_matches(lower(t), '^[a-z]+$$')
+             AND length(t) <= $maxLen) zz
+         GROUP BY 1),
+       spans AS MATERIALIZED (SELECT w, f, st - 1 AS j,
+           st + pl - 1 AS i, substr(w, CAST(st AS INT),
+             CAST(pl AS INT)) AS piece
+         FROM words, range(1, ${maxLen + 1}) s(st),
+           range(1, ${maxPiece + 1}) p(pl)
+         WHERE st + pl - 1 <= len),
+       c0 AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS c
+         FROM spans GROUP BY 1),
+       vocab0 AS MATERIALIZED (SELECT piece, MAX(c) AS c FROM (
+           SELECT piece, c FROM (SELECT *, ROW_NUMBER()
+               OVER (ORDER BY c DESC, piece) AS rk FROM c0) z
+             WHERE rk <= $v0
+           UNION ALL SELECT piece, c FROM c0
+             WHERE length(piece) = 1) m GROUP BY 1),
+       t0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab0),
+       cost0 AS MATERIALIZED (SELECT piece,
+           CAST(-ln(CAST(c AS DOUBLE) / t) AS DECIMAL(28,12)) AS cost
+         FROM vocab0, t0),
+       vs1 AS MATERIALIZED (SELECT s.w, s.f, s.j, s.i, cost
+         FROM spans s JOIN cost0 USING (piece)),
+       ${dpChain(1, "vs1")}
+       vocab1 AS MATERIALIZED (SELECT piece, MAX(u) AS u FROM (
+           SELECT piece, u FROM (SELECT *, ROW_NUMBER()
+               OVER (ORDER BY u DESC, piece) AS rk FROM usage1) z
+             WHERE rk <= $vKeep
+           UNION ALL SELECT v.piece, COALESCE(u1.u, 0)
+             FROM vocab0 v LEFT JOIN usage1 u1 USING (piece)
+             WHERE length(v.piece) = 1) m GROUP BY 1),
+       t1 AS (SELECT CAST(SUM(u + 1) AS BIGINT) AS t FROM vocab1),
+       cost1 AS MATERIALIZED (SELECT piece,
+           CAST(-ln(CAST(u + 1 AS DOUBLE) / t) AS DECIMAL(28,12))
+             AS cost
+         FROM vocab1, t1),
+       vs2 AS MATERIALIZED (SELECT s.w, s.f, s.j, s.i, cost
+         FROM spans s JOIN cost1 USING (piece)),
+       ${dpChain(2, "vs2")}
+       v0sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
+         FROM cost0),
+       v1sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
+         FROM cost1),
+       row1 AS (SELECT CAST(1 AS BIGINT) AS em_round, vocab_size,
+           n_word_types, n_tokens, n_pieces,
+           ROUND(CAST(n_pieces AS DOUBLE) / n_tokens, 6)
+             AS pieces_per_token,
+           ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6)
+             AS nll_per_token,
+           top_piece, top_piece_count
+         FROM v0sz, stats1, pc1, top1),
+       row2 AS (SELECT CAST(2 AS BIGINT) AS em_round, vocab_size,
+           n_word_types, n_tokens, n_pieces,
+           ROUND(CAST(n_pieces AS DOUBLE) / n_tokens, 6)
+             AS pieces_per_token,
+           ROUND(CAST(nll_sum AS DOUBLE) / n_tokens, 6)
+             AS nll_per_token,
+           top_piece, top_piece_count
+         FROM v1sz, stats2, pc2, top2)
+       SELECT * FROM row1 UNION ALL SELECT * FROM row2
+       ORDER BY em_round"""
+  }
+
   private[graft] def incrementalMinhashOracleSql(steps: Seq[String]): String = {
     val base =
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

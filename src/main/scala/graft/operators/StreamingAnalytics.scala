@@ -2054,4 +2054,119 @@ object StreamingAnalytics {
       .select(lit(look).as("look"), col("n_ref"), col("n_cur"),
         round(col("psi").cast("double"), 6).as("psi_total"))
   }
+
+  /** INCREMENTAL IVF index maintenance — the [[streamSignatureIndex]]
+    * discipline applied to the ANN serving path ([[Similarity]]'s IVF
+    * rungs are batch-frozen; a live corpus appends): the coarse
+    * quantizer (per-label centroids over the BASE three-quarters of
+    * the corpus, [[Similarity.ivfTopK]]'s exact-decimal means) is
+    * FROZEN at build time — real IVF deployments retrain centroids
+    * offline and only APPEND between rebuilds — and two staged vector
+    * increments arrive as separate micro-batches, each assigned to
+    * its argmax-cosine cell (ties to the lowest cell id) and appended
+    * to the parquet index. Replay-skip (anti-join on already-indexed
+    * vec_ids) makes the append idempotent, proven by a second
+    * no-change run on a fresh checkpoint. The readout is the per-cell
+    * census a capacity monitor reads: seed/increment counts and the
+    * appended vectors' mean assignment cosine (cell drift shows up as
+    * falling assignment similarity).
+    *
+    * Determinism: centroid means are exact-decimal; assignment
+    * similarities quantize to DECIMAL(18,9) at the index write so the
+    * census mean is order-independent; the argmax ties on cell id.
+    * The oracle replays the increments unrolled — the frozen quantizer
+    * makes replayed assignment independent of arrival order, which is
+    * exactly the property this query pins.
+    *
+    * Plan: one base pass for centroids (cells x dims rows, frozen via
+    * localCheckpoint); per batch one dims explode joined to the
+    * broadcast centroid relation; the census is a cell-grain agg. */
+  def streamIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfapp").toString
+    val idxPath = s"$root/index"
+    val inDir = s"$root/in"
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val d9: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("double").cast("decimal(18,9)")
+    val cent = base
+      .select(col("label").as("cell"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("cell"), col("d"))
+      .agg((sum(d9(col("v"))).cast("double") / count(lit(1))).as("c"))
+      .localCheckpoint() // FROZEN quantizer: cells x dims, built once
+    val cn = cent.groupBy(col("cell"))
+      .agg(sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double"))
+        .as("cnorm"))
+      .localCheckpoint()
+    def assign(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(d9(col("v")) * d9(col("c"))).cast("double").as("dot"),
+        sqrt(sum(d9(col("v")) * d9(col("v"))).cast("double")).as("vnorm"))
+      .join(broadcast(cn), Seq("cell"))
+      .withColumn("s", col("dot") / (col("vnorm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("s").as("s"), (-col("cell")).as("negc"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cell"),
+        col("m.s").cast("decimal(18,9)").as("sim"))
+    // seed: the base corpus indexed once, inc = 0
+    assign(base.select(col("vec_id"), col("embedding")))
+      .withColumn("inc", lit(0L))
+      .write.mode("overwrite").parquet(idxPath)
+    val incCols = Seq(col("vec_id"), col("embedding"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> e.filter(col("vec_id") % 8 === 3).select(incCols: _*),
+      "inc2" -> e.filter(col("vec_id") % 8 === 7).select(incCols: _*)))
+    def runOnce(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .schema(base.select(incCols: _*).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val indexed = spark.read.parquet(idxPath)
+              .select(col("vec_id")).distinct()
+            val fresh = batch.join(indexed, Seq("vec_id"), "left_anti")
+            if (!fresh.isEmpty) {
+              assign(fresh)
+                // increment id is DATA-derived (vec_id stripe), never
+                // batchId — replay-safe and oracle-mirrorable
+                .withColumn("inc",
+                  when(col("vec_id") % 8 === 3, 1L).otherwise(2L))
+                .write.mode("append").parquet(idxPath)
+            }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$root/cp1")
+    runOnce(s"$root/cp2") // replay: everything indexed -> no-op append
+    val out = spark.read.parquet(idxPath)
+      .groupBy(col("cell"))
+      .agg(sum((col("inc") === 0).cast("long")).as("n_seed"),
+        sum((col("inc") === 1).cast("long")).as("n_inc1"),
+        sum((col("inc") === 2).cast("long")).as("n_inc2"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("inc") > 0, col("sim"))).as("ssim"),
+        sum((col("inc") > 0).cast("long")).as("napp"))
+      .select(col("cell"), col("n_seed"), col("n_inc1"), col("n_inc2"),
+        col("n_total"),
+        round((col("n_inc1") + col("n_inc2")).cast("double") /
+          col("n_total").cast("double"), 6).as("appended_share"),
+        round(col("ssim").cast("double") /
+          col("napp").cast("double"), 6).as("mean_sim_appended"))
+      .orderBy(col("cell"))
+      .localCheckpoint()
+    deleteTree(root)
+    out
+  }
 }

@@ -3222,4 +3222,284 @@ object TextAnalysis {
         round(col("rrf"), 6).as("rrf_score"))
       .orderBy(col("rk"))
   }
+
+  /** Retrieval-QUALITY metrics — tie-aware nDCG@10 and reciprocal rank
+    * for three retrieval arms against the exact-cosine truth, the
+    * evaluation that justifies (or indicts) RRF over either list
+    * alone (closing train→measure for retrieval the way probe-AUC did
+    * for the quality classifier): the arms are (a) the lexical BM25
+    * ranking ([[bm25Scored]], the shared kernel), (b) an APPROXIMATE
+    * semantic arm — hyperplane-LSH candidates of the anchor re-ranked
+    * by exact cosine, the realistic ANN serving list — and (c) their
+    * RRF fusion over rank-100-truncated lists. Truth is the exact
+    * cosine ranking to the anchor (the top-1 lexical hit's embedding,
+    * the same more-like-this anchor [[hybridRetrieval]] expands); the
+    * anchor document itself is removed from every arm (a retrieved
+    * query is leakage, not relevance — lexical positions shift up by
+    * one).
+    *
+    * TIE-AWARENESS: a document's gain is the MEAN of the ideal gain
+    * g(r) = max(k+1−r, 0) over its exact-cosine rank INTERVAL
+    * [1+|sim>s|, |sim≥s|] — equal-similarity documents are
+    * interchangeable, so any permutation of a tie group scores the
+    * same nDCG (the powerPareto boundary convention, applied to
+    * relevance). IDCG is the untied ideal Σ (k+1−r)/log₂(r+1).
+    * Reciprocal rank takes the first arm position carrying a
+    * truth-top-k member. Gains and DCG terms are exact-integer
+    * rationals evaluated in ONE double division each, quantized to
+    * DECIMAL(28,12) before sums.
+    *
+    * Plan: the BM25 posting shuffle + one anchor-broadcast cosine map
+    * (reused by truth, the semantic re-rank, and the gain intervals);
+    * every rank window carries an immediate rank-limit filter
+    * (WindowGroupLimit); gain intervals come from a bounded-axis
+    * broadcast join (≤3k listed docs against the corpus sims — one
+    * pass, never all-pairs). */
+  def retrievalNdcg(spark: SparkSession, dir: String, k: Int = 10,
+      listN: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.ExprColumns
+    val lex = bm25Scored(spark, dir, k1, b)
+      .select(col("doc_id"), col("score").as("bm25"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("r_lex") <= listN)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val anchor = lex.filter(col("r_lex") === 1)
+      .join(emb, Seq("doc_id"))
+      .select(col("doc_id").as("a_id"), col("embedding").as("a_emb"))
+    val sims = emb.join(broadcast(anchor)) // 1-row anchor
+      .filter(col("doc_id") =!= col("a_id"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "embedding", "a_emb"))
+      .select(col("doc_id"), col("sim"))
+    // the anchor is rank 1 of its own lexical list by construction —
+    // drop it and shift, so arm positions start at the first non-query hit
+    val lexEval = lex.filter(col("r_lex") >= 2)
+      .select(col("doc_id"), (col("r_lex") - 1).cast("long").as("r"))
+    val vb = emb.select(col("doc_id"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val ab = anchor.select(
+        posexplode(ExprColumns.hyperplaneLsh(spark, "a_emb")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val semEval = vb.join(broadcast(ab), Seq("band", "bucket"))
+      .select(col("doc_id")).distinct()
+      .join(sims, Seq("doc_id")) // also drops the anchor id
+      .withColumn("r0", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("r0") <= listN) // truncated list -> group limit
+      .select(col("doc_id"), col("r0").cast("long").as("r"))
+    val fused = lexEval.select(col("doc_id"), col("r").as("rl"))
+      .join(semEval.select(col("doc_id"), col("r").as("rs")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rs")), lit(0.0)))
+      .withColumn("r0", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("r0") <= k)
+      .select(col("doc_id"), col("r0").cast("long").as("pos"))
+    val lists = lexEval.filter(col("r") <= k)
+        .select(lit("a_lexical").as("arm"), col("doc_id"),
+          col("r").as("pos"))
+      .unionByName(semEval.filter(col("r") <= k)
+        .select(lit("b_semantic_lsh").as("arm"), col("doc_id"),
+          col("r").as("pos")))
+      .unionByName(fused
+        .select(lit("c_hybrid_rrf").as("arm"), col("doc_id"), col("pos")))
+    val cdocs = lists.select(col("doc_id")).distinct()
+      .join(sims, Seq("doc_id"))
+      .select(col("doc_id").as("cd"), col("sim").as("cs"))
+    val gains = sims.join(broadcast(cdocs), col("sim") >= col("cs"))
+      .groupBy(col("cd"))
+      .agg(sum((col("sim") > col("cs")).cast("long")).as("nh"),
+        count(lit(1)).as("ng"))
+      .select(col("cd").as("doc_id"),
+        (col("nh") + 1).as("lo"), col("ng").as("hi"))
+      .withColumn("bcap", least(col("hi"), lit(k.toLong)))
+      .withColumn("gain",
+        when(col("lo") > k, lit(0.0))
+          .otherwise(((col("bcap") - col("lo") + 1) *
+            (lit(2L * (k + 1)) - col("lo") - col("bcap"))).cast("double") /
+            (lit(2L) * (col("hi") - col("lo") + 1)).cast("double")))
+      .select(col("doc_id"), col("gain"))
+    val truth = sims
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("rn") <= k) // truth top-k -> group limit
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val idcg = spark.range(1, k + 1)
+      .agg(sum(((lit(k + 1) - col("id")).cast("double") /
+        log2(col("id") + 1)).cast("decimal(28,12)")).as("idcg"))
+    lists
+      .join(broadcast(gains), Seq("doc_id"), "left")
+      .join(broadcast(truth), Seq("doc_id"), "left")
+      .withColumn("term", (coalesce(col("gain"), lit(0.0)) /
+        log2(col("pos") + 1)).cast("decimal(28,12)"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_listed"),
+        sum(coalesce(col("rel"), lit(0L))).as("n_relevant"),
+        min(when(col("rel") === 1, col("pos"))).as("first_rel"),
+        sum(col("term")).as("dcg"))
+      .crossJoin(broadcast(idcg)) // 1-row ideal scalar
+      .select(col("arm"), col("n_listed"), col("n_relevant"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("dcg").cast("double"), 6).as("dcg10"),
+        round(col("dcg").cast("double") /
+          col("idcg").cast("double"), 6).as("ndcg10"))
+      .orderBy(col("arm"))
+  }
+
+  /** SentencePiece-style UNIGRAM-LM tokenizer trainer — the
+    * alternative to the merge-driven BPE family ([[bpeMerges]] trains
+    * bottom-up; the unigram model starts from an OVER-complete
+    * substring vocabulary and PRUNES): seed pieces are the `v0`
+    * highest-frequency character substrings (length ≤ `maxPiece`) of
+    * the train-split word types plus every single character (the
+    * coverage floor), and each hard-EM round (1) VITERBI-segments
+    * every word type under costs −ln p(piece) and (2) re-estimates p
+    * from the occurrence-weighted piece usage, pruning to the
+    * `vKeep` most-used pieces (+ characters, add-1 smoothed so
+    * coverage survives zero usage). Two rounds run — seed→usage and
+    * pruned→usage — and the census row per round (vocab size, piece
+    * count, pieces/token, NLL/token, top multi-char piece) is the
+    * compression-vs-likelihood readout a tokenizer team compares
+    * against [[bpeEncode]] on the same corpus.
+    *
+    * Determinism/exactness: costs quantize to DECIMAL(28,12); DP
+    * sums are exact decimal additions, so the argmin (ties → smaller
+    * start = LONGER final piece) is bit-stable cross-engine; usage
+    * and NLL are integer-weighted decimal sums. Words longer than
+    * `maxLen` chars are excluded (the DP unrolls `maxLen` levels —
+    * the bound is structural, not a sample).
+    *
+    * Plan: word-TYPE grain throughout (the corpus collapses to the
+    * train vocabulary first — at 100 TB the heavy-tail vocabulary is
+    * the posting shuffle every text operator here pays, and each DP
+    * level is one equi-join + per-word argmin agg on that grain).
+    * Each Viterbi level and backpointer-walk step localCheckpoints:
+    * the level relations are vocabulary-sized, and without the cut
+    * the level-(i) lineage re-evaluates levels i−1..i−4
+    * combinatorially. */
+  def unigramTokenizer(spark: SparkSession, dir: String,
+      maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
+      vKeep: Int = 200): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(explode(tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("len", length(col("w")))
+      .localCheckpoint() // train word types: reused by spans + 2 rounds
+    val spans = words
+      .select(col("w"), col("f"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("st"))
+      .select(col("w"), col("f"), col("len"), col("st"),
+        explode(sequence(lit(1), lit(maxPiece))).as("pl"))
+      .filter(col("st") + col("pl") - 1 <= col("len"))
+      .select(col("w"), col("f"),
+        (col("st") - 1).as("j"), (col("st") + col("pl") - 1).as("i"),
+        expr("substring(w, st, pl)").as("piece"))
+      .localCheckpoint() // candidate lattice: reused by c0 + 2 rounds
+    val c0 = spans.groupBy(col("piece")).agg(sum(col("f")).as("c"))
+    val vocab0 = c0
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("piece"))))
+      .filter(col("rk") <= v0)
+      .select(col("piece"), col("c"))
+      .unionByName(c0.filter(length(col("piece")) === 1)
+        .select(col("piece"), col("c")))
+      .groupBy(col("piece")).agg(max(col("c")).as("c"))
+      .localCheckpoint()
+    val t0 = vocab0.agg(sum(col("c")).as("t"))
+    val cost0 = vocab0.crossJoin(broadcast(t0)) // 1-row normalizer
+      .select(col("piece"),
+        (-log(col("c").cast("double") / col("t").cast("double")))
+          .cast("decimal(28,12)").as("cost"))
+    def emRound(r: Int, vocabCost: DataFrame,
+        vocabOf: DataFrame): (DataFrame, DataFrame) = {
+      val vs = spans.join(vocabCost, Seq("piece")).localCheckpoint()
+      var steps = Vector(words.select(col("w"),
+        lit(0).as("pos"), lit(0).cast("decimal(28,12)").as("dp"),
+        lit(-1).as("bp")).localCheckpoint())
+      for (i <- 1 to maxLen) {
+        val lo = math.max(0, i - maxPiece)
+        val prev = steps.slice(lo, i).reduce(_.unionByName(_))
+          .select(col("w"), col("pos").as("j"), col("dp").as("dpj"))
+        val step = vs.filter(col("i") === i)
+          .join(prev, Seq("w", "j"))
+          .groupBy(col("w"))
+          .agg(min(struct((col("dpj") + col("cost")).as("d"),
+            col("j").as("b"))).as("m"))
+          .select(col("w"), lit(i).as("pos"),
+            col("m.d").cast("decimal(28,12)").as("dp"),
+            col("m.b").as("bp"))
+          .localCheckpoint()
+        steps = steps :+ step
+      }
+      val dpc = steps.reduce(_.unionByName(_)).localCheckpoint()
+      val fin = dpc.join(words, Seq("w"))
+        .filter(col("pos") === col("len"))
+        .select(col("w"), col("f"), col("len"), col("dp"))
+        .localCheckpoint()
+      var cur = fin.select(col("w"), col("f"), col("len").as("pos"))
+      var pieces: DataFrame = null
+      for (_ <- 1 to maxLen) {
+        val step = cur.filter(col("pos") > 0)
+          .join(dpc.select(col("w"), col("pos"), col("bp")),
+            Seq("w", "pos"))
+          .localCheckpoint()
+        val seg = step.select(col("w"), col("f"),
+          col("bp").as("j"), col("pos").as("i"))
+        pieces = if (pieces == null) seg else pieces.unionByName(seg)
+        cur = step.select(col("w"), col("f"), col("bp").as("pos"))
+      }
+      val usage = pieces
+        .select(col("f"), expr("substring(w, j + 1, i - j)").as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("u"))
+        .localCheckpoint()
+      val stats = fin.agg(count(lit(1)).as("n_word_types"),
+        sum(col("f")).as("n_tokens"),
+        sum((col("dp") * col("f")).cast("decimal(38,12)")).as("nll_sum"))
+      val pc = pieces.agg(sum(col("f")).as("n_pieces"))
+      val vsize = vocabOf.agg(count(lit(1)).as("vocab_size"))
+      val top = usage.filter(length(col("piece")) > 1)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("u").desc, col("piece"))))
+        .filter(col("rk") === 1)
+        .select(col("piece").as("top_piece"),
+          col("u").as("top_piece_count"))
+      val row = vsize.crossJoin(broadcast(stats))
+        .crossJoin(broadcast(pc)).crossJoin(broadcast(top))
+        .select(lit(r.toLong).as("em_round"), col("vocab_size"),
+          col("n_word_types"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") /
+            col("n_tokens").cast("double"), 6).as("pieces_per_token"),
+          round(col("nll_sum").cast("double") /
+            col("n_tokens").cast("double"), 6).as("nll_per_token"),
+          col("top_piece"), col("top_piece_count"))
+      (usage, row)
+    }
+    val (u1, row1) = emRound(1, cost0, vocab0)
+    val vocab1 = u1
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("u").desc, col("piece"))))
+      .filter(col("rk") <= vKeep)
+      .select(col("piece"), col("u"))
+      .unionByName(vocab0.filter(length(col("piece")) === 1)
+        .select(col("piece"))
+        .join(u1, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("u"), lit(0L)).as("u")))
+      .groupBy(col("piece")).agg(max(col("u")).as("u"))
+      .localCheckpoint()
+    val t1 = vocab1.agg(sum(col("u") + 1).as("t"))
+    val cost1 = vocab1.crossJoin(broadcast(t1)) // 1-row normalizer
+      .select(col("piece"),
+        (-log((col("u") + 1).cast("double") / col("t").cast("double")))
+          .cast("decimal(28,12)").as("cost"))
+    val (_, row2) = emRound(2, cost1, vocab1)
+    row1.unionByName(row2).orderBy(col("em_round"))
+  }
 }
