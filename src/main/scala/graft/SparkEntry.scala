@@ -569,7 +569,16 @@ object SparkEntry {
     "text_retrieval_ndcg" ->
       ((s, d) => TextAnalysis.retrievalNdcg(s, d)),
     "text_unigram_tokenizer" ->
-      ((s, d) => TextAnalysis.unigramTokenizer(s, d))
+      ((s, d) => TextAnalysis.unigramTokenizer(s, d)),
+    "sim_centroid_margin" ->
+      ((s, d) => Similarity.centroidMargin(s, d)),
+    "orders_price_elasticity" ->
+      ((s, d) => Relational.priceElasticity(s, d)),
+    "feature_woe_iv" -> ((s, d) => Relational.woeIv(s, d)),
+    "dq_l_diversity" -> ((s, d) => Quality.lDiversity(s, d)),
+    "text_kn_bigram" -> ((s, d) => TextAnalysis.knBigram(s, d)),
+    "window_rolling_corr" ->
+      ((s, d) => EventAnalytics.rollingCorr(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11703,6 +11712,213 @@ object SparkEntry {
                AS ndcg10
            FROM per, idcg ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
+      ("sim_centroid_margin" ->
+        """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d FROM embeddings),
+           cent AS (SELECT label AS cell, d,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+                 AS DOUBLE) / COUNT(*) AS c
+             FROM dims GROUP BY 1, 2),
+           cn AS (SELECT cell, sqrt(CAST(SUM(CAST(c AS DECIMAL(18,9))
+                 * CAST(c AS DECIMAL(18,9))) AS DOUBLE)) AS cnorm
+             FROM cent GROUP BY 1),
+           per AS (SELECT vec_id, label, cell,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))
+                 * CAST(c AS DECIMAL(18,9))) AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))
+                 * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+                 AS DOUBLE)) AS vnorm
+             FROM dims JOIN cent USING (d) GROUP BY 1, 2, 3),
+           sc AS (SELECT vec_id, label, cell,
+               dot / (vnorm * cnorm) AS s
+             FROM per JOIN cn USING (cell)),
+           t2 AS (SELECT vec_id, label,
+               MAX(CASE WHEN rn = 1 THEN cell END) AS pred,
+               MAX(CASE WHEN rn = 1 THEN s END) AS s1,
+               MAX(CASE WHEN rn = 2 THEN s END) AS s2
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cell) AS rn FROM sc) z
+             WHERE rn <= 2 GROUP BY 1, 2),
+           m AS (SELECT label AS true_label, pred AS assigned_label,
+               CAST(s1 - s2 AS DECIMAL(18,9)) AS margin FROM t2)
+           SELECT true_label, assigned_label,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 6)
+               AS mean_margin,
+             ROUND(CAST(MIN(margin) AS DOUBLE), 6) AS min_margin
+           FROM m GROUP BY 1, 2
+           ORDER BY true_label, assigned_label""") +
+      ("orders_price_elasticity" ->
+        """WITH bm AS (SELECT p_brand AS brand,
+               date_trunc('month', l_shipdate) AS mo,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                 AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2 HAVING SUM(CAST(ROUND(l_quantity * 100)
+               AS BIGINT)) > 0),
+           lx AS (SELECT brand,
+               ln(CAST(q AS DOUBLE) / 100.0) AS lq,
+               ln(CAST(rev AS DOUBLE) / CAST(q AS DOUBLE)) AS lp
+             FROM bm),
+           g AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+               SUM(CAST(lp AS DECIMAL(28,12))) AS sx,
+               SUM(CAST(lq AS DECIMAL(28,12))) AS sy,
+               SUM(CAST(lp * lq AS DECIMAL(28,12))) AS sxy,
+               SUM(CAST(lp * lp AS DECIMAL(28,12))) AS sxx,
+               SUM(CAST(lq * lq AS DECIMAL(28,12))) AS syy
+             FROM lx GROUP BY 1),
+           c AS (SELECT brand, n_months, sx, sy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n_months AS cxy,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / n_months AS cxx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n_months AS cyy
+             FROM g)
+           SELECT brand, n_months,
+             ROUND(CASE WHEN cxx > 0 THEN cxy / cxx END, 6)
+               AS elasticity,
+             ROUND(CASE WHEN cxx > 0 AND cyy > 0
+               THEN cxy * cxy / (cxx * cyy) END, 6) AS r2,
+             ROUND(CAST(sx AS DOUBLE) / n_months, 6) AS mean_ln_price,
+             ROUND(CAST(sy AS DOUBLE) / n_months, 6) AS mean_ln_qty
+           FROM c ORDER BY brand""") +
+      ("feature_woe_iv" ->
+        """WITH cat AS (SELECT o_orderpriority AS category,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                 END) AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0
+                 END) AS BIGINT) AS neg
+             FROM orders GROUP BY 1),
+           tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt,
+               CAST(SUM(neg) AS BIGINT) AS nt FROM cat),
+           w AS (SELECT category, pos, neg,
+               CAST(pos AS DOUBLE) / pt AS ps,
+               CAST(neg AS DOUBLE) / nt AS ns,
+               CASE WHEN pos > 0 AND neg > 0
+                 THEN ln((CAST(pos AS DOUBLE) / pt)
+                   / (CAST(neg AS DOUBLE) / nt)) END AS woe
+             FROM cat, tot),
+           t AS (SELECT *, COALESCE(CAST((ps - ns) * woe
+               AS DECIMAL(28,12)), CAST(0 AS DECIMAL(28,12)))
+               AS iv_term FROM w),
+           iv AS (SELECT SUM(iv_term) AS iv FROM t)
+           SELECT category, pos, neg,
+             ROUND(ps, 6) AS pos_share, ROUND(ns, 6) AS neg_share,
+             ROUND(woe, 6) AS woe,
+             ROUND(CAST(iv AS DOUBLE), 6) AS iv_total
+           FROM t, iv ORDER BY category""") +
+      ("dq_l_diversity" ->
+        """WITH cells AS (SELECT lang,
+               n_chars - (n_chars % 100) AS len_bucket, source,
+               CAST(COUNT(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2, 3),
+           classes AS (SELECT lang, len_bucket,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS l,
+               CAST(SUM(c) AS BIGINT) AS sz,
+               SUM(CAST(-CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                 AS DECIMAL(28,12))) AS hnum
+             FROM cells GROUP BY 1, 2),
+           ce AS (SELECT *, ln(CAST(sz AS DOUBLE))
+                 + CAST(hnum AS DOUBLE) / CAST(sz AS DOUBLE)
+                 AS entropy FROM classes),
+           tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_rows_all
+             FROM classes)
+           SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(sz) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(sz) AS DOUBLE) / n_rows_all, 6)
+               AS rows_share,
+             ROUND(CAST(SUM(CAST(entropy AS DECIMAL(28,12)))
+               AS DOUBLE) / COUNT(*), 6) AS mean_entropy
+           FROM ce, tot GROUP BY l, n_rows_all ORDER BY l""") +
+      ("text_kn_bigram" ->
+        """WITH d AS (SELECT doc_id, lang, string_split(text, ' ')
+               AS tk FROM documents),
+           trt AS (SELECT doc_id, generate_subscripts(tk, 1) AS i,
+               unnest(tk) AS word FROM d WHERE doc_id % 2 = 0),
+           trb AS (SELECT a.word AS w1, b.word AS w2 FROM trt a
+             JOIN trt b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+           hot AS (SELECT doc_id, lang, generate_subscripts(tk, 1)
+                 AS i, unnest(tk) AS word
+             FROM d WHERE doc_id % 2 <> 0),
+           ho AS (SELECT a.lang, a.word AS w1, b.word AS w2,
+               CAST(COUNT(*) AS BIGINT) AS f
+             FROM hot a JOIN hot b
+               ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY 1, 2, 3),
+           pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM trb GROUP BY 1, 2),
+           ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+               CAST(COUNT(*) AS BIGINT) AS n1w1 FROM pc GROUP BY 1),
+           cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2
+             FROM pc GROUP BY 1),
+           n1a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM pc),
+           j AS (SELECT ho.lang, ho.f, pc.c, ctx.cw1, ctx.n1w1,
+               cont.n1w2, n1a.n1all
+             FROM ho LEFT JOIN pc USING (w1, w2)
+             LEFT JOIN ctx USING (w1)
+             LEFT JOIN cont USING (w2), n1a),
+           fl AS (SELECT lang, f,
+               cw1 IS NULL AS oov_ctx,
+               cw1 IS NOT NULL AND n1w2 IS NULL AS oov_cont,
+               CASE WHEN cw1 IS NOT NULL AND n1w2 IS NOT NULL THEN
+                 CAST(-ln(GREATEST(CAST(COALESCE(c, 0) AS DOUBLE)
+                     - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+                   + 0.75 * CAST(n1w1 AS DOUBLE) / CAST(cw1 AS DOUBLE)
+                     * (CAST(n1w2 AS DOUBLE) / CAST(n1all AS DOUBLE)))
+                   AS DECIMAL(28,12)) END AS nll
+             FROM j)
+           SELECT lang,
+             CAST(SUM(CASE WHEN nll IS NOT NULL THEN f ELSE 0 END)
+               AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN oov_ctx THEN f ELSE 0 END) AS BIGINT)
+               AS n_oov_ctx,
+             CAST(SUM(CASE WHEN oov_cont THEN f ELSE 0 END) AS BIGINT)
+               AS n_oov_cont,
+             ROUND(CAST(SUM(CAST(nll * f AS DECIMAL(38,12)))
+                 AS DOUBLE)
+               / SUM(CASE WHEN nll IS NOT NULL THEN f ELSE 0 END), 6)
+               AS mean_nll,
+             ROUND(exp(CAST(SUM(CAST(nll * f AS DECIMAL(38,12)))
+                 AS DOUBLE)
+               / SUM(CASE WHEN nll IS NOT NULL THEN f ELSE 0 END)), 4)
+               AS perplexity
+           FROM fl GROUP BY lang ORDER BY lang""") +
+      ("window_rolling_corr" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN user_id % 2 <> 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+           fr AS (SELECT d, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) OVER w AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) OVER w AS syy
+             FROM daily
+             WINDOW w AS (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+           c AS (SELECT *,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+             FROM fr)
+           SELECT strftime(d, '%Y-%m-%d') AS day, n AS n_window,
+             ROUND(CAST(x AS DOUBLE) / 100.0, 2) AS rev_even,
+             ROUND(CAST(y AS DOUBLE) / 100.0, 2) AS rev_odd,
+             ROUND(CASE WHEN cxx > 0 AND cyy > 0
+               THEN cxy / sqrt(cxx * cyy) END, 6) AS rolling_corr
+           FROM c ORDER BY day""") +
       ("orders_fe_regression" ->
         """WITH li AS (SELECT l_partkey,
                CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,

@@ -3159,6 +3159,60 @@ object EventAnalytics {
           col("phi_sum").cast("double"), 6).as("share"))
       .orderBy(col("channel"))
   }
+  /** ROLLING 7-day correlation between the two parity arms' daily
+    * revenue — the co-movement monitor beside [[grangerLeadLag]]'s
+    * single lead–lag F (a dashboard wants the correlation's PATH, not
+    * one number: a regime where the arms decouple shows as a corr
+    * dip): per day, Pearson r over the trailing `width`-day frame
+    * from exact frame sums, NULL while either arm is constant in the
+    * frame (never NaN).
+    *
+    * Exactness: revenues are exact cents; second-moment products cast
+    * to DECIMAL(38,0) BEFORE multiplying (cent-scale daily sums
+    * square past int64); the correlation is one double expression per
+    * output row.
+    *
+    * Plan: one corpus pass to day grain, then ONE day-ordered window
+    * partitioning feeds all six frame sums (day grain is
+    * calendar-bounded — the sanctioned global-window input). */
+  def rollingCorr(spark: SparkSession, dir: String,
+      width: Int = 7): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("user_id") % 2 === 0,
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("user_id") % 2 =!= 0,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.orderBy(col("d")).rowsBetween(-(width - 1), 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(d38(col("x")) * col("y")).over(w))
+      .withColumn("sxx", sum(d38(col("x")) * col("x")).over(w))
+      .withColumn("syy", sum(d38(col("y")) * col("y")).over(w))
+      .withColumn("cxy", col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") /
+          col("n").cast("double"))
+      .withColumn("cxx", col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"))
+      .withColumn("cyy", col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") /
+          col("n").cast("double"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_window"),
+        round(col("x").cast("double") / 100.0, 2).as("rev_even"),
+        round(col("y").cast("double") / 100.0, 2).as("rev_odd"),
+        round(when(col("cxx") > 0 && col("cyy") > 0,
+          col("cxy") / sqrt(col("cxx") * col("cyy"))), 6)
+          .as("rolling_corr"))
+      .orderBy(col("day"))
+  }
+
   /** Granger-style lead–lag test between the two parity arms' daily
     * revenue series — does arm A's yesterday improve the prediction of
     * arm B's today beyond B's own history? The restricted model

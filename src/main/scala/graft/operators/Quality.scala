@@ -724,6 +724,53 @@ object Quality {
       .orderBy(col("rk"))
   }
 
+  /** l-DIVERSITY census — the governance rung ABOVE [[kAnonymity]]
+    * (a class can be k-anonymous yet expose its members' sensitive
+    * attribute when all k rows share one value): with quasi-identifier
+    * (lang, length-century) and `source` as the sensitive attribute,
+    * each equivalence class's l = distinct sensitive values and its
+    * entropy (the entropy-l-diversity refinement — a class dominated
+    * by one source is barely safer than l = 1). The readout is the
+    * l-histogram: how many classes and rows sit at each diversity
+    * level, with the mean class entropy per level.
+    *
+    * Exactness: counts are integers; each class-entropy term
+    * quantizes to DECIMAL(28,12) before its sum; the per-level mean
+    * divides once.
+    *
+    * Plan: one corpus pass to (QI, source) grain, a class-grain
+    * reduce, a ≤|levels|-row histogram — the same two-hash-agg shape
+    * as [[kAnonymity]], no window, no join beyond the 1-row total. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(col("lang"),
+        (col("n_chars") - (col("n_chars") % 100)).as("len_bucket"),
+        col("source"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(countDistinct(col("source")).as("l"),
+        sum(col("c")).as("sz"),
+        sum((-(col("c").cast("double")) *
+          log(col("c").cast("double"))).cast("decimal(28,12)"))
+          .as("hnum"))
+      // H = ln(sz) + (Σ -c·ln c)/sz from exact sums — one pass, no
+      // second shares projection
+      .withColumn("entropy", log(col("sz").cast("double")) +
+        col("hnum").cast("double") / col("sz").cast("double"))
+    val tot = classes.agg(sum(col("sz")).as("n_rows_all"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+        sum(col("entropy").cast("decimal(28,12)")).as("hsum"))
+      .crossJoin(broadcast(tot)) // 1-row corpus size
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") /
+          col("n_rows_all").cast("double"), 6).as("rows_share"),
+        round(col("hsum").cast("double") /
+          col("n_classes").cast("double"), 6).as("mean_entropy"))
+      .orderBy(col("l"))
+  }
+
   /** k-ANONYMITY census over the documents quasi-identifier tuple
     * (lang, source, length-century) — the re-identification risk
     * readout a governance review runs before a corpus release: rows

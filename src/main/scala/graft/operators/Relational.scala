@@ -2595,4 +2595,108 @@ object Relational {
         round(col("eta_sq"), 6).as("eta_sq"))
       .orderBy(col("weekday"))
   }
+
+  /** PRICE ELASTICITY of demand per brand — the log-log regression a
+    * pricing team runs before touching a price: per (brand, month),
+    * quantity q = Σ l_quantity and average unit price
+    * p = Σ extendedprice / Σ quantity; the elasticity is the OLS
+    * slope of ln q on ln p across months (β < −1 elastic, −1 < β < 0
+    * inelastic), with R² beside it so a flat fit is not read as a
+    * confident elasticity.
+    *
+    * Exactness: quantities and prices are exact cents/centi-units;
+    * each (ln p, ln q) pair and its products quantize to
+    * DECIMAL(28,12) before the per-brand moment sums, so the
+    * normal-equation algebra is order-independent.
+    *
+    * Plan: one lineitem pass with the part dimension BROADCAST into
+    * the scan-side join, a (brand, month) agg, a |brands|-row moment
+    * reduce — the regression runs on the bounded grid, never rows. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val bm = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        date_trunc("month", col("l_shipdate")).as("mo"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .filter(col("q") > 0)
+      // ln values stay DOUBLE; every term quantizes to DECIMAL(28,12)
+      // exactly once at the sum (a decimal x decimal product would
+      // round differently per engine at the capped precision)
+      .select(col("brand"),
+        log(col("q").cast("double") / 100.0).as("lq"),
+        log(col("rev").cast("double") / col("q").cast("double"))
+          .as("lp"))
+    bm.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("lp").cast("decimal(28,12)")).as("sx"),
+        sum(col("lq").cast("decimal(28,12)")).as("sy"),
+        sum((col("lp") * col("lq")).cast("decimal(28,12)")).as("sxy"),
+        sum((col("lp") * col("lp")).cast("decimal(28,12)")).as("sxx"),
+        sum((col("lq") * col("lq")).cast("decimal(28,12)")).as("syy"))
+      .withColumn("cxy", col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") /
+          col("n_months"))
+      .withColumn("cxx", col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") /
+          col("n_months"))
+      .withColumn("cyy", col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") /
+          col("n_months"))
+      .select(col("brand"), col("n_months"),
+        round(when(col("cxx") > 0, col("cxy") / col("cxx")), 6)
+          .as("elasticity"),
+        round(when(col("cxx") > 0 && col("cyy") > 0,
+          col("cxy") * col("cxy") / (col("cxx") * col("cyy"))), 6)
+          .as("r2"),
+        round(col("sx").cast("double") / col("n_months"), 6)
+          .as("mean_ln_price"),
+        round(col("sy").cast("double") / col("n_months"), 6)
+          .as("mean_ln_qty"))
+      .orderBy(col("brand"))
+  }
+
+  /** Weight-of-Evidence encoding + Information Value of order
+    * priority against the finished-status target — the
+    * credit-scoring-style categorical diagnostic beside
+    * [[targetEncoding]] (WOE is the LOG-ODDS encode; IV is the
+    * feature-level "is this worth a model slot" number read against
+    * the classic <0.02 useless / >0.3 strong bands): per category,
+    * WOE = ln(pos_share / neg_share) from exact counts, and
+    * IV = Σ (pos_share − neg_share)·WOE with each term quantized to
+    * DECIMAL(28,12). One-sided categories (zero positives or
+    * negatives) yield NULL WOE and contribute nothing — the standard
+    * degenerate-bin convention, never ±Infinity.
+    *
+    * Plan: one orders pass to category grain, a 1-row total
+    * broadcast, a ≤|categories|-row readout with the IV scalar
+    * repeated per row. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(sum((col("o_orderstatus") === "F").cast("long")).as("pos"),
+        sum((col("o_orderstatus") =!= "F").cast("long")).as("neg"))
+    val tot = cat.agg(sum(col("pos")).as("pt"), sum(col("neg")).as("nt"))
+    val woe = cat.crossJoin(broadcast(tot)) // 1-row class totals
+      .withColumn("ps", col("pos").cast("double") / col("pt"))
+      .withColumn("ns", col("neg").cast("double") / col("nt"))
+      .withColumn("woe",
+        when(col("pos") > 0 && col("neg") > 0,
+          log(col("ps") / col("ns"))))
+      .withColumn("iv_term",
+        coalesce(((col("ps") - col("ns")) * col("woe"))
+          .cast("decimal(28,12)"), lit(0).cast("decimal(28,12)")))
+    val iv = woe.agg(sum(col("iv_term")).as("iv"))
+    woe.crossJoin(broadcast(iv)) // 1-row feature IV
+      .select(col("category"), col("pos"), col("neg"),
+        round(col("ps"), 6).as("pos_share"),
+        round(col("ns"), 6).as("neg_share"),
+        round(col("woe"), 6).as("woe"),
+        round(col("iv").cast("double"), 6).as("iv_total"))
+      .orderBy(col("category"))
+  }
 }

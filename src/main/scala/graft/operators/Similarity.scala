@@ -2638,6 +2638,59 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Centroid assignment MARGIN census — the confusion-risk readout a
+    * router/classifier built on label centroids needs before trusting
+    * nearest-centroid assignment: per vector, the cosine gap between
+    * its best and second-best label centroid (small margin = the
+    * vector sits on a decision boundary), censused as the (true
+    * label, assigned label) confusion matrix with mean/min margins.
+    * Off-diagonal rows with small margins are the label noise a
+    * curation pass inspects first.
+    *
+    * Determinism: centroids are exact-DECIMAL(18,9) means; per-vector
+    * margins quantize to DECIMAL(18,9) before the census sums; the
+    * top-2 ranking ties on centroid label.
+    *
+    * Plan: one (label, dim) centroid agg (bounded), one dims explode
+    * joined to the broadcast centroid relation, a per-vector
+    * PARTITIONED rank window cut at 2, a ≤|labels|²-row census. */
+  def centroidMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dv = dims(e, withLabel = true)
+    val d9: Column => Column = c => c.cast("double").cast("decimal(18,9)")
+    val cent = dv.groupBy(col("label").as("cell"), col("d"))
+      .agg((sum(d9(col("val"))).cast("double") / count(lit(1))).as("c"))
+    val cn = cent.groupBy(col("cell"))
+      .agg(sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double"))
+        .as("cnorm"))
+    val per = dv
+      .join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("label"), col("cell"))
+      .agg(sum(d9(col("val")) * d9(col("c"))).cast("double").as("dot"),
+        sqrt(sum(d9(col("val")) * d9(col("val"))).cast("double"))
+          .as("vnorm"))
+      .join(broadcast(cn), Seq("cell"))
+      .withColumn("s", col("dot") / (col("vnorm") * col("cnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("s").desc, col("cell"))
+    val top2 = per
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("rn") === 1, col("cell"))).as("pred"),
+        max(when(col("rn") === 1, col("s"))).as("s1"),
+        max(when(col("rn") === 2, col("s"))).as("s2"))
+      .withColumn("margin",
+        (col("s1") - col("s2")).cast("decimal(18,9)"))
+    top2.groupBy(col("label").as("true_label"),
+        col("pred").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("margin")).cast("double") / count(lit(1)), 6)
+          .as("mean_margin"),
+        round(min(col("margin")).cast("double"), 6).as("min_margin"))
+      .orderBy(col("true_label"), col("assigned_label"))
+  }
+
   /** MATRYOSHKA truncation recall — the evaluation behind
     * MRL-style adaptive retrieval (can the FIRST d/2 or d/4
     * dimensions stand in for the full vector?): for five broadcast

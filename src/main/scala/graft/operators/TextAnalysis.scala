@@ -3351,6 +3351,80 @@ object TextAnalysis {
       .orderBy(col("arm"))
   }
 
+  /** Interpolated KNESER-NEY bigram language model, held-out
+    * perplexity per language — the smoothing rung above the add-1
+    * ([[bigramLogprob]]) and Good–Turing rows, and still the strongest
+    * count-based n-gram smoother: with absolute discount D = 0.75,
+    *   p(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··),
+    * where the backoff distribution is the CONTINUATION count (in how
+    * many distinct contexts does w₂ appear) — the KN insight that
+    * "Francisco" is frequent but follows only "San". Held-out bigrams
+    * whose context was never seen (or whose target has no
+    * continuation mass) are CENSUSED as OOV, not priced — the
+    * [[bpeOov]] discipline.
+    *
+    * Exactness: all counts are exact BIGINTs; each bigram's NLL is one
+    * double expression quantized to DECIMAL(28,12), then
+    * occurrence-weighted into exact decimal sums; perplexity is one
+    * exp at the edge.
+    *
+    * Plan: train and held-out corpora collapse to bigram-type grain
+    * first (the posting shuffle); context/continuation relations are
+    * vocabulary-grain aggregates of the PAIR relation (never a second
+    * corpus pass); the scoring join is pair-keyed. */
+  def knBigram(spark: SparkSession, dir: String,
+      discount: Double = 0.75): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("lang"), explode(expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+             (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"""))
+        .as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tr = bigrams(d.filter(col("doc_id") % 2 === 0))
+    val ho = bigrams(d.filter(col("doc_id") % 2 =!= 0))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("f"))
+    val pc = tr.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = pc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = pc.groupBy(col("w2")).agg(count(lit(1)).as("n1w2"))
+    val n1all = pc.agg(count(lit(1)).as("n1all"))
+    val scored = ho
+      .join(pc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(n1all)) // 1-row bigram-type total
+      .withColumn("oov_ctx", col("cw1").isNull)
+      .withColumn("oov_cont", col("cw1").isNotNull && col("n1w2").isNull)
+      .withColumn("nll",
+        when(col("cw1").isNotNull && col("n1w2").isNotNull,
+          (-log(
+            greatest(coalesce(col("c"), lit(0L)).cast("double") -
+              discount, lit(0.0)) / col("cw1").cast("double") +
+              lit(discount) * col("n1w1").cast("double") /
+                col("cw1").cast("double") *
+                (col("n1w2").cast("double") / col("n1all").cast("double"))
+          )).cast("decimal(28,12)")))
+    scored.groupBy(col("lang"))
+      .agg(sum(when(col("nll").isNotNull, col("f")).otherwise(0L))
+          .as("n_eval"),
+        sum(when(col("oov_ctx"), col("f")).otherwise(0L)).as("n_oov_ctx"),
+        sum(when(col("oov_cont"), col("f")).otherwise(0L))
+          .as("n_oov_cont"),
+        sum((col("nll") * col("f")).cast("decimal(38,12)")).as("nll_sum"))
+      .select(col("lang"), col("n_eval"), col("n_oov_ctx"),
+        col("n_oov_cont"),
+        round(col("nll_sum").cast("double") /
+          col("n_eval").cast("double"), 6).as("mean_nll"),
+        round(exp(col("nll_sum").cast("double") /
+          col("n_eval").cast("double")), 4).as("perplexity"))
+      .orderBy(col("lang"))
+  }
+
   /** SentencePiece-style UNIGRAM-LM tokenizer trainer — the
     * alternative to the merge-driven BPE family ([[bpeMerges]] trains
     * bottom-up; the unigram model starts from an OVER-complete
