@@ -578,7 +578,13 @@ object SparkEntry {
     "dq_l_diversity" -> ((s, d) => Quality.lDiversity(s, d)),
     "text_kn_bigram" -> ((s, d) => TextAnalysis.knBigram(s, d)),
     "window_rolling_corr" ->
-      ((s, d) => EventAnalytics.rollingCorr(s, d))
+      ((s, d) => EventAnalytics.rollingCorr(s, d)),
+    "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "events_ucb_allocation" ->
+      ((s, d) => EventAnalytics.ucbAllocation(s, d)),
+    "orders_its_segmented" ->
+      ((s, d) => Relational.itsSegmented(s, d)),
+    "dq_profile_drift" -> ((s, d) => Quality.profileDrift(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11712,6 +11718,168 @@ object SparkEntry {
                AS ndcg10
            FROM per, idcg ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
+      ("sim_mmr_rerank" -> mmrOracleSql()) +
+      ("events_ucb_allocation" ->
+        """WITH first AS (SELECT user_id, event_type AS arm FROM (
+               SELECT user_id, event_type, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events) z WHERE rn = 1),
+           conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase'),
+           arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_conv
+             FROM first LEFT JOIN conv USING (user_id) GROUP BY 1),
+           tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_all
+             FROM arms),
+           sc AS (SELECT arm, n_users, n_conv,
+               CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 AS rate,
+               CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 + sqrt(2.0 * ln(CAST(n_all AS DOUBLE))
+                   / CAST(n_users AS DOUBLE)) AS ucb1
+             FROM arms, tot),
+           mx AS (SELECT arm AS best_arm FROM sc
+             ORDER BY ucb1 DESC, arm LIMIT 1)
+           SELECT arm, n_users, n_conv,
+             ROUND(rate, 6) AS conv_rate, ROUND(ucb1, 6) AS ucb1,
+             arm = best_arm AS chosen
+           FROM sc, mx ORDER BY arm""") +
+      ("orders_its_segmented" ->
+        """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+           d0 AS (SELECT MIN(day) AS day0,
+               CAST(datediff('day', MIN(day), MAX(day)) // 2
+                 AS BIGINT) AS tmid
+             FROM daily),
+           seg AS (SELECT CASE WHEN t < tmid THEN 'pre' ELSE 'post'
+                 END AS seg, MAX(tmid) AS tmid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               SUM(CAST(t AS DECIMAL(38,0)) * c) AS stc,
+               SUM(CAST(t AS DECIMAL(38,0)) * t) AS stt
+             FROM (SELECT CAST(datediff('day', day0, day) AS BIGINT)
+                 AS t, c, tmid FROM daily, d0) z
+             GROUP BY 1),
+           fit AS (SELECT *,
+               (CAST(stc AS DOUBLE) - CAST(st AS DOUBLE)
+                 * CAST(sc AS DOUBLE) / n)
+               / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                 * CAST(st AS DOUBLE) / n) AS slope
+             FROM seg),
+           fit2 AS (SELECT *,
+               (CAST(sc AS DOUBLE) - slope * CAST(st AS DOUBLE)) / n
+                 AS icept
+             FROM fit),
+           fit3 AS (SELECT *,
+               icept + slope * CAST(tmid AS DOUBLE) AS at_mid
+             FROM fit2),
+           p AS (SELECT
+               MAX(CASE WHEN seg = 'pre' THEN n END) AS n_pre,
+               MAX(CASE WHEN seg = 'post' THEN n END) AS n_post,
+               MAX(CASE WHEN seg = 'pre' THEN slope END) AS b_pre,
+               MAX(CASE WHEN seg = 'post' THEN slope END) AS b_post,
+               MAX(CASE WHEN seg = 'pre' THEN at_mid END) AS y_pre,
+               MAX(CASE WHEN seg = 'post' THEN at_mid END) AS y_post
+             FROM fit3)
+           SELECT n_pre, n_post,
+             ROUND(b_pre / 100.0, 4) AS pre_slope,
+             ROUND(b_post / 100.0, 4) AS post_slope,
+             ROUND((b_post - b_pre) / 100.0, 4) AS slope_change,
+             ROUND((y_post - y_pre) / 100.0, 2) AS level_jump,
+             ROUND((y_post - y_pre) / y_pre, 6) AS jump_rel
+           FROM p""") +
+      ("dq_profile_drift" ->
+        """WITH sp AS (SELECT epoch(MIN(o_orderdate))
+               + (epoch(MAX(o_orderdate)) - epoch(MIN(o_orderdate)))
+                 / 2 AS mid
+             FROM orders),
+           hv AS (SELECT o_totalprice, o_orderpriority, o_orderstatus,
+               CASE WHEN epoch(o_orderdate) < mid THEN 1 ELSE 2 END
+                 AS h
+             FROM orders, sp),
+           num AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+             FROM (SELECT h, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 AS y FROM hv) z GROUP BY 1),
+           nm AS (SELECT h, n, CAST(sy AS DOUBLE) / n AS mean,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n) / CAST(n - 1 AS DOUBLE)
+                 AS v
+             FROM num),
+           nrow AS (SELECT
+               MAX(CASE WHEN h = 1 THEN n END) AS n1,
+               MAX(CASE WHEN h = 2 THEN n END) AS n2,
+               MAX(CASE WHEN h = 1 THEN mean END) AS m1,
+               MAX(CASE WHEN h = 2 THEN mean END) AS m2,
+               MAX(CASE WHEN h = 1 THEN v END) AS v1,
+               MAX(CASE WHEN h = 2 THEN v END) AS v2
+             FROM nm),
+           nout AS (SELECT 'o_totalprice' AS column_name,
+               'numeric_mean_z' AS kind, n1 AS n_first,
+               n2 AS n_second,
+               ROUND(m1 / 100.0, 4) AS stat_first,
+               ROUND(m2 / 100.0, 4) AS stat_second,
+               ROUND(abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6)
+                 AS drift_stat,
+               abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2) > 3.0
+                 AS drifted
+             FROM nrow),
+           cp AS (SELECT h, o_orderpriority AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt FROM hv GROUP BY 1, 2),
+           cpt AS (SELECT h, CAST(SUM(cnt) AS BIGINT) AS nt FROM cp
+             GROUP BY 1),
+           cps AS (SELECT v, cp.h,
+               CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE) AS p, nt
+             FROM cp JOIN cpt ON cp.h = cpt.h),
+           cpv AS (SELECT v,
+               SUM(CASE WHEN h = 1 THEN p ELSE 0.0 END) AS p1,
+               SUM(CASE WHEN h = 2 THEN p ELSE 0.0 END) AS p2,
+               MAX(CASE WHEN h = 1 THEN nt END) AS n1,
+               MAX(CASE WHEN h = 2 THEN nt END) AS n2
+             FROM cps GROUP BY 1),
+           cpr AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               MAX(p1) AS top1, MAX(p2) AS top2,
+               CAST(SUM(CAST(abs(p1 - p2) AS DECIMAL(28,12)))
+                 AS DOUBLE) / 2.0 AS tvd
+             FROM cpv),
+           cout AS (SELECT 'o_orderpriority' AS column_name,
+               'categorical_tvd' AS kind, n1 AS n_first,
+               n2 AS n_second, ROUND(top1, 6) AS stat_first,
+               ROUND(top2, 6) AS stat_second,
+               ROUND(tvd, 6) AS drift_stat, tvd > 0.1 AS drifted
+             FROM cpr),
+           sp2 AS (SELECT h, o_orderstatus AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt FROM hv GROUP BY 1, 2),
+           spt AS (SELECT h, CAST(SUM(cnt) AS BIGINT) AS nt FROM sp2
+             GROUP BY 1),
+           sps AS (SELECT v, sp2.h,
+               CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE) AS p, nt
+             FROM sp2 JOIN spt ON sp2.h = spt.h),
+           spv AS (SELECT v,
+               SUM(CASE WHEN h = 1 THEN p ELSE 0.0 END) AS p1,
+               SUM(CASE WHEN h = 2 THEN p ELSE 0.0 END) AS p2,
+               MAX(CASE WHEN h = 1 THEN nt END) AS n1,
+               MAX(CASE WHEN h = 2 THEN nt END) AS n2
+             FROM sps GROUP BY 1),
+           spr AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               MAX(p1) AS top1, MAX(p2) AS top2,
+               CAST(SUM(CAST(abs(p1 - p2) AS DECIMAL(28,12)))
+                 AS DOUBLE) / 2.0 AS tvd
+             FROM spv),
+           sout AS (SELECT 'o_orderstatus' AS column_name,
+               'categorical_tvd' AS kind, n1 AS n_first,
+               n2 AS n_second, ROUND(top1, 6) AS stat_first,
+               ROUND(top2, 6) AS stat_second,
+               ROUND(tvd, 6) AS drift_stat, tvd > 0.1 AS drifted
+             FROM spr)
+           SELECT * FROM nout UNION ALL SELECT * FROM cout
+           UNION ALL SELECT * FROM sout
+           ORDER BY column_name""") +
       ("sim_centroid_margin" ->
         """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS d FROM embeddings),
@@ -12011,6 +12179,66 @@ object SparkEntry {
     * per-batch index append produces. Shared relations (shingles, bands,
     * sizes) are MATERIALIZED once; per-step blocks only differ in the
     * candidate predicate. */
+  /** Generated oracle for `sim_mmr_rerank`: the greedy selection
+    * unrolls to k rounds of (remaining → redundancy-vs-selected →
+    * argmax) CTEs — mechanical, so built here like
+    * [[unigramOracleSql]]. Interpolated double literals (λ, 1−λ)
+    * print Scala's exact double representation, which is the same
+    * value the Spark side's `lit(1.0 - lambda)` computes. */
+  private[graft] def mmrOracleSql(queryId: Long = 0L, nCand: Int = 20,
+      k: Int = 10, lambda: Double = 0.7): String = {
+    // bare numeric literals parse as DECIMAL in DuckDB and drag the
+    // whole score into decimal arithmetic — force DOUBLE so the score
+    // is the same IEEE expression Spark evaluates
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oml = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+           WHERE vec_id = $queryId),
+         cand AS MATERIALIZED (SELECT vec_id, embedding, rel FROM (
+             SELECT e.vec_id, e.embedding,
+               list_cosine_similarity(e.embedding, q.q_emb) AS rel,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_cosine_similarity(e.embedding, q.q_emb) DESC,
+                 e.vec_id) AS rn
+             FROM embeddings e, q WHERE e.vec_id <> $queryId) z
+           WHERE rn <= $nCand),
+         pairs AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+             list_cosine_similarity(a.embedding, b.embedding) AS psim
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         pick_1 AS MATERIALIZED (SELECT 1 AS mmr_rank, vec_id, rel,
+             CAST(NULL AS DOUBLE) AS msim,
+             $lam * rel - $oml * 0.0 AS score
+           FROM cand ORDER BY $lam * rel - $oml * 0.0 DESC, vec_id
+           LIMIT 1),
+         sel_1 AS (SELECT vec_id FROM pick_1),
+"""
+    for (t <- 2 to k) {
+      sb ++= s"""rem_$t AS (SELECT c.vec_id, c.rel FROM cand c
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel_${t - 1})),
+         red_$t AS (SELECT r.vec_id, r.rel, MAX(p.psim) AS msim
+           FROM rem_$t r LEFT JOIN (SELECT p0.a, p0.psim FROM pairs p0
+             JOIN sel_${t - 1} s ON p0.b = s.vec_id) p
+             ON p.a = r.vec_id
+           GROUP BY 1, 2),
+         pick_$t AS MATERIALIZED (SELECT $t AS mmr_rank, vec_id, rel,
+             msim, $lam * rel - $oml * COALESCE(msim, 0.0) AS score
+           FROM red_$t ORDER BY score DESC, vec_id LIMIT 1),
+         sel_$t AS (SELECT vec_id FROM sel_${t - 1}
+           UNION ALL SELECT vec_id FROM pick_$t),
+"""
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= "\n" + (1 to k).map(t =>
+      s"""SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id,
+          ROUND(CAST(rel AS DOUBLE), 6) AS relevance,
+          ROUND(CAST(msim AS DOUBLE), 6) AS max_sim_selected,
+          ROUND(score, 6) AS mmr_score FROM pick_$t""")
+      .mkString(" UNION ALL ")
+    sb ++= " ORDER BY mmr_rank"
+    sb.toString
+  }
+
   /** Generated oracle for `text_unigram_tokenizer`: the hard-EM
     * Viterbi DP unrolls to `maxLen` levels per round and the
     * backpointer walk to `maxLen` steps — mechanical CTE chains, so

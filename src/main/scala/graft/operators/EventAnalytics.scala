@@ -3159,6 +3159,57 @@ object EventAnalytics {
           col("phi_sum").cast("double"), 6).as("share"))
       .orderBy(col("channel"))
   }
+  /** UCB1 arm table over first-touch acquisition channels — the
+    * bandit-allocation readout an experimentation platform keeps next
+    * to its A/B rows ([[abTest]] decides a finished experiment; UCB
+    * decides WHERE THE NEXT USER GOES): arms are the user's FIRST
+    * event type, reward is whether the user ever purchases, and each
+    * arm's UCB1 index = conversion rate + √(2·ln N / n) — the
+    * optimism bonus that forces under-explored arms to be tried. The
+    * argmax arm is flagged; a small-n arm outranking a higher-rate
+    * arm is the exploration story this table exists to show.
+    *
+    * Exactness: counts are exact; rate and bonus are one double
+    * expression per of-≤|types| rows.
+    *
+    * Plan: one per-user first-event window (partitioned, rank 1 —
+    * map-side group limit), one distinct purchase census, an
+    * arm-grain agg with the 1-row total broadcast. */
+  def ucbAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val first = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("arm"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("cv", lit(1L))
+    val arms = first.join(conv, Seq("user_id"), "left")
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("cv"), lit(0L))).as("n_conv"))
+    val tot = arms.agg(sum(col("n_users")).as("n_all"))
+    val scored = arms.crossJoin(broadcast(tot)) // 1-row population
+      .withColumn("rate",
+        col("n_conv").cast("double") / col("n_users").cast("double"))
+      .withColumn("ucb1", col("rate") +
+        sqrt(lit(2.0) * log(col("n_all").cast("double")) /
+          col("n_users").cast("double")))
+    // deterministic argmax: UCB ties (equal n and conversions) break
+    // to the alphabetically first arm — a bandit pulls ONE arm
+    val best = scored
+      .orderBy(col("ucb1").desc, col("arm")).limit(1)
+      .select(col("arm").as("best_arm"))
+    scored.crossJoin(broadcast(best)) // 1-row argmax
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        round(col("rate"), 6).as("conv_rate"),
+        round(col("ucb1"), 6).as("ucb1"),
+        (col("arm") === col("best_arm")).as("chosen"))
+      .orderBy(col("arm"))
+  }
+
   /** ROLLING 7-day correlation between the two parity arms' daily
     * revenue — the co-movement monitor beside [[grangerLeadLag]]'s
     * single lead–lag F (a dashboard wants the correlation's PATH, not

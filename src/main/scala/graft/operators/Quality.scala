@@ -724,6 +724,88 @@ object Quality {
       .orderBy(col("rk"))
   }
 
+  /** Column-profile DRIFT between the two calendar halves of the
+    * orders table — the schema-level monitor above [[psiDrift]]'s
+    * single-metric distribution test: the numeric column compares
+    * half means through the two-sample z statistic (exact cent
+    * moments, DECIMAL(38,0) squares); each categorical column
+    * compares its half distributions through TOTAL VARIATION distance
+    * ½·Σ|p₁−p₂| with per-term DECIMAL(28,12) quantization. One row
+    * per column, uniform schema, with the drift verdict a scheduler
+    * can alert on.
+    *
+    * Plan: one orders pass per profile kind (numeric moments at 2-row
+    * grain; categorical censuses at |values|-grain), a ≤3-row union —
+    * no window, no corpus-scale join. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val sp = o.agg((unix_timestamp(min(col("o_orderdate"))) +
+      (unix_timestamp(max(col("o_orderdate"))) -
+        unix_timestamp(min(col("o_orderdate")))) / 2).as("mid"))
+    val halved = o.crossJoin(broadcast(sp)) // 1-row split point
+      .withColumn("h",
+        when(unix_timestamp(col("o_orderdate")) < col("mid"), 1L)
+          .otherwise(2L))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    // numeric: two-sample z on o_totalprice
+    val num = halved
+      .select(col("h"), round(col("o_totalprice") * 100)
+        .cast("long").as("y"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+      .withColumn("mean", col("sy").cast("double") / col("n"))
+      .withColumn("v", (col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") /
+          col("n")) / (col("n") - 1).cast("double"))
+    val numRow = num.agg(
+        max(when(col("h") === 1, col("n"))).as("n1"),
+        max(when(col("h") === 2, col("n"))).as("n2"),
+        max(when(col("h") === 1, col("mean"))).as("m1"),
+        max(when(col("h") === 2, col("mean"))).as("m2"),
+        max(when(col("h") === 1, col("v"))).as("v1"),
+        max(when(col("h") === 2, col("v"))).as("v2"))
+      .withColumn("z", abs(col("m2") - col("m1")) /
+        sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+      .select(lit("o_totalprice").as("column_name"),
+        lit("numeric_mean_z").as("kind"),
+        col("n1").as("n_first"), col("n2").as("n_second"),
+        round(col("m1") / 100.0, 4).as("stat_first"),
+        round(col("m2") / 100.0, 4).as("stat_second"),
+        round(col("z"), 6).as("drift_stat"),
+        (col("z") > 3.0).as("drifted"))
+    // categorical: total variation distance per column
+    def catRow(c: String): DataFrame = {
+      val dist = halved.groupBy(col("h"), col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tots = dist.groupBy(col("h")).agg(sum(col("cnt")).as("nt"))
+      val shares = dist.join(tots, Seq("h"))
+        .select(col("v"), col("h"),
+          (col("cnt").cast("double") / col("nt").cast("double"))
+            .as("p"), col("nt"))
+      val tvd = shares.groupBy(col("v"))
+        .agg(sum(when(col("h") === 1, col("p")).otherwise(0.0)).as("p1"),
+          sum(when(col("h") === 2, col("p")).otherwise(0.0)).as("p2"),
+          max(when(col("h") === 1, col("nt"))).as("n1"),
+          max(when(col("h") === 2, col("nt"))).as("n2"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("p1")).as("top1"), max(col("p2")).as("top2"),
+          (sum(abs(col("p1") - col("p2")).cast("decimal(28,12)"))
+            .cast("double") / 2.0).as("tvd"))
+      tvd.select(lit(c).as("column_name"),
+        lit("categorical_tvd").as("kind"),
+        col("n1").as("n_first"), col("n2").as("n_second"),
+        round(col("top1"), 6).as("stat_first"),
+        round(col("top2"), 6).as("stat_second"),
+        round(col("tvd"), 6).as("drift_stat"),
+        (col("tvd") > 0.1).as("drifted"))
+    }
+    numRow
+      .unionByName(catRow("o_orderpriority"))
+      .unionByName(catRow("o_orderstatus"))
+      .orderBy(col("column_name"))
+  }
+
   /** l-DIVERSITY census — the governance rung ABOVE [[kAnonymity]]
     * (a class can be k-anonymous yet expose its members' sensitive
     * attribute when all k rows share one value): with quasi-identifier

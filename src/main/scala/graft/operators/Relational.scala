@@ -2660,6 +2660,70 @@ object Relational {
       .orderBy(col("brand"))
   }
 
+  /** INTERRUPTED-TIME-SERIES segmented regression of daily revenue at
+    * the calendar midpoint — the causal-inference reading frame beside
+    * [[EventAnalytics.upliftDid]] when there is no control group: fit
+    * separate OLS lines to the pre- and post-midpoint daily-revenue
+    * series (closed form from exact moments) and report the SLOPE
+    * change and the LEVEL jump at the cut — the two coefficients a
+    * segmented ITS regression estimates, with the relative jump so a
+    * level change reads in business units.
+    *
+    * Exactness: revenues are exact cents; day indices are exact ints;
+    * t·c products cast to DECIMAL(38,0) before multiplying; the
+    * normal-equation algebra runs on the 2-row segment moments in
+    * doubles.
+    *
+    * Plan: one orders pass to day grain, a 2-row segment-moment agg,
+    * 1-row algebra. */
+  def itsSegmented(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    // integer DIV: Spark `/` is double division and its long cast
+    // truncates while DuckDB's rounds — exact integer division only
+    val d0 = daily.agg(min(col("day")).as("day0"),
+      expr("CAST(datediff(MAX(day), MIN(day)) DIV 2 AS BIGINT)")
+        .as("tmid"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val seg = daily.crossJoin(broadcast(d0)) // 1-row origin + cut
+      .select(datediff(col("day"), col("day0")).cast("long").as("t"),
+        col("c"), col("tmid"))
+      .withColumn("seg", when(col("t") < col("tmid"), "pre")
+        .otherwise("post"))
+      .groupBy(col("seg"))
+      .agg(max(col("tmid")).as("tmid"), count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("c")).as("sc"),
+        sum(d38(col("t")) * col("c")).as("stc"),
+        sum(d38(col("t")) * col("t")).as("stt"))
+      .withColumn("slope", (col("stc").cast("double") -
+        col("st").cast("double") * col("sc").cast("double") /
+          col("n")) /
+        (col("stt").cast("double") -
+          col("st").cast("double") * col("st").cast("double") /
+            col("n")))
+      .withColumn("icept", (col("sc").cast("double") -
+        col("slope") * col("st").cast("double")) / col("n"))
+      .withColumn("at_mid",
+        col("icept") + col("slope") * col("tmid").cast("double"))
+    seg.agg(
+        max(when(col("seg") === "pre", col("n"))).as("n_pre"),
+        max(when(col("seg") === "post", col("n"))).as("n_post"),
+        max(when(col("seg") === "pre", col("slope"))).as("b_pre"),
+        max(when(col("seg") === "post", col("slope"))).as("b_post"),
+        max(when(col("seg") === "pre", col("at_mid"))).as("y_pre"),
+        max(when(col("seg") === "post", col("at_mid"))).as("y_post"))
+      .select(col("n_pre"), col("n_post"),
+        round(col("b_pre") / 100.0, 4).as("pre_slope"),
+        round(col("b_post") / 100.0, 4).as("post_slope"),
+        round((col("b_post") - col("b_pre")) / 100.0, 4)
+          .as("slope_change"),
+        round((col("y_post") - col("y_pre")) / 100.0, 2)
+          .as("level_jump"),
+        round((col("y_post") - col("y_pre")) / col("y_pre"), 6)
+          .as("jump_rel"))
+  }
+
   /** Weight-of-Evidence encoding + Information Value of order
     * priority against the finished-status target — the
     * credit-scoring-style categorical diagnostic beside

@@ -2638,6 +2638,82 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank of the exact top-20 — the
+    * diversity-aware serving step between retrieval and the user
+    * (Carbonell & Goldstein's MMR: a result list of 10 near-duplicates
+    * of the best hit is less useful than 10 distinct aspects): from
+    * the anchor query's exact-cosine top-`nCand`, greedily select
+    * `k` results maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s),
+    * λ = 0.7 — relevance traded against redundancy with what's
+    * already shown. Each emitted row carries the relevance, the
+    * redundancy term, and the MMR score that won the round.
+    *
+    * Determinism: cosines are the f32-exact expression; every greedy
+    * argmax ties on vec_id; the empty-selection redundancy is 0 by
+    * the same coalesce in both engines.
+    *
+    * Plan: ONE corpus pass (anchor-broadcast cosine map) cut to the
+    * rank-limited top-`nCand` and localCheckpoint'd with its
+    * `nCand`²-candidate pair-similarity relation; all `k` greedy
+    * rounds then run on those bounded relations — round cost is
+    * independent of corpus size. */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nCand: Int = 20, k: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cand = e.join(broadcast(q)) // 1-row anchor
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("rel", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= nCand) // rank-limited -> group limit
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .localCheckpoint() // <=nCand rows: the greedy loop's world
+    val pairs = cand.select(col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      .join(cand.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .withColumn("psim", ExprColumns.cosineF32(spark, "ea", "eb"))
+      .select(col("a"), col("b"), col("psim"))
+      .localCheckpoint() // <=nCand^2 rows
+    val c0 = cand.select(col("vec_id"), col("rel"))
+    var selected: DataFrame = null
+    var out: DataFrame = null
+    for (t <- 1 to k) {
+      val remaining =
+        if (selected == null) c0
+        else c0.join(selected.select(col("vec_id")), Seq("vec_id"),
+          "left_anti")
+      val withRed =
+        if (selected == null)
+          remaining.withColumn("msim", lit(null).cast("double"))
+        else remaining
+          .join(pairs.join(selected.select(col("vec_id").as("b")),
+            Seq("b")).groupBy(col("a"))
+            .agg(max(col("psim")).as("msim")),
+            col("vec_id") === col("a"), "left")
+          .select(col("vec_id"), col("rel"), col("msim"))
+      val pick = withRed
+        .withColumn("score", lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("msim"), lit(0.0)))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(t.toLong).as("mmr_rank"), col("vec_id"),
+          col("rel"), col("msim"), col("score"))
+        .localCheckpoint() // 1 row; cuts the greedy lineage chain
+      selected = if (selected == null) pick.select(col("vec_id"))
+        else selected.unionByName(pick.select(col("vec_id")))
+      out = if (out == null) pick else out.unionByName(pick)
+    }
+    out.select(col("mmr_rank"), col("vec_id"),
+        round(col("rel").cast("double"), 6).as("relevance"),
+        round(col("msim").cast("double"), 6).as("max_sim_selected"),
+        round(col("score"), 6).as("mmr_score"))
+      .orderBy(col("mmr_rank"))
+  }
+
   /** Centroid assignment MARGIN census — the confusion-risk readout a
     * router/classifier built on label centroids needs before trusting
     * nearest-centroid assignment: per vector, the cosine gap between
