@@ -1136,6 +1136,10 @@ object Curation {
       .withColumn("ttr", (col("types").cast("double") /
         col("n_tokens").cast("double")).cast("decimal(18,9)"))
       .withColumn("s", (-col("n_tokens")).cast("double"))
+      // doc-grain, 4 narrow columns — the bucketed decomposition reads
+      // it four times (boundaries, local max, bucket maxima, frontier);
+      // without the cut each pass re-runs the token explode
+      .localCheckpoint()
     val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pcts = (1 until nB).map(i =>
       (i.toDouble / nB).toString).mkString(", ")
@@ -1160,6 +1164,7 @@ object Curation {
         greatest(max(col("ttr")).over(wLoc), col("pmax")))
       .filter(col("best_prev").isNull || col("ttr") > col("best_prev"))
       .withColumn("neg_tokens", (-col("n_tokens")).cast("double"))
+      .localCheckpoint() // frontier-sized: feeds the rank's 3 passes
     frontier.join(Ranks.exactRank(spark,
         frontier.select(col("doc_id"), col("neg_tokens")),
         "neg_tokens", "doc_id", "rank0"), Seq("doc_id"))

@@ -3371,6 +3371,9 @@ object EventAnalytics {
           round(col("value") * 100).cast("long")).otherwise(0L))
           .as("rev"))
       .withColumn("treat", col("user_id") % 2 === 0)
+      // user-grain, 4 narrow columns — read by the exactRank passes
+      // and the join back; the cut stops the corpus agg re-running
+      .localCheckpoint()
     val n = scored.agg(count(lit(1)).as("n_all"))
     // rank by (score desc, user_id asc) == ascending (−score, user_id)
     val rk = Ranks.exactRank(spark,

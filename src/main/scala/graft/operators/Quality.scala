@@ -695,7 +695,10 @@ object Quality {
     val base = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("k")).distinct()
+      // key-grain, 1 column — feeds the rank's 3 passes
+      .localCheckpoint()
     val keys = Ranks.exactRank(spark, base, "k", "k", "rk")
+      .localCheckpoint() // read by islands + both sides of the gap join
     val islands = keys
       .withColumn("grp", col("k") - col("rk"))
       .groupBy(col("grp"))

@@ -2525,6 +2525,8 @@ object Relational {
           else unix_timestamp(col("o_orderdate")) >= col("mid"))
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+        // customer-grain, 2 columns — feeds the rank's 3 passes
+        .localCheckpoint()
       val n = base.agg(count(lit(1)).as("n_cust"))
       Ranks.exactRank(spark, base, "m", "o_custkey", "rk")
         .crossJoin(broadcast(n))
