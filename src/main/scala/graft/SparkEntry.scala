@@ -584,7 +584,9 @@ object SparkEntry {
       ((s, d) => EventAnalytics.ucbAllocation(s, d)),
     "orders_its_segmented" ->
       ((s, d) => Relational.itsSegmented(s, d)),
-    "dq_profile_drift" -> ((s, d) => Quality.profileDrift(s, d))
+    "dq_profile_drift" -> ((s, d) => Quality.profileDrift(s, d)),
+    "graph_betweenness" ->
+      ((s, d) => Graph.betweennessSampled(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11719,6 +11721,92 @@ object SparkEntry {
            FROM per, idcg ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
       ("sim_mmr_rerank" -> mmrOracleSql()) +
+      ("graph_betweenness" ->
+        """WITH directed AS (SELECT a.label, a.vec_id AS v1,
+               b.vec_id AS v2,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id),
+           knn AS (SELECT label, v1, v2 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                 ORDER BY sim DESC, v2) AS rk FROM directed) r
+             WHERE rk <= 3),
+           sym AS MATERIALIZED (SELECT DISTINCT label, v1, v2 FROM (
+               SELECT label, v1, v2 FROM knn
+               UNION ALL SELECT label, v2, v1 FROM knn) u),
+           nodes AS (SELECT label, vec_id AS node FROM embeddings),
+           seeds AS (SELECT label, node AS seed FROM (
+               SELECT label, node, ROW_NUMBER() OVER (
+                 PARTITION BY label ORDER BY node) AS srk
+               FROM nodes) z WHERE srk <= 3),
+           l0 AS MATERIALIZED (SELECT label, seed, seed AS node,
+               CAST(1 AS BIGINT) AS sig FROM seeds),
+           l1 AS MATERIALIZED (SELECT d.label, d.seed, s.v2 AS node,
+               CAST(SUM(d.sig) AS BIGINT) AS sig
+             FROM sym s JOIN l0 d
+               ON s.label = d.label AND s.v1 = d.node
+             WHERE NOT EXISTS (SELECT 1 FROM l0 x
+               WHERE x.label = d.label AND x.seed = d.seed
+                 AND x.node = s.v2)
+             GROUP BY 1, 2, 3),
+           l2 AS MATERIALIZED (SELECT d.label, d.seed, s.v2 AS node,
+               CAST(SUM(d.sig) AS BIGINT) AS sig
+             FROM sym s JOIN l1 d
+               ON s.label = d.label AND s.v1 = d.node
+             WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                 WHERE x.label = d.label AND x.seed = d.seed
+                   AND x.node = s.v2)
+               AND NOT EXISTS (SELECT 1 FROM l1 y
+                 WHERE y.label = d.label AND y.seed = d.seed
+                   AND y.node = s.v2)
+             GROUP BY 1, 2, 3),
+           l3 AS MATERIALIZED (SELECT d.label, d.seed, s.v2 AS node,
+               CAST(SUM(d.sig) AS BIGINT) AS sig
+             FROM sym s JOIN l2 d
+               ON s.label = d.label AND s.v1 = d.node
+             WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                 WHERE x.label = d.label AND x.seed = d.seed
+                   AND x.node = s.v2)
+               AND NOT EXISTS (SELECT 1 FROM l1 y
+                 WHERE y.label = d.label AND y.seed = d.seed
+                   AND y.node = s.v2)
+               AND NOT EXISTS (SELECT 1 FROM l2 z
+                 WHERE z.label = d.label AND z.seed = d.seed
+                   AND z.node = s.v2)
+             GROUP BY 1, 2, 3),
+           d2d AS MATERIALIZED (SELECT v.label, v.seed, v.node, v.sig,
+               COALESCE(SUM(CAST(CAST(v.sig AS DOUBLE) / w.sig
+                 * (1.0 + CAST(w.delta AS DOUBLE))
+                 AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12)))
+                 AS delta
+             FROM l2 v
+             LEFT JOIN sym s ON s.label = v.label AND s.v1 = v.node
+             LEFT JOIN (SELECT label, seed, node, sig,
+                 CAST(0 AS DECIMAL(28,12)) AS delta FROM l3) w
+               ON w.label = v.label AND w.seed = v.seed
+                 AND w.node = s.v2
+             GROUP BY 1, 2, 3, 4),
+           d1d AS MATERIALIZED (SELECT v.label, v.seed, v.node, v.sig,
+               COALESCE(SUM(CAST(CAST(v.sig AS DOUBLE) / w.sig
+                 * (1.0 + CAST(w.delta AS DOUBLE))
+                 AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12)))
+                 AS delta
+             FROM l1 v
+             LEFT JOIN sym s ON s.label = v.label AND s.v1 = v.node
+             LEFT JOIN d2d w
+               ON w.label = v.label AND w.seed = v.seed
+                 AND w.node = s.v2
+             GROUP BY 1, 2, 3, 4),
+           bc AS (SELECT label, node, SUM(delta) AS bc,
+               CAST(COUNT(*) AS BIGINT) AS n_seed_paths
+             FROM (SELECT label, seed, node, delta FROM d1d
+               UNION ALL SELECT label, seed, node, delta FROM d2d) u
+             GROUP BY 1, 2)
+           SELECT label, CAST(rk AS BIGINT) AS rk, node,
+             ROUND(CAST(bc AS DOUBLE), 6) AS betweenness, n_seed_paths
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY bc DESC, node) AS rk FROM bc) z
+           WHERE rk <= 3 ORDER BY label, rk""") +
       ("events_ucb_allocation" ->
         """WITH first AS (SELECT user_id, event_type AS arm FROM (
                SELECT user_id, event_type, ROW_NUMBER() OVER (

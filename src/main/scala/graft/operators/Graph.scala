@@ -660,6 +660,103 @@ object Graph {
         round(col("harm").cast("double"), 6).as("harmonic"))
       .orderBy(col("label"), col("seed"))
   }
+  /** Sampled-source BRANDES betweenness over the k-NN graph — the
+    * missing member of the centrality family ([[pagerankNations]] /
+    * [[closenessCentrality]] / [[hitsKnn]] measure importance;
+    * betweenness measures BROKERAGE — the nodes shortest paths route
+    * through, i.e. the bottlenecks a navigating search or a failure
+    * analysis cares about): Brandes' two-phase algorithm (forward BFS
+    * accumulating shortest-path counts σ, backward pass accumulating
+    * dependencies δ(v) = Σ_w σ_v/σ_w·(1+δ(w))) run from the three
+    * lowest-id sources per label block, truncated at the 3-hop
+    * horizon — the standard source-sampled estimator (Brandes & Pich
+    * 2007): exact all-sources betweenness is O(V·E), which nothing at
+    * 100 TB runs; sampled sources keep every pass linear in edges.
+    * Reported: each block's top-3 brokers with their accumulated
+    * dependency.
+    *
+    * Determinism: σ are exact BIGINT path counts; each dependency
+    * term quantizes to DECIMAL(28,12) before its per-node sum, so the
+    * backward accumulation is order-independent; rankings tie on
+    * node id.
+    *
+    * Plan: the [[closenessCentrality]] multi-source frontier shape —
+    * three forward equi-join/anti-join/sum levels and two backward
+    * equi-join/sum levels, all keyed on (label, seed, node), over the
+    * checkpointed degree-bounded edge relation. */
+  def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnEdges(spark, dir, 3)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = e.union(e.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "v1", "v2").distinct().localCheckpoint()
+    val nodes = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id").as("node"))
+    val seeds = nodes
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("node"))))
+      .filter(col("srk") <= 3)
+      .select(col("label"), col("node").as("seed"))
+    val l0 = seeds.select(col("label"), col("seed"),
+      col("seed").as("node"), lit(0).as("dist"), lit(1L).as("sig"))
+    def expand(visited: DataFrame, frontier: DataFrame,
+        d: Int): DataFrame =
+      frontier.select(col("label").as("fl"), col("seed").as("fs"),
+          col("node").as("fn"), col("sig").as("fsig"))
+        .join(sym, col("fl") === sym("label") && col("fn") === sym("v1"))
+        .select(col("fl").as("label"), col("fs").as("seed"),
+          col("v2").as("node"), col("fsig").as("sig"))
+        .join(visited.select(col("label"), col("seed"), col("node")),
+          Seq("label", "seed", "node"), "left_anti")
+        .groupBy(col("label"), col("seed"), col("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .withColumn("dist", lit(d))
+        .select(col("label"), col("seed"), col("node"), col("dist"),
+          col("sig"))
+    val l1 = expand(l0, l0, 1)
+    val a1 = l0.unionByName(l1)
+    val l2 = expand(a1, l1, 2)
+    val a2 = a1.unionByName(l2)
+    val l3 = expand(a2, l2, 3)
+    val lev = a2.unionByName(l3).localCheckpoint() // (seed,node) grain
+    def back(next: DataFrame, d: Int): DataFrame = {
+      val vcur = lev.filter(col("dist") === d)
+        .select(col("label"), col("seed"), col("node"), col("sig"))
+      val contrib = vcur
+        .join(sym.toDF("label", "node", "nbr"), Seq("label", "node"))
+        .join(next.select(col("label"), col("seed"),
+          col("node").as("nbr"), col("sig").as("wsig"),
+          col("delta").as("wdelta")), Seq("label", "seed", "nbr"))
+        .withColumn("term",
+          ((col("sig").cast("double") / col("wsig").cast("double")) *
+            (lit(1.0) + col("wdelta").cast("double")))
+            .cast("decimal(28,12)"))
+        .groupBy(col("label"), col("seed"), col("node"))
+        .agg(sum(col("term")).as("dsum"))
+      vcur.join(contrib, Seq("label", "seed", "node"), "left")
+        .select(col("label"), col("seed"), col("node"), col("sig"),
+          coalesce(col("dsum"), lit(0).cast("decimal(28,12)"))
+            .as("delta"))
+    }
+    val d3 = lev.filter(col("dist") === 3)
+      .select(col("label"), col("seed"), col("node"), col("sig"),
+        lit(0).cast("decimal(28,12)").as("delta"))
+    val d2 = back(d3, 2)
+    val d1 = back(d2, 1)
+    d1.unionByName(d2)
+      .groupBy(col("label"), col("node"))
+      .agg(sum(col("delta")).as("bc"),
+        count(lit(1)).as("n_seed_paths"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("bc").desc, col("node"))))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk").cast("long").as("rk"),
+        col("node"), round(col("bc").cast("double"), 6)
+          .as("betweenness"),
+        col("n_seed_paths"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   /** HITS hubs-and-authorities over the DIRECTED k-NN graph — the
     * second eigenvector-flavored centrality beside [[pagerankNations]],
     * on the asymmetric relation the symmetrized operators throw away:
