@@ -586,7 +586,10 @@ object SparkEntry {
       ((s, d) => Relational.itsSegmented(s, d)),
     "dq_profile_drift" -> ((s, d) => Quality.profileDrift(s, d)),
     "graph_betweenness" ->
-      ((s, d) => Graph.betweennessSampled(s, d))
+      ((s, d) => Graph.betweennessSampled(s, d)),
+    "events_event_study" ->
+      ((s, d) => EventAnalytics.eventStudy(s, d)),
+    "orders_eoq" -> ((s, d) => Relational.eoq(s, d))
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per queries entry.
@@ -11721,6 +11724,56 @@ object SparkEntry {
            FROM per, idcg ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
       ("sim_mmr_rerank" -> mmrOracleSql()) +
+      ("events_event_study" ->
+        """WITH sp AS (SELECT epoch(MIN(ts))
+               + (epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS mid
+             FROM events WHERE value IS NOT NULL),
+           wk AS (SELECT CAST(floor((epoch(ts) - mid) / 604800.0)
+                 AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN user_id % 2 <> 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS c
+             FROM events, sp WHERE value IS NOT NULL
+               AND floor((epoch(ts) - mid) / 604800.0) BETWEEN -4 AND 3
+             GROUP BY 1),
+           g AS (SELECT *, t - c AS gap FROM wk),
+           base AS (SELECT gap AS base_gap FROM g WHERE w = -1)
+           SELECT w AS rel_week,
+             ROUND(CAST(t AS DOUBLE) / 100.0, 2) AS rev_treat,
+             ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS rev_control,
+             ROUND(CAST(gap AS DOUBLE) / 100.0, 2) AS gap,
+             ROUND(CAST(gap - base_gap AS DOUBLE) / 100.0, 2)
+               AS coef_vs_wm1,
+             w < 0 AS is_pre
+           FROM g, base ORDER BY rel_week""") +
+      ("orders_eoq" ->
+        """WITH sp AS (SELECT (epoch(MAX(l_shipdate))
+               - epoch(MIN(l_shipdate))) / CAST(86400.0 * 365.0 AS DOUBLE) AS years
+             FROM lineitem),
+           b AS (SELECT p_brand AS brand,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                 AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1),
+           e AS (SELECT brand,
+               CAST(q AS DOUBLE) / 100.0 / years AS d_rate,
+               CAST(rev AS DOUBLE) / CAST(q AS DOUBLE) AS unit_price
+             FROM b, sp),
+           e2 AS (SELECT *,
+               sqrt(CAST(200.0 AS DOUBLE) * d_rate
+                 / (CAST(0.2 AS DOUBLE) * unit_price)) AS eoq
+             FROM e)
+           SELECT brand, ROUND(d_rate, 2) AS annual_demand,
+             ROUND(unit_price, 4) AS unit_price,
+             ROUND(eoq, 2) AS eoq_units,
+             ROUND(d_rate / eoq, 2) AS orders_per_year,
+             ROUND(eoq * unit_price / 2.0, 2) AS cycle_stock_value
+           FROM e2 ORDER BY brand""") +
       ("graph_betweenness" ->
         """WITH directed AS (SELECT a.label, a.vec_id AS v1,
                b.vec_id AS v2,

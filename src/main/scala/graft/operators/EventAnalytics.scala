@@ -3159,6 +3159,54 @@ object EventAnalytics {
           col("phi_sum").cast("double"), 6).as("share"))
       .orderBy(col("channel"))
   }
+  /** DiD EVENT-STUDY coefficients around the calendar midpoint — the
+    * dynamic treatment-effect path a modern difference-in-differences
+    * reads instead of one pooled estimate ([[didPretrends]] checks the
+    * pre-period assumption; the event study shows the WHOLE path):
+    * per relative week w ∈ [−4, 3] around the midpoint, the
+    * treat−control revenue gap normalized to the week −1 gap (the
+    * standard omitted baseline), so pre-period coefficients ≈ 0 is
+    * the parallel-trends read and the post path is the effect.
+    *
+    * Exactness: revenue is exact cents; the relative week is
+    * floor((t − mid)/7d) evaluated as the SAME double floor in both
+    * engines (integer DIV would truncate negatives toward zero);
+    * coefficients are exact cent differences divided once.
+    *
+    * Plan: one corpus pass to (arm, week) grain (8×2 rows), the 1-row
+    * baseline broadcast back. */
+  def eventStudy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+    val span = ev.agg((unix_timestamp(min(col("ts"))) +
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        / 2).as("mid"))
+    val wk = ev.crossJoin(broadcast(span)) // 1-row midpoint
+      .withColumn("w", floor((unix_timestamp(col("ts")) - col("mid")) /
+        lit(604800.0)).cast("long"))
+      .filter(col("w").between(-4, 3))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "treat")
+        .otherwise("control"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("arm") === "treat",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("t"),
+        sum(when(col("arm") === "control",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("c"))
+      .withColumn("gap", col("t") - col("c"))
+    val base = wk.filter(col("w") === -1)
+      .select(col("gap").as("base_gap"))
+    wk.crossJoin(broadcast(base)) // 1-row omitted-baseline gap
+      .select(col("w").as("rel_week"),
+        round(col("t").cast("double") / 100.0, 2).as("rev_treat"),
+        round(col("c").cast("double") / 100.0, 2).as("rev_control"),
+        round(col("gap").cast("double") / 100.0, 2).as("gap"),
+        round((col("gap") - col("base_gap")).cast("double") / 100.0, 2)
+          .as("coef_vs_wm1"),
+        (col("w") < 0).as("is_pre"))
+      .orderBy(col("rel_week"))
+  }
+
   /** UCB1 arm table over first-touch acquisition channels — the
     * bandit-allocation readout an experimentation platform keeps next
     * to its A/B rows ([[abTest]] decides a finished experiment; UCB

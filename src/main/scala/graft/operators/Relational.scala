@@ -2662,6 +2662,53 @@ object Relational {
       .orderBy(col("brand"))
   }
 
+  /** ECONOMIC ORDER QUANTITY per brand — the inventory-policy row
+    * completing the family ([[safetyStock]] sizes the buffer,
+    * [[crostonForecast]] forecasts intermittent demand, the
+    * newsvendor row picks the one-shot quantile; EOQ sizes the
+    * RECURRING order): Q* = √(2·D·K / h) with D the brand's demand
+    * rate (units/year from the exact span), K a parameterized fixed
+    * ordering cost, and h the holding cost as a fraction of the
+    * brand's average unit price. Reported with the implied orders per
+    * year and cycle-stock value — the what-if table a planner reads
+    * at different K.
+    *
+    * Exactness: demand and price are exact cents/centi-units; the
+    * square root is one double expression per of-|brands| rows.
+    *
+    * Plan: one lineitem pass with the part dimension broadcast, a
+    * brand-grain agg, 1-row span broadcast. */
+  def eoq(spark: SparkSession, dir: String, orderCost: Double = 100.0,
+      holdingRate: Double = 0.2): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val span = li.agg(((unix_timestamp(max(col("l_shipdate"))) -
+      unix_timestamp(min(col("l_shipdate")))).cast("double") /
+      lit(86400.0 * 365.0)).as("years"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .crossJoin(broadcast(span)) // 1-row horizon
+      .withColumn("d_rate",
+        col("q").cast("double") / 100.0 / col("years"))
+      .withColumn("unit_price",
+        col("rev").cast("double") / col("q").cast("double"))
+      .withColumn("eoq", sqrt(lit(2.0 * orderCost) * col("d_rate") /
+        (lit(holdingRate) * col("unit_price"))))
+      .select(col("brand"),
+        round(col("d_rate"), 2).as("annual_demand"),
+        round(col("unit_price"), 4).as("unit_price"),
+        round(col("eoq"), 2).as("eoq_units"),
+        round(col("d_rate") / col("eoq"), 2).as("orders_per_year"),
+        round(col("eoq") * col("unit_price") / 2.0, 2)
+          .as("cycle_stock_value"))
+      .orderBy(col("brand"))
+  }
+
   /** INTERRUPTED-TIME-SERIES segmented regression of daily revenue at
     * the calendar midpoint — the causal-inference reading frame beside
     * [[EventAnalytics.upliftDid]] when there is no control group: fit

@@ -86,4 +86,34 @@ class Round13Wave4Spec extends SparkSpec {
         s"label $lbl top brokers")
     }
   }
+
+  test("events_event_study: week -1 coefficient is exactly 0 (the " +
+    "omitted baseline) and gap algebra is internally consistent") {
+    val rows = graft.operators.EventAnalytics
+      .eventStudy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val wm1 = rows.find(_.getLong(0) == -1L).get
+    assert(wm1.getDouble(4) === 0.0, "baseline week normalizes to 0")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        (r.getDouble(1) - r.getDouble(2))) < 0.02, "gap = treat - ctrl")
+      assert(r.getBoolean(5) === (r.getLong(0) < 0))
+    }
+  }
+
+  test("orders_eoq: EOQ grows with sqrt of demand and the cycle value " +
+    "is half EOQ x price") {
+    val rows = graft.operators.Relational.eoq(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // inputs are rounded outputs (2/4 decimals), so compare
+      // relatively — replays from rounded terms drift up to ~q*5e-5
+      val (d, p, q) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      def close(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 0.001 * math.abs(b) + 0.05
+      assert(close(q, math.sqrt(200.0 * d / (0.2 * p))), "eoq")
+      assert(close(r.getDouble(5), q * p / 2.0), "cycle value")
+      assert(close(r.getDouble(4), d / q), "orders per year")
+    }
+  }
 }
