@@ -10740,37 +10740,49 @@ object SparkEntry {
                CAST(SUM(rev) AS BIGINT) AS rev
              FROM users u LEFT JOIN touch t ON u.user_id = t.user_id
              GROUP BY 1),
-           masks AS (SELECT CAST(range AS INT) AS mask FROM range(16)),
-           enum0 AS (SELECT mask,
-               concat_ws(',',
-                 CASE WHEN mask & 1 = 1 THEN 'click' END,
-                 CASE WHEN mask & 2 = 2 THEN 'error' END,
-                 CASE WHEN mask & 4 = 4 THEN 'signup' END,
-                 CASE WHEN mask & 8 = 8 THEN 'view' END) AS c_key,
-               (mask & 1) + ((mask >> 1) & 1) + ((mask >> 2) & 1)
-                 + ((mask >> 3) & 1) AS sz
-             FROM masks),
+           chs AS (SELECT channel,
+               CAST(ROW_NUMBER() OVER (ORDER BY channel) - 1 AS INT)
+                 AS i
+             FROM (SELECT DISTINCT event_type AS channel FROM events
+                   WHERE event_type <> 'purchase') d),
+           nch AS (SELECT CAST(COUNT(*) AS INT) AS n FROM chs),
+           fct AS (SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2),
+               (3, 6), (4, 24)) AS t(s, f)),
+           masks AS (SELECT CAST(range AS INT) AS mask
+             FROM range(16) CROSS JOIN nch WHERE range < (1 << n)),
+           enum0 AS (SELECT m.mask,
+               COALESCE(string_agg(c.channel, ','
+                   ORDER BY c.channel), '') AS c_key,
+               CAST(COUNT(c.channel) AS INT) AS sz
+             FROM masks m
+             LEFT JOIN chs c ON ((m.mask >> c.i) & 1) = 1
+             GROUP BY m.mask),
            v AS (SELECT mask, sz,
                COALESCE(CAST(CAST(rev AS DOUBLE) / n_users
                    AS DECIMAL(28,12)),
                  CAST(0 AS DECIMAL(28,12))) AS v
              FROM enum0 LEFT JOIN coal USING (c_key)),
-           ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
-               ('signup', 4), ('view', 8)) AS t(channel, bit)),
-           terms AS (SELECT ch.channel,
-               CAST((CASE WHEN v0.sz IN (0, 3) THEN 6 ELSE 2 END)
-                 * (v1.v - v0.v) AS DECIMAL(28,12)) AS term
-             FROM ch JOIN v v0 ON (v0.mask & ch.bit) = 0
-             JOIN v v1 ON v1.mask = v0.mask + ch.bit),
-           phi AS (SELECT channel, SUM(term) AS phi24 FROM terms
+           terms AS (SELECT c.channel,
+               CAST((f0.f * f1.f) * (v1.v - v0.v) AS DECIMAL(28,12))
+                 AS term
+             FROM chs c
+             CROSS JOIN nch
+             JOIN v v0 ON ((v0.mask >> c.i) & 1) = 0
+             JOIN v v1 ON v1.mask = v0.mask + (1 << c.i)
+             JOIN fct f0 ON f0.s = v0.sz
+             JOIN fct f1 ON f1.s = nch.n - 1 - v0.sz),
+           phi AS (SELECT channel, SUM(term) AS phin FROM terms
              GROUP BY 1),
-           tot AS (SELECT SUM(phi24) AS phi_sum FROM phi)
+           tot AS (SELECT SUM(phin) AS phi_sum FROM phi),
+           nf AS (SELECT CAST(f AS DOUBLE) AS nfact FROM fct
+             JOIN nch ON fct.s = nch.n)
            SELECT channel,
-             ROUND(CAST(phi24 AS DOUBLE) / 24.0 / 100.0, 4)
+             ROUND(CAST(phin AS DOUBLE) / nfact / 100.0, 4)
                AS phi_revenue,
-             ROUND(CAST(phi24 AS DOUBLE) / CAST(phi_sum AS DOUBLE), 6)
+             ROUND(CAST(phin AS DOUBLE) / CAST(phi_sum AS DOUBLE), 6)
                AS share
-           FROM phi, tot ORDER BY channel""") +
+           FROM phi CROSS JOIN tot CROSS JOIN nf
+           ORDER BY channel""") +
       ("events_granger" ->
         """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
                CAST(SUM(CASE WHEN user_id % 2 = 0
@@ -11748,7 +11760,7 @@ object SparkEntry {
              ROUND(CAST(gap - base_gap AS DOUBLE) / 100.0, 2)
                AS coef_vs_wm1,
              w < 0 AS is_pre
-           FROM g, base ORDER BY rel_week""") +
+           FROM g LEFT JOIN base ON TRUE ORDER BY rel_week""") +
       ("orders_eoq" ->
         """WITH sp AS (SELECT (epoch(MAX(l_shipdate))
                - epoch(MIN(l_shipdate))) / CAST(86400.0 * 365.0 AS DOUBLE) AS years
@@ -11948,9 +11960,10 @@ object SparkEntry {
              FROM (SELECT h, CAST(ROUND(o_totalprice * 100) AS BIGINT)
                  AS y FROM hv) z GROUP BY 1),
            nm AS (SELECT h, n, CAST(sy AS DOUBLE) / n AS mean,
-               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                 * CAST(sy AS DOUBLE) / n) / CAST(n - 1 AS DOUBLE)
-                 AS v
+               CASE WHEN n > 1 THEN
+                 (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n) / CAST(n - 1 AS DOUBLE)
+               END AS v
              FROM num),
            nrow AS (SELECT
                MAX(CASE WHEN h = 1 THEN n END) AS n1,
@@ -11965,10 +11978,12 @@ object SparkEntry {
                n2 AS n_second,
                ROUND(m1 / 100.0, 4) AS stat_first,
                ROUND(m2 / 100.0, 4) AS stat_second,
-               ROUND(abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6)
-                 AS drift_stat,
-               abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2) > 3.0
-                 AS drifted
+               CASE WHEN v1 / n1 + v2 / n2 > 0.0 THEN
+                 ROUND(abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6)
+               END AS drift_stat,
+               CASE WHEN v1 / n1 + v2 / n2 > 0.0 THEN
+                 abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2) > 3.0
+               END AS drifted
              FROM nrow),
            cp AS (SELECT h, o_orderpriority AS v,
                CAST(COUNT(*) AS BIGINT) AS cnt FROM hv GROUP BY 1, 2),

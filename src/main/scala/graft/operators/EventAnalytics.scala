@@ -3196,7 +3196,10 @@ object EventAnalytics {
       .withColumn("gap", col("t") - col("c"))
     val base = wk.filter(col("w") === -1)
       .select(col("gap").as("base_gap"))
-    wk.crossJoin(broadcast(base)) // 1-row omitted-baseline gap
+    // LEFT join the ≤1-row baseline: if no events land in relative
+    // week −1 the weekly path still emits, with NULL coef_vs_wm1 —
+    // a monitoring readout must degrade, never silently empty
+    wk.join(broadcast(base), lit(true), "left")
       .select(col("w").as("rel_week"),
         round(col("t").cast("double") / 100.0, 2).as("rev_treat"),
         round(col("c").cast("double") / 100.0, 2).as("rev_control"),

@@ -735,7 +735,10 @@ object Quality {
     * compares its half distributions through TOTAL VARIATION distance
     * ½·Σ|p₁−p₂| with per-term DECIMAL(28,12) quantization. One row
     * per column, uniform schema, with the drift verdict a scheduler
-    * can alert on.
+    * can alert on. Degenerate halves (singleton → undefined variance,
+    * constant halves → zero z denominator) emit NULL drift_stat /
+    * drifted rather than NaN/Infinity — a monitor row must stay
+    * joinable and alertable, never poison a downstream comparison.
     *
     * Plan: one orders pass per profile kind (numeric moments at 2-row
     * grain; categorical censuses at |values|-grain), a ≤3-row union —
@@ -758,9 +761,12 @@ object Quality {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum(d38(col("y")) * col("y")).as("syy"))
       .withColumn("mean", col("sy").cast("double") / col("n"))
-      .withColumn("v", (col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double") /
-          col("n")) / (col("n") - 1).cast("double"))
+      // singleton half → (n−1) = 0 → NULL, not NaN (guarded like
+      // granger / targetEncoding / mahalanobis)
+      .withColumn("v", when(col("n") > 1,
+        (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") /
+            col("n")) / (col("n") - 1).cast("double")))
     val numRow = num.agg(
         max(when(col("h") === 1, col("n"))).as("n1"),
         max(when(col("h") === 2, col("n"))).as("n2"),
@@ -768,8 +774,10 @@ object Quality {
         max(when(col("h") === 2, col("mean"))).as("m2"),
         max(when(col("h") === 1, col("v"))).as("v1"),
         max(when(col("h") === 2, col("v"))).as("v2"))
-      .withColumn("z", abs(col("m2") - col("m1")) /
-        sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+      // constant halves → zero standard error → NULL z, not Infinity
+      .withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
+      .withColumn("z", when(col("se2") > 0.0,
+        abs(col("m2") - col("m1")) / sqrt(col("se2"))))
       .select(lit("o_totalprice").as("column_name"),
         lit("numeric_mean_z").as("kind"),
         col("n1").as("n_first"), col("n2").as("n_second"),
