@@ -35,13 +35,40 @@ import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
   */
 object WindowAudit {
 
-  /** Entity-identifier shaped column names: grouping by one scales
-    * with the data (users, documents, vectors, orders, customers…) and
-    * therefore does NOT bound a relation. `k`/`grp` cover the islands
-    * idiom's key aliases. */
-  private def isIdName(n: String): Boolean = {
+  /** Known-bounded VALUE-DOMAIN grains — the ALLOWLIST an Aggregate's
+    * grouping must sit inside to bound a relation on its own (round-13
+    * advisor flip: the old id-name DENYLIST accepted vocabulary grains
+    * like `token`/`word`/`piece`, which grow with the corpus under
+    * Heaps' law — the wrong direction for a safety lint). Three
+    * families, each bounded by its DOMAIN rather than the data volume:
+    * calendar / time-bucket units; fixed buckets, bands and quantized
+    * measure histograms (the house histogram-CDF discipline — cents,
+    * day-gaps, probe indices: bounded by the measure's range);
+    * enumerated types / labels / geographies. `_groupingexpression` is
+    * the optimizer's alias for an inlined grouping expression — in
+    * this codebase always a calendar truncation (`to_date`,
+    * week-floor), accepted with that documented caveat. Entity ids,
+    * tokens, shingles, pieces, phrases, and every UNKNOWN name bound
+    * nothing — the analysis falls through to the aggregate's child
+    * (rank-limit, Limit, or a deeper bounded grain). */
+  private val boundedGrainNames = Set(
+    // calendar / time buckets
+    "d", "day", "dt", "date", "week", "wk", "month", "year", "hour",
+    "dow", "t", "lag", "h", "rel_week", "session_window",
+    // fixed buckets / bands / quantized-measure histogram cells
+    "bucket", "graft_rk_bucket", "bin", "band", "level", "margin",
+    "j", "c", "x", "v", "recency", "frequency", "decile", "quintile",
+    // enumerated types / labels / geographies / bounded path alphabets
+    "event_type", "label", "lang", "kind", "status", "arm", "modality",
+    "source", "brand", "category", "n_name", "cust_nation",
+    "supp_nation", "path",
+    // optimizer-inlined grouping expression (calendar truncations)
+    "_groupingexpression")
+
+  private def isBoundedGrainName(n: String): Boolean = {
     val s = n.toLowerCase
-    s == "k" || s == "grp" || s.endsWith("_id") || s.endsWith("key")
+    boundedGrainNames(s) || s.endsWith("_band") || s.endsWith("_d") ||
+      s.endsWith("_type") || s.endsWith("_bucket") || s.endsWith("_bin")
   }
 
   /** Conservative static cardinality bound for `p` (see object doc). */
@@ -51,7 +78,8 @@ object WindowAudit {
     case _: LocalLimit => true
     case a: Aggregate =>
       a.groupingExpressions.forall(
-        _.references.forall(r => !isIdName(r.name))) || bounded(a.child)
+        _.references.forall(r => isBoundedGrainName(r.name))) ||
+        bounded(a.child)
     case r: Range => r.numElements <= BigInt(65536)
     case j: Join => j.joinType match {
       case LeftSemi | LeftAnti => bounded(j.left)
