@@ -568,6 +568,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
     "text_retrieval_ndcg" ->
       ((s, d) => TextAnalysis.retrievalNdcg(s, d)),
+    "text_retrieval_ndcg_multi" ->
+      ((s, d) => TextAnalysis.retrievalNdcgMulti(s, d)),
     "text_unigram_tokenizer" ->
       ((s, d) => TextAnalysis.unigramTokenizer(s, d)),
     "sim_centroid_margin" ->
@@ -11734,6 +11736,153 @@ object SparkEntry {
              ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
                AS ndcg10
            FROM per, idcg ORDER BY arm""") +
+      ("text_retrieval_ndcg_multi" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+             FROM tf GROUP BY 1),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+           qp AS (SELECT vec_id AS q_id FROM embeddings
+             ORDER BY vec_id LIMIT 5),
+           qe AS (SELECT q_id, embedding AS q_emb FROM qp
+             JOIN embeddings e ON e.vec_id = qp.q_id),
+           qt AS (SELECT q_id, token, df FROM (
+               SELECT qp.q_id, tf.token, df.df, ROW_NUMBER()
+                 OVER (PARTITION BY qp.q_id
+                   ORDER BY df.df ASC, tf.token) AS rk
+               FROM qp JOIN tf ON tf.doc_id = qp.q_id
+               JOIN df ON df.token = tf.token) z WHERE rk <= 8),
+           sc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(ln(1.0 + (CAST(n AS DOUBLE) - qt.df + 0.5)
+                   / (CAST(qt.df AS DOUBLE) + 0.5))
+                 * tf * 2.2
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                   + 0.75 * CAST(len AS DOUBLE) * n
+                     / CAST(total_len AS DOUBLE)))
+                 AS DECIMAL(28,12)) AS term_score
+             FROM tf JOIN qt USING (token) JOIN lens USING (doc_id),
+               nd),
+           lex AS (SELECT q_id, doc_id, SUM(term_score) AS bm25
+             FROM sc GROUP BY 1, 2),
+           lexev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY bm25 DESC, doc_id) AS r
+               FROM lex WHERE doc_id <> q_id) zl WHERE r <= 100),
+           sims AS (SELECT qe.q_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+             FROM embeddings e, qe WHERE e.vec_id <> qe.q_id),
+           dims AS (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS d FROM embeddings),
+           plane AS (SELECT j, d,
+               CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS s
+             FROM range(32) a(j), range(1, 65) b(d)),
+           proj AS (SELECT vec_id, j,
+               SUM(CASE WHEN s = 1
+                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+                 AS p
+             FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+           bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+                 ORDER BY j) AS bucket
+             FROM proj GROUP BY vec_id, j // 8),
+           abands AS (SELECT q_id, band, bucket FROM bands
+             JOIN qp ON vec_id = q_id),
+           cand AS (SELECT DISTINCT a.q_id, b.vec_id AS doc_id
+             FROM bands b JOIN abands a USING (band, bucket)),
+           semev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
+             FROM (SELECT s.q_id, s.doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY s.q_id
+                   ORDER BY sim DESC, s.doc_id) AS r
+               FROM cand c JOIN sims s
+                 ON c.q_id = s.q_id AND c.doc_id = s.doc_id) z
+             WHERE r <= 100),
+           fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + l.r), 0.0)
+                 + COALESCE(1.0 / (60.0 + s.r), 0.0) AS rrf
+             FROM lexev l FULL OUTER JOIN semev s
+               ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+           hybev AS (SELECT q_id, doc_id, CAST(r0 AS BIGINT) AS pos
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, doc_id) AS r0 FROM fused) z
+             WHERE r0 <= 10),
+           lists AS (
+             SELECT 'a_lexical' AS arm, q_id, doc_id, r AS pos
+               FROM lexev WHERE r <= 10
+             UNION ALL SELECT 'b_semantic_lsh', q_id, doc_id, r
+               FROM semev WHERE r <= 10
+             UNION ALL SELECT 'c_hybrid_rrf', q_id, doc_id, pos
+               FROM hybev),
+           cdocs AS (SELECT s.q_id AS cq, s.doc_id AS cd, s.sim AS cs
+             FROM (SELECT DISTINCT q_id, doc_id FROM lists) ld
+             JOIN sims s USING (q_id, doc_id)),
+           gains0 AS (SELECT cq, cd,
+               CAST(SUM(CASE WHEN sim > cs THEN 1 ELSE 0 END)
+                 AS BIGINT) + 1 AS lo,
+               CAST(COUNT(*) AS BIGINT) AS hi
+             FROM sims JOIN cdocs ON sims.q_id = cq AND sim >= cs
+             GROUP BY 1, 2),
+           gains AS (SELECT cq AS q_id, cd AS doc_id,
+               CASE WHEN lo > 10 THEN 0.0
+                 ELSE CAST((LEAST(hi, 10) - lo + 1)
+                     * (22 - lo - LEAST(hi, 10)) AS DOUBLE)
+                   / CAST(2 * (hi - lo + 1) AS DOUBLE) END AS gain
+             FROM gains0),
+           truth AS (SELECT q_id, doc_id, CAST(1 AS BIGINT) AS rel
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, doc_id) AS rn FROM sims) z
+             WHERE rn <= 10),
+           idcg AS (SELECT SUM(CAST(CAST(11 - r AS DOUBLE)
+               / log2(CAST(r + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+               AS idcg
+             FROM range(1, 11) t(r)),
+           per AS (SELECT arm, q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(COALESCE(rel, 0)) AS BIGINT) AS n_relevant,
+               MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel,
+               SUM(CAST(COALESCE(gain, 0.0)
+                 / log2(CAST(pos + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+                 AS dcg
+             FROM lists LEFT JOIN gains USING (q_id, doc_id)
+             LEFT JOIN truth USING (q_id, doc_id) GROUP BY 1, 2),
+           perq AS (SELECT arm, q_id, n_listed, n_relevant,
+               CAST(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                 AS DECIMAL(28,12)) AS mrr,
+               CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                 AS DECIMAL(28,12)) AS ndcg
+             FROM per, idcg),
+           spine AS (SELECT arm, q_id FROM (VALUES ('a_lexical'),
+               ('b_semantic_lsh'), ('c_hybrid_rrf')) a(arm)
+             CROSS JOIN qp),
+           fin AS (SELECT s.arm,
+               COALESCE(n_listed, 0) AS n_listed,
+               COALESCE(n_relevant, 0) AS n_relevant,
+               COALESCE(mrr, CAST(0 AS DECIMAL(28,12))) AS mrr,
+               COALESCE(ndcg, CAST(0 AS DECIMAL(28,12))) AS ndcg
+             FROM spine s LEFT JOIN perq p
+               ON s.arm = p.arm AND s.q_id = p.q_id)
+           SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(n_listed) AS BIGINT) AS n_listed_total,
+             CAST(SUM(n_relevant) AS BIGINT) AS n_relevant_total,
+             ROUND(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6)
+               AS ndcg10_mean,
+             ROUND(CAST(MIN(ndcg) AS DOUBLE), 6) AS ndcg10_min,
+             ROUND(CAST(MAX(ndcg) AS DOUBLE), 6) AS ndcg10_max,
+             ROUND(CAST(SUM(mrr) AS DOUBLE) / COUNT(*), 6)
+               AS mrr_mean
+           FROM fin GROUP BY arm ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
       ("sim_mmr_rerank" -> mmrOracleSql()) +
       ("events_event_study" ->

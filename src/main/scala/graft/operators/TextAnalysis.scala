@@ -3023,7 +3023,24 @@ object TextAnalysis {
     * [[bm25TopK]]: one posting shuffle, broadcast query + corpus
     * stats. */
   private def bm25Scored(spark: SparkSession, dir: String,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double): DataFrame =
+    bm25ScoredBy(spark, dir, k1, b) { (_, df) =>
+      df.withColumn("rk", row_number().over(
+          Window.orderBy(col("df").desc, col("token"))))
+        .filter(col("rk").between(20, 22))
+        .select(lit(0L).as("q_id"), col("token"), col("df"))
+    }.drop("q_id")
+
+  /** The MULTI-QUERY generalization of the BM25 kernel the single-
+    * query scorer above is now a specialization of: `mkQuery` maps the
+    * (doc, token) tf relation and the token df relation to a SMALL
+    * (q_id, token, df) query-term relation (broadcast into the posting
+    * join), and scoring/grouping runs per (q_id, doc_id). The scoring
+    * expression is the single home for the BM25+ formula — a constant
+    * change here moves every lexical arm at once. */
+  private def bm25ScoredBy(spark: SparkSession, dir: String,
+      k1: Double, b: Double)(
+      mkQuery: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val tf = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -3033,11 +3050,7 @@ object TextAnalysis {
     val nDocs = lens.agg(count(lit(1)).as("n"),
       sum(col("len")).as("total_len"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val query = df
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("df").desc, col("token"))))
-      .filter(col("rk").between(20, 22))
-      .select(col("token"), col("df"))
+    val query = mkQuery(tf, df) // (q_id, token, df) — small by contract
     tf.join(broadcast(query), Seq("token"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(nDocs)) // 1-row corpus stats
@@ -3051,7 +3064,7 @@ object TextAnalysis {
         (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
           (col("tf").cast("double") + col("norm")))
           .cast("decimal(28,12)"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("term_score")).as("score"))
   }
@@ -3348,6 +3361,171 @@ object TextAnalysis {
         round(col("dcg").cast("double"), 6).as("dcg10"),
         round(col("dcg").cast("double") /
           col("idcg").cast("double"), 6).as("ndcg10"))
+      .orderBy(col("arm"))
+  }
+
+  /** MULTI-QUERY retrieval evaluation — [[retrievalNdcg]] generalized
+    * from one data-driven anchor to a 5-query panel (the round-13
+    * verdict's measurement gap: a single-query nDCG has no variance,
+    * so it cannot RANK the arms reliably; the panel readout is
+    * mean ± spread per arm). Queries are the 5 lowest embedding ids
+    * (the [[graft.operators.Similarity.matryoshkaRecall]]
+    * broadcast-queries convention); per query the three arms are
+    * (a) a LEXICAL more-like-this — BM25+ over the query document's 8
+    * RAREST tokens (global df asc, the discriminative end of its
+    * vocabulary), through the shared [[bm25ScoredBy]] kernel —
+    * (b) the approximate SEMANTIC arm (hyperplane-LSH candidates of
+    * the query embedding, exact-cosine re-ranked), and (c) their RRF
+    * fusion over rank-100-truncated lists. Truth per query is the
+    * exact-cosine top-k; gains are the tie-aware rank-interval means
+    * of [[retrievalNdcg]]; the query document itself is excluded from
+    * every arm.
+    *
+    * Readout: one row per arm — n_queries, total listed/relevant, and
+    * the MEAN / MIN / MAX nDCG@10 plus mean MRR over the panel, each
+    * per-query value quantized to DECIMAL(28,12) before the
+    * order-insensitive sum. Arm×query holes (an empty list for one
+    * query) score 0 through an explicit spine, never a dropped row.
+    *
+    * Plan: ONE posting shuffle (the shared kernel), one corpus×5
+    * broadcast cosine pass reused by truth, the semantic re-rank and
+    * the gain intervals; EVERY rank window is partitioned by q_id and
+    * carries an immediate rank-limit (map-side WindowGroupLimit, the
+    * house discipline — nothing here funnels into one task); the gain
+    * interval join broadcasts the ≤ 5·3k listed docs against the
+    * cosine pass — one pass, never all-pairs. */
+  def retrievalNdcgMulti(spark: SparkSession, dir: String, k: Int = 10,
+      listN: Int = 100, nQ: Int = 5, mTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.ExprColumns
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val qids = emb.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(nQ).select(col("doc_id").as("q_id"))
+    val qemb = qids.join(
+      emb.select(col("doc_id").as("q_id"),
+        col("embedding").as("q_emb")), Seq("q_id"))
+    val lexScores = bm25ScoredBy(spark, dir, k1, b) { (tf, df) =>
+      tf.join(broadcast(qids.select(col("q_id").as("doc_id"))),
+          Seq("doc_id"))
+        .select(col("doc_id").as("q_id"), col("token"))
+        .join(df, Seq("token"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("df").asc, col("token"))))
+        .filter(col("rk") <= mTerms)
+        .select(col("q_id"), col("token"), col("df"))
+    }
+    val lexEval = lexScores.filter(col("doc_id") =!= col("q_id"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("r") <= listN)
+      .select(col("q_id"), col("doc_id"), col("r").cast("long").as("r"))
+    val sims = emb.crossJoin(broadcast(qemb)) // 5-row query panel
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
+      .select(col("q_id"), col("doc_id"), col("sim"))
+    val vb = emb.select(col("doc_id"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val ab = qemb.select(col("q_id"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "q_emb")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val semEval = vb.join(broadcast(ab), Seq("band", "bucket"))
+      .select(col("q_id"), col("doc_id")).distinct()
+      .join(sims, Seq("q_id", "doc_id")) // also drops the query id
+      .withColumn("r0", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("r0") <= listN)
+      .select(col("q_id"), col("doc_id"), col("r0").cast("long").as("r"))
+    val fused = lexEval.select(col("q_id"), col("doc_id"),
+        col("r").as("rl"))
+      .join(semEval.select(col("q_id"), col("doc_id"),
+        col("r").as("rs")), Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rs")), lit(0.0)))
+      .withColumn("r0", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("r0") <= k)
+      .select(col("q_id"), col("doc_id"),
+        col("r0").cast("long").as("pos"))
+    val lists = lexEval.filter(col("r") <= k)
+        .select(lit("a_lexical").as("arm"), col("q_id"), col("doc_id"),
+          col("r").as("pos"))
+      .unionByName(semEval.filter(col("r") <= k)
+        .select(lit("b_semantic_lsh").as("arm"), col("q_id"),
+          col("doc_id"), col("r").as("pos")))
+      .unionByName(fused.select(lit("c_hybrid_rrf").as("arm"),
+        col("q_id"), col("doc_id"), col("pos")))
+    val cdocs = lists.select(col("q_id"), col("doc_id")).distinct()
+      .join(sims, Seq("q_id", "doc_id"))
+      .select(col("q_id").as("cq"), col("doc_id").as("cd"),
+        col("sim").as("cs"))
+    val gains = sims.join(broadcast(cdocs),
+        col("q_id") === col("cq") && col("sim") >= col("cs"))
+      .groupBy(col("cq"), col("cd"))
+      .agg(sum((col("sim") > col("cs")).cast("long")).as("nh"),
+        count(lit(1)).as("ng"))
+      .select(col("cq").as("q_id"), col("cd").as("doc_id"),
+        (col("nh") + 1).as("lo"), col("ng").as("hi"))
+      .withColumn("bcap", least(col("hi"), lit(k.toLong)))
+      .withColumn("gain",
+        when(col("lo") > k, lit(0.0))
+          .otherwise(((col("bcap") - col("lo") + 1) *
+            (lit(2L * (k + 1)) - col("lo") - col("bcap"))).cast("double") /
+            (lit(2L) * (col("hi") - col("lo") + 1)).cast("double")))
+      .select(col("q_id"), col("doc_id"), col("gain"))
+    val truth = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("rn") <= k) // truth top-k -> group limit
+      .select(col("q_id"), col("doc_id"), lit(1L).as("rel"))
+    val idcg = spark.range(1, k + 1)
+      .agg(sum(((lit(k + 1) - col("id")).cast("double") /
+        log2(col("id") + 1)).cast("decimal(28,12)")).as("idcg"))
+    val per = lists
+      .join(broadcast(gains), Seq("q_id", "doc_id"), "left")
+      .join(broadcast(truth), Seq("q_id", "doc_id"), "left")
+      .withColumn("term", (coalesce(col("gain"), lit(0.0)) /
+        log2(col("pos") + 1)).cast("decimal(28,12)"))
+      .groupBy(col("arm"), col("q_id"))
+      .agg(count(lit(1)).as("n_listed"),
+        sum(coalesce(col("rel"), lit(0L))).as("n_relevant"),
+        min(when(col("rel") === 1, col("pos"))).as("first_rel"),
+        sum(col("term")).as("dcg"))
+      .crossJoin(broadcast(idcg)) // 1-row ideal scalar
+      .select(col("arm"), col("q_id"), col("n_listed"),
+        col("n_relevant"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0))
+          .cast("decimal(28,12)").as("mrr"),
+        (col("dcg").cast("double") / col("idcg").cast("double"))
+          .cast("decimal(28,12)").as("ndcg"))
+    val arms = Seq("a_lexical", "b_semantic_lsh", "c_hybrid_rrf")
+      .map(a => spark.range(1).select(lit(a).as("arm")))
+      .reduce(_.unionByName(_))
+    arms.crossJoin(broadcast(qids)) // 15-row arm×query spine
+      .join(per, Seq("arm", "q_id"), "left")
+      .select(col("arm"),
+        coalesce(col("n_listed"), lit(0L)).as("n_listed"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("mrr"), lit(0).cast("decimal(28,12)")).as("mrr"),
+        coalesce(col("ndcg"), lit(0).cast("decimal(28,12)"))
+          .as("ndcg"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_listed")).as("n_listed_total"),
+        sum(col("n_relevant")).as("n_relevant_total"),
+        round(sum(col("ndcg")).cast("double") / count(lit(1)), 6)
+          .as("ndcg10_mean"),
+        round(min(col("ndcg")).cast("double"), 6).as("ndcg10_min"),
+        round(max(col("ndcg")).cast("double"), 6).as("ndcg10_max"),
+        round(sum(col("mrr")).cast("double") / count(lit(1)), 6)
+          .as("mrr_mean"))
       .orderBy(col("arm"))
   }
 

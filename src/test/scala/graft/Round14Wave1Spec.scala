@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-14 wave-1: full scalar replay of the multi-query retrieval
+  * evaluation — BM25 lexical arm, hyperplane-LSH semantic arm, RRF
+  * fusion, tie-aware interval gains and the arm-level panel fold are
+  * all re-derived in plain Scala (MD5 planes and the f32 cosine
+  * replicated bit-for-bit) and compared to the operator's 3-row
+  * readout. */
+class Round14Wave1Spec extends SparkSpec {
+
+  private val K = 10
+  private val ListN = 100
+  private val NQ = 5
+  private val MTerms = 8
+
+  private def q12(d: Double): BigDecimal =
+    BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Bit replica of graft_cosine_f32: float accumulation, float ops. */
+  private def cosF32(a: Array[Float], b: Array[Float]): Float = {
+    var dot = 0f; var nx = 0f; var ny = 0f; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(nx.toDouble).toFloat *
+      math.sqrt(ny.toDouble).toFloat)
+  }
+
+  /** Bit replica of graft_hyperplane_lsh (32 planes, 4 bands of 8):
+    * sign(j, d) = +1 iff the first md5 nibble of "j:d" is odd. */
+  private def lshBands(v: Array[Float]): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d1: Int): Int = {
+      md.reset()
+      val dg = md.digest(s"$j:$d1".getBytes("UTF-8"))
+      if (((dg(0) >> 4) & 0xf) % 2 == 1) 1 else -1
+    }
+    Array.tabulate(4) { band =>
+      val sb = new StringBuilder
+      for (i <- 0 until 8) {
+        val j = band * 8 + i
+        var p = 0.0
+        for (d <- v.indices) p += sign(j, d + 1) * v(d).toDouble
+        sb.append(if (p > 0) '1' else '0')
+      }
+      sb.toString
+    }
+  }
+
+  test("text_retrieval_ndcg_multi matches a scalar panel replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qids = emb.map(_._1).take(NQ)
+    val embMap = emb.toMap
+
+    // ---- lexical arm: BM25+ over each query doc's 8 rarest tokens
+    val tf: Map[(Long, String), Long] = docs
+      .flatMap { case (id, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(tok => (id, tok)) }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val lens: Map[Long, Long] =
+      tf.groupBy(_._1._1).map { case (d, m) => (d, m.values.sum) }
+    val nDocs = lens.size.toLong
+    val totalLen = lens.values.sum
+    val dfMap: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, ks) => (t, ks.size.toLong) }
+    val k1 = 1.2; val b = 0.75
+    def lexEvalOf(q: Long): Seq[(Long, Long)] = { // (doc, r) r<=ListN
+      val qterms = tf.keys.filter(_._1 == q).map(_._2).toSeq
+        .map(t => (t, dfMap(t))).sortBy { case (t, d) => (d, t) }
+        .take(MTerms)
+      val scores = collection.mutable.Map[Long, BigDecimal]()
+      for ((t, dfv) <- qterms; ((d, tok), tfv) <- tf if tok == t) {
+        val idf = math.log(1.0 +
+          (nDocs.toDouble - dfv + 0.5) / (dfv.toDouble + 0.5))
+        val norm = k1 * ((1.0 - b) +
+          b * lens(d).toDouble * nDocs / totalLen.toDouble)
+        val ts = q12(idf * tfv.toDouble * (k1 + 1.0) /
+          (tfv.toDouble + norm))
+        scores(d) = scores.getOrElse(d, BigDecimal(0)) + ts
+      }
+      scores.toSeq.filter(_._1 != q)
+        .sortBy { case (d, s) => (-s, d) }.take(ListN)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }
+    }
+
+    // ---- semantic arm: LSH candidates re-ranked by exact f32 cosine
+    val bandsOf: Map[Long, Array[String]] =
+      emb.map { case (id, v) => (id, lshBands(v)) }.toMap
+    def simsOf(q: Long): Map[Long, Float] =
+      emb.filter(_._1 != q)
+        .map { case (id, v) => (id, cosF32(v, embMap(q))) }.toMap
+    def semEvalOf(q: Long, sims: Map[Long, Float]): Seq[(Long, Long)] = {
+      val qb = bandsOf(q)
+      val cands = emb.map(_._1).filter(id =>
+        bandsOf(id).zip(qb).exists { case (x, y) => x == y } &&
+          sims.contains(id))
+      cands.map(id => (id, sims(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(ListN)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+        .toSeq
+    }
+
+    val idcg = (1 to K).map(r => q12((K + 1.0 - r) / log2(r + 1.0))).sum
+    // per (arm, q): (n_listed, n_relevant, mrr12, ndcg12)
+    val perQ = collection.mutable.Map[(String, Long),
+      (Long, Long, BigDecimal, BigDecimal)]()
+    for (q <- qids) {
+      val sims = simsOf(q)
+      val lex = lexEvalOf(q)
+      val sem = semEvalOf(q, sims)
+      val rl = lex.toMap; val rs = sem.toMap
+      val fusedKeys = (rl.keySet ++ rs.keySet).toSeq
+      val fused = fusedKeys.map { d =>
+        val r = rl.get(d).map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+          rs.get(d).map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+        (d, r)
+      }.sortBy { case (d, r) => (-r, d) }.take(K)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }
+      val lists = Seq(
+        "a_lexical" -> lex.filter(_._2 <= K),
+        "b_semantic_lsh" -> sem.filter(_._2 <= K),
+        "c_hybrid_rrf" -> fused)
+      val truth = sims.toSeq.sortBy { case (d, s) => (-s.toDouble, d) }
+        .take(K).map(_._1).toSet
+      def gainOf(d: Long): Double = sims.get(d) match {
+        case None => 0.0
+        case Some(cs) =>
+          val lo = sims.values.count(s => s > cs) + 1L
+          val hi = sims.values.count(s => s >= cs).toLong
+          if (lo > K) 0.0
+          else {
+            val bcap = math.min(hi, K.toLong)
+            ((bcap - lo + 1) * (2L * (K + 1) - lo - bcap)).toDouble /
+              (2L * (hi - lo + 1)).toDouble
+          }
+      }
+      for ((arm, lst) <- lists) {
+        val nListed = lst.size.toLong
+        val nRel = lst.count { case (d, _) => truth(d) }.toLong
+        val firstRel = lst.filter { case (d, _) => truth(d) }
+          .map(_._2).sorted.headOption
+        val dcg = lst.map { case (d, pos) =>
+          q12(gainOf(d) / log2(pos + 1.0)) }.sum
+        val mrr = q12(firstRel.map(1.0 / _).getOrElse(0.0))
+        val ndcg = q12((dcg / idcg).toDouble)
+        perQ((arm, q)) = (nListed, nRel, mrr, ndcg)
+      }
+    }
+    val expect = Seq("a_lexical", "b_semantic_lsh", "c_hybrid_rrf")
+      .map { arm =>
+        val rows = qids.map(q => perQ.getOrElse((arm, q),
+          (0L, 0L, BigDecimal(0), BigDecimal(0))))
+        val nQ = qids.length
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        (arm, nQ.toLong, rows.map(_._1).sum, rows.map(_._2).sum,
+          r6((rows.map(_._4).sum / nQ).toDouble),
+          r6(rows.map(_._4).min.toDouble),
+          r6(rows.map(_._4).max.toDouble),
+          r6((rows.map(_._3).sum / nQ).toDouble))
+      }
+
+    val got = TextAnalysis.retrievalNdcgMulti(spark, sf0001)
+      .orderBy(col("arm")).collect()
+    assert(got.length === 3)
+    got.zip(expect).foreach { case (r, e) =>
+      assert(r.getString(0) === e._1)
+      assert(r.getLong(1) === e._2, s"${e._1} n_queries")
+      assert(r.getLong(2) === e._3, s"${e._1} n_listed_total")
+      assert(r.getLong(3) === e._4, s"${e._1} n_relevant_total")
+      assert(math.abs(r.getDouble(4) - e._5) < 1e-9,
+        s"${e._1} ndcg10_mean")
+      assert(math.abs(r.getDouble(5) - e._6) < 1e-9,
+        s"${e._1} ndcg10_min")
+      assert(math.abs(r.getDouble(6) - e._7) < 1e-9,
+        s"${e._1} ndcg10_max")
+      assert(math.abs(r.getDouble(7) - e._8) < 1e-9,
+        s"${e._1} mrr_mean")
+    }
+    // the panel must show spread for at least one arm — the round-13
+    // verdict's reason this row exists (single-query nDCG has no
+    // variance to rank arms with)
+    assert(got.exists(r => r.getDouble(6) > r.getDouble(5)),
+      "expected min < max nDCG across the query panel for some arm")
+  }
+}
