@@ -491,6 +491,7 @@ object SparkEntry {
     "window_interpolate" -> ((s, d) => Temporal.interpolateHourly(s, d)),
     "events_did_pretrends" -> ((s, d) => EventAnalytics.didPretrends(s, d)),
     "sim_greedy_search" -> ((s, d) => Similarity.greedySearch(s, d)),
+    "sim_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
     "orders_demand_classes" -> ((s, d) => Relational.demandClasses(s, d)),
     "dq_pchart" -> ((s, d) => Quality.pChart(s, d)),
     "docs_skyline_pareto" -> ((s, d) => Curation.skylinePareto(s, d)),
@@ -8997,6 +8998,111 @@ object SparkEntry {
            ROUND(intercept / 100.0, 4) AS intercept,
            ROUND(slope_gap / 100.0, 6) AS slope_gap
          FROM f3, gap ORDER BY arm""",
+    "sim_hnsw_search" -> {
+      // layered descent: per-layer edge CTEs plus six unrolled hops
+      // (two per layer, 2 -> 1 -> 0) share one generated shape
+      def layerSql(l: Int): String =
+        s"""n$l AS (SELECT label, vec_id, embedding FROM lv
+             WHERE level >= $l),
+           d$l AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+             FROM n$l a JOIN n$l b
+               ON a.label = b.label AND a.vec_id <> b.vec_id),
+           k$l AS (SELECT label, v1, v2 FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+                 ORDER BY sim DESC, v2) AS rk FROM d$l) z
+             WHERE rk <= 3),
+           e$l AS MATERIALIZED (SELECT DISTINCT label, v1, v2 FROM (
+               SELECT label, v1, v2 FROM k$l
+               UNION ALL SELECT label, v2, v1 FROM k$l) u),
+           """
+      def stepSql(t: Int, l: Int): String =
+        s"""nb$t AS MATERIALIZED (SELECT s.label, s.qid,
+               y.v2 AS cand,
+               list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+             FROM s${t - 1} s
+             JOIN e$l y ON y.label = s.label AND y.v1 = s.cur
+             JOIN embeddings e ON e.vec_id = y.v2
+             JOIN qe ON qe.label = s.label
+             WHERE y.v2 <> s.qid),
+           s$t AS MATERIALIZED (SELECT label, qid, cand AS cur, sim
+             FROM (SELECT c.label, c.qid, c.cand, c.sim,
+                 ROW_NUMBER() OVER (PARTITION BY c.label
+                   ORDER BY c.sim DESC, c.cand) AS rk
+               FROM (SELECT label, qid, cand, sim FROM nb$t
+                     UNION ALL SELECT label, qid, cur, sim
+                       FROM s${t - 1}) c) z WHERE rk = 1),
+           x$t AS (SELECT label, cand, $t AS fstep FROM nb$t),
+           """
+      val layers = Seq(2, 2, 1, 1, 0, 0)
+      val stepsSql = layers.zipWithIndex
+        .map { case (l, i) => stepSql(i + 1, l) }.mkString
+      val xUnion = (0 to 6).map(t => s"SELECT * FROM x$t")
+        .mkString(" UNION ALL ")
+      val traceSel = (0 +: layers.indices.map(_ + 1)).zip(2 +: layers)
+        .map { case (t, l) =>
+          s"SELECT label, $t AS step, $l AS layer, cur AS node, sim FROM s$t" }
+        .mkString("\n           UNION ALL ")
+      s"""WITH lv AS (SELECT vec_id, label, embedding,
+             CASE WHEN b = 0 THEN 8
+               WHEN b % 2 = 1 THEN 0 WHEN b % 4 = 2 THEN 1
+               WHEN b % 8 = 4 THEN 2 WHEN b % 16 = 8 THEN 3
+               WHEN b % 32 = 16 THEN 4 WHEN b % 64 = 32 THEN 5
+               WHEN b % 128 = 64 THEN 6 ELSE 7 END AS level
+           FROM (SELECT vec_id, label, embedding,
+               (strpos('0123456789abcdef',
+                  substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 1))
+                  - 1) * 16
+               + (strpos('0123456789abcdef',
+                  substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 2, 1))
+                  - 1) AS b
+               FROM embeddings) zb),
+         ${Seq(2, 1, 0).map(layerSql).mkString}q AS (
+           SELECT label, MIN(vec_id) AS qid FROM embeddings GROUP BY 1),
+         qe AS (SELECT q.label, q.qid, e.embedding AS q_emb
+           FROM q JOIN embeddings e ON e.vec_id = q.qid),
+         entry AS (SELECT label, vec_id AS cur FROM (
+             SELECT lv.label, lv.vec_id, ROW_NUMBER()
+               OVER (PARTITION BY lv.label
+                 ORDER BY lv.level DESC, lv.vec_id) AS rk
+             FROM lv JOIN q ON q.label = lv.label
+             WHERE lv.vec_id <> q.qid) z WHERE rk = 1),
+         s0 AS (SELECT qe.label, qe.qid, entry.cur,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+           FROM qe JOIN entry ON entry.label = qe.label
+           JOIN embeddings e ON e.vec_id = entry.cur),
+         x0 AS (SELECT label, cur AS cand, 0 AS fstep FROM s0),
+         ${stepsSql}fs AS (SELECT label, cand, MIN(fstep) AS fs
+           FROM ($xUnion) xs GROUP BY 1, 2),
+         brute AS (SELECT label, cid AS cand FROM (
+             SELECT qe.label, c.vec_id AS cid, ROW_NUMBER()
+               OVER (PARTITION BY qe.label ORDER BY
+                 list_cosine_similarity(c.embedding, qe.q_emb) DESC,
+                 c.vec_id) AS rk
+             FROM qe JOIN embeddings c ON c.label = qe.label
+             WHERE c.vec_id <> qe.qid) z WHERE rk <= 10),
+         spine AS (SELECT label, step FROM q
+           CROSS JOIN range(7) t(step)),
+         census AS (SELECT sp.label, CAST(sp.step AS BIGINT) AS step,
+             CAST(SUM(CASE WHEN fs.fs <= sp.step THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_explored,
+             CAST(SUM(CASE WHEN fs.fs <= sp.step
+                 AND b.cand IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+           FROM spine sp LEFT JOIN fs ON fs.label = sp.label
+           LEFT JOIN brute b
+             ON b.label = fs.label AND b.cand = fs.cand
+           GROUP BY 1, 2),
+         trace AS ($traceSel)
+         SELECT t.label, CAST(t.step AS BIGINT) AS step,
+           CAST(t.layer AS BIGINT) AS layer, t.node,
+           ROUND(CAST(t.sim AS DOUBLE), 4) AS sim,
+           c.n_explored,
+           ROUND(CAST(c.n_hits AS DOUBLE) / 10, 4) AS recall_at_10
+         FROM trace t JOIN census c
+           ON c.label = t.label AND c.step = t.step
+         ORDER BY t.label, t.step"""
+    },
     "sim_greedy_search" -> {
       // six unrolled greedy steps share one shape — generated, not
       // hand-copied, so the hop bodies cannot drift apart

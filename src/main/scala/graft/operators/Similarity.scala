@@ -1543,13 +1543,16 @@ object Similarity {
     *
     * One narrow map + a ≤9-row census; the level histogram's window
     * runs over those 9 rows. */
-  def hnswLevels(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val h = md5(concat(lit("hnsw:"), col("vec_id").cast("string")))
+  /** Deterministic HNSW level draw for a vector id — geometric(1/2)
+    * via the TRAILING-ZERO count of the first md5 byte of
+    * "hnsw:<id>" (b = 0 → all 8 bits zero → top level 8). The single
+    * home [[hnswLevels]] (the geometry census) and [[hnswSearch]]
+    * (the layered descent) share, so the search can never run on a
+    * different skip-list than the census reports. */
+  private def hnswLevelOf(id: Column): Column = {
+    val h = md5(concat(lit("hnsw:"), id.cast("string")))
     val b = (conv(substring(h, 1, 2), 16, 10).cast("int"))
-    // trailing zeros of an 8-bit value via integer arithmetic (b = 0
-    // -> all 8 bits zero -> top level 8)
-    val lvl = when(b === 0, 8)
+    when(b === 0, 8)
       .otherwise(
         when(b % 2 === 1, 0).otherwise(
           when(b % 4 === 2, 1).otherwise(
@@ -1558,6 +1561,11 @@ object Similarity {
                 when(b % 32 === 16, 4).otherwise(
                   when(b % 64 === 32, 5).otherwise(
                     when(b % 128 === 64, 6).otherwise(7))))))))
+  }
+
+  def hnswLevels(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val lvl = hnswLevelOf(col("vec_id"))
     val hist = e.select(lvl.cast("long").as("level"))
       .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
     val tot = hist.agg(sum(col("n_nodes")).as("t"))
@@ -2286,6 +2294,143 @@ object Similarity {
         round(col("bsim").cast("double"), 4).as("nn_sim"),
         (col("cur") === col("nn_id")).as("reached"))
       .orderBy(col("label"), col("hop"))
+  }
+
+  /** LAYERED HNSW search — the coarse-to-fine descent that composes
+    * the pieces the family built separately ([[hnswLevels]] the
+    * skip-list geometry, [[knnEdges]]-style layer graphs,
+    * [[greedySearch]] the base-layer walk) into the industry-default
+    * ANN serving path: per label block, layer l's graph is the k-NN
+    * graph over the nodes whose [[hnswLevelOf]] draw is ≥ l (so upper
+    * layers are sparse express lanes), the search enters at the
+    * label's HIGHEST-level node and takes two greedy hops per layer
+    * through layers 2 → 1 → 0, carrying the best node down. The
+    * readout is the recall@10-vs-hops curve: after each step, the
+    * cumulative EXPLORED set (every candidate the walk scored — the
+    * true cost meter of an HNSW query) is intersected with the
+    * brute-force within-label top-10 ([[recallEval]]'s truth
+    * discipline). One row per (label, step 0..6): layer, current
+    * node, its similarity, cumulative candidates scored, cumulative
+    * recall@10.
+    *
+    * The walk is monotone by construction (the current node always
+    * competes), and a node whose level excludes it from a layer's
+    * graph simply has no neighbors there — the cursor stays put, the
+    * honest behavior when a label's skip-list is shallow.
+    *
+    * Plan: three label-blocked k-NN edge kernels (levels ≥2 / ≥1 /
+    * ≥0 — a 1 + 1/4 + 1/16 ≈ 1.3x multiple of the one the flat
+    * greedy row pays, each checkpointed at degree-bounded grain);
+    * each hop is one |labels|-row cursor equi-join against a bounded
+    * edge relation plus a per-label top-1 window; the explored census
+    * and recall fold run on the ≤ |labels|·(1+6·2k)-row candidate
+    * union — nothing corpus-scale after the edge kernels. */
+  def hnswSearch(spark: SparkSession, dir: String, kEdges: Int = 3,
+      k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val nodes = e.withColumn("level",
+      hnswLevelOf(col("vec_id")).cast("long"))
+    def layerEdges(l: Int): DataFrame = {
+      val nl = nodes.filter(col("level") >= l)
+      val a = nl.select(col("label"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      val bb = nl.select(col("label"), col("vec_id").as("v2"),
+        col("embedding").as("e2"))
+      val knn = a.join(bb, Seq("label")).filter(col("v1") =!= col("v2"))
+        .withColumn("sim", ExprColumns.cosineF32(spark, "e1", "e2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("v1"))
+            .orderBy(col("sim").desc, col("v2"))))
+        .filter(col("rk") <= kEdges)
+        .select(col("label"), col("v1"), col("v2"))
+      knn.union(knn.select(col("label"), col("v2"), col("v1"))
+          .toDF("label", "v1", "v2")).distinct()
+        .localCheckpoint() // degree-bounded per-layer edge relation
+    }
+    val layerEdge: Map[Int, DataFrame] =
+      Seq(2, 1, 0).map(l => l -> layerEdges(l)).toMap
+    val q = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+    val qe = q.join(e.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb")), Seq("qid"))
+    val entry = nodes
+      .join(q.select(col("label"), col("qid")), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("level").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("vec_id").as("cur"))
+    def simTo(cur: DataFrame, node: String): DataFrame =
+      cur.join(e.select(col("vec_id").as(node),
+          col("embedding").as("n_emb")), Seq(node))
+        .withColumn("sim", ExprColumns.cosineF32(spark, "n_emb", "q_emb"))
+        .drop("n_emb")
+    val s0 = simTo(qe.join(entry, Seq("label")), "cur")
+      .select(col("label"), col("qid"), col("q_emb"), col("cur"),
+        col("sim").as("cur_sim"))
+      .localCheckpoint()
+    val layersOfStep = Seq(2, 2, 1, 1, 0, 0)
+    var cur = s0
+    var trace = Vector((0, 2, s0))
+    var explored = Vector(s0.select(col("label"),
+      col("cur").as("cand"), lit(0L).as("fstep")))
+    for ((l, i) <- layersOfStep.zipWithIndex) {
+      val stepIdx = i + 1
+      val nbrs = cur
+        .join(layerEdge(l).toDF("label", "cur", "nxt"),
+          Seq("label", "cur"))
+        .filter(col("nxt") =!= col("qid"))
+      val nbrScored = simTo(nbrs, "nxt")
+        .select(col("label"), col("qid"), col("q_emb"),
+          col("nxt").as("cand"), col("sim"))
+        .localCheckpoint() // |labels|*2k rows: reused by best + census
+      val scored = nbrScored.unionByName(
+        cur.select(col("label"), col("qid"), col("q_emb"),
+          col("cur").as("cand"), col("cur_sim").as("sim")))
+      val next = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("sim").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("qid"), col("q_emb"),
+          col("cand").as("cur"), col("sim").as("cur_sim"))
+        .localCheckpoint() // |labels|-row cursor cut per hop
+      explored = explored :+ nbrScored.select(col("label"), col("cand"),
+        lit(stepIdx.toLong).as("fstep"))
+      trace = trace :+ ((stepIdx, l, next))
+      cur = next
+    }
+    val firstSeen = explored.reduce(_ unionByName _)
+      .groupBy(col("label"), col("cand")).agg(min(col("fstep")).as("fs"))
+    val brute = qe.join(e.select(col("label"), col("vec_id").as("cid"),
+        col("embedding").as("c_emb")), Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("bsim", ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("bsim").desc, col("cid"))))
+      .filter(col("rk") <= k) // within-label truth -> group limit
+      .select(col("label"), col("cid").as("cand"), lit(1L).as("hit"))
+    val steps = spark.range(0, 7).select(col("id").as("step"))
+    val spine = q.select(col("label")).crossJoin(broadcast(steps))
+    val fsHit = firstSeen.join(brute, Seq("label", "cand"), "left")
+    val census = spine.join(fsHit, Seq("label"), "left")
+      .groupBy(col("label"), col("step"))
+      .agg(sum(when(col("fs") <= col("step"), 1L).otherwise(0L))
+          .as("n_explored"),
+        sum(when(col("fs") <= col("step"),
+          coalesce(col("hit"), lit(0L))).otherwise(0L)).as("n_hits"))
+    val traceDf = trace.map { case (s, l, st) =>
+      st.select(col("label"), lit(s.toLong).as("step"),
+        lit(l.toLong).as("layer"), col("cur").as("node"),
+        col("cur_sim").as("sim"))
+    }.reduce(_ unionByName _)
+    traceDf.join(census, Seq("label", "step"))
+      .select(col("label"), col("step"), col("layer"), col("node"),
+        round(col("sim").cast("double"), 4).as("sim"),
+        col("n_explored"),
+        round(col("n_hits").cast("double") / k, 4).as("recall_at_10"))
+      .orderBy(col("label"), col("step"))
   }
   /** TWO-NN intrinsic-dimension estimate (Facco et al.) per label
     * block — the data-geometry diagnostic that predicts whether the
