@@ -283,6 +283,7 @@ object SparkEntry {
     "events_paths" -> ((s, d) => EventAnalytics.topPaths(s, d)),
     "events_power_pareto" -> ((s, d) => EventAnalytics.powerPareto(s, d)),
     "dedup_source_matrix" -> ((s, d) => DedupOps.sourceDupMatrix(s, d)),
+    "dedup_bitext_mine" -> ((s, d) => DedupOps.bitextMine(s, d)),
     "text_coverage_curve" -> ((s, d) => TextAnalysis.coverageCurve(s, d)),
     "events_streaks" -> ((s, d) => EventAnalytics.activityStreaks(s, d)),
     "dedup_dup_quality" -> ((s, d) => DedupOps.dupQualityCensus(s, d)),
@@ -1933,6 +1934,77 @@ object SparkEntry {
          JOIN keepers k ON d.fp = k.fp AND d.doc_id <> k.keeper_id
          JOIN docs kd ON kd.doc_id = k.keeper_id
          GROUP BY 1, 2 ORDER BY keeper_source, dup_source""",
+    "dedup_bitext_mine" ->
+      """WITH vn AS (SELECT e.vec_id, d.lang,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+               AS qe
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         vq AS (SELECT vec_id, lang, qe,
+             CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT)
+               AS nsq
+           FROM vn),
+         dims AS (SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS d FROM embeddings),
+         plane AS (SELECT j, d,
+             CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(CAST(j AS VARCHAR) || ':'
+                 || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+               THEN 1 ELSE -1 END AS s
+           FROM range(32) a(j), range(1, 65) b(d)),
+         proj AS (SELECT vec_id, j,
+             SUM(CASE WHEN s = 1
+               THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+               ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+               AS p
+           FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+         bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+             string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY j) AS bucket
+           FROM proj GROUP BY vec_id, j // 8),
+         lb AS (SELECT b.band, b.bucket, b.vec_id, vq.lang
+           FROM bands b JOIN vq ON vq.vec_id = b.vec_id),
+         okb AS (SELECT band, bucket FROM lb GROUP BY 1, 2
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+         posting AS (SELECT lb.* FROM lb JOIN okb
+           USING (band, bucket)),
+         cand AS (SELECT DISTINCT a.lang AS lang_a, b.lang AS lang_b,
+             a.vec_id AS v1, b.vec_id AS v2
+           FROM posting a JOIN posting b USING (band, bucket)
+           WHERE a.lang < b.lang),
+         scored AS (SELECT lang_a, lang_b, v1, v2,
+             CAST(CAST(list_dot_product(x.qe, y.qe) AS BIGINT)
+                 AS DOUBLE)
+               / (sqrt(CAST(x.nsq AS DOUBLE))
+                 * sqrt(CAST(y.nsq AS DOUBLE))) AS cos
+           FROM cand JOIN vq x ON x.vec_id = cand.v1
+           JOIN vq y ON y.vec_id = cand.v2),
+         surveyed AS (SELECT lang_a, lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+           FROM scored GROUP BY 1, 2),
+         mined AS (SELECT lang_a, lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_mined_pairs,
+             ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_cos,
+             ROUND(MAX(cos), 6) AS max_cos
+           FROM scored WHERE cos >= 0.35 GROUP BY 1, 2),
+         topp AS (SELECT lang_a, lang_b, v1 AS top_a, v2 AS top_b
+           FROM (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang_a, lang_b
+               ORDER BY cos DESC, v1, v2) AS rk
+             FROM scored WHERE cos >= 0.35) z WHERE rk = 1),
+         langs AS (SELECT DISTINCT lang FROM documents),
+         spine AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+           FROM langs a, langs b WHERE a.lang < b.lang)
+         SELECT s.lang_a, s.lang_b,
+           COALESCE(n_candidate_pairs, 0) AS n_candidate_pairs,
+           COALESCE(n_mined_pairs, 0) AS n_mined_pairs,
+           mean_cos, max_cos, top_a, top_b
+         FROM spine s
+         LEFT JOIN surveyed USING (lang_a, lang_b)
+         LEFT JOIN mined USING (lang_a, lang_b)
+         LEFT JOIN topp USING (lang_a, lang_b)
+         ORDER BY s.lang_a, s.lang_b""",
     "text_coverage_curve" ->
       """WITH vocab AS (SELECT token, COUNT(*) AS cnt FROM
            (SELECT unnest(string_split(text, ' ')) AS token

@@ -1222,6 +1222,95 @@ object DedupOps {
       .orderBy(col("keeper_source"), col("dup_source"))
   }
 
+  /** CROSS-LINGUAL bitext / near-duplicate mining —
+    * [[sourceDupMatrix]]'s sibling for MULTILINGUAL corpora, where the
+    * double-count a mixture designer must see is a translation (or a
+    * machine-translated copy) rather than a byte-identical text:
+    * candidate pairs are documents in DIFFERENT languages (the shared
+    * vec_id = doc_id key joins each embedding to its document's lang)
+    * that share a hyperplane-LSH band bucket, scored by exact cosine,
+    * and the readout is the full lang×lang matrix — per unordered
+    * language pair: candidate pairs surveyed, pairs mined at or above
+    * the operating cosine, their mean/max cosine and the strongest
+    * pair's ids. The threshold 0.35 is data-derived like
+    * [[graft.operators.Similarity.semDedup]]'s (this corpus's
+    * embeddings are near-orthogonal, max cross-language cosine ≈ 0.51
+    * — the knob, not the kernel, changes per corpus).
+    *
+    * Determinism: coordinates quantize to micro-units (round(x·10⁶)
+    * BIGINT), so dot and norms are exact integers and cosine is the
+    * same IEEE double in both engines — the threshold cannot flip
+    * cross-engine; each mined cosine quantizes to DECIMAL(18,9)
+    * before the mean; the top pair ties (cos, then smallest ids)
+    * through an integer struct max.
+    *
+    * Scale shape: the df-capped pair-kernel discipline — candidates
+    * come from an equi-join on (band, bucket) postings with hot
+    * buckets (> 64 members) DROPPED before the join, so the quadratic
+    * expansion is confined to buckets that discriminate; the census
+    * and the |langs|²-row spine are bounded; no all-pairs anywhere. */
+  def bitextMine(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, bucketCap: Int = 64): DataFrame = {
+    val docsLang = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("qe"))
+      .withColumn("nsq",
+        expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+      .join(docsLang, Seq("vec_id")) // shared vec_id = doc_id key
+    val bands = q.select(col("vec_id"), col("lang"),
+        posexplode(ExprColumns.hyperplaneLsh(spark, "embedding")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val okBuckets = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+      .select(col("band"), col("bucket"))
+    val posting = bands.join(okBuckets, Seq("band", "bucket"))
+    val cand = posting.select(col("band"), col("bucket"),
+        col("vec_id").as("v1"), col("lang").as("lang_a"))
+      .join(posting.select(col("band"), col("bucket"),
+        col("vec_id").as("v2"), col("lang").as("lang_b")),
+        Seq("band", "bucket"))
+      .filter(col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("v1"), col("v2"))
+      .distinct()
+    val scored = cand
+      .join(q.select(col("vec_id").as("v1"), col("qe").as("q1"),
+        col("nsq").as("n1")), Seq("v1"))
+      .join(q.select(col("vec_id").as("v2"), col("qe").as("q2"),
+        col("nsq").as("n2")), Seq("v2"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q1, q2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+    val surveyed = scored.groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+    val mined = scored.filter(col("cos") >= threshold)
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_mined_pairs"),
+        round(sum(col("cos").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"),
+        round(max(col("cos")), 6).as("max_cos"),
+        max(struct(col("cos").as("c"), (-col("v1")).as("nv1"),
+          (-col("v2")).as("nv2"))).as("top"))
+    val langs = docsLang.select(col("lang")).distinct()
+    langs.select(col("lang").as("lang_a"))
+      .crossJoin(langs.select(col("lang").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b")) // |langs|²-bounded spine
+      .join(surveyed, Seq("lang_a", "lang_b"), "left")
+      .join(mined, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        coalesce(col("n_candidate_pairs"), lit(0L))
+          .as("n_candidate_pairs"),
+        coalesce(col("n_mined_pairs"), lit(0L)).as("n_mined_pairs"),
+        col("mean_cos"), col("max_cos"),
+        (-col("top.nv1")).as("top_a"), (-col("top.nv2")).as("top_b"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** Shingle-SIZE tuning sweep — the k every shingle-based dedup fixes
     * first, measured instead of guessed: for k ∈ {3, 5, 7}, the
     * candidate-pair count, docs-with-any-candidate count, and mean
