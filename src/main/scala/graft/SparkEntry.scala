@@ -356,6 +356,8 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) => Quality.sketchQuantiles(s, d)),
     "stream_bpe_encode" ->
       ((s, d) => StreamingAnalytics.streamBpeEncode(s, d)),
+    "stream_unigram_encode" ->
+      ((s, d) => StreamingAnalytics.streamUnigramEncode(s, d)),
     "sample_reservoir" -> ((s, d) => TextAnalysis.reservoirSample(s, d)),
     "events_markov_stationary" ->
       ((s, d) => EventAnalytics.markovStationary(s, d)),
@@ -10214,6 +10216,7 @@ object SparkEntry {
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
       ("stream_bpe_encode" -> streamBpeEncodeOracleSql(6)) +
+      ("stream_unigram_encode" -> streamUnigramEncodeOracleSql()) +
       ("text_bpe_encode" -> bpeEncodeOracleSql(6)) +
       // tokenizer -> packer: per-doc BPE lengths (vocabulary join, OOV
       // tokens count 1) feed the same fixed-256 packing census as
@@ -12731,60 +12734,70 @@ object SparkEntry {
     * references levels i−4..i−1 — un-materialized, the chain
     * re-evaluates combinatorially (the same reason the Spark side
     * localCheckpoints each level). */
-  private[graft] def unigramOracleSql(maxLen: Int = 10,
-      maxPiece: Int = 4, v0: Int = 300, vKeep: Int = 200): String = {
-    def dpChain(r: Int, vsName: String): String = {
-      val sb = new StringBuilder
-      sb ++= s"dp${r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
-        "CAST(0 AS DECIMAL(28,12)) AS dp, -1 AS bp FROM words),\n"
-      for (i <- 1 to maxLen) {
-        val lo = math.max(0, i - maxPiece)
-        val prevUnion = (lo until i)
-          .map(j => s"SELECT * FROM dp${r}_$j").mkString(" UNION ALL ")
-        sb ++= s"""dp${r}_$i AS MATERIALIZED (SELECT w, $i AS pos,
-            CAST(dpn AS DECIMAL(28,12)) AS dp, bp FROM (
-            SELECT vs.w, d.dp + vs.cost AS dpn, vs.j AS bp,
-              ROW_NUMBER() OVER (PARTITION BY vs.w
-                ORDER BY d.dp + vs.cost ASC, vs.j ASC) AS rn
-            FROM $vsName vs JOIN ($prevUnion) d
-              ON vs.w = d.w AND vs.j = d.pos
-            WHERE vs.i = $i) z WHERE rn = 1),\n"""
-      }
-      sb ++= s"dpall$r AS MATERIALIZED (" + (0 to maxLen)
-        .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ") +
-        "),\n"
-      sb ++= s"""fin$r AS MATERIALIZED (SELECT d.w, words.f, words.len,
-          d.dp FROM dpall$r d
-          JOIN words ON d.w = words.w AND d.pos = words.len),\n"""
-      sb ++= s"wk${r}_0 AS MATERIALIZED (SELECT w, f, len AS pos " +
-        s"FROM fin$r),\n"
-      for (t <- 1 to maxLen) {
-        val prev = if (t == 1) s"wk${r}_0"
-          else s"(SELECT w, f, bp AS pos FROM wk${r}_${t - 1})"
-        sb ++= s"""wk${r}_$t AS MATERIALIZED (SELECT k.w, k.f, d.bp,
-            d.pos FROM $prev k
-            JOIN dpall$r d ON k.w = d.w AND k.pos = d.pos
-            WHERE k.pos > 0),\n"""
-      }
-      sb ++= s"pieces$r AS MATERIALIZED (" + (1 to maxLen)
-        .map(t => s"SELECT w, f, bp AS j, pos AS i FROM wk${r}_$t")
-        .mkString(" UNION ALL ") + "),\n"
-      sb ++= s"""usage$r AS MATERIALIZED (SELECT
-          substr(w, j + 1, i - j) AS piece,
-          CAST(SUM(f) AS BIGINT) AS u FROM pieces$r GROUP BY 1),\n"""
-      sb ++= s"""stats$r AS (SELECT CAST(COUNT(*) AS BIGINT)
-          AS n_word_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
-          SUM(CAST(dp * f AS DECIMAL(38,12))) AS nll_sum
-          FROM fin$r),\n"""
-      sb ++= s"pc$r AS (SELECT CAST(SUM(f) AS BIGINT) AS n_pieces " +
-        s"FROM pieces$r),\n"
-      sb ++= s"""top$r AS (SELECT piece AS top_piece,
-          u AS top_piece_count FROM (SELECT *, ROW_NUMBER()
-            OVER (ORDER BY u DESC, piece) AS rk
-          FROM usage$r WHERE length(piece) > 1) z WHERE rk = 1),\n"""
-      sb.toString
+  /** One trainer EM round's CTE chain (shared by both generated
+    * unigram oracles): Viterbi DP levels, backpointer walk, usage
+    * census, stats row. */
+  private def unigramDpChainSql(r: Int, vsName: String, maxLen: Int,
+      maxPiece: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"dp${r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+      "CAST(0 AS DECIMAL(28,12)) AS dp, -1 AS bp FROM words),\n"
+    for (i <- 1 to maxLen) {
+      val lo = math.max(0, i - maxPiece)
+      val prevUnion = (lo until i)
+        .map(j => s"SELECT * FROM dp${r}_$j").mkString(" UNION ALL ")
+      sb ++= s"""dp${r}_$i AS MATERIALIZED (SELECT w, $i AS pos,
+          CAST(dpn AS DECIMAL(28,12)) AS dp, bp FROM (
+          SELECT vs.w, d.dp + vs.cost AS dpn, vs.j AS bp,
+            ROW_NUMBER() OVER (PARTITION BY vs.w
+              ORDER BY d.dp + vs.cost ASC, vs.j ASC) AS rn
+          FROM $vsName vs JOIN ($prevUnion) d
+            ON vs.w = d.w AND vs.j = d.pos
+          WHERE vs.i = $i) z WHERE rn = 1),\n"""
     }
-    s"""WITH words AS MATERIALIZED (SELECT w,
+    sb ++= s"dpall$r AS MATERIALIZED (" + (0 to maxLen)
+      .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ") +
+      "),\n"
+    sb ++= s"""fin$r AS MATERIALIZED (SELECT d.w, words.f, words.len,
+        d.dp FROM dpall$r d
+        JOIN words ON d.w = words.w AND d.pos = words.len),\n"""
+    sb ++= s"wk${r}_0 AS MATERIALIZED (SELECT w, f, len AS pos " +
+      s"FROM fin$r),\n"
+    for (t <- 1 to maxLen) {
+      val prev = if (t == 1) s"wk${r}_0"
+        else s"(SELECT w, f, bp AS pos FROM wk${r}_${t - 1})"
+      sb ++= s"""wk${r}_$t AS MATERIALIZED (SELECT k.w, k.f, d.bp,
+          d.pos FROM $prev k
+          JOIN dpall$r d ON k.w = d.w AND k.pos = d.pos
+          WHERE k.pos > 0),\n"""
+    }
+    sb ++= s"pieces$r AS MATERIALIZED (" + (1 to maxLen)
+      .map(t => s"SELECT w, f, bp AS j, pos AS i FROM wk${r}_$t")
+      .mkString(" UNION ALL ") + "),\n"
+    sb ++= s"""usage$r AS MATERIALIZED (SELECT
+        substr(w, j + 1, i - j) AS piece,
+        CAST(SUM(f) AS BIGINT) AS u FROM pieces$r GROUP BY 1),\n"""
+    sb ++= s"""stats$r AS (SELECT CAST(COUNT(*) AS BIGINT)
+        AS n_word_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        SUM(CAST(dp * f AS DECIMAL(38,12))) AS nll_sum
+        FROM fin$r),\n"""
+    sb ++= s"pc$r AS (SELECT CAST(SUM(f) AS BIGINT) AS n_pieces " +
+      s"FROM pieces$r),\n"
+    sb ++= s"""top$r AS (SELECT piece AS top_piece,
+        u AS top_piece_count FROM (SELECT *, ROW_NUMBER()
+          OVER (ORDER BY u DESC, piece) AS rk
+        FROM usage$r WHERE length(piece) > 1) z WHERE rk = 1),\n"""
+    sb.toString
+  }
+
+  /** The trainer PREFIX both generated unigram oracles share: train
+    * words + span lattice + seed vocabulary/costs, EM round 1, and
+    * the re-estimated round-1 vocabulary costs (`cost1`) — the frozen
+    * artifact `stream_unigram_encode` applies. Emitted WITHOUT the
+    * leading WITH so each generator appends its own tail. */
+  private def unigramTrainPrefixSql(maxLen: Int, maxPiece: Int,
+      v0: Int, vKeep: Int): String =
+    s"""words AS MATERIALIZED (SELECT w,
            CAST(COUNT(*) AS BIGINT) AS f, length(w) AS len FROM (
            SELECT lower(t) AS w FROM (
              SELECT unnest(string_split(text, ' ')) AS t
@@ -12812,7 +12825,7 @@ object SparkEntry {
          FROM vocab0, t0),
        vs1 AS MATERIALIZED (SELECT s.w, s.f, s.j, s.i, cost
          FROM spans s JOIN cost0 USING (piece)),
-       ${dpChain(1, "vs1")}
+       ${unigramDpChainSql(1, "vs1", maxLen, maxPiece)}
        vocab1 AS MATERIALIZED (SELECT piece, MAX(u) AS u FROM (
            SELECT piece, u FROM (SELECT *, ROW_NUMBER()
                OVER (ORDER BY u DESC, piece) AS rk FROM usage1) z
@@ -12824,10 +12837,16 @@ object SparkEntry {
        cost1 AS MATERIALIZED (SELECT piece,
            CAST(-ln(CAST(u + 1 AS DOUBLE) / t) AS DECIMAL(28,12))
              AS cost
-         FROM vocab1, t1),
+         FROM vocab1, t1),"""
+
+  /** Generated oracle for `text_unigram_tokenizer`: trainer prefix +
+    * EM round 2 + the two stats rows. */
+  private[graft] def unigramOracleSql(maxLen: Int = 10,
+      maxPiece: Int = 4, v0: Int = 300, vKeep: Int = 200): String =
+    s"""WITH ${unigramTrainPrefixSql(maxLen, maxPiece, v0, vKeep)}
        vs2 AS MATERIALIZED (SELECT s.w, s.f, s.j, s.i, cost
          FROM spans s JOIN cost1 USING (piece)),
-       ${dpChain(2, "vs2")}
+       ${unigramDpChainSql(2, "vs2", maxLen, maxPiece)}
        v0sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
          FROM cost0),
        v1sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
@@ -12850,6 +12869,104 @@ object SparkEntry {
          FROM v1sz, stats2, pc2, top2)
        SELECT * FROM row1 UNION ALL SELECT * FROM row2
        ORDER BY em_round"""
+
+  /** Generated oracle for `stream_unigram_encode`: the SAME trainer
+    * prefix (so the frozen `cost1` can never drift from the trainer's),
+    * then each staged increment's word types Viterbi-encoded against
+    * cost1 — DP levels, backpointer walk to a per-word piece count,
+    * per-(increment, lang) census with OOV accounting — plus the fold
+    * row (increment 0 = sums re-divided). */
+  private[graft] def streamUnigramEncodeOracleSql(maxLen: Int = 10,
+      maxPiece: Int = 4, v0: Int = 300, vKeep: Int = 200): String = {
+    def incChain(k: Int, pred: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"""lw$k AS MATERIALIZED (SELECT lang, w,
+          CAST(COUNT(*) AS BIGINT) AS occ FROM (
+          SELECT lang, lower(t) AS w FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE $pred) z
+          WHERE regexp_matches(lower(t), '^[a-z]+$$')
+            AND length(t) <= $maxLen) zz
+        GROUP BY 1, 2),\n"""
+      sb ++= s"""ty$k AS MATERIALIZED (SELECT w, length(w) AS len
+        FROM (SELECT DISTINCT w FROM lw$k) d),\n"""
+      sb ++= s"""sp$k AS MATERIALIZED (SELECT w, st - 1 AS j,
+          st + pl - 1 AS i,
+          substr(w, CAST(st AS INT), CAST(pl AS INT)) AS piece
+        FROM ty$k, range(1, ${maxLen + 1}) s(st),
+          range(1, ${maxPiece + 1}) p(pl)
+        WHERE st + pl - 1 <= len),\n"""
+      sb ++= s"""vsi$k AS MATERIALIZED (SELECT s.w, s.j, s.i, cost
+        FROM sp$k s JOIN cost1 USING (piece)),\n"""
+      sb ++= s"idp${k}_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+        s"CAST(0 AS DECIMAL(28,12)) AS dp, -1 AS bp FROM ty$k),\n"
+      for (i <- 1 to maxLen) {
+        val lo = math.max(0, i - maxPiece)
+        val prevUnion = (lo until i)
+          .map(j => s"SELECT * FROM idp${k}_$j").mkString(" UNION ALL ")
+        sb ++= s"""idp${k}_$i AS MATERIALIZED (SELECT w, $i AS pos,
+            CAST(dpn AS DECIMAL(28,12)) AS dp, bp FROM (
+            SELECT vs.w, d.dp + vs.cost AS dpn, vs.j AS bp,
+              ROW_NUMBER() OVER (PARTITION BY vs.w
+                ORDER BY d.dp + vs.cost ASC, vs.j ASC) AS rn
+            FROM vsi$k vs JOIN ($prevUnion) d
+              ON vs.w = d.w AND vs.j = d.pos
+            WHERE vs.i = $i) z WHERE rn = 1),\n"""
+      }
+      sb ++= s"idpall$k AS MATERIALIZED (" + (0 to maxLen)
+        .map(i => s"SELECT * FROM idp${k}_$i").mkString(" UNION ALL ") +
+        "),\n"
+      sb ++= s"""ifin$k AS MATERIALIZED (SELECT d.w, t.len, d.dp
+        FROM idpall$k d
+        JOIN ty$k t ON d.w = t.w AND d.pos = t.len),\n"""
+      sb ++= s"iwk${k}_0 AS MATERIALIZED (SELECT w, len AS pos " +
+        s"FROM ifin$k),\n"
+      for (t <- 1 to maxLen) {
+        val prev = if (t == 1) s"iwk${k}_0"
+          else s"(SELECT w, bp AS pos FROM iwk${k}_${t - 1})"
+        sb ++= s"""iwk${k}_$t AS MATERIALIZED (SELECT k.w, d.bp
+          FROM $prev k
+          JOIN idpall$k d ON k.w = d.w AND k.pos = d.pos
+          WHERE k.pos > 0),\n"""
+      }
+      sb ++= s"inp$k AS MATERIALIZED (SELECT w, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pieces FROM (" +
+        (1 to maxLen).map(t => s"SELECT w FROM iwk${k}_$t")
+          .mkString(" UNION ALL ") + ") u GROUP BY 1),\n"
+      sb ++= s"""iseg$k AS MATERIALIZED (SELECT f.w, f.dp, n.n_pieces
+        FROM ifin$k f JOIN inp$k n ON f.w = n.w),\n"""
+      sb ++= s"""cen$k AS (SELECT CAST($k AS BIGINT) AS increment,
+          lang, CAST(SUM(occ) AS BIGINT) AS total_words,
+          CAST(SUM(CASE WHEN s.w IS NULL THEN occ ELSE 0 END)
+            AS BIGINT) AS oov_words,
+          CAST(SUM(CASE WHEN s.w IS NULL THEN 0
+            ELSE occ * n_pieces END) AS BIGINT) AS total_pieces,
+          SUM(CASE WHEN s.w IS NULL THEN NULL
+            ELSE CAST(dp * occ AS DECIMAL(38,12)) END) AS nll_sum
+        FROM lw$k l LEFT JOIN iseg$k s ON l.w = s.w GROUP BY 2),\n"""
+      sb.toString
+    }
+    s"""WITH ${unigramTrainPrefixSql(maxLen, maxPiece, v0, vKeep)}
+       ${incChain(1, "doc_id % 4 = 1")}
+       ${incChain(2, "doc_id % 4 = 3")}
+       per AS (SELECT * FROM cen1 UNION ALL SELECT * FROM cen2),
+       fold AS (SELECT CAST(0 AS BIGINT) AS increment, lang,
+           CAST(SUM(total_words) AS BIGINT) AS total_words,
+           CAST(SUM(oov_words) AS BIGINT) AS oov_words,
+           CAST(SUM(total_pieces) AS BIGINT) AS total_pieces,
+           SUM(nll_sum) AS nll_sum
+         FROM per GROUP BY 2),
+       allr AS (SELECT * FROM per UNION ALL SELECT * FROM fold)
+       SELECT increment, lang, total_words, oov_words, total_pieces,
+         CASE WHEN total_words > oov_words THEN
+           ROUND(CAST(total_pieces AS DOUBLE)
+             / CAST(total_words - oov_words AS DOUBLE), 6)
+         END AS pieces_per_word,
+         CASE WHEN total_words > oov_words THEN
+           ROUND(CAST(nll_sum AS DOUBLE)
+             / CAST(total_words - oov_words AS DOUBLE), 6)
+         END AS nll_per_word
+       FROM allr ORDER BY increment, lang"""
   }
 
   private[graft] def incrementalMinhashOracleSql(steps: Seq[String]): String = {

@@ -461,6 +461,150 @@ object StreamingAnalytics {
       .orderBy(col("increment"), col("lang"))
   }
 
+  /** Streaming application of a FROZEN UNIGRAM tokenizer — the
+    * [[streamBpeEncode]] discipline applied to the round-13 trainer:
+    * piece costs are the round-1-re-estimated relation the batch
+    * trainer's round 2 runs against
+    * ([[TextAnalysis.unigramFrozenCosts]] — the ONE home both sides
+    * read, trained on the doc_id-even corpus half), the held-out half
+    * arrives as TWO staged files (doc_id % 4 = 1, then % 4 = 3), and
+    * each micro-batch Viterbi-segments ONLY ITS OWN word types
+    * against the frozen costs (the 10-level unrolled exact-decimal DP
+    * of the trainer, at batch word-type grain, each level
+    * checkpointed) and appends a per-(increment, lang) census: words,
+    * OOV words (a type containing a train-unseen character has no
+    * path through the frozen lattice — the honest frozen-tokenizer
+    * readout), pieces, and exact-decimal NLL. The final read emits
+    * the per-increment censuses PLUS their fold (increment 0 =
+    * integer/decimal sums re-divided), so the oracle — which replays
+    * the trainer prefix and both increment encodes unrolled in
+    * DuckDB — gates the per-batch encodes and the fold identity.
+    *
+    * The frozen-cost relation is a ≤(vKeep + alphabet)-row
+    * localCheckpoint joined into each batch's span lattice (the
+    * stream-static join shape) — state never grows with the stream;
+    * per-batch cost is the DP over THAT BATCH's word types only. */
+  def streamUnigramEncode(spark: SparkSession, dir: String,
+      maxLen: Int = 10, maxPiece: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sue").toString
+    val inDir = s"$root/in"
+    val outPath = s"$root/census"
+    val docs = graft.Tables(spark, dir, "documents")
+    // FREEZE: the shipped vocabulary artifact (~226 (piece, cost) rows)
+    val frozen = TextAnalysis.unigramFrozenCosts(spark, dir)
+      .localCheckpoint()
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> docs.filter(col("doc_id") % 4 === 1),
+      "inc2" -> docs.filter(col("doc_id") % 4 === 3)))
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val langWords = batch
+          .select(col("lang"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("t"))
+          .select(col("lang"), lower(col("t")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") &&
+            length(col("w")) <= maxLen)
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+          .localCheckpoint() // batch grain: census + type extraction
+        val types = langWords.select(col("w")).distinct()
+          .withColumn("len", length(col("w")))
+          .localCheckpoint()
+        val spans = types
+          .select(col("w"), col("len"),
+            explode(sequence(lit(1), col("len"))).as("st"))
+          .select(col("w"), col("len"), col("st"),
+            explode(sequence(lit(1), lit(maxPiece))).as("pl"))
+          .filter(col("st") + col("pl") - 1 <= col("len"))
+          .select(col("w"), (col("st") - 1).as("j"),
+            (col("st") + col("pl") - 1).as("i"),
+            expr("substring(w, st, pl)").as("piece"))
+        val vs = spans.join(broadcast(frozen), Seq("piece"))
+          .localCheckpoint() // batch lattice x frozen costs
+        var steps = Vector(types.select(col("w"), lit(0).as("pos"),
+          lit(0).cast("decimal(28,12)").as("dp"), lit(-1).as("bp"))
+          .localCheckpoint())
+        for (i <- 1 to maxLen) {
+          val lo = math.max(0, i - maxPiece)
+          val prev = steps.slice(lo, i).reduce(_.unionByName(_))
+            .select(col("w"), col("pos").as("j"), col("dp").as("dpj"))
+          val step = vs.filter(col("i") === i)
+            .join(prev, Seq("w", "j"))
+            .groupBy(col("w"))
+            .agg(min(struct((col("dpj") + col("cost")).as("d"),
+              col("j").as("b"))).as("m"))
+            .select(col("w"), lit(i).as("pos"),
+              col("m.d").cast("decimal(28,12)").as("dp"),
+              col("m.b").as("bp"))
+            .localCheckpoint()
+          steps = steps :+ step
+        }
+        val dpc = steps.reduce(_.unionByName(_)).localCheckpoint()
+        val fin = dpc.join(types, Seq("w"))
+          .filter(col("pos") === col("len"))
+          .select(col("w"), col("len"), col("dp")).localCheckpoint()
+        var cur = fin.select(col("w"), col("len").as("pos"))
+        var walked: DataFrame = null
+        for (_ <- 1 to maxLen) {
+          val step = cur.filter(col("pos") > 0)
+            .join(dpc.select(col("w"), col("pos"), col("bp")),
+              Seq("w", "pos"))
+            .localCheckpoint()
+          val seg = step.select(col("w"))
+          walked = if (walked == null) seg else walked.unionByName(seg)
+          cur = step.select(col("w"), col("bp").as("pos"))
+        }
+        val np = walked.groupBy(col("w"))
+          .agg(count(lit(1)).as("n_pieces"))
+        val seg = fin.join(np, Seq("w"))
+          .select(col("w"), col("dp"), col("n_pieces"))
+        langWords.join(seg, Seq("w"), "left")
+          .groupBy(col("lang"))
+          .agg(sum(col("occ")).as("total_words"),
+            sum(when(col("n_pieces").isNull, col("occ"))
+              .otherwise(0L)).as("oov_words"),
+            sum(coalesce(col("occ") * col("n_pieces"), lit(0L)))
+              .as("total_pieces"),
+            sum((col("dp") * col("occ")).cast("decimal(38,12)"))
+              .as("nll_sum"))
+          .select(lit(batchId + 1).as("increment"), col("lang"),
+            col("total_words"), col("oov_words"), col("total_pieces"),
+            col("nll_sum"))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+    val per = spark.read.parquet(outPath).localCheckpoint()
+    deleteTree(root)
+    val folded = per.groupBy(col("lang"))
+      .agg(sum(col("total_words")).as("total_words"),
+        sum(col("oov_words")).as("oov_words"),
+        sum(col("total_pieces")).as("total_pieces"),
+        sum(col("nll_sum")).as("nll_sum"))
+      .select(lit(0L).as("increment"), col("lang"), col("total_words"),
+        col("oov_words"), col("total_pieces"), col("nll_sum"))
+    per.unionByName(folded)
+      .select(col("increment"), col("lang"), col("total_words"),
+        col("oov_words"), col("total_pieces"),
+        // all-OOV guard: a census row must degrade to NULL ratios,
+        // never NaN (the dq_profile_drift convention)
+        round(when(col("total_words") > col("oov_words"),
+          col("total_pieces").cast("double") /
+            (col("total_words") - col("oov_words")).cast("double")), 6)
+          .as("pieces_per_word"),
+        round(when(col("total_words") > col("oov_words"),
+          col("nll_sum").cast("double") /
+            (col("total_words") - col("oov_words")).cast("double")), 6)
+          .as("nll_per_word"))
+      .orderBy(col("increment"), col("lang"))
+  }
+
   /** Streaming RESERVOIR maintenance — the proof of
     * [[TextAnalysis.reservoirSample]]'s mergeability claim: the corpus
     * arrives as two staged increments and each micro-batch folds its

@@ -3637,6 +3637,29 @@ object TextAnalysis {
   def unigramTokenizer(spark: SparkSession, dir: String,
       maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
       vKeep: Int = 200): DataFrame = {
+    val art = unigramRound1(spark, dir, maxLen, maxPiece, v0, vKeep)
+    val (_, row2) = unigramEmRound(spark, 2, art.words, art.spans,
+      art.cost1, art.vocab1, maxLen, maxPiece)
+    art.row1.unionByName(row2).orderBy(col("em_round"))
+  }
+
+  /** The FROZEN artifact a downstream encoder ships: the round-1-
+    * re-estimated unigram piece costs (the exact relation round 2 of
+    * [[unigramTokenizer]] trains against). Single home — the batch
+    * trainer and the streaming frozen-apply row
+    * (`stream_unigram_encode`) both read THIS, so the streaming
+    * encoder can never drift from the trainer's vocabulary. */
+  private[operators] def unigramFrozenCosts(spark: SparkSession,
+      dir: String, maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
+      vKeep: Int = 200): DataFrame =
+    unigramRound1(spark, dir, maxLen, maxPiece, v0, vKeep).cost1
+
+  private final case class UnigramRound1(words: DataFrame,
+    spans: DataFrame, vocab1: DataFrame, cost1: DataFrame,
+    row1: DataFrame)
+
+  private def unigramRound1(spark: SparkSession, dir: String,
+      maxLen: Int, maxPiece: Int, v0: Int, vKeep: Int): UnigramRound1 = {
     val words = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 2 === 0)
       .select(explode(tokens(col("text"))).as("t"))
@@ -3670,8 +3693,34 @@ object TextAnalysis {
       .select(col("piece"),
         (-log(col("c").cast("double") / col("t").cast("double")))
           .cast("decimal(28,12)").as("cost"))
-    def emRound(r: Int, vocabCost: DataFrame,
-        vocabOf: DataFrame): (DataFrame, DataFrame) = {
+    val (u1, row1) = unigramEmRound(spark, 1, words, spans, cost0,
+      vocab0, maxLen, maxPiece)
+    val vocab1 = u1
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("u").desc, col("piece"))))
+      .filter(col("rk") <= vKeep)
+      .select(col("piece"), col("u"))
+      .unionByName(vocab0.filter(length(col("piece")) === 1)
+        .select(col("piece"))
+        .join(u1, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("u"), lit(0L)).as("u")))
+      .groupBy(col("piece")).agg(max(col("u")).as("u"))
+      .localCheckpoint()
+    val t1 = vocab1.agg(sum(col("u") + 1).as("t"))
+    val cost1 = vocab1.crossJoin(broadcast(t1)) // 1-row normalizer
+      .select(col("piece"),
+        (-log((col("u") + 1).cast("double") / col("t").cast("double")))
+          .cast("decimal(28,12)").as("cost"))
+    UnigramRound1(words, spans, vocab1, cost1, row1)
+  }
+
+  /** One hard-EM round of the unigram trainer (Viterbi DP + walk +
+    * usage census + stats row) over a (w, f, len) word-type relation
+    * and its span lattice — shared by both trainer rounds. */
+  private def unigramEmRound(spark: SparkSession, r: Int,
+      words: DataFrame, spans: DataFrame, vocabCost: DataFrame,
+      vocabOf: DataFrame, maxLen: Int,
+      maxPiece: Int): (DataFrame, DataFrame) = {
       val vs = spans.join(vocabCost, Seq("piece")).localCheckpoint()
       var steps = Vector(words.select(col("w"),
         lit(0).as("pos"), lit(0).cast("decimal(28,12)").as("dp"),
@@ -3733,25 +3782,5 @@ object TextAnalysis {
             col("n_tokens").cast("double"), 6).as("nll_per_token"),
           col("top_piece"), col("top_piece_count"))
       (usage, row)
-    }
-    val (u1, row1) = emRound(1, cost0, vocab0)
-    val vocab1 = u1
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("u").desc, col("piece"))))
-      .filter(col("rk") <= vKeep)
-      .select(col("piece"), col("u"))
-      .unionByName(vocab0.filter(length(col("piece")) === 1)
-        .select(col("piece"))
-        .join(u1, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("u"), lit(0L)).as("u")))
-      .groupBy(col("piece")).agg(max(col("u")).as("u"))
-      .localCheckpoint()
-    val t1 = vocab1.agg(sum(col("u") + 1).as("t"))
-    val cost1 = vocab1.crossJoin(broadcast(t1)) // 1-row normalizer
-      .select(col("piece"),
-        (-log((col("u") + 1).cast("double") / col("t").cast("double")))
-          .cast("decimal(28,12)").as("cost"))
-    val (_, row2) = emRound(2, cost1, vocab1)
-    row1.unionByName(row2).orderBy(col("em_round"))
   }
 }
