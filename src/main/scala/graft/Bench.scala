@@ -125,7 +125,14 @@ object Bench {
     // still exceeds the gate the artifact self-labels with
     // "contended":true instead of masquerading as a clean number.
     val floorPerQ = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY")
-      .map(_.trim.toDouble).getOrElse(0.75)
+      // round-14 recalibration (verdict item 5): 0.75 dated from the
+      // 168-query battery; two rounds in a row flagged `contended` on
+      // runs that beat the gray gate, because run totals on a VERIFIED
+      // IDLE box now sit at 1.06-1.16 s/q (501.4-550.6 s / 473 — the
+      // round-14 min-of-4 recording, BENCH_STABILITY.md). The gate
+      // compares RUN totals, so the floor is the cleanest idle RUN
+      // total per query (501.436 / 473), not the min-of aggregate.
+      .map(_.trim.toDouble).getOrElse(1.06)
     val contendedMargin = 1.30
     // Gray-zone gate (r8 verdict nit 1): the contended gate passes any run
     // under n*floor*1.30, so a round whose committed total lands 15-30%
@@ -140,12 +147,13 @@ object Bench {
     // against a min-of-derived floor would flag clean rounds. Update the
     // env default when a new clean floor is recorded.
     val bestPerQ = sys.env.get("SPARK_GRAFT_BENCH_BEST_PER_QUERY")
-      // round-11 clean floor 0.920 at the 365 battery: the 92 rows added
-      // this round average ~1.3 s/q (three corpus-wide winnowing kernels,
-      // facility location, k-center, DBSCAN pair passes), so the old
-      // 0.77 floor reflects a lighter battery COMPOSITION, not a faster
-      // environment — see BENCH_STABILITY.md round-11 record.
-      .map(_.trim.toDouble).getOrElse(0.92)
+      // round-14 clean floor (verdict item 5): 462.457 s min-of-4 at the
+      // 473 battery on a verified-idle box = 0.978 s/q. The previous
+      // 0.92 was the round-11 recording at 365 queries; the rows added
+      // since (exactRank re-plans, winnowing/tokenizer/streaming-index
+      // families) average heavier, so the drift is battery COMPOSITION,
+      // not environment — see BENCH_STABILITY.md round-14 record.
+      .map(_.trim.toDouble).getOrElse(0.978)
 
     val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =
