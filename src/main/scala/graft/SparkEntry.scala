@@ -82,6 +82,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprintClusters(s, d)),
     // ---- dedup ladder (north-star §7.5)
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "dedup_cascade" -> ((s, d) => DedupOps.dedupCascade(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
@@ -375,6 +376,7 @@ object SparkEntry {
     "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    "graph_louvain" -> ((s, d) => Graph.louvainRound(s, d)),
     "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d)),
     "stream_decontaminate" ->
       ((s, d) => StreamingAnalytics.streamDecontaminate(s, d)),
@@ -419,11 +421,14 @@ object SparkEntry {
     "events_attribution_markov" ->
       ((s, d) => EventAnalytics.attributionMarkov(s, d)),
     "sketch_hll_intersect" -> ((s, d) => Quality.hllIntersect(s, d)),
+    "sketch_kmv" -> ((s, d) => Quality.kmvSketch(s, d)),
     "sim_binary_recall" -> ((s, d) => Similarity.binaryRecall(s, d)),
     "events_user_similarity" ->
       ((s, d) => EventAnalytics.userSimilarity(s, d)),
     "stream_hll_distinct" ->
       ((s, d) => StreamingAnalytics.streamHllDistinct(s, d)),
+    "stream_kmv_distinct" ->
+      ((s, d) => StreamingAnalytics.streamKmvDistinct(s, d)),
     "graph_conductance" -> ((s, d) => Graph.conductance(s, d)),
     "events_ab_cuped" -> ((s, d) => EventAnalytics.abCuped(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
@@ -499,6 +504,7 @@ object SparkEntry {
     "dq_pchart" -> ((s, d) => Quality.pChart(s, d)),
     "docs_skyline_pareto" -> ((s, d) => Curation.skylinePareto(s, d)),
     "orders_croston" -> ((s, d) => Relational.crostonForecast(s, d)),
+    "orders_bass_diffusion" -> ((s, d) => Relational.bassDiffusion(s, d)),
     "dq_fd_discovery" -> ((s, d) => Quality.fdDiscovery(s, d)),
     "text_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
     "events_att_matching" -> ((s, d) => EventAnalytics.attMatching(s, d)),
@@ -576,6 +582,10 @@ object SparkEntry {
       ((s, d) => TextAnalysis.retrievalNdcgMulti(s, d)),
     "text_unigram_tokenizer" ->
       ((s, d) => TextAnalysis.unigramTokenizer(s, d)),
+    "text_tokenizer_fertility" ->
+      ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "text_wordpiece_greedy" ->
+      ((s, d) => TextAnalysis.wordpieceGreedy(s, d)),
     "sim_centroid_margin" ->
       ((s, d) => Similarity.centroidMargin(s, d)),
     "orders_price_elasticity" ->
@@ -586,6 +596,7 @@ object SparkEntry {
     "window_rolling_corr" ->
       ((s, d) => EventAnalytics.rollingCorr(s, d)),
     "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "sim_beam_search" -> ((s, d) => Similarity.beamSearch(s, d)),
     "events_ucb_allocation" ->
       ((s, d) => EventAnalytics.ucbAllocation(s, d)),
     "orders_its_segmented" ->
@@ -1109,6 +1120,93 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+    // dedup_cascade: the three standalone tier oracles composed, each
+    // tier's pair set restricted to the previous tier's survivors
+    "dedup_cascade" ->
+      """WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+           GROUP BY md5(text)),
+         surv1 AS (SELECT doc_id FROM documents
+           WHERE doc_id IN (SELECT doc_id FROM keep1)),
+         words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ')
+                             for i in range(1, len(w)-3)]
+                       ELSE []::VARCHAR[] END)) AS shingle
+                FROM words),
+         mh AS (SELECT doc_id, i,
+             MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+           FROM sh CROSS JOIN range(9) t(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(h, ',' ORDER BY i)) AS bucket
+           FROM mh GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bucket = y.bucket
+                AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+           FROM cand c JOIN sh a ON c.d1 = a.doc_id
+                       JOIN sh b ON c.d2 = b.doc_id
+                         AND a.shingle = b.shingle
+           GROUP BY 1, 2),
+         mhp AS (SELECT d1, d2
+           FROM (SELECT x.d1, x.d2, x.i, s1.n AS n1, s2.n AS n2
+                 FROM inter x JOIN sizes s1 ON x.d1 = s1.doc_id
+                              JOIN sizes s2 ON x.d2 = s2.doc_id) v
+           WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.5),
+         p2 AS (SELECT d1, d2 FROM mhp
+           WHERE d1 IN (SELECT doc_id FROM surv1)
+             AND d2 IN (SELECT doc_id FROM surv1)),
+         losers2 AS (SELECT DISTINCT d2 AS doc_id FROM p2),
+         surv2 AS (SELECT doc_id FROM surv1
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers2)),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1)
+               * 16
+              + (strpos('0123456789abcdef', substr(md5(word), 2, 1))
+               - 1)) % 64 AS bucket,
+             COUNT(*) AS c
+           FROM tok GROUP BY 1, 2),
+         norms AS (SELECT doc_id, SUM(c * c) AS nsq FROM tf GROUP BY 1),
+         dot AS (SELECT c.d1, c.d2, SUM(a.c * b.c) AS dot
+           FROM cand c JOIN tf a ON c.d1 = a.doc_id
+                       JOIN tf b ON c.d2 = b.doc_id
+                         AND a.bucket = b.bucket
+           GROUP BY 1, 2),
+         cosp AS (SELECT d1, d2 FROM dot
+           JOIN norms n1 ON d1 = n1.doc_id
+           JOIN norms n2 ON d2 = n2.doc_id
+           WHERE CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n1.nsq AS DOUBLE))
+               * sqrt(CAST(n2.nsq AS DOUBLE))) >= 0.9),
+         p3 AS (SELECT d1, d2 FROM cosp
+           WHERE d1 IN (SELECT doc_id FROM surv2)
+             AND d2 IN (SELECT doc_id FROM surv2)),
+         losers3 AS (SELECT DISTINCT d2 AS doc_id FROM p3),
+         c AS (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n_s1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p2) AS n_p2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM losers2) AS n_l2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv2) AS n_s2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p3) AS n_p3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM losers3) AS n_l3)
+         SELECT stage, candidates_in, n_pairs, n_removed, survivors,
+           ROUND(CAST(n_removed AS DOUBLE)
+             / CAST(candidates_in AS DOUBLE), 6) AS removal_rate
+         FROM (
+           SELECT '1_exact' AS stage, n_all AS candidates_in,
+             n_all - n_s1 AS n_pairs, n_all - n_s1 AS n_removed,
+             n_s1 AS survivors FROM c
+           UNION ALL
+           SELECT '2_minhash', n_s1, n_p2, n_l2, n_s2 FROM c
+           UNION ALL
+           SELECT '3_cosine', n_s2, n_p3, n_l3, n_s2 - n_l3 FROM c) u
+         ORDER BY stage""",
     "dedup_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(
@@ -3684,6 +3782,120 @@ object SparkEntry {
              AS contribution
          FROM degc LEFT JOIN internal USING (community) CROSS JOIN m2
          ORDER BY community""",
+    // graph_louvain: the modularity oracle's edge/labelProp chain, then
+    // one synchronous Louvain gain round replayed with the identical
+    // double expression shape (exact DECIMAL operands on both sides)
+    "graph_louvain" ->
+      """WITH edges AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+           FROM lineitem, orders, customer, supplier
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         sym AS (SELECT node, nbr, SUM(w) AS w FROM (
+             SELECT src AS node, dst AS nbr, w FROM edges
+             UNION ALL SELECT dst, src, w FROM edges) t
+           GROUP BY 1, 2),
+         tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+         nbrs AS (SELECT node, nbr, w FROM sym, tot
+           WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
+             >= CAST(tw AS HUGEINT)),
+         l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+         a1 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l0 l ON n.nbr = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+                FROM nbrs n JOIN l1 l ON n.nbr = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
+         nodes AS (SELECT DISTINCT node FROM sym),
+         comm AS (SELECT n.node, COALESCE(l2.lbl, n.node) AS community
+           FROM nodes n LEFT JOIN l2 ON n.node = l2.node),
+         m2x AS (SELECT SUM(w) AS tw FROM sym),
+         degn AS (SELECT node, SUM(w) AS ki FROM sym GROUP BY 1),
+         degc AS (SELECT c.community, SUM(d.ki) AS degw
+           FROM degn d JOIN comm c USING (node) GROUP BY 1),
+         kic AS (SELECT s.node, cb.community AS cand, SUM(s.w) AS kc
+           FROM sym s JOIN comm cb ON s.nbr = cb.node
+           WHERE s.nbr <> s.node GROUP BY 1, 2),
+         base AS (SELECT c.node, c.community AS cur, d.ki,
+             COALESCE(ka.kc, 0) AS kia, dca.degw AS dega
+           FROM comm c JOIN degn d USING (node)
+           LEFT JOIN kic ka ON ka.node = c.node
+             AND ka.cand = c.community
+           JOIN degc dca ON dca.community = c.community),
+         gains AS (SELECT b.node, b.cur, k.cand,
+             2.0 * (CAST(k.kc AS DOUBLE) - CAST(b.kia AS DOUBLE))
+               / CAST(tw AS DOUBLE)
+             - 2.0 * CAST(b.ki AS DOUBLE) * (CAST(b.ki AS DOUBLE)
+                 + CAST(dcb.degw AS DOUBLE) - CAST(b.dega AS DOUBLE))
+               / (CAST(tw AS DOUBLE) * CAST(tw AS DOUBLE)) AS gain
+           FROM base b JOIN kic k ON k.node = b.node AND k.cand <> b.cur
+           JOIN degc dcb ON dcb.community = k.cand
+           CROSS JOIN m2x),
+         best AS (SELECT node, cand, gain FROM (
+             SELECT node, cand, gain, ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY gain DESC, cand) AS rn
+             FROM gains) g WHERE rn = 1),
+         comm2 AS (SELECT c.node,
+             CASE WHEN bm.gain > 0 THEN bm.cand
+                  ELSE c.community END AS community,
+             c.community AS cur
+           FROM comm c LEFT JOIN best bm ON bm.node = c.node),
+         internal1 AS (SELECT ca.community, SUM(s.w) AS in_w
+           FROM sym s JOIN comm ca ON s.node = ca.node
+           JOIN comm cb ON s.nbr = cb.node
+           WHERE ca.community = cb.community GROUP BY 1),
+         degc1 AS (SELECT c.community, CAST(COUNT(*) AS BIGINT)
+             AS n_nodes, SUM(d.ki) AS deg_w
+           FROM degn d JOIN comm c USING (node) GROUP BY 1),
+         conts1 AS (SELECT dc.community,
+             CAST(CAST(COALESCE(i.in_w, 0) AS DOUBLE)
+                 / CAST(tw AS DOUBLE)
+               - (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+                 * (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+               AS DECIMAL(28,12)) AS contrib
+           FROM degc1 dc LEFT JOIN internal1 i USING (community)
+           CROSS JOIN m2x),
+         internal2 AS (SELECT ca.community, SUM(s.w) AS in_w
+           FROM sym s JOIN comm2 ca ON s.node = ca.node
+           JOIN comm2 cb ON s.nbr = cb.node
+           WHERE ca.community = cb.community GROUP BY 1),
+         degc2 AS (SELECT c.community, CAST(COUNT(*) AS BIGINT)
+             AS n_nodes, SUM(d.ki) AS deg_w
+           FROM degn d JOIN comm2 c USING (node) GROUP BY 1),
+         conts2 AS (SELECT dc.community, dc.n_nodes,
+             COALESCE(i.in_w, 0) AS in_w, dc.deg_w,
+             CAST(CAST(COALESCE(i.in_w, 0) AS DOUBLE)
+                 / CAST(tw AS DOUBLE)
+               - (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+                 * (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+               AS DECIMAL(28,12)) AS contrib
+           FROM degc2 dc LEFT JOIN internal2 i USING (community)
+           CROSS JOIN m2x),
+         movers AS (SELECT community, CAST(COUNT(*) AS BIGINT)
+             AS n_moved_in
+           FROM comm2 WHERE community <> cur GROUP BY 1),
+         gsum AS (SELECT COALESCE(SUM(CAST(gain AS DECIMAL(28,12))),
+             0) AS gain_sum
+           FROM best WHERE gain > 0)
+         SELECT c2.community, c2.n_nodes,
+           COALESCE(mv.n_moved_in, 0) AS n_moved_in,
+           CAST(c2.in_w AS BIGINT) AS in_w,
+           CAST(c2.deg_w AS BIGINT) AS deg_w,
+           ROUND(CAST(c2.contrib AS DOUBLE), 6) AS contribution,
+           ROUND((SELECT CAST(SUM(contrib) AS DOUBLE) FROM conts1), 6)
+             AS q_before,
+           ROUND((SELECT CAST(SUM(contrib) AS DOUBLE) FROM conts2), 6)
+             AS q_after,
+           ROUND((SELECT CAST(gain_sum AS DOUBLE) FROM gsum), 6)
+             AS gain_sum
+         FROM conts2 c2 LEFT JOIN movers mv USING (community)
+         ORDER BY community""",
     "events_survival_km" ->
       """WITH w AS (SELECT MIN(ts) + INTERVAL 7 DAY AS wend FROM events),
          users AS (SELECT user_id,
@@ -4540,6 +4752,79 @@ object SparkEntry {
     // sketch_hll_intersect: exact set sides are the truth; the HLL
     // inclusion-exclusion verdicts are asserted TRUE (the documented
     // weaker sketch-gate, as sketch_hll)
+    // sketch_kmv: fully deterministic (md5-prefix hash, exact 48-bit →
+    // double mapping), so unlike the HLL rows the oracle recomputes the
+    // ESTIMATES themselves and the gate is a straight hash compare
+    "sketch_kmv" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         h AS (SELECT DISTINCT event_type,
+             substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 12) AS hx
+           FROM du),
+         hv AS (SELECT event_type, hx,
+             SUM((strpos('0123456789abcdef', substr(hx, g.i, 1)) - 1)
+               * POWER(16.0, 12 - g.i)) / POWER(16.0, 12) AS v
+           FROM h, generate_series(1, 12) AS g(i) GROUP BY 1, 2),
+         sig AS (SELECT event_type, hx, v FROM (
+             SELECT event_type, hx, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx)
+                 AS rk
+             FROM hv) s WHERE rk <= 32),
+         st AS (SELECT s.event_type, e.exact_n,
+             CASE WHEN s.n_sig < 32 THEN CAST(s.n_sig AS DOUBLE)
+                  ELSE 31.0 / s.v_max END AS est_n
+           FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sig,
+                   MAX(v) AS v_max FROM sig GROUP BY 1) s
+           JOIN (SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n
+                 FROM du GROUP BY 1) e USING (event_type)),
+         pr AS (SELECT a.event_type AS type_a, a.exact_n AS exact_a,
+                  a.est_n AS est_a, b.event_type AS type_b,
+                  b.exact_n AS exact_b, b.est_n AS est_b
+                FROM st a JOIN st b ON a.event_type < b.event_type),
+         pe AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(COUNT(*) AS BIGINT) AS exact_inter
+                FROM du a JOIN du b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type GROUP BY 1, 2),
+         uall AS (SELECT DISTINCT type_a, type_b, hx, v FROM (
+             SELECT p.type_a, p.type_b, s.hx, s.v
+             FROM pr p JOIN sig s ON s.event_type = p.type_a
+             UNION ALL
+             SELECT p.type_a, p.type_b, s.hx, s.v
+             FROM pr p JOIN sig s ON s.event_type = p.type_b) u),
+         usig AS (SELECT type_a, type_b, hx, v FROM (
+             SELECT type_a, type_b, hx, v,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                 ORDER BY hx) AS rk
+             FROM uall) z WHERE rk <= 32),
+         kst AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_k,
+             MAX(v) AS v_k
+           FROM usig GROUP BY 1, 2),
+         ov AS (SELECT u.type_a, u.type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM usig u
+           JOIN sig sa ON sa.event_type = u.type_a AND sa.hx = u.hx
+           JOIN sig sb ON sb.event_type = u.type_b AND sb.hx = u.hx
+           GROUP BY 1, 2)
+         SELECT pr.type_a, pr.type_b, pr.exact_a, pr.exact_b,
+           pr.exact_a + pr.exact_b - COALESCE(pe.exact_inter, 0)
+             AS exact_union,
+           COALESCE(pe.exact_inter, 0) AS exact_inter,
+           ROUND(CAST(COALESCE(pe.exact_inter, 0) AS DOUBLE)
+             / CAST(pr.exact_a + pr.exact_b - COALESCE(pe.exact_inter, 0)
+                 AS DOUBLE), 6) AS exact_jaccard,
+           ROUND(pr.est_a, 6) AS est_a, ROUND(pr.est_b, 6) AS est_b,
+           ROUND(CASE WHEN kst.n_k < 32 THEN CAST(kst.n_k AS DOUBLE)
+                 ELSE 31.0 / kst.v_k END, 6) AS est_union,
+           ROUND((CAST(COALESCE(ov.n_both, 0) AS DOUBLE)
+               / CAST(kst.n_k AS DOUBLE))
+             * CASE WHEN kst.n_k < 32 THEN CAST(kst.n_k AS DOUBLE)
+                 ELSE 31.0 / kst.v_k END, 6) AS est_inter,
+           ROUND(CAST(COALESCE(ov.n_both, 0) AS DOUBLE)
+             / CAST(kst.n_k AS DOUBLE), 6) AS est_jaccard
+         FROM pr JOIN kst USING (type_a, type_b)
+         LEFT JOIN ov USING (type_a, type_b)
+         LEFT JOIN pe USING (type_a, type_b)
+         ORDER BY type_a, type_b""",
     "sketch_hll_intersect" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events
            WHERE event_type = 'view'),
@@ -4556,6 +4841,44 @@ object SparkEntry {
     // stream_hll_distinct: exact cumulative distincts are the truth;
     // the maintained-sketch verdict is asserted TRUE (the documented
     // weaker sketch-gate)
+    // stream_kmv_distinct: the maintained bottom-k state after each
+    // increment equals the from-scratch bottom-k over the cumulative
+    // prefix (KMV merge law) — the oracle recomputes BOTH states and
+    // the estimates hash-compare exactly
+    "stream_kmv_distinct" ->
+      """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+         h1 AS (SELECT DISTINCT
+             substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 12) AS hx
+           FROM events, t0 WHERE ts < t0 + INTERVAL 15 DAY),
+         hA AS (SELECT DISTINCT
+             substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 12) AS hx
+           FROM events),
+         s1 AS (SELECT hx FROM h1 ORDER BY hx LIMIT 32),
+         sA AS (SELECT hx FROM hA ORDER BY hx LIMIT 32),
+         st1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_state,
+           MAX(hx) AS hmax FROM s1),
+         stA AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_state,
+           MAX(hx) AS hmax FROM sA),
+         ex1 AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_cum
+           FROM events, t0 WHERE ts < t0 + INTERVAL 15 DAY),
+         exA AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_cum
+           FROM events),
+         incr AS (
+           SELECT CAST(1 AS BIGINT) AS increment, st1.n_state,
+             st1.hmax, ex1.exact_cum FROM st1, ex1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), stA.n_state, stA.hmax,
+             exA.exact_cum FROM stA, exA),
+         vv AS (SELECT increment, n_state, exact_cum,
+             SUM((strpos('0123456789abcdef', substr(hmax, g.i, 1)) - 1)
+               * POWER(16.0, 12 - g.i)) / POWER(16.0, 12) AS v_k
+           FROM incr, generate_series(1, 12) g(i) GROUP BY 1, 2, 3)
+         SELECT increment, n_state, exact_cum,
+           ROUND(CASE WHEN n_state < 32 THEN CAST(n_state AS DOUBLE)
+             ELSE 31.0 / v_k END, 6) AS est_distinct
+         FROM vv ORDER BY increment""",
     "stream_hll_distinct" ->
       """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events)
          SELECT CAST(2 AS BIGINT) AS n_increments,
@@ -9313,6 +9636,80 @@ object SparkEntry {
            doc_id, n_tokens, types,
            ROUND(CAST(ttr AS DOUBLE), 6) AS ttr
          FROM fr ORDER BY rank""",
+    // orders_bass_diffusion: exact DECIMAL(38,0) power sums, one
+    // identical double Cramer expression per coefficient on both sides
+    "orders_bass_diffusion" ->
+      """WITH firsts AS (SELECT o_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS fd
+           FROM orders GROUP BY 1),
+         rng AS (SELECT MIN(fd) AS d0, MAX(fd) AS d1 FROM firsts),
+         wk AS (SELECT CAST(FLOOR(date_diff('day', d0, fd) / 7)
+               AS BIGINT) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM firsts, rng GROUP BY 1),
+         spine AS (SELECT unnest(generate_series(0,
+             CAST(FLOOR(date_diff('day', d0, d1) / 7) AS BIGINT)))
+             AS week FROM rng),
+         cum AS (SELECT s2.week, COALESCE(SUM(w2.n), 0) AS x
+           FROM spine s2 LEFT JOIN wk w2 ON w2.week < s2.week
+           GROUP BY 1),
+         series AS (SELECT s.week, COALESCE(wk.n, 0) AS n, c.x
+           FROM spine s LEFT JOIN wk USING (week)
+           JOIN cum c ON c.week = s.week),
+         sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(n) AS BIGINT) AS n_adopters,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sx2,
+             SUM(CAST(x * x * x AS DECIMAL(38,0))) AS sx3,
+             SUM(CAST(x * x * x * x AS DECIMAL(38,0))) AS sx4,
+             SUM(CAST(n AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * n AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x * n AS DECIMAL(38,0))) AS sx2y
+           FROM series),
+         dsum AS (SELECT nw, n_adopters,
+             CAST(nw AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+             CAST(sx2 AS DOUBLE) AS dsx2, CAST(sx3 AS DOUBLE) AS dsx3,
+             CAST(sx4 AS DOUBLE) AS dsx4, CAST(sy AS DOUBLE) AS dsy,
+             CAST(sxy AS DOUBLE) AS dsxy,
+             CAST(sx2y AS DOUBLE) AS dsx2y
+           FROM sums),
+         dets AS (SELECT *,
+             dn * (dsx2 * dsx4 - dsx3 * dsx3)
+               - dsx * (dsx * dsx4 - dsx3 * dsx2)
+               + dsx2 * (dsx * dsx3 - dsx2 * dsx2) AS det,
+             dsy * (dsx2 * dsx4 - dsx3 * dsx3)
+               - dsx * (dsxy * dsx4 - dsx3 * dsx2y)
+               + dsx2 * (dsxy * dsx3 - dsx2 * dsx2y) AS det_a,
+             dn * (dsxy * dsx4 - dsx3 * dsx2y)
+               - dsy * (dsx * dsx4 - dsx3 * dsx2)
+               + dsx2 * (dsx * dsx2y - dsxy * dsx2) AS det_b,
+             dn * (dsx2 * dsx2y - dsxy * dsx3)
+               - dsx * (dsx * dsx2y - dsxy * dsx2)
+               + dsy * (dsx * dsx3 - dsx2 * dsx2) AS det_c
+           FROM dsum),
+         coefs AS (SELECT *,
+             CASE WHEN det <> 0 THEN det_a / det END AS a,
+             CASE WHEN det <> 0 THEN det_b / det END AS b,
+             CASE WHEN det <> 0 THEN det_c / det END AS c
+           FROM dets),
+         quad AS (SELECT *, b * b - 4.0 * a * c AS disc FROM coefs),
+         mrow AS (SELECT *,
+             CASE WHEN disc IS NOT NULL AND disc >= 0 AND c <> 0
+               THEN (-b - sqrt(disc)) / (2.0 * c) END AS m_hat
+           FROM quad),
+         prow AS (SELECT *,
+             CASE WHEN m_hat IS NOT NULL AND m_hat <> 0
+               THEN a / m_hat END AS p
+           FROM mrow),
+         qrow AS (SELECT *, CASE WHEN p IS NOT NULL THEN b + p END AS q
+           FROM prow)
+         SELECT nw AS n_weeks, n_adopters,
+           ROUND(a, 6) AS coef_a, ROUND(b, 6) AS coef_b,
+           ROUND(c, 9) AS coef_c, ROUND(m_hat, 2) AS m_hat,
+           ROUND(p, 6) AS p_innovation, ROUND(q, 6) AS q_imitation,
+           ROUND(CASE WHEN p IS NOT NULL AND p > 0 AND q > 0
+             THEN ln(q / p) / (p + q) END, 2) AS peak_week
+         FROM qrow""",
     "orders_croston" ->
       """WITH monthly AS (SELECT l_partkey,
              date_trunc('month', l_shipdate) AS mo,
@@ -12065,6 +12462,9 @@ object SparkEntry {
                AS mrr_mean
            FROM fin GROUP BY arm ORDER BY arm""") +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
+      ("text_tokenizer_fertility" -> fertilityOracleSql()) +
+      ("text_wordpiece_greedy" -> wordpieceOracleSql()) +
+      ("sim_beam_search" -> beamSearchOracleSql()) +
       ("sim_mmr_rerank" -> mmrOracleSql()) +
       ("events_event_study" ->
         """WITH sp AS (SELECT epoch(MIN(ts))
@@ -12967,6 +13367,274 @@ object SparkEntry {
              / CAST(total_words - oov_words AS DOUBLE), 6)
          END AS nll_per_word
        FROM allr ORDER BY increment, lang"""
+  }
+
+  /** Generated oracle for `sim_beam_search`: the greedy-search oracle's
+    * label-blocked k-NN/entry/truth CTEs, then per beam width an
+    * unrolled frontier chain (candidates = beam ∪ neighbors minus the
+    * query, scored, top-b per label) and the explored-set recall fold —
+    * generated so the hop bodies cannot drift from the Spark loop. */
+  private[graft] def beamSearchOracleSql(kEdges: Int = 3, hops: Int = 4,
+      beams: Seq[Int] = Seq(1, 2, 4), kTruth: Int = 10): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH directed AS (SELECT a.label, a.vec_id AS v1,
+           b.vec_id AS v2,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id <> b.vec_id),
+       knn AS (SELECT label, v1, v2 FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+             ORDER BY sim DESC, v2) AS rk FROM directed) r
+         WHERE rk <= $kEdges),
+       sym AS MATERIALIZED (SELECT DISTINCT label, v1 AS node,
+           v2 AS nxt FROM (
+           SELECT label, v1, v2 FROM knn
+           UNION ALL SELECT label, v2, v1 FROM knn) u),
+       q AS (SELECT label, MIN(vec_id) AS qid, MAX(vec_id) AS entry
+         FROM embeddings GROUP BY 1),
+       qe AS MATERIALIZED (SELECT q.label, q.qid, q.entry,
+           e.embedding AS q_emb
+         FROM q JOIN embeddings e ON e.vec_id = q.qid),
+       truth AS MATERIALIZED (SELECT label, cid, bsim, rk FROM (
+           SELECT qe.label, e.vec_id AS cid,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS bsim,
+             ROW_NUMBER() OVER (PARTITION BY qe.label ORDER BY
+               list_cosine_similarity(e.embedding, qe.q_emb) DESC,
+               e.vec_id) AS rk
+           FROM embeddings e JOIN qe ON qe.label = e.label
+           WHERE e.vec_id <> qe.qid) z WHERE rk <= $kTruth),
+       tn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_truth
+         FROM truth GROUP BY 1),
+       nn AS (SELECT label, bsim AS nn_sim FROM truth WHERE rk = 1),
+       s0 AS MATERIALIZED (SELECT qe.label, qe.entry AS node,
+           list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+         FROM qe JOIN embeddings e ON e.vec_id = qe.entry),
+"""
+    for (b <- beams) {
+      sb ++= s"sb${b}_0 AS (SELECT label, node, sim FROM s0),\n"
+      for (h <- 1 to hops) {
+        sb ++= s"""cb${b}_$h AS (SELECT DISTINCT c.label, c.node FROM (
+            SELECT label, node FROM sb${b}_${h - 1}
+            UNION ALL
+            SELECT s.label, y.nxt AS node FROM sb${b}_${h - 1} s
+              JOIN sym y ON y.label = s.label AND y.node = s.node) c
+          JOIN qe ON qe.label = c.label WHERE c.node <> qe.qid),
+         scb${b}_$h AS MATERIALIZED (SELECT c.label, c.node,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+           FROM cb${b}_$h c JOIN embeddings e ON e.vec_id = c.node
+           JOIN qe ON qe.label = c.label),
+         sb${b}_$h AS MATERIALIZED (SELECT label, node, sim FROM (
+             SELECT label, node, sim, ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY sim DESC, node) AS rk
+             FROM scb${b}_$h) z WHERE rk <= $b),
+"""
+      }
+      val exUnion = (s"SELECT label, node FROM sb${b}_0" +:
+        (1 to hops).map(h => s"SELECT label, node FROM scb${b}_$h"))
+        .mkString(" UNION ALL ")
+      sb ++= s"""exb$b AS MATERIALIZED (SELECT DISTINCT label, node
+           FROM ($exUnion) u),
+         nxb$b AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_explored
+           FROM exb$b GROUP BY 1),
+         htb$b AS (SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             CAST(MAX(CASE WHEN t.rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS got_nn
+           FROM exb$b e JOIN truth t ON t.label = e.label
+             AND t.cid = e.node GROUP BY 1),
+         bsb$b AS (SELECT label, MAX(sim) AS best_sim
+           FROM sb${b}_$hops GROUP BY 1),
+         finb$b AS (SELECT CAST($b AS BIGINT) AS beam, n.label,
+             n.n_explored, tn.n_truth,
+             COALESCE(h.n_hit, 0) AS n_hit,
+             ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+               / CAST(tn.n_truth AS DOUBLE), 4) AS recall,
+             ROUND(CAST(b2.best_sim AS DOUBLE), 4) AS best_sim,
+             ROUND(CAST(nn.nn_sim AS DOUBLE), 4) AS nn_sim,
+             COALESCE(h.got_nn, 0) = 1 AS reached_nn
+           FROM nxb$b n JOIN bsb$b b2 USING (label)
+           LEFT JOIN htb$b h USING (label)
+           JOIN tn USING (label) JOIN nn USING (label)),
+"""
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= "\n" + beams.map(b => s"SELECT * FROM finb$b")
+      .mkString(" UNION ALL ")
+    sb ++= " ORDER BY beam, label"
+    sb.toString
+  }
+
+  /** Corpus-wide eval chain shared by the tokenizer-eval oracles
+    * (`text_tokenizer_fertility`, `text_wordpiece_greedy`): the
+    * (lang, word, occ) eval grain, its distinct types + span lattice
+    * joined to the frozen `cost1`, and the unrolled Viterbi DP +
+    * backpointer walk down to per-word piece counts (`enp`) and final
+    * costs (`efin`). Ends with a trailing comma. */
+  private def evalViterbiChainSql(maxLen: Int, maxPiece: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ew AS MATERIALIZED (SELECT lang, w,
+        CAST(COUNT(*) AS BIGINT) AS occ FROM (
+        SELECT lang, lower(t) AS w FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS t
+          FROM documents) z
+        WHERE regexp_matches(lower(t), '^[a-z]+$$')
+          AND length(t) <= $maxLen) zz
+      GROUP BY 1, 2),\n"""
+    sb ++= "ety AS MATERIALIZED (SELECT w, length(w) AS len " +
+      "FROM (SELECT DISTINCT w FROM ew) d),\n"
+    sb ++= s"""esp AS MATERIALIZED (SELECT w, st - 1 AS j,
+        st + pl - 1 AS i,
+        substr(w, CAST(st AS INT), CAST(pl AS INT)) AS piece
+      FROM ety, range(1, ${maxLen + 1}) s(st),
+        range(1, ${maxPiece + 1}) p(pl)
+      WHERE st + pl - 1 <= len),\n"""
+    sb ++= "evsi AS MATERIALIZED (SELECT s.w, s.j, s.i, cost " +
+      "FROM esp s JOIN cost1 USING (piece)),\n"
+    sb ++= "edp_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+      "CAST(0 AS DECIMAL(28,12)) AS dp, -1 AS bp FROM ety),\n"
+    for (i <- 1 to maxLen) {
+      val lo = math.max(0, i - maxPiece)
+      val prevUnion = (lo until i)
+        .map(j => s"SELECT * FROM edp_$j").mkString(" UNION ALL ")
+      sb ++= s"""edp_$i AS MATERIALIZED (SELECT w, $i AS pos,
+          CAST(dpn AS DECIMAL(28,12)) AS dp, bp FROM (
+          SELECT vs.w, d.dp + vs.cost AS dpn, vs.j AS bp,
+            ROW_NUMBER() OVER (PARTITION BY vs.w
+              ORDER BY d.dp + vs.cost ASC, vs.j ASC) AS rn
+          FROM evsi vs JOIN ($prevUnion) d
+            ON vs.w = d.w AND vs.j = d.pos
+          WHERE vs.i = $i) z WHERE rn = 1),\n"""
+    }
+    sb ++= "edpall AS MATERIALIZED (" + (0 to maxLen)
+      .map(i => s"SELECT * FROM edp_$i").mkString(" UNION ALL ") +
+      "),\n"
+    sb ++= """efin AS MATERIALIZED (SELECT d.w, t.len, d.dp
+      FROM edpall d
+      JOIN ety t ON d.w = t.w AND d.pos = t.len),
+"""
+    sb ++= "ewk_0 AS MATERIALIZED (SELECT w, len AS pos FROM efin),\n"
+    for (t <- 1 to maxLen) {
+      val prev = if (t == 1) "ewk_0"
+        else s"(SELECT w, bp AS pos FROM ewk_${t - 1})"
+      sb ++= s"""ewk_$t AS MATERIALIZED (SELECT k.w, d.bp
+        FROM $prev k
+        JOIN edpall d ON k.w = d.w AND k.pos = d.pos
+        WHERE k.pos > 0),\n"""
+    }
+    sb ++= "enp AS MATERIALIZED (SELECT w, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pieces FROM (" +
+      (1 to maxLen).map(t => s"SELECT w FROM ewk_$t")
+        .mkString(" UNION ALL ") + ") u GROUP BY 1),\n"
+    sb.toString
+  }
+
+  /** Generated oracle for `text_tokenizer_fertility`: the BPE
+    * trainer's CTE chain ([[bpeMergeOracleSql]], its `words` CTE
+    * renamed `bwords` to coexist with the unigram trainer prefix's
+    * `words`) + the unigram frozen-cost prefix
+    * ([[unigramTrainPrefixSql]]) + ONE eval Viterbi chain over the
+    * corpus-wide eval types + the two per-arm censuses. */
+  private[graft] def fertilityOracleSql(rounds: Int = 6,
+      maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
+      vKeep: Int = 200): String = {
+    val trained = bpeMergeOracleSql(rounds)
+    val bpeCtes = trained
+      .substring(0, trained.indexOf("\n SELECT * FROM ("))
+      .stripPrefix("WITH ")
+      .replaceAll("\\bwords\\b", "bwords")
+    val sb = new StringBuilder
+    sb ++= evalViterbiChainSql(maxLen, maxPiece)
+    sb ++= s"""bnp AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+      FROM syms_$rounds GROUP BY w),\n"""
+    def cen(arm: String, npCte: String): String =
+      s"""(SELECT '$arm' AS arm, lang,
+          CAST(SUM(occ) AS BIGINT) AS total_words,
+          CAST(SUM(CASE WHEN n.w IS NULL THEN 0 ELSE occ END)
+            AS BIGINT) AS covered_words,
+          CAST(SUM(CASE WHEN n.w IS NULL THEN 0
+            ELSE occ * n.n_pieces END) AS BIGINT) AS total_pieces,
+          CAST(SUM(CASE WHEN n.w IS NULL THEN 0
+            ELSE occ * length(l.w) END) AS BIGINT) AS total_chars
+        FROM ew l LEFT JOIN $npCte n ON l.w = n.w GROUP BY 2)"""
+    s"""WITH ${unigramTrainPrefixSql(maxLen, maxPiece, v0, vKeep)}
+       $bpeCtes,
+       ${sb.toString}
+       cens AS (SELECT * FROM ${cen("bpe", "bnp")}
+         UNION ALL SELECT * FROM ${cen("unigram", "enp")})
+       SELECT arm, lang, total_words, covered_words, total_pieces,
+         CASE WHEN covered_words > 0 THEN
+           ROUND(CAST(total_pieces AS DOUBLE)
+             / CAST(covered_words AS DOUBLE), 6) END AS pieces_per_word,
+         CASE WHEN total_pieces > 0 THEN
+           ROUND(CAST(total_chars AS DOUBLE)
+             / CAST(total_pieces AS DOUBLE), 6) END AS chars_per_piece
+       FROM cens ORDER BY arm, lang"""
+  }
+
+  /** Generated oracle for `text_wordpiece_greedy`: the unigram
+    * frozen-cost prefix + the shared eval Viterbi chain
+    * ([[evalViterbiChainSql]]) + an unrolled greedy longest-match walk
+    * (per step: argmax span end per active word, piece cost joined
+    * back) + the per-language two-arm census. */
+  private[graft] def wordpieceOracleSql(maxLen: Int = 10,
+      maxPiece: Int = 4, v0: Int = 300, vKeep: Int = 200): String = {
+    val sb = new StringBuilder
+    sb ++= evalViterbiChainSql(maxLen, maxPiece)
+    sb ++= "g_0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+      "CAST(0 AS BIGINT) AS np, CAST(0 AS DECIMAL(28,12)) AS cost " +
+      "FROM ety),\n"
+    for (i <- 1 to maxLen) {
+      sb ++= s"""ga_$i AS (SELECT z.w, z.pos, z.np, z.cost, z.ni,
+          v2.cost AS pc FROM (
+          SELECT s.w, s.pos, s.np, s.cost, MAX(v.i) AS ni
+          FROM g_${i - 1} s JOIN evsi v ON v.w = s.w AND v.j = s.pos
+          GROUP BY 1, 2, 3, 4) z
+        JOIN evsi v2 ON v2.w = z.w AND v2.j = z.pos AND v2.i = z.ni),
+       g_$i AS MATERIALIZED (SELECT w, ni AS pos,
+          CAST(np + 1 AS BIGINT) AS np,
+          CAST(cost + pc AS DECIMAL(28,12)) AS cost FROM ga_$i),
+"""
+    }
+    val finUnion = (1 to maxLen).map(i =>
+      s"""SELECT g.w, g.np, g.cost FROM g_$i g
+          JOIN ety t ON g.w = t.w AND g.pos = t.len""")
+      .mkString(" UNION ALL ")
+    sb ++= s"gfin AS MATERIALIZED ($finUnion),\n"
+    sb ++= """cens AS (SELECT lang,
+        CAST(SUM(occ) AS BIGINT) AS total_words,
+        CAST(SUM(CASE WHEN g.w IS NULL THEN 0 ELSE occ END)
+          AS BIGINT) AS covered_words,
+        CAST(SUM(CASE WHEN g.w IS NULL THEN 0 ELSE occ * g.np END)
+          AS BIGINT) AS greedy_pieces,
+        CAST(SUM(CASE WHEN n.w IS NULL THEN 0
+          ELSE occ * n.n_pieces END) AS BIGINT) AS viterbi_pieces,
+        CAST(SUM(CASE WHEN g.w IS NOT NULL AND g.cost > f.dp
+          THEN occ ELSE 0 END) AS BIGINT) AS suboptimal_words,
+        SUM(CASE WHEN g.w IS NOT NULL
+          THEN CAST((g.cost - f.dp) * occ AS DECIMAL(38,12)) END)
+          AS excess_sum
+      FROM ew l LEFT JOIN gfin g ON l.w = g.w
+      LEFT JOIN enp n ON l.w = n.w
+      LEFT JOIN efin f ON l.w = f.w
+      GROUP BY 1)
+"""
+    s"""WITH ${unigramTrainPrefixSql(maxLen, maxPiece, v0, vKeep)}
+       ${sb.toString}
+       SELECT lang, total_words, covered_words, greedy_pieces,
+         viterbi_pieces, suboptimal_words,
+         CASE WHEN covered_words > 0 THEN
+           ROUND(CAST(greedy_pieces AS DOUBLE)
+             / CAST(covered_words AS DOUBLE), 6) END AS greedy_ppw,
+         CASE WHEN covered_words > 0 THEN
+           ROUND(CAST(viterbi_pieces AS DOUBLE)
+             / CAST(covered_words AS DOUBLE), 6) END AS viterbi_ppw,
+         CASE WHEN covered_words > 0 THEN
+           ROUND(CAST(excess_sum AS DOUBLE)
+             / CAST(covered_words AS DOUBLE), 6) END AS excess_nll_pw,
+         CASE WHEN covered_words > 0 THEN
+           ROUND(CAST(suboptimal_words AS DOUBLE)
+             / CAST(covered_words AS DOUBLE), 6) END
+           AS suboptimal_share
+       FROM cens ORDER BY lang"""
   }
 
   private[graft] def incrementalMinhashOracleSql(steps: Seq[String]): String = {

@@ -1671,4 +1671,76 @@ object DedupOps {
         round(abs(col("est_b1") - col("exact")), 3).as("err_b1"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** The staged DEDUP CASCADE funnel — the cheap-to-expensive
+    * composition a 100 TB curation run actually executes (each tier
+    * only ever sees the previous tier's survivors, so the expensive
+    * rungs run on the smallest possible corpus): tier 1 exact md5
+    * keep-min ([[dedupExact]]'s rule), tier 2 MinHash-LSH verified
+    * Jaccard ≥ 0.5 ([[minhashLshPairs]]) restricted to tier-1
+    * survivors, tier 3 hashed-trigram-TF cosine ≥ 0.9
+    * ([[embeddingCosinePairs]]) restricted to tier-2 survivors. One
+    * row per tier: candidates entering, verified pairs among them,
+    * documents removed (the keep-min/greater-side-loses rule
+    * throughout), survivors, and the tier's removal rate — the funnel
+    * readout that justifies (or kills) each tier's cost.
+    *
+    * Restricting each tier's PAIR SET to surviving endpoints is
+    * exactly equivalent to re-running that tier's kernel on the
+    * survivor corpus (LSH candidate generation is per-pair
+    * independent), so the composition reuses the standalone kernels
+    * without a second corpus pass per tier.
+    *
+    * Scale shape: the corpus-scale work is the three standalone
+    * kernels this row composes (each already blocked/df-capped);
+    * the survivor restrictions are semi/anti-joins on doc_id; the
+    * census is 3 rows of crossJoined 1-row counts. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val keep1 = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv1 = docs.select(col("doc_id"))
+      .join(keep1, Seq("doc_id"), "left_semi").localCheckpoint()
+    val p2 = minhashLshPairs(spark, dir)
+      .select(col("d1"), col("d2"))
+      .join(surv1.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(surv1.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      .localCheckpoint()
+    val losers2 = p2.select(col("d2").as("doc_id")).distinct()
+    val surv2 = surv1.join(losers2, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val p3 = embeddingCosinePairs(spark, dir)
+      .select(col("keeper").as("d1"), col("dup").as("d2"))
+      .join(surv2.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(surv2.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      .localCheckpoint()
+    val losers3 = p3.select(col("d2").as("doc_id")).distinct()
+    def one(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(as))
+    val counts = one(docs, "n_all")
+      .crossJoin(one(surv1, "n_s1"))
+      .crossJoin(one(p2, "n_p2"))
+      .crossJoin(one(losers2, "n_l2"))
+      .crossJoin(one(surv2, "n_s2"))
+      .crossJoin(one(p3, "n_p3"))
+      .crossJoin(one(losers3, "n_l3"))
+      .localCheckpoint() // seven 1-row scalars
+    def tier(stage: String, in: Column, pairs: Column,
+             removed: Column, out: Column): DataFrame =
+      counts.select(lit(stage).as("stage"),
+        in.as("candidates_in"), pairs.as("n_pairs"),
+        removed.as("n_removed"), out.as("survivors"),
+        round(removed.cast("double") / in.cast("double"), 6)
+          .as("removal_rate"))
+    tier("1_exact", col("n_all"), col("n_all") - col("n_s1"),
+        col("n_all") - col("n_s1"), col("n_s1"))
+      .unionByName(tier("2_minhash", col("n_s1"), col("n_p2"),
+        col("n_l2"), col("n_s2")))
+      .unionByName(tier("3_cosine", col("n_s2"), col("n_p3"),
+        col("n_l3"), col("n_s2") - col("n_l3")))
+      .orderBy(col("stage"))
+  }
 }

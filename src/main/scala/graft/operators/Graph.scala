@@ -924,4 +924,141 @@ object Graph {
         sum((col("cc") === 0.0).cast("long")).as("n_zero_cc"))
       .orderBy(col("label"))
   }
+
+  /** One SYNCHRONOUS Louvain refinement round over the trade graph —
+    * the modularity-GAIN move step that turns [[modularity]]'s static
+    * census into an optimizer: starting from [[labelPropNations]]'
+    * partition, every node evaluates the standard Louvain gain of
+    * moving to each NEIGHBORING community,
+    * ΔQ(i: a→b) = 2(k_{i,b} − k_{i,a})/2m − 2k_i(k_i + Σtot_b −
+    * Σtot_a)/(2m)², takes its best strictly-positive move (ties to the
+    * smaller community id), and all moves apply SIMULTANEOUSLY — the
+    * parallel-Louvain variant (synchronous gain evaluation, one apply
+    * per round) that a distributed engine actually runs, since
+    * sequential per-node application is order-dependent and
+    * unparallelizable. The readout is the per-NEW-community census
+    * (size, movers absorbed, internal/total weight, Q contribution)
+    * with the partition-level q_before/q_after beside it — synchronous
+    * rounds may overshoot (two nodes swapping toward each other), so
+    * the honest readout reports the measured after-Q rather than
+    * assuming monotonicity, plus the sum of applied per-node gains
+    * (each valid only if that node had moved alone) — the
+    * gain_sum vs (q_after − q_before) gap IS the synchronous-collision
+    * diagnostic a parallel-Louvain implementation tunes its
+    * move-damping against.
+    *
+    * Determinism: weights, k_i, k_{i,c}, Σtot are exact
+    * DECIMAL(38,0) sums (≤ ~10¹³ at bench SFs — double-exact); each
+    * gain is ONE double expression over exact operands written
+    * identically in both engines; per-community contributions quantize
+    * to DECIMAL(28,12) before the partition sum (order-independent).
+    * Self-loops cancel in ΔQ (they move with the node), so k_{i,c}
+    * excludes the self-edge on both sides.
+    *
+    * Scale shape: the fact-scale work is [[tradeEdges]]' one join+agg;
+    * the community map broadcasts into the edge relation (the Louvain
+    * inner loop is one edge-grain join + two bounded aggs per round —
+    * the shape that holds on a billion-edge graph); the move choice is
+    * a per-NODE partitioned rank over candidate communities (bounded
+    * by degree); every census after that is |communities|-sized. */
+  def louvainRound(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symTradeEdges(spark, dir).localCheckpoint()
+    val comm = labelPropNations(spark, dir)
+      .select(col("node"), col("community")).localCheckpoint()
+    val m2 = sym.agg(sum(col("w")).as("tw"))
+    val degN = sym.groupBy(col("node")).agg(sum(col("w")).as("ki"))
+    val degC = degN.join(broadcast(comm), Seq("node"))
+      .groupBy(col("community")).agg(sum(col("ki")).as("degw"))
+    // k_{i,c}: node's weight into each community, self-edge excluded
+    val kic = sym.filter(col("nbr") =!= col("node"))
+      .join(broadcast(comm.select(col("node").as("nbr"),
+        col("community").as("cand"))), Seq("nbr"))
+      .groupBy(col("node"), col("cand")).agg(sum(col("w")).as("kc"))
+    val cm = comm.withColumnRenamed("community", "cur")
+    val kia = kic.join(broadcast(cm), Seq("node"))
+      .filter(col("cand") === col("cur"))
+      .select(col("node"), col("kc").as("kia"))
+    val base = cm
+      .join(degN, Seq("node"))
+      .join(kia, Seq("node"), "left")
+      .join(broadcast(degC.select(col("community").as("cur"),
+        col("degw").as("dega"))), Seq("cur"))
+      .select(col("node"), col("cur"), col("ki"),
+        coalesce(col("kia"), lit(0L).cast("decimal(38,0)")).as("kia"),
+        col("dega"))
+    val twD = col("tw").cast("double")
+    val gains = base
+      .join(kic, Seq("node"))
+      .filter(col("cand") =!= col("cur"))
+      .join(broadcast(degC.select(col("community").as("cand"),
+        col("degw").as("degb"))), Seq("cand"))
+      .crossJoin(broadcast(m2)) // 1-row 2m scalar
+      .select(col("node"), col("cur"), col("cand"),
+        (lit(2.0) * (col("kc").cast("double") - col("kia").cast("double"))
+          / twD -
+          lit(2.0) * col("ki").cast("double") *
+            (col("ki").cast("double") + col("degb").cast("double") -
+              col("dega").cast("double")) / (twD * twD)).as("gain"))
+    val best = gains
+      .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+        .orderBy(col("gain").desc, col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("cand"), col("gain"))
+    val comm2 = comm.withColumnRenamed("community", "cur")
+      .join(broadcast(best), Seq("node"), "left")
+      .select(col("node"), col("cur"),
+        when(col("gain") > 0.0, col("cand")).otherwise(col("cur"))
+          .as("community"))
+      .localCheckpoint() // node-sized; reused by census + both Q sums
+    def qCensus(cm: DataFrame): DataFrame = {
+      val internal = sym
+        .join(broadcast(cm.select(col("node"), col("community"))),
+          Seq("node"))
+        .join(broadcast(cm.select(col("node").as("nbr"),
+          col("community").as("c2"))), Seq("nbr"))
+        .filter(col("community") === col("c2"))
+        .groupBy(col("community")).agg(sum(col("w")).as("in_w"))
+      degN.join(broadcast(cm.select(col("node"), col("community"))),
+          Seq("node"))
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("ki")).as("deg_w"))
+        .join(internal, Seq("community"), "left")
+        .crossJoin(broadcast(m2)) // 1-row total-weight scalar
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("in_w"), lit(0L).cast("decimal(38,0)"))
+            .as("in_w"), col("deg_w"),
+          (coalesce(col("in_w"), lit(0L).cast("decimal(38,0)"))
+              .cast("double") / twD -
+            (col("deg_w").cast("double") / twD) *
+              (col("deg_w").cast("double") / twD))
+            .cast("decimal(28,12)").as("contrib"))
+    }
+    // the sum of the APPLIED per-node gains — each valid only if that
+    // node moved alone; reported beside the realized q_after − q_before
+    // so the synchronous-collision gap is part of the readout
+    val gainSum = best.filter(col("gain") > 0.0)
+      .agg(sum(col("gain").cast("decimal(28,12)")).as("gs"))
+      .select(coalesce(col("gs"), lit(0).cast("decimal(28,12)"))
+        .as("gain_sum"))
+    val qBefore = qCensus(comm.select(col("node"), col("community")))
+      .agg(sum(col("contrib")).as("q_before"))
+    val after = qCensus(comm2.select(col("node"), col("community")))
+    val qAfter = after.agg(sum(col("contrib")).as("q_after"))
+    val movers = comm2.filter(col("community") =!= col("cur"))
+      .groupBy(col("community")).agg(count(lit(1)).as("n_moved_in"))
+    after
+      .join(movers, Seq("community"), "left")
+      .crossJoin(broadcast(qBefore)).crossJoin(broadcast(qAfter))
+      .crossJoin(broadcast(gainSum)) // 1-row expected-ΔQ scalar
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        col("in_w").cast("long").as("in_w"),
+        col("deg_w").cast("long").as("deg_w"),
+        round(col("contrib").cast("double"), 6).as("contribution"),
+        round(col("q_before").cast("double"), 6).as("q_before"),
+        round(col("q_after").cast("double"), 6).as("q_after"),
+        round(col("gain_sum").cast("double"), 6).as("gain_sum"))
+      .orderBy(col("community"))
+  }
 }

@@ -905,4 +905,125 @@ object Quality {
         col("min_class_size"))
       .orderBy(col("k"))
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    * ALGEBRA — the third mergeable distinct estimator beside
+    * [[sketchHll]] and [[linearCounting]], and the one that, unlike
+    * HLL, supports a DIRECT intersection estimate: keep the k smallest
+    * hash values of each per-event-type user audience; the k-th value
+    * v_k estimates the distinct count as (k−1)/v_k, and for a pair of
+    * audiences the bottom-k of the UNION of the two signatures — which
+    * by construction equals the bottom-k of the union of the sets,
+    * the mergeability a 1000-executor rollup relies on — gives both
+    * the union estimate and, via the fraction of union-signature
+    * members present in BOTH input signatures, the Jaccard and
+    * intersection estimates (Beyer et al. 2007). One row per unordered
+    * event-type pair: exact audience/union/intersection truths beside
+    * the five sketch estimates.
+    *
+    * Unlike the HLL rows (engine-specific estimates, boolean-gated),
+    * every estimate here is EXACTLY reproducible: the hash is the
+    * md5-prefix convention (first 12 hex nibbles = 48 bits → a double
+    * in [0,1) by one exact power-of-two division; 48-bit integers and
+    * 2⁻⁴⁸ scaling are both exact in IEEE doubles), so the oracle
+    * recomputes identical estimates and the gate is a hash compare,
+    * not a tolerance band.
+    *
+    * Scale shape: one distinct pass to (type, hash) grain, then a
+    * per-type bottom-k via a PARTITIONED rank window (WindowGroupLimit
+    * pushes the top-k partial map-side, so k·|types| rows survive the
+    * exchange); every later relation is |types|²·k-bounded. The exact
+    * sides are the truth gate only — the sketch path never touches
+    * them. */
+  def kmvSketch(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kL = lit(k.toLong)
+    val du = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    // distinct-HASH grain: KMV is defined over the hashed SET (a
+    // 48-bit collision, if one ever lands, collapses identically in
+    // both engines)
+    val h = du
+      .select(col("event_type"),
+        substring(md5(concat(lit("u:"), col("user_id").cast("string"))),
+          1, 12).as("hx"))
+      .distinct()
+      .withColumn("v",
+        conv(col("hx"), 16, 10).cast("long").cast("double") /
+          pow(lit(16.0), lit(12)))
+    val sig = h
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("hx"))))
+      .filter(col("rk") <= kL)
+      .select(col("event_type"), col("hx"), col("v"))
+      .localCheckpoint() // k·|types| rows; cuts the corpus scan from
+                         // every pair-stage reuse below
+    def estCol(n: Column, vMax: Column): Column =
+      when(n < kL, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / vMax)
+    val perType = sig.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sig"), max(col("v")).as("v_max"))
+      .join(du.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_n")), Seq("event_type"))
+      .select(col("event_type"), col("exact_n"),
+        estCol(col("n_sig"), col("v_max")).as("est_n"))
+    val pairs = perType.select(col("event_type").as("type_a"),
+        col("exact_n").as("exact_a"), col("est_n").as("est_a"))
+      .join(perType.select(col("event_type").as("type_b"),
+        col("exact_n").as("exact_b"), col("est_n").as("est_b")),
+        col("type_a") < col("type_b"))
+    val exactInter = du.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // union signature: bottom-k of (sigA ∪ sigB) == bottom-k of the
+    // union of the underlying sets — the mergeability property
+    val uSig = pairs.select(col("type_a"), col("type_b"))
+      .join(sig.select(col("event_type").as("type_a"), col("hx"),
+        col("v")), Seq("type_a"))
+      .unionByName(pairs.select(col("type_a"), col("type_b"))
+        .join(sig.select(col("event_type").as("type_b"), col("hx"),
+          col("v")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("hx"), col("v")))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("type_a"), col("type_b"))
+          .orderBy(col("hx"))))
+      .filter(col("rk") <= kL)
+    val kStats = uSig.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_k"), max(col("v")).as("v_k"))
+    val overlap = uSig
+      .join(sig.select(col("event_type").as("type_a"), col("hx")),
+        Seq("type_a", "hx"))
+      .join(sig.select(col("event_type").as("type_b"), col("hx")),
+        Seq("type_b", "hx"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(kStats, Seq("type_a", "type_b"))
+      .join(overlap, Seq("type_a", "type_b"), "left")
+      .join(exactInter, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_inter",
+        coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_inter"))
+      .withColumn("est_union", estCol(col("n_k"), col("v_k")))
+      .withColumn("est_jaccard",
+        coalesce(col("n_both"), lit(0L)).cast("double") /
+          col("n_k").cast("double"))
+      .select(col("type_a"), col("type_b"),
+        col("exact_a"), col("exact_b"),
+        col("exact_union"), col("exact_inter"),
+        round(col("exact_inter").cast("double") /
+          col("exact_union").cast("double"), 6).as("exact_jaccard"),
+        round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(col("est_jaccard") * col("est_union"), 6).as("est_inter"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

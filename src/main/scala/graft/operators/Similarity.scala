@@ -2961,4 +2961,113 @@ object Similarity {
         round(col("hits_16").cast("double") / k, 4).as("recall_d16"))
       .orderBy(col("q_id"))
   }
+
+  /** BEAM search over the k-NN graph — the ef/beam-width knob that
+    * turns [[greedySearch]]'s 1-cursor walk into the recall-for-work
+    * dial every graph-ANN deployment tunes (HNSW's `efSearch`): for
+    * beam widths 1/2/4, the frontier keeps the best `b` nodes seen so
+    * far, each hop scores frontier ∪ their graph neighbors against
+    * the label's query, and after `hops` rounds the CUMULATIVE
+    * explored set (every candidate ever scored — the true cost meter)
+    * is intersected with the within-label brute-force top-10 truth
+    * ([[recallEval]]'s discipline). One row per (beam, label):
+    * explored count, top-10 recall, the beam's best similarity beside
+    * the true NN's, and whether the NN itself was found — the curve
+    * that shows WHY serving defaults land at beam ≈ 2-4: beam 1 is
+    * greedy's local-optimum risk, beam 4 approaches exhaustive recall
+    * at a fraction of the scan.
+    *
+    * Scale shape: the one corpus-scale relation is the label-blocked
+    * k-NN edge kernel the whole graph family shares; after it, every
+    * hop is a |labels|·b-row frontier equi-joined against the
+    * degree-bounded edge list plus a per-label top-b PARTITIONED rank
+    * (WindowGroupLimit map-side), each hop checkpointed so hop h+1
+    * never replays hop h's join chain. The recall fold runs on the
+    * ≤ |labels|·(1 + Σ_h b(k+1))-row explored union. */
+  def beamSearch(spark: SparkSession, dir: String, kEdges: Int = 3,
+      hops: Int = 4, beams: Seq[Int] = Seq(1, 2, 4),
+      kTruth: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val edges = knnEdges(spark, dir, kEdges)
+      .select(col("label"), col("v1"), col("v2")).localCheckpoint()
+    val sym = edges
+      .union(edges.select(col("label"), col("v2"), col("v1")))
+      .toDF("label", "node", "nxt").distinct().localCheckpoint()
+    val q = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"),
+      max(col("vec_id")).as("entry"))
+    val qe = q.join(e.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb")), Seq("qid")).localCheckpoint()
+    def scoreNodes(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("node"),
+        col("embedding").as("n_emb")), Seq("node"))
+      .join(qe.select(col("label"), col("q_emb")), Seq("label"))
+      .withColumn("sim", ExprColumns.cosineF32(spark, "n_emb", "q_emb"))
+      .select(col("label"), col("node"), col("sim"))
+    val truth = e
+      .select(col("label"), col("vec_id").as("cid"),
+        col("embedding").as("c_emb"))
+      .join(qe.select(col("label"), col("qid"), col("q_emb")),
+        Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("bsim", ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("bsim").desc, col("cid"))))
+      .filter(col("rk") <= kTruth)
+      .select(col("label"), col("cid"), col("bsim"), col("rk"))
+      .localCheckpoint()
+    val truthN = truth.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_truth"))
+    val nn = truth.filter(col("rk") === 1)
+      .select(col("label"), col("bsim").as("nn_sim"))
+    val s0 = scoreNodes(qe.select(col("label"), col("entry").as("node")))
+      .localCheckpoint()
+    val perBeam = beams.map { b =>
+      var s = s0
+      var explored = s0
+      for (_ <- 1 to hops) {
+        val cand = s.select(col("label"), col("node"))
+          .unionByName(s.select(col("label"), col("node"))
+            .join(sym, Seq("label", "node"))
+            .select(col("label"), col("nxt").as("node")))
+          .join(qe.select(col("label"), col("qid")), Seq("label"))
+          .filter(col("node") =!= col("qid"))
+          .select(col("label"), col("node")).distinct()
+        val scored = scoreNodes(cand).localCheckpoint()
+        explored = explored.unionByName(scored)
+        s = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("sim").desc, col("node"))))
+          .filter(col("rk") <= b)
+          .select(col("label"), col("node"), col("sim"))
+          .localCheckpoint()
+      }
+      val ex = explored.select(col("label"), col("node")).distinct()
+        .localCheckpoint()
+      val nEx = ex.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_explored"))
+      val hits = ex
+        .join(truth.select(col("label"), col("cid").as("node"),
+          col("rk")), Seq("label", "node"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_hit"),
+          max(when(col("rk") === 1, 1L).otherwise(0L)).as("got_nn"))
+      val best = s.groupBy(col("label")).agg(max(col("sim")).as("best_sim"))
+      nEx
+        .join(best, Seq("label"))
+        .join(hits, Seq("label"), "left")
+        .join(truthN, Seq("label"))
+        .join(nn, Seq("label"))
+        .select(lit(b.toLong).as("beam"), col("label"),
+          col("n_explored"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth").cast("double"), 4).as("recall"),
+          round(col("best_sim").cast("double"), 4).as("best_sim"),
+          round(col("nn_sim").cast("double"), 4).as("nn_sim"),
+          (coalesce(col("got_nn"), lit(0L)) === 1).as("reached_nn"))
+    }
+    perBeam.reduce(_.unionByName(_)).orderBy(col("beam"), col("label"))
+  }
 }

@@ -1279,6 +1279,84 @@ object StreamingAnalytics {
           .as("est_within_bound"))
   }
 
+  /** Streaming KMV (bottom-k) distinct maintenance — the EXACTLY-
+    * gateable sibling of [[streamHllDistinct]] (whose DataSketches
+    * estimates are engine-specific and boolean-gated): the same two
+    * staged event increments, but the maintained state is the k
+    * smallest md5-prefix user hashes, merged per micro-batch as
+    * bottom-k(state ∪ batch-bottom-k) — which by the KMV merge law
+    * equals bottom-k over everything seen, so EVERY per-increment
+    * state (not just the last) is independently recomputable by the
+    * oracle from the cumulative prefix, and the gate is a hash
+    * compare on the estimates themselves ([[Quality.kmvSketch]]'s
+    * hash→[0,1) convention). One row per increment: state size, exact
+    * cumulative distinct truth, and the (k−1)/v_k estimate.
+    *
+    * Scale shape: the per-batch bottom-k is `ORDER BY hash LIMIT k` —
+    * Spark plans TakeOrderedAndProject (map-side partial top-k, no
+    * single-task global window); the merge input is ≤ 2k rows; state
+    * is k rows forever, the property that lets a 1000-executor
+    * ingest keep one tiny mergeable distinct sketch per stream. */
+  def streamKmvDistinct(spark: SparkSession, dir: String,
+      k: Int = 32): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_skmv").toString
+    val inDir = s"$root/in"
+    val ev = graft.Tables(spark, dir, "events")
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> based.filter(col("ts") < col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0"),
+      "inc2" -> based.filter(col("ts") >= col("t0") + expr("INTERVAL 15 DAYS"))
+        .drop("t0")))
+    val schema = spark.read.parquet(inDir).schema
+    @volatile var lastState = -1L
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cand = batch
+          .select(substring(md5(concat(lit("u:"),
+            col("user_id").cast("string"))), 1, 12).as("hx"))
+          .distinct()
+          .orderBy(col("hx")).limit(k) // TakeOrderedAndProject partial
+        val merged =
+          if (lastState < 0) cand
+          else cand.unionByName(
+            spark.read.parquet(s"$root/state_v$lastState")).distinct()
+        merged.orderBy(col("hx")).limit(k)
+          .write.mode("overwrite").parquet(s"$root/state_v$batchId")
+        lastState = batchId
+      }
+      .start()
+    q.awaitTermination()
+    require(lastState >= 0, "stream_kmv_distinct: no micro-batch ran")
+    val states = (0L to lastState).map { b =>
+      spark.read.parquet(s"$root/state_v$b")
+        .agg(count(lit(1)).as("n_state"), max(col("hx")).as("hmax"))
+        .select(lit(b + 1).as("increment"), col("n_state"), col("hmax"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    deleteTree(root)
+    val cut = col("t0") + expr("INTERVAL 15 DAYS")
+    val exacts = based.filter(col("ts") < cut)
+      .agg(countDistinct(col("user_id")).as("exact_cum"))
+      .select(lit(1L).as("increment"), col("exact_cum"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("exact_cum"))
+        .select(lit(2L).as("increment"), col("exact_cum")))
+    states.join(broadcast(exacts), Seq("increment"))
+      .withColumn("v_k",
+        conv(col("hmax"), 16, 10).cast("long").cast("double") /
+          pow(lit(16.0), lit(12)))
+      .select(col("increment"), col("n_state"), col("exact_cum"),
+        round(when(col("n_state") < k, col("n_state").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("v_k")), 6)
+          .as("est_distinct"))
+      .orderBy(col("increment"))
+  }
+
   /** Streaming MINI-BATCH k-means — the Lloyd loop run the way a
     * growing vector corpus forces ([[Similarity.kmeansLloydTwo]]'s
     * kernel with carried state): embeddings arrive as two staged

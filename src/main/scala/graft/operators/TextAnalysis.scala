@@ -3783,4 +3783,245 @@ object TextAnalysis {
           col("top_piece"), col("top_piece_count"))
       (usage, row)
   }
+
+  /** Frozen-cost Viterbi segmentation of an arbitrary (w, len)
+    * word-TYPE relation — the batch-shaped encode kernel under a
+    * trained unigram vocabulary (the same unrolled exact-decimal DP +
+    * backpointer walk the trainer and `stream_unigram_encode` run).
+    * Returns (w, n_pieces, dp); a type with no path through the
+    * frozen lattice (a train-unseen character) simply has no row —
+    * the caller's LEFT join reads that as OOV. */
+  /** (w, j, i, cost) span lattice of a (w, len) type relation joined
+    * to frozen piece costs — the shared input of the Viterbi and
+    * greedy encoders below. */
+  private def frozenLattice(types: DataFrame, frozen: DataFrame,
+      maxPiece: Int): DataFrame = types
+    .select(col("w"), col("len"),
+      explode(sequence(lit(1), col("len"))).as("st"))
+    .select(col("w"), col("len"), col("st"),
+      explode(sequence(lit(1), lit(maxPiece))).as("pl"))
+    .filter(col("st") + col("pl") - 1 <= col("len"))
+    .select(col("w"), (col("st") - 1).as("j"),
+      (col("st") + col("pl") - 1).as("i"),
+      expr("substring(w, st, pl)").as("piece"))
+    .join(broadcast(frozen), Seq("piece"))
+    .localCheckpoint() // type lattice x frozen costs; reused per level
+
+  private[graft] def viterbiPieceCounts(types: DataFrame,
+      frozen: DataFrame, maxLen: Int = 10,
+      maxPiece: Int = 4): DataFrame = {
+    val vs = frozenLattice(types, frozen, maxPiece)
+    var steps = Vector(types.select(col("w"), lit(0).as("pos"),
+      lit(0).cast("decimal(28,12)").as("dp"), lit(-1).as("bp"))
+      .localCheckpoint())
+    for (i <- 1 to maxLen) {
+      val lo = math.max(0, i - maxPiece)
+      val prev = steps.slice(lo, i).reduce(_.unionByName(_))
+        .select(col("w"), col("pos").as("j"), col("dp").as("dpj"))
+      val step = vs.filter(col("i") === i)
+        .join(prev, Seq("w", "j"))
+        .groupBy(col("w"))
+        .agg(min(struct((col("dpj") + col("cost")).as("d"),
+          col("j").as("b"))).as("m"))
+        .select(col("w"), lit(i).as("pos"),
+          col("m.d").cast("decimal(28,12)").as("dp"),
+          col("m.b").as("bp"))
+        .localCheckpoint() // word-type grain; level i+1..i+4 read it
+      steps = steps :+ step
+    }
+    val dpc = steps.reduce(_.unionByName(_)).localCheckpoint()
+    val fin = dpc.join(types, Seq("w"))
+      .filter(col("pos") === col("len"))
+      .select(col("w"), col("len"), col("dp")).localCheckpoint()
+    var cur = fin.select(col("w"), col("len").as("pos"))
+    var walked: DataFrame = null
+    for (_ <- 1 to maxLen) {
+      val step = cur.filter(col("pos") > 0)
+        .join(dpc.select(col("w"), col("pos"), col("bp")),
+          Seq("w", "pos"))
+        .localCheckpoint() // walk frontier shrinks every step
+      val seg = step.select(col("w"))
+      walked = if (walked == null) seg else walked.unionByName(seg)
+      cur = step.select(col("w"), col("bp").as("pos"))
+    }
+    walked.groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      .join(fin.select(col("w"), col("dp")), Seq("w"))
+  }
+
+  /** GREEDY longest-match-first segmentation of a (w, len) word-TYPE
+    * relation under frozen piece costs — WordPiece's maximal-munch
+    * rule (one row of state per word: at position j consume the
+    * LONGEST vocabulary piece starting there). Returns
+    * (w, np, cost); a word whose walk hits a train-unseen character
+    * strands mid-word and emits no row — the same OOV set as the
+    * Viterbi encoder, since the frozen vocabulary contains every
+    * train character as a fallback. */
+  private[graft] def greedyPieceCounts(types: DataFrame,
+      frozen: DataFrame, maxLen: Int = 10,
+      maxPiece: Int = 4): DataFrame = {
+    val vs = frozenLattice(types, frozen, maxPiece)
+    val vsr = vs.select(col("w"), col("j").as("pos"), col("i"),
+      col("cost").as("pc"))
+    var act = types.select(col("w"), lit(0).as("pos"),
+      lit(0L).as("np"), lit(0).cast("decimal(28,12)").as("cost"))
+      .localCheckpoint()
+    var fin: DataFrame = null
+    for (_ <- 1 to maxLen) {
+      val stepped = act
+        .join(vsr, Seq("w", "pos"))
+        .groupBy(col("w"), col("pos"), col("np"), col("cost"))
+        // (w, pos, i) is unique, so the struct max IS the longest match
+        .agg(max(struct(col("i"), col("pc"))).as("m"))
+        .select(col("w"), col("m.i").as("pos"),
+          (col("np") + 1).as("np"),
+          (col("cost") + col("m.pc")).cast("decimal(28,12)").as("cost"))
+        .localCheckpoint() // one row per still-active word
+      val done = stepped.join(types.select(col("w"), col("len")),
+          Seq("w"))
+        .filter(col("pos") === col("len"))
+        .select(col("w"), col("np"), col("cost"))
+      fin = if (fin == null) done else fin.unionByName(done)
+      act = stepped // finished words match no span at j = len and drop
+    }
+    fin
+  }
+
+  /** WORDPIECE-STYLE greedy-vs-optimal segmentation gap — the eval a
+    * tokenizer team runs before shipping the maximal-munch fast path
+    * (WordPiece/BERT encodes greedily; SentencePiece-unigram encodes
+    * Viterbi-optimally — same vocabulary, different search): the
+    * SHARED eval vocabulary encoded BOTH ways under the SAME frozen
+    * unigram costs ([[unigramFrozenCosts]]), reported per language as
+    * pieces-per-word for each arm, the occurrence share of words
+    * where greedy lands on a strictly costlier segmentation, and the
+    * mean excess NLL greedy pays — the number that says whether the
+    * O(n) greedy encoder is safe or the DP is worth its cost on this
+    * corpus. Greedy's cost can only exceed Viterbi's (the DP is the
+    * minimum), and both arms strand on exactly the train-unseen-
+    * character OOV set, so coverage is shared by construction.
+    *
+    * Determinism: both walks run on the same exact-decimal span
+    * lattice; the greedy step is an argmax over (w, pos) groups with
+    * a unique longest match; cost comparisons are exact DECIMAL.
+    *
+    * Scale shape: one corpus token pass to the shared eval grain;
+    * both encoders run at word-TYPE grain over the bounded `maxLen`-
+    * step unrolls ([[viterbiPieceCounts]]'s discipline — each step
+    * checkpointed, each a type-keyed equi-join + hash agg); the
+    * census is |langs| rows. */
+  def wordpieceGreedy(spark: SparkSession, dir: String,
+      maxLen: Int = 10, maxPiece: Int = 4): DataFrame = {
+    val lw = evalLangWords(spark, dir, maxLen)
+    val types = lw.select(col("w")).distinct()
+      .withColumn("len", length(col("w"))).localCheckpoint()
+    val frozen = unigramFrozenCosts(spark, dir).localCheckpoint()
+    val vit = viterbiPieceCounts(types, frozen, maxLen, maxPiece)
+    val greedy = greedyPieceCounts(types, frozen, maxLen, maxPiece)
+    val census = lw
+      .join(greedy, Seq("w"), "left")
+      .join(vit.select(col("w"), col("n_pieces"), col("dp")),
+        Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("occ")).as("total_words"),
+        sum(when(col("np").isNotNull, col("occ")).otherwise(0L))
+          .as("covered_words"),
+        sum(coalesce(col("occ") * col("np"), lit(0L)))
+          .as("greedy_pieces"),
+        sum(coalesce(col("occ") * col("n_pieces"), lit(0L)))
+          .as("viterbi_pieces"),
+        sum(when(col("np").isNotNull && col("cost") > col("dp"),
+          col("occ")).otherwise(0L)).as("suboptimal_words"),
+        sum(when(col("np").isNotNull,
+          ((col("cost") - col("dp")) * col("occ"))
+            .cast("decimal(38,12)"))).as("excess_sum"))
+    census.select(col("lang"), col("total_words"), col("covered_words"),
+      col("greedy_pieces"), col("viterbi_pieces"),
+      col("suboptimal_words"),
+      when(col("covered_words") > 0,
+        round(col("greedy_pieces").cast("double") /
+          col("covered_words").cast("double"), 6)).as("greedy_ppw"),
+      when(col("covered_words") > 0,
+        round(col("viterbi_pieces").cast("double") /
+          col("covered_words").cast("double"), 6)).as("viterbi_ppw"),
+      when(col("covered_words") > 0,
+        round(col("excess_sum").cast("double") /
+          col("covered_words").cast("double"), 6)).as("excess_nll_pw"),
+      when(col("covered_words") > 0,
+        round(col("suboptimal_words").cast("double") /
+          col("covered_words").cast("double"), 6))
+        .as("suboptimal_share"))
+      .orderBy(col("lang"))
+  }
+
+  /** TOKENIZER-EVAL fertility matrix — the readout a tokenizer team
+    * actually ranks candidates by (Rust et al. 2021): the SAME
+    * occurrence-weighted eval vocabulary (lowercase alphabetic corpus
+    * words, length ≤ `maxLen`) encoded under BOTH trained tokenizers —
+    * the 6-round BPE merge table ([[bpeMergeLearn]], corpus-trained)
+    * and the frozen unigram-LM vocabulary ([[unigramFrozenCosts]],
+    * even-half-trained) — with per-(arm, lang) fertility
+    * (pieces per covered word) and compression (chars per piece).
+    * Coverage is part of the readout: a unigram type containing a
+    * train-unseen character has no Viterbi path and counts OOV, while
+    * corpus-trained BPE covers every eval word by construction — the
+    * asymmetry a real multi-corpus eval must surface, not hide. The
+    * BPE piece counts include the end-of-word marker symbol and the
+    * unigram counts do not (each arm is scored under its own native
+    * segmentation convention; chars count the raw word on both arms).
+    *
+    * Scale shape: one corpus token pass to (lang, word, occ) grain —
+    * the posting shuffle every text row here pays; both encoders then
+    * run at word-TYPE grain (trainer artifacts are vocabulary-sized
+    * broadcasts; the Viterbi DP is the trainer's bounded `maxLen`-level
+    * unroll over distinct eval types); the census is |arms|·|langs|
+    * rows. Documents never meet a per-position symbol relation. */
+  /** The shared (lang, word, occ) tokenizer-eval grain: lowercase
+    * alphabetic corpus words, length-capped to the unigram trainer's
+    * DP bound — one home so every tokenizer-eval row scores the SAME
+    * occurrence-weighted vocabulary. */
+  private def evalLangWords(spark: SparkSession, dir: String,
+      maxLen: Int): DataFrame = Tables(spark, dir, "documents")
+    .select(col("lang"), explode(tokens(col("text"))).as("t"))
+    .select(col("lang"), lower(col("t")).as("w"))
+    .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxLen)
+    .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+    .localCheckpoint() // eval grain: reused by arms + types
+
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      rounds: Int = 6, maxLen: Int = 10, maxPiece: Int = 4): DataFrame = {
+    val lw = evalLangWords(spark, dir, maxLen)
+    def armCensus(arm: String, counts: DataFrame): DataFrame =
+      lw.join(counts, Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(col("occ")).as("total_words"),
+          sum(when(col("n_pieces").isNotNull, col("occ"))
+            .otherwise(0L)).as("covered_words"),
+          sum(coalesce(col("occ") * col("n_pieces"), lit(0L)))
+            .as("total_pieces"),
+          sum(when(col("n_pieces").isNotNull,
+            col("occ") * length(col("w"))).otherwise(0L))
+            .as("total_chars"))
+        .select(lit(arm).as("arm"), col("lang"), col("total_words"),
+          col("covered_words"), col("total_pieces"), col("total_chars"))
+    val bpeCounts = bpeTrain(spark, dir, rounds)._2
+      .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+    val types = lw.select(col("w")).distinct()
+      .withColumn("len", length(col("w"))).localCheckpoint()
+    val frozen = unigramFrozenCosts(spark, dir).localCheckpoint()
+    val uniCounts = viterbiPieceCounts(types, frozen, maxLen, maxPiece)
+      .select(col("w"), col("n_pieces"))
+    armCensus("bpe", bpeCounts)
+      .unionByName(armCensus("unigram", uniCounts))
+      .select(col("arm"), col("lang"), col("total_words"),
+        col("covered_words"), col("total_pieces"),
+        when(col("covered_words") > 0,
+          round(col("total_pieces").cast("double") /
+            col("covered_words").cast("double"), 6))
+          .as("pieces_per_word"),
+        when(col("total_pieces") > 0,
+          round(col("total_chars").cast("double") /
+            col("total_pieces").cast("double"), 6))
+          .as("chars_per_piece"))
+      .orderBy(col("arm"), col("lang"))
+  }
 }
