@@ -515,6 +515,8 @@ object SparkEntry {
     "events_periodogram" -> ((s, d) => EventAnalytics.periodogram(s, d)),
     "orders_hhi" -> ((s, d) => Relational.hhiConcentration(s, d)),
     "sample_systematic" -> ((s, d) => Curation.systematicSample(s, d)),
+    "sample_monetary_unit" ->
+      ((s, d) => Curation.monetaryUnitSample(s, d)),
     "window_bollinger" -> ((s, d) => Relational.bollingerBands(s, d)),
     "orders_safety_stock" -> ((s, d) => Relational.safetyStock(s, d)),
     "docs_token_infogain" -> ((s, d) => Curation.tokenInfogain(s, d)),
@@ -3786,19 +3788,19 @@ object SparkEntry {
     // one synchronous Louvain gain round replayed with the identical
     // double expression shape (exact DECIMAL operands on both sides)
     "graph_louvain" ->
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
            SELECT s_nationkey AS src, c_nationkey AS dst,
              SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
            FROM lineitem, orders, customer, supplier
            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
              AND l_suppkey = s_suppkey
            GROUP BY 1, 2),
-         sym AS (SELECT node, nbr, SUM(w) AS w FROM (
+         sym AS MATERIALIZED (SELECT node, nbr, SUM(w) AS w FROM (
              SELECT src AS node, dst AS nbr, w FROM edges
              UNION ALL SELECT dst, src, w FROM edges) t
            GROUP BY 1, 2),
-         tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
-         nbrs AS (SELECT node, nbr, w FROM sym, tot
+         tot AS MATERIALIZED (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+         nbrs AS MATERIALIZED (SELECT node, nbr, w FROM sym, tot
            WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
              >= CAST(tw AS HUGEINT)),
          l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
@@ -3813,22 +3815,22 @@ object SparkEntry {
              SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
                ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
          nodes AS (SELECT DISTINCT node FROM sym),
-         comm AS (SELECT n.node, COALESCE(l2.lbl, n.node) AS community
+         comm AS MATERIALIZED (SELECT n.node, COALESCE(l2.lbl, n.node) AS community
            FROM nodes n LEFT JOIN l2 ON n.node = l2.node),
-         m2x AS (SELECT SUM(w) AS tw FROM sym),
-         degn AS (SELECT node, SUM(w) AS ki FROM sym GROUP BY 1),
-         degc AS (SELECT c.community, SUM(d.ki) AS degw
+         m2x AS MATERIALIZED (SELECT SUM(w) AS tw FROM sym),
+         degn AS MATERIALIZED (SELECT node, SUM(w) AS ki FROM sym GROUP BY 1),
+         degc AS MATERIALIZED (SELECT c.community, SUM(d.ki) AS degw
            FROM degn d JOIN comm c USING (node) GROUP BY 1),
-         kic AS (SELECT s.node, cb.community AS cand, SUM(s.w) AS kc
+         kic AS MATERIALIZED (SELECT s.node, cb.community AS cand, SUM(s.w) AS kc
            FROM sym s JOIN comm cb ON s.nbr = cb.node
            WHERE s.nbr <> s.node GROUP BY 1, 2),
-         base AS (SELECT c.node, c.community AS cur, d.ki,
+         base AS MATERIALIZED (SELECT c.node, c.community AS cur, d.ki,
              COALESCE(ka.kc, 0) AS kia, dca.degw AS dega
            FROM comm c JOIN degn d USING (node)
            LEFT JOIN kic ka ON ka.node = c.node
              AND ka.cand = c.community
            JOIN degc dca ON dca.community = c.community),
-         gains AS (SELECT b.node, b.cur, k.cand,
+         gains AS MATERIALIZED (SELECT b.node, b.cur, k.cand,
              2.0 * (CAST(k.kc AS DOUBLE) - CAST(b.kia AS DOUBLE))
                / CAST(tw AS DOUBLE)
              - 2.0 * CAST(b.ki AS DOUBLE) * (CAST(b.ki AS DOUBLE)
@@ -3837,23 +3839,23 @@ object SparkEntry {
            FROM base b JOIN kic k ON k.node = b.node AND k.cand <> b.cur
            JOIN degc dcb ON dcb.community = k.cand
            CROSS JOIN m2x),
-         best AS (SELECT node, cand, gain FROM (
+         best AS MATERIALIZED (SELECT node, cand, gain FROM (
              SELECT node, cand, gain, ROW_NUMBER() OVER (
                PARTITION BY node ORDER BY gain DESC, cand) AS rn
              FROM gains) g WHERE rn = 1),
-         comm2 AS (SELECT c.node,
+         comm2 AS MATERIALIZED (SELECT c.node,
              CASE WHEN bm.gain > 0 THEN bm.cand
                   ELSE c.community END AS community,
              c.community AS cur
            FROM comm c LEFT JOIN best bm ON bm.node = c.node),
-         internal1 AS (SELECT ca.community, SUM(s.w) AS in_w
+         internal1 AS MATERIALIZED (SELECT ca.community, SUM(s.w) AS in_w
            FROM sym s JOIN comm ca ON s.node = ca.node
            JOIN comm cb ON s.nbr = cb.node
            WHERE ca.community = cb.community GROUP BY 1),
-         degc1 AS (SELECT c.community, CAST(COUNT(*) AS BIGINT)
+         degc1 AS MATERIALIZED (SELECT c.community, CAST(COUNT(*) AS BIGINT)
              AS n_nodes, SUM(d.ki) AS deg_w
            FROM degn d JOIN comm c USING (node) GROUP BY 1),
-         conts1 AS (SELECT dc.community,
+         conts1 AS MATERIALIZED (SELECT dc.community,
              CAST(CAST(COALESCE(i.in_w, 0) AS DOUBLE)
                  / CAST(tw AS DOUBLE)
                - (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
@@ -3861,14 +3863,14 @@ object SparkEntry {
                AS DECIMAL(28,12)) AS contrib
            FROM degc1 dc LEFT JOIN internal1 i USING (community)
            CROSS JOIN m2x),
-         internal2 AS (SELECT ca.community, SUM(s.w) AS in_w
+         internal2 AS MATERIALIZED (SELECT ca.community, SUM(s.w) AS in_w
            FROM sym s JOIN comm2 ca ON s.node = ca.node
            JOIN comm2 cb ON s.nbr = cb.node
            WHERE ca.community = cb.community GROUP BY 1),
-         degc2 AS (SELECT c.community, CAST(COUNT(*) AS BIGINT)
+         degc2 AS MATERIALIZED (SELECT c.community, CAST(COUNT(*) AS BIGINT)
              AS n_nodes, SUM(d.ki) AS deg_w
            FROM degn d JOIN comm2 c USING (node) GROUP BY 1),
-         conts2 AS (SELECT dc.community, dc.n_nodes,
+         conts2 AS MATERIALIZED (SELECT dc.community, dc.n_nodes,
              COALESCE(i.in_w, 0) AS in_w, dc.deg_w,
              CAST(CAST(COALESCE(i.in_w, 0) AS DOUBLE)
                  / CAST(tw AS DOUBLE)
@@ -10009,6 +10011,44 @@ object SparkEntry {
              / CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE), 4)
              AS effective_n
          FROM j GROUP BY 1 ORDER BY n_name""",
+    // sample_monetary_unit: the oracle's cumsum is the textbook
+    // single-partition window (fine in DuckDB); the Spark side runs the
+    // bucketed two-pass exactCumsum — hash equality proves the kernel
+    "sample_monetary_unit" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         cum AS (SELECT o_orderkey, o_orderpriority, c,
+             SUM(CAST(c AS DECIMAL(38,0))) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM o),
+         tot AS (SELECT SUM(CAST(c AS DECIMAL(38,0))) AS t FROM o),
+         iv AS (SELECT t, CAST(FLOOR(CAST(t AS DOUBLE) / 50) AS BIGINT)
+             AS iv FROM tot),
+         sp AS (SELECT iv, CAST(FLOOR(iv / 2) AS BIGINT) AS s FROM iv),
+         pts AS (SELECT CAST(s + j * iv AS DECIMAL(38,0)) AS p
+           FROM sp, generate_series(0, 49) g(j)),
+         hits AS (SELECT m.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_points_hit,
+             CAST(COUNT(DISTINCT m.o_orderkey) AS BIGINT)
+               AS n_selected_orders
+           FROM cum m JOIN pts ON pts.p > m.cum - m.c
+             AND pts.p <= m.cum
+           GROUP BY 1),
+         book AS (SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(c AS DECIMAL(38,0))) AS book_cents
+           FROM o GROUP BY 1)
+         SELECT b.o_orderpriority, b.n_orders,
+           CAST(b.book_cents AS BIGINT) AS book_cents,
+           ROUND(CAST(b.book_cents AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS book_share,
+           COALESCE(h.n_points_hit, 0) AS n_points_hit,
+           COALESCE(h.n_selected_orders, 0) AS n_selected_orders,
+           ROUND(CAST(COALESCE(h.n_points_hit, 0) AS DOUBLE) / 50.0, 6)
+             AS point_share
+         FROM book b LEFT JOIN hits h USING (o_orderpriority)
+         CROSS JOIN tot
+         ORDER BY b.o_orderpriority""",
     "sample_systematic" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),
          pop AS (SELECT 'population' AS method,

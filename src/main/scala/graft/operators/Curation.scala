@@ -1409,4 +1409,68 @@ object Curation {
           col("true_mass").cast("double"), 4).as("rel_err"))
       .orderBy(col("lang"))
   }
+
+  /** MONETARY-UNIT (dollar-unit / PPS-systematic) SAMPLING — the audit
+    * and data-valuation sampler that picks units with probability
+    * proportional to their VALUE, not their count: the order book is
+    * laid out as a cents number line ([[Ranks.exactCumsum]] — the
+    * bucketed two-pass running total, never a single-task global
+    * window), a fixed interval I = ⌊total/n⌋ with a deterministic
+    * mid-interval start s = ⌊I/2⌋ places n sampling points, and an
+    * order is selected once per point inside its (cum−c, cum] span —
+    * high-value orders can absorb several points, which IS the PPS
+    * property. The census reports, per order priority, the book-value
+    * share beside the sampled-point share: their agreement (±1/n
+    * quantization) is the readout that certifies the sampler, and the
+    * selected-order counts are what an audit team pulls.
+    *
+    * Determinism: cents are exact integers, the cumulative layout is
+    * the exact-decimal kernel, points are integer arithmetic off ONE
+    * double floor (total < 2⁵³), and span membership is exact decimal
+    * comparison — no randomness anywhere (the mid-interval start is
+    * the fixed-grid convention, documented rather than drawn).
+    *
+    * Scale shape: one orders pass to cents grain; the running total
+    * is B-way parallel; the 50-point relation broadcasts into a
+    * nested-loop probe (linear in orders, 50 comparisons per row);
+    * censuses are |priorities| rows. */
+  def monetaryUnitSample(spark: SparkSession, dir: String,
+      nPoints: Int = 50): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .localCheckpoint() // cents grain; cumsum + census + total reuse it
+    val cum = Ranks.exactCumsum(spark, o, "o_orderkey", "c",
+      "o_orderkey", "cum")
+    val spans = o.join(cum, Seq("o_orderkey"))
+    val tot = o.agg(sum(col("c").cast("decimal(38,0)")).as("t"))
+    val iv = tot.select(col("t"),
+        floor(col("t").cast("double") / nPoints).cast("long").as("iv"))
+      .withColumn("s", floor(col("iv") / 2).cast("long"))
+    val pts = iv.select(col("s"), col("iv"),
+        explode(sequence(lit(0), lit(nPoints - 1))).as("j"))
+      .select((col("s") + col("j") * col("iv"))
+        .cast("decimal(38,0)").as("p"))
+    val hits = spans
+      .join(broadcast(pts),
+        col("p") > col("cum") - col("c") && col("p") <= col("cum"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_points_hit"),
+        countDistinct(col("o_orderkey")).as("n_selected_orders"))
+    val book = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c").cast("decimal(38,0)")).as("book_cents"))
+    book.join(hits, Seq("o_orderpriority"), "left")
+      .crossJoin(broadcast(tot)) // 1-row book total
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("book_cents").cast("long").as("book_cents"),
+        round(col("book_cents").cast("double") /
+          col("t").cast("double"), 6).as("book_share"),
+        coalesce(col("n_points_hit"), lit(0L)).as("n_points_hit"),
+        coalesce(col("n_selected_orders"), lit(0L))
+          .as("n_selected_orders"),
+        round(coalesce(col("n_points_hit"), lit(0L)).cast("double") /
+          lit(nPoints.toDouble), 6).as("point_share"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

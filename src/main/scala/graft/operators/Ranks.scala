@@ -70,4 +70,45 @@ object Ranks {
       .select(col(keyCol),
         (col("graft_rk_off") + col("graft_rk_lr")).as(out))
   }
+
+  /** Exact global INCLUSIVE running total of `sumCol` in
+    * (orderCol, keyCol) order — the cumulative-sum sibling of
+    * [[exactRank]], same bucketed two-pass decomposition: local
+    * windowed sums inside B boundary-assigned buckets (a PARTITIONED
+    * window) plus broadcast per-bucket prefix totals (a B-row
+    * relation). Returns (`keyCol`, `out`) with `out` a
+    * DECIMAL(38,0) — pass an integer column (cents, counts) for
+    * exactness; the sum is hash-identical to the single-task
+    * `SUM() OVER (ORDER BY orderCol, keyCol)` formulation. */
+  def exactCumsum(spark: SparkSession, df: DataFrame, orderCol: String,
+      sumCol: String, keyCol: String, out: String): DataFrame = {
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pcts = (1 until nB).map(i =>
+      (i.toDouble / nB).toString).mkString(", ")
+    val bnds = df.agg(expr(
+      s"approx_percentile(CAST($orderCol AS DOUBLE), array($pcts))")
+      .as("graft_rk_bnds"))
+    val b = df.crossJoin(broadcast(bnds)) // 1-row boundary array
+      .withColumn("graft_rk_bucket",
+        size(filter(col("graft_rk_bnds"),
+          (x: Column) => x < col(orderCol).cast("double"))))
+      .drop("graft_rk_bnds")
+    val wL = Window.partitionBy(col("graft_rk_bucket"))
+      .orderBy(col(orderCol), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = b.withColumn("graft_cs_l",
+      sum(col(sumCol).cast("decimal(38,0)")).over(wL))
+    val wO = Window.orderBy(col("graft_rk_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("graft_rk_bucket"))
+      .agg(sum(col(sumCol).cast("decimal(38,0)")).as("graft_cs_bs"))
+      .withColumn("graft_cs_off",
+        coalesce(sum(col("graft_cs_bs")).over(wO),
+          lit(0).cast("decimal(38,0)")))
+      .select(col("graft_rk_bucket"), col("graft_cs_off"))
+    local.join(broadcast(offs), Seq("graft_rk_bucket"))
+      .select(col(keyCol),
+        (col("graft_cs_off") + col("graft_cs_l"))
+          .cast("decimal(38,0)").as(out))
+  }
 }

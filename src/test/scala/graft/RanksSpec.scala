@@ -73,6 +73,40 @@ class RanksSpec extends SparkSpec {
     assert(got === want)
   }
 
+  private def checkCumsumAgainstWindow(values: Seq[Long]): Unit = {
+    import spark.implicits._
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
+    val got = Ranks.exactCumsum(spark, df, "v", "v", "doc_id", "cs")
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[java.math.BigDecimal](1).longValueExact()).toMap
+    val want = df.withColumn("cs",
+        sum(col("v")).over(Window.orderBy(col("v"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want, s"cumsums diverge for ${values.take(20)}...")
+  }
+
+  test("exactCumsum equals single-partition windowed SUM: distinct, " +
+    "tied, negative, and degenerate inputs") {
+    checkCumsumAgainstWindow(Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L, 4L, 6L, 0L))
+    checkCumsumAgainstWindow(Seq.fill(40)(7L) ++ Seq(1L, 2L, 99L))
+    checkCumsumAgainstWindow(Seq(-5L, 0L, 3L, -17L, 3L, -5L))
+    checkCumsumAgainstWindow(Seq(42L))
+    checkCumsumAgainstWindow((0 until 300).map(i =>
+      ((i * 2654435761L) % 37).abs))
+  }
+
+  test("exactCumsum plans no unpartitioned window over its input") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 13)).toDF("doc_id", "v")
+    val plan = Ranks.exactCumsum(spark, df, "v", "v", "doc_id", "cs")
+      .queryExecution.optimizedPlan
+    assert(graft.plans.WindowAudit.unboundedGlobalWindows(plan).isEmpty)
+  }
+
   test("exactRank plans NO unpartitioned window over its input (the " +
     "offset window sits above the bucket aggregate only)") {
     import spark.implicits._
