@@ -1694,7 +1694,14 @@ object DedupOps {
     * Scale shape: the corpus-scale work is the three standalone
     * kernels this row composes (each already blocked/df-capped);
     * the survivor restrictions are semi/anti-joins on doc_id; the
-    * census is 3 rows of crossJoined 1-row counts. */
+    * census is 3 rows of crossJoined 1-row counts.
+    *
+    * Measured readout on this corpus (sf0.01/sf0.1): tier 2 removes
+    * ~5% and tier 3 then removes ZERO — at these thresholds the
+    * trigram-cosine rung is fully shadowed by MinHash, which is
+    * exactly the decision this funnel exists to surface (drop the
+    * redundant tier, or loosen its threshold to catch what MinHash
+    * cannot). */
   def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
