@@ -201,6 +201,22 @@ class Round14OpsSpec extends SparkSpec {
       exact.getAs[Long]("rows") - exact.getAs[Long]("groups"))
   }
 
+  test("sample_monetary_unit: every grid point lands in exactly one " +
+    "order span (hits sum to n); selected orders never exceed hits") {
+    val out = graft.operators.Curation.monetaryUnitSample(spark, sf0001)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_points_hit")).sum === 50L,
+      "the mid-interval grid must partition onto the cents number line")
+    for (r <- out) {
+      assert(r.getAs[Long]("n_selected_orders") <=
+        r.getAs[Long]("n_points_hit"))
+      val ps = r.getAs[Double]("point_share")
+      assert(ps >= 0.0 && ps <= 1.0)
+    }
+    assert(math.abs(out.map(_.getAs[Double]("point_share")).sum - 1.0)
+      < 1e-9)
+  }
+
   test("orders_bass_diffusion: one-row readout; adopter count is the " +
     "distinct-customer truth; guards never leak NaN") {
     val out = Relational.bassDiffusion(spark, sf0001).collect()
