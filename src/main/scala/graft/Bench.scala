@@ -124,6 +124,21 @@ object Bench {
     // extra battery runs to try for a quieter window; if the best total
     // still exceeds the gate the artifact self-labels with
     // "contended":true instead of masquerading as a clean number.
+    // Floors come from the COMMITTED artifact BENCH_FLOOR.json
+    // (ADVICE r14: a hardcoded constant cannot go stale against the
+    // recording it cites — the artifact and BENCH_STABILITY.md move
+    // together). Env override > artifact > last-resort constant (the
+    // round-14 recording, kept only for runs outside the repo root).
+    def floorField(name: String): Option[Double] = {
+      val p = Paths.get("BENCH_FLOOR.json")
+      if (!Files.exists(p)) None
+      else s""""$name"\\s*:\\s*([0-9.]+)""".r
+        .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+        .map(_.group(1).toDouble)
+    }
+    def perQ(total: String, battery: String): Option[Double] = for {
+      t <- floorField(total); b <- floorField(battery); if b > 0
+    } yield math.rint(t / b * 1000) / 1000
     val floorPerQ = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY")
       // round-14 recalibration (verdict item 5): 0.75 dated from the
       // 168-query battery; two rounds in a row flagged `contended` on
@@ -132,7 +147,9 @@ object Bench {
       // round-14 min-of-4 recording, BENCH_STABILITY.md). The gate
       // compares RUN totals, so the floor is the cleanest idle RUN
       // total per query (501.436 / 473), not the min-of aggregate.
-      .map(_.trim.toDouble).getOrElse(1.06)
+      .map(_.trim.toDouble)
+      .orElse(perQ("floor_run_total_s", "floor_battery"))
+      .getOrElse(1.06)
     val contendedMargin = 1.30
     // Gray-zone gate (r8 verdict nit 1): the contended gate passes any run
     // under n*floor*1.30, so a round whose committed total lands 15-30%
@@ -153,7 +170,9 @@ object Bench {
       // since (exactRank re-plans, winnowing/tokenizer/streaming-index
       // families) average heavier, so the drift is battery COMPOSITION,
       // not environment — see BENCH_STABILITY.md round-14 record.
-      .map(_.trim.toDouble).getOrElse(0.978)
+      .map(_.trim.toDouble)
+      .orElse(perQ("best_minof_total_s", "best_battery"))
+      .getOrElse(0.978)
 
     val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =

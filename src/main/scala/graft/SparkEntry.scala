@@ -9655,18 +9655,20 @@ object SparkEntry {
          cum AS (SELECT s2.week, COALESCE(SUM(w2.n), 0) AS x
            FROM spine s2 LEFT JOIN wk w2 ON w2.week < s2.week
            GROUP BY 1),
-         series AS (SELECT s.week, COALESCE(wk.n, 0) AS n, c.x
+         series AS (SELECT s.week, COALESCE(wk.n, 0) AS n, c.x,
+             CAST(c.x AS HUGEINT) AS hx,
+             CAST(COALESCE(wk.n, 0) AS HUGEINT) AS hn
            FROM spine s LEFT JOIN wk USING (week)
            JOIN cum c ON c.week = s.week),
          sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS nw,
              CAST(SUM(n) AS BIGINT) AS n_adopters,
              SUM(CAST(x AS DECIMAL(38,0))) AS sx,
-             SUM(CAST(x * x AS DECIMAL(38,0))) AS sx2,
-             SUM(CAST(x * x * x AS DECIMAL(38,0))) AS sx3,
-             SUM(CAST(x * x * x * x AS DECIMAL(38,0))) AS sx4,
+             SUM(CAST(hx * hx AS DECIMAL(38,0))) AS sx2,
+             SUM(CAST(hx * hx * hx AS DECIMAL(38,0))) AS sx3,
+             SUM(CAST(hx * hx * hx * hx AS DECIMAL(38,0))) AS sx4,
              SUM(CAST(n AS DECIMAL(38,0))) AS sy,
-             SUM(CAST(x * n AS DECIMAL(38,0))) AS sxy,
-             SUM(CAST(x * x * n AS DECIMAL(38,0))) AS sx2y
+             SUM(CAST(hx * hn AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(hx * hx * hn AS DECIMAL(38,0))) AS sx2y
            FROM series),
          dsum AS (SELECT nw, n_adopters,
              CAST(nw AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
@@ -13568,19 +13570,16 @@ object SparkEntry {
   }
 
   /** Generated oracle for `text_tokenizer_fertility`: the BPE
-    * trainer's CTE chain ([[bpeMergeOracleSql]], its `words` CTE
-    * renamed `bwords` to coexist with the unigram trainer prefix's
-    * `words`) + the unigram frozen-cost prefix
-    * ([[unigramTrainPrefixSql]]) + ONE eval Viterbi chain over the
-    * corpus-wide eval types + the two per-arm censuses. */
+    * trainer's CTE chain ([[bpeMergeCtes]], its word-census CTE named
+    * `bwords` via the builder's parameter — no post-hoc string surgery
+    * — to coexist with the unigram trainer prefix's `words`) + the
+    * unigram frozen-cost prefix ([[unigramTrainPrefixSql]]) + ONE eval
+    * Viterbi chain over the corpus-wide eval types + the two per-arm
+    * censuses. */
   private[graft] def fertilityOracleSql(rounds: Int = 6,
       maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
       vKeep: Int = 200): String = {
-    val trained = bpeMergeOracleSql(rounds)
-    val bpeCtes = trained
-      .substring(0, trained.indexOf("\n SELECT * FROM ("))
-      .stripPrefix("WITH ")
-      .replaceAll("\\bwords\\b", "bwords")
+    val bpeCtes = bpeMergeCtes(rounds, wordsCte = "bwords")
     val sb = new StringBuilder
     sb ++= evalViterbiChainSql(maxLen, maxPiece)
     sb ++= s"""bnp AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
@@ -13769,23 +13768,46 @@ object SparkEntry {
     * block is the SAME relational round the Spark side runs (lead-window
     * pair census -> 1-row winner with count-then-lexicographic tie-break
     * -> gaps-and-islands greedy non-overlapping apply). Generated, not
-    * hand-written, so round count stays a single knob. */
+    * hand-written, so round count stays a single knob.
+    *
+    * Composed from [[bpeMergeCtes]] (the CTE block, exposed so
+    * composite oracles can embed the trainer WITHOUT substring or
+    * regex surgery on the assembled query) + the per-round readout
+    * select. */
   private[graft] def bpeMergeOracleSql(rounds: Int,
       docWhere: String = ""): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS merge_round, b.a AS lhs, b.b AS rhs,
+          b.cnt AS pair_count,
+          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM syms_$r)
+            AS vocab_size,
+          (SELECT CAST(SUM(freq) AS BIGINT) FROM syms_$r) AS total_symbols
+          FROM best_$r b"""
+    }.mkString("\n UNION ALL\n")
+    s"WITH ${bpeMergeCtes(rounds, docWhere)}" +
+      s"\n SELECT * FROM (\n$rows\n ) mr ORDER BY merge_round"
+  }
+
+  /** The BPE trainer's CTE chain alone (no `WITH`, no final select).
+    * `wordsCte` renames the word-census CTE so the block can coexist
+    * with another trainer prefix that also declares `words` (the
+    * fertility oracle embeds both this and the unigram prefix). */
+  private[graft] def bpeMergeCtes(rounds: Int, docWhere: String = "",
+      wordsCte: String = "words"): String = {
     val base =
-      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+      s"""toks AS (SELECT unnest(string_split(text, ' ')) AS tok
            FROM documents $docWhere),""" +
-      """
-         words AS MATERIALIZED (SELECT lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS freq
-           FROM toks WHERE regexp_matches(lower(tok), '^[a-z]+$')
+      s"""
+         $wordsCte AS MATERIALIZED (SELECT lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM toks WHERE regexp_matches(lower(tok), '^[a-z]+$$')
            GROUP BY 1),
          sy0 AS (SELECT w, freq,
              unnest(generate_series(1, CAST(len(w) AS INT))) AS pos
-           FROM words),
+           FROM $wordsCte),
          syms_0 AS MATERIALIZED (
            SELECT w, freq, pos, substr(w, pos, 1) AS sym FROM sy0
            UNION ALL
-           SELECT w, freq, len(w) + 1 AS pos, '</w>' AS sym FROM words)"""
+           SELECT w, freq, len(w) + 1 AS pos, '</w>' AS sym FROM $wordsCte)"""
     val blocks = (1 to rounds).map { r =>
       val p = r - 1
       s""",
@@ -13819,24 +13841,14 @@ object SparkEntry {
            LEFT JOIN ap_$r a2 ON s.w = a2.w AND s.pos = a2.npos
            WHERE a2.w IS NULL)"""
     }.mkString
-    val rows = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS INT) AS merge_round, b.a AS lhs, b.b AS rhs,
-          b.cnt AS pair_count,
-          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM syms_$r)
-            AS vocab_size,
-          (SELECT CAST(SUM(freq) AS BIGINT) FROM syms_$r) AS total_symbols
-          FROM best_$r b"""
-    }.mkString("\n UNION ALL\n")
-    s"$base$blocks\n SELECT * FROM (\n$rows\n ) mr ORDER BY merge_round"
+    s"$base$blocks"
   }
 
   /** DuckDB replay of [[graft.operators.TextAnalysis.bpeEncode]]: the
     * same unrolled trainer CTEs, then the final vocabulary's per-word
     * subword counts joined back onto one corpus token pass. */
   private[graft] def bpeEncodeOracleSql(rounds: Int): String = {
-    val trained = bpeMergeOracleSql(rounds)
-    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
-    s"""$ctes,
+    s"""WITH ${bpeMergeCtes(rounds)},
        wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
          FROM syms_$rounds GROUP BY w),
        dw AS (SELECT lang, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS occ
@@ -13857,9 +13869,7 @@ object SparkEntry {
     * fixed-256 packing census `pack_sequences` runs on whitespace
     * lengths. */
   private[graft] def bpePackOracleSql(rounds: Int): String = {
-    val trained = bpeMergeOracleSql(rounds)
-    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
-    s"""$ctes,
+    s"""WITH ${bpeMergeCtes(rounds)},
        wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
          FROM syms_$rounds GROUP BY w),
        dt AS (SELECT source, doc_id, lower(tok) AS w
@@ -13890,9 +13900,8 @@ object SparkEntry {
     * recomputed), per-(increment, lang) censuses, and the increment-0
     * fold of their integer sums. */
   private[graft] def streamBpeEncodeOracleSql(rounds: Int): String = {
-    val trained = bpeMergeOracleSql(rounds,
+    val ctes = "WITH " + bpeMergeCtes(rounds,
       "WHERE CAST(substr(source, 4, 8) AS INT) < 10")
-    val ctes = trained.substring(0, trained.indexOf("\n SELECT * FROM ("))
     val incRanges = Seq(1 -> "BETWEEN 10 AND 14", 2 -> ">= 15")
     val incBlocks = incRanges.map { case (i, rng) =>
       val apply = (1 to rounds).map { r =>

@@ -1426,7 +1426,9 @@ object Curation {
     *
     * Determinism: cents are exact integers, the cumulative layout is
     * the exact-decimal kernel, points are integer arithmetic off ONE
-    * double floor (total < 2⁵³), and span membership is exact decimal
+    * double floor (total < 2⁵³ — enforced plan-side with
+    * `raise_error`, as is total ≥ 2n so the grid PARTITIONS onto the
+    * cents line), and span membership is exact decimal
     * comparison — no randomness anywhere (the mid-interval start is
     * the fixed-grid convention, documented rather than drawn).
     *
@@ -1444,8 +1446,21 @@ object Curation {
       "o_orderkey", "cum")
     val spans = o.join(cum, Seq("o_orderkey"))
     val tot = o.agg(sum(col("c").cast("decimal(38,0)")).as("t"))
+    // the 'hits sum to n' invariant needs iv >= 2 (total >= 2*nPoints,
+    // else s = 0 and the p = 0 grid point matches no strict span) and
+    // total < 2^53 (the one double floor must be exact); outside that
+    // envelope fail LOUDLY plan-side instead of silently dropping grid
+    // points from the partition
     val iv = tot.select(col("t"),
-        floor(col("t").cast("double") / nPoints).cast("long").as("iv"))
+        floor(col("t").cast("double") / nPoints).cast("long").as("iv0"))
+      .select(col("t"),
+        when(col("iv0") < 2 ||
+            col("t") >= lit("9007199254740992").cast("decimal(38,0)"),
+          raise_error(format_string(
+            "monetaryUnitSample: total cents %s outside the documented " +
+              s"envelope 2*$nPoints <= total < 2^53 (interval %s)",
+            col("t").cast("string"), col("iv0").cast("string"))))
+          .otherwise(col("iv0")).as("iv"))
       .withColumn("s", floor(col("iv") / 2).cast("long"))
     val pts = iv.select(col("s"), col("iv"),
         explode(sequence(lit(0), lit(nPoints - 1))).as("j"))

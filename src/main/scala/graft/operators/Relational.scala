@@ -2829,8 +2829,10 @@ object Relational {
     *
     * Determinism: the week series is a generated spine (gap weeks
     * count zero — OLS sees the real time axis); all power sums
-    * Σ N^k, Σ n·N^k are EXACT DECIMAL(38,0) integer sums (N ≤
-    * customers, so N⁴ terms stay under 10¹⁸ at bench SFs); the 3×3
+    * Σ N^k, Σ n·N^k are EXACT DECIMAL(38,0) integer sums with the
+    * PRODUCTS themselves formed in decimal (N ≤ customers; N⁴ stays
+    * exact to N < ~10^9.5, far past the long-overflow cliff at
+    * N ≈ 55k); the 3×3
     * Cramer solve is one double expression per coefficient over those
     * exact sums, written operand-for-operand identically in DuckDB.
     *
@@ -2866,19 +2868,25 @@ object Relational {
     val series = spine.join(wk, Seq("week"), "left")
       .select(col("week"), coalesce(col("n"), lit(0L)).as("n"))
       .join(cum, Seq("week"))
+    // power products form in DECIMAL(38,0), never LongType: Σ N^4
+    // terms pass ~9.2e18 once cumulative adopters exceed ~55k
+    // (SF ≳ 0.4), so a long product would wrap silently (non-ANSI) or
+    // throw (ANSI) long before 100 TB. Decimal keeps the products
+    // exact to 1e38 (x < ~10^9.5 adopters); the oracle mirrors with
+    // HUGEINT products cast to the same DECIMAL(38,0) — both sides
+    // exact integer arithmetic, so the sums stay hash-identical.
+    val xd = col("x").cast("decimal(38,0)")
+    val nd = col("n").cast("decimal(38,0)")
     val sums = series.agg(
       count(lit(1)).as("nw"),
       sum(col("n")).as("n_adopters"),
-      sum(col("x").cast("decimal(38,0)")).as("sx"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
-      sum((col("x") * col("x") * col("x")).cast("decimal(38,0)"))
-        .as("sx3"),
-      sum((col("x") * col("x") * col("x") * col("x"))
-        .cast("decimal(38,0)")).as("sx4"),
-      sum(col("n").cast("decimal(38,0)")).as("sy"),
-      sum((col("x") * col("n")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("x") * col("x") * col("n")).cast("decimal(38,0)"))
-        .as("sx2y"))
+      sum(xd).as("sx"),
+      sum((xd * xd).cast("decimal(38,0)")).as("sx2"),
+      sum((xd * xd * xd).cast("decimal(38,0)")).as("sx3"),
+      sum((xd * xd * xd * xd).cast("decimal(38,0)")).as("sx4"),
+      sum(nd).as("sy"),
+      sum((xd * nd).cast("decimal(38,0)")).as("sxy"),
+      sum((xd * xd * nd).cast("decimal(38,0)")).as("sx2y"))
     def d(c: Column): Column = c.cast("double")
     def det3(m11: Column, m12: Column, m13: Column,
              m21: Column, m22: Column, m23: Column,

@@ -99,8 +99,19 @@ class Round14OpsSpec extends SparkSpec {
   test("sim_beam_search: one row per (beam, label); recall and " +
     "explored-set invariants hold") {
     val out = Similarity.beamSearch(spark, sf0001).collect()
+    // expected labels derive from the EMBEDDINGS relation, not from
+    // the output itself — a label beamSearch silently dropped (empty
+    // truth set via the inner truthN join) must FAIL here, not shrink
+    // the readout. Labels with >= 2 vectors have non-empty truth.
+    val expected = Tables(spark, sf0001, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(_.getAs[Int]("label")).toSet
+    assert(expected.nonEmpty)
     val labels = out.map(_.getAs[Int]("label")).distinct
-    assert(out.length === labels.length * 3)
+    assert(labels.toSet === expected,
+      s"output labels ${labels.toSet} != embeddings-derived $expected")
+    assert(out.length === expected.size * 3)
     for (r <- out) {
       val recall = r.getAs[Double]("recall")
       assert(recall >= 0.0 && recall <= 1.0)
