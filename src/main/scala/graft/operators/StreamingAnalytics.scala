@@ -470,8 +470,11 @@ object StreamingAnalytics {
     * arrives as TWO staged files (doc_id % 4 = 1, then % 4 = 3), and
     * each micro-batch Viterbi-segments ONLY ITS OWN word types
     * against the frozen costs (the 10-level unrolled exact-decimal DP
-    * of the trainer, at batch word-type grain, each level
-    * checkpointed) and appends a per-(increment, lang) census: words,
+    * of the trainer, at batch word-type grain, via the shared
+    * [[TextAnalysis.viterbiPieceCounts]] kernel — lazily
+    * checkpointed levels, piece counts carried through the DP argmin
+    * so the batch is ONE blocking action, not a checkpoint chain)
+    * and appends a per-(increment, lang) census: words,
     * OOV words (a type containing a train-unseen character has no
     * path through the frozen lattice — the honest frozen-tokenizer
     * readout), pieces, and exact-decimal NLL. The final read emits
@@ -512,57 +515,18 @@ object StreamingAnalytics {
           .filter(col("w").rlike("^[a-z]+$") &&
             length(col("w")) <= maxLen)
           .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
-          .localCheckpoint() // batch grain: census + type extraction
+          // lazy: census + type extraction share one RDD; the whole
+          // batch now runs as ONE blocking action (the parquet
+          // append) instead of ~25 per-level checkpoint jobs — the
+          // r15 verdict-item-1 fusion, via the SHARED frozen-encode
+          // kernel ([[TextAnalysis.viterbiPieceCounts]]: np carried
+          // through the DP argmin, no backpointer walk)
+          .localCheckpoint(false)
         val types = langWords.select(col("w")).distinct()
           .withColumn("len", length(col("w")))
-          .localCheckpoint()
-        val spans = types
-          .select(col("w"), col("len"),
-            explode(sequence(lit(1), col("len"))).as("st"))
-          .select(col("w"), col("len"), col("st"),
-            explode(sequence(lit(1), lit(maxPiece))).as("pl"))
-          .filter(col("st") + col("pl") - 1 <= col("len"))
-          .select(col("w"), (col("st") - 1).as("j"),
-            (col("st") + col("pl") - 1).as("i"),
-            expr("substring(w, st, pl)").as("piece"))
-        val vs = spans.join(broadcast(frozen), Seq("piece"))
-          .localCheckpoint() // batch lattice x frozen costs
-        var steps = Vector(types.select(col("w"), lit(0).as("pos"),
-          lit(0).cast("decimal(28,12)").as("dp"), lit(-1).as("bp"))
-          .localCheckpoint())
-        for (i <- 1 to maxLen) {
-          val lo = math.max(0, i - maxPiece)
-          val prev = steps.slice(lo, i).reduce(_.unionByName(_))
-            .select(col("w"), col("pos").as("j"), col("dp").as("dpj"))
-          val step = vs.filter(col("i") === i)
-            .join(prev, Seq("w", "j"))
-            .groupBy(col("w"))
-            .agg(min(struct((col("dpj") + col("cost")).as("d"),
-              col("j").as("b"))).as("m"))
-            .select(col("w"), lit(i).as("pos"),
-              col("m.d").cast("decimal(28,12)").as("dp"),
-              col("m.b").as("bp"))
-            .localCheckpoint()
-          steps = steps :+ step
-        }
-        val dpc = steps.reduce(_.unionByName(_)).localCheckpoint()
-        val fin = dpc.join(types, Seq("w"))
-          .filter(col("pos") === col("len"))
-          .select(col("w"), col("len"), col("dp")).localCheckpoint()
-        var cur = fin.select(col("w"), col("len").as("pos"))
-        var walked: DataFrame = null
-        for (_ <- 1 to maxLen) {
-          val step = cur.filter(col("pos") > 0)
-            .join(dpc.select(col("w"), col("pos"), col("bp")),
-              Seq("w", "pos"))
-            .localCheckpoint()
-          val seg = step.select(col("w"))
-          walked = if (walked == null) seg else walked.unionByName(seg)
-          cur = step.select(col("w"), col("bp").as("pos"))
-        }
-        val np = walked.groupBy(col("w"))
-          .agg(count(lit(1)).as("n_pieces"))
-        val seg = fin.join(np, Seq("w"))
+          .localCheckpoint(false)
+        val seg = TextAnalysis
+          .viterbiPieceCounts(types, frozen, maxLen, maxPiece)
           .select(col("w"), col("dp"), col("n_pieces"))
         langWords.join(seg, Seq("w"), "left")
           .groupBy(col("lang"))
