@@ -715,7 +715,13 @@ object DedupOps {
         l.union(edges.join(l, edges("src") === l("node"))
             .select(col("dst").as("node"), col("lbl")))
           .groupBy("node").agg(min("lbl").as("lbl"))
-      val next = hop(hop(labels)).localCheckpoint()
+      // LAZY checkpoints (r15 verdict item 1): the convergence sum is
+      // the round's one blocking action and materializes both hops —
+      // the inner hop (referenced twice by the outer: union + join)
+      // computes ONCE into its cached RDD instead of twice, and the
+      // old separate eager-checkpoint job per round disappears
+      val next = hop(hop(labels).localCheckpoint(false))
+        .localCheckpoint(false)
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl"))
         .head.getLong(0)
       labels = next
@@ -783,6 +789,7 @@ object DedupOps {
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
+        .localCheckpoint(false) // consumed twice: join + small-star union
       val withM = e.join(m, "u")
       val emitted =
         if (large) withM.filter(col("v") > col("u"))
@@ -799,15 +806,15 @@ object DedupOps {
     var s = sig(edges)
     var converged = false
     while (!converged) {
-      // exactly ONE large/small cycle per checkpoint — do NOT fuse two
-      // cycles the way dedupClusters fuses hops: star() consumes its
-      // input twice (the min-aggregate and the join), so an
-      // unmaterialized inner cycle would be re-executed for each use and
-      // fused cycles recompute exponentially (measured 3-4x slower at
-      // sf0.1). dedupClusters can fuse because each hop's input is the
-      // cached `labels`; here the checkpoint IS the materialization.
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+      // exactly ONE large/small cycle per round, both halves LAZILY
+      // checkpointed: star() consumes its input twice (the
+      // min-aggregate and the join), so the inner cycle must be
+      // pinned or it re-executes for each use (measured 3-4x slower
+      // at sf0.1 unpinned). The lazy RDDs materialize inside sig()'s
+      // convergence action — one blocking action per round total.
+      val next = star(star(edges, large = true)
+          .localCheckpoint(false), large = false)
+        .localCheckpoint(false)
       val ns = sig(next)
       edges = next
       converged = ns == s
@@ -1496,7 +1503,9 @@ object DedupOps {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("d1"), col("d2")).localCheckpoint()
+      // lazy: truth read twice (size + join); both kernel passes now
+      // materialize inside the ONE final census action
+      .select(col("d1"), col("d2")).localCheckpoint(false)
     val fp = TextAnalysis.winnowFingerprints(spark, dir)
       .select(col("doc_id"), col("hash").as("shingle")).distinct()
     val cand = shinglePairStatsOf(fp)
@@ -1545,7 +1554,7 @@ object DedupOps {
                i -> substring(text, i, 3))""")).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // (doc, trigram, tf) grain, read three times
+      .localCheckpoint(false) // (doc, trigram, tf) grain, read three times
     val norms = tg.groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("cnt")).as("nsq"))
     val cand = shinglePairStatsOf(
@@ -1710,20 +1719,20 @@ object DedupOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val surv1 = docs.select(col("doc_id"))
-      .join(keep1, Seq("doc_id"), "left_semi").localCheckpoint()
+      .join(keep1, Seq("doc_id"), "left_semi").localCheckpoint(false)
     val p2 = minhashLshPairs(spark, dir)
       .select(col("d1"), col("d2"))
       .join(surv1.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(surv1.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val losers2 = p2.select(col("d2").as("doc_id")).distinct()
     val surv2 = surv1.join(losers2, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val p3 = embeddingCosinePairs(spark, dir)
       .select(col("keeper").as("d1"), col("dup").as("d2"))
       .join(surv2.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(surv2.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val losers3 = p3.select(col("d2").as("doc_id")).distinct()
     def one(df: DataFrame, as: String): DataFrame =
       df.agg(count(lit(1)).cast("long").as(as))
@@ -1734,7 +1743,7 @@ object DedupOps {
       .crossJoin(one(surv2, "n_s2"))
       .crossJoin(one(p3, "n_p3"))
       .crossJoin(one(losers3, "n_l3"))
-      .localCheckpoint() // seven 1-row scalars
+      .localCheckpoint(false) // seven 1-row scalars
     def tier(stage: String, in: Column, pairs: Column,
              removed: Column, out: Column): DataFrame =
       counts.select(lit(stage).as("stage"),

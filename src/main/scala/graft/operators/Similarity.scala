@@ -1274,20 +1274,29 @@ object Similarity {
         col("nsq").as("cn"))
     def distToCenter = col("nsq") + col("cn") - lit(2L) *
       expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    // lazy checkpoints per round (r15 verdict item 1): cur and p are
+    // each referenced twice (argmax probe + next round's running-min
+    // fold), so without a cut each greedy round would re-derive every
+    // earlier round's pass twice over — the lazy RDD pins each round
+    // to exactly ONE corpus pass with no per-round blocking job
+    // (window-free lineage: maps, broadcasts, TakeOrdered limits)
     var cur = n.crossJoin(broadcast(c1)) // 1-row newest center
       .select(col("vec_id"), col("qe"), col("nsq"),
         distToCenter.as("mind"))
+      .localCheckpoint(false)
     var picks = c1.select(lit(1L).as("pick_order"),
       col("cid").as("vec_id"), lit(0L).as("dist_micro2"))
     for (i <- 2 to k) {
       val p = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("cid"), col("qe").as("ce"),
           col("nsq").as("cn"), col("mind").as("pd"))
+        .localCheckpoint(false)
       picks = picks.unionByName(p.select(lit(i.toLong).as("pick_order"),
         col("cid").as("vec_id"), col("pd").as("dist_micro2")))
       cur = cur.crossJoin(broadcast(p.drop("pd"))) // 1-row newest center
         .select(col("vec_id"), col("qe"), col("nsq"),
           least(col("mind"), distToCenter).as("mind"))
+        .localCheckpoint(false)
     }
     val coverage = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
       .select(lit(0L).as("pick_order"), col("vec_id"),
@@ -1811,8 +1820,8 @@ object Similarity {
     * pair space is label-blocked (the established bound) and built
     * ONCE; each of the k steps is one pass over it (join with the
     * |V|-row running-min state, one hash agg, a per-label argmin) —
-    * k × the blocked-pair kernel, with state localCheckpointed per
-    * step so lineage stays flat. */
+    * k × the blocked-pair kernel, with state LAZILY localCheckpointed
+    * per step so lineage stays flat without per-step blocking jobs. */
   def facilitySelect(spark: SparkSession, dir: String,
                      k: Int = 4): DataFrame = {
     val xq = emb(spark, dir)
@@ -1829,7 +1838,8 @@ object Similarity {
         (col("nv") + col("nc") - lit(2L) * expr(
           "aggregate(zip_with(qv, qc, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
           .as("d2"))
-      .localCheckpoint()
+      // lazy: built once, read by every greedy step — no blocking job
+      .localCheckpoint(false)
     var best: DataFrame = null
     val picks = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to k) {
@@ -1844,7 +1854,7 @@ object Similarity {
           .orderBy(col("obj"), col("c"))))
         .filter(col("rk") === 1)
         .select(col("label"), col("c"), col("obj"))
-        .toDF("pl", "pc", "pobj").localCheckpoint()
+        .toDF("pl", "pc", "pobj").localCheckpoint(false)
       picks += pick.select(col("pl").as("label"), lit(i).as("step"),
         col("pc").as("vec_id"), col("pobj").as("objective"))
       val newd = pairs
@@ -1857,7 +1867,7 @@ object Similarity {
           .join(newd, col("bl") === col("label") && col("bv") === col("v"))
           .select(col("label"), col("v"),
             least(col("bd"), col("nd")).as("bd"))
-        ).localCheckpoint()
+        ).localCheckpoint(false)
     }
     val wl = Window.partitionBy(col("label")).orderBy(col("step"))
     picks.reduce(_ unionByName _)
