@@ -58,6 +58,7 @@ object WindowAudit {
     // fixed buckets / bands / quantized-measure histogram cells
     "bucket", "graft_rk_bucket", "bin", "band", "level", "margin",
     "j", "c", "x", "v", "recency", "frequency", "decile", "quintile",
+    "cent", // quantized cents line — the house histogram-CDF measure
     // enumerated types / labels / geographies / bounded path alphabets
     "event_type", "label", "lang", "kind", "status", "arm", "modality",
     "source", "brand", "category", "n_name", "cust_nation",
