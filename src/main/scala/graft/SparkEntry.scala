@@ -377,6 +377,7 @@ object SparkEntry {
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     "graph_louvain" -> ((s, d) => Graph.louvainRound(s, d)),
+    "graph_louvain_full" -> ((s, d) => Graph.louvainFull(s, d)),
     "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d)),
     "stream_decontaminate" ->
       ((s, d) => StreamingAnalytics.streamDecontaminate(s, d)),
@@ -10652,6 +10653,9 @@ object SparkEntry {
       ("stream_freq_topk" -> m("sketch_freq_topk")) +
       // greedy k-center unrolls to k-1 chained farthest-point CTE blocks
       ("sim_kcenter_coreset" -> kcenterOracleSql(8)) +
+      // two Louvain levels from ONE generated move/Q block per level —
+      // the level bodies cannot drift apart
+      ("graph_louvain_full" -> louvainFullOracleSql) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
       ("stream_bpe_encode" -> streamBpeEncodeOracleSql(6)) +
@@ -13726,6 +13730,147 @@ object SparkEntry {
     * into the running min via the exact-BIGINT n1 + n2 − 2·dot
     * expansion over micro-unit coordinates. Generated so k stays one
     * knob. */
+  /** One synchronous Louvain gain-move round as a CTE block (prefix
+    * `p`, over `symCte`/`commCte`, reading the shared `m2x` total):
+    * the DuckDB replay of [[graft.operators.Graph]]'s louvainMove —
+    * generated once, instantiated per level, so the two levels of
+    * `graph_louvain_full` cannot drift apart. */
+  private def louvainMoveSql(p: String, symCte: String,
+      commCte: String): String =
+    s"""${p}degn AS MATERIALIZED (SELECT node, SUM(w) AS ki
+         FROM $symCte GROUP BY 1),
+       ${p}degc AS MATERIALIZED (SELECT c.community, SUM(d.ki) AS degw
+         FROM ${p}degn d JOIN $commCte c USING (node) GROUP BY 1),
+       ${p}kic AS MATERIALIZED (SELECT s.node, cb.community AS cand,
+           SUM(s.w) AS kc
+         FROM $symCte s JOIN $commCte cb ON s.nbr = cb.node
+         WHERE s.nbr <> s.node GROUP BY 1, 2),
+       ${p}base AS MATERIALIZED (SELECT c.node, c.community AS cur,
+           d.ki, COALESCE(ka.kc, 0) AS kia, dca.degw AS dega
+         FROM $commCte c JOIN ${p}degn d USING (node)
+         LEFT JOIN ${p}kic ka ON ka.node = c.node
+           AND ka.cand = c.community
+         JOIN ${p}degc dca ON dca.community = c.community),
+       ${p}gains AS MATERIALIZED (SELECT b.node, b.cur, k.cand,
+           2.0 * (CAST(k.kc AS DOUBLE) - CAST(b.kia AS DOUBLE))
+             / CAST(tw AS DOUBLE)
+           - 2.0 * CAST(b.ki AS DOUBLE) * (CAST(b.ki AS DOUBLE)
+               + CAST(dcb.degw AS DOUBLE) - CAST(b.dega AS DOUBLE))
+             / (CAST(tw AS DOUBLE) * CAST(tw AS DOUBLE)) AS gain
+         FROM ${p}base b JOIN ${p}kic k ON k.node = b.node
+           AND k.cand <> b.cur
+         JOIN ${p}degc dcb ON dcb.community = k.cand
+         CROSS JOIN m2x),
+       ${p}best AS MATERIALIZED (SELECT node, cand, gain FROM (
+           SELECT node, cand, gain, ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY gain DESC, cand) AS rn
+           FROM ${p}gains) g WHERE rn = 1),
+       ${p}comm2 AS MATERIALIZED (SELECT c.node,
+           CASE WHEN bm.gain > 0 THEN bm.cand
+                ELSE c.community END AS community,
+           c.community AS cur
+         FROM $commCte c LEFT JOIN ${p}best bm ON bm.node = c.node)"""
+
+  /** Modularity Q of partition `commCte` over `symCte` as a 1-row CTE
+    * `${p}q` (DECIMAL(28,12)-quantized per-community contributions,
+    * summed) — the replay of louvainQCensus folded to its Q sum. */
+  private def louvainQSql(p: String, symCte: String, commCte: String,
+      degnCte: String): String =
+    s"""${p}internal AS MATERIALIZED (SELECT ca.community, SUM(s.w) AS in_w
+         FROM $symCte s JOIN $commCte ca ON s.node = ca.node
+         JOIN $commCte cb ON s.nbr = cb.node
+         WHERE ca.community = cb.community GROUP BY 1),
+       ${p}degcq AS MATERIALIZED (SELECT c.community, SUM(d.ki) AS deg_w
+         FROM $degnCte d JOIN $commCte c USING (node) GROUP BY 1),
+       ${p}conts AS MATERIALIZED (SELECT dc.community,
+           CAST(CAST(COALESCE(i.in_w, 0) AS DOUBLE) / CAST(tw AS DOUBLE)
+             - (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+               * (CAST(dc.deg_w AS DOUBLE) / CAST(tw AS DOUBLE))
+             AS DECIMAL(28,12)) AS contrib
+         FROM ${p}degcq dc LEFT JOIN ${p}internal i USING (community)
+         CROSS JOIN m2x),
+       ${p}q AS MATERIALIZED (SELECT SUM(contrib) AS q FROM ${p}conts)"""
+
+  /** Generated oracle for `graph_louvain_full`: the graph_louvain
+    * prelude (edges/sym/labelProp/comm), then per level ONE
+    * instantiation of [[louvainMoveSql]] + two [[louvainQSql]] blocks
+    * + a decimal-compare acceptance CTE; level 2 runs on the coarse
+    * super-graph built from level 1's ACCEPTED partition. */
+  private[graft] def louvainFullOracleSql: String = {
+    def acceptSql(p: String, movedCte: String): String =
+      s"""${p}acc AS MATERIALIZED (SELECT c.node,
+           CASE WHEN (SELECT q FROM ${p}mq) >= (SELECT q FROM ${p}sq)
+             THEN c.community ELSE c.cur END AS community,
+           c.cur
+         FROM $movedCte c)"""
+    def rowSql(lvl: Int, p: String, symCte: String,
+        commCte: String): String =
+      s"""SELECT CAST($lvl AS BIGINT) AS level,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM $commCte) AS n_nodes,
+           (SELECT CAST(COUNT(DISTINCT community) AS BIGINT)
+             FROM $commCte) AS n_communities_start,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN community <> cur
+               THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ${p}acc)
+             AS n_moved,
+           (SELECT CAST(COUNT(DISTINCT community) AS BIGINT)
+             FROM ${p}acc) AS n_communities_end,
+           (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM $symCte
+             WHERE node = nbr) AS self_loop_w,
+           ROUND((SELECT CAST(q AS DOUBLE) FROM ${p}sq), 6) AS q_start,
+           ROUND((SELECT CAST(q AS DOUBLE) FROM ${p}mq), 6) AS q_move,
+           ROUND(CAST(GREATEST((SELECT q FROM ${p}sq),
+             (SELECT q FROM ${p}mq)) AS DOUBLE), 6) AS q_end"""
+    s"""WITH edges AS MATERIALIZED (
+         SELECT s_nationkey AS src, c_nationkey AS dst,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS w
+         FROM lineitem, orders, customer, supplier
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+         GROUP BY 1, 2),
+       sym AS MATERIALIZED (SELECT node, nbr, SUM(w) AS w FROM (
+           SELECT src AS node, dst AS nbr, w FROM edges
+           UNION ALL SELECT dst, src, w FROM edges) t
+         GROUP BY 1, 2),
+       tot AS MATERIALIZED (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM sym),
+       nbrs AS MATERIALIZED (SELECT node, nbr, w FROM sym, tot
+         WHERE CAST(w AS HUGEINT) * CAST(ne AS HUGEINT)
+           >= CAST(tw AS HUGEINT)),
+       l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+       a1 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+              FROM nbrs n JOIN l0 l ON n.nbr = l.node GROUP BY 1, 2),
+       lp1 AS (SELECT node, lbl FROM (
+           SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+             ORDER BY sw DESC, lbl) AS rn FROM a1) WHERE rn = 1),
+       a2 AS (SELECT n.node, l.lbl, SUM(n.w) AS sw
+              FROM nbrs n JOIN lp1 l ON n.nbr = l.node GROUP BY 1, 2),
+       lp2 AS (SELECT node, lbl FROM (
+           SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+             ORDER BY sw DESC, lbl) AS rn FROM a2) WHERE rn = 1),
+       nodes AS (SELECT DISTINCT node FROM sym),
+       comm AS MATERIALIZED (SELECT n.node,
+           COALESCE(l2.lbl, n.node) AS community
+         FROM nodes n LEFT JOIN lp2 l2 ON n.node = l2.node),
+       m2x AS MATERIALIZED (SELECT SUM(w) AS tw FROM sym),
+       ${louvainMoveSql("l1", "sym", "comm")},
+       ${louvainQSql("l1s", "sym", "comm", "l1degn")},
+       ${louvainQSql("l1m", "sym", "l1comm2", "l1degn")},
+       ${acceptSql("l1", "l1comm2")},
+       sym2 AS MATERIALIZED (SELECT ca.community AS node,
+           cb.community AS nbr, SUM(s.w) AS w
+         FROM sym s JOIN l1acc ca ON s.node = ca.node
+         JOIN l1acc cb ON s.nbr = cb.node GROUP BY 1, 2),
+       comm20 AS MATERIALIZED (SELECT DISTINCT node,
+           node AS community FROM sym2),
+       ${louvainMoveSql("l2", "sym2", "comm20")},
+       ${louvainQSql("l2s", "sym2", "comm20", "l2degn")},
+       ${louvainQSql("l2m", "sym2", "l2comm2", "l2degn")},
+       ${acceptSql("l2", "l2comm2")}
+       SELECT * FROM (
+       ${rowSql(1, "l1", "sym", "comm")}
+       UNION ALL
+       ${rowSql(2, "l2", "sym2", "comm20")}) r ORDER BY level"""
+  }
+
   private[graft] def kcenterOracleSql(k: Int): String = {
     val steps = (2 to k).map { i =>
       s""",

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Property coverage for the round-15 additions beyond the automatic
+  * smoke/oracle gates: the full Louvain level step's three structural
+  * invariants — level 1 pins to the standalone move round's Q numbers,
+  * coarsening preserves Q exactly, and the acceptance guard makes
+  * q_end monotone non-decreasing across levels. */
+class Round15OpsSpec extends SparkSpec {
+
+  test("graph_louvain_full: level 1 pins to louvainRound's q_before/" +
+    "q_after; coarsening preserves Q exactly; q_end is monotone") {
+    val full = Graph.louvainFull(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("level"))
+    assert(full.length === 2)
+    val Array(l1, l2) = full
+    // level 1 IS louvainRound's synchronous move round: its q
+    // trajectory must match the standalone row's readout
+    val one = Graph.louvainRound(spark, sf0001).collect().head
+    assert(l1.getAs[Double]("q_start") === one.getAs[Double]("q_before"))
+    assert(l1.getAs[Double]("q_move") === one.getAs[Double]("q_after"))
+    // the coarse super-graph starts at EXACTLY the accepted level-1 Q:
+    // per-community in_w/deg_w/2m survive coarsening operand-for-operand
+    assert(l2.getAs[Double]("q_start") === l1.getAs[Double]("q_end"),
+      "coarsening must preserve modularity exactly")
+    // acceptance guard: q_end never falls, within a level or across
+    for (r <- full) {
+      assert(r.getAs[Double]("q_end") >= r.getAs[Double]("q_start"))
+      assert(r.getAs[Double]("q_end") >=
+        math.max(r.getAs[Double]("q_start"), r.getAs[Double]("q_move"))
+          - 1e-12)
+      // a rejected round moves nobody; an accepted one may
+      if (r.getAs[Double]("q_move") < r.getAs[Double]("q_start"))
+        assert(r.getAs[Long]("n_moved") === 0L,
+          "a rejected move round must leave the partition untouched")
+    }
+    assert(l2.getAs[Double]("q_end") >= l1.getAs[Double]("q_end"))
+    // the super-graph has one node per accepted level-1 community
+    assert(l2.getAs[Long]("n_nodes") ===
+      l1.getAs[Long]("n_communities_end"))
+    // internal mass surfaces as coarse self-loops: never less than the
+    // fine graph's own self-loop weight
+    assert(l2.getAs[Long]("self_loop_w") >= l1.getAs[Long]("self_loop_w"))
+  }
+}
