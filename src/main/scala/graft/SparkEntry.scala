@@ -374,6 +374,7 @@ object SparkEntry {
       ((s, d) => TextAnalysis.contaminationSweep(s, d)),
     "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
     "sim_quant_sweep" -> ((s, d) => Similarity.quantSweep(s, d)),
+    "sim_pq_train" -> ((s, d) => Similarity.pqTrainDistortion(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     "graph_louvain" -> ((s, d) => Graph.louvainRound(s, d)),
@@ -10656,6 +10657,9 @@ object SparkEntry {
       // two Louvain levels from ONE generated move/Q block per level —
       // the level bodies cannot drift apart
       ("graph_louvain_full" -> louvainFullOracleSql) +
+      // one exact integer-Lloyd pass per PQ subspace: the assignment
+      // block is generated once and instantiated for both codebooks
+      ("sim_pq_train" -> pqTrainOracleSql()) +
       // the BPE trainer's bounded loop unrolls to chained CTE blocks
       ("text_bpe_merges" -> bpeMergeOracleSql(6)) +
       ("stream_bpe_encode" -> streamBpeEncodeOracleSql(6)) +
@@ -13869,6 +13873,62 @@ object SparkEntry {
        ${rowSql(1, "l1", "sym", "comm")}
        UNION ALL
        ${rowSql(2, "l2", "sym2", "comm20")}) r ORDER BY level"""
+  }
+
+  /** Generated oracle for `sim_pq_train`: the exact integer-Lloyd PQ
+    * pass of [[graft.operators.Similarity.pqTrainDistortion]] — ONE
+    * assignment CTE block instantiated for the seed and the trained
+    * codebook, the round-half-up integer mean via the same positive
+    * shift, and the per-subspace distortion census. */
+  private[graft] def pqTrainOracleSql(m: Int = 16, sub: Int = 4,
+      k: Int = 64, off: Long = 16000000L): String = {
+    def assignSql(p: String, cb: String): String =
+      s"""${p}pair AS (SELECT l.vec_id, l.m, c.cid,
+           SUM((l.v - c.w) * (l.v - c.w)) AS dist
+         FROM lanes l JOIN $cb c ON l.m = c.m AND l.d = c.d
+         GROUP BY 1, 2, 3),
+       ${p}asg AS MATERIALIZED (SELECT vec_id, m, cid, dist FROM (
+           SELECT vec_id, m, cid, dist, ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+           FROM ${p}pair) z WHERE rn = 1),
+       ${p}dm AS MATERIALIZED (SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(dist AS DECIMAL(38,0))) AS sd
+         FROM ${p}asg GROUP BY 1)"""
+    s"""WITH qe AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+         FROM embeddings),
+       lanes AS MATERIALIZED (SELECT vec_id,
+           CAST((i - 1) // $sub AS INT) AS m,
+           CAST((i - 1) % $sub AS INT) AS d, v
+         FROM (SELECT vec_id, unnest(qe) AS v,
+             generate_subscripts(qe, 1) AS i FROM qe) z),
+       sd AS MATERIALIZED (SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cid
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+               LIMIT $k) s),
+       cb0 AS MATERIALIZED (SELECT l.m, s.cid, l.d, l.v AS w
+         FROM lanes l JOIN sd s USING (vec_id)),
+       ${assignSql("a0", "cb0")},
+       cb1 AS MATERIALIZED (SELECT a.m, a.cid, l.d,
+           CAST((2 * (SUM(l.v) + COUNT(*) * $off) + COUNT(*))
+             // (2 * COUNT(*)) AS BIGINT) - $off AS w
+         FROM a0asg a JOIN lanes l
+           ON a.vec_id = l.vec_id AND a.m = l.m
+         GROUP BY 1, 2, l.d),
+       ${assignSql("a1", "cb1")},
+       live AS (SELECT m, CAST(COUNT(DISTINCT cid) AS BIGINT)
+           AS n_live_codewords FROM cb1 GROUP BY 1)
+       SELECT CAST(d0.m AS BIGINT) AS subspace, d0.n AS n_vectors,
+         CAST($k AS BIGINT) AS k_seed, live.n_live_codewords,
+         CAST(CAST(d0.sd AS HUGEINT) // d0.n AS BIGINT)
+           AS mean_dist_seed,
+         CAST(CAST(d1.sd AS HUGEINT) // d0.n AS BIGINT)
+           AS mean_dist_trained,
+         ROUND(1.0 - CAST(d1.sd AS DOUBLE) / CAST(d0.sd AS DOUBLE), 6)
+           AS distortion_drop
+       FROM a0dm d0 JOIN a1dm d1 ON d0.m = d1.m
+       JOIN live ON live.m = d0.m
+       ORDER BY subspace"""
   }
 
   private[graft] def kcenterOracleSql(k: Int): String = {

@@ -3080,4 +3080,95 @@ object Similarity {
     }
     perBeam.reduce(_.unionByName(_)).orderBy(col("beam"), col("label"))
   }
+
+  /** PQ codebook TRAINING distortion — the train→measure row for the
+    * quantizer family (r15 verdict item 5), the way `docs_probe_auc`
+    * closes the loop for the classifier: per SUBSPACE, one exact
+    * Lloyd pass over the sub-vector space (seed codebook = the K
+    * lowest-vec_id rows' sub-vectors → integer-L2 assignment →
+    * exact-mean re-derivation quantized to the nearest micro-unit
+    * integer → re-assignment) reporting the micro²-unit mean
+    * distortion BEFORE and AFTER the pass and the relative drop.
+    * Because the quantized mean is the OPTIMAL INTEGER codeword for
+    * its cluster (the quadratic is symmetric, so the nearest integer
+    * to the exact mean minimizes it) and re-assignment only ever
+    * lowers a row's distance, the trained distortion is ≤ the seed
+    * distortion EXACTLY, per subspace — the spec asserts the
+    * monotonicity invariant, not a tolerance.
+    *
+    * Determinism: lanes quantize to micro-unit BIGINTs (|lane| < OFF
+    * raises plan-side — the positive shift makes the round-half-up
+    * mean a single integer division identical in both engines);
+    * distances are exact integer sums; argmin ties to the smaller
+    * codeword id; per-subspace distortion sums ride DECIMAL(38,0);
+    * the floor-mean readout is an exact integral division.
+    *
+    * Scale shape: the assignment relation is corpus × M × K at
+    * sub-vector grain — at 100 TB a PQ trainer runs on a corpus
+    * SAMPLE (the production shape, per [[pqCodebook]]'s note) and
+    * this plan transfers unchanged; every aggregate above it is
+    * bounded by M × K × SUB. */
+  def pqTrainDistortion(spark: SparkSession, dir: String, m: Int = 16,
+      sub: Int = 4, k: Int = 64): DataFrame = {
+    val OFF = 16000000L // |lane| bound in micro-units, raise-guarded
+    val lanes = emb(spark, dir)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")))
+      .select(col("vec_id"), expr(s"pos div $sub").cast("int").as("m"),
+        expr(s"pos % $sub").cast("int").as("d"),
+        when(abs(col("col")) >= OFF, raise_error(format_string(
+          s"pqTrainDistortion: lane %s outside the micro-unit bound $OFF",
+          col("col").cast("string"))))
+          .otherwise(col("col")).as("v"))
+      .localCheckpoint(false) // lane grain; read by seeds + both passes
+    val seedIds = emb(spark, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).as("cid")) // rank over a LIMIT k
+    val cb0 = lanes.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("m"), col("cid"), col("d"), col("v").as("w"))
+      .localCheckpoint(false)
+    def assign(cb: DataFrame): DataFrame = lanes
+      .join(broadcast(cb), Seq("m", "d"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cid").as("cid"),
+        col("b.dist").as("dist"))
+      .localCheckpoint(false)
+    def distortion(asg: DataFrame): DataFrame = asg
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("sd"))
+    val asg0 = assign(cb0)
+    // exact mean per (m, cid, d), round-half-up to the nearest integer
+    // via the positive shift (the nearest integer IS the optimal
+    // integer codeword lane); empty codewords drop out
+    val cb1 = asg0.join(lanes, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("d"))
+      .agg(((lit(2L) * (sum(col("v")) + count(lit(1)) * OFF) +
+        count(lit(1))).cast("long")).as("num"),
+        (lit(2L) * count(lit(1))).as("den"))
+      .select(col("m"), col("cid"), col("d"),
+        (expr("num div den") - OFF).as("w"))
+      .localCheckpoint(false)
+    val asg1 = assign(cb1)
+    val live = cb1.groupBy(col("m"))
+      .agg(countDistinct(col("cid")).as("n_live_codewords"))
+    distortion(asg0)
+      .select(col("m"), col("n").as("n_vectors"),
+        col("sd").as("sd0"))
+      .join(distortion(asg1).select(col("m"), col("sd").as("sd1")),
+        Seq("m"))
+      .join(live, Seq("m"))
+      .select(col("m").cast("long").as("subspace"), col("n_vectors"),
+        lit(k.toLong).as("k_seed"), col("n_live_codewords"),
+        expr("CAST(sd0 div n_vectors AS BIGINT)").as("mean_dist_seed"),
+        expr("CAST(sd1 div n_vectors AS BIGINT)").as("mean_dist_trained"),
+        round(lit(1.0) - col("sd1").cast("double") /
+          col("sd0").cast("double"), 6).as("distortion_drop"))
+      .orderBy(col("subspace"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Graph
+import graft.operators.{Graph, Similarity}
 
 /** Property coverage for the round-15 additions beyond the automatic
   * smoke/oracle gates: the full Louvain level step's three structural
@@ -43,5 +43,26 @@ class Round15OpsSpec extends SparkSpec {
     // internal mass surfaces as coarse self-loops: never less than the
     // fine graph's own self-loop weight
     assert(l2.getAs[Long]("self_loop_w") >= l1.getAs[Long]("self_loop_w"))
+  }
+
+  test("sim_pq_train: one exact integer-Lloyd pass NEVER increases " +
+    "per-subspace distortion (the quantized mean is the optimal " +
+    "integer codeword); census shapes hold") {
+    val out = Similarity.pqTrainDistortion(spark, sf0001).collect()
+    assert(out.length === 16, "one row per subspace")
+    val nVecs = out.map(_.getAs[Long]("n_vectors")).distinct
+    assert(nVecs.length === 1 && nVecs.head > 0,
+      "every vector contributes one sub-vector per subspace")
+    for (r <- out) {
+      // EXACT monotonicity, no tolerance: mean step picks the optimal
+      // integer codeword per cluster, re-assignment only lowers rows
+      assert(r.getAs[Long]("mean_dist_trained") <=
+        r.getAs[Long]("mean_dist_seed"),
+        s"subspace ${r.getAs[Long]("subspace")}: Lloyd pass raised " +
+          "distortion")
+      assert(r.getAs[Double]("distortion_drop") >= 0.0)
+      val live = r.getAs[Long]("n_live_codewords")
+      assert(live >= 1L && live <= r.getAs[Long]("k_seed"))
+    }
   }
 }
