@@ -218,6 +218,8 @@ object SparkEntry {
     "docs_semantic_quality" -> ((s, d) => Similarity.semanticQuality(s, d)),
     "text_substring_removal" -> ((s, d) => TextAnalysis.substringRemoval(s, d)),
     "text_paragraph_dedup" -> ((s, d) => TextAnalysis.paragraphDedup(s, d)),
+    "text_boilerplate_lines" ->
+      ((s, d) => TextAnalysis.boilerplateLines(s, d)),
     // ---- round 9: BPE merge learning (the trainer loop) + the trained
     // quality probe (one exact logistic gradient step)
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergeLearn(s, d)),
@@ -6845,6 +6847,50 @@ object SparkEntry {
          FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
          JOIN okf k ON k.fp = a.fp
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // text_boilerplate_lines: the same string_split + (i-1)//p line
+    // boundary as paragraph_dedup; per-(source, line-text) df census,
+    // drop-all removable mass for lines in >= 2 same-source docs
+    "text_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, source, unnest(ws) AS w,
+             generate_subscripts(ws, 1) AS i FROM d),
+         ln AS MATERIALIZED (SELECT doc_id, source, (i - 1) // 10 AS lidx,
+             string_agg(w, ' ' ORDER BY i) AS ltxt,
+             CAST(COUNT(*) AS BIGINT) AS tok
+           FROM tok GROUP BY 1, 2, 3),
+         census AS (SELECT source, ltxt,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_line,
+             MAX(tok) AS tok
+           FROM ln GROUP BY 1, 2),
+         boiler AS MATERIALIZED (SELECT * FROM census
+           WHERE n_docs_line >= 2),
+         totals AS (SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(tok) AS BIGINT) AS total_tokens
+           FROM ln GROUP BY 1),
+         agg AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_boiler_lines,
+             CAST(SUM(n_occ) AS BIGINT) AS boiler_occurrences,
+             CAST(SUM(n_occ * tok) AS BIGINT) AS removable_tokens
+           FROM boiler GROUP BY 1),
+         aff AS (SELECT l.source,
+             CAST(COUNT(DISTINCT l.doc_id) AS BIGINT) AS docs_affected
+           FROM ln l JOIN boiler b
+             ON l.source = b.source AND l.ltxt = b.ltxt
+           GROUP BY 1)
+         SELECT t.source, t.n_docs, t.n_lines, t.total_tokens,
+           COALESCE(a.n_boiler_lines, 0) AS n_boiler_lines,
+           COALESCE(a.boiler_occurrences, 0) AS boiler_occurrences,
+           COALESCE(f.docs_affected, 0) AS docs_affected,
+           COALESCE(a.removable_tokens, 0) AS removable_tokens,
+           ROUND(CAST(COALESCE(a.removable_tokens, 0) AS DOUBLE)
+             / CAST(t.total_tokens AS DOUBLE), 6) AS removable_share
+         FROM totals t LEFT JOIN agg a USING (source)
+         LEFT JOIN aff f USING (source)
+         ORDER BY source""",
     // text_paragraph_dedup: non-overlapping 15-word chunks from the same
     // string_split relation; first-occurrence keep is a row_number over
     // the raw paragraph TEXT (the Spark side ranks xxhash64 fingerprints

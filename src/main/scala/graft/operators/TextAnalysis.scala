@@ -1393,6 +1393,73 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** CCNet-style BOILERPLATE-LINE census (r15 verdict item 6) — the
+    * per-line document-frequency pass real curation pipelines run
+    * BEFORE any document-level dedup: a line (menu, header, footer,
+    * cookie banner) that recurs across `minDocs`+ DISTINCT documents
+    * of the SAME source is boilerplate, and a drop-all removal (CCNet
+    * removes every occurrence — boilerplate is junk, not content,
+    * unlike [[paragraphDedup]]'s global keep-first) reclaims its whole
+    * token mass. Per source: corpus size, boilerplate line census,
+    * documents affected, removable token mass and its share — the
+    * numbers that decide whether a source needs the pass at all.
+    *
+    * The synthetic corpus is a single-line token stream, so the line
+    * boundary is the deterministic non-overlapping `p`-word chunking
+    * ([[graft.expressions.ChunkWords]], stride = size — the
+    * [[paragraphDedup]] convention, reproduced in the oracle from
+    * `string_split` + `(i-1)//p` grouping) and the census keys on the
+    * RAW line text (hash-free — the standing collision check).
+    *
+    * Scale shape: lines stream out of the generator (never an array
+    * column); the df census is ONE hash aggregation on (source, line)
+    * — an aggregation, not a pair expansion, so a pathologically hot
+    * boilerplate line costs one combiner path, no df-cap needed; the
+    * affected-docs pass is a semi-join back on the same key; rollups
+    * are |sources| rows. */
+  def boilerplateLines(spark: SparkSession, dir: String, p: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val lines = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"graft_chunk_words(text, $p, $p)"))
+      .select(col("doc_id"), col("source"), col("chunk_text"),
+        col("n_words"))
+      .localCheckpoint(false) // line grain: census + totals + affected
+    val census = lines.groupBy(col("source"), col("chunk_text"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs_line"),
+        max(col("n_words")).as("tok")) // identical text, identical tok
+    val boiler = census.filter(col("n_docs_line") >= minDocs)
+      .localCheckpoint(false) // read twice: rollup + affected semi-join
+    val totals = lines.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum(col("n_words")).as("total_tokens"))
+    val agg = boiler.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_boiler_lines"),
+        sum(col("n_occ")).as("boiler_occurrences"),
+        sum(col("n_occ") * col("tok")).as("removable_tokens"))
+    val affected = lines
+      .join(boiler.select(col("source"), col("chunk_text")),
+        Seq("source", "chunk_text"), "left_semi")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs_affected"))
+    totals.join(agg, Seq("source"), "left")
+      .join(affected, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_lines"),
+        col("total_tokens"),
+        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+        coalesce(col("boiler_occurrences"), lit(0L))
+          .as("boiler_occurrences"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("removable_tokens"), lit(0L))
+          .as("removable_tokens"),
+        round(coalesce(col("removable_tokens"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double"), 6).as("removable_share"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix — the sibling of [[splitContamination]]
     * at corpus-curation time: for every source pair, how many documents
     * share a 64-char-prefix fingerprint across the two (syndicated /

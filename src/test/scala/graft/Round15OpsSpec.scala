@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Similarity}
+import graft.operators.{Graph, Similarity, TextAnalysis}
 
 /** Property coverage for the round-15 additions beyond the automatic
   * smoke/oracle gates: the full Louvain level step's three structural
@@ -63,6 +63,48 @@ class Round15OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("distortion_drop") >= 0.0)
       val live = r.getAs[Long]("n_live_codewords")
       assert(live >= 1L && live <= r.getAs[Long]("k_seed"))
+    }
+  }
+
+  test("text_boilerplate_lines: planted same-source boilerplate is " +
+    "censused with its full drop-all token mass; cross-source and " +
+    "single-doc lines are not") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"hdr$i").mkString(" ") // one line
+    val bodyA = (1 to 10).map(i => s"worda$i").mkString(" ")
+    val bodyB = (1 to 10).map(i => s"wordb$i").mkString(" ")
+    // srcX: 3 docs share the header (boilerplate, 2 occurrences in one
+    // doc via a repeat), each with a unique body line; srcY: the SAME
+    // header once only (single doc — not boilerplate THERE)
+    val docs = Seq(
+      (1L, s"$header $bodyA", "en", "srcX", 0L),
+      (2L, s"$header $bodyB", "en", "srcX", 0L),
+      (3L, s"$header $header", "en", "srcX", 0L),
+      (4L, s"$header $bodyA", "en", "srcY", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    try {
+      val out = TextAnalysis.boilerplateLines(spark, dir)
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+      val x = out("srcX")
+      // the header line occurs in 3 distinct srcX docs, 4 times total
+      assert(x.getAs[Long]("n_boiler_lines") === 1L)
+      assert(x.getAs[Long]("boiler_occurrences") === 4L)
+      assert(x.getAs[Long]("docs_affected") === 3L)
+      assert(x.getAs[Long]("removable_tokens") === 40L) // drop-ALL mass
+      // bodyA appears in srcX once and srcY once — never same-source
+      // boilerplate; srcY's lone header is single-doc there
+      val y = out("srcY")
+      assert(y.getAs[Long]("n_boiler_lines") === 0L)
+      assert(y.getAs[Long]("removable_tokens") === 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
