@@ -586,6 +586,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.retrievalNdcg(s, d)),
     "text_retrieval_ndcg_multi" ->
       ((s, d) => TextAnalysis.retrievalNdcgMulti(s, d)),
+    "text_retrieval_panel_ci" ->
+      ((s, d) => TextAnalysis.retrievalPanelCi(s, d)),
     "text_unigram_tokenizer" ->
       ((s, d) => TextAnalysis.unigramTokenizer(s, d)),
     "text_tokenizer_fertility" ->
@@ -12411,142 +12413,7 @@ object SparkEntry {
                AS ndcg10
            FROM per, idcg ORDER BY arm""") +
       ("text_retrieval_ndcg_multi" ->
-        """WITH tok AS (SELECT doc_id,
-               unnest(string_split(text, ' ')) AS token FROM documents),
-           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-             FROM tok WHERE token <> '' GROUP BY 1, 2),
-           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
-             FROM tf GROUP BY 1),
-           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
-           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-             FROM tf GROUP BY 1),
-           qp AS (SELECT vec_id AS q_id FROM embeddings
-             ORDER BY vec_id LIMIT 5),
-           qe AS (SELECT q_id, embedding AS q_emb FROM qp
-             JOIN embeddings e ON e.vec_id = qp.q_id),
-           qt AS (SELECT q_id, token, df FROM (
-               SELECT qp.q_id, tf.token, df.df, ROW_NUMBER()
-                 OVER (PARTITION BY qp.q_id
-                   ORDER BY df.df ASC, tf.token) AS rk
-               FROM qp JOIN tf ON tf.doc_id = qp.q_id
-               JOIN df ON df.token = tf.token) z WHERE rk <= 8),
-           sc AS (SELECT qt.q_id, tf.doc_id,
-               CAST(ln(1.0 + (CAST(n AS DOUBLE) - qt.df + 0.5)
-                   / (CAST(qt.df AS DOUBLE) + 0.5))
-                 * tf * 2.2
-                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-                   + 0.75 * CAST(len AS DOUBLE) * n
-                     / CAST(total_len AS DOUBLE)))
-                 AS DECIMAL(28,12)) AS term_score
-             FROM tf JOIN qt USING (token) JOIN lens USING (doc_id),
-               nd),
-           lex AS (SELECT q_id, doc_id, SUM(term_score) AS bm25
-             FROM sc GROUP BY 1, 2),
-           lexev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
-             FROM (SELECT q_id, doc_id, ROW_NUMBER()
-                 OVER (PARTITION BY q_id
-                   ORDER BY bm25 DESC, doc_id) AS r
-               FROM lex WHERE doc_id <> q_id) zl WHERE r <= 100),
-           sims AS (SELECT qe.q_id, e.vec_id AS doc_id,
-               list_cosine_similarity(e.embedding, qe.q_emb) AS sim
-             FROM embeddings e, qe WHERE e.vec_id <> qe.q_id),
-           dims AS (SELECT vec_id, unnest(embedding) AS val,
-               generate_subscripts(embedding, 1) AS d FROM embeddings),
-           plane AS (SELECT j, d,
-               CASE WHEN (strpos('0123456789abcdef',
-                 substr(md5(CAST(j AS VARCHAR) || ':'
-                   || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
-                 THEN 1 ELSE -1 END AS s
-             FROM range(32) a(j), range(1, 65) b(d)),
-           proj AS (SELECT vec_id, j,
-               SUM(CASE WHEN s = 1
-                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
-                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
-                 AS p
-             FROM dims JOIN plane USING (d) GROUP BY 1, 2),
-           bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
-               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
-                 ORDER BY j) AS bucket
-             FROM proj GROUP BY vec_id, j // 8),
-           abands AS (SELECT q_id, band, bucket FROM bands
-             JOIN qp ON vec_id = q_id),
-           cand AS (SELECT DISTINCT a.q_id, b.vec_id AS doc_id
-             FROM bands b JOIN abands a USING (band, bucket)),
-           semev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
-             FROM (SELECT s.q_id, s.doc_id, ROW_NUMBER()
-                 OVER (PARTITION BY s.q_id
-                   ORDER BY sim DESC, s.doc_id) AS r
-               FROM cand c JOIN sims s
-                 ON c.q_id = s.q_id AND c.doc_id = s.doc_id) z
-             WHERE r <= 100),
-           fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
-               COALESCE(l.doc_id, s.doc_id) AS doc_id,
-               COALESCE(1.0 / (60.0 + l.r), 0.0)
-                 + COALESCE(1.0 / (60.0 + s.r), 0.0) AS rrf
-             FROM lexev l FULL OUTER JOIN semev s
-               ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
-           hybev AS (SELECT q_id, doc_id, CAST(r0 AS BIGINT) AS pos
-             FROM (SELECT q_id, doc_id, ROW_NUMBER()
-                 OVER (PARTITION BY q_id
-                   ORDER BY rrf DESC, doc_id) AS r0 FROM fused) z
-             WHERE r0 <= 10),
-           lists AS (
-             SELECT 'a_lexical' AS arm, q_id, doc_id, r AS pos
-               FROM lexev WHERE r <= 10
-             UNION ALL SELECT 'b_semantic_lsh', q_id, doc_id, r
-               FROM semev WHERE r <= 10
-             UNION ALL SELECT 'c_hybrid_rrf', q_id, doc_id, pos
-               FROM hybev),
-           cdocs AS (SELECT s.q_id AS cq, s.doc_id AS cd, s.sim AS cs
-             FROM (SELECT DISTINCT q_id, doc_id FROM lists) ld
-             JOIN sims s USING (q_id, doc_id)),
-           gains0 AS (SELECT cq, cd,
-               CAST(SUM(CASE WHEN sim > cs THEN 1 ELSE 0 END)
-                 AS BIGINT) + 1 AS lo,
-               CAST(COUNT(*) AS BIGINT) AS hi
-             FROM sims JOIN cdocs ON sims.q_id = cq AND sim >= cs
-             GROUP BY 1, 2),
-           gains AS (SELECT cq AS q_id, cd AS doc_id,
-               CASE WHEN lo > 10 THEN 0.0
-                 ELSE CAST((LEAST(hi, 10) - lo + 1)
-                     * (22 - lo - LEAST(hi, 10)) AS DOUBLE)
-                   / CAST(2 * (hi - lo + 1) AS DOUBLE) END AS gain
-             FROM gains0),
-           truth AS (SELECT q_id, doc_id, CAST(1 AS BIGINT) AS rel
-             FROM (SELECT q_id, doc_id, ROW_NUMBER()
-                 OVER (PARTITION BY q_id
-                   ORDER BY sim DESC, doc_id) AS rn FROM sims) z
-             WHERE rn <= 10),
-           idcg AS (SELECT SUM(CAST(CAST(11 - r AS DOUBLE)
-               / log2(CAST(r + 1 AS DOUBLE)) AS DECIMAL(28,12)))
-               AS idcg
-             FROM range(1, 11) t(r)),
-           per AS (SELECT arm, q_id,
-               CAST(COUNT(*) AS BIGINT) AS n_listed,
-               CAST(SUM(COALESCE(rel, 0)) AS BIGINT) AS n_relevant,
-               MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel,
-               SUM(CAST(COALESCE(gain, 0.0)
-                 / log2(CAST(pos + 1 AS DOUBLE)) AS DECIMAL(28,12)))
-                 AS dcg
-             FROM lists LEFT JOIN gains USING (q_id, doc_id)
-             LEFT JOIN truth USING (q_id, doc_id) GROUP BY 1, 2),
-           perq AS (SELECT arm, q_id, n_listed, n_relevant,
-               CAST(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
-                 AS DECIMAL(28,12)) AS mrr,
-               CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
-                 AS DECIMAL(28,12)) AS ndcg
-             FROM per, idcg),
-           spine AS (SELECT arm, q_id FROM (VALUES ('a_lexical'),
-               ('b_semantic_lsh'), ('c_hybrid_rrf')) a(arm)
-             CROSS JOIN qp),
-           fin AS (SELECT s.arm,
-               COALESCE(n_listed, 0) AS n_listed,
-               COALESCE(n_relevant, 0) AS n_relevant,
-               COALESCE(mrr, CAST(0 AS DECIMAL(28,12))) AS mrr,
-               COALESCE(ndcg, CAST(0 AS DECIMAL(28,12))) AS ndcg
-             FROM spine s LEFT JOIN perq p
-               ON s.arm = p.arm AND s.q_id = p.q_id)
+        s"""WITH ${retrievalPerQuerySql(20)}
            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_queries,
              CAST(SUM(n_listed) AS BIGINT) AS n_listed_total,
              CAST(SUM(n_relevant) AS BIGINT) AS n_relevant_total,
@@ -12557,6 +12424,7 @@ object SparkEntry {
              ROUND(CAST(SUM(mrr) AS DOUBLE) / COUNT(*), 6)
                AS mrr_mean
            FROM fin GROUP BY arm ORDER BY arm""") +
+      ("text_retrieval_panel_ci" -> retrievalPanelCiOracleSql()) +
       ("text_unigram_tokenizer" -> unigramOracleSql()) +
       ("text_tokenizer_fertility" -> fertilityOracleSql()) +
       ("text_wordpiece_greedy" -> wordpieceOracleSql()) +
@@ -13975,6 +13843,216 @@ object SparkEntry {
        FROM a0dm d0 JOIN a1dm d1 ON d0.m = d1.m
        JOIN live ON live.m = d0.m
        ORDER BY subspace"""
+  }
+
+  /** The retrieval panel's per-(arm, query) evaluation as a CTE
+    * chain ending in `fin(arm, q_id, n_listed, n_relevant, mrr,
+    * ndcg)` — generated once, shared by the `text_retrieval_ndcg_multi`
+    * rollup and the `text_retrieval_panel_ci` bootstrap tail. */
+  private[graft] def retrievalPerQuerySql(nQ: Int): String =
+    s"""tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+           lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+             FROM tf GROUP BY 1),
+           nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+           df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+           qp AS (SELECT vec_id AS q_id FROM embeddings
+             ORDER BY vec_id LIMIT $nQ),
+           qe AS (SELECT q_id, embedding AS q_emb FROM qp
+             JOIN embeddings e ON e.vec_id = qp.q_id),
+           qt AS (SELECT q_id, token, df FROM (
+               SELECT qp.q_id, tf.token, df.df, ROW_NUMBER()
+                 OVER (PARTITION BY qp.q_id
+                   ORDER BY df.df ASC, tf.token) AS rk
+               FROM qp JOIN tf ON tf.doc_id = qp.q_id
+               JOIN df ON df.token = tf.token) z WHERE rk <= 8),
+           sc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(ln(1.0 + (CAST(n AS DOUBLE) - qt.df + 0.5)
+                   / (CAST(qt.df AS DOUBLE) + 0.5))
+                 * tf * 2.2
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                   + 0.75 * CAST(len AS DOUBLE) * n
+                     / CAST(total_len AS DOUBLE)))
+                 AS DECIMAL(28,12)) AS term_score
+             FROM tf JOIN qt USING (token) JOIN lens USING (doc_id),
+               nd),
+           lex AS (SELECT q_id, doc_id, SUM(term_score) AS bm25
+             FROM sc GROUP BY 1, 2),
+           lexev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY bm25 DESC, doc_id) AS r
+               FROM lex WHERE doc_id <> q_id) zl WHERE r <= 100),
+           sims AS (SELECT qe.q_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+             FROM embeddings e, qe WHERE e.vec_id <> qe.q_id),
+           dims AS (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS d FROM embeddings),
+           plane AS (SELECT j, d,
+               CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS s
+             FROM range(32) a(j), range(1, 65) b(d)),
+           proj AS (SELECT vec_id, j,
+               SUM(CASE WHEN s = 1
+                 THEN CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15))
+                 ELSE -CAST(CAST(val AS DOUBLE) AS DECIMAL(38,15)) END)
+                 AS p
+             FROM dims JOIN plane USING (d) GROUP BY 1, 2),
+           bands AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, ''
+                 ORDER BY j) AS bucket
+             FROM proj GROUP BY vec_id, j // 8),
+           abands AS (SELECT q_id, band, bucket FROM bands
+             JOIN qp ON vec_id = q_id),
+           cand AS (SELECT DISTINCT a.q_id, b.vec_id AS doc_id
+             FROM bands b JOIN abands a USING (band, bucket)),
+           semev AS (SELECT q_id, doc_id, CAST(r AS BIGINT) AS r
+             FROM (SELECT s.q_id, s.doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY s.q_id
+                   ORDER BY sim DESC, s.doc_id) AS r
+               FROM cand c JOIN sims s
+                 ON c.q_id = s.q_id AND c.doc_id = s.doc_id) z
+             WHERE r <= 100),
+           fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + l.r), 0.0)
+                 + COALESCE(1.0 / (60.0 + s.r), 0.0) AS rrf
+             FROM lexev l FULL OUTER JOIN semev s
+               ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+           hybev AS (SELECT q_id, doc_id, CAST(r0 AS BIGINT) AS pos
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, doc_id) AS r0 FROM fused) z
+             WHERE r0 <= 10),
+           lists AS (
+             SELECT 'a_lexical' AS arm, q_id, doc_id, r AS pos
+               FROM lexev WHERE r <= 10
+             UNION ALL SELECT 'b_semantic_lsh', q_id, doc_id, r
+               FROM semev WHERE r <= 10
+             UNION ALL SELECT 'c_hybrid_rrf', q_id, doc_id, pos
+               FROM hybev),
+           cdocs AS (SELECT s.q_id AS cq, s.doc_id AS cd, s.sim AS cs
+             FROM (SELECT DISTINCT q_id, doc_id FROM lists) ld
+             JOIN sims s USING (q_id, doc_id)),
+           gains0 AS (SELECT cq, cd,
+               CAST(SUM(CASE WHEN sim > cs THEN 1 ELSE 0 END)
+                 AS BIGINT) + 1 AS lo,
+               CAST(COUNT(*) AS BIGINT) AS hi
+             FROM sims JOIN cdocs ON sims.q_id = cq AND sim >= cs
+             GROUP BY 1, 2),
+           gains AS (SELECT cq AS q_id, cd AS doc_id,
+               CASE WHEN lo > 10 THEN 0.0
+                 ELSE CAST((LEAST(hi, 10) - lo + 1)
+                     * (22 - lo - LEAST(hi, 10)) AS DOUBLE)
+                   / CAST(2 * (hi - lo + 1) AS DOUBLE) END AS gain
+             FROM gains0),
+           truth AS (SELECT q_id, doc_id, CAST(1 AS BIGINT) AS rel
+             FROM (SELECT q_id, doc_id, ROW_NUMBER()
+                 OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, doc_id) AS rn FROM sims) z
+             WHERE rn <= 10),
+           idcg AS (SELECT SUM(CAST(CAST(11 - r AS DOUBLE)
+               / log2(CAST(r + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+               AS idcg
+             FROM range(1, 11) t(r)),
+           per AS (SELECT arm, q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(COALESCE(rel, 0)) AS BIGINT) AS n_relevant,
+               MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel,
+               SUM(CAST(COALESCE(gain, 0.0)
+                 / log2(CAST(pos + 1 AS DOUBLE)) AS DECIMAL(28,12)))
+                 AS dcg
+             FROM lists LEFT JOIN gains USING (q_id, doc_id)
+             LEFT JOIN truth USING (q_id, doc_id) GROUP BY 1, 2),
+           perq AS (SELECT arm, q_id, n_listed, n_relevant,
+               CAST(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                 AS DECIMAL(28,12)) AS mrr,
+               CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                 AS DECIMAL(28,12)) AS ndcg
+             FROM per, idcg),
+           spine AS (SELECT arm, q_id FROM (VALUES ('a_lexical'),
+               ('b_semantic_lsh'), ('c_hybrid_rrf')) a(arm)
+             CROSS JOIN qp),
+           fin AS (SELECT s.arm, s.q_id,
+               COALESCE(n_listed, 0) AS n_listed,
+               COALESCE(n_relevant, 0) AS n_relevant,
+               COALESCE(mrr, CAST(0 AS DECIMAL(28,12))) AS mrr,
+               COALESCE(ndcg, CAST(0 AS DECIMAL(28,12))) AS ndcg
+             FROM spine s LEFT JOIN perq p
+               ON s.arm = p.arm AND s.q_id = p.q_id)"""
+
+  /** Generated oracle for `text_retrieval_panel_ci`: the shared
+    * per-query chain + the paired Poisson(1) md5-coin replicate tail
+    * (the events_poisson_bootstrap weight convention, keyed on
+    * (replicate, q_id) so every arm sees the same resampled panel). */
+  private[graft] def retrievalPanelCiOracleSql(nQ: Int = 20,
+      reps: Int = 200): String = {
+    val loRk = math.ceil(0.025 * reps).toLong
+    val hiRk = math.ceil(0.975 * reps).toLong
+    s"""WITH ${retrievalPerQuerySql(nQ)},
+       wx AS (SELECT arm, q_id, ndcg, rep,
+           CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
+             + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
+             + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+             / 4294967296.0 AS DOUBLE) AS u
+         FROM (SELECT arm, q_id, ndcg, rep,
+             md5(CAST(rep AS VARCHAR) || ':'
+               || CAST(q_id AS VARCHAR)) AS h
+           FROM fin CROSS JOIN range($reps) t(rep)) z),
+       ww AS (SELECT arm, rep, ndcg,
+           CASE WHEN u < 0.36787944117144233 THEN 0
+                WHEN u < 0.7357588823428847 THEN 1
+                WHEN u < 0.9196986029286058 THEN 2
+                WHEN u < 0.9810118431238462 THEN 3
+                WHEN u < 0.9963401531726563 THEN 4
+                ELSE 5 END AS w
+         FROM wx),
+       rm AS MATERIALIZED (SELECT arm, rep,
+           CAST(CASE WHEN SUM(w) > 0
+             THEN CAST(SUM(ndcg * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(18,9)) AS m
+         FROM ww GROUP BY 1, 2),
+       wins AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_top FROM (
+           SELECT arm, rep, ROW_NUMBER() OVER (PARTITION BY rep
+             ORDER BY m DESC, arm) AS rk FROM rm) z
+         WHERE rk = 1 GROUP BY 1),
+       rr AS (SELECT arm, rep, m, ROW_NUMBER() OVER (
+           PARTITION BY arm ORDER BY m, rep) AS rn FROM rm),
+       ci AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(m) AS DOUBLE) / COUNT(*) AS boot_mean_r,
+           (CAST(SUM(m * m) AS DOUBLE)
+             - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
+               / COUNT(*)) / (COUNT(*) - 1) AS var_r,
+           CAST(MIN(CASE WHEN rn >= $loRk THEN m END) AS DOUBLE)
+             AS lo_r,
+           CAST(MIN(CASE WHEN rn >= $hiRk THEN m END) AS DOUBLE)
+             AS hi_r
+         FROM rr GROUP BY 1),
+       pt AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(ndcg) AS DOUBLE) / COUNT(*) AS point_r
+         FROM fin GROUP BY 1)
+       SELECT pt.arm, pt.n_queries, ci.n_reps,
+         ROUND(pt.point_r, 6) AS ndcg10_mean,
+         ROUND(ci.boot_mean_r, 6) AS boot_mean,
+         ROUND(sqrt(ci.var_r), 6) AS boot_se,
+         ROUND(ci.lo_r, 6) AS ci_lo,
+         ROUND(ci.hi_r, 6) AS ci_hi,
+         ROUND(CAST(COALESCE(wins.n_top, 0) AS DOUBLE)
+           / CAST(ci.n_reps AS DOUBLE), 6) AS top_share
+       FROM pt JOIN ci ON pt.arm = ci.arm
+       LEFT JOIN wins ON wins.arm = pt.arm
+       ORDER BY pt.arm"""
   }
 
   private[graft] def kcenterOracleSql(k: Int): String = {

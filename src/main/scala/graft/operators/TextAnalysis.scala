@@ -3437,10 +3437,12 @@ object TextAnalysis {
   }
 
   /** MULTI-QUERY retrieval evaluation — [[retrievalNdcg]] generalized
-    * from one data-driven anchor to a 5-query panel (the round-13
+    * from one data-driven anchor to a 20-query panel (the round-13
     * verdict's measurement gap: a single-query nDCG has no variance,
-    * so it cannot RANK the arms reliably; the panel readout is
-    * mean ± spread per arm). Queries are the 5 lowest embedding ids
+    * so it cannot RANK the arms reliably — and r15 item 8 widened the
+    * panel from 5 to 20 so [[retrievalPanelCi]]'s bootstrap has
+    * resampling room; the panel readout is mean ± spread per arm).
+    * Queries are the nQ lowest embedding ids
     * (the [[graft.operators.Similarity.matryoshkaRecall]]
     * broadcast-queries convention); per query the three arms are
     * (a) a LEXICAL more-like-this — BM25+ over the query document's 8
@@ -3466,9 +3468,14 @@ object TextAnalysis {
     * house discipline — nothing here funnels into one task); the gain
     * interval join broadcasts the ≤ 5·3k listed docs against the
     * cosine pass — one pass, never all-pairs. */
-  def retrievalNdcgMulti(spark: SparkSession, dir: String, k: Int = 10,
-      listN: Int = 100, nQ: Int = 5, mTerms: Int = 8,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The spine-completed per-(arm, query) retrieval evaluation —
+    * [[retrievalNdcgMulti]]'s interior, exposed so the bootstrap-CI
+    * row ([[retrievalPanelCi]]) consumes the identical panel: columns
+    * (arm, q_id, n_listed, n_relevant, mrr, ndcg), one row per
+    * arm×query with holes scored 0 through the explicit spine. */
+  private[operators] def retrievalPerQuery(spark: SparkSession,
+      dir: String, k: Int = 10, listN: Int = 100, nQ: Int = 20,
+      mTerms: Int = 8, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.functions.ExprColumns
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -3494,7 +3501,7 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("r") <= listN)
       .select(col("q_id"), col("doc_id"), col("r").cast("long").as("r"))
-    val sims = emb.crossJoin(broadcast(qemb)) // 5-row query panel
+    val sims = emb.crossJoin(broadcast(qemb)) // nQ-row query panel
       .filter(col("doc_id") =!= col("q_id"))
       .withColumn("sim", ExprColumns.cosineF32(spark, "embedding", "q_emb"))
       .select(col("q_id"), col("doc_id"), col("sim"))
@@ -3580,14 +3587,20 @@ object TextAnalysis {
     val arms = Seq("a_lexical", "b_semantic_lsh", "c_hybrid_rrf")
       .map(a => spark.range(1).select(lit(a).as("arm")))
       .reduce(_.unionByName(_))
-    arms.crossJoin(broadcast(qids)) // 15-row arm×query spine
+    arms.crossJoin(broadcast(qids)) // |arms|×nQ arm×query spine
       .join(per, Seq("arm", "q_id"), "left")
-      .select(col("arm"),
+      .select(col("arm"), col("q_id"),
         coalesce(col("n_listed"), lit(0L)).as("n_listed"),
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
         coalesce(col("mrr"), lit(0).cast("decimal(28,12)")).as("mrr"),
         coalesce(col("ndcg"), lit(0).cast("decimal(28,12)"))
           .as("ndcg"))
+  }
+
+  def retrievalNdcgMulti(spark: SparkSession, dir: String, k: Int = 10,
+      listN: Int = 100, nQ: Int = 20, mTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    retrievalPerQuery(spark, dir, k, listN, nQ, mTerms, k1, b)
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n_queries"),
         sum(col("n_listed")).as("n_listed_total"),
@@ -3598,6 +3611,101 @@ object TextAnalysis {
         round(max(col("ndcg")).cast("double"), 6).as("ndcg10_max"),
         round(sum(col("mrr")).cast("double") / count(lit(1)), 6)
           .as("mrr_mean"))
+      .orderBy(col("arm"))
+  }
+
+  /** PAIRED Poisson-bootstrap CI on the retrieval panel (r15 verdict
+    * item 8) — [[retrievalNdcgMulti]]'s mean±spread lifted to an
+    * actual interval, and the arm ORDERING made a measured quantity:
+    * the same 20-query per-(arm, query) nDCG panel
+    * ([[retrievalPerQuery]] — the identical relation, not a copy) is
+    * resampled `reps` times with per-QUERY Poisson(1) weights drawn
+    * from the [[graft.operators.EventAnalytics.poissonBootstrap]]
+    * md5-coin inverse-CDF convention. The weight keys on
+    * (replicate, q_id) ONLY, so all three arms see the SAME resampled
+    * query panel per replicate — the PAIRED bootstrap, which is what
+    * makes the per-replicate winner census meaningful. Per arm:
+    * the unweighted point mean, bootstrap mean/SE, the ceil-rank
+    * 2.5%/97.5% replicate band, and top_share — the fraction of
+    * replicates this arm wins outright (ties to the alphabetically
+    * first arm). Overlapping CIs with a split top_share IS the
+    * honest "the panel cannot rank these arms" readout.
+    *
+    * Exactness: per-query nDCG is DECIMAL(28,12); weights are small
+    * ints; each replicate mean is one double division quantized back
+    * to DECIMAL(28,12), so every reduction over replicates is
+    * order-independent; the winner rank is per-replicate (bounded by
+    * |arms|).
+    *
+    * Scale shape: the corpus-scale work is [[retrievalPerQuery]]'s
+    * one posting shuffle + one broadcast cosine pass; everything here
+    * operates on the |arms|×nQ panel × reps ≤ 12k-row relation. */
+  def retrievalPanelCi(spark: SparkSession, dir: String, k: Int = 10,
+      listN: Int = 100, nQ: Int = 20, mTerms: Int = 8,
+      reps: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perq = retrievalPerQuery(spark, dir, k, listN, nQ, mTerms)
+      .select(col("arm"), col("q_id"), col("ndcg"))
+      .localCheckpoint(false) // |arms|×nQ panel: point + replicates
+    val u = conv(substring(md5(concat(col("rep").cast("string"),
+      lit(":"), col("q_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val repMeans = perq
+      .select(col("arm"), col("q_id"), col("ndcg"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("arm"), col("rep"))
+      .agg(sum(col("ndcg") * col("w")).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("arm"), col("rep"),
+        // DECIMAL(18,9) (the poissonBootstrap convention): its square
+        // is precision 37 — exact in BOTH engines, where a (28,12)
+        // square would overflow precision 38 and round divergently
+        when(col("den") > 0, col("num").cast("double") /
+          col("den").cast("double")).otherwise(lit(0.0))
+          .cast("decimal(18,9)").as("m"))
+      .localCheckpoint(false) // reps×|arms| grain: CI + winner census
+    val wins = repMeans
+      .withColumn("rk", row_number().over(Window.partitionBy(col("rep"))
+        .orderBy(col("m").desc, col("arm"))))
+      .filter(col("rk") === 1) // per-replicate winner (|arms|-bounded)
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_top"))
+    val loRk = math.ceil(0.025 * reps).toLong
+    val hiRk = math.ceil(0.975 * reps).toLong
+    val ci = repMeans
+      .withColumn("rn", row_number().over(Window.partitionBy(col("arm"))
+        .orderBy(col("m"), col("rep")))) // reps-bounded per arm
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_reps"),
+        (sum(col("m")).cast("double") / count(lit(1)))
+          .as("boot_mean_r"),
+        ((sum(col("m") * col("m")).cast("double") -
+          sum(col("m")).cast("double") * sum(col("m")).cast("double") /
+            count(lit(1))) / (count(lit(1)) - 1)).as("var_r"),
+        min(when(col("rn") >= loRk, col("m"))).cast("double")
+          .as("lo_r"),
+        min(when(col("rn") >= hiRk, col("m"))).cast("double")
+          .as("hi_r"))
+    val point = perq.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("ndcg")).cast("double") / count(lit(1)))
+          .as("point_r"))
+    point.join(ci, Seq("arm"))
+      .join(wins, Seq("arm"), "left")
+      .select(col("arm"), col("n_queries"), col("n_reps"),
+        round(col("point_r"), 6).as("ndcg10_mean"),
+        round(col("boot_mean_r"), 6).as("boot_mean"),
+        round(sqrt(col("var_r")), 6).as("boot_se"),
+        round(col("lo_r"), 6).as("ci_lo"),
+        round(col("hi_r"), 6).as("ci_hi"),
+        round(coalesce(col("n_top"), lit(0L)).cast("double") /
+          col("n_reps").cast("double"), 6).as("top_share"))
       .orderBy(col("arm"))
   }
 

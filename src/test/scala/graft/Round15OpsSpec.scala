@@ -66,6 +66,27 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_retrieval_panel_ci: paired-bootstrap invariants — " +
+    "top shares partition the replicates, bands bracket the point") {
+    val out = TextAnalysis.retrievalPanelCi(spark, sf0001, reps = 50)
+      .collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("n_queries")).distinct.toSeq === Seq(20L))
+    assert(out.map(_.getAs[Long]("n_reps")).distinct.toSeq === Seq(50L))
+    // every replicate has exactly one winner (paired draw) — shares
+    // sum to 1 up to the per-arm rounding
+    val shareSum = out.map(_.getAs[Double]("top_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"top shares sum $shareSum")
+    for (r <- out) {
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+      val bm = r.getAs[Double]("boot_mean")
+      assert(bm >= r.getAs[Double]("ci_lo") - 1e-9 &&
+        bm <= r.getAs[Double]("ci_hi") + 1e-9,
+        "bootstrap mean must sit inside its own ceil-rank band")
+      assert(r.getAs[Double]("boot_se") >= 0.0)
+    }
+  }
+
   test("text_boilerplate_lines: planted same-source boilerplate is " +
     "censused with its full drop-all token mass; cross-source and " +
     "single-doc lines are not") {
