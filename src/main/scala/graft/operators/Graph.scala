@@ -113,8 +113,9 @@ object Graph {
     * fact pass, then nation-bounded algebra with the community map
     * broadcast twice. */
   def conductance(spark: SparkSession, dir: String): DataFrame = {
-    val sym = symTradeEdges(spark, dir)
-    val comm = labelPropNations(spark, dir)
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    val sym = symOfEdges(edges)
+    val comm = labelPropOnEdges(spark, dir, edges)
       .select(col("node"), col("community"))
     val m2 = sym.agg(sum(col("w")).as("tw"))
     val flagged = sym
@@ -209,8 +210,15 @@ object Graph {
     * runs with the label relation hash-partitioned by node and the
     * neighbor relation co-partitioned — label propagation is the
     * textbook "graphs are joins" iteration. */
-  def labelPropNations(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir)
+  def labelPropNations(spark: SparkSession, dir: String): DataFrame =
+    labelPropOnEdges(spark, dir, tradeEdges(spark, dir))
+
+  /** [[labelPropNations]] over a PREBUILT trade-edge relation — so a
+    * caller that also needs [[symTradeEdges]] pays the corpus-scale
+    * fact join ONCE (tradeEdges checkpoints; both derivations reuse
+    * the materialized relation). */
+  private def labelPropOnEdges(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     // undirected incidence: both endpoints see the edge; parallel
     // src→dst / dst→src edges merge their weight
     val sym = edges.select(col("src").as("node"), col("dst").as("nbr"), col("w"))
@@ -274,16 +282,18 @@ object Graph {
     * can replay Newman's Q from first principles over the identical
     * relation. */
   private[graft] def symTradeEdges(spark: SparkSession,
-                                   dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir)
+                                   dir: String): DataFrame =
+    symOfEdges(tradeEdges(spark, dir))
+
+  private def symOfEdges(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node"), col("dst").as("nbr"), col("w"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr"), col("w")))
       .groupBy(col("node"), col("nbr")).agg(sum(col("w")).as("w"))
-  }
 
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val sym = symTradeEdges(spark, dir)
-    val comm = labelPropNations(spark, dir)
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    val sym = symOfEdges(edges)
+    val comm = labelPropOnEdges(spark, dir, edges)
       .select(col("node"), col("community"))
     val m2 = sym.agg(sum(col("w")).as("tw"))
     val internal = sym
@@ -1049,8 +1059,9 @@ object Graph {
   }
 
   def louvainRound(spark: SparkSession, dir: String): DataFrame = {
-    val sym = symTradeEdges(spark, dir).localCheckpoint()
-    val comm = labelPropNations(spark, dir)
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    val sym = symOfEdges(edges).localCheckpoint()
+    val comm = labelPropOnEdges(spark, dir, edges)
       .select(col("node"), col("community")).localCheckpoint()
     val (comm2, best) = louvainMove(sym, comm)
     def qCensus(cm: DataFrame): DataFrame = louvainQCensus(sym, cm)
@@ -1111,8 +1122,9 @@ object Graph {
     * coarsening is one edge-grain groupBy at community width; level 2
     * runs entirely on the |communities|-bounded super-graph. */
   def louvainFull(spark: SparkSession, dir: String): DataFrame = {
-    val sym1 = symTradeEdges(spark, dir).localCheckpoint()
-    val comm0 = labelPropNations(spark, dir)
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    val sym1 = symOfEdges(edges).localCheckpoint()
+    val comm0 = labelPropOnEdges(spark, dir, edges)
       .select(col("node"), col("community")).localCheckpoint()
     def qSum(sym: DataFrame, cm: DataFrame, as: String): DataFrame =
       louvainQCensus(sym, cm).agg(sum(col("contrib")).as(as))

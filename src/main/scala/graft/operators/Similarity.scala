@@ -3111,28 +3111,37 @@ object Similarity {
   def pqTrainDistortion(spark: SparkSession, dir: String, m: Int = 16,
       sub: Int = 4, k: Int = 64): DataFrame = {
     val OFF = 16000000L // |lane| bound in micro-units, raise-guarded
-    val lanes = emb(spark, dir)
+    // (vec_id, m, sv[sub]) sub-vector grain, built by a NARROW map
+    // (quantize + guard + slice — no explode shuffle); the oracle
+    // computes the identical integer values lane-relationally, which
+    // is fine because the gate compares VALUES, not plans
+    val subs = emb(spark, dir)
+      .select(col("vec_id"), expr(
+        s"""transform(embedding, x ->
+              CASE WHEN abs(round(CAST(x AS DOUBLE) * 1e6)) >= ${OFF}D
+                THEN CAST(raise_error(
+                  'pqTrainDistortion: lane outside the micro-unit bound')
+                  AS BIGINT)
+                ELSE CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+              END)""").as("qe"))
       .select(col("vec_id"), posexplode(expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")))
-      .select(col("vec_id"), expr(s"pos div $sub").cast("int").as("m"),
-        expr(s"pos % $sub").cast("int").as("d"),
-        when(abs(col("col")) >= OFF, raise_error(format_string(
-          s"pqTrainDistortion: lane %s outside the micro-unit bound $OFF",
-          col("col").cast("string"))))
-          .otherwise(col("col")).as("v"))
-      .localCheckpoint(false) // lane grain; read by seeds + both passes
+        s"transform(sequence(0, ${m - 1}), i -> slice(qe, i * $sub + 1, $sub))")))
+      .select(col("vec_id"), col("pos").cast("int").as("m"),
+        col("col").as("sv"))
+      .localCheckpoint(false) // sub-vector grain; seeds + both passes
     val seedIds = emb(spark, dir).select(col("vec_id"))
       .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vec_id"))) - 1).as("cid")) // rank over a LIMIT k
-    val cb0 = lanes.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("m"), col("cid"), col("d"), col("v").as("w"))
+    val cb0 = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("m"), col("cid"), col("sv").as("cw"))
       .localCheckpoint(false)
-    def assign(cb: DataFrame): DataFrame = lanes
-      .join(broadcast(cb), Seq("m", "d"))
-      .groupBy(col("vec_id"), col("m"), col("cid"))
-      .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("dist"))
+    def assign(cb: DataFrame): DataFrame = subs
+      .join(broadcast(cb), Seq("m"))
+      // exact integer L2 in one narrow expression — no lane explode
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("cid"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.cid").as("cid"),
@@ -3145,14 +3154,22 @@ object Similarity {
     val asg0 = assign(cb0)
     // exact mean per (m, cid, d), round-half-up to the nearest integer
     // via the positive shift (the nearest integer IS the optimal
-    // integer codeword lane); empty codewords drop out
-    val cb1 = asg0.join(lanes, Seq("vec_id", "m"))
+    // integer codeword lane); empty codewords drop out. The lane
+    // explode happens HERE, on the one pass that needs lane grain.
+    val cb1 = asg0.join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sv")))
+      .select(col("m"), col("cid"), col("pos").as("d"),
+        col("col").as("v"))
       .groupBy(col("m"), col("cid"), col("d"))
       .agg(((lit(2L) * (sum(col("v")) + count(lit(1)) * OFF) +
         count(lit(1))).cast("long")).as("num"),
         (lit(2L) * count(lit(1))).as("den"))
       .select(col("m"), col("cid"), col("d"),
         (expr("num div den") - OFF).as("w"))
+      .groupBy(col("m"), col("cid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(d, w))), x -> x.w)")
+        .as("cw"))
       .localCheckpoint(false)
     val asg1 = assign(cb1)
     val live = cb1.groupBy(col("m"))
