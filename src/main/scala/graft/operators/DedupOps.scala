@@ -787,9 +787,12 @@ object DedupOps {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     def star(e: DataFrame, large: Boolean): DataFrame = {
+      // m stays a LIVE aggregate (no checkpoint): a LogicalRDD here
+      // would lose the size estimate that makes the e⋈m join a
+      // broadcast — the recompute (one agg over the materialized round
+      // input) is cheaper than the SortMergeJoin the stats loss plans
       val m = e.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
-        .localCheckpoint(false) // consumed twice: join + small-star union
       val withM = e.join(m, "u")
       val emitted =
         if (large) withM.filter(col("v") > col("u"))

@@ -13,7 +13,7 @@ class Round14Wave1Spec extends SparkSpec {
 
   private val K = 10
   private val ListN = 100
-  private val NQ = 5
+  private val NQ = 20 // r15 item 8: the panel widened from 5 to 20
   private val MTerms = 8
 
   private def q12(d: Double): BigDecimal =
