@@ -107,14 +107,44 @@ object Bench {
           s"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got $n")
         n
     }
-    def runBattery(): Map[String, Double] = ordered.map { case (name, fn) =>
+    // Calibration probe (r15 verdict item 2): contention used to be
+    // inferred AFTER the run from run-to-run spread, which ended three
+    // straight rounds in hand-written "box contention" adjudication. A
+    // fixed ~0.3 s canonical query (lineitem scan + one hash-agg shuffle —
+    // the battery's modal plan shape) is re-run every CALIB_EVERY battery
+    // queries; the probe's code never changes across rounds, so its
+    // dispersion measures the BOX, not the battery. A contended window now
+    // self-reports inside the artifact (calib_dispersion = pooled
+    // median/min; an idle box reads ~1.0-1.15), and a single-query outlier
+    // has an in-run control to diff against (per-probe series in
+    // BENCH_FULL.json).
+    val calibEvery = 25
+    def calibProbe(): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
-    }.toMap
+      try {
+        Tables(spark, sfDir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sq"),
+            org.apache.spark.sql.functions.avg("l_extendedprice").as("ap"))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+      math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+    }
+    def runBattery(): (Map[String, Double], Vector[Double]) = {
+      val calib = Vector.newBuilder[Double]
+      calib += calibProbe()
+      val res = ordered.zipWithIndex.map { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if ((i + 1) % calibEvery == 0 && i + 1 < ordered.size) calib += calibProbe()
+        name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
+      }.toMap
+      calib += calibProbe()
+      (res, calib.result())
+    }
     // Idle-box gate (r7 verdict: both BENCH_r07 run totals landed 35-50%
     // above the repo's documented clean floor — min-of-2 damped it but the
     // artifact was still recorded under contention). The floor is PER-QUERY
@@ -129,17 +159,30 @@ object Bench {
     // recording it cites — the artifact and BENCH_STABILITY.md move
     // together). Env override > artifact > last-resort constant (the
     // round-14 recording, kept only for runs outside the repo root).
+    // Anchored to line start (ADVICE r15): the artifact's long "comment"
+    // string could otherwise quote an example key (e.g. `"floor_run_total_s":
+    // 1.0`) and be matched first; real fields sit at the start of their own
+    // line, the comment is one line with text before any quoted key.
     def floorField(name: String): Option[Double] = {
       val p = Paths.get("BENCH_FLOOR.json")
       if (!Files.exists(p)) None
-      else s""""$name"\\s*:\\s*([0-9.]+)""".r
+      else s"""(?m)^\\s*"$name"\\s*:\\s*([0-9.]+)""".r
         .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
         .map(_.group(1).toDouble)
     }
     def perQ(total: String, battery: String): Option[Double] = for {
       t <- floorField(total); b <- floorField(battery); if b > 0
     } yield math.rint(t / b * 1000) / 1000
-    val floorPerQ = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY")
+    // Which source each floor came from is emitted in the artifact
+    // (ADVICE r15): a renamed/malformed artifact key silently falling back
+    // to the hardcoded constant would otherwise leave no signal that the
+    // gate is running on a stale floor.
+    def floorOf(envKey: String, totalKey: String, batteryKey: String,
+                fallback: Double): (Double, String) =
+      sys.env.get(envKey).map(v => (v.trim.toDouble, "env"))
+        .orElse(perQ(totalKey, batteryKey).map(v => (v, "artifact")))
+        .getOrElse((fallback, "fallback"))
+    val (floorPerQ, floorSrc) =
       // round-14 recalibration (verdict item 5): 0.75 dated from the
       // 168-query battery; two rounds in a row flagged `contended` on
       // runs that beat the gray gate, because run totals on a VERIFIED
@@ -147,9 +190,8 @@ object Bench {
       // round-14 min-of-4 recording, BENCH_STABILITY.md). The gate
       // compares RUN totals, so the floor is the cleanest idle RUN
       // total per query (501.436 / 473), not the min-of aggregate.
-      .map(_.trim.toDouble)
-      .orElse(perQ("floor_run_total_s", "floor_battery"))
-      .getOrElse(1.06)
+      floorOf("SPARK_GRAFT_BENCH_FLOOR_PER_QUERY",
+        "floor_run_total_s", "floor_battery", 1.06)
     val contendedMargin = 1.30
     // Gray-zone gate (r8 verdict nit 1): the contended gate passes any run
     // under n*floor*1.30, so a round whose committed total lands 15-30%
@@ -163,16 +205,15 @@ object Bench {
     // aggregate (independent per-query noise), so comparing a run total
     // against a min-of-derived floor would flag clean rounds. Update the
     // env default when a new clean floor is recorded.
-    val bestPerQ = sys.env.get("SPARK_GRAFT_BENCH_BEST_PER_QUERY")
+    val (bestPerQ, bestSrc) =
       // round-14 clean floor (verdict item 5): 462.457 s min-of-4 at the
       // 473 battery on a verified-idle box = 0.978 s/q. The previous
       // 0.92 was the round-11 recording at 365 queries; the rows added
       // since (exactRank re-plans, winnowing/tokenizer/streaming-index
       // families) average heavier, so the drift is battery COMPOSITION,
       // not environment — see BENCH_STABILITY.md round-14 record.
-      .map(_.trim.toDouble)
-      .orElse(perQ("best_minof_total_s", "best_battery"))
-      .getOrElse(0.978)
+      floorOf("SPARK_GRAFT_BENCH_BEST_PER_QUERY",
+        "best_minof_total_s", "best_battery", 0.978)
 
     val grayMargin = 1.15
     def runTotal(r: Map[String, Double]): Double =
@@ -188,18 +229,33 @@ object Bench {
         val ts = rs.map(_(n)).filter(_ >= 0)
         if (ts.nonEmpty) ts.min else bestPerQ
       }.sum * 1000) / 1000
-    val initialRuns = (1 to repeats).map(_ => runBattery())
+    val initialPairs = (1 to repeats).map(_ => runBattery())
     val gate = ordered.size * floorPerQ * contendedMargin
     val grayGate = ordered.size * bestPerQ * grayMargin
-    val runs =
+    val pairs =
       if (only.isEmpty &&
-          (initialRuns.forall(runTotal(_) > gate) ||
-            minOfTotal(initialRuns) > grayGate))
-        initialRuns :+ runBattery()
-      else initialRuns
+          (initialPairs.forall(p => runTotal(p._1) > gate) ||
+            minOfTotal(initialPairs.map(_._1)) > grayGate))
+        initialPairs :+ runBattery()
+      else initialPairs
+    val runs = pairs.map(_._1)
+    val calibRuns = pairs.map(_._2)
     val runTotals = runs.map(runTotal)
     val contended = runTotals.min > gate
     val grayZone = minOfTotal(runs) > grayGate
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n == 0) 0.0
+      else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val calibAll = calibRuns.flatten.filter(_ > 0)
+    val calibMin = if (calibAll.nonEmpty) calibAll.min else 0.0
+    val calibMed = median(calibAll)
+    val calibMax = if (calibAll.nonEmpty) calibAll.max else 0.0
+    // pooled median/min: the min is the box's achievable floor for this
+    // fixed plan, the median is what the battery actually experienced
+    val calibDispersion =
+      if (calibMin > 0) math.rint(calibMed / calibMin * 1000) / 1000 else -1.0
     // per-query min over SUCCESSFUL runs; -1.0 only if the query failed in
     // every run (a one-run flake must not masquerade as a timing)
     val results: Map[String, Double] = ordered.map { case (name, _) =>
@@ -221,9 +277,16 @@ object Bench {
     // a filtered dev run must never clobber the round's full-battery artifact
     val gateJson =
       s""""contended":$contended,"floor_total":${math.rint(gate * 100) / 100},""" +
-        s""""gray_zone":$grayZone,"gray_total":${math.rint(grayGate * 100) / 100}"""
+        s""""gray_zone":$grayZone,"gray_total":${math.rint(grayGate * 100) / 100},""" +
+        s""""floor_src":"$floorSrc","best_src":"$bestSrc",""" +
+        s""""calib_dispersion":$calibDispersion"""
+    val calibJson =
+      s""""calib":{"every":$calibEvery,"n":${calibAll.size},"min":$calibMin,""" +
+        s""""med":$calibMed,"max":$calibMax,"dispersion":$calibDispersion,""" +
+        s""""run_med":${calibRuns.map(r => median(r.filter(_ > 0))).mkString("[", ",", "]")},""" +
+        s""""runs":${calibRuns.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
     if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,$calibJson,"failed":$nFail,"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${runs.size}","run_totals":$totalsJson,$gateJson,"failed":$nFail,"n_queries":${results.size},"queries":${jmap(top)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")

@@ -2281,9 +2281,16 @@ object StreamingAnalytics {
     * makes replayed assignment independent of arrival order, which is
     * exactly the property this query pins.
     *
-    * Plan: one base pass for centroids (cells x dims rows, frozen via
-    * localCheckpoint); per batch one dims explode joined to the
-    * broadcast centroid relation; the census is a cell-grain agg. */
+    * Plan: one base pass for centroids (a dims-explode exact-decimal
+    * mean, dims x cells rows at ANY corpus size), folded to ONE frozen
+    * broadcast row carrying the sorted (cell, carr, cnorm) array — the
+    * [[Similarity.kmAssign]] shape; assignment is then a NARROW MAP
+    * (zip_with dot in the same decimal(18,9) lattice + array_max
+    * argmax), no dims x cells row expansion and no assignment shuffle
+    * (the r16 re-plan: the old per-dim join put n_vec x dims x cells
+    * rows through a hash-agg — decimal addition is exact and
+    * order-independent, so the fold is bit-identical to the old
+    * shuffle-sum). The census is a cell-grain agg. */
   def streamIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_ivfapp").toString
@@ -2294,26 +2301,59 @@ object StreamingAnalytics {
     val base = e.filter(col("vec_id") % 4 =!= 3)
     val d9: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => c.cast("double").cast("decimal(18,9)")
-    val cent = base
+    // FROZEN quantizer as ONE broadcast row (the kmAssign shape):
+    // sorted (cell, carr, cnorm) structs, carr index-aligned to the
+    // embedding dims via the sort_array(struct(d, c)) extraction. The
+    // per-(cell, d) mean stays the dims-explode exact-decimal agg —
+    // dims x cells output rows at ANY corpus size.
+    val centRow = base
       .select(col("label").as("cell"),
         posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy(col("cell"), col("d"))
       .agg((sum(d9(col("v"))).cast("double") / count(lit(1))).as("c"))
-      .localCheckpoint() // FROZEN quantizer: cells x dims, built once
-    val cn = cent.groupBy(col("cell"))
-      .agg(sqrt(sum(d9(col("c")) * d9(col("c"))).cast("double"))
-        .as("cnorm"))
-      .localCheckpoint()
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
+        .as("carr"))
+      .select(col("cell"), col("carr"),
+        sqrt(expr(
+          // acc DECIMAL(28,18): acc + (37,18) term lands exactly on
+          // (38,18) -- no precision loss -- and the cast back to (28,18)
+          // is exact (|partial sums| < 10^10), so the fold equals the
+          // old decimal SUM bit-for-bit
+          """aggregate(carr, CAST(0 AS DECIMAL(28,18)), (acc, c) ->
+               CAST(acc + CAST(CAST(c AS DOUBLE) AS DECIMAL(18,9)) *
+                          CAST(CAST(c AS DOUBLE) AS DECIMAL(18,9))
+                    AS DECIMAL(28,18)))""")
+          .cast("double")).as("cnorm"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("carr"),
+        col("cnorm")))).as("cents"))
+      // lazy: built once inside the seed-assign action, shared by every
+      // batch; window-free interior, consumed via explicit broadcast()
+      // so the LogicalRDD's missing size stats cannot demote a join
+      .localCheckpoint(false)
+    // NARROW-MAP assignment: per vector, one decimal(18,9) zip_with dot
+    // against each of the |cells| broadcast centroids + array_max argmax
+    // (ties to the smaller cell id) — bit-identical to the old per-dim
+    // join + shuffle-sum because decimal addition is exact and
+    // order-independent, but with no n_vec x dims x cells expansion and
+    // no shuffle at all.
     def assign(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .join(broadcast(cent), Seq("d"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(d9(col("v")) * d9(col("c"))).cast("double").as("dot"),
-        sqrt(sum(d9(col("v")) * d9(col("v"))).cast("double")).as("vnorm"))
-      .join(broadcast(cn), Seq("cell"))
-      .withColumn("s", col("dot") / (col("vnorm") * col("cnorm")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("s").as("s"), (-col("cell")).as("negc"))).as("m"))
+      .withColumn("vnorm", sqrt(expr(
+        """aggregate(embedding, CAST(0 AS DECIMAL(28,18)), (acc, v) ->
+             CAST(acc + CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) *
+                        CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))
+                  AS DECIMAL(28,18)))""")
+        .cast("double")))
+      .crossJoin(broadcast(centRow)) // 1-row frozen quantizer
+      .withColumn("m", expr(
+        """array_max(transform(cents, s -> struct(
+             CAST(aggregate(zip_with(embedding, s.carr, (v, c) ->
+                 CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) *
+                 CAST(CAST(c AS DOUBLE) AS DECIMAL(18,9))),
+               CAST(0 AS DECIMAL(28,18)),
+               (acc, x) -> CAST(acc + x AS DECIMAL(28,18))) AS DOUBLE)
+               / (vnorm * s.cnorm) AS s,
+             -s.cell AS negc)))"""))
       .select(col("vec_id"), (-col("m.negc")).as("cell"),
         col("m.s").cast("decimal(18,9)").as("sim"))
     // seed: the base corpus indexed once, inc = 0
@@ -2339,6 +2379,10 @@ object StreamingAnalytics {
             val indexed = spark.read.parquet(idxPath)
               .select(col("vec_id")).distinct()
             val fresh = batch.join(indexed, Seq("vec_id"), "left_anti")
+              // lazy: isEmpty and the append share ONE anti-join pass
+              // (batch grain, window-free; assign consumes it via the
+              // explicit broadcast(centRow), so no stats-loss risk)
+              .localCheckpoint(false)
             if (!fresh.isEmpty) {
               assign(fresh)
                 // increment id is DATA-derived (vec_id stripe), never

@@ -3666,7 +3666,15 @@ object TextAnalysis {
       .select(col("arm"), col("rep"),
         // DECIMAL(18,9) (the poissonBootstrap convention): its square
         // is precision 37 — exact in BOTH engines, where a (28,12)
-        // square would overflow precision 38 and round divergently
+        // square would overflow precision 38 and round divergently.
+        // den=0 (every Poisson weight in the replicate drew 0) is
+        // coerced to mean 0.0 in BOTH engines — a deliberate bias with
+        // probability e^-nQ per replicate-arm: negligible at the nQ=20
+        // default (~2e-9), but at nQ<10 some of the `reps` replicates
+        // start landing on it (expected count reps·e^-nQ ≈ 1% of 200
+        // at nQ=10) and the CI deflates. Callers lowering nQ below 10
+        // must filter den=0 replicates out instead (and re-derive the
+        // oracle, which mirrors this exact convention).
         when(col("den") > 0, col("num").cast("double") /
           col("den").cast("double")).otherwise(lit(0.0))
           .cast("decimal(18,9)").as("m"))

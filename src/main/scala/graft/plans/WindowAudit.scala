@@ -58,7 +58,13 @@ object WindowAudit {
     // fixed buckets / bands / quantized-measure histogram cells
     "bucket", "graft_rk_bucket", "bin", "band", "level", "margin",
     "j", "c", "x", "v", "recency", "frequency", "decile", "quintile",
-    "cent", // quantized cents line — the house histogram-CDF measure
+    // "cent" is valid ONLY for quantized-cents histogram grains produced
+    // by a groupBy(cent) fold over a price-derived measure (the house
+    // histogram-CDF discipline: domain ≤ ~20M distinct cells, in practice
+    // ≤100k at any SF because prices cluster). A future column named
+    // `cent` that is NOT a quantized measure would pass this name check
+    // unbounded — reviewers: check the producing fold, not the name.
+    "cent",
     // enumerated types / labels / geographies / bounded path alphabets
     "event_type", "label", "lang", "kind", "status", "arm", "modality",
     "source", "brand", "category", "n_name", "cust_nation",
