@@ -1121,61 +1121,120 @@ object Graph {
     * exact decimal. Scale shape: level 1 is louvainRound's plan;
     * coarsening is one edge-grain groupBy at community width; level 2
     * runs entirely on the |communities|-bounded super-graph. */
-  def louvainFull(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
-    val sym1 = symOfEdges(edges).localCheckpoint()
-    val comm0 = labelPropOnEdges(spark, dir, edges)
-      .select(col("node"), col("community")).localCheckpoint()
-    def qSum(sym: DataFrame, cm: DataFrame, as: String): DataFrame =
-      louvainQCensus(sym, cm).agg(sum(col("contrib")).as(as))
-    def levelRow(level: Int, sym: DataFrame,
-        start: DataFrame): (DataFrame, DataFrame) = {
-      val (moved, _) = louvainMove(sym, start)
-      val qs = qSum(sym, start, "qs")
-      val qm = qSum(sym,
-        moved.select(col("node"), col("community")), "qm")
-      val acc = moved.crossJoin(broadcast(qs)).crossJoin(broadcast(qm))
-        .select(col("node"), col("cur"),
-          when(col("qm") >= col("qs"), col("community"))
-            .otherwise(col("cur")).as("community"))
-        .localCheckpoint() // node-sized; reused by census + coarsening
-      val counts = start.agg(count(lit(1)).as("n_nodes"),
-        countDistinct(col("community")).as("n_communities_start"))
-      val endCounts = acc.agg(
-        countDistinct(col("community")).as("n_communities_end"),
-        sum((col("community") =!= col("cur")).cast("long"))
-          .as("n_moved"))
-      val selfW = sym.filter(col("node") === col("nbr"))
-        .agg(coalesce(sum(col("w")), lit(0).cast("decimal(38,0)"))
-          .as("self_w"))
-      val row = counts.crossJoin(broadcast(endCounts))
-        .crossJoin(broadcast(selfW))
-        .crossJoin(broadcast(qs)).crossJoin(broadcast(qm)) // 1-row scalars
-        .select(lit(level.toLong).as("level"), col("n_nodes"),
-          col("n_communities_start"), col("n_moved"),
-          col("n_communities_end"),
-          col("self_w").cast("long").as("self_loop_w"),
-          round(col("qs").cast("double"), 6).as("q_start"),
-          round(col("qm").cast("double"), 6).as("q_move"),
-          round(greatest(col("qs"), col("qm")).cast("double"), 6)
-            .as("q_end"))
-      (row, acc)
-    }
-    val (row1, acc1) = levelRow(1, sym1, comm0)
-    // coarsen the ACCEPTED partition: community super-graph with the
-    // internal mass as self-loops — Q-preserving by construction
-    val cmap = acc1.select(col("node"), col("community"))
-    val sym2 = sym1
+  private def louvainQSumOf(sym: DataFrame, cm: DataFrame,
+      as: String): DataFrame =
+    louvainQCensus(sym, cm).agg(sum(col("contrib")).as(as))
+
+  /** One Louvain LEVEL: the synchronous gain-move round, ACCEPTED only
+    * if realized Q did not fall (exact-decimal relational `when`), as a
+    * (1-row readout, accepted node-partition) pair — the level kernel
+    * [[louvainFull]] and [[louvainConverge]] share, so the convergence
+    * loop can never drift from the gated 2-level row. */
+  private def louvainLevelRow(level: Int, sym: DataFrame,
+      start: DataFrame): (DataFrame, DataFrame) = {
+    val (moved, _) = louvainMove(sym, start)
+    val qs = louvainQSumOf(sym, start, "qs")
+    val qm = louvainQSumOf(sym,
+      moved.select(col("node"), col("community")), "qm")
+    val acc = moved.crossJoin(broadcast(qs)).crossJoin(broadcast(qm))
+      .select(col("node"), col("cur"),
+        when(col("qm") >= col("qs"), col("community"))
+          .otherwise(col("cur")).as("community"))
+      .localCheckpoint() // node-sized; reused by census + coarsening
+    val counts = start.agg(count(lit(1)).as("n_nodes"),
+      countDistinct(col("community")).as("n_communities_start"))
+    val endCounts = acc.agg(
+      countDistinct(col("community")).as("n_communities_end"),
+      sum((col("community") =!= col("cur")).cast("long"))
+        .as("n_moved"))
+    val selfW = sym.filter(col("node") === col("nbr"))
+      .agg(coalesce(sum(col("w")), lit(0).cast("decimal(38,0)"))
+        .as("self_w"))
+    val row = counts.crossJoin(broadcast(endCounts))
+      .crossJoin(broadcast(selfW))
+      .crossJoin(broadcast(qs)).crossJoin(broadcast(qm)) // 1-row scalars
+      .select(lit(level.toLong).as("level"), col("n_nodes"),
+        col("n_communities_start"), col("n_moved"),
+        col("n_communities_end"),
+        col("self_w").cast("long").as("self_loop_w"),
+        round(col("qs").cast("double"), 6).as("q_start"),
+        round(col("qm").cast("double"), 6).as("q_move"),
+        round(greatest(col("qs"), col("qm")).cast("double"), 6)
+          .as("q_end"))
+    (row, acc)
+  }
+
+  /** Coarsen the ACCEPTED partition: community super-graph with the
+    * internal mass as self-loops — Q-preserving by construction
+    * (same in_w, deg_w, 2m operand-for-operand). */
+  private def louvainCoarsen(sym: DataFrame, acc: DataFrame): DataFrame = {
+    val cmap = acc.select(col("node"), col("community"))
+    sym
       .join(broadcast(cmap), Seq("node"))
       .join(broadcast(cmap.select(col("node").as("nbr"),
         col("community").as("c2"))), Seq("nbr"))
       .groupBy(col("community").as("node"), col("c2").as("nbr"))
       .agg(sum(col("w")).as("w"))
       .localCheckpoint() // |communities|²-bounded super-graph
+  }
+
+  def louvainFull(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    val sym1 = symOfEdges(edges).localCheckpoint()
+    val comm0 = labelPropOnEdges(spark, dir, edges)
+      .select(col("node"), col("community")).localCheckpoint()
+    val (row1, acc1) = louvainLevelRow(1, sym1, comm0)
+    val sym2 = louvainCoarsen(sym1, acc1)
     val comm20 = sym2.select(col("node")).distinct()
       .select(col("node"), col("node").as("community"))
       .localCheckpoint()
-    val (row2, _) = levelRow(2, sym2, comm20)
+    val (row2, _) = louvainLevelRow(2, sym2, comm20)
     row1.unionByName(row2).orderBy(col("level"))
+  }
+
+  /** Louvain TO CONVERGENCE (r16 verdict item 5) — [[louvainFull]]'s
+    * two fixed levels generalized to the real algorithm's outer loop:
+    * levels run until a round ACCEPTS zero moves (the converged round
+    * itself still executes and is emitted — its n_moved = 0 row IS the
+    * convergence certificate), bounded by `maxLevels` = 4 (structural:
+    * each level contracts communities, and the trade graph's nation
+    * width converges in 2-3). One row per EXECUTED level; q_start of
+    * each level equals q_end of the previous one EXACTLY (coarsening
+    * preserves every Q operand) and q_end is non-decreasing across ALL
+    * rows (each level's acceptance guard). Levels 1-2 are bit-equal to
+    * [[louvainFull]]'s rows — the SAME [[louvainLevelRow]] /
+    * [[louvainCoarsen]] kernels run (the spec pins it).
+    *
+    * Loop discipline: the starComponents convergence loop — one
+    * blocking action per level (the accepted partition's checkpoint)
+    * plus ONE bounded driver read (the 1-row level readout's n_moved;
+    * bound written at the collect). Scale shape: level 1 is
+    * louvainRound's plan; every later level runs on the
+    * |communities|²-bounded super-graph. */
+  def louvainConverge(spark: SparkSession, dir: String,
+      maxLevels: Int = 4): DataFrame = {
+    val edges = tradeEdges(spark, dir) // ONE fact pass for both views
+    var sym = symOfEdges(edges).localCheckpoint()
+    var start = labelPropOnEdges(spark, dir, edges)
+      .select(col("node"), col("community")).localCheckpoint()
+    var rows = Vector.empty[DataFrame]
+    var level = 1
+    var moving = true
+    while (moving && level <= maxLevels) {
+      val (row, acc) = louvainLevelRow(level, sym, start)
+      val r = row.localCheckpoint() // 1-row level readout
+      rows = rows :+ r
+      // bounded driver-side convergence read: ONE row, one long — the
+      // accepted-mover count of the level that just executed
+      moving = r.select(col("n_moved")).collect()(0).getLong(0) > 0
+      if (moving && level < maxLevels) {
+        sym = louvainCoarsen(sym, acc)
+        start = sym.select(col("node")).distinct()
+          .select(col("node"), col("node").as("community"))
+          .localCheckpoint()
+      }
+      level += 1
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("level"))
   }
 }

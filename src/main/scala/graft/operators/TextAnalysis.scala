@@ -957,6 +957,137 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** MIN-K%-PROB contamination detector (r16 verdict item 8) — the
+    * PARAPHRASE-class rung above the n-gram-exact decontamination
+    * family ([[decontaminate]] / [[contaminationSweep]] catch verbatim
+    * 13-gram overlap and nothing else): score each TEST-split document
+    * under the TRAIN-split interpolated Kneser–Ney bigram LM
+    * ([[knBigram]]'s exact machinery — same formula, same
+    * DECIMAL(28,12) quantization), take per document the mean NLL of
+    * its `kPct`% HIGHEST-NLL scored bigrams (= the k% LOWEST token
+    * probabilities — Shi et al.'s min-k% signal), and flag documents
+    * whose min-k mean NLL is anomalously LOW against the split
+    * baseline (below mean − 1·stddev): even this document's hardest
+    * bigrams are predicted well, so its content leaked into train in
+    * some form — including word-substituted paraphrases that break
+    * every 13-gram. The readout censuses the overlap with the exact
+    * detector run on the SAME side (test docs sharing any 13-gram with
+    * the train split): `n_mink_only` is what the paraphrase-class
+    * detector catches that the exact one misses.
+    *
+    * Exactness: NLLs quantize to DECIMAL(28,12) at scoring (knBigram's
+    * convention), the per-doc min-k mean quantizes to DECIMAL(18,9)
+    * (the retrievalPanelCi convention: its square is precision 37 —
+    * exact in both engines), k = (n·kPct + 99) div 100 is pure integer
+    * math, the per-doc rank window partitions by doc_id (bounded), and
+    * the flag threshold is a broadcast 1-row scalar — no global rank.
+    *
+    * Scale shape: the LM build is [[knBigram]]'s bigram-type shuffle;
+    * scoring is one test-split pass against the vocabulary-sized count
+    * relations; the exact-gram side broadcasts the eval-split gram set
+    * with doc ids ([[decontaminate]]'s broadcast discipline — the eval
+    * split is the small side at 100 TB) through ONE train-corpus scan;
+    * censuses are source-bounded. */
+  def minkProbContamination(spark: SparkSession, dir: String,
+      kPct: Int = 20, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), splitCol.as("split"),
+        split(col("text"), " ").as("tk"), col("text"))
+    val train = d.filter(col("split") === "train")
+    val test = d.filter(col("split") === "test")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+             (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2,
+               i AS pos))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.pos").as("pos"))
+    val pc = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      // lazy: the count relation feeds ctx/cont/n1all + scoring
+      // (window-free interior; consumers join by key, sizes honest)
+      .localCheckpoint(false)
+    val ctx = pc.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = pc.groupBy(col("w2")).agg(count(lit(1)).as("n1w2"))
+    val n1all = pc.agg(count(lit(1)).as("n1all"))
+    val scored = bigrams(test)
+      .join(pc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(n1all)) // 1-row bigram-type total
+      .filter(col("cw1").isNotNull && col("n1w2").isNotNull)
+      .withColumn("nll", (-log(
+        greatest(coalesce(col("c"), lit(0L)).cast("double") -
+          discount, lit(0.0)) / col("cw1").cast("double") +
+          lit(discount) * col("n1w1").cast("double") /
+            col("cw1").cast("double") *
+            (col("n1w2").cast("double") / col("n1all").cast("double"))
+      )).cast("decimal(28,12)"))
+      .localCheckpoint(false) // test-split bigram scores: rank + count
+    val nDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"))
+    val mink = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("nll").desc, col("pos")))) // per-doc bounded
+      .join(nDoc, Seq("doc_id"))
+      .filter(col("rk") <= expr(s"(n_scored * $kPct + 99) div 100"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll")).as("nll_sum"), count(lit(1)).as("k_used"))
+      .select(col("doc_id"),
+        (col("nll_sum").cast("double") / col("k_used").cast("double"))
+          .cast("decimal(18,9)").as("m"))
+      .localCheckpoint(false) // |test docs| grain: stats + flags
+    val stats = mink.agg(count(lit(1)).as("nd"),
+      sum(col("m")).as("sm"), sum(col("m") * col("m")).as("smm"))
+      .select(col("nd"),
+        (col("sm").cast("double") / col("nd").cast("double"))
+          .as("mean_m"),
+        when(col("nd") > 1, sqrt(
+          (col("smm").cast("double") - col("sm").cast("double") *
+            col("sm").cast("double") / col("nd").cast("double")) /
+            (col("nd").cast("double") - 1.0))).as("sd_m"))
+    val flagged = mink.crossJoin(broadcast(stats)) // 1-row baseline
+      .select(col("doc_id"), col("m"),
+        (col("sd_m").isNotNull &&
+          col("m").cast("double") < col("mean_m") - col("sd_m"))
+          .as("mink_flag"))
+    // exact 13-gram detector on the SAME side: test docs sharing any
+    // gram with the train split — the eval-split gram set (with doc
+    // ids) broadcasts; the train corpus is scanned once, never shuffled
+    val testGrams = test.select(col("doc_id"),
+      explode(array_distinct(gramHashCol(test, 13))).as("g"))
+    val exactHit = train
+      .select(explode(array_distinct(gramHashCol(train, 13))).as("g"))
+      .join(broadcast(testGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_flag", lit(true))
+    test.select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exactHit, Seq("doc_id"), "left")
+      .select(col("source"),
+        col("doc_id"), col("m"),
+        coalesce(col("mink_flag"), lit(false)).as("mk"),
+        coalesce(col("exact_flag"), lit(false)).as("ex"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("m").isNotNull.cast("long")).as("n_scored_docs"),
+        sum(col("ex").cast("long")).as("n_exact"),
+        sum(col("mk").cast("long")).as("n_mink"),
+        sum((col("mk") && col("ex")).cast("long")).as("n_both"),
+        sum((col("mk") && !col("ex")).cast("long")).as("n_mink_only"),
+        // guarded: a source whose test docs all score OOV has zero
+        // scored mass — the unguarded 0/0 would throw under ANSI
+        when(sum(col("m").isNotNull.cast("long")) > 0,
+          round(sum(col("m")).cast("double") /
+            sum(col("m").isNotNull.cast("long")).cast("double"), 6))
+          .as("mean_mink_nll"))
+      .orderBy(col("source"))
+  }
+
   /** Curation capstone — the full gate sequence a pretraining corpus
     * runs, with per-stage drop attribution: train-split documents pass
     * (1) the quality gate (length / stopword ratio / type-token ratio),
