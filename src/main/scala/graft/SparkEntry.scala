@@ -384,6 +384,8 @@ object SparkEntry {
     "graph_louvain_conv" -> ((s, d) => Graph.louvainConverge(s, d)),
     "text_minkprob_contamination" ->
       ((s, d) => TextAnalysis.minkProbContamination(s, d)),
+    "stream_hnsw_append" ->
+      ((s, d) => StreamingAnalytics.streamHnswAppend(s, d)),
     "events_survival_km" -> ((s, d) => EventAnalytics.survivalKm(s, d)),
     "stream_decontaminate" ->
       ((s, d) => StreamingAnalytics.streamDecontaminate(s, d)),

@@ -1558,7 +1558,7 @@ object Similarity {
     * home [[hnswLevels]] (the geometry census) and [[hnswSearch]]
     * (the layered descent) share, so the search can never run on a
     * different skip-list than the census reports. */
-  private def hnswLevelOf(id: Column): Column = {
+  private[operators] def hnswLevelOf(id: Column): Column = {
     val h = md5(concat(lit("hnsw:"), id.cast("string")))
     val b = (conv(substring(h, 1, 2), 16, 10).cast("int"))
     when(b === 0, 8)

@@ -2416,4 +2416,312 @@ object StreamingAnalytics {
     deleteTree(root)
     out
   }
+
+  /** STREAMING GRAPH-ANN INDEX MAINTENANCE (r16 verdict item 4) — the
+    * layered-HNSW sibling of [[streamIvfAppend]], closing
+    * build→maintain→serve for graph ANN the way ivf_append +
+    * sim_ivf_pq_topk closed it for IVF. The index is the layered
+    * k-NN-list structure of [[Similarity.hnswSearch]]: per layer
+    * l ∈ {2,1,0}, every node whose frozen geometric level draw
+    * ([[Similarity.hnswLevelOf]] — the md5 trailing-zero convention)
+    * is ≥ l keeps its DIRECTED top-`kEdges` cosine neighbors within
+    * its label block. The seed corpus (vec_id % 4 ≠ 3) builds once;
+    * two real micro-batch increments (the ivf stripes % 8 = 3, then
+    * % 8 = 7) arrive as staged files, and each batch does BOUNDED
+    * per-layer edge maintenance: (1) every fresh node gets its top-k
+    * lists among (indexed ∪ batch-mates) at each layer it reaches,
+    * and (2) every indexed node whose top-k a fresh node ENTERS is
+    * re-pruned — its stored list (similarities recomputed from the
+    * embeddings relation) unioned with the fresh candidates, re-ranked,
+    * and rewritten. State is APPEND-ONLY versioned parquet rows
+    * (inc, layer, label, v1, v2): a node's current list is its rows at
+    * the MAX inc that touched it, so per-batch write volume is
+    * O(batch + touched)·k, never O(index) — the honest maintenance
+    * cost shape at 100 TB. Replay-skip (anti-join on the appended ids
+    * relation) makes the append idempotent; a third run on a fresh
+    * checkpoint appends nothing.
+    *
+    * The MERGE LAW this row pins (the stream_kmv discipline): directed
+    * top-k lists maintained by insert-and-reprune equal the from-
+    * scratch rebuild exactly — top-k(top-k(A) ∪ B) = top-k(A ∪ B) —
+    * so the readout computes BOTH states honestly and hash-gates
+    * `edge_diff` = 0 per label, then runs [[Similarity.hnswSearch]]'s
+    * layered descent (entry at the label's highest-level node, two
+    * greedy hops per layer through 2 → 1 → 0) on the MAINTAINED index
+    * and on the REBUILD, reporting final node, similarity, explored
+    * count, recall@10 vs the brute-force truth, and their agreement.
+    *
+    * Determinism: cosines are the bit-exact f32 expression, all ranks
+    * tie on vec_id, levels are frozen md5 draws; the oracle replays
+    * the increments UNROLLED (seed → inc1 maintenance → inc2
+    * maintenance → latest-version resolution) and both descents.
+    *
+    * Plan: the pair kernels are label-blocked with the layer axis as a
+    * 3-row literal explode over ONE scored pair relation per node-set
+    * (never per-layer re-joins); per batch the fresh×indexed block and
+    * the stored-list sim recompute are the only corpus-touching
+    * relations; descents are |labels|-row cursor walks against
+    * degree-bounded edge relations; every rank window partitions by
+    * (layer, v1) or label. */
+  def streamHnswAppend(spark: SparkSession, dir: String,
+      kEdges: Int = 3): DataFrame = {
+    graft.functions.ExprColumns.register(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnswapp").toString
+    val idxPath = s"$root/index"
+    val idsPath = s"$root/ids"
+    val inDir = s"$root/in"
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def withLevel(df: DataFrame): DataFrame = df.withColumn("level",
+      Similarity.hnswLevelOf(col("vec_id")).cast("long"))
+    val layerAxis = explode(array(lit(2L), lit(1L), lit(0L))).as("layer")
+    // directed top-k lists of a-side nodes among b-side nodes, all
+    // layers at once: ONE label-blocked scored pair relation, a 3-row
+    // literal layer axis, one (layer, v1)-partitioned rank
+    def topK(aNodes: DataFrame, bNodes: DataFrame): DataFrame = {
+      val pairs = aNodes
+        .select(col("label"), col("vec_id").as("v1"),
+          col("embedding").as("e1"), col("level").as("lv1"))
+        .join(bNodes.select(col("label"), col("vec_id").as("v2"),
+          col("embedding").as("e2"), col("level").as("lv2")), Seq("label"))
+        .filter(col("v1") =!= col("v2"))
+        .withColumn("sim",
+          graft.functions.ExprColumns.cosineF32(spark, "e1", "e2"))
+        .select(col("label"), col("v1"), col("v2"), col("lv1"),
+          col("lv2"), col("sim"))
+        .localCheckpoint(false) // scored once; 3-row layer axis reads it
+      pairs.select(col("label"), col("v1"), col("v2"), col("lv1"),
+          col("lv2"), col("sim"), layerAxis)
+        .filter(col("lv1") >= col("layer") && col("lv2") >= col("layer"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("layer"), col("v1"))
+            .orderBy(col("sim").desc, col("v2"))))
+        .filter(col("rk") <= kEdges)
+        .select(col("layer"), col("label"), col("v1"), col("v2"))
+    }
+    // a node's CURRENT lists = its rows at the max inc that touched it
+    def latest(path: String): DataFrame = {
+      val st = spark.read.parquet(path)
+      st.join(st.groupBy(col("layer"), col("v1"))
+          .agg(max(col("inc")).as("inc")), Seq("layer", "v1", "inc"))
+        .select(col("layer"), col("label"), col("v1"), col("v2"))
+    }
+    val baseN = withLevel(e.filter(col("vec_id") % 4 =!= 3))
+      .localCheckpoint(false)
+    topK(baseN, baseN).withColumn("inc", lit(0L))
+      .write.mode("overwrite").parquet(idxPath)
+    baseN.select(col("vec_id")).withColumn("inc", lit(0L))
+      .write.mode("overwrite").parquet(idsPath)
+    val incCols = Seq(col("vec_id"), col("label"), col("embedding"))
+    stageOrderedFiles(root, inDir, Seq(
+      "inc1" -> e.filter(col("vec_id") % 8 === 3).select(incCols: _*),
+      "inc2" -> e.filter(col("vec_id") % 8 === 7).select(incCols: _*)))
+    def runOnce(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val ids = spark.read.parquet(idsPath)
+              .select(col("vec_id")).distinct()
+            val fresh = batch.join(ids, Seq("vec_id"), "left_anti")
+              // lazy: isEmpty + every maintenance relation share ONE
+              // anti-join pass (batch grain, window-free)
+              .localCheckpoint(false)
+            if (!fresh.isEmpty) {
+              // increment id is DATA-derived (the vec_id stripe all
+              // batch rows share) — replay-safe and oracle-mirrorable
+              val incScalar = fresh.agg(
+                max(when(col("vec_id") % 8 === 3, 1L).otherwise(2L))
+                  .as("inc"))
+              val freshN = withLevel(fresh.select(incCols: _*))
+                .localCheckpoint(false)
+              val priorN = withLevel(e.join(ids, Seq("vec_id"),
+                "left_semi")).localCheckpoint(false)
+              val freshLists =
+                topK(freshN, priorN.unionByName(freshN))
+              val stored = latest(idxPath)
+              val storedSim = stored
+                .join(e.select(col("vec_id").as("v1"),
+                  col("embedding").as("e1")), Seq("v1"))
+                .join(e.select(col("vec_id").as("v2"),
+                  col("embedding").as("e2")), Seq("v2"))
+                .withColumn("sim", graft.functions.ExprColumns
+                  .cosineF32(spark, "e1", "e2"))
+                .select(col("layer"), col("label"), col("v1"),
+                  col("v2"), col("sim"), lit(false).as("is_fresh"))
+              val freshCand = priorN
+                .select(col("label"), col("vec_id").as("v1"),
+                  col("embedding").as("e1"), col("level").as("lv1"))
+                .join(freshN.select(col("label"),
+                  col("vec_id").as("v2"), col("embedding").as("e2"),
+                  col("level").as("lv2")), Seq("label"))
+                .withColumn("sim", graft.functions.ExprColumns
+                  .cosineF32(spark, "e1", "e2"))
+                .select(col("label"), col("v1"), col("v2"), col("lv1"),
+                  col("lv2"), col("sim"), layerAxis)
+                .filter(col("lv1") >= col("layer") &&
+                  col("lv2") >= col("layer"))
+                .select(col("layer"), col("label"), col("v1"),
+                  col("v2"), col("sim"), lit(true).as("is_fresh"))
+              val combined = storedSim.unionByName(freshCand)
+                .withColumn("rk", row_number().over(
+                  Window.partitionBy(col("layer"), col("v1"))
+                    .orderBy(col("sim").desc, col("v2"))))
+                .filter(col("rk") <= kEdges)
+                .localCheckpoint(false) // touched census + lists share
+              // re-prune ONLY nodes a fresh neighbor actually entered:
+              // untouched lists stay at their older version (append
+              // volume is O(batch + touched), never O(index))
+              val touched = combined.filter(col("is_fresh"))
+                .select(col("layer"), col("v1")).distinct()
+              val touchedLists = combined
+                .join(touched, Seq("layer", "v1"), "left_semi")
+                .select(col("layer"), col("label"), col("v1"),
+                  col("v2"))
+              freshLists.unionByName(touchedLists)
+                .crossJoin(broadcast(incScalar)) // 1-row increment id
+                .select(col("layer"), col("label"), col("v1"),
+                  col("v2"), col("inc"))
+                .write.mode("append").parquet(idxPath)
+              fresh.select(col("vec_id"))
+                .withColumn("inc",
+                  when(col("vec_id") % 8 === 3, 1L).otherwise(2L))
+                .write.mode("append").parquet(idsPath)
+            }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$root/cp1")
+    runOnce(s"$root/cp2") // replay: everything indexed -> no-op append
+    val allN = withLevel(e).localCheckpoint(false)
+    val maintained = latest(idxPath).localCheckpoint(false)
+    val rebuild = topK(allN, allN).localCheckpoint(false)
+    val diff = maintained.withColumn("in_m", lit(1L))
+      .join(rebuild.withColumn("in_r", lit(1L)),
+        Seq("layer", "label", "v1", "v2"), "full_outer")
+      .groupBy(col("label"))
+      .agg(sum(coalesce(col("in_m"), lit(0L))).as("edges_maintained"),
+        sum(coalesce(col("in_r"), lit(0L))).as("edges_rebuild"),
+        sum(when(col("in_m").isNull || col("in_r").isNull, 1L)
+          .otherwise(0L)).as("edge_diff"))
+    val q0 = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+    val qe = q0.join(e.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb")), Seq("qid")).localCheckpoint(false)
+    val entry = allN
+      .join(q0.select(col("label"), col("qid")), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("level").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("vec_id").as("cur"))
+      .localCheckpoint(false) // |labels| rows; both descents read it
+    val brute = qe.join(e.select(col("label"), col("vec_id").as("cid"),
+        col("embedding").as("c_emb")), Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("bsim",
+        graft.functions.ExprColumns.cosineF32(spark, "c_emb", "q_emb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("bsim").desc, col("cid"))))
+      .filter(col("rk") <= 10)
+      .select(col("label"), col("cid"))
+      .localCheckpoint(false) // per-label truth; both descents read it
+    // hnswSearch's layered descent (2 hops per layer, 2 -> 1 -> 0),
+    // readout folded to the final cursor + explored recall@10
+    def descend(edges: DataFrame): DataFrame = {
+      val sym = edges
+        .union(edges.select(col("layer"), col("label"),
+          col("v2").as("v1"), col("v1").as("v2")))
+        .distinct()
+        .localCheckpoint(false) // degree-bounded per-layer edges
+      def simTo(cur: DataFrame, node: String): DataFrame =
+        cur.join(e.select(col("vec_id").as(node),
+            col("embedding").as("n_emb")), Seq(node))
+          .withColumn("sim", graft.functions.ExprColumns
+            .cosineF32(spark, "n_emb", "q_emb"))
+          .drop("n_emb")
+      val s0 = simTo(qe.join(entry, Seq("label")), "cur")
+        .select(col("label"), col("qid"), col("q_emb"), col("cur"),
+          col("sim").as("cur_sim"))
+        .localCheckpoint(false)
+      var cur = s0
+      var explored = Vector(s0.select(col("label"),
+        col("cur").as("cand")))
+      for (l <- Seq(2, 2, 1, 1, 0, 0)) {
+        val nbrs = cur
+          .join(sym.filter(col("layer") === l)
+            .select(col("label"), col("v1").as("cur"),
+              col("v2").as("nxt")), Seq("label", "cur"))
+          .filter(col("nxt") =!= col("qid"))
+        val nbrScored = simTo(nbrs, "nxt")
+          .select(col("label"), col("qid"), col("q_emb"),
+            col("nxt").as("cand"), col("sim"))
+          .localCheckpoint(false) // |labels|*2k rows: best + census
+        val next = nbrScored.unionByName(
+          cur.select(col("label"), col("qid"), col("q_emb"),
+            col("cur").as("cand"), col("cur_sim").as("sim")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("sim").desc, col("cand"))))
+          .filter(col("rk") === 1)
+          .select(col("label"), col("qid"), col("q_emb"),
+            col("cand").as("cur"), col("sim").as("cur_sim"))
+          .localCheckpoint(false) // |labels|-row cursor per hop
+        explored = explored :+ nbrScored.select(col("label"),
+          col("cand"))
+        cur = next
+      }
+      val expl = explored.reduce(_ unionByName _)
+        .select(col("label"), col("cand")).distinct()
+      val census = expl
+        .join(brute.select(col("label"), col("cid").as("cand"))
+          .withColumn("hit", lit(1L)), Seq("label", "cand"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_explored"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      cur.select(col("label"), col("cur").as("end_node"),
+          col("cur_sim").as("end_sim"))
+        .join(census, Seq("label"))
+    }
+    val dm = descend(maintained)
+      .select(col("label"), col("end_node").as("end_m"),
+        col("end_sim").as("sim_m"), col("n_explored").as("expl_m"),
+        col("n_hits").as("hits_m"))
+    val dr = descend(rebuild)
+      .select(col("label"), col("end_node").as("end_r"),
+        col("n_hits").as("hits_r"))
+    val counts = e.groupBy(col("label")).agg(
+      sum((col("vec_id") % 4 =!= 3).cast("long")).as("n_base"),
+      sum((col("vec_id") % 8 === 3).cast("long")).as("n_inc1"),
+      sum((col("vec_id") % 8 === 7).cast("long")).as("n_inc2"))
+    val out = counts
+      .join(diff, Seq("label"))
+      .join(dm, Seq("label"))
+      .join(dr, Seq("label"))
+      .select(col("label"), col("n_base"), col("n_inc1"),
+        col("n_inc2"), col("edges_maintained"), col("edges_rebuild"),
+        col("edge_diff"), col("end_m"),
+        // f32 cosine rounded at 4 (the sim_hnsw_search convention —
+        // absorbs the f32-vs-double cosine gap against the oracle)
+        round(col("sim_m").cast("double"), 4).as("end_sim"),
+        col("expl_m").as("n_explored"),
+        round(col("hits_m").cast("double") / 10.0, 4)
+          .as("recall_at_10"),
+        (col("end_m") === col("end_r") &&
+          col("hits_m") === col("hits_r")).as("agrees_rebuild"))
+      .orderBy(col("label"))
+      .localCheckpoint()
+    deleteTree(root)
+    out
+  }
 }

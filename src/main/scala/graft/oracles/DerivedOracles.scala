@@ -91,6 +91,7 @@ object DerivedOracles {
       // the level bodies cannot drift apart
       ("graph_louvain_full" -> OracleGen.louvainFullOracleSql) +
       ("graph_louvain_conv" -> OracleGen.louvainConvOracleSql()) +
+      ("stream_hnsw_append" -> OracleGen.hnswAppendOracleSql()) +
       // one exact integer-Lloyd pass per PQ subspace: the assignment
       // block is generated once and instantiated for both codebooks
       ("sim_pq_train" -> OracleGen.pqTrainOracleSql()) +

@@ -916,6 +916,192 @@ object OracleGen {
        $rows) r ORDER BY level"""
   }
 
+  /** Generated oracle for `stream_hnsw_append`: the layered-HNSW
+    * maintenance replayed UNROLLED — seed directed top-k lists over the
+    * base stripe, then per increment the fresh-node lists plus the
+    * re-prune of every stored list a fresh node enters, the
+    * latest-version resolution, the from-scratch rebuild, the per-label
+    * edge diff, and BOTH layered descents (maintained and rebuilt, 6
+    * hops, the sim_hnsw_search shape). Every pair kernel is ONE scored
+    * label-blocked relation with a 3-row VALUES layer axis, mirroring
+    * the Spark side's literal-axis explode. */
+  private[graft] def hnswAppendOracleSql(k: Int = 3): String = {
+    // scored label-blocked pairs of two LEVELED node sets, all layers
+    def pairsSql(p: String, aCte: String, bCte: String): String =
+      s"""${p} AS MATERIALIZED (SELECT ll.l AS layer, a.label,
+           a.vec_id AS v1, b.vec_id AS v2,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+         FROM (VALUES (2), (1), (0)) ll(l)
+         JOIN $aCte a ON a.level >= ll.l
+         JOIN $bCte b ON b.label = a.label AND b.level >= ll.l
+           AND b.vec_id <> a.vec_id)"""
+    def topkSql(p: String, pairsCte: String): String =
+      s"""$p AS MATERIALIZED (SELECT layer, label, v1, v2 FROM (
+           SELECT layer, label, v1, v2, ROW_NUMBER() OVER (
+             PARTITION BY layer, v1 ORDER BY sim DESC, v2) AS rk
+           FROM $pairsCte) z WHERE rk <= $k)"""
+    // one increment's maintenance: fresh lists + entered-list re-prune
+    // + version resolution (stPrev -> stCur latest)
+    def incSql(b: Int, priorCte: String, freshCte: String,
+        allCte: String, prevLatest: String): String =
+      s"""${pairsSql(s"fp$b", freshCte, allCte)},
+         ${topkSql(s"fl$b", s"fp$b")},
+         ${pairsSql(s"pp$b", priorCte, freshCte)},
+         c${b}r AS MATERIALIZED (SELECT layer, label, v1, v2, isf,
+             ROW_NUMBER() OVER (PARTITION BY layer, v1
+               ORDER BY sim DESC, v2) AS rk
+           FROM (
+             SELECT s.layer, s.label, s.v1, s.v2,
+               list_cosine_similarity(e1.embedding, e2.embedding)
+                 AS sim, FALSE AS isf
+             FROM $prevLatest s
+             JOIN embeddings e1 ON e1.vec_id = s.v1
+             JOIN embeddings e2 ON e2.vec_id = s.v2
+             UNION ALL
+             SELECT layer, label, v1, v2, sim, TRUE FROM pp$b) u),
+         t$b AS (SELECT DISTINCT layer, v1 FROM c${b}r
+           WHERE rk <= $k AND isf),
+         wr$b AS (SELECT layer, label, v1, v2,
+             CAST($b AS BIGINT) AS inc FROM fl$b
+           UNION ALL
+           SELECT c.layer, c.label, c.v1, c.v2, CAST($b AS BIGINT)
+           FROM c${b}r c JOIN t$b USING (layer, v1) WHERE c.rk <= $k),
+         st$b AS (SELECT * FROM st${b - 1} UNION ALL
+           SELECT * FROM wr$b),
+         st${b}m AS (SELECT layer, v1, MAX(inc) AS mi FROM st$b
+           GROUP BY 1, 2),
+         st${b}l AS MATERIALIZED (SELECT s.layer, s.label, s.v1, s.v2
+           FROM st$b s JOIN st${b}m m ON s.layer = m.layer
+             AND s.v1 = m.v1 AND s.inc = m.mi)"""
+    // layered descent over an edge CTE, folded to final cursor +
+    // explored recall inputs (the sim_hnsw_search six-hop shape)
+    def descentSql(p: String, edgesCte: String): String = {
+      val layers = Seq(2, 2, 1, 1, 0, 0)
+      val steps = layers.zipWithIndex.map { case (l, i) =>
+        val t = i + 1
+        s"""${p}nb$t AS MATERIALIZED (SELECT s.label, s.qid,
+             y.v2 AS cand,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+           FROM ${p}s${t - 1} s
+           JOIN ${p}sy y ON y.layer = $l AND y.label = s.label
+             AND y.v1 = s.cur
+           JOIN embeddings e ON e.vec_id = y.v2
+           JOIN qe ON qe.label = s.label
+           WHERE y.v2 <> s.qid),
+         ${p}s$t AS MATERIALIZED (SELECT label, qid, cand AS cur, sim
+           FROM (SELECT c.label, c.qid, c.cand, c.sim,
+               ROW_NUMBER() OVER (PARTITION BY c.label
+                 ORDER BY c.sim DESC, c.cand) AS rk
+             FROM (SELECT label, qid, cand, sim FROM ${p}nb$t
+                   UNION ALL SELECT label, qid, cur, sim
+                     FROM ${p}s${t - 1}) c) z WHERE rk = 1),
+         ${p}x$t AS (SELECT label, cand FROM ${p}nb$t)"""
+      }.mkString(",\n         ")
+      val xu = (0 to 6).map(t => s"SELECT * FROM ${p}x$t")
+        .mkString(" UNION ALL ")
+      s"""${p}sy AS MATERIALIZED (SELECT DISTINCT layer, label, v1, v2
+           FROM (SELECT layer, label, v1, v2 FROM $edgesCte
+             UNION ALL SELECT layer, label, v2, v1 FROM $edgesCte) u),
+         ${p}s0 AS (SELECT qe.label, qe.qid, entry.cur,
+             list_cosine_similarity(e.embedding, qe.q_emb) AS sim
+           FROM qe JOIN entry ON entry.label = qe.label
+           JOIN embeddings e ON e.vec_id = entry.cur),
+         ${p}x0 AS (SELECT label, cur AS cand FROM ${p}s0),
+         $steps,
+         ${p}ex AS (SELECT DISTINCT label, cand FROM ($xu) xs),
+         ${p}cn AS MATERIALIZED (SELECT x.label,
+             CAST(COUNT(*) AS BIGINT) AS n_explored,
+             CAST(SUM(CASE WHEN b.cid IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+           FROM ${p}ex x LEFT JOIN brute b
+             ON b.label = x.label AND b.cid = x.cand
+           GROUP BY 1),
+         ${p}fin AS MATERIALIZED (SELECT s.label, s.cur AS end_node,
+             s.sim AS end_sim, c.n_explored, c.n_hits
+           FROM ${p}s6 s JOIN ${p}cn c ON c.label = s.label)"""
+    }
+    s"""WITH lv AS MATERIALIZED (SELECT vec_id, label, embedding,
+           CASE WHEN b = 0 THEN 8
+             WHEN b % 2 = 1 THEN 0 WHEN b % 4 = 2 THEN 1
+             WHEN b % 8 = 4 THEN 2 WHEN b % 16 = 8 THEN 3
+             WHEN b % 32 = 16 THEN 4 WHEN b % 64 = 32 THEN 5
+             WHEN b % 128 = 64 THEN 6 ELSE 7 END AS level
+         FROM (SELECT vec_id, label, embedding,
+             (strpos('0123456789abcdef',
+                substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 1))
+                - 1) * 16
+             + (strpos('0123456789abcdef',
+                substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 2, 1))
+                - 1) AS b
+             FROM embeddings) zb),
+       bn AS MATERIALIZED (SELECT * FROM lv WHERE vec_id % 4 <> 3),
+       f1 AS MATERIALIZED (SELECT * FROM lv WHERE vec_id % 8 = 3),
+       f2 AS MATERIALIZED (SELECT * FROM lv WHERE vec_id % 8 = 7),
+       n1 AS (SELECT * FROM bn UNION ALL SELECT * FROM f1),
+       ${pairsSql("sp", "bn", "bn")},
+       ${topkSql("sd", "sp")},
+       st0 AS (SELECT layer, label, v1, v2, CAST(0 AS BIGINT) AS inc
+         FROM sd),
+       st0l AS (SELECT layer, label, v1, v2 FROM sd),
+       ${incSql(1, "bn", "f1", "n1", "st0l")},
+       ${incSql(2, "n1", "f2", "lv", "st1l")},
+       ${pairsSql("rp", "lv", "lv")},
+       ${topkSql("rb", "rp")},
+       df AS MATERIALIZED (SELECT label,
+           CAST(SUM(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS edges_maintained,
+           CAST(SUM(CASE WHEN in_r THEN 1 ELSE 0 END) AS BIGINT)
+             AS edges_rebuild,
+           CAST(SUM(CASE WHEN NOT in_m OR NOT in_r THEN 1 ELSE 0 END)
+             AS BIGINT) AS edge_diff
+         FROM (SELECT COALESCE(m.label, r.label) AS label,
+             m.v1 IS NOT NULL AS in_m, r.v1 IS NOT NULL AS in_r
+           FROM st2l m FULL OUTER JOIN rb r
+             ON m.layer = r.layer AND m.label = r.label
+               AND m.v1 = r.v1 AND m.v2 = r.v2) u
+         GROUP BY 1),
+       q AS (SELECT label, MIN(vec_id) AS qid FROM embeddings
+         GROUP BY 1),
+       qe AS MATERIALIZED (SELECT q.label, q.qid,
+           e.embedding AS q_emb
+         FROM q JOIN embeddings e ON e.vec_id = q.qid),
+       entry AS MATERIALIZED (SELECT label, vec_id AS cur FROM (
+           SELECT lv.label, lv.vec_id, ROW_NUMBER()
+             OVER (PARTITION BY lv.label
+               ORDER BY lv.level DESC, lv.vec_id) AS rk
+           FROM lv JOIN q ON q.label = lv.label
+           WHERE lv.vec_id <> q.qid) z WHERE rk = 1),
+       brute AS MATERIALIZED (SELECT label, cid FROM (
+           SELECT qe.label, c.vec_id AS cid, ROW_NUMBER()
+             OVER (PARTITION BY qe.label ORDER BY
+               list_cosine_similarity(c.embedding, qe.q_emb) DESC,
+               c.vec_id) AS rk
+           FROM qe JOIN embeddings c ON c.label = qe.label
+           WHERE c.vec_id <> qe.qid) z WHERE rk <= 10),
+       ${descentSql("m", "st2l")},
+       ${descentSql("r", "rb")},
+       ct AS (SELECT label,
+           CAST(SUM(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 8 = 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inc1,
+           CAST(SUM(CASE WHEN vec_id % 8 = 7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inc2
+         FROM embeddings GROUP BY 1)
+       SELECT ct.label, ct.n_base, ct.n_inc1, ct.n_inc2,
+         df.edges_maintained, df.edges_rebuild, df.edge_diff,
+         m.end_node AS end_m,
+         ROUND(CAST(m.end_sim AS DOUBLE), 4) AS end_sim,
+         m.n_explored,
+         ROUND(CAST(m.n_hits AS DOUBLE) / 10.0, 4) AS recall_at_10,
+         (m.end_node = r.end_node AND m.n_hits = r.n_hits)
+           AS agrees_rebuild
+       FROM ct JOIN df USING (label)
+       JOIN mfin m ON m.label = ct.label
+       JOIN rfin r ON r.label = ct.label
+       ORDER BY ct.label"""
+  }
+
   /** Generated oracle for `sim_pq_train`: the exact integer-Lloyd PQ
     * pass of [[graft.operators.Similarity.pqTrainDistortion]] — ONE
     * assignment CTE block instantiated for the seed and the trained

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, TextAnalysis}
+import graft.operators.{Graph, StreamingAnalytics, TextAnalysis}
 
 /** Property coverage for the round-16 additions beyond the automatic
   * smoke/oracle gates:
@@ -19,6 +19,13 @@ import graft.operators.{Graph, TextAnalysis}
   *    a VERBATIM copy, min-k%-prob flags BOTH while the exact 13-gram
   *    detector catches only the verbatim one — n_mink_only isolates
   *    the paraphrase-class channel this row adds.
+  *
+  *  - `stream_hnsw_append`: the merge law (insert-and-reprune
+  *    maintenance == from-scratch rebuild, edge for edge) holds at the
+  *    default k AND at k=2 (a different prune width exercises the
+  *    touched-list re-rank at a different cut), the increments
+  *    partition each label block exactly, and both layered descents
+  *    agree on the identical index.
   */
 class Round16OpsSpec extends SparkSpec {
 
@@ -141,5 +148,39 @@ class Round16OpsSpec extends SparkSpec {
       verb.getAs[Double]("mean_mink_nll"))
     assert(para.getAs[Double]("mean_mink_nll") <
       bg.getAs[Double]("mean_mink_nll"))
+  }
+
+  test("stream_hnsw_append: maintenance equals rebuild edge-for-edge " +
+    "at k=3 and k=2; increments partition each label; descents agree") {
+    val perLabel = spark.read
+      .parquet(s"$sf0001/embeddings.parquet")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n")).toMap
+    for (k <- Seq(3, 2)) {
+      val rows = StreamingAnalytics
+        .streamHnswAppend(spark, sf0001, kEdges = k).collect()
+      assert(rows.map(_.getAs[Int]("label")).toSet === perLabel.keySet)
+      for (r <- rows) {
+        val lbl = r.getAs[Int]("label")
+        // the MERGE LAW: append-only versioned maintenance resolves to
+        // exactly the from-scratch index — zero diff, equal cardinality
+        assert(r.getAs[Long]("edge_diff") === 0L,
+          s"k=$k label $lbl: maintained index diverged from rebuild")
+        assert(r.getAs[Long]("edges_maintained") ===
+          r.getAs[Long]("edges_rebuild"))
+        // the three stripes partition the label block exactly
+        assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_inc1") +
+          r.getAs[Long]("n_inc2") === perLabel(lbl))
+        assert(r.getAs[Long]("n_inc1") > 0L || r.getAs[Long]("n_inc2") > 0L,
+          s"k=$k label $lbl: an increment must actually arrive")
+        // identical indexes must descend identically
+        assert(r.getAs[Boolean]("agrees_rebuild"),
+          s"k=$k label $lbl: descents diverged on an identical index")
+        assert(r.getAs[Long]("n_explored") >= 1L)
+        val rec = r.getAs[Double]("recall_at_10")
+        assert(rec >= 0.0 && rec <= 1.0)
+      }
+    }
   }
 }
