@@ -2457,15 +2457,32 @@ object StreamingAnalytics {
     * maintenance → latest-version resolution) and both descents.
     *
     * Plan: the pair kernels are label-blocked with the layer axis as a
-    * 3-row literal explode over ONE scored pair relation per node-set
-    * (never per-layer re-joins); per batch the fresh×indexed block and
-    * the stored-list sim recompute are the only corpus-touching
-    * relations; descents are |labels|-row cursor walks against
-    * degree-bounded edge relations; every rank window partitions by
-    * (layer, v1) or label. */
+    * 3-row literal explode DOWNSTREAM of the cosine (scored once per
+    * pair, never per-layer re-joins); per batch ONE (indexed ∪
+    * batch-mate) × fresh cosine pass feeds both maintenance relations
+    * (cosine symmetry turns the prior → fresh rows into fresh → prior
+    * via swap), and the re-prune rank never sorts the full candidate
+    * space — each stored list's k-th (sim, v2) admission bar is
+    * broadcast and candidates strictly below it are filtered out
+    * in-pipeline first; BOTH descents ride one side-tagged walk (six
+    * hop jobs total, cursors 2·|labels|-row, explicit broadcast of the
+    * stats-less checkpointed cursor side); relations read by parallel
+    * branches of one action (the batch score pass, maintained/rebuild,
+    * the descent readout) are EAGERLY checkpointed — a lazy checkpoint
+    * there is raced by the sibling stages and computed twice; every
+    * rank window partitions by (layer, v1) or (side, label). */
   def streamHnswAppend(spark: SparkSession, dir: String,
       kEdges: Int = 3): DataFrame = {
     graft.functions.ExprColumns.register(spark)
+    // dev-only phase timer (SPARK_GRAFT_HNSW_PROFILE=1): prints phase
+    // elapsed at each eager barrier — NEVER changes the plan
+    val profile = sys.env.get("SPARK_GRAFT_HNSW_PROFILE").contains("1")
+    var tMark = System.nanoTime()
+    def mark(s: String): Unit = if (profile) {
+      val t = System.nanoTime()
+      println(f"[hnswprof] $s%-18s ${(t - tMark) / 1e9}%.2f s")
+      tMark = t
+    }
     val root = java.nio.file.Files
       .createTempDirectory("graft_hnswapp").toString
     val idxPath = s"$root/index"
@@ -2476,21 +2493,10 @@ object StreamingAnalytics {
     def withLevel(df: DataFrame): DataFrame = df.withColumn("level",
       Similarity.hnswLevelOf(col("vec_id")).cast("long"))
     val layerAxis = explode(array(lit(2L), lit(1L), lit(0L))).as("layer")
-    // directed top-k lists of a-side nodes among b-side nodes, all
-    // layers at once: ONE label-blocked scored pair relation, a 3-row
-    // literal layer axis, one (layer, v1)-partitioned rank
-    def topK(aNodes: DataFrame, bNodes: DataFrame): DataFrame = {
-      val pairs = aNodes
-        .select(col("label"), col("vec_id").as("v1"),
-          col("embedding").as("e1"), col("level").as("lv1"))
-        .join(bNodes.select(col("label"), col("vec_id").as("v2"),
-          col("embedding").as("e2"), col("level").as("lv2")), Seq("label"))
-        .filter(col("v1") =!= col("v2"))
-        .withColumn("sim",
-          graft.functions.ExprColumns.cosineF32(spark, "e1", "e2"))
-        .select(col("label"), col("v1"), col("v2"), col("lv1"),
-          col("lv2"), col("sim"))
-        .localCheckpoint(false) // scored once; 3-row layer axis reads it
+    // rank a directed scored pair relation into per-(layer, v1) top-k
+    // lists: the 3-row literal layer axis explodes DOWNSTREAM of the
+    // cosine (scored once per pair, in-pipeline — no barrier)
+    def rankLists(pairs: DataFrame): DataFrame =
       pairs.select(col("label"), col("v1"), col("v2"), col("lv1"),
           col("lv2"), col("sim"), layerAxis)
         .filter(col("lv1") >= col("layer") && col("lv2") >= col("layer"))
@@ -2499,7 +2505,19 @@ object StreamingAnalytics {
             .orderBy(col("sim").desc, col("v2"))))
         .filter(col("rk") <= kEdges)
         .select(col("layer"), col("label"), col("v1"), col("v2"))
-    }
+    // directed top-k lists of a-side nodes among b-side nodes, all
+    // layers at once: ONE label-blocked scored pair relation
+    def topK(aNodes: DataFrame, bNodes: DataFrame): DataFrame =
+      rankLists(aNodes
+        .select(col("label"), col("vec_id").as("v1"),
+          col("embedding").as("e1"), col("level").as("lv1"))
+        .join(bNodes.select(col("label"), col("vec_id").as("v2"),
+          col("embedding").as("e2"), col("level").as("lv2")), Seq("label"))
+        .filter(col("v1") =!= col("v2"))
+        .withColumn("sim",
+          graft.functions.ExprColumns.cosineF32(spark, "e1", "e2"))
+        .select(col("label"), col("v1"), col("v2"), col("lv1"),
+          col("lv2"), col("sim")))
     // a node's CURRENT lists = its rows at the max inc that touched it
     def latest(path: String): DataFrame = {
       val st = spark.read.parquet(path)
@@ -2507,16 +2525,19 @@ object StreamingAnalytics {
           .agg(max(col("inc")).as("inc")), Seq("layer", "v1", "inc"))
         .select(col("layer"), col("label"), col("v1"), col("v2"))
     }
+    mark("setup")
     val baseN = withLevel(e.filter(col("vec_id") % 4 =!= 3))
       .localCheckpoint(false)
     topK(baseN, baseN).withColumn("inc", lit(0L))
       .write.mode("overwrite").parquet(idxPath)
     baseN.select(col("vec_id")).withColumn("inc", lit(0L))
       .write.mode("overwrite").parquet(idsPath)
+    mark("seed_build")
     val incCols = Seq(col("vec_id"), col("label"), col("embedding"))
     stageOrderedFiles(root, inDir, Seq(
       "inc1" -> e.filter(col("vec_id") % 8 === 3).select(incCols: _*),
       "inc2" -> e.filter(col("vec_id") % 8 === 7).select(incCols: _*)))
+    mark("stage_files")
     def runOnce(checkpoint: String): Unit = {
       val q = spark.readStream
         .schema(e.schema)
@@ -2544,9 +2565,38 @@ object StreamingAnalytics {
               val freshN = withLevel(fresh.select(incCols: _*))
                 .localCheckpoint(false)
               val priorN = withLevel(e.join(ids, Seq("vec_id"),
-                "left_semi")).localCheckpoint(false)
-              val freshLists =
-                topK(freshN, priorN.unionByName(freshN))
+                "left_semi"))
+              // ONE corpus-touching cosine pass per batch: score every
+              // (indexed ∪ batch-mate) × fresh pair ONCE, directed
+              // a → b with an a-side freshness flag; both maintenance
+              // relations (fresh-node lists AND re-prune candidates)
+              // are projections of it — cosine symmetry makes the
+              // prior → fresh rows double as fresh → prior via swap
+              val scoredAF = priorN.withColumn("a_fresh", lit(false))
+                .unionByName(freshN.withColumn("a_fresh", lit(true)))
+                .select(col("label"), col("vec_id").as("v1"),
+                  col("embedding").as("e1"), col("level").as("lv1"),
+                  col("a_fresh"))
+                .join(freshN.select(col("label"),
+                  col("vec_id").as("v2"), col("embedding").as("e2"),
+                  col("level").as("lv2")), Seq("label"))
+                .filter(col("v1") =!= col("v2"))
+                .withColumn("sim", graft.functions.ExprColumns
+                  .cosineF32(spark, "e1", "e2"))
+                .select(col("label"), col("v1"), col("v2"),
+                  col("lv1"), col("lv2"), col("sim"), col("a_fresh"))
+                // EAGER: three readers (both fresh-list directions +
+                // the re-prune gate) sit in ONE write action — a lazy
+                // checkpoint would be raced by the parallel branches
+                // and the batch cosine pass computed twice
+                .localCheckpoint()
+              val freshLists = rankLists(
+                scoredAF.filter(col("a_fresh"))
+                  .drop("a_fresh")
+                  .unionByName(scoredAF.filter(!col("a_fresh"))
+                    .select(col("label"), col("v2").as("v1"),
+                      col("v1").as("v2"), col("lv2").as("lv1"),
+                      col("lv1").as("lv2"), col("sim"))))
               val stored = latest(idxPath)
               val storedSim = stored
                 .join(e.select(col("vec_id").as("v1"),
@@ -2557,21 +2607,39 @@ object StreamingAnalytics {
                   .cosineF32(spark, "e1", "e2"))
                 .select(col("layer"), col("label"), col("v1"),
                   col("v2"), col("sim"), lit(false).as("is_fresh"))
-              val freshCand = priorN
-                .select(col("label"), col("vec_id").as("v1"),
-                  col("embedding").as("e1"), col("level").as("lv1"))
-                .join(freshN.select(col("label"),
-                  col("vec_id").as("v2"), col("embedding").as("e2"),
-                  col("level").as("lv2")), Seq("label"))
-                .withColumn("sim", graft.functions.ExprColumns
-                  .cosineF32(spark, "e1", "e2"))
+                .localCheckpoint(false) // read twice: kth gate + rank
+              // each stored list's k-th (sim, v2) admission bar: a
+              // fresh candidate strictly below it can NEVER enter the
+              // top-k, so the re-prune rank only ever sees the stored
+              // rows plus the handful of qualifying fresh candidates —
+              // the full (prior x fresh x layer) space streams through
+              // one broadcast-join filter, never a sort
+              val kth = storedSim
+                .withColumn("srk", row_number().over(
+                  Window.partitionBy(col("layer"), col("v1"))
+                    .orderBy(col("sim").desc, col("v2"))))
+                .groupBy(col("layer"), col("v1"))
+                .agg(count(lit(1)).as("n_stored"),
+                  max(when(col("srk") === kEdges, col("sim")))
+                    .as("kth_sim"),
+                  max(when(col("srk") === kEdges, col("v2")))
+                    .as("kth_v2"))
+              val freshQual = scoredAF.filter(!col("a_fresh"))
                 .select(col("label"), col("v1"), col("v2"), col("lv1"),
                   col("lv2"), col("sim"), layerAxis)
                 .filter(col("lv1") >= col("layer") &&
                   col("lv2") >= col("layer"))
+                .join(broadcast(kth), Seq("layer", "v1"), "left")
+                // no stored list yet / short list / beats the k-th
+                // (tie resolved by the rank's v2-ascending order)
+                .filter(col("n_stored").isNull ||
+                  col("n_stored") < kEdges ||
+                  col("sim") > col("kth_sim") ||
+                  (col("sim") === col("kth_sim") &&
+                    col("v2") < col("kth_v2")))
                 .select(col("layer"), col("label"), col("v1"),
                   col("v2"), col("sim"), lit(true).as("is_fresh"))
-              val combined = storedSim.unionByName(freshCand)
+              val combined = storedSim.unionByName(freshQual)
                 .withColumn("rk", row_number().over(
                   Window.partitionBy(col("layer"), col("v1"))
                     .orderBy(col("sim").desc, col("v2"))))
@@ -2601,10 +2669,16 @@ object StreamingAnalytics {
       q.awaitTermination()
     }
     runOnce(s"$root/cp1")
+    mark("run1")
     runOnce(s"$root/cp2") // replay: everything indexed -> no-op append
+    mark("run2_replay")
     val allN = withLevel(e).localCheckpoint(false)
-    val maintained = latest(idxPath).localCheckpoint(false)
-    val rebuild = topK(allN, allN).localCheckpoint(false)
+    // EAGER: maintained and rebuild are each read by two parallel
+    // branches of the final action (edge diff + descent edges); lazy
+    // checkpoints would be computed twice by the racing stages
+    val maintained = latest(idxPath).localCheckpoint()
+    val rebuild = topK(allN, allN).localCheckpoint()
+    mark("rebuild")
     val diff = maintained.withColumn("in_m", lit(1L))
       .join(rebuild.withColumn("in_r", lit(1L)),
         Seq("layer", "label", "v1", "v2"), "full_outer")
@@ -2637,67 +2711,86 @@ object StreamingAnalytics {
       .select(col("label"), col("cid"))
       .localCheckpoint(false) // per-label truth; both descents read it
     // hnswSearch's layered descent (2 hops per layer, 2 -> 1 -> 0),
-    // readout folded to the final cursor + explored recall@10
-    def descend(edges: DataFrame): DataFrame = {
+    // readout folded to the final cursor + explored recall@10. ONE
+    // side-tagged walk drives BOTH descents (maintained 'm', rebuild
+    // 'r') through the same six hop jobs: cursors are 2·|labels|-row,
+    // every window partitions by (side, label), and the per-hop
+    // neighbor joins key on (side, label, cur) so the sides never mix
+    val descents: DataFrame = {
+      val edges = maintained.withColumn("side", lit("m"))
+        .unionByName(rebuild.withColumn("side", lit("r")))
       val sym = edges
-        .union(edges.select(col("layer"), col("label"),
-          col("v2").as("v1"), col("v1").as("v2")))
+        .unionByName(edges.select(col("side"), col("layer"),
+          col("label"), col("v2").as("v1"), col("v1").as("v2")))
         .distinct()
-        .localCheckpoint(false) // degree-bounded per-layer edges
+        .localCheckpoint(false) // degree-bounded edges x 2 sides
+      // the cursor sides are checkpointed LogicalRDDs with no stats —
+      // broadcast them EXPLICITLY so each hop plans BHJ against the
+      // corpus/edge relations instead of a stats-blind SortMergeJoin
+      // (the lazy-checkpoint broadcast-loss pitfall)
       def simTo(cur: DataFrame, node: String): DataFrame =
-        cur.join(e.select(col("vec_id").as(node),
+        broadcast(cur).join(e.select(col("vec_id").as(node),
             col("embedding").as("n_emb")), Seq(node))
           .withColumn("sim", graft.functions.ExprColumns
             .cosineF32(spark, "n_emb", "q_emb"))
           .drop("n_emb")
+      // the entry cosine is scored once, THEN the 2-row side axis
+      // explodes the cursor — both sides start from the same row
       val s0 = simTo(qe.join(entry, Seq("label")), "cur")
         .select(col("label"), col("qid"), col("q_emb"), col("cur"),
-          col("sim").as("cur_sim"))
+          col("sim").as("cur_sim"),
+          explode(array(lit("m"), lit("r"))).as("side"))
         .localCheckpoint(false)
       var cur = s0
-      var explored = Vector(s0.select(col("label"),
+      var explored = Vector(s0.select(col("side"), col("label"),
         col("cur").as("cand")))
       for (l <- Seq(2, 2, 1, 1, 0, 0)) {
-        val nbrs = cur
+        val nbrs = broadcast(cur)
           .join(sym.filter(col("layer") === l)
-            .select(col("label"), col("v1").as("cur"),
-              col("v2").as("nxt")), Seq("label", "cur"))
+            .select(col("side"), col("label"), col("v1").as("cur"),
+              col("v2").as("nxt")), Seq("side", "label", "cur"))
           .filter(col("nxt") =!= col("qid"))
+        // NOT checkpointed: its lineage is one equi-join off the
+        // checkpointed cursor, so the census recompute is a tiny
+        // bounded join, cheaper than six more materializations
         val nbrScored = simTo(nbrs, "nxt")
-          .select(col("label"), col("qid"), col("q_emb"),
+          .select(col("side"), col("label"), col("qid"), col("q_emb"),
             col("nxt").as("cand"), col("sim"))
-          .localCheckpoint(false) // |labels|*2k rows: best + census
         val next = nbrScored.unionByName(
-          cur.select(col("label"), col("qid"), col("q_emb"),
-            col("cur").as("cand"), col("cur_sim").as("sim")))
+          cur.select(col("side"), col("label"), col("qid"),
+            col("q_emb"), col("cur").as("cand"),
+            col("cur_sim").as("sim")))
           .withColumn("rk", row_number().over(
-            Window.partitionBy(col("label"))
+            Window.partitionBy(col("side"), col("label"))
               .orderBy(col("sim").desc, col("cand"))))
           .filter(col("rk") === 1)
-          .select(col("label"), col("qid"), col("q_emb"),
+          .select(col("side"), col("label"), col("qid"), col("q_emb"),
             col("cand").as("cur"), col("sim").as("cur_sim"))
-          .localCheckpoint(false) // |labels|-row cursor per hop
-        explored = explored :+ nbrScored.select(col("label"),
-          col("cand"))
+          .localCheckpoint(false) // 2·|labels|-row cursor per hop
+        explored = explored :+ nbrScored.select(col("side"),
+          col("label"), col("cand"))
         cur = next
       }
-      val expl = explored.reduce(_ unionByName _)
-        .select(col("label"), col("cand")).distinct()
+      val expl = explored.reduce(_ unionByName _).distinct()
       val census = expl
         .join(brute.select(col("label"), col("cid").as("cand"))
           .withColumn("hit", lit(1L)), Seq("label", "cand"), "left")
-        .groupBy(col("label"))
+        .groupBy(col("side"), col("label"))
         .agg(count(lit(1)).as("n_explored"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      cur.select(col("label"), col("cur").as("end_node"),
+      cur.select(col("side"), col("label"), col("cur").as("end_node"),
           col("cur_sim").as("end_sim"))
-        .join(census, Seq("label"))
+        .join(census, Seq("side", "label"))
+        // EAGER: the m and r slices below both read this — and the
+        // whole hop chain above it — so materialize it exactly once
+        .localCheckpoint()
     }
-    val dm = descend(maintained)
+    mark("descents")
+    val dm = descents.filter(col("side") === "m")
       .select(col("label"), col("end_node").as("end_m"),
         col("end_sim").as("sim_m"), col("n_explored").as("expl_m"),
         col("n_hits").as("hits_m"))
-    val dr = descend(rebuild)
+    val dr = descents.filter(col("side") === "r")
       .select(col("label"), col("end_node").as("end_r"),
         col("n_hits").as("hits_r"))
     val counts = e.groupBy(col("label")).agg(
@@ -2721,6 +2814,7 @@ object StreamingAnalytics {
           col("hits_m") === col("hits_r")).as("agrees_rebuild"))
       .orderBy(col("label"))
       .localCheckpoint()
+    mark("readout")
     deleteTree(root)
     out
   }
