@@ -139,10 +139,22 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Drop the query's leftover localCheckpoint caches NOW (outside
+        // its timing window): ContextCleaner frees them only after a GC
+        // notices the dead references, which a large heap defers for
+        // whole battery runs — the r16 min-of-5 recording degraded
+        // monotonically 673 -> 964 s/run from exactly this accumulation
+        // (calib probe medians 0.32 -> 0.41 in the same runs). Every
+        // query is self-contained, so nothing live is evicted.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         if ((i + 1) % calibEvery == 0 && i + 1 < ordered.size) calib += calibProbe()
         name -> (if (ok) math.rint(dt * 1000) / 1000 else -1.0)
       }.toMap
       calib += calibProbe()
+      // between-runs floor reset: collect the freed cache/broadcast refs
+      // so run N+1 starts from the same heap the first run saw
+      System.gc()
       (res, calib.result())
     }
     // Idle-box gate (r7 verdict: both BENCH_r07 run totals landed 35-50%

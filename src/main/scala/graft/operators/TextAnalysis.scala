@@ -3792,7 +3792,14 @@ object TextAnalysis {
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
       .withColumn("w", w)
       .groupBy(col("arm"), col("rep"))
-      .agg(sum(col("ndcg") * col("w")).as("num"),
+      // w cast to DECIMAL(1,0) (it is 0..5): ndcg(28,12) x LONG would
+      // exceed precision 38 and Spark's precision-loss path silently
+      // REDUCES the product scale to 6 (each term rounded at 1e-6)
+      // while DuckDB silently computes the oversized product in DOUBLE
+      // — two different inexact paths that drifted the replicate means
+      // ~7e-9 apart and flipped boot_mean's 6-dp rounding at sf0.1.
+      // (28,12) x (1,0) stays within precision: both engines EXACT.
+      .agg(sum(col("ndcg") * col("w").cast("decimal(1,0)")).as("num"),
         sum(col("w")).as("den"))
       .select(col("arm"), col("rep"),
         // DECIMAL(18,9) (the poissonBootstrap convention): its square
@@ -3822,8 +3829,14 @@ object TextAnalysis {
         .orderBy(col("m"), col("rep")))) // reps-bounded per arm
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n_reps"),
-        (sum(col("m")).cast("double") / count(lit(1)))
-          .as("boot_mean_r"),
+        // exact nano-unit sum of the replicate means: boot_mean's
+        // 6-dp rounding is done in INTEGER half-up division below, not
+        // round(double, 6) — Spark rounds the shortest decimal string
+        // of a double where DuckDB rounds its true binary value, and a
+        // mean landing a half-ulp off the .5e-6 boundary flips the two
+        // engines apart (observed at sf0.1, boot_mean 0.160918 vs
+        // 0.160919)
+        sum((col("m") * lit(1000000000L)).cast("long")).as("si"),
         ((sum(col("m") * col("m")).cast("double") -
           sum(col("m")).cast("double") * sum(col("m")).cast("double") /
             count(lit(1))) / (count(lit(1)) - 1)).as("var_r"),
@@ -3839,7 +3852,11 @@ object TextAnalysis {
       .join(wins, Seq("arm"), "left")
       .select(col("arm"), col("n_queries"), col("n_reps"),
         round(col("point_r"), 6).as("ndcg10_mean"),
-        round(col("boot_mean_r"), 6).as("boot_mean"),
+        // half-up at 6 dp as exact integer floor-div of nano-units
+        // (si/(n·1000) is the mean in 1e-6 units); the final /1e6 is
+        // one IEEE division of two exact integers — engine-identical
+        (expr("(2 * si + n_reps * 1000) div (2 * n_reps * 1000)")
+          .cast("double") / 1000000.0).as("boot_mean"),
         round(sqrt(col("var_r")), 6).as("boot_se"),
         round(col("lo_r"), 6).as("ci_lo"),
         round(col("hi_r"), 6).as("ci_hi"),

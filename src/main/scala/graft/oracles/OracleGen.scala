@@ -1332,8 +1332,13 @@ object OracleGen {
                 ELSE 5 END AS w
          FROM wx),
        rm AS MATERIALIZED (SELECT arm, rep,
+           -- w cast to DECIMAL(1,0): ndcg(28,12) x BIGINT would exceed
+           -- DECIMAL width and DuckDB silently computes it in DOUBLE
+           -- (as Spark silently reduces the scale) — (28,12) x (1,0)
+           -- keeps the weighted sum EXACT in both engines
            CAST(CASE WHEN SUM(w) > 0
-             THEN CAST(SUM(ndcg * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             THEN CAST(SUM(ndcg * CAST(w AS DECIMAL(1,0))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE)
              ELSE 0.0 END AS DECIMAL(18,9)) AS m
          FROM ww GROUP BY 1, 2),
        wins AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_top FROM (
@@ -1343,7 +1348,10 @@ object OracleGen {
        rr AS (SELECT arm, rep, m, ROW_NUMBER() OVER (
            PARTITION BY arm ORDER BY m, rep) AS rn FROM rm),
        ci AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_reps,
-           CAST(SUM(m) AS DOUBLE) / COUNT(*) AS boot_mean_r,
+           -- exact nano-unit sum: boot_mean rounds half-up at 6 dp in
+           -- INTEGER floor-division (never ROUND(double, 6), whose
+           -- half-ulp boundary semantics differ between engines)
+           SUM(CAST(m * 1000000000 AS HUGEINT)) AS si,
            (CAST(SUM(m * m) AS DOUBLE)
              - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)
                / COUNT(*)) / (COUNT(*) - 1) AS var_r,
@@ -1357,7 +1365,9 @@ object OracleGen {
          FROM fin GROUP BY 1)
        SELECT pt.arm, pt.n_queries, ci.n_reps,
          ROUND(pt.point_r, 6) AS ndcg10_mean,
-         ROUND(ci.boot_mean_r, 6) AS boot_mean,
+         CAST((2 * ci.si + ci.n_reps * 1000)
+           // (2 * ci.n_reps * 1000) AS DOUBLE) / 1000000.0
+           AS boot_mean,
          ROUND(sqrt(ci.var_r), 6) AS boot_se,
          ROUND(ci.lo_r, 6) AS ci_lo,
          ROUND(ci.hi_r, 6) AS ci_hi,
