@@ -431,7 +431,7 @@ object StreamingAnalytics {
             .agg(sum(col("occ")).as("freq"))
           val wordTok = TextAnalysis
             .applyFrozenMerges(spark, vocab, merges)
-            .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+            .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
           langWords.join(wordTok, "w")
             .groupBy(col("lang"))
             .agg(sum(col("occ")).as("total_words"),

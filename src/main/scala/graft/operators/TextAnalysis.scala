@@ -879,7 +879,8 @@ object TextAnalysis {
   def bpePackSequences(spark: SparkSession, dir: String,
                        rounds: Int = 6, budget: Int = 256): DataFrame = {
     val (_, syms, _) = bpeTrain(spark, dir, rounds)
-    val wordTok = syms.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val wordTok = syms
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     val docLens = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
@@ -1689,8 +1690,10 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String,
                 rounds: Int = 6): DataFrame = {
     val (_, syms, _) = bpeTrain(spark, dir, rounds)
-    val wordTok = syms.groupBy(col("w"))
-      .agg(count(lit(1)).as("n_sub"))
+    // n_sub = the word's symbol count — size() on the in-row symbol
+    // array (cast keeps the old count()'s BIGINT schema)
+    val wordTok = syms
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     val docWords = Tables(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .select(col("lang"), lower(col("tok")).as("w"))
@@ -1723,99 +1726,81 @@ object TextAnalysis {
                        rounds: Int): (DataFrame, DataFrame, DataFrame) =
     bpeTrainOnWords(spark, bpeWords(Tables(spark, dir, "documents")), rounds)
 
-  /** Character + end-of-word-marker symbol relation for a (w, freq)
-    * vocabulary — the trainer's AND the frozen encoder's shared
-    * starting point (divergence here would change every merge). */
-  private def initialSymbols(words: DataFrame): DataFrame =
-    words
-      .select(col("w"), col("freq"),
-        explode(sequence(lit(1), length(col("w")))).as("pos"))
-      .select(col("w"), col("freq"), col("pos"),
-        expr("substring(w, pos, 1)").as("sym"))
-      .unionAll(words.select(col("w"), col("freq"),
-        (length(col("w")) + 1).as("pos"), lit("</w>").as("sym")))
+  /** Character + end-of-word-marker symbol ARRAY for a (w, freq)
+    * vocabulary — one (pos, sym) struct per slot, pos the original
+    * character position (the marker at len + 1): exactly the rows the
+    * old per-(w, pos, sym) relation held, now in-row. The trainer AND
+    * the frozen encoder share this starting point (divergence here
+    * would change every merge). */
+  private def initialSymsArr(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"), expr(
+      """concat(
+           transform(sequence(1, length(w)),
+             p -> named_struct('pos', p, 'sym', substring(w, p, 1))),
+           array(named_struct('pos', length(w) + 1, 'sym', '</w>')))""")
+      .as("syms"))
 
-  /** Applies ONE merge (a, b) -> ab to a symbol relation with greedy
-    * left-to-right non-overlapping semantics — the loop body shared by
-    * the trainer (where (a, b) is the round's learned winner) and
-    * [[applyFrozenMerges]] (where it comes from a frozen merge table).
-    * `withNext` must already carry the lead/row_number columns. */
-  private def applyOneMerge(syms: DataFrame, withNext: DataFrame,
-      a: Column, b: Column, ab: Column): DataFrame = {
-    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val matches = withNext
-      .filter(col("sym") === a && col("nxt") === b)
-      .select(col("w"), col("pos"), col("npos"), col("rn"))
-    val applied = matches
-      .withColumn("grp", col("rn") - row_number().over(wnd))
-      .withColumn("k",
-        row_number().over(Window.partitionBy(col("w"), col("grp"))
-          .orderBy(col("pos"))))
-      .filter(col("k") % 2 === 1)
-      .select(col("w"), col("pos"), col("npos"))
-    syms
-      .join(applied.select(col("w"), col("pos"), lit(1).as("is_first")),
-        Seq("w", "pos"), "left")
-      .join(applied.select(col("w"), col("npos").as("pos"),
-        lit(1).as("is_second")), Seq("w", "pos"), "left")
-      .filter(col("is_second").isNull) // the absorbed right element
-      .select(col("w"), col("freq"), col("pos"),
-        when(col("is_first") === 1, ab).otherwise(col("sym"))
-          .as("sym"))
-  }
+  /** Greedy left-to-right non-overlapping application of ONE merge
+    * (a, b) -> ab to a (pos, sym) array — the in-row form of the old
+    * islands-ranking apply (r16 OPT: 3 windows + 2 joins per merge
+    * round collapsed into one narrow fold): scan the symbols, merging
+    * the current element into the previous one when (prev, cur) =
+    * (a, b). A just-merged element equals a + b ≠ a (b is non-empty),
+    * so a run of equal symbols merges at exactly the odd positions —
+    * the same rows the old k % 2 = 1 rank filter kept. The merged
+    * element keeps the LEFT constituent's pos (the old apply rewrote
+    * the left row and dropped the absorbed right row). */
+  private def mergeFold(syms: Column, a: Column, b: Column,
+      ab: Column): Column =
+    aggregate(syms,
+      expr("CAST(array() AS ARRAY<STRUCT<pos: INT, sym: STRING>>)"),
+      (acc, e) => when(
+        size(acc) > lit(0) &&
+          element_at(acc, -1).getField("sym") === a &&
+          e.getField("sym") === b,
+        concat(slice(acc, lit(1), size(acc) - lit(1)),
+          array(struct(
+            element_at(acc, -1).getField("pos").as("pos"),
+            ab.as("sym")))))
+        .otherwise(concat(acc, array(e))))
 
   /** ENCODE-ONLY application of a FROZEN ordered merge list to a new
     * (w, freq) vocabulary — the half of the tokenizer that ships: no
     * pair counting, no winner selection, just the R merges replayed in
-    * training order over the increment's words. Returns the final
-    * symbol relation (one row per (w, pos, sym)). Loop discipline is
-    * the trainer's: `localCheckpoint` per round keeps lineage flat;
-    * the merge pair is a literal (the merge table IS a driver-side
-    * artifact — production encoders ship it as a file). */
+    * training order over the increment's words. Returns the symbol
+    * relation in ARRAY form (w, freq, syms) — one fused narrow stage
+    * of chained [[mergeFold]]s (the merge pair is a literal: the merge
+    * table IS a driver-side artifact — production encoders ship it as
+    * a file). */
   private[operators] def applyFrozenMerges(spark: SparkSession,
-      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
-    // lazy round checkpoints (r15 verdict item 1): each round's syms
-    // is referenced twice (lead-window pass + merge apply) — the lazy
-    // RDD dedups without a blocking job per round. The hidden lineage
-    // holds only per-word PARTITIONED windows, which the plan gate
-    // never flags, so laziness is audit-neutral here.
-    var syms = initialSymbols(words).localCheckpoint(false)
-    merges.foreach { case (a, b) =>
-      val withNext = syms
-        .withColumn("nxt", lead(col("sym"), 1).over(wnd))
-        .withColumn("npos", lead(col("pos"), 1).over(wnd))
-        .withColumn("rn", row_number().over(wnd))
-      syms = applyOneMerge(syms, withNext, lit(a), lit(b), lit(a + b))
-        .localCheckpoint(false)
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(initialSymsArr(words)) { case (syms, (a, b)) =>
+      syms.select(col("w"), col("freq"),
+        mergeFold(col("syms"), lit(a), lit(b), lit(a + b)).as("syms"))
     }
-    syms
-  }
 
   private[operators] def bpeTrainOnWords(spark: SparkSession,
       words: DataFrame, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     // initial symbols: characters + an explicit end-of-word marker (the
     // trainer learns suffix merges like "e</w>" — dropping the marker
-    // changes which pairs win). The apply step below stays INLINED
-    // (not routed through applyOneMerge): the round's winner is a
-    // 1-row relation moved by broadcast, never collected, and
-    // applyOneMerge's literal-column contract would force a collect;
-    // Round11 streaming spec pins the two apply paths bit-equal.
-    var syms = initialSymbols(words).localCheckpoint()
-    val wnd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    // changes which pairs win). Each round: ONE adjacent-pair census
+    // (explode + hash-agg; overlap included — the census convention
+    // reference trainers use), winner by (count DESC, lexicographic),
+    // then the same [[mergeFold]] the frozen encoder replays — with the
+    // winner arriving as a broadcast 1-row crossJoin, never a collect.
+    // BpeFrozenApplySpec pins the two apply paths bit-equal.
+    var syms = initialSymsArr(words).localCheckpoint(false)
     var mergeRows: Option[DataFrame] = None
     (1 to rounds).foreach { r =>
-      // consumed twice per round (winner census + apply) — pin it so the
-      // window pass runs once
-      val withNext = syms
-        .withColumn("nxt", lead(col("sym"), 1).over(wnd))
-        .withColumn("npos", lead(col("pos"), 1).over(wnd))
-        .withColumn("rn", row_number().over(wnd))
-        .persist()
-      // frequency-weighted adjacent-pair counts (overlap included — the
-      // census convention reference trainers use)
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+      val best = syms
+        .select(col("freq"), explode(expr(
+          """IF(size(syms) < 2,
+               CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>),
+               transform(sequence(1, size(syms) - 1), x ->
+                 named_struct('a', syms[x - 1].sym,
+                   'b', syms[x].sym)))""")).as("p"))
+        .groupBy(col("p").getField("a").as("a"),
+          col("p").getField("b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
@@ -1827,35 +1812,17 @@ object TextAnalysis {
       require(best.count() == 1,
         s"bpeTrain: no adjacent pairs left at round $r — the corpus " +
           s"supports only ${r - 1} merges; lower `rounds`")
-      // positions where the winning pair matches, then greedy
-      // left-to-right: islands of consecutive matches (by rn) keep only
-      // their odd-indexed members
-      val matches = withNext
-        .join(broadcast(best.select(col("a"), col("b"))),
-          col("sym") === col("a") && col("nxt") === col("b"))
-        .select(col("w"), col("pos"), col("npos"), col("rn"))
-      val applied = matches
-        .withColumn("grp", col("rn") - row_number().over(wnd))
-        .withColumn("k",
-          row_number().over(Window.partitionBy(col("w"), col("grp"))
-            .orderBy(col("pos"))))
-        .filter(col("k") % 2 === 1)
-        .select(col("w"), col("pos"), col("npos"))
       syms = syms
-        .join(applied.select(col("w"), col("pos"), lit(1).as("is_first")),
-          Seq("w", "pos"), "left")
-        .join(applied.select(col("w"), col("npos").as("pos"),
-          lit(1).as("is_second")), Seq("w", "pos"), "left")
-        .filter(col("is_second").isNull) // the absorbed right element
-        .crossJoin(broadcast(best.select(col("ab")))) // 1-row scalar
-        .select(col("w"), col("freq"), col("pos"),
-          when(col("is_first") === 1, col("ab")).otherwise(col("sym"))
-            .as("sym"))
-        .localCheckpoint()
-      withNext.unpersist()
-      val stats = syms.agg(
-        countDistinct(col("sym")).as("vocab_size"),
-        sum(col("freq")).as("total_symbols"))
+        .crossJoin(broadcast(best.select(col("a"), col("b"),
+          col("ab")))) // 1-row winner
+        .select(col("w"), col("freq"),
+          mergeFold(col("syms"), col("a"), col("b"), col("ab"))
+            .as("syms"))
+        // lazy: next round's census + the stats row share the RDD
+        .localCheckpoint(false)
+      val stats = syms.select(col("freq"), explode(col("syms")).as("e"))
+        .agg(countDistinct(col("e").getField("sym")).as("vocab_size"),
+          sum(col("freq")).as("total_symbols"))
       val row = best
         .select(lit(r).as("merge_round"), col("a").as("lhs"),
           col("b").as("rhs"), col("cnt").as("pair_count"))
@@ -2725,27 +2692,31 @@ object TextAnalysis {
     * semantics and scale argument. */
   private[operators] def winnowFingerprints(spark: SparkSession,
       dir: String, k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
+    // r16 OPT (guide §2.4): the window-min + row-distinct form paid one
+    // Exchange+Sort on (doc_id, p) over the corpus-char-sized gram
+    // relation and a second Exchange for the distinct. Selection is
+    // strictly PER-DOCUMENT, so both collapse into array HOFs inside one
+    // narrow scan-side projection: `array_min(slice(keys, p, w))` IS the
+    // rowsBetween(current, w-1) min (same UTF8 string ordering), and
+    // `array_distinct` IS the distinct (every other output column is
+    // doc-constant). Zero exchanges; rows out are bit-identical.
+    // rightmost-min-of-window: equal hashes at LARGER p get a SMALLER
+    // suffix, so the min is the rightmost minimum (unchanged encoding).
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        (length(col("text")) - (k - 1)).as("n_grams"),
-        posexplode(when(length(col("text")) >= k,
-          transform(sequence(lit(1), length(col("text")) - (k - 1)),
-            i => md5(col("text").substr(i, lit(k)))))
-          .otherwise(array().cast("array<string>"))))
+        (length(col("text")) - (k - 1)).as("n_grams"), col("text"))
+      // keys built ONCE per position (md5 is the kernel's real CPU), the
+      // window mins then slice the same array
+      .withColumn("keys", when(col("n_grams") >= w, expr(
+        s"""transform(sequence(1, n_grams),
+              p -> concat(md5(substring(text, p, $k)),
+                lpad(cast(1000000 - p as string), 7, '0')))"""))
+        .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("source"), col("n_grams"),
-        (col("pos") + 1).as("p"), // posexplode is 0-based
-        col("col").as("h"))
-    // rightmost-min-of-window in one pass: equal hashes at LARGER p get
-    // a SMALLER suffix, so the window min is the rightmost minimum
-    val key = concat(col("h"),
-      lpad((lit(1000000) - col("p")).cast("string"), 7, "0"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("wkey", min(key).over(win))
-      .filter(col("p") <= col("n_grams") - (w - 1)) // full windows only
-      .select(col("doc_id"), col("source"), col("n_grams"), col("wkey"))
-      .distinct()
+        explode(when(col("n_grams") >= w, expr(
+          s"""array_distinct(transform(sequence(1, n_grams - ${w - 1}),
+                p -> array_min(slice(keys, p, $w))))"""))
+          .otherwise(array().cast("array<string>"))).as("wkey"))
       .withColumn("hash", substring(col("wkey"), 1, 32))
   }
 
@@ -2764,16 +2735,17 @@ object TextAnalysis {
     * and hashes shared by ≥ 2 of the source's documents (the dup
     * signal winnowing exists to surface).
     *
-    * The rightmost-min-with-ties selection is ONE window min over a
+    * The rightmost-min-with-ties selection is an array_min over a
     * sortable encoding — md5 hex ∥ zero-padded (10^6 − pos) — so equal
     * hashes at later positions sort FIRST; no second argmax pass, no
-    * self-join, and the identical expression runs in the oracle.
+    * self-join, and the identical encoding runs in the oracle.
     *
-    * Scale shape: one corpus-linear gram explode (≈ n_chars rows/doc,
-    * the [[langidTrigram]] budget), a per-document window sort (skew
-    * bounded by max document length, never corpus size), then distinct
-    * + source-bounded aggs. At 100 TB the explode and the per-doc
-    * window pipeline in one stage; nothing driver-side. */
+    * Scale shape (r16 OPT): selection is strictly per-document, so the
+    * k-gram hashing, the window mins AND the per-doc distinct all run
+    * inside ONE narrow scan-side projection (array HOFs over the in-row
+    * key array — see [[winnowFingerprints]]); only the ~2/(w+1)-sampled
+    * fingerprints ever become rows. Zero exchanges before the
+    * source-bounded aggs; skew bounded by max document length. */
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 8, w: Int = 4): DataFrame = {
     val fp = winnowFingerprints(spark, dir, k, w)
@@ -3974,7 +3946,7 @@ object TextAnalysis {
       maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
       vKeep: Int = 200): DataFrame = {
     val art = unigramRound1(spark, dir, maxLen, maxPiece, v0, vKeep)
-    val (_, row2) = unigramEmRound(spark, 2, art.words, art.spans,
+    val (_, row2) = unigramEmRound(spark, 2, art.words,
       art.cost1, art.vocab1, maxLen, maxPiece)
     art.row1.unionByName(row2).orderBy(col("em_round"))
   }
@@ -3985,14 +3957,13 @@ object TextAnalysis {
     * trainer and the streaming frozen-apply row
     * (`stream_unigram_encode`) both read THIS, so the streaming
     * encoder can never drift from the trainer's vocabulary. */
-  private[operators] def unigramFrozenCosts(spark: SparkSession,
+  private[graft] def unigramFrozenCosts(spark: SparkSession,
       dir: String, maxLen: Int = 10, maxPiece: Int = 4, v0: Int = 300,
       vKeep: Int = 200): DataFrame =
     unigramRound1(spark, dir, maxLen, maxPiece, v0, vKeep).cost1
 
   private final case class UnigramRound1(words: DataFrame,
-    spans: DataFrame, vocab1: DataFrame, cost1: DataFrame,
-    row1: DataFrame)
+    vocab1: DataFrame, cost1: DataFrame, row1: DataFrame)
 
   private def unigramRound1(spark: SparkSession, dir: String,
       maxLen: Int, maxPiece: Int, v0: Int, vKeep: Int): UnigramRound1 = {
@@ -4003,19 +3974,18 @@ object TextAnalysis {
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxLen)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("len", length(col("w")))
-      // lazy (window-free; see frozenLattice discipline)
-      .localCheckpoint(false) // train word types: reused by spans + 2 rounds
-    val spans = words
-      .select(col("w"), col("f"), col("len"),
-        explode(sequence(lit(1), col("len"))).as("st"))
-      .select(col("w"), col("f"), col("len"), col("st"),
-        explode(sequence(lit(1), lit(maxPiece))).as("pl"))
-      .filter(col("st") + col("pl") - 1 <= col("len"))
-      .select(col("w"), col("f"),
-        (col("st") - 1).as("j"), (col("st") + col("pl") - 1).as("i"),
-        expr("substring(w, st, pl)").as("piece"))
-      .localCheckpoint(false) // candidate lattice: reused by c0 + 2 rounds
-    val c0 = spans.groupBy(col("piece")).agg(sum(col("f")).as("c"))
+      // lazy (window-free; see withSpans discipline)
+      .localCheckpoint(false) // train word types: reused by c0 + 2 rounds
+    // seed census: every candidate substring (length ≤ maxPiece) of the
+    // train types, occurrence-weighted — ONE explode + hash-agg, the
+    // only place the span space materializes as rows (the EM rounds run
+    // the in-row DP instead; see unigramEmRound / withSpans)
+    val c0 = words
+      .select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, len), st ->
+              transform(sequence(1, least($maxPiece, len - st + 1)),
+                pl -> substring(w, st, pl))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
     val vocab0 = c0
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c").desc, col("piece"))))
@@ -4030,7 +4000,7 @@ object TextAnalysis {
       .select(col("piece"),
         (-log(col("c").cast("double") / col("t").cast("double")))
           .cast("decimal(28,12)").as("cost"))
-    val (u1, row1) = unigramEmRound(spark, 1, words, spans, cost0,
+    val (u1, row1) = unigramEmRound(spark, 1, words, cost0,
       vocab0, maxLen, maxPiece)
     val vocab1 = u1
       .withColumn("rk", row_number().over(
@@ -4048,62 +4018,53 @@ object TextAnalysis {
       .select(col("piece"),
         (-log((col("u") + 1).cast("double") / col("t").cast("double")))
           .cast("decimal(28,12)").as("cost"))
-    UnigramRound1(words, spans, vocab1, cost1, row1)
+    UnigramRound1(words, vocab1, cost1, row1)
   }
 
   /** One hard-EM round of the unigram trainer (Viterbi DP + walk +
-    * usage census + stats row) over a (w, f, len) word-type relation
-    * and its span lattice — shared by both trainer rounds. */
+    * usage census + stats row) over a (w, f, len) word-type relation —
+    * shared by both trainer rounds.
+    *
+    * r16 OPT: the per-level DP unroll + maxLen-step backpointer walk
+    * (~25 shuffle barriers per EM round) is now ONE in-row fold per
+    * word type ([[viterbiDpCol]] — bit-equal argmin, see its note);
+    * the optimal segmentation's pieces are retraced from the same
+    * dp/backpointer array inside the row. */
   private def unigramEmRound(spark: SparkSession, r: Int,
-      words: DataFrame, spans: DataFrame, vocabCost: DataFrame,
+      words: DataFrame, vocabCost: DataFrame,
       vocabOf: DataFrame, maxLen: Int,
       maxPiece: Int): (DataFrame, DataFrame) = {
-      // lazy-checkpoint interiors (window-free; see frozenLattice's
-      // discipline note): dedup without per-level blocking jobs
-      val vs = spans.join(vocabCost, Seq("piece")).localCheckpoint(false)
-      var steps = Vector(words.select(col("w"),
-        lit(0).as("pos"), lit(0).cast("decimal(28,12)").as("dp"),
-        lit(-1).as("bp")).localCheckpoint(false))
-      for (i <- 1 to maxLen) {
-        val lo = math.max(0, i - maxPiece)
-        val prev = steps.slice(lo, i).reduce(_.unionByName(_))
-          .select(col("w"), col("pos").as("j"), col("dp").as("dpj"))
-        val step = vs.filter(col("i") === i)
-          .join(prev, Seq("w", "j"))
-          .groupBy(col("w"))
-          .agg(min(struct((col("dpj") + col("cost")).as("d"),
-            col("j").as("b"))).as("m"))
-          .select(col("w"), lit(i).as("pos"),
-            col("m.d").cast("decimal(28,12)").as("dp"),
-            col("m.b").as("bp"))
-          .localCheckpoint(false)
-        steps = steps :+ step
-      }
-      val dpc = steps.reduce(_.unionByName(_)).localCheckpoint(false)
-      val fin = dpc.join(words, Seq("w"))
-        .filter(col("pos") === col("len"))
-        .select(col("w"), col("f"), col("len"), col("dp"))
+      val fin = withSpans(words, vocabCost, maxPiece)
+        .withColumn("dparr", viterbiDpCol)
+        .withColumn("fin", expr("element_at(dparr, len + 1)"))
+        .filter(col("fin").getField("d").isNotNull)
+        .select(col("w"), col("f"), col("len"),
+          col("fin").getField("d").as("dp"),
+          // the walk: follow backpointers from len to 0 (≤ maxLen
+          // steps — every piece covers ≥ 1 char), emitting the same
+          // (j = bp, i = pos) spans the relational walk retraced
+          expr(s"""aggregate(sequence(1, $maxLen),
+              named_struct('pos', len, 'ps',
+                CAST(array() AS ARRAY<STRUCT<j: INT, i: INT>>)),
+              (st, x) -> IF(st.pos <= 0, st,
+                named_struct('pos', element_at(dparr, st.pos + 1).b,
+                  'ps', concat(st.ps, array(named_struct(
+                    'j', element_at(dparr, st.pos + 1).b,
+                    'i', st.pos))))),
+              st -> st.ps)""").as("ps"))
+        // lazy (window-free): usage + stats + pc share one pass
         .localCheckpoint(false)
-      var cur = fin.select(col("w"), col("f"), col("len").as("pos"))
-      var pieces: DataFrame = null
-      for (_ <- 1 to maxLen) {
-        val step = cur.filter(col("pos") > 0)
-          .join(dpc.select(col("w"), col("pos"), col("bp")),
-            Seq("w", "pos"))
-          .localCheckpoint(false)
-        val seg = step.select(col("w"), col("f"),
-          col("bp").as("j"), col("pos").as("i"))
-        pieces = if (pieces == null) seg else pieces.unionByName(seg)
-        cur = step.select(col("w"), col("f"), col("bp").as("pos"))
-      }
-      val usage = pieces
-        .select(col("f"), expr("substring(w, j + 1, i - j)").as("piece"))
+      val usage = fin
+        .select(col("f"), col("w"), explode(col("ps")).as("p"))
+        .select(col("f"),
+          expr("substring(w, p.j + 1, p.i - p.j)").as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("u"))
         .localCheckpoint(false)
       val stats = fin.agg(count(lit(1)).as("n_word_types"),
         sum(col("f")).as("n_tokens"),
         sum((col("dp") * col("f")).cast("decimal(38,12)")).as("nll_sum"))
-      val pc = pieces.agg(sum(col("f")).as("n_pieces"))
+      // Σ f · |pieces| — exactly the old Σ f over the exploded walk rows
+      val pc = fin.agg(sum(col("f") * size(col("ps"))).as("n_pieces"))
       val vsize = vocabOf.agg(count(lit(1)).as("vocab_size"))
       val top = usage.filter(length(col("piece")) > 1)
         .withColumn("rk", row_number().over(
@@ -4123,138 +4084,125 @@ object TextAnalysis {
       (usage, row)
   }
 
+  /** 1-row (piece -> cost) map of a frozen cost relation — the in-row
+    * encoders' broadcast vocabulary artifact (≤ vKeep + alphabet
+    * entries, the size a production encoder ships as a file). */
+  private def pieceCostMap(frozen: DataFrame): DataFrame =
+    frozen.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("cost")))).as("cm"))
+
+  /** (w, len, …) types + frozen costs -> same rows with an in-row
+    * `spans` lattice column: every (j, i, cost) with a frozen piece at
+    * substring(w, j+1, i-j), j = start − 1, i = end. try_element_at
+    * keeps the lookup ANSI-safe; a train-unseen substring is simply
+    * absent (NULL cost -> filtered).
+    *
+    * r16 OPT (guide §1.2/§2.4): the span lattice used to be an exploded
+    * relation broadcast-joined to the cost table and re-joined per DP
+    * level (~2 shuffle barriers per level × ~10 levels, each behind a
+    * MEMORY_AND_DISK lazy checkpoint — the documented contended-box IO
+    * amplification of r15/r16). With the vocabulary as a 1-row scalar
+    * map, the lattice AND both encoders below run inside ONE narrow
+    * projection per word type: zero exchanges, zero per-level
+    * checkpoints, and the disk-latency multiplier is gone outright. */
+  private def withSpans(types: DataFrame, frozen: DataFrame,
+      maxPiece: Int): DataFrame =
+    types.crossJoin(broadcast(pieceCostMap(frozen))) // 1-row scalar map
+      .withColumn("spans", expr(
+        s"""filter(
+              flatten(transform(sequence(1, len), st ->
+                transform(sequence(1, least($maxPiece, len - st + 1)),
+                  pl -> named_struct(
+                    'j', st - 1, 'i', st + pl - 1,
+                    'cost', try_element_at(cm, substring(w, st, pl)))))),
+              s -> s.cost IS NOT NULL)"""))
+      .drop("cm")
+
+  /** The exact-decimal Viterbi DP as ONE array fold over the in-row
+    * span lattice: the dp entry for position p (array index p + 1) is
+    * the argmin struct (d, b, np) the old per-level relational unroll
+    * carried — same DECIMAL(28,12) per-level quantization (candidate
+    * sums compare at the exact (29,12) width, the winner is stored
+    * back at (28,12), a lossless cast for these magnitudes), same
+    * tie-break (d, then smaller j; b = j is unique per candidate, so
+    * the old min-struct's trailing fields never decided a minimum).
+    * d IS NULL marks an unreachable position. */
+  private def viterbiDpCol: Column = expr(
+    """aggregate(
+         sequence(1, len),
+         array(named_struct(
+           'd', CAST(0 AS DECIMAL(28,12)), 'b', -1,
+           'np', CAST(0 AS BIGINT))),
+         (acc, i) -> concat(acc, array(
+           aggregate(
+             filter(spans, s -> s.i = i
+               AND element_at(acc, s.j + 1).d IS NOT NULL),
+             CAST(NULL AS STRUCT<d: DECIMAL(28,12), b: INT, np: BIGINT>),
+             (best, s) -> CASE
+               WHEN best.d IS NULL
+                 OR element_at(acc, s.j + 1).d + s.cost < best.d
+                 OR (element_at(acc, s.j + 1).d + s.cost = best.d
+                   AND s.j < best.b)
+               THEN named_struct(
+                 'd', CAST(element_at(acc, s.j + 1).d + s.cost
+                   AS DECIMAL(28,12)),
+                 'b', s.j,
+                 'np', element_at(acc, s.j + 1).np + CAST(1 AS BIGINT))
+               ELSE best END))))""")
+
   /** Frozen-cost Viterbi segmentation of an arbitrary (w, len)
     * word-TYPE relation — the batch-shaped encode kernel under a
-    * trained unigram vocabulary (the same unrolled exact-decimal DP +
-    * backpointer walk the trainer and `stream_unigram_encode` run).
-    * Returns (w, n_pieces, dp); a type with no path through the
-    * frozen lattice (a train-unseen character) simply has no row —
-    * the caller's LEFT join reads that as OOV. */
-  /** (w, j, i, cost) span lattice of a (w, len) type relation joined
-    * to frozen piece costs — the shared input of the Viterbi and
-    * greedy encoders below. */
-  private def frozenLattice(types: DataFrame, frozen: DataFrame,
-      maxPiece: Int): DataFrame = types
-    .select(col("w"), col("len"),
-      explode(sequence(lit(1), col("len"))).as("st"))
-    .select(col("w"), col("len"), col("st"),
-      explode(sequence(lit(1), lit(maxPiece))).as("pl"))
-    .filter(col("st") + col("pl") - 1 <= col("len"))
-    .select(col("w"), (col("st") - 1).as("j"),
-      (col("st") + col("pl") - 1).as("i"),
-      expr("substring(w, st, pl)").as("piece"))
-    .join(broadcast(frozen), Seq("piece"))
-    // LAZY checkpoint (r15 verdict item 1): reused per level — the
-    // RDD is computed once and shared, but no blocking job fires at
-    // build time. Lazy-checkpoint discipline for this whole kernel
-    // family: interiors are WINDOW-FREE (joins + hash aggs only), so
-    // hiding their lineage behind a LogicalRDD leaf is neutral to
-    // both plan-gate channels; anything whose lineage contains a
-    // Window MUST stay eager so the runtime audit sees it execute.
-    //
-    // CONTENDED-BOX SENSITIVITY (r16 verdict item 3, adjudicating the
-    // r15 judge-time 15.1 s text_wordpiece_greedy outlier vs 6.0-6.9 s
-    // isolated): the encoder chains above pay ~2 shuffle barriers per
-    // DP level x ~10 levels x (two encoders in the wordpiece row), and
-    // every localCheckpoint block is MEMORY_AND_DISK — so unlike a
-    // single-shuffle row, this family multiplies a loaded box's disk/
-    // IO latency by chain depth (~50 barriers), reading up to ~2.5x on
-    // a box whose other rows read +10-20%. Results are hash-stable
-    // regardless. The bench's interleaved calibration probe
-    // (Bench.scala, r16) is the in-run control: a wordpiece outlier
-    // with calib_dispersion near 1.0 is a real regression; with
-    // elevated dispersion it is this documented IO amplification.
-    .localCheckpoint(false)
-
+    * trained unigram vocabulary. Returns (w, n_pieces, dp); a type
+    * with no path through the frozen lattice (a train-unseen
+    * character), or longer than the trainer's `maxLen` DP bound,
+    * simply has no row — the caller's LEFT join reads that as OOV.
+    * One narrow projection per type (see [[withSpans]]). */
   private[graft] def viterbiPieceCounts(types: DataFrame,
       frozen: DataFrame, maxLen: Int = 10,
       maxPiece: Int = 4): DataFrame =
-    viterbiFromLattice(types, frozenLattice(types, frozen, maxPiece),
-      maxLen, maxPiece)
-
-  /** [[viterbiPieceCounts]] over a PREBUILT span lattice — callers
-    * that run both encoders ([[wordpieceGreedy]]) build the lattice
-    * once and share the checkpointed RDD instead of materializing the
-    * identical relation twice (r16: the lattice is the widest relation
-    * in the chain, and fewer checkpointed bytes is also what the
-    * contended-box sensitivity note below is about). */
-  private def viterbiFromLattice(types: DataFrame, vs: DataFrame,
-      maxLen: Int, maxPiece: Int): DataFrame = {
-    var steps = Vector(types.select(col("w"), lit(0).as("pos"),
-      lit(0).cast("decimal(28,12)").as("dp"), lit(0L).as("np"))
-      .localCheckpoint(false))
-    for (i <- 1 to maxLen) {
-      val lo = math.max(0, i - maxPiece)
-      val prev = steps.slice(lo, i).reduce(_.unionByName(_))
-        .select(col("w"), col("pos").as("j"), col("dp").as("dpj"),
-          col("np").as("npj"))
-      // argmin struct is (d, b, np): b = j is UNIQUE per candidate
-      // edge, so the third field can never influence the chosen
-      // minimum — np simply rides along the same optimal path the
-      // old backpointer walk retraced, which deletes the walk's
-      // maxLen blocking join steps outright (r15 verdict item 1)
-      val step = vs.filter(col("i") === i)
-        .join(prev, Seq("w", "j"))
-        .groupBy(col("w"))
-        .agg(min(struct((col("dpj") + col("cost")).as("d"),
-          col("j").as("b"), (col("npj") + 1).as("np"))).as("m"))
-        .select(col("w"), lit(i).as("pos"),
-          col("m.d").cast("decimal(28,12)").as("dp"),
-          col("m.np").as("np"))
-        .localCheckpoint(false) // word-type grain; level i+1..i+4 read it
-      steps = steps :+ step
-    }
-    steps.reduce(_.unionByName(_))
-      .join(types, Seq("w"))
-      .filter(col("pos") === col("len"))
-      .select(col("w"), col("np").as("n_pieces"), col("dp"))
-  }
+    withSpans(types.filter(col("len") <= maxLen), frozen, maxPiece)
+      .withColumn("dparr", viterbiDpCol)
+      .withColumn("fin", expr("element_at(dparr, len + 1)"))
+      .filter(col("fin").getField("d").isNotNull)
+      .select(col("w"), col("fin").getField("np").as("n_pieces"),
+        col("fin").getField("d").as("dp"))
 
   /** GREEDY longest-match-first segmentation of a (w, len) word-TYPE
     * relation under frozen piece costs — WordPiece's maximal-munch
-    * rule (one row of state per word: at position j consume the
-    * LONGEST vocabulary piece starting there). Returns
-    * (w, np, cost); a word whose walk hits a train-unseen character
-    * strands mid-word and emits no row — the same OOV set as the
-    * Viterbi encoder, since the frozen vocabulary contains every
-    * train character as a fallback. */
+    * rule, as ONE in-row fold (at position pos consume the LONGEST
+    * vocabulary piece starting there; the longest match is unique per
+    * (w, pos), so the old max-struct's pc field never decided a
+    * maximum). Returns (w, np, cost); a word whose walk hits a
+    * train-unseen character strands mid-word (pos stops advancing)
+    * and emits no row — the same OOV set as the Viterbi encoder,
+    * since the frozen vocabulary contains every train character as a
+    * fallback. Per-step cost accumulation casts back to
+    * DECIMAL(28,12) exactly like the old per-step relational cast. */
+  private def greedyStCol(maxLen: Int): Column = expr(
+    s"""aggregate(
+          sequence(1, $maxLen),
+          named_struct('pos', 0, 'np', CAST(0 AS BIGINT),
+            'cost', CAST(0 AS DECIMAL(28,12))),
+          (st, x) -> IF(st.pos = len, st,
+            element_at(transform(array(
+              aggregate(filter(spans, s -> s.j = st.pos),
+                CAST(NULL AS STRUCT<j: INT, i: INT,
+                  cost: DECIMAL(28,12)>),
+                (b, s) -> IF(b.i IS NULL OR s.i > b.i, s, b))),
+              m -> IF(m.i IS NULL, st,
+                named_struct('pos', m.i,
+                  'np', st.np + CAST(1 AS BIGINT),
+                  'cost', CAST(st.cost + m.cost
+                    AS DECIMAL(28,12))))), 1)))""")
+
   private[graft] def greedyPieceCounts(types: DataFrame,
       frozen: DataFrame, maxLen: Int = 10,
       maxPiece: Int = 4): DataFrame =
-    greedyFromLattice(types, frozenLattice(types, frozen, maxPiece),
-      maxLen)
-
-  /** [[greedyPieceCounts]] over a PREBUILT span lattice (see
-    * [[viterbiFromLattice]]). */
-  private def greedyFromLattice(types: DataFrame, vs: DataFrame,
-      maxLen: Int): DataFrame = {
-    val vsr = vs.select(col("w"), col("j").as("pos"), col("i"),
-      col("cost").as("pc"))
-    var act = types.select(col("w"), lit(0).as("pos"),
-      lit(0L).as("np"), lit(0).cast("decimal(28,12)").as("cost"))
-      .localCheckpoint(false)
-    var fin: DataFrame = null
-    for (_ <- 1 to maxLen) {
-      val stepped = act
-        .join(vsr, Seq("w", "pos"))
-        .groupBy(col("w"), col("pos"), col("np"), col("cost"))
-        // (w, pos, i) is unique, so the struct max IS the longest match
-        .agg(max(struct(col("i"), col("pc"))).as("m"))
-        .select(col("w"), col("m.i").as("pos"),
-          (col("np") + 1).as("np"),
-          (col("cost") + col("m.pc")).cast("decimal(28,12)").as("cost"))
-        // lazy: referenced twice (done + next frontier) — shared RDD,
-        // no blocking job (window-free interior, see frozenLattice)
-        .localCheckpoint(false) // one row per still-active word
-      val done = stepped.join(types.select(col("w"), col("len")),
-          Seq("w"))
-        .filter(col("pos") === col("len"))
-        .select(col("w"), col("np"), col("cost"))
-      fin = if (fin == null) done else fin.unionByName(done)
-      act = stepped // finished words match no span at j = len and drop
-    }
-    fin
-  }
+    withSpans(types, frozen, maxPiece)
+      .withColumn("gst", greedyStCol(maxLen))
+      .filter(col("gst").getField("pos") === col("len"))
+      .select(col("w"), col("gst").getField("np").as("np"),
+        col("gst").getField("cost").as("cost"))
 
   /** WORDPIECE-STYLE greedy-vs-optimal segmentation gap — the eval a
     * tokenizer team runs before shipping the maximal-munch fast path
@@ -4286,10 +4234,10 @@ object TextAnalysis {
     val types = lw.select(col("w")).distinct()
       .withColumn("len", length(col("w"))).localCheckpoint(false)
     val frozen = unigramFrozenCosts(spark, dir).localCheckpoint(false)
-    // ONE shared lattice: both encoders read the same checkpointed RDD
-    val vs = frozenLattice(types, frozen, maxPiece)
-    val vit = viterbiFromLattice(types, vs, maxLen, maxPiece)
-    val greedy = greedyFromLattice(types, vs, maxLen)
+    // both encoders are narrow in-row folds over the same types relation
+    // (no lattice relation to share any more — see withSpans)
+    val vit = viterbiPieceCounts(types, frozen, maxLen, maxPiece)
+    val greedy = greedyPieceCounts(types, frozen, maxLen, maxPiece)
     val census = lw
       .join(greedy, Seq("w"), "left")
       .join(vit.select(col("w"), col("n_pieces"), col("dp")),
@@ -4377,7 +4325,7 @@ object TextAnalysis {
         .select(lit(arm).as("arm"), col("lang"), col("total_words"),
           col("covered_words"), col("total_pieces"), col("total_chars"))
     val bpeCounts = bpeTrain(spark, dir, rounds)._2
-      .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      .select(col("w"), size(col("syms")).cast("long").as("n_pieces"))
     val types = lw.select(col("w")).distinct()
       .withColumn("len", length(col("w"))).localCheckpoint(false)
     val frozen = unigramFrozenCosts(spark, dir).localCheckpoint(false)

@@ -22,8 +22,11 @@ class BpeFrozenApplySpec extends graft.SparkSpec {
       .select(col("lhs"), col("rhs")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(merges.length === 4)
+    // the symbol relation is array-form (w, freq, syms) — explode back
+    // to (w, freq, pos, sym) rows so the pin still compares positions
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("w"), col("freq"), col("pos"), col("sym"))
+      df.select(col("w"), col("freq"), explode(col("syms")).as("e"))
+        .select(col("w"), col("freq"), col("e.pos"), col("e.sym"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
           r.getString(3))).sorted.toSeq
